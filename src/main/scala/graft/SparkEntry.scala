@@ -1,13 +1,80 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model._
+import graft.compile.RuleCompiler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every ✦ operator in SURVEY.md §2 gets a named query here and a DuckDB
+  * oracle in [[oracleSql]]. Column names are aligned between both sides
+  * (driver hash-compares after sorting columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def read(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** Flagship: SURVEY.md §7.4 minimal slice — rule-based conviction over
+    * lineitem. Rules: convict rows where l_suppkey ∈ [4,6] AND
+    * l_returnflag = 'R' (columns AND, ranges OR — F1/F3). */
+  private def retentionKeep(df: DataFrame): org.apache.spark.sql.Column = {
+    val rs = RuleSet(Seq(
+      Rule("r1", Map(
+        "l_suppkey" -> Seq(Bound(Some("4"), Some("6"))),
+        "l_returnflag" -> Seq(Bound(Some("R"), Some("R")))))))
+    RuleCompiler.keep(rs, df.schema)
+  }
+
+  def entry(spark: SparkSession): DataFrame = {
+    val li = read(spark, "/root/testdata/sf0.001", "lineitem")
+    li.filter(retentionKeep(li))
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1/F3/S1/S4 — rule conviction, kept side (the flagship slice)
+    "q_f1_rule_keep" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      li.filter(retentionKeep(li))
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag",
+          "l_quantity")
+    }),
+    // S5/J2 — the convicted (backup-sink) side: exact complement
+    "q_s5_rule_drop" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      li.filter(!retentionKeep(li))
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag")
+    }),
+    // A1/A5 — kept/dropped counters
+    "q_a1_counters" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val keep = retentionKeep(li)
+      li.agg(
+        sum(when(keep, 1L).otherwise(0L)).as("kept"),
+        sum(when(keep, 0L).otherwise(1L)).as("dropped"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_f1_rule_keep" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag, l_quantity
+         FROM lineitem
+         WHERE NOT (l_suppkey BETWEEN 4 AND 6 AND l_returnflag = 'R')""",
+    "q_s5_rule_drop" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag
+         FROM lineitem
+         WHERE l_suppkey BETWEEN 4 AND 6 AND l_returnflag = 'R'""",
+    "q_a1_counters" ->
+      """SELECT
+           CAST(sum(CASE WHEN NOT (l_suppkey BETWEEN 4 AND 6 AND l_returnflag = 'R')
+               THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(sum(CASE WHEN l_suppkey BETWEEN 4 AND 6 AND l_returnflag = 'R'
+               THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+         FROM lineitem"""
+  )
 }

@@ -1,0 +1,136 @@
+package graft.compile
+
+import graft.model._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compiles a [[graft.model.RuleSet]] into pure Catalyst `Column`
+  * predicates on the driver — the Spark-first replacement for the
+  * reference's per-row convictor evaluation. Rules are small by
+  * construction (they fit in a driver-side Map in the reference — ref:
+  * RuleBasedDeletionConvictor.java:52), so the "join" between data and
+  * rules is a broadcast-of-constants folded into a filter: no shuffle, no
+  * UDF, fully whole-stage-codegen'd, scale-independent.
+  *
+  * Semantics contract (SURVEY.md §2.2 F1–F8):
+  *  - a row is CONVICTED (dropped) iff ∃ rule where EVERY rule column's
+  *    value falls inside ≥1 of that column's ranges
+  *    (ref: RuleBasedDeletionConvictor.java:429-452)
+  *  - range bounds are inclusive; a null/absent bound is unbounded on that
+  *    side (ref: RuleBasedDeletionConvictor.java:381-408)
+  *  - a NULL value never matches any range → row kept
+  *    (ref: RuleBasedDeletionConvictor.java:383-387)
+  *  - an empty ruleset convicts nothing
+  *    (ref: RuleBasedDeletionConvictor.java:424-428)
+  */
+object RuleCompiler {
+
+  /** F3 — range membership for one column over its OR'd ranges.
+    * Never returns SQL NULL: the `isNotNull` guard fences three-valued
+    * logic (SURVEY.md §7.5 risk 3). */
+  def inRanges(col: Column, dt: DataType, ranges: Seq[Bound]): Column = {
+    if (ranges.isEmpty) lit(false)
+    else {
+      val anyRange = ranges
+        .map { b =>
+          val conds =
+            b.lo.flatMap(BoundParser.parse(_, dt)).map(v => col >= lit(v)).toSeq ++
+              b.hi.flatMap(BoundParser.parse(_, dt)).map(v => col <= lit(v)).toSeq
+          conds.reduceOption(_ && _).getOrElse(lit(true)) // (null,null) = match all
+        }
+        .reduce(_ || _)
+      col.isNotNull && anyRange
+    }
+  }
+
+  private def fieldType(schema: StructType, name: String): DataType =
+    schema.fields.find(_.name == name).map(_.dataType).getOrElse(StringType)
+
+  /** One rule's match predicate: AND across its columns (F1/F2). */
+  def ruleMatches(rule: Rule, schema: StructType): Column =
+    rule.colRanges
+      .map { case (c, ranges) => inRanges(col(c), fieldType(schema, c), ranges) }
+      .reduceOption(_ && _)
+      .getOrElse(lit(false)) // a rule with no columns convicts nothing
+
+  /** F1/F2 — convicted iff any rule fully matches. */
+  def convicted(rs: RuleSet, schema: StructType): Column =
+    rs.rules.map(ruleMatches(_, schema)).reduceOption(_ || _).getOrElse(lit(false))
+
+  /** The keep-side predicate (what `shouldKeepPartition`/`shouldKeepCluster`
+    * return true for). */
+  def keep(rs: RuleSet, schema: StructType): Column = !convicted(rs, schema)
+
+  /** F5 — ConfigurableDeleter variant: the FIRST rule column present among
+    * the table's key columns decides alone; no AND across columns
+    * (ref: ConfigurableDeleter.java:283-311). `orderedCols` is the
+    * configured column order (the reference iterates pk columns then ck
+    * components in key order). */
+  def keepFirstColumn(
+      rs: RuleSet,
+      schema: StructType,
+      orderedCols: Seq[String]): Column = {
+    // ConfigurableDeleter holds one flat col→ranges map; model as the union
+    // of all rules' ranges per column.
+    val byCol: Map[String, Seq[Bound]] =
+      rs.rules.flatMap(_.colRanges.toSeq).groupBy(_._1).map { case (c, kvs) =>
+        c -> kvs.flatMap(_._2)
+      }
+    orderedCols.find(byCol.contains) match {
+      case None => lit(true)
+      case Some(c) => !inRanges(col(c), fieldType(schema, c), byCol(c))
+    }
+  }
+
+  /** Age of a row in whole seconds given a microsecond writetime column and
+    * a per-job fixed base time in milliseconds. Mirrors the reference's
+    * two-step integer division `(now_ms - ts/1000)/1000`
+    * (ref: RuleBasedLateTTLConvictor.java:647-648; base time snapshotted
+    * once per job at :62 — SURVEY.md §2.10 T1: never `current_timestamp()`
+    * per row). */
+  def ageSeconds(writetimeMicros: Column, jobStartMs: Long): Column = {
+    // integer division twice, exactly like the reference (floorDiv on
+    // nonnegative values; Spark's long/long division on LongType is
+    // integral)
+    val tsMs = (writetimeMicros.cast(LongType) / lit(1000L)).cast(LongType)
+    ((lit(jobStartMs) - tsMs) / lit(1000L)).cast(LongType)
+  }
+
+  /** F7/F8 + A4 — effective TTL per row: `min(ttl)` over fully-matching
+    * rules (`least` over per-rule `when(matches, ttl)` — nulls ignored),
+    * falling back to `default_ttl` when no rule matches
+    * (ref: RuleBasedLateTTLConvictor.java:584-587, 611-617, 677-680).
+    * Returns SQL NULL when no rule matches and no default is set (= keep
+    * forever). */
+  def effectiveTtl(rs: RuleSet, schema: StructType): Column = {
+    val perRule = rs.rules.collect {
+      case r if r.ttl.isDefined =>
+        when(ruleMatches(r, schema), lit(r.ttl.get))
+    }
+    val matched = perRule match {
+      case Seq()  => lit(null).cast(LongType)
+      case Seq(c) => c.cast(LongType)
+      case many   => least(many: _*).cast(LongType)
+    }
+    rs.defaultTtl match {
+      case Some(d) => coalesce(matched, lit(d))
+      case None    => matched
+    }
+  }
+
+  /** F7 — the TTL keep predicate:
+    * keep iff effTtl IS NULL (no verdict) OR effTtl < 0 (keep forever —
+    * ref: RuleBasedLateTTLConvictor.java:635-642) OR age <= effTtl.
+    * Future-dated rows have negative age and are always kept (T2 —
+    * ref fixture `aged(-300)` at RuleBasedLateTTLConvictorSpec.scala:108). */
+  def keepTtl(
+      rs: RuleSet,
+      schema: StructType,
+      writetimeCol: String,
+      jobStartMs: Long): Column = {
+    val eff = effectiveTtl(rs, schema)
+    val age = ageSeconds(col(writetimeCol), jobStartMs)
+    eff.isNull || eff < 0 || age <= eff
+  }
+}

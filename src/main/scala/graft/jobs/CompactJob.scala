@@ -1,0 +1,40 @@
+package graft.jobs
+
+import graft.model.TableSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A7 — last-write-wins merge. Compacting overlapping inputs containing the
+  * same (partition key, clustering key) reconciles duplicates so one
+  * logical row survives, the one with the highest writetime (exercised by
+  * the reference's "handle overlapping keys" test —
+  * ref: RuleBasedLateTTLConvictorSpec.scala:307-335).
+  *
+  * Implementation: one hash shuffle on the full key, `max_by(struct(all
+  * non-key cols), orderKey)`. Ties on writetime are broken by comparing the
+  * remaining column values (struct comparison is lexicographic across
+  * fields), making the result deterministic where Cassandra breaks
+  * timestamp ties by value comparison (SURVEY.md §7.5 risk 8).
+  *
+  * Scale: a single shuffle keyed on (pk, ck); partial aggregation
+  * (map-side max) runs before the exchange, so the shuffle carries one row
+  * per key per map partition, not the full duplicate set.
+  */
+object CompactJob {
+
+  def lwwDedup(df: DataFrame, spec: TableSpec): DataFrame = {
+    val keyCols = spec.keyColumns
+    val wt = spec.writetimeCol.getOrElse(
+      sys.error("LWW dedup requires TableSpec.writetimeCol"))
+    val valueCols = df.columns.filterNot(keyCols.contains).toSeq
+    require(valueCols.contains(wt), s"writetime column '$wt' missing")
+    val ordered = wt +: valueCols.filterNot(_ == wt)
+    val packed = struct(ordered.map(col): _*)
+    val winner = max(packed).as("__w")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(winner)
+      .select(keyCols.map(col) ++ ordered.map(c => col(s"__w.$c").as(c)): _*)
+      // restore original column order
+      .select(df.columns.map(col).toSeq: _*)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.jobs
+
+import graft.model._
+import graft.compile.RuleCompiler
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Result counters — the Spark analog of the reference's kept/dropped
+  * running counters (ref: FilteringSSTableScanner.java:59-70, 106-122) and
+  * backup-sink counts (ref: BackupSinkForDeletingCompaction.java:40-41). */
+final case class RetentionStats(
+    kept: Long,
+    dropped: Long,
+    mode: PlanMode,
+    backupWritten: Boolean)
+
+/** The retention dataflow (SURVEY.md §3.1 re-expressed Spark-first):
+  * driver compiles rules → one map-only filtered write for the kept side
+  * (S4) and one for the convicted side (S5, skipped when empty per the
+  * reference's empty-backup abort —
+  * ref: BackupSinkForDeletingCompaction.java:110-124). Dry-run (F10)
+  * evaluates the predicate and counts but filters nothing
+  * (ref: FilteringSSTableScanner.java:111-115).
+  *
+  * Scale: conviction is shuffle-free (predicate folded to constants, pushed
+  * into the scan where the source supports it); the only materialization is
+  * an optional persist when both sinks are wanted, avoiding a double scan
+  * (SURVEY.md §7.5 risk 6).
+  */
+object RetentionJob {
+
+  /** Compile the keep predicate honoring validation (spooked → dry run). */
+  def plan(
+      df: DataFrame,
+      spec: TableSpec,
+      rs: RuleSet,
+      ttlMode: Boolean = false,
+      jobStartMs: Long = System.currentTimeMillis()): (Column, PlanMode) = {
+    val mode = RuleValidation.validate(rs, spec, df.schema, ttlMode)
+    val keepCol =
+      if (ttlMode)
+        RuleCompiler.keepTtl(
+          rs, df.schema,
+          spec.writetimeCol.getOrElse(
+            sys.error("TTL mode requires TableSpec.writetimeCol")),
+          jobStartMs)
+      else RuleCompiler.keep(rs, df.schema)
+    (keepCol, mode)
+  }
+
+  /** Split + write. Returns stats; in dry-run mode nothing is written and
+    * `kept` counts the full input. */
+  def run(
+      spark: SparkSession,
+      df: DataFrame,
+      spec: TableSpec,
+      rs: RuleSet,
+      keptPath: Option[String],
+      backupPath: Option[String] = None,
+      ttlMode: Boolean = false,
+      dryRun: Boolean = false,
+      jobStartMs: Long = System.currentTimeMillis()): RetentionStats = {
+    val (keepCol, mode) = plan(df, spec, rs, ttlMode, jobStartMs)
+    val effectiveDry = dryRun || mode.isDryRun
+
+    if (effectiveDry) {
+      // F10: predicate evaluated, counters advance, rows retained.
+      val row = df
+        .agg(
+          sum(when(keepCol, 1L).otherwise(0L)).as("kept"),
+          sum(when(keepCol, 0L).otherwise(1L)).as("dropped"))
+        .collect()(0)
+      RetentionStats(
+        Option(row.getAs[Long]("kept")).getOrElse(0L) +
+          Option(row.getAs[Long]("dropped")).getOrElse(0L),
+        Option(row.getAs[Long]("dropped")).getOrElse(0L),
+        mode, backupWritten = false)
+    } else {
+      val wantBoth = keptPath.isDefined && backupPath.isDefined
+      // Single pass over the source for both sinks: persist the flagged
+      // frame so the second write doesn't rescan 100 TB.
+      val flagged =
+        if (wantBoth) df.withColumn("__keep", keepCol).persist()
+        else df.withColumn("__keep", keepCol)
+      try {
+        val keptDf = flagged.filter(col("__keep")).drop("__keep")
+        val dropDf = flagged.filter(!col("__keep")).drop("__keep")
+        keptPath.foreach(p => keptDf.write.mode("overwrite").parquet(p))
+        var backupWritten = false
+        var droppedCount = -1L
+        backupPath.foreach { p =>
+          droppedCount = dropDf.count()
+          if (droppedCount > 0) { // empty backup aborted, like the reference
+            dropDf.write.mode("overwrite").parquet(p)
+            backupWritten = true
+          }
+        }
+        val kept = keptPath
+          .map(p => spark.read.parquet(p).count())
+          .getOrElse(flagged.filter(col("__keep")).count())
+        val dropped =
+          if (droppedCount >= 0) droppedCount
+          else dropDf.count()
+        RetentionStats(kept, dropped, mode, backupWritten)
+      } finally {
+        if (wantBoth) flagged.unpersist()
+      }
+    }
+  }
+}

@@ -1,0 +1,146 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Declares which columns of a table form the key structure the retention
+  * engine understands: partition keys, clustering keys, and the per-row
+  * writetime column (microseconds since epoch, as in the reference's cell
+  * timestamps — ref: RuleBasedLateTTLConvictor.java:647-648).
+  *
+  * Ref (structure introspection): AbstractSimpleDeletingConvictor.java:69-113,
+  * AbstractClusterDeletingConvictor.java:74-88.
+  */
+final case class TableSpec(
+    partitionKeys: Seq[String],
+    clusteringKeys: Seq[String] = Nil,
+    writetimeCol: Option[String] = None) {
+  def keyColumns: Seq[String] = partitionKeys ++ clusteringKeys
+  def isPartitionKey(c: String): Boolean = partitionKeys.contains(c)
+  def isClusteringKey(c: String): Boolean = clusteringKeys.contains(c)
+}
+
+/** One inclusive range over a column; `None` bound = unbounded on that side.
+  * Bounds are carried as text and parsed to the column's type at compile
+  * time, mirroring the reference's `col.type.fromString(bound)`
+  * (ref: RuleBasedDeletionConvictor.java:270-277). `(None, None)` matches
+  * every non-null value (ref: RuleBasedLateTTLConvictorSpec.scala:188-209,
+  * the catch-all `(null,null)` rule).
+  */
+final case class Bound(lo: Option[String], hi: Option[String])
+
+/** One named rule: ranges per column (columns AND together, ranges within a
+  * column OR together — ref: RuleBasedDeletionConvictor.java:429-452), plus
+  * an optional TTL for the late-TTL variant
+  * (ref: RuleBasedLateTTLConvictor.java:305-332).
+  */
+final case class Rule(
+    name: String,
+    colRanges: Map[String, Seq[Bound]],
+    ttl: Option[Long] = None)
+
+/** A complete rule table plus the TTL fallback
+  * (`default_ttl` — ref: RuleBasedLateTTLConvictor.java:611-617). */
+final case class RuleSet(rules: Seq[Rule], defaultTtl: Option[Long] = None) {
+  def isEmpty: Boolean = rules.isEmpty
+}
+
+/** Execution mode after validation. Invalid configurations NEVER fail the
+  * job; they degrade to an evaluate-only dry run ("spooked" — ref:
+  * RuleBasedDeletionConvictor.java:238-251, 319-323;
+  * DeletingCompactionStrategyOptions.java:99-111).
+  */
+sealed trait PlanMode { def isDryRun: Boolean }
+case object Execute extends PlanMode { val isDryRun = false }
+final case class DryRun(reasons: Seq[String]) extends PlanMode {
+  val isDryRun = true
+}
+
+/** Validates a RuleSet against a table's schema + key spec, reproducing the
+  * reference's degradation classes:
+  *   - rule column absent from the schema, or not a key column → spooked
+  *     (ref: RuleBasedDeletionConvictor.java:238-251)
+  *   - plain (non-TTL) convictor: one ruleset mixing partition AND
+  *     clustering columns → spooked (ref: RuleBasedDeletionConvictor.java:319-323);
+  *     the TTL convictor supports both (ref: RuleBasedLateTTLConvictor.java:560-596)
+  *   - unparseable range bound for the column's type → spooked
+  *     (ref: RuleBasedDeletionConvictor.java:291-300)
+  *   - TTL variant: rule without a TTL → spooked
+  *     (ref: RuleBasedLateTTLConvictor.java:305-310)
+  * An EMPTY ruleset is valid and convicts nothing
+  * (ref: RuleBasedDeletionConvictor.java:424-428).
+  */
+object RuleValidation {
+
+  def validate(
+      rs: RuleSet,
+      spec: TableSpec,
+      schema: StructType,
+      ttlMode: Boolean = false): PlanMode = {
+    val fields = schema.fields.map(f => f.name -> f.dataType).toMap
+    val reasons = Seq.newBuilder[String]
+    rs.rules.foreach { r =>
+      r.colRanges.keys.foreach { c =>
+        if (!fields.contains(c))
+          reasons += s"rule '${r.name}': column '$c' not in schema"
+        else if (!spec.keyColumns.contains(c))
+          reasons += s"rule '${r.name}': column '$c' is not a key column"
+      }
+      val hasPk = r.colRanges.keys.exists(spec.isPartitionKey)
+      val hasCk = r.colRanges.keys.exists(spec.isClusteringKey)
+      if (!ttlMode && hasPk && hasCk)
+        reasons += s"rule '${r.name}': mixes partition and clustering columns"
+      if (ttlMode && r.ttl.isEmpty)
+        reasons += s"rule '${r.name}': missing ttl in TTL mode"
+      r.colRanges.foreach { case (c, ranges) =>
+        fields.get(c).foreach { dt =>
+          ranges.foreach { b =>
+            (b.lo ++ b.hi).foreach { s =>
+              if (BoundParser.parse(s, dt).isEmpty)
+                reasons += s"rule '${r.name}': bound '$s' unparseable as $dt for '$c'"
+            }
+          }
+        }
+      }
+    }
+    val rr = reasons.result()
+    if (rr.isEmpty) Execute else DryRun(rr.distinct)
+  }
+}
+
+/** Driver-side typed parse of text rule bounds — the analog of the
+  * reference's `AbstractType.fromString`
+  * (ref: RuleBasedDeletionConvictor.java:270-277). Returns None on parse
+  * failure so validation can degrade instead of throwing.
+  */
+object BoundParser {
+  def parse(s: String, dt: DataType): Option[Any] = {
+    try {
+      dt match {
+        case LongType      => Some(s.trim.toLong)
+        case IntegerType   => Some(s.trim.toInt)
+        case ShortType     => Some(s.trim.toShort)
+        case ByteType      => Some(s.trim.toByte)
+        case DoubleType    => Some(s.trim.toDouble)
+        case FloatType     => Some(s.trim.toFloat)
+        case BooleanType   => Some(s.trim.toBoolean)
+        case StringType    => Some(s)
+        case _: DecimalType => Some(new java.math.BigDecimal(s.trim))
+        case DateType      => Some(java.sql.Date.valueOf(s.trim))
+        case TimestampType =>
+          // Accept epoch micros (all-digit) or ISO-8601 local "yyyy-MM-dd HH:mm:ss[.SSS]"
+          val t = s.trim
+          if (t.nonEmpty && t.forall(c => c.isDigit || c == '-') &&
+              t.exists(_.isDigit) && !t.contains(':'))
+            Some(java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
+              t.toLong, java.time.temporal.ChronoUnit.MICROS)))
+          else Some(java.sql.Timestamp.valueOf(t))
+        case BinaryType =>
+          val t = s.trim.stripPrefix("0x")
+          if (t.length % 2 != 0 || !t.forall(c => Character.digit(c, 16) >= 0))
+            None
+          else Some(t.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+}

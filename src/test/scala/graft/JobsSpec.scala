@@ -1,0 +1,87 @@
+package graft
+
+import graft.model._
+import graft.jobs.{CompactJob, RetentionJob}
+import java.nio.file.Files
+
+class JobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-jobs").toString
+
+  test("RetentionJob splits keep/drop, writes both sinks, counts match") {
+    val df = Seq(
+      (1726L, "a"), (1742L, "b"), (1771L, "c"), (1753L, "d"), (1768L, "e"))
+      .toDF("tenant", "id")
+    val rs = RuleSet(Seq(
+      Rule("r1", Map("tenant" -> Seq(
+        Bound(Some("1726"), Some("1726")), Bound(Some("1742"), Some("1742")))))))
+    val dir = tmp()
+    val stats = RetentionJob.run(
+      spark, df, TableSpec(Seq("id", "tenant")), rs,
+      keptPath = Some(s"$dir/kept"), backupPath = Some(s"$dir/backup"))
+    assert(stats.kept == 3 && stats.dropped == 2 && stats.backupWritten)
+    assert(spark.read.parquet(s"$dir/kept").count() == 3)
+    assert(spark.read.parquet(s"$dir/backup").count() == 2)
+    assert(stats.mode == Execute)
+  }
+
+  test("RetentionJob: empty convicted set skips backup write") {
+    val df = Seq((1L, "a")).toDF("tenant", "id")
+    val dir = tmp()
+    val stats = RetentionJob.run(
+      spark, df, TableSpec(Seq("id", "tenant")), RuleSet(Nil),
+      keptPath = Some(s"$dir/kept"), backupPath = Some(s"$dir/backup"))
+    assert(stats.kept == 1 && stats.dropped == 0 && !stats.backupWritten)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/backup")))
+  }
+
+  test("RetentionJob: spooked rules degrade to dry run, nothing written") {
+    val df = Seq((1L, "a", "x")).toDF("tenant", "id", "payload")
+    val dir = tmp()
+    val rs = RuleSet(Seq(Rule("bad", Map(
+      "payload" -> Seq(Bound(None, None))))))
+    val stats = RetentionJob.run(
+      spark, df, TableSpec(Seq("id", "tenant")), rs,
+      keptPath = Some(s"$dir/kept"))
+    assert(stats.mode.isDryRun)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/kept")))
+    // counters still advance: the bad rule convicts nothing here because
+    // dry-run just evaluates — payload range would convict row "a"
+    assert(stats.kept == 1)
+  }
+
+  test("RetentionJob explicit dry-run counts would-drop without writing") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("tenant", "id")
+    val rs = RuleSet(Seq(Rule("r", Map(
+      "tenant" -> Seq(Bound(Some("1"), Some("1")))))))
+    val stats = RetentionJob.run(
+      spark, df, TableSpec(Seq("id", "tenant")), rs,
+      keptPath = None, dryRun = true)
+    assert(stats.dropped == 1 && stats.kept == 2)
+  }
+
+  test("CompactJob LWW dedup keeps highest-writetime row per key") {
+    val df = Seq(
+      (1L, "k1", 100L, "old"), (1L, "k1", 200L, "new"),
+      (2L, "k2", 50L, "only"),
+      (3L, "k3", 70L, "tie-b"), (3L, "k3", 70L, "tie-a"))
+      .toDF("tenant", "id", "writetime", "payload")
+    val out = CompactJob.lwwDedup(
+      df, TableSpec(Seq("tenant"), Seq("id"), Some("writetime")))
+    val rows = out.select("id", "payload").as[(String, String)].collect().toMap
+    assert(out.count() == 3)
+    assert(rows("k1") == "new")
+    assert(rows("k2") == "only")
+    assert(rows("k3") == "tie-b") // deterministic tie-break: max value wins
+  }
+
+  test("LWW dedup matches reference overlapping-sstables case: 2x same rows → 1 each") {
+    val flush1 = Seq((1L, "r1", 100L, "v1"), (1L, "r2", 100L, "v2"))
+    val flush2 = flush1 // identical keys flushed twice
+    val df = (flush1 ++ flush2).toDF("tenant", "id", "writetime", "payload")
+    val out = CompactJob.lwwDedup(
+      df, TableSpec(Seq("tenant"), Seq("id"), Some("writetime")))
+    assert(out.count() == 2)
+  }
+}

@@ -1,0 +1,190 @@
+package graft
+
+import graft.model._
+import graft.compile.RuleCompiler
+import org.apache.spark.sql.functions._
+
+/** Range/conviction semantics, mirroring the reference's golden cases
+  * (FIXTURES.md §3; RuleBasedDeletionConvictorSpec / LateTTLConvictorSpec). */
+class RuleCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tenanted(rows: (Long, String)*) =
+    rows.toDF("tenant", "id")
+
+  private def keptIds(df: org.apache.spark.sql.DataFrame, rs: RuleSet) =
+    df.filter(RuleCompiler.keep(rs, df.schema))
+      .select("id").as[String].collect().toSet
+
+  test("closed range on one column (tenant in [1783,1786] dropped)") {
+    val df = tenanted(
+      1782L -> "a", 1783L -> "b", 1785L -> "c", 1787L -> "d")
+    val rs = RuleSet(Seq(Rule("r", Map(
+      "tenant" -> Seq(Bound(Some("1783"), Some("1786")))))))
+    assert(keptIds(df, rs) == Set("a", "d"))
+  }
+
+  test("AND across columns within one rule") {
+    val df = tenanted(
+      1782L -> "00000001", 1782L -> "ffffffff", 1700L -> "00000001")
+    // convict only tenant==1782 AND id <= "00000010"
+    val rs = RuleSet(Seq(Rule("r", Map(
+      "tenant" -> Seq(Bound(Some("1782"), Some("1782"))),
+      "id" -> Seq(Bound(None, Some("00000010")))))))
+    // (1782,"00000001") convicted; (1782,"ffffffff") fails the id clause;
+    // (1700,"00000001") fails the tenant clause → both kept
+    assert(keptIds(df, rs) == Set("ffffffff", "00000001"))
+    assert(df.filter(RuleCompiler.keep(rs, df.schema)).count() == 2)
+  }
+
+  test("OR across rules; OR across ranges of one column") {
+    val df = tenanted(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e")
+    val rs = RuleSet(Seq(
+      Rule("r1", Map("tenant" -> Seq(
+        Bound(Some("1"), Some("1")), Bound(Some("3"), Some("3"))))),
+      Rule("r2", Map("tenant" -> Seq(Bound(Some("5"), Some("5")))))))
+    assert(keptIds(df, rs) == Set("b", "d"))
+  }
+
+  test("unbounded upper; lexicographic prefix bound on strings") {
+    val df = tenanted(
+      1L -> "00001e99", 1L -> "00001f00", 1L -> "00001fff", 1L -> "0000200a")
+    val rs = RuleSet(Seq(Rule("r", Map(
+      "id" -> Seq(Bound(Some("00001f"), None))))))
+    assert(keptIds(df, rs) == Set("00001e99"))
+  }
+
+  test("empty ruleset convicts nothing; empty rule convicts nothing") {
+    val df = tenanted(1L -> "a", 2L -> "b")
+    assert(keptIds(df, RuleSet(Nil)) == Set("a", "b"))
+    assert(keptIds(df, RuleSet(Seq(Rule("r", Map.empty)))) == Set("a", "b"))
+  }
+
+  test("null value never matches (kept)") {
+    val df = Seq((Some(1L), "a"), (None: Option[Long], "b"))
+      .toDF("tenant", "id")
+    val rs = RuleSet(Seq(Rule("r", Map(
+      "tenant" -> Seq(Bound(None, None))))))
+    // catch-all range still requires non-null value
+    assert(keptIds(df, rs) == Set("b"))
+  }
+
+  test("(null,null) catch-all matches every non-null value") {
+    val df = tenanted(1L -> "a", 2L -> "b")
+    val rs = RuleSet(Seq(Rule("r", Map(
+      "tenant" -> Seq(Bound(None, None))))))
+    assert(keptIds(df, rs) == Set.empty[String])
+  }
+
+  test("first-column variant (F5): first configured key column decides alone") {
+    val df = tenanted(1782L -> "zzzz", 1700L -> "zzzz")
+    val rs = RuleSet(Seq(Rule("r", Map(
+      "tenant" -> Seq(Bound(Some("1782"), Some("1782"))),
+      "id" -> Seq(Bound(Some("aaaa"), Some("ffff")))))))
+    // first-column order (tenant first): id clause ignored entirely
+    assert(df.filter(RuleCompiler.keepFirstColumn(rs, df.schema, Seq("tenant", "id"))).count() == 1)
+    // with id first, the id range decides: zzzz outside [aaaa,ffff] → both kept
+    assert(df.filter(RuleCompiler.keepFirstColumn(rs, df.schema, Seq("id", "tenant"))).count() == 2)
+  }
+
+  // --- TTL semantics ----------------------------------------------------
+  private val nowMs = 1700000000000L
+  private def aged(s: Long): Long = nowMs * 1000L - s * 1000000L
+
+  private def ttlDf(rows: (Long, String, Long)*) =
+    rows.toDF("tenant", "id", "writetime")
+
+  test("TTL default fallback: no matching rule → default_ttl") {
+    val df = ttlDf(
+      (1785L, "a", aged(600)), (1785L, "b", aged(30)),
+      (9999L, "c", aged(600)), (9999L, "d", aged(30)))
+    val rs = RuleSet(
+      Seq(Rule("r", Map("tenant" -> Seq(Bound(Some("1785"), Some("1785")))),
+        ttl = Some(300L))),
+      defaultTtl = Some(300L))
+    val kept = df.filter(RuleCompiler.keepTtl(rs, df.schema, "writetime", nowMs))
+      .select("id").as[String].collect().toSet
+    assert(kept == Set("b", "d"))
+  }
+
+  test("TTL: min over matching rules; negative ttl keeps forever") {
+    val df = ttlDf((1L, "a", aged(600)), (1L, "b", aged(100)))
+    val rs = RuleSet(Seq(
+      Rule("wide", Map("tenant" -> Seq(Bound(None, None))), ttl = Some(500L)),
+      Rule("narrow", Map("tenant" -> Seq(Bound(Some("1"), Some("1")))),
+        ttl = Some(200L))))
+    // min(500,200)=200 → age 600 dropped, age 100 kept
+    val kept = df.filter(RuleCompiler.keepTtl(rs, df.schema, "writetime", nowMs))
+      .select("id").as[String].collect().toSet
+    assert(kept == Set("b"))
+
+    val rsNeg = RuleSet(Seq(
+      Rule("wide", Map("tenant" -> Seq(Bound(None, None))), ttl = Some(500L)),
+      Rule("keepforever", Map("tenant" -> Seq(Bound(Some("1"), Some("1")))),
+        ttl = Some(-1L))))
+    // least picks -1 → keep forever even though wide rule would delete
+    val kept2 = df.filter(RuleCompiler.keepTtl(rsNeg, df.schema, "writetime", nowMs))
+      .count()
+    assert(kept2 == 2)
+  }
+
+  test("TTL: future-dated rows (negative age) survive; ttl=0 drops all aged") {
+    val df = ttlDf((1L, "future", aged(-300)), (1L, "old", aged(10)))
+    val rs = RuleSet(Seq(
+      Rule("r", Map("tenant" -> Seq(Bound(None, None))), ttl = Some(0L))))
+    val kept = df.filter(RuleCompiler.keepTtl(rs, df.schema, "writetime", nowMs))
+      .select("id").as[String].collect().toSet
+    assert(kept == Set("future"))
+  }
+
+  test("TTL: no rule matches, no default → keep forever") {
+    val df = ttlDf((7L, "a", aged(999999)))
+    val rs = RuleSet(Seq(
+      Rule("r", Map("tenant" -> Seq(Bound(Some("1"), Some("1")))),
+        ttl = Some(0L))))
+    assert(df.filter(RuleCompiler.keepTtl(rs, df.schema, "writetime", nowMs))
+      .count() == 1)
+  }
+
+  test("age math: microsecond writetime, two integer divisions") {
+    val df = ttlDf((1L, "x", aged(300)))
+    val age = df.select(
+      RuleCompiler.ageSeconds(col("writetime"), nowMs).as("age"))
+      .as[Long].collect()(0)
+    assert(age == 300L)
+  }
+
+  // --- validation -------------------------------------------------------
+  import org.apache.spark.sql.types._
+  private val schema = StructType(Seq(
+    StructField("tenant", LongType), StructField("id", StringType),
+    StructField("writetime", LongType), StructField("payload", StringType)))
+  private val spec = TableSpec(Seq("id", "tenant"), Nil, Some("writetime"))
+
+  test("validation: non-key column spooks to dry-run") {
+    val rs = RuleSet(Seq(Rule("r", Map(
+      "payload" -> Seq(Bound(Some("a"), None))))))
+    assert(RuleValidation.validate(rs, spec, schema).isDryRun)
+  }
+
+  test("validation: unknown column, unparseable bound spook; good rules execute") {
+    assert(RuleValidation.validate(
+      RuleSet(Seq(Rule("r", Map("nope" -> Seq(Bound(None, None)))))),
+      spec, schema).isDryRun)
+    assert(RuleValidation.validate(
+      RuleSet(Seq(Rule("r", Map("tenant" -> Seq(Bound(Some("abc"), None)))))),
+      spec, schema).isDryRun)
+    assert(RuleValidation.validate(
+      RuleSet(Seq(Rule("r", Map("tenant" -> Seq(Bound(Some("17"), None)))))),
+      spec, schema) == Execute)
+  }
+
+  test("validation: mixing pk+ck spooks plain mode but not ttl mode") {
+    val spec2 = TableSpec(Seq("tenant"), Seq("id"), Some("writetime"))
+    val rs = RuleSet(Seq(Rule("r", Map(
+      "tenant" -> Seq(Bound(Some("1"), None)),
+      "id" -> Seq(Bound(None, None))), ttl = Some(10L))))
+    assert(RuleValidation.validate(rs, spec2, schema, ttlMode = false).isDryRun)
+    assert(RuleValidation.validate(rs, spec2, schema, ttlMode = true) == Execute)
+  }
+}
