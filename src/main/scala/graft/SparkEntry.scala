@@ -2,30 +2,39 @@ package graft
 
 import graft.model._
 import graft.compile.RuleCompiler
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.GraftFunctions
+import graft.sources.RulesSource
+import graft.jobs.CompactJob
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every ✦ operator in SURVEY.md §2 gets a named query here and a DuckDB
   * oracle in [[oracleSql]]. Column names are aligned between both sides
-  * (driver hash-compares after sorting columns by name).
+  * (driver hash-compares after sorting columns by name). Timestamps are
+  * projected as epoch micros / dates to dodge µs-vs-ns precision skew
+  * between engines; integer aggregates are CAST(BIGINT) in the oracles.
   */
 object SparkEntry {
 
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
-  /** Flagship: SURVEY.md §7.4 minimal slice — rule-based conviction over
-    * lineitem. Rules: convict rows where l_suppkey ∈ [4,6] AND
-    * l_returnflag = 'R' (columns AND, ranges OR — F1/F3). */
-  private def retentionKeep(df: DataFrame): org.apache.spark.sql.Column = {
-    val rs = RuleSet(Seq(
-      Rule("r1", Map(
-        "l_suppkey" -> Seq(Bound(Some("4"), Some("6"))),
-        "l_returnflag" -> Seq(Bound(Some("R"), Some("R")))))))
-    RuleCompiler.keep(rs, df.schema)
-  }
+  /** Fixed per-job base time for TTL age (T1) — pinned so results are
+    * deterministic across engines and runs. 2024-02-15T00:00:00Z. */
+  private val JobStartMs = 1707955200000L
+
+  /** Flagship rules (SURVEY.md §7.4): convict rows where
+    * l_suppkey ∈ [4,6] AND l_returnflag = 'R'. */
+  private def flagshipRules = RuleSet(Seq(
+    Rule("r1", Map(
+      "l_suppkey" -> Seq(Bound(Some("4"), Some("6"))),
+      "l_returnflag" -> Seq(Bound(Some("R"), Some("R")))))))
+
+  private def retentionKeep(df: DataFrame): Column =
+    RuleCompiler.keep(flagshipRules, df.schema)
 
   def entry(spark: SparkSession): DataFrame = {
     val li = read(spark, "/root/testdata/sf0.001", "lineitem")
@@ -33,8 +42,34 @@ object SparkEntry {
       .select("l_orderkey", "l_linenumber", "l_suppkey", "l_returnflag")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** Events with the µs writetime column (the Cassandra cell-timestamp
+    * analog). events.parquet carries TIMESTAMP(NANOS); Spark reads it only
+    * as a nanos Long (`spark.sql.legacy.parquet.nanosAsLong`, set in
+    * Verify/Bench/test sessions), so writetime µs = ts div 1000 — integral
+    * division, NOT `/` (double division loses precision above 2^53 ns). */
+  private def eventsWt(s: SparkSession, dir: String): DataFrame = {
+    val ev = read(s, dir, "events")
+    ev.schema("ts").dataType match {
+      case LongType => ev.withColumn("writetime", expr("ts div 1000"))
+      case TimestampType => ev.withColumn("writetime", unix_micros(col("ts")))
+      case _ =>
+        ev.withColumn("writetime", unix_micros(col("ts").cast(TimestampType)))
+    }
+  }
+
+  // TTL rules for events: per-event-type retention + default fallback.
+  private def eventTtlRules = RuleSet(
+    rules = Seq(
+      Rule("click20d", Map(
+        "event_type" -> Seq(Bound(Some("click"), Some("click")))),
+        ttl = Some(20L * 86400)),
+      Rule("purchview35d", Map(
+        "event_type" -> Seq(Bound(Some("purchase"), Some("view")))),
+        ttl = Some(35L * 86400))),
+    defaultTtl = Some(25L * 86400))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- retention core -------------------------------------------------
     // F1/F3/S1/S4 — rule conviction, kept side (the flagship slice)
     "q_f1_rule_keep" -> ((s, dir) => {
       val li = read(s, dir, "lineitem")
@@ -55,11 +90,228 @@ object SparkEntry {
       li.agg(
         sum(when(keep, 1L).otherwise(0L)).as("kept"),
         sum(when(keep, 0L).otherwise(1L)).as("dropped"))
-    })
+    }),
+    // F2/S2 — cluster-level conviction: rules on the clustering column
+    // (l_linenumber) within surviving partitions
+    "q_f2_cluster_keep" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val rs = RuleSet(Seq(Rule("ck", Map(
+        "l_linenumber" -> Seq(Bound(Some("3"), Some("5")))))))
+      li.filter(RuleCompiler.keep(rs, li.schema))
+        .select("l_orderkey", "l_linenumber")
+    }),
+    // F3 — null-value semantics: null never matches a range → kept
+    "q_f3_null_keep" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+        .withColumn("flag", nullif(col("l_returnflag"), lit("N")))
+      val rs = RuleSet(Seq(Rule("r", Map(
+        "flag" -> Seq(Bound(None, None)))))) // catch-all convicts all non-null
+      li.filter(RuleCompiler.keep(rs, li.schema))
+        .select("l_orderkey", "l_linenumber", "flag")
+    }),
+    // F4 — raw-bytes (unsigned lexicographic) range over a string column:
+    // for ASCII data binary order == typed order; exercised via explicit
+    // binary cast on the Spark side
+    "q_f4_binary_range" -> ((s, dir) => {
+      read(s, dir, "part")
+        .filter(!(col("p_brand").cast(BinaryType) >= lit("Brand#2".getBytes("UTF-8")) &&
+          col("p_brand").cast(BinaryType) <= lit("Brand#3".getBytes("UTF-8"))))
+        .select("p_partkey", "p_brand")
+    }),
+    // F5 — ConfigurableDeleter first-matching-column variant: only
+    // l_suppkey (first key column present in rules) decides
+    "q_f5_first_column" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      li.filter(RuleCompiler.keepFirstColumn(
+          flagshipRules, li.schema, Seq("l_suppkey", "l_returnflag")))
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+    }),
+    // F6/X8 — JSON delete_keys config compiled to the same predicate
+    "q_f6_json_rules" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val rs = RulesSource.fromJson(
+        """{"l_suppkey": [[4, 6], 9], "l_linenumber": 1}""")
+      li.filter(RuleCompiler.keep(rs, li.schema))
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+    }),
+    // S3 — rules source: rules table → driver collect → compiled predicate
+    "q_s3_rules_source" -> ((s, dir) => {
+      import s.implicits._
+      val rulesDf = Seq(
+        ("r1", "o_orderpriority", "1-URGENT", "1-URGENT"),
+        ("r2", "o_orderpriority", "3-MEDIUM", "4-NOT SPECIFIED"))
+        .toDF("rulename", "column", "lo", "hi")
+      val rs = RulesSource.fromDataFrame(rulesDf)
+      val o = read(s, dir, "orders")
+      o.filter(RuleCompiler.keep(rs, o.schema))
+        .select("o_orderkey", "o_orderpriority")
+    }),
+    // ---- TTL family -----------------------------------------------------
+    // F7/A4/T1 — effective-TTL age filter with default fallback
+    "q_f7_ttl_keep" -> ((s, dir) => {
+      val ev = eventsWt(s, dir)
+      ev.filter(RuleCompiler.keepTtl(eventTtlRules, ev.schema, "writetime", JobStartMs))
+        .select("event_id", "event_type", "writetime")
+    }),
+    // A4 — effective-TTL projection (min over matching rules, default
+    // fallback) — the per-row verdict column itself
+    "q_a4_effective_ttl" -> ((s, dir) => {
+      val ev = eventsWt(s, dir)
+      ev.select(col("event_id"),
+        RuleCompiler.effectiveTtl(eventTtlRules, ev.schema).as("eff_ttl"),
+        GraftFunctions.ageSeconds(col("writetime"), JobStartMs).as("age_s"))
+    }),
+    // F8 — TTL rule with partition AND cluster columns (pk pre-select +
+    // ck refine, min-TTL)
+    "q_f8_ttl_pk_ck" -> ((s, dir) => {
+      val ev = eventsWt(s, dir)
+      val rs = RuleSet(
+        rules = Seq(
+          Rule("users_low", Map(
+            "user_id" -> Seq(Bound(Some("0"), Some("500"))),
+            "event_type" -> Seq(Bound(Some("click"), Some("error")))),
+            ttl = Some(20L * 86400)),
+          Rule("all_signup", Map(
+            "event_type" -> Seq(Bound(Some("signup"), Some("signup")))),
+            ttl = Some(-1L))),
+        defaultTtl = Some(28L * 86400))
+      ev.filter(RuleCompiler.keepTtl(rs, ev.schema, "writetime", JobStartMs))
+        .select("event_id", "user_id", "event_type", "writetime")
+    }),
+    // ---- joins ----------------------------------------------------------
+    // J1 — rule application as an explicit broadcast range join
+    // (anti-join formulation of F1)
+    "q_j1_rule_antijoin" -> ((s, dir) => {
+      import s.implicits._
+      val rules = Seq((4L, 6L), (9L, 9L)).toDF("lo", "hi")
+      val li = read(s, dir, "lineitem")
+      li.join(broadcast(rules),
+          li("l_suppkey") >= rules("lo") && li("l_suppkey") <= rules("hi"),
+          "left_anti")
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+    }),
+    // J2 — convicted-side as a semi join against matching rules
+    "q_j2_rule_semijoin" -> ((s, dir) => {
+      import s.implicits._
+      val rules = Seq((4L, 6L), (9L, 9L)).toDF("lo", "hi")
+      val li = read(s, dir, "lineitem")
+      li.join(broadcast(rules),
+          li("l_suppkey") >= rules("lo") && li("l_suppkey") <= rules("hi"),
+          "left_semi")
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+    }),
+    // ---- dedup / merge --------------------------------------------------
+    // A7 — last-write-wins merge: one row per (user_id, event_type), the
+    // one with max (writetime, event_id)
+    "q_a7_lww_dedup" -> ((s, dir) => {
+      val ev = eventsWt(s, dir)
+        .select("user_id", "event_type", "writetime", "event_id", "value")
+      CompactJob
+        .lwwDedup(ev, TableSpec(Seq("user_id"), Seq("event_type"), Some("writetime")))
+        .select("user_id", "event_type", "writetime", "event_id")
+    }),
+    // ---- window ---------------------------------------------------------
+    // W1 — per-cluster-group verdict: representative first row per
+    // partition in clustering order, with the group verdict
+    "q_w1_group_verdict" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = read(s, dir, "lineitem")
+      val verdict = col("l_linenumber") >= 3 && col("l_linenumber") <= 5
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"))
+      li.withColumn("would_drop", verdict)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("l_orderkey", "l_linenumber", "would_drop")
+    }),
+    // ---- set ops --------------------------------------------------------
+    // U1/S9 — statement/batch union: interleaved result-stream merge
+    "q_u1_union" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val a = li.filter(col("l_suppkey") === 1).select("l_orderkey", "l_linenumber")
+      val b = li.filter(col("l_suppkey") === 2).select("l_orderkey", "l_linenumber")
+      a.union(b)
+    }),
+    // U2 — keep/drop disjoint split recombines to the original
+    "q_u2_split_complement" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val keep = retentionKeep(li)
+      li.filter(keep).union(li.filter(!keep))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+    }),
+    // ---- projections ----------------------------------------------------
+    // P1/P2 — pk + clustering component projection
+    "q_p1_key_projection" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .distinct()),
+    // ---- statement facade ----------------------------------------------
+    // S7/Q1/Q2 — parameterized statement execution through the facade
+    "q_s7_stmt_exec" -> ((s, dir) => {
+      import graft.cqlfacade.Interpolation._
+      implicit val sp: SparkSession = s
+      read(s, dir, "customer").createOrReplaceTempView("customer_v")
+      val minBal = 5000.0
+      sql"SELECT c_custkey, c_mktsegment FROM customer_v WHERE c_acctbal >= $minBal".df
+    }),
+    // X9/S9 — In() expansion + batch union through the facade
+    "q_s9_batch_union" -> ((s, dir) => {
+      import graft.cqlfacade.Interpolation._
+      import graft.cqlfacade.In
+      implicit val sp: SparkSession = s
+      read(s, dir, "nation").createOrReplaceTempView("nation_v")
+      val b = sql"SELECT n_nationkey, n_name FROM nation_v WHERE n_regionkey IN (${In(Seq(0, 1))})" ++
+        sql"SELECT n_nationkey, n_name FROM nation_v WHERE n_regionkey = ${3}"
+      b.unionAll
+    }),
+    // ---- scalar functions ----------------------------------------------
+    // X2 — typed parse of string bounds (timestamp) applied as a filter
+    "q_x2_typed_bounds" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val rs = RuleSet(Seq(Rule("d", Map(
+        "l_shipdate" -> Seq(Bound(Some("1996-01-01 00:00:00"), Some("1997-06-30 23:59:59")))))))
+      li.filter(RuleCompiler.keep(rs, li.schema))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          unix_micros(col("l_shipdate").cast(TimestampType)).as("ship_us"))
+    }),
+    // X3 — CQL literal rendering: quoting + ISO date
+    "q_x3_literal_render" -> ((s, dir) =>
+      read(s, dir, "orders")
+        .select(col("o_orderkey"),
+          GraftFunctions.quoteString(col("o_orderpriority")).as("quoted"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"))),
+    // X4 — hex encoding
+    "q_x4_hex" -> ((s, dir) =>
+      read(s, dir, "region")
+        .select(col("r_regionkey"),
+          lower(hex(col("r_name"))).as("name_hex"))),
+    // X5 — statement classification regex
+    "q_x5_classify" -> ((s, dir) => {
+      import s.implicits._
+      val stmts = Seq(
+        "SELECT a, b FROM ks1.table1 WHERE x = 1",
+        "INSERT INTO ks2.t2 (a) VALUES (1)",
+        "UPDATE ks3.t3 SET a = 2",
+        "DELETE FROM t4 WHERE x = 3",
+        "select 1").toDF("stmt")
+      stmts.select(col("stmt"),
+        GraftFunctions.queryClass(col("stmt")).as("qclass"),
+        GraftFunctions.queryKeyspace(col("stmt")).as("ks"),
+        GraftFunctions.queryTable(col("stmt")).as("tbl"))
+    }),
+    // X6 — µs→s age math
+    "q_x6_age" -> ((s, dir) =>
+      eventsWt(s, dir).select(col("event_id"),
+        GraftFunctions.ageSeconds(col("writetime"), JobStartMs).as("age_s"))),
+    // X7/F9 — parity predicates (even partition key / even token)
+    "q_x7_parity" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .filter(GraftFunctions.evenValue(col("l_orderkey")))
+        .select("l_orderkey", "l_linenumber"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. */
   def oracleSql: Map[String, String] = Map(
     "q_f1_rule_keep" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag, l_quantity
@@ -75,6 +327,127 @@ object SparkEntry {
                THEN 1 ELSE 0 END) AS BIGINT) AS kept,
            CAST(sum(CASE WHEN l_suppkey BETWEEN 4 AND 6 AND l_returnflag = 'R'
                THEN 1 ELSE 0 END) AS BIGINT) AS dropped
-         FROM lineitem"""
+         FROM lineitem""",
+    "q_f2_cluster_keep" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE NOT (l_linenumber BETWEEN 3 AND 5)""",
+    "q_f3_null_keep" ->
+      """SELECT l_orderkey, l_linenumber, nullif(l_returnflag, 'N') AS flag
+         FROM lineitem
+         WHERE nullif(l_returnflag, 'N') IS NULL""",
+    "q_f4_binary_range" ->
+      """SELECT p_partkey, p_brand FROM part
+         WHERE NOT (p_brand >= 'Brand#2' AND p_brand <= 'Brand#3')""",
+    "q_f5_first_column" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+         WHERE NOT (l_suppkey BETWEEN 4 AND 6)""",
+    "q_f6_json_rules" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+         WHERE NOT ((l_suppkey BETWEEN 4 AND 6 OR l_suppkey = 9)
+                    AND l_linenumber = 1)""",
+    "q_s3_rules_source" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+         WHERE NOT (o_orderpriority = '1-URGENT'
+                 OR o_orderpriority BETWEEN '3-MEDIUM' AND '4-NOT SPECIFIED')""",
+    "q_f7_ttl_keep" ->
+      """WITH ev AS (SELECT *, epoch_us(ts) AS writetime,
+             (1707955200000 - epoch_us(ts) // 1000) // 1000 AS age_s,
+             CASE WHEN event_type = 'click' THEN 1728000
+                  WHEN event_type BETWEEN 'purchase' AND 'view' THEN 3024000
+                  ELSE 2160000 END AS eff FROM events)
+         SELECT event_id, event_type, writetime FROM ev
+         WHERE eff < 0 OR age_s <= eff""",
+    "q_a4_effective_ttl" ->
+      """SELECT event_id,
+           CAST(CASE WHEN event_type = 'click' THEN 1728000
+                WHEN event_type BETWEEN 'purchase' AND 'view' THEN 3024000
+                ELSE 2160000 END AS BIGINT) AS eff_ttl,
+           CAST((1707955200000 - epoch_us(ts) // 1000) // 1000 AS BIGINT) AS age_s
+         FROM events""",
+    "q_f8_ttl_pk_ck" ->
+      """WITH ev AS (SELECT *, epoch_us(ts) AS writetime,
+             (1707955200000 - epoch_us(ts) // 1000) // 1000 AS age_s,
+             CASE WHEN user_id BETWEEN 0 AND 500
+                   AND event_type BETWEEN 'click' AND 'error' THEN 1728000
+                  WHEN event_type = 'signup' THEN -1 END AS matched
+           FROM events)
+         SELECT event_id, user_id, event_type, writetime FROM ev
+         WHERE coalesce(matched, 2419200) < 0
+            OR age_s <= coalesce(matched, 2419200)""",
+    "q_j1_rule_antijoin" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+         WHERE NOT EXISTS (
+           SELECT 1 FROM (VALUES (4, 6), (9, 9)) r(lo, hi)
+           WHERE l_suppkey BETWEEN r.lo AND r.hi)""",
+    "q_j2_rule_semijoin" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+         WHERE EXISTS (
+           SELECT 1 FROM (VALUES (4, 6), (9, 9)) r(lo, hi)
+           WHERE l_suppkey BETWEEN r.lo AND r.hi)""",
+    "q_a7_lww_dedup" ->
+      """SELECT user_id, event_type, writetime, event_id FROM (
+           SELECT user_id, event_type, epoch_us(ts) AS writetime, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1""",
+    "q_w1_group_verdict" ->
+      """SELECT l_orderkey, l_linenumber,
+             (l_linenumber BETWEEN 3 AND 5) AS would_drop FROM (
+           SELECT *, row_number() OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey) AS rn
+           FROM lineitem) WHERE rn = 1""",
+    "q_u1_union" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_suppkey = 1
+         UNION ALL
+         SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_suppkey = 2""",
+    "q_u2_split_complement" ->
+      """SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey""",
+    "q_p1_key_projection" ->
+      """SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem""",
+    "q_s7_stmt_exec" ->
+      """SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal >= 5000.0""",
+    "q_s9_batch_union" ->
+      """SELECT n_nationkey, n_name FROM nation WHERE n_regionkey IN (0, 1)
+         UNION ALL
+         SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 3""",
+    "q_x2_typed_bounds" ->
+      """SELECT l_orderkey, l_linenumber, epoch_us(l_shipdate) AS ship_us
+         FROM lineitem
+         WHERE NOT (l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <= TIMESTAMP '1997-06-30 23:59:59')""",
+    "q_x3_literal_render" ->
+      """SELECT o_orderkey,
+           '''' || replace(o_orderpriority, '''', '''''') || '''' AS quoted,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso
+         FROM orders""",
+    "q_x4_hex" ->
+      """SELECT r_regionkey, lower(hex(r_name)) AS name_hex FROM region""",
+    "q_x5_classify" ->
+      """SELECT stmt,
+           lower(regexp_extract(stmt,
+             '(?i)^\s*(select|insert|update|delete|begin)(?:\s+(?:.*?\s+)??(?:from|into|table)\s+|\s+)([a-zA-Z0-9_]+)(?:\.([a-zA-Z0-9_]+))?', 1)) AS qclass,
+           CASE WHEN regexp_extract(stmt,
+             '(?i)^\s*(select|insert|update|delete|begin)(?:\s+(?:.*?\s+)??(?:from|into|table)\s+|\s+)([a-zA-Z0-9_]+)(?:\.([a-zA-Z0-9_]+))?', 3) <> ''
+             THEN regexp_extract(stmt,
+             '(?i)^\s*(select|insert|update|delete|begin)(?:\s+(?:.*?\s+)??(?:from|into|table)\s+|\s+)([a-zA-Z0-9_]+)(?:\.([a-zA-Z0-9_]+))?', 2)
+             ELSE '' END AS ks,
+           CASE WHEN regexp_extract(stmt,
+             '(?i)^\s*(select|insert|update|delete|begin)(?:\s+(?:.*?\s+)??(?:from|into|table)\s+|\s+)([a-zA-Z0-9_]+)(?:\.([a-zA-Z0-9_]+))?', 3) <> ''
+             THEN regexp_extract(stmt,
+             '(?i)^\s*(select|insert|update|delete|begin)(?:\s+(?:.*?\s+)??(?:from|into|table)\s+|\s+)([a-zA-Z0-9_]+)(?:\.([a-zA-Z0-9_]+))?', 3)
+             ELSE regexp_extract(stmt,
+             '(?i)^\s*(select|insert|update|delete|begin)(?:\s+(?:.*?\s+)??(?:from|into|table)\s+|\s+)([a-zA-Z0-9_]+)(?:\.([a-zA-Z0-9_]+))?', 2) END AS tbl
+         FROM (VALUES
+           ('SELECT a, b FROM ks1.table1 WHERE x = 1'),
+           ('INSERT INTO ks2.t2 (a) VALUES (1)'),
+           ('UPDATE ks3.t3 SET a = 2'),
+           ('DELETE FROM t4 WHERE x = 3'),
+           ('select 1')) v(stmt)""",
+    "q_x6_age" ->
+      """SELECT event_id,
+           CAST((1707955200000 - epoch_us(ts) // 1000) // 1000 AS BIGINT) AS age_s
+         FROM events""",
+    "q_x7_parity" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 2 = 0"""
   )
 }

@@ -1,0 +1,52 @@
+package graft.cqlfacade
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.concurrent.{ExecutionContext, Future}
+
+/** Logical batch of statements (SURVEY.md §2.9 Q5-Q6, §2.1 S9-S10).
+  *
+  * The reference splits a logical batch into physical sub-batches sized by
+  * config and executes them concurrently, joining with `Future.sequence`
+  * (ref: cql-wrapper/src/main/scala/com/protectwise/cql/CQLBatch.scala:190-218).
+  * On Spark the same shape is N jobs submitted concurrently from the
+  * driver — Spark's scheduler interleaves their tasks across executors, the
+  * analog of per-replica concurrency. Token-aware grouping (S10) is
+  * Spark's hash shuffle; result-stream interleave (S9) is `union` (order-
+  * free merge).
+  */
+final case class SqlBatch(statements: Seq[SqlStatement]) {
+
+  def ++(other: SqlBatch): SqlBatch = SqlBatch(statements ++ other.statements)
+  def +(st: SqlStatement): SqlBatch = SqlBatch(statements :+ st)
+  def size: Int = statements.size
+
+  /** Q5 — split into sub-batches of at most `maxBatch` and run each group
+    * concurrently; one Future per group, joined with Future.sequence. */
+  def execute(maxBatch: Int = 64)(
+      implicit spark: SparkSession,
+      ec: ExecutionContext): Future[Seq[Array[org.apache.spark.sql.Row]]] = {
+    val groups = statements.grouped(maxBatch).toSeq
+    Future
+      .sequence(groups.map { g =>
+        Future { g.map(_.df.collect()) }
+      })
+      .map(_.flatten)
+  }
+
+  /** S9 — concurrent interleaved enumeration ≡ unordered union of the
+    * per-statement frames (ref: CQLBatch.scala:108-121 merges per-replica
+    * streams in arrival order; union is the order-free Spark analog). */
+  def unionAll(implicit spark: SparkSession): DataFrame =
+    statements.map(_.df).reduce(_ union _)
+}
+
+/** `sql"SELECT …"` interpolator (Q1). */
+object Interpolation {
+  implicit class SqlContext(private val sc: StringContext) extends AnyVal {
+    def sql(args: Any*): SqlStatement =
+      SqlStatement.fromInterpolation(sc.parts, args)
+    /** alias matching the reference's `cql` spelling */
+    def cql(args: Any*): SqlStatement =
+      SqlStatement.fromInterpolation(sc.parts, args)
+  }
+}

@@ -1,0 +1,219 @@
+package graft.cqlfacade
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Statement-construction surface — the Spark re-expression of the
+  * reference's `cql"…"` wrapper (SURVEY.md §2.9 Q1-Q7). The reference
+  * builds DataStax statements; here the same AST renders to Spark SQL and
+  * executes via `spark.sql(text, positionalArgs)` (Spark's native
+  * parameterized SQL), so Catalyst does parse/plan/cache.
+  *
+  * Template semantics mirrored from the reference
+  * (ref: cql-wrapper/src/main/scala/com/protectwise/cql/CQLStatement.scala,
+  * package.scala):
+  *  - `sql"a $x b"` captures text parts + converted params (Q1)
+  *  - `${()}` = unbound positional hole; `${"name".marker}`/Symbol = named
+  *    hole; filled later by `withValues` in any order (Q2)
+  *  - `+` splices statements preserving parameter alignment: parts fuse
+  *    tail-to-head (ref: CQLStatement.scala:69-91) (Q3)
+  *  - `In/Inline/Fields/NonEmptyFields/NoArg` markers expand at
+  *    materialization (ref: CQLStatement.scala:213-250, package.scala:45-81)
+  *  - `debugString` renders literals with CQL-style quoting
+  *    (ref: CQLStatement.scala:252-281)
+  */
+
+/** Expansion markers (X9). */
+sealed trait SqlMarker
+final case class In(values: Seq[Any]) extends SqlMarker
+final case class Inline(text: String) extends SqlMarker
+final case class Fields(kvs: Seq[(String, Any)]) extends SqlMarker
+object NonEmptyFields {
+  def apply(kvs: Seq[(String, Any)]): Fields =
+    Fields(kvs.filter { case (_, v) => v != null && v != None })
+}
+case object NoArg extends SqlMarker
+
+/** Internal param slots. */
+sealed trait Slot
+final case class Value(v: Any) extends Slot
+case object Hole extends Slot
+final case class NamedHole(name: String) extends Slot
+final case class Marker(m: SqlMarker) extends Slot
+
+object SqlStatement {
+
+  /** X1 — parameter conversion: Option unwrap (None → SQL NULL),
+    * Array[Byte] → ByteBuffer, recursive over collections
+    * (ref: CQLStatement.scala:19-31). Collections stay Scala-side — Spark
+    * literals take Scala types; the reference's Java-collection conversion
+    * is a DataStax-driver requirement with no Spark analog. */
+  def convert(v: Any): Any = v match {
+    case Some(x)       => convert(x)
+    case None          => null
+    case a: Array[Byte] => ByteBuffer.wrap(a)
+    case m: Map[_, _]  => m.map { case (k, x) => convert(k) -> convert(x) }
+    case s: Set[_]     => s.map(convert)
+    case s: Seq[_]     => s.map(convert)
+    case x             => x
+  }
+
+  private def toSlot(arg: Any): Slot = arg match {
+    case ()          => Hole
+    case s: Symbol   => NamedHole(s.name)
+    case m: SqlMarker => Marker(m)
+    case v           => Value(convert(v))
+  }
+
+  def fromInterpolation(parts: Seq[String], args: Seq[Any]): SqlStatement =
+    SqlStatement(parts, args.map(toSlot))
+
+  /** X3 — literal rendering with CQL-style quoting: `'` doubled inside
+    * strings, hex blobs, `[..]`/`{..}` collection literals, ISO-8601 UTC
+    * dates (ref: CQLStatement.scala:252-281, 340-345). */
+  def renderLiteral(v: Any): String = v match {
+    case null => "null"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: ByteBuffer =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+      "0x" + arr.map("%02x".format(_)).mkString
+    case a: Array[Byte] => renderLiteral(ByteBuffer.wrap(a))
+    case d: java.util.Date =>
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      "'" + fmt.format(d) + "'"
+    case m: Map[_, _] =>
+      m.map { case (k, x) => renderLiteral(k) + ":" + renderLiteral(x) }
+        .mkString("{", ",", "}")
+    case s: Set[_] => s.map(renderLiteral).mkString("{", ",", "}")
+    case s: Seq[_] => s.map(renderLiteral).mkString("[", ",", "]")
+    case x => x.toString
+  }
+}
+
+final case class SqlStatement(parts: Seq[String], slots: Seq[Slot]) {
+  import SqlStatement._
+
+  /** Q3 — statement splicing preserving parameter alignment:
+    * `sql"A $p1 B" + sql"C $p2 D"` ≡ `sql"A $p1 BC $p2 D"`. */
+  def +(other: SqlStatement): SqlStatement = {
+    val fusedParts =
+      if (parts.isEmpty) other.parts
+      else if (other.parts.isEmpty) parts
+      else parts.init ++ Seq(parts.last + other.parts.head) ++ other.parts.tail
+    SqlStatement(fusedParts, slots ++ other.slots)
+  }
+
+  def +(text: String): SqlStatement =
+    if (parts.isEmpty) copy(parts = Seq(text))
+    else copy(parts = parts.init :+ (parts.last + text))
+
+  def ++(other: SqlStatement): SqlBatch = SqlBatch(Seq(this, other))
+
+  /** Q2 — fill holes: `name -> v` pairs fill named holes (any order),
+    * bare values fill positional holes left-to-right. A marker bound to a
+    * named hole becomes that marker (the reference's "named Inline/In
+    * because why not" cases). */
+  def withValues(values: Any*): SqlStatement = {
+    val named = values.collect {
+      case (s: Symbol, v) => s.name -> v
+      case (n: String, v) => n -> v
+    }.toMap
+    val positional = values.filter {
+      case (_: Symbol, _) => false
+      case (_: String, _) => false
+      case _              => true
+    }
+    val posIt = positional.iterator
+    val filled = slots.map {
+      case Hole if posIt.hasNext => toFilled(posIt.next())
+      case NamedHole(n) if named.contains(n) => toFilled(named(n))
+      case s => s
+    }
+    SqlStatement(parts, filled)
+  }
+
+  private def toFilled(v: Any): Slot = v match {
+    case m: SqlMarker => Marker(m)
+    case x            => Value(convert(x))
+  }
+
+  def stripMargin: SqlStatement = stripMargin('|')
+  def stripMargin(c: Char): SqlStatement =
+    copy(parts = parts.map(_.stripMargin(c)))
+
+  /** Expand markers → (sqlText with `?` placeholders, flat params). */
+  private def expand: (String, Seq[Any]) = {
+    val sb = new StringBuilder
+    val params = Seq.newBuilder[Any]
+    val partIt = parts.iterator
+    if (partIt.hasNext) sb ++= partIt.next()
+    slots.foreach { slot =>
+      slot match {
+        case Value(v)     => sb += '?'; params += v
+        case Hole         => sb += '?'
+        case NamedHole(_) => sb += '?'
+        case Marker(m) =>
+          m match {
+            case In(vs) =>
+              sb ++= Seq.fill(vs.size)("?").mkString(",")
+              vs.foreach(params += convert(_))
+            case Inline(t) => sb ++= t
+            case Fields(kvs) =>
+              sb ++= kvs.map { case (k, _) => s"$k=?" }.mkString(",")
+              kvs.foreach { case (_, v) => params += convert(v) }
+            case NoArg => ()
+          }
+      }
+      if (partIt.hasNext) sb ++= partIt.next()
+    }
+    (sb.toString, params.result())
+  }
+
+  /** Rendered SQL with `?` placeholders. */
+  def sql: String = expand._1
+
+  /** Final flattened parameter list (markers expanded). */
+  def parameters: Seq[Any] = expand._2
+
+  /** Literal-bound debug rendering, `;`-terminated
+    * (ref: CQLStatement.scala debugString). */
+  def debugString: String = {
+    val sb = new StringBuilder
+    val partIt = parts.iterator
+    if (partIt.hasNext) sb ++= partIt.next()
+    slots.foreach { slot =>
+      slot match {
+        case Value(v)     => sb ++= renderLiteral(v)
+        case Hole         => sb += '?'
+        case NamedHole(n) => sb ++= s":$n"
+        case Marker(m) =>
+          m match {
+            case In(vs)    => sb ++= vs.map(v => renderLiteral(convert(v))).mkString(",")
+            case Inline(t) => sb ++= t
+            case Fields(kvs) =>
+              sb ++= kvs
+                .map { case (k, v) => s"$k=${renderLiteral(convert(v))}" }
+                .mkString(",")
+            case NoArg => ()
+          }
+      }
+      if (partIt.hasNext) sb ++= partIt.next()
+    }
+    sb += ';'
+    sb.toString
+  }
+
+  /** S7 — execute through Spark's parameterized SQL. Laziness of the
+    * returned DataFrame is the async-future analog: no work happens until
+    * an action runs. */
+  def df(implicit spark: SparkSession): DataFrame = {
+    val (text, params) = expand
+    val args = params.map {
+      case b: ByteBuffer =>
+        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+      case x => x
+    }
+    if (args.isEmpty) spark.sql(text) else spark.sql(text, args.toArray)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Scalar functions (SURVEY.md §2.8) as codegen-friendly Column builders —
+  * all built-in expressions, no UDFs. */
+object GraftFunctions {
+
+  /** X4 — hex debug encoding of binary data
+    * (ref: cql-wrapper CQLStatement.scala:33-41). */
+  def hexLiteral(c: Column): Column = concat(lit("0x"), lower(hex(c)))
+
+  /** X3 — ISO-8601 UTC rendering of timestamps
+    * (ref: CQLStatement.scala getIsoDate:340-345). */
+  def isoDate(c: Column): Column =
+    date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+
+  /** X3 — CQL string-literal quoting: single quotes doubled, wrapped in
+    * quotes (ref: CQLStatement.scala quote:270-281). */
+  def quoteString(c: Column): Column =
+    concat(lit("'"), regexp_replace(c, "'", "''"), lit("'"))
+
+  /** X5 — statement classification: extract (queryClass, keyspace, table)
+    * from SQL/CQL text for metrics keys (ref: CQLStatement.scala:42-47,
+    * 97-107). */
+  private val classPattern =
+    "(?i)^\\s*(select|insert|update|delete|begin)(?:\\s+(?:.*?\\s+)??(?:from|into|table)\\s+|\\s+)([a-zA-Z0-9_]+)(?:\\.([a-zA-Z0-9_]+))?"
+
+  def queryClass(c: Column): Column = lower(regexp_extract(c, classPattern, 1))
+  def queryKeyspace(c: Column): Column =
+    when(regexp_extract(c, classPattern, 3) =!= "",
+      regexp_extract(c, classPattern, 2)).otherwise(lit(""))
+  def queryTable(c: Column): Column =
+    when(regexp_extract(c, classPattern, 3) =!= "",
+      regexp_extract(c, classPattern, 3))
+      .otherwise(regexp_extract(c, classPattern, 2))
+
+  /** X6 — timestamp scale math: µs writetime → ms → age seconds with the
+    * reference's double integer division
+    * (ref: RuleBasedLateTTLConvictor.java:647-648). */
+  def ageSeconds(writetimeMicros: Column, jobStartMs: Long): Column =
+    graft.compile.RuleCompiler.ageSeconds(writetimeMicros, jobStartMs)
+
+  /** X7 — parity predicates (ref example convictors:
+    * OddPartitionKeyDeleter.java:68-70, OddTokenDeleter.java:50-57). */
+  def evenValue(c: Column): Column = pmod(c.cast(LongType), lit(2L)) === 0L
+  /** token parity — Spark's hash as the token function analog. */
+  def evenToken(cols: Column*): Column = pmod(hash(cols: _*), lit(2)) === 0
+}

@@ -134,6 +134,8 @@ object BoundParser {
             Some(java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
               t.toLong, java.time.temporal.ChronoUnit.MICROS)))
           else Some(java.sql.Timestamp.valueOf(t))
+        case TimestampNTZType =>
+          Some(java.time.LocalDateTime.parse(s.trim.replace(' ', 'T')))
         case BinaryType =>
           val t = s.trim.stripPrefix("0x")
           if (t.length % 2 != 0 || !t.forall(c => Character.digit(c, 16) >= 0))

@@ -1,0 +1,85 @@
+package graft.sources
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** S3 — the rules source. The reference executes a CQL SELECT at engine
+  * start, validates the result schema, and materializes rules into driver
+  * memory (ref: RuleBasedDeletionConvictor.java:97-198; TTL variant
+  * RuleBasedLateTTLConvictor.java:249-363). Here the rules live in any
+  * DataFrame-readable source (parquet/inline) with schema
+  * `(rulename string, column string, lo string, hi string[, ttl bigint])`;
+  * they are collected on the driver (rules are small by construction) and
+  * compiled to a broadcast-of-constants predicate — never joined at
+  * execution time.
+  */
+object RulesSource {
+
+  /** Required columns, validated like the reference's parse-time schema
+    * check (ref: RuleBasedDeletionConvictor.java:123-151). Missing
+    * rulename/column ⇒ IllegalArgumentException; the caller decides
+    * whether that spooks the job. */
+  def fromDataFrame(rules: DataFrame, defaultTtl: Option[Long] = None): RuleSet = {
+    val cols = rules.columns.toSet
+    require(cols.contains("rulename") && cols.contains("column"),
+      s"rules source must have rulename+column, got ${cols.mkString(",")}")
+    val hasTtl = cols.contains("ttl")
+    val rows = rules.collect() // driver-side by design: O(rules) memory
+    val grouped = rows.groupBy(_.getAs[Any]("rulename").toString)
+    val parsed = grouped.toSeq.sortBy(_._1).map { case (name, rs) =>
+      val colRanges = rs
+        .groupBy(_.getAs[String]("column"))
+        .map { case (c, rrows) =>
+          c -> rrows.toSeq.map { r =>
+            Bound(Option(r.getAs[String]("lo")), Option(r.getAs[String]("hi")))
+          }
+        }
+      val ttl =
+        if (hasTtl)
+          rs.flatMap(r => Option(r.getAs[Any]("ttl")))
+            .headOption.map(_.toString.toLong)
+        else None
+      Rule(name, colRanges, ttl)
+    }
+    RuleSet(parsed, defaultTtl)
+  }
+
+  def fromParquet(
+      spark: SparkSession,
+      path: String,
+      defaultTtl: Option[Long] = None): RuleSet =
+    fromDataFrame(spark.read.parquet(path), defaultTtl)
+
+  /** F6/X8 — JSON rule config: `{"col": value | [value | [lo,hi], ...]}`,
+    * scalar = point range, 2-element array = range, null bound = unbounded;
+    * maps and deeper nesting rejected
+    * (ref: ConfigurableDeleter.java:65-130, 136-197). Parsed with Jackson
+    * (ships with Spark). */
+  def fromJson(deleteKeys: String, ruleName: String = "json"): RuleSet = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import scala.jdk.CollectionConverters._
+    val root = new ObjectMapper().readTree(deleteKeys)
+    require(root.isObject, "delete_keys must be a JSON object")
+    def bound(n: JsonNode): Option[String] =
+      if (n == null || n.isNull) None else Some(n.asText())
+    def toRanges(n: JsonNode): Seq[Bound] = n match {
+      case v if v.isArray =>
+        v.elements().asScala.toSeq.map {
+          case r if r.isArray =>
+            val els = r.elements().asScala.toSeq
+            require(els.size == 2, "range array must have exactly 2 elements")
+            require(!els.exists(_.isArray), "ranges cannot nest")
+            Bound(bound(els.head), bound(els.last))
+          case v2 if v2.isObject => throw new IllegalArgumentException(
+            "maps not allowed in delete_keys")
+          case point => Bound(bound(point), bound(point))
+        }
+      case v if v.isObject =>
+        throw new IllegalArgumentException("maps not allowed in delete_keys")
+      case point => Seq(Bound(bound(point), bound(point)))
+    }
+    val colRanges = root.properties().asScala.toSeq
+      .map(e => e.getKey -> toRanges(e.getValue)).toMap
+    RuleSet(Seq(Rule(ruleName, colRanges)))
+  }
+}

@@ -1,0 +1,174 @@
+package graft
+
+import graft.cqlfacade._
+import graft.cqlfacade.Interpolation._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's pure statement-construction unit cases
+  * (CQLStatementSpec.scala:19-245, CQLHelperSpec.scala:11-62) — same
+  * inputs, expected rendered SQL + bound parameter list. */
+class SqlFacadeSpec extends AnyFunSuite {
+
+  test("interpolator captures parts and params") {
+    val bar = 1
+    val c = sql"foo $bar"
+    assert(c.parts == Seq("foo ", ""))
+    assert(c.parameters == Seq(1))
+  }
+
+  test("+ fuses statements preserving parameter alignment") {
+    val one = 1; val two = 2
+    val actual = sql"A $one B" + sql"C $two D" + sql"E"
+    val expected = sql"A $one BC $two DE"
+    assert(actual == expected)
+  }
+
+  test("withValues fills positional holes") {
+    assert(sql"a ${()} b".withValues(1) == sql"a ${1} b")
+  }
+
+  test("debug rendering with CQL quoting") {
+    assert(sql"int=${1}".debugString == "int=1;")
+    assert(sql"string=${"2"}".debugString == "string='2';")
+    assert(sql"string=${"a'b"}".debugString == "string='a''b';")
+    assert(sql"string=${"a''b"}".debugString == "string='a''''b';")
+    assert(sql"some[int]=${Some(1)}".debugString == "some[int]=1;")
+    assert(sql"none=${None}".debugString == "none=null;")
+    assert(sql"some[string]=${Some("a'b")}".debugString == "some[string]='a''b';")
+    assert(sql"list[int]=${List(1, 2)}".debugString == "list[int]=[1,2];")
+    assert(sql"list[string]=${List("a", "b")}".debugString == "list[string]=['a','b'];")
+    assert(
+      sql"map[int,int]=${scala.collection.immutable.ListMap(1 -> 2, 3 -> 4)}".debugString
+        == "map[int,int]={1:2,3:4};")
+    assert(sql"blob=${Array[Byte](0, 1, 2, 3)}".debugString == "blob=0x00010203;")
+  }
+
+  test("set rendering") {
+    val c = sql"set=${scala.collection.immutable.ListSet(1, 2)}"
+    assert(c.debugString == "set={1,2};")
+  }
+
+  test("conversions: Option unwrap, None->null, bytes->buffer") {
+    assert(sql"${Some(1)}".parameters == Seq(1))
+    assert(sql"${Some("a")}".parameters == Seq("a"))
+    assert(sql"$None".parameters == Seq(null))
+    assert(sql"${List(1)}".parameters.head.isInstanceOf[Seq[_]])
+    assert(sql"${Some(List(1))}".parameters.head.isInstanceOf[Seq[_]])
+    val bufs = sql"${List(Array[Byte](0, 1))}".parameters.head.asInstanceOf[Seq[_]]
+    assert(bufs.head.isInstanceOf[java.nio.ByteBuffer])
+  }
+
+  test("stripMargin plain and parameterized") {
+    val actual = sql"""foo ${1}
+       |bar
+       |${2} baz
+       |""".stripMargin
+    assert(actual.debugString ==
+      """foo 1
+        |bar
+        |2 baz
+        |;""".stripMargin)
+    assert(actual.sql ==
+      """foo ?
+        |bar
+        |? baz
+        |""".stripMargin)
+  }
+
+  test("named parameters in any order; across concatenation; mixed with positional") {
+    assert(sql"FOO ${Symbol("p1")} BAR ${Symbol("p2")}"
+      .withValues(Symbol("p1") -> 1, Symbol("p2") -> 2).parameters == Seq(1, 2))
+    assert(sql"FOO ${Symbol("p1")} BAR ${Symbol("p2")}"
+      .withValues(Symbol("p2") -> 2, Symbol("p1") -> 1).parameters == Seq(1, 2))
+    assert((sql"FOO ${Symbol("p1")}" + sql" BAR ${Symbol("p2")}")
+      .withValues(Symbol("p2") -> 2, Symbol("p1") -> 1).parameters == Seq(1, 2))
+    assert((sql"FOO ${Symbol("p1")}" + "foo" + sql" BAR ${()}")
+      .withValues(Symbol("p1") -> 1, 2).parameters == Seq(1, 2))
+    assert((sql"FOO ${Symbol("p1")}" + "foo" + sql" BAR ${()}")
+      .withValues(2, Symbol("p1") -> 1).parameters == Seq(1, 2))
+  }
+
+  test("named Inline and named In") {
+    val st = (sql"FOO ${Symbol("p1")}" + "foo" + sql" BAR ${Symbol("p2")}")
+      .withValues(Symbol("p2") -> Inline("foo"), Symbol("p1") -> 1)
+    assert(st.parameters == Seq(1))
+    val st2 = (sql"FOO ${Symbol("p1")}" + "foo" + sql" BAR ${Symbol("p2")}")
+      .withValues(Symbol("p2") -> In(Seq("foo", "bar")), Symbol("p1") -> 1)
+    assert(st2.parameters == Seq(1, "foo", "bar"))
+    assert(st2.sql == "FOO ?foo BAR ?,?")
+  }
+
+  test("In operator expansion") {
+    val c = sql"foo ${In(Seq(1, 2))} bar"
+    assert(c.sql == "foo ?,? bar")
+    assert(c.parameters == Seq(1, 2))
+    assert(c.debugString == "foo 1,2 bar;")
+    assert(sql"foo ${In(Seq(1))} bar".sql == "foo ? bar")
+    assert(sql"foo ${In(Seq())} bar".sql == "foo  bar")
+    assert(sql"foo ${In(Seq())} bar".parameters == Seq())
+  }
+
+  test("Inline and NoArg") {
+    assert(sql"foo ${Inline("x")} bar".sql == "foo x bar")
+    assert(sql"foo ${Inline("x")} bar".parameters == Seq())
+    assert(sql"foo $NoArg bar".sql == "foo  bar")
+  }
+
+  test("withValues on an In()") {
+    val a = sql"a ${()} b ${()} c ${()} d"
+    val b = a.withValues(1, In(Seq(2, 3, 4)), 5)
+    assert(b.sql == "a ? b ?,?,? c ? d")
+    assert(b.parameters == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("Fields and NonEmptyFields") {
+    val st = sql"UPDATE foo SET ${Symbol("f")}"
+      .withValues(Symbol("f") -> Fields(Seq("foo" -> 1, "bar" -> 2)))
+    assert(st.sql == "UPDATE foo SET foo=?,bar=?")
+    assert(st.parameters == Seq(1, 2))
+
+    val st2 = sql"UPDATE foo SET ${Fields(Seq("foo" -> 1, "bar" -> 2))} WHERE x"
+    assert(st2.sql == "UPDATE foo SET foo=?,bar=? WHERE x")
+    assert(st2.parameters == Seq(1, 2))
+
+    val st3 = sql"UPDATE foo SET ${NonEmptyFields(Seq("foo" -> 1, "bar" -> 2, "baz" -> None, "zop" -> null))} WHERE x"
+    assert(st3.sql == "UPDATE foo SET foo=?,bar=? WHERE x")
+    assert(st3.parameters == Seq(1, 2))
+  }
+
+  test("batch concat and size") {
+    val b = sql"a" ++ sql"b"
+    assert((b + sql"c").size == 3)
+    assert((b ++ SqlBatch(Seq(sql"d"))).size == 3)
+  }
+}
+
+/** Executes facade statements through a live SparkSession. */
+class SqlFacadeExecSpec extends SparkSpec {
+  import graft.cqlfacade.Interpolation._
+  implicit lazy val s: org.apache.spark.sql.SparkSession = spark
+
+  test("parameterized execution through spark.sql") {
+    val n = 5
+    val df = sql"SELECT id FROM range(10) WHERE id < $n".df
+    assert(df.count() == 5)
+  }
+
+  test("In() marker executes") {
+    val df = sql"SELECT id FROM range(10) WHERE id IN (${In(Seq(1, 2, 3))})".df
+    assert(df.count() == 3)
+  }
+
+  test("batch unionAll merges statement results (S9 interleave analog)") {
+    val b = sql"SELECT id FROM range(3)" ++ sql"SELECT id FROM range(2)"
+    assert(b.unionAll.count() == 5)
+  }
+
+  test("concurrent batch execute joins with Future.sequence") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val b = SqlBatch((1 to 6).map(i => sql"SELECT $i AS v"))
+    val res = scala.concurrent.Await.result(b.execute(maxBatch = 2), 120.seconds)
+    assert(res.flatten.map(_.getInt(0)).toSet == (1 to 6).toSet)
+  }
+}
