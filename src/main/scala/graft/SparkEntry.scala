@@ -307,7 +307,98 @@ object SparkEntry {
     "q_x7_parity" -> ((s, dir) =>
       read(s, dir, "lineitem")
         .filter(GraftFunctions.evenValue(col("l_orderkey")))
-        .select("l_orderkey", "l_linenumber"))
+        .select("l_orderkey", "l_linenumber")),
+    // ---- training-data pipeline: dedup ---------------------------------
+    // exact dedup (hash-groupBy; min-id survivor per identical text)
+    "q_dedup_exact" -> ((s, dir) =>
+      operators.Dedup.exactDedup(read(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars")),
+    // MinHash+LSH near-dup candidate pairs → exact-Jaccard verified
+    // (hash-dependent; driver records rows-only check)
+    "q_dedup_minhash_pairs" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val cands = operators.Dedup.lshCandidatePairs(
+        docs, "doc_id", "text", shingleN = 3, k = 20, bands = 10)
+      operators.Dedup.ngramJaccard(docs, cands, "doc_id", "text", shingleN = 3)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    // unigram-Jaccard similarity of adjacent-id doc pairs (the exact
+    // n-gram-Jaccard verify stage, cross-engine checkable)
+    "q_dedup_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val docs = read(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1).as("id_b"))
+      operators.Dedup.ngramJaccard(docs, pairs, "doc_id", "text", shingleN = 1)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    // SimHash fingerprint near-dup pairs (hash-dependent; rows-only)
+    "q_dedup_simhash_pairs" -> ((s, dir) =>
+      operators.Dedup.simHashNearDups(
+        read(s, dir, "documents"), "doc_id", "text", maxDist = 3)),
+    // ---- training-data pipeline: similarity search ---------------------
+    // brute-force cosine top-10 for 3 query vectors
+    "q_sim_topk_brute" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = read(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val scored = emb.crossJoin(broadcast(q)).select(
+        col("query_id"), col("vec_id"),
+        round(operators.Similarity.cosine(
+          col("embedding").cast("array<double>"),
+          col("query_vec").cast("array<double>")), 6).as("cos_r"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+    }),
+    // LSH-bucketed approximate NN (hash-bucketed scale path; rows-only)
+    "q_sim_ann_lsh" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      operators.Similarity.lshTopK(emb, q, k = 10, nbits = 4)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"),
+          col("rank"))
+    }),
+    // embedding-cosine near-duplicate pairs (rows-only; threshold tuned to
+    // this corpus — max pairwise cosine in the synthetic embeddings ≈ 0.51)
+    "q_sim_near_dup" -> ((s, dir) =>
+      operators.Similarity.cosineNearDups(
+          read(s, dir, "embeddings"), threshold = 0.4, nbits = 6, bands = 4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))),
+    // ---- training-data pipeline: text analysis -------------------------
+    "q_text_stats" -> ((s, dir) =>
+      read(s, dir, "documents").select(
+        col("doc_id"),
+        operators.TextAnalysis.langId(col("text")).as("lang_pred"),
+        operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        operators.TextAnalysis.bpeTokenEstimate(col("text")).as("n_bpe"),
+        operators.TextAnalysis.qualityScore(col("text")).as("quality"))),
+    "q_text_fingerprint" -> ((s, dir) =>
+      read(s, dir, "documents").select(
+        col("doc_id"),
+        operators.TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))),
+    // ---- training-data pipeline: multimodal ----------------------------
+    // binary payload metadata (codec-free part of the decode pipeline)
+    "q_mm_binary_meta" -> ((s, dir) =>
+      operators.Multimodal.binaryMeta(operators.Multimodal.mediaTable(s, dir))),
+    // frame-sampling row-multiplication plumbing: frames per video doc
+    "q_mm_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      operators.Multimodal.sampleFrames(
+          operators.Multimodal.mediaTable(s, dir), stride = 64)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    }),
+    // stubbed decode pass over the typed Dataset (rows-only; the decode
+    // itself is a deterministic fake — see Multimodal.MediaCodecStub)
+    "q_mm_decode_stub" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      operators.Multimodal.decodeAll(operators.Multimodal.mediaTable(s, dir))
+        .toDF().select("doc_id", "media_type", "n_bytes", "width", "height",
+          "n_frames")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -448,6 +539,81 @@ object SparkEntry {
            CAST((1707955200000 - epoch_us(ts) // 1000) // 1000 AS BIGINT) AS age_s
          FROM events""",
     "q_x7_parity" ->
-      """SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 2 = 0"""
+      """SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 2 = 0""",
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
+    "q_dedup_jaccard" ->
+      """WITH w AS (SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ws
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.ws, b.ws)) /
+             CAST(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)) AS DOUBLE), 6)
+             AS jaccard
+         FROM w a JOIN w b ON b.doc_id = a.doc_id + 1""",
+    "q_sim_topk_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE vec_id < 3),
+           s AS (SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qv AS DOUBLE[])), 6) AS cos_r
+             FROM embeddings e CROSS JOIN q)
+         SELECT query_id, vec_id, cos_r, CAST(rn AS INT) AS rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_r DESC, vec_id) AS rn FROM s)
+         WHERE rn <= 10""",
+    "q_text_stats" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ws,
+             length(text) AS len,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS ntok
+           FROM documents),
+           h AS (SELECT *,
+             len(list_intersect(ws, ['der','die','und','das','ist'])) AS h_de,
+             len(list_intersect(ws, ['the','and','of','to','is'])) AS h_en,
+             len(list_intersect(ws, ['el','los','las','es','una'])) AS h_es,
+             len(list_intersect(ws, ['le','la','et','les','est'])) AS h_fr,
+             len(list_intersect(ws, ['的','是','了','在','我'])) AS h_zh
+           FROM t),
+           sc AS (SELECT *,
+             greatest(h_de, h_en, h_es, h_fr, h_zh) AS best,
+             length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) /
+               CAST(greatest(len, 1) AS DOUBLE) AS alpha,
+             length(regexp_replace(text, '[^[:punct:]]', '', 'g')) /
+               CAST(greatest(len, 1) AS DOUBLE) AS punct,
+             len / CAST(greatest(ntok, 1) AS DOUBLE) AS mwl
+           FROM h)
+         SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN h_zh = best THEN 'zh' WHEN h_fr = best THEN 'fr'
+                WHEN h_es = best THEN 'es' WHEN h_en = best THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           CAST(ntok AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_bpe,
+           round((CASE WHEN len BETWEEN 100 AND 10000 THEN 1.0
+                       WHEN len BETWEEN 20 AND 99 THEN 0.5 ELSE 0.0 END) * 0.3
+             + alpha * 0.3
+             + (1.0 - least(punct * 5.0, 1.0)) * 0.2
+             + (CASE WHEN mwl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+             6) AS quality
+         FROM sc""",
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
+         FROM documents""",
+    "q_mm_binary_meta" ->
+      """SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+         FROM documents""",
+    "q_mm_frames" ->
+      """SELECT doc_id,
+           CAST((octet_length(encode(text)) - 17) // 64 + 1 AS BIGINT) AS n_frames
+         FROM documents
+         WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 16"""
   )
 }

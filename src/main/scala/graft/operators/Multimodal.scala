@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * payloads with typed metadata, processed in batch-shaped partition
+  * passes.
+  *
+  * The Spark-side plumbing — schema, partitioning, per-partition batch
+  * iteration, output shape — is real and tested. The actual media decode
+  * is STUBBED with a deterministic fake (this container has no
+  * image/audio codecs); swap [[MediaCodecStub.decode]] for a real codec
+  * binding in production. The per-partition iterator shape is exactly
+  * what a vectorized (Arrow/pandas-style) decode batch would consume.
+  */
+object Multimodal {
+
+  /** Typed record for the multimodal table. */
+  final case class MediaRecord(
+      doc_id: Long,
+      media_type: String,
+      payload: Array[Byte])
+
+  final case class DecodedMedia(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      feature: Array[Float])
+
+  /** STUB decoder: deterministic fake dimensions/features derived from
+    * the payload bytes. A real deployment binds an image/audio library
+    * here; everything around it (schema, batching, partitioning) is the
+    * production shape. */
+  object MediaCodecStub {
+    def decode(r: MediaRecord): DecodedMedia = {
+      val n = r.payload.length
+      // cheap deterministic byte-fold "hash" of the payload
+      var h = 1125899906842597L
+      var i = 0
+      while (i < n) { h = 31 * h + r.payload(i); i += 1 }
+      val w = 16 + math.floorMod(h, 64).toInt
+      val ht = 16 + math.floorMod(h >> 8, 64).toInt
+      val frames = r.media_type match {
+        case "video" => 1 + math.floorMod(h >> 16, 30).toInt
+        case _       => 1
+      }
+      val feat = Array.tabulate(8)(j =>
+        (math.floorMod(h >> (j * 4), 1000) / 1000.0f))
+      DecodedMedia(r.doc_id, r.media_type, n.toLong, w, ht, frames, feat)
+    }
+  }
+
+  /** Build the multimodal table from the documents corpus: payload =
+    * UTF-8 bytes of the text (a stand-in binary column; real pipelines
+    * read image/audio bytes), media_type assigned round-robin by id. */
+  def mediaTable(spark: SparkSession, docsDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    docs.select(
+      col("doc_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+  }
+
+  /** Decode/feature-extract pass: per-partition batch iteration over the
+    * typed Dataset (the mapPartitions shape a vectorized decoder plugs
+    * into; one decoder init per partition, not per row). */
+  def decodeAll(media: DataFrame)(implicit spark: SparkSession): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      // real codecs initialize here, once per partition
+      batch.map(MediaCodecStub.decode)
+    }
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th 16-byte
+    * window becomes a frame record — the flatMap row-multiplying shape of
+    * real frame extraction, kept deterministic. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  def sampleFrames(media: DataFrame, stride: Int = 64)(
+      implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRecord]
+      .filter(_.media_type == "video")
+      .flatMap { r =>
+        val n = r.payload.length
+        Iterator.range(0, math.max(n - 16, 0), stride).zipWithIndex.map {
+          case (off, idx) => Frame(r.doc_id, idx, r.payload.slice(off, off + 16))
+        }
+      }
+  }
+
+  /** Pure-SQL metadata/feature extraction over the binary column —
+    * byte length + md5 (both cross-engine verifiable) — the part of the
+    * decode pipeline that needs no codec. */
+  def binaryMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"), col("media_type"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("payload_md5"))
+}

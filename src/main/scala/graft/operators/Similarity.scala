@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * scans the corpus once — embarrassingly parallel, no shuffle except the
+  * final per-query top-k. The LSH path buckets both sides on
+  * random-hyperplane signatures so each query only scans its bucket —
+  * the 100 TB shape (bucket join instead of full cross product).
+  * All vector math is `zip_with`/`aggregate` over array columns —
+  * codegen'd, deterministic order (sequential fold), no UDFs.
+  */
+object Similarity {
+
+  /** dot(a, b) as a fold — deterministic left-to-right accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every query against every corpus vector.
+    * `queries` must be small (it is broadcast); corpus is scanned once.
+    * Output: (query_id, vec_id, cos, rank). Ties broken by vec_id so the
+    * result is total-ordered and reproducible. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+    val scored = joined.select(
+      col(queryId), col(corpusId),
+      cosine(col(corpusVec).cast("array<double>"),
+        col(queryVec).cast("array<double>")).as("cos"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cos").desc, col(corpusId))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic hyperplanes via splitmix64 — computed ONCE on the
+    * driver and folded into the plan as array literals, so executors do
+    * plain multiply-adds instead of per-(bit,dim) hashing. No RNG state:
+    * every run and every executor sees identical planes. */
+  private[operators] def planes(nbits: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(nbits, dims) { (p, d) =>
+      var z = (p.toLong * 64 + d) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (java.lang.Double.longBitsToDouble(0x3ffL << 52 | (z >>> 12)) - 1.0) - 0.5
+    }
+
+  /** Random-hyperplane LSH signature: `nbits` sign bits packed into a
+    * long. One `when` per bit over a literal plane vector — stays cheap
+    * even though higher-order functions are interpreted, because each
+    * element op is a multiply-add on constants. `bandOffset` selects an
+    * independent plane set per band for banded (OR-amplified) LSH. */
+  def rhpSignature(
+      vecCol: Column,
+      nbits: Int,
+      dims: Int = 64,
+      bandOffset: Int = 0): Column = {
+    val ps = planes(bandOffset + nbits, dims).drop(bandOffset)
+    val v = vecCol.cast("array<double>")
+    (0 until nbits)
+      .map { p =>
+        when(dot(v, typedLit(ps(p).toSeq)) > 0, shiftleft(lit(1L), p))
+          .otherwise(lit(0L))
+      }
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** Back-compat string-column overload. */
+  def rhpSignatureExpr(vecCol: String, nbits: Int): Column =
+    rhpSignature(col(vecCol), nbits)
+
+  /** LSH-bucketed approximate top-k: corpus and queries hashed to
+    * `nbits`-bit buckets; each query joins only its bucket (equi-join →
+    * hash shuffle, no cross product), then exact cosine + rank within the
+    * candidates. Recall < 1 by construction; raise `nbits` ↓bucket size,
+    * or lower it ↑recall. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nbits: Int = 8,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    val c = corpus.withColumn("__sig", rhpSignatureExpr(corpusVec, nbits))
+    val q = queries.withColumn("__sig", rhpSignatureExpr(queryVec, nbits))
+    val joined = c.join(broadcast(q), "__sig")
+    val scored = joined.select(
+      col(queryId), col(corpusId),
+      cosine(col(corpusVec).cast("array<double>"),
+        col(queryVec).cast("array<double>")).as("cos"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cos").desc, col(corpusId))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥
+    * threshold) via the same LSH bucketing — the vector analog of
+    * MinHash near-dup detection.
+    *
+    * Each side is L2-normalized BEFORE the self-join (O(corpus) work), so
+    * the per-candidate-pair cost is a single dot product instead of
+    * dot + two norms — the pair set is the quadratic term, keep it cheap.
+    * Bucket count (2^nbits) must scale with corpus size to bound pairs
+    * per bucket. */
+  def cosineNearDups(
+      corpus: DataFrame,
+      threshold: Double,
+      nbits: Int = 8,
+      bands: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    // banded (OR-amplified) LSH: a pair is a candidate if ANY band's
+    // signature matches — recall 1-(1-p^nbits)^bands. Norms are computed
+    // once per row on the pre-join side (the projection feeding the join's
+    // exchange), so each candidate pair costs one dot.
+    val sig = corpus.select(
+      Seq(col(idCol), v.as("__v"), norm(v).as("__n")) ++
+        (0 until bands).map(b =>
+          rhpSignature(col(vecCol), nbits, bandOffset = b * nbits)
+            .as(s"__sig$b")): _*)
+    val banded = sig.select(
+      col(idCol), col("__v"), col("__n"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), col(s"__sig$b").as("bucket"))): _*)).as("__e"))
+      .select(col(idCol), col("__v"), col("__n"),
+        col("__e.band").as("band"), col("__e.bucket").as("bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (dot(col("a.__v"), col("b.__v")) / (col("a.__n") * col("b.__n")))
+          .as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting. All pure projections
+  * (per-row column expressions) — map-only at any scale.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language marker-word lists for the n-gram/stopword
+    * language-ID heuristic. Public-knowledge function words. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "las", "es", "una"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Count of tokens that appear in `words`. */
+  def markerHits(text: Column, words: Seq[String]): Column =
+    size(array_intersect(
+      tokens(text),
+      array(words.map(lit): _*))) // distinct hits: membership, not frequency
+
+  /** Language-ID: argmax over per-language marker-hit counts; 'und'
+    * (undetermined) when nothing matches. Deterministic tie-break by
+    * language code order. */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (code, words) =>
+      struct(markerHits(text, words).as("hits"), lit(code).as("code"))
+    }
+    val best = greatest(scored: _*) // struct compare: hits first, then code
+    when(best.getField("hits") > 0, best.getField("code")).otherwise(lit("und"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword token estimate: word runs + individual punctuation
+    * marks, counted with an RE2-compatible pattern (no lookarounds — the
+    * same regex runs in any engine) — the standard cheap proxy for
+    * tokenizer cost when the real BPE vocab isn't available. */
+  def bpeTokenEstimate(text: Column): Column =
+    regexp_count(text, lit("\\w+|[^\\w\\s]"))
+
+  /** Quality score in [0,1]: composite of length band, alphabetic ratio,
+    * punctuation ratio, mean word length band — the usual cheap heuristics
+    * for filtering web text. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text)
+    val nTok = tokenCount(text).cast("double")
+    val alpha = (length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double") /
+      greatest(len, lit(1))).as("alpha_ratio")
+    val punct = (length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
+      greatest(len, lit(1)))
+    val meanWordLen = len.cast("double") / greatest(nTok, lit(1.0d))
+    val lenScore = when(len.between(100, 10000), 1.0d)
+      .when(len.between(20, 99), 0.5d).otherwise(0.0d)
+    val wordLenScore = when(meanWordLen.between(3.0d, 12.0d), 1.0d).otherwise(0.5d)
+    round(
+      (lenScore * 0.3d) + (alpha * 0.3d) + ((lit(1.0d) - least(punct * 5.0d, lit(1.0d))) * 0.2d) +
+        (wordLenScore * 0.2d),
+      6)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * cross-engine verifiable canonical-content hash. */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** 64-bit rolling-content fingerprint (xxhash64 of the normalized
+    * text) — the cheap engine-internal variant. */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Winnowing-style k-gram min-hash sketch: the `w` smallest distinct
+    * k-gram hashes — a compact document sketch for containment checks
+    * (plagiarism/overlap detection at corpus scale). SQL expr: substr
+    * with a loop variable. */
+  def kgramSketchExpr(textCol: String, k: Int = 5, w: Int = 8): Column = expr(
+    s"""
+    slice(array_sort(array_distinct(
+      transform(
+        sequence(0, greatest(length(regexp_replace(trim(lower($textCol)), '\\\\s+', ' ')) - $k, 0)),
+        i -> xxhash64(substr(regexp_replace(trim(lower($textCol)), '\\\\s+', ' '), i + 1, $k))))),
+      1, $w)
+    """)
+}

