@@ -1,0 +1,273 @@
+package graft
+
+import graft.model._
+import graft.compile.RuleCompiler
+import graft.jobs.CompactJob
+import org.apache.spark.sql.DataFrame
+
+/** Golden-count parity with the reference's integration specs: the exact
+  * data rows, rules, and expected survivor counts from
+  * RuleBasedDeletionConvictorSpec.scala:45-237 and
+  * RuleBasedLateTTLConvictorSpec.scala:31-339 (see FIXTURES.md §3),
+  * re-run through the Spark rule compiler. */
+class GoldenParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r(lo: String, hi: String) = Bound(Option(lo), Option(hi))
+
+  private def kept(df: DataFrame, rs: RuleSet): Long =
+    df.filter(RuleCompiler.keep(rs, df.schema)).count()
+
+  // fixed "now" for TTL cases — the per-job snapshot (T1)
+  private val nowMs = 1700000000000L
+  private def aged(s: Long): Long = nowMs * 1000L - s * 1000000L
+
+  private def keptTtl(df: DataFrame, rs: RuleSet): Long =
+    df.filter(RuleCompiler.keepTtl(rs, df.schema, "writetime", nowMs)).count()
+
+  test("rule with multiple tenants: 17 rows -> 5 kept") {
+    val df = Seq(
+      1726L -> "00000151e518481a3b3e6939bc9493da",
+      1726L -> "00000151f43248180be67107251b6167",
+      1726L -> "00000151f84bd381fc78aca5e26567c0",
+      1726L -> "00000151fc18df688b31da3f0215d55f",
+      1742L -> "00000151cb75b17f7f53f2187da68102",
+      1742L -> "00000151cbb68f50d0833f75269cef4d",
+      1742L -> "00000151ce5d691144119389cabb2b6f",
+      1742L -> "00000151db1fdba2a888063457159d3e",
+      1742L -> "00000151dd6975e92eba7cdd4e4ecc12",
+      1742L -> "00000151f1470429cdf31d0485bb99e8",
+      1742L -> "00000151f4f221b20df147d1c14691b0",
+      1742L -> "00000151f7dabc8c37a47b98d3533552",
+      1753L -> "00000151d2b65a18a3aa7058aa6a2116",
+      1753L -> "00000151f4da90041129071c9c9da7eb",
+      1768L -> "00000151e1f2e6c5eb875453555c4e2e",
+      1768L -> "00000151ffe7cc5df88bb70614edbbf0",
+      1771L -> "000001520af1e48e75c67e3c82791880").toDF("tenant", "id")
+    val rs = RuleSet(Seq(
+      Rule("cid_1", Map("tenant" -> Seq(r("1726", "1726")))),
+      Rule("cid_2", Map("tenant" -> Seq(r("1742", "1742")))),
+      Rule("cid_3", Map(
+        "tenant" -> Seq(r("1771", "1771")),
+        "id" -> Seq(r(null, "00000152000000000000000000000000"))))))
+    assert(kept(df, rs) == 5)
+  }
+
+  test("id range deletes correctly: 11 rows -> 8 kept") {
+    val df = Seq(
+      "00000151d54828e1775e4d044a7b5766", "00000151d587110b4d1a728565d72e30",
+      "00000151d776e879a4ada06c8c839ef3", "00000151d9b90a33317258fef4bc49ed",
+      "00000151e25f060b49a8d79e897ab369", "00000151e35ae631557c517014f885e1",
+      "00000151f08b0fc345cf5826903200cf", "00000151f44306fcb6cadc71aaa3f372",
+      "00000151f9f0b9f98c5c9c616e4e3468", "0000015203cb65b5c4a181d4222f7577",
+      "000001520a7fda1500bdf3318ef4ec95").map(id => 1782L -> id).toDF("tenant", "id")
+    val rs = RuleSet(Seq(Rule("cid_2", Map(
+      "tenant" -> Seq(r("1782", "1782")),
+      "id" -> Seq(r(null, "00000151d80000000000000000000000"))))))
+    assert(kept(df, rs) == 8)
+  }
+
+  test("closed tenant range: 4 rows -> 2 kept") {
+    val df = Seq(
+      1785L -> "00000151ef35589ff90c54401aae08f5",
+      1785L -> "0000015201153acb407978edcb28b452",
+      1791L -> "00000151eb66fc0c2ffc298022a0e221",
+      1791L -> "00000151f82053a2846086bd220a3abb").toDF("tenant", "id")
+    assert(kept(df, RuleSet(Seq(
+      Rule("cid_3", Map("tenant" -> Seq(r("1783", "1786"))))))) == 2)
+  }
+
+  test("shortened (prefix) id range: 6 rows -> 3 kept") {
+    val df = Seq(
+      1808L -> "000001500d6e500520483cb290acf7c4",
+      1824L -> "00000150cbb694020320975300cc349c",
+      1824L -> "00000150d92640fbc244d1670884f022",
+      1824L -> "00000150e4d7b9bb0675764d10c0db0c",
+      1824L -> "00000150e5984a8b2444310df745223c",
+      1824L -> "00000150f89554064a02d4c7e86c58d3").toDF("tenant", "id")
+    assert(kept(df, RuleSet(Seq(
+      Rule("cid_4", Map("id" -> Seq(r("", "00000150e0000000"))))))) == 3)
+  }
+
+  test("full miss (no rules): 5 rows -> 5 kept") {
+    val df = Seq(
+      1879L -> "00000151ef32e8298ab774b3b950b97c",
+      1883L -> "000001520d86a1830e6c40b6308c8aac",
+      1884L -> "00000151df3e1efe7387e82c7c3d22a7",
+      1885L -> "00000151e82201a09bcd632a95ca8d2d",
+      1887L -> "00000151cb6c15d4cdceca118f9cbef1").toDF("tenant", "id")
+    assert(kept(df, RuleSet(Nil)) == 5)
+  }
+
+  test("internal range: 5 rows -> 3 kept") {
+    val df = Seq(
+      1842L -> "00000151d923f0936f0f4b31e55a970d",
+      1842L -> "00000151f641b42540fe0258023693c8",
+      1842L -> "00000152095ac91e0809ce0a2419304c",
+      1842L -> "0000015209f75d0b86cb5717484ce0ea",
+      1842L -> "000001520a0a63fbb0582435ae3efa5d").toDF("tenant", "id")
+    assert(kept(df, RuleSet(Seq(
+      Rule("cid_6", Map("id" -> Seq(r("00000151ff", "000001520a"))))))) == 3)
+  }
+
+  test("sweep for oversized values (unbounded upper): 7 rows -> 6 kept") {
+    val df = Seq(
+      1827L -> "000151d4e6fec2fde7240e6c5e1fce00", // short prefix sorts HIGH
+      1827L -> "00000151e992ed8adb38cfbc2e6c0c52",
+      1827L -> "00000151f6cde9e92ea68f051f6d96b5",
+      1838L -> "00000151fb731fff3aae3a1236a90551",
+      1866L -> "00000151e560cec31329cd7cdc4ad37e",
+      1866L -> "00000151f9cc533b6347f86571e34eda",
+      1866L -> "0000015203ddcf3d1598b05a8f5f1c2f").toDF("tenant", "id")
+    assert(kept(df, RuleSet(Seq(
+      Rule("cid_7", Map("id" -> Seq(r("00001f", null))))))) == 6)
+  }
+
+  // ---- TTL convictor golden cases --------------------------------------
+
+  test("TTL with default: 4 rows -> 2 kept") {
+    val df = Seq(
+      (1785L, "00000151ef35589ff90c54401aae08f5", aged(600)),
+      (1785L, "0000015201153acb407978edcb28b452", aged(30)),
+      (1791L, "00000151eb66fc0c2ffc298022a0e221", aged(600)),
+      (1791L, "00000151f82053a2846086bd220a3abb", aged(30)))
+      .toDF("tenant", "id", "writetime")
+    val rs = RuleSet(
+      Seq(Rule("full_ttl", Map("tenant" -> Seq(r("1785", "1785"))), ttl = Some(300L))),
+      defaultTtl = Some(300L))
+    assert(keptTtl(df, rs) == 2)
+  }
+
+  test("TTL multiple agents incl. future-dated: 17 rows -> 6 kept") {
+    val df = Seq(
+      (1726L, "00000151e518481a3b3e6939bc9493da", aged(600)),
+      (1726L, "00000151f43248180be67107251b6167", aged(600)),
+      (1726L, "00000151f84bd381fc78aca5e26567c0", aged(600)),
+      (1726L, "00000151fc18df688b31da3f0215d55f", aged(600)),
+      (1742L, "00000151cb75b17f7f53f2187da68102", aged(100)),
+      (1742L, "00000151cbb68f50d0833f75269cef4d", aged(600)),
+      (1742L, "00000151ce5d691144119389cabb2b6f", aged(600)),
+      (1742L, "00000151db1fdba2a888063457159d3e", aged(-300)),
+      (1742L, "00000151dd6975e92eba7cdd4e4ecc12", aged(600)),
+      (1742L, "00000151f1470429cdf31d0485bb99e8", aged(600)),
+      (1742L, "00000151f4f221b20df147d1c14691b0", aged(600)),
+      (1742L, "00000151f7dabc8c37a47b98d3533552", aged(600)),
+      (1753L, "00000151d2b65a18a3aa7058aa6a2116", aged(600)),
+      (1753L, "00000151f4da90041129071c9c9da7eb", aged(30)),
+      (1768L, "00000151e1f2e6c5eb875453555c4e2e", aged(0)),
+      (1768L, "00000151ffe7cc5df88bb70614edbbf0", aged(10000)),
+      (1771L, "000001520af1e48e75c67e3c82791880", aged(6000)))
+      .toDF("tenant", "id", "writetime")
+    val rs = RuleSet(Seq(
+      Rule("sid_1726", Map("tenant" -> Seq(r("1726", "1726"))), ttl = Some(300L)),
+      Rule("sid_1742", Map("tenant" -> Seq(r("1742", "1742"))), ttl = Some(300L)),
+      Rule("sid_1771", Map("tenant" -> Seq(r("1771", "1771"))), ttl = Some(300L))))
+    assert(keptTtl(df, rs) == 6)
+  }
+
+  test("TTL id range: 11 rows -> 9 kept") {
+    val ids = Seq(
+      ("00000151d54828e1775e4d044a7b5766", aged(600)),
+      ("00000151d587110b4d1a728565d72e30", aged(30)),
+      ("00000151d776e879a4ada06c8c839ef3", aged(600)),
+      ("00000151d9b90a33317258fef4bc49ed", aged(0)),
+      ("00000151e25f060b49a8d79e897ab369", aged(0)),
+      ("00000151e35ae631557c517014f885e1", aged(0)),
+      ("00000151f08b0fc345cf5826903200cf", aged(0)),
+      ("00000151f44306fcb6cadc71aaa3f372", aged(0)),
+      ("00000151f9f0b9f98c5c9c616e4e3468", aged(0)),
+      ("0000015203cb65b5c4a181d4222f7577", aged(0)),
+      ("000001520a7fda1500bdf3318ef4ec95", aged(0)))
+    val df = ids.map { case (id, wt) => (1782L, id, wt) }
+      .toDF("tenant", "id", "writetime")
+    val rs = RuleSet(Seq(Rule("cid_2", Map(
+      "tenant" -> Seq(r("1782", "1782")),
+      "id" -> Seq(r(null, "00000151d80000000000000000000000"))), ttl = Some(300L))))
+    assert(keptTtl(df, rs) == 9)
+  }
+
+  test("TTL closed tenant range: 4 rows -> 3 kept") {
+    val df = Seq(
+      (1785L, "00000151ef35589ff90c54401aae08f5", aged(600)),
+      (1785L, "0000015201153acb407978edcb28b452", aged(30)),
+      (1791L, "00000151eb66fc0c2ffc298022a0e221", aged(600)),
+      (1791L, "00000151f82053a2846086bd220a3abb", aged(30)))
+      .toDF("tenant", "id", "writetime")
+    assert(keptTtl(df, RuleSet(Seq(
+      Rule("cid_3", Map("tenant" -> Seq(r("1783", "1786"))), ttl = Some(300L))))) == 3)
+  }
+
+  test("TTL catch-all (null,null): 4 rows -> 2 kept") {
+    val df = Seq(
+      (1785L, "00000151ef35589ff90c54401aae08f5", aged(600)),
+      (1785L, "0000015201153acb407978edcb28b452", aged(30)),
+      (1791L, "00000151eb66fc0c2ffc298022a0e221", aged(600)),
+      (1791L, "00000151f82053a2846086bd220a3abb", aged(30)))
+      .toDF("tenant", "id", "writetime")
+    assert(keptTtl(df, RuleSet(Seq(
+      Rule("full_ttl", Map("tenant" -> Seq(r(null, null))), ttl = Some(300L))))) == 2)
+  }
+
+  test("TTL shortened id range: 6 rows -> 4 kept") {
+    val df = Seq(
+      (1808L, "000001500d6e500520483cb290acf7c4", aged(600)),
+      (1824L, "00000150cbb694020320975300cc349c", aged(30)),
+      (1824L, "00000150d92640fbc244d1670884f022", aged(600)),
+      (1824L, "00000150e4d7b9bb0675764d10c0db0c", aged(30)),
+      (1824L, "00000150e5984a8b2444310df745223c", aged(600)),
+      (1824L, "00000150f89554064a02d4c7e86c58d3", aged(30)))
+      .toDF("tenant", "id", "writetime")
+    assert(keptTtl(df, RuleSet(Seq(
+      Rule("cid_4", Map("id" -> Seq(r("", "00000150e0000000"))), ttl = Some(300L))))) == 4)
+  }
+
+  test("TTL full miss: 5 rows -> 5 kept") {
+    val df = Seq(
+      (1879L, "00000151ef32e8298ab774b3b950b97c", aged(600)),
+      (1883L, "000001520d86a1830e6c40b6308c8aac", aged(30)),
+      (1884L, "00000151df3e1efe7387e82c7c3d22a7", aged(300)),
+      (1885L, "00000151e82201a09bcd632a95ca8d2d", aged(3000)),
+      (1887L, "00000151cb6c15d4cdceca118f9cbef1", aged(30000)))
+      .toDF("tenant", "id", "writetime")
+    assert(keptTtl(df, RuleSet(Nil)) == 5)
+  }
+
+  test("TTL internal range: 5 rows -> 4 kept") {
+    val df = Seq(
+      (1842L, "00000151d923f0936f0f4b31e55a970d", aged(600)),
+      (1842L, "00000151f641b42540fe0258023693c8", aged(600)),
+      (1842L, "00000152095ac91e0809ce0a2419304c", aged(600)),
+      (1842L, "0000015209f75d0b86cb5717484ce0ea", aged(30)),
+      (1842L, "000001520a0a63fbb0582435ae3efa5d", aged(600)))
+      .toDF("tenant", "id", "writetime")
+    assert(keptTtl(df, RuleSet(Seq(
+      Rule("cid_6", Map("id" -> Seq(r("00000151ff", "000001520a"))), ttl = Some(300L))))) == 4)
+  }
+
+  test("TTL=0 oversized sweep: 7 rows -> 6 kept") {
+    val df = Seq(
+      (1827L, "000151d4e6fec2fde7240e6c5e1fce00", aged(600)),
+      (1827L, "00000151e992ed8adb38cfbc2e6c0c52", aged(600)),
+      (1827L, "00000151f6cde9e92ea68f051f6d96b5", aged(600)),
+      (1838L, "00000151fb731fff3aae3a1236a90551", aged(600)),
+      (1866L, "00000151e560cec31329cd7cdc4ad37e", aged(600)),
+      (1866L, "00000151f9cc533b6347f86571e34eda", aged(600)),
+      (1866L, "0000015203ddcf3d1598b05a8f5f1c2f", aged(600)))
+      .toDF("tenant", "id", "writetime")
+    assert(keptTtl(df, RuleSet(Seq(
+      Rule("cid_7", Map("id" -> Seq(r("00001f", null))), ttl = Some(0L))))) == 6)
+  }
+
+  test("overlapping keys (two flushes) compact to LWW then TTL: -> 1 kept") {
+    val flush = Seq(
+      (1827L, "000151d4e6fec2fde7240e6c5e1fce00", aged(600)),
+      (1827L, "00000151e992ed8adb38cfbc2e6c0c52", aged(600)))
+    val df = (flush ++ flush).toDF("tenant", "id", "writetime")
+    val rs = RuleSet(Seq(
+      Rule("cid_7", Map("id" -> Seq(r("00001f", null))), ttl = Some(0L))))
+    val compacted = CompactJob.lwwDedup(
+      df, TableSpec(Seq("id", "tenant"), Nil, Some("writetime")))
+    assert(compacted.count() == 2)
+    assert(keptTtl(compacted, rs) == 1)
+  }
+}
