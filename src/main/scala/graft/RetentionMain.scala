@@ -1,0 +1,67 @@
+package graft
+
+import graft.model.TableSpec
+import graft.plans.StrategyOptions
+import graft.jobs.RetentionJob
+import graft.sources.RulesSource
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point for a retention run — the spark-submit analog of the
+  * reference's `ALTER TABLE … compaction = {DeletingCompactionStrategy…}`
+  * configuration surface (SURVEY.md §3.1). Options use the reference's
+  * key names (dcs_convictor, dcs_is_dry_run, dcs_backup_dir, …) plus
+  * engine keys (src, kept, rules_path, spec columns).
+  *
+  * Usage:
+  *   RetentionMain src=<parquet> kept=<out> [backup=<dir>] \
+  *     pk=col1,col2 [ck=col3] [writetime=col] [rules_path=<parquet>] \
+  *     [ttl_mode=true] [default_ttl=seconds] [dcs_is_dry_run=true] \
+  *     [dcs_convictor=<class>]
+  */
+object RetentionMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad arg '$a' (want key=value)"); a.take(i) -> a.drop(i + 1)
+    }.toMap
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-retention")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val spec = TableSpec(
+        partitionKeys = opts.getOrElse("pk", "").split(",").filter(_.nonEmpty).toSeq,
+        clusteringKeys = opts.getOrElse("ck", "").split(",").filter(_.nonEmpty).toSeq,
+        writetimeCol = opts.get("writetime"))
+      val df = spark.read.parquet(opts("src"))
+      val ttlMode = opts.get("ttl_mode").contains("true")
+      val rs = opts.get("rules_path")
+        .map(p => RulesSource.fromParquet(spark, p,
+          opts.get("default_ttl").map(_.toLong)))
+        .getOrElse(graft.model.RuleSet(Nil, opts.get("default_ttl").map(_.toLong)))
+      // rules_path drives conviction here; dcs_convictor is only needed
+      // when a plugin class does, so default it to the rule-based one
+      val strat = StrategyOptions.parse(
+        Map(StrategyOptions.ConvictorKey ->
+          classOf[graft.plans.RuleBasedConvictor].getName) ++
+          opts.filter(_._1.startsWith("dcs_")))
+      val stats = RetentionJob.run(
+        spark, df, spec, rs,
+        keptPath = opts.get("kept"),
+        backupPath = opts.get("backup").orElse(strat.backupDir),
+        ttlMode = ttlMode,
+        dryRun = strat.effectiveDryRun)
+      // one JSON status line, like the reference's interval stats log
+      println(s"""{"kept":${stats.kept},"dropped":${stats.dropped},""" +
+        s""""dryRun":${stats.mode.isDryRun || strat.effectiveDryRun},""" +
+        s""""backupWritten":${stats.backupWritten}}""")
+    } finally spark.stop()
+  }
+}

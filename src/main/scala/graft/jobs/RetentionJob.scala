@@ -78,29 +78,34 @@ object RetentionJob {
     } else {
       val wantBoth = keptPath.isDefined && backupPath.isDefined
       // Single pass over the source for both sinks: persist the flagged
-      // frame so the second write doesn't rescan 100 TB.
-      val flagged =
-        if (wantBoth) df.withColumn("__keep", keepCol).persist()
-        else df.withColumn("__keep", keepCol)
+      // frame so the second write doesn't rescan 100 TB. Counters ride the
+      // first action via observe() (A1/A2 — the reference's scan-side
+      // running counters, ref: FilteringSSTableScanner.java:59-70), so no
+      // extra counting scan happens.
+      val obs = new org.apache.spark.sql.Observation()
+      val flagged0 = df
+        .withColumn("__keep", keepCol)
+        .observe(obs,
+          sum(when(col("__keep"), 1L).otherwise(0L)).as("kept"),
+          sum(when(col("__keep"), 0L).otherwise(1L)).as("dropped"))
+      val flagged = if (wantBoth) flagged0.persist() else flagged0
       try {
         val keptDf = flagged.filter(col("__keep")).drop("__keep")
         val dropDf = flagged.filter(!col("__keep")).drop("__keep")
-        keptPath.foreach(p => keptDf.write.mode("overwrite").parquet(p))
+        keptPath match {
+          case Some(p) => keptDf.write.mode("overwrite").parquet(p)
+          case None    => keptDf.foreach(_ => ()) // drive the observe pass
+        }
+        val row = obs.get
+        val kept = Option(row("kept")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        val dropped = Option(row("dropped")).map(_.asInstanceOf[Long]).getOrElse(0L)
         var backupWritten = false
-        var droppedCount = -1L
         backupPath.foreach { p =>
-          droppedCount = dropDf.count()
-          if (droppedCount > 0) { // empty backup aborted, like the reference
+          if (dropped > 0) { // empty backup aborted, like the reference
             dropDf.write.mode("overwrite").parquet(p)
             backupWritten = true
           }
         }
-        val kept = keptPath
-          .map(p => spark.read.parquet(p).count())
-          .getOrElse(flagged.filter(col("__keep")).count())
-        val dropped =
-          if (droppedCount >= 0) droppedCount
-          else dropDf.count()
         RetentionStats(kept, dropped, mode, backupWritten)
       } finally {
         if (wantBoth) flagged.unpersist()

@@ -1,0 +1,136 @@
+package graft.plans
+
+import graft.model._
+import graft.compile.RuleCompiler
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** E1 — the convictor plugin surface. The reference loads a convictor
+  * class by name via reflection, hands it `(cfs, options)`, and calls its
+  * partition/atom predicates (ref: DeletingCompactionStrategyOptions.java:
+  * 125-156; interfaces ISSTableScannerFilter.java:21-23,
+  * IOnDiskAtomFilter.java:22-24). Here a convictor is a pure
+  * `Column`-predicate factory — executors never see the plugin object,
+  * only the compiled expression.
+  *
+  * Implementations must expose a constructor
+  * `(TableSpec, Map[String, String])` to be loadable by name through
+  * [[Convictors.load]].
+  */
+trait Convictor {
+
+  /** Partition-level keep predicate (cheap pre-filter over partition-key
+    * columns). */
+  def keepPartition(schema: StructType): Column
+
+  /** Row-level keep predicate (clustering/cell-level refinement). */
+  def keepRow(schema: StructType): Column
+
+  /** Combined predicate — what a retention job actually applies. */
+  final def keep(schema: StructType): Column =
+    keepPartition(schema) && keepRow(schema)
+
+  /** Validation result: None = healthy, Some(reasons) = spooked → the job
+    * degrades to dry-run, never fails (ref:
+    * RuleBasedDeletionConvictor.java:238-251). */
+  def validate(schema: StructType): Option[Seq[String]] = None
+}
+
+/** Registry: load a convictor by fully-qualified class name with a
+  * `(TableSpec, Map[String,String])` constructor — mirroring the
+  * reference's reflection contract. */
+object Convictors {
+  def load(
+      className: String,
+      spec: TableSpec,
+      options: Map[String, String]): Convictor = {
+    val cls = Class.forName(className)
+    require(classOf[Convictor].isAssignableFrom(cls),
+      s"$className does not implement graft.plans.Convictor")
+    cls.getConstructor(classOf[TableSpec], classOf[Map[_, _]])
+      .newInstance(spec, options)
+      .asInstanceOf[Convictor]
+  }
+}
+
+// ---- example convictors (F9 — ref: example/ convictors) -----------------
+
+/** Keep rows whose FIRST partition-key column is even
+  * (ref: OddPartitionKeyDeleter.java:56-74 keeps a%2==0). */
+class OddPartitionKeyConvictor(spec: TableSpec, options: Map[String, String])
+    extends Convictor {
+  def keepPartition(schema: StructType): Column =
+    pmod(col(spec.partitionKeys.head).cast(LongType), lit(2L)) === 0L
+  def keepRow(schema: StructType): Column = lit(true)
+}
+
+/** Keep rows whose LAST clustering-key column is even
+  * (ref: OddClusterKeyDeleter.java:54-69, last byte parity). */
+class OddClusterKeyConvictor(spec: TableSpec, options: Map[String, String])
+    extends Convictor {
+  def keepPartition(schema: StructType): Column = lit(true)
+  def keepRow(schema: StructType): Column =
+    pmod(col(spec.clusteringKeys.last).cast(LongType), lit(2L)) === 0L
+}
+
+/** Keep rows with an even key hash — the token-parity analog
+  * (ref: OddTokenDeleter.java:48-62; Spark's hash stands in for the
+  * partitioner token). */
+class OddTokenConvictor(spec: TableSpec, options: Map[String, String])
+    extends Convictor {
+  def keepPartition(schema: StructType): Column =
+    pmod(hash(spec.partitionKeys.map(col): _*), lit(2)) === 0
+  def keepRow(schema: StructType): Column = lit(true)
+}
+
+/** Keep everything (ref: KeepAllItemsDeleter.java:42-46). */
+class KeepAllConvictor(spec: TableSpec, options: Map[String, String])
+    extends Convictor {
+  def keepPartition(schema: StructType): Column = lit(true)
+  def keepRow(schema: StructType): Column = lit(true)
+}
+
+/** Drop everything (ref: AllPartitionKeyDeleter.java:42-46 /
+  * AllClusterKeyDeleter / AllAtomDeleter). */
+class DropAllConvictor(spec: TableSpec, options: Map[String, String])
+    extends Convictor {
+  def keepPartition(schema: StructType): Column = lit(false)
+  def keepRow(schema: StructType): Column = lit(false)
+}
+
+/** The production rule-based convictor as a plugin: rules parquet path in
+  * `options("rules_path")` is read + compiled at plan time (S3→F1/F2). */
+class RuleBasedConvictor(
+    spec: TableSpec,
+    options: Map[String, String],
+    ruleSet: Option[RuleSet] = None)
+    extends Convictor {
+  def this(spec: TableSpec, options: Map[String, String]) =
+    this(spec, options, None)
+
+  /** Rules may be injected (tests) or read from `rules_path` lazily. */
+  lazy val rules: RuleSet = ruleSet.getOrElse {
+    val path = options.getOrElse("rules_path",
+      sys.error("RuleBasedConvictor requires rules_path"))
+    graft.sources.RulesSource.fromParquet(
+      org.apache.spark.sql.SparkSession.active, path)
+  }
+
+  private def split: (RuleSet, RuleSet) = {
+    val (pk, rest) = rules.rules.partition(
+      _.colRanges.keys.forall(spec.isPartitionKey))
+    (RuleSet(pk, rules.defaultTtl), RuleSet(rest, rules.defaultTtl))
+  }
+
+  def keepPartition(schema: StructType): Column =
+    RuleCompiler.keep(split._1, schema)
+  def keepRow(schema: StructType): Column =
+    RuleCompiler.keep(split._2, schema)
+
+  override def validate(schema: StructType): Option[Seq[String]] =
+    RuleValidation.validate(rules, spec, schema) match {
+      case Execute         => None
+      case DryRun(reasons) => Some(reasons)
+    }
+}

@@ -1,0 +1,81 @@
+package graft.plans
+
+import graft.model.TableSpec
+
+/** E2 — option parsing with the reference's passthrough-validation chain:
+  * the strategy consumes its own keys, forwards the remainder to the
+  * convictor's `validateOptions`, and anything left is an error — while
+  * option *failures* degrade to dry-run rather than aborting
+  * (ref: DeletingCompactionStrategyOptions.java:145-259, fail-safe
+  * disable at :77-86, dry-run fallback :99-111).
+  */
+final case class StrategyOptions(
+    convictorClass: String,
+    isDryRun: Boolean,
+    backupDir: Option[String],
+    statusReportMs: Long,
+    passthrough: Map[String, String],
+    degradeReasons: Seq[String]) {
+  def effectiveDryRun: Boolean = isDryRun || degradeReasons.nonEmpty
+}
+
+object StrategyOptions {
+  val ConvictorKey = "dcs_convictor"
+  val DryRunKey = "dcs_is_dry_run"
+  val BackupDirKey = "dcs_backup_dir"
+  val StatusReportKey = "dcs_status_report_ms"
+
+  private val known = Set(ConvictorKey, DryRunKey, BackupDirKey, StatusReportKey)
+
+  def parse(options: Map[String, String]): StrategyOptions = {
+    val reasons = Seq.newBuilder[String]
+    val convictor = options.getOrElse(ConvictorKey, {
+      reasons += s"missing $ConvictorKey"; classOf[KeepAllConvictor].getName
+    })
+    val dryRun = options.get(DryRunKey) match {
+      case Some("true")  => true
+      case Some("false") | None => false
+      case Some(other) =>
+        // unparseable dry-run flag forces dry-run (the safe direction —
+        // ref: DeletingCompactionStrategyOptions.java:99-111)
+        reasons += s"unparseable $DryRunKey='$other'"; true
+    }
+    val statusMs = options.get(StatusReportKey) match {
+      case None => 60000L
+      case Some(v) =>
+        try v.toLong
+        catch {
+          case _: NumberFormatException =>
+            reasons += s"unparseable $StatusReportKey='$v'"; 60000L
+        }
+    }
+    val backup = options.get(BackupDirKey).filter { d =>
+      val f = new java.io.File(d)
+      val ok = (f.exists() && f.isDirectory && f.canWrite) ||
+        (!f.exists() && Option(f.getParentFile).exists(p => p.isDirectory && p.canWrite))
+      if (!ok) reasons += s"backup dir '$d' not writable"
+      ok
+    }
+    StrategyOptions(
+      convictor, dryRun, backup, statusMs,
+      passthrough = options -- known,
+      degradeReasons = reasons.result())
+  }
+
+  /** Full chain: parse strategy keys, load the convictor with the
+    * remainder. Convictor load failure degrades to KeepAll + dry-run, the
+    * reference's fail-safe (never break the write path). */
+  def buildConvictor(
+      options: Map[String, String],
+      spec: TableSpec): (StrategyOptions, Convictor) = {
+    val parsed = parse(options)
+    try {
+      (parsed, Convictors.load(parsed.convictorClass, spec, parsed.passthrough))
+    } catch {
+      case e: Exception =>
+        (parsed.copy(degradeReasons =
+          parsed.degradeReasons :+ s"convictor load failed: ${e.getMessage}"),
+          new KeepAllConvictor(spec, Map.empty))
+    }
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import graft.model._
+import graft.plans._
+import graft.streaming.StreamingRetentionJob
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class ConvictorPluginSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = TableSpec(Seq("a"), Seq("b"))
+  private lazy val df = (0 until 10).flatMap(a => (0 until 4).map(b => (a.toLong, b.toLong)))
+    .toDF("a", "b")
+
+  test("registry loads convictors by class name (reflection contract)") {
+    val c = Convictors.load("graft.plans.OddPartitionKeyConvictor", spec, Map.empty)
+    assert(df.filter(c.keep(df.schema)).count() == 20) // even a: 5 of 10 × 4
+    val t = Convictors.load("graft.plans.OddTokenConvictor", spec, Map.empty)
+    val n = df.filter(t.keep(df.schema)).count()
+    assert(n > 0 && n < 40) // hash parity splits nontrivially
+  }
+
+  test("example convictors match reference reduction expectations") {
+    // DeletingCompactionStrategySpec matrix: odd-pk = 50%, keep-all = 0%,
+    // drop-all = 100% reduction
+    assert(df.filter(new OddPartitionKeyConvictor(spec, Map.empty).keep(df.schema)).count() == 20)
+    assert(df.filter(new OddClusterKeyConvictor(spec, Map.empty).keep(df.schema)).count() == 20)
+    assert(df.filter(new KeepAllConvictor(spec, Map.empty).keep(df.schema)).count() == 40)
+    assert(df.filter(new DropAllConvictor(spec, Map.empty).keep(df.schema)).count() == 0)
+  }
+
+  test("rule-based convictor plugin splits pk vs row rules") {
+    val rs = RuleSet(Seq(
+      Rule("pk", Map("a" -> Seq(Bound(Some("2"), Some("3"))))),
+      Rule("ck", Map("b" -> Seq(Bound(Some("0"), Some("0")))))))
+    val c = new RuleBasedConvictor(spec, Map.empty, Some(rs))
+    // partition rule drops a∈[2,3] (8 rows); row rule drops b=0 (10 rows,
+    // 2 overlap) → kept = 40 - 8 - 10 + 2 = 24
+    assert(df.filter(c.keep(df.schema)).count() == 24)
+    assert(c.validate(df.schema).isEmpty)
+    val bad = new RuleBasedConvictor(spec, Map.empty,
+      Some(RuleSet(Seq(Rule("x", Map("nope" -> Seq(Bound(None, None))))))))
+    assert(bad.validate(df.schema).isDefined)
+  }
+
+  test("options: passthrough chain, dry-run degradation, fail-safe load") {
+    val (opts, c) = StrategyOptions.buildConvictor(Map(
+      "dcs_convictor" -> "graft.plans.KeepAllConvictor",
+      "dcs_is_dry_run" -> "false",
+      "custom_key" -> "v"), spec)
+    assert(!opts.effectiveDryRun)
+    assert(opts.passthrough == Map("custom_key" -> "v"))
+    assert(c.isInstanceOf[KeepAllConvictor])
+
+    // unparseable dry-run flag forces dry-run (safe direction)
+    val o2 = StrategyOptions.parse(Map(
+      "dcs_convictor" -> "x", "dcs_is_dry_run" -> "maybe"))
+    assert(o2.effectiveDryRun)
+
+    // unknown convictor class: degrade to KeepAll + dry-run, never throw
+    val (o3, c3) = StrategyOptions.buildConvictor(Map(
+      "dcs_convictor" -> "com.example.NoSuchConvictor"), spec)
+    assert(o3.effectiveDryRun)
+    assert(c3.isInstanceOf[KeepAllConvictor])
+
+    // bad backup dir degrades
+    val o4 = StrategyOptions.parse(Map(
+      "dcs_convictor" -> "graft.plans.KeepAllConvictor",
+      "dcs_backup_dir" -> "/nonexistent/deeply/nested/dir"))
+    assert(o4.backupDir.isEmpty && o4.effectiveDryRun)
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming retention drains available input with AvailableNow") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val src = s"$dir/src"
+    Seq((1726L, "a"), (1726L, "b"), (1753L, "c"), (1768L, "d"))
+      .toDF("tenant", "id").write.parquet(src)
+    val rs = RuleSet(Seq(
+      Rule("r", Map("tenant" -> Seq(Bound(Some("1726"), Some("1726")))))))
+    val schema = spark.read.parquet(src).schema
+    val q = StreamingRetentionJob.run(
+      spark, src, schema, TableSpec(Seq("id", "tenant")), rs,
+      keptPath = s"$dir/kept", checkpoint = s"$dir/cp")
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(s"$dir/kept").as[(Long, String)].collect().toSet
+      == Set((1753L, "c"), (1768L, "d")))
+
+    // second batch of files: incremental drain picks up ONLY new files
+    Seq((1726L, "e"), (1799L, "f")).toDF("tenant", "id")
+      .write.mode("append").parquet(src)
+    val q2 = StreamingRetentionJob.run(
+      spark, src, schema, TableSpec(Seq("id", "tenant")), rs,
+      keptPath = s"$dir/kept", checkpoint = s"$dir/cp")
+    q2.awaitTermination(120000)
+    val all = spark.read.parquet(s"$dir/kept").as[(Long, String)].collect().toSet
+    assert(all == Set((1753L, "c"), (1768L, "d"), (1799L, "f")))
+  }
+
+  test("windowed counts with watermark aggregate by event-time window") {
+    val ev = Seq(
+      ("2024-01-01 00:10:00", "click"), ("2024-01-01 00:20:00", "click"),
+      ("2024-01-01 01:10:00", "view"))
+      .toDF("ts_s", "event_type")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("event_type"))
+    val out = StreamingRetentionJob.windowedCounts(ev, "ts", "event_type")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01 00:00:00", "click", 2L),
+      ("2024-01-01 01:00:00", "view", 1L)))
+  }
+}
