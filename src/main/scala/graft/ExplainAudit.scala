@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of selected queries
+  * and greps for the scale-critical properties — parquet filter pushdown,
+  * column-pruned read schemas, broadcast joins for small sides, and
+  * whole-stage codegen coverage. Run ad hoc while iterating on plans:
+  *   sbt "runMain graft.ExplainAudit [queryName ...]"
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q_f1_rule_keep", "q_j1_rule_antijoin", "q_a7_lww_dedup",
+        "q_dedup_minhash_pairs", "q_sim_topk_brute", "q_f7_ttl_keep")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      val df = SparkEntry.queries(n)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(plan)
+      // whole-stage codegen shows as "*(n)" stage markers in simple mode
+      val simple = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      def has(s: String) = plan.contains(s)
+      println(s"--- audit: pushedFilters=${has("PushedFilters: [")}" +
+        s" broadcast=${has("BroadcastHashJoin") || has("BroadcastNestedLoopJoin")}" +
+        s" codegen=${simple.contains("*(")}" +
+        s" sortMergeJoin=${has("SortMergeJoin")}")
+    }
+    spark.stop()
+  }
+}

@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   * Scale: a single shuffle keyed on (pk, ck); partial aggregation
   * (map-side max) runs before the exchange, so the shuffle carries one row
   * per key per map partition, not the full duplicate set.
+  *
+  * Plan note (verified with explain): `max(struct)` compiles to
+  * SortAggregate — struct buffers aren't hash-aggregable — so each map
+  * partition sorts by key before combining. This still beats the
+  * window/row_number formulation at scale: the window shuffles EVERY
+  * duplicate row and sorts on the reduce side, while this shape combines
+  * map-side and shuffles ~one row per key per partition. If tie-breaking
+  * by value were dropped, a pure `max(writetime)` hash-aggregate + join
+  * would avoid the sort but adds a second full-data shuffle.
   */
 object CompactJob {
 
