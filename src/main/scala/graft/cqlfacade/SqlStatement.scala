@@ -206,7 +206,9 @@ final case class SqlStatement(parts: Seq[String], slots: Seq[Slot]) {
 
   /** S7 — execute through Spark's parameterized SQL. Laziness of the
     * returned DataFrame is the async-future analog: no work happens until
-    * an action runs. */
+    * an action runs. Parsed plans are memoized per final SQL text
+    * (Q4 — the prepared-statement-cache analog;
+    * ref: cql/CQLSession.scala:86-103). */
   def df(implicit spark: SparkSession): DataFrame = {
     val (text, params) = expand
     val args = params.map {
@@ -214,6 +216,49 @@ final case class SqlStatement(parts: Seq[String], slots: Seq[Slot]) {
         val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
       case x => x
     }
-    if (args.isEmpty) spark.sql(text) else spark.sql(text, args.toArray)
+    if (args.isEmpty) PlanCache.get(spark, text)
+    else spark.sql(text, args.toArray)
   }
+
+  /** S8 — streaming row enumeration: rows surface lazily,
+    * partition-by-partition, without materializing the result on the
+    * driver — the `Enumerator[Row]` / prefetching-iterator analog
+    * (ref: cql/CQLStatement.scala:138-149, Implicits.scala:59-69; Spark's
+    * pipelined partition fetch replaces the page prefetch). */
+  def enumerate(implicit spark: SparkSession): Iterator[org.apache.spark.sql.Row] = {
+    val it = df.toLocalIterator()
+    new Iterator[org.apache.spark.sql.Row] {
+      def hasNext: Boolean = it.hasNext
+      def next(): org.apache.spark.sql.Row = it.next()
+    }
+  }
+
+  /** Typed row access (the `RichRow.get[T]` analog, encoder-driven —
+    * ref: cql/Implicits.scala:104-214). */
+  def as[T: org.apache.spark.sql.Encoder](implicit spark: SparkSession):
+      org.apache.spark.sql.Dataset[T] = df.as[T]
+}
+
+/** Q4 — bounded memoization of parsed/analyzed plans keyed by final SQL
+  * text, per session. The reference bounds its prepared-statement cache
+  * the same way (size-bounded, lazy — ref: cql/CassandraClient.scala:
+  * 251-260). Spark re-parses `spark.sql` text on every call; for a facade
+  * issuing the same statement shape repeatedly, caching the DataFrame
+  * (its logical plan) skips parse+analyze. */
+object PlanCache {
+  private val MaxEntries = 256
+  private val cache =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > MaxEntries
+    }
+  def get(spark: SparkSession, text: String): DataFrame = synchronized {
+    val key = (spark, text)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else { val df = spark.sql(text); cache.put(key, df); df }
+  }
+  def size: Int = synchronized(cache.size())
+  def clear(): Unit = synchronized(cache.clear())
 }

@@ -1,0 +1,96 @@
+package graft
+
+import graft.model.TableSpec
+import graft.plans._
+
+/** The reference's convictor × PK/CK-layout coverage matrix
+  * (DeletingCompactionStrategySpec.scala:75-177): expected survivor
+  * fractions 0% / 50% / 100% over the cross-product dataset
+  * a ∈ [0,100) × b ∈ [0,100), c = 100000+a, d = 100000+b
+  * (DeletingCompactionStrategySpecHelper.scala:85-92), across every key
+  * layout from testing.cql (FIXTURES.md §1). */
+class StrategyMatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val data = (for {
+    a <- 0 until 100; b <- 0 until 100
+  } yield (a, b, 100000 + a, 100000 + b)).toDF("a", "b", "c", "d").cache()
+
+  // the six key layouts from testing.cql:3-85
+  private val layouts = Map(
+    "singlepk_nock" -> TableSpec(Seq("a")),
+    "singlepk_singleck" -> TableSpec(Seq("a"), Seq("b")),
+    "singlepk_dualck" -> TableSpec(Seq("a"), Seq("b", "c")),
+    "dualpk_nock" -> TableSpec(Seq("a", "b")),
+    "dualpk_singleck" -> TableSpec(Seq("a", "b"), Seq("c")),
+    "dualpk_dualck" -> TableSpec(Seq("a", "b"), Seq("c", "d")))
+
+  private def survivors(spec: TableSpec, c: Convictor): Long =
+    data.filter(c.keep(data.schema)).count()
+
+  test("odd-partition-key deleter keeps 50% in every layout") {
+    layouts.values.foreach { spec =>
+      assert(survivors(spec, new OddPartitionKeyConvictor(spec, Map.empty)) == 5000)
+    }
+  }
+
+  test("odd-cluster-key deleter keeps 50% where clustering keys exist") {
+    layouts.filter(_._2.clusteringKeys.nonEmpty).foreach { case (name, spec) =>
+      // last ck column: b (even 50%), c = 100000+a (even ⟺ a even, 50%),
+      // d = 100000+b (50%)
+      assert(survivors(spec, new OddClusterKeyConvictor(spec, Map.empty)) == 5000,
+        s"layout $name")
+    }
+  }
+
+  test("keep-all retains 100%, drop-all retains 0%, in every layout") {
+    layouts.values.foreach { spec =>
+      assert(survivors(spec, new KeepAllConvictor(spec, Map.empty)) == 10000)
+      assert(survivors(spec, new DropAllConvictor(spec, Map.empty)) == 0)
+    }
+  }
+
+  test("odd-token deleter drops a deterministic nontrivial fraction") {
+    layouts.foreach { case (name, spec) =>
+      val n = survivors(spec, new OddTokenConvictor(spec, Map.empty))
+      assert(n > 2000 && n < 8000, s"layout $name kept $n") // ~50% by hash parity
+      // deterministic across runs
+      assert(n == survivors(spec, new OddTokenConvictor(spec, Map.empty)))
+    }
+  }
+
+  test("dry-run evaluates but retains 100% (reference dry-run matrix rows)") {
+    val spec = layouts("dualpk_dualck")
+    val stats = graft.jobs.RetentionJob.run(
+      spark, data, spec, graft.model.RuleSet(Nil),
+      keptPath = None, dryRun = true)
+    assert(stats.kept == 10000 && stats.dropped == 0)
+  }
+}
+
+class FacadeCacheSpec extends SparkSpec {
+  import graft.cqlfacade._
+  import graft.cqlfacade.Interpolation._
+  implicit lazy val s: org.apache.spark.sql.SparkSession = spark
+
+  test("plan cache memoizes by SQL text (Q4)") {
+    PlanCache.clear()
+    val a = sql"SELECT id FROM range(5)".df
+    val b = sql"SELECT id FROM range(5)".df
+    assert(a eq b) // same DataFrame instance = parse+analyze skipped
+    assert(PlanCache.size == 1)
+    sql"SELECT id FROM range(6)".df
+    assert(PlanCache.size == 2)
+  }
+
+  test("enumerate streams rows lazily (S8)") {
+    val it = sql"SELECT id FROM range(10)".enumerate
+    assert(it.take(3).map(_.getLong(0)).toList == List(0L, 1L, 2L))
+  }
+
+  test("typed access via encoder (X10 analog)") {
+    import spark.implicits._
+    val ds = sql"SELECT id FROM range(3)".as[Long]
+    assert(ds.collect().toList == List(0L, 1L, 2L))
+  }
+}
