@@ -22,6 +22,16 @@ object SparkEntry {
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** Read + spread across all cores. The testdata parquet files have a
+    * single row group, so the scan yields ONE input split — compute-heavy
+    * per-row stages (regex, hashing, vector math) would otherwise run on
+    * one core. A cheap round-robin shuffle of the small input before an
+    * expensive map stage is the same call you'd make on a cluster when
+    * input splits are too coarse; with properly-sized files (100 TB, many
+    * row groups) it's unnecessary. */
+  private def readWide(spark: SparkSession, dir: String, table: String): DataFrame =
+    read(spark, dir, table).repartition(spark.sparkContext.defaultParallelism)
+
   /** Fixed per-job base time for TTL age (T1) — pinned so results are
     * deterministic across engines and runs. 2024-02-15T00:00:00Z. */
   private val JobStartMs = 1707955200000L
@@ -316,7 +326,7 @@ object SparkEntry {
     // MinHash+LSH near-dup candidate pairs → exact-Jaccard verified
     // (hash-dependent; driver records rows-only check)
     "q_dedup_minhash_pairs" -> ((s, dir) => {
-      val docs = read(s, dir, "documents")
+      val docs = readWide(s, dir, "documents")
       val cands = operators.Dedup.lshCandidatePairs(
         docs, "doc_id", "text", shingleN = 3, k = 20, bands = 10)
       operators.Dedup.ngramJaccard(docs, cands, "doc_id", "text", shingleN = 3)
@@ -336,12 +346,12 @@ object SparkEntry {
     // SimHash fingerprint near-dup pairs (hash-dependent; rows-only)
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       operators.Dedup.simHashNearDups(
-        read(s, dir, "documents"), "doc_id", "text", maxDist = 3)),
+        readWide(s, dir, "documents"), "doc_id", "text", maxDist = 3)),
     // ---- training-data pipeline: similarity search ---------------------
     // brute-force cosine top-10 for 3 query vectors
     "q_sim_topk_brute" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val emb = read(s, dir, "embeddings")
+      val emb = readWide(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       val scored = emb.crossJoin(broadcast(q)).select(
@@ -355,7 +365,7 @@ object SparkEntry {
     }),
     // LSH-bucketed approximate NN (hash-bucketed scale path; rows-only)
     "q_sim_ann_lsh" -> ((s, dir) => {
-      val emb = read(s, dir, "embeddings")
+      val emb = readWide(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       operators.Similarity.lshTopK(emb, q, k = 10, nbits = 4)
@@ -366,18 +376,18 @@ object SparkEntry {
     // this corpus — max pairwise cosine in the synthetic embeddings ≈ 0.51)
     "q_sim_near_dup" -> ((s, dir) =>
       operators.Similarity.cosineNearDups(
-          read(s, dir, "embeddings"), threshold = 0.4, nbits = 6, bands = 4)
+          readWide(s, dir, "embeddings"), threshold = 0.4, nbits = 6, bands = 4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))),
     // ---- training-data pipeline: text analysis -------------------------
     "q_text_stats" -> ((s, dir) =>
-      read(s, dir, "documents").select(
+      readWide(s, dir, "documents").select(
         col("doc_id"),
         operators.TextAnalysis.langId(col("text")).as("lang_pred"),
         operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         operators.TextAnalysis.bpeTokenEstimate(col("text")).as("n_bpe"),
         operators.TextAnalysis.qualityScore(col("text")).as("quality"))),
     "q_text_fingerprint" -> ((s, dir) =>
-      read(s, dir, "documents").select(
+      readWide(s, dir, "documents").select(
         col("doc_id"),
         operators.TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))),
     // ---- training-data pipeline: multimodal ----------------------------
