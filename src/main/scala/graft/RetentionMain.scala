@@ -20,9 +20,11 @@ import org.apache.spark.sql.SparkSession
   */
 object RetentionMain {
   def main(args: Array[String]): Unit = {
+    // values may encode spaces as %20 (launchers like sbt split on spaces)
     val opts = args.map { a =>
       val i = a.indexOf('=')
-      require(i > 0, s"bad arg '$a' (want key=value)"); a.take(i) -> a.drop(i + 1)
+      require(i > 0, s"bad arg '$a' (want key=value)")
+      a.take(i) -> a.drop(i + 1).replace("%20", " ")
     }.toMap
 
     val spark = SparkSession.builder()
@@ -40,7 +42,14 @@ object RetentionMain {
         partitionKeys = opts.getOrElse("pk", "").split(",").filter(_.nonEmpty).toSeq,
         clusteringKeys = opts.getOrElse("ck", "").split(",").filter(_.nonEmpty).toSeq,
         writetimeCol = opts.get("writetime"))
-      val df = spark.read.parquet(opts("src"))
+      // writetime_expr derives the µs writetime column when the source
+      // stores it indirectly (e.g. "ts div 1000" over a nanos column)
+      val df0 = spark.read.parquet(opts("src"))
+      val df = (opts.get("writetime"), opts.get("writetime_expr")) match {
+        case (Some(wt), Some(e)) if !df0.columns.contains(wt) =>
+          df0.withColumn(wt, org.apache.spark.sql.functions.expr(e))
+        case _ => df0
+      }
       val ttlMode = opts.get("ttl_mode").contains("true")
       val rs = opts.get("rules_path")
         .map(p => RulesSource.fromParquet(spark, p,

@@ -372,6 +372,16 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"),
           col("rank"))
     }),
+    // IVF-flat approximate NN: coarse-quantizer inverted lists, nprobe
+    // probing (rows-only)
+    "q_sim_ann_ivf" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      operators.Similarity.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"),
+          col("rank"))
+    }),
     // embedding-cosine near-duplicate pairs (rows-only; threshold tuned to
     // this corpus — max pairwise cosine in the synthetic embeddings ≈ 0.51)
     "q_sim_near_dup" -> ((s, dir) =>

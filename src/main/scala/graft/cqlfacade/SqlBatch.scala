@@ -14,18 +14,37 @@ import scala.concurrent.{ExecutionContext, Future}
   * Spark's hash shuffle; result-stream interleave (S9) is `union` (order-
   * free merge).
   */
-final case class SqlBatch(statements: Seq[SqlStatement]) {
+/** Q6 — the batch type lattice (ref: cql/CQLBatch.scala:25-54). On Spark
+  * the types are execution metadata: LOGGED batches are never split
+  * (atomicity — ref: CQLBatch.scala:234-282 never groups logged batches);
+  * UNLOGGED/COUNTER batches split into concurrent sub-batches. */
+sealed trait BatchType
+case object Unlogged extends BatchType
+case object Logged extends BatchType
+case object Counter extends BatchType
 
-  def ++(other: SqlBatch): SqlBatch = SqlBatch(statements ++ other.statements)
-  def +(st: SqlStatement): SqlBatch = SqlBatch(statements :+ st)
+final case class SqlBatch(
+    statements: Seq[SqlStatement],
+    batchType: BatchType = Unlogged) {
+
+  def ++(other: SqlBatch): SqlBatch =
+    SqlBatch(statements ++ other.statements, batchType)
+  def +(st: SqlStatement): SqlBatch = SqlBatch(statements :+ st, batchType)
   def size: Int = statements.size
 
+  def logged: SqlBatch = copy(batchType = Logged)
+  def unlogged: SqlBatch = copy(batchType = Unlogged)
+  def counter: SqlBatch = copy(batchType = Counter)
+
   /** Q5 — split into sub-batches of at most `maxBatch` and run each group
-    * concurrently; one Future per group, joined with Future.sequence. */
+    * concurrently; one Future per group, joined with Future.sequence.
+    * Logged batches are never split: one sequential group. */
   def execute(maxBatch: Int = 64)(
       implicit spark: SparkSession,
       ec: ExecutionContext): Future[Seq[Array[org.apache.spark.sql.Row]]] = {
-    val groups = statements.grouped(maxBatch).toSeq
+    val groups =
+      if (batchType == Logged) Seq(statements)
+      else statements.grouped(maxBatch).toSeq
     Future
       .sequence(groups.map { g =>
         Future { g.map(_.df.collect()) }

@@ -12,7 +12,13 @@ final case class RetentionStats(
     kept: Long,
     dropped: Long,
     mode: PlanMode,
-    backupWritten: Boolean)
+    backupWritten: Boolean,
+    elapsedMs: Long = 0L) {
+  /** A2 — throughput, the reference's keys/sec status metric
+    * (ref: FilteringSSTableScanner.java:333-373). */
+  def keysPerSec: Double =
+    if (elapsedMs <= 0) 0.0 else (kept + dropped) * 1000.0 / elapsedMs
+}
 
 /** The retention dataflow (SURVEY.md §3.1 re-expressed Spark-first):
   * driver compiles rules → one map-only filtered write for the kept side
@@ -60,6 +66,8 @@ object RetentionJob {
       ttlMode: Boolean = false,
       dryRun: Boolean = false,
       jobStartMs: Long = System.currentTimeMillis()): RetentionStats = {
+    val t0 = System.nanoTime()
+    def elapsedMs: Long = (System.nanoTime() - t0) / 1000000L
     val (keepCol, mode) = plan(df, spec, rs, ttlMode, jobStartMs)
     val effectiveDry = dryRun || mode.isDryRun
 
@@ -74,7 +82,7 @@ object RetentionJob {
         Option(row.getAs[Long]("kept")).getOrElse(0L) +
           Option(row.getAs[Long]("dropped")).getOrElse(0L),
         Option(row.getAs[Long]("dropped")).getOrElse(0L),
-        mode, backupWritten = false)
+        mode, backupWritten = false, elapsedMs = elapsedMs)
     } else {
       val wantBoth = keptPath.isDefined && backupPath.isDefined
       // Single pass over the source for both sinks: persist the flagged
@@ -106,7 +114,7 @@ object RetentionJob {
             backupWritten = true
           }
         }
-        RetentionStats(kept, dropped, mode, backupWritten)
+        RetentionStats(kept, dropped, mode, backupWritten, elapsedMs)
       } finally {
         if (wantBoth) flagged.unpersist()
       }

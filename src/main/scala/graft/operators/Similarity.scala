@@ -109,6 +109,70 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-flat approximate top-k: a coarse quantizer of `nlist` centroids
+    * partitions the corpus into inverted lists; each query scans only the
+    * `nprobe` nearest lists. Centroids here are sampled deterministically
+    * from the corpus (every ⌈n/nlist⌉-th vector by id — no RNG, no
+    * training iteration; swap in k-means centroids for better recall
+    * without touching the dataflow). The corpus is assigned once
+    * (map-only, centroids broadcast as literals); the query join is an
+    * equi-join on list id — the 100 TB shape: per-query work is
+    * corpus/nlist·nprobe instead of the full scan. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 2,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    import org.apache.spark.sql.Row
+    val n = corpus.count()
+    val step = math.max(1L, n / nlist)
+    val centroids: Array[(Int, Seq[Double])] = corpus
+      .filter(pmod(col(corpusId), lit(step)) === 0)
+      .orderBy(col(corpusId))
+      .limit(nlist)
+      .select(col(corpusVec).cast("array<double>"))
+      .collect()
+      .zipWithIndex
+      .map { case (r: Row, i) => (i, r.getSeq[Double](0)) }
+
+    def scoredArray(vec: Column): Column =
+      array(centroids.map { case (i, c) =>
+        struct(dot(vec.cast("array<double>"), typedLit(c)).as("d"),
+          lit(i).as("i"))
+      }: _*)
+
+    /** index of the nearest centroid (max dot). NOTE: expressed as
+      * array_max over one scored array — an argmax via
+      * reduce(when(a>=b,a,b)) duplicates both operands per step and grows
+      * the expression tree exponentially (hung the optimizer at 16
+      * centroids). */
+    def nearestList(vec: Column): Column =
+      array_max(scoredArray(vec)).getField("i")
+
+    /** the `nprobe` nearest list ids for a query, as an array column */
+    def probeLists(vec: Column): Column =
+      transform(
+        slice(reverse(array_sort(scoredArray(vec))), 1, nprobe),
+        s => s.getField("i"))
+
+    val assigned = corpus.withColumn("__list", nearestList(col(corpusVec)))
+    val probed = queries
+      .withColumn("__list", explode(probeLists(col(queryVec))))
+    val joined = assigned.join(broadcast(probed), "__list")
+    val scored = joined.select(
+      col(queryId), col(corpusId),
+      cosine(col(corpusVec).cast("array<double>"),
+        col(queryVec).cast("array<double>")).as("cos"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cos").desc, col(corpusId))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥
     * threshold) via the same LSH bucketing — the vector analog of
     * MinHash near-dup detection.

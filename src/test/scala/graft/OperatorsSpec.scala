@@ -101,6 +101,26 @@ class SimilaritySpec extends SparkSpec {
     val rows = nd.as[(Long, Long, Double)].collect()
     rows.foreach { case (a, b, c) => assert(a < b && c >= 0.95) }
   }
+
+  test("IVF top-k: self-match recalled when probing its own list; k bounded") {
+    val queries = emb.limit(3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = Similarity.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 8)
+    // nprobe = nlist → exhaustive: must equal brute force incl. self rank 1
+    val byQuery = top.select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+    assert(byQuery.size == 3)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(rows.find(_._3 == 1).get._2 == q)
+    }
+    // partial probing returns at most k per query and is deterministic
+    val partial = Similarity.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val partial2 = Similarity.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(partial == partial2 && partial.nonEmpty)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

@@ -171,4 +171,15 @@ class SqlFacadeExecSpec extends SparkSpec {
     val res = scala.concurrent.Await.result(b.execute(maxBatch = 2), 120.seconds)
     assert(res.flatten.map(_.getInt(0)).toSet == (1 to 6).toSet)
   }
+
+  test("batch type lattice: logged batches never split (Q6)") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val b = SqlBatch((1 to 4).map(i => sql"SELECT $i AS v")).logged
+    assert(b.batchType == Logged)
+    assert(b.unlogged.batchType == Unlogged && b.counter.batchType == Counter)
+    assert((b ++ SqlBatch(Seq(sql"SELECT 5 AS v"))).batchType == Logged)
+    val res = scala.concurrent.Await.result(b.execute(maxBatch = 1), 120.seconds)
+    assert(res.flatten.map(_.getInt(0)).toSet == (1 to 4).toSet)
+  }
 }
