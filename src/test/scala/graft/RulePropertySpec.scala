@@ -1,0 +1,122 @@
+package graft
+
+import graft.model._
+import graft.compile.RuleCompiler
+import graft.sources.RulesSource
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests pinning the conviction semantics against an independent
+  * in-memory reference model (the reference repo has no property tests —
+  * SURVEY.md §5). The model re-states the spec directly:
+  * convicted(row) ⟺ ∃ rule: ∀ (col,ranges) ∈ rule: value(col) ≠ null ∧
+  * ∃ range: (lo = null ∨ value ≥ lo) ∧ (hi = null ∨ value ≤ hi).
+  * Sampling uses fixed seeds (deterministic runs). */
+class RulePropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** deterministic sampler */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val genBound: Gen[Bound] = for {
+    lo <- Gen.option(Gen.chooseNum(-50L, 50L).map(_.toString))
+    hi <- Gen.option(Gen.chooseNum(-50L, 50L).map(_.toString))
+  } yield Bound(lo, hi)
+
+  private val genRule: Gen[Rule] = for {
+    nCols <- Gen.chooseNum(1, 2)
+    cols <- Gen.pick(nCols, Seq("a", "b"))
+    ranges <- Gen.listOfN(nCols, Gen.nonEmptyListOf(genBound).map(_.take(3)))
+  } yield Rule("r", cols.zip(ranges).toMap)
+
+  private val genRuleSet: Gen[RuleSet] =
+    Gen.listOf(genRule).map(rs => RuleSet(rs.take(4)))
+
+  private val genRows: Gen[List[(Option[Long], Option[Long])]] =
+    Gen.nonEmptyListOf(for {
+      a <- Gen.option(Gen.chooseNum(-60L, 60L))
+      b <- Gen.option(Gen.chooseNum(-60L, 60L))
+    } yield (a, b)).map(_.take(30))
+
+  /** the independent model */
+  private def modelConvicted(
+      row: (Option[Long], Option[Long]), rs: RuleSet): Boolean = {
+    def value(c: String): Option[Long] = if (c == "a") row._1 else row._2
+    rs.rules.exists { r =>
+      r.colRanges.nonEmpty && r.colRanges.forall { case (c, ranges) =>
+        value(c).exists(v => ranges.exists(b =>
+          b.lo.forall(lo => v >= lo.toLong) && b.hi.forall(hi => v <= hi.toLong)))
+      }
+    }
+  }
+
+  test("compiled predicate ≡ independent model for random rules + rows") {
+    val cases = samples(genRuleSet, 25).zip(samples(genRows, 25))
+    assert(cases.size >= 20)
+    cases.foreach { case (rs, rows) =>
+      val df = rows.toDF("a", "b")
+      val got = df
+        .withColumn("__k", RuleCompiler.keep(rs, df.schema))
+        .select("a", "b", "__k")
+        .collect()
+        .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+          Option(r.get(1)).map(_.asInstanceOf[Long])) -> r.getBoolean(2))
+      got.foreach { case (row, kept) =>
+        assert(kept == !modelConvicted(row, rs),
+          s"row $row rules $rs: compiled=$kept model=${!modelConvicted(row, rs)}")
+      }
+    }
+  }
+
+  test("keep and drop are exact complements (U2) for random rule sets") {
+    samples(genRuleSet, 8).zip(samples(genRows, 8)).foreach { case (rs, rows) =>
+      val df = rows.toDF("a", "b")
+      val keep = RuleCompiler.keep(rs, df.schema)
+      val k = df.filter(keep).count()
+      val d = df.filter(!keep).count()
+      assert(k + d == rows.length)
+    }
+  }
+
+  test("TTL: effectiveTtl is min over matching rules or default") {
+    val df = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("a", "writetime")
+    val rs = RuleSet(Seq(
+      Rule("r1", Map("a" -> Seq(Bound(Some("1"), Some("2")))), ttl = Some(500L)),
+      Rule("r2", Map("a" -> Seq(Bound(Some("2"), Some("3")))), ttl = Some(100L))),
+      defaultTtl = Some(999L))
+    val got = df.select(col("a"),
+      RuleCompiler.effectiveTtl(rs, df.schema).as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 500L, 2L -> 100L, 3L -> 100L))
+  }
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+}
+
+/** JSON rule-config validation (F6/X8 shape rules —
+  * ref: ConfigurableDeleter.java:76-151). */
+class JsonRulesSpec extends AnyFunSuite {
+  test("scalar = point range, 2-array = range, null = unbounded") {
+    val rs = RulesSource.fromJson("""{"x": [[1, 5], 9, [null, 3]], "y": 7}""")
+    val ranges = rs.rules.head.colRanges
+    assert(ranges("x") == Seq(
+      Bound(Some("1"), Some("5")), Bound(Some("9"), Some("9")),
+      Bound(None, Some("3"))))
+    assert(ranges("y") == Seq(Bound(Some("7"), Some("7"))))
+  }
+
+  test("maps and 3-deep arrays rejected; non-object root rejected") {
+    intercept[IllegalArgumentException] {
+      RulesSource.fromJson("""{"x": {"nested": 1}}""")
+    }
+    intercept[IllegalArgumentException] {
+      RulesSource.fromJson("""{"x": [[1, [2, 3]]]}""")
+    }
+    intercept[IllegalArgumentException] {
+      RulesSource.fromJson("""{"x": [[1, 2, 3]]}""")
+    }
+    intercept[IllegalArgumentException] { RulesSource.fromJson("""[1,2]""") }
+  }
+}
