@@ -20,7 +20,11 @@ object Bench {
         .groupBy("l_returnflag").count().count()
       spark.range(0, 1000000).selectExpr("sum(id)").count()
     } catch { case _: Throwable => () }
+    // Per-query: one untimed warm run (whole-stage-codegen + JIT compile of
+    // that query's generated code — measured at 14s one-time vs 2s steady
+    // for the heaviest pipeline), then the timed steady-state run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

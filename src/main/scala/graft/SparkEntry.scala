@@ -327,9 +327,17 @@ object SparkEntry {
     // (hash-dependent; driver records rows-only check)
     "q_dedup_minhash_pairs" -> ((s, dir) => {
       val docs = readWide(s, dir, "documents")
+      // materialize the (small) candidate set once, then shingle ONLY the
+      // candidate documents for the exact-Jaccard verify — at corpus scale
+      // the verify side must never recompute signatures or shingle
+      // non-candidates
       val cands = operators.Dedup.lshCandidatePairs(
-        docs, "doc_id", "text", shingleN = 3, k = 20, bands = 10)
-      operators.Dedup.ngramJaccard(docs, cands, "doc_id", "text", shingleN = 3)
+        docs, "doc_id", "text", shingleN = 3, k = 20, bands = 10).persist()
+      cands.count()
+      val ids = cands.select(col("id_a").as("doc_id"))
+        .union(cands.select(col("id_b").as("doc_id"))).distinct()
+      val candDocs = docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      operators.Dedup.ngramJaccard(candDocs, cands, "doc_id", "text", shingleN = 3)
         .filter(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),

@@ -17,15 +17,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
-  /** Word n-gram shingles of `text` as an array column (distinct). */
+  /** Word n-gram shingles of `text` as an array column (distinct).
+    * Each n-gram is built from `n` O(1) element_at lookups — a
+    * slice-per-position formulation is O(words) per position, i.e. O(n²)
+    * per document, and dominated the LSH pipeline at bench scale. */
   def shingles(text: Column, n: Int): Column = {
     val words = split(trim(lower(text)), "\\s+")
-    // sliding n-grams: positions 0 .. size-n
     array_distinct(
       when(size(words) >= n,
         transform(
           sequence(lit(0), size(words) - lit(n)),
-          i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(words, i + lit(j + 1))): _*)))
         .otherwise(array(concat_ws(" ", words))))
   }
 
