@@ -318,6 +318,16 @@ object SparkEntry {
       read(s, dir, "lineitem")
         .filter(GraftFunctions.evenValue(col("l_orderkey")))
         .select("l_orderkey", "l_linenumber")),
+    // S10/skew — salted join: row-identical to the plain join, hot keys
+    // spread over salt buckets (l_suppkey has only 10 values at sf0.1 —
+    // genuinely skewed)
+    "q_scale_salted_join" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val sup = read(s, dir, "supplier")
+      operators.Scale.saltedJoin(li, sup.withColumnRenamed("s_suppkey", "l_suppkey"),
+          "l_suppkey", salts = 8)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
+    }),
     // ---- training-data pipeline: dedup ---------------------------------
     // exact dedup (hash-groupBy; min-id survivor per identical text)
     "q_dedup_exact" -> ((s, dir) =>
@@ -568,6 +578,9 @@ object SparkEntry {
          FROM events""",
     "q_x7_parity" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 2 = 0""",
+    "q_scale_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",

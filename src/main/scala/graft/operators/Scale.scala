@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: skew-salted joins and bucketed (co-located) table
+  * layout — the knobs a 100 TB deployment reaches for when AQE's runtime
+  * skew handling isn't enough or when a join key is reused across many
+  * jobs (SURVEY.md §2.1 S10: the reference's token-aware routing is
+  * exactly this co-location concern, client-side).
+  */
+object Scale {
+
+  /** Skew-salted equi-join of a large, skewed `facts` side against a
+    * smaller `dim` side: the fact key gains a random-but-deterministic
+    * salt in [0, salts), the dim side is exploded `salts`× so every salted
+    * key finds its partner. One hot key spreads over `salts` reducers.
+    * Result is row-identical to the unsalted join.
+    *
+    * The salt is derived from a hash of the full fact row (deterministic —
+    * repeatable runs, no RNG), which distributes a hot key's rows
+    * uniformly without a shuffle of its own. */
+  def saltedJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      key: String,
+      salts: Int = 8,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedFacts = facts.withColumn(
+      "__salt",
+      pmod(hash(facts.columns.map(col): _*), lit(salts)))
+    val explodedDim = dim.withColumn(
+      "__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFacts
+      .join(explodedDim, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+
+  /** Write both sides of a recurring join as bucketed tables so the join
+    * runs shuffle-free: `bucketBy` pre-hashes rows into `buckets` files
+    * per partition keyed on the join column; Spark's scan reports the
+    * hash distribution and the planner elides both exchanges.
+    * Tables land in the session warehouse under the given names. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      buckets: Int = 8,
+      sortCol: Option[String] = None): Unit = {
+    val w = df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(s => w.sortBy(s)).saveAsTable(table)
+  }
+
+  /** Join two same-bucketed tables; with matching bucket specs the plan
+    * contains no Exchange on either side. */
+  def bucketedJoin(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      key: String,
+      joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+
+  /** O1 — the sorted-layout writer: partition-major, clustering-sorted
+    * files (the reference's backup sink relies on exactly this arrival
+    * order — ref: BackupSinkForDeletingCompaction.java:55-57). Sorted
+    * parquet also gives row-group min/max stats that make later range
+    * predicates prunable. */
+  def writeSorted(
+      df: DataFrame,
+      path: String,
+      partitionKeys: Seq[String],
+      clusteringKeys: Seq[String],
+      numPartitions: Int = 0): Unit = {
+    val parted =
+      if (numPartitions > 0)
+        df.repartition(numPartitions, partitionKeys.map(col): _*)
+      else df.repartition(partitionKeys.map(col): _*)
+    parted
+      .sortWithinPartitions((partitionKeys ++ clusteringKeys).map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+}
