@@ -23,8 +23,18 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bucketed join plans without exchanges on either side") {
-    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
-    // session warehouse is fixed at creation; use unique table names
+    // drop stale tables AND their warehouse locations (a dropped-at-exit
+    // table leaves its directory behind, which blocks re-creation)
+    Seq("graft_buck_a", "graft_buck_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
     Scale.writeBucketed(a, "graft_buck_a", "k", buckets = 4, sortCol = Some("k"))
