@@ -37,6 +37,9 @@ object RetentionMain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Q8 tracing hooks: trace=true prints per-action timing lines
+    val tracer = if (args.exists(_ == "trace=true"))
+      Some(graft.plans.Tracing.install(spark)) else None
     try {
       val spec = TableSpec(
         partitionKeys = opts.getOrElse("pk", "").split(",").filter(_.nonEmpty).toSeq,
@@ -70,7 +73,15 @@ object RetentionMain {
       // one JSON status line, like the reference's interval stats log
       println(s"""{"kept":${stats.kept},"dropped":${stats.dropped},""" +
         s""""dryRun":${stats.mode.isDryRun || strat.effectiveDryRun},""" +
-        s""""backupWritten":${stats.backupWritten}}""")
+        s""""backupWritten":${stats.backupWritten},""" +
+        s""""elapsedMs":${stats.elapsedMs},""" +
+        f""""keysPerSec":${stats.keysPerSec}%.1f}""")
+      tracer.foreach { t =>
+        Thread.sleep(500) // listener callbacks are async
+        t.drain().foreach(e => println(
+          s"""{"trace":"${e.funcName}","class":"${e.queryClass}",""" +
+            s""""table":"${e.table}","ms":${e.durationNs / 1000000}}"""))
+      }
     } finally spark.stop()
   }
 }

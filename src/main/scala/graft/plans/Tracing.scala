@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Q8/A6 — execution tracing: the reference wraps statement execution in
+  * timing hooks feeding metrics keyed by a (queryClass, keyspace, table)
+  * classification (ref: cql/tracing/CQLTracer.scala:11-19,
+  * CQLSession.scala:105-164 statExec). The Spark-native seam is a
+  * QueryExecutionListener: every action reports its QueryExecution and
+  * wall duration; we classify from the analyzed plan's first relation.
+  */
+final case class TraceEvent(
+    funcName: String,
+    queryClass: String,
+    table: String,
+    durationNs: Long,
+    failed: Boolean)
+
+class TracingListener extends QueryExecutionListener {
+  private val events = new ConcurrentLinkedQueue[TraceEvent]()
+
+  private def classify(qe: QueryExecution): (String, String) = {
+    val plan = qe.analyzed
+    val cls = plan.getClass.getSimpleName
+      .stripSuffix("$").replaceAll("Command|Exec$", "").toLowerCase
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val table = plan.collectLeaves().headOption.map {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.headOption
+              .map(_.getName.stripSuffix(".parquet"))
+              .getOrElse("parquet")
+          case other => other.getClass.getSimpleName.toLowerCase
+        }
+      case leaf => leaf.nodeName.toLowerCase
+    }.getOrElse("")
+    (cls, table)
+  }
+
+  override def onSuccess(
+      funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+    val (cls, table) = classify(qe)
+    events.add(TraceEvent(funcName, cls, table, durationNs, failed = false))
+  }
+
+  override def onFailure(
+      funcName: String, qe: QueryExecution, exception: Exception): Unit = {
+    val (cls, table) = classify(qe)
+    events.add(TraceEvent(funcName, cls, table, 0L, failed = true))
+  }
+
+  def drain(): Seq[TraceEvent] = {
+    val out = Seq.newBuilder[TraceEvent]
+    var e = events.poll()
+    while (e != null) { out += e; e = events.poll() }
+    out.result()
+  }
+}
+
+object Tracing {
+  /** Install a listener on the session; returns it for draining. */
+  def install(spark: SparkSession): TracingListener = {
+    val l = new TracingListener
+    spark.listenerManager.register(l)
+    l
+  }
+  def uninstall(spark: SparkSession, l: TracingListener): Unit =
+    spark.listenerManager.unregister(l)
+}

@@ -1,0 +1,24 @@
+package graft
+
+import graft.plans.Tracing
+
+class TracingSpec extends SparkSpec {
+
+  test("listener traces actions with duration and source classification") {
+    val l = Tracing.install(spark)
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      // listener callbacks are async; poll briefly
+      var tries = 0
+      var evs = l.drain()
+      while (evs.isEmpty && tries < 50) {
+        Thread.sleep(100); evs = l.drain(); tries += 1
+      }
+      assert(evs.nonEmpty)
+      val e = evs.head
+      assert(e.funcName == "count")
+      assert(!e.failed && e.durationNs > 0)
+      assert(e.table == "region")
+    } finally Tracing.uninstall(spark, l)
+  }
+}
