@@ -318,6 +318,17 @@ object SparkEntry {
       read(s, dir, "lineitem")
         .filter(GraftFunctions.evenValue(col("l_orderkey")))
         .select("l_orderkey", "l_linenumber")),
+    // T3 — event-time windowed aggregation (the streaming-native shape,
+    // batch-verified): hourly counts + value sums per event_type
+    "q_t3_windowed_counts" -> ((s, dir) => {
+      val ev = eventsWt(s, dir)
+      ev.withColumn("ts_us", timestamp_micros(col("writetime")))
+        .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("value_sum"))
+        .select(unix_micros(col("window.start")).as("bucket_us"),
+          col("event_type"), col("n"), col("value_sum"))
+    }),
     // S10/skew — salted join: row-identical to the plain join, hot keys
     // spread over salt buckets (l_suppkey has only 10 values at sf0.1 —
     // genuinely skewed)
@@ -578,6 +589,11 @@ object SparkEntry {
          FROM events""",
     "q_x7_parity" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 2 = 0""",
+    "q_t3_windowed_counts" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS bucket_us,
+           event_type, count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,6))) AS value_sum
+         FROM events GROUP BY 1, 2""",
     "q_scale_salted_join" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
