@@ -1,0 +1,83 @@
+package graft
+
+import graft.model._
+import graft.sources.RulesSource
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Typed bound parsing across the §1.3 type matrix (the analog of
+  * AbstractType.fromString) — every supported type plus failure→None
+  * (which validation turns into dry-run, never an exception). */
+class BoundParserSpec extends AnyFunSuite {
+
+  test("numeric, boolean, string, decimal types parse") {
+    assert(BoundParser.parse("42", LongType).contains(42L))
+    assert(BoundParser.parse(" -7 ", IntegerType).contains(-7))
+    assert(BoundParser.parse("3", ShortType).contains(3.toShort))
+    assert(BoundParser.parse("3", ByteType).contains(3.toByte))
+    assert(BoundParser.parse("2.5", DoubleType).contains(2.5d))
+    assert(BoundParser.parse("2.5", FloatType).contains(2.5f))
+    assert(BoundParser.parse("true", BooleanType).contains(true))
+    assert(BoundParser.parse("abc", StringType).contains("abc"))
+    assert(BoundParser.parse("12.34", DecimalType(10, 2))
+      .contains(new java.math.BigDecimal("12.34")))
+  }
+
+  test("date and timestamp forms parse; epoch-micros accepted") {
+    assert(BoundParser.parse("2024-01-15", DateType)
+      .contains(java.sql.Date.valueOf("2024-01-15")))
+    assert(BoundParser.parse("2024-01-15 10:30:00", TimestampType).isDefined)
+    // all-digit = epoch micros
+    val us = BoundParser.parse("1700000000000000", TimestampType)
+    assert(us.contains(java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L))))
+    assert(BoundParser.parse("2024-01-15 10:30:00", TimestampNTZType)
+      .contains(java.time.LocalDateTime.parse("2024-01-15T10:30:00")))
+  }
+
+  test("binary hex parses; bad inputs return None (degrade, not throw)") {
+    assert(BoundParser.parse("0x0a0b", BinaryType).exists {
+      case a: Array[Byte] => a.toSeq == Seq(0x0a.toByte, 0x0b.toByte)
+      case _ => false
+    })
+    assert(BoundParser.parse("zz", LongType).isEmpty)
+    assert(BoundParser.parse("not-a-date", DateType).isEmpty)
+    assert(BoundParser.parse("0xzz", BinaryType).isEmpty)
+    assert(BoundParser.parse("1", ArrayType(LongType)).isEmpty) // unsupported type
+  }
+}
+
+/** Rules-source parsing: multi-range OR per (rulename, column), ttl
+  * column, schema validation. */
+class RulesSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multiple rows per (rulename, column) OR together; ttl read per rule") {
+    val df = Seq(
+      ("r1", "tenant", "1", "2", Some(300L)),
+      ("r1", "tenant", "9", "9", Some(300L)),
+      ("r1", "id", null, "zz", Some(300L)),
+      ("r2", "tenant", "5", "5", Some(-1L)))
+      .toDF("rulename", "column", "lo", "hi", "ttl")
+    val rs = RulesSource.fromDataFrame(df, defaultTtl = Some(60L))
+    assert(rs.defaultTtl.contains(60L))
+    val r1 = rs.rules.find(_.name == "r1").get
+    assert(r1.colRanges("tenant").toSet ==
+      Set(Bound(Some("1"), Some("2")), Bound(Some("9"), Some("9"))))
+    assert(r1.colRanges("id") == Seq(Bound(None, Some("zz"))))
+    assert(r1.ttl.contains(300L))
+    assert(rs.rules.find(_.name == "r2").get.ttl.contains(-1L))
+  }
+
+  test("missing required columns rejected") {
+    val bad = Seq(("a", "b")).toDF("rulename", "notcolumn")
+    intercept[IllegalArgumentException] {
+      RulesSource.fromDataFrame(bad)
+    }
+  }
+
+  test("non-ttl rules table yields ttl-less rules") {
+    val df = Seq(("r", "c", "1", "2")).toDF("rulename", "column", "lo", "hi")
+    assert(RulesSource.fromDataFrame(df).rules.head.ttl.isEmpty)
+  }
+}
