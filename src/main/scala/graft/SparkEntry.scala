@@ -372,6 +372,13 @@ object SparkEntry {
       operators.Dedup.ngramJaccard(docs, pairs, "doc_id", "text", shingleN = 1)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
+    // full near-dup dedup pipeline: LSH candidates → Jaccard verify →
+    // connected-component group resolution → survivors only (rows-only)
+    "q_dedup_resolve" -> ((s, dir) =>
+      operators.Dedup.nearDupDedup(
+          readWide(s, dir, "documents"), "doc_id", "text",
+          jaccardThreshold = 0.8)
+        .select("doc_id", "lang", "source", "n_chars")),
     // SimHash fingerprint near-dup pairs (hash-dependent; rows-only)
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       operators.Dedup.simHashNearDups(

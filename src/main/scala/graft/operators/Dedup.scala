@@ -174,6 +174,72 @@ object Dedup {
       0L, (acc, b) -> acc | b)
     """)
 
+  /** Resolve near-duplicate pairs into groups and survivors: connected
+    * components by iterative min-label propagation over the pair edges
+    * (each round: every node adopts the smallest label among itself and
+    * its neighbors; converges in O(diameter) rounds — near-dup clusters
+    * are shallow, so `maxIters` = 10 covers pathological chains of 2^10).
+    * Returns (id, survivor_id); survivor is the component minimum.
+    * Each iteration is two hash joins + an aggregate — no driver-side
+    * graph, scales with the edge list. */
+  def resolveDuplicateGroups(
+      pairs: DataFrame,
+      maxIters: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "dst_label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("survivor_id"))
+  }
+
+  /** Full near-dup dedup: candidates → exact-Jaccard verify → group
+    * resolution → survivors-only corpus. The complete pipeline a training
+    * set dedup run executes. */
+  def nearDupDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      jaccardThreshold: Double = 0.8,
+      shingleN: Int = 3,
+      k: Int = 20,
+      bands: Int = 10): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, k, bands)
+    val verified = ngramJaccard(df, cands, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b")
+    val groups = resolveDuplicateGroups(verified)
+    val losers = groups.filter(col("id") =!= col("survivor_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Hamming distance between two 64-bit SimHash fingerprints. */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

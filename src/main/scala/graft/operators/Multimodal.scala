@@ -96,6 +96,23 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: deterministic downsample of the decoded media to a
+    * target box preserving aspect ratio — the shape of a real resize pass
+    * (per-partition, decoder state reused). Real codecs replace the
+    * dimension arithmetic + byte sampling; the dataflow stays. */
+  def resize(decoded: Dataset[DecodedMedia], maxSide: Int)(
+      implicit spark: SparkSession): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    decoded.mapPartitions { batch =>
+      batch.map { d =>
+        val scale = math.min(1.0, maxSide.toDouble / math.max(d.width, d.height))
+        d.copy(
+          width = math.max(1, math.round(d.width * scale).toInt),
+          height = math.max(1, math.round(d.height * scale).toInt))
+      }
+    }
+  }
+
   /** Pure-SQL metadata/feature extraction over the binary column —
     * byte length + md5 (both cross-engine verifiable) — the part of the
     * decode pipeline that needs no codec. */

@@ -47,6 +47,23 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 4L)) < 0.2)
   }
 
+  test("duplicate groups resolve to component minimum; chains connect") {
+    // components: {1,2,3} (chain), {7,9}, singleton 5 untouched (no edges)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val groups = Dedup.resolveDuplicateGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("nearDupDedup keeps one survivor per duplicate group") {
+    val out = Dedup.nearDupDedup(docs, "doc_id", "text",
+      jaccardThreshold = 0.9, shingleN = 2, k = 20, bands = 10)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(2L)) // exact dup of 1 dropped
+    assert(kept.contains(1L))
+    assert(kept.contains(4L) && kept.contains(5L)) // below threshold: both stay
+  }
+
   test("simhash: identical text → same fp; near-dup within few bits; distinct far") {
     val fps = docs.select(Dedup.simHashExpr("text").as("fp")).as[Long].collect()
     assert(fps(0) == fps(1))
@@ -205,6 +222,14 @@ class MultimodalSpec extends SparkSpec {
     val vids = media.filter(col("media_type") === "video").count()
     assert(frames.count() >= vids) // every video with >=17 bytes yields >=1 frame
     assert(frames.select("doc_id").distinct().count() <= vids)
+  }
+
+  test("resize stub preserves aspect ratio within a bounding box") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val resized = Multimodal.resize(Multimodal.decodeAll(media), maxSide = 32)
+    val rows = resized.collect()
+    assert(rows.forall(r => r.width <= 32 && r.height <= 32))
+    assert(rows.forall(r => r.width >= 1 && r.height >= 1))
   }
 
   test("binaryMeta byte length matches document n_chars for ascii corpus") {
