@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.{FormattedMode, SimpleMode}
+
+/** Plan-shape regression tests: the scale-critical physical-plan
+  * properties (parquet predicate pushdown, column pruning, broadcast for
+  * small sides, codegen on map-only pipelines) asserted so a refactor
+  * can't silently regress them. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+
+  private def simple(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(SimpleMode)
+
+  test("rule conviction pushes the compiled predicate into the parquet scan") {
+    val plan = formatted("q_f1_rule_keep")
+    assert(plan.contains("PushedFilters: ["), plan)
+    // the pushed filter mentions the rule columns
+    assert(plan.contains("l_suppkey") && plan.contains("l_returnflag"))
+  }
+
+  test("column pruning: scan reads only referenced columns") {
+    val plan = formatted("q_f2_cluster_keep")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_linenumber"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_quantity"))
+  }
+
+  test("rule-as-join uses a broadcast join for the small rules side") {
+    val plan = formatted("q_j1_rule_antijoin")
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("map-only conviction stays inside whole-stage codegen") {
+    val plan = simple("q_f1_rule_keep")
+    assert(plan.contains("*("), plan) // codegen stage markers
+  }
+
+  test("LWW dedup keeps map-side partial aggregation before the exchange") {
+    val plan = formatted("q_a7_lww_dedup")
+    // partial_max must appear below the exchange (reference: one row per
+    // key per map partition crosses the wire)
+    assert(plan.contains("partial_max"), plan)
+  }
+
+  test("salted join stays an equi (hash) join, not a nested loop") {
+    val plan = formatted("q_scale_salted_join")
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+}
