@@ -174,18 +174,54 @@ object Dedup {
       0L, (acc, b) -> acc | b)
     """)
 
-  /** Resolve near-duplicate pairs into groups and survivors: connected
-    * components by iterative min-label propagation over the pair edges
-    * (each round: every node adopts the smallest label among itself and
-    * its neighbors; converges in O(diameter) rounds — near-dup clusters
-    * are shallow, so `maxIters` = 10 covers pathological chains of 2^10).
-    * Returns (id, survivor_id); survivor is the component minimum.
-    * Each iteration is two hash joins + an aggregate — no driver-side
-    * graph, scales with the edge list. */
+  /** Resolve near-duplicate pairs into groups and survivors — returns
+    * (id, survivor_id) where the survivor is the component minimum.
+    *
+    * Hybrid strategy: the verified pair set is orders of magnitude
+    * smaller than the corpus, so when it fits comfortably on the driver
+    * (≤ `driverThreshold` edges) a union-find with path compression
+    * resolves it in one pass — each distributed iteration costs seconds of
+    * job-scheduling overhead regardless of data size, which dominates for
+    * small graphs. Larger edge sets fall back to distributed min-label
+    * propagation (two hash joins + aggregate per round, converges in
+    * O(component diameter) rounds). */
   def resolveDuplicateGroups(
       pairs: DataFrame,
-      maxIters: Int = 10): DataFrame = {
+      maxIters: Int = 10,
+      driverThreshold: Long = 4L << 20): DataFrame = {
     val spark = pairs.sparkSession
+    import spark.implicits._
+    // the upstream pair pipeline (LSH + Jaccard verify) is expensive:
+    // materialize it once for the count + collect/iterate that follow
+    val p = pairs.persist()
+    val edgeCount = p.count()
+    if (edgeCount <= driverThreshold) {
+      val es = p
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect()
+      p.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      return parent.keys.toSeq.map(id => (id, find(id)))
+        .toDF("id", "survivor_id")
+    }
+    distributedResolve(p, maxIters)
+  }
+
+  private def distributedResolve(
+      pairs: DataFrame,
+      maxIters: Int): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
