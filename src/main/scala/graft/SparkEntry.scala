@@ -274,6 +274,23 @@ object SparkEntry {
         sql"SELECT n_nationkey, n_name FROM nation_v WHERE n_regionkey = ${3}"
       b.unionAll
     }),
+    // A3 — backup-sink counts: numKeys/numCells written to the convicted
+    // side (zero ⇒ the write is aborted)
+    "q_a3_backup_count" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      li.filter(!retentionKeep(li))
+        .agg(count(lit(1)).as("num_cells"),
+          countDistinct(col("l_orderkey")).as("num_keys"))
+    }),
+    // X1 — parameter conversion (Option unwrap → literal) through the
+    // facade execution path
+    "q_x1_convert" -> ((s, dir) => {
+      import graft.cqlfacade.Interpolation._
+      implicit val sp: SparkSession = s
+      read(s, dir, "customer").createOrReplaceTempView("customer_conv_v")
+      val seg: Option[String] = Some("BUILDING")
+      sql"SELECT c_custkey, $seg AS seg_lit FROM customer_conv_v WHERE c_mktsegment = $seg".df
+    }),
     // ---- scalar functions ----------------------------------------------
     // X2 — typed parse of string bounds (timestamp) applied as a filter
     "q_x2_typed_bounds" -> ((s, dir) => {
@@ -557,6 +574,14 @@ object SparkEntry {
       """SELECT n_nationkey, n_name FROM nation WHERE n_regionkey IN (0, 1)
          UNION ALL
          SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 3""",
+    "q_a3_backup_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS num_cells,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS num_keys
+         FROM lineitem
+         WHERE l_suppkey BETWEEN 4 AND 6 AND l_returnflag = 'R'""",
+    "q_x1_convert" ->
+      """SELECT c_custkey, 'BUILDING' AS seg_lit FROM customer
+         WHERE c_mktsegment = 'BUILDING'""",
     "q_x2_typed_bounds" ->
       """SELECT l_orderkey, l_linenumber, epoch_us(l_shipdate) AS ship_us
          FROM lineitem
