@@ -330,6 +330,13 @@ object SparkEntry {
     "q_x6_age" -> ((s, dir) =>
       eventsWt(s, dir).select(col("event_id"),
         GraftFunctions.ageSeconds(col("writetime"), JobStartMs).as("age_s"))),
+    // E1 — SQL-function registration surface: graft_age_seconds registered
+    // into the FunctionRegistry and used from pure SQL
+    "q_e1_sql_function" -> ((s, dir) => {
+      graft.plans.GraftFunctionRegistry.register(s)
+      eventsWt(s, dir).createOrReplaceTempView("events_wt_v")
+      s.sql(s"SELECT event_id, graft_age_seconds(writetime, $JobStartMs) AS age_s FROM events_wt_v")
+    }),
     // X7/F9 — parity predicates (even partition key / even token)
     "q_x7_parity" -> ((s, dir) =>
       read(s, dir, "lineitem")
@@ -621,6 +628,10 @@ object SparkEntry {
          FROM events""",
     "q_x7_parity" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 2 = 0""",
+    "q_e1_sql_function" ->
+      """SELECT event_id,
+           CAST((1707955200000 - epoch_us(ts) // 1000) // 1000 AS BIGINT) AS age_s
+         FROM events""",
     "q_t3_windowed_counts" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS bucket_us,
            event_type, count(*) AS n,

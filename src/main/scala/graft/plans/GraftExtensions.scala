@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.LongType
+
+/** E1 (extension registration) — exposes graft's scalar semantics to pure
+  * SQL users through the FunctionRegistry / SparkSessionExtensions seam
+  * (the reference's convictor classes are likewise wired in by
+  * name — ref: DeletingCompactionStrategyOptions.java:125-143).
+  *
+  * Each function is COMPOSED from built-in Catalyst expressions — full
+  * whole-stage codegen, no new evaluation machinery (SURVEY.md §4.3:
+  * parity needs zero custom expression classes; the extension point is
+  * the deliverable, not a bespoke evaluator).
+  */
+object GraftFunctionRegistry {
+
+  /** graft_age_seconds(writetimeMicros, jobStartMs) — the reference's
+    * two-step integral division age math
+    * (ref: RuleBasedLateTTLConvictor.java:647-648). */
+  def ageSecondsExpr(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "graft_age_seconds(writetimeMicros, jobStartMs)")
+    val wt = Cast(args.head, LongType)
+    val start = Cast(args(1), LongType)
+    val tsMs = IntegralDivide(wt, Literal(1000L))
+    IntegralDivide(Subtract(start, tsMs), Literal(1000L))
+  }
+
+  /** graft_hamming(a, b) — Hamming distance of two 64-bit fingerprints
+    * (SimHash near-dup distance). */
+  def hammingExpr(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "graft_hamming(fp_a, fp_b)")
+    BitwiseCount(BitwiseXor(Cast(args.head, LongType), Cast(args(1), LongType)))
+  }
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_age_seconds" -> ageSecondsExpr _,
+    "graft_hamming" -> hammingExpr _)
+
+  /** Register on an existing session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  /** Injection list for [[GraftExtensions]]. */
+  private[plans] def injections = functions.map { case (name, builder) =>
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft", name),
+      builder)
+  }
+}
+
+/** `SparkSession.builder().withExtensions(new GraftExtensions)...` —
+  * session-construction-time registration of graft's SQL functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctionRegistry.injections.foreach(e.injectFunction)
+}

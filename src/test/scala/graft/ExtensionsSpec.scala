@@ -1,0 +1,34 @@
+package graft
+
+import graft.plans.GraftFunctionRegistry
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions match the Column-API semantics") {
+    GraftFunctionRegistry.register(spark)
+    val nowMs = 1700000000000L
+    val wt = nowMs * 1000L - 300L * 1000000L // aged(300)
+    val age = spark.sql(s"SELECT graft_age_seconds(${wt}L, ${nowMs}L) AS a")
+      .as[Long].collect()(0)
+    assert(age == 300L)
+    // matches the compiler's Column formulation on a real frame
+    val df = Seq(wt).toDF("writetime")
+    val viaColumn = df.select(
+      graft.compile.RuleCompiler.ageSeconds(
+        org.apache.spark.sql.functions.col("writetime"), nowMs).as("a"))
+      .as[Long].collect()(0)
+    assert(viaColumn == age)
+
+    val h = spark.sql("SELECT graft_hamming(11L, 8L) AS h").as[Int].collect()(0)
+    assert(h == 2) // 1011 xor 1000 = 0011
+  }
+
+  test("functions participate in codegen and fold constants") {
+    GraftFunctionRegistry.register(spark)
+    val plan = spark.sql("SELECT graft_age_seconds(1700000000000000, 1700000300000) AS a")
+      .queryExecution.optimizedPlan.toString
+    // constant inputs fold to a literal at plan time
+    assert(plan.contains("300"), plan)
+  }
+}
