@@ -349,7 +349,10 @@ object SparkEntry {
       ev.withColumn("ts_us", timestamp_micros(col("writetime")))
         .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).as("value_sum"))
+          // Spark's sum(decimal(18,6)) yields DECIMAL(28,6) while DuckDB's
+          // yields DECIMAL(38,6); the driver hash is representation-sensitive,
+          // so widen to the common type explicitly.
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("value_sum"))
         .select(unix_micros(col("window.start")).as("bucket_us"),
           col("event_type"), col("n"), col("value_sum"))
     }),
