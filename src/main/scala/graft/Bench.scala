@@ -1,9 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line with per-query MEDIAN steady-state
+  * seconds over `SPARK_GRAFT_BENCH_ITERS` (default 3) timed runs after one
+  * untimed warm run. Failures are NOT swallowed into fast times: a query
+  * that throws is reported under "errors" and contributes 0 to no metric —
+  * byte-identical code benched 87.95s vs 27.14s across rounds proved a
+  * single-run harness is noise-dominated, and a catch-all made broken
+  * queries *improve* the total. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,19 +29,30 @@ object Bench {
         .groupBy("l_returnflag").count().count()
       spark.range(0, 1000000).selectExpr("sum(id)").count()
     } catch { case _: Throwable => () }
-    // Per-query: one untimed warm run (whole-stage-codegen + JIT compile of
-    // that query's generated code — measured at 14s one-time vs 2s steady
-    // for the heaviest pipeline), then the timed steady-state run.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (try {
+        // one untimed warm run per query (whole-stage-codegen + JIT of that
+        // query's generated code: measured 14s one-time vs 2s steady for
+        // the heaviest pipeline), then `iters` timed runs → median.
+        fn(spark, sfDir).count()
+        val times = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        Right(times(times.size / 2))
+      } catch {
+        case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      })
+    }
+    val timed = outcomes.collect { case (n, Right(t)) => n -> t }
+    val errors = outcomes.collect { case (n, Left(m)) => n -> m }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val qs = timed.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+    val total = timed.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

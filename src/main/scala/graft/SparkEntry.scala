@@ -349,12 +349,15 @@ object SparkEntry {
       ev.withColumn("ts_us", timestamp_micros(col("writetime")))
         .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          // Spark's sum(decimal(18,6)) yields DECIMAL(28,6) while DuckDB's
-          // yields DECIMAL(38,6); the driver hash is representation-sensitive,
-          // so widen to the common type explicitly.
-          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("value_sum"))
+          // The driver hash is decimal-representation-sensitive (Spark's
+          // DECIMAL(28,6) sum vs DuckDB's DECIMAL(38,6) hash differently
+          // even when values are equal), so compare integral micro-units.
+          // round-then-cast: both engines do the same IEEE multiply and
+          // round-half-up; a bare double→long cast truncates in Spark but
+          // rounds in DuckDB.
+          sum(round(col("value") * 1000000).cast("long")).as("value_sum_micros"))
         .select(unix_micros(col("window.start")).as("bucket_us"),
-          col("event_type"), col("n"), col("value_sum"))
+          col("event_type"), col("n"), col("value_sum_micros"))
     }),
     // S10/skew — salted join: row-identical to the plain join, hot keys
     // spread over salt buckets (l_suppkey has only 10 values at sf0.1 —
@@ -413,18 +416,17 @@ object SparkEntry {
     // ---- training-data pipeline: similarity search ---------------------
     // brute-force cosine top-10 for 3 query vectors
     "q_sim_topk_brute" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val emb = readWide(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       val scored = emb.crossJoin(broadcast(q)).select(
         col("query_id"), col("vec_id"),
+        // rank on the ROUNDED score so ties resolve identically to the
+        // DuckDB oracle, which only sees 6 decimals
         round(operators.Similarity.cosine(
           col("embedding").cast("array<double>"),
           col("query_vec").cast("array<double>")), 6).as("cos_r"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_r").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      operators.Similarity.topKPerQuery(scored, 10, "query_id", "cos_r", "vec_id")
     }),
     // LSH-bucketed approximate NN (hash-bucketed scale path; rows-only)
     "q_sim_ann_lsh" -> ((s, dir) => {
@@ -450,6 +452,13 @@ object SparkEntry {
     "q_sim_near_dup" -> ((s, dir) =>
       operators.Similarity.cosineNearDups(
           readWide(s, dir, "embeddings"), threshold = 0.4, nbits = 6, bands = 4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))),
+    // exact all-pairs cosine near-dup baseline — the oracle-checked
+    // counterpart of the (recall<1 by design) LSH variant above; at sf0.01
+    // the LSH path finds 8 of the 59 exact pairs at this low threshold
+    "q_sim_near_dup_exact" -> ((s, dir) =>
+      operators.Similarity.exactNearDups(
+          readWide(s, dir, "embeddings"), threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))),
     // ---- training-data pipeline: text analysis -------------------------
     "q_text_stats" -> ((s, dir) =>
@@ -638,7 +647,7 @@ object SparkEntry {
     "q_t3_windowed_counts" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS bucket_us,
            event_type, count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,6))) AS value_sum
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum_micros
          FROM events GROUP BY 1, 2""",
     "q_scale_salted_join" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
@@ -655,6 +664,60 @@ object SparkEntry {
              CAST(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)) AS DOUBLE), 6)
              AS jaccard
          FROM w a JOIN w b ON b.doc_id = a.doc_id + 1""",
+    // exact all-pairs 3-gram Jaccard ≥ 0.8 — at sf0.01 the banded MinHash
+    // LSH (k=20, 10 bands of 2) misses a J≥0.9 pair with prob < 1e-7, so
+    // the approximate pipeline's output equals the exact oracle here
+    "q_dedup_minhash_pairs" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS s
+           FROM w)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) /
+             CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE), 6)
+             AS jaccard
+         FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+         WHERE len(list_intersect(a.s, b.s)) /
+             CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8""",
+    // survivors = corpus minus non-minimum members of the connected
+    // components of the exact-Jaccard≥0.8 graph (transitive closure via
+    // recursive CTE — the graph is tiny at sf0.01)
+    "q_dedup_resolve" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS s
+           FROM w),
+         e AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+           WHERE len(list_intersect(a.s, b.s)) /
+               CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8),
+         und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a)
+         SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT a FROM reach GROUP BY a HAVING min(b) < a)""",
+    "q_sim_near_dup_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_r
+         FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) >= 0.4""",
     "q_sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
              FROM embeddings WHERE vec_id < 3),

@@ -28,16 +28,25 @@ object RuleCompiler {
 
   /** F3 — range membership for one column over its OR'd ranges.
     * Never returns SQL NULL: the `isNotNull` guard fences three-valued
-    * logic (SURVEY.md §7.5 risk 3). */
+    * logic (SURVEY.md §7.5 risk 3).
+    *
+    * Fail-CLOSED: a bound string that [[BoundParser]] cannot parse for the
+    * column's type compiles the whole range to `lit(false)` — it matches
+    * (convicts) nothing. Silently dropping the bad side would WIDEN the
+    * range and delete more than the rule specifies; the reference treats an
+    * unparseable rule as spooked → dry-run
+    * (ref: RuleBasedDeletionConvictor.java:291-300), so in a deletion
+    * engine the only safe polarity for a garbage bound is "no match". */
   def inRanges(col: Column, dt: DataType, ranges: Seq[Bound]): Column = {
     if (ranges.isEmpty) lit(false)
     else {
       val anyRange = ranges
         .map { b =>
-          val conds =
-            b.lo.flatMap(BoundParser.parse(_, dt)).map(v => col >= lit(v)).toSeq ++
-              b.hi.flatMap(BoundParser.parse(_, dt)).map(v => col <= lit(v)).toSeq
-          conds.reduceOption(_ && _).getOrElse(lit(true)) // (null,null) = match all
+          def side(bound: Option[String], cmp: Any => Column): Seq[Option[Column]] =
+            bound.map(s => BoundParser.parse(s, dt).map(cmp)).toSeq
+          val conds = side(b.lo, v => col >= lit(v)) ++ side(b.hi, v => col <= lit(v))
+          if (conds.exists(_.isEmpty)) lit(false) // unparseable bound → match nothing
+          else conds.flatten.reduceOption(_ && _).getOrElse(lit(true)) // (null,null) = match all
         }
         .reduce(_ || _)
       col.isNotNull && anyRange

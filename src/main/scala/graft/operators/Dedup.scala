@@ -320,13 +320,15 @@ object Dedup {
       .selectExpr(idCol, "fp", "e.q AS q", "e.bucket AS bucket")
     val a = banded.as("a")
     val b = banded.as("b")
+    // Hamming cut BEFORE the dedup shuffle: the cut is a cheap bit_count on
+    // the join output, and the .distinct() (needed because a pair can agree
+    // on several quadrants) then shuffles only the surviving (id, id) pairs
+    // instead of every candidate with both 64-bit fingerprints.
     a.join(b,
         col("a.q") === col("b.q") && col("a.bucket") === col("b.bucket") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          hammingDist(col("a.fp"), col("b.fp")) <= maxDist)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-      .filter(hammingDist(col("fp_a"), col("fp_b")) <= maxDist)
-      .select("id_a", "id_b")
   }
 }

@@ -24,6 +24,58 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Distributed two-phase top-k per query over a scored frame.
+    *
+    * Phase 1 (map-only, NO shuffle): a bounded heap per query inside each
+    * input partition keeps at most k rows — O(queries·k) memory, one pass
+    * over the partition. Phase 2: the per-query window rank runs over the
+    * ≤ k·numPartitions survivors. The naive single-window formulation
+    * (`row_number over partitionBy(query)`) routes EVERY scored candidate
+    * of a query through one reducer — for brute force that is the whole
+    * corpus per query; dead at 100× scale. Here the shuffle carries only
+    * the survivors.
+    *
+    * Ordering: score DESC, ties broken ASC on `tieCol` (an integral id
+    * column) — total order, reproducible. `scoreCol` must be DoubleType.
+    * The heap pass is the one deliberate exit from codegen (a
+    * per-partition bounded priority queue has no relational equivalent
+    * with bounded memory); it feeds and is fed by codegen'd stages. */
+  def topKPerQuery(
+      scored: DataFrame,
+      k: Int,
+      queryIdCol: String = "query_id",
+      scoreCol: String = "cos",
+      tieCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val schema = scored.schema
+    val qi = schema.fieldIndex(queryIdCol)
+    val si = schema.fieldIndex(scoreCol)
+    val ti = schema.fieldIndex(tieCol)
+    // ascending "goodness": a < b iff a ranks below b (lower score, or
+    // equal score and larger tie id)
+    val byGoodness: Ordering[Row] = Ordering.fromLessThan { (a, b) =>
+      val sa = a.getDouble(si); val sb = b.getDouble(si)
+      if (sa != sb) sa < sb
+      else a.getAs[Number](ti).longValue > b.getAs[Number](ti).longValue
+    }
+    val pruned = scored.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
+      it.foreach { row =>
+        // heap dequeues the WORST kept row (reverse goodness), so a full
+        // heap evicts in O(log k) when a better row arrives
+        val h = heaps.getOrElseUpdate(row.get(qi),
+          scala.collection.mutable.PriorityQueue.empty[Row](byGoodness.reverse))
+        if (h.size < k) h.enqueue(row.copy())
+        else if (byGoodness.gt(row, h.head)) { h.dequeue(); h.enqueue(row.copy()) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(Encoders.row(schema))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col(scoreCol).desc, col(tieCol))
+    pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Brute-force cosine top-k: every query against every corpus vector.
     * `queries` must be small (it is broadcast); corpus is scanned once.
     * Output: (query_id, vec_id, cos, rank). Ties broken by vec_id so the
@@ -41,9 +93,7 @@ object Similarity {
       col(queryId), col(corpusId),
       cosine(col(corpusVec).cast("array<double>"),
         col(queryVec).cast("array<double>")).as("cos"))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cos").desc, col(corpusId))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k, queryId, "cos", corpusId)
   }
 
   /** Deterministic hyperplanes via splitmix64 — computed ONCE on the
@@ -104,9 +154,7 @@ object Similarity {
       col(queryId), col(corpusId),
       cosine(col(corpusVec).cast("array<double>"),
         col(queryVec).cast("array<double>")).as("cos"))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cos").desc, col(corpusId))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k, queryId, "cos", corpusId)
   }
 
   /** IVF-flat approximate top-k: a coarse quantizer of `nlist` centroids
@@ -168,9 +216,29 @@ object Similarity {
       col(queryId), col(corpusId),
       cosine(col(corpusVec).cast("array<double>"),
         col(queryVec).cast("array<double>")).as("cos"))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("cos").desc, col(corpusId))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k, queryId, "cos", corpusId)
+  }
+
+  /** Exact all-pairs cosine near-duplicates (id_a < id_b, cos ≥
+    * threshold) — the brute-force correctness baseline for
+    * [[cosineNearDups]]. O(n²) pairs by construction: use it to validate
+    * the LSH path on bounded samples, never on the full corpus. Norms are
+    * precomputed per row before the self-join so each pair costs exactly
+    * one dot product. */
+  def exactNearDups(
+      corpus: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val sides = corpus.select(col(idCol), v.as("__v"), norm(v).as("__n"))
+    val a = sides.as("a")
+    val b = sides.as("b")
+    a.join(b, col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (dot(col("a.__v"), col("b.__v")) / (col("a.__n") * col("b.__n")))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥
@@ -207,13 +275,18 @@ object Similarity {
         col("__e.band").as("band"), col("__e.bucket").as("bucket"))
     val a = banded.as("a")
     val b = banded.as("b")
+    // threshold BEFORE the dedup shuffle: the dot product must be computed
+    // per candidate either way, but the dedup (a pair can collide in
+    // several bands) then shuffles only pairs over the threshold. cos is
+    // functionally dependent on (id_a, id_b), so dropDuplicates on the ids
+    // is exact and keeps the narrow key.
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         (dot(col("a.__v"), col("b.__v")) / (col("a.__n") * col("b.__n")))
           .as("cos"))
-      .distinct()
       .filter(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -52,4 +52,29 @@ class PlanAuditSpec extends SparkSpec {
     val plan = formatted("q_scale_salted_join")
     assert(!plan.contains("NestedLoop"), plan)
   }
+
+  test("similarity top-k is two-phase: no global window over the full scored set") {
+    // the heap-pruning MapPartitions must sit BELOW the per-query Window
+    // (explain prints parents above children), so the window's input is the
+    // ≤ k·numPartitions survivors, never the whole scored corpus per query
+    for (q <- Seq("q_sim_topk_brute", "q_sim_ann_lsh", "q_sim_ann_ivf")) {
+      val plan = simple(q)
+      val iWin = plan.indexOf("Window")
+      val iMap = plan.indexOf("MapPartitions")
+      assert(iWin >= 0, s"$q: expected a rank Window\n$plan")
+      assert(iMap >= 0, s"$q: expected the heap-prune MapPartitions\n$plan")
+      assert(iWin < iMap, s"$q: Window must consume the pruned set\n$plan")
+    }
+  }
+
+  test("near-dup operators filter before the pair-dedup shuffle") {
+    // the dedup exchange must carry only (id_a, id_b[, cos]) for SURVIVING
+    // pairs: the Hamming/threshold cut happens join-side, so no exchange
+    // ships both 64-bit fingerprints / unfiltered candidate scores
+    val sim = operators.Dedup.simHashNearDups(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    val simPlan = sim.queryExecution.explainString(FormattedMode)
+    val exchangeBlock = simPlan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeBlock.contains("fp_a") && !exchangeBlock.contains("fp_b"), simPlan)
+  }
 }

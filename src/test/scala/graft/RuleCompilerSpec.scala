@@ -54,6 +54,27 @@ class RuleCompilerSpec extends SparkSpec {
     assert(keptIds(df, rs) == Set("00001e99"))
   }
 
+  test("fail-closed: an unparseable bound convicts nothing via keep() directly") {
+    // The reference treats a rule it cannot parse as spooked → dry-run
+    // (ref: RuleBasedDeletionConvictor.java:291-300). The compiled predicate
+    // must have the same polarity even when called WITHOUT RuleValidation:
+    // a garbage bound must not silently widen the range (fail-open would
+    // delete more than specified — worst case for a deletion engine).
+    val df = tenanted(1782L -> "a", 1785L -> "b", 1790L -> "c")
+    // one side garbage → range matches nothing (NOT "unbounded on that side")
+    val oneBad = RuleSet(Seq(Rule("r", Map(
+      "tenant" -> Seq(Bound(Some("not-a-number"), Some("1786")))))))
+    assert(keptIds(df, oneBad) == Set("a", "b", "c"))
+    // both sides garbage → still nothing (NOT "match all")
+    val bothBad = RuleSet(Seq(Rule("r", Map(
+      "tenant" -> Seq(Bound(Some("x"), Some("y")))))))
+    assert(keptIds(df, bothBad) == Set("a", "b", "c"))
+    // a parseable sibling range still convicts independently
+    val mixed = RuleSet(Seq(Rule("r", Map(
+      "tenant" -> Seq(Bound(Some("x"), Some("y")), Bound(Some("1785"), Some("1785")))))))
+    assert(keptIds(df, mixed) == Set("a", "c"))
+  }
+
   test("empty ruleset convicts nothing; empty rule convicts nothing") {
     val df = tenanted(1L -> "a", 2L -> "b")
     assert(keptIds(df, RuleSet(Nil)) == Set("a", "b"))
