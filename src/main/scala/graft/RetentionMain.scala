@@ -64,12 +64,21 @@ object RetentionMain {
         Map(StrategyOptions.ConvictorKey ->
           classOf[graft.plans.RuleBasedConvictor].getName) ++
           opts.filter(_._1.startsWith("dcs_")))
-      val stats = RetentionJob.run(
-        spark, df, spec, rs,
-        keptPath = opts.get("kept"),
-        backupPath = opts.get("backup").orElse(strat.backupDir),
-        ttlMode = ttlMode,
-        dryRun = strat.effectiveDryRun)
+      // A2 — interval heartbeat while the job runs (dcs_status_report_ms,
+      // like the reference's FilteringSSTableScanner status logging)
+      val reporter =
+        if (opts.contains(StrategyOptions.StatusReportKey))
+          Some(graft.plans.StatusReporter.start(spark, strat.statusReportMs))
+        else None
+      val stats =
+        try RetentionJob.run(
+          spark, df, spec, rs,
+          keptPath = opts.get("kept"),
+          backupPath = opts.get("backup").orElse(strat.backupDir),
+          ttlMode = ttlMode,
+          dryRun = strat.effectiveDryRun,
+          writeTimestampMicros = opts.get("write_timestamp").map(_.toLong))
+        finally reporter.foreach(_.stop())
       // one JSON status line, like the reference's interval stats log
       println(s"""{"kept":${stats.kept},"dropped":${stats.dropped},""" +
         s""""dryRun":${stats.mode.isDryRun || strat.effectiveDryRun},""" +

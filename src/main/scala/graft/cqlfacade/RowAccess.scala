@@ -1,0 +1,190 @@
+package graft.cqlfacade
+
+import org.apache.spark.sql.Row
+import java.nio.ByteBuffer
+import scala.reflect.{classTag, ClassTag}
+import scala.util.Try
+
+/** P3 — the typed row-accessor matrix, the Spark analog of the reference's
+  * `RichRow` pimp over driver rows
+  * (ref: cql-wrapper/src/main/scala/com/protectwise/cql/Implicits.scala:100-213):
+  * `get[T]` over the scalar type matrix with the reference's coercions
+  * (bytes as Array[Byte] OR ByteBuffer, temporal columns readable as Long
+  * epoch millis, numeric widening), `getList/getSet/getMap` with element
+  * coercion, and the `tryGet`/`getOpt`/default-value variants. A null cell
+  * raises the same cheap stackless `NullColumn` the reference uses
+  * (ref: Implicits.scala:100-102).
+  *
+  * Spark's `Row` already claims the names `get`/`getList`/`getMap` (with
+  * ordinal signatures), so the matrix hangs off one extension seam:
+  * `row.typed.get[Long]("col")`.
+  */
+object RowAccess {
+
+  /** stackless, like the reference — thrown per-cell in tight loops */
+  final case class NullColumn(name: String)
+      extends Throwable(s"$name is null", null, true, false)
+
+  implicit final class RichRowOps(private val row: Row) extends AnyVal {
+    /** entry to the typed accessor matrix */
+    def typed: TypedRow = new TypedRow(row)
+  }
+
+  final class TypedRow(private val row: Row) extends AnyVal {
+
+    def isNull(col: String): Boolean = row.isNullAt(row.fieldIndex(col))
+
+    def tryGet[T: ClassTag](col: String): Try[T] = Try(get[T](col))
+    def getOpt[T: ClassTag](col: String): Option[T] = tryGet[T](col).toOption
+    def get[T: ClassTag](col: String, default: => T): T =
+      tryGet[T](col).getOrElse(default)
+
+    /** The scalar matrix (ref: Implicits.scala:112-139). */
+    def get[T: ClassTag](col: String): T = {
+      val i = row.fieldIndex(col)
+      if (row.isNullAt(i)) throw NullColumn(col)
+      coerce[T](row.get(i), col)
+    }
+
+    def tryGetList[T: ClassTag](col: String): Try[List[T]] = Try(getList[T](col))
+    def getListOpt[T: ClassTag](col: String): Option[List[T]] =
+      if (isNull(col)) None else tryGetList[T](col).toOption
+    def getList[T: ClassTag](col: String, default: => List[T]): List[T] =
+      tryGetList[T](col).getOrElse(default)
+    def getList[T: ClassTag](col: String): List[T] = {
+      val i = row.fieldIndex(col)
+      if (row.isNullAt(i)) throw NullColumn(col)
+      row.getSeq[Any](i).map(coerce[T](_, col)).toList
+    }
+
+    def tryGetSet[T: ClassTag](col: String): Try[Set[T]] = Try(getSet[T](col))
+    def getSetOpt[T: ClassTag](col: String): Option[Set[T]] =
+      tryGetSet[T](col).toOption
+    def getSet[T: ClassTag](col: String, default: => Set[T]): Set[T] =
+      tryGetSet[T](col).getOrElse(default)
+    def getSet[T: ClassTag](col: String): Set[T] = {
+      // Spark surfaces CQL-set-shaped data as an array column; element
+      // coercion matches getList (ref: Implicits.scala:163-180)
+      val i = row.fieldIndex(col)
+      if (row.isNullAt(i)) throw NullColumn(col)
+      row.getSeq[Any](i).map(coerce[T](_, col)).toSet
+    }
+
+    def tryGetMap[K: ClassTag, V: ClassTag](col: String): Try[Map[K, V]] =
+      Try(getMap[K, V](col))
+    def getMapOpt[K: ClassTag, V: ClassTag](col: String): Option[Map[K, V]] =
+      tryGetMap[K, V](col).toOption
+    def getMap[K: ClassTag, V: ClassTag](col: String, default: => Map[K, V]): Map[K, V] =
+      tryGetMap[K, V](col).getOrElse(default)
+    def getMap[K: ClassTag, V: ClassTag](col: String): Map[K, V] = {
+      val i = row.fieldIndex(col)
+      if (row.isNullAt(i)) throw NullColumn(col)
+      row.getMap[Any, Any](i).map { case (k, v) =>
+        coerce[K](k, col) -> coerce[V](v, col)
+      }.toMap
+    }
+  }
+
+  private def bytesOf(v: Any, col: String): Array[Byte] = v match {
+    case a: Array[Byte] => a
+    case b: ByteBuffer =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case other => fail(other, "Array[Byte]", col)
+  }
+
+  private def epochMillis(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.getTime)
+    case d: java.util.Date => Some(d.getTime)
+    case i: java.time.Instant => Some(i.toEpochMilli)
+    case d: java.time.LocalDate => Some(d.toEpochDay * 86400000L)
+    case _ => None
+  }
+
+  private def fail(v: Any, target: String, col: String): Nothing =
+    throw new IllegalArgumentException(
+      s"column '$col': ${v.getClass.getName} cannot be read as $target")
+
+  /** One coercion table for scalars and collection elements. Mirrors the
+    * reference's matrix: temporal values readable as Long epoch millis
+    * (ref: Implicits.scala:127-129 reads a CQL timestamp as Long), bytes
+    * dual-typed (Array[Byte]/ByteBuffer), numerics widened/narrowed via
+    * their runtime Number, UUID/Inet parsed from their string form. */
+  private def coerce[T](v: Any, col: String)(implicit ct: ClassTag[T]): T = {
+    val target = ct.runtimeClass
+    val out: Any = target match {
+      case t if t == classOf[Array[Byte]] => bytesOf(v, col)
+      case t if t == classOf[ByteBuffer] => ByteBuffer.wrap(bytesOf(v, col))
+      case t if t == classOf[Boolean] || t == java.lang.Boolean.TYPE => v match {
+        case b: java.lang.Boolean => b.booleanValue()
+        case other => fail(other, "Boolean", col)
+      }
+      case t if t == classOf[Byte] || t == java.lang.Byte.TYPE => v match {
+        case n: java.lang.Number => n.byteValue()
+        case other => fail(other, "Byte", col)
+      }
+      case t if t == classOf[Short] || t == java.lang.Short.TYPE => v match {
+        case n: java.lang.Number => n.shortValue()
+        case other => fail(other, "Short", col)
+      }
+      case t if t == classOf[Int] || t == java.lang.Integer.TYPE => v match {
+        case n: java.lang.Number => n.intValue()
+        case other => fail(other, "Int", col)
+      }
+      case t if t == classOf[Long] || t == java.lang.Long.TYPE => v match {
+        case n: java.lang.Number => n.longValue()
+        // a temporal column read as Long = epoch millis, like the
+        // reference's timestamp-as-Long (ref: Implicits.scala:127-129)
+        case other => epochMillis(other).getOrElse(fail(other, "Long", col))
+      }
+      case t if t == classOf[Double] || t == java.lang.Double.TYPE => v match {
+        case n: java.lang.Number => n.doubleValue()
+        case other => fail(other, "Double", col)
+      }
+      case t if t == classOf[Float] || t == java.lang.Float.TYPE => v match {
+        case n: java.lang.Number => n.floatValue()
+        case other => fail(other, "Float", col)
+      }
+      case t if t == classOf[String] => v match {
+        case s: String => s
+        case other => fail(other, "String", col)
+      }
+      case t if t == classOf[java.util.UUID] => v match {
+        case u: java.util.UUID => u
+        case s: String => java.util.UUID.fromString(s)
+        case other => fail(other, "UUID", col)
+      }
+      case t if t == classOf[java.net.InetAddress] => v match {
+        case a: java.net.InetAddress => a
+        case s: String => java.net.InetAddress.getByName(s)
+        case other => fail(other, "InetAddress", col)
+      }
+      case t if t == classOf[java.util.Date] => v match {
+        case d: java.util.Date => d // includes java.sql.{Date, Timestamp}
+        case other => epochMillis(other).map(new java.util.Date(_))
+          .getOrElse(fail(other, "Date", col))
+      }
+      case t if t == classOf[java.sql.Timestamp] => v match {
+        case ts: java.sql.Timestamp => ts
+        case other => epochMillis(other).map(new java.sql.Timestamp(_))
+          .getOrElse(fail(other, "Timestamp", col))
+      }
+      case t if t == classOf[BigDecimal] => v match {
+        case d: java.math.BigDecimal => BigDecimal(d)
+        case d: BigDecimal => d
+        case n: java.lang.Number => BigDecimal(n.toString)
+        case other => fail(other, "BigDecimal", col)
+      }
+      case t if t == classOf[java.math.BigDecimal] => v match {
+        case d: java.math.BigDecimal => d
+        case d: BigDecimal => d.bigDecimal
+        case n: java.lang.Number => new java.math.BigDecimal(n.toString)
+        case other => fail(other, "java.math.BigDecimal", col)
+      }
+      case t =>
+        // same terminal behavior as the reference's fall-through
+        // (ref: Implicits.scala:137-138)
+        fail(v, t.getName, col)
+    }
+    out.asInstanceOf[T]
+  }
+}

@@ -25,12 +25,22 @@ case object Counter extends BatchType
 
 final case class SqlBatch(
     statements: Seq[SqlStatement],
-    batchType: BatchType = Unlogged) {
+    batchType: BatchType = Unlogged,
+    timestamp: SqlTimestamp = SqlNoTimestamp) {
 
   def ++(other: SqlBatch): SqlBatch =
-    SqlBatch(statements ++ other.statements, batchType)
-  def +(st: SqlStatement): SqlBatch = SqlBatch(statements :+ st, batchType)
+    SqlBatch(statements ++ other.statements, batchType, timestamp)
+  def +(st: SqlStatement): SqlBatch =
+    SqlBatch(statements :+ st, batchType, timestamp)
   def size: Int = statements.size
+
+  /** Q7 — batch default write timestamp: applies to every statement that
+    * doesn't carry its own (ref: CQLTimestamp.scala `apply(BatchStatement)`
+    * sets the batch default; per-statement timestamps win). */
+  def withTimestamp(ts: SqlTimestamp): SqlBatch = copy(timestamp = ts)
+  def withTimestamp(ts: Long): SqlBatch = copy(timestamp = SqlTimestamp(ts))
+  def resolvedStatements: Seq[SqlStatement] =
+    statements.map(s => if (s.timestamp.isDefined) s else s.withTimestamp(timestamp))
 
   def logged: SqlBatch = copy(batchType = Logged)
   def unlogged: SqlBatch = copy(batchType = Unlogged)

@@ -23,6 +23,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (ref: CQLStatement.scala:252-281)
   */
 
+/** Q7 — write-timestamp carrier, the `USING TIMESTAMP` analog
+  * (ref: cql-wrapper/src/main/scala/com/protectwise/cql/CQLTimestamp.scala:17-40).
+  * A statement (or batch default) can carry an explicit microsecond
+  * writetime; the write path stamps it onto the writetime column of
+  * written rows, preserving the LWW basis across compact→retention round
+  * trips. `SqlNoTimestamp` = engine-assigned (the server-side default). */
+class SqlTimestamp(val timestamp: Option[Long]) {
+  /** the rendered clause, mirroring the reference's `toString` */
+  override def toString: String =
+    timestamp.map(v => s" USING TIMESTAMP $v ").getOrElse("")
+  def isDefined: Boolean = timestamp.isDefined
+  def isEmpty: Boolean = timestamp.isEmpty
+}
+case object SqlNoTimestamp extends SqlTimestamp(None)
+object SqlTimestamp {
+  def apply(ts: Long): SqlTimestamp = new SqlTimestamp(Some(ts))
+}
+
 /** Expansion markers (X9). */
 sealed trait SqlMarker
 final case class In(values: Seq[Any]) extends SqlMarker
@@ -91,8 +109,20 @@ object SqlStatement {
   }
 }
 
-final case class SqlStatement(parts: Seq[String], slots: Seq[Slot]) {
+final case class SqlStatement(
+    parts: Seq[String],
+    slots: Seq[Slot],
+    timestamp: SqlTimestamp = SqlNoTimestamp) {
   import SqlStatement._
+
+  /** Q7 — attach an explicit write timestamp
+    * (ref: CQLStatement.scala:63-67 `withTimestamp` overloads). */
+  def withTimestamp(ts: SqlTimestamp): SqlStatement = copy(timestamp = ts)
+  def withTimestamp(ts: Long): SqlStatement = copy(timestamp = SqlTimestamp(ts))
+  def withTimestamp(ts: Option[SqlTimestamp]): SqlStatement =
+    ts.map(withTimestamp).getOrElse(this)
+  /** reference spelling */
+  def usingTimestamp(micros: Long): SqlStatement = withTimestamp(micros)
 
   /** Q3 — statement splicing preserving parameter alignment:
     * `sql"A $p1 B" + sql"C $p2 D"` ≡ `sql"A $p1 BC $p2 D"`. */
@@ -200,6 +230,7 @@ final case class SqlStatement(parts: Seq[String], slots: Seq[Slot]) {
       }
       if (partIt.hasNext) sb ++= partIt.next()
     }
+    sb ++= timestamp.toString.stripSuffix(" ") // " USING TIMESTAMP n" when set
     sb += ';'
     sb.toString
   }

@@ -1,0 +1,52 @@
+package graft.jobs
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** E3 — the strategy-delegation analog. The reference's
+  * DeletingCompactionStrategy DECORATES an underlying compaction strategy:
+  * the wrapped strategy decides what compacts; the decorator filters
+  * convicted rows out of the rewrite, in one pass
+  * (ref: DeletingCompactionStrategy.java:84-301 — every scanner the
+  * underlying strategy opens is wrapped in a FilteringSSTableScanner).
+  *
+  * Spark-first, one maintenance pass =
+  *   union of input generations (the "sstables being compacted")
+  *   → LWW merge (the underlying compaction: one survivor per key —
+  *     [[CompactJob.lwwDedup]])
+  *   → rule/TTL conviction + kept/backup writes ([[RetentionJob.run]] —
+  *     the decorator), optionally stamping a write timestamp (Q7) so the
+  *     rewritten generation keeps a defined LWW basis for the NEXT pass.
+  *
+  * The LWW merge runs BEFORE conviction, matching compaction semantics:
+  * reconcile duplicate cells first, then the convictor sees one logical
+  * row (the reference's overlapping-keys test depends on exactly this
+  * order — ref: RuleBasedLateTTLConvictorSpec.scala:307-335).
+  *
+  * Scale: lwwDedup is one key-hashed shuffle with map-side partial
+  * aggregation; conviction is map-only on top of it — the pass adds no
+  * shuffle beyond the compaction itself.
+  */
+object MaintenanceJob {
+
+  def run(
+      spark: SparkSession,
+      inputs: Seq[DataFrame],
+      spec: TableSpec,
+      rs: RuleSet,
+      keptPath: Option[String],
+      backupPath: Option[String] = None,
+      ttlMode: Boolean = false,
+      dryRun: Boolean = false,
+      jobStartMs: Long = System.currentTimeMillis(),
+      writeTimestampMicros: Option[Long] = None): RetentionStats = {
+    require(inputs.nonEmpty, "maintenance pass needs at least one input")
+    val merged =
+      if (inputs.size == 1) inputs.head
+      else inputs.reduce(_.unionByName(_))
+    val compacted = CompactJob.lwwDedup(merged, spec)
+    RetentionJob.run(
+      spark, compacted, spec, rs, keptPath, backupPath,
+      ttlMode, dryRun, jobStartMs, writeTimestampMicros)
+  }
+}

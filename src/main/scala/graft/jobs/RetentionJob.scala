@@ -55,7 +55,16 @@ object RetentionJob {
   }
 
   /** Split + write. Returns stats; in dry-run mode nothing is written and
-    * `kept` counts the full input. */
+    * counters advance as a live run would.
+    *
+    * `writeTimestampMicros` (Q7) stamps an explicit writetime onto every
+    * written row — the `USING TIMESTAMP` analog
+    * (ref: cql-wrapper/src/main/scala/com/protectwise/cql/CQLTimestamp.scala:17-40,
+    * wired at CQLStatement.scala:63-67): a compact→retention round trip
+    * re-written with a stamped writetime preserves its LWW basis for the
+    * next compaction (the reference's overlapping-keys discipline —
+    * ref: RuleBasedLateTTLConvictorSpec.scala:307-335). Requires
+    * `spec.writetimeCol`. */
   def run(
       spark: SparkSession,
       df: DataFrame,
@@ -65,22 +74,32 @@ object RetentionJob {
       backupPath: Option[String] = None,
       ttlMode: Boolean = false,
       dryRun: Boolean = false,
-      jobStartMs: Long = System.currentTimeMillis()): RetentionStats = {
+      jobStartMs: Long = System.currentTimeMillis(),
+      writeTimestampMicros: Option[Long] = None): RetentionStats = {
     val t0 = System.nanoTime()
     def elapsedMs: Long = (System.nanoTime() - t0) / 1000000L
     val (keepCol, mode) = plan(df, spec, rs, ttlMode, jobStartMs)
     val effectiveDry = dryRun || mode.isDryRun
+    val stamp: DataFrame => DataFrame = writeTimestampMicros match {
+      case None => identity
+      case Some(ts) =>
+        val wtCol = spec.writetimeCol.getOrElse(
+          sys.error("writeTimestampMicros requires TableSpec.writetimeCol"))
+        d => d.withColumn(wtCol, lit(ts))
+    }
 
     if (effectiveDry) {
-      // F10: predicate evaluated, counters advance, rows retained.
+      // F10: predicate evaluated, counters advance EXACTLY as a live run
+      // would (kept counts would-keep, dropped counts would-drop — ref:
+      // FilteringSSTableScanner.java:111-115 runs the same counter path in
+      // dry-run), rows retained.
       val row = df
         .agg(
           sum(when(keepCol, 1L).otherwise(0L)).as("kept"),
           sum(when(keepCol, 0L).otherwise(1L)).as("dropped"))
         .collect()(0)
       RetentionStats(
-        Option(row.getAs[Long]("kept")).getOrElse(0L) +
-          Option(row.getAs[Long]("dropped")).getOrElse(0L),
+        Option(row.getAs[Long]("kept")).getOrElse(0L),
         Option(row.getAs[Long]("dropped")).getOrElse(0L),
         mode, backupWritten = false, elapsedMs = elapsedMs)
     } else {
@@ -101,7 +120,7 @@ object RetentionJob {
         val keptDf = flagged.filter(col("__keep")).drop("__keep")
         val dropDf = flagged.filter(!col("__keep")).drop("__keep")
         keptPath match {
-          case Some(p) => keptDf.write.mode("overwrite").parquet(p)
+          case Some(p) => stamp(keptDf).write.mode("overwrite").parquet(p)
           case None    => keptDf.foreach(_ => ()) // drive the observe pass
         }
         val row = obs.get
@@ -110,6 +129,8 @@ object RetentionJob {
         var backupWritten = false
         backupPath.foreach { p =>
           if (dropped > 0) { // empty backup aborted, like the reference
+            // backup preserves ORIGINAL writetimes (it archives the cells
+            // as they were; only live-path writes get the Q7 stamp)
             dropDf.write.mode("overwrite").parquet(p)
             backupWritten = true
           }

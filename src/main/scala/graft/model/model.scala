@@ -39,8 +39,15 @@ final case class Rule(
     ttl: Option[Long] = None)
 
 /** A complete rule table plus the TTL fallback
-  * (`default_ttl` — ref: RuleBasedLateTTLConvictor.java:611-617). */
-final case class RuleSet(rules: Seq[Rule], defaultTtl: Option[Long] = None) {
+  * (`default_ttl` — ref: RuleBasedLateTTLConvictor.java:611-617).
+  * `spookReasons` carries source-load problems (e.g. one rulename with
+  * conflicting TTLs) that must degrade the job to dry-run at validation
+  * time rather than being silently resolved
+  * (ref: RuleBasedLateTTLConvictor.java:305-310, 328-332). */
+final case class RuleSet(
+    rules: Seq[Rule],
+    defaultTtl: Option[Long] = None,
+    spookReasons: Seq[String] = Nil) {
   def isEmpty: Boolean = rules.isEmpty
 }
 
@@ -78,6 +85,7 @@ object RuleValidation {
       ttlMode: Boolean = false): PlanMode = {
     val fields = schema.fields.map(f => f.name -> f.dataType).toMap
     val reasons = Seq.newBuilder[String]
+    reasons ++= rs.spookReasons // source-load problems spook like the reference
     rs.rules.foreach { r =>
       r.colRanges.keys.foreach { c =>
         if (!fields.contains(c))

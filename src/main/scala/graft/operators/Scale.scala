@@ -27,6 +27,15 @@ object Scale {
       salts: Int = 8,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // the dim side is exploded salts× below, so any join type that emits
+    // UNMATCHED dim rows (right/full outer) would duplicate them salts
+    // times — row-identity to the unsalted join only holds for fact-driven
+    // join types
+    val factDriven =
+      Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
+    require(factDriven.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports fact-driven join types only (got '$joinType'): " +
+        "right/full outer would emit unmatched dim rows once per salt")
     val saltedFacts = facts.withColumn(
       "__salt",
       pmod(hash(facts.columns.map(col): _*), lit(salts)))

@@ -72,3 +72,82 @@ object Tracing {
   def uninstall(spark: SparkSession, l: TracingListener): Unit =
     spark.listenerManager.unregister(l)
 }
+
+/** A2 — interval status reporting: the reference emits a progress line
+  * every `statusReportMs` while a filtering scan runs, with cumulative AND
+  * per-interval keys/sec
+  * (ref: deleting-compaction-strategy/src/main/java/com/protectwise/cassandra/io/sstable/FilteringSSTableScanner.java:333-373).
+  * The Spark seam is a SparkListener: task-end events carry
+  * records-read/records-written metrics, aggregated driver-side; a daemon
+  * timer emits one line per interval through `sink`. Zero executor-side
+  * cost — the metrics already flow with task completion.
+  *
+  * Usage: `val r = StatusReporter.start(spark, opts.statusReportMs)` …
+  * `r.stop()` (emits a final line). Wired by [[graft.RetentionMain]] when
+  * `dcs_status_report_ms` is set.
+  */
+final class StatusReporter(
+    spark: SparkSession,
+    intervalMs: Long,
+    sink: String => Unit)
+    extends org.apache.spark.scheduler.SparkListener {
+
+  private val records = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val written = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val startNs = System.nanoTime()
+  private var lastRecords = 0L
+  private var lastNs = startNs
+  private val emitted = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  override def onTaskEnd(
+      te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      records.addAndGet(m.inputMetrics.recordsRead)
+      written.addAndGet(m.outputMetrics.recordsWritten)
+    }
+  }
+
+  /** One status line: cumulative + interval throughput, the reference's
+    * two-rate format (FilteringSSTableScanner.java:344-366). */
+  def emit(): Unit = synchronized {
+    val now = System.nanoTime()
+    val total = records.get()
+    val intervalRecs = total - lastRecords
+    val cumSec = math.max(1e-9, (now - startNs) / 1e9)
+    val intSec = math.max(1e-9, (now - lastNs) / 1e9)
+    sink(f"[graft-status] records=$total%d written=${written.get()}%d " +
+      f"keysPerSec=${total / cumSec}%.1f intervalKeysPerSec=${intervalRecs / intSec}%.1f")
+    lastRecords = total
+    lastNs = now
+    emitted.incrementAndGet()
+    ()
+  }
+
+  def emittedLines: Long = emitted.get()
+
+  private val timer = new java.util.Timer("graft-status-reporter", true)
+
+  private[plans] def begin(): StatusReporter = {
+    spark.sparkContext.addSparkListener(this)
+    timer.scheduleAtFixedRate(new java.util.TimerTask {
+      def run(): Unit = emit()
+    }, intervalMs, intervalMs)
+    this
+  }
+
+  /** Final line + teardown. */
+  def stop(): Unit = {
+    timer.cancel()
+    emit()
+    spark.sparkContext.removeSparkListener(this)
+  }
+}
+
+object StatusReporter {
+  def start(
+      spark: SparkSession,
+      intervalMs: Long,
+      sink: String => Unit = s => Console.err.println(s)): StatusReporter =
+    new StatusReporter(spark, intervalMs, sink).begin()
+}

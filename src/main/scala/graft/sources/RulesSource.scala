@@ -26,6 +26,7 @@ object RulesSource {
     val hasTtl = cols.contains("ttl")
     val rows = rules.collect() // driver-side by design: O(rules) memory
     val grouped = rows.groupBy(_.getAs[Any]("rulename").toString)
+    val spookReasons = Seq.newBuilder[String]
     val parsed = grouped.toSeq.sortBy(_._1).map { case (name, rs) =>
       val colRanges = rs
         .groupBy(_.getAs[String]("column"))
@@ -35,13 +36,20 @@ object RulesSource {
           }
         }
       val ttl =
-        if (hasTtl)
-          rs.flatMap(r => Option(r.getAs[Any]("ttl")))
-            .headOption.map(_.toString.toLong)
-        else None
+        if (hasTtl) {
+          val ttls = rs.flatMap(r => Option(r.getAs[Any]("ttl")))
+            .map(_.toString.toLong).distinct
+          // one rulename must agree on ONE ttl across all its rows; the
+          // reference spooks to dry-run on disagreement instead of picking
+          // one (ref: RuleBasedLateTTLConvictor.java:305-310, 328-332)
+          if (ttls.size > 1)
+            spookReasons +=
+              s"rule '$name': conflicting ttls ${ttls.sorted.mkString(",")}"
+          ttls.headOption
+        } else None
       Rule(name, colRanges, ttl)
     }
-    RuleSet(parsed, defaultTtl)
+    RuleSet(parsed, defaultTtl, spookReasons.result())
   }
 
   def fromParquet(

@@ -46,9 +46,9 @@ class JobsSpec extends SparkSpec {
       keptPath = Some(s"$dir/kept"))
     assert(stats.mode.isDryRun)
     assert(!Files.exists(java.nio.file.Paths.get(s"$dir/kept")))
-    // counters still advance: the bad rule convicts nothing here because
-    // dry-run just evaluates — payload range would convict row "a"
-    assert(stats.kept == 1)
+    // counters advance as a live run would: the catch-all payload range
+    // WOULD convict row "a", so it counts as dropped (but stays on disk)
+    assert(stats.kept == 0 && stats.dropped == 1)
   }
 
   test("RetentionJob explicit dry-run counts would-drop without writing") {
@@ -58,7 +58,8 @@ class JobsSpec extends SparkSpec {
     val stats = RetentionJob.run(
       spark, df, TableSpec(Seq("id", "tenant")), rs,
       keptPath = None, dryRun = true)
-    assert(stats.dropped == 1 && stats.kept == 2)
+    // dry-run counters mirror a live run: 1 would-keep, 1 would-drop
+    assert(stats.dropped == 1 && stats.kept == 1)
   }
 
   test("CompactJob LWW dedup keeps highest-writetime row per key") {
@@ -83,5 +84,71 @@ class JobsSpec extends SparkSpec {
     val out = CompactJob.lwwDedup(
       df, TableSpec(Seq("tenant"), Seq("id"), Some("writetime")))
     assert(out.count() == 2)
+  }
+
+  test("E3+Q7 golden round trip: overlapping flushes compact, convict, and re-stamp") {
+    // mirrors the reference's "handle overlapping keys" case
+    // (ref: RuleBasedLateTTLConvictorSpec.scala:307-335): two identical
+    // flushes of 2 keys; TTL rule (id >= "00001f", ttl=0) convicts the
+    // high id; compaction reconciles the overlap FIRST, so 4 physical rows
+    // → 2 logical → 1 surviving.
+    import graft.jobs.MaintenanceJob
+    val nowMs = 1707955200000L
+    def aged(sec: Long): Long = (nowMs - sec * 1000L) * 1000L // µs writetime
+    val flush = Seq(
+      (1827L, "000151d4e6fec2fde7240e6c5e1fce00", aged(600)), // convicted
+      (1827L, "00000151e992ed8adb38cfbc2e6c0c52", aged(600))) // kept
+    val f1 = flush.toDF("tenant", "id", "writetime")
+    val f2 = flush.toDF("tenant", "id", "writetime")
+    val spec = TableSpec(Seq("tenant"), Seq("id"), Some("writetime"))
+    val rs = RuleSet(
+      Seq(Rule("cid_7", Map("id" -> Seq(Bound(Some("00001f"), None))),
+        ttl = Some(0L))),
+      defaultTtl = Some(-1L)) // unmatched rows: keep forever
+    val dir = tmp()
+    val stampMicros = nowMs * 1000L
+    val stats = MaintenanceJob.run(
+      spark, Seq(f1, f2), spec, rs,
+      keptPath = Some(s"$dir/kept"), backupPath = Some(s"$dir/backup"),
+      ttlMode = true, jobStartMs = nowMs,
+      writeTimestampMicros = Some(stampMicros))
+    assert(stats.mode == Execute, stats.mode.toString)
+    assert(stats.kept == 1 && stats.dropped == 1 && stats.backupWritten)
+    val kept = spark.read.parquet(s"$dir/kept")
+    assert(kept.count() == 1)
+    // Q7: the survivor's writetime is the stamped job timestamp — the LWW
+    // basis survives into the next compaction round
+    val wt = kept.select("writetime").as[Long].collect()
+    assert(wt.sameElements(Array(stampMicros)), wt.mkString(","))
+    // the backup archives the convicted cell with its ORIGINAL writetime
+    val backup = spark.read.parquet(s"$dir/backup")
+    assert(backup.select("writetime").as[Long].collect()
+      .forall(_ == aged(600)))
+    // a second maintenance pass over the re-stamped output is a no-op
+    val stats2 = MaintenanceJob.run(
+      spark, Seq(spark.read.parquet(s"$dir/kept")), spec, rs,
+      keptPath = Some(s"$dir/kept2"), ttlMode = true, jobStartMs = nowMs)
+    assert(stats2.kept == 1 && stats2.dropped == 0)
+  }
+
+  test("RulesSource spooks on conflicting TTLs for one rulename") {
+    val rules = Seq(
+      ("r1", "tenant", "1", "2", 100L),
+      ("r1", "tenant", "5", "6", 200L), // same rulename, different ttl
+      ("r2", "tenant", "9", "9", 300L))
+      .toDF("rulename", "column", "lo", "hi", "ttl")
+    val rs = graft.sources.RulesSource.fromDataFrame(rules)
+    assert(rs.spookReasons.exists(_.contains("conflicting ttls")))
+    // validation degrades to dry-run, like the reference
+    // (ref: RuleBasedLateTTLConvictor.java:305-310, 328-332)
+    val df = Seq((1L, "a")).toDF("tenant", "id")
+    val mode = RuleValidation.validate(
+      rs, TableSpec(Seq("tenant"), Seq("id"), Some("wt")), df.schema,
+      ttlMode = true)
+    assert(mode.isDryRun)
+    // consistent TTLs stay clean
+    val ok = Seq(("r1", "tenant", "1", "2", 100L), ("r1", "tenant", "5", "6", 100L))
+      .toDF("rulename", "column", "lo", "hi", "ttl")
+    assert(graft.sources.RulesSource.fromDataFrame(ok).spookReasons.isEmpty)
   }
 }

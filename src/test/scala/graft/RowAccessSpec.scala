@@ -1,0 +1,118 @@
+package graft
+
+import graft.cqlfacade.RowAccess._
+import java.nio.ByteBuffer
+import java.sql.Timestamp
+
+/** P3 — the typed accessor matrix over driver rows, mirroring the
+  * reference's RichRow coverage (ref: cql-wrapper Implicits.scala:100-213):
+  * scalars across the type matrix, temporal-as-Long, byte dual-typing,
+  * null → NullColumn/Option/default, and list/set/map element coercion. */
+class RowAccessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val row = {
+    val df = spark.sql("""
+      SELECT
+        CAST(1 AS TINYINT)  AS c_byte,
+        CAST(2 AS SMALLINT) AS c_short,
+        3                   AS c_int,
+        CAST(4 AS BIGINT)   AS c_long,
+        CAST(1.5 AS DOUBLE) AS c_double,
+        CAST(2.5 AS FLOAT)  AS c_float,
+        true                AS c_bool,
+        'hello'             AS c_string,
+        CAST(12.340 AS DECIMAL(10,3))         AS c_dec,
+        CAST('laser' AS BINARY)               AS c_bin,
+        TIMESTAMP '2024-02-15 00:00:00'       AS c_ts,
+        '123e4567-e89b-12d3-a456-426614174000' AS c_uuid,
+        '127.0.0.1'                           AS c_inet,
+        CAST(NULL AS STRING)                  AS c_null,
+        array(1, 2, 2, 3)                     AS c_list,
+        map('a', CAST(1 AS BIGINT), 'b', CAST(2 AS BIGINT)) AS c_map
+    """)
+    df.collect()(0).typed
+  }
+
+  test("scalar matrix: every numeric/boolean/string/decimal accessor") {
+    assert(row.get[Byte]("c_byte") == 1.toByte)
+    assert(row.get[Short]("c_short") == 2.toShort)
+    assert(row.get[Int]("c_int") == 3)
+    assert(row.get[Long]("c_long") == 4L)
+    assert(row.get[Double]("c_double") == 1.5)
+    assert(row.get[Float]("c_float") == 2.5f)
+    assert(row.get[Boolean]("c_bool"))
+    assert(row.get[String]("c_string") == "hello")
+    assert(row.get[BigDecimal]("c_dec") == BigDecimal("12.340"))
+    assert(row.get[java.math.BigDecimal]("c_dec")
+      .compareTo(new java.math.BigDecimal("12.340")) == 0)
+  }
+
+  test("numeric widening/narrowing follows the runtime Number, like the reference") {
+    assert(row.get[Long]("c_int") == 3L)
+    assert(row.get[Int]("c_long") == 4)
+    assert(row.get[Double]("c_int") == 3.0)
+    assert(row.get[Short]("c_byte") == 1.toShort)
+  }
+
+  test("binary dual-typing: Array[Byte] and ByteBuffer views of one cell") {
+    assert(row.get[Array[Byte]]("c_bin").sameElements("laser".getBytes("UTF-8")))
+    val bb = row.get[ByteBuffer]("c_bin")
+    val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
+    assert(arr.sameElements("laser".getBytes("UTF-8")))
+  }
+
+  test("temporal: Timestamp, util.Date, and epoch-millis-as-Long reads") {
+    val expectMs = 1707955200000L // 2024-02-15T00:00:00Z (UTC session)
+    assert(row.get[Timestamp]("c_ts").getTime == expectMs)
+    assert(row.get[java.util.Date]("c_ts").getTime == expectMs)
+    // reference reads a timestamp column as Long epoch millis
+    // (ref: Implicits.scala:127-129)
+    assert(row.get[Long]("c_ts") == expectMs)
+  }
+
+  test("UUID and InetAddress parse from their string form") {
+    assert(row.get[java.util.UUID]("c_uuid") ==
+      java.util.UUID.fromString("123e4567-e89b-12d3-a456-426614174000"))
+    assert(row.get[java.net.InetAddress]("c_inet") ==
+      java.net.InetAddress.getByName("127.0.0.1"))
+  }
+
+  test("null handling: NullColumn throw, tryGet, getOpt, default") {
+    val e = intercept[NullColumn](row.get[String]("c_null"))
+    assert(e.getMessage == "c_null is null")
+    assert(e.getStackTrace.isEmpty) // stackless, like the reference
+    assert(row.tryGet[String]("c_null").isFailure)
+    assert(row.getOpt[String]("c_null").isEmpty)
+    assert(row.get[String]("c_null", "fallback") == "fallback")
+    assert(row.getOpt[Int]("c_int").contains(3))
+  }
+
+  test("collections: getList / getSet / getMap with element coercion") {
+    assert(row.getList[Int]("c_list") == List(1, 2, 2, 3))
+    assert(row.getList[Long]("c_list") == List(1L, 2L, 2L, 3L)) // coerced
+    assert(row.getSet[Int]("c_list") == Set(1, 2, 3))
+    assert(row.getMap[String, Long]("c_map") == Map("a" -> 1L, "b" -> 2L))
+    assert(row.getMap[String, Int]("c_map") == Map("a" -> 1, "b" -> 2)) // coerced
+    assert(row.getListOpt[Int]("c_list").isDefined)
+    assert(row.getList[Int]("c_null", List(9)) == List(9))
+    assert(row.tryGetMap[String, Long]("c_null").isFailure)
+  }
+
+  test("type mismatch fails loudly, not silently") {
+    assert(row.tryGet[Boolean]("c_string").isFailure)
+    assert(row.tryGet[Long]("c_string").isFailure)
+    intercept[IllegalArgumentException](row.get[Boolean]("c_string"))
+  }
+
+  test("accessors work on facade query results end-to-end") {
+    import graft.cqlfacade.Interpolation._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    spark.read.parquet(s"$sfDir/nation.parquet").createOrReplaceTempView("nation_ra_v")
+    val r = sql"SELECT n_nationkey, n_name FROM nation_ra_v WHERE n_nationkey = ${0}"
+      .df.collect()(0).typed
+    assert(r.get[Long]("n_nationkey") == 0L)
+    assert(r.get[Int]("n_nationkey") == 0)
+    assert(r.get[String]("n_name").nonEmpty)
+  }
+}

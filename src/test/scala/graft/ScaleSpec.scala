@@ -22,6 +22,17 @@ class ScaleSpec extends SparkSpec {
     assert(saltedLeft.count() == factsExtra.count())
   }
 
+  test("salted join rejects dim-driven join types (exploded dim would duplicate)") {
+    val facts = Seq((1L, 1)).toDF("k", "v")
+    val dim = Seq((1L, "x"), (2L, "unmatched")).toDF("k", "name")
+    for (bad <- Seq("right", "right_outer", "full", "full_outer", "outer"))
+      intercept[IllegalArgumentException](
+        Scale.saltedJoin(facts, dim, "k", salts = 4, joinType = bad))
+    // fact-driven types stay accepted
+    assert(Scale.saltedJoin(facts, dim, "k", salts = 4, joinType = "left_semi")
+      .count() == 1)
+  }
+
   test("bucketed join plans without exchanges on either side") {
     // drop stale tables AND their warehouse locations (a dropped-at-exit
     // table leaves its directory behind, which blocks re-creation)

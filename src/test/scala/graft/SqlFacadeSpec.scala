@@ -182,4 +182,22 @@ class SqlFacadeExecSpec extends SparkSpec {
     val res = scala.concurrent.Await.result(b.execute(maxBatch = 1), 120.seconds)
     assert(res.flatten.map(_.getInt(0)).toSet == (1 to 4).toSet)
   }
+
+  test("Q7: usingTimestamp carries and renders; batch default resolves per statement") {
+    val s = sql"INSERT INTO t (a) VALUES (${1})"
+    assert(s.timestamp.isEmpty)
+    val stamped = s.usingTimestamp(1707955200000000L)
+    assert(stamped.timestamp.timestamp.contains(1707955200000000L))
+    // rendered like the reference's CQLTimestamp.toString
+    // (ref: CQLTimestamp.scala:35 " USING TIMESTAMP v ")
+    assert(stamped.debugString.endsWith("USING TIMESTAMP 1707955200000000;"),
+      stamped.debugString)
+    assert(s.debugString == "INSERT INTO t (a) VALUES (1);") // unstamped unchanged
+    // batch default applies only where the statement has none
+    val own = sql"SELECT 1 AS v".usingTimestamp(42L)
+    val batch = (s ++ own).withTimestamp(99L)
+    val resolved = batch.resolvedStatements
+    assert(resolved(0).timestamp.timestamp.contains(99L))
+    assert(resolved(1).timestamp.timestamp.contains(42L)) // per-statement wins
+  }
 }

@@ -21,4 +21,25 @@ class TracingSpec extends SparkSpec {
       assert(e.table == "region")
     } finally Tracing.uninstall(spark, l)
   }
+
+  test("A2: status reporter emits interval lines with cumulative + interval rates") {
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val r = graft.plans.StatusReporter.start(spark, intervalMs = 100,
+      sink = s => { lines.add(s); () })
+    try {
+      // a slowed job: several separate actions spanning > 1 interval
+      (1 to 4).foreach { _ =>
+        spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+        Thread.sleep(120)
+      }
+    } finally r.stop()
+    val all = lines.toArray(Array.empty[String])
+    assert(all.length >= 2, s"wanted >=2 interval lines, got ${all.length}") // >=1 interval + final
+    assert(all.forall(_.contains("keysPerSec")), all.mkString("\n"))
+    assert(all.forall(_.contains("intervalKeysPerSec")), all.mkString("\n"))
+    // counters actually advanced (metrics flowed from task ends)
+    assert(all.last.contains("records="), all.last)
+    val recs = all.last.split("records=")(1).split(" ")(0).toLong
+    assert(recs > 0, s"expected records > 0 in final line: ${all.last}")
+  }
 }
