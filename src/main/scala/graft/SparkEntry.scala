@@ -493,6 +493,22 @@ object SparkEntry {
     })
   )
 
+  /** DuckDB rendering of one RHP hyperplane as a DOUBLE[] literal.
+    * `Double.toString` is shortest-round-trip, so DuckDB parses back the
+    * bit-identical double and `list_dot_product` reproduces the EXACT sign
+    * decisions the Spark signature makes — which is what lets the
+    * approximate-LSH queries have exact oracles. */
+  private def planeLit(p: Array[Double]): String = p.mkString("[", ",", "]")
+
+  /** The RHP-LSH signature ([[operators.Similarity.rhpSignature]]) as a
+    * DuckDB integer expression over a DOUBLE[] column `v`. */
+  private def rhpSigSql(v: String, nbits: Int, bandOffset: Int = 0): String = {
+    val ps = operators.Similarity.planes(bandOffset + nbits, 64).drop(bandOffset)
+    (0 until nbits).map(j =>
+      s"(CASE WHEN list_dot_product($v, ${planeLit(ps(j))}) > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
   def oracleSql: Map[String, String] = Map(
@@ -718,6 +734,65 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+    // exact oracle for the LSH top-k: the signature planes are
+    // deterministic driver-side constants, inlined here so DuckDB
+    // reproduces the same buckets bit-for-bit
+    "q_sim_ann_lsh" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sig AS (SELECT vec_id, v, ${rhpSigSql("v", 4)} AS s FROM emb),
+         q AS (SELECT vec_id AS query_id, v AS qv, s FROM sig WHERE vec_id < 3),
+         scored AS (
+           SELECT q.query_id, c.vec_id, list_cosine_similarity(c.v, q.qv) AS cos
+           FROM sig c JOIN q ON c.s = q.s)
+         SELECT query_id, vec_id, round(cos, 6) AS cos_r,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS INT) AS rank
+         FROM scored QUALIFY rank <= 10""",
+    // exact oracle for IVF-flat: centroids are every step-th corpus vector
+    // (deterministic), assignment is argmax dot with larger-index
+    // tie-break, probes are the top-nprobe lists — all expressible in SQL
+    "q_sim_ann_ivf" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         stepc AS (SELECT greatest(1, (SELECT count(*) FROM emb) // 16) AS step),
+         cent AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+           FROM emb, stepc WHERE vec_id % stepc.step = 0 ORDER BY vec_id LIMIT 16),
+         assigned AS (
+           SELECT e.vec_id, e.v,
+             (SELECT c.i FROM cent c
+              ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC LIMIT 1) AS list
+           FROM emb e),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+         probed AS (
+           SELECT q.query_id, q.qv, c.i AS list
+           FROM q, LATERAL (SELECT i FROM cent
+             ORDER BY list_dot_product(q.qv, cent.v) DESC, i DESC LIMIT 4) c),
+         scored AS (
+           SELECT p.query_id, a.vec_id, list_cosine_similarity(a.v, p.qv) AS cos
+           FROM probed p JOIN assigned a ON a.list = p.list)
+         SELECT query_id, vec_id, round(cos, 6) AS cos_r,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS INT) AS rank
+         FROM scored QUALIFY rank <= 10""",
+    // exact oracle for the banded-LSH cosine near-dups: four 6-bit band
+    // signatures (planes inlined), candidates = agreement on any band
+    "q_sim_near_dup" -> {
+      val bandCols = (0 until 4)
+        .map(b => s"(${rhpSigSql("v", 6, bandOffset = b * 6)}) AS s$b")
+        .mkString(", ")
+      val unions = (0 until 4)
+        .map(b => s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM sig a JOIN sig b ON a.s$b = b.s$b AND a.vec_id < b.vec_id""")
+        .mkString(" UNION ALL ")
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sig AS (SELECT vec_id, v, $bandCols FROM emb),
+         cand AS (SELECT DISTINCT id_a, id_b FROM ($unions)),
+         scored AS (
+           SELECT c.id_a, c.id_b, list_cosine_similarity(ea.v, eb.v) AS cos
+           FROM cand c JOIN emb ea ON ea.vec_id = c.id_a
+                       JOIN emb eb ON eb.vec_id = c.id_b)
+         SELECT id_a, id_b, round(cos, 6) AS cos_r FROM scored WHERE cos >= 0.4"""
+    },
     "q_sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
              FROM embeddings WHERE vec_id < 3),

@@ -1,0 +1,80 @@
+package graft.cqlfacade
+
+import scala.collection.concurrent.TrieMap
+
+/** E4 — the custom codec registry. The reference lets a deployment install
+  * a DataStax `CodecRegistry` by class name, validated to be the right
+  * type with an accessible public default constructor
+  * (ref: cql-wrapper/src/main/scala/com/protectwise/cql/CassandraClient.scala:231-246).
+  *
+  * Spark analog: a codec maps a USER type to a Spark-bindable value (what
+  * `spark.sql(text, args)` accepts) plus its literal rendering for
+  * `debugString`. The facade's conversion ([[SqlStatement.convert]])
+  * consults the registry before its built-in rules, so user types bind
+  * without call-site boilerplate.
+  */
+trait SqlCodec[T] {
+  /** the user class this codec handles (runtime dispatch key) */
+  def targetClass: Class[T]
+  /** convert to a Spark-bindable value */
+  def encode(v: T): Any
+  /** literal rendering override; default falls back to the encoded form */
+  def render(v: T): String = SqlStatement.renderLiteral(encode(v))
+}
+
+/** A deployment's codec bundle, installable by class name from config
+  * (the `codecRegistry = "com.foo.SomeCodecRegistry"` analog). Must have a
+  * public default constructor. */
+trait SqlCodecProvider {
+  def codecs: Seq[SqlCodec[_]]
+}
+
+object CodecRegistry {
+  private val byClass = TrieMap[Class[_], SqlCodec[_]]()
+
+  def register[T](codec: SqlCodec[T]): Unit = {
+    byClass.put(codec.targetClass, codec)
+    ()
+  }
+
+  def lookup(v: Any): Option[SqlCodec[Any]] =
+    if (v == null) None
+    else {
+      // exact class first, then assignable (subclass) match
+      val c = v.getClass
+      byClass.get(c).orElse(
+        byClass.collectFirst { case (k, cd) if k.isAssignableFrom(c) => cd })
+        .map(_.asInstanceOf[SqlCodec[Any]])
+    }
+
+  def encode(v: Any): Option[Any] = lookup(v).map(_.encode(v))
+  def render(v: Any): Option[String] = lookup(v).map(_.render(v))
+
+  /** Class-load a provider with the reference's validation discipline:
+    * the class must implement [[SqlCodecProvider]] and expose a PUBLIC
+    * default constructor; failures carry the same messages
+    * (ref: CassandraClient.scala:232-246). */
+  def loadProvider(className: String): SqlCodecProvider = {
+    val clazz = getClass.getClassLoader.loadClass(className)
+    if (!classOf[SqlCodecProvider].isAssignableFrom(clazz))
+      throw new RuntimeException(
+        s"codecProvider must extend ${classOf[SqlCodecProvider].getCanonicalName}")
+    val provider =
+      try {
+        val constructor = clazz.getDeclaredConstructor()
+        if (!java.lang.reflect.Modifier.isPublic(constructor.getModifiers))
+          throw new NoSuchMethodException(
+            s"${clazz.getCanonicalName}'s default constructor is not accessible from this location.")
+        constructor.newInstance().asInstanceOf[SqlCodecProvider]
+      } catch {
+        case e: NoSuchMethodException =>
+          throw new NoSuchMethodException(
+            s"${clazz.getCanonicalName} must provide a public default constructor.")
+            .initCause(e).asInstanceOf[NoSuchMethodException]
+      }
+    provider.codecs.foreach(c => register(c.asInstanceOf[SqlCodec[Any]]))
+    provider
+  }
+
+  def clear(): Unit = byClass.clear()
+}

@@ -1,0 +1,98 @@
+package graft.cqlfacade
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+
+/** Q9 — the config-driven connection registry. The reference keeps named
+  * connection configs under `cassandra.connections.<name>`, supports
+  * `copyFrom` inheritance (copied entries merge UNDER the local ones, so
+  * local keys win), detects copy cycles with an explicit error, and
+  * memoizes one client per name in a TrieMap
+  * (ref: cql-wrapper/src/main/scala/com/protectwise/cql/CassandraClient.scala:31-49).
+  *
+  * Spark-first: a "connection" is an isolated child `SparkSession`
+  * (`newSession()` — shared SparkContext/cluster, independent SQLConf,
+  * temp views and UDF registry) configured from the profile's
+  * `spark.*` keys, plus engine keys:
+  *   - `copyFrom`: inherit another profile (transitively, cycle-checked)
+  *   - `dataDir`: base path for [[GraftConnection.table]]
+  *   - `planCacheSize`: reserved — the reference's
+  *     preparedStatementsCacheSize analog
+  *   - `codecProvider`: class name of an [[SqlCodecProvider]] loaded with
+  *     the reference's constructor-validation discipline (E4)
+  */
+object SessionRegistry {
+
+  final class MissingProfileException(name: String)
+      extends RuntimeException(
+        s"Missing graft connection entry connections.$name")
+
+  final class CyclicalProfileException(history: Seq[String], name: String)
+      extends RuntimeException(
+        s"Cyclical graft connection entry ${history.mkString(" => ")} " +
+          s"references $name in copyFrom attribute")
+
+  private val profiles = TrieMap[String, Map[String, String]]()
+  private val clients = TrieMap[String, GraftConnection]()
+
+  /** Install/replace a named profile (the `connections.<name>` block). */
+  def register(name: String, settings: Map[String, String]): Unit = {
+    profiles.put(name, settings)
+    () // a re-registered profile only affects FUTURE connects, like the ref
+  }
+
+  /** Resolve a profile with copyFrom inheritance: the copied config merges
+    * UNDER the local one (`copy ++ base` in the reference —
+    * ref: CassandraClient.scala:38-45). Cycles throw. */
+  def resolve(name: String, copyHistory: Seq[String] = Seq()): Map[String, String] = {
+    val base = profiles.getOrElse(name, throw new MissingProfileException(name))
+    val copied = base.get("copyFrom") match {
+      case Some(copyName) =>
+        if (copyHistory.contains(copyName))
+          throw new CyclicalProfileException(copyHistory, name)
+        resolve(copyName, copyHistory :+ copyName)
+      case None => Map.empty[String, String]
+    }
+    copied ++ base - "copyFrom"
+  }
+
+  /** One memoized connection per name (ref: CassandraClient.scala:47-49
+    * `clients.getOrElseUpdate`). */
+  def connect(name: String)(implicit spark: SparkSession): GraftConnection =
+    clients.synchronized {
+      clients.getOrElseUpdate(name, {
+        val settings = resolve(name)
+        val session = spark.newSession()
+        settings.foreach {
+          case (k, v) if k.startsWith("spark.") => session.conf.set(k, v)
+          case _ => ()
+        }
+        settings.get("codecProvider").foreach(CodecRegistry.loadProvider)
+        new GraftConnection(name, session, settings)
+      })
+    }
+
+  /** Drop memoized state (tests / reconfiguration). */
+  def reset(): Unit = { profiles.clear(); clients.clear() }
+}
+
+/** A named, configured facade entry point: the CassandraClient analog.
+  * Carries its own child session (independent SQLConf + temp views) and
+  * the resolved profile. */
+final class GraftConnection(
+    val name: String,
+    val session: SparkSession,
+    val settings: Map[String, String]) {
+
+  /** Base path for named tables (the keyspace analog). */
+  def dataDir: Option[String] = settings.get("dataDir")
+
+  def table(t: String): DataFrame = {
+    val dir = dataDir.getOrElse(
+      throw new IllegalStateException(s"connection '$name' has no dataDir"))
+    session.read.parquet(s"$dir/$t.parquet")
+  }
+
+  /** Execute a facade statement against THIS connection's session. */
+  def execute(st: SqlStatement): DataFrame = st.df(session)
+}

@@ -65,7 +65,9 @@ object SqlStatement {
     * Array[Byte] → ByteBuffer, recursive over collections
     * (ref: CQLStatement.scala:19-31). Collections stay Scala-side — Spark
     * literals take Scala types; the reference's Java-collection conversion
-    * is a DataStax-driver requirement with no Spark analog. */
+    * is a DataStax-driver requirement with no Spark analog.
+    * Registered codecs (E4 — [[CodecRegistry]]) win over the built-in
+    * rules, so user types bind without call-site conversion. */
   def convert(v: Any): Any = v match {
     case Some(x)       => convert(x)
     case None          => null
@@ -73,7 +75,7 @@ object SqlStatement {
     case m: Map[_, _]  => m.map { case (k, x) => convert(k) -> convert(x) }
     case s: Set[_]     => s.map(convert)
     case s: Seq[_]     => s.map(convert)
-    case x             => x
+    case x             => CodecRegistry.encode(x).map(convert).getOrElse(x)
   }
 
   private def toSlot(arg: Any): Slot = arg match {
@@ -88,9 +90,11 @@ object SqlStatement {
 
   /** X3 — literal rendering with CQL-style quoting: `'` doubled inside
     * strings, hex blobs, `[..]`/`{..}` collection literals, ISO-8601 UTC
-    * dates (ref: CQLStatement.scala:252-281, 340-345). */
+    * dates (ref: CQLStatement.scala:252-281, 340-345). Registered codecs
+    * (E4) may override rendering for their types. */
   def renderLiteral(v: Any): String = v match {
     case null => "null"
+    case x if CodecRegistry.lookup(x).isDefined => CodecRegistry.render(x).get
     case s: String => "'" + s.replace("'", "''") + "'"
     case b: ByteBuffer =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)

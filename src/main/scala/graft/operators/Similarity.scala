@@ -100,7 +100,7 @@ object Similarity {
     * driver and folded into the plan as array literals, so executors do
     * plain multiply-adds instead of per-(bit,dim) hashing. No RNG state:
     * every run and every executor sees identical planes. */
-  private[operators] def planes(nbits: Int, dims: Int): Array[Array[Double]] =
+  private[graft] def planes(nbits: Int, dims: Int): Array[Array[Double]] =
     Array.tabulate(nbits, dims) { (p, d) =>
       var z = (p.toLong * 64 + d) + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

@@ -1,0 +1,129 @@
+package graft
+
+import graft.cqlfacade._
+import org.apache.spark.sql.SparkSession
+
+/** Q9 — config registry with copyFrom inheritance + cycle detection
+  * (ref: CassandraClient.scala:38-49); E4 — codec registry with the
+  * class-load validation discipline (ref: CassandraClient.scala:231-246). */
+
+/** test fixture: a loadable codec provider (public default constructor) */
+class TestCodecProvider extends SqlCodecProvider {
+  def codecs: Seq[SqlCodec[_]] = Seq(RegistrySpec.TenantIdCodec)
+}
+
+/** negative fixture: right constructor, wrong supertype */
+class NotAProvider
+
+/** negative fixture: right supertype, inaccessible constructor */
+class PrivateCtorProvider private () extends SqlCodecProvider {
+  def codecs: Seq[SqlCodec[_]] = Seq.empty
+}
+
+object RegistrySpec {
+  final case class TenantId(value: Long)
+  object TenantIdCodec extends SqlCodec[TenantId] {
+    def targetClass: Class[TenantId] = classOf[TenantId]
+    def encode(v: TenantId): Any = v.value
+    override def render(v: TenantId): String = s"tenant(${v.value})"
+  }
+}
+
+class RegistrySpec extends SparkSpec {
+  import RegistrySpec._
+
+  test("Q9: copyFrom inheritance merges under local keys, transitively") {
+    SessionRegistry.reset()
+    SessionRegistry.register("base", Map(
+      "dataDir" -> "/base/dir",
+      "spark.sql.shuffle.partitions" -> "7",
+      "extra" -> "fromBase"))
+    SessionRegistry.register("mid", Map(
+      "copyFrom" -> "base",
+      "dataDir" -> "/mid/dir")) // local wins over copied
+    SessionRegistry.register("leaf", Map(
+      "copyFrom" -> "mid",
+      "leafOnly" -> "x"))
+    val r = SessionRegistry.resolve("leaf")
+    assert(r("dataDir") == "/mid/dir") // nearest override wins
+    assert(r("extra") == "fromBase") // inherited transitively
+    assert(r("spark.sql.shuffle.partitions") == "7")
+    assert(r("leafOnly") == "x")
+    assert(!r.contains("copyFrom"))
+  }
+
+  test("Q9: copy cycles throw the reference's explicit error") {
+    SessionRegistry.reset()
+    SessionRegistry.register("a", Map("copyFrom" -> "b"))
+    SessionRegistry.register("b", Map("copyFrom" -> "a"))
+    val e = intercept[SessionRegistry.CyclicalProfileException](
+      SessionRegistry.resolve("a"))
+    assert(e.getMessage.contains("Cyclical"))
+    intercept[SessionRegistry.MissingProfileException](
+      SessionRegistry.resolve("nope"))
+  }
+
+  test("Q9: connect memoizes one configured child session per name") {
+    SessionRegistry.reset()
+    implicit val sp: SparkSession = spark
+    SessionRegistry.register("conn1", Map(
+      "dataDir" -> sfDir,
+      "spark.sql.shuffle.partitions" -> "3"))
+    val c1 = SessionRegistry.connect("conn1")
+    val c2 = SessionRegistry.connect("conn1")
+    assert(c1 eq c2) // memoized, like the reference's clients TrieMap
+    // child session: own SQLConf, shared context
+    assert(c1.session ne spark)
+    assert(c1.session.sparkContext eq spark.sparkContext)
+    assert(c1.session.conf.get("spark.sql.shuffle.partitions") == "3")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") != "3")
+    // keyspace-analog table reads resolve against dataDir
+    assert(c1.table("region").count() == 5)
+    // facade statements execute on the connection's session
+    import Interpolation._
+    c1.table("nation").createOrReplaceTempView("reg_nation_v")
+    assert(c1.execute(sql"SELECT count(*) AS c FROM reg_nation_v").collect()(0)
+      .getLong(0) == 25)
+  }
+
+  test("E4: registered codec binds and renders a user type through the facade") {
+    CodecRegistry.clear()
+    CodecRegistry.register(TenantIdCodec)
+    import Interpolation._
+    val st = sql"SELECT ${TenantId(1782L)} AS t"
+    // bound value is the encoded Long
+    assert(st.parameters == Seq(1782L))
+    implicit val sp: SparkSession = spark
+    assert(st.df.collect()(0).getLong(0) == 1782L)
+    // rendering uses the codec's override on the raw type
+    assert(SqlStatement.renderLiteral(TenantId(9L)) == "tenant(9)")
+    CodecRegistry.clear()
+  }
+
+  test("E4: provider class-loads with constructor validation, like the reference") {
+    CodecRegistry.clear()
+    val p = CodecRegistry.loadProvider(classOf[TestCodecProvider].getName)
+    assert(p.codecs.nonEmpty)
+    // the provider's codecs are now live in the registry
+    assert(CodecRegistry.encode(TenantId(5L)).contains(5L))
+    // wrong supertype rejected with the reference's message shape
+    val e1 = intercept[RuntimeException](
+      CodecRegistry.loadProvider(classOf[NotAProvider].getName))
+    assert(e1.getMessage.contains("must extend"))
+    // no accessible default constructor rejected
+    val e2 = intercept[NoSuchMethodException](
+      CodecRegistry.loadProvider(classOf[PrivateCtorProvider].getName))
+    assert(e2.getMessage.contains("public default constructor"))
+    CodecRegistry.clear()
+  }
+
+  test("Q9+E4: a profile's codecProvider loads at connect time") {
+    SessionRegistry.reset(); CodecRegistry.clear()
+    implicit val sp: SparkSession = spark
+    SessionRegistry.register("withCodecs", Map(
+      "codecProvider" -> classOf[TestCodecProvider].getName))
+    SessionRegistry.connect("withCodecs")
+    assert(CodecRegistry.encode(TenantId(7L)).contains(7L))
+    CodecRegistry.clear()
+  }
+}
