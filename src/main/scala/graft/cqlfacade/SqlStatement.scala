@@ -116,8 +116,44 @@ object SqlStatement {
 final case class SqlStatement(
     parts: Seq[String],
     slots: Seq[Slot],
-    timestamp: SqlTimestamp = SqlNoTimestamp) {
+    timestamp: SqlTimestamp = SqlNoTimestamp,
+    declaredTypes: Option[Seq[org.apache.spark.sql.types.DataType]] = None) {
   import SqlStatement._
+
+  /** X10 — declare the bound-parameter types, enabling the prepared-bind
+    * coercion table at execution (the reference's `asPrepared` +
+    * `finalConvert`, which uses the prepared statement's variable
+    * definitions as type hints — ref: CQLStatement.scala:176-207). */
+  def asPrepared(types: org.apache.spark.sql.types.DataType*): SqlStatement =
+    copy(declaredTypes = Some(types))
+
+  /** The declared-type coercion table (ref: CQLStatement.scala:180-204):
+    * epoch-millis Longs bind to timestamp/date slots as temporal values;
+    * raw ByteBuffers decode per the declared type (text=UTF-8, int/bigint/
+    * float/double/timestamp = big-endian payload); anything else passes
+    * through unchanged, exactly like the reference's fall-through. */
+  private def finalConvert(params: Seq[Any]): Seq[Any] = declaredTypes match {
+    case None => params
+    case Some(ts) =>
+      require(ts.size == params.size,
+        s"asPrepared declared ${ts.size} types for ${params.size} parameters")
+      import org.apache.spark.sql.types._
+      ts.zip(params).map {
+        case (_, null) => null
+        case (TimestampType, l: java.lang.Long) => new java.sql.Timestamp(l)
+        case (TimestampType, b: ByteBuffer) =>
+          new java.sql.Timestamp(b.duplicate().getLong)
+        case (DateType, l: java.lang.Long) => new java.sql.Date(l)
+        case (StringType, b: ByteBuffer) =>
+          val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+          new String(arr, "UTF-8")
+        case (IntegerType, b: ByteBuffer) => b.duplicate().getInt
+        case (LongType, b: ByteBuffer) => b.duplicate().getLong
+        case (FloatType, b: ByteBuffer) => b.duplicate().getFloat
+        case (DoubleType, b: ByteBuffer) => b.duplicate().getDouble
+        case (_, p) => p
+      }
+  }
 
   /** Q7 — attach an explicit write timestamp
     * (ref: CQLStatement.scala:63-67 `withTimestamp` overloads). */
@@ -246,7 +282,7 @@ final case class SqlStatement(
     * ref: cql/CQLSession.scala:86-103). */
   def df(implicit spark: SparkSession): DataFrame = {
     val (text, params) = expand
-    val args = params.map {
+    val args = finalConvert(params).map {
       case b: ByteBuffer =>
         val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
       case x => x

@@ -62,6 +62,39 @@ class TracingListener extends QueryExecutionListener {
   }
 }
 
+/** A6 — aggregated counters + timers per (funcName, queryClass, table),
+  * the reference's metrics registry shape: a counter and a timer per
+  * classified statement, fed by the tracing hook
+  * (ref: cql/CQLSession.scala:105-164 statExec feeding CQLMetrics;
+  * counters+timers keyed by the same classification as tracing). */
+final case class TraceMetric(
+    count: Long,
+    failures: Long,
+    totalNs: Long,
+    minNs: Long,
+    maxNs: Long) {
+  def meanNs: Double = if (count == 0) 0.0 else totalNs.toDouble / count
+  def merged(durationNs: Long, failed: Boolean): TraceMetric = TraceMetric(
+    count + 1,
+    failures + (if (failed) 1 else 0),
+    totalNs + durationNs,
+    math.min(minNs, durationNs),
+    math.max(maxNs, durationNs))
+}
+
+object TraceMetric {
+  val empty: TraceMetric = TraceMetric(0, 0, 0, Long.MaxValue, Long.MinValue)
+
+  /** Fold drained trace events into the (func, class, table)-keyed
+    * counter/timer map. Pure — call on `listener.drain()` output or any
+    * accumulated event history. */
+  def aggregate(events: Seq[TraceEvent]): Map[(String, String, String), TraceMetric] =
+    events.groupBy(e => (e.funcName, e.queryClass, e.table)).map {
+      case (k, es) =>
+        k -> es.foldLeft(empty)((m, e) => m.merged(e.durationNs, e.failed))
+    }
+}
+
 object Tracing {
   /** Install a listener on the session; returns it for draining. */
   def install(spark: SparkSession): TracingListener = {

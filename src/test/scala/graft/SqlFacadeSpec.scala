@@ -183,6 +183,42 @@ class SqlFacadeExecSpec extends SparkSpec {
     assert(res.flatten.map(_.getInt(0)).toSet == (1 to 4).toSet)
   }
 
+  test("X10: declared-type coercions apply at execution (asPrepared analog)") {
+    import org.apache.spark.sql.types._
+    // Long + timestamp slot → temporal bind (ref: CQLStatement.scala:183)
+    val ms = 1707955200000L
+    val t = sql"SELECT ${ms} AS ts".asPrepared(TimestampType).df.collect()(0)
+    assert(t.getAs[java.sql.Timestamp]("ts").getTime == ms)
+    // ByteBuffer payloads decode per declared type
+    // (ref: CQLStatement.scala:184-199)
+    import java.nio.ByteBuffer
+    def bb(f: ByteBuffer => ByteBuffer): ByteBuffer = {
+      val b = ByteBuffer.allocate(8); f(b); b.flip(); b
+    }
+    val r = (sql"SELECT ${"hi".getBytes("UTF-8")} AS s, " +
+      sql"${bb(_.putInt(7))} AS i, ${bb(_.putLong(8L))} AS l, " +
+      sql"${bb(_.putDouble(2.5))} AS d")
+      .asPrepared(StringType, IntegerType, LongType, DoubleType)
+      .df.collect()(0)
+    assert(r.getAs[String]("s") == "hi")
+    assert(r.getAs[Int]("i") == 7)
+    assert(r.getAs[Long]("l") == 8L)
+    assert(r.getAs[Double]("d") == 2.5)
+    // count mismatch is an error, not silent misalignment
+    intercept[IllegalArgumentException](
+      sql"SELECT ${1} AS a, ${2} AS b".asPrepared(LongType).df)
+    // without asPrepared the raw binds pass through unchanged
+    assert(sql"SELECT ${ms} AS v".df.collect()(0).getAs[Long]("v") == ms)
+  }
+
+  test("S8: enumerate streams rows lazily through a local iterator") {
+    spark.read.parquet(s"$sfDir/nation.parquet").createOrReplaceTempView("nation_en_v")
+    val it = sql"SELECT n_nationkey FROM nation_en_v ORDER BY n_nationkey".enumerate
+    assert(it.hasNext)
+    assert(it.next().getAs[Number](0).longValue == 0L) // first row available before full drain
+    assert(it.size == 24) // remaining rows stream through
+  }
+
   test("Q7: usingTimestamp carries and renders; batch default resolves per statement") {
     val s = sql"INSERT INTO t (a) VALUES (${1})"
     assert(s.timestamp.isEmpty)

@@ -22,6 +22,26 @@ class TracingSpec extends SparkSpec {
     } finally Tracing.uninstall(spark, l)
   }
 
+  test("A6: trace events aggregate into per-classification counters and timers") {
+    val l = Tracing.install(spark)
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+      var tries = 0
+      var evs = l.drain()
+      while (evs.size < 3 && tries < 50) {
+        Thread.sleep(100); evs = evs ++ l.drain(); tries += 1
+      }
+      val metrics = graft.plans.TraceMetric.aggregate(evs)
+      val regionKey = metrics.keys.find(_._3 == "region").get
+      val m = metrics(regionKey)
+      assert(m.count == 2 && m.failures == 0)
+      assert(m.totalNs > 0 && m.minNs <= m.maxNs && m.meanNs > 0)
+      assert(metrics.keys.exists(_._3 == "nation"))
+    } finally Tracing.uninstall(spark, l)
+  }
+
   test("A2: status reporter emits interval lines with cumulative + interval rates") {
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val r = graft.plans.StatusReporter.start(spark, intervalMs = 100,
