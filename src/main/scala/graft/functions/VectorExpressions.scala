@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native dot product over two `array<double>` columns — the engine's one
+  * bespoke Catalyst `Expression`.
+  *
+  * Why custom machinery is justified HERE and nowhere else: Spark's
+  * higher-order functions (`zip_with` + `aggregate`) are INTERPRETED —
+  * per element they allocate lambda variable frames and never enter
+  * whole-stage codegen (the same trap measured at 134s-vs-6s on the
+  * minhash pipeline; see [[graft.operators.Dedup.minHashSignatures]]).
+  * Every similarity operator puts a dot product in its per-candidate-pair
+  * hot path (O(pairs·dims) work), so this is the hottest scalar in the
+  * engine. `doGenCode` emits a tight primitive loop that fuses into the
+  * surrounding whole-stage-codegen stage.
+  *
+  * Accumulation is ascending-index (`acc += a(i)*b(i)`), the exact
+  * floating-point sequence of the `aggregate()` fold it replaces —
+  * results are bit-identical, so the DuckDB oracles keep matching.
+  *
+  * Semantics: null array → null (null-intolerant); arrays of different
+  * lengths dot over the common prefix (vectors in one corpus share dims
+  * by contract); null ELEMENTS read as 0 — embedding columns are
+  * non-null-element arrays by schema.
+  */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<double> inputs, got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}

@@ -16,8 +16,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** dot(a, b) as a fold — deterministic left-to-right accumulation. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b) — deterministic left-to-right accumulation via the native
+    * codegen'd [[graft.functions.VectorDot]] expression. The HOF
+    * formulation (`aggregate(zip_with(...))`) computes the identical
+    * floating-point sequence but runs INTERPRETED, which dominates every
+    * per-candidate-pair hot path; see VectorDot's scaladoc. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.VectorDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The interpreted HOF formulation, kept as the cross-check reference
+    * for [[dot]] (asserted bit-identical in OperatorsSpec). */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

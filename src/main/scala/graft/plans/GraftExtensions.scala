@@ -35,9 +35,21 @@ object GraftFunctionRegistry {
     BitwiseCount(BitwiseXor(Cast(args.head, LongType), Cast(args(1), LongType)))
   }
 
+  /** graft_dot(a, b) — the native codegen'd vector dot product
+    * ([[graft.functions.VectorDot]] — the engine's one custom Expression;
+    * see its scaladoc for why HOFs don't cut it in the similarity hot
+    * path). Inputs cast to array<double>. */
+  def dotExpr(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "graft_dot(vec_a, vec_b)")
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    graft.functions.VectorDot(
+      Cast(args.head, ArrayType(DoubleType)), Cast(args(1), ArrayType(DoubleType)))
+  }
+
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_age_seconds" -> ageSecondsExpr _,
-    "graft_hamming" -> hammingExpr _)
+    "graft_hamming" -> hammingExpr _,
+    "graft_dot" -> dotExpr _)
 
   /** Register on an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to the classic `Column` ↔ `Expression` seam, which is
+  * `private[sql]` in Spark 4's Connect-era API split. This is the standard
+  * pattern for libraries shipping custom Catalyst expressions (the public
+  * alternative — registering a FunctionRegistry builder and resolving by
+  * name per session — couples plan construction to an active session).
+  * Nothing else of Spark's internals is touched from this package. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -82,6 +82,30 @@ class SimilaritySpec extends SparkSpec {
   private lazy val emb = spark.read
     .parquet(s"$sfDir/embeddings.parquet")
 
+  test("native VectorDot is bit-identical to the interpreted HOF fold") {
+    import graft.operators.Similarity
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val paired = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(500)
+    // same FP accumulation order → exact equality, not approximate
+    val diff = paired.select(
+      (Similarity.dot(col("a.v"), col("b.v")) -
+        Similarity.dotHof(col("a.v"), col("b.v"))).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diff == 0)
+    // and through the SQL registration seam
+    graft.plans.GraftFunctionRegistry.register(spark)
+    vecs.createOrReplaceTempView("vd_v")
+    val r = spark.sql(
+      "SELECT graft_dot(a.v, a.v) AS s FROM vd_v a WHERE a.vec_id = 0")
+      .collect()(0).getDouble(0)
+    assert(r > 0.0)
+    // null array → null, like the built-ins
+    assert(spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS s")
+      .collect()(0).isNullAt(0))
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)))
       .toDF("a", "b")
