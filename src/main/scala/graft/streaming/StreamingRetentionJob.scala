@@ -60,4 +60,78 @@ object StreamingRetentionJob {
         org.apache.spark.sql.functions.window(col(tsCol), window),
         col(keyCol))
       .agg(count(lit(1)).as("n"))
+
+  /** Streaming exact dedup — the streaming face of
+    * [[graft.operators.Dedup.exactDedup]]: one survivor per content hash.
+    * In a stream the survivor is necessarily the FIRST arrival (a min-id
+    * winner isn't causally computable), and
+    * `dropDuplicatesWithinWatermark` evicts each hash's state once the
+    * watermark passes it — bounded state at 100 TB/day ingest, where an
+    * unbounded `dropDuplicates` would accumulate forever. The shuffle
+    * carries (hash, length) keys, never document text — same discipline as
+    * the batch operator. */
+  def streamingExactDedup(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("__h", xxhash64(col(textCol)))
+      .withColumn("__l", length(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h", "__l")
+      .drop("__h", "__l")
+
+  /** Streaming LWW — per-key running winner via `mapGroupsWithState`,
+    * the KeyValueGroupedDataset custom-state seam: each micro-batch folds
+    * new arrivals into the stored winner and emits the key's current
+    * state (Update mode). The winner ordering matches
+    * [[graft.jobs.CompactJob.lwwDedup]]: max by (writetime, then value
+    * columns) so late or duplicate cells reconcile exactly like a
+    * compaction pass would, but incrementally.
+    *
+    * State per key is ONE row — linear in live keys, shuffle-partitioned
+    * by key hash; the 100 TB shape for continuous reconciliation. */
+  def streamingLwwLatest(df: DataFrame, spec: TableSpec): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val schema = df.schema
+    val wt = spec.writetimeCol.getOrElse(
+      sys.error("streaming LWW requires TableSpec.writetimeCol"))
+    val keyCols = spec.keyColumns
+    val valueOrder =
+      wt +: schema.fieldNames.filterNot(c => keyCols.contains(c) || c == wt).toSeq
+    val rowEnc = Encoders.row(schema)
+    // lexicographic (writetime, value cols...) — the struct-max order of
+    // the batch compactor; natural per-cell ordering, nulls first
+    def lessThan(a: Row, b: Row): Boolean = {
+      var i = 0
+      while (i < valueOrder.length) {
+        val x = a.getAs[Any](valueOrder(i))
+        val y = b.getAs[Any](valueOrder(i))
+        if (x != y) {
+          if (x == null) return true
+          if (y == null) return false
+          return (x, y) match {
+            case (cx: Comparable[_], _) =>
+              cx.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+            case _ => String.valueOf(x) < String.valueOf(y)
+          }
+        }
+        i += 1
+      }
+      false
+    }
+    df.groupByKey(r =>
+        keyCols.map(c => String.valueOf(r.getAs[Any](c))).mkString("\u0000"))(
+        Encoders.STRING)
+      .mapGroupsWithState[Row, Row](GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state) =>
+          var best: Row = if (state.exists) state.get else null
+          rows.foreach { r => if (best == null || lessThan(best, r)) best = r }
+          state.update(best)
+          best
+      }(rowEnc, rowEnc)
+      .toDF(schema.fieldNames.toSeq: _*)
+  }
 }

@@ -101,6 +101,54 @@ class StreamingSpec extends SparkSpec {
     assert(all == Set((1753L, "c"), (1768L, "d"), (1799L, "f")))
   }
 
+  test("streaming exact dedup: first arrival survives per content hash") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Int, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val stream = in.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingRetentionJob
+      .streamingExactDedup(stream, "text", "ts", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append")
+      .start()
+    try {
+      in.addData((1, "alpha", ts(1)), (2, "alpha", ts(2)), (3, "beta", ts(3)))
+      q.processAllAvailable()
+      // duplicate across a later batch, still within watermark state
+      in.addData((4, "alpha", ts(4)), (5, "gamma", ts(5)))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("doc_id").as[Int].collect().toSet
+      assert(ids == Set(1, 3, 5)) // first-seen survivor per text, cross-batch
+    } finally q.stop()
+  }
+
+  test("streaming LWW via mapGroupsWithState reconciles across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long, String)]
+    val stream = in.toDF().toDF("tenant", "id", "writetime", "payload")
+    val out = StreamingRetentionJob.streamingLwwLatest(
+      stream, TableSpec(Seq("tenant"), Seq("id"), Some("writetime")))
+    val q = out.writeStream.format("memory").queryName("slww")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, "k1", 100L, "old"), (2L, "k2", 50L, "only"))
+      q.processAllAvailable()
+      // later batch: newer write for k1, stale late write for k2
+      in.addData((1L, "k1", 200L, "new"), (2L, "k2", 40L, "stale"))
+      q.processAllAvailable()
+      val latest = spark.table("slww")
+        .groupBy("id").agg(max_by(col("payload"), col("writetime")).as("p"))
+        .as[(String, String)].collect().toMap
+      assert(latest("k1") == "new")
+      assert(latest("k2") == "only") // stale write did not displace state
+      // the update stream's LAST emission per key is the winner
+      val emissions = spark.table("slww").as[(Long, String, Long, String)]
+        .collect().toSeq
+      assert(emissions.filter(_._2 == "k2").map(_._4).toSet == Set("only"))
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark aggregate by event-time window") {
     val ev = Seq(
       ("2024-01-01 00:10:00", "click"), ("2024-01-01 00:20:00", "click"),
