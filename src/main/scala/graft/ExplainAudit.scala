@@ -22,7 +22,8 @@ object ExplainAudit {
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("q_f1_rule_keep", "q_j1_rule_antijoin", "q_a7_lww_dedup",
-        "q_dedup_minhash_pairs", "q_sim_topk_brute", "q_f7_ttl_keep")
+        "q_dedup_minhash_pairs", "q_sim_topk_brute", "q_f7_ttl_keep",
+        "q_sim_near_dup_exact", "q_sim_ann_ivf", "q_dedup_resolve")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       val df = SparkEntry.queries(n)(spark, dir)

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Confirms the native VectorDot participates in whole-stage codegen on a
+  * plain projection stage (joins like BNLJ opt out of WSCG for their own
+  * reasons; the expression itself must not force interpreted fallback). */
+class CodegenCheckSpec extends SparkSpec {
+  test("VectorDot projection stage compiles into WholeStageCodegen") {
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        Similarity.dot(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")).as("d"))
+    df.collect() // force execution so executedPlan is final
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage;
+    // the Project carrying graft_dot must be starred (no interpreted
+    // fallback from a doGenCode failure)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("graft_dot") && l.contains("*(")), plan)
+    // and the value is right: dot(v,v) = |v|^2 > 0
+    assert(df.filter(col("d") <= 0).count() == 0)
+  }
+}
