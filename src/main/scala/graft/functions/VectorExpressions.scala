@@ -71,3 +71,122 @@ case class VectorDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): VectorDot =
     copy(left = newLeft, right = newRight)
 }
+
+/** Shared evaluators for the signature expressions — static methods so the
+  * generated code calls straight into compiled JVM loops (keeping the
+  * surrounding stage in whole-stage codegen) and the interpreted `eval`
+  * path shares the identical implementation. */
+object SignatureEval {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+  /** MinHash: k per-seed minimums over the shingle set. Hash derivation is
+    * EXACTLY the relational formulation it replaces
+    * ([[graft.operators.Dedup.minHashSignatures]]):
+    * base = xxhash64(shingle); per-seed = xxhash64(base, seed) which
+    * chain-hashes as hash(seed, hash(base, 42)). */
+  def minHash(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val base = XxHash64Function.hash(shingles.getUTF8String(i), StringType, 42L)
+      val t = XxHash64Function.hash(base, LongType, 42L)
+      var j = 0
+      while (j < k) {
+        // the relational form's seed is an Int LITERAL: xxhash64 hashes
+        // 4-byte ints differently from longs, so match the width exactly
+        val h = XxHash64Function.hash(j, IntegerType, t)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** SimHash: 64 signed bit-counts over per-token xxhash64 values, the
+    * identical math of [[graft.operators.Dedup.simHashFingerprints]]. */
+  def simHash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+}
+
+/** MinHash signature as ONE projection — `array<long>` of `k` per-seed
+  * minimums over an `array<string>` shingle column.
+  *
+  * Replaces the explode → xxhash64 → groupBy-with-k-min-aggs shape: that
+  * shape was itself the 20× fix over interpreted HOFs, but it still
+  * materializes |shingles| intermediate rows per document and runs a
+  * hash aggregate; as a native expression the signature is a map-only
+  * pass with NO shuffle at all — at 100 TB the signature stage becomes
+  * embarrassingly parallel. Hash math is identical to the relational
+  * formulation (asserted in DedupSpec). */
+case class MinHashSig(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string> shingles, got ${other.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(in: Any): Any =
+    SignatureEval.minHash(in.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SignatureEval.minHash($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash fingerprint as ONE projection over an `array<string>`
+  * token column — same rationale and hash math as [[MinHashSig]]. */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string> tokens, got ${other.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(in: Any): Any =
+    SignatureEval.simHash(in.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SignatureEval.simHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

@@ -67,16 +67,32 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** MinHash signatures at scale: explode shingles once, hash each
-    * shingle string once (xxhash64), then derive the k per-seed hashes
-    * from the 64-bit base with cheap long-rehash (`xxhash64(h, seed)`),
-    * min-aggregated per doc. One shuffle with map-side combine — the
-    * shuffle carries k longs per doc, never shingles. This beats the
-    * nested higher-order-function formulation ([[minHashSignature]]) by
-    * ~20× at scale: HOFs are interpreted (not codegen'd) and re-evaluate
-    * the shingle subtree once per seed; the explode+groupBy shape hashes
-    * each shingle exactly once and stays in whole-stage codegen. */
+  /** MinHash signatures at scale — ONE map-only projection via the native
+    * [[graft.functions.MinHashSig]] expression: no explode, no aggregate,
+    * NO shuffle; the signature stage is embarrassingly parallel at any
+    * scale. Hash derivation is bit-identical to
+    * [[minHashSignaturesExploded]] (asserted in DedupSpec), which this
+    * replaced: the explode+groupBy shape was itself the ~20× fix over
+    * interpreted HOFs ([[minHashSignature]]), but it still materialized
+    * |shingles| intermediate rows per document and one combine shuffle. */
   def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.select(col(idCol),
+      ColumnBridge.column(graft.functions.MinHashSig(
+        ColumnBridge.expression(shingles(col(textCol), shingleN)), k))
+        .as("__sig"))
+  }
+
+  /** The pure-relational formulation (explode shingles once, base-hash
+    * each, k chained per-seed min-aggregates with map-side combine) —
+    * kept as the cross-check reference for the native expression and as
+    * the shape to fall back to if an engine lacks custom expressions. */
+  private[graft] def minHashSignaturesExploded(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -127,6 +143,13 @@ object Dedup {
                   ",", slice(col("__sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))
                   .as("bucket")))).as("__b"))
       .select(col(idCol), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
+      // one exchange on the JOIN keys: both self-join branches reuse it
+      // (ReuseExchange), so the map-only signature projection runs ONCE,
+      // and the equi-join is co-partitioned — no further shuffle. Without
+      // this the native-projection signatures would be recomputed per
+      // branch (the old groupBy shape got reuse for free from its
+      // aggregate exchange, at the cost of exploding shingles into rows).
+      .repartition(col("band"), col("bucket"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -280,12 +303,24 @@ object Dedup {
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash fingerprints at scale: explode tokens once, hash once, then
-    * 64 conditional-sum aggregates (one per bit) with map-side combine —
-    * same rationale as [[minHashSignatures]]: the expression variant
-    * re-tokenizes the document 64 times (interpreted HOF), this one stays
-    * in codegen and scans each token hash once per bit as a long. */
+  /** SimHash fingerprints at scale — ONE map-only projection via the
+    * native [[graft.functions.SimHash64]] expression (same rationale and
+    * bit math as [[minHashSignatures]]'s native path; identical output to
+    * [[simHashFingerprintsExploded]], asserted in DedupSpec). */
   def simHashFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.select(col(idCol),
+      ColumnBridge.column(graft.functions.SimHash64(ColumnBridge.expression(
+        array_distinct(split(trim(lower(col(textCol))), "\\s+"))))).as("fp"))
+  }
+
+  /** Pure-relational cross-check shape: explode tokens once, hash once,
+    * 64 conditional-sum aggregates with map-side combine (itself the fix
+    * over the per-bit-re-tokenizing HOF variant [[simHashExpr]]). */
+  private[graft] def simHashFingerprintsExploded(
       df: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
@@ -318,6 +353,9 @@ object Dedup {
     val banded = fps.selectExpr(idCol, "fp",
       "explode(transform(sequence(0,3), q -> struct(q AS q, shiftright(fp, q*16) & 65535 AS bucket))) AS e")
       .selectExpr(idCol, "fp", "e.q AS q", "e.bucket AS bucket")
+      // shared co-partitioned exchange for both self-join branches (see
+      // lshCandidatePairs): fingerprints computed once, join shuffle-free
+      .repartition(col("q"), col("bucket"))
     val a = banded.as("a")
     val b = banded.as("b")
     // Hamming cut BEFORE the dedup shuffle: the cut is a cheap bit_count on

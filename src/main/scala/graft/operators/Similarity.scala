@@ -285,6 +285,10 @@ object Similarity {
         struct(lit(b).as("band"), col(s"__sig$b").as("bucket"))): _*)).as("__e"))
       .select(col(idCol), col("__v"), col("__n"),
         col("__e.band").as("band"), col("__e.bucket").as("bucket"))
+      // shared co-partitioned exchange for both self-join branches: the
+      // bands×nbits signature dots compute once, the equi-join adds no
+      // further shuffle (same rationale as Dedup.lshCandidatePairs)
+      .repartition(col("band"), col("bucket"))
     val a = banded.as("a")
     val b = banded.as("b")
     // threshold BEFORE the dedup shuffle: the dot product must be computed

@@ -21,6 +21,23 @@ class DedupSpec extends SparkSpec {
     assert(out2.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L))
   }
 
+  test("native MinHashSig/SimHash64 are value-identical to the relational shapes") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // minhash: same (id -> k mins) map from both formulations
+    val native = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val exploded = Dedup.minHashSignaturesExploded(docs, "doc_id", "text", 3, 20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet == exploded.keySet)
+    native.foreach { case (id, sig) => assert(sig == exploded(id), s"doc $id") }
+    // simhash: same (id -> fp) from both formulations
+    val nf = Dedup.simHashFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ef = Dedup.simHashFingerprintsExploded(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nf == ef)
+  }
+
   test("minhash signature is deterministic and k-wide") {
     val sigs = docs
       .select(Dedup.minHashSignature(Dedup.shingles(col("text"), 3), 20).as("sig"))
