@@ -106,6 +106,33 @@ object SignatureEval {
     new GenericArrayData(mins)
   }
 
+  /** Distinct word n-gram shingles from a words array — first-occurrence
+    * order (matching `array_distinct`); fewer than n words collapse to one
+    * whole-text shingle, mirroring the relational
+    * [[graft.operators.Dedup.shinglesRelational]] exactly. */
+  def shingles(words: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val sep = UTF8String.fromString(" ")
+    val m = words.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (m < n) {
+      val all = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { all(i) = words.getUTF8String(i); i += 1 }
+      out.add(UTF8String.concatWs(sep, all: _*))
+    } else {
+      val gram = new Array[UTF8String](n)
+      var i = 0
+      while (i <= m - n) {
+        var j = 0
+        while (j < n) { gram(j) = words.getUTF8String(i + j); j += 1 }
+        out.add(UTF8String.concatWs(sep, gram: _*))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray(new Array[UTF8String](out.size())))
+  }
+
   /** SimHash: 64 signed bit-counts over per-token xxhash64 values, the
     * identical math of [[graft.operators.Dedup.simHashFingerprints]]. */
   def simHash(tokens: ArrayData): Long = {
@@ -129,6 +156,35 @@ object SignatureEval {
     }
     fp
   }
+}
+
+/** Distinct word n-gram shingles over an `array<string>` words column —
+  * native replacement for the interpreted `transform(sequence(...), i ->
+  * concat_ws(element_at...))` HOF that fed every dedup pipeline (same
+  * rationale as [[MinHashSig]]; output equality asserted in DedupSpec). */
+case class NGramShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string> words, got ${other.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(in: Any): Any =
+    SignatureEval.shingles(in.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SignatureEval.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramShingles =
+    copy(child = newChild)
 }
 
 /** MinHash signature as ONE projection — `array<long>` of `k` per-seed

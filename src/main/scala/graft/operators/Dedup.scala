@@ -17,11 +17,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
-  /** Word n-gram shingles of `text` as an array column (distinct).
-    * Each n-gram is built from `n` O(1) element_at lookups — a
-    * slice-per-position formulation is O(words) per position, i.e. O(n²)
-    * per document, and dominated the LSH pipeline at bench scale. */
+  /** Word n-gram shingles of `text` as an array column (distinct,
+    * first-occurrence order) — native [[graft.functions.NGramShingles]]
+    * over the codegen'd `split`: one compiled pass per document, replacing
+    * the interpreted `transform(sequence, …)` HOF (which was itself the
+    * fix over an O(n²) slice-per-position formulation). */
   def shingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val words = split(trim(lower(text)), "\\s+")
+    ColumnBridge.column(graft.functions.NGramShingles(
+      ColumnBridge.expression(words), n))
+  }
+
+  /** The relational HOF formulation, kept as the cross-check reference
+    * for the native expression (asserted equal in DedupSpec). */
+  private[graft] def shinglesRelational(text: Column, n: Int): Column = {
     val words = split(trim(lower(text)), "\\s+")
     array_distinct(
       when(size(words) >= n,

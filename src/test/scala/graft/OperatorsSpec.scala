@@ -21,6 +21,22 @@ class DedupSpec extends SparkSpec {
     assert(out2.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L))
   }
 
+  test("native NGramShingles matches the relational HOF shingles") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    for (n <- Seq(1, 3, 5)) {
+      val native = Dedup.shingles(col("text"), n)
+      val rel = Dedup.shinglesRelational(col("text"), n)
+      val diff = docs.select(col("doc_id"), native.as("a"), rel.as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff == 0, s"n=$n")
+    }
+    // short-text edge: fewer words than n collapses to one shingle
+    import spark.implicits._
+    val tiny = Seq("one two").toDF("text")
+    assert(tiny.select(Dedup.shingles(col("text"), 3)).collect()(0)
+      .getSeq[String](0) == Seq("one two"))
+  }
+
   test("native MinHashSig/SimHash64 are value-identical to the relational shapes") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // minhash: same (id -> k mins) map from both formulations
