@@ -16,7 +16,11 @@ import org.apache.spark.sql.SparkSession
   *   RetentionMain src=<parquet> kept=<out> [backup=<dir>] \
   *     pk=col1,col2 [ck=col3] [writetime=col] [rules_path=<parquet>] \
   *     [ttl_mode=true] [default_ttl=seconds] [dcs_is_dry_run=true] \
-  *     [dcs_convictor=<class>]
+  *     [dcs_convictor=<class>] [dcs_status_report_ms=<ms>] \
+  *     [write_timestamp=<micros>]
+  *
+  * `dcs_status_report_ms` enables the A2 interval heartbeat;
+  * `write_timestamp` stamps the Q7 writetime onto kept-side writes.
   */
 object RetentionMain {
   def main(args: Array[String]): Unit = {
