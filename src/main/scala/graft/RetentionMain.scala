@@ -17,10 +17,12 @@ import org.apache.spark.sql.SparkSession
   *     pk=col1,col2 [ck=col3] [writetime=col] [rules_path=<parquet>] \
   *     [ttl_mode=true] [default_ttl=seconds] [dcs_is_dry_run=true] \
   *     [dcs_convictor=<class>] [dcs_status_report_ms=<ms>] \
-  *     [write_timestamp=<micros>]
+  *     [write_timestamp=<micros>] [job_start_ms=<ms>]
   *
   * `dcs_status_report_ms` enables the A2 interval heartbeat;
-  * `write_timestamp` stamps the Q7 writetime onto kept-side writes.
+  * `write_timestamp` stamps the Q7 writetime onto kept-side writes;
+  * `job_start_ms` pins the T1 TTL base time (defaults to now — pass it
+  * for reproducible runs/backfills).
   */
 object RetentionMain {
   def main(args: Array[String]): Unit = {
@@ -81,6 +83,8 @@ object RetentionMain {
           backupPath = opts.get("backup").orElse(strat.backupDir),
           ttlMode = ttlMode,
           dryRun = strat.effectiveDryRun,
+          jobStartMs = opts.get("job_start_ms").map(_.toLong)
+            .getOrElse(System.currentTimeMillis()),
           writeTimestampMicros = opts.get("write_timestamp").map(_.toLong))
         finally reporter.foreach(_.stop())
       // one JSON status line, like the reference's interval stats log
