@@ -66,12 +66,18 @@ class OddPartitionKeyConvictor(spec: TableSpec, options: Map[String, String])
 }
 
 /** Keep rows whose LAST clustering-key column is even
-  * (ref: OddClusterKeyDeleter.java:54-69, last byte parity). */
+  * (ref: OddClusterKeyDeleter.java:54-69, last byte parity). A table with
+  * NO clustering key convicts nothing — the reference's matrix pins this
+  * (`"OddClusterKeyDeleter" !! "singlepk_nock" !! 0` —
+  * ref: DeletingCompactionStrategySpec.scala:103,106). */
 class OddClusterKeyConvictor(spec: TableSpec, options: Map[String, String])
     extends Convictor {
   def keepPartition(schema: StructType): Column = lit(true)
   def keepRow(schema: StructType): Column =
-    pmod(col(spec.clusteringKeys.last).cast(LongType), lit(2L)) === 0L
+    spec.clusteringKeys.lastOption match {
+      case None     => lit(true)
+      case Some(ck) => pmod(col(ck).cast(LongType), lit(2L)) === 0L
+    }
 }
 
 /** Keep rows with an even key hash — the token-parity analog

@@ -258,6 +258,61 @@ class GoldenParitySpec extends SparkSpec {
       Rule("cid_7", Map("id" -> Seq(r("00001f", null))), ttl = Some(0L))))) == 6)
   }
 
+  test("strategy matrix: convictor x PK-layout reductions match the reference") {
+    // mirrors the reference's 30-case layout matrix over an (a, b) grid
+    // (ref: DeletingCompactionStrategySpec.scala:75-135): KeepAll keeps
+    // all, All*/AllAtom drop all, OddPartitionKey keeps even first-pk,
+    // OddClusterKey keeps even last-ck and convicts NOTHING without a ck.
+    import graft.plans._
+    import org.apache.spark.sql.functions.col
+    val grid = for { a <- 0 until 20; b <- 0 until 20 } yield (a.toLong, b.toLong, b.toLong)
+    val df = grid.toDF("a", "b", "c")
+    val layouts: Seq[(String, TableSpec)] = Seq(
+      "singlepk_nock" -> TableSpec(Seq("a")),
+      "singlepk_singleck" -> TableSpec(Seq("a"), Seq("b")),
+      "singlepk_dualck" -> TableSpec(Seq("a"), Seq("b", "c")),
+      "dualpk_nock" -> TableSpec(Seq("a", "b")),
+      "dualpk_singleck" -> TableSpec(Seq("a", "b"), Seq("c")),
+      "dualpk_dualck" -> TableSpec(Seq("a"), Seq("b", "c")))
+    val expectations: Seq[(String, TableSpec => Convictor, String => Double)] = Seq(
+      ("KeepAll", s => new KeepAllConvictor(s, Map.empty), _ => 1.0),
+      ("DropAll", s => new DropAllConvictor(s, Map.empty), _ => 0.0),
+      ("OddPartitionKey", s => new OddPartitionKeyConvictor(s, Map.empty), _ => 0.5),
+      ("OddClusterKey", s => new OddClusterKeyConvictor(s, Map.empty),
+        layout => if (layout.endsWith("_nock")) 1.0 else 0.5))
+    for ((layoutName, spec) <- layouts; (cname, mk, exp) <- expectations) {
+      val kept = df.filter(mk(spec).keep(df.schema)).count()
+      val want = (exp(layoutName) * grid.size).toLong
+      assert(kept == want, s"$cname on $layoutName: kept $kept, want $want")
+    }
+  }
+
+  test("ConfigurableDeleter JSON config on the (a,b) grid: first column decides") {
+    // the reference's configurable-conviction scenario
+    // (ref: DeletingCompactionStrategySpec.scala:43-73): delete_keys
+    // {"a": [8,[null,5],["11",null]], ...} over a 100x100 grid on
+    // singlepk_singleck — only the FIRST present key column ("a") decides,
+    // keeping a ∈ {6,7,9,10} → 4% of rows (the reference asserts ~5%
+    // reduction-to with tolerance; exact semantics give 400 of 10000).
+    import graft.sources.RulesSource
+    import graft.compile.RuleCompiler
+    import org.apache.spark.sql.functions.col
+    val grid = for { a <- 0 until 100; b <- 0 until 100 } yield (a.toLong, b.toLong)
+    val df = grid.toDF("a", "b")
+    val rs = RulesSource.fromJson(
+      """{"a": [8, [null, 5], ["11", null]],
+          "b": [18, [null, 15], ["21", null]],
+          "c": "1",
+          "d": []}""")
+    val kept = df.filter(
+      RuleCompiler.keepFirstColumn(rs, df.schema, Seq("a", "b"))).count()
+    assert(kept == 400)
+    val keptA = df.filter(
+        RuleCompiler.keepFirstColumn(rs, df.schema, Seq("a", "b")))
+      .select("a").distinct().collect().map(_.getLong(0)).toSet
+    assert(keptA == Set(6L, 7L, 9L, 10L))
+  }
+
   test("overlapping keys (two flushes) compact to LWW then TTL: -> 1 kept") {
     val flush = Seq(
       (1827L, "000151d4e6fec2fde7240e6c5e1fce00", aged(600)),
