@@ -82,6 +82,78 @@ object StreamingRetentionJob {
       .dropDuplicatesWithinWatermark("__h", "__l")
       .drop("__h", "__l")
 
+  /** One closed session: key, bounds, and event count. */
+  final case class SessionOut(
+      key: String, startMs: Long, endMs: Long, events: Long)
+
+  /** In-flight session accumulator (public: the state encoder's generated
+    * deserializer must be able to construct it). */
+  final case class SessionState(
+      startMs: Long, lastMs: Long, events: Long)
+
+  /** Event-time sessionization via `flatMapGroupsWithState` with an
+    * event-time timeout — the custom-state shape a training-data pipeline
+    * needs for activity segmentation (e.g. grouping raw interaction logs
+    * into dialogue sessions). A session closes when `gap` passes with no
+    * event for the key (watermark-driven timeout), then emits ONE summary
+    * row; in-flight sessions hold O(1) state per key.
+    *
+    * Late events inside the watermark extend their session; events older
+    * than the watermark are dropped by the engine before the function runs
+    * — the standard correctness/state-size tradeoff.
+    *
+    * Input needs a string `key` column and an event-time `ts` TIMESTAMP
+    * column with `withWatermark` already applied; call in Append mode. */
+  def sessionize(
+      events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      gapMs: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(gapMs > 0, "session gap must be positive")
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionOut]
+    events
+      .groupByKey((r: Row) => r.getAs[String]("key"))(Encoders.STRING)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[Row], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // trailing session: the watermark passed last+gap with no new
+            // events — close and emit
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(key, s.startMs, s.lastMs, s.events))
+          } else {
+            // fold arrivals in event-time order, splitting IN the handler
+            // whenever the gap is exceeded: the watermark (and thus the
+            // timeout) lags one batch behind the data, so a later batch
+            // can deliver events past the gap while the old session is
+            // still open — those must close it here, not wait for timeout
+            val times = rows
+              .map(_.getAs[java.sql.Timestamp]("ts").getTime).toSeq.sorted
+            var closed = List.empty[SessionOut]
+            var open = state.getOption
+            times.foreach { t =>
+              open match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  open = Some(SessionState(
+                    math.min(s.startMs, t), math.max(s.lastMs, t), s.events + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(key, s.startMs, s.lastMs, s.events)
+                  open = Some(SessionState(t, t, 1))
+                case None =>
+                  open = Some(SessionState(t, t, 1))
+              }
+            }
+            val s = open.get
+            state.update(s)
+            // close once the WATERMARK (not wall clock) passes last+gap
+            state.setTimeoutTimestamp(s.lastMs + gapMs)
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Streaming LWW — per-key running winner via `mapGroupsWithState`,
     * the KeyValueGroupedDataset custom-state seam: each micro-batch folds
     * new arrivals into the stored winner and emits the key's current

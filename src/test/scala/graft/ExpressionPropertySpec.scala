@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests pinning the native expressions against their relational
+  * cross-check formulations over RANDOM inputs (the fixed-corpus equality
+  * in DedupSpec/SimilaritySpec covers realistic text; these cover the
+  * adversarial shapes — empty strings, repeated words, unicode, single
+  * words, degenerate vectors). Deterministic seeds. */
+class ExpressionPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(1234L + i)))
+
+  private val genWord: Gen[String] = Gen.frequency(
+    6 -> Gen.alphaLowerStr.map(_.take(6)),
+    2 -> Gen.oneOf("a", "b", "ab", "ü", "日本", "x-y"),
+    1 -> Gen.const(""))
+  private val genText: Gen[String] = for {
+    n <- Gen.chooseNum(0, 30)
+    ws <- Gen.listOfN(n, genWord)
+    seps <- Gen.listOfN(n, Gen.oneOf(" ", "  ", "\t", " \n "))
+  } yield ws.zip(seps).map { case (w, s) => w + s }.mkString
+
+  test("property: NGramShingles ≡ relational shingles on random texts") {
+    val texts = samples(genText, 120).distinct
+    val df = texts.toDF("text")
+    for (n <- Seq(1, 2, 3, 7)) {
+      val diff = df.select(
+          Dedup.shingles(col("text"), n).as("a"),
+          Dedup.shinglesRelational(col("text"), n).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff == 0, s"n=$n diverged on random texts")
+    }
+  }
+
+  test("property: MinHashSig/SimHash64 ≡ relational on random texts") {
+    // non-blank texts: the exploded formulations drop docs whose shingle
+    // set is empty post-explode; blank-only inputs are covered by the
+    // shingles property above
+    val texts = samples(genText, 80).filter(_.trim.nonEmpty).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val nm = Dedup.minHashSignatures(df, "doc_id", "text", 3, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val em = Dedup.minHashSignaturesExploded(df, "doc_id", "text", 3, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(em.keySet.subsetOf(nm.keySet))
+    em.foreach { case (id, sig) => assert(nm(id) == sig, s"doc $id") }
+    val nf = Dedup.simHashFingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ef = Dedup.simHashFingerprintsExploded(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ef.foreach { case (id, fp) => assert(nf(id) == fp, s"doc $id") }
+  }
+
+  test("property: VectorDot ≡ HOF fold on random vectors, bit-exact") {
+    val genVec: Gen[Seq[Double]] = for {
+      n <- Gen.chooseNum(1, 64)
+      v <- Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6).map(_ / 1e3))
+    } yield v
+    val pairs = samples(Gen.zip(genVec, genVec), 100)
+      // zip_with pads unequal lengths with null (→ null result); the
+      // native expression dots the common prefix — compare equal lengths
+      .map { case (a, b) =>
+        val n = math.min(a.size, b.size); (a.take(n), b.take(n))
+      }
+    val df = pairs.toDF("a", "b")
+    val diff = df.select(
+        (Similarity.dot(col("a"), col("b")) -
+          Similarity.dotHof(col("a"), col("b"))).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diff == 0)
+  }
+}

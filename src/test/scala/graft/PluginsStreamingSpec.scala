@@ -149,6 +149,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization: flatMapGroupsWithState closes sessions on the event-time gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(m: Int, s: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:$s%02d")
+    val stream = in.toDF().toDF("key", "ts").withWatermark("ts", "0 seconds")
+    val sessions = StreamingRetentionJob.sessionize(stream, gapMs = 5 * 60 * 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user A: two bursts separated by > gap; user B: one event
+      in.addData(("A", ts(1)), ("A", ts(2)), ("B", ts(3)))
+      q.processAllAvailable()
+      in.addData(("A", ts(20)), ("B", ts(21))) // watermark jumps past gap
+      q.processAllAvailable()
+      in.addData(("A", ts(40))) // push watermark so the 2nd sessions close
+      q.processAllAvailable()
+      val out = spark.table("sess")
+        .as[(String, Long, Long, Long)].collect().toSet
+      def ms(m: Int) = ts(m).getTime
+      // first burst of A closed with 2 events; B's single-event session
+      // closed; second burst still open for A until watermark passes
+      assert(out.contains(("A", ms(1), ms(2), 2L)), out.toString)
+      assert(out.contains(("B", ms(3), ms(3), 1L)), out.toString)
+      assert(out.contains(("B", ms(21), ms(21), 1L)), out.toString)
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark aggregate by event-time window") {
     val ev = Seq(
       ("2024-01-01 00:10:00", "click"), ("2024-01-01 00:20:00", "click"),
