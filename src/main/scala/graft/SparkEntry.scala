@@ -460,6 +460,13 @@ object SparkEntry {
       operators.Similarity.exactNearDups(
           readWide(s, dir, "embeddings"), threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))),
+    // batch sessionization: gap-bounded per-user sessions over event
+    // writetimes (1-hour gap in µs) — the training-data segmentation shape
+    "q_sessionize" -> ((s, dir) => {
+      val ev = eventsWt(s, dir)
+      operators.Sessions.sessionizeBatch(
+        ev, "user_id", "writetime", gap = 3600000000L)
+    }),
     // ---- training-data pipeline: text analysis -------------------------
     "q_text_stats" -> ((s, dir) =>
       readWide(s, dir, "documents").select(
@@ -840,6 +847,18 @@ object SparkEntry {
              + (CASE WHEN mwl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
              6) AS quality
          FROM sc""",
+    "q_sessionize" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS wt FROM events),
+         d AS (SELECT user_id, wt,
+           CASE WHEN lag(wt) OVER (PARTITION BY user_id ORDER BY wt) IS NULL
+                  OR wt - lag(wt) OVER (PARTITION BY user_id ORDER BY wt) > 3600000000
+                THEN 1 ELSE 0 END AS brk FROM ev),
+         s AS (SELECT user_id, wt,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY wt) AS sid FROM d)
+         SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           min(wt) AS session_start, max(wt) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM s GROUP BY user_id, sid""",
     "q_text_fingerprint" ->
       """SELECT doc_id,
            md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event-time sessionization — the relational counterpart of
+  * [[graft.streaming.StreamingRetentionJob.sessionize]] for bounded
+  * inputs (backfills, training-data segmentation over historical logs).
+  *
+  * Classic lag/cumulative-sum shape: a row starts a new session when it is
+  * the key's first event or arrives more than `gap` after the previous
+  * one; the running sum of starts numbers the sessions; one aggregate row
+  * per (key, session). Both windows partition by the key — per-key
+  * parallelism, no global ordering, safe at any key cardinality (the
+  * per-key event list is the only ordered unit, as in any engine's
+  * sessionization).
+  *
+  * `tsCol` is any NUMERIC event-time column; `gap` is in the same unit.
+  * The cumulative sum uses the default RANGE frame, so equal-timestamp
+  * events always land in the same session deterministically.
+  */
+object Sessions {
+
+  def sessionizeBatch(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gap: Long): DataFrame = {
+    require(gap > 0, "session gap must be positive")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    df.select(col(keyCol), col(tsCol))
+      .withColumn("__prev", lag(col(tsCol), 1).over(byKey))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col(tsCol) - col("__prev") > gap, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__brk")).over(byKey))
+      .groupBy(col(keyCol), col("__sid").as("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+}

@@ -178,6 +178,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch sessionize agrees with streaming sessionize on closed sessions") {
+    import graft.operators.Sessions
+    // same scenario as the streaming spec, run relationally (ms units)
+    def ms(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00").getTime
+    val df = Seq(
+      ("A", ms(1)), ("A", ms(2)), ("B", ms(3)),
+      ("A", ms(20)), ("B", ms(21)), ("A", ms(40)))
+      .toDF("key", "ts")
+    val out = Sessions.sessionizeBatch(df, "key", "ts", gap = 5 * 60 * 1000L)
+      .select("key", "session_start", "session_end", "n_events")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // identical closed-session summaries as the streaming spec, PLUS the
+    // trailing sessions a bounded input can close
+    assert(out == Set(
+      ("A", ms(1), ms(2), 2L), ("A", ms(20), ms(20), 1L), ("A", ms(40), ms(40), 1L),
+      ("B", ms(3), ms(3), 1L), ("B", ms(21), ms(21), 1L)))
+  }
+
   test("windowed counts with watermark aggregate by event-time window") {
     val ev = Seq(
       ("2024-01-01 00:10:00", "click"), ("2024-01-01 00:20:00", "click"),
