@@ -479,6 +479,12 @@ object SparkEntry {
       readWide(s, dir, "documents").select(
         col("doc_id"),
         operators.TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))),
+    // corpus curation: fixed-threshold quality filter (the canonical
+    // web-text pass; threshold chosen to actually cut this corpus)
+    "q_text_quality_filter" -> ((s, dir) =>
+      operators.TextAnalysis.qualityFilter(
+          readWide(s, dir, "documents"), "text", minQuality = 0.9)
+        .select("doc_id", "lang", "source", "quality")),
     // ---- training-data pipeline: multimodal ----------------------------
     // binary payload metadata (codec-free part of the decode pipeline)
     "q_mm_binary_meta" -> ((s, dir) =>
@@ -847,6 +853,24 @@ object SparkEntry {
              + (CASE WHEN mwl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
              6) AS quality
          FROM sc""",
+    "q_text_quality_filter" ->
+      """WITH t AS (SELECT doc_id, lang, source, text,
+             length(text) AS len,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS ntok
+           FROM documents),
+         sc AS (SELECT doc_id, lang, source,
+           round((CASE WHEN len BETWEEN 100 AND 10000 THEN 1.0
+                       WHEN len BETWEEN 20 AND 99 THEN 0.5 ELSE 0.0 END) * 0.3
+             + (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) /
+                 CAST(greatest(len, 1) AS DOUBLE)) * 0.3
+             + (1.0 - least((length(regexp_replace(text, '[^[:punct:]]', '', 'g')) /
+                 CAST(greatest(len, 1) AS DOUBLE)) * 5.0, 1.0)) * 0.2
+             + (CASE WHEN len / CAST(greatest(ntok, 1) AS DOUBLE)
+                     BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+             6) AS quality
+           FROM t)
+         SELECT doc_id, lang, source, quality FROM sc WHERE quality >= 0.9""",
     "q_sessionize" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS wt FROM events),
          d AS (SELECT user_id, wt,

@@ -69,6 +69,33 @@ object TextAnalysis {
       6)
   }
 
+  /** Corpus curation: keep documents at or above a fixed quality
+    * threshold, carrying the score. Map-only — THE canonical web-text
+    * filtering pass at training scale. */
+  def qualityFilter(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minQuality: Double): org.apache.spark.sql.DataFrame =
+    df.withColumn("quality", qualityScore(col(textCol)))
+      .filter(col("quality") >= minQuality)
+
+  /** Corpus curation by quantile: keep the top `1-q` fraction by quality.
+    * The threshold is ONE exact-percentile aggregate collected to the
+    * driver (a scalar), then the filter is map-only — no per-row quantile
+    * machinery. At 100 TB swap `percentile` for `approx_percentile`
+    * (t-digest, single pass) — the dataflow is unchanged; exact
+    * percentile here keeps the operator deterministic for tests. */
+  def qualityFilterByQuantile(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      q: Double): org.apache.spark.sql.DataFrame = {
+    require(q > 0 && q < 1, "quantile must be in (0,1)")
+    val scored = df.withColumn("quality", qualityScore(col(textCol)))
+    val threshold = scored
+      .agg(expr(s"percentile(quality, $q)")).collect()(0).getDouble(0)
+    scored.filter(col("quality") >= threshold)
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * cross-engine verifiable canonical-content hash. */
   def fingerprintMd5(text: Column): Column =

@@ -225,6 +225,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1).getAs[Int]("bpe") == 7)
   }
 
+  test("quality filters: fixed threshold and quantile keep the right documents") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val total = docs.count()
+    val fixed = TextAnalysis.qualityFilter(docs, "text", minQuality = 0.9)
+    assert(fixed.count() > 0 && fixed.count() < total) // the cut bites
+    assert(fixed.filter(col("quality") < 0.9).count() == 0)
+    // quantile variant: keeps at least the top (1-q) fraction; every kept
+    // row clears the threshold that defined it
+    val topHalf = TextAnalysis.qualityFilterByQuantile(docs, "text", q = 0.5)
+    assert(topHalf.count() >= total / 2)
+    val worstKept = topHalf.agg(min(col("quality"))).collect()(0).getDouble(0)
+    val bestDropped = docs
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .join(topHalf.select("doc_id"), Seq("doc_id"), "left_anti")
+      .agg(max(col("quality"))).collect()(0)
+    assert(bestDropped.isNullAt(0) || bestDropped.getDouble(0) < worstKept ||
+      bestDropped.getDouble(0) <= worstKept) // no dropped doc outranks a kept one
+  }
+
   test("quality score in [0,1], longer clean text scores higher than junk") {
     val df = Seq(
       "This is a reasonably long and clean paragraph of English text that goes on for a while to exceed the length band used by the scorer.",
