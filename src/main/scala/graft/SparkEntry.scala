@@ -36,6 +36,13 @@ object SparkEntry {
     * deterministic across engines and runs. 2024-02-15T00:00:00Z. */
   private val JobStartMs = 1707955200000L
 
+  /** Parquet artifact location for hash-dependent intermediates the DuckDB
+    * oracle must read as *input* (it can't reproduce xxhash64). Keyed by
+    * the sf-dir basename so a bench run at another scale never clobbers the
+    * sf0.01 artifact the correctness oracle reads. */
+  private def artifactPath(sfDir: String, name: String): String =
+    s"/root/repo/artifacts/$name/sf=${new java.io.File(sfDir).getName}"
+
   /** Flagship rules (SURVEY.md §7.4): convict rows where
     * l_suppkey ∈ [4,6] AND l_returnflag = 'R'. */
   private def flagshipRules = RuleSet(Seq(
@@ -409,10 +416,20 @@ object SparkEntry {
           readWide(s, dir, "documents"), "doc_id", "text",
           jaccardThreshold = 0.8)
         .select("doc_id", "lang", "source", "n_chars")),
-    // SimHash fingerprint near-dup pairs (hash-dependent; rows-only)
-    "q_dedup_simhash_pairs" -> ((s, dir) =>
-      operators.Dedup.simHashNearDups(
-        readWide(s, dir, "documents"), "doc_id", "text", maxDist = 3)),
+    // SimHash fingerprint near-dup pairs. xxhash64 has no DuckDB
+    // equivalent, so the fingerprints themselves are exported as a parquet
+    // artifact and the oracle re-derives the pairs (quadrant banding +
+    // Hamming cut, all DuckDB-native bitwise ops) from those SAME bytes —
+    // the pairing logic is cross-engine-checked even though the hash isn't.
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      val fps = operators.Dedup.simHashFingerprints(
+        readWide(s, dir, "documents"), "doc_id", "text")
+      val art = artifactPath(dir, "simhash_fp")
+      fps.coalesce(1).write.mode("overwrite").parquet(art)
+      // pairs derive from the dumped table, so Spark and the oracle read
+      // bit-identical fingerprint input
+      operators.Dedup.simHashNearDupsFrom(s.read.parquet(art), "doc_id", maxDist = 3)
+    }),
     // ---- training-data pipeline: similarity search ---------------------
     // brute-force cosine top-10 for 3 query vectors
     "q_sim_topk_brute" -> ((s, dir) => {
@@ -740,6 +757,20 @@ object SparkEntry {
            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a)
          SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT a FROM reach GROUP BY a HAVING min(b) < a)""",
+    // SimHash pairing over the exported fingerprint artifact (written by
+    // the query itself; the correctness gate always runs at sf0.01): the
+    // quadrant banding + Hamming≤3 cut re-derived with DuckDB-native
+    // bitwise ops from the same fingerprint bytes Spark read.
+    "q_dedup_simhash_pairs" ->
+      """WITH fp AS (SELECT doc_id, fp
+             FROM read_parquet('/root/repo/artifacts/simhash_fp/sf=sf0.01/*.parquet')),
+         banded AS (
+           SELECT doc_id, fp, q, (fp >> (q * 16)) & 65535 AS bucket
+           FROM fp, (VALUES (0), (1), (2), (3)) t(q))
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.q = b.q AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
     "q_sim_near_dup_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -358,8 +358,18 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
+      maxDist: Int = 3): DataFrame =
+    simHashNearDupsFrom(simHashFingerprints(df, idCol, textCol), idCol, maxDist)
+
+  /** The pairing stage alone, over a pre-computed `(id, fp)` fingerprint
+    * table — lets callers materialize fingerprints once (e.g. to parquet)
+    * and lets the correctness oracle re-derive the pairs from the SAME
+    * fingerprint bytes in another engine (the hash itself has no DuckDB
+    * equivalent; the pairing logic does). */
+  def simHashNearDupsFrom(
+      fps: DataFrame,
+      idCol: String,
       maxDist: Int = 3): DataFrame = {
-    val fps = simHashFingerprints(df, idCol, textCol)
     val banded = fps.selectExpr(idCol, "fp",
       "explode(transform(sequence(0,3), q -> struct(q AS q, shiftright(fp, q*16) & 65535 AS bucket))) AS e")
       .selectExpr(idCol, "fp", "e.q AS q", "e.bucket AS bucket")

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf tables, compare row count / schema / sorted-value hash
+against the Spark result parquet dumped by graft.Verify.
+
+Usage: check_oracles.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, json, glob, hashlib
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+fails = 0
+for name, sql in sorted(oracles.items()):
+    if only and name not in only:
+        continue
+    spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not spark_files:
+        print(f"{name}: MISSING spark result")
+        fails += 1
+        continue
+    sdf = con.execute(
+        f"SELECT * FROM read_parquet({spark_files!r})").fetchall()
+    scols = [d[0] for d in con.description]
+    try:
+        odf = con.execute(sql).fetchall()
+        ocols = [d[0] for d in con.description]
+    except Exception as e:
+        print(f"{name}: ORACLE ERROR {str(e)[:200]}")
+        fails += 1
+        continue
+    rows_ok = len(sdf) == len(odf)
+    schema_ok = sorted(scols) == sorted(ocols)
+    hash_ok = schema_ok and table_hash(scols, sdf) == table_hash(ocols, odf)
+    status = "ok" if (rows_ok and schema_ok and hash_ok) else "FAIL"
+    if status == "FAIL":
+        fails += 1
+        print(f"{name}: {status} rows {len(sdf)}/{len(odf)} "
+              f"schema {schema_ok} ({scols} vs {ocols}) hash {hash_ok}")
+    else:
+        print(f"{name}: ok ({len(sdf)} rows)")
+print(f"\n{fails} failures")
+sys.exit(1 if fails else 0)
