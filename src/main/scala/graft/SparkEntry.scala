@@ -513,13 +513,20 @@ object SparkEntry {
           operators.Multimodal.mediaTable(s, dir), stride = 64)
         .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
     }),
-    // stubbed decode pass over the typed Dataset (rows-only; the decode
-    // itself is a deterministic fake — see Multimodal.MediaCodecStub)
-    "q_mm_decode_stub" -> ((s, dir) => {
+    // REAL media decode: payloads are valid PNG/WAV/GIF bytes (generated
+    // in-executor, dumped as an artifact), headers parsed pure-JVM by
+    // chunk/block walking. The oracle re-parses the SAME bytes in DuckDB
+    // with fixed-offset bit arithmetic — independent parse logic over
+    // identical input.
+    "q_mm_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      operators.Multimodal.decodeAll(operators.Multimodal.mediaTable(s, dir))
-        .toDF().select("doc_id", "media_type", "n_bytes", "width", "height",
-          "n_frames")
+      val art = artifactPath(dir, "media_payloads")
+      operators.Multimodal.mediaTableReal(s, dir)
+        .coalesce(1).write.mode("overwrite").parquet(art)
+      operators.Multimodal.decodeAll(s.read.parquet(art))
+        .toDF().select("doc_id", "media_type", "container", "n_bytes",
+          "width", "height", "n_frames", "sample_rate", "n_channels",
+          "bit_depth")
     })
   )
 
@@ -529,6 +536,22 @@ object SparkEntry {
     * decisions the Spark signature makes — which is what lets the
     * approximate-LSH queries have exact oracles. */
   private def planeLit(p: Array[Double]): String = p.mkString("[", ",", "]")
+
+  /** Big-endian unsigned integer read from a DuckDB BIT column (a blob
+    * cast to BIT) at a byte offset — DuckDB 1.x has no blob slicing, but
+    * `get_bit` + weighted sums parse fixed-layout headers exactly. */
+  private def duckBeInt(bitCol: String, byteOff: Int, nBytes: Int): String =
+    (0 until nBytes * 8).map { i =>
+      s"get_bit($bitCol, ${byteOff * 8 + i}) * ${1L << (nBytes * 8 - 1 - i)}"
+    }.mkString("(", " + ", ")")
+
+  /** Little-endian counterpart of [[duckBeInt]] (RIFF/GIF headers). */
+  private def duckLeInt(bitCol: String, byteOff: Int, nBytes: Int): String =
+    (0 until nBytes).flatMap { b =>
+      (0 until 8).map { i =>
+        s"get_bit($bitCol, ${(byteOff + b) * 8 + i}) * ${(1L << (7 - i)) << (8 * b)}"
+      }
+    }.mkString("(", " + ", ")")
 
   /** The RHP-LSH signature ([[operators.Similarity.rhpSignature]]) as a
     * DuckDB integer expression over a DOUBLE[] column `v`. */
@@ -929,6 +952,46 @@ object SparkEntry {
       """SELECT doc_id,
            CAST((octet_length(encode(text)) - 17) // 64 + 1 AS BIGINT) AS n_frames
          FROM documents
-         WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 16"""
+         WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 16""",
+    // Decode oracle: re-parse the exported payload BYTES in DuckDB.
+    // Spark walks chunk/block structure generally; this side reads the
+    // spec-fixed header offsets with get_bit arithmetic (DuckDB 1.x has no
+    // blob slicing) — two independent parsers over identical input.
+    // Layouts: PNG IHDR w/h BE32 @16/20, depth/color @24/25; WAV fmt
+    // chans/rate/align/bits LE @22/24/32/34, data size LE32 @40; GIF
+    // w/h LE16 @6/8, frame count from the fixed 15-byte frame blocks
+    // (19-byte header + trailer) the generator emits.
+    "q_mm_decode" -> {
+      def be(off: Int, n: Int) = duckBeInt("pb", off, n)
+      def le(off: Int, n: Int) = duckLeInt("pb", off, n)
+      s"""WITH m AS (SELECT doc_id, media_type, payload::BIT AS pb,
+             octet_length(payload) AS len
+           FROM read_parquet('/root/repo/artifacts/media_payloads/sf=sf0.01/*.parquet')),
+         d AS (SELECT doc_id, media_type, len, pb,
+           CASE WHEN ${be(0, 4)} = ${0x89504e47L} THEN 'png'
+                WHEN ${be(0, 4)} = ${0x52494646L}
+                 AND ${be(8, 4)} = ${0x57415645L} THEN 'wav'
+                WHEN ${be(0, 4)} = ${0x47494638L} THEN 'gif'
+                ELSE 'unknown' END AS container
+           FROM m)
+         SELECT doc_id, media_type, container,
+           CAST(len AS BIGINT) AS n_bytes,
+           CAST(CASE container WHEN 'png' THEN ${be(16, 4)}
+                WHEN 'gif' THEN ${le(6, 2)} END AS INT) AS width,
+           CAST(CASE container WHEN 'png' THEN ${be(20, 4)}
+                WHEN 'gif' THEN ${le(8, 2)} END AS INT) AS height,
+           CAST(CASE container WHEN 'png' THEN 1
+                WHEN 'wav' THEN ${le(40, 4)} // ${le(32, 2)}
+                WHEN 'gif' THEN (len - 20) // 15 END AS INT) AS n_frames,
+           CAST(CASE container WHEN 'wav' THEN ${le(24, 4)} END AS INT)
+             AS sample_rate,
+           CAST(CASE container
+                WHEN 'png' THEN CASE ${be(25, 1)} WHEN 0 THEN 1 WHEN 2 THEN 3
+                  WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 6 THEN 4 END
+                WHEN 'wav' THEN ${le(22, 2)} END AS INT) AS n_channels,
+           CAST(CASE container WHEN 'png' THEN ${be(24, 1)}
+                WHEN 'wav' THEN ${le(34, 2)} END AS INT) AS bit_depth
+         FROM d"""
+    }
   )
 }

@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * payloads with typed metadata, processed in batch-shaped partition
   * passes.
   *
-  * The Spark-side plumbing — schema, partitioning, per-partition batch
-  * iteration, output shape — is real and tested. The actual media decode
-  * is STUBBED with a deterministic fake (this container has no
-  * image/audio codecs); swap [[MediaCodecStub.decode]] for a real codec
-  * binding in production. The per-partition iterator shape is exactly
-  * what a vectorized (Arrow/pandas-style) decode batch would consume.
+  * The decode step is REAL: [[MediaFormats]] generates valid PNG / WAV /
+  * GIF89a bytes and [[decodeAll]] parses their headers (chunk/block
+  * walking, CRC-verified) in pure JVM code — no codec libraries needed.
+  * Pixel/sample decode beyond the header (what an image-net preprocessing
+  * job would do with libjpeg/ffmpeg) plugs into the same `mapPartitions`
+  * boundary; the per-partition iterator shape is exactly what a vectorized
+  * (Arrow/pandas-style) decode batch consumes, with one decoder init per
+  * partition.
   */
 object Multimodal {
 
@@ -22,41 +24,27 @@ object Multimodal {
       media_type: String,
       payload: Array[Byte])
 
+  /** Header-decoded media metadata + a codec-free content feature.
+    * Format-inapplicable fields are None (audio has no width; images have
+    * no sample rate). `n_frames` is container-native: 1 for PNG, PCM
+    * sample frames for WAV, image-descriptor count for GIF. */
   final case class DecodedMedia(
       doc_id: Long,
       media_type: String,
+      container: String,
       n_bytes: Long,
-      width: Int,
-      height: Int,
-      n_frames: Int,
+      width: Option[Int],
+      height: Option[Int],
+      n_frames: Option[Int],
+      sample_rate: Option[Int],
+      n_channels: Option[Int],
+      bit_depth: Option[Int],
       feature: Array[Float])
 
-  /** STUB decoder: deterministic fake dimensions/features derived from
-    * the payload bytes. A real deployment binds an image/audio library
-    * here; everything around it (schema, batching, partitioning) is the
-    * production shape. */
-  object MediaCodecStub {
-    def decode(r: MediaRecord): DecodedMedia = {
-      val n = r.payload.length
-      // cheap deterministic byte-fold "hash" of the payload
-      var h = 1125899906842597L
-      var i = 0
-      while (i < n) { h = 31 * h + r.payload(i); i += 1 }
-      val w = 16 + math.floorMod(h, 64).toInt
-      val ht = 16 + math.floorMod(h >> 8, 64).toInt
-      val frames = r.media_type match {
-        case "video" => 1 + math.floorMod(h >> 16, 30).toInt
-        case _       => 1
-      }
-      val feat = Array.tabulate(8)(j =>
-        (math.floorMod(h >> (j * 4), 1000) / 1000.0f))
-      DecodedMedia(r.doc_id, r.media_type, n.toLong, w, ht, frames, feat)
-    }
-  }
-
-  /** Build the multimodal table from the documents corpus: payload =
-    * UTF-8 bytes of the text (a stand-in binary column; real pipelines
-    * read image/audio bytes), media_type assigned round-robin by id. */
+  /** Build the byte-plumbing multimodal table from the documents corpus:
+    * payload = UTF-8 bytes of the text (a stand-in binary column for the
+    * codec-free plumbing queries — frame striding, md5/byte metadata),
+    * media_type assigned round-robin by id. */
   def mediaTable(spark: SparkSession, docsDir: String): DataFrame = {
     val docs = spark.read.parquet(s"$docsDir/documents.parquet")
     docs.select(
@@ -67,14 +55,49 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"))
   }
 
+  /** The REAL-format multimodal table: every payload is a valid container
+    * (image → PNG, audio → WAV, video → GIF89a animation) with
+    * deterministic doc_id-derived parameters, generated per-row inside the
+    * executors. This is what [[decodeAll]] and the decode correctness
+    * oracle run against. */
+  def mediaTableReal(spark: SparkSession, docsDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$docsDir/documents.parquet")
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val payload = (id % 3) match {
+          case 0 => MediaFormats.png(
+            16 + (id % 48).toInt, 16 + ((id / 48) % 48).toInt, id)
+          case 1 => MediaFormats.wav(
+            8000 + (id % 8).toInt * 1000, 1 + (id % 2).toInt,
+            50 + (id % 200).toInt, id)
+          case _ => MediaFormats.gif(
+            16 + (id % 32).toInt, 16 + ((id / 32) % 32).toInt,
+            1 + (id % 30).toInt)
+        }
+        val mt = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        MediaRecord(id, mt, payload)
+      }).toDF()
+  }
+
   /** Decode/feature-extract pass: per-partition batch iteration over the
-    * typed Dataset (the mapPartitions shape a vectorized decoder plugs
-    * into; one decoder init per partition, not per row). */
+    * typed Dataset; header parsing + byte-histogram feature per row. The
+    * container is detected from the BYTES (magic), not trusted from the
+    * `media_type` column — mislabeled rows surface as a type/container
+    * disagreement downstream instead of a wrong parse. */
   def decodeAll(media: DataFrame)(implicit spark: SparkSession): Dataset[DecodedMedia] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { batch =>
-      // real codecs initialize here, once per partition
-      batch.map(MediaCodecStub.decode)
+      // a pixel-level codec would initialize here, once per partition
+      batch.map { r =>
+        val m = MediaFormats.parse(r.payload)
+        DecodedMedia(r.doc_id, r.media_type, m.container,
+          r.payload.length.toLong, m.width, m.height, m.nFrames,
+          m.sampleRate, m.nChannels, m.bitDepth,
+          MediaFormats.byteHistogram(r.payload, 8))
+      }
     }
   }
 
@@ -96,19 +119,23 @@ object Multimodal {
       }
   }
 
-  /** STUB resize: deterministic downsample of the decoded media to a
-    * target box preserving aspect ratio — the shape of a real resize pass
-    * (per-partition, decoder state reused). Real codecs replace the
-    * dimension arithmetic + byte sampling; the dataflow stays. */
+  /** Resize pass over decoded metadata: deterministic dimension math into
+    * a bounding box preserving aspect ratio — the shape of a real resize
+    * (per-partition, decoder state reused; pixel resampling would ride the
+    * same iterator). Audio rows (no dimensions) pass through unchanged. */
   def resize(decoded: Dataset[DecodedMedia], maxSide: Int)(
       implicit spark: SparkSession): Dataset[DecodedMedia] = {
     import spark.implicits._
     decoded.mapPartitions { batch =>
       batch.map { d =>
-        val scale = math.min(1.0, maxSide.toDouble / math.max(d.width, d.height))
-        d.copy(
-          width = math.max(1, math.round(d.width * scale).toInt),
-          height = math.max(1, math.round(d.height * scale).toInt))
+        (d.width, d.height) match {
+          case (Some(w), Some(h)) =>
+            val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+            d.copy(
+              width = Some(math.max(1, math.round(w * scale).toInt)),
+              height = Some(math.max(1, math.round(h * scale).toInt)))
+          case _ => d
+        }
       }
     }
   }

@@ -279,18 +279,119 @@ class MultimodalSpec extends SparkSpec {
   import spark.implicits._
   implicit lazy val s: org.apache.spark.sql.SparkSession = spark
 
-  test("media table has binary payload + type; decode stub is deterministic") {
-    val media = Multimodal.mediaTable(spark, sfDir)
+  // ---- golden fixtures from the PUBLIC format specs (not our generator) ----
+
+  test("parses the canonical 1x1 RGBA PNG (external golden bytes)") {
+    // the ubiquitous 67-byte 1×1 transparent PNG
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8" +
+        "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    val m = MediaFormats.parse(png)
+    assert(m.container == "png")
+    assert(m.width.contains(1) && m.height.contains(1))
+    assert(m.bitDepth.contains(8))
+    assert(m.nChannels.contains(4)) // color type 6 = RGBA
+  }
+
+  test("parses the canonical smallest GIF (external golden bytes)") {
+    val gif = Array(
+      0x47, 0x49, 0x46, 0x38, 0x39, 0x61, // GIF89a
+      0x01, 0x00, 0x01, 0x00, 0x80, 0x00, 0x00, // LSD 1×1, 2-entry GCT
+      0xff, 0xff, 0xff, 0x00, 0x00, 0x00, // GCT
+      0x2c, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00, // descriptor
+      0x02, 0x02, 0x44, 0x01, 0x00, // LZW unit
+      0x3b).map(_.toByte)
+    val m = MediaFormats.parse(gif)
+    assert(m.container == "gif")
+    assert(m.width.contains(1) && m.height.contains(1) && m.nFrames.contains(1))
+  }
+
+  test("parses a hand-assembled canonical WAV header (spec bytes)") {
+    // RIFF/WAVE, PCM fmt: mono, 8000 Hz, 16-bit, data = 2 sample frames
+    val hex = "52494646" + "28000000" + "57415645" +
+      "666d7420" + "10000000" + "0100" + "0100" + "401f0000" + "803e0000" +
+      "0200" + "1000" + "64617461" + "04000000" + "aaaabbbb"
+    val wav = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val m = MediaFormats.parse(wav)
+    assert(m.container == "wav")
+    assert(m.sampleRate.contains(8000) && m.nChannels.contains(1))
+    assert(m.bitDepth.contains(16) && m.nFrames.contains(2))
+  }
+
+  // ---- generator validity: JDK codecs (ImageIO / AudioSystem) agree ----
+
+  test("generated PNG is a valid image per ImageIO, dims match") {
+    val bytes = MediaFormats.png(37, 21, seed = 42L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not decode the generated PNG")
+    assert(img.getWidth == 37 && img.getHeight == 21)
+    val m = MediaFormats.parse(bytes)
+    assert(m.width.contains(37) && m.height.contains(21) &&
+      m.bitDepth.contains(8) && m.nChannels.contains(1))
+  }
+
+  test("generated GIF animation is valid per ImageIO, frame count matches") {
+    val bytes = MediaFormats.gif(20, 18, nFrames = 7)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    assert(readers.hasNext, "no ImageIO GIF reader")
+    val r = readers.next()
+    r.setInput(iis)
+    assert(r.getNumImages(true) == 7)
+    val frame0 = r.read(0)
+    assert(frame0.getWidth == 1 && frame0.getHeight == 1)
+    val m = MediaFormats.parse(bytes)
+    assert(m.width.contains(20) && m.height.contains(18) && m.nFrames.contains(7))
+  }
+
+  test("generated WAV is valid per javax.sound, format matches") {
+    val bytes = MediaFormats.wav(11000, 2, nSamples = 123, seed = 7L)
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(aff.getFormat.getSampleRate == 11000f)
+    assert(aff.getFormat.getChannels == 2)
+    assert(aff.getFormat.getSampleSizeInBits == 16)
+    assert(aff.getFrameLength == 123)
+    val m = MediaFormats.parse(bytes)
+    assert(m.sampleRate.contains(11000) && m.nChannels.contains(2) &&
+      m.nFrames.contains(123))
+  }
+
+  test("parse is total: junk, truncated, and corrupted-CRC bytes → unknown") {
+    assert(MediaFormats.parse("not a media file".getBytes).container == "unknown")
+    assert(MediaFormats.parse(Array.emptyByteArray).container == "unknown")
+    val png = MediaFormats.png(16, 16, 1L)
+    assert(MediaFormats.parse(png.take(20)).container == "unknown")
+    val corrupt = png.clone()
+    corrupt(18) = (corrupt(18) ^ 0x40).toByte // flip a width bit; CRC now wrong
+    assert(MediaFormats.parse(corrupt).container == "unknown")
+  }
+
+  // ---- the Spark pipeline over real payloads ----
+
+  test("decodeAll over mediaTableReal: every container parses and matches type") {
+    val media = Multimodal.mediaTableReal(spark, sfDir)
     assert(media.schema("payload").dataType.typeName == "binary")
-    val decoded = Multimodal.decodeAll(media)
-    val rows = decoded.collect()
+    val rows = Multimodal.decodeAll(media).collect()
     assert(rows.length == media.count())
-    assert(rows.forall(r => r.width >= 16 && r.height >= 16 && r.feature.length == 8))
+    val expect = Map("image" -> "png", "audio" -> "wav", "video" -> "gif")
+    assert(rows.forall(r => r.container == expect(r.media_type)))
+    assert(rows.forall(_.feature.length == 8))
+    assert(rows.forall(r => math.abs(r.feature.sum - 1.0f) < 1e-3))
+    // doc_id-derived params round-trip through generate→parse
+    assert(rows.filter(_.media_type == "image")
+      .forall(r => r.width.contains(16 + (r.doc_id % 48).toInt)))
+    assert(rows.filter(_.media_type == "audio")
+      .forall(r => r.sample_rate.contains(8000 + (r.doc_id % 8).toInt * 1000)))
+    assert(rows.filter(_.media_type == "video")
+      .forall(r => r.n_frames.contains(1 + (r.doc_id % 30).toInt)))
     // deterministic: second run identical
-    val again = Multimodal.decodeAll(media).collect()
-    assert(rows.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
-    // video rows have multiple frames, images exactly 1
-    assert(rows.filter(_.media_type == "image").forall(_.n_frames == 1))
+    def canon(rs: Array[Multimodal.DecodedMedia]) =
+      rs.map(r => (r.doc_id, r.media_type, r.container, r.n_bytes, r.width,
+        r.height, r.n_frames, r.sample_rate, r.n_channels, r.bit_depth,
+        r.feature.toSeq)).sortBy(_._1).toSeq
+    assert(canon(rows) == canon(Multimodal.decodeAll(media).collect()))
   }
 
   test("frame sampling multiplies only video rows deterministically") {
@@ -301,12 +402,14 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.select("doc_id").distinct().count() <= vids)
   }
 
-  test("resize stub preserves aspect ratio within a bounding box") {
-    val media = Multimodal.mediaTable(spark, sfDir)
-    val resized = Multimodal.resize(Multimodal.decodeAll(media), maxSide = 32)
-    val rows = resized.collect()
-    assert(rows.forall(r => r.width <= 32 && r.height <= 32))
-    assert(rows.forall(r => r.width >= 1 && r.height >= 1))
+  test("resize bounds image dims, preserves audio rows untouched") {
+    val media = Multimodal.mediaTableReal(spark, sfDir)
+    val decoded = Multimodal.decodeAll(media)
+    val rows = Multimodal.resize(decoded, maxSide = 32).collect()
+    assert(rows.forall(r => r.width.forall(_ <= 32) && r.height.forall(_ <= 32)))
+    assert(rows.forall(r => r.width.forall(_ >= 1) && r.height.forall(_ >= 1)))
+    assert(rows.filter(_.media_type == "audio")
+      .forall(r => r.width.isEmpty && r.sample_rate.nonEmpty))
   }
 
   test("binaryMeta byte length matches document n_chars for ascii corpus") {
