@@ -29,9 +29,10 @@ final case class RetentionStats(
   * (ref: FilteringSSTableScanner.java:111-115).
   *
   * Scale: conviction is shuffle-free (predicate folded to constants, pushed
-  * into the scan where the source supports it); the only materialization is
-  * an optional persist when both sinks are wanted, avoiding a double scan
-  * (SURVEY.md §7.5 risk 6).
+  * into the scan where the source supports it). When both sinks are wanted
+  * the job makes ONE scan and ONE action — a write partitioned by the keep
+  * verdict into a staging dir, each split then exposed by directory rename
+  * (no persist of the input; SURVEY.md §7.5 risk 6 measured out).
   */
 object RetentionJob {
 
@@ -104,40 +105,82 @@ object RetentionJob {
         mode, backupWritten = false, elapsedMs = elapsedMs)
     } else {
       val wantBoth = keptPath.isDefined && backupPath.isDefined
-      // Single pass over the source for both sinks: persist the flagged
-      // frame so the second write doesn't rescan 100 TB. Counters ride the
-      // first action via observe() (A1/A2 — the reference's scan-side
-      // running counters, ref: FilteringSSTableScanner.java:59-70), so no
-      // extra counting scan happens.
+      // Counters ride the write action via observe() (A1/A2 — the
+      // reference's scan-side running counters,
+      // ref: FilteringSSTableScanner.java:59-70) — no extra counting scan.
       val obs = new org.apache.spark.sql.Observation()
-      val flagged0 = df
+      val flagged = df
         .withColumn("__keep", keepCol)
         .observe(obs,
           sum(when(col("__keep"), 1L).otherwise(0L)).as("kept"),
           sum(when(col("__keep"), 0L).otherwise(1L)).as("dropped"))
-      val flagged = if (wantBoth) flagged0.persist() else flagged0
-      try {
+      def counters: (Long, Long) = {
+        val row = obs.get
+        (Option(row("kept")).map(_.asInstanceOf[Long]).getOrElse(0L),
+          Option(row("dropped")).map(_.asInstanceOf[Long]).getOrElse(0L))
+      }
+
+      if (wantBoth) {
+        // BOTH sinks in ONE scan and ONE action: write partitioned by the
+        // verdict into a staging dir, then expose each split by directory
+        // rename (the same one-iteration-two-sinks discipline as the
+        // reference scanner — ref: FilteringSSTableScanner.java:127-193).
+        // No persist: at 100 TB caching the full flagged frame to write
+        // two subsets is the difference between one pass and three.
+        // The Q7 stamp applies to kept rows ONLY (backups archive original
+        // writetimes), folded into the same pass as a conditional.
+        val stampKeptOnly: DataFrame => DataFrame = writeTimestampMicros match {
+          case None => identity
+          case Some(ts) =>
+            val wtCol = spec.writetimeCol.getOrElse(
+              sys.error("writeTimestampMicros requires TableSpec.writetimeCol"))
+            d => d.withColumn(wtCol,
+              when(col("__keep"), lit(ts)).otherwise(col(wtCol)))
+        }
+        import org.apache.hadoop.fs.Path
+        val staging = new Path(keptPath.get + "__split_staging")
+        val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        try {
+          stampKeptOnly(flagged).write
+            .partitionBy("__keep").mode("overwrite").parquet(staging.toString)
+          val (kept, dropped) = counters
+          def expose(partDir: Path, target: Path): Unit = {
+            if (fs.exists(target)) fs.delete(target, true)
+            val parent = target.getParent
+            if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+            require(fs.rename(partDir, target),
+              s"rename $partDir -> $target failed")
+          }
+          if (kept > 0)
+            expose(new Path(staging, "__keep=true"), new Path(keptPath.get))
+          else // preserve the contract: keptPath is always a readable table
+            stamp(df.filter(lit(false))).write
+              .mode("overwrite").parquet(keptPath.get)
+          var backupWritten = false
+          if (dropped > 0) { // empty backup aborted, like the reference
+            expose(new Path(staging, "__keep=false"), new Path(backupPath.get))
+            backupWritten = true
+          }
+          RetentionStats(kept, dropped, mode, backupWritten, elapsedMs)
+        } finally {
+          fs.delete(staging, true)
+        }
+      } else {
         val keptDf = flagged.filter(col("__keep")).drop("__keep")
-        val dropDf = flagged.filter(!col("__keep")).drop("__keep")
         keptPath match {
           case Some(p) => stamp(keptDf).write.mode("overwrite").parquet(p)
           case None    => keptDf.foreach(_ => ()) // drive the observe pass
         }
-        val row = obs.get
-        val kept = Option(row("kept")).map(_.asInstanceOf[Long]).getOrElse(0L)
-        val dropped = Option(row("dropped")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        val (kept, dropped) = counters
         var backupWritten = false
         backupPath.foreach { p =>
-          if (dropped > 0) { // empty backup aborted, like the reference
-            // backup preserves ORIGINAL writetimes (it archives the cells
-            // as they were; only live-path writes get the Q7 stamp)
-            dropDf.write.mode("overwrite").parquet(p)
+          if (dropped > 0) {
+            flagged.filter(!col("__keep")).drop("__keep")
+              .write.mode("overwrite").parquet(p)
             backupWritten = true
           }
         }
         RetentionStats(kept, dropped, mode, backupWritten, elapsedMs)
-      } finally {
-        if (wantBoth) flagged.unpersist()
       }
     }
   }

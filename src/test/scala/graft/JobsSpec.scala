@@ -26,6 +26,58 @@ class JobsSpec extends SparkSpec {
     assert(stats.mode == Execute)
   }
 
+  test("RetentionJob dual-sink runs ONE action with ONE scan of the source") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val execs = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        execs.add(funcName + ":" + qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val df = Seq((1726L, "a"), (1742L, "b"), (1771L, "c")).toDF("tenant", "id")
+    val rs = RuleSet(Seq(
+      Rule("r1", Map("tenant" -> Seq(Bound(Some("1726"), Some("1726")))))))
+    val dir = tmp()
+    spark.listenerManager.register(listener)
+    try {
+      val stats = RetentionJob.run(
+        spark, df, TableSpec(Seq("id", "tenant")), rs,
+        keptPath = Some(s"$dir/kept"), backupPath = Some(s"$dir/backup"))
+      assert(stats.kept == 2 && stats.dropped == 1 && stats.backupWritten)
+      // listener events are async: poll until the count stabilizes
+      var last = -1
+      var spins = 0
+      while (execs.size() != last && spins < 50) {
+        last = execs.size(); Thread.sleep(100); spins += 1
+      }
+      // exactly ONE query execution (the partitionBy write) — the old
+      // dual-sink path ran two writes (plus a cached rescan); one execution
+      // means one scan of the 100 TB source
+      assert(execs.size() == 1, execs.toString.take(2000))
+    } finally spark.listenerManager.unregister(listener)
+    assert(spark.read.parquet(s"$dir/kept").count() == 2)
+    assert(spark.read.parquet(s"$dir/backup").count() == 1)
+    // staging dir cleaned up
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/kept__split_staging")))
+  }
+
+  test("RetentionJob dual-sink: all rows convicted still yields a readable kept table") {
+    val df = Seq((5L, "a"), (5L, "b")).toDF("tenant", "id")
+    val rs = RuleSet(Seq(
+      Rule("all", Map("tenant" -> Seq(Bound(Some("5"), Some("5")))))))
+    val dir = tmp()
+    val stats = RetentionJob.run(
+      spark, df, TableSpec(Seq("id", "tenant")), rs,
+      keptPath = Some(s"$dir/kept"), backupPath = Some(s"$dir/backup"))
+    assert(stats.kept == 0 && stats.dropped == 2 && stats.backupWritten)
+    assert(spark.read.parquet(s"$dir/kept").count() == 0)
+    assert(spark.read.parquet(s"$dir/kept").columns.toSeq == Seq("tenant", "id"))
+    assert(spark.read.parquet(s"$dir/backup").count() == 2)
+  }
+
   test("RetentionJob: empty convicted set skips backup write") {
     val df = Seq((1L, "a")).toDF("tenant", "id")
     val dir = tmp()
