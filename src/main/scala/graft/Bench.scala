@@ -2,17 +2,29 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line with per-query MEDIAN steady-state
-  * seconds over `SPARK_GRAFT_BENCH_ITERS` (default 3) timed runs after one
+  * seconds (plus per-query MIN, the load-insensitive floor) after one
   * untimed warm run. Failures are NOT swallowed into fast times: a query
   * that throws is reported under "errors" and contributes 0 to no metric —
   * byte-identical code benched 87.95s vs 27.14s across rounds proved a
   * single-run harness is noise-dominated, and a catch-all made broken
-  * queries *improve* the total. */
+  * queries *improve* the total.
+  *
+  * Iterations are ADAPTIVE: every query gets `SPARK_GRAFT_BENCH_ITERS`
+  * (default 3) timed runs; queries whose median exceeds 1 s get topped up
+  * to `SPARK_GRAFT_BENCH_HEAVY_ITERS` (default 7) — cross-round history
+  * showed the heavy-dedup medians swinging ~3× with host load at 3 iters
+  * while sub-second queries were already stable.
+  *
+  * `SPARK_GRAFT_BENCH_ONLY` (comma-separated names) restricts the run for
+  * local iteration. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val heavyIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_ITERS", "7").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,24 +35,39 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet reader, shuffle machinery) so the
     // first timed query doesn't absorb one-time JIT/startup cost; then run
-    // in sorted order for run-to-run comparability.
-    try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count().count()
-      spark.range(0, 1000000).selectExpr("sum(id)").count()
-    } catch { case _: Throwable => () }
-    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // in sorted order for run-to-run comparability. A failing warm-up is
+    // SURFACED (it silently shifts JIT cost into the first timed query).
+    val warmupError: Option[String] =
+      try {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy("l_returnflag").count().count()
+        spark.range(0, 1000000).selectExpr("sum(id)").count()
+        None
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] WARNING: session warm-up failed: $e")
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val outcomes = names.map { case (name, fn) =>
       name -> (try {
         // one untimed warm run per query (whole-stage-codegen + JIT of that
         // query's generated code: measured 14s one-time vs 2s steady for
-        // the heaviest pipeline), then `iters` timed runs → median.
+        // the heaviest pipeline), then timed runs.
         fn(spark, sfDir).count()
-        val times = (1 to iters).map { _ =>
+        def timed(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
-        }.sorted
-        Right(times(times.size / 2))
+        }
+        var times = (1 to iters).map(_ => timed())
+        // adaptive top-up: heavy queries need more samples for a stable
+        // median under host contention
+        if (median(times) > 1.0 && heavyIters > iters)
+          times = times ++ (iters until heavyIters).map(_ => timed())
+        Right((median(times), times.min, times.size))
       } catch {
         case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
@@ -49,10 +76,18 @@ object Bench {
     val timed = outcomes.collect { case (n, Right(t)) => n -> t }
     val errors = outcomes.collect { case (n, Left(m)) => n -> m }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val qs = timed.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val total = timed.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfDir"}""")
+    val qs = timed.map { case (k, (med, _, _)) => s""""${esc(k)}":$med""" }
+      .mkString("{", ",", "}")
+    val mins = timed.map { case (k, (_, mn, _)) => s""""${esc(k)}":$mn""" }
+      .mkString("{", ",", "}")
+    val ns = timed.map { case (k, (_, _, n)) => s""""${esc(k)}":$n""" }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    val total = timed.map(_._2._1).sum
+    val totalMin = timed.map(_._2._2).sum
+    val warm = warmupError.map(e => s""""${esc(e)}"""").getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"min_total":$totalMin,"iters_used":$ns,"errors":$errs,"iters":$iters,"warmup_error":$warm,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

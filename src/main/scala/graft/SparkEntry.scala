@@ -385,13 +385,14 @@ object SparkEntry {
     // (hash-dependent; driver records rows-only check)
     "q_dedup_minhash_pairs" -> ((s, dir) => {
       val docs = readWide(s, dir, "documents")
-      // materialize the (small) candidate set once, then shingle ONLY the
-      // candidate documents for the exact-Jaccard verify — at corpus scale
-      // the verify side must never recompute signatures or shingle
-      // non-candidates
+      // the candidate set is referenced three times below (two id
+      // projections + the verify join) — all three land on the SAME
+      // distinct-exchange subtree, which Spark's ReuseExchange computes
+      // once per execution. No persist: a cache entry would outlive the
+      // query (the round-4 leak), and shingling is restricted to candidate
+      // documents via the broadcast semi-join regardless.
       val cands = operators.Dedup.lshCandidatePairs(
-        docs, "doc_id", "text", shingleN = 3, k = 20, bands = 10).persist()
-      cands.count()
+        docs, "doc_id", "text", shingleN = 3, k = 20, bands = 10)
       val ids = cands.select(col("id_a").as("doc_id"))
         .union(cands.select(col("id_b").as("doc_id"))).distinct()
       val candDocs = docs.join(broadcast(ids), Seq("doc_id"), "left_semi")

@@ -1,0 +1,23 @@
+package graft
+
+/** Pins cache hygiene for every driver-contract query: no cached RDD may
+  * survive a query's execution (the round-4 `q_dedup_minhash_pairs` leak —
+  * a persist inside a query builder accumulates entries per invocation in
+  * a long-lived service session). Operators may persist internally
+  * (resolveDuplicateGroups materializes the verified pair graph for its
+  * count + collect) but must release before returning. */
+class CacheScopeSpec extends SparkSpec {
+
+  test("no SparkEntry query leaves persistent RDDs or cached plans behind") {
+    // other suites share this JVM session: start from a clean slate
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      fn(spark, sfDir).count()
+      val leaked = spark.sparkContext.getPersistentRDDs
+      assert(leaked.isEmpty,
+        s"$name left ${leaked.size} persistent RDD(s): " +
+          leaked.values.map(_.name).mkString(", "))
+    }
+  }
+}
