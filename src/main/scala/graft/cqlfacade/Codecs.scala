@@ -9,9 +9,13 @@ import scala.collection.concurrent.TrieMap
   *
   * Spark analog: a codec maps a USER type to a Spark-bindable value (what
   * `spark.sql(text, args)` accepts) plus its literal rendering for
-  * `debugString`. The facade's conversion ([[SqlStatement.convert]])
-  * consults the registry before its built-in rules, so user types bind
-  * without call-site boilerplate.
+  * `debugString`. Codecs apply at BIND/RENDER time against a specific
+  * registry — the reference scopes its registry per cluster/client, and so
+  * does this: every [[GraftConnection]] owns an instance (fed by its
+  * profile's `codecProvider`), so one profile's codecs can never change
+  * binding or literal rendering for unrelated connections. Statements
+  * executed outside any connection use the process-global default
+  * (the companion [[CodecRegistry$]] object).
   */
 trait SqlCodec[T] {
   /** the user class this codec handles (runtime dispatch key) */
@@ -29,7 +33,9 @@ trait SqlCodecProvider {
   def codecs: Seq[SqlCodec[_]]
 }
 
-object CodecRegistry {
+/** An isolated codec registry instance — one per connection; the companion
+  * object is the process-global default for connection-less statements. */
+class CodecRegistry {
   private val byClass = TrieMap[Class[_], SqlCodec[_]]()
 
   def register[T](codec: SqlCodec[T]): Unit = {
@@ -50,10 +56,23 @@ object CodecRegistry {
   def encode(v: Any): Option[Any] = lookup(v).map(_.encode(v))
   def render(v: Any): Option[String] = lookup(v).map(_.render(v))
 
+  /** Bind-time deep application: encode registered user types (then
+    * structurally normalize the codec output — Option/bytes/collections)
+    * and recurse into collections; unregistered values pass through. */
+  def encodeDeep(v: Any): Any = v match {
+    case null          => null
+    case m: Map[_, _]  => m.map { case (k, x) => encodeDeep(k) -> encodeDeep(x) }
+    case s: Set[_]     => s.map(encodeDeep)
+    case s: Seq[_]     => s.map(encodeDeep)
+    case x =>
+      lookup(x).map(c => SqlStatement.convert(c.encode(x))).getOrElse(x)
+  }
+
   /** Class-load a provider with the reference's validation discipline:
     * the class must implement [[SqlCodecProvider]] and expose a PUBLIC
     * default constructor; failures carry the same messages
-    * (ref: CassandraClient.scala:232-246). */
+    * (ref: CassandraClient.scala:232-246). Codecs install into THIS
+    * registry instance. */
   def loadProvider(className: String): SqlCodecProvider = {
     val clazz = getClass.getClassLoader.loadClass(className)
     if (!classOf[SqlCodecProvider].isAssignableFrom(clazz))
@@ -78,3 +97,6 @@ object CodecRegistry {
 
   def clear(): Unit = byClass.clear()
 }
+
+/** The process-global default registry (connection-less statements). */
+object CodecRegistry extends CodecRegistry

@@ -67,8 +67,11 @@ object SessionRegistry {
           case (k, v) if k.startsWith("spark.") => session.conf.set(k, v)
           case _ => ()
         }
-        settings.get("codecProvider").foreach(CodecRegistry.loadProvider)
-        new GraftConnection(name, session, settings)
+        val conn = new GraftConnection(name, session, settings)
+        // codecs install into the CONNECTION's registry, never the global
+        // one — the reference scopes its CodecRegistry per cluster/client
+        settings.get("codecProvider").foreach(conn.codecs.loadProvider)
+        conn
       })
     }
 
@@ -84,6 +87,11 @@ final class GraftConnection(
     val session: SparkSession,
     val settings: Map[String, String]) {
 
+  /** This connection's codec registry (E4) — isolated per connection like
+    * the reference's per-cluster CodecRegistry, so a profile's codecs
+    * cannot change binding or rendering for unrelated connections. */
+  val codecs: CodecRegistry = new CodecRegistry
+
   /** Base path for named tables (the keyspace analog). */
   def dataDir: Option[String] = settings.get("dataDir")
 
@@ -93,6 +101,10 @@ final class GraftConnection(
     session.read.parquet(s"$dir/$t.parquet")
   }
 
-  /** Execute a facade statement against THIS connection's session. */
-  def execute(st: SqlStatement): DataFrame = st.df(session)
+  /** Execute a facade statement against THIS connection's session, binding
+    * through THIS connection's codecs. */
+  def execute(st: SqlStatement): DataFrame = st.dfWith(codecs)(session)
+
+  /** Literal-bound debug rendering through this connection's codecs. */
+  def debugString(st: SqlStatement): String = st.debugStringWith(codecs)
 }

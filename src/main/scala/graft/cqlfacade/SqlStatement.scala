@@ -66,8 +66,9 @@ object SqlStatement {
     * (ref: CQLStatement.scala:19-31). Collections stay Scala-side — Spark
     * literals take Scala types; the reference's Java-collection conversion
     * is a DataStax-driver requirement with no Spark analog.
-    * Registered codecs (E4 — [[CodecRegistry]]) win over the built-in
-    * rules, so user types bind without call-site conversion. */
+    * STRUCTURAL only: registered codecs (E4 — [[CodecRegistry]]) apply at
+    * BIND/RENDER time against the executing connection's registry (the
+    * reference's per-cluster codec scoping), not at statement build. */
   def convert(v: Any): Any = v match {
     case Some(x)       => convert(x)
     case None          => null
@@ -75,7 +76,7 @@ object SqlStatement {
     case m: Map[_, _]  => m.map { case (k, x) => convert(k) -> convert(x) }
     case s: Set[_]     => s.map(convert)
     case s: Seq[_]     => s.map(convert)
-    case x             => CodecRegistry.encode(x).map(convert).getOrElse(x)
+    case x             => x
   }
 
   private def toSlot(arg: Any): Slot = arg match {
@@ -91,24 +92,27 @@ object SqlStatement {
   /** X3 — literal rendering with CQL-style quoting: `'` doubled inside
     * strings, hex blobs, `[..]`/`{..}` collection literals, ISO-8601 UTC
     * dates (ref: CQLStatement.scala:252-281, 340-345). Registered codecs
-    * (E4) may override rendering for their types. */
-  def renderLiteral(v: Any): String = v match {
+    * (E4) may override rendering for their types — scoped to the given
+    * registry (global default for connection-less rendering). */
+  def renderLiteral(v: Any, codecs: CodecRegistry = CodecRegistry): String =
+    v match {
     case null => "null"
-    case x if CodecRegistry.lookup(x).isDefined => CodecRegistry.render(x).get
+    case x if codecs.lookup(x).isDefined => codecs.render(x).get
     case s: String => "'" + s.replace("'", "''") + "'"
     case b: ByteBuffer =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
       "0x" + arr.map("%02x".format(_)).mkString
-    case a: Array[Byte] => renderLiteral(ByteBuffer.wrap(a))
+    case a: Array[Byte] => renderLiteral(ByteBuffer.wrap(a), codecs)
     case d: java.util.Date =>
       val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
       fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
       "'" + fmt.format(d) + "'"
     case m: Map[_, _] =>
-      m.map { case (k, x) => renderLiteral(k) + ":" + renderLiteral(x) }
+      m.map { case (k, x) =>
+        renderLiteral(k, codecs) + ":" + renderLiteral(x, codecs) }
         .mkString("{", ",", "}")
-    case s: Set[_] => s.map(renderLiteral).mkString("{", ",", "}")
-    case s: Seq[_] => s.map(renderLiteral).mkString("[", ",", "]")
+    case s: Set[_] => s.map(renderLiteral(_, codecs)).mkString("{", ",", "}")
+    case s: Seq[_] => s.map(renderLiteral(_, codecs)).mkString("[", ",", "]")
     case x => x.toString
   }
 }
@@ -131,14 +135,24 @@ final case class SqlStatement(
     * epoch-millis Longs bind to timestamp/date slots as temporal values;
     * raw ByteBuffers decode per the declared type (text=UTF-8, int/bigint/
     * float/double/timestamp = big-endian payload); anything else passes
-    * through unchanged, exactly like the reference's fall-through. */
-  private def finalConvert(params: Seq[Any]): Seq[Any] = declaredTypes match {
+    * through unchanged, exactly like the reference's fall-through.
+    *
+    * Declared types align with the statement's parameter SLOTS: an
+    * `In(xs)` marker expands one slot into `xs.size` parameters, each
+    * reusing its slot's declared type (the reference's prepared-variable
+    * definitions behave the same way). A post-expansion-arity declaration
+    * is accepted too — identical when no expanding markers are present. */
+  private def finalConvert(
+      params: Seq[Any], typeIdx: Seq[Int], nTypeSlots: Int): Seq[Any] =
+    declaredTypes match {
     case None => params
     case Some(ts) =>
-      require(ts.size == params.size,
-        s"asPrepared declared ${ts.size} types for ${params.size} parameters")
+      require(ts.size == nTypeSlots || ts.size == params.size,
+        s"asPrepared declared ${ts.size} types for $nTypeSlots parameter " +
+          s"slots (${params.size} expanded parameters)")
       import org.apache.spark.sql.types._
-      ts.zip(params).map {
+      val perParam = if (ts.size == nTypeSlots) typeIdx.map(ts) else ts
+      perParam.zip(params).map {
         case (_, null) => null
         case (TimestampType, l: java.lang.Long) => new java.sql.Timestamp(l)
         case (TimestampType, b: ByteBuffer) =>
@@ -212,32 +226,45 @@ final case class SqlStatement(
   def stripMargin(c: Char): SqlStatement =
     copy(parts = parts.map(_.stripMargin(c)))
 
-  /** Expand markers → (sqlText with `?` placeholders, flat params). */
-  private def expand: (String, Seq[Any]) = {
+  /** Expand markers → (sqlText with `?` placeholders, flat params,
+    * per-param source-slot ordinal, total type-consuming slots) — the
+    * ordinals let [[finalConvert]] repeat a slot's declared type across
+    * the parameters an `In`/`Fields` marker expands it into. */
+  private def expandFull: (String, Seq[Any], Seq[Int], Int) = {
     val sb = new StringBuilder
     val params = Seq.newBuilder[Any]
+    val typeIdx = Seq.newBuilder[Int]
+    var slotOrd = 0
     val partIt = parts.iterator
     if (partIt.hasNext) sb ++= partIt.next()
     slots.foreach { slot =>
       slot match {
-        case Value(v)     => sb += '?'; params += v
-        case Hole         => sb += '?'
-        case NamedHole(_) => sb += '?'
+        case Value(v) =>
+          sb += '?'; params += v; typeIdx += slotOrd; slotOrd += 1
+        case Hole         => sb += '?'; slotOrd += 1
+        case NamedHole(_) => sb += '?'; slotOrd += 1
         case Marker(m) =>
           m match {
             case In(vs) =>
               sb ++= Seq.fill(vs.size)("?").mkString(",")
-              vs.foreach(params += convert(_))
+              vs.foreach { v => params += convert(v); typeIdx += slotOrd }
+              slotOrd += 1
             case Inline(t) => sb ++= t
             case Fields(kvs) =>
               sb ++= kvs.map { case (k, _) => s"$k=?" }.mkString(",")
-              kvs.foreach { case (_, v) => params += convert(v) }
+              kvs.foreach { case (_, v) => params += convert(v); typeIdx += slotOrd }
+              slotOrd += 1
             case NoArg => ()
           }
       }
       if (partIt.hasNext) sb ++= partIt.next()
     }
-    (sb.toString, params.result())
+    (sb.toString, params.result(), typeIdx.result(), slotOrd)
+  }
+
+  private def expand: (String, Seq[Any]) = {
+    val (text, params, _, _) = expandFull
+    (text, params)
   }
 
   /** Rendered SQL with `?` placeholders. */
@@ -247,23 +274,26 @@ final case class SqlStatement(
   def parameters: Seq[Any] = expand._2
 
   /** Literal-bound debug rendering, `;`-terminated
-    * (ref: CQLStatement.scala debugString). */
-  def debugString: String = {
+    * (ref: CQLStatement.scala debugString). Codecs resolve against the
+    * given registry ([[GraftConnection.debugString]] passes its own). */
+  def debugString: String = debugStringWith(CodecRegistry)
+  def debugStringWith(codecs: CodecRegistry): String = {
     val sb = new StringBuilder
+    def lit(v: Any): String = renderLiteral(v, codecs)
     val partIt = parts.iterator
     if (partIt.hasNext) sb ++= partIt.next()
     slots.foreach { slot =>
       slot match {
-        case Value(v)     => sb ++= renderLiteral(v)
+        case Value(v)     => sb ++= lit(v)
         case Hole         => sb += '?'
         case NamedHole(n) => sb ++= s":$n"
         case Marker(m) =>
           m match {
-            case In(vs)    => sb ++= vs.map(v => renderLiteral(convert(v))).mkString(",")
+            case In(vs)    => sb ++= vs.map(v => lit(convert(v))).mkString(",")
             case Inline(t) => sb ++= t
             case Fields(kvs) =>
               sb ++= kvs
-                .map { case (k, v) => s"$k=${renderLiteral(convert(v))}" }
+                .map { case (k, v) => s"$k=${lit(convert(v))}" }
                 .mkString(",")
             case NoArg => ()
           }
@@ -280,13 +310,19 @@ final case class SqlStatement(
     * an action runs. Parsed plans are memoized per final SQL text
     * (Q4 — the prepared-statement-cache analog;
     * ref: cql/CQLSession.scala:86-103). */
-  def df(implicit spark: SparkSession): DataFrame = {
-    val (text, params) = expand
-    val args = finalConvert(params).map {
-      case b: ByteBuffer =>
-        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
-      case x => x
-    }
+  def df(implicit spark: SparkSession): DataFrame = dfWith(CodecRegistry)
+
+  /** Execute with a SPECIFIC codec registry — the per-connection bind path
+    * ([[GraftConnection.execute]]); codecs apply here, at bind time, so a
+    * profile's codecs affect only statements executed through it. */
+  def dfWith(codecs: CodecRegistry)(implicit spark: SparkSession): DataFrame = {
+    val (text, params, typeIdx, nTypeSlots) = expandFull
+    val args = finalConvert(params.map(codecs.encodeDeep), typeIdx, nTypeSlots)
+      .map {
+        case b: ByteBuffer =>
+          val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+        case x => x
+      }
     if (args.isEmpty) PlanCache.get(spark, text)
     else spark.sql(text, args.toArray)
   }

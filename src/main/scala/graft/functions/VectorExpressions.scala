@@ -23,10 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * floating-point sequence of the `aggregate()` fold it replaces —
   * results are bit-identical, so the DuckDB oracles keep matching.
   *
-  * Semantics: null array → null (null-intolerant); arrays of different
-  * lengths dot over the common prefix (vectors in one corpus share dims
-  * by contract); null ELEMENTS read as 0 — embedding columns are
-  * non-null-element arrays by schema.
+  * Semantics: null array → null (null-intolerant); arrays of DIFFERENT
+  * lengths → null, matching the HOF cross-check formulation exactly
+  * (`zip_with` null-pads the shorter array, so the `aggregate` fold goes
+  * null there) — a dims mismatch must fail loudly as a null score, never
+  * dot a plausible-but-wrong common prefix; null ELEMENTS read as 0 —
+  * embedding columns are non-null-element arrays by schema.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,16 +42,20 @@ case class VectorDot(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // dims mismatch yields null
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
-    acc
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -58,12 +64,16 @@ case class VectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

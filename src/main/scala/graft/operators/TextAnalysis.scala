@@ -80,19 +80,27 @@ object TextAnalysis {
       .filter(col("quality") >= minQuality)
 
   /** Corpus curation by quantile: keep the top `1-q` fraction by quality.
-    * The threshold is ONE exact-percentile aggregate collected to the
-    * driver (a scalar), then the filter is map-only — no per-row quantile
-    * machinery. At 100 TB swap `percentile` for `approx_percentile`
-    * (t-digest, single pass) — the dataflow is unchanged; exact
-    * percentile here keeps the operator deterministic for tests. */
+    * The threshold is ONE percentile aggregate collected to the driver (a
+    * scalar), then the filter is map-only — no per-row quantile machinery.
+    *
+    * `exact = false` (the default, the 100 TB path) uses
+    * `approx_percentile` — a single-pass mergeable sketch whose aggregate
+    * state is bounded by `accuracy`, so the threshold costs one map-side-
+    * combined pass at any scale. `exact = true` uses `percentile`, which
+    * buffers all values per partition — deterministic for tests and fine
+    * to a few hundred million rows, wrong tool at corpus scale. */
   def qualityFilterByQuantile(
       df: org.apache.spark.sql.DataFrame,
       textCol: String,
-      q: Double): org.apache.spark.sql.DataFrame = {
+      q: Double,
+      exact: Boolean = false,
+      accuracy: Int = 10000): org.apache.spark.sql.DataFrame = {
     require(q > 0 && q < 1, "quantile must be in (0,1)")
     val scored = df.withColumn("quality", qualityScore(col(textCol)))
-    val threshold = scored
-      .agg(expr(s"percentile(quality, $q)")).collect()(0).getDouble(0)
+    val agg =
+      if (exact) expr(s"percentile(quality, $q)")
+      else expr(s"approx_percentile(quality, $q, $accuracy)")
+    val threshold = scored.agg(agg).collect()(0).getDouble(0)
     scored.filter(col("quality") >= threshold)
   }
 

@@ -134,8 +134,12 @@ final class StatusReporter(
 
   override def onTaskEnd(
       te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    // Only successful attempts count: failed and retried attempts would
+    // double-count their records vs the reference scanner's exactly-once
+    // per-key counters, and a speculative duplicate that loses the race
+    // ends with TaskKilled (so Success filtering drops it too).
     val m = te.taskMetrics
-    if (m != null) {
+    if (m != null && te.reason == org.apache.spark.Success) {
       records.addAndGet(m.inputMetrics.recordsRead)
       written.addAndGet(m.outputMetrics.recordsWritten)
     }

@@ -234,8 +234,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fixed.filter(col("quality") < 0.9).count() == 0)
     // quantile variant: keeps at least the top (1-q) fraction; every kept
     // row clears the threshold that defined it
-    val topHalf = TextAnalysis.qualityFilterByQuantile(docs, "text", q = 0.5)
+    val topHalf = TextAnalysis.qualityFilterByQuantile(docs, "text", q = 0.5,
+      exact = true)
     assert(topHalf.count() >= total / 2)
+    // the default approx_percentile path (the 100 TB scale path) lands
+    // within sketch tolerance of the exact threshold
+    val approx = TextAnalysis.qualityFilterByQuantile(docs, "text", q = 0.5)
+    assert(math.abs(approx.count() - topHalf.count()) <=
+      math.max(1L, total / 20))
     val worstKept = topHalf.agg(min(col("quality"))).collect()(0).getDouble(0)
     val bestDropped = docs
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))

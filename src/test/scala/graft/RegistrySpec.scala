@@ -91,9 +91,11 @@ class RegistrySpec extends SparkSpec {
     CodecRegistry.register(TenantIdCodec)
     import Interpolation._
     val st = sql"SELECT ${TenantId(1782L)} AS t"
-    // bound value is the encoded Long
-    assert(st.parameters == Seq(1782L))
+    // codecs apply at BIND time (per-registry), so the built statement
+    // still carries the raw user value…
+    assert(st.parameters == Seq(TenantId(1782L)))
     implicit val sp: SparkSession = spark
+    // …and execution through the (global) registry binds the encoded Long
     assert(st.df.collect()(0).getLong(0) == 1782L)
     // rendering uses the codec's override on the raw type
     assert(SqlStatement.renderLiteral(TenantId(9L)) == "tenant(9)")
@@ -117,13 +119,26 @@ class RegistrySpec extends SparkSpec {
     CodecRegistry.clear()
   }
 
-  test("Q9+E4: a profile's codecProvider loads at connect time") {
+  test("Q9+E4: a profile's codecProvider loads into THAT connection only") {
     SessionRegistry.reset(); CodecRegistry.clear()
     implicit val sp: SparkSession = spark
     SessionRegistry.register("withCodecs", Map(
       "codecProvider" -> classOf[TestCodecProvider].getName))
-    SessionRegistry.connect("withCodecs")
-    assert(CodecRegistry.encode(TenantId(7L)).contains(7L))
-    CodecRegistry.clear()
+    SessionRegistry.register("plain", Map.empty[String, String])
+    val withCodecs = SessionRegistry.connect("withCodecs")
+    val plain = SessionRegistry.connect("plain")
+    // the codec lives in the connection's registry…
+    assert(withCodecs.codecs.encode(TenantId(7L)).contains(7L))
+    // …and leaks neither into the global registry nor other connections
+    assert(CodecRegistry.encode(TenantId(7L)).isEmpty)
+    assert(plain.codecs.encode(TenantId(7L)).isEmpty)
+    // execution through the codec connection binds the encoded value;
+    // rendering through it uses the codec override
+    import Interpolation._
+    val st = sql"SELECT ${TenantId(3L)} AS t"
+    assert(withCodecs.execute(st).collect()(0).getLong(0) == 3L)
+    assert(withCodecs.debugString(st) == "SELECT tenant(3) AS t;")
+    assert(plain.debugString(st) != withCodecs.debugString(st))
+    SessionRegistry.reset()
   }
 }

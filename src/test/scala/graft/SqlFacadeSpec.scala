@@ -209,6 +209,16 @@ class SqlFacadeExecSpec extends SparkSpec {
       sql"SELECT ${1} AS a, ${2} AS b".asPrepared(LongType).df)
     // without asPrepared the raw binds pass through unchanged
     assert(sql"SELECT ${ms} AS v".df.collect()(0).getAs[Long]("v") == ms)
+    // declared types align with parameter SLOTS: an In marker expands one
+    // slot into N parameters, each reusing the slot's declared type — so
+    // asPrepared composes with expansion markers instead of mis-counting
+    spark.range(0, 10).selectExpr("id", "id * 1000 AS ms")
+      .createOrReplaceTempView("prep_in_v")
+    val rows = (sql"SELECT id FROM prep_in_v WHERE ms IN (${In(Seq(2000L, 5000L))})" +
+      sql" OR id = ${7L} ORDER BY id")
+      .asPrepared(LongType, LongType)
+      .df.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 5L, 7L))
   }
 
   test("S8: enumerate streams rows lazily through a local iterator") {
