@@ -313,6 +313,77 @@ class GoldenParitySpec extends SparkSpec {
     assert(keptA == Set(6L, 7L, 9L, 10L))
   }
 
+  test("TTL golden grid runs through the FULL retention job (both sinks)") {
+    // The reference exercises its TTL cases through real compaction
+    // (rules table → convictor → filtering scanner → both sinks), not just
+    // the predicate. Same discipline here: the four load-bearing cases
+    // from RuleBasedLateTTLConvictorSpec (default-TTL fallback, catch-all
+    // (null,null), TTL=0 immediate sweep, multi-agent mix incl. future-
+    // dated) as one grid, each driven through RetentionJob.run's dual-sink
+    // path, asserting kept count, backup count, AND on-disk splits.
+    import graft.jobs.RetentionJob
+    val defaultCase = (
+      "default_ttl_fallback",
+      Seq((1785L, "00000151ef35589ff90c54401aae08f5", aged(600)),
+        (1785L, "0000015201153acb407978edcb28b452", aged(30)),
+        (1791L, "00000151eb66fc0c2ffc298022a0e221", aged(600)),
+        (1791L, "00000151f82053a2846086bd220a3abb", aged(30))),
+      RuleSet(Seq(
+        Rule("full_ttl", Map("tenant" -> Seq(r("1785", "1785"))), ttl = Some(300L))),
+        defaultTtl = Some(300L)),
+      2L)
+    val catchAll = (
+      "catch_all_null_null",
+      Seq((1785L, "00000151ef35589ff90c54401aae08f5", aged(600)),
+        (1785L, "0000015201153acb407978edcb28b452", aged(30)),
+        (1791L, "00000151eb66fc0c2ffc298022a0e221", aged(600)),
+        (1791L, "00000151f82053a2846086bd220a3abb", aged(30))),
+      RuleSet(Seq(
+        Rule("full_ttl", Map("tenant" -> Seq(r(null, null))), ttl = Some(300L)))),
+      2L)
+    val ttl0Sweep = (
+      "ttl0_oversize_sweep",
+      Seq((1827L, "000151d4e6fec2fde7240e6c5e1fce00", aged(600)),
+        (1827L, "00000151e992ed8adb38cfbc2e6c0c52", aged(600)),
+        (1827L, "00000151f6cde9e92ea68f051f6d96b5", aged(600)),
+        (1838L, "00000151fb731fff3aae3a1236a90551", aged(600)),
+        (1866L, "00000151e560cec31329cd7cdc4ad37e", aged(600)),
+        (1866L, "00000151f9cc533b6347f86571e34eda", aged(600)),
+        (1866L, "0000015203ddcf3d1598b05a8f5f1c2f", aged(600))),
+      RuleSet(Seq(
+        Rule("cid_7", Map("id" -> Seq(r("00001f", null))), ttl = Some(0L)))),
+      6L)
+    val multiAgent = (
+      "multi_agent_future_dated",
+      Seq((1726L, "00000151e518481a3b3e6939bc9493da", aged(600)),
+        (1742L, "00000151cb75b17f7f53f2187da68102", aged(100)),
+        (1742L, "00000151db1fdba2a888063457159d3e", aged(-300)),
+        (1742L, "00000151f7dabc8c37a47b98d3533552", aged(600)),
+        (1753L, "00000151d2b65a18a3aa7058aa6a2116", aged(600)),
+        (1771L, "000001520af1e48e75c67e3c82791880", aged(6000))),
+      RuleSet(Seq(
+        Rule("sid_1726", Map("tenant" -> Seq(r("1726", "1726"))), ttl = Some(300L)),
+        Rule("sid_1742", Map("tenant" -> Seq(r("1742", "1742"))), ttl = Some(300L)),
+        Rule("sid_1771", Map("tenant" -> Seq(r("1771", "1771"))), ttl = Some(300L)))),
+      3L)
+    for ((name, rows, rs, expKept) <- Seq(defaultCase, catchAll, ttl0Sweep, multiAgent)) {
+      val df = rows.toDF("tenant", "id", "writetime")
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-ttl-$name").toString
+      val stats = RetentionJob.run(
+        spark, df, TableSpec(Seq("tenant"), Seq("id"), Some("writetime")), rs,
+        keptPath = Some(s"$dir/kept"), backupPath = Some(s"$dir/backup"),
+        ttlMode = true, jobStartMs = nowMs)
+      assert(stats.mode == Execute, s"$name: ${stats.mode}")
+      assert(stats.kept == expKept, s"$name: kept ${stats.kept}, want $expKept")
+      assert(stats.dropped == rows.size - expKept, s"$name: dropped ${stats.dropped}")
+      assert(spark.read.parquet(s"$dir/kept").count() == expKept, s"$name kept sink")
+      if (rows.size - expKept > 0)
+        assert(spark.read.parquet(s"$dir/backup").count() == rows.size - expKept,
+          s"$name backup sink")
+      else assert(!stats.backupWritten, s"$name backup abort")
+    }
+  }
+
   test("overlapping keys (two flushes) compact to LWW then TTL: -> 1 kept") {
     val flush = Seq(
       (1827L, "000151d4e6fec2fde7240e6c5e1fce00", aged(600)),
