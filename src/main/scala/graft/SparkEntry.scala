@@ -426,7 +426,8 @@ object SparkEntry {
       val fps = operators.Dedup.simHashFingerprints(
         readWide(s, dir, "documents"), "doc_id", "text")
       val art = artifactPath(dir, "simhash_fp")
-      fps.coalesce(1).write.mode("overwrite").parquet(art)
+      // parallel write (no coalesce) — the oracle globs the part files
+      fps.write.mode("overwrite").parquet(art)
       // pairs derive from the dumped table, so Spark and the oracle read
       // bit-identical fingerprint input
       operators.Dedup.simHashNearDupsFrom(s.read.parquet(art), "doc_id", maxDist = 3)
@@ -523,7 +524,7 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       val art = artifactPath(dir, "media_payloads")
       operators.Multimodal.mediaTableReal(s, dir)
-        .coalesce(1).write.mode("overwrite").parquet(art)
+        .write.mode("overwrite").parquet(art)
       operators.Multimodal.decodeAll(s.read.parquet(art))
         .toDF().select("doc_id", "media_type", "container", "n_bytes",
           "width", "height", "n_frames", "sample_rate", "n_channels",

@@ -252,6 +252,13 @@ object Dedup {
     distributedResolve(p, maxIters)
   }
 
+  /** Min-label propagation for edge sets too large for the driver. The
+    * FINAL labels frame stays persisted when this returns (its lineage is
+    * the whole iterative loop — recomputation would be catastrophic);
+    * long-lived services should `.unpersist()` it after consuming. Every
+    * intermediate iteration's cache is released here. The driver-side path
+    * above (the one all `SparkEntry` queries take — `CacheScopeSpec` pins
+    * it) releases everything before returning. */
   private def distributedResolve(
       pairs: DataFrame,
       maxIters: Int): DataFrame = {
