@@ -472,6 +472,13 @@ object SparkEntry {
       operators.Similarity.cosineNearDups(
           readWide(s, dir, "embeddings"), threshold = 0.4, nbits = 6, bands = 4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))),
+    // multi-probe variant: 1-bit probe expansion on the lower-id side
+    // amplifies recall over q_sim_near_dup without adding bands; exact
+    // oracle (deterministic planes + bit_count(xor) <= 1 in SQL)
+    "q_sim_near_dup_probe" -> ((s, dir) =>
+      operators.Similarity.cosineNearDupsMultiProbe(
+          readWide(s, dir, "embeddings"), threshold = 0.4, nbits = 6, bands = 4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))),
     // exact all-pairs cosine near-dup baseline — the oracle-checked
     // counterpart of the (recall<1 by design) LSH variant above; at sf0.01
     // the LSH path finds 8 of the 59 exact pairs at this low threshold
@@ -860,6 +867,25 @@ object SparkEntry {
            SELECT c.id_a, c.id_b, list_cosine_similarity(ea.v, eb.v) AS cos
            FROM cand c JOIN emb ea ON ea.vec_id = c.id_a
                        JOIN emb eb ON eb.vec_id = c.id_b)
+         SELECT id_a, id_b, round(cos, 6) AS cos_r FROM scored WHERE cos >= 0.4"""
+    },
+    // exact oracle for the multi-probe near-dups: candidates = any band
+    // whose signatures agree or differ in one bit (Hamming ≤ 1 on the
+    // inlined-plane signatures), then exact cosine ≥ threshold
+    "q_sim_near_dup_probe" -> {
+      val bandCols = (0 until 4)
+        .map(b => s"(${rhpSigSql("v", 6, bandOffset = b * 6)}) AS s$b")
+        .mkString(", ")
+      val anyBand = (0 until 4)
+        .map(b => s"bit_count(xor(a.s$b, b.s$b)) <= 1")
+        .mkString(" OR ")
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sig AS (SELECT vec_id, v, $bandCols FROM emb),
+         scored AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS cos
+           FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+           WHERE $anyBand)
          SELECT id_a, id_b, round(cos, 6) AS cos_r FROM scored WHERE cos >= 0.4"""
     },
     "q_sim_topk_brute" ->

@@ -305,4 +305,71 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Multi-probe variant of [[cosineNearDups]]: a pair is a candidate when
+    * some band's signatures agree OR differ in exactly ONE bit — the
+    * standard recall amplifier that avoids paying for more bands. The
+    * near-match is kept an EQUI-join by probe expansion: the probe side
+    * explodes each band signature into `nbits + 1` probes (the original
+    * plus every 1-bit flip) and joins against the other side's original
+    * buckets; a Hamming-1 pair meets exactly once (probe of the lower id
+    * against the anchor of the higher), a Hamming-0 pair once via the
+    * original probe, multi-band collisions deduped after the threshold.
+    *
+    * Cost vs single-probe: the probe-side exchange carries
+    * `bands·(nbits+1)` rows per vector instead of `bands` — a constant
+    * factor chosen instead of the recall loss; candidate pairs grow with
+    * the extra bucket agreements but each still costs ONE dot product
+    * (norms pre-materialized). The two join inputs differ (probes vs
+    * anchors), so this shape deliberately gives up the single shared
+    * exchange of [[cosineNearDups]] — at equal recall targets it still
+    * wins, because matching single-probe recall needs ~`nbits`× more
+    * bands, i.e. `nbits`× more signature dots AND a wider exchange on
+    * BOTH sides. Probes of 1 bit only: ≥2-bit probing multiplies rows
+    * quadratically for sharply diminishing recall.
+    *
+    * Exact-oracle-able like every LSH operator here: the planes are
+    * deterministic driver constants, and "differs in ≤1 bit" is
+    * `bit_count(xor(sa, sb)) <= 1` in any engine with 64-bit ints. */
+  def cosineNearDupsMultiProbe(
+      corpus: DataFrame,
+      threshold: Double,
+      nbits: Int = 8,
+      bands: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val sig = corpus.select(
+      Seq(col(idCol), v.as("__v"), norm(v).as("__n")) ++
+        (0 until bands).map(b =>
+          rhpSignature(col(vecCol), nbits, bandOffset = b * nbits)
+            .as(s"__sig$b")): _*)
+    def side(expand: Boolean) = {
+      val structs = (0 until bands).flatMap { b =>
+        val s = col(s"__sig$b")
+        val variants =
+          if (expand) (-1 until nbits).map {
+            case -1 => s
+            case j  => s.bitwiseXOR(shiftleft(lit(1L), j))
+          }
+          else Seq(s)
+        variants.map(p => struct(lit(b).as("band"), p.as("bucket")))
+      }
+      sig.select(col(idCol), col("__v"), col("__n"),
+          explode(array(structs: _*)).as("__e"))
+        .select(col(idCol), col("__v"), col("__n"),
+          col("__e.band").as("band"), col("__e.bucket").as("bucket"))
+        .repartition(col("band"), col("bucket"))
+    }
+    val a = side(expand = true).as("a")   // probes: lower id of each pair
+    val b = side(expand = false).as("b")  // anchors: original buckets
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (dot(col("a.__v"), col("b.__v")) / (col("a.__n") * col("b.__n")))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
 }

@@ -176,6 +176,27 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach { case (a, b, c) => assert(a < b && c >= 0.95) }
   }
 
+  test("multi-probe near-dups: superset of single-probe, subset of exact, better recall") {
+    val sample = emb.limit(200)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.exactNearDups(sample, threshold = 0.4))
+    val single = pairs(Similarity.cosineNearDups(
+      sample, threshold = 0.4, nbits = 6, bands = 4))
+    val multi = pairs(Similarity.cosineNearDupsMultiProbe(
+      sample, threshold = 0.4, nbits = 6, bands = 4))
+    // a 1-bit probe can only ADD candidates over the same bands/planes…
+    assert(single.subsetOf(multi), s"lost pairs: ${single -- multi}")
+    // …and every reported pair is a true pair (verify stage is exact)
+    assert(multi.subsetOf(exact), s"false pairs: ${multi -- exact}")
+    // on this corpus the extra probes must actually buy recall
+    assert(multi.size > single.size,
+      s"multi ${multi.size} vs single ${single.size} of exact ${exact.size}")
+    Similarity.cosineNearDupsMultiProbe(sample, 0.4, 6, 4)
+      .as[(Long, Long, Double)].collect()
+      .foreach { case (a, b, c) => assert(a < b && c >= 0.4) }
+  }
+
   test("IVF top-k: self-match recalled when probing its own list; k bounded") {
     val queries = emb.limit(3)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
