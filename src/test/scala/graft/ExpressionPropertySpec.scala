@@ -63,17 +63,73 @@ class ExpressionPropertySpec extends SparkSpec {
       n <- Gen.chooseNum(1, 64)
       v <- Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6).map(_ / 1e3))
     } yield v
+    // unequal lengths included deliberately: zip_with null-pads the
+    // shorter array so the HOF fold yields null, and the native
+    // expression must agree (null, never a common-prefix dot)
     val pairs = samples(Gen.zip(genVec, genVec), 100)
-      // zip_with pads unequal lengths with null (→ null result); the
-      // native expression dots the common prefix — compare equal lengths
-      .map { case (a, b) =>
-        val n = math.min(a.size, b.size); (a.take(n), b.take(n))
-      }
     val df = pairs.toDF("a", "b")
-    val diff = df.select(
-        (Similarity.dot(col("a"), col("b")) -
-          Similarity.dotHof(col("a"), col("b"))).as("d"))
-      .filter(col("d") =!= 0.0).count()
-    assert(diff == 0)
+    val disagree = df.select(
+        Similarity.dot(col("a"), col("b")).as("n"),
+        Similarity.dotHof(col("a"), col("b")).as("h"))
+      .filter(!(col("n") <=> col("h"))).count()
+    assert(disagree == 0)
+    // and the mismatch case concretely: both null
+    val mm = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("n"),
+        Similarity.dotHof(col("a"), col("b")).as("h"))
+      .collect()(0)
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+  }
+
+  // ---- MediaFormats round-trips (pure JVM, no Spark plan involved) ----
+
+  test("property: PNG/WAV/GIF generate→parse round-trips on random params") {
+    import graft.operators.MediaFormats
+    val genPng = for {
+      w <- Gen.chooseNum(1, 300); h <- Gen.chooseNum(1, 200)
+      seed <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    } yield (w, h, seed)
+    samples(genPng, 60).foreach { case (w, h, seed) =>
+      val m = MediaFormats.parse(MediaFormats.png(w, h, seed))
+      assert(m.container == "png" && m.width.contains(w) &&
+        m.height.contains(h) && m.bitDepth.contains(8) &&
+        m.nChannels.contains(1), s"png($w,$h,$seed) -> $m")
+    }
+    val genWav = for {
+      rate <- Gen.chooseNum(1, 192000); ch <- Gen.chooseNum(1, 8)
+      n <- Gen.chooseNum(0, 500)
+      seed <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    } yield (rate, ch, n, seed)
+    samples(genWav, 60).foreach { case (rate, ch, n, seed) =>
+      val m = MediaFormats.parse(MediaFormats.wav(rate, ch, n, seed))
+      assert(m.container == "wav" && m.sampleRate.contains(rate) &&
+        m.nChannels.contains(ch) && m.nFrames.contains(n) &&
+        m.bitDepth.contains(16), s"wav($rate,$ch,$n) -> $m")
+    }
+    val genGif = for {
+      w <- Gen.chooseNum(1, 500); h <- Gen.chooseNum(1, 500)
+      f <- Gen.chooseNum(0, 100)
+    } yield (w, h, f)
+    samples(genGif, 60).foreach { case (w, h, f) =>
+      val m = MediaFormats.parse(MediaFormats.gif(w, h, f))
+      assert(m.container == "gif" && m.width.contains(w) &&
+        m.height.contains(h) && m.nFrames.contains(f), s"gif($w,$h,$f) -> $m")
+    }
+  }
+
+  test("property: parse never throws on arbitrary byte junk (total function)") {
+    import graft.operators.MediaFormats
+    val genBytes = Gen.chooseNum(0, 200)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)))
+    samples(genBytes, 200).foreach { bs =>
+      MediaFormats.parse(bs.toArray) // must not throw
+    }
+    // prefix-corrupted real files must not throw either
+    val png = MediaFormats.png(20, 20, 9L)
+    val wav = MediaFormats.wav(8000, 1, 10, 9L)
+    val gif = MediaFormats.gif(9, 9, 3)
+    Seq(png, wav, gif).foreach { f =>
+      (0 to f.length by 7).foreach(k => MediaFormats.parse(f.take(k)))
+    }
   }
 }
