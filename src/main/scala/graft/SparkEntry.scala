@@ -466,6 +466,16 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"),
           col("rank"))
     }),
+    // product-quantization ANN: 8 sub-space codes per vector (32×
+    // compression), ADC table-lookup scoring — deterministic sampled
+    // codebooks give it an exact oracle like the LSH/IVF paths
+    "q_sim_ann_pq" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      operators.Similarity.pqTopK(emb, q, k = 10, m = 8, ksub = 16)
+        .select(col("query_id"), col("vec_id"), col("pq_score"), col("rank"))
+    }),
     // embedding-cosine near-duplicate pairs (rows-only; threshold tuned to
     // this corpus — max pairwise cosine in the synthetic embeddings ≈ 0.51)
     "q_sim_near_dup" -> ((s, dir) =>
@@ -868,6 +878,52 @@ object SparkEntry {
            FROM cand c JOIN emb ea ON ea.vec_id = c.id_a
                        JOIN emb eb ON eb.vec_id = c.id_b)
          SELECT id_a, id_b, round(cos, 6) AS cos_r FROM scored WHERE cos >= 0.4"""
+    },
+    // exact oracle for PQ: codebooks derive in SQL (same every-step-th
+    // sampling as IVF), codes via the same 2sc−ss−cc argmax with
+    // larger-index tie-break, scores as an EXPLICIT ascending-j 8-term
+    // sum (matching Spark's left-to-right fold — an aggregate SUM would
+    // add the terms in engine order and drift in the last ulp)
+    "q_sim_ann_pq" -> {
+      val m = 8; val ksub = 16; val dsub = 8
+      val js = (0 until m).map(j => s"($j)").mkString(", ")
+      def sub(vec: String, j: String) =
+        s"$vec[$j*$dsub+1:($j+1)*$dsub]"
+      val terms = (0 until m).map(j => s"t$j.d").mkString(" + ")
+      val termJoins = (0 until m).map { j =>
+        val t = s"(SELECT query_id, vec_id, d FROM terms WHERE j = $j) t$j"
+        if (j == 0) s"FROM $t" else s"JOIN $t USING (query_id, vec_id)"
+      }.mkString(" ")
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         stepc AS (SELECT greatest(1, (SELECT count(*) FROM emb) // $ksub) AS step),
+         cent AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+           FROM emb, stepc WHERE vec_id % stepc.step = 0
+           ORDER BY vec_id LIMIT $ksub),
+         cb AS (SELECT t.j, cent.i, ${sub("cent.v", "t.j")} AS c
+                FROM cent, (VALUES $js) t(j)),
+         codes AS (
+           SELECT e.vec_id, t.j,
+             (SELECT cb.i FROM cb WHERE cb.j = t.j
+              ORDER BY 2.0 * list_dot_product(${sub("e.v", "t.j")}, cb.c)
+                - list_dot_product(cb.c, cb.c) DESC, cb.i DESC
+              LIMIT 1) AS code
+           FROM emb e, (VALUES $js) t(j)),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+         dt AS (
+           SELECT q.query_id, cb.j, cb.i,
+             list_dot_product(${sub("q.qv", "cb.j")}, cb.c) AS d
+           FROM q, cb),
+         terms AS (
+           SELECT co.vec_id, dt.query_id, co.j, dt.d
+           FROM codes co JOIN dt ON dt.j = co.j AND dt.i = co.code),
+         scored AS (
+           SELECT query_id, vec_id, round($terms, 6) AS pq_score
+           $termJoins)
+         SELECT query_id, vec_id, pq_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY pq_score DESC, vec_id) AS INT) AS rank
+         FROM scored QUALIFY rank <= 10"""
     },
     // exact oracle for the multi-probe near-dups: candidates = any band
     // whose signatures agree or differ in one bit (Hamming ≤ 1 on the

@@ -231,6 +231,103 @@ object Similarity {
     topKPerQuery(scored, k, queryId, "cos", corpusId)
   }
 
+  /** Product-quantization top-k (max-inner-product search) — the
+    * quantized ANN path for corpora whose raw vectors are too large to
+    * scan: each vector is encoded once (map-only) into `m` sub-space
+    * codes of `log2(ksub)` bits (64-dim float → 8 bytes at the defaults,
+    * a 32× compression), and per-query scoring is `m` table lookups
+    * instead of a `dims`-wide dot product.
+    *
+    * Codebooks are sampled deterministically from the corpus (every
+    * ⌈n/ksub⌉-th vector's sub-vector, the [[ivfTopK]] discipline — no RNG,
+    * no training loop; swap in k-means codebooks for better recall
+    * without touching the dataflow). Encoding assigns each sub-vector to
+    * its nearest centroid by L2, expressed as `argmax(2·s·c − c·c)` (the
+    * `s·s` term is centroid-invariant and drops out) with larger-index
+    * tie-break via the `array_max(struct)` trick (see [[ivfTopK]] for why
+    * a reduce-based argmax is fatal). Queries build an
+    * `m×ksub` distance table (sub-vector ⋅ centroid, exact) BEFORE the
+    * broadcast, so the per-candidate cost is `m` literal-array lookups —
+    * the asymmetric-distance (ADC) scheme of the PQ literature.
+    *
+    * Everything is deterministic driver constants + ascending-index FP
+    * folds, so the DuckDB oracle reproduces scores bit-for-bit — an exact
+    * oracle for an approximate operator, like the LSH/IVF paths. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      dims: Int = 64,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m sub-spaces")
+    val dsub = dims / m
+    // deterministic sampled codebook: ksub corpus vectors, split into m
+    // sub-vectors each → codebooks(j)(i) is centroid i of sub-space j
+    val n = corpus.count()
+    val step = math.max(1L, n / ksub)
+    val sampled: Array[Array[Double]] = corpus
+      .filter(pmod(col(corpusId), lit(step)) === 0)
+      .orderBy(col(corpusId))
+      .limit(ksub)
+      .select(col(corpusVec).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m, sampled.length)((j, i) =>
+        sampled(i).slice(j * dsub, (j + 1) * dsub))
+    // ascending-index self-dot, matching the VectorDot/list_dot_product fold
+    def selfDot(c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    }
+
+    // encode: one array<int> of m codes per corpus vector, map-only.
+    // Nearest-by-L2 argmin = argmax(2·s·c − s·s − c·c); the s·s term is
+    // constant across a sub-space's centroids, so it drops out of the
+    // argmax — the scored quantity is 2·s·c − c·c (one dot per centroid,
+    // not two). Sub-vectors are materialized once per row in a feeding
+    // projection so the ksub dot products share one slice.
+    val v = col(corpusVec).cast("array<double>")
+    val sliced = corpus.select(
+      col(corpusId) +: (0 until m).map(j =>
+        slice(v, j * dsub + 1, dsub).as(s"__s$j")): _*)
+    def codeExpr(j: Int): Column =
+      array_max(array(codebooks(j).zipWithIndex.map { case (c, i) =>
+        struct(
+          (lit(2.0) * dot(col(s"__s$j"), typedLit(c.toSeq)) -
+            lit(selfDot(c))).as("d"),
+          lit(i).as("i"))
+      }: _*)).getField("i")
+    val encoded = sliced.select(
+      col(corpusId),
+      array((0 until m).map(codeExpr): _*).as("__code"))
+
+    // per-query ADC table: dt[j*ksub + i] = dot(query_sub_j, centroid_ji)
+    val qv = col(queryVec).cast("array<double>")
+    val dtable = array((0 until m).flatMap { j =>
+      val sub = slice(qv, j * dsub + 1, dsub)
+      codebooks(j).map(c => dot(sub, typedLit(c.toSeq)))
+    }: _*)
+    val q = queries.select(col(queryId), dtable.as("__dt"))
+
+    // score: m ordered lookups summed left-to-right (ascending j — the
+    // same fold order the oracle writes out explicitly)
+    val joined = encoded.crossJoin(broadcast(q))
+    val score = (0 until m)
+      .map(j => element_at(col("__dt"),
+        element_at(col("__code"), j + 1) + lit(j * ksub + 1)))
+      .reduce(_ + _)
+    val scored = joined.select(
+      col(queryId), col(corpusId), round(score, 6).as("pq_score"))
+    topKPerQuery(scored, k, queryId, "pq_score", corpusId)
+  }
+
   /** Exact all-pairs cosine near-duplicates (id_a < id_b, cos ≥
     * threshold) — the brute-force correctness baseline for
     * [[cosineNearDups]]. O(n²) pairs by construction: use it to validate

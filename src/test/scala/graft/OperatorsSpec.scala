@@ -197,6 +197,35 @@ class SimilaritySpec extends SparkSpec {
       .foreach { case (a, b, c) => assert(a < b && c >= 0.4) }
   }
 
+  test("PQ top-k: deterministic, k-bounded, approximates the brute-force ranking") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val pq = Similarity.pqTopK(emb, queries, k = 10, m = 8, ksub = 16)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    val byQuery = pq.groupBy(_._1)
+    assert(byQuery.size == 3)
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.length == 10)
+      assert(rows.map(_._3).sorted.toSeq == (1 to 10))
+    }
+    // deterministic across runs (sampled codebooks, no RNG)
+    val again = Similarity.pqTopK(emb, queries, k = 10, m = 8, ksub = 16)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    assert(pq.toSet == again.toSet)
+    // quantized scores still track the true ranking: every query's PQ
+    // top-10 intersects its exact top-10. The floor is deliberately ≥1 on
+    // this tiny corpus — sampled (untrained) codebooks trade recall for a
+    // SQL-derivable oracle; k-means codebooks raise recall without
+    // touching the dataflow (documented in pqTopK).
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    byQuery.foreach { case (q, rows) =>
+      val overlap = rows.map(_._2).toSet.intersect(brute(q)).size
+      assert(overlap >= 1, s"query $q: PQ/brute top-10 overlap $overlap")
+    }
+  }
+
   test("IVF top-k: self-match recalled when probing its own list; k bounded") {
     val queries = emb.limit(3)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
