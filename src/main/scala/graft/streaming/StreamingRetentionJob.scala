@@ -82,6 +82,36 @@ object StreamingRetentionJob {
       .dropDuplicatesWithinWatermark("__h", "__l")
       .drop("__h", "__l")
 
+  /** Streaming near-identical dedup — the streaming face of
+    * [[graft.operators.Dedup.simHashNearDups]]'s candidate discipline:
+    * drop a document when its 64-bit SimHash fingerprint was already seen
+    * within the watermark. An exact fingerprint match means the token
+    * SETS are near-identical (every per-token hash pushed each bit the
+    * same way), catching reordered/duplicated-token variants that
+    * [[streamingExactDedup]]'s content hash misses. State is one entry
+    * per distinct fingerprint within the watermark — bounded.
+    *
+    * Scope honestly: Hamming-distance>0 matching (the batch operator's
+    * quadrant bands) needs any-of-4-buckets coordination across keys —
+    * two chained stateful stages in a stream. The standard curation
+    * architecture runs THIS bounded-state filter in-stream and the full
+    * banded near-dup pass in the batch reconciliation job; compose both
+    * faces rather than forcing the quadratic stage into the stream. */
+  def streamingSimHashDedup(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    stream
+      .withColumn("__fp",
+        ColumnBridge.column(graft.functions.SimHash64(ColumnBridge.expression(
+          array_distinct(split(trim(lower(col(textCol))), "\\s+"))))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+  }
+
   /** One closed session: key, bounds, and event count. */
   final case class SessionOut(
       key: String, startMs: Long, endMs: Long, events: Long)

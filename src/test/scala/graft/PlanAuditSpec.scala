@@ -67,6 +67,30 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("PQ top-k broadcasts the query side and keeps the two-phase rank") {
+    val plan = simple("q_sim_ann_pq")
+    // the scored cross product must be corpus-stream × BROADCAST queries,
+    // never a shuffled cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    val iWin = plan.indexOf("Window")
+    val iMap = plan.indexOf("MapPartitions")
+    assert(iWin >= 0 && iMap >= 0 && iWin < iMap,
+      s"PQ rank must consume the heap-pruned set\n$plan")
+  }
+
+  test("multi-probe near-dups: probes explode only the lower-id side") {
+    val probe = operators.Similarity.cosineNearDupsMultiProbe(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      threshold = 0.4, nbits = 6, bands = 4)
+    val plan = probe.queryExecution.explainString(SimpleMode)
+    // two Generate (explode) nodes — probe side (bands·(nbits+1) rows) and
+    // anchor side (bands rows); both feed hash-partitioned exchanges on
+    // (band, bucket), and the join is an equi-join, not a nested loop
+    assert(plan.linesIterator.count(_.contains("Generate")) >= 2, plan)
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
   test("near-dup operators filter before the pair-dedup shuffle") {
     // the dedup exchange must carry only (id_a, id_b[, cos]) for SURVIVING
     // pairs: the Hamming/threshold cut happens join-side, so no exchange

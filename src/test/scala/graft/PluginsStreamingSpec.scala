@@ -122,6 +122,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SimHash dedup drops token-reordered near-identicals cross-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Int, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val stream = in.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingRetentionJob
+      .streamingSimHashDedup(stream, "text", "ts", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("simdedup").outputMode("append")
+      .start()
+    try {
+      in.addData(
+        (1, "the quick brown fox", ts(1)),
+        (2, "fox brown the quick quick", ts(2)), // same token SET → same fp
+        (3, "a different document entirely", ts(3)))
+      q.processAllAvailable()
+      in.addData((4, "quick the fox brown", ts(4))) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("simdedup").select("doc_id").as[Int].collect().toSet
+      assert(ids == Set(1, 3)) // first-seen per fingerprint survives
+      // cross-check: the batch operator agrees these are Hamming-0 pairs
+      val fps = graft.operators.Dedup.simHashFingerprints(
+        Seq((1L, "the quick brown fox"), (2L, "fox brown the quick quick"),
+          (4L, "quick the fox brown")).toDF("doc_id", "text"), "doc_id", "text")
+        .select("fp").as[Long].collect().toSet
+      assert(fps.size == 1)
+    } finally q.stop()
+  }
+
   test("streaming LWW via mapGroupsWithState reconciles across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
