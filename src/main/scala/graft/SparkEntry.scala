@@ -476,6 +476,15 @@ object SparkEntry {
       operators.Similarity.pqTopK(emb, q, k = 10, m = 8, ksub = 16)
         .select(col("query_id"), col("vec_id"), col("pq_score"), col("rank"))
     }),
+    // two-stage retrieval: PQ shortlist of 50 → exact cosine re-rank —
+    // the production ANN shape (quantized recall, exact final scores)
+    "q_sim_ann_pq_rerank" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      operators.Similarity.pqTopKReranked(emb, q, k = 10, shortlist = 50)
+        .select(col("query_id"), col("vec_id"), col("cos_r"), col("rank"))
+    }),
     // embedding-cosine near-duplicate pairs (rows-only; threshold tuned to
     // this corpus — max pairwise cosine in the synthetic embeddings ≈ 0.51)
     "q_sim_near_dup" -> ((s, dir) =>
@@ -571,6 +580,46 @@ object SparkEntry {
         s"get_bit($bitCol, ${(byteOff + b) * 8 + i}) * ${(1L << (7 - i)) << (8 * b)}"
       }
     }.mkString("(", " + ", ")")
+
+  /** Shared CTE body of the PQ oracles: corpus → sampled codebooks →
+    * codes (2sc−cc argmax, larger-index tie-break) → per-query ADC
+    * tables → quantized scores as an explicit ascending-j sum. */
+  private def pqOracleCore: String = {
+    val m = 8; val ksub = 16; val dsub = 8
+    val js = (0 until m).map(j => s"($j)").mkString(", ")
+    def sub(vec: String, j: String) = s"$vec[$j*$dsub+1:($j+1)*$dsub]"
+    val terms = (0 until m).map(j => s"t$j.d").mkString(" + ")
+    val termJoins = (0 until m).map { j =>
+      val t = s"(SELECT query_id, vec_id, d FROM terms WHERE j = $j) t$j"
+      if (j == 0) s"FROM $t" else s"JOIN $t USING (query_id, vec_id)"
+    }.mkString(" ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       stepc AS (SELECT greatest(1, (SELECT count(*) FROM emb) // $ksub) AS step),
+       cent AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+         FROM emb, stepc WHERE vec_id % stepc.step = 0
+         ORDER BY vec_id LIMIT $ksub),
+       cb AS (SELECT t.j, cent.i, ${sub("cent.v", "t.j")} AS c
+              FROM cent, (VALUES $js) t(j)),
+       codes AS (
+         SELECT e.vec_id, t.j,
+           (SELECT cb.i FROM cb WHERE cb.j = t.j
+            ORDER BY 2.0 * list_dot_product(${sub("e.v", "t.j")}, cb.c)
+              - list_dot_product(cb.c, cb.c) DESC, cb.i DESC
+            LIMIT 1) AS code
+         FROM emb e, (VALUES $js) t(j)),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+       dt AS (
+         SELECT q.query_id, cb.j, cb.i,
+           list_dot_product(${sub("q.qv", "cb.j")}, cb.c) AS d
+         FROM q, cb),
+       terms AS (
+         SELECT co.vec_id, dt.query_id, co.j, dt.d
+         FROM codes co JOIN dt ON dt.j = co.j AND dt.i = co.code),
+       scored AS (
+         SELECT query_id, vec_id, round($terms, 6) AS pq_score
+         $termJoins)"""
+  }
 
   /** The RHP-LSH signature ([[operators.Similarity.rhpSignature]]) as a
     * DuckDB integer expression over a DOUBLE[] column `v`. */
@@ -880,51 +929,36 @@ object SparkEntry {
          SELECT id_a, id_b, round(cos, 6) AS cos_r FROM scored WHERE cos >= 0.4"""
     },
     // exact oracle for PQ: codebooks derive in SQL (same every-step-th
-    // sampling as IVF), codes via the same 2sc−ss−cc argmax with
+    // sampling as IVF), codes via the same 2sc−cc argmax with
     // larger-index tie-break, scores as an EXPLICIT ascending-j 8-term
     // sum (matching Spark's left-to-right fold — an aggregate SUM would
     // add the terms in engine order and drift in the last ulp)
-    "q_sim_ann_pq" -> {
-      val m = 8; val ksub = 16; val dsub = 8
-      val js = (0 until m).map(j => s"($j)").mkString(", ")
-      def sub(vec: String, j: String) =
-        s"$vec[$j*$dsub+1:($j+1)*$dsub]"
-      val terms = (0 until m).map(j => s"t$j.d").mkString(" + ")
-      val termJoins = (0 until m).map { j =>
-        val t = s"(SELECT query_id, vec_id, d FROM terms WHERE j = $j) t$j"
-        if (j == 0) s"FROM $t" else s"JOIN $t USING (query_id, vec_id)"
-      }.mkString(" ")
-      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         stepc AS (SELECT greatest(1, (SELECT count(*) FROM emb) // $ksub) AS step),
-         cent AS (
-           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
-           FROM emb, stepc WHERE vec_id % stepc.step = 0
-           ORDER BY vec_id LIMIT $ksub),
-         cb AS (SELECT t.j, cent.i, ${sub("cent.v", "t.j")} AS c
-                FROM cent, (VALUES $js) t(j)),
-         codes AS (
-           SELECT e.vec_id, t.j,
-             (SELECT cb.i FROM cb WHERE cb.j = t.j
-              ORDER BY 2.0 * list_dot_product(${sub("e.v", "t.j")}, cb.c)
-                - list_dot_product(cb.c, cb.c) DESC, cb.i DESC
-              LIMIT 1) AS code
-           FROM emb e, (VALUES $js) t(j)),
-         q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
-         dt AS (
-           SELECT q.query_id, cb.j, cb.i,
-             list_dot_product(${sub("q.qv", "cb.j")}, cb.c) AS d
-           FROM q, cb),
-         terms AS (
-           SELECT co.vec_id, dt.query_id, co.j, dt.d
-           FROM codes co JOIN dt ON dt.j = co.j AND dt.i = co.code),
-         scored AS (
-           SELECT query_id, vec_id, round($terms, 6) AS pq_score
-           $termJoins)
+    "q_sim_ann_pq" ->
+      s"""$pqOracleCore
          SELECT query_id, vec_id, pq_score,
            CAST(row_number() OVER (PARTITION BY query_id
              ORDER BY pq_score DESC, vec_id) AS INT) AS rank
-         FROM scored QUALIFY rank <= 10"""
-    },
+         FROM scored QUALIFY rank <= 10""",
+    // exact oracle for the two-stage retrieval: PQ shortlist (rank ≤ 50 on
+    // quantized scores) → exact cosine re-rank of the shortlist only
+    "q_sim_ann_pq_rerank" ->
+      s"""$pqOracleCore,
+         pqranked AS (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY pq_score DESC, vec_id) AS prank
+           FROM scored),
+         rer AS (
+           SELECT s.query_id, s.vec_id,
+             round(list_cosine_similarity(e.v, q.qv), 6) AS cos_r
+           FROM pqranked s
+           JOIN emb e ON e.vec_id = s.vec_id
+           JOIN q ON q.query_id = s.query_id
+           WHERE s.prank <= 50)
+         SELECT query_id, vec_id, cos_r,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_r DESC, vec_id) AS INT) AS rank
+         FROM rer QUALIFY rank <= 10""",
     // exact oracle for the multi-probe near-dups: candidates = any band
     // whose signatures agree or differ in one bit (Hamming ≤ 1 on the
     // inlined-plane signatures), then exact cosine ≥ threshold

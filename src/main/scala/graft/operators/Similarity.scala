@@ -328,6 +328,39 @@ object Similarity {
     topKPerQuery(scored, k, queryId, "pq_score", corpusId)
   }
 
+  /** Two-stage retrieval: PQ shortlist → EXACT cosine re-rank — the
+    * production ANN shape (quantized scores pick `shortlist` candidates
+    * per query cheaply; only those re-join their raw vectors for the true
+    * score). Per-query exact work drops from `corpus` to `shortlist`
+    * dot products; the shortlist join is an equi-join on the candidate
+    * ids against the corpus (broadcast when small). Recall is bounded by
+    * the shortlist stage — raise `shortlist` (typ. 3-10×k) to trade
+    * compute back for recall. */
+  def pqTopKReranked(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      shortlist: Int = 50,
+      m: Int = 8,
+      ksub: Int = 16,
+      dims: Int = 64,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val cands = pqTopK(corpus, queries, shortlist, m, ksub, dims,
+        corpusId, corpusVec, queryId, queryVec)
+      .select(col(queryId), col(corpusId))
+    val withVec = cands.join(corpus.select(col(corpusId), col(corpusVec)), corpusId)
+    val withQuery = withVec.join(broadcast(queries), queryId)
+    val exact = withQuery.select(
+      col(queryId), col(corpusId),
+      round(cosine(col(corpusVec).cast("array<double>"),
+        col(queryVec).cast("array<double>")), 6).as("cos_r"))
+    topKPerQuery(exact, k, queryId, "cos_r", corpusId)
+  }
+
   /** Exact all-pairs cosine near-duplicates (id_a < id_b, cos ≥
     * threshold) — the brute-force correctness baseline for
     * [[cosineNearDups]]. O(n²) pairs by construction: use it to validate

@@ -224,6 +224,17 @@ class SimilaritySpec extends SparkSpec {
       val overlap = rows.map(_._2).toSet.intersect(brute(q)).size
       assert(overlap >= 1, s"query $q: PQ/brute top-10 overlap $overlap")
     }
+    // two-stage: exact re-rank of a 5x shortlist can only improve recall
+    // over raw PQ ranks, and its scores are the TRUE cosines
+    val rer = Similarity.pqTopKReranked(emb, queries, k = 10, shortlist = 50)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    byQuery.foreach { case (q, rows) =>
+      val pqOverlap = rows.map(_._2).toSet.intersect(brute(q)).size
+      val rerOverlap = rer(q).intersect(brute(q)).size
+      assert(rerOverlap >= pqOverlap,
+        s"query $q: rerank $rerOverlap < pq $pqOverlap")
+    }
   }
 
   test("IVF top-k: self-match recalled when probing its own list; k bounded") {
