@@ -476,6 +476,15 @@ object SparkEntry {
       operators.Similarity.pqTopK(emb, q, k = 10, m = 8, ksub = 16)
         .select(col("query_id"), col("vec_id"), col("pq_score"), col("rank"))
     }),
+    // IVF-PQ: coarse-quantizer probing × PQ table scoring — the composed
+    // 100 TB ANN layout, exact-oracled like both building blocks
+    "q_sim_ann_ivfpq" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      operators.Similarity.ivfpqTopK(emb, q, k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("pq_score"), col("rank"))
+    }),
     // two-stage retrieval: PQ shortlist of 50 → exact cosine re-rank —
     // the production ANN shape (quantized recall, exact final scores)
     "q_sim_ann_pq_rerank" -> ((s, dir) => {
@@ -939,6 +948,30 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY query_id
              ORDER BY pq_score DESC, vec_id) AS INT) AS rank
          FROM scored QUALIFY rank <= 10""",
+    // exact oracle for IVF-PQ: the PQ score CTEs restricted to pairs whose
+    // corpus vector sits in one of the query's probed lists (coarse
+    // assignment and probing re-derived in SQL from the SAME sampled
+    // centroid table the codebooks come from)
+    "q_sim_ann_ivfpq" ->
+      s"""$pqOracleCore,
+         assigned AS (
+           SELECT e.vec_id,
+             (SELECT c.i FROM cent c
+              ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC
+              LIMIT 1) AS list
+           FROM emb e),
+         probed AS (
+           SELECT q.query_id, c.i AS list
+           FROM q, LATERAL (SELECT i FROM cent
+             ORDER BY list_dot_product(q.qv, cent.v) DESC, i DESC
+             LIMIT 4) c)
+         SELECT s.query_id, s.vec_id, s.pq_score,
+           CAST(row_number() OVER (PARTITION BY s.query_id
+             ORDER BY s.pq_score DESC, s.vec_id) AS INT) AS rank
+         FROM scored s
+         JOIN assigned a ON a.vec_id = s.vec_id
+         JOIN probed p ON p.query_id = s.query_id AND p.list = a.list
+         QUALIFY rank <= 10""",
     // exact oracle for the two-stage retrieval: PQ shortlist (rank ≤ 50 on
     // quantized scores) → exact cosine re-rank of the shortlist only
     "q_sim_ann_pq_rerank" ->

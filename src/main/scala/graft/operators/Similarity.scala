@@ -328,6 +328,97 @@ object Similarity {
     topKPerQuery(scored, k, queryId, "pq_score", corpusId)
   }
 
+  /** IVF-PQ: the composed 100 TB ANN layout — a coarse quantizer routes
+    * each query to `nprobe` of `nlist` inverted lists (so it scans
+    * corpus·nprobe/nlist candidates, not the corpus) and candidates are
+    * scored by PQ table lookups (so each costs `m` lookups, not a
+    * `dims`-wide dot). Per-query work drops multiplicatively:
+    * (corpus/nlist·nprobe) candidates × m lookups.
+    *
+    * One deterministic corpus sample provides BOTH the coarse centroids
+    * (full vectors) and the PQ codebooks (their sub-vectors) — no RNG,
+    * SQL-derivable, so the composed operator keeps an exact oracle.
+    * Non-residual variant (codes quantize raw vectors, not v−centroid):
+    * residual PQ needs per-list codebooks trained on residuals — swap the
+    * codebook derivation; the dataflow (assign + encode map-only, probe
+    * equi-join, two-phase rank) is unchanged. */
+  def ivfpqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      dims: Int = 64,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m sub-spaces")
+    require(nlist == ksub,
+      "this variant shares one deterministic sample for coarse centroids " +
+        "and codebooks (nlist == ksub) so the oracle derives both from one CTE")
+    val dsub = dims / m
+    val n = corpus.count()
+    val step = math.max(1L, n / ksub)
+    val sampled: Array[Array[Double]] = corpus
+      .filter(pmod(col(corpusId), lit(step)) === 0)
+      .orderBy(col(corpusId))
+      .limit(ksub)
+      .select(col(corpusVec).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m, sampled.length)((j, i) =>
+        sampled(i).slice(j * dsub, (j + 1) * dsub))
+    def selfDot(c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    }
+    val v = col(corpusVec).cast("array<double>")
+    def coarseScores(vec: Column): Column =
+      array(sampled.zipWithIndex.map { case (c, i) =>
+        struct(dot(vec, typedLit(c.toSeq)).as("d"), lit(i).as("i"))
+      }: _*)
+    // corpus side: list assignment + PQ codes in one map-only pass
+    val sliced = corpus.select(
+      col(corpusId) +:
+        array_max(coarseScores(v)).getField("i").as("__list") +:
+        (0 until m).map(j => slice(v, j * dsub + 1, dsub).as(s"__s$j")): _*)
+    def codeExpr(j: Int): Column =
+      array_max(array(codebooks(j).zipWithIndex.map { case (c, i) =>
+        struct(
+          (lit(2.0) * dot(col(s"__s$j"), typedLit(c.toSeq)) -
+            lit(selfDot(c))).as("d"),
+          lit(i).as("i"))
+      }: _*)).getField("i")
+    val encoded = sliced.select(
+      col(corpusId), col("__list"),
+      array((0 until m).map(codeExpr): _*).as("__code"))
+    // query side: probed lists (exploded) + the ADC table
+    val qv = col(queryVec).cast("array<double>")
+    val dtable = array((0 until m).flatMap { j =>
+      val sub = slice(qv, j * dsub + 1, dsub)
+      codebooks(j).map(c => dot(sub, typedLit(c.toSeq)))
+    }: _*)
+    val probed = queries.select(
+      col(queryId),
+      explode(transform(
+        slice(reverse(array_sort(coarseScores(qv))), 1, nprobe),
+        s => s.getField("i"))).as("__list"),
+      dtable.as("__dt"))
+    val joined = encoded.join(broadcast(probed), "__list")
+    val score = (0 until m)
+      .map(j => element_at(col("__dt"),
+        element_at(col("__code"), j + 1) + lit(j * ksub + 1)))
+      .reduce(_ + _)
+    val scored = joined.select(
+      col(queryId), col(corpusId), round(score, 6).as("pq_score"))
+    topKPerQuery(scored, k, queryId, "pq_score", corpusId)
+  }
+
   /** Two-stage retrieval: PQ shortlist → EXACT cosine re-rank — the
     * production ANN shape (quantized scores pick `shortlist` candidates
     * per query cheaply; only those re-join their raw vectors for the true

@@ -237,6 +237,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: probed subset of PQ scoring, identical quantized scores") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ivfpq = Similarity.ivfpqTopK(emb, queries, k = 10, nlist = 16, nprobe = 4)
+      .select("query_id", "vec_id", "pq_score")
+      .as[(Long, Long, Double)].collect()
+    assert(ivfpq.groupBy(_._1).size == 3)
+    assert(ivfpq.groupBy(_._1).forall(_._2.length == 10))
+    // deterministic
+    val again = Similarity.ivfpqTopK(emb, queries, k = 10, nlist = 16, nprobe = 4)
+      .select("query_id", "vec_id", "pq_score")
+      .as[(Long, Long, Double)].collect()
+    assert(ivfpq.toSet == again.toSet)
+    // same codebooks ⇒ a pair scored by both operators gets the SAME
+    // quantized score; exhaustive probing (nprobe = nlist) ≡ plain PQ
+    val pqAll = Similarity.pqTopK(emb, queries, k = 10)
+      .select("query_id", "vec_id", "pq_score")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    ivfpq.foreach { case (q, v, s) =>
+      pqAll.get((q, v)).foreach(ps => assert(ps == s, s"($q,$v): $ps vs $s"))
+    }
+    val exhaustive = Similarity
+      .ivfpqTopK(emb, queries, k = 10, nlist = 16, nprobe = 16)
+      .select("query_id", "vec_id", "pq_score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exhaustive == pqAll.toSeq.map { case ((q, v), s) => (q, v, s) }.toSet)
+  }
+
   test("IVF top-k: self-match recalled when probing its own list; k bounded") {
     val queries = emb.limit(3)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
