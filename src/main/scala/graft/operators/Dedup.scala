@@ -136,7 +136,8 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       k: Int = 20,
-      bands: Int = 5): DataFrame = {
+      bands: Int = 5,
+      maxBucket: Option[Int] = None): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rowsPerBand = k / bands
     val sigs = minHashSignatures(df, idCol, textCol, shingleN, k)
@@ -160,14 +161,37 @@ object Dedup {
       // branch (the old groupBy shape got reuse for free from its
       // aggregate exchange, at the cost of exploding shingles into rows).
       .repartition(col("band"), col("bucket"))
-    val a = banded.as("a")
-    val b = banded.as("b")
+    val capped = capBuckets(banded, maxBucket)
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
   }
+
+  /** Skew guard for banded self-joins: drop (band, bucket) groups larger
+    * than `cap` BEFORE the quadratic pair stage. A degenerate cluster —
+    * boilerplate pages, empty documents, a templated corpus slice — puts
+    * 10⁵+ rows in one bucket and its |B|² pairs onto one task; the cap
+    * bounds any bucket's contribution to cap² pairs. Standard practice in
+    * corpus-scale LSH dedup: members of an over-full bucket are near-dups
+    * of a CLUSTER, which a cheap exact pass (or the catch-all exact-hash
+    * dedup) handles better than pairwise verification. The size count is
+    * a window over the SAME (band, bucket) partitioning the join already
+    * repartitioned on — no extra exchange (asserted in PlanAuditSpec). */
+  private[operators] def capBuckets(banded: DataFrame, maxBucket: Option[Int]): DataFrame =
+    maxBucket match {
+      case None => banded
+      case Some(cap) =>
+        banded
+          .withColumn("__bn",
+            count(lit(1)).over(
+              Window.partitionBy(col("band"), col("bucket"))))
+          .filter(col("__bn") <= cap)
+          .drop("__bn")
+    }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (`pairs(id_a, id_b)`): |A∩B| / |A∪B| over distinct shingle sets.

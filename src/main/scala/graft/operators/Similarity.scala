@@ -489,7 +489,8 @@ object Similarity {
       nbits: Int = 8,
       bands: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxBucket: Option[Int] = None): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     // banded (OR-amplified) LSH: a pair is a candidate if ANY band's
     // signature matches — recall 1-(1-p^nbits)^bands. Norms are computed
@@ -510,8 +511,11 @@ object Similarity {
       // bands×nbits signature dots compute once, the equi-join adds no
       // further shuffle (same rationale as Dedup.lshCandidatePairs)
       .repartition(col("band"), col("bucket"))
-    val a = banded.as("a")
-    val b = banded.as("b")
+    // optional skew guard (see Dedup.capBuckets): a degenerate vector
+    // cluster would put its |B|² candidate pairs on one task
+    val capped = Dedup.capBuckets(banded, maxBucket)
+    val a = capped.as("a")
+    val b = capped.as("b")
     // threshold BEFORE the dedup shuffle: the dot product must be computed
     // per candidate either way, but the dedup (a pair can collide in
     // several bands) then shuffles only pairs over the threshold. cos is

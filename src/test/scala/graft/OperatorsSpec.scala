@@ -21,6 +21,32 @@ class DedupSpec extends SparkSpec {
     assert(out2.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L))
   }
 
+  test("bucket cap drops degenerate clusters, keeps small-bucket pairs") {
+    // 100 identical boilerplate docs (a degenerate LSH cluster: every band
+    // bucket holds all 100) + one genuine near-dup pair
+    val boiler = (100L until 200L).map(i =>
+      (i, "standard boilerplate footer text repeated across the whole site"))
+    val df = (Seq(
+      (1L, "the quick brown fox jumps over the lazy dog entirely"),
+      (2L, "the quick brown fox jumps over the lazy dog entirely!")) ++ boiler)
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.lshCandidatePairs(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    // the degenerate cluster dominates the pair set: 100·99/2 pairs
+    assert(uncapped.count { case (a, b) => a >= 100 && b >= 100 } == 4950)
+    val capped = Dedup.lshCandidatePairs(df, "doc_id", "text",
+        maxBucket = Some(50))
+      .as[(Long, Long)].collect().toSet
+    // hot-bucket pairs gone; the small-bucket near-dup pair survives
+    assert(capped.forall { case (a, b) => a < 100 || b < 100 })
+    assert(capped.contains((1L, 2L)), capped.toString)
+    // cap larger than every bucket ⇒ identical result
+    val loose = Dedup.lshCandidatePairs(df, "doc_id", "text",
+        maxBucket = Some(1000))
+      .as[(Long, Long)].collect().toSet
+    assert(loose == uncapped)
+  }
+
   test("native NGramShingles matches the relational HOF shingles") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     for (n <- Seq(1, 3, 5)) {

@@ -91,6 +91,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop"), plan)
   }
 
+  test("bucket cap adds NO exchange: the size window rides the join partitioning") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.explainString(SimpleMode)
+        .linesIterator.count(_.contains("Exchange"))
+    val plain = exchanges(operators.Dedup.lshCandidatePairs(
+      docs, "doc_id", "text"))
+    val capped = exchanges(operators.Dedup.lshCandidatePairs(
+      docs, "doc_id", "text", maxBucket = Some(1000)))
+    assert(capped == plain,
+      s"cap introduced ${capped - plain} extra exchange(s)")
+  }
+
   test("near-dup operators filter before the pair-dedup shuffle") {
     // the dedup exchange must carry only (id_a, id_b[, cos]) for SURVIVING
     // pairs: the Hamming/threshold cut happens join-side, so no exchange
