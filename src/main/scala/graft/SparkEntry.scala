@@ -533,6 +533,16 @@ object SparkEntry {
       readWide(s, dir, "documents").select(
         col("doc_id"),
         operators.TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))),
+    // repetition signals (C4/Gopher-style): duplicate-word and
+    // duplicate-3-gram fractions per document — the curation filter's
+    // inputs, value-compared per row
+    "q_text_repetition" -> ((s, dir) =>
+      readWide(s, dir, "documents").select(
+        col("doc_id"),
+        round(operators.TextAnalysis.dupWordFrac(col("text")), 6)
+          .as("dup_word_frac"),
+        round(operators.TextAnalysis.dupNgramFrac(col("text"), 3), 6)
+          .as("dup_ngram_frac"))),
     // corpus curation: fixed-threshold quality filter (the canonical
     // web-text pass; threshold chosen to actually cut this corpus)
     "q_text_quality_filter" -> ((s, dir) =>
@@ -1092,6 +1102,27 @@ object SparkEntry {
       """SELECT doc_id,
            md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
          FROM documents""",
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS ws,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS ntok
+           FROM documents),
+         g AS (SELECT doc_id, ws, ntok,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS sh,
+             CASE WHEN ntok >= 3 THEN ntok - 2 ELSE 1 END AS total3
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN ntok = 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(ws)) / CAST(ntok AS DOUBLE), 6)
+                END AS dup_word_frac,
+           CASE WHEN ntok = 0 THEN 0.0
+                ELSE round(1.0 - len(sh) / CAST(total3 AS DOUBLE), 6)
+                END AS dup_ngram_frac
+         FROM g""",
     "q_mm_binary_meta" ->
       """SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

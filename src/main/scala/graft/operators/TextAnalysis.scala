@@ -104,6 +104,44 @@ object TextAnalysis {
     scored.filter(col("quality") >= threshold)
   }
 
+  /** Duplicate-word fraction: 1 − distinct/total over whitespace tokens —
+    * the cheapest repetition signal (boilerplate and generated spam repeat
+    * tokens heavily). 0 for empty text. Pure projection. */
+  def dupWordFrac(text: Column): Column = {
+    val t = tokens(text)
+    val n = tokenCount(text).cast("double")
+    when(n === 0, 0.0d)
+      .otherwise(lit(1.0d) - size(array_distinct(t)) / n)
+  }
+
+  /** Duplicate n-gram fraction (C4/Gopher-style repetition filter):
+    * 1 − distinct n-grams / total n-grams over word n-grams. Texts
+    * shorter than n words have one (collapsed) shingle → 0. Uses the
+    * native [[graft.functions.NGramShingles]] for the distinct set (one
+    * compiled pass); the total is arithmetic on the token count. */
+  def dupNgramFrac(text: Column, n: Int = 3): Column = {
+    val nTok = tokenCount(text)
+    val total = when(nTok >= n, (nTok - lit(n - 1)).cast("double"))
+      .otherwise(lit(1.0d))
+    val distinctN = size(Dedup.shingles(text, n)).cast("double")
+    when(nTok === 0, 0.0d).otherwise(lit(1.0d) - distinctN / total)
+  }
+
+  /** Repetition filter: keep documents whose duplicate-word and
+    * duplicate-n-gram fractions are BOTH at or under their caps — the
+    * standard curation pass against boilerplate/looped-generation text.
+    * Map-only. */
+  def repetitionFilter(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      maxDupWordFrac: Double = 0.7,
+      maxDupNgramFrac: Double = 0.2,
+      n: Int = 3): org.apache.spark.sql.DataFrame =
+    df.withColumn("dup_word_frac", round(dupWordFrac(col(textCol)), 6))
+      .withColumn("dup_ngram_frac", round(dupNgramFrac(col(textCol), n), 6))
+      .filter(col("dup_word_frac") <= maxDupWordFrac &&
+        col("dup_ngram_frac") <= maxDupNgramFrac)
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * cross-engine verifiable canonical-content hash. */
   def fingerprintMd5(text: Column): Column =

@@ -366,6 +366,28 @@ class TextAnalysisSpec extends SparkSpec {
       bestDropped.getDouble(0) <= worstKept) // no dropped doc outranks a kept one
   }
 
+  test("repetition filter drops looped text, keeps varied text") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "every word here is completely distinct from all others present"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "buy now buy now buy now buy now buy now buy now"),
+      (4L, ""),
+      (5L, "one two three one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val kept = TextAnalysis.repetitionFilter(df, "text",
+        maxDupWordFrac = 0.5, maxDupNgramFrac = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(4L) && kept.contains(5L), kept)
+    assert(!kept.contains(2L) && !kept.contains(3L), kept)
+    // signals bounded in [0,1]
+    val sig = df.select(
+      TextAnalysis.dupWordFrac(col("text")).as("w"),
+      TextAnalysis.dupNgramFrac(col("text")).as("g"))
+      .as[(Double, Double)].collect()
+    assert(sig.forall { case (w, g) => w >= 0 && w <= 1 && g >= 0 && g <= 1 })
+  }
+
   test("quality score in [0,1], longer clean text scores higher than junk") {
     val df = Seq(
       "This is a reasonably long and clean paragraph of English text that goes on for a while to exceed the length band used by the scorer.",
