@@ -549,6 +549,13 @@ object SparkEntry {
       operators.TextAnalysis.qualityFilter(
           readWide(s, dir, "documents"), "text", minQuality = 0.9)
         .select("doc_id", "lang", "source", "quality")),
+    // the COMPOSED curation pipeline: quality threshold → repetition caps
+    // → exact dedup → LSH near-dup dedup, one job (CurationJob) — oracled
+    // end-to-end by chaining the per-stage oracle formulations
+    "q_curation" -> ((s, dir) =>
+      jobs.CurationJob.curate(readWide(s, dir, "documents"),
+          jobs.CurationJob.CurationOptions(maxDupNgramFrac = 0.05))
+        .select("doc_id", "lang", "source")),
     // ---- training-data pipeline: multimodal ----------------------------
     // binary payload metadata (codec-free part of the decode pipeline)
     "q_mm_binary_meta" -> ((s, dir) =>
@@ -1086,6 +1093,60 @@ object SparkEntry {
              6) AS quality
            FROM t)
          SELECT doc_id, lang, source, quality FROM sc WHERE quality >= 0.9""",
+    // end-to-end curation oracle: the per-stage formulations chained —
+    // quality/repetition scoring, threshold filters, min-id-per-text exact
+    // dedup, then 3-gram-Jaccard connected components over the survivors
+    // (the LSH stage's exact equivalent at sf0.01 — same argument as
+    // q_dedup_resolve)
+    "q_curation" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id, lang, source, text, length(text) AS len,
+             string_split_regex(trim(lower(text)), '\s+') AS ws,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS ntok
+           FROM documents),
+         feat AS (
+           SELECT *,
+             round((CASE WHEN len BETWEEN 100 AND 10000 THEN 1.0
+                         WHEN len BETWEEN 20 AND 99 THEN 0.5 ELSE 0.0 END) * 0.3
+               + (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) /
+                   CAST(greatest(len, 1) AS DOUBLE)) * 0.3
+               + (1.0 - least((length(regexp_replace(text, '[^[:punct:]]', '', 'g')) /
+                   CAST(greatest(len, 1) AS DOUBLE)) * 5.0, 1.0)) * 0.2
+               + (CASE WHEN len / CAST(greatest(ntok, 1) AS DOUBLE)
+                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+               6) AS quality,
+             CASE WHEN ntok = 0 THEN 0.0
+                  ELSE round(1.0 - len(list_distinct(ws)) / CAST(ntok AS DOUBLE), 6)
+                  END AS dwf,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS sh
+           FROM base),
+         filt AS (
+           SELECT *,
+             CASE WHEN ntok = 0 THEN 0.0
+                  ELSE round(1.0 - len(sh) /
+                    CAST(CASE WHEN ntok >= 3 THEN ntok - 2 ELSE 1 END AS DOUBLE), 6)
+                  END AS dnf
+           FROM feat),
+         keepf AS (SELECT * FROM filt
+           WHERE quality >= 0.9 AND dwf <= 0.7 AND dnf <= 0.05),
+         ex AS (SELECT * FROM keepf
+           WHERE doc_id IN (SELECT min(doc_id) FROM keepf GROUP BY text)),
+         e AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM ex a JOIN ex b ON b.doc_id > a.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) /
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.8),
+         und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a)
+         SELECT doc_id, lang, source FROM ex
+         WHERE doc_id NOT IN (SELECT a FROM reach GROUP BY a HAVING min(b) < a)""",
     "q_sessionize" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS wt FROM events),
          d AS (SELECT user_id, wt,

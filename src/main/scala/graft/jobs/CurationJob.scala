@@ -1,0 +1,95 @@
+package graft.jobs
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The full training-corpus curation pipeline as ONE composed job:
+  * quality threshold → repetition caps → exact dedup → near-dup dedup —
+  * the standard web-text pass, wired with per-stage counters the same way
+  * [[RetentionJob]] counts kept/dropped.
+  *
+  * Scale shape: the two filters are map-only projections; exact dedup
+  * shuffles (hash, length, id); the near-dup stage is the banded-LSH →
+  * Jaccard-verify → resolve pipeline, optionally skew-guarded
+  * (`maxBucket`). Stage counters ride the pipeline via `observe` — no
+  * counting scans; the one action that materializes the output drives
+  * every counter.
+  */
+object CurationJob {
+
+  final case class CurationOptions(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minQuality: Double = 0.9,
+      maxDupWordFrac: Double = 0.7,
+      maxDupNgramFrac: Double = 0.2,
+      jaccardThreshold: Double = 0.8,
+      shingleN: Int = 3,
+      k: Int = 20,
+      bands: Int = 10,
+      maxBucket: Option[Int] = None)
+
+  /** Per-stage survivor counts (input ≥ quality ≥ repetition ≥ exact ≥
+    * nearDup). */
+  final case class CurationStats(
+      input: Long,
+      afterQuality: Long,
+      afterRepetition: Long,
+      afterExactDedup: Long,
+      afterNearDupDedup: Long) {
+    def dropped: Long = input - afterNearDupDedup
+  }
+
+  /** Lazy composition — the curated corpus as a DataFrame (carries the
+    * `quality`/`dup_*_frac` score columns for downstream weighting). */
+  def curate(df: DataFrame, opts: CurationOptions = CurationOptions()): DataFrame = {
+    val q = TextAnalysis.qualityFilter(df, opts.textCol, opts.minQuality)
+    val r = TextAnalysis.repetitionFilter(
+      q, opts.textCol, opts.maxDupWordFrac, opts.maxDupNgramFrac, opts.shingleN)
+    val e = Dedup.exactDedup(r, opts.idCol, opts.textCol)
+      // one explicit exchange between the filter stages and the near-dup
+      // stage: nearDupDedup references its input THREE times (signatures,
+      // verify-side shingles, final anti-join), and without a common
+      // exchange each reference would recompute the regex-heavy
+      // quality/repetition scoring (measured 5.8s → 2.9s at sf0.1).
+      // ReuseExchange serves all three branches from this one shuffle —
+      // the same trick the banded self-joins use. No persist, so the
+      // composition stays cache-clean (CacheScopeSpec).
+      .repartition(col(opts.idCol))
+    Dedup.nearDupDedup(e, opts.idCol, opts.textCol,
+      opts.jaccardThreshold, opts.shingleN, opts.k, opts.bands, opts.maxBucket)
+  }
+
+  /** Eager run with per-stage counters; writes `outPath` when given,
+    * otherwise drives the pipeline with a count. */
+  def run(
+      spark: SparkSession,
+      df: DataFrame,
+      opts: CurationOptions = CurationOptions(),
+      outPath: Option[String] = None): CurationStats = {
+    val oIn = new Observation()
+    val oQ = new Observation()
+    val oR = new Observation()
+    val oE = new Observation()
+    val in = df.observe(oIn, count(lit(1)).as("n"))
+    val q = TextAnalysis.qualityFilter(in, opts.textCol, opts.minQuality)
+      .observe(oQ, count(lit(1)).as("n"))
+    val r = TextAnalysis.repetitionFilter(
+        q, opts.textCol, opts.maxDupWordFrac, opts.maxDupNgramFrac, opts.shingleN)
+      .observe(oR, count(lit(1)).as("n"))
+    val e = Dedup.exactDedup(r, opts.idCol, opts.textCol)
+      .observe(oE, count(lit(1)).as("n"))
+    val out = Dedup.nearDupDedup(e, opts.idCol, opts.textCol,
+      opts.jaccardThreshold, opts.shingleN, opts.k, opts.bands, opts.maxBucket)
+    val finalCount = outPath match {
+      case Some(p) =>
+        out.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p).count()
+      case None => out.count()
+    }
+    def n(o: Observation): Long =
+      Option(o.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    CurationStats(n(oIn), n(oQ), n(oR), n(oE), finalCount)
+  }
+}

@@ -329,8 +329,9 @@ object Dedup {
       jaccardThreshold: Double = 0.8,
       shingleN: Int = 3,
       k: Int = 20,
-      bands: Int = 10): DataFrame = {
-    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, k, bands)
+      bands: Int = 10,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, k, bands, maxBucket)
     val verified = ngramJaccard(df, cands, idCol, textCol, shingleN)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b")

@@ -183,6 +183,28 @@ class JobsSpec extends SparkSpec {
     assert(stats2.kept == 1 && stats2.dropped == 0)
   }
 
+  test("CurationJob runs the composed pipeline with per-stage counters") {
+    import graft.jobs.CurationJob
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val opts = CurationJob.CurationOptions(maxDupNgramFrac = 0.05)
+    val dir = tmp()
+    val stats = CurationJob.run(spark, docs, opts, Some(s"$dir/curated"))
+    // monotone shrinking through the stages
+    assert(stats.input == docs.count())
+    assert(stats.afterQuality <= stats.input)
+    assert(stats.afterRepetition <= stats.afterQuality)
+    assert(stats.afterExactDedup <= stats.afterRepetition)
+    assert(stats.afterNearDupDedup <= stats.afterExactDedup)
+    assert(stats.afterNearDupDedup > 0)
+    // written output matches the lazy composition
+    assert(spark.read.parquet(s"$dir/curated").count() == stats.afterNearDupDedup)
+    assert(CurationJob.curate(docs, opts).count() == stats.afterNearDupDedup)
+    // the quality stage genuinely bites on this corpus (at sf0.001 the
+    // post-filter survivors may carry no exact/near dups — the sf0.01
+    // driver gate exercises every stage's cut via q_curation)
+    assert(stats.afterQuality < stats.input)
+  }
+
   test("RulesSource spooks on conflicting TTLs for one rulename") {
     val rules = Seq(
       ("r1", "tenant", "1", "2", 100L),
