@@ -1,7 +1,7 @@
 package graft.jobs
 
 import graft.operators.{Dedup, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The full training-corpus curation pipeline as ONE composed job:
@@ -44,22 +44,69 @@ object CurationJob {
   /** Lazy composition — the curated corpus as a DataFrame (carries the
     * `quality`/`dup_*_frac` score columns for downstream weighting). */
   def curate(df: DataFrame, opts: CurationOptions = CurationOptions()): DataFrame = {
-    val q = TextAnalysis.qualityFilter(df, opts.textCol, opts.minQuality)
-    val r = TextAnalysis.repetitionFilter(
-      q, opts.textCol, opts.maxDupWordFrac, opts.maxDupNgramFrac, opts.shingleN)
-    val e = Dedup.exactDedup(r, opts.idCol, opts.textCol)
-      // one explicit exchange between the filter stages and the near-dup
-      // stage: nearDupDedup references its input THREE times (signatures,
-      // verify-side shingles, final anti-join), and without a common
-      // exchange each reference would recompute the regex-heavy
-      // quality/repetition scoring (measured 5.8s → 2.9s at sf0.1).
-      // ReuseExchange serves all three branches from this one shuffle —
-      // the same trick the banded self-joins use. No persist, so the
-      // composition stays cache-clean (CacheScopeSpec).
-      .repartition(col(opts.idCol))
-    Dedup.nearDupDedup(e, opts.idCol, opts.textCol,
+    val keep = keepSet(groupAgg(df, opts), opts)
+    // re-attach the raw columns + scores by joining the compact keep-set
+    // back to the source: every reference the near-dup stage makes to its
+    // input re-scans raw parquet (pruned, columnar — cheap) and joins
+    // `keep`, instead of re-running the scoring chain. See [[keepAgg]].
+    val base = df.join(keep, Seq(opts.idCol), "inner")
+    Dedup.nearDupDedup(base, opts.idCol, opts.textCol,
       opts.jaccardThreshold, opts.shingleN, opts.k, opts.bands, opts.maxBucket)
   }
+
+  /** Collapse scoring + exact dedup into ONE aggregation: per distinct
+    * text (keyed (xxhash64, length) like [[Dedup.exactDedup]]), the
+    * min-id survivor with its scores, plus the group size. The scores are
+    * text-functional, so the survivor's values represent every member.
+    *
+    * Why this shape — two measured redundancies die here:
+    *  - The near-dup stage references its input FOUR times (signatures,
+    *    both Jaccard-verify sides, the final join). With the filters
+    *    composed inline, each un-reused reference re-ran the scoring
+    *    chain (~0.9 s/pass at sf0.1, ~4 passes ≈ 3.4 s of the 5.3 s
+    *    query). Behind this aggregation the scoring subtree ends in one
+    *    exchange (or one broadcast of the agg output), which Spark reuses
+    *    across every reference within an action, and [[run]] persists the
+    *    compact output so it runs once per JOB.
+    *  - Staged `withColumn(score).filter(score ≥ t)` evaluates the score
+    *    expression twice per row (Catalyst pushes the filter below the
+    *    projection). Computing the scores INSIDE the aggregate evaluates
+    *    the regex/tokenize chain exactly once per input row; the
+    *    threshold filter applies to the agg OUTPUT — equivalent, since a
+    *    group's members are identical texts and pass or fail together.
+    *
+    * At 100 TB the agg output is ids + 3 doubles + a count — orders of
+    * magnitude lighter than the corpus; the re-attach join shuffles (or
+    * broadcasts) that, never the text. */
+  private def groupAgg(df: DataFrame, opts: CurationOptions): DataFrame =
+    df.groupBy(xxhash64(col(opts.textCol)).as("__h"),
+        length(col(opts.textCol)).as("__l"))
+      .agg(
+        min(struct(
+          col(opts.idCol),
+          TextAnalysis.qualityScore(col(opts.textCol)).as("quality"),
+          round(TextAnalysis.dupWordFrac(col(opts.textCol)), 6)
+            .as("dup_word_frac"),
+          round(TextAnalysis.dupNgramFrac(col(opts.textCol), opts.shingleN), 6)
+            .as("dup_ngram_frac"))).as("__s"),
+        count(lit(1)).as("__n"))
+
+  private def passQuality(opts: CurationOptions): Column =
+    col("__s.quality") >= opts.minQuality
+
+  private def passRepetition(opts: CurationOptions): Column =
+    col("__s.dup_word_frac") <= opts.maxDupWordFrac &&
+      col("__s.dup_ngram_frac") <= opts.maxDupNgramFrac
+
+  /** The surviving keep-set (id, quality, dup_word_frac, dup_ngram_frac),
+    * one row per kept document. */
+  private def keepSet(groups: DataFrame, opts: CurationOptions): DataFrame =
+    groups
+      .filter(passQuality(opts) && passRepetition(opts))
+      .select(col(s"__s.${opts.idCol}").as(opts.idCol),
+        col("__s.quality").as("quality"),
+        col("__s.dup_word_frac").as("dup_word_frac"),
+        col("__s.dup_ngram_frac").as("dup_ngram_frac"))
 
   /** Eager run with per-stage counters; writes `outPath` when given,
     * otherwise drives the pipeline with a count. */
@@ -68,28 +115,35 @@ object CurationJob {
       df: DataFrame,
       opts: CurationOptions = CurationOptions(),
       outPath: Option[String] = None): CurationStats = {
-    val oIn = new Observation()
-    val oQ = new Observation()
-    val oR = new Observation()
-    val oE = new Observation()
-    val in = df.observe(oIn, count(lit(1)).as("n"))
-    val q = TextAnalysis.qualityFilter(in, opts.textCol, opts.minQuality)
-      .observe(oQ, count(lit(1)).as("n"))
-    val r = TextAnalysis.repetitionFilter(
-        q, opts.textCol, opts.maxDupWordFrac, opts.maxDupNgramFrac, opts.shingleN)
-      .observe(oR, count(lit(1)).as("n"))
-    val e = Dedup.exactDedup(r, opts.idCol, opts.textCol)
-      .observe(oE, count(lit(1)).as("n"))
-    val out = Dedup.nearDupDedup(e, opts.idCol, opts.textCol,
-      opts.jaccardThreshold, opts.shingleN, opts.k, opts.bands, opts.maxBucket)
-    val finalCount = outPath match {
-      case Some(p) =>
-        out.write.mode("overwrite").parquet(p)
-        spark.read.parquet(p).count()
-      case None => out.count()
-    }
-    def n(o: Observation): Long =
-      Option(o.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
-    CurationStats(n(oIn), n(oQ), n(oR), n(oE), finalCount)
+    // persist the COMPACT group frame (hash keys, id + 3 doubles + a
+    // count per distinct text), not the corpus: the stage counters, the
+    // near-dup pair stage, and the final output are separate actions, and
+    // the cache makes the regex/tokenize scoring chain run once for the
+    // whole job. Groups pass the filters atomically (members are
+    // identical texts), so every staged doc-level counter is a weighted
+    // sum over this frame — no observe nodes, no extra corpus scans.
+    val groups = groupAgg(df, opts).persist()
+    try {
+      val c = groups.agg(
+        sum(col("__n")).as("input"),
+        sum(when(passQuality(opts), col("__n")).otherwise(0L))
+          .as("after_quality"),
+        sum(when(passQuality(opts) && passRepetition(opts), col("__n"))
+          .otherwise(0L)).as("after_repetition"),
+        count(when(passQuality(opts) && passRepetition(opts), lit(1)))
+          .as("after_exact")
+      ).collect()(0)
+      val base = df.join(keepSet(groups, opts), Seq(opts.idCol), "inner")
+      val out = Dedup.nearDupDedup(base, opts.idCol, opts.textCol,
+        opts.jaccardThreshold, opts.shingleN, opts.k, opts.bands, opts.maxBucket)
+      val finalCount = outPath match {
+        case Some(p) =>
+          out.write.mode("overwrite").parquet(p)
+          spark.read.parquet(p).count()
+        case None => out.count()
+      }
+      def n(i: Int): Long = if (c.isNullAt(i)) 0L else c.getLong(i)
+      CurationStats(n(0), n(1), n(2), n(3), finalCount)
+    } finally groups.unpersist(blocking = false)
   }
 }
