@@ -566,6 +566,20 @@ object SparkEntry {
       jobs.CurationJob.curate(readWide(s, dir, "documents"),
           jobs.CurationJob.CurationOptions(maxDupNgramFrac = 0.05))
         .select("doc_id", "lang", "source")),
+    // deterministic train/val/test split — map-only, seed-keyed,
+    // cross-engine-reproducible hash bucket (md5, not xxhash64, so the
+    // SAME assignment derives in any engine)
+    "q_split_hash" -> ((s, dir) =>
+      operators.Sampling.hashSplit(readWide(s, dir, "documents"), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7L)
+        .select("doc_id", "split")),
+    // per-stratum rebalancing: cap over-represented languages, keep the
+    // scarce ones — one map-only filter, no join/shuffle
+    "q_sample_stratified" -> ((s, dir) =>
+      operators.Sampling.stratifiedSample(readWide(s, dir, "documents"),
+          "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.8, seed = 7L)
+        .select("doc_id", "lang")),
     // ---- training-data pipeline: multimodal ----------------------------
     // binary payload metadata (codec-free part of the decode pipeline)
     "q_mm_binary_meta" -> ((s, dir) =>
@@ -1175,6 +1189,25 @@ object SparkEntry {
       """SELECT doc_id,
            md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
          FROM documents""",
+    // the split/sample oracles re-derive the md5 hash bucket natively:
+    // first 8 hex digits of md5("<id>:<seed>") as an integer mod 1e6 —
+    // bit-identical to Sampling.hashBucket
+    "q_split_hash" ->
+      """WITH b AS (SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+               % 1000000 AS bucket
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN bucket < 800000 THEN 'train'
+                WHEN bucket < 900000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM b""",
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+             % 1000000
+           < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000
+                       ELSE 800000 END""",
     "q_text_repetition" ->
       """WITH t AS (SELECT doc_id,
              string_split_regex(trim(lower(text)), '\s+') AS ws,

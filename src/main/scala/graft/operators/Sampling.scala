@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-corpus
+  * pipelines: train/val/test splits, global downsampling, and
+  * per-stratum rebalancing (e.g. capping an over-represented source).
+  *
+  * Everything here is a map-only projection or filter on a per-row hash
+  * bucket — no shuffle, no state, no RNG: linear at 100 TB and stable
+  * across runs, executors, and re-partitioning. Sampling by `rand()`
+  * changes membership on every retry/re-run (non-reproducible training
+  * sets, inconsistent lineage); hashing the row's ID with a seed gives
+  * the same split for the same row forever, and changing the seed
+  * re-deals the whole corpus.
+  *
+  * The bucket hash is md5-based (not xxhash64) so the assignment is
+  * reproducible in ANY engine — md5 is universal, which makes splits
+  * portable to the (DuckDB) oracle and to downstream non-Spark tooling.
+  * md5 costs ~10× xxhash64 per row but both vanish next to scan I/O.
+  */
+object Sampling {
+
+  /** Buckets per unit of probability mass: fractions are resolved to
+    * millionths. */
+  val Resolution = 1000000
+
+  /** Deterministic bucket in [0, [[Resolution]]) for one row:
+    * the first 8 hex digits of md5("<id>:<seed>") as an integer, mod
+    * resolution. Uniform (md5 avalanches), seed-rotatable, and
+    * reproducible cross-engine (`('0x' || substr(md5(x),1,8))::BIGINT`
+    * in DuckDB parses the identical value). */
+  def hashBucket(id: Column, seed: Long): Column =
+    pmod(
+      conv(substring(md5(concat(id.cast("string"), lit(s":$seed"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(Resolution))
+
+  /** Deterministic train/val/test (or any n-way) split: appends `split`
+    * with the name whose cumulative weight range contains the row's
+    * bucket. Weights need not sum to 1 — they're normalized. Rows land in
+    * exactly one split; membership depends only on (id, seed). */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      seed: Long = 0L): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    val total = splits.map(_._2).sum
+    val bucket = hashBucket(col(idCol), seed)
+    // cumulative upper bounds in bucket units; last bound forced to the
+    // resolution so rounding can't leave a bucket unassigned
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(f => math.round(f * Resolution))
+      .updated(splits.size - 1, Resolution.toLong)
+    val assign = splits.zip(bounds).reverse.foldLeft(lit(null).cast("string")) {
+      case (tail, ((name, _), hi)) => when(bucket < hi, name).otherwise(tail)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** Deterministic global downsample: keep ~`fraction` of rows, chosen by
+    * hash bucket. Map-only filter. */
+  def hashSample(
+      df: DataFrame,
+      idCol: String,
+      fraction: Double,
+      seed: Long = 0L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.filter(hashBucket(col(idCol), seed) < math.round(fraction * Resolution))
+  }
+
+  /** Deterministic per-stratum sampling — the corpus-rebalancing pass
+    * (cap an over-represented source, upweight-by-keeping-all a scarce
+    * one). `fractions` maps stratum value → keep fraction; strata not
+    * listed keep `defaultFraction`. Still one map-only filter: the
+    * per-stratum threshold is a CASE over `strataCol`, so no join, no
+    * shuffle, no driver state beyond the fraction map (bounded by the
+    * number of distinct strata you configure, not data size). */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0,
+      seed: Long = 0L): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0,1]")
+    val threshold = fractions.foldLeft(
+        lit(math.round(defaultFraction * Resolution))) {
+      case (tail, (value, f)) =>
+        when(col(strataCol) === value, math.round(f * Resolution)).otherwise(tail)
+    }
+    df.filter(hashBucket(col(idCol), seed) < threshold)
+  }
+}

@@ -565,3 +565,63 @@ class MultimodalSpec extends SparkSpec {
     assert(joined == 0)
   }
 }
+
+class SamplingSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("hashSplit partitions every row into exactly one split, ~by weight") {
+    val s = Sampling.hashSplit(docs, "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7L)
+    assert(s.count() == docs.count())
+    assert(s.filter(col("split").isNull).count() == 0)
+    val byName = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    val n = docs.count().toDouble
+    // md5 is uniform; 500 rows at sf0.001 gives ±10pp slack comfortably
+    assert(math.abs(byName("train") / n - 0.8) < 0.1, byName)
+  }
+
+  test("hashSplit is deterministic and seed-sensitive") {
+    val a = Sampling.hashSplit(docs, "doc_id", Seq(("a", 0.5), ("b", 0.5)))
+    val b = Sampling.hashSplit(docs, "doc_id", Seq(("a", 0.5), ("b", 0.5)))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    val c = Sampling.hashSplit(docs, "doc_id", Seq(("a", 0.5), ("b", 0.5)), seed = 99L)
+    assert(a.select("doc_id", "split").except(c.select("doc_id", "split")).count() > 0)
+  }
+
+  test("hashSample keeps a subset, monotone in fraction, 0/1 degenerate") {
+    val n = docs.count()
+    assert(Sampling.hashSample(docs, "doc_id", 1.0).count() == n)
+    assert(Sampling.hashSample(docs, "doc_id", 0.0).count() == 0)
+    val half = Sampling.hashSample(docs, "doc_id", 0.5).count()
+    assert(half > 0 && half < n)
+    // nested property: a smaller fraction's sample is a subset of a larger's
+    val q = Sampling.hashSample(docs, "doc_id", 0.25)
+    assert(q.join(Sampling.hashSample(docs, "doc_id", 0.5),
+      Seq("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("stratifiedSample applies per-stratum fractions") {
+    val s = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.0, "zh" -> 1.0), defaultFraction = 0.5, seed = 7L)
+    val zh = docs.filter(col("lang") === "zh").count()
+    assert(s.filter(col("lang") === "en").count() == 0)
+    assert(s.filter(col("lang") === "zh").count() == zh)
+    val others = s.filter(!col("lang").isin("en", "zh")).count()
+    val othersAll = docs.filter(!col("lang").isin("en", "zh")).count()
+    assert(others > 0 && others < othersAll)
+  }
+
+  test("sampling is map-only: no exchange in the plan") {
+    for (df <- Seq(
+        Sampling.hashSample(docs, "doc_id", 0.5),
+        Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.5)),
+        Sampling.hashSplit(docs, "doc_id", Seq(("a", 0.5), ("b", 0.5))))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    }
+  }
+}
