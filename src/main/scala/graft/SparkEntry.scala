@@ -580,6 +580,37 @@ object SparkEntry {
           "doc_id", "lang",
           Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.8, seed = 7L)
         .select("doc_id", "lang")),
+    // as-of join: each purchase matched to the user's most recent click
+    // at-or-before it — union-sort shape, ONE shuffle, no pair blow-up
+    "q_asof_join" -> ((s, dir) => {
+      val ev = eventsWt(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("writetime"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("writetime").as("click_wt"))
+      operators.TemporalJoins.asofJoin(
+          purchases, clicks, Seq("user_id"), "writetime", "click_wt",
+          tieBreakCol = "click_id")
+        .select(col("event_id"), col("user_id"), col("writetime"),
+          col("matched.click_id").as("click_id"),
+          col("matched.click_wt").as("click_wt"))
+    }),
+    // interval join (batch face of the stream-stream join): clicks within
+    // the 6 hours before each purchase by the same user
+    "q_interval_join" -> ((s, dir) => {
+      val ev = eventsWt(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("writetime"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("click_user"), col("writetime").as("click_wt"))
+      operators.TemporalJoins.intervalJoin(
+          purchases, clicks, Seq(("user_id", "click_user")),
+          "writetime", "click_wt",
+          numericBounds = Some((6L * 3600 * 1000000, 0L)))
+        .select("event_id", "click_id", "user_id", "writetime", "click_wt")
+    }),
     // ---- training-data pipeline: multimodal ----------------------------
     // binary payload metadata (codec-free part of the decode pipeline)
     "q_mm_binary_meta" -> ((s, dir) =>
@@ -1189,6 +1220,26 @@ object SparkEntry {
       """SELECT doc_id,
            md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
          FROM documents""",
+    // DuckDB has a native ASOF JOIN — an independent implementation of
+    // the same semantics our union-sort formulation distributes
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS writetime
+                    FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT event_id AS click_id, user_id,
+                    epoch_us(ts) AS click_wt
+                  FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id, p.writetime, c.click_id, c.click_wt
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.writetime >= c.click_wt""",
+    "q_interval_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS writetime
+                    FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT event_id AS click_id, user_id AS click_user,
+                    epoch_us(ts) AS click_wt
+                  FROM events WHERE event_type = 'click')
+         SELECT p.event_id, c.click_id, p.user_id, p.writetime, c.click_wt
+         FROM p JOIN c ON p.user_id = c.click_user
+           AND c.click_wt BETWEEN p.writetime - 21600000000 AND p.writetime""",
     // the split/sample oracles re-derive the md5 hash bucket natively:
     // first 8 hex digits of md5("<id>:<seed>") as an integer mod 1e6 —
     // bit-identical to Sampling.hashBucket

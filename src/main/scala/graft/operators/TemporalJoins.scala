@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins for event streams and time-series tables: as-of (latest
+  * right row at-or-before each left row) and interval (right rows within
+  * a bounded time window around each left row).
+  *
+  * Scale shapes:
+  *  - [[asofJoin]] is the union–sort trick: tag both sides, shuffle ONCE
+  *    on the key, and carry the most recent right row forward with a
+  *    running `last(ignoreNulls)` window — O(n log n) per key partition,
+  *    no pair blow-up. The naive formulation (equi-join on key + time
+  *    filter + per-pair rank) materializes |L_k|·|R_k| rows per key
+  *    before pruning; this one never forms pairs at all.
+  *  - [[intervalJoin]] is an equi-join on the key with the time bound in
+  *    the join condition — the range predicate prunes inside the join.
+  *    In STREAMING mode both sides are watermarked, which is what lets
+  *    Spark bound the buffered state: a right row can be evicted as soon
+  *    as the watermark passes `leftTs + after`. The same call works on
+  *    batch frames (watermarks are no-ops there).
+  */
+object TemporalJoins {
+
+  /** As-of join: for each left row, the single most recent right row with
+    * the same key and `rightTs` ≤ `leftTs` (within `tolerance` time
+    * units, when given). Left rows keep their columns; the matched right
+    * row arrives as one nullable struct column `matchedCol` (null = no
+    * right row at or before). Ties on `rightTs` within a key resolve to
+    * the right row with the greatest `tieBreak` column (deterministic —
+    * required for cross-engine verification).
+    *
+    * Time columns must be numeric (epoch micros recommended); `tolerance`
+    * is in the same units. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      tieBreakCol: String,
+      matchedCol: String = "matched",
+      tolerance: Option[Long] = None): DataFrame = {
+    val rStruct = struct(right.columns.map(col): _*)
+    val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
+    val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    // side ordering: at an equal timestamp the right row sorts FIRST, so
+    // the running last() at the left row already includes it (as-of is
+    // "at or before"); among tied right rows the greater tieBreak sorts
+    // later and wins last()
+    val l = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTsCol).cast("long").as("__t"), lit(1).as("__side"),
+        lit(null).cast("long").as("__tie"),
+        struct(left.columns.map(col): _*).as("__lrow"),
+        lit(null).cast(rType).as("__rrow")): _*)
+    val r = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTsCol).cast("long").as("__t"), lit(0).as("__side"),
+        col(tieBreakCol).cast("long").as("__tie"),
+        lit(null).cast(lType).as("__lrow"),
+        rStruct.as("__rrow")): _*)
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l.unionByName(r)
+      .withColumn("__m", last(col("__rrow"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val withTol = tolerance match {
+      case Some(tol) =>
+        joined.withColumn("__m",
+          when(col(s"__m.$rightTsCol").cast("long") >= col("__t") - tol,
+            col("__m")))
+      case None => joined
+    }
+    withTol.select(col("__lrow.*"), col("__m").as(matchedCol))
+  }
+
+  /** Interval join: right rows with an equal key whose time lies in
+    * [leftTs − before, leftTs + after]. Key/time column NAMES must
+    * differ between the sides (rename before calling — a stream-stream
+    * join cannot disambiguate shared names). On streaming inputs both
+    * sides are watermarked and the range bound lets Spark evict buffered
+    * state; on batch inputs the same call is a plain range equi-join.
+    * `before`/`after` are SQL interval strings for timestamp columns
+    * (e.g. "1 hour"); pass `numericBounds` instead when the time columns
+    * are epoch numbers. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTsCol: String,
+      rightTsCol: String,
+      before: String = "1 hour",
+      after: String = "0 seconds",
+      leftWatermark: Option[String] = None,
+      rightWatermark: Option[String] = None,
+      numericBounds: Option[(Long, Long)] = None,
+      joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "interval join needs at least one key pair")
+    val l = leftWatermark.fold(left)(w => left.withWatermark(leftTsCol, w))
+    val r = rightWatermark.fold(right)(w => right.withWatermark(rightTsCol, w))
+    val keyCond = keys.map { case (lk, rk) => l(lk) === r(rk) }.reduce(_ && _)
+    val timeCond = numericBounds match {
+      case Some((b, a)) =>
+        r(rightTsCol) >= l(leftTsCol) - b && r(rightTsCol) <= l(leftTsCol) + a
+      case None =>
+        r(rightTsCol) >= l(leftTsCol) - expr(s"INTERVAL $before") &&
+          r(rightTsCol) <= l(leftTsCol) + expr(s"INTERVAL $after")
+    }
+    l.join(r, keyCond && timeCond, joinType)
+  }
+}

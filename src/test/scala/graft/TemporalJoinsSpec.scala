@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.TemporalJoins
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin matches the brute-force latest-at-or-before per row") {
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 20L), (2L, 150L, 30L), (3L, 50L, 40L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 90L, 1L), (1L, 150L, 2L), (1L, 201L, 3L), (2L, 150L, 4L))
+      .toDF("k", "rt", "rid")
+    val got = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "rt", "rid")
+      .select(col("lid"), col("matched.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    // lid 10 (k=1,t=100) → rid 1 (rt=90); lid 20 (t=200) → rid 2 (rt=150,
+    // NOT rt=201 which is after); lid 30 (k=2,t=150) → rid 4 (equal ts
+    // counts as at-or-before); lid 40 (k=3) → no match
+    assert(got == Map(10L -> Some(1L), 20L -> Some(2L),
+      30L -> Some(4L), 40L -> None))
+  }
+
+  test("asofJoin tie-break: equal right timestamps resolve to max tieBreak") {
+    val left = Seq((1L, 100L, 10L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 100L, 7L), (1L, 100L, 9L), (1L, 100L, 8L))
+      .toDF("k", "rt", "rid")
+    val got = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "rt", "rid")
+      .select(col("matched.rid")).as[Long].collect()
+    assert(got.toSeq == Seq(9L))
+  }
+
+  test("asofJoin tolerance nulls matches older than the bound") {
+    val left = Seq((1L, 100L, 10L), (1L, 500L, 20L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 90L, 1L)).toDF("k", "rt", "rid")
+    val got = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "rt", "rid",
+        tolerance = Some(50L))
+      .select(col("lid"), col("matched.rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(10L -> Some(1L), 20L -> None))
+  }
+
+  test("asofJoin agrees with a quadratic oracle on real events") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("wt", unix_micros(col("ts").cast("timestamp")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("wt"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id"), col("wt").as("cwt"))
+    val fast = TemporalJoins.asofJoin(p, c, Seq("user_id"), "wt", "cwt", "cid")
+      .select(col("event_id"), col("matched.cid").as("cid"))
+    // quadratic reference: join all pairs at-or-before, rank per purchase
+    val w = Window.partitionBy("event_id").orderBy(col("cwt").desc, col("cid").desc)
+    val slow = p.join(c, Seq("user_id"), "left")
+      .filter(col("cwt").isNull || col("cwt") <= col("wt"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("event_id"),
+        when(col("cwt") <= col("wt"), col("cid")).as("cid"))
+    assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty)
+  }
+
+  test("asofJoin plan: one shuffle on the key, no pair join") {
+    val left = Seq((1L, 100L, 10L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 90L, 1L)).toDF("k", "rt", "rid")
+    val plan = TemporalJoins.asofJoin(left, right, Seq("k"), "t", "rt", "rid")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan) // union+window, never a join
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 2, plan)
+  }
+
+  test("streaming interval join buffers within watermark and joins across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val lIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val l = lIn.toDF().toDF("k", "lts", "lid")
+    val r = rIn.toDF().toDF("rk", "rts", "rid")
+    val joined = TemporalJoins.intervalJoin(
+      l, r, Seq(("k", "rk")), "lts", "rts",
+      before = "10 minutes", after = "0 seconds",
+      leftWatermark = Some("30 minutes"), rightWatermark = Some("30 minutes"))
+    val q = joined.select("lid", "rid")
+      .writeStream.format("memory").queryName("tsij").outputMode("append")
+      .start()
+    try {
+      // right arrives FIRST (buffered as state), left arrives next batch
+      rIn.addData((1L, ts(5), 100L), (1L, ts(20), 101L), (2L, ts(6), 102L))
+      q.processAllAvailable()
+      lIn.addData((1L, ts(10), 1L)) // window [00:00,00:10]: rid 100 only
+      q.processAllAvailable()
+      lIn.addData((1L, ts(25), 2L), (2L, ts(30), 3L))
+      q.processAllAvailable()
+      val got = spark.table("tsij").as[(Long, Long)].collect().toSet
+      // lid 1 ← rid 100 (not 101: future); lid 2 ← rid 101 (20 within
+      // [15,25]); lid 3 ← nothing (rid 102 at 00:06 is 24 min before)
+      assert(got == Set((1L, 100L), (2L, 101L)))
+    } finally q.stop()
+  }
+}
