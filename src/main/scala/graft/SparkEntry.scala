@@ -611,6 +611,23 @@ object SparkEntry {
           numericBounds = Some((6L * 3600 * 1000000, 0L)))
         .select("event_id", "click_id", "user_id", "writetime", "click_wt")
     }),
+    // concat-and-chunk sequence packing: global token offsets via the
+    // two-phase distributed prefix sum (range partition → parallel
+    // per-partition cumsum + broadcast bases; never a global window)
+    "q_pack_offsets" -> ((s, dir) =>
+      operators.Packing.packOffsets(
+          readWide(s, dir, "documents")
+            .select(col("doc_id"), length(col("text")).cast("long").as("ntok")),
+          "ntok", blockTokens = 4096L, orderCol = "doc_id")
+        .select("doc_id", "ntok", "start_offset", "block_first", "block_last")),
+    // greedy whole-document packing into 8k-token bins per source
+    "q_pack_greedy" -> ((s, dir) =>
+      operators.Packing.greedyPack(
+          readWide(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              length(col("text")).cast("long").as("ntok")),
+          "ntok", budget = 8192L, groupCol = "source", orderCol = "doc_id")
+        .select("doc_id", "source", "pack_seq", "pack_id")),
     // ---- training-data pipeline: multimodal ----------------------------
     // binary payload metadata (codec-free part of the decode pipeline)
     "q_mm_binary_meta" -> ((s, dir) =>
@@ -1240,6 +1257,41 @@ object SparkEntry {
          SELECT p.event_id, c.click_id, p.user_id, p.writetime, c.click_wt
          FROM p JOIN c ON p.user_id = c.click_user
            AND c.click_wt BETWEEN p.writetime - 21600000000 AND p.writetime""",
+    "q_pack_offsets" ->
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS ntok
+                    FROM documents),
+            o AS (SELECT doc_id, ntok,
+                    COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS start_offset
+                  FROM d)
+         SELECT doc_id, ntok, CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // 4096 AS BIGINT) AS block_first,
+           CAST(CASE WHEN ntok > 0
+                     THEN (start_offset + ntok - 1) // 4096
+                     ELSE start_offset // 4096 END AS BIGINT) AS block_last
+         FROM o""",
+    // sequential greedy bin packing re-run row-by-row per group with a
+    // recursive CTE — depth = max docs per source, fine at the gate scale
+    "q_pack_greedy" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, source, CAST(length(text) AS BIGINT) AS ntok,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents),
+         rec AS (
+           SELECT source, rn, doc_id, ntok,
+             CAST(0 AS BIGINT) AS pack_seq, ntok AS used
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.source, d.rn, d.doc_id, d.ntok,
+             CASE WHEN r.used > 0 AND r.used + d.ntok > 8192
+                  THEN r.pack_seq + 1 ELSE r.pack_seq END,
+             CASE WHEN r.used > 0 AND r.used + d.ntok > 8192
+                  THEN d.ntok ELSE r.used + d.ntok END
+           FROM rec r JOIN d ON d.source = r.source AND d.rn = r.rn + 1)
+         SELECT doc_id, source, pack_seq,
+           source || ':' || pack_seq::VARCHAR AS pack_id
+         FROM rec""",
     // the split/sample oracles re-derive the md5 hash bucket natively:
     // first 8 hex digits of md5("<id>:<seed>") as an integer mod 1e6 —
     // bit-identical to Sampling.hashBucket

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Sequence packing for training pipelines: lay documents out into
+  * fixed-token-budget blocks.
+  *
+  * Two packing disciplines, matching the two ways training corpora are
+  * actually assembled:
+  *  - [[packOffsets]] — concat-and-chunk (pretraining): documents are
+  *    concatenated in a deterministic global order and the token stream
+  *    is cut into `blockTokens`-sized blocks; a document may straddle a
+  *    block boundary. The assignment is pure arithmetic on the global
+  *    running token offset.
+  *  - [[greedyPack]] — no-split bins (SFT/eval): documents are placed
+  *    whole, greedily, into packs of capacity `budget`, sequentially per
+  *    group — a document that would overflow the open pack starts a new
+  *    one; a document alone larger than the budget gets its own pack.
+  *
+  * Scale notes: a global ordered cumulative sum is NOT a
+  * `Window.orderBy` without partitions (that plans a single-reducer
+  * window — the exact trap the top-k operators avoid). [[packOffsets]]
+  * does the textbook two-phase distributed prefix sum: range-partition
+  * by the order column, per-partition window cumsum (parallel), then
+  * per-partition base offsets from one bounded driver collect (≤ one row
+  * per partition) broadcast back. [[greedyPack]] shuffles once on the
+  * group key and scans each group sequentially (per-group parallelism,
+  * like sessionization); state is O(1) per group.
+  */
+object Packing {
+
+  /** Concat-and-chunk block assignment. Appends:
+    *  - `start_offset`: the document's first token's position in the
+    *    concatenated stream (0-based);
+    *  - `block_first` / `block_last`: the blocks the document touches
+    *    (`floor(start/blockTokens)` / `floor((end-1)/blockTokens)`;
+    *    empty documents take `block_first` with an empty span).
+    *
+    * `orderCol` must be unique (it defines the concatenation order —
+    * ties would make offsets ambiguous). */
+  def packOffsets(
+      df: DataFrame,
+      tokenCol: String,
+      blockTokens: Long,
+      orderCol: String): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val parted = df.repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    // phase 1: per-partition token totals — bounded by the partition
+    // count, never by data size
+    val totals = parted.groupBy("__pid")
+      .agg(sum(col(tokenCol).cast("long")).as("__tot"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    // running base offset per partition
+    var acc = 0L
+    val baseRows = totals.map { case (pid, tot) =>
+      val r = Row(pid, acc); acc += tot; r
+    }
+    val baseDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(baseRows: _*),
+      StructType(Seq(StructField("__pid", org.apache.spark.sql.types.IntegerType, false),
+        StructField("__base", LongType, false))))
+    // phase 2: parallel per-partition cumsum + broadcast base offsets
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .join(broadcast(baseDf), Seq("__pid"))
+      .withColumn("start_offset",
+        col("__base") + sum(col(tokenCol).cast("long")).over(w)
+          - col(tokenCol).cast("long"))
+      .withColumn("block_first", floor(col("start_offset") / blockTokens))
+      .withColumn("block_last",
+        when(col(tokenCol) > 0,
+          floor((col("start_offset") + col(tokenCol) - 1) / blockTokens))
+          .otherwise(col("block_first")))
+      .drop("__pid", "__base")
+  }
+
+  /** Greedy whole-document packing within each `groupCol` value: appends
+    * `pack_seq` (0-based pack index within the group) and `pack_id`
+    * (`"<group>:<seq>"`, globally unique). Documents are scanned in
+    * `orderCol` order; one running (seq, used) pair per group is the only
+    * state. Deterministic for unique `orderCol` per group. */
+  def greedyPack(
+      df: DataFrame,
+      tokenCol: String,
+      budget: Long,
+      groupCol: String,
+      orderCol: String): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField("pack_seq", LongType, nullable = false))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val tokIdx = df.schema.fieldIndex(tokenCol)
+    val ordIdx = df.schema.fieldIndex(orderCol)
+    val grouped = df.repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(orderCol))
+    val keyIdx = df.schema.fieldIndex(groupCol)
+    val packed = grouped.mapPartitions { rows =>
+      // rows arrive clustered by group, ordered within each group
+      var curKey: Any = null
+      var first = true
+      var seq = 0L
+      var used = 0L
+      rows.map { r =>
+        val k = r.get(keyIdx)
+        if (first || k != curKey) { curKey = k; first = false; seq = 0L; used = 0L }
+        val t = r.get(tokIdx) match {
+          case n: Number => n.longValue()
+          case _ => 0L
+        }
+        if (used > 0 && used + t > budget) { seq += 1; used = 0L }
+        used += t
+        Row.fromSeq(r.toSeq :+ seq)
+      }
+    }(encoder)
+    packed.withColumn("pack_id",
+      concat(col(groupCol).cast("string"), lit(":"), col("pack_seq")))
+  }
+}

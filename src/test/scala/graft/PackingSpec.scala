@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Packing
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packOffsets: offsets are the exact global prefix sum in order") {
+    val df = Seq((0L, 5L), (1L, 3L), (2L, 10L), (3L, 0L), (4L, 7L))
+      .toDF("id", "ntok")
+    val got = Packing.packOffsets(df, "ntok", blockTokens = 8L, orderCol = "id")
+      .select("id", "start_offset", "block_first", "block_last")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // stream: [0,5) [5,8) [8,18) [18,18) [18,25) over blocks of 8
+    assert(got.toSeq == Seq(
+      (0L, 0L, 0L, 0L),   // tokens 0-4 in block 0
+      (1L, 5L, 0L, 0L),   // tokens 5-7 in block 0
+      (2L, 8L, 1L, 2L),   // tokens 8-17 straddle blocks 1-2
+      (3L, 18L, 2L, 2L),  // empty doc: degenerate span at its offset
+      (4L, 18L, 2L, 3L))) // tokens 18-24 straddle blocks 2-3
+  }
+
+  test("packOffsets agrees with a single-partition window on real documents") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("ntok"))
+    val fast = Packing.packOffsets(docs, "ntok", 4096L, "doc_id")
+      .select("doc_id", "start_offset")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val slow = docs.withColumn("start_offset",
+      coalesce(sum("ntok").over(w), lit(0L))).select("doc_id", "start_offset")
+    assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty)
+  }
+
+  test("packOffsets plan: cumsum windows are partitioned, never global") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("ntok"))
+    val plan = Packing.packOffsets(docs, "ntok", 4096L, "doc_id")
+      .queryExecution.executedPlan.toString
+    // every Window operator must carry a partition spec (__pid); a global
+    // orderBy window would funnel the corpus through one reducer
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty)
+    assert(windowLines.forall(_.contains("__pid")), plan)
+  }
+
+  test("greedyPack matches a sequential reference and respects the budget") {
+    val rows = Seq(
+      ("a", 0L, 4L), ("a", 1L, 5L), ("a", 2L, 3L), ("a", 3L, 9L), ("a", 4L, 12L),
+      ("b", 5L, 10L), ("b", 6L, 1L))
+    val df = rows.toDF("grp", "id", "ntok")
+    val got = Packing.greedyPack(df, "ntok", budget = 10L,
+        groupCol = "grp", orderCol = "id")
+      .select("id", "pack_seq").as[(Long, Long)].collect().toMap
+    // group a: 4+5 fit (pack 0), 3+9 would overflow→3 opens pack... 4+5=9,
+    // +3 → 12 > 10 so 3 starts pack 1; 9 overflows (3+9=12) → pack 2;
+    // 12 > budget alone → pack 3. group b: 10 fills pack 0; 1 → pack 1.
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 0L, 6L -> 1L))
+    // every pack with >1 doc stays within budget
+    val packTotals = Packing.greedyPack(df, "ntok", 10L, "grp", "id")
+      .groupBy("pack_id").agg(sum("ntok").as("tot"), count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("tot").as[Long].collect()
+    assert(packTotals.forall(_ <= 10L))
+  }
+
+  test("greedyPack is stable across partition counts") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("ntok"))
+    val a = Packing.greedyPack(docs, "ntok", 8192L, "source", "doc_id")
+      .select("doc_id", "pack_id")
+    val b = Packing.greedyPack(docs.repartition(3), "ntok", 8192L, "source", "doc_id")
+      .select("doc_id", "pack_id")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+}
