@@ -46,10 +46,54 @@ object GraftFunctionRegistry {
       Cast(args.head, ArrayType(DoubleType)), Cast(args(1), ArrayType(DoubleType)))
   }
 
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Lift a Column-level pipeline function into an Expression builder —
+    * the DataFrame and SQL surfaces share ONE definition, so they can't
+    * drift. */
+  private def lift1(name: String)(
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Seq[Expression] => Expression = { args =>
+    require(args.length == 1, s"$name(col)")
+    ColumnBridge.resolvableExpression(f(ColumnBridge.column(args.head)))
+  }
+
+  /** graft_quality(text) / graft_dup_word_frac(text) /
+    * graft_dup_ngram_frac(text) / graft_lang_id(text) /
+    * graft_fingerprint64(text) — the curation scoring surface for pure
+    * SQL users, same expressions the operators compile to. */
+  private def textFns: Seq[(String, Seq[Expression] => Expression)] = {
+    import graft.operators.TextAnalysis
+    Seq(
+      "graft_quality" -> lift1("graft_quality")(TextAnalysis.qualityScore),
+      "graft_dup_word_frac" ->
+        lift1("graft_dup_word_frac")(TextAnalysis.dupWordFrac),
+      "graft_dup_ngram_frac" ->
+        lift1("graft_dup_ngram_frac")(TextAnalysis.dupNgramFrac(_)),
+      "graft_lang_id" -> lift1("graft_lang_id")(TextAnalysis.langId),
+      "graft_fingerprint64" ->
+        lift1("graft_fingerprint64")(TextAnalysis.fingerprint64))
+  }
+
+  /** graft_hash_bucket(id, seed) — [[graft.operators.Sampling]]'s
+    * deterministic md5 split bucket in [0, 1e6). */
+  def hashBucketExpr(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "graft_hash_bucket(id, seedLiteral)")
+    val seed = args(1) match {
+      case Literal(v: Long, _) => v
+      case Literal(v: Int, _) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"graft_hash_bucket seed must be a literal, got $other")
+    }
+    ColumnBridge.resolvableExpression(graft.operators.Sampling.hashBucket(
+      ColumnBridge.column(args.head), seed))
+  }
+
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_age_seconds" -> ageSecondsExpr _,
     "graft_hamming" -> hammingExpr _,
-    "graft_dot" -> dotExpr _)
+    "graft_dot" -> dotExpr _,
+    "graft_hash_bucket" -> hashBucketExpr _) ++ textFns
 
   /** Register on an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

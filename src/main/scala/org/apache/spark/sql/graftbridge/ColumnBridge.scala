@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly-converted expression tree. [[expression]] returns a lazy
+    * `ColumnNodeExpression` wrapper, which Dataset operations convert
+    * during their own analysis — but a FunctionRegistry builder's return
+    * value is spliced into a plan mid-analysis, where the wrapper
+    * survives as an Unevaluable leaf. Converting the node eagerly yields
+    * plain (possibly Unresolved*) catalyst nodes the analyzer then
+    * resolves to fixpoint like any other expression. */
+  def resolvableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -24,6 +24,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(h == 2) // 1011 xor 1000 = 0011
   }
 
+  test("pipeline SQL functions agree with their Column-API definitions") {
+    GraftFunctionRegistry.register(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_quality(text) AS q, graft_dup_word_frac(text) AS w,
+           graft_dup_ngram_frac(text) AS g, graft_lang_id(text) AS l,
+           graft_fingerprint64(text) AS f,
+           graft_hash_bucket(doc_id, 7L) AS b
+         FROM docs_ext""")
+    val viaCols = docs.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      operators.TextAnalysis.qualityScore(
+        org.apache.spark.sql.functions.col("text")).as("q"),
+      operators.TextAnalysis.dupWordFrac(
+        org.apache.spark.sql.functions.col("text")).as("w"),
+      operators.TextAnalysis.dupNgramFrac(
+        org.apache.spark.sql.functions.col("text")).as("g"),
+      operators.TextAnalysis.langId(
+        org.apache.spark.sql.functions.col("text")).as("l"),
+      operators.TextAnalysis.fingerprint64(
+        org.apache.spark.sql.functions.col("text")).as("f"),
+      operators.Sampling.hashBucket(
+        org.apache.spark.sql.functions.col("doc_id"), 7L).as("b"))
+    assert(viaSql.except(viaCols).isEmpty && viaCols.except(viaSql).isEmpty)
+  }
+
   test("functions participate in codegen and fold constants") {
     GraftFunctionRegistry.register(spark)
     val plan = spark.sql("SELECT graft_age_seconds(1700000000000000, 1700000300000) AS a")
