@@ -1,0 +1,68 @@
+package graft
+
+import graft.jobs.CurationJob
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point for a corpus curation run — the spark-submit surface
+  * for [[graft.jobs.CurationJob]] (quality threshold → repetition caps →
+  * exact dedup → LSH near-dup dedup, per-stage counters).
+  *
+  * Usage:
+  *   CurationMain src=<parquet> out=<dir> [id=doc_id] [text=text] \
+  *     [min_quality=0.9] [max_dup_word_frac=0.7] [max_dup_ngram_frac=0.2] \
+  *     [jaccard=0.8] [shingle_n=3] [minhash_k=20] [bands=10] \
+  *     [max_bucket=N] [trace=true]
+  *
+  * `max_bucket` enables the LSH skew guard (drop candidate buckets larger
+  * than N before the quadratic pair stage). Stage counters print as one
+  * JSON line on stdout.
+  */
+object CurationMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad arg '$a' (want key=value)")
+      a.take(i) -> a.drop(i + 1).replace("%20", " ")
+    }.toMap
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-curation")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tracer = if (args.contains("trace=true"))
+      Some(graft.plans.Tracing.install(spark)) else None
+    try {
+      val cOpts = CurationJob.CurationOptions(
+        idCol = opts.getOrElse("id", "doc_id"),
+        textCol = opts.getOrElse("text", "text"),
+        minQuality = opts.getOrElse("min_quality", "0.9").toDouble,
+        maxDupWordFrac = opts.getOrElse("max_dup_word_frac", "0.7").toDouble,
+        maxDupNgramFrac = opts.getOrElse("max_dup_ngram_frac", "0.2").toDouble,
+        jaccardThreshold = opts.getOrElse("jaccard", "0.8").toDouble,
+        shingleN = opts.getOrElse("shingle_n", "3").toInt,
+        k = opts.getOrElse("minhash_k", "20").toInt,
+        bands = opts.getOrElse("bands", "10").toInt,
+        maxBucket = opts.get("max_bucket").map(_.toInt))
+      val stats = CurationJob.run(
+        spark, spark.read.parquet(opts("src")), cOpts, Some(opts("out")))
+      // one machine-readable line, RetentionMain-style
+      println(
+        s"""{"input":${stats.input},"after_quality":${stats.afterQuality},""" +
+        s""""after_repetition":${stats.afterRepetition},""" +
+        s""""after_exact_dedup":${stats.afterExactDedup},""" +
+        s""""after_near_dup_dedup":${stats.afterNearDupDedup},""" +
+        s""""dropped":${stats.dropped}}""")
+      tracer.foreach { t =>
+        Thread.sleep(500) // listener callbacks are async
+        t.drain().foreach(e => println(
+          s"""{"trace":"${e.funcName}","class":"${e.queryClass}",""" +
+            s""""table":"${e.table}","ms":${e.durationNs / 1000000}}"""))
+      }
+    } finally spark.stop()
+  }
+}
