@@ -611,6 +611,15 @@ object SparkEntry {
           numericBounds = Some((6L * 3600 * 1000000, 0L)))
         .select("event_id", "click_id", "user_id", "writetime", "click_wt")
     }),
+    // target-mixture rebalance: max-retention downsample to 40% en /
+    // 15% each of de,fr,es,zh — fractions derived from one bounded
+    // group-count agg, then the same map-only hash-bucket filter
+    "q_sample_mixture" -> ((s, dir) =>
+      operators.Sampling.rebalanceToMixture(readWide(s, dir, "documents"),
+          "doc_id", "lang",
+          Map("en" -> 0.4, "de" -> 0.15, "fr" -> 0.15,
+            "es" -> 0.15, "zh" -> 0.15), seed = 7L)
+        .select("doc_id", "lang")),
     // concat-and-chunk sequence packing: global token offsets via the
     // two-phase distributed prefix sum (range partition → parallel
     // per-partition cumsum + broadcast bases; never a global window)
@@ -1257,6 +1266,21 @@ object SparkEntry {
          SELECT p.event_id, c.click_id, p.user_id, p.writetime, c.click_wt
          FROM p JOIN c ON p.user_id = c.click_user
            AND c.click_wt BETWEEN p.writetime - 21600000000 AND p.writetime""",
+    // re-derives T = min(count/weight) and per-stratum thresholds with
+    // the SAME double arithmetic order as the driver-side fraction math,
+    // so thresholds match to the bit
+    "q_sample_mixture" ->
+      """WITH w(lang, wt) AS (VALUES ('en', 0.4), ('de', 0.15),
+             ('fr', 0.15), ('es', 0.15), ('zh', 0.15)),
+         c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+               FROM documents JOIN w USING (lang) GROUP BY lang),
+         t AS (SELECT min(n / wt) AS t FROM c JOIN w USING (lang)),
+         f AS (SELECT lang,
+                 CAST(round(wt * t / n * 1000000) AS BIGINT) AS thr
+               FROM c JOIN w USING (lang) CROSS JOIN t)
+         SELECT doc_id, lang FROM documents JOIN f USING (lang)
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+             % 1000000 < thr""",
     "q_pack_offsets" ->
       """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS ntok
                     FROM documents),

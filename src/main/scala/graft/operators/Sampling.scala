@@ -95,4 +95,38 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol), seed) < threshold)
   }
+
+  /** Downsample to a TARGET MIXTURE with maximum retention (the corpus
+    * re-weighting pass: "make the training set 40% web / 30% books /
+    * 30% code"). Only relative `targetWeights` matter. The largest total
+    * honoring the mixture keeps every row of the binding (scarcest
+    * relative to its target) stratum and downsamples the rest:
+    * `T = min_s(count_s / w_s)`, `fraction_s = w_s·T / count_s`. Strata
+    * not in `targetWeights` are dropped.
+    *
+    * One bounded aggregation (a row per configured stratum) feeds the
+    * driver-side fraction arithmetic; the filter itself is the same
+    * map-only hash-bucket pass as [[stratifiedSample]]. Deterministic:
+    * same data + weights + seed → same corpus. */
+  def rebalanceToMixture(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      targetWeights: Map[String, Double],
+      seed: Long = 0L): DataFrame = {
+    require(targetWeights.nonEmpty && targetWeights.values.forall(_ > 0),
+      "targetWeights must be non-empty and positive")
+    val counts = df
+      .filter(col(strataCol).isin(targetWeights.keys.toSeq: _*))
+      .groupBy(strataCol).count()
+      .collect()
+      .map(r => r.get(0).toString -> r.getLong(1).toDouble)
+      .toMap
+    val t = counts.map { case (s, n) => n / targetWeights(s) }.min
+    val fractions = counts.map { case (s, n) =>
+      s -> targetWeights(s) * t / n
+    }
+    stratifiedSample(df, idCol, strataCol, fractions,
+      defaultFraction = 0.0, seed = seed)
+  }
 }

@@ -615,6 +615,21 @@ class SamplingSpec extends SparkSpec {
     assert(others > 0 && others < othersAll)
   }
 
+  test("rebalanceToMixture hits the target mixture with max retention") {
+    val s = Sampling.rebalanceToMixture(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.5), seed = 7L)
+    val byLang = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // only configured strata survive
+    assert(byLang.keySet.subsetOf(Set("en", "de")))
+    // the binding stratum (scarcer relative to target) keeps ~all rows;
+    // sf counts: en >> de, so de binds at weight parity
+    val de = docs.filter(col("lang") === "de").count()
+    assert(byLang("de") >= de - 1)
+    // mixture approximately achieved (hash-bucket rounding on small n)
+    val ratio = byLang("en").toDouble / byLang("de")
+    assert(ratio > 0.5 && ratio < 2.0, byLang)
+  }
+
   test("sampling is map-only: no exchange in the plan") {
     for (df <- Seq(
         Sampling.hashSample(docs, "doc_id", 0.5),
