@@ -112,6 +112,47 @@ object StreamingRetentionJob {
       .drop("__fp")
   }
 
+  /** Streaming curation — the streaming face of
+    * [[graft.jobs.CurationJob]]: quality threshold → repetition caps
+    * (both stateless map-only projections, identical expressions to the
+    * batch job) → watermarked exact dedup → watermarked SimHash
+    * near-identical drop. Everything is either stateless or
+    * bounded-state; the full banded LSH near-dup pass belongs in the
+    * batch reconciliation job (see [[streamingSimHashDedup]]'s scope
+    * note). First-arrival-wins replaces the batch job's min-id survivor —
+    * the only causally computable choice in a stream. */
+  def streamingCuration(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      minQuality: Double = 0.9,
+      maxDupWordFrac: Double = 0.7,
+      maxDupNgramFrac: Double = 0.2,
+      shingleN: Int = 3,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val scored = stream
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .filter(
+        round(TextAnalysis.dupWordFrac(col(textCol)), 6) <= maxDupWordFrac &&
+          round(TextAnalysis.dupNgramFrac(col(textCol), shingleN), 6)
+            <= maxDupNgramFrac)
+    // ONE watermark definition serving both chained stateful stages
+    // (re-watermarking a watermarked stream is disallowed); the exact and
+    // SimHash drops are the same stages as the standalone operators
+    scored
+      .withWatermark(tsCol, watermark)
+      .withColumn("__h", xxhash64(col(textCol)))
+      .withColumn("__l", length(col(textCol)))
+      .dropDuplicatesWithinWatermark("__h", "__l")
+      .withColumn("__fp",
+        ColumnBridge.column(graft.functions.SimHash64(ColumnBridge.expression(
+          array_distinct(split(trim(lower(col(textCol))), "\\s+"))))))
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__h", "__l", "__fp")
+  }
+
   /** One closed session: key, bounds, and event count. */
   final case class SessionOut(
       key: String, startMs: Long, endMs: Long, events: Long)

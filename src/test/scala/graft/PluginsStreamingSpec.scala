@@ -151,6 +151,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation filters quality and drops dups cross-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Int, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // a passing doc must clear quality >= 0.9: 100+ chars, alphabetic,
+    // sparse punctuation, mean word length in [3,12]
+    val good = ("the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet forest while evening light settles softly") // 124 chars
+    val reordered = good.split(" ").reverse.mkString(" ") // same token set
+    val junk = "!!! ??? !!!" // fails quality
+    val looped = Array.fill(40)("spam").mkString(" ") // fails repetition
+    val stream = in.toDF().toDF("doc_id", "text", "ts")
+    val out = streaming.StreamingRetentionJob.streamingCuration(
+      stream, "text", "ts", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("scur")
+      .outputMode("append").start()
+    try {
+      in.addData((1, good, ts(1)), (2, junk, ts(2)), (3, looped, ts(3)))
+      q.processAllAvailable()
+      // cross-batch: exact dup and token-reordered near-dup both dropped
+      in.addData((4, good, ts(4)), (5, reordered, ts(5)))
+      q.processAllAvailable()
+      val ids = spark.table("scur").select("doc_id").as[Int].collect().toSet
+      assert(ids == Set(1))
+    } finally q.stop()
+  }
+
   test("streaming LWW via mapGroupsWithState reconciles across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
