@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{Packing, Sampling}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the sampling/packing layer against independent
+  * in-memory reference models (deterministic fixed-seed sampling, like
+  * [[RulePropertySpec]]). */
+class PipelinePropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(977L + i)))
+
+  private val genCorpus: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.chooseNum(1, 60)
+    toks <- Gen.listOfN(n, Gen.chooseNum(0L, 300L))
+  } yield toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("packOffsets: offsets are contiguous and blocks consistent (random corpora)") {
+    for (corpus <- samples(genCorpus, 12)) {
+      val df = corpus.toDF("id", "ntok")
+      val got = Packing.packOffsets(df, "ntok", blockTokens = 128L, orderCol = "id")
+        .select("id", "ntok", "start_offset", "block_first", "block_last")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      // reference model: running prefix sum in id order
+      var acc = 0L
+      got.foreach { case (id, ntok, start, bf, bl) =>
+        assert(start == acc, s"id=$id")
+        assert(bf == start / 128L)
+        assert(bl == (if (ntok > 0) (start + ntok - 1) / 128L else bf))
+        acc += ntok
+      }
+    }
+  }
+
+  test("greedyPack: matches the sequential model for random corpora") {
+    val gen = for {
+      corpus <- genCorpus
+      budget <- Gen.chooseNum(50L, 400L)
+    } yield (corpus, budget)
+    for ((corpus, budget) <- samples(gen, 12)) {
+      val df = corpus.map { case (id, t) => ("g", id, t) }.toDF("grp", "id", "ntok")
+      val got = Packing.greedyPack(df, "ntok", budget, "grp", "id")
+        .select("id", "pack_seq").as[(Long, Long)].collect().toMap
+      var (seq, used) = (0L, 0L)
+      corpus.foreach { case (id, t) =>
+        if (used > 0 && used + t > budget) { seq += 1; used = 0L }
+        used += t
+        assert(got(id) == seq, s"id=$id budget=$budget")
+      }
+    }
+  }
+
+  test("hashSplit: partition of the corpus for random weight vectors") {
+    val genWeights = for {
+      k <- Gen.chooseNum(2, 5)
+      ws <- Gen.listOfN(k, Gen.chooseNum(1, 10))
+    } yield ws.zipWithIndex.map { case (w, i) => (s"s$i", w.toDouble) }
+    val ids = (0L until 200L).toDF("id")
+    for (weights <- samples(genWeights, 10)) {
+      val s = Sampling.hashSplit(ids, "id", weights, seed = 3L)
+      assert(s.count() == 200L)
+      assert(s.filter(col("split").isNull).count() == 0L)
+      val names = s.select("split").distinct().as[String].collect().toSet
+      assert(names.subsetOf(weights.map(_._1).toSet))
+    }
+  }
+
+  test("stratifiedSample ≡ hashSample per stratum (same seed)") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "st")
+    val fracs = Map("s0" -> 0.3, "s1" -> 0.7, "s2" -> 1.0)
+    val strat = Sampling.stratifiedSample(df, "id", "st", fracs, 0.0, seed = 11L)
+    val byParts = fracs.map { case (st, f) =>
+      Sampling.hashSample(df.filter(col("st") === st), "id", f, seed = 11L)
+    }.reduce(_ unionByName _)
+    assert(strat.except(byParts).isEmpty && byParts.except(strat).isEmpty)
+  }
+}
