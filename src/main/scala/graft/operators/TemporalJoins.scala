@@ -113,4 +113,115 @@ object TemporalJoins {
     }
     l.join(r, keyCond && timeCond, joinType)
   }
+
+  /** Buffered state for one [[streamingAsofJoin]] key: (eventMs, payload)
+    * pairs per side. Kryo-encoded — payloads are the raw field sequences
+    * of the side structs. */
+  final case class AsofBuf(
+      lefts: List[(Long, Seq[Any])],
+      rights: List[(Long, Seq[Any])])
+
+  /** STREAM-STREAM as-of join: for each left event, the most recent right
+    * event with the same key at-or-before it, within `toleranceMs`.
+    * Spark has no native stream-stream as-of (equality or interval
+    * conditions only), so this is a custom stateful operator:
+    * `flatMapGroupsWithState` with an event-time timeout buffers both
+    * sides per key and emits a left row exactly when the watermark passes
+    * its event time — at that point no earlier right event can still
+    * arrive (within the watermark contract), so the match is final.
+    *
+    * State is bounded by the tolerance: a right event is dropped once
+    * `wm > rt + toleranceMs` (no live or future left can reach back to
+    * it), and lefts leave state the moment they mature. Rows older than
+    * the watermark on arrival are dropped by the engine before the
+    * handler runs (the standard stateful-operator contract — size the
+    * watermark to cover cross-stream lag, exactly as in
+    * [[graft.streaming.StreamingRetentionJob.sessionize]]). Ties on the
+    * right timestamp resolve arbitrarily — feed a deduplicated right
+    * stream for deterministic output.
+    *
+    * Both inputs need a shared-name key column and TIMESTAMP time
+    * columns; do NOT pre-apply `withWatermark` (the operator owns the
+    * one watermark on the unioned stream). Output: left columns +
+    * `matchedCol` struct of the right columns (null = no match). Append
+    * mode. */
+  def streamingAsofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      toleranceMs: Long,
+      watermark: String = "10 minutes",
+      matchedCol: String = "matched"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(toleranceMs > 0, "toleranceMs must be positive (it bounds state)")
+    val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
+    val unioned = left.select(
+        col(keyCol).cast("string").as("__key"),
+        col(leftTsCol).cast("timestamp").as("__ts"), lit(1).as("__side"),
+        struct(left.columns.map(col): _*).as("__lrow"),
+        lit(null).cast(rType).as("__rrow"))
+      .unionByName(right.select(
+        col(keyCol).cast("string").as("__key"),
+        col(rightTsCol).cast("timestamp").as("__ts"), lit(0).as("__side"),
+        lit(null).cast(lType).as("__lrow"),
+        struct(right.columns.map(col): _*).as("__rrow")))
+      .withWatermark("__ts", watermark)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      lType.fields :+ org.apache.spark.sql.types.StructField(
+        matchedCol, rType, nullable = true))
+    val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    implicit val stateEnc = Encoders.kryo[AsofBuf]
+
+    // emit every left matured by the watermark; prune dead rights;
+    // schedule the next wake-up (earliest pending left, else right expiry)
+    def mature(
+        st: AsofBuf, wm: Long, state: GroupState[AsofBuf]): Iterator[Row] = {
+      val (ripe, pending) = st.lefts.partition(_._1 <= wm)
+      val out = ripe.sortBy(_._1).iterator.map { case (lts, lseq) =>
+        val cand = st.rights.filter { case (rt, _) =>
+          rt <= lts && rt >= lts - toleranceMs
+        }
+        val matched =
+          if (cand.isEmpty) null
+          else Row.fromSeq(cand.maxBy(_._1)._2)
+        Row.fromSeq(lseq :+ matched)
+      }.toVector // materialize BEFORE mutating state
+      val liveRights = st.rights.filter { case (rt, _) => rt + toleranceMs > wm }
+      if (pending.isEmpty && liveRights.isEmpty) state.remove()
+      else {
+        state.update(AsofBuf(pending, liveRights))
+        val next =
+          if (pending.nonEmpty) pending.map(_._1).min
+          else liveRights.map(_._1).min + toleranceMs + 1
+        state.setTimeoutTimestamp(math.max(next, wm + 1))
+      }
+      out.iterator
+    }
+
+    unioned
+      .groupByKey((r: Row) => r.getAs[String]("__key"))(Encoders.STRING)
+      .flatMapGroupsWithState[AsofBuf, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[AsofBuf]) =>
+          val st0 = if (state.exists) state.get else AsofBuf(Nil, Nil)
+          val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) mature(st0, wm, state)
+          else {
+            var lefts = st0.lefts
+            var rights = st0.rights
+            rows.foreach { r =>
+              val ts = r.getAs[java.sql.Timestamp]("__ts").getTime
+              if (r.getAs[Int]("__side") == 1)
+                lefts = (ts, r.getStruct(3).toSeq) :: lefts
+              else rights = (ts, r.getStruct(4).toSeq) :: rights
+            }
+            mature(AsofBuf(lefts, rights), wm, state)
+          }
+      }(stateEnc, outEnc)
+  }
 }

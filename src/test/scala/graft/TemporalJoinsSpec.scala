@@ -70,6 +70,101 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 2, plan)
   }
 
+  test("streaming as-of join matures lefts on watermark, matches latest right") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val lIn = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val rIn = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val l = lIn.toDF().toDF("k", "lts", "lid")
+    val r = rIn.toDF().toDF("k", "rts", "rid")
+    val out = operators.TemporalJoins.streamingAsofJoin(
+      l, r, "k", "lts", "rts",
+      toleranceMs = 30L * 60 * 1000, watermark = "5 minutes")
+    val q = out.select(col("lid"), col("matched.rid").as("rid"))
+      .writeStream.format("memory").queryName("sasof").outputMode("append")
+      .start()
+    try {
+      // rights first; lefts next batch; a far-future event drives the
+      // watermark past the lefts so they mature
+      rIn.addData(("a", ts(2), 100L), ("a", ts(8), 101L), ("b", ts(3), 102L))
+      q.processAllAvailable()
+      lIn.addData(("a", ts(10), 1L), ("a", ts(5), 2L), ("c", ts(6), 3L))
+      q.processAllAvailable()
+      lIn.addData(("a", ts(50), 99L)) // watermark driver (wm → 00:45)
+      q.processAllAvailable()
+      val got = spark.table("sasof").as[(Long, Option[Long])].collect().toMap
+      // lid 1 (a@10) → rid 101 (a@8, latest ≤10); lid 2 (a@5) → rid 100
+      // (a@2; 101@8 is in the future); lid 3 (c@6) → no right for key c
+      assert(got == Map(1L -> Some(101L), 2L -> Some(100L), 3L -> None))
+    } finally q.stop()
+  }
+
+  test("streaming as-of join: tolerance bounds the match window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val lIn = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val rIn = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val out = operators.TemporalJoins.streamingAsofJoin(
+      lIn.toDF().toDF("k", "lts", "lid"), rIn.toDF().toDF("k", "rts", "rid"),
+      "k", "lts", "rts", toleranceMs = 2L * 60 * 1000, watermark = "1 minute")
+    val q = out.select(col("lid"), col("matched.rid").as("rid"))
+      .writeStream.format("memory").queryName("sasof_tol").outputMode("append")
+      .start()
+    try {
+      rIn.addData(("a", ts(1), 100L))
+      q.processAllAvailable()
+      // left 10 min after the only right: outside the 2 min tolerance
+      lIn.addData(("a", ts(11), 1L), ("a", ts(2), 2L))
+      q.processAllAvailable()
+      lIn.addData(("a", ts(40), 99L)) // watermark driver
+      q.processAllAvailable()
+      val got = spark.table("sasof_tol").as[(Long, Option[Long])].collect().toMap
+      assert(got == Map(1L -> None, 2L -> Some(100L)))
+    } finally q.stop()
+  }
+
+  test("streaming as-of join agrees with the batch asofJoin when drained") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // unique right timestamps per key → deterministic in both engines
+    val leftRows = Seq(("a", 10, 1L), ("a", 25, 2L), ("b", 12, 3L), ("b", 30, 4L))
+    val rightRows = Seq(("a", 8, 100L), ("a", 20, 101L), ("b", 5, 102L))
+    val tolMs = 15L * 60 * 1000
+    val lIn = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val rIn = MemoryStream[(String, java.sql.Timestamp, Long)]
+    // watermark duration must cover the cross-batch lag: the rights batch
+    // moves the watermark to max(rts) - duration, and lefts arriving
+    // below the watermark are engine-dropped before the handler runs
+    val out = operators.TemporalJoins.streamingAsofJoin(
+      lIn.toDF().toDF("k", "lts", "lid"), rIn.toDF().toDF("k", "rts", "rid"),
+      "k", "lts", "rts", tolMs, watermark = "30 minutes")
+    val q = out.select(col("lid"), col("matched.rid").as("rid"))
+      .writeStream.format("memory").queryName("sasof_par").outputMode("append")
+      .start()
+    try {
+      rIn.addData(rightRows.map { case (k, m, id) => (k, ts(m), id) }: _*)
+      q.processAllAvailable()
+      lIn.addData(leftRows.map { case (k, m, id) => (k, ts(m), id) }: _*)
+      q.processAllAvailable()
+      lIn.addData(("z", ts(90), 99L)) // watermark driver
+      q.processAllAvailable()
+      val streamed = spark.table("sasof_par").as[(Long, Option[Long])]
+        .collect().toMap.removed(99L)
+      val lb = leftRows.map { case (k, m, id) => (k, ts(m).getTime, id) }
+        .toDF("k", "lts", "lid")
+      val rb = rightRows.map { case (k, m, id) => (k, ts(m).getTime, id) }
+        .toDF("k", "rts", "rid")
+      val batch = operators.TemporalJoins.asofJoin(
+          lb, rb, Seq("k"), "lts", "rts", "rid", tolerance = Some(tolMs))
+        .select(col("lid"), col("matched.rid").as("rid"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming interval join buffers within watermark and joins across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
