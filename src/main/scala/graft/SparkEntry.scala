@@ -51,7 +51,12 @@ object SparkEntry {
     * oracle-input plumbing. */
   private val dumped = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def dumpOnce(art: String)(write: => Unit): Unit =
-    if (dumped.add(art)) write
+    if (dumped.add(art)) {
+      // un-mark on failure so a transient write error doesn't poison the
+      // path for the rest of the JVM (next invocation re-dumps)
+      try write
+      catch { case e: Throwable => dumped.remove(art); throw e }
+    }
 
   /** Flagship rules (SURVEY.md §7.4): convict rows where
     * l_suppkey ∈ [4,6] AND l_returnflag = 'R'. */

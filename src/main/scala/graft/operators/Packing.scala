@@ -45,10 +45,30 @@ object Packing {
       df: DataFrame,
       tokenCol: String,
       blockTokens: Long,
-      orderCol: String): DataFrame = {
+      orderCol: String,
+      numPartitions: Int = 0): DataFrame = {
     require(blockTokens > 0, "blockTokens must be positive")
-    val parted = df.repartitionByRange(col(orderCol))
-      .withColumn("__pid", spark_partition_id())
+    require(df.schema(orderCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"orderCol '$orderCol' must be numeric")
+    val p = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    // phase 0: range boundaries from ONE quantile sketch pass, inlined as
+    // literals — the partition id becomes a pure FUNCTION of the row, so
+    // the totals pass and the output pass (separate executions) cannot
+    // disagree on row→partition assignment. repartitionByRange re-samples
+    // boundaries per execution, which risks inconsistent assignments for
+    // nondeterministic inputs or retried upstream tasks; literal bounds
+    // also survive task retries by construction. Approximate quantiles
+    // only affect balance, never correctness.
+    val bounds =
+      if (p <= 1) Array.empty[Double]
+      else df.stat.approxQuantile(
+        orderCol, (1 until p).map(_.toDouble / p).toArray, 0.001)
+    val pid = bounds.distinct.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) > b, 1).otherwise(0)
+    }
+    val parted = df.withColumn("__pid", pid.cast("int"))
     // phase 1: per-partition token totals — bounded by the partition
     // count, never by data size
     val totals = parted.groupBy("__pid")

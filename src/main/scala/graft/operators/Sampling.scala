@@ -122,9 +122,15 @@ object Sampling {
       .collect()
       .map(r => r.get(0).toString -> r.getLong(1).toDouble)
       .toMap
+    require(counts.nonEmpty,
+      s"none of the target strata ${targetWeights.keys.mkString(",")} occur in $strataCol")
     val t = counts.map { case (s, n) => n / targetWeights(s) }.min
+    // the binding stratum's fraction is mathematically exactly 1 but
+    // w*(n/w)/n rounds a ulp ABOVE 1.0 for some (count, weight) pairs —
+    // clamp (the clamped value still rounds to the same millionths
+    // threshold, so the oracle arithmetic is unaffected)
     val fractions = counts.map { case (s, n) =>
-      s -> targetWeights(s) * t / n
+      s -> math.min(1.0, targetWeights(s) * t / n)
     }
     stratifiedSample(df, idCol, strataCol, fractions,
       defaultFraction = 0.0, seed = seed)

@@ -46,6 +46,12 @@ object TemporalJoins {
     val rStruct = struct(right.columns.map(col): _*)
     val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
     val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    // a non-numeric tie-break would cast to all-null and silently turn
+    // the documented deterministic tie-break into partition order
+    require(right.schema(tieBreakCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"tieBreakCol '$tieBreakCol' must be numeric, got " +
+        right.schema(tieBreakCol).dataType.simpleString)
     // side ordering: at an equal timestamp the right row sorts FIRST, so
     // the running last() at the left row already includes it (as-of is
     // "at or before"); among tied right rows the greater tieBreak sorts
@@ -181,7 +187,11 @@ object TemporalJoins {
     // schedule the next wake-up (earliest pending left, else right expiry)
     def mature(
         st: AsofBuf, wm: Long, state: GroupState[AsofBuf]): Iterator[Row] = {
-      val (ripe, pending) = st.lefts.partition(_._1 <= wm)
+      // STRICT comparisons at the boundary: the engine's late filter only
+      // drops rows strictly older than the watermark, so a row with
+      // eventTime == wm can still arrive — a left at lts == wm must keep
+      // waiting, and a right at rt == wm - tolerance must stay live
+      val (ripe, pending) = st.lefts.partition(_._1 < wm)
       val out = ripe.sortBy(_._1).iterator.map { case (lts, lseq) =>
         val cand = st.rights.filter { case (rt, _) =>
           rt <= lts && rt >= lts - toleranceMs
@@ -191,12 +201,12 @@ object TemporalJoins {
           else Row.fromSeq(cand.maxBy(_._1)._2)
         Row.fromSeq(lseq :+ matched)
       }.toVector // materialize BEFORE mutating state
-      val liveRights = st.rights.filter { case (rt, _) => rt + toleranceMs > wm }
+      val liveRights = st.rights.filter { case (rt, _) => rt + toleranceMs >= wm }
       if (pending.isEmpty && liveRights.isEmpty) state.remove()
       else {
         state.update(AsofBuf(pending, liveRights))
         val next =
-          if (pending.nonEmpty) pending.map(_._1).min
+          if (pending.nonEmpty) pending.map(_._1).min + 1 // mature needs wm > lts
           else liveRights.map(_._1).min + toleranceMs + 1
         state.setTimeoutTimestamp(math.max(next, wm + 1))
       }
