@@ -23,8 +23,9 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Scale notes: a global ordered cumulative sum is NOT a
   * `Window.orderBy` without partitions (that plans a single-reducer
   * window — the exact trap the top-k operators avoid). [[packOffsets]]
-  * does the textbook two-phase distributed prefix sum: range-partition
-  * by the order column, per-partition window cumsum (parallel), then
+  * does the textbook distributed prefix sum: literal range boundaries
+  * from one quantile-sketch pass (a pure row→partition function both
+  * executions share), per-partition window cumsum (parallel), then
   * per-partition base offsets from one bounded driver collect (≤ one row
   * per partition) broadcast back. [[greedyPack]] shuffles once on the
   * group key and scans each group sequentially (per-group parallelism,
