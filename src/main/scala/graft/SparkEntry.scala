@@ -669,7 +669,48 @@ object SparkEntry {
         .toDF().select("doc_id", "media_type", "container", "n_bytes",
           "width", "height", "n_frames", "sample_rate", "n_channels",
           "bit_depth")
-    })
+    }),
+    // ---- training-data pipeline: sketches ------------------------------
+    // KMV distinct-count sketch beside the exact count it estimates. The
+    // sketch aggregation carries bounded k-long buffers (map-side merged);
+    // the exact count's expand/shuffle of every distinct value is the
+    // thing this avoids at 100 TB. md5-derived hashes make the estimate
+    // engine-reproducible, so the oracle checks it EXACTLY.
+    "q_sketch_kmv" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val est = operators.Sketches.kmvDistinct(
+        li, Seq("l_returnflag"), "l_orderkey", k = 128, seed = 7)
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      exact.join(est, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_exact"), col("kmv_est"))
+    }),
+    // HyperLogLog, fully relational: map-only register/rank projection,
+    // one map-side-combined groupBy to ≤ m rows per group, and an INTEGER
+    // harmonic sum (order-independent, hence engine-exact)
+    "q_sketch_hll" -> ((s, dir) =>
+      operators.Sketches.hllDistinct(
+        read(s, dir, "lineitem"), Seq("l_returnflag"), "l_orderkey",
+        p = 6, seed = 11)),
+    // count-min sketch probed at the exact top-10 heavy hitters: the
+    // sketch is a bounded depth×width counter table (broadcastable), the
+    // estimate the min over depth counters — never below the exact count
+    "q_sketch_cms" -> ((s, dir) => {
+      val o = read(s, dir, "orders")
+      val sketch = operators.Sketches.cmsSketch(
+        o, "o_custkey", width = 512, depth = 4, seed = 100)
+      val top = o.groupBy("o_custkey").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("o_custkey")).limit(10)
+      operators.Sketches.cmsEstimate(sketch, top, "o_custkey", 512, 4, 100)
+        .select("o_custkey", "exact_cnt", "cms_est")
+    }),
+    // order statistics over a deterministic hash sample — the distributed
+    // selection shape (literal range bounds → per-partition rank +
+    // broadcast bases), never a global single-reducer window
+    "q_sketch_quantile" -> ((s, dir) =>
+      operators.Sketches.sampleQuantiles(
+        readWide(s, dir, "documents"), "doc_id", "n_chars",
+        Seq(0.5, 0.9, 0.99), fraction = 0.5, seed = 7))
   )
 
   /** DuckDB rendering of one RHP hyperplane as a DOUBLE[] literal.
@@ -1412,6 +1453,83 @@ object SparkEntry {
            CAST(CASE container WHEN 'png' THEN ${be(24, 1)}
                 WHEN 'wav' THEN ${le(34, 2)} END AS INT) AS bit_depth
          FROM d"""
-    }
+    },
+    // the sketch oracles re-derive the md5 60-bit hash natively (15 hex
+    // digits, the hash60 idiom) and replay the EXACT estimator: the
+    // "approximation" is a fixed hash function, not run randomness
+    "q_sketch_kmv" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+             ('0x' || substr(md5(l_orderkey::VARCHAR || ':7'), 1, 15))::BIGINT AS h
+           FROM lineitem),
+         r AS (SELECT l_returnflag, h,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+           FROM h),
+         k AS (SELECT l_returnflag, max(h) AS kth, count(*) AS cnt
+           FROM r WHERE rn <= 128 GROUP BY 1),
+         e AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
+           FROM lineitem GROUP BY 1)
+         SELECT e.l_returnflag, CAST(e.n_exact AS BIGINT) AS n_exact,
+           round(CASE WHEN k.cnt < 128 THEN CAST(k.cnt AS DOUBLE)
+                 ELSE 127.0 * 1152921504606846976.0 / CAST(k.kth AS DOUBLE)
+                 END, 3) AS kmv_est
+         FROM e JOIN k USING (l_returnflag)""",
+    // HLL replay: register = top 6 hash bits, rank = trailing zeros + 1
+    // of the low 54 ((x & -x) - 1 bit-count), harmonic sum in exact
+    // integer units of 2^-55 — bit-identical across engines; numerator
+    // alpha_64 * m^2 * 2^55 inlined as the driver-folded double literal
+    "q_sketch_hll" ->
+      s"""WITH h AS (SELECT l_returnflag,
+             ('0x' || substr(md5(l_orderkey::VARCHAR || ':11'), 1, 15))::BIGINT AS h
+           FROM lineitem),
+         b AS (SELECT l_returnflag, (h >> 54) AS idx,
+             (h & ((1::BIGINT << 54) - 1)) AS rest FROM h),
+         regs AS (SELECT l_returnflag, idx,
+             max(CASE WHEN rest = 0 THEN 55
+                 ELSE bit_count((rest & (-rest)) - 1) + 1 END) AS rho
+           FROM b GROUP BY 1, 2),
+         z AS (SELECT l_returnflag,
+             CAST(sum((1::BIGINT << (55 - rho))) AS BIGINT) AS zpresent,
+             count(*) AS nregs
+           FROM regs GROUP BY 1)
+         SELECT l_returnflag,
+           round(${operators.Sketches.hllAlpha(64) * 64 * 64 * math.pow(2.0, 55)}
+             / CAST(zpresent + (64 - nregs) * (1::BIGINT << 55) AS DOUBLE), 3)
+             AS hll_est
+         FROM z""",
+    // CMS replay: build the 4x512 counter table, probe the exact top-10
+    // heavy hitters, estimate = min counter across the 4 hash rows
+    "q_sketch_cms" ->
+      """WITH sk AS (SELECT d,
+             ('0x' || substr(md5(o_custkey::VARCHAR || ':' || (100 + d)::VARCHAR), 1, 8))::BIGINT
+               % 512 AS slot,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM orders CROSS JOIN range(4) t(d) GROUP BY 1, 2),
+         top AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS exact_cnt
+           FROM orders GROUP BY 1
+           ORDER BY exact_cnt DESC, o_custkey LIMIT 10),
+         slots AS (SELECT t.o_custkey, t.exact_cnt, r.d,
+             ('0x' || substr(md5(t.o_custkey::VARCHAR || ':' || (100 + r.d)::VARCHAR), 1, 8))::BIGINT
+               % 512 AS slot
+           FROM top t CROSS JOIN range(4) r(d)),
+         pr AS (SELECT sl.o_custkey, sl.exact_cnt, s.cnt
+           FROM slots sl JOIN sk s ON s.d = sl.d AND s.slot = sl.slot)
+         SELECT o_custkey, exact_cnt, CAST(min(cnt) AS BIGINT) AS cms_est
+         FROM pr GROUP BY 1, 2""",
+    // sampled order statistics: same hash-bucket sample, ranks resolved
+    // over (value, id-as-string) order — the operator's declared total
+    // order (its tie column is the stringified id)
+    "q_sketch_quantile" ->
+      """WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v
+           FROM documents
+           WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+             % 1000000 < 500000),
+         r AS (SELECT v,
+             row_number() OVER (ORDER BY v, doc_id::VARCHAR) AS rn FROM s),
+         n AS (SELECT count(*) AS n FROM s),
+         qs AS (SELECT CAST(q AS DOUBLE) AS q
+           FROM (VALUES (0.5), (0.9), (0.99)) t(q))
+         SELECT qs.q, r.v AS value
+         FROM qs CROSS JOIN n
+         JOIN r ON r.rn = CAST(floor((n.n - 1) * qs.q) AS BIGINT) + 1"""
   )
 }

@@ -1,0 +1,102 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** K-minimum-values (KMV) sketch aggregate: keeps the `k` smallest
+  * DISTINCT values of a `LongType` child (a uniform hash) per group and
+  * returns them as an ascending `array<bigint>`.
+  *
+  * This is the Bar-Yossef et al. (2002) distinct-count sketch: for a
+  * uniform 60-bit hash, the k-th smallest observed hash `h_(k)` estimates
+  * the distinct count as `(k-1) * 2^60 / h_(k)`; with fewer than `k`
+  * distinct hashes the buffer IS the exact distinct set. The estimator
+  * itself is plain arithmetic over this aggregate's output (see
+  * [[graft.operators.Sketches.kmvDistinct]]), so it stays relational and
+  * cross-engine checkable.
+  *
+  * Scale shape: the aggregation buffer is bounded at `k` longs per group
+  * regardless of input size, and partial buffers merge associatively —
+  * Spark runs this with map-side partial aggregation, so the shuffle
+  * carries at most `k` longs per (partition, group), never the distinct
+  * values themselves. That is the whole point versus an exact
+  * `count(distinct x)`, whose expand+shuffle carries every distinct value
+  * at 100 TB. Duplicate hashes are absorbed by the sorted-set buffer, so
+  * the estimate is insensitive to input multiplicity.
+  */
+case class KMinValues(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.TreeSet[Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, "k must be positive")
+
+  override def createAggregationBuffer(): scala.collection.mutable.TreeSet[Long] =
+    scala.collection.mutable.TreeSet.empty[Long]
+
+  override def update(
+      buf: scala.collection.mutable.TreeSet[Long],
+      input: InternalRow): scala.collection.mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      buf: scala.collection.mutable.TreeSet[Long],
+      other: scala.collection.mutable.TreeSet[Long]): scala.collection.mutable.TreeSet[Long] = {
+    other.foreach(add(buf, _))
+    buf
+  }
+
+  // keep only the k smallest: a full buffer admits a new value in
+  // O(log k) by evicting the current maximum
+  private def add(buf: scala.collection.mutable.TreeSet[Long], v: Long): Unit = {
+    if (buf.size < k) buf += v
+    else if (v < buf.last && !buf.contains(v)) { buf -= buf.last; buf += v }
+  }
+
+  override def eval(buf: scala.collection.mutable.TreeSet[Long]): Any =
+    new GenericArrayData(buf.toArray)
+
+  override def serialize(buf: scala.collection.mutable.TreeSet[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.TreeSet[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = scala.collection.mutable.TreeSet.empty[Long]
+    var i = 0
+    while (i < n) { buf += bb.getLong; i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"k_min_values requires a BIGINT hash input, got ${child.dataType.sql}")
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KMinValues =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KMinValues =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KMinValues =
+    copy(child = newChild)
+  override def prettyName: String = "k_min_values"
+}

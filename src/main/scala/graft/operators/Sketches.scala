@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** Cardinality / frequency / quantile sketches for corpus-scale profiling:
+  * the "how big is this, roughly, in one pass" layer a 100 TB pipeline
+  * needs before it commits to an exact plan (choosing dedup bucket counts,
+  * mixture weights, CMS widths, partition counts).
+  *
+  * All sketch hashes are md5-derived (like [[Sampling.hashBucket]]) rather
+  * than xxhash64, so every estimate is REPRODUCIBLE IN ANY ENGINE — the
+  * DuckDB oracle recomputes the identical sketch from the identical hashes
+  * and must land on the identical estimate. That turns "approximate"
+  * operators into exactly-checkable ones: the randomness is in the fixed
+  * hash function, not in the run.
+  *
+  *  - [[kmvDistinct]] — k-minimum-values distinct count (Bar-Yossef et
+  *    al. 2002) on top of the bounded-buffer
+  *    [[graft.functions.KMinValues]] aggregate.
+  *  - [[hllDistinct]] — HyperLogLog (Flajolet et al. 2007) expressed
+  *    RELATIONALLY: register/rank extraction is a map-only projection,
+  *    the register table is a `groupBy(..., idx).max(rho)` (map-side
+  *    combined, ≤ m rows per group), and the harmonic mean is an exact
+  *    integer sum — no floating-point accumulation order to disagree on.
+  *  - [[cmsSketch]] / [[cmsEstimate]] — count-min frequency sketch
+  *    (Cormode & Muthukrishnan 2005): the sketch is a `depth × width`
+  *    counter table (bounded, broadcastable) built with one map-side
+  *    combined aggregation.
+  *  - [[sampleQuantiles]] — order statistics over a deterministic hash
+  *    sample, ranked with the same distributed selection shape as
+  *    [[Packing.packOffsets]] (range-partition by literal bounds +
+  *    per-partition window + broadcast bases; never a global
+  *    single-reducer window).
+  */
+object Sketches {
+
+  /** Bits of the md5-derived sketch hash (15 hex digits). 60 keeps the
+    * value exactly representable in a BIGINT in every engine and leaves
+    * headroom for integer register sums. */
+  val HashBits = 60
+
+  private val TwoPow60: Double = 1152921504606846976.0 // 2^60, exact double
+
+  /** Uniform 60-bit hash of a value: the first 15 hex digits of
+    * md5("<value>:<seed>") as a long. Cross-engine: DuckDB parses the
+    * identical value with `('0x' || substr(md5(v || ':seed'), 1, 15))::BIGINT`. */
+  def hash60(c: Column, seed: Long): Column =
+    conv(substring(md5(concat(c.cast("string"), lit(s":$seed"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** 32-bit variant for slot hashing (first 8 hex digits), mod `width`. */
+  def slotHash(c: Column, seed: Long, width: Int): Column =
+    pmod(
+      conv(substring(md5(concat(c.cast("string"), lit(s":$seed"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(width.toLong))
+
+  /** The KMV aggregate as a Column: ascending array of the k smallest
+    * distinct hashes. */
+  def kMinValues(hashed: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.KMinValues(ColumnBridge.expression(hashed), k)
+        .toAggregateExpression())
+  }
+
+  /** Per-group KMV distinct-count estimate of `valueCol`. Output:
+    * `groupCols..., kmv_est double` (rounded to 3 decimals).
+    *
+    * Estimator: with fewer than k observed hashes the sketch is exhaustive
+    * and the estimate is the exact distinct count; otherwise
+    * `(k-1) * 2^60 / h_(k)`. One aggregation, buffers bounded at k longs,
+    * map-side merged — the exact-distinct expand/shuffle never happens. */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int,
+      seed: Long = 0L): DataFrame = {
+    val ks = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(kMinValues(hash60(col(valueCol), seed), k).as("__kmv"))
+    ks.select(
+      groupCols.map(col) :+
+        round(
+          when(size(col("__kmv")) < k, size(col("__kmv")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(TwoPow60)
+              / element_at(col("__kmv"), k).cast("double")),
+          3).as("kmv_est"): _*)
+  }
+
+  /** HLL bias-correction constant alpha_m (Flajolet et al. 2007, fig. 3). */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1 + 1.079 / m)
+  }
+
+  /** Per-group HyperLogLog distinct-count estimate with `m = 2^p`
+    * registers. Output: `groupCols..., hll_est double` (3 decimals).
+    *
+    * Layout of the 60-bit hash: top `p` bits select the register, the rank
+    * is the position of the lowest set bit of the remaining `60-p` bits
+    * (`rho = trailing_zeros + 1`, the Flajolet PCSA convention — same
+    * geometric law as leading zeros but computable in one expression:
+    * `bit_count((x & -x) - 1) + 1`, no smearing cascade).
+    *
+    * Determinism: the harmonic-mean denominator `sum(2^-rho)` is summed in
+    * INTEGER units of `2^-(60-p+1)` — each term `2^(R - rho)` is an exact
+    * BIGINT, so the sum is order-independent and bit-identical in every
+    * engine; only the final single division is floating point. Applicable
+    * range: raw-estimate regime only (`n >> 2.5m`) — the linear-counting
+    * branch would introduce a cross-engine `ln`; callers wanting small-n
+    * accuracy should use [[kmvDistinct]], which is exact below k. */
+  def hllDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int = 6,
+      seed: Long = 0L): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4,16]")
+    val m = 1 << p
+    val restBits = HashBits - p
+    val maxRho = restBits + 1 // rank when the rest field is all zeros
+    val h = hash60(col(valueCol), seed)
+    val idx = shiftright(h, restBits)
+    val rest = h.bitwiseAND(lit((1L << restBits) - 1))
+    val rho = when(rest === 0, lit(maxRho))
+      .otherwise(bit_count(rest.bitwiseAND(-rest) - 1) + 1)
+    val regs = df
+      .select(groupCols.map(col) :+ idx.as("__idx") :+ rho.as("__rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("__idx"): _*)
+      .agg(max(col("__rho")).as("__rho"))
+    // integer harmonic sum: present register j contributes 2^(maxRho-rho_j),
+    // each of the (m - observed) empty registers contributes 2^maxRho
+    val zint = regs
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - __rho)")).as("__zpresent"),
+        count(lit(1)).as("__nregs"))
+    val numerator = hllAlpha(m) * m * m * math.pow(2.0, maxRho)
+    zint.select(
+      groupCols.map(col) :+
+        round(
+          lit(numerator) /
+            (col("__zpresent") + (lit(m.toLong) - col("__nregs")) * lit(1L << maxRho))
+              .cast("double"),
+          3).as("hll_est"): _*)
+  }
+
+  /** Build a count-min sketch of `itemCol` frequencies: `depth` rows of
+    * `width` counters, hash seeds `seed+0 .. seed+depth-1`. Output:
+    * `(d int, slot long, cnt long)` — at most `depth × width` rows
+    * regardless of input size; one aggregation with map-side combine (the
+    * shuffle carries ≤ depth×width partial counters per input partition). */
+  def cmsSketch(
+      df: DataFrame,
+      itemCol: String,
+      width: Int,
+      depth: Int,
+      seed: Long = 100L): DataFrame = {
+    require(width > 0 && depth > 0, "width and depth must be positive")
+    val rows = array((0 until depth).map { d =>
+      struct(lit(d).as("d"), slotHash(col(itemCol), seed + d, width).as("slot"))
+    }: _*)
+    df.select(explode(rows).as("e"))
+      .select(col("e.d").as("d"), col("e.slot").as("slot"))
+      .groupBy("d", "slot")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for each row of `items`: the estimate is the
+    * MINIMUM counter across the `depth` hash rows (classic CMS upper
+    * bound: never under-counts, over-counts by collision mass). The sketch
+    * is bounded (`depth × width` rows) so it broadcasts; probing any
+    * number of items is a broadcast join + a tiny aggregation. */
+  def cmsEstimate(
+      sketch: DataFrame,
+      items: DataFrame,
+      itemCol: String,
+      width: Int,
+      depth: Int,
+      seed: Long = 100L): DataFrame = {
+    val slots = items.select(
+      col("*") +:
+        (0 until depth).map(d => slotHash(col(itemCol), seed + d, width).as(s"__s$d")): _*)
+    val exploded = slots.select(
+      col("*"),
+      explode(array((0 until depth).map { d =>
+        struct(lit(d).as("d"), col(s"__s$d").as("slot"))
+      }: _*)).as("e"))
+      .select(items.columns.map(col) :+ col("e.d").as("d") :+ col("e.slot").as("slot"): _*)
+    exploded
+      .join(broadcast(sketch), Seq("d", "slot"))
+      .groupBy(items.columns.map(col): _*)
+      .agg(min(col("cnt")).as("cms_est"))
+  }
+
+  /** Exact order statistics of `valueCol` over a DETERMINISTIC hash sample
+    * (see [[Sampling.hashSample]]): for each requested quantile `q`, the
+    * sample value at 0-based rank `floor((n-1)·q)` in `(value, id)` order
+    * ("lower" interpolation — stays in the value domain, no cross-engine
+    * float interpolation). Output: `(q double, value long)`.
+    *
+    * The selection never plans a global single-reducer window: literal
+    * range bounds from one quantile-sketch pass make the partition id a
+    * pure function of the row ([[Packing.packOffsets]] discipline),
+    * per-partition counts (≤ one row per partition) collect to the driver,
+    * and ranks resolve inside each partition against a broadcast base.
+    * Driver state: the bounds array and one count per partition. */
+  def sampleQuantiles(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      qs: Seq[Double],
+      fraction: Double,
+      seed: Long = 0L,
+      numPartitions: Int = 0): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), "qs must be in [0,1]")
+    val spark = df.sparkSession
+    val sample = Sampling.hashSample(df, idCol, fraction, seed)
+      .select(col(idCol).cast("string").as("__id"), col(valueCol).cast("long").as("__v"))
+    val n = sample.count()
+    val outSchema = StructType(Seq(
+      StructField("q", DoubleType, nullable = false),
+      StructField("value", LongType, nullable = true)))
+    if (n == 0) {
+      return spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+    }
+    // 1-based target rank per quantile ("lower" order statistic)
+    val targets = qs.map(q => (q, math.floor((n - 1).toDouble * q).toLong + 1L))
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val bounds =
+      if (p <= 1) Array.empty[Double]
+      else sample.stat.approxQuantile("__v", (1 until p).map(_.toDouble / p).toArray, 0.001)
+    val pid = bounds.distinct.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__v") > b, 1).otherwise(0)
+    }
+    val parted = sample.withColumn("__pid", pid.cast("int"))
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val baseRows = counts.map { case (id, cnt) => val r = Row(id, acc); acc += cnt; r }
+    val baseDf = spark.createDataFrame(
+      java.util.Arrays.asList(baseRows: _*),
+      StructType(Seq(
+        StructField("__pid", org.apache.spark.sql.types.IntegerType, false),
+        StructField("__base", LongType, false))))
+    val w = Window.partitionBy("__pid").orderBy(col("__v"), col("__id"))
+    val ranked = parted
+      .join(broadcast(baseDf), Seq("__pid"))
+      .withColumn("__rank", col("__base") + row_number().over(w))
+    val targetDf = spark.createDataFrame(
+      java.util.Arrays.asList(targets.map { case (q, r) => Row(q, r) }: _*),
+      StructType(Seq(
+        StructField("q", DoubleType, false),
+        StructField("__rank", LongType, false))))
+    ranked
+      .join(broadcast(targetDf), Seq("__rank"))
+      .select(col("q"), col("__v").as("value"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, Sketches}
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+  private def orders = spark.read.parquet(s"$sfDir/orders.parquet")
+
+  test("KMinValues keeps the k smallest distinct hashes (vs window formulation)") {
+    val k = 16
+    val hashed = lineitem.select(
+      col("l_returnflag").as("g"),
+      Sketches.hash60(col("l_orderkey"), 7).as("h"))
+    val agg = hashed.groupBy("g")
+      .agg(Sketches.kMinValues(col("h"), k).as("ks"))
+      .select(col("g"), explode(col("ks")).as("h"))
+      .as[(String, Long)].collect().toSet
+    val reference = hashed.distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("h")))
+      .filter(col("rn") <= k)
+      .select(col("g"), col("h")).as[(String, Long)].collect().toSet
+    assert(agg == reference)
+  }
+
+  test("KMinValues output is ascending and duplicate-insensitive") {
+    val df = Seq(5L, 3L, 3L, 9L, 1L, 5L, 7L).toDF("h")
+    val out = df.agg(Sketches.kMinValues(col("h"), 4)).as[Seq[Long]].head()
+    assert(out == Seq(1L, 3L, 5L, 7L))
+    // duplicated input rows change nothing
+    val out2 = df.union(df).agg(Sketches.kMinValues(col("h"), 4)).as[Seq[Long]].head()
+    assert(out2 == out)
+  }
+
+  test("kmvDistinct is exact below k and within 20% above it") {
+    // below k: 500 distinct doc_ids with k=1024 -> exact count
+    val small = Sketches.kmvDistinct(docs, Seq.empty, "doc_id", k = 1024, seed = 7)
+    assert(small.select("kmv_est").as[Double].head() == 500.0)
+    // above k: ~1100 distinct l_orderkey per flag with k=128
+    val est = Sketches.kmvDistinct(lineitem, Seq("l_returnflag"), "l_orderkey", 128, 7)
+      .as[(String, Double)].collect().toMap
+    val exact = lineitem.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").cast("double"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) / n < 0.20, s"$g: est=${est(g)} exact=$n")
+    }
+  }
+
+  test("kmvDistinct is stable across partitioning (partial-merge correctness)") {
+    val a = Sketches.kmvDistinct(lineitem.repartition(1), Seq("l_returnflag"), "l_orderkey", 64, 3)
+      .as[(String, Double)].collect().toMap
+    val b = Sketches.kmvDistinct(lineitem.repartition(13), Seq("l_returnflag"), "l_orderkey", 64, 3)
+      .as[(String, Double)].collect().toMap
+    assert(a == b)
+  }
+
+  test("hllDistinct lands within 25% of exact in the raw-estimate regime") {
+    // ~1100 distinct per flag >> 2.5*64 = 160: raw regime
+    val est = Sketches.hllDistinct(lineitem, Seq("l_returnflag"), "l_orderkey", p = 6, seed = 11)
+      .as[(String, Double)].collect().toMap
+    val exact = lineitem.groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").cast("double"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) / n < 0.25, s"$g: est=${est(g)} exact=$n")
+    }
+  }
+
+  test("hllDistinct is deterministic across partitioning") {
+    val a = Sketches.hllDistinct(lineitem.repartition(1), Seq("l_returnflag"), "l_orderkey", 6, 11)
+      .as[(String, Double)].collect().toMap
+    val b = Sketches.hllDistinct(lineitem.repartition(7), Seq("l_returnflag"), "l_orderkey", 6, 11)
+      .as[(String, Double)].collect().toMap
+    assert(a == b)
+  }
+
+  test("CMS never under-counts and is exact at collision-free width") {
+    val sketch = Sketches.cmsSketch(orders, "o_custkey", width = 512, depth = 4, seed = 100)
+    assert(sketch.count() <= 4L * 512)
+    val exact = orders.groupBy("o_custkey").agg(count(lit(1)).as("exact_cnt"))
+    val est = Sketches.cmsEstimate(sketch, exact, "o_custkey", 512, 4, 100)
+    val under = est.filter(col("cms_est") < col("exact_cnt")).count()
+    assert(under == 0, "CMS must never under-count")
+    // huge width -> essentially no collisions -> exact for every key
+    val wide = Sketches.cmsSketch(orders, "o_custkey", width = 1 << 20, depth = 4, seed = 100)
+    val estWide = Sketches.cmsEstimate(wide, exact, "o_custkey", 1 << 20, 4, 100)
+    assert(estWide.filter(col("cms_est") =!= col("exact_cnt")).count() == 0)
+  }
+
+  test("sampleQuantiles matches a sequential reference model") {
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = Sketches.sampleQuantiles(docs, "doc_id", "n_chars", qs, 0.5, 7)
+    // reference model: same deterministic sample, sorted driver-side by
+    // (value, id) -- the operator's declared order
+    val sample = Sampling.hashSample(docs, "doc_id", 0.5, 7)
+      .select(col("n_chars").cast("long"), col("doc_id").cast("string"))
+      .as[(Long, String)].collect().sortBy(identity)
+    val n = sample.length
+    val expect = qs.map { q =>
+      q -> sample(math.floor((n - 1).toDouble * q).toInt)._1
+    }.toMap
+    val gotMap = got.as[(Double, Long)].collect().toMap
+    assert(gotMap == expect)
+  }
+
+  test("sampleQuantiles is stable across partition counts") {
+    val qs = Seq(0.5, 0.9)
+    val a = Sketches.sampleQuantiles(docs, "doc_id", "n_chars", qs, 0.8, 3, numPartitions = 1)
+      .as[(Double, Long)].collect().toMap
+    val b = Sketches.sampleQuantiles(docs, "doc_id", "n_chars", qs, 0.8, 3, numPartitions = 5)
+      .as[(Double, Long)].collect().toMap
+    assert(a == b)
+  }
+}
