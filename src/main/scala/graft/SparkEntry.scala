@@ -710,7 +710,32 @@ object SparkEntry {
     "q_sketch_quantile" -> ((s, dir) =>
       operators.Sketches.sampleQuantiles(
         readWide(s, dir, "documents"), "doc_id", "n_chars",
-        Seq(0.5, 0.9, 0.99), fraction = 0.5, seed = 7))
+        Seq(0.5, 0.9, 0.99), fraction = 0.5, seed = 7)),
+    // ---- training-data pipeline: decontamination -----------------------
+    // benchmark decontamination: a deterministic 95/5 split stands in for
+    // corpus-vs-benchmark; eval shingles broadcast, train shingles feed
+    // the broadcast join in-stage (no shuffle of exploded shingles — the
+    // only shuffle carries actual (train, eval) hits)
+    "q_decontam_pairs" -> ((s, dir) => {
+      val split = operators.Sampling.hashSplit(readWide(s, dir, "documents"),
+        "doc_id", Seq(("train", 0.95), ("heldout", 0.05)), seed = 7L)
+      operators.Decontamination.contaminationPairs(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") === "heldout")
+          .select(col("doc_id").as("test_id"), col("text")),
+        "doc_id", "test_id", "text", n = 3, minShared = 2)
+    }),
+    // the filtered corpus: train minus every contaminated document
+    "q_decontam_filter" -> ((s, dir) => {
+      val split = operators.Sampling.hashSplit(readWide(s, dir, "documents"),
+        "doc_id", Seq(("train", 0.95), ("heldout", 0.05)), seed = 7L)
+      operators.Decontamination.decontaminate(
+          split.filter(col("split") === "train"),
+          split.filter(col("split") === "heldout")
+            .select(col("doc_id").as("test_id"), col("text")),
+          "doc_id", "test_id", "text", n = 3, minShared = 2)
+        .select("doc_id", "lang", "source")
+    })
   )
 
   /** DuckDB rendering of one RHP hyperplane as a DOUBLE[] literal.
@@ -1530,6 +1555,47 @@ object SparkEntry {
            FROM (VALUES (0.5), (0.9), (0.99)) t(q))
          SELECT qs.q, r.v AS value
          FROM qs CROSS JOIN n
-         JOIN r ON r.rn = CAST(floor((n.n - 1) * qs.q) AS BIGINT) + 1"""
+         JOIN r ON r.rn = CAST(floor((n.n - 1) * qs.q) AS BIGINT) + 1""",
+    // decontamination replay: same md5 hash-bucket split, same distinct
+    // 3-gram shingles (the q_dedup_minhash_pairs CTE), intersection
+    // counted per cross-split pair
+    "q_decontam_pairs" ->
+      """WITH b AS (SELECT doc_id, text,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+               % 1000000 AS bucket
+           FROM documents),
+         w AS (SELECT doc_id, bucket,
+             string_split_regex(trim(lower(text)), '\s+') AS ws FROM b),
+         sh AS (SELECT doc_id, bucket,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS s
+           FROM w),
+         tr AS (SELECT doc_id, s FROM sh WHERE bucket < 950000),
+         te AS (SELECT doc_id, s FROM sh WHERE bucket >= 950000)
+         SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+           CAST(len(list_intersect(tr.s, te.s)) AS BIGINT) AS shared_ngrams
+         FROM tr JOIN te ON len(list_intersect(tr.s, te.s)) >= 2""",
+    "q_decontam_filter" ->
+      """WITH b AS (SELECT doc_id, text, lang, source,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+               % 1000000 AS bucket
+           FROM documents),
+         w AS (SELECT doc_id, bucket,
+             string_split_regex(trim(lower(text)), '\s+') AS ws FROM b),
+         sh AS (SELECT doc_id, bucket,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS s
+           FROM w),
+         tr AS (SELECT doc_id, s FROM sh WHERE bucket < 950000),
+         te AS (SELECT doc_id, s FROM sh WHERE bucket >= 950000),
+         bad AS (SELECT DISTINCT tr.doc_id FROM tr
+           JOIN te ON len(list_intersect(tr.s, te.s)) >= 2)
+         SELECT d.doc_id, d.lang, d.source FROM b d
+         WHERE d.bucket < 950000
+           AND d.doc_id NOT IN (SELECT doc_id FROM bad)"""
   )
 }

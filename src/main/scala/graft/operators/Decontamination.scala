@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find and remove training documents that
+  * overlap an evaluation/benchmark set — the standard pre-training
+  * hygiene pass (an eval example leaking into the training corpus
+  * invalidates the benchmark).
+  *
+  * Contamination is measured as shared distinct word n-grams (the
+  * GPT-3/PaLM-style n-gram collision test): a train document is
+  * contaminated when it shares at least `minShared` distinct n-grams with
+  * some single eval document.
+  *
+  * Scale shape (train = 100 TB, eval = benchmarks, i.e. tiny): the eval
+  * side's exploded (shingle, id) table is BROADCAST; the train side's
+  * shingle explosion feeds the broadcast hash join inside the same
+  * whole-stage-codegen pass, so no shuffle ever carries exploded train
+  * shingles — the only shuffle is the per-(train, eval) hit count, whose
+  * volume is bounded by actual contamination, not corpus size. Shingles
+  * reuse the native [[graft.functions.NGramShingles]] expression (one
+  * compiled pass per document, distinct within a document by
+  * construction — so `count(*)` of join hits IS the distinct shared-gram
+  * count).
+  */
+object Decontamination {
+
+  /** All (train, eval) pairs sharing ≥ `minShared` distinct word
+    * n-grams. Output: `(train_id, test_id, shared_ngrams long)`. */
+  def contaminationPairs(
+      train: DataFrame,
+      test: DataFrame,
+      trainId: String,
+      testId: String,
+      textCol: String,
+      n: Int = 3,
+      minShared: Int = 2): DataFrame = {
+    require(n > 0 && minShared > 0, "n and minShared must be positive")
+    val trainSh = train.select(
+      col(trainId).as("train_id"),
+      explode(Dedup.shingles(col(textCol), n)).as("__sh"))
+    val testSh = test.select(
+      col(testId).as("test_id"),
+      explode(Dedup.shingles(col(textCol), n)).as("__sh"))
+    trainSh.join(broadcast(testSh), Seq("__sh"))
+      .groupBy("train_id", "test_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
+  /** The training corpus minus every contaminated document (any document
+    * flagged by [[contaminationPairs]] against ANY eval document). The
+    * anti-join key set is bounded by contamination volume; Spark/AQE
+    * broadcasts it when small. */
+  def decontaminate(
+      train: DataFrame,
+      test: DataFrame,
+      trainId: String,
+      testId: String,
+      textCol: String,
+      n: Int = 3,
+      minShared: Int = 2): DataFrame = {
+    val bad = contaminationPairs(train, test, trainId, testId, textCol, n, minShared)
+      .select(col("train_id").as(trainId)).distinct()
+    train.join(bad, Seq(trainId), "left_anti")
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Decontamination
+
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def train = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "completely unrelated training text about spark plans"),
+    (3L, "the quick brown fox sat still"),
+    (4L, "short doc")
+  ).toDF("doc_id", "text")
+
+  private def eval_ = Seq(
+    (100L, "a quick brown fox jumps over fences"),
+    (101L, "short doc")
+  ).toDF("test_id", "text")
+
+  test("contaminationPairs counts shared distinct n-grams per (train, eval) pair") {
+    val pairs = Decontamination.contaminationPairs(
+      train, eval_, "doc_id", "test_id", "text", n = 3, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 vs 100 share 3-grams "quick brown fox", "brown fox jumps",
+    // "fox jumps over"; doc 3 vs 100 shares "quick brown fox";
+    // doc 4 vs 101: both under 3 words -> whole-text shingle "short doc"
+    assert(pairs == Set((1L, 100L, 3L), (3L, 100L, 1L), (4L, 101L, 1L)))
+  }
+
+  test("minShared thresholds the pair list") {
+    val pairs = Decontamination.contaminationPairs(
+      train, eval_, "doc_id", "test_id", "text", n = 3, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 100L, 3L)))
+  }
+
+  test("decontaminate drops exactly the flagged training docs") {
+    val kept = Decontamination.decontaminate(
+      train, eval_, "doc_id", "test_id", "text", n = 3, minShared = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+    val keptLoose = Decontamination.decontaminate(
+      train, eval_, "doc_id", "test_id", "text", n = 3, minShared = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptLoose == Set(2L, 3L, 4L))
+  }
+
+  test("duplicated shingles within a document do not inflate counts") {
+    val t = Seq((1L, "x y z x y z x y z")).toDF("doc_id", "text")
+    val e = Seq((9L, "x y z")).toDF("test_id", "text")
+    // distinct 3-grams of t: {"x y z","y z x","z x y"}; of e: {"x y z"}
+    val pairs = Decontamination.contaminationPairs(
+      t, e, "doc_id", "test_id", "text", n = 3, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 9L, 1L)))
+  }
+
+  test("pair counts are stable across partitioning") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val split = graft.operators.Sampling.hashSplit(
+      docs, "doc_id", Seq(("train", 0.9), ("heldout", 0.1)), seed = 3L)
+    val tr = split.filter(col("split") === "train")
+    val te = split.filter(col("split") === "heldout")
+      .select(col("doc_id").as("test_id"), col("text"))
+    def run(parts: Int) = Decontamination.contaminationPairs(
+      tr.repartition(parts), te, "doc_id", "test_id", "text", 3, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(run(1) == run(7))
+  }
+}
