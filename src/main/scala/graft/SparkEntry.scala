@@ -735,7 +735,47 @@ object SparkEntry {
             .select(col("doc_id").as("test_id"), col("text")),
           "doc_id", "test_id", "text", n = 3, minShared = 2)
         .select("doc_id", "lang", "source")
-    })
+    }),
+    // ---- corpus cleaning: segment dedup / span dedup / PII scrub -------
+    // C4-style cross-document segment dedup. The synthetic corpus is
+    // single-line, so the query exercises the operator with a surrogate
+    // delimiter (" the ") that yields real multi-segment documents with
+    // cross-document duplicate segments; production calls use "\n".
+    "q_clean_segment_dedup" -> ((s, dir) =>
+      operators.CorpusClean.segmentDedup(read(s, dir, "documents"),
+        "doc_id", "text", delim = " the ", joiner = " the ", minLen = 1)),
+    // Lee et al. 2022-style duplicated-span removal over 8-token windows
+    "q_clean_span_dedup" -> ((s, dir) =>
+      operators.CorpusClean.spanDedup(read(s, dir, "documents"),
+        "doc_id", "text", w = 8)),
+    // PII scrub over deterministically synthesized PII (the corpus has
+    // none) — replacement and counts both exercised for real
+    "q_clean_pii" -> ((s, dir) => {
+      val withPii = read(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com via 10.0."),
+          pmod(col("doc_id"), lit(256)), lit(".1 or 555-867-530"),
+          pmod(col("doc_id"), lit(10))).as("text"))
+      operators.CorpusClean.piiScrub(withPii, "text")
+        .select("doc_id", "n_email", "n_ip", "n_phone", "text_redacted")
+    }),
+    // ---- embedding clustering: k-means + SemDeDup ----------------------
+    // two Lloyd iterations, exact integer-sum centroid updates (the
+    // quantized-micro-unit discipline that makes the iterative algorithm
+    // bit-reproducible cross-engine)
+    "q_cluster_kmeans" -> ((s, dir) =>
+      operators.Clustering.kmeansAssign(read(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 2)
+        .select("vec_id", "cluster")),
+    // SemDeDup: within-cluster cosine near-dup drop (keep lowest id)
+    "q_cluster_semdedup" -> ((s, dir) =>
+      operators.Clustering.semDedup(read(s, dir, "embeddings"),
+          "vec_id", "embedding", tau = 0.4, k = 8, iters = 2)
+        .select("vec_id", "label", "cluster")),
+    // BM25 lexical top-k (integer micro-unit scores — see TextSearch)
+    "q_bm25_topk" -> ((s, dir) =>
+      operators.TextSearch.bm25TopK(read(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "window", "merge"), k = 10))
   )
 
   /** DuckDB rendering of one RHP hyperplane as a DOUBLE[] literal.
@@ -1596,6 +1636,145 @@ object SparkEntry {
            JOIN te ON len(list_intersect(tr.s, te.s)) >= 2)
          SELECT d.doc_id, d.lang, d.source FROM b d
          WHERE d.bucket < 950000
-           AND d.doc_id NOT IN (SELECT doc_id FROM bad)"""
+           AND d.doc_id NOT IN (SELECT doc_id FROM bad)""",
+    "q_clean_segment_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, ' the ') AS ls
+           FROM documents),
+         segs AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos,
+             unnest(ls) AS seg FROM d),
+         keep AS (
+           SELECT doc_id, pos, seg FROM (
+             SELECT doc_id, pos, seg,
+               row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+             FROM segs WHERE length(seg) >= 1) WHERE rn = 1
+           UNION ALL SELECT doc_id, pos, seg FROM segs WHERE length(seg) < 1),
+         rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(seg, ' the ' ORDER BY pos) AS text_clean
+           FROM keep GROUP BY doc_id)
+         SELECT d.doc_id, CAST(len(d.ls) AS BIGINT) AS n_segments,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(d.ls) - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+           coalesce(r.text_clean, '') AS text_clean
+         FROM d LEFT JOIN rebuilt r USING (doc_id)""",
+    "q_clean_span_dedup" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+         wins AS (SELECT doc_id,
+             unnest(range(0, len(ws) - 7)) AS pos,
+             unnest(list_transform(range(0, len(ws) - 7),
+               i -> md5(array_to_string(ws[i+1:i+8], ' ')))) AS h
+           FROM d WHERE len(ws) >= 8),
+         marked AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY h) AS c
+           FROM wins),
+         starts AS (SELECT doc_id, list_sort(list(pos)) AS st
+           FROM marked WHERE c > 1 AND rn > 1 GROUP BY doc_id),
+         cut AS (SELECT d.doc_id, d.ws,
+             coalesce(s.st, CAST([] AS BIGINT[])) AS st
+           FROM d LEFT JOIN starts s USING (doc_id)),
+         kept AS (SELECT doc_id, ws,
+             list_filter(range(0, len(ws)),
+               i -> len(list_filter(st, s -> s <= i AND i < s + 8)) = 0) AS k
+           FROM cut)
+         SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(ws) - len(k) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(list_transform(k, i -> ws[i+1]), ' '), '')
+             AS text_clean
+         FROM kept""",
+    "q_clean_pii" ->
+      """WITH p AS (SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR ||
+               '@example.com via 10.0.' || (doc_id % 256)::VARCHAR ||
+               '.1 or 555-867-530' || (doc_id % 10)::VARCHAR AS text
+           FROM documents),
+         s1 AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_email,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t FROM p),
+         s2 AS (SELECT doc_id, n_email,
+             CAST(len(regexpextractallip) AS BIGINT) AS n_ip,
+             regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+               '<IP>', 'g') AS t
+           FROM (SELECT doc_id, n_email, t,
+             regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')
+               AS regexpextractallip FROM s1))
+         SELECT doc_id, n_email, n_ip,
+           CAST(len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+             AS BIGINT) AS n_phone,
+           regexp_replace(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')
+             AS text_redacted
+         FROM s2""",
+    "q_cluster_kmeans" -> (kmeansCtes +
+      " SELECT vec_id, CAST(j AS INT) AS cluster FROM a1"),
+    "q_cluster_semdedup" -> (kmeansCtes +
+      """, p AS (SELECT b.vec_id AS drop_id
+           FROM a1 a JOIN a1 b ON a.j = b.j AND a.vec_id < b.vec_id
+             AND list_cosine_similarity(a.v, b.v) >= 0.4)
+         SELECT a1.vec_id, e.label, CAST(a1.j AS INT) AS cluster
+         FROM a1 JOIN embeddings e ON e.vec_id = a1.vec_id
+         WHERE a1.vec_id NOT IN (SELECT drop_id FROM p)"""),
+    // BM25 replay: identical operation order as TextSearch.bm25TopK —
+    // constants written as the same arithmetic ((1.2 + 1.0), (1.0 - 0.75))
+    // so both engines fold to bit-identical doubles; the ln sits behind
+    // the micro-unit rounding
+    "q_bm25_topk" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+         tfg AS (SELECT doc, dl, term, count(*) AS tf FROM (
+             SELECT doc_id AS doc, CAST(len(ws) AS BIGINT) AS dl,
+               unnest(ws) AS term FROM d)
+           GROUP BY 1, 2, 3),
+         scal AS (SELECT count(*) AS n, CAST(sum(len(ws)) AS BIGINT) AS tot FROM d),
+         q AS (SELECT unnest(['spark', 'window', 'merge']) AS term),
+         dfreq AS (SELECT term, count(DISTINCT doc) AS df
+           FROM tfg JOIN q USING (term) GROUP BY 1),
+         contrib AS (SELECT doc,
+             CAST(round(
+               ln(1.0 + (CAST(scal.n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+               ((tf * (1.2 + 1.0)) /
+                 (tf + 1.2 * ((1.0 - 0.75) +
+                   0.75 * dl / (CAST(scal.tot AS DOUBLE) / scal.n)))) *
+               1000000.0) AS BIGINT) AS c
+           FROM tfg JOIN dfreq USING (term), scal),
+         scored AS (SELECT doc, sum(c) AS score_micros FROM contrib GROUP BY doc)
+         SELECT doc, score_micros,
+           CAST(row_number() OVER (ORDER BY CAST(score_micros AS DOUBLE) DESC, doc)
+             AS INT) AS rank
+         FROM scored QUALIFY rank <= 10"""
   )
+
+  /** Shared CTE chain replaying two exact Lloyd iterations (seeds by the
+    * IVF every-⌈n/k⌉-th rule; integer micro-unit centroid sums; the
+    * `c·c − 2·x·c` argmin surrogate with ties to the smallest centroid
+    * id) — the same arithmetic, in the same order, as
+    * [[graft.operators.Clustering.kmeansAssign]]. (A `def`: `oracleSql`
+    * initializes before a later-declared `val` would.) */
+  private def kmeansCtes: String =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id, v,
+           list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS qv FROM emb),
+       stepc AS (SELECT greatest(1, (SELECT count(*) FROM emb) // 8) AS step),
+       seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qv
+         FROM q, stepc WHERE vec_id % stepc.step = 0 ORDER BY vec_id LIMIT 8),
+       cent0 AS (SELECT j,
+           list_transform(qv, s -> CAST(s AS DOUBLE) / 1000000.0) AS c FROM seed),
+       a0 AS (SELECT q.vec_id, q.qv,
+           (SELECT c0.j FROM cent0 c0
+            ORDER BY list_dot_product(c0.c, c0.c) - 2 * list_dot_product(q.v, c0.c),
+              c0.j LIMIT 1) AS j
+         FROM q),
+       s1 AS (SELECT a0.j AS j, t.i AS i, sum(a0.qv[t.i]) AS s, count(*) AS cnt
+         FROM a0, UNNEST(range(1, len(a0.qv) + 1)) AS t(i)
+         GROUP BY 1, 2),
+       cent1 AS (SELECT j, list(CAST(s AS DOUBLE) / (1000000.0 * cnt) ORDER BY i) AS c
+         FROM s1 GROUP BY j),
+       a1 AS (SELECT q.vec_id, q.v,
+           (SELECT c1.j FROM cent1 c1
+            ORDER BY list_dot_product(c1.c, c1.c) - 2 * list_dot_product(q.v, c1.c),
+              c1.j LIMIT 1) AS j
+         FROM q)"""
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space clustering for corpus organization: distributed
+  * k-means (Lloyd) and SemDeDup-style semantic deduplication (cluster,
+  * then drop near-identical members within each cluster — Abbas et al.
+  * 2023). Clustering is the scale-enabler for semantic dedup: the
+  * within-cluster pair space is corpus²/k instead of corpus².
+  *
+  * Determinism contract (what makes an ITERATIVE approximate algorithm
+  * exactly oracle-able, the same discipline as the PQ codebooks):
+  *  - vectors are quantized once to integer micro-units
+  *    (`round(x·10⁶) :: long`), so centroid SUMS are exact integers —
+  *    no floating-point accumulation order anywhere in the update step,
+  *    hence no drift between engines or between partitionings of the
+  *    same data;
+  *  - each centroid element is exactly one integer-to-double division,
+  *    and distances fold left-to-right (the proven VectorDot ↔
+  *    `list_dot_product` parity), so assignment decisions are
+  *    bit-reproducible;
+  *  - seeds are the IVF rule (every ⌈n/k⌉-th vector by id), no RNG.
+  *
+  * Scale shape: assignment is map-only with centroids broadcast as
+  * literals; the update step is one map-side-combined aggregation whose
+  * shuffle is bounded by k·dims rows per input partition; driver state
+  * is k·dims longs. Lloyd is inherently one pass per iteration — callers
+  * cap `iters` (2–10 typical) and sample the corpus for seeding/training
+  * when even that is too hot.
+  */
+object Clustering {
+
+  private val Micro = 1000000L
+
+  /** Integer micro-unit quantization of a float/double vector column. */
+  private def quantize(vec: Column): Column =
+    transform(vec.cast("array<double>"), x => round(x * Micro.toDouble).cast("long"))
+
+  /** Squared-distance surrogate `c·c − 2·x·c` (the `x·x` term is
+    * constant under argmin over centroids). `cc` is pre-folded on the
+    * driver with the same ascending sequential order as
+    * [[Similarity.dot]] and DuckDB's `list_dot_product`. */
+  private def distSurrogate(vec: Column, c: Seq[Double]): Column = {
+    val cc = c.foldLeft(0.0d)((acc, x) => acc + x * x)
+    lit(cc) - lit(2.0d) * Similarity.dot(vec.cast("array<double>"), typedLit(c))
+  }
+
+  /** Nearest-centroid id via the array_max/array_min-over-structs argmin
+    * (see the expression-tree note at [[Similarity.ivfTopK]]). Ties break
+    * to the smallest centroid id. */
+  private def nearest(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(cents.map { case (j, c) =>
+      struct(distSurrogate(vec, c).as("d"), lit(j).as("j"))
+    }: _*)).getField("j")
+
+  /** Fit `iters` Lloyd iterations and append the final assignment as
+    * `cluster` (int). Clusters that lose every member simply drop out of
+    * subsequent iterations (deterministically — both engines see the
+    * same memberships). */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    // distances use the raw double vector; SUMS use the quantized one —
+    // quantization exists to make the update exact, not to rescale space
+    val quantized = df.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"), quantize(col(vecCol)).as("__qv"))
+
+    // IVF seeding rule: every ⌈n/k⌉-th vector by id — deterministic, no RNG
+    val n = quantized.count()
+    val step = math.max(1L, n / k)
+    var sums: Array[(Int, Seq[Long], Long)] = quantized
+      .filter(pmod(col("__id"), lit(step)) === 0)
+      .orderBy(col("__id"))
+      .limit(k)
+      .select(col("__qv"))
+      .collect()
+      .zipWithIndex
+      .map { case (r: Row, j) => (j, r.getSeq[Long](0), 1L) }
+
+    def centroids: Seq[(Int, Seq[Double])] = sums.toSeq.map { case (j, s, cnt) =>
+      (j, s.map(v => v.toDouble / (Micro.toDouble * cnt)))
+    }
+
+    for (_ <- 1 until iters) {
+      val assigned = quantized.withColumn("__c", nearest(col("__v"), centroids))
+      // exact integer update: element sums AND member counts in ONE
+      // map-side-combined aggregation (≤ k·dims rows per input partition
+      // in the shuffle; the per-(cluster, pos) row count IS the cluster
+      // size, so no second corpus pass)
+      sums = assigned
+        .select(col("__c"), posexplode(col("__qv")).as(Seq("__pos", "__q")))
+        .groupBy(col("__c"), col("__pos"))
+        .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+        .groupBy(col("__c"))
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__s")))).as("__sv"),
+          max(col("__n")).as("__cnt"))
+        .collect()
+        .map { r =>
+          (r.getInt(0), r.getSeq[Row](1).map(_.getLong(1)), r.getLong(2))
+        }
+        .sortBy(_._1)
+    }
+
+    df.withColumn("cluster", nearest(col(vecCol), centroids).cast("int"))
+  }
+
+  /** SemDeDup: k-means-cluster the embeddings, then inside each cluster
+    * drop every row whose cosine similarity to ANY lower-id cluster
+    * member reaches `tau` — the deterministic keep-lowest-id variant of
+    * Abbas et al.'s random-keeper rule. Returns the surviving rows with
+    * their `cluster` id.
+    *
+    * The within-cluster self-join is the point of the clustering: pair
+    * work is Σ|cluster|² ≈ n²/k instead of n², and the join shuffles on
+    * the cluster key with both sides arriving through the SAME exchange
+    * (self-join on one partitioning). The cosine threshold decision is
+    * engine-reproducible (VectorDot parity; same discipline as the
+    * LSH near-dup threshold). */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val assigned = kmeansAssign(df, idCol, vecCol, k, iters)
+    val slim = assigned.select(col("cluster"), col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val dropped = slim.alias("a")
+      .join(slim.alias("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.__id") < col("b.__id") &&
+          Similarity.cosine(col("a.__v"), col("b.__v")) >= tau)
+      .select(col("b.__id").as("__drop"))
+      .distinct()
+    assigned.join(dropped, assigned(idCol) === dropped("__drop"), "left_anti")
+  }
+}

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-cleaning operators for training-data pipelines: cross-document
+  * segment (line/paragraph) deduplication, duplicated-span removal, and
+  * PII scrubbing. These are the standard hygiene passes (C4-style line
+  * dedup; exact-substring span dedup in the style of Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better") applied
+  * BEFORE document-level dedup, because boilerplate shared across
+  * otherwise-distinct pages defeats whole-document hashing.
+  *
+  * Scale shape (100 TB contract):
+  *  - both dedup passes shuffle ONCE on the segment/window key with
+  *    map-side partial aggregation, so a boilerplate line repeated a
+  *    billion times ("subscribe to our newsletter") costs each map task
+  *    one partial row — no hot-key reducer;
+  *  - the rebuild pass shuffles only surviving segments, keyed by the
+  *    (high-cardinality) document id;
+  *  - all hashes are md5 (the [[Sampling.hashBucket]] discipline), so
+  *    every decision is reproducible in any engine and oracle-checkable;
+  *  - PII scrubbing is a pure projection (map-only at any scale).
+  */
+object CorpusClean {
+
+  /** Cross-document segment dedup (C4-style "line" dedup): split each
+    * document on `delim`, drop every occurrence of a repeated segment
+    * except the first (minimum `(id, position)` lexicographically — the
+    * same keep-first rule as [[Dedup.exactDedup]]), and rebuild documents
+    * from the surviving segments joined with `joiner`.
+    *
+    * Segments shorter than `minLen` characters are exempt from dedup and
+    * always kept: short fragments (blank lines, "Home", bullets) repeat
+    * legitimately and would otherwise be deduped across the whole corpus.
+    * This also keeps the empty-string hot key out of the shuffle.
+    *
+    * Plan: explode → ONE `groupBy(segment)` whose `min(struct(id, pos))`
+    * aggregate IS the surviving-occurrence set (no join back to the
+    * exploded table — the aggregate output carries everything the rebuild
+    * needs), partial-aggregated map-side so duplicate-heavy keys stay
+    * skew-safe → union the exempt short segments (no shuffle) → one
+    * `groupBy(id)` rebuild → left join against the per-document segment
+    * counts (map-only on the base table, co-partitioned with the rebuild
+    * exchange). Documents whose every segment was dropped surface with
+    * `n_kept = 0` and an empty `text_clean`, not as missing rows.
+    *
+    * Output: `(id, n_segments, n_kept, n_dropped, text_clean)`.
+    */
+  def segmentDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n",
+      joiner: String = "\n",
+      minLen: Int = 1): DataFrame = {
+    val id = col(idCol)
+    val segs = df
+      .select(id.as("__id"), posexplode(split(col(textCol), delim)).as(Seq("__pos", "__seg")))
+    val long = segs.filter(length(col("__seg")) >= minLen)
+    val short = segs.filter(length(col("__seg")) < minLen)
+    // the aggregate output IS the survivor set: (segment, first id, first pos)
+    val kept = long
+      .groupBy(col("__seg"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+      .select(col("__first.__id").as("__id"), col("__first.__pos").as("__pos"), col("__seg"))
+      .unionByName(short)
+    val rebuilt = kept
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(joiner,
+          transform(array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+            s => s.getField("__seg"))).as("text_clean"))
+    df.select(id.as("__id"), size(split(col(textCol), delim)).cast("long").as("n_segments"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Duplicated-span removal (Lee et al. 2022 ExactSubstr, re-expressed
+    * relationally): every run of `w` consecutive word tokens is hashed
+    * (md5 of the space-joined window — cross-engine reproducible); a
+    * window whose hash occurs more than once corpus-wide keeps only its
+    * first occurrence (min `(id, position)`), and every token covered
+    * only by non-first duplicate windows is removed from its document.
+    *
+    * Plan: window hashes are built per document with ONE higher-order
+    * `transform` over the token array (no per-window explode of token
+    * text — the shuffle carries (hash, id, pos), never token payloads)
+    * → posexplode → ONE `groupBy(hash)` with map-side partial agg (the
+    * count and the min-position ride the same aggregate, so repeated
+    * boilerplate spans stay skew-safe) → the duplicate-occurrence join
+    * reuses the aggregate's hash-partitioned exchange → duplicate span
+    * STARTS collapse per document (`collect_list` bounded by the
+    * document's own window count) → the final cut is a map-only
+    * higher-order filter over token indices. For corpora where
+    * duplication is pathological (most windows duplicated), the
+    * per-document starts array approaches token count and the O(n·k)
+    * coverage filter degrades — at that point dedup the documents, not
+    * the spans.
+    *
+    * Output: `(id, n_tokens, n_removed, text_clean)` where `text_clean`
+    * is the space-joined surviving tokens in original order.
+    */
+  def spanDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8): DataFrame = {
+    require(w >= 2, "window width must be >= 2")
+    val id = col(idCol)
+    val base = df.select(id.as("__id"), toks(col(textCol)).as("__toks"))
+    val wins = base
+      .filter(size(col("__toks")) >= w)
+      .select(col("__id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("__toks")) - lit(w)),
+          i => md5(concat_ws(" ", slice(col("__toks"), i + lit(1), lit(w))))))
+          .as(Seq("__pos", "__h")))
+    val firsts = wins
+      .groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"), count(lit(1)).as("__c"))
+    val dupStarts = wins
+      .join(firsts, Seq("__h"))
+      .filter(col("__c") > 1 &&
+        !(col("__id") === col("__first.__id") && col("__pos") === col("__first.__pos")))
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(col("__pos"))).as("__starts"))
+    base
+      .join(dupStarts, Seq("__id"), "left")
+      .select(
+        col("__id"),
+        col("__toks"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__starts"))
+      .select(
+        col("__id").as(idCol),
+        col("__toks"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        filter(
+          sequence(lit(0), size(col("__toks")) - lit(1)),
+          i => !exists(col("__starts"), s => s <= i && i < s + lit(w))).as("__kept"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        (col("n_tokens") - size(col("__kept"))).as("n_removed"),
+        concat_ws(" ",
+          transform(col("__kept"), i => element_at(col("__toks"), i + lit(1))))
+          .as("text_clean"))
+  }
+
+  /** RE2-compatible PII patterns (no lookarounds, no backreferences), so
+    * the IDENTICAL pattern string runs in Java regex (Spark) and RE2
+    * (DuckDB, Go tooling) with the same matches. Order matters: emails
+    * first (their local parts can contain digit runs), then IPv4, then
+    * phone-shaped digit runs. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"))
+
+  /** The redaction alone, as a pure column (chained replacements in
+    * [[piiPatterns]] order) — for callers that need the scrub inline
+    * (e.g. streaming curation) without the count columns. */
+  def redactText(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, pat, repl)) =>
+      regexp_replace(t, pat, repl)
+    }
+
+  /** PII scrubbing: replace email / IPv4 / phone-shaped substrings with
+    * typed placeholder tokens and count each category. Pure projection —
+    * counts are taken against the text state each pattern actually sees
+    * (i.e. after the previous replacements), which is also what the
+    * replacement itself sees, so counts always equal replacements made.
+    *
+    * Adds `n_<category>` counts and `text_redacted`.
+    */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val (out, counts) = piiPatterns.foldLeft((col(textCol), Seq.empty[Column])) {
+      case ((txt, acc), (name, pat, repl)) =>
+        (regexp_replace(txt, pat, repl),
+          acc :+ regexp_count(txt, lit(pat)).cast("long").as(s"n_$name"))
+    }
+    df.select(df.columns.map(col) ++ counts :+ out.as("text_redacted"): _*)
+  }
+}

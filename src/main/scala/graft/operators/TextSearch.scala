@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical relevance search over the corpus: BM25 scoring of documents
+  * against a (small) term query — the retrieval half of a
+  * dedup/curation/inspection loop ("show me what the corpus says about
+  * X"), complementing the embedding-space ANN operators.
+  *
+  * Scale shape: document statistics (term frequencies, document length)
+  * are ONE explode + aggregation keyed by (doc, term) with map-side
+  * combine; document frequencies aggregate the (term, df) table, which is
+  * vocabulary-bounded; the query-term table is tiny and BROADCAST, so
+  * scoring is a broadcast hash join + one exact integer aggregation —
+  * no corpus-sized shuffle anywhere. Corpus statistics (N, avgdl) are two
+  * driver scalars.
+  *
+  * Determinism contract: per-(doc, term) BM25 contributions are computed
+  * as doubles with a fixed operation order, then rounded to integer
+  * MICRO-UNITS before the per-document sum — an exact integer aggregation
+  * that is independent of partitioning and reduce order (a double sum
+  * would not be), and reproducible in any engine. The only
+  * transcendental, `ln` in the idf, sits behind the 10⁻⁶ rounding, so a
+  * 1-ulp libm disagreement cannot flip a score.
+  */
+object TextSearch {
+
+  private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Per-(doc, term) frequencies plus document length — the inverted
+    * index's posting payload. */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), toks(col(textCol)).as("__t"))
+      .select(col("doc"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+      .groupBy(col("doc"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k: score every document containing at least one query term,
+    * return the best `k` by score (ties to the smaller id).
+    *
+    * Output: `(doc, score_micros, rank)` — scores in integer micro-units
+    * (see the determinism contract above).
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2d,
+      b: Double = 0.75d): DataFrame = {
+    require(queryTerms.nonEmpty, "query must have at least one term")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val tf = termFrequencies(df, idCol, textCol)
+    // corpus scalars: one tiny aggregate (N docs, total token count)
+    val (nDocs, totalLen) = df
+      .agg(count(lit(1)), sum(size(toks(col(textCol)))).cast("long"))
+      .as[(Long, Long)].head()
+    val avgdl = totalLen.toDouble / nDocs
+
+    val q = queryTerms.distinct.toDF("term")
+    val dfreq = tf.join(broadcast(q), Seq("term"))
+      .groupBy(col("term")).agg(countDistinct(col("doc")).as("df"))
+
+    // Lucene-style non-negative idf: ln(1 + (N − df + .5)/(df + .5))
+    val idf = log(lit(1.0d) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)))
+    val tfComp = (col("tf") * lit(k1 + 1.0d)) /
+      (col("tf") + lit(k1) * (lit(1.0d - b) + lit(b) * col("dl") / lit(avgdl)))
+    val contrib = round(idf * tfComp * lit(1000000.0d)).cast("long")
+
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .select(col("doc"), contrib.as("__c"))
+      .groupBy(col("doc"))
+      .agg(sum(col("__c")).as("score_micros"))
+
+    // the scored set is bounded by documents sharing a query term; the
+    // two-phase heap is unnecessary at that size — but reuse it anyway so
+    // the plan stays safe when a query term is a stopword
+    Similarity.topKPerQuery(
+        scored.withColumn("__q", lit(1))
+          .withColumn("__s", col("score_micros").cast("double")),
+        k, "__q", "__s", "doc")
+      .select(col("doc"), col("score_micros"), col("rank"))
+  }
+}

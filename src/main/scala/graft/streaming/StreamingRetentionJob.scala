@@ -129,10 +129,18 @@ object StreamingRetentionJob {
       maxDupWordFrac: Double = 0.7,
       maxDupNgramFrac: Double = 0.2,
       shingleN: Int = 3,
-      watermark: String = "1 hour"): DataFrame = {
-    import graft.operators.TextAnalysis
+      watermark: String = "1 hour",
+      scrubPii: Boolean = false): DataFrame = {
+    import graft.operators.{CorpusClean, TextAnalysis}
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val scored = stream
+    // scrub FIRST (stateless projection) so quality scoring and both
+    // dedup fingerprints see the redacted text — two documents differing
+    // only in PII dedup as the duplicates they are
+    val input =
+      if (scrubPii)
+        stream.withColumn(textCol, CorpusClean.redactText(col(textCol)))
+      else stream
+    val scored = input
       .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
       .filter(
         round(TextAnalysis.dupWordFrac(col(textCol)), 6) <= maxDupWordFrac &&

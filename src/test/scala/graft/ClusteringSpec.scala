@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Clustering
+
+/** Unit tests for k-means and SemDeDup on crafted embeddings with
+  * hand-checkable cluster structure. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("kmeansAssign separates two obvious blobs") {
+    // ids chosen so the seed rule (every ⌈n/k⌉-th by id) picks one seed
+    // from each blob: n=6, k=2 → step 3 → seeds at ids 0 and 3
+    val d = df(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(1.1f, -0.1f)),
+      (3L, Seq(-1f, 5f)), (4L, Seq(-0.9f, 5.2f)), (5L, Seq(-1.1f, 4.8f)))
+    val out = Clustering.kmeansAssign(d, "vec_id", "embedding", k = 2, iters = 2)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(out(0L) === out(1L) && out(1L) === out(2L))
+    assert(out(3L) === out(4L) && out(4L) === out(5L))
+    assert(out(0L) !== out(3L))
+  }
+
+  test("kmeansAssign iteration moves a boundary point to the updated centroid") {
+    // seeds (step 3): id 0 = (0,0), id 3 = (10,0). After one update the
+    // left centroid moves to ~(1,0) mean of {0,1,2-ish}; the point at
+    // (4.9,0) starts nearer seed 0? no: |4.9-0|=4.9 vs |10-4.9|=5.1 → left
+    // at first; stays left only if the updated centroid keeps it — the
+    // test pins that two iterations run without degenerating (all points
+    // keep a cluster in [0,k))
+    val d = df(
+      (0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(2f, 0f)),
+      (3L, Seq(10f, 0f)), (4L, Seq(11f, 0f)), (5L, Seq(4.9f, 0f)))
+    val out = Clustering.kmeansAssign(d, "vec_id", "embedding", k = 2, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(out.values.forall(c => c >= 0 && c < 2))
+    assert(out(3L) === out(4L))
+    assert(out(0L) === out(1L))
+  }
+
+  test("semDedup drops the higher-id near-duplicate within a cluster") {
+    val d = df(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0.99f, 0.01f, 0f)), // near-dups
+      (2L, Seq(0f, 5f, 0f)),
+      (3L, Seq(0f, 0f, 3f)))
+    val kept = Clustering.semDedup(d, "vec_id", "embedding", tau = 0.99,
+        k = 2, iters = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(0L) && !kept.contains(1L))
+    assert(kept.contains(2L) && kept.contains(3L))
+  }
+
+  test("quantized centroid updates are exact: same result at any partitioning") {
+    val rows = (0L until 40L).map(i =>
+      (i, Seq.tabulate(4)(dd => ((i % 7).toFloat + dd) / 3f)))
+    val one = Clustering.kmeansAssign(df(rows: _*).repartition(1),
+      "vec_id", "embedding", k = 3, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toSet
+    val many = Clustering.kmeansAssign(df(rows: _*).repartition(7),
+      "vec_id", "embedding", k = 3, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toSet
+    assert(one === many)
+  }
+}

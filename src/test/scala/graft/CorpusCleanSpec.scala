@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.CorpusClean
+import org.apache.spark.sql.Row
+
+/** Unit tests for the corpus-cleaning passes on crafted documents where
+  * the expected survivors are hand-computable. */
+class CorpusCleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("segmentDedup keeps first occurrence of a repeated segment, exempts short ones") {
+    val docs = Seq(
+      (1L, "alpha beta\nshared boilerplate line\nunique one\nok"),
+      (2L, "shared boilerplate line\nunique two\nok"),
+      (3L, "unique three\nshared boilerplate line")).toDF("doc_id", "text")
+    val out = CorpusClean.segmentDedup(docs, "doc_id", "text", minLen = 3)
+      .orderBy("doc_id")
+      .collect()
+    // "shared boilerplate line" survives only in doc 1 (min id); "ok" is
+    // short (< 3 chars) and exempt, kept in both 1 and 2
+    assert(out(0) === Row(1L, 4L, 4L, 0L, "alpha beta\nshared boilerplate line\nunique one\nok"))
+    assert(out(1) === Row(2L, 3L, 2L, 1L, "unique two\nok"))
+    assert(out(2) === Row(3L, 2L, 1L, 1L, "unique three"))
+  }
+
+  test("segmentDedup surfaces fully-deduped documents with empty text") {
+    val docs = Seq(
+      (1L, "same line"),
+      (2L, "same line")).toDF("doc_id", "text")
+    val out = CorpusClean.segmentDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0) === Row(1L, 1L, 1L, 0L, "same line"))
+    assert(out(1) === Row(2L, 1L, 0L, 1L, ""))
+  }
+
+  test("spanDedup removes covered tokens of non-first duplicate windows only") {
+    // doc 2 repeats doc 1's first 4 tokens (one w=3 dup window pair at
+    // positions 0 and 1); doc 3 is too short for any window
+    val docs = Seq(
+      (1L, "a b c d x y"),
+      (2L, "q a b c d z"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val out = CorpusClean.spanDedup(docs, "doc_id", "text", w = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0) === Row(1L, 6L, 0L, "a b c d x y"))
+    // dup windows in doc 2: "a b c" (pos 1), "b c d" (pos 2) → tokens 1-4 cut
+    assert(out(1) === Row(2L, 6L, 4L, "q z"))
+    assert(out(2) === Row(3L, 2L, 0L, "a b"))
+  }
+
+  test("spanDedup keeps every first occurrence intact") {
+    val docs = Seq(
+      (10L, "one two three four five"),
+      (20L, "one two three four five")).toDF("doc_id", "text")
+    val out = CorpusClean.spanDedup(docs, "doc_id", "text", w = 5)
+      .orderBy("doc_id").collect()
+    assert(out(0) === Row(10L, 5L, 0L, "one two three four five"))
+    assert(out(1) === Row(20L, 5L, 5L, ""))
+  }
+
+  test("piiScrub replaces and counts each category against its own input state") {
+    val docs = Seq(
+      (1L, "mail a.b+c@test.org and b@x.io, ip 192.168.0.1, call 555-867-5309"),
+      (2L, "clean text, version 1.2.3.4.5 has five parts")).toDF("doc_id", "text")
+    val out = CorpusClean.piiScrub(docs, "text")
+      .select("doc_id", "n_email", "n_ip", "n_phone", "text_redacted")
+      .orderBy("doc_id").collect()
+    assert(out(0) === Row(1L, 2L, 1L, 1L,
+      "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE>"))
+    // 1.2.3.4.5: the IP pattern matches its first four octets (\b boundaries
+    // are digit/dot transitions) — documented RE2-compatible behavior, same
+    // in the oracle engine
+    assert(out(1).getLong(1) === 0L && out(1).getLong(3) === 0L)
+  }
+}

@@ -132,4 +132,37 @@ class PlanAuditSpec extends SparkSpec {
     val exchangeBlock = simPlan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!exchangeBlock.contains("fp_a") && !exchangeBlock.contains("fp_b"), simPlan)
   }
+
+  test("segment dedup keep-first aggregate partial-aggregates map-side") {
+    // a boilerplate line repeated a billion times must cost each map task
+    // one partial row — the min(struct) and count must appear as partial_
+    // below the segment exchange
+    val plan = formatted("q_clean_segment_dedup")
+    assert(plan.contains("partial_min"), plan)
+  }
+
+  test("span dedup: no nested-loop join, hash partial agg on window hashes") {
+    val plan = formatted("q_clean_span_dedup")
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(plan.contains("partial_min") && plan.contains("partial_count"), plan)
+  }
+
+  test("k-means final assignment is map-only: zero exchanges, codegen'd") {
+    // the iterative updates are separate driver-fold jobs; the RETURNED
+    // frame (assignment of the full corpus) must be a pure projection
+    // with centroids folded in as literals
+    val df = operators.Clustering.kmeansAssign(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      "vec_id", "embedding", k = 4, iters = 2)
+    val plan = df.queryExecution.explainString(SimpleMode)
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*("), plan)
+  }
+
+  test("BM25 broadcasts the query-term and df sides; tf agg combines map-side") {
+    val plan = formatted("q_bm25_topk")
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
 }

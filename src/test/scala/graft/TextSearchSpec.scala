@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.TextSearch
+
+/** Unit tests for BM25 ranking behavior on a crafted corpus. */
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark spark spark runs fast"),
+    (2L, "spark runs on a cluster of machines today"),
+    (3L, "ducks swim on the pond"),
+    (4L, "rare pelican spotted near the pond today")).toDF("doc_id", "text")
+
+  test("term frequency table carries tf and dl") {
+    val tf = TextSearch.termFrequencies(docs, "doc_id", "text")
+      .as[(Long, Long, String, Long)].collect()
+      .map { case (doc, dl, term, n) => ((doc, term), (dl, n)) }.toMap
+    assert(tf((1L, "spark")) === (5L, 3L))
+    assert(tf((2L, "spark")) === (8L, 1L))
+    assert(!tf.contains((3L, "spark")))
+  }
+
+  test("higher tf ranks higher for a single-term query") {
+    val out = TextSearch.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 10)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L))
+    assert(out(0)._2 > out(1)._2)
+  }
+
+  test("rarer terms contribute more (idf)") {
+    // "pond" appears in 2 docs, "pelican" in 1: doc 4 matches both and
+    // must outrank doc 3 (pond only)
+    val out = TextSearch.bm25TopK(docs, "doc_id", "text",
+        Seq("pond", "pelican"), k = 10)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(out.map(_._1).toSeq === Seq(4L, 3L))
+  }
+
+  test("only documents sharing a query term are scored, k caps the output") {
+    val out = TextSearch.bm25TopK(docs, "doc_id", "text",
+        Seq("today"), k = 1)
+      .as[(Long, Long, Int)].collect()
+    assert(out.length === 1)
+    // doc 4 (dl 7) edges doc 2 (dl 8) on length normalization
+    assert(out.head._1 === 4L && out.head._3 === 1)
+  }
+}
