@@ -775,7 +775,30 @@ object SparkEntry {
     // BM25 lexical top-k (integer micro-unit scores — see TextSearch)
     "q_bm25_topk" -> ((s, dir) =>
       operators.TextSearch.bm25TopK(read(s, dir, "documents"),
-        "doc_id", "text", Seq("spark", "window", "merge"), k = 10))
+        "doc_id", "text", Seq("spark", "window", "merge"), k = 10)),
+    // composed cleaning pipeline (CleanJob): PII scrub → segment dedup →
+    // span dedup → empty-drop → deterministic split, one lazy plan.
+    // Synthesized per-row PII as in q_clean_pii (the corpus is digit-free,
+    // so the email stage is the only one that can fire — the oracle
+    // mirrors exactly that)
+    "q_pipeline_clean" -> ((s, dir) => {
+      val withPii = read(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("source"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com end")).as("text"))
+      jobs.CleanJob.clean(withPii, jobs.CleanJob.CleanOptions(
+          segmentDelim = " the ", segmentJoiner = " the ", spanW = 8,
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          seed = 42L))
+        .select("doc_id", "lang", "source", "n_pii",
+          "n_segments_dropped", "n_tokens_removed", "split", "text")
+    }),
+    // BPE merge-rule training: 5 exact integer-count iterations (corpus
+    // scanned once; merges applied by literal string replace — see
+    // BpeTrainer's determinism contract)
+    "q_bpe_merges" -> ((s, dir) =>
+      operators.BpeTrainer.trainDF(s, read(s, dir, "documents"), "text",
+        nMerges = 5))
   )
 
   /** DuckDB rendering of one RHP hyperplane as a DOUBLE[] literal.
@@ -1658,11 +1681,11 @@ object SparkEntry {
          FROM d LEFT JOIN rebuilt r USING (doc_id)""",
     "q_clean_span_dedup" ->
       """WITH d AS (SELECT doc_id,
-             string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+             string_split_regex(trim(text), '\s+') AS ws FROM documents),
          wins AS (SELECT doc_id,
              unnest(range(0, len(ws) - 7)) AS pos,
              unnest(list_transform(range(0, len(ws) - 7),
-               i -> md5(array_to_string(ws[i+1:i+8], ' ')))) AS h
+               i -> md5(lower(array_to_string(ws[i+1:i+8], ' '))))) AS h
            FROM d WHERE len(ws) >= 8),
          marked AS (SELECT doc_id, pos,
              row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
@@ -1744,8 +1767,111 @@ object SparkEntry {
          SELECT doc, score_micros,
            CAST(row_number() OVER (ORDER BY CAST(score_micros AS DOUBLE) DESC, doc)
              AS INT) AS rank
-         FROM scored QUALIFY rank <= 10"""
+         FROM scored QUALIFY rank <= 10""",
+    // composed replay of the full CleanJob chain: each stage is the same
+    // SQL as its standalone oracle, chained through CTEs
+    "q_pipeline_clean" ->
+      """WITH p AS (SELECT doc_id, lang, source,
+             text || ' contact user' || doc_id::VARCHAR || '@example.com end'
+               AS text
+           FROM documents),
+         red AS (SELECT doc_id, lang, source,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_pii,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS text
+           FROM p),
+         d2 AS (SELECT doc_id, string_split_regex(text, ' the ') AS ls FROM red),
+         segs2 AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos,
+             unnest(ls) AS seg FROM d2),
+         keep2 AS (
+           SELECT doc_id, pos, seg FROM (
+             SELECT doc_id, pos, seg,
+               row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+             FROM segs2 WHERE length(seg) >= 1) WHERE rn = 1
+           UNION ALL SELECT doc_id, pos, seg FROM segs2 WHERE length(seg) < 1),
+         rebuilt2 AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(seg, ' the ' ORDER BY pos) AS text_clean
+           FROM keep2 GROUP BY doc_id),
+         segout AS (SELECT d2.doc_id,
+             CAST(len(d2.ls) - coalesce(r.n_kept, 0) AS BIGINT)
+               AS n_segments_dropped,
+             coalesce(r.text_clean, '') AS text
+           FROM d2 LEFT JOIN rebuilt2 r USING (doc_id)),
+         d3 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+           FROM segout),
+         wins3 AS (SELECT doc_id,
+             unnest(range(0, len(ws) - 7)) AS pos,
+             unnest(list_transform(range(0, len(ws) - 7),
+               i -> md5(lower(array_to_string(ws[i+1:i+8], ' '))))) AS h
+           FROM d3 WHERE len(ws) >= 8),
+         marked3 AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY h) AS c
+           FROM wins3),
+         starts3 AS (SELECT doc_id, list_sort(list(pos)) AS st
+           FROM marked3 WHERE c > 1 AND rn > 1 GROUP BY doc_id),
+         kept3 AS (SELECT d3.doc_id, d3.ws,
+             list_filter(range(0, len(d3.ws)),
+               i -> len(list_filter(coalesce(s.st, CAST([] AS BIGINT[])),
+                 s2 -> s2 <= i AND i < s2 + 8)) = 0) AS k
+           FROM d3 LEFT JOIN starts3 s USING (doc_id)),
+         spanout AS (SELECT doc_id,
+             CAST(len(ws) - len(k) AS BIGINT) AS n_tokens_removed,
+             coalesce(array_to_string(list_transform(k, i -> ws[i+1]), ' '), '')
+               AS text
+           FROM kept3)
+         SELECT r.doc_id, r.lang, r.source, r.n_pii,
+           s.n_segments_dropped, sp.n_tokens_removed,
+           CASE WHEN ('0x' || substr(md5(r.doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                  % 1000000 < 800000 THEN 'train'
+                WHEN ('0x' || substr(md5(r.doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                  % 1000000 < 900000 THEN 'val'
+                ELSE 'test' END AS split,
+           sp.text
+         FROM red r
+         JOIN segout s USING (doc_id)
+         JOIN spanout sp USING (doc_id)
+         WHERE length(sp.text) > 0""",
+    "q_bpe_merges" -> bpeCtes(5)
   )
+
+  /** Oracle for the BPE trainer: `n` unrolled merge iterations. Each
+    * round replays the same arithmetic as [[graft.operators.BpeTrainer]]:
+    * exact integer pair counts over the weighted vocab, lexicographic
+    * tie-break, literal leftmost-non-overlapping `replace` to apply the
+    * merge to the ` `-delimited symbol encoding. */
+  private def bpeCtes(n: Int): String = {
+    val iters = (1 to n).map { i =>
+      val prev = s"v${i - 1}"
+      val apply =
+        if (i == n) "" // the last vocab state is never consumed
+        else s""",
+         v$i AS (SELECT word, cnt, replace(sym,
+             ' ' || (SELECT pair FROM b$i) || ' ',
+             ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ') AS sym
+           FROM $prev)"""
+      s""",
+         p$i AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
+             SELECT cnt, unnest(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS pair
+             FROM (SELECT cnt, string_split_regex(trim(sym), ' ') AS ws
+               FROM $prev))
+           GROUP BY pair),
+         b$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1)$apply"""
+    }.mkString
+    val out = (1 to n).map { i =>
+      s"""SELECT $i AS step, split_part(pair, ' ', 1) AS "left",
+           split_part(pair, ' ', 2) AS "right", c AS "count" FROM b$i"""
+    }.mkString(" UNION ALL ")
+    s"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+           AS word FROM documents),
+       v0 AS (SELECT word, count(*) AS cnt,
+           ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym
+         FROM w WHERE length(word) > 0 GROUP BY word)$iters $out"""
+  }
 
   /** Shared CTE chain replaying two exact Lloyd iterations (seeds by the
     * IVF every-⌈n/k⌉-th rule; integer micro-unit centroid sums; the

@@ -1,0 +1,123 @@
+package graft.jobs
+
+import graft.operators.{CorpusClean, Sampling}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The corpus CLEANING pipeline as one composed job: PII scrub →
+  * cross-document segment dedup → duplicated-span removal → empty-doc
+  * drop → deterministic split assignment. This is the pass that runs
+  * BEFORE [[CurationJob]] (quality/repetition filters + document-level
+  * dedup): cleaning rewrites text, curation selects documents, so
+  * cleaning must come first or boilerplate and PII distort both the
+  * quality scores and the dedup fingerprints.
+  *
+  * The full pretraining prep chain composes as:
+  * {{{
+  *   CleanJob.run(...)           // this job: rewrite + split
+  *   CurationJob.run(...)        // select: quality, repetition, dedup
+  *   Decontamination.decontaminate(...)  // drop eval-contaminated docs
+  *   Sampling.rebalanceToMixture(...)    // corpus weights
+  *   Packing.packOffsets(...)            // sequence packing
+  * }}}
+  *
+  * Scale shape: inherited from the operators — the scrub is map-only;
+  * each dedup pass is one map-side-combined corpus shuffle plus a
+  * survivors-only rebuild; the split is a map-only hash bucket. Stage
+  * counters ride the output via `observe` (the [[RetentionJob]]
+  * discipline): the one action that materializes the cleaned corpus
+  * drives every counter — no separate counting scans.
+  */
+object CleanJob {
+
+  final case class CleanOptions(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      scrubPii: Boolean = true,
+      segmentDelim: String = "\n",
+      segmentJoiner: String = "\n",
+      segmentMinLen: Int = 1,
+      spanW: Int = 50,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      seed: Long = 0L)
+
+  /** Totals over the whole corpus for one run. `emptied` counts documents
+    * whose every segment/token was removed (they are dropped from the
+    * output — a fully-boilerplate page is not a document). */
+  final case class CleanStats(
+      input: Long,
+      piiRedactions: Long,
+      segmentsDropped: Long,
+      tokensRemoved: Long,
+      emptied: Long) {
+    def output: Long = input - emptied
+  }
+
+  /** Lazy composition — the cleaned, split corpus. Non-text columns of
+    * `df` ride through on the id join; `textCol` is REPLACED by the
+    * cleaned text. Carries the per-document stage counts
+    * (`n_pii`, `n_segments_dropped`, `n_tokens_removed`) and `split`. */
+  def clean(df: DataFrame, opts: CleanOptions = CleanOptions()): DataFrame = {
+    val id = opts.idCol
+    val scrubbed =
+      if (opts.scrubPii)
+        CorpusClean.piiScrub(df, opts.textCol)
+          .withColumn("n_pii",
+            col("n_email") + col("n_ip") + col("n_phone"))
+          .drop(opts.textCol, "n_email", "n_ip", "n_phone")
+          .withColumnRenamed("text_redacted", opts.textCol)
+      else df.withColumn("n_pii", lit(0L))
+    val segmented = CorpusClean.segmentDedup(scrubbed, id, opts.textCol,
+        opts.segmentDelim, opts.segmentJoiner, opts.segmentMinLen)
+      .select(col(id), col("n_dropped").as("n_segments_dropped"),
+        col("text_clean"))
+    val spanned = CorpusClean.spanDedup(
+        segmented.withColumnRenamed("text_clean", opts.textCol),
+        id, opts.textCol, opts.spanW)
+      .select(col(id), col("n_removed").as("n_tokens_removed"),
+        col("text_clean").as(opts.textCol))
+    // re-attach non-text columns + per-stage counts by id (co-partitioned
+    // with the rebuild exchanges), then drop emptied docs and assign splits
+    val rejoined = scrubbed.drop(opts.textCol)
+      .join(segmented.drop("text_clean"), Seq(id))
+      .join(spanned, Seq(id))
+    Sampling.hashSplit(
+      rejoined.filter(length(col(opts.textCol)) > 0),
+      id, opts.splits, opts.seed)
+  }
+
+  /** Materialize the cleaned corpus (partitioned by split — one scan,
+    * one action, every split directory) and return the stats. */
+  def run(
+      spark: SparkSession,
+      df: DataFrame,
+      opts: CleanOptions = CleanOptions(),
+      outPath: Option[String] = None): (DataFrame, CleanStats) = {
+    val obs = new org.apache.spark.sql.Observation()
+    // the survivors' stage counts ride the output frame; `emptied` falls
+    // out as input − output, where the input count is a parquet
+    // metadata-only scan (no filter, no projection)
+    val out = clean(df, opts).observe(obs,
+      count(lit(1)).as("output"),
+      sum(col("n_pii")).as("pii"),
+      sum(col("n_segments_dropped")).as("segs"),
+      sum(col("n_tokens_removed")).as("toks"))
+    val action: DataFrame => Unit = outPath match {
+      case Some(p) => d => d.write.partitionBy("split").mode("overwrite").parquet(p)
+      case None => d => { d.foreach(_ => ()): Unit }
+    }
+    action(out)
+    val input = df.count()
+    val row = obs.get
+    def l(k: String): Long =
+      Option(row(k)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val stats = CleanStats(
+      input = input,
+      piiRedactions = l("pii"),
+      segmentsDropped = l("segs"),
+      tokensRemoved = l("toks"),
+      emptied = input - l("output"))
+    (out, stats)
+  }
+}

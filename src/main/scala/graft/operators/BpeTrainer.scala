@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding (BPE) merge-rule training — the
+  * "learn a tokenizer on the corpus" pass (Sennrich et al. 2016). The
+  * engine ships a BPE-ish token ESTIMATE ([[TextAnalysis.bpeTokenEstimate]])
+  * for cheap cost proxies; this operator learns real merge rules when a
+  * vocabulary has to be built from the data itself.
+  *
+  * Scale shape: the corpus is touched exactly ONCE (the word-frequency
+  * aggregation, map-side combined, output bounded by vocabulary size).
+  * Every merge iteration then runs against the weighted VOCAB table —
+  * pair counting is one vocabulary-bounded aggregation; the winning pair
+  * (a single row) is collected; applying the merge is a map-only string
+  * replace. Driver state: one (pair, count) per iteration.
+  *
+  * Determinism contract: counts are exact integers; the winning pair
+  * breaks ties lexicographically; merge application is LITERAL string
+  * `replace` on the space-separated symbol encoding — leftmost
+  * non-overlapping replacement, which is exactly BPE's merge semantics
+  * ("a a a" merging (a,a) → "aa a", never "a aa") and behaves
+  * identically in the JVM and the oracle engine. No RNG, no floats.
+  *
+  * For production vocab sizes (10k–50k merges) the per-iteration plan
+  * lineage grows by one `replace` each round — localCheckpoint the vocab
+  * every ~50 iterations; at N=thousands the vocab also shrinks-by-merge
+  * far below its initial size. The iteration COUNT is inherent to BPE
+  * (each merge depends on the previous), not a distribution artifact.
+  */
+object BpeTrainer {
+
+  /** One learned rule: `left + right → left+right`, with the weighted
+    * pair count that won the iteration. */
+  final case class Merge(step: Int, left: String, right: String, count: Long)
+
+  /** Weighted vocabulary with each word exploded to the space-separated
+    * symbol encoding (leading/trailing space so every symbol is
+    * `" x "`-delimited — substring-collision-proof for the replace). */
+  private[graft] def initialVocab(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("sym",
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+
+  /** Learn `nMerges` rules. Returns the merge table; pass the rules to a
+    * tokenizer by applying them in step order. */
+  def train(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    // materialize the word-frequency table so the corpus is scanned ONCE;
+    // released before returning (the result is driver-held merges, not a
+    // plan over this cache — CacheScopeSpec's no-leak contract)
+    val base = initialVocab(df, textCol).persist()
+    try train(base, nMerges)
+    finally { base.unpersist(); () }
+  }
+
+  private def train(base: DataFrame, nMerges: Int): Seq[Merge] = {
+    var vocab = base
+    val merges = Seq.newBuilder[Merge]
+    for (step <- 1 to nMerges) {
+      val syms = split(trim(col("sym")), " ")
+      // guard single-symbol words: Spark's sequence(0, -1) would DESCEND
+      val pairs = when(size(syms) >= 2,
+        transform(sequence(lit(0), size(syms) - lit(2)),
+          i => concat(element_at(syms, i + lit(1)), lit(" "),
+            element_at(syms, i + lit(2)))))
+        .otherwise(array().cast("array<string>"))
+      val best: Array[Row] = vocab
+        .select(col("cnt"), explode(pairs).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) return merges.result() // vocab fully merged
+      val pair = best(0).getString(0)
+      val cnt = best(0).getLong(1)
+      val Array(a, b) = pair.split(" ", 2)
+      merges += Merge(step, a, b, cnt)
+      // LITERAL replace (not regex): leftmost non-overlapping — BPE's
+      // exact merge semantics, identical in the oracle engine
+      vocab = vocab.withColumn("sym",
+        call_function("replace", col("sym"), lit(s" $a $b "), lit(s" $a$b ")))
+    }
+    merges.result()
+  }
+
+  /** The merge table as a DataFrame (for the driver contract / sinks). */
+  def trainDF(
+      spark: SparkSession,
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int): DataFrame = {
+    import spark.implicits._
+    train(df, textCol, nMerges)
+      .toDF("step", "left", "right", "count")
+      .select(col("step"), col("left"), col("right"), col("count"))
+  }
+}

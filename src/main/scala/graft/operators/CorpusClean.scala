@@ -82,7 +82,10 @@ object CorpusClean {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
-  private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
+  /** Whitespace tokens in ORIGINAL case — duplicate detection lowercases
+    * at the hash, but the rebuilt text must preserve the source tokens
+    * (a cleaning pass that silently lowercases the corpus is a bug). */
+  private def toks(text: Column): Column = split(trim(text), "\\s+")
 
   /** Duplicated-span removal (Lee et al. 2022 ExactSubstr, re-expressed
     * relationally): every run of `w` consecutive word tokens is hashed
@@ -122,7 +125,7 @@ object CorpusClean {
       .select(col("__id"),
         posexplode(transform(
           sequence(lit(0), size(col("__toks")) - lit(w)),
-          i => md5(concat_ws(" ", slice(col("__toks"), i + lit(1), lit(w))))))
+          i => md5(lower(concat_ws(" ", slice(col("__toks"), i + lit(1), lit(w)))))))
           .as(Seq("__pos", "__h")))
     val firsts = wins
       .groupBy(col("__h"))

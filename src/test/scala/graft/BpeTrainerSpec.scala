@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.BpeTrainer
+import graft.operators.BpeTrainer.Merge
+
+/** BPE trainer against the classic low/lower/newest/widest example with
+  * hand-computed merge order. */
+class BpeTrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // word frequencies: low 3, lower 2, newest 4, widest 1
+  private val corpus = Seq(
+    "low low low newest",
+    "lower lower newest newest",
+    "newest widest").toDF("text")
+
+  test("learns merges in exact count order with lexicographic ties") {
+    val merges = BpeTrainer.train(corpus, "text", 3)
+    // iter 1: pair (w,e) = 2 (lower) + 4 (newest) = 6 — unique max
+    // iter 2: (l,o) = 5 ties (s,t) = 5 → lexicographic "l o" wins
+    // iter 3: (s,t) = 5
+    assert(merges === Seq(
+      Merge(1, "w", "e", 6L),
+      Merge(2, "l", "o", 5L),
+      Merge(3, "s", "t", 5L)))
+  }
+
+  test("merge application is leftmost non-overlapping (the aaa case)") {
+    val df = Seq("aaa aaa").toDF("text")
+    val merges = BpeTrainer.train(df, "text", 2)
+    // word "aaa" freq 2 → symbol pairs (a,a) count 4 (two per word);
+    // merging (a,a) leftmost leaves "aa a" (never "a aa"), so iteration
+    // 2 sees (aa,a) count 2 — the overlap case that distinguishes BPE
+    // replace semantics from replace-all-overlapping
+    assert(merges(0) === Merge(1, "a", "a", 4L))
+    assert(merges(1) === Merge(2, "aa", "a", 2L))
+  }
+
+  test("result is invariant to input partitioning") {
+    val a = BpeTrainer.train(corpus.repartition(1), "text", 3)
+    val b = BpeTrainer.train(corpus.repartition(7), "text", 3)
+    assert(a === b)
+  }
+
+  test("stops early when the vocabulary is fully merged") {
+    val df = Seq("ab ab").toDF("text")
+    // "a b" → merge (a,b) → single symbol "ab": no pairs remain
+    val merges = BpeTrainer.train(df, "text", 10)
+    assert(merges === Seq(Merge(1, "a", "b", 2L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.jobs.CleanJob
+import graft.jobs.CleanJob.CleanOptions
+
+/** End-to-end tests for the composed cleaning job: stage counters,
+  * empty-doc dropping, split materialization. */
+class CleanJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val opts = CleanOptions(
+    segmentDelim = "\n", segmentJoiner = "\n", spanW = 3,
+    splits = Seq("train" -> 0.5, "val" -> 0.5), seed = 1L)
+
+  test("clean composes scrub, segment dedup, span dedup, and split") {
+    val docs = Seq(
+      (1L, "en", "mail me at a@b.io\nshared boilerplate line\nalpha beta gamma delta"),
+      (2L, "de", "shared boilerplate line\nepsilon zeta eta theta"),
+      (3L, "fr", "iota kappa lambda mu alpha beta gamma delta nu"))
+      .toDF("doc_id", "lang", "text")
+    val out = CleanJob.clean(docs, opts).orderBy("doc_id")
+      .select("doc_id", "lang", "n_pii", "n_segments_dropped",
+        "n_tokens_removed", "text")
+      .as[(Long, String, Long, Long, Long, String)].collect()
+    // span dedup rebuilds from whitespace tokens, so newlines normalize
+    // to single spaces in the final text
+    assert(out(0) === ((1L, "en", 1L, 0L, 0L,
+      "mail me at <EMAIL> shared boilerplate line alpha beta gamma delta")))
+    // doc 2 loses the boilerplate line to doc 1
+    assert(out(1)._4 === 1L && !out(1)._6.contains("boilerplate"))
+    // doc 3 repeats doc 1's "alpha beta gamma delta" → the two w=3
+    // windows inside it are dups → 4 tokens cut
+    assert(out(2)._5 === 4L && !out(2)._6.contains("beta"))
+  }
+
+  test("run drops fully-cleaned documents and reports stats") {
+    val docs = Seq(
+      (1L, "only line"),
+      (2L, "only line")).toDF("doc_id", "text") // doc 2 empties entirely
+    val (_, stats) = CleanJob.run(spark, docs,
+      CleanOptions(spanW = 3, splits = Seq("all" -> 1.0)))
+    assert(stats.input === 2L && stats.emptied === 1L && stats.output === 1L)
+    assert(stats.segmentsDropped === 0L) // survivors' counters only
+  }
+
+  test("run materializes one directory per split in one action") {
+    val docs = (0L until 40L)
+      .map(i => (i, s"unique document number $i with content token$i"))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("cleanjob").toString
+    val (_, stats) = CleanJob.run(spark, docs,
+      CleanOptions(spanW = 5, splits = Seq("train" -> 0.8, "val" -> 0.2),
+        seed = 3L), Some(out))
+    assert(stats.emptied === 0L)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 40L)
+    assert(back.select("split").distinct().count() === 2L)
+  }
+}
