@@ -786,10 +786,14 @@ object SparkEntry {
         col("doc_id"), col("lang"), col("source"),
         concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@example.com end")).as("text"))
-      jobs.CleanJob.clean(withPii, jobs.CleanJob.CleanOptions(
+      // staged composition (the scale path): each stage materializes once
+      // instead of re-evaluating the whole upstream rewrite per reference
+      val staging = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_clean_staging_${new java.io.File(dir).getName}"
+      jobs.CleanJob.cleanStaged(s, withPii, jobs.CleanJob.CleanOptions(
           segmentDelim = " the ", segmentJoiner = " the ", spanW = 8,
           splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-          seed = 42L))
+          seed = 42L), staging)
         .select("doc_id", "lang", "source", "n_pii",
           "n_segments_dropped", "n_tokens_removed", "split", "text")
     }),

@@ -43,6 +43,18 @@ class CleanJobSpec extends SparkSpec {
     assert(stats.segmentsDropped === 0L) // survivors' counters only
   }
 
+  test("staged and lazy compositions produce identical output") {
+    val docs = Seq(
+      (1L, "alpha beta\nshared line\ngamma one two three"),
+      (2L, "shared line\ndelta one two three four"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val staging = java.nio.file.Files.createTempDirectory("cleanstage").toString
+    val lazyRows = CleanJob.clean(docs, opts).collect().toSet
+    val stagedRows = CleanJob.cleanStaged(spark, docs, opts, staging)
+      .collect().toSet
+    assert(lazyRows === stagedRows)
+  }
+
   test("run materializes one directory per split in one action") {
     val docs = (0L until 40L)
       .map(i => (i, s"unique document number $i with content token$i"))
