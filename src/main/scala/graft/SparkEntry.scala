@@ -802,7 +802,19 @@ object SparkEntry {
     // BpeTrainer's determinism contract)
     "q_bpe_merges" -> ((s, dir) =>
       operators.BpeTrainer.trainDF(s, read(s, dir, "documents"), "text",
-        nMerges = 5))
+        nMerges = 5)),
+    // tokenize with the 5 learned merges — the real-BPE token cost
+    "q_bpe_tokenize" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val merges = operators.BpeTrainer.train(docs, "text", 5)
+      operators.BpeTrainer.tokenCount(docs, "text", merges)
+        .select("doc_id", "n_bpe_tokens")
+    }),
+    // corpus-trained bigram LM scoring (CCNet-style perplexity signal)
+    "q_lm_bigram_score" -> ((s, dir) =>
+      operators.LmScore.bigramLogProb(read(s, dir, "documents"),
+          "doc_id", "text")
+        .select("doc_id", "lang", "n_bigrams", "logprob_micros"))
   )
 
   /** DuckDB rendering of one RHP hyperplane as a DOUBLE[] literal.
@@ -1839,15 +1851,59 @@ object SparkEntry {
          JOIN segout s USING (doc_id)
          JOIN spanout sp USING (doc_id)
          WHERE length(sp.text) > 0""",
-    "q_bpe_merges" -> bpeCtes(5)
+    "q_bpe_merges" -> (bpeIterCtes(5) + " " + (1 to 5).map { i =>
+      s"""SELECT $i AS step, split_part(pair, ' ', 1) AS "left",
+           split_part(pair, ' ', 2) AS "right", c AS "count" FROM b$i"""
+    }.mkString(" UNION ALL ")),
+    // tokenize with the learned merges: nested literal replaces in step
+    // order (innermost = step 1), identical to the tokenCount fold
+    "q_bpe_tokenize" -> {
+      val applied = (1 to 5).foldLeft(
+        "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") { (acc, i) =>
+        s"""replace($acc,
+             ' ' || p$i || ' ', ' ' || replace(p$i, ' ', '') || ' ')"""
+      }
+      bpeIterCtes(5) +
+        s""", m AS (SELECT ${(1 to 5).map(i =>
+              s"(SELECT pair FROM b$i) AS p$i").mkString(", ")}),
+         dd AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS ws
+           FROM documents)
+         SELECT doc_id, CAST(list_sum(list_transform(ws, w ->
+             len(string_split_regex(trim($applied), ' ')))) AS BIGINT)
+           AS n_bpe_tokens
+         FROM dd, m"""
+    },
+    "q_lm_bigram_score" ->
+      """WITH d AS (SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+         uni AS (SELECT w1, count(*) AS cu FROM (
+             SELECT unnest(ws) AS w1 FROM d) GROUP BY 1),
+         vc AS (SELECT count(*) AS v FROM uni),
+         pr AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+           FROM d),
+         bi AS (SELECT w1, w2, count(*) AS cb FROM pr GROUP BY 1, 2),
+         terms AS (SELECT doc_id,
+             CAST(round(ln((cb + 1.0) / (cu + 1.0 * v)) * 1000000.0) AS BIGINT)
+               AS t
+           FROM pr JOIN bi USING (w1, w2) JOIN uni USING (w1), vc),
+         ag AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS logprob_micros,
+             count(*) AS n_bigrams FROM terms GROUP BY 1)
+         SELECT d.doc_id, d.lang,
+           coalesce(ag.n_bigrams, 0) AS n_bigrams,
+           coalesce(ag.logprob_micros, 0) AS logprob_micros
+         FROM d LEFT JOIN ag USING (doc_id)"""
   )
 
-  /** Oracle for the BPE trainer: `n` unrolled merge iterations. Each
-    * round replays the same arithmetic as [[graft.operators.BpeTrainer]]:
-    * exact integer pair counts over the weighted vocab, lexicographic
+  /** Oracle CTE chain for the BPE trainer: `n` unrolled merge
+    * iterations (`b1..b$n` hold the winning pairs). Each round replays
+    * the same arithmetic as [[graft.operators.BpeTrainer]]: exact
+    * integer pair counts over the weighted vocab, lexicographic
     * tie-break, literal leftmost-non-overlapping `replace` to apply the
     * merge to the ` `-delimited symbol encoding. */
-  private def bpeCtes(n: Int): String = {
+  private def bpeIterCtes(n: Int): String = {
     val iters = (1 to n).map { i =>
       val prev = s"v${i - 1}"
       val apply =
@@ -1866,15 +1922,11 @@ object SparkEntry {
            GROUP BY pair),
          b$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1)$apply"""
     }.mkString
-    val out = (1 to n).map { i =>
-      s"""SELECT $i AS step, split_part(pair, ' ', 1) AS "left",
-           split_part(pair, ' ', 2) AS "right", c AS "count" FROM b$i"""
-    }.mkString(" UNION ALL ")
     s"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
            AS word FROM documents),
        v0 AS (SELECT word, count(*) AS cnt,
            ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym
-         FROM w WHERE length(word) > 0 GROUP BY word)$iters $out"""
+         FROM w WHERE length(word) > 0 GROUP BY word)$iters"""
   }
 
   /** Shared CTE chain replaying two exact Lloyd iterations (seeds by the

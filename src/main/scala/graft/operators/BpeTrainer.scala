@@ -89,6 +89,30 @@ object BpeTrainer {
     merges.result()
   }
 
+  /** Apply learned merge rules and count the resulting BPE tokens per
+    * document — the REAL tokenizer cost, replacing
+    * [[TextAnalysis.bpeTokenEstimate]]'s regex proxy once a vocabulary
+    * exists. Pure projection (map-only at any scale): each word is
+    * symbol-encoded and the merges fold into a chain of literal
+    * `replace`s applied in step order — the whole chain is ONE codegen'd
+    * expression per row, no joins, no state. Appends `n_bpe_tokens`. */
+  def tokenCount(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val words = split(trim(lower(col(textCol))), "\\s+")
+    def applied(word: org.apache.spark.sql.Column) =
+      merges.sortBy(_.step).foldLeft(
+        concat(lit(" "), regexp_replace(word, "(.)", "$1 "))) { (sym, m) =>
+        call_function("replace", sym,
+          lit(s" ${m.left} ${m.right} "), lit(s" ${m.left}${m.right} "))
+      }
+    df.withColumn("n_bpe_tokens",
+      aggregate(
+        transform(words, w => size(split(trim(applied(w)), " ")).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+  }
+
   /** The merge table as a DataFrame (for the driver contract / sinks). */
   def trainDF(
       spark: SparkSession,

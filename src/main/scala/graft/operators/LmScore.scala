@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained n-gram language-model scoring — the CCNet-style
+  * "perplexity filter" signal: documents whose token transitions are
+  * unlike the corpus (spam, gibberish, wrong language) score low under
+  * a smoothed bigram model trained on the corpus itself.
+  *
+  * Scale shape: the model is two map-side-combined aggregations whose
+  * outputs are vocabulary-bounded (unigrams) and bigram-vocabulary-
+  * bounded; scoring explodes each document's bigrams once and joins the
+  * count tables on the bigram key (broadcast when the model is small,
+  * hash join co-partitioned with the count aggregation otherwise).
+  * Driver state: ONE scalar (the vocabulary size).
+  *
+  * Determinism contract (the BM25 discipline): each bigram's add-one-
+  * smoothed log-probability `ln((c(w1,w2)+s) / (c(w1)+s·V))` is a fixed
+  * double operation chain, rounded to integer MICRO-UNITS before the
+  * per-document sum — so the aggregation is exact and order-free, and
+  * the `ln` sits behind the 10⁻⁶ rounding where a 1-ulp libm
+  * disagreement cannot change a score.
+  */
+object LmScore {
+
+  private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Append `logprob_micros` (sum of smoothed bigram log-probs in
+    * micro-units; 0 for documents with fewer than two tokens) and
+    * `n_bigrams`. Callers filter/rank on
+    * `logprob_micros / n_bigrams` (mean log-prob ≈ −ln(perplexity)). */
+  def bigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      smoothing: Double = 1.0d): DataFrame = {
+    require(smoothing > 0, "smoothing must be positive")
+    val id = col(idCol)
+    val words = df.select(id.as("__id"), toks(col(textCol)).as("__w"))
+    val pairs = words.select(col("__id"),
+      posexplode(when(size(col("__w")) >= 2,
+        transform(sequence(lit(0), size(col("__w")) - lit(2)),
+          i => struct(
+            element_at(col("__w"), i + lit(1)).as("w1"),
+            element_at(col("__w"), i + lit(2)).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as(Seq("__pos", "__p")))
+      .select(col("__id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+
+    val uni = words.select(explode(col("__w")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("__cu"))
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__cb"))
+    val vocab = uni.count() // ONE driver scalar
+
+    val term = round(
+      log((col("__cb") + lit(smoothing)) /
+        (col("__cu") + lit(smoothing * vocab))) * lit(1000000.0d))
+      .cast("long")
+    val scored = pairs
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .select(col("__id"), term.as("__t"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__t")).as("logprob_micros"),
+        count(lit(1)).as("n_bigrams"))
+    df.join(scored, id === scored("__id"), "left")
+      .drop("__id")
+      .withColumn("logprob_micros", coalesce(col("logprob_micros"), lit(0L)))
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+}

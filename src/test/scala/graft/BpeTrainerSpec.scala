@@ -42,6 +42,17 @@ class BpeTrainerSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("tokenCount applies merges in step order") {
+    val merges = BpeTrainer.train(corpus, "text", 3) // (w,e), (l,o), (s,t)
+    // low → "lo w" (2), lower → "lo we r" (3), newest → "n e we st" (4),
+    // widest → "w i d e st" (5)
+    val counts = BpeTrainer.tokenCount(corpus, "text", merges)
+      .select("text", "n_bpe_tokens").as[(String, Long)].collect().toMap
+    assert(counts("low low low newest") === 2 + 2 + 2 + 4)
+    assert(counts("lower lower newest newest") === 3 + 3 + 4 + 4)
+    assert(counts("newest widest") === 4 + 5)
+  }
+
   test("stops early when the vocabulary is fully merged") {
     val df = Seq("ab ab").toDF("text")
     // "a b" → merge (a,b) → single symbol "ab": no pairs remain

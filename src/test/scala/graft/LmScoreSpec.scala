@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.LmScore
+
+/** Bigram LM scoring on a hand-computable corpus. */
+class LmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def micros(p: Double): Long = math.round(math.log(p) * 1e6)
+
+  test("scores are exact micro-unit sums of smoothed bigram log-probs") {
+    // corpus: uni a:3 b:3 c:1 z:1 (V=4); bigrams (a,b):3 (b,a):1 (b,c):1
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, "z")).toDF("doc_id", "text")
+    val out = LmScore.bigramLogProb(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "logprob_micros")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val tAb = micros((3 + 1.0) / (3 + 4.0)) // ln((cb+1)/(cu+V))
+    val tBa = micros((1 + 1.0) / (3 + 4.0))
+    val tBc = micros((1 + 1.0) / (3 + 4.0))
+    assert(out(0) === ((1L, 3L, 2 * tAb + tBa)))
+    assert(out(1) === ((2L, 2L, tAb + tBc)))
+    assert(out(2) === ((3L, 0L, 0L))) // single token: no bigrams
+  }
+
+  test("corpus-typical documents outscore gibberish per bigram") {
+    val docs = (0L until 20L).map(i => (i, "the quick brown fox runs"))
+      .toDF("doc_id", "text")
+      .union(Seq((99L, "zq wv xk jy")).toDF("doc_id", "text"))
+    val out = LmScore.bigramLogProb(docs, "doc_id", "text")
+      .select("doc_id", "logprob_micros", "n_bigrams")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, lp, n) => id -> lp.toDouble / n }.toMap
+    assert(out(0L) > out(99L))
+  }
+}
