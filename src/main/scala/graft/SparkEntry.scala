@@ -1859,18 +1859,21 @@ object SparkEntry {
     // order (innermost = step 1), identical to the tokenCount fold
     "q_bpe_tokenize" -> {
       val applied = (1 to 5).foldLeft(
-        "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") { (acc, i) =>
+        "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')") { (acc, i) =>
         s"""replace($acc,
-             ' ' || p$i || ' ', ' ' || replace(p$i, ' ', '') || ' ')"""
+             ' ' || split_part(p$i, ' ', 1) || '  ' ||
+               split_part(p$i, ' ', 2) || ' ',
+             ' ' || replace(p$i, ' ', '') || ' ')"""
       }
       bpeIterCtes(5) +
         s""", m AS (SELECT ${(1 to 5).map(i =>
               s"(SELECT pair FROM b$i) AS p$i").mkString(", ")}),
          dd AS (SELECT doc_id,
-             string_split_regex(trim(lower(text)), '\\s+') AS ws
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+               w -> length(w) > 0) AS ws
            FROM documents)
-         SELECT doc_id, CAST(list_sum(list_transform(ws, w ->
-             len(string_split_regex(trim($applied), ' ')))) AS BIGINT)
+         SELECT doc_id, CAST(coalesce(list_sum(list_transform(ws, w ->
+             len(string_split_regex(trim($applied), ' +')))), 0) AS BIGINT)
            AS n_bpe_tokens
          FROM dd, m"""
     },
@@ -1910,14 +1913,15 @@ object SparkEntry {
         if (i == n) "" // the last vocab state is never consumed
         else s""",
          v$i AS (SELECT word, cnt, replace(sym,
-             ' ' || (SELECT pair FROM b$i) || ' ',
+             ' ' || split_part((SELECT pair FROM b$i), ' ', 1) || '  ' ||
+               split_part((SELECT pair FROM b$i), ' ', 2) || ' ',
              ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ') AS sym
            FROM $prev)"""
       s""",
          p$i AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
              SELECT cnt, unnest(list_transform(range(1, len(ws)),
                i -> ws[i] || ' ' || ws[i+1])) AS pair
-             FROM (SELECT cnt, string_split_regex(trim(sym), ' ') AS ws
+             FROM (SELECT cnt, string_split_regex(trim(sym), ' +') AS ws
                FROM $prev))
            GROUP BY pair),
          b$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1)$apply"""
@@ -1925,7 +1929,7 @@ object SparkEntry {
     s"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
            AS word FROM documents),
        v0 AS (SELECT word, count(*) AS cnt,
-           ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym
+           '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS sym
          FROM w WHERE length(word) > 0 GROUP BY word)$iters"""
   }
 

@@ -42,7 +42,11 @@ object CleanJob {
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
       seed: Long = 0L)
 
-  /** Totals over the whole corpus for one run. `emptied` counts documents
+  /** Counter totals for one run. `input` and `emptied` cover the whole
+    * corpus; the per-stage sums (`piiRedactions`, `segmentsDropped`,
+    * `tokensRemoved`) cover SURVIVING documents only — an emptied
+    * document's counts are not included (the counters ride the output
+    * frame, after the empty-doc filter). `emptied` counts documents
     * whose every segment/token was removed (they are dropped from the
     * output — a fully-boilerplate page is not a document). */
   final case class CleanStats(
@@ -124,7 +128,12 @@ object CleanJob {
   }
 
   /** Materialize the cleaned corpus (partitioned by split — one scan,
-    * one action, every split directory) and return the stats. */
+    * one action, every split directory) and return the stats.
+    *
+    * Stage intermediates remain under `<outPath>__clean_staging` —
+    * deliberately: the returned frame's lineage reads them, and the
+    * per-stage parquet is the natural debugging artifact for "which pass
+    * mangled this document". Callers reclaim the directory when done. */
   def run(
       spark: SparkSession,
       df: DataFrame,

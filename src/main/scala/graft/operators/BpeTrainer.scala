@@ -18,9 +18,15 @@ import org.apache.spark.sql.functions._
   *
   * Determinism contract: counts are exact integers; the winning pair
   * breaks ties lexicographically; merge application is LITERAL string
-  * `replace` on the space-separated symbol encoding — leftmost
-  * non-overlapping replacement, which is exactly BPE's merge semantics
-  * ("a a a" merging (a,a) → "aa a", never "a aa") and behaves
+  * `replace` on a DOUBLE-space symbol encoding. The double separator is
+  * what makes plain leftmost non-overlapping `replace` implement BPE's
+  * merge semantics exactly: the pattern `" a  b "` is padded by ONE
+  * space on each side, so a match consumes half of each neighboring
+  * separator and the leftover half still delimits the adjacent symbol —
+  * `"  a  a  a  a  "` merges to `"  aa  aa  "` (a single-space encoding
+  * would consume the shared delimiter and miss every second adjacent
+  * merge), while the surviving boundary space on both sides of the
+  * pattern keeps symbol-prefix/suffix collisions impossible. Behaves
   * identically in the JVM and the oracle engine. No RNG, no floats.
   *
   * For production vocab sizes (10k–50k merges) the per-iteration plan
@@ -35,16 +41,15 @@ object BpeTrainer {
     * pair count that won the iteration. */
   final case class Merge(step: Int, left: String, right: String, count: Long)
 
-  /** Weighted vocabulary with each word exploded to the space-separated
-    * symbol encoding (leading/trailing space so every symbol is
-    * `" x "`-delimited — substring-collision-proof for the replace). */
+  /** Weighted vocabulary with each word exploded to the DOUBLE-space
+    * symbol encoding `"  x  y  "` (see the determinism contract). */
   private[graft] def initialVocab(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("sym",
-        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+        concat(lit("  "), regexp_replace(col("word"), "(.)", "$1  ")))
 
   /** Learn `nMerges` rules. Returns the merge table; pass the rules to a
     * tokenizer by applying them in step order. */
@@ -62,7 +67,7 @@ object BpeTrainer {
     var vocab = base
     val merges = Seq.newBuilder[Merge]
     for (step <- 1 to nMerges) {
-      val syms = split(trim(col("sym")), " ")
+      val syms = split(trim(col("sym")), " +")
       // guard single-symbol words: Spark's sequence(0, -1) would DESCEND
       val pairs = when(size(syms) >= 2,
         transform(sequence(lit(0), size(syms) - lit(2)),
@@ -81,10 +86,11 @@ object BpeTrainer {
       val cnt = best(0).getLong(1)
       val Array(a, b) = pair.split(" ", 2)
       merges += Merge(step, a, b, cnt)
-      // LITERAL replace (not regex): leftmost non-overlapping — BPE's
-      // exact merge semantics, identical in the oracle engine
+      // LITERAL replace (not regex), single-space-padded pattern over the
+      // double-space encoding — BPE's exact leftmost non-overlapping
+      // merge semantics incl. adjacent runs, identical in the oracle
       vocab = vocab.withColumn("sym",
-        call_function("replace", col("sym"), lit(s" $a $b "), lit(s" $a$b ")))
+        call_function("replace", col("sym"), lit(s" $a  $b "), lit(s" $a$b ")))
     }
     merges.result()
   }
@@ -100,16 +106,18 @@ object BpeTrainer {
       df: DataFrame,
       textCol: String,
       merges: Seq[Merge]): DataFrame = {
-    val words = split(trim(lower(col(textCol))), "\\s+")
+    // empty words filtered like initialVocab (an empty document has 0
+    // tokens, matching bpeTokenEstimate — not a phantom 1)
+    val words = filter(TextAnalysis.tokens(col(textCol)), w => length(w) > 0)
     def applied(word: org.apache.spark.sql.Column) =
       merges.sortBy(_.step).foldLeft(
-        concat(lit(" "), regexp_replace(word, "(.)", "$1 "))) { (sym, m) =>
+        concat(lit("  "), regexp_replace(word, "(.)", "$1  "))) { (sym, m) =>
         call_function("replace", sym,
-          lit(s" ${m.left} ${m.right} "), lit(s" ${m.left}${m.right} "))
+          lit(s" ${m.left}  ${m.right} "), lit(s" ${m.left}${m.right} "))
       }
     df.withColumn("n_bpe_tokens",
       aggregate(
-        transform(words, w => size(split(trim(applied(w)), " ")).cast("long")),
+        transform(words, w => size(split(trim(applied(w)), " +")).cast("long")),
         lit(0L), (acc, x) => acc + x))
   }
 

@@ -70,17 +70,25 @@ object Clustering {
     val quantized = df.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"), quantize(col(vecCol)).as("__qv"))
 
-    // IVF seeding rule: every ⌈n/k⌉-th vector by id — deterministic, no RNG
+    // IVF seeding rule: every ⌊n/k⌋-th vector by id — deterministic, no
+    // RNG. The modulo presumes roughly-dense numeric ids; when it
+    // under-selects (sparse/hashed ids can hit zero multiples of the
+    // step), fall back to the first k by id — worse spread, still
+    // deterministic, never empty.
     val n = quantized.count()
     val step = math.max(1L, n / k)
-    var sums: Array[(Int, Seq[Long], Long)] = quantized
-      .filter(pmod(col("__id"), lit(step)) === 0)
+    def collectSeeds(d: org.apache.spark.sql.DataFrame) = d
       .orderBy(col("__id"))
       .limit(k)
       .select(col("__qv"))
       .collect()
       .zipWithIndex
       .map { case (r: Row, j) => (j, r.getSeq[Long](0), 1L) }
+    val strided = collectSeeds(
+      quantized.filter(pmod(col("__id"), lit(step)) === 0))
+    var sums: Array[(Int, Seq[Long], Long)] =
+      if (strided.length == math.min(k, n).toInt) strided
+      else collectSeeds(quantized)
 
     def centroids: Seq[(Int, Seq[Double])] = sums.toSeq.map { case (j, s, cnt) =>
       (j, s.map(v => v.toDouble / (Micro.toDouble * cnt)))

@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
 object CorpusClean {
 
   /** Cross-document segment dedup (C4-style "line" dedup): split each
-    * document on `delim`, drop every occurrence of a repeated segment
+    * document on the LITERAL delimiter `delim` (quoted before it reaches
+    * the regex engine, so `"."` or `"|"` split on those characters, not
+    * on everything), drop every occurrence of a repeated segment
     * except the first (minimum `(id, position)` lexicographically — the
     * same keep-first rule as [[Dedup.exactDedup]]), and rebuild documents
     * from the surviving segments joined with `joiner`.
@@ -55,8 +57,9 @@ object CorpusClean {
       joiner: String = "\n",
       minLen: Int = 1): DataFrame = {
     val id = col(idCol)
+    val delimQ = java.util.regex.Pattern.quote(delim)
     val segs = df
-      .select(id.as("__id"), posexplode(split(col(textCol), delim)).as(Seq("__pos", "__seg")))
+      .select(id.as("__id"), posexplode(split(col(textCol), delimQ)).as(Seq("__pos", "__seg")))
     val long = segs.filter(length(col("__seg")) >= minLen)
     val short = segs.filter(length(col("__seg")) < minLen)
     // the aggregate output IS the survivor set: (segment, first id, first pos)
@@ -72,7 +75,7 @@ object CorpusClean {
         concat_ws(joiner,
           transform(array_sort(collect_list(struct(col("__pos"), col("__seg")))),
             s => s.getField("__seg"))).as("text_clean"))
-    df.select(id.as("__id"), size(split(col(textCol), delim)).cast("long").as("n_segments"))
+    df.select(id.as("__id"), size(split(col(textCol), delimQ)).cast("long").as("n_segments"))
       .join(rebuilt, Seq("__id"), "left")
       .select(
         col("__id").as(idCol),
@@ -91,8 +94,11 @@ object CorpusClean {
     * relationally): every run of `w` consecutive word tokens is hashed
     * (md5 of the space-joined window — cross-engine reproducible); a
     * window whose hash occurs more than once corpus-wide keeps only its
-    * first occurrence (min `(id, position)`), and every token covered
-    * only by non-first duplicate windows is removed from its document.
+    * first occurrence (min `(id, position)`), and every token covered by
+    * ANY non-first duplicate window is removed from its document — also
+    * when some other, unique window covers the same token (ExactSubstr
+    * removes the duplicated span wholesale; overlap with unique context
+    * does not rescue a token).
     *
     * Plan: window hashes are built per document with ONE higher-order
     * `transform` over the token array (no per-window explode of token

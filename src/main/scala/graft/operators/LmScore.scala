@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the model is two map-side-combined aggregations whose
   * outputs are vocabulary-bounded (unigrams) and bigram-vocabulary-
-  * bounded; scoring explodes each document's bigrams once and joins the
+  * bounded; scoring explodes the document bigrams again and joins the
   * count tables on the bigram key (broadcast when the model is small,
-  * hash join co-partitioned with the count aggregation otherwise).
-  * Driver state: ONE scalar (the vocabulary size).
+  * hash join co-partitioned with the count aggregation otherwise) — two
+  * passes over the corpus total, model + scoring, which is inherent to
+  * training on the data being scored (write the model tables to parquet
+  * to score other corpora in one pass). Driver state: ONE scalar (the
+  * vocabulary size).
   *
   * Determinism contract (the BM25 discipline): each bigram's add-one-
   * smoothed log-probability `ln((c(w1,w2)+s) / (c(w1)+s·V))` is a fixed
@@ -24,7 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object LmScore {
 
-  private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
+  private def toks(text: Column): Column = TextAnalysis.tokens(text)
 
   /** Append `logprob_micros` (sum of smoothed bigram log-probs in
     * micro-units; 0 for documents with fewer than two tokens) and

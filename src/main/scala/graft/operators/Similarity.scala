@@ -64,11 +64,14 @@ object Similarity {
     val si = schema.fieldIndex(scoreCol)
     val ti = schema.fieldIndex(tieCol)
     // ascending "goodness": a < b iff a ranks below b (lower score, or
-    // equal score and larger tie id)
+    // equal score and larger tie id). Tie ids compare via Comparable so
+    // string/decimal ids work, not just longs — matching the window's
+    // orderBy(tieCol) semantics for every orderable Spark type.
     val byGoodness: Ordering[Row] = Ordering.fromLessThan { (a, b) =>
       val sa = a.getDouble(si); val sb = b.getDouble(si)
       if (sa != sb) sa < sb
-      else a.getAs[Number](ti).longValue > b.getAs[Number](ti).longValue
+      else a.getAs[AnyRef](ti).asInstanceOf[Comparable[AnyRef]]
+        .compareTo(b.getAs[AnyRef](ti)) > 0
     }
     val pruned = scored.mapPartitions { it =>
       val heaps = scala.collection.mutable.Map

@@ -18,7 +18,10 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "es", "una"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  private def tokens(text: Column): Column =
+  /** THE lowercased whitespace tokenizer — the single definition every
+    * text operator shares (BM25, LM scoring, BPE, quality/repetition),
+    * so token boundaries can never drift between them. */
+  private[graft] def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
   /** Count of tokens that appear in `words`. */

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object TextSearch {
 
-  private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
+  private def toks(text: Column): Column = TextAnalysis.tokens(text)
 
   /** Per-(doc, term) frequencies plus document length — the inverted
     * index's posting payload. */

@@ -36,6 +36,27 @@ class BpeTrainerSpec extends SparkSpec {
     assert(merges(1) === Merge(2, "aa", "a", 2L))
   }
 
+  test("adjacent pair merges both fire in one pass (the aaaa case)") {
+    // real BPE merges [a,a,a,a] to [aa,aa] in the (a,a) round; a
+    // single-space encoding consumes the shared delimiter and yields
+    // [aa,a,a] instead — the double-space encoding pins the correct result
+    val df = Seq("aaaa").toDF("text")
+    val merges = BpeTrainer.train(df, "text", 2)
+    assert(merges(0) === Merge(1, "a", "a", 3L))
+    assert(merges(1) === Merge(2, "aa", "aa", 1L))
+    val n = BpeTrainer.tokenCount(df, "text", merges)
+      .select("n_bpe_tokens").as[Long].head()
+    assert(n === 1L) // aaaa → aa aa → aaaa
+  }
+
+  test("tokenCount reports zero tokens for empty text") {
+    val df = Seq("", "   ", "one two").toDF("text")
+    val out = BpeTrainer.tokenCount(df, "text",
+        Seq(Merge(1, "o", "n", 1L)))
+      .select("n_bpe_tokens").as[Long].collect()
+    assert(out.take(2).forall(_ === 0L))
+  }
+
   test("result is invariant to input partitioning") {
     val a = BpeTrainer.train(corpus.repartition(1), "text", 3)
     val b = BpeTrainer.train(corpus.repartition(7), "text", 3)

@@ -37,6 +37,17 @@ class TextSearchSpec extends SparkSpec {
     assert(out.map(_._1).toSeq === Seq(4L, 3L))
   }
 
+  test("string document ids rank fine (tie compare is not numeric-only)") {
+    val sdocs = Seq(
+      ("url-a", "same words here"),
+      ("url-b", "same words here"),
+      ("url-c", "different entirely")).toDF("doc_id", "text")
+    val out = TextSearch.bm25TopK(sdocs, "doc_id", "text", Seq("same"), k = 5)
+      .as[(String, Long, Int)].collect().sortBy(_._3)
+    // identical docs tie on score: ascending id breaks the tie
+    assert(out.map(_._1).toSeq === Seq("url-a", "url-b"))
+  }
+
   test("only documents sharing a query term are scored, k caps the output") {
     val out = TextSearch.bm25TopK(docs, "doc_id", "text",
         Seq("today"), k = 1)
