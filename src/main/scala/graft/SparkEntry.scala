@@ -1779,7 +1779,8 @@ object SparkEntry {
                    0.75 * dl / (CAST(scal.tot AS DOUBLE) / scal.n)))) *
                1000000.0) AS BIGINT) AS c
            FROM tfg JOIN dfreq USING (term), scal),
-         scored AS (SELECT doc, sum(c) AS score_micros FROM contrib GROUP BY doc)
+         scored AS (SELECT doc, CAST(sum(c) AS BIGINT) AS score_micros
+           FROM contrib GROUP BY doc)
          SELECT doc, score_micros,
            CAST(row_number() OVER (ORDER BY CAST(score_micros AS DOUBLE) DESC, doc)
              AS INT) AS rank
