@@ -2,18 +2,35 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line with per-query MEDIAN steady-state
-  * seconds (plus per-query MIN, the load-insensitive floor) after one
-  * untimed warm run. Failures are NOT swallowed into fast times: a query
-  * that throws is reported under "errors" and contributes 0 to no metric —
-  * byte-identical code benched 87.95s vs 27.14s across rounds proved a
-  * single-run harness is noise-dominated, and a catch-all made broken
-  * queries *improve* the total.
+  * seconds (plus per-query MIN, the load-insensitive floor). Failures are
+  * NOT swallowed into fast times: a query that throws is reported under
+  * "errors" and contributes 0 to no metric — byte-identical code benched
+  * 87.95s vs 27.14s across rounds proved a single-run harness is
+  * noise-dominated, and a catch-all made broken queries *improve* the
+  * total.
   *
-  * Iterations are ADAPTIVE: every query gets `SPARK_GRAFT_BENCH_ITERS`
-  * (default 3) timed runs; queries whose median exceeds 1 s get topped up
-  * to `SPARK_GRAFT_BENCH_HEAVY_ITERS` (default 7) — cross-round history
-  * showed the heavy-dedup medians swinging ~3× with host load at 3 iters
-  * while sub-second queries were already stable.
+  * The run is governed by a HARD WALL-CLOCK BUDGET
+  * (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 390 s of measured-loop time):
+  * round 5's fixed warm+3(+7-heavy) schedule over a grown query set blew
+  * past the driver's process timeout (rc 124) and the round recorded NO
+  * bench numbers at all — a partial-but-finished run is strictly better
+  * than a dead one. Two phases:
+  *
+  *   Phase A (coverage): queries in sorted order, one untimed warm run
+  *   (whole-stage-codegen + JIT of that query's generated code: measured
+  *   14 s one-time vs 2 s steady for the heaviest pipeline) then one
+  *   timed run. Before each query the deadline is checked; once passed,
+  *   remaining queries are SKIPPED and reported in "skipped" — visible,
+  *   never silently fast.
+  *
+  *   Phase B (top-up): leftover budget buys additional timed iterations,
+  *   round-robin, until every query has `SPARK_GRAFT_BENCH_ITERS`
+  *   (default 3) and queries with median > 1 s have
+  *   `SPARK_GRAFT_BENCH_HEAVY_ITERS` (default 7) — heavy medians swung
+  *   ~3× with host load at 3 iters while sub-second queries were already
+  *   stable. A top-up run only starts if its predicted cost (last
+  *   observed time × 1.5) fits the remaining budget, so the loop cannot
+  *   overshoot by more than one in-flight query.
   *
   * `SPARK_GRAFT_BENCH_ONLY` (comma-separated names) restricts the run for
   * local iteration. */
@@ -23,6 +40,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val heavyIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_ITERS", "7").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "390").toDouble
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
@@ -34,9 +52,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet reader, shuffle machinery) so the
-    // first timed query doesn't absorb one-time JIT/startup cost; then run
-    // in sorted order for run-to-run comparability. A failing warm-up is
-    // SURFACED (it silently shifts JIT cost into the first timed query).
+    // first timed query doesn't absorb one-time JIT/startup cost. A failing
+    // warm-up is SURFACED (it silently shifts JIT cost into the first
+    // timed query).
     val warmupError: Option[String] =
       try {
         spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -48,46 +66,67 @@ object Bench {
           System.err.println(s"[bench] WARNING: session warm-up failed: $e")
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
+    val deadline = System.nanoTime() + (budgetSec * 1e9).toLong
+    def remainingSec: Double = (deadline - System.nanoTime()) / 1e9
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val outcomes = names.map { case (name, fn) =>
-      name -> (try {
-        // one untimed warm run per query (whole-stage-codegen + JIT of that
-        // query's generated code: measured 14s one-time vs 2s steady for
-        // the heaviest pipeline), then timed runs.
+
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        timed: Boolean): Boolean =
+      try {
+        val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        def timed(): Double = {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        var times = (1 to iters).map(_ => timed())
-        // adaptive top-up: heavy queries need more samples for a stable
-        // median under host contention
-        if (median(times) > 1.0 && heavyIters > iters)
-          times = times ++ (iters until heavyIters).map(_ => timed())
-        Right((median(times), times.min, times.size))
+        if (timed)
+          times(name) = times.getOrElse(name, Vector.empty) :+
+            ((System.nanoTime() - t0) / 1e9)
+        true
       } catch {
         case e: Throwable =>
-          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-      })
+          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          false
+      }
+
+    // Phase A — coverage: warm + 1 timed per query until the deadline.
+    names.foreach { case (name, fn) =>
+      if (remainingSec <= 0) skipped += name
+      else if (run(name, fn, timed = false)) { run(name, fn, timed = true); () }
     }
-    val timed = outcomes.collect { case (n, Right(t)) => n -> t }
-    val errors = outcomes.collect { case (n, Left(m)) => n -> m }
+    // Phase B — top-up to target iteration counts while budget remains.
+    // Round-robin so every query's median firms up together rather than
+    // the alphabet's front half eating the budget.
+    var progressed = true
+    while (progressed && remainingSec > 0) {
+      progressed = false
+      names.foreach { case (name, fn) =>
+        times.get(name).foreach { ts =>
+          val target = if (median(ts) > 1.0) heavyIters else iters
+          val predicted = ts.last * 1.5
+          if (ts.size < target && remainingSec > predicted) {
+            if (run(name, fn, timed = true)) progressed = true
+          }
+        }
+      }
+    }
+
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val qs = timed.map { case (k, (med, _, _)) => s""""${esc(k)}":$med""" }
+    val timedOut = times.toSeq.map { case (k, ts) => k -> (median(ts), ts.min, ts.size) }
+    val qs = timedOut.map { case (k, (med, _, _)) => s""""${esc(k)}":$med""" }
       .mkString("{", ",", "}")
-    val mins = timed.map { case (k, (_, mn, _)) => s""""${esc(k)}":$mn""" }
+    val mins = timedOut.map { case (k, (_, mn, _)) => s""""${esc(k)}":$mn""" }
       .mkString("{", ",", "}")
-    val ns = timed.map { case (k, (_, _, n)) => s""""${esc(k)}":$n""" }
+    val ns = timedOut.map { case (k, (_, _, n)) => s""""${esc(k)}":$n""" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
-    val total = timed.map(_._2._1).sum
-    val totalMin = timed.map(_._2._2).sum
+    val skips = skipped.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")
+    val total = timedOut.map(_._2._1).sum
+    val totalMin = timedOut.map(_._2._2).sum
     val warm = warmupError.map(e => s""""${esc(e)}"""").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"min_total":$totalMin,"iters_used":$ns,"errors":$errs,"iters":$iters,"warmup_error":$warm,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"min_total":$totalMin,"iters_used":$ns,"errors":$errs,"skipped":$skips,"budget_sec":$budgetSec,"iters":$iters,"warmup_error":$warm,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -400,14 +400,19 @@ object SparkEntry {
     // (hash-dependent; driver records rows-only check)
     "q_dedup_minhash_pairs" -> ((s, dir) => {
       val docs = readWide(s, dir, "documents")
-      // the candidate set is referenced three times below (two id
-      // projections + the verify join) — all three land on the SAME
-      // distinct-exchange subtree, which Spark's ReuseExchange computes
-      // once per execution. No persist: a cache entry would outlive the
-      // query (the round-4 leak), and shingling is restricted to candidate
-      // documents via the broadcast semi-join regardless.
+      // The candidate set is referenced three times below (two id
+      // projections + the verify join). Exchange reuse does NOT cover
+      // this: the union's two projections differ, so each reference
+      // re-plans the whole LSH self-join — the optimizer saw a
+      // combinatorially replicated tree ("plan too large" in the round-5
+      // bench log) and the query ran ~15× its round-4 time. An EAGER
+      // localCheckpoint materializes the (tiny) pair set once and
+      // truncates the lineage; unlike the round-4 persist leak, the
+      // blocks are reclaimed by the ContextCleaner when the frame is
+      // garbage-collected rather than pinned in the cache registry.
       val cands = operators.Dedup.lshCandidatePairs(
         docs, "doc_id", "text", shingleN = 3, k = 20, bands = 10)
+        .localCheckpoint()
       val ids = cands.select(col("id_a").as("doc_id"))
         .union(cands.select(col("id_b").as("doc_id"))).distinct()
       val candDocs = docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
