@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 78 queries x several codegen stages overflow the JVM's JIT code
+  // cache (default 240m) mid-run: the sweeper starts flushing compiled
+  // methods and hot generated code runs interpreted — measured 10-20x
+  // per-query slowdowns in the back half of a full bench/verify pass.
+  "-XX:ReservedCodeCacheSize=1g",
 )

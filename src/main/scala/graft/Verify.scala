@@ -18,15 +18,22 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS), which Spark only reads as
       // a nanos Long via this flag
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see Bench: without this the 78-query pass thrashes the 100-entry
+      // generated-class cache
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(
+          f"[verify] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
