@@ -5,7 +5,15 @@ package graft
   * a persist inside a query builder accumulates entries per invocation in
   * a long-lived service session). Operators may persist internally
   * (resolveDuplicateGroups materializes the verified pair graph for its
-  * count + collect) but must release before returning. */
+  * count + collect) but must release before returning.
+  *
+  * One sanctioned exception: EAGER `localCheckpoint` RDDs (the LSH
+  * candidate-set materialization). Their blocks are owned by the
+  * ContextCleaner — reclaimed when the frame is garbage-collected — not
+  * pinned registry entries, so per-query they may linger; the final sweep
+  * proves they vanish once unreferenced (a true leak, i.e. a strong
+  * reference held by a registry or a plan cache, would survive GC and
+  * fail the sweep). */
 class CacheScopeSpec extends SparkSpec {
 
   test("no SparkEntry query leaves persistent RDDs or cached plans behind") {
@@ -14,10 +22,24 @@ class CacheScopeSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       fn(spark, sfDir).count()
-      val leaked = spark.sparkContext.getPersistentRDDs
+      val leaked = spark.sparkContext.getPersistentRDDs.values
+        .filterNot(_.toString.contains("localCheckpoint"))
       assert(leaked.isEmpty,
         s"$name left ${leaked.size} persistent RDD(s): " +
-          leaked.values.map(_.name).mkString(", "))
+          leaked.map(_.toString).mkString(", "))
     }
+    // final sweep: with every query frame out of scope, GC must let the
+    // ContextCleaner drain the checkpoint blocks too. Bounded poll — the
+    // cleaner processes the reference queue asynchronously after GC.
+    val deadline = System.currentTimeMillis() + 30000
+    var remaining = spark.sparkContext.getPersistentRDDs
+    while (remaining.nonEmpty && System.currentTimeMillis() < deadline) {
+      System.gc()
+      Thread.sleep(500)
+      remaining = spark.sparkContext.getPersistentRDDs
+    }
+    assert(remaining.isEmpty,
+      s"persistent RDDs survived GC (strongly referenced — a real leak): " +
+        remaining.values.map(_.toString).mkString(", "))
   }
 }
