@@ -391,6 +391,16 @@ object SparkEntry {
           "l_suppkey", salts = 8)
         .select("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
     }),
+    // Z-order (Morton) data-skipping key over two bucketized dimensions —
+    // pure integer bit interleave, bit-identical cross-engine. The layout
+    // itself (repartitionByRange on this key) is exercised in ScaleSpec;
+    // the query checks the key math the layout's file-skipping relies on.
+    "q_scale_zorder" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          operators.Scale.zorderKey(
+            pmod(col("l_orderkey"), lit(1024L)),
+            pmod(col("l_suppkey"), lit(1024L)), bits = 10).as("zkey"))),
     // ---- training-data pipeline: dedup ---------------------------------
     // exact dedup (hash-groupBy; min-id survivor per identical text)
     "q_dedup_exact" -> ((s, dir) =>
@@ -1053,6 +1063,17 @@ object SparkEntry {
     "q_scale_salted_join" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
+    // Morton interleave replay: bit i of a → position 2i+1, of b → 2i.
+    // Disjoint bit positions make the OR-fold equal to a plain SUM of
+    // shifted bits, which is what DuckDB evaluates here.
+    "q_scale_zorder" -> {
+      val terms = (0 until 10).flatMap { i =>
+        Seq(s"(((l_orderkey % 1024) >> $i) & 1) * ${1L << (2 * i + 1)}",
+          s"(((l_suppkey % 1024) >> $i) & 1) * ${1L << (2 * i)}")
+      }.mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber,
+          CAST($terms AS BIGINT) AS zkey FROM lineitem"""
+    },
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",

@@ -75,6 +75,49 @@ object Scale {
       joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
 
+  /** Z-order (Morton) key: interleave the low `bits` bits of two
+    * non-negative integer columns — `a`'s bit i lands at position 2i+1,
+    * `b`'s at 2i. Callers bucketize unbounded keys into [0, 2^bits)
+    * first (`pmod`, `width_bucket`, or a rank).
+    *
+    * Why at 100 TB: range-partitioning by a LINEAR sort key gives parquet
+    * min/max stats that prune scans on the leading column only — a
+    * predicate on the second column reads every file. Laying files out
+    * along the Z-curve tiles the key space, so each file covers a small
+    * rectangle in BOTH dimensions and a selective predicate on EITHER
+    * column skips most files (asserted in ScaleSpec: a b-only box touches
+    * 8/64 z-tiles vs 64/64 linear partitions).
+    *
+    * The fold is `bits` explicit shift/mask terms on longs — a pure
+    * integer Column expression, whole-stage-codegen'd, and exactly
+    * reproducible in any engine with bit ops (the q_scale_zorder oracle
+    * replays it in DuckDB). */
+  def zorderKey(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Re-lay a frame along the Z-curve of two bucketized key columns:
+    * range-partition on the Morton key (contiguous z-ranges = spatial
+    * tiles per output file), sort within partitions so row-group stats
+    * are tight. One exchange; everything else is map-local sorting. */
+  def zorderLayout(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      bits: Int = 16,
+      numFiles: Int = 0): DataFrame = {
+    val keyed = df.withColumn("__z", zorderKey(col(colA), col(colB), bits))
+    val parted =
+      if (numFiles > 0) keyed.repartitionByRange(numFiles, col("__z"))
+      else keyed.repartitionByRange(col("__z"))
+    parted.sortWithinPartitions(col("__z")).drop("__z")
+  }
+
   /** O1 — the sorted-layout writer: partition-major, clustering-sorted
     * files (the reference's backup sink relies on exactly this arrival
     * order — ref: BackupSinkForDeletingCompaction.java:55-57). Sorted

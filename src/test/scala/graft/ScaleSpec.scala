@@ -73,4 +73,48 @@ class ScaleSpec extends SparkSpec {
       .collect() // just ensure readable; physical order asserted via files
     assert(rows.nonEmpty)
   }
+
+  test("zorderKey matches the bit-interleave model") {
+    def model(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+      }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L),
+      (170L, 85L), (1023L, 512L))
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Scale.zorderKey(col("a"), col("b"), bits = 10).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (a, b) =>
+      assert(got((a, b)) == model(a, b, 10), s"mismatch at ($a, $b)")
+    }
+  }
+
+  test("z-order layout prunes on the NON-leading dimension; linear cannot") {
+    // full 256x256 grid; a predicate selective ONLY in b. A linear layout
+    // sorted by a spreads every b-value across every partition (zero
+    // pruning); the Z-curve tiles the plane, so only the tiles whose
+    // b-range intersects survive. This is the file-skipping property the
+    // layout exists for, measured at partition granularity.
+    val grid = spark.range(0, 256L * 256L)
+      .select((col("id") % 256).as("a"), (col("id") / 256).cast("long").as("b"))
+    def overlapping(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(spark_partition_id().as("p"))
+        .agg(min("b").as("bmin"), max("b").as("bmax"))
+        .filter(col("bmin") <= 15 && col("bmax") >= 0) // box: b in [0, 15]
+        .count()
+    val nParts = 64
+    val linear = grid.repartitionByRange(nParts, col("a"), col("b"))
+    val zed = grid
+      .withColumn("z", Scale.zorderKey(col("a"), col("b"), bits = 8))
+      .repartitionByRange(nParts, col("z"))
+    val linOverlap = overlapping(linear)
+    val zOverlap = overlapping(zed)
+    // 64 z-partitions over a 256x256 grid = 32x32-ish tiles: a 16-row
+    // b-band touches ~1 of every 8 tile rows. Allow slack for range-
+    // partitioner boundary tiles; the structural gap is what's pinned.
+    assert(linOverlap >= nParts / 2, s"linear layout unexpectedly pruned: $linOverlap")
+    assert(zOverlap * 2 <= linOverlap,
+      s"z-order should touch far fewer partitions: z=$zOverlap linear=$linOverlap")
+  }
 }
