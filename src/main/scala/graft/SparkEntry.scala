@@ -586,6 +586,17 @@ object SparkEntry {
       jobs.CurationJob.curate(readWide(s, dir, "documents"),
           jobs.CurationJob.CurationOptions(maxDupNgramFrac = 0.05))
         .select("doc_id", "lang", "source")),
+    // best-k documents per source by quality — the "keep the top N per
+    // domain" curation pass, via the SAME two-phase bounded heap the ANN
+    // top-k uses (per-partition heap, then a window over survivors only:
+    // no per-source single-reducer at corpus scale)
+    "q_curation_topk_per_source" -> ((s, dir) => {
+      val scored = read(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          operators.TextAnalysis.qualityScore(col("text")).as("quality"))
+      operators.Similarity.topKPerQuery(scored, k = 25, "source", "quality", "doc_id")
+        .select("source", "doc_id", "quality", "rank")
+    }),
     // deterministic train/val/test split — map-only, seed-keyed,
     // cross-engine-reproducible hash bucket (md5, not xxhash64, so the
     // SAME assignment derives in any engine)
@@ -1352,6 +1363,31 @@ object SparkEntry {
              6) AS quality
            FROM t)
          SELECT doc_id, lang, source, quality FROM sc WHERE quality >= 0.9""",
+    // same quality expression; per-source rank replayed as one window
+    // (the oracle engine's small data makes the single-reducer shape fine
+    // HERE — the Spark side stays the two-phase heap)
+    "q_curation_topk_per_source" ->
+      """WITH t AS (SELECT doc_id, lang, source, text,
+             length(text) AS len,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS ntok
+           FROM documents),
+         sc AS (SELECT doc_id, source,
+           round((CASE WHEN len BETWEEN 100 AND 10000 THEN 1.0
+                       WHEN len BETWEEN 20 AND 99 THEN 0.5 ELSE 0.0 END) * 0.3
+             + (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) /
+                 CAST(greatest(len, 1) AS DOUBLE)) * 0.3
+             + (1.0 - least((length(regexp_replace(text, '[^[:punct:]]', '', 'g')) /
+                 CAST(greatest(len, 1) AS DOUBLE)) * 5.0, 1.0)) * 0.2
+             + (CASE WHEN len / CAST(greatest(ntok, 1) AS DOUBLE)
+                     BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+             6) AS quality
+           FROM t)
+         SELECT source, doc_id, quality, CAST(rn AS INT) AS rank FROM (
+           SELECT source, doc_id, quality,
+             row_number() OVER (PARTITION BY source
+               ORDER BY quality DESC, doc_id) AS rn
+           FROM sc) WHERE rn <= 25""",
     // end-to-end curation oracle: the per-stage formulations chained —
     // quality/repetition scoring, threshold filters, min-id-per-text exact
     // dedup, then 3-gram-Jaccard connected components over the survivors

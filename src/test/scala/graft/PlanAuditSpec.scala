@@ -165,4 +165,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(plan.contains("partial_count"), plan)
   }
+
+  test("z-order key is a map-only codegen'd projection: zero exchanges") {
+    val plan = simple("q_scale_zorder")
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*("), s"zorder fold should stay in codegen:\n$plan")
+  }
+
+  test("per-source curation top-k reuses the two-phase heap, not a global window") {
+    val plan = simple("q_curation_topk_per_source")
+    val iWin = plan.indexOf("Window")
+    val iMap = plan.indexOf("MapPartitions")
+    assert(iWin >= 0 && iMap >= 0 && iWin < iMap,
+      s"Window must consume the heap-pruned survivors:\n$plan")
+  }
 }
