@@ -90,7 +90,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val heavyIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_ITERS", "7").toInt
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "540").toDouble
+    // 480s loop + JVM/sbt startup + one in-flight overshoot stays inside
+    // a 15-minute harness timeout even if a steal burst lands on the
+    // final query
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
