@@ -802,6 +802,26 @@ object SparkEntry {
     "q_bm25_topk" -> ((s, dir) =>
       operators.TextSearch.bm25TopK(read(s, dir, "documents"),
         "doc_id", "text", Seq("spark", "window", "merge"), k = 10)),
+    // hybrid retrieval: BM25 lexical top-20 fused with vector cosine
+    // top-20 (query = embedding 0) by reciprocal-rank fusion — rank-based
+    // micro-unit integer sums, so the whole hybrid stack is engine-exact
+    "q_retrieval_rrf" -> ((s, dir) => {
+      val bm = operators.TextSearch.bm25TopK(read(s, dir, "documents"),
+          "doc_id", "text", Seq("spark", "window", "merge"), k = 20)
+        .select(col("doc").as("doc_id"), col("rank"))
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("query_vec"))
+      val scored = emb.crossJoin(broadcast(q)).select(
+        col("vec_id"),
+        round(operators.Similarity.cosine(
+          col("embedding").cast("array<double>"),
+          col("query_vec").cast("array<double>")), 6).as("cos_r"))
+      val vr = operators.Similarity.topKPerQuery(
+          scored.withColumn("__q", lit(1)), 20, "__q", "cos_r", "vec_id")
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      operators.TextSearch.rrfFuse(Seq(bm, vr), "doc_id", k = 10)
+    }),
     // composed cleaning pipeline (CleanJob): PII scrub → segment dedup →
     // span dedup → empty-drop → deterministic split, one lazy plan.
     // Synthesized per-row PII as in q_clean_pii (the corpus is digit-free,
@@ -1847,6 +1867,55 @@ object SparkEntry {
            CAST(row_number() OVER (ORDER BY CAST(score_micros AS DOUBLE) DESC, doc)
              AS INT) AS rank
          FROM scored QUALIFY rank <= 10""",
+    // hybrid RRF replay: the bm25 CTEs (top-20), a single-query cosine
+    // ranking (top-20), then integer micro-unit reciprocal-rank sums.
+    // No value of 10^6/(60+rank) lands on an exact .5 (2*10^6 has no
+    // divisor in [62, 80] with an odd quotient), so round() agrees
+    // cross-engine bit-for-bit.
+    "q_retrieval_rrf" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+         tfg AS (SELECT doc, dl, term, count(*) AS tf FROM (
+             SELECT doc_id AS doc, CAST(len(ws) AS BIGINT) AS dl,
+               unnest(ws) AS term FROM d)
+           GROUP BY 1, 2, 3),
+         scal AS (SELECT count(*) AS n, CAST(sum(len(ws)) AS BIGINT) AS tot FROM d),
+         q AS (SELECT unnest(['spark', 'window', 'merge']) AS term),
+         dfreq AS (SELECT term, count(DISTINCT doc) AS df
+           FROM tfg JOIN q USING (term) GROUP BY 1),
+         contrib AS (SELECT doc,
+             CAST(round(
+               ln(1.0 + (CAST(scal.n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+               ((tf * (1.2 + 1.0)) /
+                 (tf + 1.2 * ((1.0 - 0.75) +
+                   0.75 * dl / (CAST(scal.tot AS DOUBLE) / scal.n)))) *
+               1000000.0) AS BIGINT) AS c
+           FROM tfg JOIN dfreq USING (term), scal),
+         scored AS (SELECT doc, CAST(sum(c) AS BIGINT) AS score_micros
+           FROM contrib GROUP BY doc),
+         bmr AS (SELECT doc AS doc_id,
+             CAST(row_number() OVER (ORDER BY CAST(score_micros AS DOUBLE) DESC, doc)
+               AS INT) AS rank
+           FROM scored QUALIFY rank <= 20),
+         vq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         vs AS (SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(vq.qv AS DOUBLE[])), 6) AS cos_r
+           FROM embeddings e CROSS JOIN vq),
+         vr AS (SELECT doc_id, CAST(rn AS INT) AS rank FROM (
+             SELECT doc_id, row_number() OVER (ORDER BY cos_r DESC, doc_id) AS rn
+             FROM vs) WHERE rn <= 20),
+         u AS (SELECT doc_id,
+               CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM bmr
+             UNION ALL
+             SELECT doc_id,
+               CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM vr),
+         f AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micros
+           FROM u GROUP BY doc_id)
+         SELECT doc_id, rrf_micros,
+           CAST(row_number() OVER (ORDER BY CAST(rrf_micros AS DOUBLE) DESC, doc_id)
+             AS INT) AS rank
+         FROM f QUALIFY rank <= 10""",
     // composed replay of the full CleanJob chain: each stage is the same
     // SQL as its standalone oracle, chained through CTEs
     "q_pipeline_clean" ->

@@ -88,4 +88,39 @@ object TextSearch {
         k, "__q", "__s", "doc")
       .select(col("doc"), col("score_micros"), col("rank"))
   }
+
+  /** Reciprocal-rank fusion of N rankings — the standard hybrid-retrieval
+    * combiner (lexical BM25 + vector ANN): each ranking contributes
+    * 1/(rrfK + rank) per document, summed; documents absent from a
+    * ranking contribute nothing. Rank-based fusion needs no score
+    * normalization across heterogeneous retrievers, which is why it is
+    * the default in production hybrid search.
+    *
+    * Scale shape: each input ranking is already top-k (bounded), so the
+    * union + aggregation runs over ≤ Σkᵢ rows — driver-trivial at any
+    * corpus size; the heavy lifting happened in the retrievers.
+    *
+    * Determinism contract: contributions are micro-unit integers
+    * (round(10⁶/(rrfK+rank))) summed exactly; final ties break ASC on
+    * the id. No value of rrfK+rank in a top-100 ranking lands on an
+    * exact .5, so cross-engine rounding agrees bit-for-bit. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    val contribs = rankings.map(_.select(
+      col(idCol),
+      round(lit(1000000.0d) / (lit(rrfK.toDouble) + col("rank").cast("double")))
+        .cast("long").as("__c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("rrf_micros"))
+    Similarity.topKPerQuery(
+        fused.withColumn("__q", lit(1))
+          .withColumn("__s", col("rrf_micros").cast("double")),
+        k, "__q", "__s", idCol)
+      .select(col(idCol), col("rrf_micros"), col("rank"))
+  }
 }

@@ -56,4 +56,21 @@ class TextSearchSpec extends SparkSpec {
     // doc 4 (dl 7) edges doc 2 (dl 8) on length normalization
     assert(out.head._1 === 4L && out.head._3 === 1)
   }
+
+  test("rrfFuse: doc ranked by both retrievers beats either single appearance") {
+    def ranking(pairs: (Long, Int)*) =
+      pairs.toSeq.toDF("doc_id", "rank")
+    // doc 10 is #2 in both lists; doc 1 and doc 20 are #1 in one list only:
+    // 2/(60+2) > 1/(60+1) — consensus outranks a single first place
+    val a = ranking(1L -> 1, 10L -> 2, 3L -> 3)
+    val b = ranking(20L -> 1, 10L -> 2, 4L -> 3)
+    val fused = TextSearch.rrfFuse(Seq(a, b), "doc_id", k = 10)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(fused.head._1 === 10L, fused.mkString(", "))
+    // contribution model: micro-unit sum of round(1e6/(60+rank))
+    assert(fused.head._2 === 2L * math.round(1e6 / 62.0))
+    // absent docs contribute zero, ties break on the smaller id
+    val ids = fused.map(_._1).toSeq
+    assert(ids.take(3) === Seq(10L, 1L, 20L)) // 1 and 20 tie; 1 wins by id
+  }
 }
