@@ -70,7 +70,7 @@ object Bench {
     "q_lm_bigram_score" -> 0.65, "q_mm_decode" -> 0.66,
     "q_sample_mixture" -> 0.74, "q_sessionize" -> 0.80,
     "q_scale_zorder" -> 0.38, "q_curation_topk_per_source" -> 0.91,
-    "q_retrieval_rrf" -> 3.67,
+    "q_retrieval_rrf" -> 3.67, "q_sim_ann_ivf_filtered" -> 1.58,
     "q_sim_near_dup_exact" -> 0.81, "q_p1_key_projection" -> 0.83,
     "q_sim_ann_lsh" -> 0.93, "q_sim_topk_brute" -> 0.98,
     "q_scale_salted_join" -> 1.04, "q_sketch_cms" -> 1.20,

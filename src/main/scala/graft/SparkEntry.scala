@@ -496,6 +496,20 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"),
           col("rank"))
     }),
+    // metadata-FILTERED ANN: the corpus is restricted by a predicate
+    // BEFORE the index derivation and probe join, so the parquet scan
+    // prunes on the metadata column and the index only covers eligible
+    // vectors — the "search within a tenant/language/licence" shape.
+    // Queries stay unfiltered (a query vector is not corpus metadata).
+    "q_sim_ann_ivf_filtered" -> ((s, dir) => {
+      val all = readWide(s, dir, "embeddings")
+      val q = all.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      operators.Similarity.ivfTopK(all.filter(col("label") < 5), q,
+          k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"),
+          col("rank"))
+    }),
     // product-quantization ANN: 8 sub-space codes per vector (32×
     // compression), ADC table-lookup scoring — deterministic sampled
     // codebooks give it an exact oracle like the LSH/IVF paths
@@ -1214,6 +1228,34 @@ object SparkEntry {
               ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC LIMIT 1) AS list
            FROM emb e),
          q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+         probed AS (
+           SELECT q.query_id, q.qv, c.i AS list
+           FROM q, LATERAL (SELECT i FROM cent
+             ORDER BY list_dot_product(q.qv, cent.v) DESC, i DESC LIMIT 4) c),
+         scored AS (
+           SELECT p.query_id, a.vec_id, list_cosine_similarity(a.v, p.qv) AS cos
+           FROM probed p JOIN assigned a ON a.list = p.list)
+         SELECT query_id, vec_id, round(cos, 6) AS cos_r,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS INT) AS rank
+         FROM scored QUALIFY rank <= 10""",
+    // filtered-ANN replay: identical IVF derivation but over the
+    // metadata-filtered corpus (centroids, assignment, probe all see only
+    // eligible vectors); queries come from the unfiltered table
+    "q_sim_ann_ivf_filtered" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE label < 5),
+         stepc AS (SELECT greatest(1, (SELECT count(*) FROM emb) // 16) AS step),
+         cent AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+           FROM emb, stepc WHERE vec_id % stepc.step = 0 ORDER BY vec_id LIMIT 16),
+         assigned AS (
+           SELECT e.vec_id, e.v,
+             (SELECT c.i FROM cent c
+              ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC LIMIT 1) AS list
+           FROM emb e),
+         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 3),
          probed AS (
            SELECT q.query_id, q.qv, c.i AS list
            FROM q, LATERAL (SELECT i FROM cent
