@@ -132,4 +132,34 @@ class ExpressionPropertySpec extends SparkSpec {
       (0 to f.length by 7).foreach(k => MediaFormats.parse(f.take(k)))
     }
   }
+
+  test("property: zorderKey round-trips through deinterleave on random keys") {
+    import graft.operators.Scale
+    val bits = 12
+    def deinterleave(z: Long): (Long, Long) = {
+      var (a, b) = (0L, 0L)
+      (0 until bits).foreach { i =>
+        a |= ((z >> (2 * i + 1)) & 1L) << i
+        b |= ((z >> (2 * i)) & 1L) << i
+      }
+      (a, b)
+    }
+    val gen = Gen.zip(Gen.chooseNum(0L, (1L << bits) - 1),
+      Gen.chooseNum(0L, (1L << bits) - 1))
+    val pairs = samples(gen, 200).distinct
+    val out = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Scale.zorderKey(col("a"), col("b"), bits).as("z"))
+      .collect()
+    out.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(deinterleave(z) == ((a, b)),
+        s"z=$z does not deinterleave back to ($a, $b)")
+      // Morton keys are order-isomorphic to the pair under bit dominance:
+      // injectivity is what the layout's tiling relies on
+      assert(z >= 0 && z < (1L << (2 * bits)))
+    }
+    assert(out.map(_.getLong(2)).distinct.length == pairs.length,
+      "interleave must be injective")
+  }
 }
