@@ -391,6 +391,11 @@ object SparkEntry {
           "l_suppkey", salts = 8)
         .select("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
     }),
+    // the skew diagnostic: heaviest keys + exact micro-unit share — what
+    // an operator consults before picking salts/buckets at scale
+    "q_scale_skew_report" -> ((s, dir) =>
+      operators.Scale.skewReport(read(s, dir, "lineitem"), "l_suppkey",
+        topN = 10)),
     // Z-order (Morton) data-skipping key over two bucketized dimensions —
     // pure integer bit interleave, bit-identical cross-engine. The layout
     // itself (repartitionByRange on this key) is exercised in ScaleSpec;
@@ -1108,6 +1113,12 @@ object SparkEntry {
     "q_scale_salted_join" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""",
+    "q_scale_skew_report" ->
+      """WITH t AS (SELECT count(*) AS total FROM lineitem),
+         g AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1)
+         SELECT l_suppkey, CAST(n AS BIGINT) AS n,
+           CAST(round(n * 1000000.0 / t.total) AS BIGINT) AS share_micros
+         FROM g, t ORDER BY n DESC, l_suppkey LIMIT 10""",
     // Morton interleave replay: bit i of a → position 2i+1, of b → 2i.
     // Disjoint bit positions make the OR-fold equal to a plain SUM of
     // shifted bits, which is what DuckDB evaluates here.

@@ -75,6 +75,24 @@ object Scale {
       joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
 
+  /** Skew report: the `topN` heaviest join/aggregation keys with their
+    * row counts and micro-unit share of the table — the diagnostic run
+    * BEFORE choosing salts/buckets/AQE thresholds. One map-side-combined
+    * aggregation (per-partition partials shuffle ≤ distinct-keys rows)
+    * plus a driver-scalar total; the top-N cut is a tiny sort. Share is
+    * an exact integer (round(n/total·10⁶)) so the report reproduces
+    * bit-identically cross-engine. */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val total = df.count()
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_micros",
+        round(col("n") * lit(1000000.0d) / lit(total.toDouble)).cast("long"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topN)
+  }
+
   /** Z-order (Morton) key: interleave the low `bits` bits of two
     * non-negative integer columns — `a`'s bit i lands at position 2i+1,
     * `b`'s at 2i. Callers bucketize unbounded keys into [0, 2^bits)
