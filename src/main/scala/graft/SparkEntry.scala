@@ -242,6 +242,29 @@ object SparkEntry {
         .lwwDedup(ev, TableSpec(Seq("user_id"), Seq("event_type"), Some("writetime")))
         .select("user_id", "event_type", "writetime", "event_id")
     }),
+    // changelog apply: base snapshot (event_id ≡ 0 mod 3) + mutation log
+    // (the rest; low-value rows are tombstones) reconciled LWW with
+    // delete-wins-on-tie — the reference's deleting-compaction merge as
+    // one map-side-combined aggregate
+    "q_cdc_apply" -> ((s, dir) => {
+      val ev = eventsWt(s, dir).withColumnRenamed("writetime", "wt_us")
+      val base = ev.filter(col("event_id") % 3 === 0)
+        .select("user_id", "event_type", "wt_us", "value", "event_id")
+      val changes = ev.filter(col("event_id") % 3 =!= 0)
+        .withColumn("op", when(col("value") < lit(0.05), "D").otherwise("U"))
+        .select("user_id", "event_type", "wt_us", "op", "value", "event_id")
+      operators.Changelog.applyChangelog(base, changes,
+        Seq("user_id", "event_type"), "wt_us", "op", Seq("value", "event_id"))
+    }),
+    // SCD2 history: per-user event_type transitions as validity intervals
+    // (no-op repeats collapsed; open-ended current interval)
+    "q_scd2_history" -> ((s, dir) => {
+      val log = eventsWt(s, dir)
+        .select(col("user_id"), col("event_type"),
+          col("writetime").as("t_us"), col("event_id"))
+      operators.Changelog.scd2History(log, Seq("user_id"), "t_us",
+        "event_id", Seq("event_type"))
+    }),
     // ---- window ---------------------------------------------------------
     // W1 — per-cluster-group verdict: representative first row per
     // partition in clustering order, with the group verdict
@@ -452,6 +475,17 @@ object SparkEntry {
           readWide(s, dir, "documents"), "doc_id", "text",
           jaccardThreshold = 0.8)
         .select("doc_id", "lang", "source", "n_chars")),
+    // incremental dedup: the new batch (doc_id ≡ 0 mod 5) dedups against
+    // the standing corpus (the rest) via its banded-signature table, then
+    // internally; the corpus is never self-joined. Surviving delta rows.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val delta = docs.filter(col("doc_id") % 5 === 0)
+      operators.Dedup.incrementalDedup(corpus, delta, "doc_id", "text",
+          jaccardThreshold = 0.8)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
     // SimHash fingerprint near-dup pairs. xxhash64 has no DuckDB
     // equivalent, so the fingerprints themselves are exported as a parquet
     // artifact and the oracle re-derives the pairs (quadrant banding +
@@ -1034,6 +1068,33 @@ object SparkEntry {
              row_number() OVER (PARTITION BY user_id, event_type
                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1""",
+    // LWW + delete-wins-on-tie reconcile: the lexicographic struct-max in
+    // Spark equals the first row of this DESC order chain; the winning
+    // tombstones then suppress their keys entirely
+    "q_cdc_apply" ->
+      """SELECT user_id, event_type, wt_us, value, event_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             ORDER BY wt_us DESC, del DESC, value DESC, event_id DESC) AS rn
+           FROM (SELECT user_id, event_type, epoch_us(ts) AS wt_us, value,
+                   event_id,
+                   CASE WHEN event_id % 3 <> 0 AND value < 0.05
+                        THEN 1 ELSE 0 END AS del
+                 FROM events))
+         WHERE rn = 1 AND del = 0""",
+    // change-detect (IS DISTINCT FROM lag) then interval bounds via lead
+    "q_scd2_history" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t_us,
+             event_id FROM events),
+         m AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY t_us, event_id) AS prev FROM ev),
+         c AS (SELECT user_id, event_type, t_us, event_id FROM m
+               WHERE event_type IS DISTINCT FROM prev)
+         SELECT user_id, event_type, t_us AS valid_from,
+           lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+             AS valid_to,
+           (lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
+             IS NULL) AS is_current
+         FROM c""",
     "q_w1_group_verdict" ->
       """SELECT l_orderkey, l_linenumber,
              (l_linenumber BETWEEN 3 AND 5) AS would_drop FROM (
@@ -1189,6 +1250,49 @@ object SparkEntry {
            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a)
          SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT a FROM reach GROUP BY a HAVING min(b) < a)""",
+    // incremental replay with exact all-pairs Jaccard (the LSH misses a
+    // J≥0.8 pair with negligible probability — same argument as
+    // q_dedup_minhash_pairs): delta docs near a corpus doc drop first,
+    // then connected components among the remaining delta only
+    "q_dedup_incremental" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS s
+           FROM w),
+         corpus AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+         delta AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+         cross_drop AS (
+           SELECT DISTINCT d.doc_id
+           FROM delta d JOIN corpus c
+           ON len(list_intersect(d.s, c.s)) /
+              CAST(len(d.s) + len(c.s) - len(list_intersect(d.s, c.s))
+                AS DOUBLE) >= 0.8),
+         d2 AS (SELECT * FROM delta
+                WHERE doc_id NOT IN (SELECT doc_id FROM cross_drop)),
+         e AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d2 a JOIN d2 b ON b.doc_id > a.doc_id
+           WHERE len(list_intersect(a.s, b.s)) /
+             CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+               AS DOUBLE) >= 0.8),
+         und AS (SELECT id_a AS a, id_b AS b FROM e
+                 UNION SELECT id_b, id_a FROM e),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+           WHERE u.b <> r.a)
+         SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id % 5 = 0
+           AND doc_id NOT IN (SELECT doc_id FROM cross_drop)
+           AND doc_id NOT IN (SELECT a FROM reach GROUP BY a
+                              HAVING min(b) < a)""",
     // SimHash pairing over the exported fingerprint artifact (written by
     // the query itself; the correctness gate always runs at sf0.01): the
     // quadrant banding + Hamming≤3 cut re-derived with DuckDB-native

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Mutation-log application — the batch analog of the reference's
+  * deleting compaction: reconcile a change log into a snapshot with
+  * last-writer-wins + tombstone semantics, and materialize slowly-changing
+  * history (SCD2 validity intervals) from the same log.
+  *
+  * ref: deleting-compaction-strategy's DeletingCompactionStrategy applies
+  * convictor verdicts while merging SSTable generations (newest write
+  * wins, tombstones suppress); `applyChangelog` is that merge expressed as
+  * one relational aggregate over (snapshot ∪ log).
+  */
+object Changelog {
+
+  /** Apply a mutation log to a base snapshot with Cassandra-style
+    * reconciliation: per key the version with the greatest writetime wins;
+    * on a writetime tie a tombstone beats a write (the reconcile order the
+    * reference's storage engine guarantees during compaction); keys whose
+    * winning version is a tombstone are absent from the output.
+    *
+    * Shape at scale: ONE hash aggregation of `max(struct(writetime,
+    * tombstone, payload…))` — partial aggregation map-side, so the single
+    * exchange on the key carries one pre-reduced row per (partition, key),
+    * never the full log; no window, no sort. The struct comparison is
+    * lexicographic, which makes the tie-break chain explicit in field
+    * order; callers append a unique column (e.g. the event id) to
+    * `payloadCols` so the aggregate is total-order deterministic.
+    * Payload columns must be non-null for the tie-break to agree across
+    * engines (null ordering inside struct comparison is engine-specific).
+    *
+    * `base` needs no op column (snapshot rows are writes by definition);
+    * `changes` rows with `opCol === "D"` are tombstones.
+    */
+  def applyChangelog(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      writetimeCol: String,
+      opCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val keep = (keyCols :+ writetimeCol) ++ payloadCols
+    val u = base.select(keep.map(col): _*)
+      .withColumn("__del", lit(0))
+      .unionByName(
+        changes.select((keep :+ opCol).map(col): _*)
+          .withColumn("__del", (col(opCol) === lit("D")).cast("int"))
+          .drop(opCol))
+    val version = struct(
+      col(writetimeCol) +: col("__del") +: payloadCols.map(col): _*)
+    u.groupBy(keyCols.map(col): _*)
+      .agg(max(version).as("__w"))
+      .filter(col("__w.__del") === 0)
+      .select(keyCols.map(col) ++
+        (writetimeCol +: payloadCols).map(c => col(s"__w.$c").as(c)): _*)
+  }
+
+  /** SCD2 history: an ordered change log → validity intervals per key.
+    * Consecutive versions whose tracked attributes are unchanged collapse
+    * into one interval (no-op updates emit nothing); each surviving
+    * version is valid [valid_from, valid_to), open-ended for the current
+    * one.
+    *
+    * Both windows partition by the key — per-key history parallelizes
+    * across executors with no global sort; a pathological hot key
+    * serializes only its own history (inherent to ordered-interval
+    * semantics). `tsCol` should be an integral event time (epoch micros)
+    * so intervals reproduce bit-identically cross-engine; `tieCol` must be
+    * unique within a key to make the ordering total.
+    */
+  def scd2History(
+      log: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val attrs = struct(attrCols.map(col): _*)
+    val changed = log
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      // null-safe inequality: the first version per key (prev = null) is
+      // always a change
+      .filter(!(col("__prev") <=> attrs))
+      .drop("__prev")
+    changed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keyCols ++ attrCols).map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
+}

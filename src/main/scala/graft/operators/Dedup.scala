@@ -121,6 +121,36 @@ object Dedup {
         array((0 until k).map(s => col(s"__m$s")): _*).as("__sig"))
   }
 
+  /** Banded LSH keys `(id, band, bucket)` for a corpus: the map-only
+    * MinHash signature projection followed by per-band bucket hashing —
+    * still no shuffle. This is the table a production pipeline PERSISTS
+    * between ingest runs (bucketed by (band, bucket) in storage):
+    * incremental dedup joins each new batch against it without ever
+    * re-reading corpus text. */
+  def bandedSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 20,
+      bands: Int = 5): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rowsPerBand = k / bands
+    minHashSignatures(df, idCol, textCol, shingleN, k)
+      .select(
+        col(idCol),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b =>
+              struct(
+                b.as("band"),
+                xxhash64(concat_ws(
+                  ",", slice(col("__sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))
+                  .as("bucket")))).as("__b"))
+      .select(col(idCol), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
+  }
+
   /** MinHash-LSH candidate pairs: band the k-wide signature into `bands`
     * buckets, hash each band, self-join on (band, bucket). Returns
     * (id_a, id_b) with id_a < id_b, distinct. The band explode multiplies
@@ -138,22 +168,7 @@ object Dedup {
       k: Int = 20,
       bands: Int = 5,
       maxBucket: Option[Int] = None): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    val rowsPerBand = k / bands
-    val sigs = minHashSignatures(df, idCol, textCol, shingleN, k)
-    val banded = sigs
-      .select(
-        col(idCol),
-        explode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b =>
-              struct(
-                b.as("band"),
-                xxhash64(concat_ws(
-                  ",", slice(col("__sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))
-                  .as("bucket")))).as("__b"))
-      .select(col(idCol), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
+    val banded = bandedSignatures(df, idCol, textCol, shingleN, k, bands)
       // one exchange on the JOIN keys: both self-join branches reuse it
       // (ReuseExchange), so the map-only signature projection runs ONCE,
       // and the equi-join is co-partitioned — no further shuffle. Without
@@ -420,5 +435,71 @@ object Dedup {
           hammingDist(col("a.fp"), col("b.fp")) <= maxDist)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+  }
+
+  /** Candidate pairs between a NEW batch and an existing corpus's
+    * persisted banded-signature table (see [[bandedSignatures]]): the
+    * delta's signatures are computed map-only and equi-joined on
+    * (band, bucket). Returns distinct `(id_a = delta id, id_b = corpus
+    * id)`. The corpus side never self-joins and its text is never read —
+    * the incremental cost is O(|delta| · bands) join rows against a
+    * bucketed table, not O(|corpus|²). A small delta side broadcasts
+    * under AQE's threshold, making the probe shuffle-free on the corpus. */
+  def crossCandidatePairs(
+      corpusBanded: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 20,
+      bands: Int = 5): DataFrame = {
+    val d = bandedSignatures(delta, idCol, textCol, shingleN, k, bands).as("d")
+    d.join(corpusBanded.as("c"),
+        col("d.band") === col("c.band") && col("d.bucket") === col("c.bucket"))
+      .select(col(s"d.$idCol").as("id_a"), col(s"c.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Incremental near-dup dedup — the production shape at corpus scale:
+    * a new batch is deduplicated against the existing corpus FIRST (any
+    * delta doc within `jaccardThreshold` of a corpus doc is dropped), then
+    * internally (LSH → exact verify → connected components → min-id
+    * survivor). The corpus is never re-deduplicated, never self-joined,
+    * and only candidate corpus docs have their text re-read for the exact
+    * verify; everything else touches signatures only. Returns the
+    * surviving delta rows.
+    *
+    * Order matters and is part of the contract: corpus-duplicate removal
+    * precedes internal resolution, so a delta group whose min-id member
+    * duplicates the corpus still keeps its next-best member only if that
+    * member itself is corpus-clean. The DuckDB oracle replays exactly this
+    * order with exact all-pairs Jaccard. */
+  def incrementalDedup(
+      corpus: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      jaccardThreshold: Double = 0.8,
+      shingleN: Int = 3,
+      k: Int = 20,
+      bands: Int = 10): DataFrame = {
+    val corpusBanded = bandedSignatures(corpus, idCol, textCol, shingleN, k, bands)
+    // referenced three times below (two id projections + the verify
+    // join): eager localCheckpoint truncates the lineage once — the same
+    // replanning blow-up q_dedup_minhash_pairs hit (ContextCleaner
+    // reclaims the blocks; a persist() would pin them in the registry)
+    val cross = crossCandidatePairs(
+      corpusBanded, delta, idCol, textCol, shingleN, k, bands)
+      .localCheckpoint()
+    val candIds = cross.select(col("id_a").as(idCol))
+      .union(cross.select(col("id_b").as(idCol))).distinct()
+    val candDocs = corpus.select(col(idCol), col(textCol))
+      .unionByName(delta.select(col(idCol), col(textCol)))
+      .join(broadcast(candIds), Seq(idCol), "left_semi")
+    val dropIds = ngramJaccard(candDocs, cross, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a").as(idCol)).distinct()
+    val fresh = delta.join(dropIds, Seq(idCol), "left_anti")
+    nearDupDedup(fresh, idCol, textCol, jaccardThreshold, shingleN, k, bands)
   }
 }

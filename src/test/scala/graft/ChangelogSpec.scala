@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{Changelog, Dedup}
+import org.apache.spark.sql.functions._
+
+class ChangelogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyChangelog: latest write wins, tombstone suppresses the key") {
+    val base = Seq((1L, 100L, 10.0, 1L), (2L, 100L, 20.0, 2L))
+      .toDF("k", "wt", "v", "vid")
+    val changes = Seq(
+      (1L, 200L, "U", 11.0, 3L),  // newer upsert wins over base
+      (2L, 200L, "D", 0.0, 4L),   // newer tombstone deletes key 2
+      (3L, 100L, "U", 30.0, 5L),  // insert of a new key
+      (3L, 50L, "D", 0.0, 6L))    // older tombstone loses to the insert
+      .toDF("k", "wt", "op", "v", "vid")
+    val got = Changelog.applyChangelog(base, changes,
+        Seq("k"), "wt", "op", Seq("v", "vid"))
+      .select("k", "wt", "v", "vid").as[(Long, Long, Double, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 200L, 11.0, 3L), (3L, 100L, 30.0, 5L)))
+  }
+
+  test("applyChangelog: tombstone beats a write on an equal writetime") {
+    val base = Seq((1L, 100L, 10.0, 1L)).toDF("k", "wt", "v", "vid")
+    val changes = Seq((1L, 100L, "D", 99.0, 2L)).toDF("k", "wt", "op", "v", "vid")
+    val got = Changelog.applyChangelog(base, changes,
+      Seq("k"), "wt", "op", Seq("v", "vid"))
+    assert(got.count() == 0)
+  }
+
+  test("applyChangelog: equal-writetime writes tie-break on payload order") {
+    val base = spark.emptyDataset[(Long, Long, Double, Long)]
+      .toDF("k", "wt", "v", "vid")
+    val changes = Seq((1L, 100L, "U", 5.0, 1L), (1L, 100L, "U", 7.0, 2L))
+      .toDF("k", "wt", "op", "v", "vid")
+    val got = Changelog.applyChangelog(base, changes,
+        Seq("k"), "wt", "op", Seq("v", "vid"))
+      .select("v", "vid").as[(Double, Long)].collect().toSeq
+    assert(got == Seq((7.0, 2L)))
+  }
+
+  test("scd2History collapses no-op updates and builds half-open intervals") {
+    val log = Seq(
+      (1L, 100L, 1L, "a"), (1L, 200L, 2L, "a"),  // no-op repeat collapses
+      (1L, 300L, 3L, "b"), (1L, 400L, 4L, "a"),  // back to a = new interval
+      (2L, 150L, 5L, "x"))
+      .toDF("k", "t", "eid", "attr")
+    val got = Changelog.scd2History(log, Seq("k"), "t", "eid", Seq("attr"))
+      .select("k", "attr", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "a", 100L, Some(300L), false),
+      (1L, "b", 300L, Some(400L), false),
+      (1L, "a", 400L, None, true),
+      (2L, "x", 150L, None, true)))
+  }
+
+  test("scd2History orders equal timestamps by the tie column") {
+    val log = Seq((1L, 100L, 2L, "late"), (1L, 100L, 1L, "early"))
+      .toDF("k", "t", "eid", "attr")
+    val got = Changelog.scd2History(log, Seq("k"), "t", "eid", Seq("attr"))
+      .select("attr", "is_current").as[(String, Boolean)].collect().toSet
+    assert(got == Set(("early", false), ("late", true)))
+  }
+
+  test("incrementalDedup equals full-corpus semantics on the delta slice") {
+    // docs: corpus {1,2,3}, delta {10,11,12}. 10 dups corpus doc 1;
+    // 11 and 12 dup each other (11 survives as min id); 12 also checks
+    // that the internal resolve runs AFTER the corpus filter.
+    val mk = (n: Int, seed: String) =>
+      (1 to 40).map(i => s"$seed token$i word$i").mkString(" ")
+    val docs = Seq(
+      (1L, mk(40, "alpha")), (2L, mk(40, "beta")), (3L, mk(40, "gamma")),
+      (10L, mk(40, "alpha")),                       // corpus dup → dropped
+      (11L, mk(40, "delta")), (12L, mk(40, "delta"))) // internal pair
+      .toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 10)
+    val delta = docs.filter(col("doc_id") >= 10)
+    val got = Dedup.incrementalDedup(corpus, delta, "doc_id", "text",
+        jaccardThreshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L))
+  }
+}
