@@ -84,7 +84,11 @@ object Bench {
     "q_sim_ann_pq" -> 2.24, "q_dedup_resolve" -> 2.35,
     "q_sketch_quantile" -> 2.46, "q_bpe_merges" -> 2.63,
     "q_sim_ann_ivfpq" -> 2.66, "q_curation" -> 2.94,
-    "q_pipeline_clean" -> 8.33)
+    "q_pipeline_clean" -> 8.33,
+    // round-6 session-2 additions (mins from the r6 sf0.1 run)
+    "q_scale_skew_report" -> 0.24, "q_embed_quantize" -> 0.50,
+    "q_cdc_apply" -> 0.64, "q_scd2_history" -> 0.84,
+    "q_dedup_incremental" -> 6.00)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -549,6 +549,11 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"),
           col("rank"))
     }),
+    // symmetric int8 quantization (4× compression for shortlist
+    // transport): map-only, floor(x+0.5) both engines for bit-identity
+    "q_embed_quantize" -> ((s, dir) =>
+      operators.Similarity.int8Quantize(
+        readWide(s, dir, "embeddings"), "vec_id", "embedding")),
     // product-quantization ANN: 8 sub-space codes per vector (32×
     // compression), ADC table-lookup scoring — deterministic sampled
     // codebooks give it an exact oracle like the LSH/IVF paths
@@ -1402,6 +1407,19 @@ object SparkEntry {
          SELECT id_a, id_b, round(cos, 6) AS cos_r FROM scored WHERE cos >= 0.4"""
     },
     // exact oracle for PQ: codebooks derive in SQL (same every-step-th
+    // per-vector scale then floor(x·scale + 0.5) — identical floor
+    // semantics both engines; qvec cast INT to match Spark's IntegerType
+    "q_embed_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x))) AS ma
+           FROM embeddings)
+         SELECT vec_id,
+           CASE WHEN ma = 0 THEN 0.0
+                ELSE 127.0 / CAST(ma AS DOUBLE) END AS qscale,
+           list_transform(embedding, x -> CAST(floor(
+             CAST(x AS DOUBLE) * (CASE WHEN ma = 0 THEN 0.0
+               ELSE 127.0 / CAST(ma AS DOUBLE) END) + 0.5) AS INT)) AS qvec
+         FROM m""",
     // sampling as IVF), codes via the same 2sc−cc argmax with
     // larger-index tie-break, scores as an EXPLICIT ascending-j 8-term
     // sum (matching Spark's left-to-right fold — an aggregate SUM would

@@ -22,10 +22,12 @@ object Changelog {
     * reference's storage engine guarantees during compaction); keys whose
     * winning version is a tombstone are absent from the output.
     *
-    * Shape at scale: ONE hash aggregation of `max(struct(writetime,
-    * tombstone, payload…))` — partial aggregation map-side, so the single
-    * exchange on the key carries one pre-reduced row per (partition, key),
-    * never the full log; no window, no sort. The struct comparison is
+    * Shape at scale: ONE aggregation of `max(struct(writetime, tombstone,
+    * payload…))` — partial aggregation map-side, so the single exchange on
+    * the key carries one pre-reduced row per (partition, key), never the
+    * full log. No window and no global sort: struct buffers aren't
+    * hash-aggregable, so Spark plans a SortAggregate whose sorts are
+    * per-partition over the group keys only. The struct comparison is
     * lexicographic, which makes the tie-break chain explicit in field
     * order; callers append a unique column (e.g. the event id) to
     * `payloadCols` so the aggregate is total-order deterministic.

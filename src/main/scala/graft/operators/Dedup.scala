@@ -484,22 +484,50 @@ object Dedup {
       k: Int = 20,
       bands: Int = 10): DataFrame = {
     val corpusBanded = bandedSignatures(corpus, idCol, textCol, shingleN, k, bands)
-    // referenced three times below (two id projections + the verify
-    // join): eager localCheckpoint truncates the lineage once — the same
-    // replanning blow-up q_dedup_minhash_pairs hit (ContextCleaner
-    // reclaims the blocks; a persist() would pin them in the registry)
-    val cross = crossCandidatePairs(
-      corpusBanded, delta, idCol, textCol, shingleN, k, bands)
+    // the delta's banded keys feed BOTH the cross-corpus probe and the
+    // internal self-join below: materialize them once (3 longs × |delta|
+    // × bands — executor-local, distributed) so the MinHash projection
+    // never re-reads delta text. Eager localCheckpoints rather than
+    // persist(): they truncate the lineage (the multi-reference replanning
+    // blow-up q_dedup_minhash_pairs hit) and the ContextCleaner reclaims
+    // the blocks instead of pinning them in the cache registry.
+    val deltaBanded = bandedSignatures(delta, idCol, textCol, shingleN, k, bands)
+      .localCheckpoint()
+    val cross = deltaBanded.as("d")
+      .join(corpusBanded.as("c"),
+        col("d.band") === col("c.band") && col("d.bucket") === col("c.bucket"))
+      .select(col(s"d.$idCol").as("id_a"), col(s"c.$idCol").as("id_b"))
+      .distinct()
       .localCheckpoint()
     val candIds = cross.select(col("id_a").as(idCol))
       .union(cross.select(col("id_b").as(idCol))).distinct()
     val candDocs = corpus.select(col(idCol), col(textCol))
       .unionByName(delta.select(col(idCol), col(textCol)))
       .join(broadcast(candIds), Seq(idCol), "left_semi")
+    // delta ids near any corpus doc — referenced by two anti-joins below
     val dropIds = ngramJaccard(candDocs, cross, idCol, textCol, shingleN)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a").as(idCol)).distinct()
+      .localCheckpoint()
     val fresh = delta.join(dropIds, Seq(idCol), "left_anti")
-    nearDupDedup(fresh, idCol, textCol, jaccardThreshold, shingleN, k, bands)
+    // internal near-dups among the corpus-clean delta: self-join the
+    // ALREADY-materialized banded keys (filtered to survivors) — one
+    // co-partitioned exchange serves both branches, no re-shingling
+    val freshBanded = deltaBanded.join(dropIds, Seq(idCol), "left_anti")
+      .repartition(col("band"), col("bucket"))
+    val a = freshBanded.as("a")
+    val b = freshBanded.as("b")
+    val internalCands = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val verified = ngramJaccard(fresh, internalCands, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b")
+    val losers = resolveDuplicateGroups(verified)
+      .filter(col("id") =!= col("survivor_id"))
+      .select(col("id").as(idCol))
+    fresh.join(losers, Seq(idCol), "left_anti")
   }
 }

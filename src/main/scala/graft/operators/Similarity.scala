@@ -600,4 +600,25 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Symmetric per-vector int8 quantization: `scale = 127 / max|v|`,
+    * `q_i = floor(v_i·scale + 0.5)` — 4× memory cut for ANN shortlists
+    * and candidate transport (the full-precision vector is only re-read
+    * for final re-ranking, as in [[pqTopKReranked]]). A map-only
+    * projection: no shuffle at any corpus size.
+    *
+    * `floor(x + 0.5)` instead of `round(x)` is deliberate: engines
+    * disagree on round-half semantics for negative values, while floor is
+    * identical everywhere — the quantizer reproduces bit-for-bit
+    * cross-engine (the correctness oracle replays it in DuckDB). Zero
+    * vectors quantize to zeros with scale 0. */
+  def int8Quantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxabs = array_max(transform(col(vecCol), x => abs(x)))
+    val scale = when(maxabs === 0, lit(0.0d))
+      .otherwise(lit(127.0d) / maxabs.cast("double"))
+    emb.select(col(idCol), scale.as("qscale"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * scale + lit(0.5d)).cast("int"))
+        .as("qvec"))
+  }
 }

@@ -285,4 +285,33 @@ object StreamingRetentionJob {
       }(rowEnc, rowEnc)
       .toDF(schema.fieldNames.toSeq: _*)
   }
+
+  /** Streaming changelog apply — the continuous form of
+    * [[graft.operators.Changelog.applyChangelog]]: per key, O(1) state
+    * holding the current winner under the SAME total order (writetime,
+    * tombstone, payload…), tombstone beating write on a writetime tie.
+    * Each trigger emits the key's current winner with an `op` column
+    * (`"D"` when the winner is a tombstone) — the compacted-changelog
+    * contract: downstream sinks apply `"U"` rows and delete on `"D"`
+    * rows, so the materialized view equals the batch compactor's output
+    * at every trigger. Update output mode; state never expires (a key's
+    * winner must outlive any gap in its updates — pair with a TTL'd
+    * key-space if keys churn unboundedly). */
+  def streamingChangelogApply(
+      df: DataFrame,
+      keyCols: Seq[String],
+      writetimeCol: String,
+      opCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    // column order IS the tie-break chain: streamingLwwLatest orders by
+    // (writetime, then remaining columns in schema order) = (writetime,
+    // __del, payload…) here — exactly the batch struct-max order
+    val in = df.select(
+      keyCols.map(col) ++ Seq(col(writetimeCol),
+        (col(opCol) === lit("D")).cast("int").as("__del")) ++
+        payloadCols.map(col): _*)
+    streamingLwwLatest(in, TableSpec(keyCols, Nil, Some(writetimeCol)))
+      .withColumn(opCol, when(col("__del") === 1, lit("D")).otherwise(lit("U")))
+      .drop("__del")
+  }
 }

@@ -179,4 +179,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(iWin >= 0 && iMap >= 0 && iWin < iMap,
       s"Window must consume the heap-pruned survivors:\n$plan")
   }
+
+  test("changelog apply partial-aggregates map-side and never windows") {
+    val plan = formatted("q_cdc_apply")
+    // one pre-reduced row per (partition, key) crosses the single
+    // exchange; a row_number/Window formulation would shuffle the raw log
+    assert(plan.contains("partial_max"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*""")) == 1, plan)
+  }
+
+  test("SCD2 history shares one exchange and one sort across both windows") {
+    val plan = formatted("q_scd2_history")
+    val exchanges = plan.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    val sorts = plan.linesIterator.count(_.matches("""\(\d+\) Sort.*"""))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(sorts == 1, s"lead window must reuse the lag window's sort:\n$plan")
+  }
+
+  test("skew report aggregates before the top-N sort") {
+    val plan = formatted("q_scale_skew_report")
+    // partial count below the exchange: the shuffle carries per-partition
+    // key partials, never raw rows; TakeOrderedAndProject caps the sort
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

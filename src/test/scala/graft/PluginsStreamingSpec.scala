@@ -367,4 +367,58 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:00:00", "click", 2L),
       ("2024-01-01 01:00:00", "view", 1L)))
   }
+
+  test("streaming changelog apply matches the batch compactor per trigger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val stream = in.toDF().toDF("k", "wt", "op", "v")
+    val out = StreamingRetentionJob.streamingChangelogApply(
+      stream, Seq("k"), "wt", "op", Seq("v"))
+    val q = out.writeStream.format("memory").queryName("scdc")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, 100L, "U", 1.0), (2L, 100L, "U", 2.0))
+      q.processAllAvailable()
+      // newer tombstone kills k=1; equal-writetime tombstone beats the
+      // k=2 write (the batch tie-break); k=3 arrives as delete-only
+      in.addData((1L, 200L, "D", 0.0), (2L, 100L, "D", 9.0), (3L, 50L, "D", 0.0))
+      q.processAllAvailable()
+      // LAST emission per key = current winner
+      val winners = spark.table("scdc").as[(Long, Long, Double, String)]
+        .collect().zipWithIndex
+        .groupBy(_._1._1).map { case (k, rs) => k -> rs.maxBy(_._2)._1 }
+      // batch equivalent over the same log
+      val batch = graft.operators.Changelog.applyChangelog(
+          Seq.empty[(Long, Long, Double)].toDF("k", "wt", "v"),
+          Seq((1L, 100L, "U", 1.0), (2L, 100L, "U", 2.0), (1L, 200L, "D", 0.0),
+            (2L, 100L, "D", 9.0), (3L, 50L, "D", 0.0)).toDF("k", "wt", "op", "v"),
+          Seq("k"), "wt", "op", Seq("v"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(batch.isEmpty) // every key's winner is a tombstone
+      assert(winners.keySet == Set(1L, 2L, 3L))
+      assert(winners.values.forall(_._4 == "D"),
+        s"all winners must be tombstones: $winners")
+    } finally q.stop()
+  }
+
+  test("streaming changelog apply: stale tombstone loses to a newer write") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val stream = in.toDF().toDF("k", "wt", "op", "v")
+    val out = StreamingRetentionJob.streamingChangelogApply(
+      stream, Seq("k"), "wt", "op", Seq("v"))
+    val q = out.writeStream.format("memory").queryName("scdc2")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, 200L, "U", 7.0))
+      q.processAllAvailable()
+      in.addData((1L, 100L, "D", 0.0)) // late, stale delete: must not win
+      q.processAllAvailable()
+      val last = spark.table("scdc2").as[(Long, Long, Double, String)]
+        .collect().last
+      assert(last == ((1L, 200L, 7.0, "U")))
+    } finally q.stop()
+  }
 }
