@@ -87,7 +87,8 @@ object Bench {
     "q_pipeline_clean" -> 8.33,
     // round-6 session-2 additions (mins from the r6 sf0.1 run)
     "q_scale_skew_report" -> 0.24, "q_embed_quantize" -> 0.50,
-    "q_cdc_apply" -> 0.64, "q_scd2_history" -> 0.84,
+    "q_cdc_apply" -> 0.64, "q_cdc_extract" -> 0.60,
+    "q_scd2_history" -> 0.84,
     "q_dedup_incremental" -> 6.00)
 
   def main(args: Array[String]): Unit = {

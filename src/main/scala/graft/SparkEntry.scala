@@ -256,6 +256,20 @@ object SparkEntry {
       operators.Changelog.applyChangelog(base, changes,
         Seq("user_id", "event_type"), "wt_us", "op", Seq("value", "event_id"))
     }),
+    // changelog extraction: diff two snapshot slices of documents —
+    // doc_id≡0 (mod 7) dropped from new (D), ≡1 absent from old (I),
+    // ≡0 (mod 5) payload-bumped in old (U); unchanged keys emit nothing
+    "q_cdc_extract" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 1)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + when(col("doc_id") % 5 === 0, 1).otherwise(0))
+            .as("n_chars"))
+      val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .select("doc_id", "lang", "n_chars")
+      operators.Changelog.snapshotDiff(oldSnap, newSnap,
+        Seq("doc_id"), Seq("lang", "n_chars"))
+    }),
     // SCD2 history: per-user event_type transitions as validity intervals
     // (no-op repeats collapsed; open-ended current interval)
     "q_scd2_history" -> ((s, dir) => {
@@ -1086,6 +1100,24 @@ object SparkEntry {
                         THEN 1 ELSE 0 END AS del
                  FROM events))
          WHERE rn = 1 AND del = 0""",
+    // full-outer on the key; op from presence/payload comparison; null
+    // payloads on deletes (the new side is absent)
+    "q_cdc_extract" ->
+      """WITH o AS (SELECT doc_id, lang,
+             n_chars + (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+               AS n_chars
+           FROM documents WHERE doc_id % 7 <> 1),
+         n AS (SELECT doc_id, lang, n_chars FROM documents
+               WHERE doc_id % 7 <> 0)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'I'
+                WHEN n.doc_id IS NULL THEN 'D'
+                WHEN (o.lang, o.n_chars) IS DISTINCT FROM (n.lang, n.n_chars)
+                  THEN 'U' END AS op,
+           n.lang AS lang, n.n_chars AS n_chars
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         WHERE (o.doc_id IS NULL OR n.doc_id IS NULL
+                OR (o.lang, o.n_chars) IS DISTINCT FROM (n.lang, n.n_chars))""",
     // change-detect (IS DISTINCT FROM lag) then interval bounds via lead
     "q_scd2_history" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t_us,

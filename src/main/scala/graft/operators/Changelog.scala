@@ -60,6 +60,40 @@ object Changelog {
         (writetimeCol +: payloadCols).map(c => col(s"__w.$c").as(c)): _*)
   }
 
+  /** Changelog EXTRACTION — the inverse of [[applyChangelog]]: diff two
+    * snapshots of a keyed table into insert/update/delete rows. One
+    * co-partitioned full-outer join on the key (both sides shuffle once
+    * on the same partitioning — at rest, bucketed snapshots make it
+    * shuffle-free); payload comparison is a null-safe struct equality, so
+    * unchanged keys emit NOTHING and the diff's size is the churn, not
+    * the table. Deletes carry null payloads; inserts/updates carry the
+    * new snapshot's. Feeding the result to [[applyChangelog]] over
+    * `oldSnap` (any writetime newer than the base's) reproduces
+    * `newSnap` — the round-trip ChangelogSpec asserts. */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select((keyCols ++ payloadCols).map(col): _*).as("o")
+    val n = newSnap.select((keyCols ++ payloadCols).map(col): _*).as("n")
+    // keys are primary keys: non-null by contract (presence checks below
+    // rely on it; null-SAFE equality on the join keeps Catalyst happy)
+    val keyEq = keyCols.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _)
+    val oldPayload = struct(payloadCols.map(c => col(s"o.$c")): _*)
+    val newPayload = struct(payloadCols.map(c => col(s"n.$c")): _*)
+    val inOld = col(s"o.${keyCols.head}").isNotNull
+    val inNew = col(s"n.${keyCols.head}").isNotNull
+    o.join(n, keyEq, "full_outer")
+      .withColumn("op",
+        when(!inOld, lit("I"))
+          .when(!inNew, lit("D"))
+          .when(!(oldPayload <=> newPayload), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(keyCols.map(c => coalesce(col(s"o.$c"), col(s"n.$c")).as(c)) ++
+        Seq(col("op")) ++ payloadCols.map(c => col(s"n.$c").as(c)): _*)
+  }
+
   /** SCD2 history: an ordered change log → validity intervals per key.
     * Consecutive versions whose tracked attributes are unchanged collapse
     * into one interval (no-op updates emit nothing); each surviving

@@ -65,6 +65,32 @@ class ChangelogSpec extends SparkSpec {
     assert(got == Set(("early", false), ("late", true)))
   }
 
+  test("snapshotDiff emits only churn, with the right op per key") {
+    val oldS = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val newS = Seq((2L, 20.0), (3L, 31.0), (4L, 40.0)).toDF("k", "v")
+    val got = Changelog.snapshotDiff(oldS, newS, Seq("k"), Seq("v"))
+      .select("k", "op", "v").as[(Long, String, Option[Double])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, "D", None),          // only in old
+      (3L, "U", Some(31.0)),    // payload changed
+      (4L, "I", Some(40.0))))   // only in new; key 2 unchanged → absent
+  }
+
+  test("snapshotDiff round-trips through applyChangelog") {
+    val oldS = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val newS = Seq((2L, 20.0), (3L, 31.0), (4L, 40.0)).toDF("k", "v")
+    val diff = Changelog.snapshotDiff(oldS, newS, Seq("k"), Seq("v"))
+      .withColumn("wt", lit(1L))
+      .withColumn("op", when(col("op") === "D", "D").otherwise("U"))
+    val base = oldS.withColumn("wt", lit(0L))
+      .select("k", "wt", "v")
+    val rebuilt = Changelog.applyChangelog(base, diff.select("k", "wt", "op", "v"),
+        Seq("k"), "wt", "op", Seq("v"))
+      .select("k", "v").as[(Long, Double)].collect().toSet
+    assert(rebuilt == newS.as[(Long, Double)].collect().toSet)
+  }
+
   test("incrementalDedup equals full-corpus semantics on the delta slice") {
     // docs: corpus {1,2,3}, delta {10,11,12}. 10 dups corpus doc 1;
     // 11 and 12 dup each other (11 survives as min id); 12 also checks
