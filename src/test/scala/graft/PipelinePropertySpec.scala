@@ -80,4 +80,57 @@ class PipelinePropertySpec extends AnyFunSuite {
     }.reduce(_ unionByName _)
     assert(strat.except(byParts).isEmpty && byParts.except(strat).isEmpty)
   }
+
+  // random keyed snapshots: ~half the key space, payload drawn small so
+  // old/new overlap AND collide often
+  private val genSnapshot: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.chooseNum(0, 40)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 25L), Gen.chooseNum(0L, 5L)))
+  } yield rows.groupBy(_._1).map { case (k, vs) => (k, vs.head._2) }.toSeq
+
+  test("changelog law: snapshotDiff then applyChangelog reproduces the new snapshot") {
+    import graft.operators.Changelog
+    for (i <- 0 until 10) {
+      val Seq(oldRows, newRows) = Seq(2 * i, 2 * i + 1).map(j =>
+        genSnapshot(Gen.Parameters.default, Seed(4242L + j)).get)
+      val oldS = oldRows.toDF("k", "v")
+      val newS = newRows.toDF("k", "v")
+      val diff = Changelog.snapshotDiff(oldS, newS, Seq("k"), Seq("v"))
+        .withColumn("wt", lit(1L))
+        .withColumn("op", when(col("op") === "D", "D").otherwise("U"))
+        .select("k", "wt", "op", "v")
+      val rebuilt = Changelog.applyChangelog(
+          oldS.withColumn("wt", lit(0L)).select("k", "wt", "v"),
+          diff, Seq("k"), "wt", "op", Seq("v"))
+        .select("k", "v").as[(Long, Long)].collect().toSet
+      assert(rebuilt == newRows.toSet, s"case $i: old=$oldRows new=$newRows")
+    }
+  }
+
+  test("changelog law: applyChangelog equals a sequential per-key reducer") {
+    import graft.operators.Changelog
+    val genLog: Gen[Seq[(Long, Long, Boolean, Long)]] = for {
+      n <- Gen.chooseNum(0, 50)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 8L),
+        Gen.chooseNum(0L, 4L), Gen.oneOf(true, false), Gen.chooseNum(0L, 9L)))
+    } yield rows.map { case (k, wt, d, v) => (k, wt, d, v) }
+    for (i <- 0 until 10) {
+      val log = genLog(Gen.Parameters.default, Seed(777L + i)).get
+        // payload tie-break needs a total order: dedupe exact duplicates
+        .distinct
+      val changes = log.map { case (k, wt, d, v) =>
+        (k, wt, if (d) "D" else "U", v) }.toDF("k", "wt", "op", "v")
+      val base = spark.emptyDataset[(Long, Long, Long)].toDF("k", "wt", "v")
+      val got = Changelog.applyChangelog(base, changes,
+          Seq("k"), "wt", "op", Seq("v"))
+        .select("k", "v").as[(Long, Long)].collect().toMap
+      // reference model: per key, max by (wt, del, payload); emit if not del
+      val want = log.groupBy(_._1).flatMap { case (k, rows) =>
+        val (_, _, del, v) = rows.maxBy { case (_, wt, d, v) =>
+          (wt, if (d) 1L else 0L, v) }
+        if (del) None else Some(k -> v)
+      }
+      assert(got == want, s"case $i: log=$log")
+    }
+  }
 }
