@@ -88,7 +88,8 @@ object Bench {
     // round-6 session-2 additions (mins from the r6 sf0.1 run)
     "q_scale_skew_report" -> 0.24, "q_embed_quantize" -> 0.50,
     "q_cdc_apply" -> 0.64, "q_cdc_extract" -> 0.60,
-    "q_scd2_history" -> 0.84,
+    "q_scd2_history" -> 0.84, "q_scd2_snapshot" -> 0.85,
+    "q_corpus_report" -> 0.40,
     "q_dedup_incremental" -> 6.00)
 
   def main(args: Array[String]): Unit = {
@@ -183,11 +184,19 @@ object Bench {
     var progressed = true
     while (progressed && remainingSec > 0) {
       progressed = false
-      val pass = times.toSeq.sortBy { case (_, ts) => ts.min }.map(_._1)
+      // a query's believed cost: its fastest sample, capped by the clean-
+      // host hint. Without the cap, a query whose ONLY sample landed in a
+      // host stall self-locks: the inflated min inflates the predicted
+      // cost, the budget check never lets it retry, and the bogus min
+      // ships (observed: q_curation 54 s single-sample vs 5.3 s clean).
+      def believed(name: String): Double =
+        math.min(times(name).min,
+          costHint.getOrElse(name, Double.MaxValue))
+      val pass = times.toSeq.map(_._1).sortBy(believed)
       pass.foreach { name =>
         val ts = times(name)
         val target = if (median(ts) > 1.0) heavyIters else iters
-        val predicted = ts.min * 1.5
+        val predicted = believed(name) * 1.5
         if (ts.size < target && remainingSec > predicted) {
           if (run(name, SparkEntry.queries(name))) progressed = true
         }

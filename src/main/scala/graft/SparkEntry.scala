@@ -279,6 +279,19 @@ object SparkEntry {
       operators.Changelog.scd2History(log, Seq("user_id"), "t_us",
         "event_id", Seq("event_type"))
     }),
+    // as-of reconstruction from the SCD2 history: each key's version
+    // whose validity interval contains T (half-open [from, to))
+    "q_scd2_snapshot" -> ((s, dir) => {
+      val t = lit(1705000000000000L) // mid-range µs instant
+      val log = eventsWt(s, dir)
+        .select(col("user_id"), col("event_type"),
+          col("writetime").as("t_us"), col("event_id"))
+      operators.Changelog.scd2History(log, Seq("user_id"), "t_us",
+          "event_id", Seq("event_type"))
+        .filter(col("valid_from") <= t &&
+          (col("valid_to").isNull || col("valid_to") > t))
+        .select("user_id", "event_type", "valid_from")
+    }),
     // ---- window ---------------------------------------------------------
     // W1 — per-cluster-group verdict: representative first row per
     // partition in clustering order, with the group verdict
@@ -915,6 +928,11 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_pii",
           "n_segments_dropped", "n_tokens_removed", "split", "text")
     }),
+    // per-source corpus report: the pre-curation summary panel — doc/dup
+    // counts, char/token volume, language spread; one combined aggregate
+    "q_corpus_report" -> ((s, dir) =>
+      operators.TextAnalysis.corpusReport(
+        read(s, dir, "documents"), "text", "source", "lang")),
     // BPE merge-rule training: 5 exact integer-count iterations (corpus
     // scanned once; merges applied by literal string replace — see
     // BpeTrainer's determinism contract)
@@ -1132,6 +1150,19 @@ object SparkEntry {
            (lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id)
              IS NULL) AS is_current
          FROM c""",
+    "q_scd2_snapshot" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t_us,
+             event_id FROM events),
+         m AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY t_us, event_id) AS prev FROM ev),
+         c AS (SELECT user_id, event_type, t_us, event_id FROM m
+               WHERE event_type IS DISTINCT FROM prev),
+         f AS (SELECT user_id, event_type, t_us AS valid_from,
+                 lead(t_us) OVER (PARTITION BY user_id
+                   ORDER BY t_us, event_id) AS valid_to FROM c)
+         SELECT user_id, event_type, valid_from FROM f
+         WHERE valid_from <= 1705000000000000
+           AND (valid_to IS NULL OR valid_to > 1705000000000000)""",
     "q_w1_group_verdict" ->
       """SELECT l_orderkey, l_linenumber,
              (l_linenumber BETWEEN 3 AND 5) AS would_drop FROM (
@@ -1536,6 +1567,19 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cos_r DESC, vec_id) AS rn FROM s)
          WHERE rn <= 10""",
+    // count(DISTINCT text) equals Spark's countDistinct(md5(text))
+    // mathematically (the md5 form is the scale shape: the distinct
+    // partials carry 16-byte hashes, never document text)
+    "q_corpus_report" ->
+      """SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(lower(text)), '\s+')) END)
+             AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dups
+         FROM documents GROUP BY source""",
     "q_text_stats" ->
       """WITH t AS (SELECT doc_id, text,
              list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ws,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -167,4 +167,25 @@ object TextAnalysis {
         i -> xxhash64(substr(regexp_replace(trim(lower($textCol)), '\\\\s+', ' '), i + 1, $k))))),
       1, $w)
     """)
+
+  /** Per-source corpus report — the summary panel a curation run consults
+    * before choosing mixture weights and filter thresholds: document and
+    * exact-duplicate counts, char/token volume, language spread. ONE
+    * hash aggregation with map-side combine (distinct-style aggregates
+    * rewrite to a two-level aggregation on (source, value) partials —
+    * still no row-level shuffle); every figure is integral so the report
+    * reproduces bit-identically cross-engine. */
+  def corpusReport(
+      docs: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      langCol: String): DataFrame =
+    docs.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col(textCol))).cast("long").as("n_chars"),
+        sum(tokenCount(col(textCol))).cast("long").as("n_tokens"),
+        countDistinct(col(langCol)).as("n_langs"),
+        (count(lit(1)) - countDistinct(md5(col(textCol))))
+          .as("n_exact_dups"))
 }
