@@ -91,6 +91,26 @@ class ChangelogSpec extends SparkSpec {
     assert(rebuilt == newS.as[(Long, Double)].collect().toSet)
   }
 
+  test("snapshotDiff edges: empty old = all inserts; empty new = all deletes") {
+    val s = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val empty = spark.emptyDataset[(Long, Double)].toDF("k", "v")
+    val ins = Changelog.snapshotDiff(empty, s, Seq("k"), Seq("v"))
+      .select("k", "op").as[(Long, String)].collect().toSet
+    assert(ins == Set((1L, "I"), (2L, "I")))
+    val del = Changelog.snapshotDiff(s, empty, Seq("k"), Seq("v"))
+      .select("k", "op").as[(Long, String)].collect().toSet
+    assert(del == Set((1L, "D"), (2L, "D")))
+    assert(Changelog.snapshotDiff(s, s, Seq("k"), Seq("v")).count() == 0)
+  }
+
+  test("scd2History: a single version is current from its own timestamp") {
+    val log = Seq((1L, 42L, 1L, "only")).toDF("k", "t", "eid", "attr")
+    val got = Changelog.scd2History(log, Seq("k"), "t", "eid", Seq("attr"))
+      .select("k", "attr", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(got == Seq((1L, "only", 42L, None, true)))
+  }
+
   test("incrementalDedup equals full-corpus semantics on the delta slice") {
     // docs: corpus {1,2,3}, delta {10,11,12}. 10 dups corpus doc 1;
     // 11 and 12 dup each other (11 survives as min id); 12 also checks
