@@ -58,6 +58,33 @@ object SparkEntry {
       catch { case e: Throwable => dumped.remove(art); throw e }
     }
 
+  /** IVF replay shared by q_sim_ann_ivf and its persisted-index twin:
+    * stride-sampled centroids, nearest-list assignment with larger-index
+    * tie-break, nprobe=4 probe, cosine rank. */
+  private val ivfOracleSql: String =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         stepc AS (SELECT greatest(1, (SELECT count(*) FROM emb) // 16) AS step),
+         cent AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+           FROM emb, stepc WHERE vec_id % stepc.step = 0 ORDER BY vec_id LIMIT 16),
+         assigned AS (
+           SELECT e.vec_id, e.v,
+             (SELECT c.i FROM cent c
+              ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC LIMIT 1) AS list
+           FROM emb e),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+         probed AS (
+           SELECT q.query_id, q.qv, c.i AS list
+           FROM q, LATERAL (SELECT i FROM cent
+             ORDER BY list_dot_product(q.qv, cent.v) DESC, i DESC LIMIT 4) c),
+         scored AS (
+           SELECT p.query_id, a.vec_id, list_cosine_similarity(a.v, p.qv) AS cos
+           FROM probed p JOIN assigned a ON a.list = p.list)
+         SELECT query_id, vec_id, round(cos, 6) AS cos_r,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS INT) AS rank
+         FROM scored QUALIFY rank <= 10"""
+
   /** Flagship rules (SURVEY.md §7.4): convict rows where
     * l_suppkey ∈ [4,6] AND l_returnflag = 'R'. */
   private def flagshipRules = RuleSet(Seq(
@@ -559,6 +586,29 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       operators.Similarity.ivfTopK(emb, q, k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"),
+          col("rank"))
+    }),
+    // PERSISTED-index IVF: the index (centroid table + list assignments)
+    // is built once, written to parquet, and the query batch probes the
+    // STORED tables — the build-once/query-many production shape. Same
+    // derivation as q_sim_ann_ivf, so the result (and oracle) is
+    // identical; what this query proves is that the round-trip through
+    // storage preserves it exactly.
+    "q_sim_ann_ivf_persisted" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val art = artifactPath(dir, "ivf_index")
+      dumpOnce(art) {
+        val (cents, assigned) =
+          operators.Similarity.buildIvfIndex(emb, nlist = 16)
+        cents.write.mode("overwrite").parquet(s"$art/centroids")
+        assigned.write.mode("overwrite").parquet(s"$art/assigned")
+      }
+      operators.Similarity.ivfTopKFromIndex(
+          s.read.parquet(s"$art/centroids"), s.read.parquet(s"$art/assigned"),
+          q, k = 10, nprobe = 4)
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"),
           col("rank"))
     }),
@@ -1399,29 +1449,10 @@ object SparkEntry {
     // exact oracle for IVF-flat: centroids are every step-th corpus vector
     // (deterministic), assignment is argmax dot with larger-index
     // tie-break, probes are the top-nprobe lists — all expressible in SQL
-    "q_sim_ann_ivf" ->
-      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         stepc AS (SELECT greatest(1, (SELECT count(*) FROM emb) // 16) AS step),
-         cent AS (
-           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
-           FROM emb, stepc WHERE vec_id % stepc.step = 0 ORDER BY vec_id LIMIT 16),
-         assigned AS (
-           SELECT e.vec_id, e.v,
-             (SELECT c.i FROM cent c
-              ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC LIMIT 1) AS list
-           FROM emb e),
-         q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
-         probed AS (
-           SELECT q.query_id, q.qv, c.i AS list
-           FROM q, LATERAL (SELECT i FROM cent
-             ORDER BY list_dot_product(q.qv, cent.v) DESC, i DESC LIMIT 4) c),
-         scored AS (
-           SELECT p.query_id, a.vec_id, list_cosine_similarity(a.v, p.qv) AS cos
-           FROM probed p JOIN assigned a ON a.list = p.list)
-         SELECT query_id, vec_id, round(cos, 6) AS cos_r,
-           CAST(row_number() OVER (PARTITION BY query_id
-             ORDER BY cos DESC, vec_id) AS INT) AS rank
-         FROM scored QUALIFY rank <= 10""",
+    "q_sim_ann_ivf" -> ivfOracleSql,
+    // identical replay: the persisted-index round-trip must preserve the
+    // in-memory derivation exactly (float64 parquet round-trip is lossless)
+    "q_sim_ann_ivf_persisted" -> ivfOracleSql,
     // filtered-ANN replay: identical IVF derivation but over the
     // metadata-filtered corpus (centroids, assignment, probe all see only
     // eligible vectors); queries come from the unfiltered table

@@ -203,29 +203,96 @@ object Similarity {
       .zipWithIndex
       .map { case (r: Row, i) => (i, r.getSeq[Double](0)) }
 
-    def scoredArray(vec: Column): Column =
-      array(centroids.map { case (i, c) =>
-        struct(dot(vec.cast("array<double>"), typedLit(c)).as("d"),
-          lit(i).as("i"))
-      }: _*)
-
-    /** index of the nearest centroid (max dot). NOTE: expressed as
-      * array_max over one scored array — an argmax via
-      * reduce(when(a>=b,a,b)) duplicates both operands per step and grows
-      * the expression tree exponentially (hung the optimizer at 16
-      * centroids). */
-    def nearestList(vec: Column): Column =
-      array_max(scoredArray(vec)).getField("i")
-
-    /** the `nprobe` nearest list ids for a query, as an array column */
-    def probeLists(vec: Column): Column =
-      transform(
-        slice(reverse(array_sort(scoredArray(vec))), 1, nprobe),
-        s => s.getField("i"))
-
-    val assigned = corpus.withColumn("__list", nearestList(col(corpusVec)))
+    val assigned = corpus.withColumn("__list",
+      ivfNearestList(col(corpusVec), centroids))
     val probed = queries
-      .withColumn("__list", explode(probeLists(col(queryVec))))
+      .withColumn("__list", explode(ivfProbeLists(col(queryVec), centroids, nprobe)))
+    val joined = assigned.join(broadcast(probed), "__list")
+    val scored = joined.select(
+      col(queryId), col(corpusId),
+      cosine(col(corpusVec).cast("array<double>"),
+        col(queryVec).cast("array<double>")).as("cos"))
+    topKPerQuery(scored, k, queryId, "cos", corpusId)
+  }
+
+  private def ivfScoredArray(
+      vec: Column, centroids: Array[(Int, Seq[Double])]): Column =
+    array(centroids.map { case (i, c) =>
+      struct(dot(vec.cast("array<double>"), typedLit(c)).as("d"),
+        lit(i).as("i"))
+    }: _*)
+
+  /** Index of the nearest centroid (max dot). NOTE: expressed as
+    * array_max over one scored array — an argmax via
+    * reduce(when(a>=b,a,b)) duplicates both operands per step and grows
+    * the expression tree exponentially (hung the optimizer at 16
+    * centroids). */
+  private def ivfNearestList(
+      vec: Column, centroids: Array[(Int, Seq[Double])]): Column =
+    array_max(ivfScoredArray(vec, centroids)).getField("i")
+
+  /** The `nprobe` nearest list ids for a query, as an array column. */
+  private def ivfProbeLists(
+      vec: Column, centroids: Array[(Int, Seq[Double])], nprobe: Int): Column =
+    transform(
+      slice(reverse(array_sort(ivfScoredArray(vec, centroids))), 1, nprobe),
+      s => s.getField("i"))
+
+  /** Build a PERSISTED IVF index — the production shape: the build is the
+    * only full-corpus pass (one count, an O(nlist) centroid collect, one
+    * map-only assignment projection), and what it returns is two plain
+    * DataFrames a pipeline writes to storage (`centroids(list, centroid)`
+    * tiny; `assigned` = corpus + `__list`, bucketable by `__list`). Query
+    * batches then run against the stored tables via [[ivfTopKFromIndex]]
+    * without ever touching corpus vectors outside their probed lists —
+    * the ANN analog of [[graft.operators.Dedup.bandedSignatures]]. */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      nlist: Int = 16,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding"): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.Row
+    val n = corpus.count()
+    val step = math.max(1L, n / nlist)
+    val sample = corpus
+      .filter(pmod(col(corpusId), lit(step)) === 0)
+      .orderBy(col(corpusId))
+      .limit(nlist)
+      .select(col(corpusId), col(corpusVec).cast("array<double>").as("centroid"))
+    // list id = rank in the ordered sample; ≤ nlist rows, single tiny sort
+    val centroidsDf = sample
+      .withColumn("list",
+        (row_number().over(Window.orderBy(col(corpusId))) - 1).cast("int"))
+      .select("list", "centroid")
+    val centroids: Array[(Int, Seq[Double])] = centroidsDf
+      .orderBy("list").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val assigned = corpus.withColumn("__list",
+      ivfNearestList(col(corpusVec), centroids))
+    (centroidsDf, assigned)
+  }
+
+  /** Probe a stored IVF index (see [[buildIvfIndex]]): collects the
+    * O(nlist) centroid table to drive the probe expression, explodes each
+    * query into its `nprobe` lists, equi-joins the (bucketed) assignment
+    * table, and ranks with the two-phase heap. Per-batch cost is the
+    * probed lists only — the corpus-wide work lives in the index build. */
+  def ivfTopKFromIndex(
+      centroidsDf: DataFrame,
+      assigned: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 2,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    import org.apache.spark.sql.Row
+    val centroids: Array[(Int, Seq[Double])] = centroidsDf
+      .orderBy("list").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val probed = queries
+      .withColumn("__list", explode(ivfProbeLists(col(queryVec), centroids, nprobe)))
     val joined = assigned.join(broadcast(probed), "__list")
     val scored = joined.select(
       col(queryId), col(corpusId),

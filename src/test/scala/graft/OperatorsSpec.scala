@@ -310,6 +310,36 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     assert(partial == partial2 && partial.nonEmpty)
   }
+  test("persisted IVF index reproduces the in-memory IVF result exactly") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val direct = Similarity.ivfTopK(emb, q, k = 5, nlist = 8, nprobe = 2)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val (cents, assigned) = Similarity.buildIvfIndex(emb, nlist = 8)
+    val viaIndex = Similarity.ivfTopKFromIndex(cents, assigned, q,
+        k = 5, nprobe = 2)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaIndex == direct)
+  }
+
+  test("int8Quantize: zero vector → zeros with scale 0; extremes hit ±127") {
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(2.0f, -2.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.int8Quantize(emb, "vec_id", "embedding")
+      .select("vec_id", "qscale", "qvec")
+      .as[(Long, Double, Seq[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((0.0, Seq(0, 0))))
+    val (s2, q2) = got(2L)
+    assert(s2 == 127.0 / 2.0)
+    assert(q2 == Seq(127, -127, 64)) // floor(63.5+0.5) = 64
+  }
+
 }
 
 class TextAnalysisSpec extends SparkSpec {
@@ -416,6 +446,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0))
     assert(!got(1))
   }
+  test("corpusReport: empty text counts zero tokens; dups counted per source") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"), (2L, "a b c", "en", "s1"), // exact dup pair
+      (3L, "   ", "de", "s1"),                              // 0 tokens, 3 chars
+      (4L, "x y", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.corpusReport(docs, "text", "source", "lang")
+      .select("source", "n_docs", "n_chars", "n_tokens", "n_langs", "n_exact_dups")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("s1") == (("s1", 3L, 13L, 6L, 2L, 1L)))
+    assert(got("s2") == (("s2", 1L, 3L, 2L, 1L, 0L)))
+  }
+
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -640,32 +684,4 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
-  test("int8Quantize: zero vector → zeros with scale 0; extremes hit ±127") {
-    val emb = Seq(
-      (1L, Array(0.0f, 0.0f)),
-      (2L, Array(2.0f, -2.0f, 1.0f)))
-      .toDF("vec_id", "embedding")
-    val got = Similarity.int8Quantize(emb, "vec_id", "embedding")
-      .select("vec_id", "qscale", "qvec")
-      .as[(Long, Double, Seq[Int])].collect()
-      .map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(got(1L) == ((0.0, Seq(0, 0))))
-    val (s2, q2) = got(2L)
-    assert(s2 == 127.0 / 2.0)
-    assert(q2 == Seq(127, -127, 64)) // floor(63.5+0.5) = 64
-  }
-
-  test("corpusReport: empty text counts zero tokens; dups counted per source") {
-    val docs = Seq(
-      (1L, "a b c", "en", "s1"), (2L, "a b c", "en", "s1"), // exact dup pair
-      (3L, "   ", "de", "s1"),                              // 0 tokens, 3 chars
-      (4L, "x y", "en", "s2"))
-      .toDF("doc_id", "text", "lang", "source")
-    val got = TextAnalysis.corpusReport(docs, "text", "source", "lang")
-      .select("source", "n_docs", "n_chars", "n_tokens", "n_langs", "n_exact_dups")
-      .as[(String, Long, Long, Long, Long, Long)].collect()
-      .map(r => r._1 -> r).toMap
-    assert(got("s1") == (("s1", 3L, 13L, 6L, 2L, 1L)))
-    assert(got("s2") == (("s2", 1L, 3L, 2L, 1L, 0L)))
-  }
 }
