@@ -90,6 +90,7 @@ object Bench {
     "q_cdc_apply" -> 0.64, "q_cdc_extract" -> 0.60,
     "q_scd2_history" -> 0.84, "q_scd2_snapshot" -> 0.85,
     "q_corpus_report" -> 0.40, "q_sim_ann_ivf_persisted" -> 1.85,
+    "q_sample_temperature" -> 0.45,
     "q_dedup_incremental" -> 6.00)
 
   def main(args: Array[String]): Unit = {

@@ -786,6 +786,14 @@ object SparkEntry {
           Map("en" -> 0.4, "de" -> 0.15, "fr" -> 0.15,
             "es" -> 0.15, "zh" -> 0.15), seed = 7L)
         .select("doc_id", "lang")),
+    // temperature-scaled mixture (α=0.5): weights ∝ √n_lang as integral
+    // micro-units (sqrt is correctly rounded in every IEEE engine, and
+    // the normalizer is an exact integer sum — no order-sensitive float
+    // reduction), then the standard rebalance
+    "q_sample_temperature" -> ((s, dir) =>
+      operators.Sampling.temperatureMixture(readWide(s, dir, "documents"),
+          "doc_id", "lang", alpha = 0.5, seed = 13L)
+        .select("doc_id", "lang")),
     // concat-and-chunk sequence packing: global token offsets via the
     // two-phase distributed prefix sum (range partition → parallel
     // per-partition cumsum + broadcast bases; never a global window)
@@ -1794,6 +1802,25 @@ object SparkEntry {
                FROM c JOIN w USING (lang) CROSS JOIN t)
          SELECT doc_id, lang FROM documents JOIN f USING (lang)
          WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+             % 1000000 < thr""",
+    // replay: integral √n weights, exact integer normalizer, then the
+    // SAME double-arithmetic chain as rebalanceToMixture (wi/z, min n/wt,
+    // least-1 clamp, millionth threshold) — identical FP expression
+    // shapes both engines, and min/sum over integers are order-free
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+               FROM documents GROUP BY lang),
+         wi AS (SELECT lang, n,
+                  CAST(round(sqrt(n) * 1000000000) AS BIGINT) AS w9 FROM c),
+         z AS (SELECT CAST(CAST(sum(w9) AS BIGINT) AS DOUBLE) AS z FROM wi),
+         w AS (SELECT lang, n, w9 / z.z AS wt FROM wi CROSS JOIN z),
+         t AS (SELECT min(n / wt) AS t FROM w),
+         f AS (SELECT lang,
+                 CAST(round(least(1.0, wt * t.t / n) * 1000000) AS BIGINT)
+                   AS thr
+               FROM w CROSS JOIN t)
+         SELECT doc_id, lang FROM documents JOIN f USING (lang)
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':13'), 1, 8))::BIGINT
              % 1000000 < thr""",
     "q_pack_offsets" ->
       """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS ntok

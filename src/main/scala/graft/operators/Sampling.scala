@@ -135,4 +135,36 @@ object Sampling {
     stratifiedSample(df, idCol, strataCol, fractions,
       defaultFraction = 0.0, seed = seed)
   }
+
+  /** Temperature-scaled mixture (multilingual-corpus rebalancing): target
+    * weights ∝ n_s^α over the strata actually present, then
+    * [[rebalanceToMixture]]. α=1 keeps natural proportions; α→0
+    * approaches uniform; α≈0.3–0.7 is the standard multilingual-LM
+    * upsampling-of-the-tail regime.
+    *
+    * Weights are computed as micro-scaled INTEGERS (round(n^α·10⁹)) so
+    * the weight table is bit-identical cross-engine when n^α is a
+    * correctly-rounded operation (α=0.5 → sqrt: exact in every IEEE
+    * engine; arbitrary pow is libm-dependent — the correctness oracle
+    * uses α=0.5) and the normalizer is an exact integer sum, not an
+    * order-sensitive float reduction. Driver state: one count per
+    * stratum. The sampling stays one map-only CASE filter. */
+  def temperatureMixture(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      alpha: Double = 0.5,
+      seed: Long = 0L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0,1]")
+    val counts = df.groupBy(strataCol).count()
+      .collect()
+      .map(r => r.get(0).toString -> r.getLong(1))
+      .toMap
+    val wInt = counts.map { case (s, n) =>
+      s -> math.round(math.pow(n.toDouble, alpha) * 1e9)
+    }
+    val z = wInt.values.sum.toDouble
+    rebalanceToMixture(df, idCol, strataCol,
+      wInt.map { case (s, wi) => s -> wi / z }, seed)
+  }
 }

@@ -674,6 +674,20 @@ class SamplingSpec extends SparkSpec {
     assert(ratio > 0.5 && ratio < 2.0, byLang)
   }
 
+  test("temperatureMixture: α=1 ≈ natural mix (keeps ~all); α=0.5 upsamples the tail") {
+    val df = ((1L to 80L).map(i => (i, "big")) ++ (81L to 90L).map(i => (i, "small")))
+      .toDF("id", "st")
+    // α=1 → weights ∝ n → every stratum's fraction is 1 up to FP clamp
+    assert(Sampling.temperatureMixture(df, "id", "st", alpha = 1.0, seed = 3L)
+      .count() >= 89)
+    val kept = Sampling.temperatureMixture(df, "id", "st", alpha = 0.5, seed = 3L)
+      .groupBy("st").count().as[(String, Long)].collect().toMap
+    // the scarce stratum binds (kept whole); the big one subsamples to
+    // √(10/80) of its natural share ≈ 28 rows, ± md5-bucket noise
+    assert(kept("small") == 10)
+    assert(kept("big") >= 15 && kept("big") <= 45, kept.toString)
+  }
+
   test("sampling is map-only: no exchange in the plan") {
     for (df <- Seq(
         Sampling.hashSample(docs, "doc_id", 0.5),
