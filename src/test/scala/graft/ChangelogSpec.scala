@@ -91,6 +91,23 @@ class ChangelogSpec extends SparkSpec {
     assert(rebuilt == newS.as[(Long, Double)].collect().toSet)
   }
 
+  test("applyChangelog with no tombstones equals CompactJob.lwwDedup") {
+    import graft.model.TableSpec
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr("user_id", "event_type", "ts div 1000 AS wt",
+        "value", "event_id")
+    val viaChangelog = graft.operators.Changelog.applyChangelog(
+        ev.limit(0), ev.withColumn("op", lit("U"))
+          .select("user_id", "event_type", "wt", "op", "value", "event_id"),
+        Seq("user_id", "event_type"), "wt", "op", Seq("value", "event_id"))
+      .select("user_id", "event_type", "wt", "event_id")
+    val viaCompactor = graft.jobs.CompactJob.lwwDedup(ev,
+        TableSpec(Seq("user_id"), Seq("event_type"), Some("wt")))
+      .select("user_id", "event_type", "wt", "event_id")
+    assert(viaChangelog.except(viaCompactor).isEmpty &&
+      viaCompactor.except(viaChangelog).isEmpty)
+  }
+
   test("snapshotDiff edges: empty old = all inserts; empty new = all deletes") {
     val s = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
     val empty = spark.emptyDataset[(Long, Double)].toDF("k", "v")
