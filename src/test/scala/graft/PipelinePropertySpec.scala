@@ -107,6 +107,61 @@ class PipelinePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalDedup equals the exact two-stage model on random corpora") {
+    import graft.operators.Dedup
+    // docs drawn from a handful of 40-word templates with 0-2 word edits:
+    // same-template docs are near-dups (J ≈ 0.85-1.0 on 3-gram shingles),
+    // cross-template docs are disjoint — so the exact model's J≥0.8 graph
+    // has real edges and the planted structure varies per case
+    def doc(template: Int, edits: Seq[Int]): String =
+      (0 until 40).map(w =>
+        if (edits.contains(w)) s"ed${template}x$w" else s"t${template}w$w")
+        .mkString(" ")
+    def shingles(text: String): Set[String] = {
+      val ws = text.trim.toLowerCase.split("\\s+").toSeq
+      if (ws.size >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+      else Set(ws.mkString(" "))
+    }
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty && b.isEmpty) 1.0
+      else a.intersect(b).size.toDouble / a.union(b).size
+    val genCase = for {
+      n <- Gen.chooseNum(4, 16)
+      temps <- Gen.listOfN(n, Gen.chooseNum(0, 3))
+      edits <- Gen.listOfN(n, Gen.listOfN(2, Gen.chooseNum(0, 39)))
+      nEdit <- Gen.listOfN(n, Gen.chooseNum(0, 2))
+    } yield temps.lazyZip(edits).lazyZip(nEdit).toList.zipWithIndex.map {
+      case ((t, es, k), i) => (i.toLong, doc(t, es.take(k)))
+    }
+    for (c <- 0 until 6) {
+      val rows = genCase(Gen.Parameters.default, Seed(31337L + c)).get
+      val df = rows.toDF("doc_id", "text")
+      val corpus = df.filter(col("doc_id") % 3 =!= 0)
+      val delta = df.filter(col("doc_id") % 3 === 0)
+      val got = Dedup.incrementalDedup(corpus, delta, "doc_id", "text",
+          jaccardThreshold = 0.8)
+        .select("doc_id").as[Long].collect().toSet
+      // exact model, same two-stage order
+      val sh = rows.map { case (id, t) => id -> shingles(t) }.toMap
+      val corpusIds = rows.map(_._1).filter(_ % 3 != 0)
+      val deltaIds = rows.map(_._1).filter(_ % 3 == 0)
+      val crossDrop = deltaIds.filter(d =>
+        corpusIds.exists(cc => jac(sh(d), sh(cc)) >= 0.8)).toSet
+      val d2 = deltaIds.filterNot(crossDrop)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+      }
+      for (a <- d2; b <- d2 if a < b && jac(sh(a), sh(b)) >= 0.8) {
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = d2.filter(id => find(id) == id).toSet
+      assert(got == want, s"case $c: got=$got want=$want rows=${rows.map(_._1)}")
+    }
+  }
+
   test("changelog law: applyChangelog equals a sequential per-key reducer") {
     import graft.operators.Changelog
     val genLog: Gen[Seq[(Long, Long, Boolean, Long)]] = for {
