@@ -396,4 +396,8 @@ class GoldenParitySpec extends SparkSpec {
     assert(compacted.count() == 2)
     assert(keptTtl(compacted, rs) == 1)
   }
+
+  test("driver contract: entry() returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }
