@@ -1008,7 +1008,37 @@ object SparkEntry {
     "q_lm_bigram_score" -> ((s, dir) =>
       operators.LmScore.bigramLogProb(read(s, dir, "documents"),
           "doc_id", "text")
-        .select("doc_id", "lang", "n_bigrams", "logprob_micros"))
+        .select("doc_id", "lang", "n_bigrams", "logprob_micros")),
+    // ---- training-run preparation --------------------------------------
+    // overlapped token-window chunking (map-only generator; no shuffle)
+    "q_chunk_overlap" -> ((s, dir) =>
+      operators.TrainPrep.chunkDocuments(readWide(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 24, overlapTokens = 6)),
+    // deterministic shuffled shard layout: md5-keyed shard + dense
+    // position; ONE shuffle, per-shard bounded sort
+    "q_shard_order" -> ((s, dir) =>
+      operators.TrainPrep.shardAssign(readWide(s, dir, "documents"),
+        "doc_id", numShards = 8, seed = 11L)),
+    // "best N tokens" global ordered prefix: score is pre-rounded to 6
+    // decimals (the proven cross-engine quality parity) so the micro-unit
+    // bucketing derives identically in both engines
+    "q_token_budget" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      operators.TrainPrep.selectByTokenBudget(
+        docs.select(col("doc_id"),
+          operators.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("ntok"),
+          round(operators.TextAnalysis.qualityScore(col("text")), 6)
+            .as("q")),
+        "doc_id", "ntok", "q", budgetTokens = 11000L)
+    }),
+    // contrastive hard negatives: top-10 nearest with a DIFFERENT label
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      operators.TrainPrep.hardNegatives(emb,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", "label",
+        k = 10)
+    })
   )
 
   /** DuckDB rendering of one RHP hyperplane as a DOUBLE[] literal.
@@ -2338,7 +2368,75 @@ object SparkEntry {
          SELECT d.doc_id, d.lang,
            coalesce(ag.n_bigrams, 0) AS n_bigrams,
            coalesce(ag.logprob_micros, 0) AS logprob_micros
-         FROM d LEFT JOIN ag USING (doc_id)"""
+         FROM d LEFT JOIN ag USING (doc_id)""",
+    // chunking re-derived from scratch: DuckDB list slicing is 1-based
+    // inclusive, so toks[s+1 : least(s+24, ntok)] is exactly Spark's
+    // slice(toks, s+1, least(24, ntok-s))
+    "q_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, ntok, toks,
+             unnest(range(0, ntok, 18)) AS s
+           FROM t WHERE ntok > 0)
+         SELECT doc_id, CAST(s // 18 AS INT) AS chunk_idx,
+           s AS tok_start, least(s + 24, ntok) AS tok_end,
+           least(s + 24, ntok) - s AS n_tokens,
+           array_to_string(toks[s + 1 : least(s + 24, ntok)], ' ')
+             AS chunk_text
+         FROM c""",
+    // the md5 shard key and dense per-shard position re-derived natively
+    "q_shard_order" ->
+      """WITH k AS (SELECT doc_id,
+             md5(doc_id::VARCHAR || ':11') AS key FROM documents),
+         s AS (SELECT doc_id, key,
+             CAST(('0x' || substr(key, 1, 8))::BIGINT % 8 AS INT) AS shard
+           FROM k)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+             - 1 AS BIGINT) AS shard_pos
+         FROM s""",
+    // the oracle states the operator's CONTRACT directly: the naive
+    // global running total over (score desc, id) — the Spark side is the
+    // bucketed two-phase equivalent that scales
+    "q_token_budget" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok
+           FROM documents),
+         sc AS (SELECT doc_id, ntok,
+           round((CASE WHEN len BETWEEN 100 AND 10000 THEN 1.0
+                       WHEN len BETWEEN 20 AND 99 THEN 0.5 ELSE 0.0 END) * 0.3
+             + (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) /
+                 CAST(greatest(len, 1) AS DOUBLE)) * 0.3
+             + (1.0 - least((length(regexp_replace(text, '[^[:punct:]]', '', 'g')) /
+                 CAST(greatest(len, 1) AS DOUBLE)) * 5.0, 1.0)) * 0.2
+             + (CASE WHEN len / CAST(greatest(ntok, 1) AS DOUBLE)
+                     BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+             6) AS quality
+           FROM t),
+         mu AS (SELECT doc_id, ntok,
+             CAST(floor(quality * 1000000 + 0.5) AS BIGINT) AS smu FROM sc),
+         cum AS (SELECT doc_id, smu, ntok,
+             sum(ntok) OVER (ORDER BY smu DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM mu)
+         SELECT doc_id, smu AS score_mu, CAST(ntok AS BIGINT) AS n_tokens
+         FROM cum WHERE run <= 11000""",
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+             label AS qlabel
+           FROM embeddings WHERE vec_id < 3),
+           s AS (SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qv AS DOUBLE[])), 6) AS cos_r
+             FROM embeddings e JOIN q ON e.label <> q.qlabel)
+         SELECT query_id, vec_id, cos_r, CAST(rn AS INT) AS rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_r DESC, vec_id) AS rn FROM s)
+         WHERE rn <= 10"""
   )
 
   /** Oracle CTE chain for the BPE trainer: `n` unrolled merge

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-run preparation operators: the steps between a cleaned,
+  * deduplicated corpus and the bytes a trainer actually reads — chunking
+  * documents into model-window pieces, assigning rows to output shards in
+  * a deterministic shuffled order, selecting a corpus prefix under a
+  * global token budget, and mining hard negatives for contrastive
+  * training.
+  *
+  * Determinism discipline (shared with [[Sampling]]): every ordering or
+  * assignment decision derives from md5 over `"<id>:<seed>"` strings or
+  * from integral micro-units of a score — reproducible in any engine,
+  * oracle-checkable, and stable across retries/re-runs (a training shard
+  * layout that changes between attempts poisons resumable runs).
+  *
+  * Scale shape (100 TB contract):
+  *  - [[chunkDocuments]] is map-only (generator, no shuffle); output
+  *    volume is input × (1 + overlap/stride), the unavoidable cost of
+  *    overlapped windows;
+  *  - [[shardAssign]] shuffles ONCE on the shard id; per-shard sort is
+  *    bounded by shard size, so `numShards` is the parallelism/size knob
+  *    (thousands at 100 TB, matching target file counts);
+  *  - [[selectByTokenBudget]] reduces the global ordered-prefix problem
+  *    to one map-side-combined aggregate over score micro-units (≤
+  *    scoreScale+1 buckets — the SMALL table), a window over that small
+  *    table, and a broadcast join back; only the single boundary bucket
+  *    ever needs a per-row ordered scan;
+  *  - [[hardNegatives]] broadcasts the anchor set and reuses
+  *    [[Similarity.topKPerQuery]]'s two-phase bounded-heap top-k, so the
+  *    shuffle carries ≤ k·numPartitions survivors per anchor, never the
+  *    scored corpus.
+  */
+object TrainPrep {
+
+  private def toks(text: org.apache.spark.sql.Column) =
+    split(trim(text), "\\s+")
+
+  /** Chunk each document into overlapping windows of whitespace tokens:
+    * window starts at 0, stride = `chunkTokens - overlapTokens`, every
+    * start strictly below the token count gets a chunk, and the last
+    * chunk is truncated at the document end (no padding). Documents with
+    * zero tokens yield zero chunks.
+    *
+    * Output: `(id, chunk_idx, tok_start, tok_end, n_tokens, chunk_text)`
+    * with `tok_end` exclusive and `chunk_text` the space-joined tokens of
+    * `[tok_start, tok_end)`.
+    *
+    * Plan: one map-only projection + generator — token array, start
+    * sequence (guarded against Spark's descending-`sequence` surprise on
+    * empty documents), `posexplode`, and a `slice` per chunk. No shuffle
+    * at any scale; the only cost is the overlap-factor output blow-up,
+    * which is the operator's contract. */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlapTokens must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    val ntok = when(length(trim(col(textCol))) === 0, 0)
+      .otherwise(size(toks(col(textCol))))
+    val base = df.select(
+      col(idCol).as("__id"), toks(col(textCol)).as("__toks"),
+      ntok.as("__ntok"))
+    // sequence(0, n-1, s) DESCENDS when n-1 < 0 — guard empty documents
+    val starts = when(col("__ntok") > 0,
+      sequence(lit(0), col("__ntok") - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    base
+      .select(col("__id"), col("__toks"), col("__ntok"),
+        posexplode(starts).as(Seq("chunk_idx", "__start")))
+      .select(
+        col("__id").as(idCol),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        col("__start").cast("long").as("tok_start"),
+        least(col("__start") + chunkTokens, col("__ntok")).cast("long")
+          .as("tok_end"),
+        (least(col("__start") + chunkTokens, col("__ntok")) - col("__start"))
+          .cast("long").as("n_tokens"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__start") + 1,
+            least(lit(chunkTokens), col("__ntok") - col("__start"))))
+          .as("chunk_text"))
+  }
+
+  /** Deterministic shuffled shard assignment: each row lands in shard
+    * `md5("<id>:<seed>")[0,8) mod numShards` and receives a dense 0-based
+    * position within its shard, ordered by the md5 key (with the id as a
+    * collision tiebreak) — a seeded global permutation expressed as
+    * (shard, position), the layout a training loader consumes.
+    *
+    * Output: `(id, shard, shard_pos)`.
+    *
+    * Plan: map-only key derivation → ONE shuffle on `shard` → per-shard
+    * sort for `row_number`. md5 is uniform, so shards are balanced and
+    * skew-free by construction; `numShards` bounds the per-shard sort and
+    * should scale with the corpus (thousands of shards at 100 TB — the
+    * same number as the output files you want). */
+  def shardAssign(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val key = md5(concat(col(idCol).cast("string"), lit(s":$seed")))
+    val shard = pmod(conv(substring(key, 1, 8), 16, 10).cast("long"),
+      lit(numShards.toLong)).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
+    df.select(col(idCol), shard.as("shard"), key.as("__key"))
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__key")
+  }
+
+  /** Global ordered-prefix selection under a token budget: order the
+    * corpus by (score desc, id asc) and keep rows while the running token
+    * total stays ≤ `budgetTokens` — "take the best N tokens", the
+    * standard way a fixed-size training mix is cut from a scored corpus.
+    *
+    * Scores are resolved to integral units (`floor(score·scoreScale +
+    * 0.5)` — the cross-engine rounding discipline), which is both the
+    * determinism contract AND the scale trick: the global ordered scan
+    * collapses to
+    *   1. ONE map-side-combined aggregate of token sums per score unit
+    *      (≤ scoreScale·range + 1 rows — e.g. ≤ 1e6+1 for a [0,1] score),
+    *   2. a running total over that SMALL table (single-partition window
+    *      over bucket sums, bounded by construction, never by data size),
+    *   3. a broadcast join back: buckets whose running total fits are
+    *      kept whole with no per-row work; the ONE boundary bucket gets a
+    *      per-row ordered running total (window partitioned by the
+    *      bucket, so it is one bounded partition, not a global sort).
+    * Equivalent to the naive `sum over (order by score desc, id)` global
+    * window — which is a single-reducer scan of the whole corpus and dead
+    * at scale — because a row's running total is its bucket prefix plus
+    * its within-bucket prefix.
+    *
+    * Output: `(id, score_mu, n_tokens)` for the kept rows. */
+  def selectByTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      scoreCol: String,
+      budgetTokens: Long,
+      scoreScale: Long = 1000000L): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    val base = df.select(
+      col(idCol).as("__id"),
+      col(tokenCol).cast("long").as("__ntok"),
+      floor(col(scoreCol) * scoreScale + 0.5).cast("long").as("__smu"))
+    val bsums = base.groupBy(col("__smu"))
+      .agg(sum(col("__ntok")).as("__bsum"))
+    // running totals over the bucket table: small by construction
+    val wc = Window.orderBy(col("__smu").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = bsums
+      .withColumn("__cum", sum(col("__bsum")).over(wc))
+      .select(col("__smu"), (col("__cum") <= budgetTokens).as("__full"),
+        (col("__cum") - col("__bsum")).as("__before"))
+      // buckets whose prefix already exceeds the budget can't contribute
+      // (every row's running total is >= the bucket prefix)
+      .filter(col("__full") || col("__before") <= budgetTokens)
+    val joined = base.join(broadcast(marked), Seq("__smu"))
+    val keepCols = Seq(col("__id").as(idCol), col("__smu").as("score_mu"),
+      col("__ntok").as("n_tokens"))
+    val full = joined.filter(col("__full")).select(keepCols: _*)
+    // at most ONE boundary bucket: per-row running total inside it
+    val wb = Window.partitionBy(col("__smu")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined.filter(!col("__full"))
+      .withColumn("__run", sum(col("__ntok")).over(wb) + col("__before"))
+      .filter(col("__run") <= budgetTokens)
+      .select(keepCols: _*)
+    full.unionByName(boundary)
+  }
+
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * top-k most cosine-similar corpus rows whose label DIFFERS from the
+    * anchor's — the near-misses that make the best negatives.
+    *
+    * `anchors` must be small (it is broadcast) and share `idCol`/
+    * `embCol`/`labelCol` names with `df`. Scores are rounded to 6
+    * decimals BEFORE ranking so ties resolve identically in any engine.
+    *
+    * Output: `(query_id, <idCol>, cos_r, rank)`.
+    *
+    * Plan: broadcast-join the anchors with the label-mismatch predicate
+    * inside the join (self-pairs die there too — same label), score
+    * map-side, then [[Similarity.topKPerQuery]]'s bounded-heap two-phase
+    * top-k: the shuffle carries ≤ k·numPartitions survivors per anchor,
+    * never the full scored corpus. */
+  def hardNegatives(
+      df: DataFrame,
+      anchors: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val a = anchors.select(
+      col(idCol).as("query_id"), col(embCol).as("__qv"),
+      col(labelCol).as("__qlabel"))
+    val scored = df
+      .join(broadcast(a), col(labelCol) =!= col("__qlabel"))
+      .select(col("query_id"), col(idCol),
+        round(Similarity.cosine(
+          col(embCol).cast("array<double>"),
+          col("__qv").cast("array<double>")), 6).as("cos_r"))
+    Similarity.topKPerQuery(scored, k, "query_id", "cos_r", idCol)
+  }
+}

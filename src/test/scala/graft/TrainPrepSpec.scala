@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class TrainPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, (1 to 23).map(i => s"w$i").mkString(" ")), // 23 tokens: 24-window truncates
+    (2L, (1 to 48).map(i => s"t$i").mkString(" ")), // exactly at stride boundaries
+    (3L, "solo"), // single token: one chunk
+    (4L, ""), // empty: zero chunks
+    (5L, "   "), // whitespace-only: zero chunks
+    (6L, (1 to 100).map(i => s"x$i").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("chunking covers every token; overlap regions match between neighbors") {
+    val out = TrainPrep.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 24, overlapTokens = 6).collect()
+    // model: starts 0, 18, 36, ... < ntok
+    val model = docs.collect().flatMap { r =>
+      val id = r.getLong(0)
+      val toks = r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+      (0 until toks.length by 18).zipWithIndex.map { case (s, i) =>
+        val e = math.min(s + 24, toks.length)
+        (id, i, s.toLong, e.toLong, (e - s).toLong,
+          toks.slice(s, e).mkString(" "))
+      }
+    }.toSet
+    val got = out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getString(5))).toSet
+    assert(got == model)
+    // empty/whitespace docs yield no chunks
+    assert(!got.exists(c => c._1 == 4L || c._1 == 5L))
+    // neighbor chunks share exactly the 6-token overlap
+    val d6 = out.filter(_.getLong(0) == 6L).sortBy(_.getInt(1))
+    d6.sliding(2).foreach { case Array(a, b) =>
+      val at = a.getString(5).split(" ")
+      val bt = b.getString(5).split(" ")
+      assert(at.takeRight(6).sameElements(bt.take(6)))
+    }
+  }
+
+  test("chunking with zero overlap partitions tokens exactly") {
+    val out = TrainPrep.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 10, overlapTokens = 0)
+    val rebuilt = out.groupBy("doc_id")
+      .agg(sum("n_tokens").as("n"), count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rebuilt(2L) == (48L, 5L)) // 10+10+10+10+8
+    assert(rebuilt(3L) == (1L, 1L))
+    assert(!rebuilt.contains(4L))
+  }
+
+  test("shard assignment is a dense deterministic permutation") {
+    val df = (0L until 200L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    val out = TrainPrep.shardAssign(df, "doc_id", numShards = 8, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 200)
+    assert(out.map(_._1).toSet == (0L until 200L).toSet)
+    // dense positions 0..n-1 per shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(rows.indices.map(_.toLong)))
+    }
+    // deterministic across runs
+    val again = TrainPrep.shardAssign(df, "doc_id", numShards = 8, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+    // a different seed permutes (with 200 rows, collision odds ~0)
+    val other = TrainPrep.shardAssign(df, "doc_id", numShards = 8, seed = 12L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSet != other.toSet)
+  }
+
+  test("token-budget selection equals the naive global ordered prefix") {
+    // adversarial: duplicate scores, zero-token rows, a boundary bucket
+    val rows = Seq(
+      (1L, 100L, 0.9), (2L, 100L, 0.9), (3L, 50L, 0.9),
+      (4L, 0L, 0.8), (5L, 200L, 0.8), (6L, 10L, 0.8),
+      (7L, 500L, 0.5), (8L, 1L, 0.5))
+    val df = rows.toDF("doc_id", "ntok", "score")
+    def naive(budget: Long): Set[Long] = {
+      var run = 0L
+      rows.map { case (id, n, sc) =>
+        (math.floor(sc * 1e6 + 0.5).toLong, id, n)
+      }.sortBy { case (smu, id, _) => (-smu, id) }
+        .flatMap { case (_, id, n) =>
+          run += n; if (run <= budget) Some(id) else None
+        }.toSet
+    }
+    for (budget <- Seq(0L, 99L, 100L, 249L, 250L, 251L, 260L, 310L, 560L, 961L, 5000L)) {
+      val got = TrainPrep.selectByTokenBudget(df, "doc_id", "ntok", "score",
+        budget).select("doc_id").as[Long].collect().toSet
+      assert(got == naive(budget), s"budget=$budget")
+    }
+  }
+
+  test("token-budget keeps zero-token rows exactly at the boundary") {
+    // bucket prefix == budget: the zero-token row still fits (run == budget)
+    val df = Seq((1L, 100L, 0.9), (2L, 0L, 0.8), (3L, 10L, 0.8))
+      .toDF("doc_id", "ntok", "score")
+    val got = TrainPrep.selectByTokenBudget(df, "doc_id", "ntok", "score",
+      budgetTokens = 100L).select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("hard negatives never share the anchor's label and match brute force") {
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 60L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat()), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val anchors = emb.filter(col("vec_id") < 2)
+    val out = TrainPrep.hardNegatives(emb, anchors, "vec_id", "embedding",
+      "label", k = 5).collect()
+    val labels = emb.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(out.length == 10) // 2 anchors x 5
+    out.foreach { r =>
+      assert(labels(r.getLong(0)) != labels(r.getLong(1)))
+    }
+    // matches the in-test brute force (rounded-score ordering, id ties)
+    val model = (0L until 2L).flatMap { q =>
+      (0L until 60L).filter(c => labels(c) != labels(q))
+        .map(c => (q, c,
+          BigDecimal(cos(vecs(q), vecs(c)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy { case (_, c, s) => (-s, c) }.take(5).zipWithIndex
+        .map { case ((qq, c, s), i) => (qq, c, s, i + 1) }
+    }.toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getInt(3))).toSet
+    assert(got == model)
+  }
+}
