@@ -91,7 +91,10 @@ object Bench {
     "q_scd2_history" -> 0.84, "q_scd2_snapshot" -> 0.85,
     "q_corpus_report" -> 0.40, "q_sim_ann_ivf_persisted" -> 1.85,
     "q_sample_temperature" -> 0.45,
-    "q_dedup_incremental" -> 6.00)
+    "q_dedup_incremental" -> 6.00,
+    // round-6 session-3 additions (mins from the sf0.1 BENCH_ONLY run)
+    "q_chunk_overlap" -> 0.30, "q_shard_order" -> 0.29,
+    "q_hard_negatives" -> 0.59, "q_token_budget" -> 1.36)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
