@@ -94,7 +94,8 @@ object Bench {
     "q_dedup_incremental" -> 6.00,
     // round-6 session-3 additions (mins from the sf0.1 BENCH_ONLY run)
     "q_chunk_overlap" -> 0.30, "q_shard_order" -> 0.29,
-    "q_hard_negatives" -> 0.59, "q_token_budget" -> 1.36)
+    "q_hard_negatives" -> 0.59, "q_token_budget" -> 1.36,
+    "q_group_cap" -> 0.85, "q_embed_project" -> 0.53)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

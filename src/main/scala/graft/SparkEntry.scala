@@ -1038,7 +1038,17 @@ object SparkEntry {
       operators.TrainPrep.hardNegatives(emb,
         emb.filter(col("vec_id") < 3), "vec_id", "embedding", "label",
         k = 10)
-    })
+    }),
+    // domain capping: ≤ 40 docs per source by seeded hash order (uniform
+    // de-biasing draw, not a quality rank)
+    "q_group_cap" -> ((s, dir) =>
+      operators.TrainPrep.capPerGroup(readWide(s, dir, "documents"),
+        "doc_id", "source", cap = 15, seed = 5L)),
+    // Johnson–Lindenstrauss random projection to 8 dims (deterministic
+    // splitmix64 planes folded into the plan as literals)
+    "q_embed_project" -> ((s, dir) =>
+      operators.Similarity.randomProjection(readWide(s, dir, "embeddings"),
+        "vec_id", "embedding", outDim = 8))
   )
 
   /** DuckDB rendering of one RHP hyperplane as a DOUBLE[] literal.
@@ -2436,7 +2446,27 @@ object SparkEntry {
          SELECT query_id, vec_id, cos_r, CAST(rn AS INT) AS rank FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cos_r DESC, vec_id) AS rn FROM s)
-         WHERE rn <= 10"""
+         WHERE rn <= 10""",
+    // hash-ascending per-source survivors; md5-bucket collisions break
+    // ties on doc_id in BOTH engines
+    "q_group_cap" ->
+      """WITH b AS (SELECT source, doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':5'), 1, 8))::BIGINT
+               % 1000000 AS bucket
+           FROM documents)
+         SELECT source, doc_id, CAST(rn AS INT) AS rank FROM (
+           SELECT source, doc_id, row_number() OVER (PARTITION BY source
+             ORDER BY bucket, doc_id) AS rn FROM b)
+         WHERE rn <= 15""",
+    "q_embed_project" -> {
+      val ps = operators.Similarity.planes(8, 64)
+      val comps = (0 until 8)
+        .map(j => s"round(list_dot_product(v, ${planeLit(ps(j))}), 6)")
+        .mkString(", ")
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings)
+         SELECT vec_id, [$comps] AS proj FROM emb"""
+    }
   )
 
   /** Oracle CTE chain for the BPE trainer: `n` unrolled merge

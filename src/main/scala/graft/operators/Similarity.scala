@@ -148,6 +148,30 @@ object Similarity {
   def rhpSignatureExpr(vecCol: String, nbits: Int): Column =
     rhpSignature(col(vecCol), nbits)
 
+  /** Random-projection dimensionality reduction: project each embedding
+    * onto `outDim` deterministic [[planes]] (the Johnson–Lindenstrauss
+    * scale path — distances are approximately preserved while per-vector
+    * cost drops by dims/outDim, which is what makes downstream ANN and
+    * clustering affordable on wide embeddings). Components are rounded
+    * to 6 decimals so the output is reproducible cross-engine.
+    *
+    * Map-only projection against literal plane vectors — no shuffle, no
+    * state, linear at any scale.
+    *
+    * Output: `(idCol, proj)` with `proj: array<double>` of `outDim`. */
+  def randomProjection(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      outDim: Int,
+      dims: Int = 64): DataFrame = {
+    require(outDim >= 1 && outDim <= dims, "need 1 <= outDim <= dims")
+    val ps = planes(outDim, dims)
+    val v = col(embCol).cast("array<double>")
+    val comps = (0 until outDim).map(j => round(dot(v, typedLit(ps(j).toSeq)), 6))
+    df.select(col(idCol), array(comps: _*).as("proj"))
+  }
+
   /** LSH-bucketed approximate top-k: corpus and queries hashed to
     * `nbits`-bit buckets; each query joins only its bucket (equi-join →
     * hash shuffle, no cross product), then exact cosine + rank within the

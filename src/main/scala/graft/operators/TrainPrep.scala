@@ -179,6 +179,34 @@ object TrainPrep {
     full.unionByName(boundary)
   }
 
+  /** Per-group cap (domain capping): keep at most `cap` rows per group,
+    * chosen DETERMINISTICALLY by md5 hash order (a seeded uniform draw,
+    * not a quality rank — capping is a de-biasing step: no domain may
+    * contribute more than its cap, and which rows survive must not
+    * correlate with any content signal). The survivor set depends only
+    * on (id, seed), so reruns and incremental loads agree.
+    *
+    * Output: `(groupCol, idCol, rank)` with rank 1..cap in hash order.
+    *
+    * Plan: map-only hash scoring, then [[Similarity.topKPerQuery]]'s
+    * bounded-heap two-phase top-k keyed by the group — each map task
+    * forwards ≤ cap rows per group it sees, so a million-page domain
+    * costs the shuffle cap·numPartitions rows, not a million. */
+  def capPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      cap: Int,
+      seed: Long = 0L): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    // negated so hash-ASCENDING survivors rank first under the
+    // score-descending top-k contract
+    val scored = df.select(col(groupCol), col(idCol),
+      negate(Sampling.hashBucket(col(idCol), seed).cast("double")).as("__neg"))
+    Similarity.topKPerQuery(scored, cap, groupCol, "__neg", idCol)
+      .select(col(groupCol), col(idCol), col("rank"))
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor, the
     * top-k most cosine-similar corpus rows whose label DIFFERS from the
     * anchor's — the near-misses that make the best negatives.

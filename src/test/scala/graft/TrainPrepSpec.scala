@@ -105,6 +105,64 @@ class TrainPrepSpec extends SparkSpec {
     assert(got == Set(1L, 2L))
   }
 
+  test("group cap keeps at most cap rows per group, deterministically") {
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val out = TrainPrep.capPerGroup(df, "doc_id", "source", cap = 20, seed = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.length == 60)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length == 20)
+      assert(rows.map(_._3).sorted.sameElements(1 to 20))
+    }
+    // model: per group, the 20 smallest (hashBucket, id) pairs
+    val model = df.select(col("source"), col("doc_id"),
+        Sampling.hashBucket(col("doc_id"), 5L).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).iterator.flatMap { case (_, rows) =>
+        rows.sortBy(t => (t._3, t._2)).take(20).zipWithIndex
+          .map { case ((s, id, _), i) => (s, id, i + 1) }
+      }.toSet
+    assert(out.toSet == model)
+    // a group smaller than the cap survives whole
+    val small = TrainPrep.capPerGroup(
+      df.filter(col("doc_id") < 10), "doc_id", "source", cap = 20, seed = 5L)
+    assert(small.count() == 10)
+  }
+
+  test("random projection matches the literal planes and preserves geometry") {
+    val rnd = new scala.util.Random(3)
+    val emb = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(emb, "vec_id", "embedding", outDim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val ps = Similarity.planes(8, 64)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    vecs.foreach { case (id, v) =>
+      val want = ps.map(p =>
+        BigDecimal(p.indices.map(d => v(d) * p(d)).sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(out(id).size == 8)
+      out(id).zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+    }
+    // JL sanity: projected squared distances correlate with the originals
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = vecs.keys.toSeq.sorted
+    val pairs = for (i <- ids; j <- ids if i < j) yield (i, j)
+    val orig = pairs.map { case (i, j) => d2(vecs(i).toSeq, vecs(j).toSeq) }
+    val proj = pairs.map { case (i, j) => d2(out(i), out(j)) }
+    val mo = orig.sum / orig.size; val mp = proj.sum / proj.size
+    val corr = pairs.indices.map(k => (orig(k) - mo) * (proj(k) - mp)).sum /
+      math.sqrt(pairs.indices.map(k => math.pow(orig(k) - mo, 2)).sum *
+        pairs.indices.map(k => math.pow(proj(k) - mp, 2)).sum)
+    // direction sanity only (exactness is the plane-match assert above):
+    // 64→8 dims on uniform vectors is a weak but positive signal
+    assert(corr > 0.2, s"JL correlation too weak: $corr")
+  }
+
   test("hard negatives never share the anchor's label and match brute force") {
     val rnd = new scala.util.Random(7)
     val emb = (0L until 60L).map { i =>
