@@ -165,6 +165,11 @@ object TrainPrep {
       // buckets whose prefix already exceeds the budget can't contribute
       // (every row's running total is >= the bucket prefix)
       .filter(col("__full") || col("__before") <= budgetTokens)
+      // materialize the TINY bucket table (≤ scoreScale+1 rows by
+      // construction) once: it is referenced by both union branches, and
+      // without this each broadcast re-evaluates the aggregate — and the
+      // scored input under it — from scratch (4 scans instead of 2)
+      .localCheckpoint()
     val joined = base.join(broadcast(marked), Seq("__smu"))
     val keepCols = Seq(col("__id").as(idCol), col("__smu").as("score_mu"),
       col("__ntok").as("n_tokens"))

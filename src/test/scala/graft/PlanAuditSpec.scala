@@ -204,4 +204,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("chunking is a pure generator: no aggregate, join, or hash shuffle") {
+    val plan = simple("q_chunk_overlap")
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"), plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
+  test("shard layout shuffles exactly once, on the shard id") {
+    val plan = simple("q_shard_order")
+    assert(plan.contains("hashpartitioning(shard"), plan)
+    assert("hashpartitioning".r.findAllMatchIn(plan).size == 1, plan)
+  }
+
+  test("token-budget probes broadcast the checkpointed bucket table") {
+    val plan = simple("q_token_budget")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the bucket running-total aggregate ran ONCE at checkpoint time; if
+    // HashAggregate reappears here, each broadcast is re-deriving it (and
+    // re-scanning the scored corpus under it)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
+  test("group cap heap-prunes before the per-group rank window") {
+    val plan = simple("q_group_cap")
+    val iWin = plan.indexOf("Window")
+    val iMap = plan.indexOf("MapPartitions")
+    assert(iWin >= 0 && iMap >= 0 && iWin < iMap,
+      s"Window must consume the heap-pruned survivors:\n$plan")
+  }
+
+  test("hard negatives broadcast the anchors and keep the two-phase rank") {
+    val plan = simple("q_hard_negatives")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val iWin = plan.indexOf("Window")
+    val iMap = plan.indexOf("MapPartitions")
+    assert(iWin >= 0 && iMap >= 0 && iWin < iMap,
+      s"rank must consume the heap-pruned set:\n$plan")
+  }
+
+  test("random projection is map-only against literal planes") {
+    val plan = simple("q_embed_project")
+    assert(!plan.contains("hashpartitioning") && !plan.contains("Join") &&
+      !plan.contains("HashAggregate"), plan)
+    assert(plan.contains("graft_dot"), plan)
+  }
 }
