@@ -1048,7 +1048,12 @@ object SparkEntry {
     // splitmix64 planes folded into the plan as literals)
     "q_embed_project" -> ((s, dir) =>
       operators.Similarity.randomProjection(readWide(s, dir, "embeddings"),
-        "vec_id", "embedding", outDim = 8))
+        "vec_id", "embedding", outDim = 8)),
+    // epoch expansion: 2.5 epochs of src0, 0.3 of src1, 1.0 elsewhere —
+    // up/down-sampling to a stated training mix in one generator pass
+    "q_epoch_expand" -> ((s, dir) =>
+      operators.Sampling.epochExpand(readWide(s, dir, "documents"),
+        "doc_id", "source", Map("src0" -> 2.5, "src1" -> 0.3), seed = 3L))
   )
 
   /** DuckDB rendering of one RHP hyperplane as a DOUBLE[] literal.
@@ -2466,7 +2471,23 @@ object SparkEntry {
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings)
          SELECT vec_id, [$comps] AS proj FROM emb"""
-    }
+    },
+    "q_epoch_expand" ->
+      """WITH b AS (SELECT doc_id, source,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':3'), 1, 8))::BIGINT
+               % 1000000 AS bucket
+           FROM documents),
+         r AS (SELECT doc_id, source, bucket,
+             CASE source WHEN 'src0' THEN 2500000
+                         WHEN 'src1' THEN 300000
+                         ELSE 1000000 END AS wm
+           FROM b),
+         e AS (SELECT doc_id, source,
+             wm // 1000000
+               + CASE WHEN bucket < wm % 1000000 THEN 1 ELSE 0 END AS reps
+           FROM r)
+         SELECT doc_id, source, unnest(range(0, reps)) AS rep
+         FROM e WHERE reps > 0"""
   )
 
   /** Oracle CTE chain for the BPE trainer: `n` unrolled merge

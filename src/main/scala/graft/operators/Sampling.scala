@@ -167,4 +167,47 @@ object Sampling {
     rebalanceToMixture(df, idCol, strataCol,
       wInt.map { case (s, wi) => s -> wi / z }, seed)
   }
+
+  /** Epoch expansion: materialize a training mix where stratum `s` is
+    * seen `epochs(s)` times — upsampling (2.5 → every row twice plus a
+    * 50% hash draw for the third copy) and downsampling (0.3 → a 30%
+    * draw) in one operator, the way LM data recipes state mixes ("2
+    * epochs of books, 0.5 of web"). Each surviving copy carries a dense
+    * `rep` index so downstream shuffling/sharding can treat copies as
+    * distinct rows.
+    *
+    * Repeat counts are exact integral arithmetic on micro-units
+    * (`round(epochs·1e6)` driver-side; whole part + a fractional
+    * hash-bucket draw), so membership is deterministic in (id, seed) and
+    * reproducible in any engine. Map-only projection + generator — no
+    * shuffle, no state; output volume is Σ_s n_s·epochs(s), the
+    * operator's contract.
+    *
+    * Output: `(idCol, strataCol, rep)` with rep in [0, repeats). */
+  def epochExpand(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      epochs: Map[String, Double],
+      defaultEpochs: Double = 1.0,
+      seed: Long = 0L): DataFrame = {
+    require(epochs.values.forall(_ >= 0) && defaultEpochs >= 0,
+      "epoch counts must be >= 0")
+    def micro(w: Double): Long = math.round(w * Resolution)
+    val wm = epochs.toSeq.sortBy(_._1)
+      .foldLeft(lit(micro(defaultEpochs))) { case (acc, (s, w)) =>
+        when(col(strataCol) === s, lit(micro(w))).otherwise(acc)
+      }
+    val frac = wm % Resolution
+    // (wm - frac) is an exact multiple of the resolution; the double
+    // division is exact below 2^53
+    val whole = ((wm - frac) / Resolution).cast("long")
+    val reps = whole +
+      when(hashBucket(col(idCol), seed) < frac, 1L).otherwise(0L)
+    df.select(col(idCol), col(strataCol), reps.as("__reps"))
+      // guard sequence()'s descending surprise: only explode reps >= 1
+      .filter(col("__reps") > 0)
+      .select(col(idCol), col(strataCol),
+        explode(sequence(lit(0L), col("__reps") - 1L)).as("rep"))
+  }
 }

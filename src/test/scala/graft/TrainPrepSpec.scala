@@ -163,6 +163,39 @@ class TrainPrepSpec extends SparkSpec {
     assert(corr > 0.2, s"JL correlation too weak: $corr")
   }
 
+  test("epoch expansion matches the exact micro-unit model") {
+    val df = (0L until 400L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val out = Sampling.epochExpand(df, "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.3, "src3" -> 0.0), seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // model: reps = whole + (bucket < frac)
+    val buckets = df.select(col("doc_id"),
+        Sampling.hashBucket(col("doc_id"), 3L).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val model = (0L until 400L).flatMap { i =>
+      val src = s"src${i % 4}"
+      val wm = src match {
+        case "src0" => 2500000L; case "src1" => 300000L
+        case "src3" => 0L; case _ => 1000000L
+      }
+      val reps = wm / 1000000L + (if (buckets(i) < wm % 1000000L) 1L else 0L)
+      (0L until reps).map(r => (i, src, r))
+    }.toSet
+    assert(out.toSet == model)
+    // whole-epoch strata appear exactly once per row; dropped stratum absent
+    assert(out.count(_._2 == "src2") == 100)
+    assert(!out.exists(_._2 == "src3"))
+    // src0 lands between 2x and 3x, src1 strictly downsampled
+    val c0 = out.count(_._2 == "src0"); val c1 = out.count(_._2 == "src1")
+    assert(c0 >= 200 && c0 <= 300, s"src0=$c0")
+    assert(c1 > 0 && c1 < 100, s"src1=$c1")
+    // rep indices dense per doc
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(rows.indices.map(_.toLong)))
+    }
+  }
+
   test("hard negatives never share the anchor's label and match brute force") {
     val rnd = new scala.util.Random(7)
     val emb = (0L until 60L).map { i =>
