@@ -1053,7 +1053,13 @@ object SparkEntry {
     // up/down-sampling to a stated training mix in one generator pass
     "q_epoch_expand" -> ((s, dir) =>
       operators.Sampling.epochExpand(readWide(s, dir, "documents"),
-        "doc_id", "source", Map("src0" -> 2.5, "src1" -> 0.3), seed = 3L))
+        "doc_id", "source", Map("src0" -> 2.5, "src1" -> 0.3), seed = 3L)),
+    // real token arrays under the learned merges — the trainer input
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val merges = operators.BpeTrainer.train(docs, "text", 5)
+      operators.BpeTrainer.encode(docs, "doc_id", "text", merges)
+    })
   )
 
   /** DuckDB rendering of one RHP hyperplane as a DOUBLE[] literal.
@@ -2487,7 +2493,27 @@ object SparkEntry {
                + CASE WHEN bucket < wm % 1000000 THEN 1 ELSE 0 END AS reps
            FROM r)
          SELECT doc_id, source, unnest(range(0, reps)) AS rep
-         FROM e WHERE reps > 0"""
+         FROM e WHERE reps > 0""",
+    // the tokenize oracle's merge re-derivation, emitting the arrays
+    "q_bpe_encode" -> {
+      val applied = (1 to 5).foldLeft(
+        "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')") { (acc, i) =>
+        s"""replace($acc,
+             ' ' || split_part(p$i, ' ', 1) || '  ' ||
+               split_part(p$i, ' ', 2) || ' ',
+             ' ' || replace(p$i, ' ', '') || ' ')"""
+      }
+      bpeIterCtes(5) +
+        s""", m AS (SELECT ${(1 to 5).map(i =>
+              s"(SELECT pair FROM b$i) AS p$i").mkString(", ")}),
+         dd AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+               w -> length(w) > 0) AS ws
+           FROM documents)
+         SELECT doc_id, flatten(list_transform(ws, w ->
+             string_split_regex(trim($applied), ' +'))) AS bpe_tokens
+         FROM dd, m"""
+    }
   )
 
   /** Oracle CTE chain for the BPE trainer: `n` unrolled merge

@@ -102,24 +102,46 @@ object BpeTrainer {
     * symbol-encoded and the merges fold into a chain of literal
     * `replace`s applied in step order — the whole chain is ONE codegen'd
     * expression per row, no joins, no state. Appends `n_bpe_tokens`. */
+  /** Non-empty lowercased words, filtered like initialVocab (an empty
+    * document has 0 tokens — not a phantom 1). */
+  private def bpeWords(textCol: String) =
+    filter(TextAnalysis.tokens(col(textCol)), w => length(w) > 0)
+
+  /** One word symbol-encoded with the merges folded into a chain of
+    * literal `replace`s in step order — the whole chain is ONE codegen'd
+    * expression, no joins, no state. */
+  private def bpeApplied(
+      word: org.apache.spark.sql.Column,
+      merges: Seq[Merge]): org.apache.spark.sql.Column =
+    merges.sortBy(_.step).foldLeft(
+      concat(lit("  "), regexp_replace(word, "(.)", "$1  "))) { (sym, m) =>
+      call_function("replace", sym,
+        lit(s" ${m.left}  ${m.right} "), lit(s" ${m.left}${m.right} "))
+    }
+
   def tokenCount(
       df: DataFrame,
       textCol: String,
-      merges: Seq[Merge]): DataFrame = {
-    // empty words filtered like initialVocab (an empty document has 0
-    // tokens, matching bpeTokenEstimate — not a phantom 1)
-    val words = filter(TextAnalysis.tokens(col(textCol)), w => length(w) > 0)
-    def applied(word: org.apache.spark.sql.Column) =
-      merges.sortBy(_.step).foldLeft(
-        concat(lit("  "), regexp_replace(word, "(.)", "$1  "))) { (sym, m) =>
-        call_function("replace", sym,
-          lit(s" ${m.left}  ${m.right} "), lit(s" ${m.left}${m.right} "))
-      }
+      merges: Seq[Merge]): DataFrame =
     df.withColumn("n_bpe_tokens",
       aggregate(
-        transform(words, w => size(split(trim(applied(w)), " +")).cast("long")),
+        transform(bpeWords(textCol),
+          w => size(split(trim(bpeApplied(w, merges)), " +")).cast("long")),
         lit(0L), (acc, x) => acc + x))
-  }
+
+  /** Encode each document to its BPE token ARRAY under the learned
+    * merges — the actual trainer input, not just its cost. Same pure
+    * map-only projection as [[tokenCount]] (one codegen'd replace chain
+    * per word, flattened in word order); an empty document encodes to an
+    * empty array. Appends `bpe_tokens: array<string>`. */
+  def encode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[Merge]): DataFrame =
+    df.select(col(idCol),
+      flatten(transform(bpeWords(textCol),
+        w => split(trim(bpeApplied(w, merges)), " +"))).as("bpe_tokens"))
 
   /** The merge table as a DataFrame (for the driver contract / sinks). */
   def trainDF(

@@ -74,6 +74,28 @@ class BpeTrainerSpec extends SparkSpec {
     assert(counts("newest widest") === 4 + 5)
   }
 
+  test("encode emits the token arrays tokenCount counts") {
+    val merges = BpeTrainer.train(corpus, "text", 3) // (w,e), (l,o), (s,t)
+    val withId = corpus.withColumn("doc_id",
+      org.apache.spark.sql.functions.monotonically_increasing_id())
+    val toks = BpeTrainer.encode(withId, "doc_id", "text", merges)
+      .select("doc_id", "bpe_tokens").as[(Long, Seq[String])].collect().toMap
+    val counts = BpeTrainer.tokenCount(withId, "text", merges)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    counts.foreach { case (id, n) => assert(toks(id).size.toLong == n) }
+    // spot-check the actual symbols: "newest widest" under (w,e),(l,o),(s,t)
+    val nw = withId.filter($"text" === "newest widest")
+      .select("doc_id").as[Long].collect()
+    nw.foreach { id =>
+      assert(toks(id) == Seq("n", "e", "we", "st", "w", "i", "d", "e", "st"))
+    }
+    // empty text encodes to an empty array
+    val empty = BpeTrainer.encode(
+      Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text", merges)
+      .select("bpe_tokens").as[Seq[String]].collect().head
+    assert(empty.isEmpty)
+  }
+
   test("stops early when the vocabulary is fully merged") {
     val df = Seq("ab ab").toDF("text")
     // "a b" → merge (a,b) → single symbol "ab": no pairs remain

@@ -196,6 +196,33 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("chunking and epoch expansion run unchanged on a stream (stateless)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val qc = TrainPrep
+      .chunkDocuments(stream, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+      .writeStream.format("memory").queryName("schunks").outputMode("append")
+      .start()
+    val qe = Sampling
+      .epochExpand(stream.withColumn("source", lit("src0")), "doc_id", "source",
+        Map("src0" -> 2.0))
+      .writeStream.format("memory").queryName("sepochs").outputMode("append")
+      .start()
+    try {
+      in.addData((1L, "a b c d e f"), (2L, ""))
+      qc.processAllAvailable(); qe.processAllAvailable()
+      val chunks = spark.table("schunks")
+        .select("doc_id", "chunk_idx", "chunk_text").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(chunks == Set((1L, 0, "a b c d"), (1L, 1, "d e f")))
+      val reps = spark.table("sepochs").select("doc_id", "rep").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(reps == Set((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L)))
+    } finally { qc.stop(); qe.stop() }
+  }
+
   test("hard negatives never share the anchor's label and match brute force") {
     val rnd = new scala.util.Random(7)
     val emb = (0L until 60L).map { i =>
