@@ -1059,7 +1059,12 @@ object SparkEntry {
       val docs = read(s, dir, "documents")
       val merges = operators.BpeTrainer.train(docs, "text", 5)
       operators.BpeTrainer.encode(docs, "doc_id", "text", merges)
-    })
+    }),
+    // the materialized concat-and-chunk blocks: every output row is one
+    // 512-token trainer block with straddling docs stitched in order
+    "q_pack_blocks" -> ((s, dir) =>
+      operators.Packing.materializeBlocks(read(s, dir, "documents"),
+        "doc_id", "text", blockTokens = 512L))
   )
 
   /** DuckDB rendering of one RHP hyperplane as a DOUBLE[] literal.
@@ -2513,7 +2518,35 @@ object SparkEntry {
          SELECT doc_id, flatten(list_transform(ws, w ->
              string_split_regex(trim($applied), ' +'))) AS bpe_tokens
          FROM dd, m"""
-    }
+    },
+    // the naive global-prefix-sum contract, segments stitched per block
+    "q_pack_blocks" ->
+      """WITH t AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         o AS (SELECT doc_id, toks, ntok,
+             CAST(COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start
+           FROM t),
+         e AS (SELECT toks, ntok, start,
+             unnest(range(start // 512, (start + ntok - 1) // 512 + 1))
+               AS block_id
+           FROM o WHERE ntok > 0),
+         seg AS (SELECT block_id, start,
+             least(start + ntok, (block_id + 1) * 512)
+               - greatest(start, block_id * 512) AS seglen,
+             array_to_string(toks[
+                 (greatest(start, block_id * 512) - start + 1) :
+                 (least(start + ntok, (block_id + 1) * 512) - start)], ' ')
+               AS seg
+           FROM e)
+         SELECT block_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(seglen) AS BIGINT) AS n_tokens,
+           string_agg(seg, ' ' ORDER BY start) AS text
+         FROM seg GROUP BY block_id"""
   )
 
   /** Oracle CTE chain for the BPE trainer: `n` unrolled merge

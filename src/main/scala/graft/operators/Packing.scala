@@ -145,4 +145,57 @@ object Packing {
     packed.withColumn("pack_id",
       concat(col(groupCol).cast("string"), lit(":"), col("pack_seq")))
   }
+
+  /** Materialize the concat-and-chunk blocks [[packOffsets]] assigns:
+    * the ACTUAL trainer bytes — each output row is one block of exactly
+    * `blockTokens` whitespace tokens (the final block partial), with the
+    * straddling documents' segments stitched in stream order. Tokens
+    * keep their original case (materialization must not rewrite the
+    * corpus).
+    *
+    * Plan: [[packOffsets]]'s distributed prefix sum → each non-empty
+    * document explodes to the blocks it touches (fan-out 1 + ntok/B,
+    * the minimum — a document emits each of its tokens exactly once) →
+    * ONE shuffle on `block_id` whose groups are bounded by construction:
+    * a block holds ≤ `blockTokens` tokens and therefore ≤ `blockTokens`
+    * segments, so the per-block sort-and-stitch is O(B log B) whatever
+    * the corpus size, and block keys are uniform by construction (no
+    * skew: consecutive offsets fill consecutive blocks).
+    *
+    * Output: `(block_id, n_docs, n_tokens, text)`. */
+  def materializeBlocks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Long,
+      numPartitions: Int = 0): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val ntok = when(length(trim(col(textCol))) === 0, 0L)
+      .otherwise(size(toks).cast("long"))
+    val base = df.select(col(idCol).as("__id"), toks.as("__toks"),
+      ntok.as("__ntok"))
+    val off = packOffsets(base, "__ntok", blockTokens, "__id", numPartitions)
+    val blocks = off.filter(col("__ntok") > 0)
+      .select(col("__toks"), col("__ntok"), col("start_offset"),
+        explode(sequence(col("block_first"), col("block_last")))
+          .as("block_id"))
+    val gs = greatest(col("start_offset"), col("block_id") * blockTokens)
+    val ge = least(col("start_offset") + col("__ntok"),
+      (col("block_id") + 1) * blockTokens)
+    blocks
+      .select(col("block_id"), col("start_offset"),
+        (ge - gs).as("__seglen"),
+        concat_ws(" ", slice(col("__toks"),
+          (gs - col("start_offset") + 1).cast("int"),
+          (ge - gs).cast("int"))).as("__seg"))
+      .groupBy(col("block_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__seglen")).as("n_tokens"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("start_offset"), col("__seg")))),
+            s => s.getField("__seg"))).as("text"))
+  }
 }

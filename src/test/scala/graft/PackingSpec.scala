@@ -75,4 +75,31 @@ class PackingSpec extends SparkSpec {
       .select("doc_id", "pack_id")
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
+
+  test("materialized blocks reconstruct the exact concatenated stream") {
+    val docs = Seq(
+      (1L, (1 to 7).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 5).map(i => s"b$i").mkString(" ")),
+      (3L, ""), // empty doc contributes nothing
+      (4L, (1 to 12).map(i => s"c$i").mkString(" ")),
+      (5L, "d1"))
+      .toDF("doc_id", "text")
+    val out = Packing.materializeBlocks(docs, "doc_id", "text", blockTokens = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1)
+    // stream: a1..a7 b1..b5 c1..c12 d1 = 25 tokens → blocks of 8: 8,8,8,1
+    val stream = ((1 to 7).map(i => s"a$i") ++ (1 to 5).map(i => s"b$i") ++
+      (1 to 12).map(i => s"c$i") :+ "d1").toVector
+    assert(out.map(_._1).sameElements(Array(0L, 1L, 2L, 3L)))
+    assert(out.map(_._3).toSeq == Seq(8L, 8L, 8L, 1L))
+    out.foreach { case (b, _, _, text) =>
+      val want = stream.slice(b.toInt * 8,
+        math.min(b.toInt * 8 + 8, stream.size)).mkString(" ")
+      assert(text == want, s"block $b")
+    }
+    // doc counts: b0 = a+b, b1 = b+c, b2 = c only, b3 = d only
+    assert(out.map(_._2).toSeq == Seq(2L, 2L, 1L, 1L))
+    // total tokens conserved
+    assert(out.map(_._3).sum == 25L)
+  }
 }
