@@ -247,6 +247,15 @@ class PlanAuditSpec extends SparkSpec {
       s"rank must consume the heap-pruned set:\n$plan")
   }
 
+  test("block materialization: prefix sum stays partitioned, one block shuffle") {
+    val plan = simple("q_pack_blocks")
+    // two hash exchanges only: the per-partition cumsum (on the literal
+    // range pid) and the block_id stitch group-by; base offsets broadcast
+    assert("hashpartitioning".r.findAllMatchIn(plan).size == 2, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("random projection is map-only against literal planes") {
     val plan = simple("q_embed_project")
     assert(!plan.contains("hashpartitioning") && !plan.contains("Join") &&
