@@ -1064,7 +1064,13 @@ object SparkEntry {
     // 512-token trainer block with straddling docs stitched in order
     "q_pack_blocks" -> ((s, dir) =>
       operators.Packing.materializeBlocks(read(s, dir, "documents"),
-        "doc_id", "text", blockTokens = 512L))
+        "doc_id", "text", blockTokens = 512L)),
+    // leakage-safe split: near-dup groups share a split (keyed by the
+    // component root, not the doc) — cross-split near-copies inflate eval
+    "q_split_leakage_safe" -> ((s, dir) =>
+      operators.TrainPrep.leakageSafeSplit(readWide(s, dir, "documents"),
+        "doc_id", "text",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 9L))
   )
 
   /** DuckDB rendering of one RHP hyperplane as a DOUBLE[] literal.
@@ -2546,7 +2552,45 @@ object SparkEntry {
          SELECT block_id, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(seglen) AS BIGINT) AS n_tokens,
            string_agg(seg, ' ' ORDER BY start) AS text
-         FROM seg GROUP BY block_id"""
+         FROM seg GROUP BY block_id""",
+    // the q_dedup_resolve component closure, rooted at the component min,
+    // then the md5 split bucket on the ROOT
+    "q_split_leakage_safe" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS s
+           FROM w),
+         e AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+           WHERE len(list_intersect(a.s, b.s)) /
+               CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8),
+         und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a),
+         roots AS (
+           SELECT d.doc_id,
+             least(d.doc_id, coalesce(
+               (SELECT min(b) FROM reach r WHERE r.a = d.doc_id),
+               d.doc_id)) AS root
+           FROM documents d),
+         bk AS (SELECT doc_id, root,
+             ('0x' || substr(md5(root::VARCHAR || ':9'), 1, 8))::BIGINT
+               % 1000000 AS bucket
+           FROM roots)
+         SELECT doc_id, root,
+           CASE WHEN bucket < 800000 THEN 'train'
+                WHEN bucket < 900000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM bk"""
   )
 
   /** Oracle CTE chain for the BPE trainer: `n` unrolled merge

@@ -212,6 +212,49 @@ object TrainPrep {
       .select(col(groupCol), col(idCol), col("rank"))
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents MUST
+    * land in the same split — per-document hashing leaks a val/test
+    * answer into train whenever a near-copy crosses the boundary, which
+    * silently inflates eval. The split key is therefore the duplicate
+    * GROUP root (min id of the connected component under LSH→Jaccard
+    * near-dup edges; singletons root at themselves), hashed with the
+    * [[Sampling.hashSplit]] discipline.
+    *
+    * Output: `(idCol, root, split)` — every member of a group carries the
+    * same root, hence the same split.
+    *
+    * Plan: the [[Dedup.lshCandidatePairs]]→[[Dedup.ngramJaccard]] edge
+    * pipeline (banded, one reused exchange, candidates-only verify),
+    * [[Dedup.resolveDuplicateGroups]] (bounded driver union-find with a
+    * distributed min-label fallback), one left join of the group table
+    * (|pair ids| rows, not corpus-sized), then the map-only hash split on
+    * the root. */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splits: Seq[(String, Double)],
+      jaccardThreshold: Double = 0.8,
+      seed: Long = 0L,
+      shingleN: Int = 3,
+      k: Int = 20,
+      bands: Int = 10): DataFrame = {
+    // bands=10 matches nearDupDedup's high-recall setting: the group
+    // structure must not depend on LSH luck
+    val cands = Dedup.lshCandidatePairs(df, idCol, textCol, shingleN, k, bands)
+    val verified = Dedup.ngramJaccard(df, cands, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b")
+    val groups = Dedup.resolveDuplicateGroups(verified)
+      .withColumnRenamed("id", idCol)
+    val rooted = df.select(col(idCol))
+      .join(groups, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("survivor_id"), col(idCol)).as("root"))
+    Sampling.hashSplit(rooted, "root", splits, seed)
+      .select(col(idCol), col("root"), col("split"))
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor, the
     * top-k most cosine-similar corpus rows whose label DIFFERS from the
     * anchor's — the near-misses that make the best negatives.

@@ -163,6 +163,32 @@ class TrainPrepSpec extends SparkSpec {
     assert(corr > 0.2, s"JL correlation too weak: $corr")
   }
 
+  test("leakage-safe split keeps near-dup groups in one split") {
+    val base = "the quick brown fox jumps over the lazy dog again and again ok"
+    val df = (Seq(
+      (1L, base), (2L, base + " extra"), (3L, base + " more tail"),
+      (4L, "completely different content about distributed query engines"),
+      (5L, "totally unrelated musings on tokenizers and vocabularies")) ++
+      (10L until 40L).map(i => (i, s"unique filler document number $i with words " + ("w" + i) * 3)))
+      .toDF("doc_id", "text")
+    val out = TrainPrep.leakageSafeSplit(df, "doc_id", "text",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 9L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == df.count())
+    // docs 1-3 are mutual near-dups: same root, same split
+    val g = out.filter(t => Set(1L, 2L, 3L).contains(t._1))
+    assert(g.map(_._2).toSet.size == 1 && g.map(_._2).head == 1L)
+    assert(g.map(_._3).toSet.size == 1)
+    // singletons root at themselves and split exactly like hashSplit
+    val singles = out.filter(_._1 >= 4L)
+    singles.foreach { case (id, root, _) => assert(root == id) }
+    val plain = Sampling.hashSplit(df.filter(col("doc_id") >= 4L),
+        "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 9L)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    singles.foreach { case (id, _, sp) => assert(plain(id) == sp) }
+  }
+
   test("epoch expansion matches the exact micro-unit model") {
     val df = (0L until 400L).map(i => (i, s"src${i % 4}"))
       .toDF("doc_id", "source")
