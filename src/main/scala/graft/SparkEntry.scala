@@ -1070,7 +1070,18 @@ object SparkEntry {
     "q_split_leakage_safe" -> ((s, dir) =>
       operators.TrainPrep.leakageSafeSplit(readWide(s, dir, "documents"),
         "doc_id", "text",
-        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 9L))
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 9L)),
+    // data-quality gates: all per-row checks in ONE aggregate pass, plus
+    // key uniqueness; NULL predicate = violation (no 3VL holes)
+    "q_expectations" -> ((s, dir) =>
+      operators.Expectations.validateWithUniqueKey(
+        read(s, dir, "documents"), "doc_id", Seq(
+          ("text_not_null", col("text").isNotNull),
+          ("n_chars_consistent", col("n_chars") === length(col("text"))),
+          ("lang_code_shape",
+            col("lang").isNotNull && length(col("lang")).between(2, 3)),
+          ("source_prefixed", col("source").startsWith("src")),
+          ("text_nonempty", length(trim(col("text"))) > 0))))
   )
 
   /** DuckDB rendering of one RHP hyperplane as a DOUBLE[] literal.
@@ -2590,7 +2601,32 @@ object SparkEntry {
            CASE WHEN bucket < 800000 THEN 'train'
                 WHEN bucket < 900000 THEN 'val'
                 ELSE 'test' END AS split
-         FROM bk"""
+         FROM bk""",
+    "q_expectations" ->
+      """WITH a AS (SELECT
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END)
+               AS BIGINT) AS v_text_not_null,
+             CAST(sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
+               AS BIGINT) AS v_n_chars,
+             CAST(sum(CASE WHEN lang IS NOT NULL
+                 AND length(lang) BETWEEN 2 AND 3 THEN 0 ELSE 1 END)
+               AS BIGINT) AS v_lang,
+             CAST(sum(CASE WHEN source LIKE 'src%' THEN 0 ELSE 1 END)
+               AS BIGINT) AS v_source,
+             CAST(sum(CASE WHEN length(trim(text)) > 0 THEN 0 ELSE 1 END)
+               AS BIGINT) AS v_nonempty,
+             CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS v_unique
+           FROM documents)
+         SELECT 'text_not_null' AS check_name, v_text_not_null AS n_violations,
+             n AS n_rows, v_text_not_null = 0 AS pass FROM a
+         UNION ALL SELECT 'n_chars_consistent', v_n_chars, n, v_n_chars = 0
+           FROM a
+         UNION ALL SELECT 'lang_code_shape', v_lang, n, v_lang = 0 FROM a
+         UNION ALL SELECT 'source_prefixed', v_source, n, v_source = 0 FROM a
+         UNION ALL SELECT 'text_nonempty', v_nonempty, n, v_nonempty = 0
+           FROM a
+         UNION ALL SELECT 'unique_doc_id', v_unique, n, v_unique = 0 FROM a"""
   )
 
   /** Oracle CTE chain for the BPE trainer: `n` unrolled merge

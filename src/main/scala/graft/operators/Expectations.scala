@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectation gates: declarative per-row predicates (plus
+  * key-uniqueness) evaluated in ONE aggregate pass, reported one row per
+  * check — the validation step a pipeline runs between stages before
+  * committing a corpus version (the same role the reference's count(*)
+  * verification plays around a retention rewrite, generalized to
+  * arbitrary predicates; ref: DeletingCompactionStrategySpec's
+  * post-compaction row-count asserts).
+  *
+  * Null semantics: a predicate that evaluates to NULL counts as a
+  * VIOLATION (`CASE WHEN cond THEN 0 ELSE 1`) — an unverifiable row must
+  * fail the gate, not slip through a three-valued-logic hole.
+  *
+  * Scale shape: all per-row checks ride ONE map-side-combined aggregate
+  * (a single scan, a single 1-row result regardless of corpus size); the
+  * optional uniqueness check adds a distinct aggregate on the key —
+  * partials carry the key column only. The per-check rows are exploded
+  * from the single aggregate row, so driver state is O(checks). */
+object Expectations {
+
+  /** Evaluate `checks` (name → per-row boolean predicate) over `df`.
+    * Output: `(check_name, n_violations, n_rows, pass)` — one row per
+    * check, `pass = (n_violations == 0)`. */
+  def validate(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    require(checks.map(_._1).distinct.size == checks.size,
+      "check names must be unique")
+    val aggs = checks.map { case (n, cond) =>
+      sum(when(cond, 0L).otherwise(1L)).as(s"__v_$n")
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    row
+      .select(explode(array(checks.map { case (n, _) =>
+        struct(lit(n).as("check_name"),
+          col(s"__v_$n").as("n_violations"),
+          col("__n").as("n_rows"))
+      }: _*)).as("c"))
+      .select(col("c.check_name"), col("c.n_violations"), col("c.n_rows"),
+        (col("c.n_violations") === 0).as("pass"))
+  }
+
+  /** [[validate]] plus a `unique_<keyCol>` check asserting `keyCol` has
+    * no duplicate values (violations = rows minus distinct keys). */
+  def validateWithUniqueKey(
+      df: DataFrame,
+      keyCol: String,
+      checks: Seq[(String, Column)]): DataFrame = {
+    val uniq = df.agg(
+      (count(lit(1)) - countDistinct(col(keyCol))).as("n_violations"),
+      count(lit(1)).as("n_rows"))
+      .select(lit(s"unique_$keyCol").as("check_name"),
+        col("n_violations"), col("n_rows"),
+        (col("n_violations") === 0).as("pass"))
+    validate(df, checks).unionByName(uniq)
+  }
+}

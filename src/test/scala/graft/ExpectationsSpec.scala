@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("violations counted exactly; NULL predicate counts as violation") {
+    val df = Seq(
+      (1L, Some("abc"), 3L),
+      (2L, None: Option[String], 0L), // null text: len predicate is NULL
+      (3L, Some(""), 1L)) // wrong n_chars
+      .toDF("id", "text", "n_chars")
+    val out = Expectations.validateWithUniqueKey(df, "id", Seq(
+      ("text_not_null", col("text").isNotNull),
+      ("n_chars_ok", col("n_chars") === length(col("text")))))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(out("text_not_null") == ((1L, 3L, false)))
+    // row 2's NULL comparison is a violation, row 3 is plainly wrong
+    assert(out("n_chars_ok") == ((2L, 3L, false)))
+    assert(out("unique_id") == ((0L, 3L, true)))
+  }
+
+  test("duplicate keys fail the uniqueness gate; clean data passes all") {
+    val df = Seq((1L, "a"), (2L, "b"), (1L, "c")).toDF("id", "text")
+    val u = Expectations.validateWithUniqueKey(df, "id",
+      Seq(("text_not_null", col("text").isNotNull)))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(u("unique_id") == ((1L, false)))
+    assert(u("text_not_null") == ((0L, true)))
+    val clean = Expectations.validate(Seq((1L, "x")).toDF("id", "text"),
+      Seq(("t", lit(true)))).collect().head
+    assert(clean.getBoolean(3))
+  }
+}
