@@ -1071,6 +1071,15 @@ object SparkEntry {
       operators.TrainPrep.leakageSafeSplit(readWide(s, dir, "documents"),
         "doc_id", "text",
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 9L)),
+    // best-copy dedup: each near-dup group keeps its HIGHEST-QUALITY
+    // member (tie → min id) — keep the cleanest scrape, not the first
+    "q_dedup_best_copy" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+        .withColumn("q",
+          round(operators.TextAnalysis.qualityScore(col("text")), 6))
+      operators.TrainPrep.bestCopyDedup(docs, "doc_id", "text", "q")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
     // data-quality gates: all per-row checks in ONE aggregate pass, plus
     // key uniqueness; NULL predicate = violation (no 3VL holes)
     "q_expectations" -> ((s, dir) =>
@@ -2626,7 +2635,58 @@ object SparkEntry {
          UNION ALL SELECT 'source_prefixed', v_source, n, v_source = 0 FROM a
          UNION ALL SELECT 'text_nonempty', v_nonempty, n, v_nonempty = 0
            FROM a
-         UNION ALL SELECT 'unique_doc_id', v_unique, n, v_unique = 0 FROM a"""
+         UNION ALL SELECT 'unique_doc_id', v_unique, n, v_unique = 0 FROM a""",
+    // the resolve closure + the proven quality expression: per-component
+    // winner by (quality micro-units DESC, doc_id ASC)
+    "q_dedup_best_copy" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS s
+           FROM w),
+         e AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+           WHERE len(list_intersect(a.s, b.s)) /
+               CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8),
+         und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a),
+         roots AS (
+           SELECT d.doc_id,
+             least(d.doc_id, coalesce(
+               (SELECT min(b) FROM reach r WHERE r.a = d.doc_id),
+               d.doc_id)) AS root
+           FROM documents d
+           WHERE EXISTS (SELECT 1 FROM und u WHERE u.a = d.doc_id)),
+         t AS (SELECT doc_id, text, length(text) AS len,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok
+           FROM documents),
+         sc AS (SELECT doc_id,
+           CAST(floor(round((CASE WHEN len BETWEEN 100 AND 10000 THEN 1.0
+                       WHEN len BETWEEN 20 AND 99 THEN 0.5 ELSE 0.0 END) * 0.3
+             + (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) /
+                 CAST(greatest(len, 1) AS DOUBLE)) * 0.3
+             + (1.0 - least((length(regexp_replace(text, '[^[:punct:]]', '', 'g')) /
+                 CAST(greatest(len, 1) AS DOUBLE)) * 5.0, 1.0)) * 0.2
+             + (CASE WHEN len / CAST(greatest(ntok, 1) AS DOUBLE)
+                     BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+             6) * 1000000 + 0.5) AS BIGINT) AS smu
+           FROM t),
+         win AS (SELECT r.doc_id,
+             row_number() OVER (PARTITION BY r.root
+               ORDER BY sc.smu DESC, r.doc_id) AS rn
+           FROM roots r JOIN sc ON sc.doc_id = r.doc_id)
+         SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM win WHERE rn > 1)"""
   )
 
   /** Oracle CTE chain for the BPE trainer: `n` unrolled merge

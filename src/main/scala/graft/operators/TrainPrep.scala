@@ -255,6 +255,50 @@ object TrainPrep {
       .select(col(idCol), col("root"), col("split"))
   }
 
+  /** Best-copy near-dup dedup: like [[Dedup.nearDupDedup]] but the
+    * surviving document of each duplicate group is the HIGHEST-QUALITY
+    * member (ties broken on min id), not the lowest id — when a page
+    * exists in five scrapes, keep the cleanest scrape, not the first
+    * crawled. `scoreCol` must already be on `df` and is compared in
+    * integral micro-units (pre-round the score to 6 decimals for
+    * cross-engine reproducibility).
+    *
+    * Output: the surviving rows of `df` (all columns).
+    *
+    * Plan: the near-dup edge pipeline + component resolve as in
+    * [[leakageSafeSplit]]; then ONE aggregate per group —
+    * `max(struct(score_mu, -id))` — over the group-member table (|pair
+    * ids| rows, never corpus-sized), and a broadcastable semi-join of
+    * the loser set against the corpus. */
+  def bestCopyDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      jaccardThreshold: Double = 0.8,
+      shingleN: Int = 3,
+      k: Int = 20,
+      bands: Int = 10): DataFrame = {
+    val cands = Dedup.lshCandidatePairs(df, idCol, textCol, shingleN, k, bands)
+    val verified = Dedup.ngramJaccard(df, cands, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b")
+    val groups = Dedup.resolveDuplicateGroups(verified)
+      .withColumnRenamed("id", idCol)
+    val scoreMu = floor(col(scoreCol) * 1000000L + 0.5).cast("long")
+    val members = df.select(col(idCol), scoreMu.as("__smu"))
+      .join(groups, Seq(idCol)) // only docs in some dup group
+    val winners = members
+      .groupBy(col("survivor_id"))
+      .agg(max(struct(col("__smu").as("s"),
+        negate(col(idCol).cast("long")).as("nid"))).as("__best"))
+      .select((-col("__best").getField("nid")).cast("long").as("__winner"))
+    val losers = members
+      .join(winners, members(idCol) === winners("__winner"), "left_anti")
+      .select(col(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor, the
     * top-k most cosine-similar corpus rows whose label DIFFERS from the
     * anchor's — the near-misses that make the best negatives.

@@ -189,6 +189,20 @@ class TrainPrepSpec extends SparkSpec {
     singles.foreach { case (id, _, sp) => assert(plain(id) == sp) }
   }
 
+  test("best-copy dedup keeps the highest-quality member per group") {
+    val base = "the quick brown fox jumps over the lazy dog again and again ok"
+    val df = Seq(
+      (1L, base, 0.30), (2L, base + " extra", 0.90), (3L, base + " tail", 0.90),
+      (4L, "entirely different content about spark physical planning", 0.10),
+      (5L, "another unrelated document on tokenizer vocabularies", 0.95))
+      .toDF("doc_id", "text", "q")
+    val out = TrainPrep.bestCopyDedup(df, "doc_id", "text", "q")
+      .select("doc_id").as[Long].collect().toSet
+    // group {1,2,3}: max quality 0.90 shared by 2 and 3 → min id 2 wins;
+    // singletons 4 and 5 survive untouched
+    assert(out == Set(2L, 4L, 5L))
+  }
+
   test("epoch expansion matches the exact micro-unit model") {
     val df = (0L until 400L).map(i => (i, s"src${i % 4}"))
       .toDF("doc_id", "source")
