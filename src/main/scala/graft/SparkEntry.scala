@@ -1071,6 +1071,27 @@ object SparkEntry {
       operators.TrainPrep.leakageSafeSplit(readWide(s, dir, "documents"),
         "doc_id", "text",
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 9L)),
+    // ANN recall@10: the LSH path measured against brute force — exact
+    // parts-per-million, the eval that keeps nbits choices honest
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val approx = operators.Similarity.lshTopK(emb, q, k = 10, nbits = 4)
+      val scored = emb.crossJoin(broadcast(q)).select(
+        col("query_id"), col("vec_id"),
+        round(operators.Similarity.cosine(
+          col("embedding").cast("array<double>"),
+          col("query_vec").cast("array<double>")), 6).as("cos_r"))
+      val exact = operators.Similarity
+        .topKPerQuery(scored, 10, "query_id", "cos_r", "vec_id")
+      operators.Similarity.recallAtK(approx, exact, 10)
+    }),
+    // cross-table referential gate: every embedding id must be a doc id
+    "q_expect_ref" -> ((s, dir) =>
+      operators.Expectations.referentialCheck(
+        read(s, dir, "embeddings"), "vec_id",
+        read(s, dir, "documents"), "doc_id", "embedding_has_document")),
     // best-copy dedup: each near-dup group keeps its HIGHEST-QUALITY
     // member (tie → min id) — keep the cleanest scrape, not the first
     "q_dedup_best_copy" -> ((s, dir) => {
@@ -2686,7 +2707,45 @@ object SparkEntry {
                ORDER BY sc.smu DESC, r.doc_id) AS rn
            FROM roots r JOIN sc ON sc.doc_id = r.doc_id)
          SELECT doc_id, lang, source, n_chars FROM documents
-         WHERE doc_id NOT IN (SELECT doc_id FROM win WHERE rn > 1)"""
+         WHERE doc_id NOT IN (SELECT doc_id FROM win WHERE rn > 1)""",
+    // both rankings re-derived (LSH with the inlined planes, brute with
+    // rounded scores), intersected, recall as integral ppm
+    "q_ann_recall" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         sig AS (SELECT vec_id, v, ${rhpSigSql("v", 4)} AS s FROM emb),
+         q AS (SELECT vec_id AS query_id, v AS qv, s FROM sig
+               WHERE vec_id < 3),
+         approx AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id)
+                 AS rn
+             FROM sig c JOIN q ON c.s = q.s) WHERE rn <= 10),
+         ex AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                   e.vec_id) AS rn
+             FROM emb e CROSS JOIN q) WHERE rn <= 10),
+         hits AS (SELECT query_id, count(*) AS n_hits
+                  FROM ex JOIN approx USING (query_id, vec_id) GROUP BY 1),
+         ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+                FROM ex GROUP BY 1)
+         SELECT ne.query_id, ne.n_exact,
+           CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(hits.n_hits, 0) * 1000000 // ne.n_exact AS BIGINT)
+             AS recall_ppm
+         FROM ne LEFT JOIN hits USING (query_id)""",
+    "q_expect_ref" ->
+      """WITH o AS (SELECT CAST(count(*) AS BIGINT) AS n_violations
+             FROM embeddings e
+             WHERE NOT EXISTS (SELECT 1 FROM documents d
+                               WHERE d.doc_id = e.vec_id)),
+           n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM embeddings)
+         SELECT 'embedding_has_document' AS check_name, o.n_violations,
+           n.n_rows, o.n_violations = 0 AS pass
+         FROM o, n"""
   )
 
   /** Oracle CTE chain for the BPE trainer: `n` unrolled merge

@@ -43,6 +43,27 @@ object Expectations {
         (col("c.n_violations") === 0).as("pass"))
   }
 
+  /** Referential-integrity gate: every `childKey` value in `child` must
+    * exist as `parentKey` in `parent` (orphans are violations). One
+    * left-anti join — broadcastable when the parent key set is small,
+    * shuffle-hash on the key otherwise; the output is one report row
+    * shaped like [[validate]]'s. */
+  def referentialCheck(
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String,
+      checkName: String): DataFrame = {
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey),
+        "left_anti")
+    val n = child.agg(count(lit(1)).as("__n"))
+    orphans.agg(count(lit(1)).as("n_violations"))
+      .crossJoin(n)
+      .select(lit(checkName).as("check_name"), col("n_violations"),
+        col("__n").as("n_rows"), (col("n_violations") === 0).as("pass"))
+  }
+
   /** [[validate]] plus a `unique_<keyCol>` check asserting `keyCol` has
     * no duplicate values (violations = rows minus distinct keys). */
   def validateWithUniqueKey(

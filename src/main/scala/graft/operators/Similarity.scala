@@ -148,6 +148,34 @@ object Similarity {
   def rhpSignatureExpr(vecCol: String, nbits: Int): Column =
     rhpSignature(col(vecCol), nbits)
 
+  /** Recall@k of an approximate ranking against the exact one — the
+    * routine eval that keeps ANN parameter choices honest (nbits/nlist/
+    * nprobe trade recall for cost; this measures what was traded).
+    * Both inputs carry `(queryIdCol, idCol, rank)`; rows ranked ≤ k
+    * count. Recall is reported in EXACT parts-per-million (integral
+    * division — no float representation in the output).
+    *
+    * Output: `(queryIdCol, n_exact, n_hits, recall_ppm)` per query.
+    * Cost: joins of two ≤ k·|queries| rankings — trivial at any corpus
+    * size (the rankings are the small product of the searches). */
+  def recallAtK(
+      approx: DataFrame,
+      exact: DataFrame,
+      k: Int,
+      queryIdCol: String = "query_id",
+      idCol: String = "vec_id"): DataFrame = {
+    val a = approx.filter(col("rank") <= k).select(col(queryIdCol), col(idCol))
+    val e = exact.filter(col("rank") <= k).select(col(queryIdCol), col(idCol))
+    val hits = e.join(a, Seq(queryIdCol, idCol))
+      .groupBy(col(queryIdCol)).agg(count(lit(1)).as("n_hits"))
+    e.groupBy(col(queryIdCol)).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq(queryIdCol), "left")
+      .select(col(queryIdCol), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("CAST((coalesce(n_hits, 0) * 1000000) DIV n_exact AS BIGINT)")
+          .as("recall_ppm"))
+  }
+
   /** Random-projection dimensionality reduction: project each embedding
     * onto `outDim` deterministic [[planes]] (the Johnson–Lindenstrauss
     * scale path — distances are approximately preserved while per-vector

@@ -24,6 +24,34 @@ class ExpectationsSpec extends SparkSpec {
     assert(out("unique_id") == ((0L, 3L, true)))
   }
 
+  test("referential check counts orphans exactly") {
+    val parent = Seq(1L, 2L, 3L).toDF("pid")
+    val child = Seq((10L, 1L), (11L, 2L), (12L, 9L), (13L, 8L))
+      .toDF("cid", "fk")
+    val r = Expectations.referentialCheck(child, "fk", parent, "pid", "fk_ok")
+      .collect().head
+    assert(r.getString(0) == "fk_ok" && r.getLong(1) == 2L &&
+      r.getLong(2) == 4L && !r.getBoolean(3))
+    val clean = Expectations.referentialCheck(
+      child.filter(col("fk") < 3), "fk", parent, "pid", "fk_ok")
+      .collect().head
+    assert(clean.getLong(1) == 0L && clean.getBoolean(3))
+  }
+
+  test("recall@k: identical rankings give 1e6 ppm, disjoint give 0") {
+    val exact = Seq((0L, 1L, 1), (0L, 2L, 2), (1L, 3L, 1), (1L, 4L, 2))
+      .toDF("query_id", "vec_id", "rank")
+    val same = Similarity.recallAtK(exact, exact, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(same == Map(0L -> 1000000L, 1L -> 1000000L))
+    val shifted = Seq((0L, 1L, 1), (0L, 9L, 2), (1L, 8L, 1), (1L, 7L, 2))
+      .toDF("query_id", "vec_id", "rank")
+    val part = Similarity.recallAtK(shifted, exact, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(part.toSeq == Seq((0L, 2L, 1L, 500000L), (1L, 2L, 0L, 0L)))
+  }
+
   test("duplicate keys fail the uniqueness gate; clean data passes all") {
     val df = Seq((1L, "a"), (2L, "b"), (1L, "c")).toDF("id", "text")
     val u = Expectations.validateWithUniqueKey(df, "id",
