@@ -99,7 +99,7 @@ object Bench {
     "q_epoch_expand" -> 0.61, "q_bpe_encode" -> 1.05,
     "q_pack_blocks" -> 0.83, "q_split_leakage_safe" -> 1.09,
     "q_expectations" -> 0.54, "q_dedup_best_copy" -> 1.80,
-    "q_ann_recall" -> 0.76, "q_expect_ref" -> 0.53)
+    "q_ann_recall" -> 0.76, "q_expect_ref" -> 0.53, "q_ngram_top" -> 0.57)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1071,6 +1071,11 @@ object SparkEntry {
       operators.TrainPrep.leakageSafeSplit(readWide(s, dir, "documents"),
         "doc_id", "text",
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 9L)),
+    // boilerplate mining: corpus-wide top-20 trigrams, map-side partial
+    // counts, TakeOrdered cap — see the boilerplate before cutting it
+    "q_ngram_top" -> ((s, dir) =>
+      operators.TextAnalysis.topNgrams(read(s, dir, "documents"), "text",
+        n = 3, k = 20)),
     // ANN recall@10: the LSH path measured against brute force — exact
     // parts-per-million, the eval that keeps nbits choices honest
     "q_ann_recall" -> ((s, dir) => {
@@ -2737,6 +2742,15 @@ object SparkEntry {
            CAST(coalesce(hits.n_hits, 0) * 1000000 // ne.n_exact AS BIGINT)
              AS recall_ppm
          FROM ne LEFT JOIN hits USING (query_id)""",
+    "q_ngram_top" ->
+      """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         g AS (SELECT unnest(list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS ngram
+           FROM d WHERE len(ws) >= 3)
+         SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM g GROUP BY ngram
+         ORDER BY n_occurrences DESC, ngram LIMIT 20""",
     "q_expect_ref" ->
       """WITH o AS (SELECT CAST(count(*) AS BIGINT) AS n_violations
              FROM embeddings e

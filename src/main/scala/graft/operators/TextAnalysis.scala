@@ -52,6 +52,40 @@ object TextAnalysis {
   def bpeTokenEstimate(text: Column): Column =
     regexp_count(text, lit("\\w+|[^\\w\\s]"))
 
+  /** Corpus-wide top-k most frequent word n-grams — boilerplate mining:
+    * the phrases this surfaces ("subscribe to our newsletter") are what
+    * [[graft.operators.CorpusClean.segmentDedup]] /
+    * [[graft.operators.CorpusClean.spanDedup]] then remove; run this
+    * first to SEE the boilerplate before cutting it.
+    *
+    * Plan: n-grams built per document with one higher-order `transform`
+    * (no token explode — only the n-gram rows leave the map side), ONE
+    * `groupBy(ngram)` with map-side partial counts (a billion-repeat
+    * boilerplate phrase costs each map task one partial row), and a
+    * `TakeOrderedAndProject` cap — the sort never sees more than the
+    * per-partition top-k. Ties break on the n-gram string, so the
+    * result is a total order.
+    *
+    * Output: `(ngram, n_occurrences)`, `k` rows. */
+  def topNgrams(
+      df: DataFrame,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 20): DataFrame = {
+    require(n >= 1 && k >= 1, "need n >= 1 and k >= 1")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // native codegen'd n-gram builder: the interpreted HOF equivalent
+    // (transform(sequence, i -> concat_ws(slice))) costs ~10µs/element
+    // and dominated the whole query (2.8s → sub-second at sf0.1)
+    val grams = ColumnBridge.column(graft.functions.NGramAll(
+      ColumnBridge.expression(tokens(col(textCol))), n))
+    df.select(explode(grams).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** Quality score in [0,1]: composite of length band, alphabetic ratio,
     * punctuation ratio, mean word length band — the usual cheap heuristics
     * for filtering web text. */

@@ -52,6 +52,29 @@ class ExpectationsSpec extends SparkSpec {
     assert(part.toSeq == Seq((0L, 2L, 1L, 500000L), (1L, 2L, 0L, 0L)))
   }
 
+  test("top n-grams: native builder equals the HOF form; counts exact") {
+    val df = Seq(
+      "a b c a b c a b", // trigrams: abc bca cab abc bca cab → 2/2/2
+      "a b c", // + one more abc
+      "x y", // shorter than n: contributes nothing
+      "").toDF("text")
+    val out = TextAnalysis.topNgrams(df, "text", n = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // count desc, then ngram asc on the 2-2 tie
+    assert(out.toSeq == Seq(("a b c", 3L), ("b c a", 2L), ("c a b", 2L)))
+    // the native expression matches the interpreted HOF on arbitrary text
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toksC = split(trim(lower(col("text"))), "\\s+")
+    val native = ColumnBridge.column(
+      graft.functions.NGramAll(ColumnBridge.expression(toksC), 3))
+    val hof = when(size(toksC) >= 3,
+      transform(sequence(lit(1), size(toksC) - 2),
+        i => concat_ws(" ", slice(toksC, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    assert(docs.filter(native =!= hof).count() == 0)
+  }
+
   test("duplicate keys fail the uniqueness gate; clean data passes all") {
     val df = Seq((1L, "a"), (2L, "b"), (1L, "c")).toDF("id", "text")
     val u = Expectations.validateWithUniqueKey(df, "id",
