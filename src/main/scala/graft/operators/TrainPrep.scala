@@ -158,18 +158,30 @@ object TrainPrep {
     // running totals over the bucket table: small by construction
     val wc = Window.orderBy(col("__smu").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val marked = bsums
+    // the bucket table is driver-bounded (≤ scoreScale+1 rows — exactly
+    // the bound its broadcast requires anyway), so fold it to the driver
+    // ONCE and re-emit it as a literal table: both union branches then
+    // share the one materialization with NO cache/checkpoint entry (a
+    // localCheckpoint here leaked a strongly-referenced RDD into the
+    // session registry; without either, each broadcast re-derived the
+    // aggregate — and re-scanned the scored corpus — from scratch)
+    val markedRows = bsums
       .withColumn("__cum", sum(col("__bsum")).over(wc))
       .select(col("__smu"), (col("__cum") <= budgetTokens).as("__full"),
         (col("__cum") - col("__bsum")).as("__before"))
       // buckets whose prefix already exceeds the budget can't contribute
       // (every row's running total is >= the bucket prefix)
       .filter(col("__full") || col("__before") <= budgetTokens)
-      // materialize the TINY bucket table (≤ scoreScale+1 rows by
-      // construction) once: it is referenced by both union branches, and
-      // without this each broadcast re-evaluates the aggregate — and the
-      // scored input under it — from scratch (4 scans instead of 2)
-      .localCheckpoint()
+      .collect()
+    val marked = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(markedRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__smu",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__full",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("__before",
+          org.apache.spark.sql.types.LongType))))
     val joined = base.join(broadcast(marked), Seq("__smu"))
     val keepCols = Seq(col("__id").as(idCol), col("__smu").as("score_mu"),
       col("__ntok").as("n_tokens"))

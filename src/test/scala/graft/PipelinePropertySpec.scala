@@ -188,4 +188,72 @@ class PipelinePropertySpec extends AnyFunSuite {
       assert(got == want, s"case $i: log=$log")
     }
   }
+
+  test("chunkDocuments: coverage/overlap laws on random corpora") {
+    import graft.operators.TrainPrep
+    val genDocs: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.chooseNum(1, 25)
+      texts <- Gen.listOfN(n, for {
+        m <- Gen.chooseNum(0, 90)
+        ws <- Gen.listOfN(m, Gen.oneOf("aa", "bb", "cc", "dd"))
+      } yield ws.mkString(" "))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val genCase = for {
+      docs <- genDocs
+      chunk <- Gen.chooseNum(2, 40)
+      overlap <- Gen.chooseNum(0, chunk - 1)
+    } yield (docs, chunk, overlap)
+    for (((docs, chunk, overlap), i) <- samples(genCase, 10).zipWithIndex) {
+      val df = docs.toDF("doc_id", "text")
+      val got = TrainPrep.chunkDocuments(df, "doc_id", "text", chunk, overlap)
+        .select("doc_id", "chunk_idx", "tok_start", "tok_end", "chunk_text")
+        .as[(Long, Int, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      val stride = chunk - overlap
+      docs.foreach { case (id, text) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        val chunks = got.getOrElse(id, Array.empty)
+        // law 1: number of chunks = ceil(max(ntok,0)/stride) over starts < ntok
+        val wantStarts = (0 until toks.length by stride)
+        assert(chunks.length == wantStarts.size, s"case $i id=$id")
+        // law 2: dropping each later chunk's overlap prefix rebuilds the doc
+        val rebuilt = chunks.flatMap { case (_, ci, _, _, txt) =>
+          val t = txt.split(" ").filter(_.nonEmpty)
+          if (ci == 0) t else t.drop(math.min(overlap, t.length))
+        }
+        assert(rebuilt.sameElements(toks),
+          s"case $i id=$id: de-overlapped chunks must rebuild the doc")
+        // law 3: each chunk's text matches its [s, e) token span
+        chunks.foreach { case (_, _, s, e, txt) =>
+          assert(txt == toks.slice(s.toInt, e.toInt).mkString(" "),
+            s"case $i id=$id span [$s,$e)")
+        }
+      }
+    }
+  }
+
+  test("epochExpand: per-row repeat law on random weights") {
+    val genCase = for {
+      n <- Gen.chooseNum(1, 120)
+      w0 <- Gen.chooseNum(0, 3500000) // micro-epochs for stratum s0
+      w1 <- Gen.chooseNum(0, 3500000)
+    } yield (n, w0, w1)
+    for (((n, w0, w1), i) <- samples(genCase, 10).zipWithIndex) {
+      val df = (0L until n.toLong).map(j => (j, s"s${j % 2}"))
+        .toDF("id", "grp")
+      val got = Sampling.epochExpand(df, "id", "grp",
+          Map("s0" -> w0 / 1e6, "s1" -> w1 / 1e6), seed = 5L)
+        .select("id", "rep").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val buckets = df.select(col("id"),
+          Sampling.hashBucket(col("id"), 5L).as("b"))
+        .as[(Long, Long)].collect().toMap
+      (0L until n.toLong).foreach { j =>
+        val wm = math.round((if (j % 2 == 0) w0 else w1) / 1e6 * 1000000)
+        val reps = wm / 1000000 + (if (buckets(j) < wm % 1000000) 1 else 0)
+        val want = if (reps == 0) None else Some((0L until reps).toSeq)
+        assert(got.get(j) == want, s"case $i id=$j wm=$wm")
+      }
+    }
+  }
 }

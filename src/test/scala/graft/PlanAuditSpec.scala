@@ -218,14 +218,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllMatchIn(plan).size == 1, plan)
   }
 
-  test("token-budget probes broadcast the checkpointed bucket table") {
+  test("token-budget probes broadcast the driver-folded bucket table") {
     val plan = simple("q_token_budget")
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
-    // the bucket running-total aggregate ran ONCE at checkpoint time; if
-    // HashAggregate reappears here, each broadcast is re-deriving it (and
-    // re-scanning the scored corpus under it)
+    // the bucket running-total aggregate ran ONCE, folded to a literal
+    // table on the driver; if HashAggregate reappears here, each
+    // broadcast is re-deriving it (and re-scanning the scored corpus)
     assert(!plan.contains("HashAggregate"), plan)
+    assert(plan.contains("LocalTableScan"), plan)
   }
 
   test("group cap heap-prunes before the per-group rank window") {
