@@ -1,0 +1,122 @@
+package graft.jobs
+
+import graft.operators.{Sampling, TextAnalysis, TrainPrep}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The TRAINING-RUN preparation pipeline as one composed job — the pass
+  * AFTER [[CleanJob]] (rewrite) and [[CurationJob]] (select): best-copy
+  * near-dup dedup → deterministic split assignment → optional
+  * train-split token budget → overlapped chunking → per-(split, shard)
+  * layout. The output is chunk-level rows a trainer loader consumes
+  * directly: `(id, chunk_idx, chunk_text, n_tokens, split, shard,
+  * shard_pos)`.
+  *
+  * Ordering rationale: dedup precedes the split — once each duplicate
+  * group is collapsed to its best copy there are no near-dups left to
+  * leak across splits, so the plain [[Sampling.hashSplit]] is
+  * leakage-safe here by construction ([[TrainPrep.leakageSafeSplit]] is
+  * the alternative when duplicates are deliberately KEPT). The token
+  * budget applies to the FIRST split name (train by convention): eval
+  * splits stay complete — cutting val/test to a budget silently changes
+  * the eval, not the cost.
+  *
+  * Scale shape: inherited from the operators (one LSH edge pipeline, one
+  * bucket-table budget pass, map-only split/chunk); the shard layout is
+  * ONE shuffle partitioned by (split, shard) with per-shard bounded
+  * sorts. Stage counters ride the output via `observe` — docs and
+  * tokens are sums over chunk rows (a doc counts once, at its chunk 0),
+  * so the one materializing action drives every counter. */
+object TrainPrepJob {
+
+  final case class PrepOptions(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      dedup: Boolean = true,
+      jaccardThreshold: Double = 0.8,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+      budgetTokens: Option[Long] = None,
+      chunkTokens: Int = 2048,
+      overlapTokens: Int = 0,
+      numShards: Int = 64,
+      seed: Long = 0L)
+
+  /** `inputDocs` = corpus rows in; `selectedDocs` = docs surviving dedup
+    * + budget with ≥ 1 chunk; `chunks` / `tokens` = emitted volume. */
+  final case class PrepStats(
+      inputDocs: Long,
+      selectedDocs: Long,
+      chunks: Long,
+      tokens: Long)
+
+  /** Lazy composition — the chunk-level training layout. */
+  def prepare(df: DataFrame, opts: PrepOptions = PrepOptions()): DataFrame = {
+    val id = col(opts.idCol)
+    val scored = df.withColumn("__q",
+      round(TextAnalysis.qualityScore(col(opts.textCol)), 6))
+    val deduped =
+      if (opts.dedup)
+        TrainPrep.bestCopyDedup(scored, opts.idCol, opts.textCol, "__q",
+          opts.jaccardThreshold)
+      else scored
+    val split = Sampling.hashSplit(deduped, opts.idCol, opts.splits,
+      opts.seed)
+    val selected = opts.budgetTokens match {
+      case Some(b) =>
+        val trainName = opts.splits.head._1
+        val train = split.filter(col("split") === trainName)
+        val keep = TrainPrep.selectByTokenBudget(
+          train.select(id,
+            TextAnalysis.tokenCount(col(opts.textCol)).cast("long")
+              .as("__ntok"),
+            col("__q")),
+          opts.idCol, "__ntok", "__q", b).select(id)
+        split.filter(col("split") =!= trainName)
+          .unionByName(train.join(keep, Seq(opts.idCol), "left_semi"))
+      case None => split
+    }
+    val chunks = TrainPrep.chunkDocuments(
+      selected.select(id, col(opts.textCol)),
+      opts.idCol, opts.textCol, opts.chunkTokens, opts.overlapTokens)
+    val withSplit = chunks
+      .join(selected.select(id, col("split")), Seq(opts.idCol))
+    // chunk-level shard layout: seeded permutation within each split
+    val ckey = md5(concat(id.cast("string"), lit(":"),
+      col("chunk_idx").cast("string"), lit(s":${opts.seed}")))
+    val shard = pmod(conv(substring(ckey, 1, 8), 16, 10).cast("long"),
+      lit(opts.numShards.toLong)).cast("int")
+    val w = Window.partitionBy(col("split"), col("shard"))
+      .orderBy(col("__key"), id, col("chunk_idx"))
+    withSplit
+      .withColumn("__key", ckey)
+      .withColumn("shard", shard)
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__key")
+  }
+
+  /** Materialize the layout (partitioned by split when a sink is given —
+    * one scan, one action, every split directory) and return stats. */
+  def run(
+      spark: SparkSession,
+      df: DataFrame,
+      opts: PrepOptions = PrepOptions(),
+      outPath: Option[String] = None): (DataFrame, PrepStats) = {
+    val obs = new org.apache.spark.sql.Observation()
+    val out = prepare(df, opts).observe(obs,
+      count(lit(1)).as("chunks"),
+      sum(when(col("chunk_idx") === 0, 1L).otherwise(0L)).as("docs"),
+      sum(col("n_tokens")).as("tokens"))
+    outPath match {
+      case Some(p) =>
+        out.write.mode("overwrite").partitionBy("split").parquet(p)
+      case None => out.count()
+    }
+    val m = obs.get
+    (out, PrepStats(df.count(),
+      m("docs").asInstanceOf[Long],
+      m("chunks").asInstanceOf[Long],
+      m("tokens").asInstanceOf[Long]))
+  }
+}

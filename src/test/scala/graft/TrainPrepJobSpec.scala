@@ -1,0 +1,69 @@
+package graft
+
+import graft.jobs.TrainPrepJob
+import graft.jobs.TrainPrepJob.PrepOptions
+import org.apache.spark.sql.functions._
+
+class TrainPrepJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog again and again ok"
+  private lazy val docs = (Seq(
+    (1L, base), (2L, base + " extra"), (3L, base + " more tail")) ++
+    (10L until 50L).map(i =>
+      (i, s"unique filler document number $i with distinctive words " +
+        (1 to 12).map(j => s"w$i$j").mkString(" "))))
+    .toDF("doc_id", "text")
+
+  test("end-to-end: dedup collapses groups, chunks rebuild, layout dense") {
+    val opts = PrepOptions(chunkTokens = 8, overlapTokens = 2,
+      numShards = 4, splits = Seq("train" -> 0.8, "val" -> 0.2), seed = 3L)
+    val (out, stats) = TrainPrepJob.run(spark, docs, opts)
+    val rows = out.select("doc_id", "chunk_idx", "chunk_text", "n_tokens",
+        "split", "shard", "shard_pos")
+      .collect()
+    assert(stats.inputDocs == 43)
+    // the near-dup group {1,2,3} collapses to ONE survivor
+    val groupSurvivors = rows.map(_.getLong(0)).distinct
+      .filter(id => id <= 3L)
+    assert(groupSurvivors.length == 1)
+    assert(stats.selectedDocs == 41)
+    assert(stats.chunks == rows.length)
+    assert(stats.tokens == rows.map(_.getLong(3)).sum)
+    // chunks rebuild each selected doc (drop each later chunk's overlap)
+    val textOf = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val rebuilt = rs.sortBy(_.getInt(1)).flatMap { r =>
+        val t = r.getString(2).split(" ")
+        if (r.getInt(1) == 0) t else t.drop(math.min(2, t.length))
+      }
+      assert(rebuilt.sameElements(textOf(id).trim.split("\\s+")), s"doc $id")
+    }
+    // every doc has ONE split; shard positions dense per (split, shard)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getString(4)).distinct.length == 1)
+    }
+    rows.groupBy(r => (r.getString(4), r.getInt(5))).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(6)).sorted.sameElements(
+        rs.indices.map(_.toLong)))
+    }
+  }
+
+  test("train budget cuts only the train split, keeping the best docs") {
+    val opts = PrepOptions(dedup = false, chunkTokens = 64,
+      splits = Seq("train" -> 0.8, "val" -> 0.2), seed = 3L,
+      budgetTokens = Some(120L))
+    val (out, _) = TrainPrepJob.run(spark, docs, opts)
+    val perSplit = out.groupBy("split")
+      .agg(sum("n_tokens").as("t"), countDistinct("doc_id").as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // train obeys the budget; val is untouched by it
+    assert(perSplit("train")._1 <= 120L)
+    val noBudget = TrainPrepJob.prepare(docs, opts.copy(budgetTokens = None))
+    val valFull = noBudget.filter(col("split") === "val")
+      .select(countDistinct("doc_id")).as[Long].collect().head
+    assert(perSplit.get("val").map(_._2).getOrElse(0L) == valFull)
+  }
+}
