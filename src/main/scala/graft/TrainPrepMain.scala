@@ -1,0 +1,61 @@
+package graft
+
+import graft.jobs.TrainPrepJob
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point for a training-run preparation pass — the
+  * spark-submit surface for [[graft.jobs.TrainPrepJob]] (best-copy
+  * dedup → split → optional train token budget → overlapped chunking →
+  * per-(split, shard) trainer layout).
+  *
+  * Usage:
+  *   TrainPrepMain src=<parquet> out=<dir> [id=doc_id] [text=text] \
+  *     [dedup=true] [jaccard=0.8] [splits=train:0.98,val:0.01,test:0.01] \
+  *     [budget_tokens=N] [chunk_tokens=2048] [overlap_tokens=0] \
+  *     [num_shards=64] [seed=0]
+  *
+  * Stats print as one JSON line on stdout (RetentionMain discipline).
+  */
+object TrainPrepMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad arg '$a' (want key=value)")
+      a.take(i) -> a.drop(i + 1).replace("%20", " ")
+    }.toMap
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-trainprep")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val splits = opts.getOrElse("splits", "train:0.98,val:0.01,test:0.01")
+        .split(",").toSeq.map { s =>
+          val Array(n, w) = s.split(":")
+          n -> w.toDouble
+        }
+      val pOpts = TrainPrepJob.PrepOptions(
+        idCol = opts.getOrElse("id", "doc_id"),
+        textCol = opts.getOrElse("text", "text"),
+        dedup = opts.getOrElse("dedup", "true").toBoolean,
+        jaccardThreshold = opts.getOrElse("jaccard", "0.8").toDouble,
+        splits = splits,
+        budgetTokens = opts.get("budget_tokens").map(_.toLong),
+        chunkTokens = opts.getOrElse("chunk_tokens", "2048").toInt,
+        overlapTokens = opts.getOrElse("overlap_tokens", "0").toInt,
+        numShards = opts.getOrElse("num_shards", "64").toInt,
+        seed = opts.getOrElse("seed", "0").toLong)
+      val (_, stats) = TrainPrepJob.run(
+        spark, spark.read.parquet(opts("src")), pOpts, Some(opts("out")))
+      println(
+        s"""{"input_docs":${stats.inputDocs},""" +
+        s""""selected_docs":${stats.selectedDocs},""" +
+        s""""chunks":${stats.chunks},"tokens":${stats.tokens}}""")
+    } finally spark.stop()
+  }
+}
