@@ -92,14 +92,15 @@ object Bench {
     "q_corpus_report" -> 0.40, "q_sim_ann_ivf_persisted" -> 1.85,
     "q_sample_temperature" -> 0.45,
     "q_dedup_incremental" -> 6.00,
-    // round-6 session-3 additions (mins from the sf0.1 BENCH_ONLY run)
-    "q_chunk_overlap" -> 0.30, "q_shard_order" -> 0.29,
-    "q_hard_negatives" -> 0.59, "q_token_budget" -> 1.36,
-    "q_group_cap" -> 0.85, "q_embed_project" -> 0.53,
-    "q_epoch_expand" -> 0.61, "q_bpe_encode" -> 1.05,
-    "q_pack_blocks" -> 0.83, "q_split_leakage_safe" -> 1.09,
-    "q_expectations" -> 0.54, "q_dedup_best_copy" -> 1.80,
-    "q_ann_recall" -> 0.76, "q_expect_ref" -> 0.53, "q_ngram_top" -> 0.57)
+    // round-6 session-3 additions (mins from the clean-host full run:
+    // total 49.3s / min_total 35.8s over 107 queries, steal 2.9s)
+    "q_chunk_overlap" -> 0.16, "q_shard_order" -> 0.15,
+    "q_hard_negatives" -> 0.23, "q_token_budget" -> 0.88,
+    "q_group_cap" -> 0.40, "q_embed_project" -> 0.16,
+    "q_epoch_expand" -> 0.17, "q_bpe_encode" -> 0.76,
+    "q_pack_blocks" -> 0.46, "q_split_leakage_safe" -> 0.54,
+    "q_expectations" -> 0.11, "q_dedup_best_copy" -> 1.01,
+    "q_ann_recall" -> 0.26, "q_expect_ref" -> 0.14, "q_ngram_top" -> 0.21)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
