@@ -100,7 +100,8 @@ object Bench {
     "q_epoch_expand" -> 0.17, "q_bpe_encode" -> 0.76,
     "q_pack_blocks" -> 0.46, "q_split_leakage_safe" -> 0.54,
     "q_expectations" -> 0.11, "q_dedup_best_copy" -> 1.01,
-    "q_ann_recall" -> 0.26, "q_expect_ref" -> 0.14, "q_ngram_top" -> 0.21)
+    "q_ann_recall" -> 0.26, "q_expect_ref" -> 0.14, "q_ngram_top" -> 0.21,
+    "q_profile" -> 0.25)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1092,6 +1092,12 @@ object SparkEntry {
         .topKPerQuery(scored, 10, "query_id", "cos_r", "vec_id")
       operators.Similarity.recallAtK(approx, exact, 10)
     }),
+    // column profiling: nulls/distincts/min/max/sum per column, one pass
+    // (micro-unit values for numerics, lengths for strings)
+    "q_profile" -> ((s, dir) =>
+      operators.Expectations.profile(read(s, dir, "documents"),
+        numericCols = Seq("doc_id", "n_chars"),
+        stringCols = Seq("text", "lang", "source"))),
     // cross-table referential gate: every embedding id must be a doc id
     "q_expect_ref" -> ((s, dir) =>
       operators.Expectations.referentialCheck(
@@ -2751,6 +2757,32 @@ object SparkEntry {
          SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
          FROM g GROUP BY ngram
          ORDER BY n_occurrences DESC, ngram LIMIT 20""",
+    "q_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_nulls,
+            CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+            CAST(min(CAST(floor(CAST($c AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT)) AS BIGINT) AS min_stat,
+            CAST(max(CAST(floor(CAST($c AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT)) AS BIGINT) AS max_stat,
+            CAST(coalesce(sum(CAST(floor(CAST($c AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT)), 0) AS BIGINT) AS sum_stat
+          FROM documents"""
+      def str(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_nulls,
+            CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+            CAST(min(length($c)) AS BIGINT) AS min_stat,
+            CAST(max(length($c)) AS BIGINT) AS max_stat,
+            CAST(coalesce(sum(length($c)), 0) AS BIGINT) AS sum_stat
+          FROM documents"""
+      (Seq("doc_id", "n_chars").map(num) ++
+        Seq("text", "lang", "source").map(str))
+        .mkString(" UNION ALL ")
+    },
     "q_expect_ref" ->
       """WITH o AS (SELECT CAST(count(*) AS BIGINT) AS n_violations
              FROM embeddings e

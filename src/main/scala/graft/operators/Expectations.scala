@@ -43,6 +43,45 @@ object Expectations {
         (col("c.n_violations") === 0).as("pass"))
   }
 
+  /** Single-pass column profiling — the summary a corpus owner reads
+    * before writing expectation thresholds: per column, null count,
+    * distinct count, and min/max/sum statistics. Numeric columns report
+    * value statistics in integral micro-units (`floor(x·1e6 + 0.5)` —
+    * the cross-engine discipline); string columns report LENGTH
+    * statistics (plain counts). One aggregate pass over the corpus;
+    * multiple distinct aggregates plan as one Expand — the scan stays
+    * single. Output, one row per column:
+    * `(column, n_rows, n_nulls, n_distinct, min_stat, max_stat,
+    * sum_stat)`. */
+  def profile(
+      df: DataFrame,
+      numericCols: Seq[String],
+      stringCols: Seq[String] = Seq.empty): DataFrame = {
+    val cols = numericCols.map(c => c -> true) ++ stringCols.map(_ -> false)
+    require(cols.nonEmpty, "need at least one column")
+    def stat(c: String, numeric: Boolean): Column =
+      if (numeric) floor(col(c).cast("double") * 1000000L + 0.5).cast("long")
+      else length(col(c)).cast("long")
+    val aggs = cols.flatMap { case (c, num) =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(stat(c, num)).as(s"__mn_$c"),
+        max(stat(c, num)).as(s"__mx_$c"),
+        sum(stat(c, num)).as(s"__sm_$c"))
+    } :+ count(lit(1)).as("__n")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { case (c, _) =>
+        struct(lit(c).as("column"), col("__n").as("n_rows"),
+          col(s"__nn_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct"),
+          col(s"__mn_$c").as("min_stat"), col(s"__mx_$c").as("max_stat"),
+          coalesce(col(s"__sm_$c"), lit(0L)).as("sum_stat"))
+      }: _*)).as("p"))
+      .select(col("p.column"), col("p.n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_stat"), col("p.max_stat"),
+        col("p.sum_stat"))
+  }
+
   /** Referential-integrity gate: every `childKey` value in `child` must
     * exist as `parentKey` in `parent` (orphans are violations). One
     * left-anti join — broadcastable when the parent key set is small,

@@ -24,6 +24,24 @@ class ExpectationsSpec extends SparkSpec {
     assert(out("unique_id") == ((0L, 3L, true)))
   }
 
+  test("profile: numeric micro-units, string lengths, null handling") {
+    val df = Seq(
+      (Some(1.5), Some("ab")),
+      (Some(-0.25), None: Option[String]),
+      (None: Option[Double], Some("abcd")),
+      (Some(1.5), Some("ab")))
+      .toDF("x", "s")
+    val out = Expectations.profile(df, Seq("x"), Seq("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // x: 4 rows, 1 null, 2 distinct non-null values; micro-units of
+    // (1.5, -0.25, 1.5): min -250000, max 1500000, sum 2750000
+    assert(out("x") == ((4L, 1L, 2L, -250000L, 1500000L, 2750000L)))
+    // s: lengths of ("ab", "abcd", "ab"): min 2, max 4, sum 8
+    assert(out("s") == ((4L, 1L, 2L, 2L, 4L, 8L)))
+  }
+
   test("referential check counts orphans exactly") {
     val parent = Seq(1L, 2L, 3L).toDF("pid")
     val child = Seq((10L, 1L), (11L, 2L), (12L, 9L), (13L, 8L))
