@@ -111,8 +111,13 @@ object GraftFunctionRegistry {
 }
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)...` —
-  * session-construction-time registration of graft's SQL functions. */
+  * session-construction-time registration of graft's SQL functions and
+  * the [[FuseRangeRuleJoin]] optimizer rule (runs inside the operator-
+  * optimization fixed point, so the fused filter participates in normal
+  * pushdown/pruning). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctionRegistry.injections.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => FuseRangeRuleJoin)
+  }
 }

@@ -1,0 +1,105 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** J1→F1 fusion (the optional Catalyst rule SURVEY §7.3 deferred): a
+  * semi/anti join of the corpus against a SMALL literal table of
+  * `(lo, hi)` range rules is semantically the compiled OR-of-ranges
+  * predicate the reference's convictors evaluate natively — so rewrite
+  * the join into that literal `Filter`. The payoff is not avoiding the
+  * (already cheap) broadcast: it is that a `Filter` of literal ranges
+  * reaches the parquet scan as `PushedFilters`, skipping row groups at
+  * the source, while no join of any kind can push anything down. At
+  * 100 TB the difference is reading the rule-surviving fraction of the
+  * table versus all of it.
+  *
+  * The match is deliberately narrow — exactly the rules-join shape:
+  *   Join(LeftSemi | LeftAnti, corpus,
+  *        [hinted] LocalRelation(lo, hi)  with ≤ [[MaxRules]] rows,
+  *        key >= lo && key <= hi)              (either operand order)
+  * Anything else (parquet right sides, equi joins, other conditions) is
+  * left untouched. Null semantics are preserved exactly: a null join
+  * condition never matches, so the fused predicate is
+  * `coalesce(ranges, false)` — a null-keyed row is KEPT by the anti
+  * form and DROPPED by the semi form, as the join would.
+  */
+object FuseRangeRuleJoin extends Rule[LogicalPlan] {
+
+  /** Rules are driver-folded literals; beyond this the OR-chain predicate
+    * stops being the right compilation target (the reference's rule sets
+    * are tiny by construction — SURVEY §1.2). */
+  val MaxRules = 1024
+
+  private def asLocal(p: LogicalPlan): Option[LocalRelation] = p match {
+    case l: LocalRelation => Some(l)
+    case ResolvedHint(child, _) => asLocal(child)
+    case _ => None
+  }
+
+  /** One comparison half: returns (key, boundAttr, isLowerBound) when `e`
+    * compares a left-side key against a right-side bound attribute. */
+  private def boundHalf(
+      e: Expression,
+      left: AttributeSet,
+      right: AttributeSet): Option[(Expression, Attribute, Boolean)] =
+    e match {
+      case GreaterThanOrEqual(k, a: Attribute)
+          if k.references.subsetOf(left) && right.contains(a) =>
+        Some((k, a, true)) // k >= lo
+      case LessThanOrEqual(a: Attribute, k)
+          if k.references.subsetOf(left) && right.contains(a) =>
+        Some((k, a, true)) // lo <= k
+      case LessThanOrEqual(k, a: Attribute)
+          if k.references.subsetOf(left) && right.contains(a) =>
+        Some((k, a, false)) // k <= hi
+      case GreaterThanOrEqual(a: Attribute, k)
+          if k.references.subsetOf(left) && right.contains(a) =>
+        Some((k, a, false)) // hi >= k
+      case _ => None
+    }
+
+  private def rangeCond(
+      cond: Expression,
+      left: AttributeSet,
+      right: AttributeSet): Option[(Expression, Attribute, Attribute)] =
+    cond match {
+      case And(x, y) =>
+        for {
+          (k1, b1, low1) <- boundHalf(x, left, right)
+          (k2, b2, low2) <- boundHalf(y, left, right)
+          if low1 != low2 && k1.semanticEquals(k2)
+        } yield if (low1) (k1, b1, b2) else (k1, b2, b1)
+      case _ => None
+    }
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, jt @ (LeftSemi | LeftAnti), Some(cond), _) =>
+      (for {
+        local <- asLocal(right)
+        if local.data.size <= MaxRules && local.output.size == 2
+        (key, loA, hiA) <- rangeCond(cond, left.outputSet, local.outputSet)
+      } yield {
+        val loIdx = local.output.indexWhere(_.exprId == loA.exprId)
+        val hiIdx = local.output.indexWhere(_.exprId == hiA.exprId)
+        val pred: Expression =
+          if (local.data.isEmpty) Literal(false)
+          else local.data.map { r =>
+            And(
+              GreaterThanOrEqual(key,
+                Literal(r.get(loIdx, loA.dataType), loA.dataType)),
+              LessThanOrEqual(key,
+                Literal(r.get(hiIdx, hiA.dataType), hiA.dataType)))
+          }.reduce[Expression](Or)
+        // bounds are literals, so pred is null ⟺ key is null — fence the
+        // three-valued logic with IsNull/IsNotNull (which translate to
+        // source filters) rather than Coalesce (which does not push)
+        jt match {
+          case LeftSemi => Filter(And(IsNotNull(key), pred), left)
+          case _ => Filter(Or(IsNull(key), Not(pred)), left)
+        }
+      }).getOrElse(j)
+  }
+}

@@ -58,4 +58,44 @@ class ExtensionsSpec extends SparkSpec {
     // constant inputs fold to a literal at plan time
     assert(plan.contains("300"), plan)
   }
+
+  test("FuseRangeRuleJoin: rules joins fuse; null-key semantics preserved") {
+    import org.apache.spark.sql.functions.broadcast
+    import spark.implicits._
+    val rules = Seq((4L, 6L), (9L, 9L)).toDF("lo", "hi")
+    val df = Seq(Some(3L), Some(4L), Some(6L), Some(7L), Some(9L), None)
+      .toDF("k")
+    def ks(d: org.apache.spark.sql.DataFrame): Set[Option[Long]] =
+      d.select("k").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    val cond = df("k") >= rules("lo") && df("k") <= rules("hi")
+    val anti = df.join(broadcast(rules), cond, "left_anti")
+    assert(!anti.queryExecution.optimizedPlan.toString.contains("Join"),
+      anti.queryExecution.optimizedPlan.toString)
+    // null key: the join condition can't match, so the row is KEPT
+    assert(ks(anti) == Set(Some(3L), Some(7L), None))
+    val semi = df.join(broadcast(rules), cond, "left_semi")
+    assert(!semi.queryExecution.optimizedPlan.toString.contains("Join"),
+      semi.queryExecution.optimizedPlan.toString)
+    // null key: never matches, DROPPED by the semi form
+    assert(ks(semi) == Set(Some(4L), Some(6L), Some(9L)))
+  }
+
+  test("FuseRangeRuleJoin leaves non-rule joins untouched") {
+    import org.apache.spark.sql.functions.broadcast
+    import spark.implicits._
+    val rules = Seq((4L, 6L)).toDF("lo", "hi")
+    val df = Seq(1L, 5L).toDF("k")
+    // inner join: not a rules shape
+    val inner = df.join(broadcast(rules),
+      df("k") >= rules("lo") && df("k") <= rules("hi"))
+    assert(inner.queryExecution.optimizedPlan.toString.contains("Join"))
+    // equi anti join: not a range condition
+    val equi = df.join(rules, df("k") === rules("lo"), "left_anti")
+    assert(equi.queryExecution.optimizedPlan.toString.contains("Join"))
+    // strict bounds: not the inclusive rules shape
+    val strict = df.join(rules,
+      df("k") > rules("lo") && df("k") < rules("hi"), "left_anti")
+    assert(strict.queryExecution.optimizedPlan.toString.contains("Join"))
+  }
 }

@@ -30,10 +30,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_quantity"))
   }
 
-  test("rule-as-join uses a broadcast join for the small rules side") {
+  test("rule-as-join FUSES to a pushed-down literal filter (J1→F1)") {
+    // FuseRangeRuleJoin rewrites the anti join against the literal rules
+    // table into the compiled OR-of-ranges predicate — no join survives,
+    // and the ranges reach the parquet scan as pushed filters
     val plan = formatted("q_j1_rule_antijoin")
-    assert(plan.contains("Broadcast"), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("PushedFilters: ["), plan)
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("l_suppkey"), plan)
+    val semi = formatted("q_j2_rule_semijoin")
+    assert(!semi.contains("Join"), semi)
   }
 
   test("map-only conviction stays inside whole-stage codegen") {

@@ -8,6 +8,7 @@ object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession
       .builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
