@@ -166,10 +166,13 @@ object Similarity {
       idCol: String = "vec_id"): DataFrame = {
     val a = approx.filter(col("rank") <= k).select(col(queryIdCol), col(idCol))
     val e = exact.filter(col("rank") <= k).select(col(queryIdCol), col(idCol))
-    val hits = e.join(a, Seq(queryIdCol, idCol))
+    // both sides are ≤ k·|queries| rows BY CONTRACT (rank-capped), so
+    // broadcast explicitly — post-mapPartitions stats are unknown and the
+    // planner would otherwise fall back to sort-merge
+    val hits = e.join(broadcast(a), Seq(queryIdCol, idCol))
       .groupBy(col(queryIdCol)).agg(count(lit(1)).as("n_hits"))
     e.groupBy(col(queryIdCol)).agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq(queryIdCol), "left")
+      .join(broadcast(hits), Seq(queryIdCol), "left")
       .select(col(queryIdCol), col("n_exact"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         expr("CAST((coalesce(n_hits, 0) * 1000000) DIV n_exact AS BIGINT)")
