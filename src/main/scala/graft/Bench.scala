@@ -232,6 +232,11 @@ object Bench {
     val stealDelta =
       if (steal0 < 0) -1.0 else math.max(0.0, stealSec() - steal0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"min_total":$totalMin,"iters_used":$ns,"errors":$errs,"skipped":$skips,"budget_sec":$budgetSec,"host_steal_sec":$stealDelta,"iters":$iters,"warmup_error":$warm,"sf":"$sfDir"}""")
+    // The driver records only the LAST 2000 chars of stdout; the full
+    // line above puts the totals first and the big per-query maps after,
+    // so truncation eats the totals (r06 VERDICT item 2). Repeat the
+    // headline numbers in a short final line that always survives the tail.
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","min_total":$totalMin,"n_queries":${timedOut.size},"n_errors":${errors.size},"n_skipped":${skipped.size},"host_steal_sec":$stealDelta,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

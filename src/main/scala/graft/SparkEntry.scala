@@ -22,15 +22,17 @@ object SparkEntry {
   private def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
-  /** Read + spread across all cores. The testdata parquet files have a
-    * single row group, so the scan yields ONE input split — compute-heavy
-    * per-row stages (regex, hashing, vector math) would otherwise run on
-    * one core. A cheap round-robin shuffle of the small input before an
-    * expensive map stage is the same call you'd make on a cluster when
-    * input splits are too coarse; with properly-sized files (100 TB, many
-    * row groups) it's unnecessary. */
+  /** Read + spread across all cores WHEN the scan is under-split. The
+    * testdata parquet files have a single row group, so the scan yields
+    * ONE input split — compute-heavy per-row stages (regex, hashing,
+    * vector math) would otherwise run on one core, and a cheap
+    * round-robin shuffle of the small input fixes that. On properly-sized
+    * input (100 TB, many row groups) the scan already yields ≥cores
+    * splits and the shuffle would be pure loss, so it is gated on the
+    * actual split count (r06 VERDICT item 3). */
   private def readWide(spark: SparkSession, dir: String, table: String): DataFrame =
-    read(spark, dir, table).repartition(spark.sparkContext.defaultParallelism)
+    operators.Scale.ensureParallelism(read(spark, dir, table),
+      spark.sparkContext.defaultParallelism)
 
   /** Fixed per-job base time for TTL age (T1) — pinned so results are
     * deterministic across engines and runs. 2024-02-15T00:00:00Z. */
@@ -257,6 +259,23 @@ object SparkEntry {
       li.join(broadcast(rules),
           li("l_suppkey") >= rules("lo") && li("l_suppkey") <= rules("hi"),
           "left_semi")
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+    }),
+    // J3 — multi-column rule conviction: each rule ANDs TWO column
+    // ranges (suppkey × linenumber), the reference's several-convicted-
+    // columns-per-rule shape — FuseRangeRuleJoin rewrites it to a pushed
+    // conjunction exactly like the one-column forms (int bounds for the
+    // int column so the fused literals push without a cast)
+    "q_j3_rule_multicol" -> ((s, dir) => {
+      import s.implicits._
+      val rules = Seq((4L, 6L, 1, 3), (9L, 9L, 2, 7))
+        .toDF("lo_s", "hi_s", "lo_n", "hi_n")
+      val li = read(s, dir, "lineitem")
+      li.join(broadcast(rules),
+          li("l_suppkey") >= rules("lo_s") && li("l_suppkey") <= rules("hi_s") &&
+            li("l_linenumber") >= rules("lo_n") &&
+            li("l_linenumber") <= rules("hi_n"),
+          "left_anti")
         .select("l_orderkey", "l_linenumber", "l_suppkey")
     }),
     // ---- dedup / merge --------------------------------------------------
@@ -627,10 +646,16 @@ object SparkEntry {
           col("rank"))
     }),
     // symmetric int8 quantization (4× compression for shortlist
-    // transport): map-only, floor(x+0.5) both engines for bit-identity
+    // transport): map-only, floor(x+0.5) both engines for bit-identity.
+    // qvec is rendered as a comma-joined string for the gate — the
+    // driver checker sorts result frames by every column, and an
+    // array-typed column crashes its pandas sort (r06 VERDICT item 1)
     "q_embed_quantize" -> ((s, dir) =>
       operators.Similarity.int8Quantize(
-        readWide(s, dir, "embeddings"), "vec_id", "embedding")),
+          readWide(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("qscale"),
+          array_join(transform(col("qvec"), x => x.cast("string")), ",")
+            .as("qvec_s"))),
     // product-quantization ANN: 8 sub-space codes per vector (32×
     // compression), ADC table-lookup scoring — deterministic sampled
     // codebooks give it an exact oracle like the LSH/IVF paths
@@ -1046,19 +1071,30 @@ object SparkEntry {
         "doc_id", "source", cap = 15, seed = 5L)),
     // Johnson–Lindenstrauss random projection to 8 dims (deterministic
     // splitmix64 planes folded into the plan as literals)
+    // components are round(·,6) doubles proven bit-identical cross-engine,
+    // so micro-unit extraction (floor(x·1e6+0.5)) is exact; the joined
+    // string keeps the driver's pandas sort on hashable scalars
     "q_embed_project" -> ((s, dir) =>
       operators.Similarity.randomProjection(readWide(s, dir, "embeddings"),
-        "vec_id", "embedding", outDim = 8)),
+          "vec_id", "embedding", outDim = 8)
+        .select(col("vec_id"),
+          array_join(transform(col("proj"),
+              x => floor(x * lit(1e6d) + lit(0.5d)).cast("long").cast("string")),
+            ",").as("proj_mu"))),
     // epoch expansion: 2.5 epochs of src0, 0.3 of src1, 1.0 elsewhere —
     // up/down-sampling to a stated training mix in one generator pass
     "q_epoch_expand" -> ((s, dir) =>
       operators.Sampling.epochExpand(readWide(s, dir, "documents"),
         "doc_id", "source", Map("src0" -> 2.5, "src1" -> 0.3), seed = 3L)),
-    // real token arrays under the learned merges — the trainer input
+    // real token arrays under the learned merges — the trainer input;
+    // space-joined (tokens never contain spaces) so the gate output is
+    // scalar-typed for the driver's pandas sort
     "q_bpe_encode" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
       val merges = operators.BpeTrainer.train(docs, "text", 5)
       operators.BpeTrainer.encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          array_join(col("bpe_tokens"), " ").as("bpe_text"))
     }),
     // the materialized concat-and-chunk blocks: every output row is one
     // 512-token trainer block with straddling docs stitched in order
@@ -1271,6 +1307,13 @@ object SparkEntry {
          WHERE EXISTS (
            SELECT 1 FROM (VALUES (4, 6), (9, 9)) r(lo, hi)
            WHERE l_suppkey BETWEEN r.lo AND r.hi)""",
+    "q_j3_rule_multicol" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+         WHERE NOT EXISTS (
+           SELECT 1 FROM (VALUES (4, 6, 1, 3), (9, 9, 2, 7))
+             r(lo_s, hi_s, lo_n, hi_n)
+           WHERE l_suppkey BETWEEN r.lo_s AND r.hi_s
+             AND l_linenumber BETWEEN r.lo_n AND r.hi_n)""",
     "q_a7_lww_dedup" ->
       """SELECT user_id, event_type, writetime, event_id FROM (
            SELECT user_id, event_type, epoch_us(ts) AS writetime, event_id,
@@ -1632,9 +1675,11 @@ object SparkEntry {
          SELECT vec_id,
            CASE WHEN ma = 0 THEN 0.0
                 ELSE 127.0 / CAST(ma AS DOUBLE) END AS qscale,
-           list_transform(embedding, x -> CAST(floor(
-             CAST(x AS DOUBLE) * (CASE WHEN ma = 0 THEN 0.0
-               ELSE 127.0 / CAST(ma AS DOUBLE) END) + 0.5) AS INT)) AS qvec
+           array_to_string(
+             list_transform(embedding, x -> CAST(floor(
+               CAST(x AS DOUBLE) * (CASE WHEN ma = 0 THEN 0.0
+                 ELSE 127.0 / CAST(ma AS DOUBLE) END) + 0.5) AS INT)),
+             ',') AS qvec_s
          FROM m""",
     // sampling as IVF), codes via the same 2sc−cc argmax with
     // larger-index tie-break, scores as an EXPLICIT ascending-j 8-term
@@ -2535,11 +2580,12 @@ object SparkEntry {
     "q_embed_project" -> {
       val ps = operators.Similarity.planes(8, 64)
       val comps = (0 until 8)
-        .map(j => s"round(list_dot_product(v, ${planeLit(ps(j))}), 6)")
+        .map(j => "CAST(floor(round(list_dot_product(v, " + planeLit(ps(j)) +
+          "), 6) * 1e6 + 0.5) AS BIGINT)")
         .mkString(", ")
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings)
-         SELECT vec_id, [$comps] AS proj FROM emb"""
+         SELECT vec_id, array_to_string([$comps], ',') AS proj_mu FROM emb"""
     },
     "q_epoch_expand" ->
       """WITH b AS (SELECT doc_id, source,
@@ -2573,8 +2619,10 @@ object SparkEntry {
              list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                w -> length(w) > 0) AS ws
            FROM documents)
-         SELECT doc_id, flatten(list_transform(ws, w ->
-             string_split_regex(trim($applied), ' +'))) AS bpe_tokens
+         SELECT doc_id, coalesce(array_to_string(
+             flatten(list_transform(ws, w ->
+               string_split_regex(trim($applied), ' +'))), ' '), '')
+           AS bpe_text
          FROM dd, m"""
     },
     // the naive global-prefix-sum contract, segments stitched per block

@@ -160,8 +160,15 @@ object Sampling {
       .collect()
       .map(r => r.get(0).toString -> r.getLong(1))
       .toMap
+    // α=0.5 MUST go through sqrt, not pow: sqrt is correctly rounded in
+    // every IEEE engine while libm pow is only ~1-ulp accurate, and the
+    // exact-parity oracle replays this with DuckDB's sqrt — a 1-ulp pow
+    // drift would shift the micro-unit weight. Other alphas remain
+    // libm-dependent (documented above).
     val wInt = counts.map { case (s, n) =>
-      s -> math.round(math.pow(n.toDouble, alpha) * 1e9)
+      val w = if (alpha == 0.5) math.sqrt(n.toDouble)
+              else math.pow(n.toDouble, alpha)
+      s -> math.round(w * 1e9)
     }
     val z = wInt.values.sum.toDouble
     rebalanceToMixture(df, idCol, strataCol,

@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Spread an under-split frame across `target` slots — and leave a
+    * well-split one ALONE. Compute-heavy per-row stages (regex, hashing,
+    * vector math) need ≥cores input splits to parallelize; tiny test
+    * files (one row group) yield one split, where a cheap round-robin
+    * shuffle wins. On properly-sized input the scan already yields
+    * ≥target splits and an unconditional `repartition` would be a
+    * pure-loss full shuffle of the whole table — so the shuffle is gated
+    * on the actual split count. Checking `rdd.getNumPartitions` on a
+    * bare scan costs only the file listing (no job). */
+  def ensureParallelism(df: DataFrame, target: Int): DataFrame =
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+
   /** Skew-salted equi-join of a large, skewed `facts` side against a
     * smaller `dim` side: the fact key gains a random-but-deterministic
     * salt in [0, salts), the dim side is exploded `salts`× so every salted
@@ -84,11 +96,19 @@ object Scale {
     * bit-identically cross-engine. */
   def skewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     require(topN > 0, "topN must be positive")
-    val total = df.count()
-    df.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n"))
+    // Total derived FROM the per-key partials (one broadcast scalar), not
+    // a separate df.count() — both branches share the same partial-count
+    // exchange (ReusedExchange), so the input is scanned once. An empty
+    // input yields an empty report (no rows to divide), and the guard
+    // keeps the share exact-integer rather than round(NaN) → null.
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val totalDf = counts.agg(coalesce(sum("n"), lit(0L)).as("__total"))
+    counts.crossJoin(broadcast(totalDf))
       .withColumn("share_micros",
-        round(col("n") * lit(1000000.0d) / lit(total.toDouble)).cast("long"))
+        when(col("__total") === 0, lit(0L)).otherwise(
+          round(col("n") * lit(1000000.0d) / col("__total").cast("double"))
+            .cast("long")))
+      .drop("__total")
       .orderBy(col("n").desc, col(keyCol))
       .limit(topN)
   }

@@ -291,6 +291,13 @@ object TrainPrep {
       shingleN: Int = 3,
       k: Int = 20,
       bands: Int = 10): DataFrame = {
+    // the min-id tie-break negates the id as a long; a non-numeric id
+    // would cast to NULL, the winners join would match nothing, and every
+    // member of every dup group would silently drop — fail loudly instead
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"bestCopyDedup needs a numeric id column for its tie-break; " +
+        s"'$idCol' is ${df.schema(idCol).dataType.simpleString}")
     val cands = Dedup.lshCandidatePairs(df, idCol, textCol, shingleN, k, bands)
     val verified = Dedup.ngramJaccard(df, cands, idCol, textCol, shingleN)
       .filter(col("jaccard") >= jaccardThreshold)

@@ -18,13 +18,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * The match is deliberately narrow — exactly the rules-join shape:
   *   Join(LeftSemi | LeftAnti, corpus,
-  *        [hinted] LocalRelation(lo, hi)  with ≤ [[MaxRules]] rows,
-  *        key >= lo && key <= hi)              (either operand order)
-  * Anything else (parquet right sides, equi joins, other conditions) is
-  * left untouched. Null semantics are preserved exactly: a null join
-  * condition never matches, so the fused predicate is
-  * `coalesce(ranges, false)` — a null-keyed row is KEPT by the anti
-  * form and DROPPED by the semi form, as the join would.
+  *        [hinted] LocalRelation(lo₁, hi₁ [, lo₂, hi₂ …])  ≤ [[MaxRules]] rows,
+  *        key₁ >= lo₁ && key₁ <= hi₁ [&& key₂ >= lo₂ && key₂ <= hi₂ …])
+  * in either operand order, one complete inclusive range per distinct
+  * key (the reference's convictors AND several columns per rule —
+  * `RuleBasedDeletionConvictor.java:429-452`). Anything else (parquet
+  * right sides, equi joins, strict bounds, other conditions) is left
+  * untouched. Null semantics are preserved exactly: a null join
+  * condition never matches, so a null-keyed row is KEPT by the anti
+  * form and DROPPED by the semi form, as the join would; null-bound
+  * rule rows match nothing and are dropped from the expansion.
   */
 object FuseRangeRuleJoin extends Rule[LogicalPlan] {
 
@@ -61,44 +64,86 @@ object FuseRangeRuleJoin extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def rangeCond(
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(x, y) => splitConj(x) ++ splitConj(y)
+    case other => Seq(other)
+  }
+
+  /** Parse the join condition as a conjunction of one-or-more complete
+    * `(key >= lo AND key <= hi)` ranges over DISTINCT keys and DISTINCT
+    * bound attributes — the reference ANDs several convicted columns per
+    * rule (`RuleBasedDeletionConvictor.java:429-452`), and a two-column
+    * rules join should fuse exactly like the one-column form. Returns
+    * one `(key, loAttr, hiAttr)` triple per column, or None if any
+    * conjunct is not a bound half or any range is incomplete. */
+  private def rangeConds(
       cond: Expression,
       left: AttributeSet,
-      right: AttributeSet): Option[(Expression, Attribute, Attribute)] =
-    cond match {
-      case And(x, y) =>
-        for {
-          (k1, b1, low1) <- boundHalf(x, left, right)
-          (k2, b2, low2) <- boundHalf(y, left, right)
-          if low1 != low2 && k1.semanticEquals(k2)
-        } yield if (low1) (k1, b1, b2) else (k1, b2, b1)
-      case _ => None
+      right: AttributeSet): Option[Seq[(Expression, Attribute, Attribute)]] = {
+    val halves = splitConj(cond).map(boundHalf(_, left, right))
+    if (halves.exists(_.isEmpty)) None
+    else {
+      val hs = halves.flatten
+      // every bound attribute used exactly once
+      val boundsDistinct = hs.map(_._2.exprId).distinct.size == hs.size
+      val groups = hs.groupBy(_._1.canonicalized).values.toSeq
+      val triples = groups.flatMap {
+        case Seq(a, b) if a._3 != b._3 =>
+          val lo = if (a._3) a else b
+          val hi = if (a._3) b else a
+          Some((lo._1, lo._2, hi._2))
+        case _ => None // a key with ≠1 lower or ≠1 upper half
+      }
+      if (boundsDistinct && triples.size == groups.size && triples.nonEmpty)
+        Some(triples)
+      else None
     }
+  }
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, jt @ (LeftSemi | LeftAnti), Some(cond), _) =>
       (for {
         local <- asLocal(right)
-        if local.data.size <= MaxRules && local.output.size == 2
-        (key, loA, hiA) <- rangeCond(cond, left.outputSet, local.outputSet)
+        if local.data.size <= MaxRules
+        triples <- rangeConds(cond, left.outputSet, local.outputSet)
       } yield {
-        val loIdx = local.output.indexWhere(_.exprId == loA.exprId)
-        val hiIdx = local.output.indexWhere(_.exprId == hiA.exprId)
+        val idx = triples.map { case (_, loA, hiA) =>
+          (local.output.indexWhere(_.exprId == loA.exprId),
+            local.output.indexWhere(_.exprId == hiA.exprId))
+        }
+        // A rule row with ANY NULL bound can never evaluate TRUE in the
+        // join (k >= NULL is NULL; NULL AND x is never TRUE), so it
+        // matches nothing in the semi form and convicts nothing in the
+        // anti form — drop it from the expansion. Keeping it would make
+        // `pred` NULL for non-matching non-null keys and the anti filter
+        // would wrongly drop those rows (Not(NULL) is NULL); with only
+        // non-null bounds, pred is null ⟺ some key is null and the
+        // IsNull/IsNotNull fencing below is exact.
+        val rows = local.data.filter(r =>
+          idx.forall { case (lo, hi) => !r.isNullAt(lo) && !r.isNullAt(hi) })
         val pred: Expression =
-          if (local.data.isEmpty) Literal(false)
-          else local.data.map { r =>
-            And(
-              GreaterThanOrEqual(key,
-                Literal(r.get(loIdx, loA.dataType), loA.dataType)),
-              LessThanOrEqual(key,
-                Literal(r.get(hiIdx, hiA.dataType), hiA.dataType)))
+          if (rows.isEmpty) Literal(false)
+          else rows.map { r =>
+            triples.zip(idx).map { case ((key, loA, hiA), (loI, hiI)) =>
+              And(
+                GreaterThanOrEqual(key,
+                  Literal(r.get(loI, loA.dataType), loA.dataType)),
+                LessThanOrEqual(key,
+                  Literal(r.get(hiI, hiA.dataType), hiA.dataType)))
+            }.reduce[Expression](And)
           }.reduce[Expression](Or)
-        // bounds are literals, so pred is null ⟺ key is null — fence the
-        // three-valued logic with IsNull/IsNotNull (which translate to
-        // source filters) rather than Coalesce (which does not push)
+        // bounds are literals, so pred is null ⟺ some key is null —
+        // fence the three-valued logic with IsNull/IsNotNull (which
+        // translate to source filters) rather than Coalesce (which does
+        // not push)
+        val keys = triples.map(_._1)
         jt match {
-          case LeftSemi => Filter(And(IsNotNull(key), pred), left)
-          case _ => Filter(Or(IsNull(key), Not(pred)), left)
+          case LeftSemi =>
+            Filter(And(keys.map(IsNotNull(_): Expression).reduce(And), pred),
+              left)
+          case _ =>
+            Filter(Or(keys.map(IsNull(_): Expression).reduce(Or), Not(pred)),
+              left)
         }
       }).getOrElse(j)
   }

@@ -81,6 +81,59 @@ class ExtensionsSpec extends SparkSpec {
     assert(ks(semi) == Set(Some(4L), Some(6L), Some(9L)))
   }
 
+  test("FuseRangeRuleJoin: multi-column rule conjunctions fuse") {
+    import org.apache.spark.sql.functions.broadcast
+    import spark.implicits._
+    val rules = Seq((4L, 6L, 10L, 20L), (9L, 9L, 30L, 40L))
+      .toDF("lo_a", "hi_a", "lo_b", "hi_b")
+    val df = Seq((5L, Some(15L)), (5L, Some(25L)), (9L, Some(35L)),
+      (3L, Some(15L)), (9L, Option.empty[Long])).toDF("a", "b")
+    val cond = df("a") >= rules("lo_a") && df("a") <= rules("hi_a") &&
+      df("b") >= rules("lo_b") && df("b") <= rules("hi_b")
+    val semi = df.join(broadcast(rules), cond, "left_semi")
+    assert(!semi.queryExecution.optimizedPlan.toString.contains("Join"),
+      semi.queryExecution.optimizedPlan.toString)
+    // (5,15) hits rule 1, (9,35) hits rule 2; (5,25)/(3,15) miss one leg;
+    // null b never matches
+    assert(semi.select("a", "b").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet == Set((5L, 15L), (9L, 35L)))
+    val anti = df.join(broadcast(rules), cond, "left_anti")
+    assert(!anti.queryExecution.optimizedPlan.toString.contains("Join"),
+      anti.queryExecution.optimizedPlan.toString)
+    assert(anti.count() == 3) // the two one-leg misses + the null-b row
+    // an INCOMPLETE range on one key (missing upper half) must not fuse
+    val partial = df.join(broadcast(rules),
+      df("a") >= rules("lo_a") && df("a") <= rules("hi_a") &&
+        df("b") >= rules("lo_b"), "left_anti")
+    assert(partial.queryExecution.optimizedPlan.toString.contains("Join"))
+  }
+
+  test("FuseRangeRuleJoin: null-bound rule rows are inert, not convicting") {
+    import org.apache.spark.sql.functions.broadcast
+    import spark.implicits._
+    // a rule with a NULL bound can never evaluate TRUE in the join —
+    // the fused predicate must skip it, or Not(NULL) would wrongly drop
+    // every non-matching non-null key from the anti form
+    val rules = Seq((Some(4L), Some(6L)), (Option.empty[Long], Some(9L)))
+      .toDF("lo", "hi")
+    val df = Seq(Some(3L), Some(5L), Some(7L), None).toDF("k")
+    def ks(d: org.apache.spark.sql.DataFrame): Set[Option[Long]] =
+      d.select("k").collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    val cond = df("k") >= rules("lo") && df("k") <= rules("hi")
+    val anti = df.join(broadcast(rules), cond, "left_anti")
+    assert(!anti.queryExecution.optimizedPlan.toString.contains("Join"),
+      anti.queryExecution.optimizedPlan.toString)
+    assert(ks(anti) == Set(Some(3L), Some(7L), None))
+    val semi = df.join(broadcast(rules), cond, "left_semi")
+    assert(ks(semi) == Set(Some(5L)))
+    // ALL rules null-bound: semi matches nothing, anti keeps everything
+    val allNull = Seq((Option.empty[Long], Some(9L))).toDF("lo", "hi")
+    val cond2 = df("k") >= allNull("lo") && df("k") <= allNull("hi")
+    assert(df.join(broadcast(allNull), cond2, "left_semi").count() == 0)
+    assert(df.join(broadcast(allNull), cond2, "left_anti").count() == 4)
+  }
+
   test("FuseRangeRuleJoin leaves non-rule joins untouched") {
     import org.apache.spark.sql.functions.broadcast
     import spark.implicits._

@@ -41,6 +41,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(pushed.contains("l_suppkey"), plan)
     val semi = formatted("q_j2_rule_semijoin")
     assert(!semi.contains("Join"), semi)
+    // multi-column rules fuse too, and BOTH keys' ranges reach the scan
+    val multi = formatted("q_j3_rule_multicol")
+    assert(!multi.contains("Join"), multi)
+    val mpushed = multi.linesIterator.find(_.contains("PushedFilters")).get
+    assert(mpushed.contains("l_suppkey") && mpushed.contains("l_linenumber"),
+      multi)
   }
 
   test("map-only conviction stays inside whole-stage codegen") {

@@ -33,6 +33,34 @@ class ScaleSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("ensureParallelism leaves a well-split input untouched (no Exchange)") {
+    val wide = spark.range(0, 1000, 1, 8).toDF("id")
+    val out = Scale.ensureParallelism(wide, 4)
+    // returned unchanged — no repartition node added to the plan
+    assert(out eq wide)
+    assert(!out.queryExecution.optimizedPlan.toString.contains("Repartition"),
+      out.queryExecution.optimizedPlan.toString)
+    // under-split input DOES get spread to the target
+    val narrow = spark.range(0, 1000, 1, 1).toDF("id")
+    val spread = Scale.ensureParallelism(narrow, 4)
+    assert(spread.rdd.getNumPartitions == 4)
+  }
+
+  test("skew report is one input scan (total reuses the partial-count exchange)") {
+    val df = (1 to 100).map(i => (i % 7).toLong).toDF("k")
+    val rep = Scale.skewReport(df, "k", topN = 3)
+    val rows = rep.collect()
+    assert(rows.length == 3)
+    // 100 rows, key 0..6: keys 1..2 have 15 rows -> 150000 micros
+    val top = rows.head
+    assert(top.getAs[Long]("n") == 15 && top.getAs[Long]("share_micros") == 150000L)
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"total should reuse the per-key partial exchange, not rescan:\n$plan")
+    // empty input: empty report, no NaN/null share
+    assert(Scale.skewReport(Seq.empty[(Long, Long)].toDF("k", "v"), "k").count() == 0)
+  }
+
   test("bucketed join plans without exchanges on either side") {
     // drop stale tables AND their warehouse locations (a dropped-at-exit
     // table leaves its directory behind, which blocks re-creation)
