@@ -559,6 +559,26 @@ object SparkEntry {
           jaccardThreshold = 0.8)
         .select("doc_id", "lang", "source", "n_chars")
     }),
+    // same contract probing the PERSISTED signature table: the corpus
+    // index round-trips through parquet (written once per ingest, read
+    // per batch) and must give bit-identical survivors to the in-memory
+    // path — the production incremental shape at 100 TB, where the corpus
+    // text is never re-read between runs
+    "q_dedup_incremental_persisted" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val delta = docs.filter(col("doc_id") % 5 === 0)
+      val art = artifactPath(dir, "lsh_index")
+      dumpOnce(art) {
+        operators.Dedup.bandedSignatures(corpus, "doc_id", "text",
+            shingleN = 3, k = 20, bands = 10)
+          .write.mode("overwrite").parquet(art)
+      }
+      operators.Dedup.incrementalDedupFromIndex(
+          s.read.parquet(art), corpus, delta, "doc_id", "text",
+          jaccardThreshold = 0.8)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
     // SimHash fingerprint near-dup pairs. xxhash64 has no DuckDB
     // equivalent, so the fingerprints themselves are exported as a parquet
     // artifact and the oracle re-derives the pairs (quadrant banding +
@@ -1235,6 +1255,49 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
+  /** Shared by q_dedup_incremental and q_dedup_incremental_persisted —
+    * the persisted variant probes the same deterministic signature table
+    * from parquet, so one exact oracle covers both. */
+  private val incrementalDedupOracle: String =
+    """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS s
+           FROM w),
+         corpus AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+         delta AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+         cross_drop AS (
+           SELECT DISTINCT d.doc_id
+           FROM delta d JOIN corpus c
+           ON len(list_intersect(d.s, c.s)) /
+              CAST(len(d.s) + len(c.s) - len(list_intersect(d.s, c.s))
+                AS DOUBLE) >= 0.8),
+         d2 AS (SELECT * FROM delta
+                WHERE doc_id NOT IN (SELECT doc_id FROM cross_drop)),
+         e AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d2 a JOIN d2 b ON b.doc_id > a.doc_id
+           WHERE len(list_intersect(a.s, b.s)) /
+             CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+               AS DOUBLE) >= 0.8),
+         und AS (SELECT id_a AS a, id_b AS b FROM e
+                 UNION SELECT id_b, id_a FROM e),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+           WHERE u.b <> r.a)
+         SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id % 5 = 0
+           AND doc_id NOT IN (SELECT doc_id FROM cross_drop)
+           AND doc_id NOT IN (SELECT a FROM reach GROUP BY a
+                              HAVING min(b) < a)"""
+
   def oracleSql: Map[String, String] = Map(
     "q_f1_rule_keep" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag, l_quantity
@@ -1537,45 +1600,11 @@ object SparkEntry {
     // J≥0.8 pair with negligible probability — same argument as
     // q_dedup_minhash_pairs): delta docs near a corpus doc drop first,
     // then connected components among the remaining delta only
-    "q_dedup_incremental" ->
-      """WITH RECURSIVE w AS (
-           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             CASE WHEN len(ws) >= 3
-               THEN list_distinct(list_transform(range(1, len(ws) - 1),
-                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
-               ELSE [array_to_string(ws, ' ')] END AS s
-           FROM w),
-         corpus AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
-         delta AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
-         cross_drop AS (
-           SELECT DISTINCT d.doc_id
-           FROM delta d JOIN corpus c
-           ON len(list_intersect(d.s, c.s)) /
-              CAST(len(d.s) + len(c.s) - len(list_intersect(d.s, c.s))
-                AS DOUBLE) >= 0.8),
-         d2 AS (SELECT * FROM delta
-                WHERE doc_id NOT IN (SELECT doc_id FROM cross_drop)),
-         e AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM d2 a JOIN d2 b ON b.doc_id > a.doc_id
-           WHERE len(list_intersect(a.s, b.s)) /
-             CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
-               AS DOUBLE) >= 0.8),
-         und AS (SELECT id_a AS a, id_b AS b FROM e
-                 UNION SELECT id_b, id_a FROM e),
-         reach AS (
-           SELECT a, b FROM und
-           UNION
-           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-           WHERE u.b <> r.a)
-         SELECT doc_id, lang, source, n_chars FROM documents
-         WHERE doc_id % 5 = 0
-           AND doc_id NOT IN (SELECT doc_id FROM cross_drop)
-           AND doc_id NOT IN (SELECT a FROM reach GROUP BY a
-                              HAVING min(b) < a)""",
+    "q_dedup_incremental" -> incrementalDedupOracle,
+    // identical semantics by construction: the persisted variant probes
+    // the SAME deterministic signature table from parquet, so the one
+    // oracle covers both paths
+    "q_dedup_incremental_persisted" -> incrementalDedupOracle,
     // SimHash pairing over the exported fingerprint artifact (written by
     // the query itself; the correctness gate always runs at sf0.01): the
     // quadrant banding + Hamming≤3 cut re-derived with DuckDB-native

@@ -288,16 +288,24 @@ object Dedup {
       return parent.keys.toSeq.map(id => (id, find(id)))
         .toDF("id", "survivor_id")
     }
-    distributedResolve(p, maxIters)
+    // labels come back persisted AND materialized (the convergence check
+    // ran on them), so the pair input can release its cache here
+    val resolved = distributedResolve(p, maxIters)
+    p.unpersist()
+    resolved
   }
 
-  /** Min-label propagation for edge sets too large for the driver. The
-    * FINAL labels frame stays persisted when this returns (its lineage is
-    * the whole iterative loop — recomputation would be catastrophic);
-    * long-lived services should `.unpersist()` it after consuming. Every
-    * intermediate iteration's cache is released here. The driver-side path
-    * above (the one all `SparkEntry` queries take — `CacheScopeSpec` pins
-    * it) releases everything before returning. */
+  /** Min-label propagation (with pointer jumping) for edge sets too
+    * large for the driver. Every per-round frame is an EAGER
+    * `localCheckpoint`, not a `persist`: the jump step self-joins the
+    * round's labels, so a lineage-preserving cache would double the
+    * logical plan every round (observed: exponential plan strings OOMing
+    * the driver at round ~10) — checkpointing truncates the plan to a
+    * flat scan each round. The FINAL labels frame stays materialized in
+    * executor storage when this returns; intermediates are released by
+    * the context cleaner once unreferenced. The driver-side path above
+    * (the one all `SparkEntry` queries take — `CacheScopeSpec` pins it)
+    * holds no executor state when it returns. */
   private def distributedResolve(
       pairs: DataFrame,
       maxIters: Int): DataFrame = {
@@ -305,10 +313,10 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist()
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -317,20 +325,39 @@ object Dedup {
           .withColumnRenamed("label", "dst_label"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("nbr_label"))
-      val next = labels
+      val propagated = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-        .persist()
+        .localCheckpoint()
+      // pointer jump: label ← min(label, label(label)). Plain neighbor-min
+      // propagation needs O(component diameter) rounds — a chain-shaped
+      // dup component (crawl mirrors linking A≈B≈C≈…) of length 1000
+      // would need 1000 rounds. Jumping halves chain depth every round,
+      // so convergence is O(log diameter) and maxIters=10 covers any
+      // component diameter up to ~2^10. One extra equi-join per round on
+      // the (checkpointed, flat) label table — cheap next to the edge join.
+      val next = propagated
+        .join(propagated.select(col("id").as("__jid"),
+          col("label").as("__jlab")), col("label") === col("__jid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__jlab"), col("label")))
+            .as("label"))
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
     }
-    edges.unpersist()
+    // A non-converged label table is SUBTLY wrong (some rows carry a
+    // non-minimal label, splitting a dup group) — refuse to return it.
+    // With pointer jumping this needs a component diameter > ~2^maxIters.
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicate-group resolution did not converge in $maxIters rounds; " +
+          "raise maxIters (diameter > ~2^maxIters is pathological input)")
     labels.select(col("id"), col("label").as("survivor_id"))
   }
 
@@ -482,8 +509,32 @@ object Dedup {
       jaccardThreshold: Double = 0.8,
       shingleN: Int = 3,
       k: Int = 20,
+      bands: Int = 10): DataFrame =
+    incrementalDedupFromIndex(
+      bandedSignatures(corpus, idCol, textCol, shingleN, k, bands),
+      corpus, delta, idCol, textCol, jaccardThreshold, shingleN, k, bands)
+
+  /** [[incrementalDedup]] probing a PRE-BUILT banded-signature table —
+    * the true production shape: the corpus index is written to parquet
+    * once at ingest (bucketable by `(band, bucket)`) and every later
+    * batch probes it FROM DISK, never re-reading or re-shingling corpus
+    * text. `corpusText` is consulted only for the candidate rows the
+    * exact-Jaccard verify needs (semi-joined down before any text work).
+    * `corpusBanded` must come from [[bandedSignatures]] with the SAME
+    * `(shingleN, k, bands)` — signatures are deterministic, so the
+    * disk round-trip is result-identical to the in-memory path
+    * (pinned by `DedupSpec`). */
+  def incrementalDedupFromIndex(
+      corpusBanded: DataFrame,
+      corpusText: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      jaccardThreshold: Double = 0.8,
+      shingleN: Int = 3,
+      k: Int = 20,
       bands: Int = 10): DataFrame = {
-    val corpusBanded = bandedSignatures(corpus, idCol, textCol, shingleN, k, bands)
+    val corpus = corpusText
     // the delta's banded keys feed BOTH the cross-corpus probe and the
     // internal self-join below: materialize them once (3 longs × |delta|
     // × bands — executor-local, distributed) so the MinHash projection

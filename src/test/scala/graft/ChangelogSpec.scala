@@ -145,5 +145,16 @@ class ChangelogSpec extends SparkSpec {
         jaccardThreshold = 0.8)
       .select("doc_id").as[Long].collect().toSet
     assert(got == Set(11L))
+
+    // disk round-trip parity: the SAME banded-signature table written to
+    // parquet and probed back yields identical survivors
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx").toString
+    Dedup.bandedSignatures(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val persisted = Dedup.incrementalDedupFromIndex(
+        spark.read.parquet(dir), corpus, delta, "doc_id", "text",
+        jaccardThreshold = 0.8, bands = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(persisted == got)
   }
 }

@@ -256,4 +256,37 @@ class PipelinePropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("resolveDuplicateGroups: driver and distributed paths agree (random graphs)") {
+    import graft.operators.Dedup
+    // random sparse graphs: edges (a, a+d) give a mix of chains, merges,
+    // and isolated pairs — exactly the shapes near-dup components take
+    val genEdges: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 60)
+      as <- Gen.listOfN(m, Gen.chooseNum(0L, n.toLong))
+      ds <- Gen.listOfN(m, Gen.chooseNum(1L, 7L))
+    } yield as.zip(ds).map { case (a, d) => (a, a + d) }.distinct
+    for ((edges, i) <- samples(genEdges, 8).zipWithIndex) {
+      val df = edges.toDF("id_a", "id_b")
+      // driverThreshold straddles the edge count: far above forces the
+      // driver union-find, zero forces distributed min-label propagation
+      val driver = Dedup.resolveDuplicateGroups(df,
+          driverThreshold = Long.MaxValue)
+        .as[(Long, Long)].collect().toMap
+      val distDf = Dedup.resolveDuplicateGroups(df,
+        maxIters = 10, driverThreshold = 0L)
+      val dist = distDf.as[(Long, Long)].collect().toMap
+      distDf.unpersist() // the distributed path returns a persisted frame
+      assert(driver == dist, s"case $i: edges=$edges")
+    }
+    // a 300-node path graph: diameter 300 converges within 10 rounds only
+    // because of the pointer-jumping step (plain propagation needs 300)
+    val chain = (0L until 299L).map(j => (j, j + 1)).toDF("id_a", "id_b")
+    val chainDf = Dedup.resolveDuplicateGroups(chain,
+      maxIters = 10, driverThreshold = 0L)
+    val chainLabels = chainDf.as[(Long, Long)].collect()
+    chainDf.unpersist()
+    assert(chainLabels.length == 300 && chainLabels.forall(_._2 == 0L))
+  }
 }
