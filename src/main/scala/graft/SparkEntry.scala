@@ -884,6 +884,25 @@ object SparkEntry {
           "width", "height", "n_frames", "sample_rate", "n_channels",
           "bit_depth")
     }),
+    // image-content near-dup: decode pixels → sampled 8×8 grid → average
+    // hash → the SAME banded Hamming join as SimHash text dedup. The
+    // sampled grids export as an artifact, and the oracle replays the
+    // ENTIRE integer pipeline (threshold, bit-pack, quadrant banding,
+    // Hamming cut) from those grids in SQL — only the PNG decode itself
+    // is Spark-side. Clones (+1 brightness at id+1000000) provide the
+    // deterministic near-dup population.
+    "q_mm_image_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = operators.Multimodal.imageTableWithClones(s, dir)
+      val art = artifactPath(dir, "ahash_grid")
+      dumpOnce(art) {
+        operators.Multimodal.imageAHash(media).toDF()
+          .write.mode("overwrite").parquet(art)
+      }
+      operators.Dedup.simHashNearDupsFrom(
+        s.read.parquet(art).select(col("doc_id"), col("fp")),
+        "doc_id", maxDist = 3)
+    }),
     // ---- training-data pipeline: sketches ------------------------------
     // KMV distinct-count sketch beside the exact count it estimates. The
     // sketch aggregation carries bounded k-long buffers (map-side merged);
@@ -1116,6 +1135,15 @@ object SparkEntry {
         .select(col("doc_id"),
           array_join(col("bpe_tokens"), " ").as("bpe_text"))
     }),
+    // unigram-LM (SentencePiece-style) tokenizer: substring-seeded vocab,
+    // one hard-EM round, Viterbi segmentation — the oracle replays the
+    // WHOLE pipeline (both Viterbi passes as unrolled DP + recursive
+    // backtrack) from the raw documents table
+    "q_unigram_tokenize" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val pieces = operators.Unigram.train(docs, "text", vocabSize = 60)
+      operators.Unigram.tokenize(docs, "doc_id", "text", pieces)
+    }),
     // the materialized concat-and-chunk blocks: every output row is one
     // 512-token trainer block with straddling docs stitched in order
     "q_pack_blocks" -> ((s, dir) =>
@@ -1255,6 +1283,129 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
+  /** The q_unigram_tokenize oracle — a full DuckDB replay of
+    * [[operators.Unigram]]: word counts, substring-seeded vocab,
+    * micro-unit scores, TWO Viterbi passes (each an unrolled
+    * lateral-alias DP over `w` positions — columns b1..bW are the best
+    * path scores, c1..cW the chosen incoming piece length with
+    * longest-piece tie-break — plus a recursive-CTE backtrack walking
+    * `cl[pos]`), the hard-EM count re-estimate between them, and the
+    * per-word/per-doc reassembly. Map lookups are `m[piece][1]` (DuckDB
+    * map extraction yields a one-element list; empty ⇒ NULL ⇒ the
+    * NegInf sentinel). Generated, not hand-written, so the unroll width
+    * follows the operator's chunkLen. */
+  private def unigramOracleSql(vocabSize: Int, l: Int, w: Int): String = {
+    val neg = operators.Unigram.NegInf.toString
+    def lpAt(j: Int, len: Int) =
+      s"coalesce(m[substr(chunk, ${j + 1}, $len)][1], $neg)"
+    val clList = (1 to w).map("c" + _).mkString("[", ", ", "]")
+    // one CTE per DP level: a lateral alias would be EXPANDED TEXTUALLY
+    // by the binder, making b16's tree ~4^16 nodes (observed hang); a
+    // chained CTE makes each prior level's b a real column
+    def dp(name: String, mapCte: String) = {
+      val levels = (1 to w).map { k =>
+        val lMax = math.min(l, k)
+        val cands = (lMax to 1 by -1)
+          .map(pl => s"(b${k - pl} + ${lpAt(k - pl, pl)})")
+        val branches = (lMax to 2 by -1)
+          .map(pl => s"WHEN b$k = (b${k - pl} + ${lpAt(k - pl, pl)}) THEN $pl")
+        val ck =
+          if (branches.isEmpty) s"1 AS c$k"
+          else s"CASE ${branches.mkString(" ")} ELSE 1 END AS c$k"
+        s"""${name}_$k AS (
+             SELECT *, greatest(${cands.mkString(", ")}) AS b$k, $ck
+             FROM ${name}_${k - 1})"""
+      }.mkString(",\n         ")
+      s"""${name}_0 AS (
+           SELECT chunk, length(chunk) AS len, m, 0::BIGINT AS b0
+           FROM cd, $mapCte),
+         $levels,
+         $name AS (SELECT chunk, len, $clList AS cl FROM ${name}_$w)"""
+    }
+    def seg(name: String, dpName: String) =
+      s"""seg$name AS (
+           SELECT chunk, len AS pos, []::VARCHAR[] AS pieces FROM $dpName
+           UNION ALL
+           SELECT s.chunk, s.pos - d.cl[s.pos],
+             list_prepend(
+               substr(s.chunk, s.pos - d.cl[s.pos] + 1, d.cl[s.pos]),
+               s.pieces)
+           FROM seg$name s JOIN $dpName d ON s.chunk = d.chunk
+           WHERE s.pos > 0),
+         sf$name AS (SELECT chunk, pieces FROM seg$name WHERE pos = 0)"""
+    s"""WITH RECURSIVE
+         wf AS (
+           SELECT word, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'),
+               x -> length(x) > 0)) AS word FROM documents)
+           GROUP BY 1),
+         ch AS (
+           SELECT word, cnt, ci, substr(word, ci * $w + 1, $w) AS chunk
+           FROM wf, unnest(range(0, (length(word) - 1) // $w + 1)) t(ci)),
+         cd AS (SELECT DISTINCT chunk FROM ch),
+         pc AS (
+           SELECT substr(chunk, s, pl) AS piece, CAST(sum(cnt) AS BIGINT) AS c
+           FROM ch, unnest(range(1, $w + 1)) t(s),
+                unnest(range(1, $l + 1)) u(pl)
+           WHERE s <= length(chunk) AND s + pl - 1 <= length(chunk)
+           GROUP BY 1),
+         topk AS (
+           SELECT piece, c FROM pc
+           QUALIFY row_number() OVER (ORDER BY c DESC, piece) <= $vocabSize),
+         seed AS (
+           SELECT DISTINCT piece, c FROM (
+             SELECT piece, c FROM topk
+             UNION ALL
+             SELECT piece, c FROM pc WHERE length(piece) = 1)),
+         tz AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM seed),
+         lp0 AS (
+           SELECT piece,
+             CAST(floor(ln(c::DOUBLE / t::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+               AS lp
+           FROM seed, tz),
+         m0c AS (SELECT map(list(piece ORDER BY piece),
+                            list(lp ORDER BY piece)) AS m FROM lp0),
+         ${dp("dp0", "m0c")},
+         ${seg("0", "dp0")},
+         ecnt AS (
+           SELECT piece, CAST(sum(cnt) AS BIGINT) AS ec
+           FROM (SELECT c2.cnt, unnest(f.pieces) AS piece
+                 FROM ch c2 JOIN sf0 f ON c2.chunk = f.chunk)
+           GROUP BY 1),
+         ret AS (
+           SELECT s.piece, coalesce(e.ec, 0) AS ec
+           FROM seed s LEFT JOIN ecnt e ON s.piece = e.piece
+           WHERE coalesce(e.ec, 0) > 0 OR length(s.piece) = 1),
+         tn AS (SELECT CAST(sum(ec) AS BIGINT) AS t1,
+                       CAST(count(*) AS BIGINT) AS n1 FROM ret),
+         lp1 AS (
+           SELECT piece,
+             CAST(floor(ln((ec + 1)::DOUBLE / (t1 + n1)::DOUBLE) * 1e6 + 0.5)
+               AS BIGINT) AS lp
+           FROM ret, tn),
+         m1c AS (SELECT map(list(piece ORDER BY piece),
+                            list(lp ORDER BY piece)) AS m FROM lp1),
+         ${dp("dp1", "m1c")},
+         ${seg("1", "dp1")},
+         wch AS (SELECT DISTINCT word, ci, chunk FROM ch),
+         wseg AS (
+           SELECT word, flatten(list(pieces ORDER BY ci)) AS wp
+           FROM wch JOIN sf1 USING (chunk) GROUP BY word),
+         dws AS (
+           SELECT doc_id, i, ws[i] AS word
+           FROM (SELECT doc_id, list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   x -> length(x) > 0) AS ws FROM documents),
+                unnest(range(1, len(ws) + 1)) t(i)),
+         asm AS (
+           SELECT doc_id,
+             array_to_string(flatten(list(wp ORDER BY i)), ' ') AS uni_text
+           FROM dws JOIN wseg USING (word) GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(a.uni_text, '') AS uni_text
+       FROM documents d LEFT JOIN asm a ON d.doc_id = a.doc_id"""
+  }
+
   /** Shared by q_dedup_incremental and q_dedup_incremental_persisted —
     * the persisted variant probes the same deterministic signature table
     * from parquet, so one exact oracle covers both. */
@@ -2137,6 +2288,29 @@ object SparkEntry {
                 WHEN 'wav' THEN ${le(34, 2)} END AS INT) AS bit_depth
          FROM d"""
     },
+    // aHash image dedup replayed ENTIRELY from the exported 8×8 grids:
+    // integer threshold (64·g[i] > Σg), bit-pack (bit 63 as the min-long
+    // literal — DuckDB raises on 1<<63 while Spark's Long wraps), quadrant
+    // banding, Hamming cut. Only the PNG pixel decode is Spark-only.
+    "q_mm_image_dedup" -> {
+      val terms = (0 until 64).map { i =>
+        val bit =
+          if (i == 63) "(-9223372036854775807::BIGINT - 1)"
+          else s"(1::BIGINT << $i)"
+        s"CASE WHEN 64*g[${i + 1}] > total THEN $bit ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH gr AS (SELECT doc_id, g
+             FROM read_parquet('/root/repo/artifacts/ahash_grid/sf=sf0.01/*.parquet')),
+         t AS (SELECT doc_id, g, CAST(list_sum(g) AS BIGINT) AS total FROM gr),
+         f AS (SELECT doc_id, $terms AS fp FROM t),
+         banded AS (
+           SELECT doc_id, fp, q, (fp >> (q * 16)) & 65535 AS bucket
+           FROM f, (VALUES (0), (1), (2), (3)) t2(q))
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.q = b.q AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+    },
     // the sketch oracles re-derive the md5 60-bit hash natively (15 hex
     // digits, the hash60 idiom) and replay the EXACT estimator: the
     // "approximation" is a fixed hash function, not run randomness
@@ -2633,6 +2807,7 @@ object SparkEntry {
          SELECT doc_id, source, unnest(range(0, reps)) AS rep
          FROM e WHERE reps > 0""",
     // the tokenize oracle's merge re-derivation, emitting the arrays
+    "q_unigram_tokenize" -> unigramOracleSql(vocabSize = 60, l = 4, w = 16),
     "q_bpe_encode" -> {
       val applied = (1 to 5).foldLeft(
         "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')") { (acc, i) =>

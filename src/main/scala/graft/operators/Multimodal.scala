@@ -101,6 +101,78 @@ object Multimodal {
     }
   }
 
+  /** Sampled 8×8 grayscale grid + average-hash fingerprint per image —
+    * the perceptual analog of [[Dedup.simHashFingerprints]] for pixel
+    * content. The grid is nearest-neighbor sampled from the decoded
+    * pixels (row i, col j → pixel at (⌊i·h/8⌋, ⌊j·w/8⌋)), so every
+    * value is an exact 0..255 integer; bit i of the fingerprint is set
+    * iff `64·g(i) > Σg` — an integer-only threshold the DuckDB oracle
+    * replays bit-exactly from the exported grid. Map-only (decode +
+    * 64 comparisons per row); rows whose payload isn't a decodable
+    * grayscale PNG are dropped (quarantine via [[decodeAll]] instead). */
+  final case class ImageHash(doc_id: Long, g: Array[Int], fp: Long)
+
+  def imageAHash(media: DataFrame)(
+      implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.flatMap { r =>
+        MediaFormats.pngPixels(r.payload).map { case (w, h, px) =>
+          val g = new Array[Int](64)
+          var i = 0
+          while (i < 64) {
+            g(i) = px((i / 8) * h / 8 * w + (i % 8) * w / 8)
+            i += 1
+          }
+          var total = 0L
+          i = 0
+          while (i < 64) { total += g(i); i += 1 }
+          var fp = 0L
+          i = 0
+          while (i < 64) { if (64L * g(i) > total) fp |= 1L << i; i += 1 }
+          ImageHash(r.doc_id, g, fp)
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate images by aHash Hamming distance: the fingerprints
+    * feed the SAME banded machinery as SimHash text dedup
+    * ([[Dedup.simHashNearDupsFrom]] — 16-bit quadrant candidate join,
+    * Hamming verify), so the scale shape is shared: map-only decode,
+    * one co-partitioned quadrant shuffle, never all-pairs. */
+  def imageNearDups(media: DataFrame, maxDist: Int = 3)(
+      implicit spark: SparkSession): DataFrame =
+    Dedup.simHashNearDupsFrom(
+      imageAHash(media).toDF().select(col("doc_id"), col("fp")),
+      "doc_id", maxDist)
+
+  /** The image slice of [[mediaTableReal]] plus a deterministic
+    * near-duplicate clone every `cloneEvery` ids: the clone re-renders
+    * the SAME dimensions with a +1 pixel-seed shift (a uniform brightness
+    * nudge, modulo the occasional 255→0 wrap) under id+`cloneIdOffset` —
+    * the controlled fixture an image-dedup eval needs, since distinct
+    * corpus images share no dimensions and hash far apart. */
+  def imageTableWithClones(
+      spark: SparkSession,
+      docsDir: String,
+      cloneEvery: Long = 30L,
+      cloneIdOffset: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$docsDir/documents.parquet")
+      .select("doc_id").as[Long]
+      .filter(_ % 3 == 0)
+      .mapPartitions(_.flatMap { id =>
+        val w = 16 + (id % 48).toInt
+        val h = 16 + ((id / 48) % 48).toInt
+        val base = MediaRecord(id, "image", MediaFormats.png(w, h, id))
+        if (id % cloneEvery == 0)
+          Iterator(base, MediaRecord(id + cloneIdOffset, "image",
+            MediaFormats.png(w, h, id + 1)))
+        else Iterator(base)
+      }).toDF()
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th 16-byte
     * window becomes a frame record — the flatMap row-multiplying shape of
     * real frame extraction, kept deterministic. */

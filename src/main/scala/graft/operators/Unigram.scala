@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer training — the other half
+  * of real tokenizer configs beside [[BpeTrainer]] (Kudo 2018: subword
+  * regularization; ref: the reference ships no tokenizer — this extends
+  * the training-data layer). A candidate piece vocabulary is seeded from
+  * corpus substring frequencies, scored as log-probabilities, refined by
+  * one hard-EM round (Viterbi E-step → count-re-estimate M-step), and
+  * documents are segmented under the final scores by Viterbi decoding.
+  *
+  * Scale shape: the corpus is scanned ONCE per pass (word-frequency
+  * aggregation, map-side combined); everything after runs on
+  * vocabulary-bounded tables — substring candidates explode from the
+  * word table, never the corpus; the imperative Viterbi DP runs only on
+  * the DISTINCT chunk table via `mapPartitions` (the dynamic-programming
+  * inner loop is genuinely per-row imperative work, the documented
+  * mapPartitions boundary), and corpus-scale work stays relational
+  * (joins + explodes against the segmented chunk table). Driver state:
+  * the scored piece table (bounded by `vocabSize` + charset) and two
+  * M-step scalars.
+  *
+  * Determinism contract (the [[LmScore]] discipline): scores are integer
+  * MICRO-UNITS `floor(ln(c/T)·10⁶ + 0.5)` — floor(x+0.5), not round(),
+  * because engines disagree on round-half for negatives, and log-probs
+  * are negative. The DP compares only integer sums, so both engines run
+  * Viterbi over identical numbers; ties break toward the LONGEST piece
+  * (evaluated high-to-low, strict improvement required). Words are
+  * pre-chunked to `chunkLen` characters so the oracle's unrolled DP has
+  * a static position bound; every corpus character is force-retained as
+  * a single-char piece, so every chunk has a finite segmentation. The
+  * DuckDB oracle replays the ENTIRE pipeline — seeding, both Viterbi
+  * passes (as an unrolled lateral-alias DP + recursive backtrack), the
+  * M-step — from the raw documents table.
+  */
+object Unigram {
+
+  /** One scored vocabulary piece (log-prob in micro-units, negative). */
+  final case class ScoredPiece(piece: String, lp_micros: Long)
+
+  /** Sentinel for "piece not in vocabulary" — far below any reachable
+    * path sum (|lp| ≤ ~40·10⁶ per piece, ≤ chunkLen pieces per chunk). */
+  val NegInf: Long = -1000000000000000L
+
+  /** Non-empty lowercased words with corpus counts — ONE corpus scan. */
+  private def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** `(ci, chunk)` structs splitting a word into `chunkLen`-char chunks. */
+  private def chunkStructs(word: Column, chunkLen: Int): Column =
+    transform(
+      sequence(lit(0), floor((length(word) - 1) / chunkLen).cast("int")),
+      i => struct(i.as("ci"),
+        word.substr(i * lit(chunkLen) + lit(1), lit(chunkLen)).as("chunk")))
+
+  /** Every substring of `chunk` with length 1..maxPieceLen — the
+    * candidate-piece generator (runs on the word table, not the corpus). */
+  private def substrings(chunk: Column, maxPieceLen: Int): Column =
+    flatten(transform(sequence(lit(1), length(chunk)),
+      s => transform(
+        sequence(lit(1), least(lit(maxPieceLen), length(chunk) - s + lit(1))),
+        l => chunk.substr(s, l))))
+
+  /** Micro-unit log-prob: floor(ln(c/t)·10⁶ + 0.5) — see the contract. */
+  private def lpMu(c: Long, t: Long): Long =
+    math.floor(math.log(c.toDouble / t.toDouble) * 1e6 + 0.5).toLong
+
+  /** Viterbi-segment one chunk under piece scores: maximize the sum of
+    * piece log-probs; ties prefer the longest piece (l scanned high→low,
+    * strict improvement). Mirrored bit-for-bit by the oracle's unrolled
+    * DP — any change here must change the SQL generator too. */
+  private[graft] def segmentChunk(
+      chunk: String,
+      lp: java.util.HashMap[String, java.lang.Long],
+      maxPieceLen: Int): Array[String] = {
+    val n = chunk.length
+    val b = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1)
+    var k = 1
+    while (k <= n) {
+      var best = Long.MinValue
+      var bl = 1
+      var l = math.min(maxPieceLen, k)
+      while (l >= 1) {
+        val v = lp.get(chunk.substring(k - l, k))
+        val s = b(k - l) + (if (v == null) NegInf else v.longValue())
+        if (s > best) { best = s; bl = l }
+        l -= 1
+      }
+      b(k) = best
+      back(k) = bl
+      k += 1
+    }
+    var pos = n
+    var m = 0
+    while (pos > 0) { m += 1; pos -= back(pos) }
+    val out = new Array[String](m)
+    pos = n
+    var i = m - 1
+    while (pos > 0) {
+      val l = back(pos)
+      out(i) = chunk.substring(pos - l, pos)
+      i -= 1
+      pos -= l
+    }
+    out
+  }
+
+  /** Segment the DISTINCT chunks of `ch` under `lp` — the only
+    * imperative stage, bounded by the chunk vocabulary. */
+  private def segmentChunks(
+      ch: DataFrame,
+      lp: Map[String, Long],
+      maxPieceLen: Int): DataFrame = {
+    val spark = ch.sparkSession
+    import spark.implicits._
+    val lpB = spark.sparkContext.broadcast(lp)
+    ch.select("chunk").distinct().as[String].mapPartitions { it =>
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      lpB.value.foreach { case (k, v) => m.put(k, Long.box(v)) }
+      it.map(c => (c, segmentChunk(c, m, maxPieceLen).toSeq))
+    }.toDF("chunk", "pieces")
+  }
+
+  /** Word-chunk table `(word, cnt?, ci, chunk)` from a word frame. */
+  private def chunksOf(words: DataFrame, chunkLen: Int): DataFrame =
+    words.withColumn("__c", explode(chunkStructs(col("word"), chunkLen)))
+      .withColumn("ci", col("__c.ci"))
+      .withColumn("chunk", col("__c.chunk"))
+      .drop("__c")
+
+  /** Learn the scored piece vocabulary: seed = top-`vocabSize` substrings
+    * by weighted frequency (ties by piece) ∪ ALL single characters;
+    * initial scores from seed counts; one hard-EM round — Viterbi-segment
+    * the (weighted) word table, re-estimate scores from the piece-usage
+    * counts with add-one smoothing over the retained set (used pieces ∪
+    * single chars; unused multi-char candidates drop out). Returns the
+    * final scores, sorted by piece. */
+  def train(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      maxPieceLen: Int = 4,
+      chunkLen: Int = 16): Seq[ScoredPiece] = {
+    require(vocabSize >= 1 && maxPieceLen >= 1 && chunkLen >= maxPieceLen)
+    // the word table feeds candidate counting AND E-step weighting:
+    // materialize once, lineage truncated (nothing survives the return —
+    // train hands back driver data only)
+    val wf = wordCounts(df, textCol).localCheckpoint()
+    val ch = chunksOf(wf, chunkLen)
+    val pieceCnt = ch
+      .select(col("cnt"), explode(substrings(col("chunk"), maxPieceLen)).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("c"))
+      .localCheckpoint() // two refs below: top-k cut + single-char union
+    val seedRows = pieceCnt.orderBy(col("c").desc, col("piece")).limit(vocabSize)
+      .unionByName(pieceCnt.filter(length(col("piece")) === 1))
+      .dropDuplicates("piece")
+      .collect() // vocab-bounded by construction
+      .map(r => r.getString(0) -> r.getLong(1))
+    val t0 = seedRows.map(_._2).sum
+    val lp0 = seedRows.map { case (p, c) => p -> lpMu(c, t0) }.toMap
+    // E-step: piece-usage counts from the Viterbi segmentation of the
+    // weighted word table (distinct chunks segmented once)
+    val ec = ch.join(segmentChunks(ch, lp0, maxPieceLen), "chunk")
+      .select(col("cnt"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("ec"))
+      .collect() // ⊆ seed pieces — vocab-bounded
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // M-step: retained = used ∪ single chars, add-one smoothed
+    val retained = seedRows.map(_._1)
+      .filter(p => ec.getOrElse(p, 0L) > 0 || p.length == 1)
+    val t1 = retained.map(p => ec.getOrElse(p, 0L)).sum
+    val n1 = retained.size.toLong
+    retained.sorted.map { p =>
+      ScoredPiece(p,
+        math.floor(math.log((ec.getOrElse(p, 0L) + 1).toDouble /
+          (t1 + n1).toDouble) * 1e6 + 0.5).toLong)
+    }
+  }
+
+  /** Segment every document under `pieces`: per-word Viterbi (distinct
+    * chunks segmented once, reassembled in chunk order per word, word
+    * order per document), emitted as the space-joined token string (the
+    * scalar gate encoding — tokens never contain spaces). Appends nothing;
+    * returns `(idCol, uni_text)`; empty documents yield `''`. */
+  def tokenize(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      pieces: Seq[ScoredPiece],
+      maxPieceLen: Int = 4,
+      chunkLen: Int = 16): DataFrame = {
+    val lp = pieces.map(p => p.piece -> p.lp_micros).toMap
+    val dw = df.select(col(idCol).as("__id"),
+      posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("__pos", "word")))
+      .filter(length(col("word")) > 0)
+    val wch = chunksOf(dw.select("word").distinct(), chunkLen)
+    val wseg = wch.join(segmentChunks(wch, lp, maxPieceLen), "chunk")
+      .groupBy("word")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("ci"), col("pieces")))),
+        s => s.getField("pieces"))).as("wp"))
+    val assembled = dw.join(wseg, "word")
+      .groupBy(col("__id"))
+      .agg(array_join(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("wp")))),
+        s => s.getField("wp"))), " ").as("uni_text"))
+    df.select(col(idCol))
+      .join(assembled, col(idCol) === assembled("__id"), "left")
+      .select(col(idCol), coalesce(col("uni_text"), lit("")).as("uni_text"))
+  }
+}

@@ -505,6 +505,55 @@ class MultimodalSpec extends SparkSpec {
     assert(m.bitDepth.contains(16) && m.nFrames.contains(2))
   }
 
+  test("pngPixels matches ImageIO's raster, incl. JDK-encoded (filtered) PNGs") {
+    val bytes = MediaFormats.png(37, 21, seed = 42L)
+    val decoded = MediaFormats.pngPixels(bytes)
+    assert(decoded.isDefined)
+    val (w, h, px) = decoded.get
+    assert(w == 37 && h == 21)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    for (r <- 0 until h; c <- 0 until w)
+      assert(img.getRaster.getSample(c, r, 0) == px(r * w + c), s"($r,$c)")
+    // a PNG produced by the JDK encoder exercises the adaptive-filter
+    // paths (Sub/Up/Average/Paeth), not just our generator's filter 0
+    val gray = new java.awt.image.BufferedImage(23, 17,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (r <- 0 until 17; c <- 0 until 23)
+      gray.getRaster.setSample(c, r, 0, (r * 13 + c * 7) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "png", bos)
+    val redecoded = MediaFormats.pngPixels(bos.toByteArray)
+    assert(redecoded.isDefined, "JDK-encoded PNG did not decode")
+    val (w2, h2, px2) = redecoded.get
+    assert(w2 == 23 && h2 == 17)
+    for (r <- 0 until 17; c <- 0 until 23)
+      assert(px2(r * 23 + c) == (r * 13 + c * 7) % 256, s"($r,$c)")
+    // non-PNG payloads are None, not exceptions
+    assert(MediaFormats.pngPixels(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaFormats.pngPixels(MediaFormats.wav(8000, 1, 10, 1L)).isEmpty)
+  }
+
+  test("imageAHash: clone hashes near, distinct images far, pairs via banded join") {
+    val media = Seq(
+      Multimodal.MediaRecord(0L, "image", MediaFormats.png(32, 24, 10L)),
+      Multimodal.MediaRecord(1L, "image", MediaFormats.png(32, 24, 11L)),
+      Multimodal.MediaRecord(2L, "image", MediaFormats.png(40, 18, 999L)),
+      Multimodal.MediaRecord(3L, "audio", MediaFormats.wav(8000, 1, 50, 1L)))
+      .toDF()
+    val hs = Multimodal.imageAHash(media)(spark).collect()
+      .map(ih => ih.doc_id -> ih.fp).toMap
+    // only decodable PNGs fingerprint; the WAV row drops
+    assert(hs.keySet == Set(0L, 1L, 2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0L), hs(1L)) <= 3,
+      s"clone should hash near, got ${ham(hs(0L), hs(1L))}")
+    assert(ham(hs(0L), hs(2L)) > 3, "distinct image should hash far")
+    val pairs = Multimodal.imageNearDups(media, maxDist = 3)(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   // ---- generator validity: JDK codecs (ImageIO / AudioSystem) agree ----
 
   test("generated PNG is a valid image per ImageIO, dims match") {

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Unigram
+import org.apache.spark.sql.functions._
+
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seg(chunk: String, lp: Map[String, Long]): Seq[String] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    lp.foreach { case (k, v) => m.put(k, Long.box(v)) }
+    Unigram.segmentChunk(chunk, m, maxPieceLen = 4).toSeq
+  }
+
+  test("segmentChunk maximizes the score and prefers longest pieces on ties") {
+    // "abab": piece scores make "ab"+"ab" beat four singles
+    val lp = Map("a" -> -10L, "b" -> -10L, "ab" -> -12L, "abab" -> -30L)
+    assert(seg("abab", lp) == Seq("ab", "ab")) // -24 beats -30 and -40
+    // tie between "ab"+"ab" (-24) and "abab" (-24): longest piece wins
+    val tie = lp + ("abab" -> -24L)
+    assert(seg("abab", tie) == Seq("abab"))
+    // unknown multi-char substrings fall back to covered singles
+    assert(seg("axb", Map("a" -> -1L, "x" -> -1L, "b" -> -1L)) ==
+      Seq("a", "x", "b"))
+  }
+
+  test("train + tokenize: lossless coverage and deterministic output") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the rat"),
+      (3L, ""),
+      (4L, "mat rat cat")).toDF("doc_id", "text")
+    val pieces = Unigram.train(docs, "text", vocabSize = 20)
+    // every corpus character survives as a single-char piece (coverage)
+    val singles = pieces.filter(_.piece.length == 1).map(_.piece).toSet
+    assert("thecasonmr".toSet.map((c: Char) => c.toString).subsetOf(singles))
+    // all scores are negative micro-unit log-probs
+    assert(pieces.forall(_.lp_micros < 0))
+    val out = Unigram.tokenize(docs, "doc_id", "text", pieces)
+      .as[(Long, String)].collect().toMap
+    // empty document tokenizes to the empty string
+    assert(out(3L) == "")
+    // concatenating a doc's pieces (minus separators) reproduces its
+    // words in order — segmentation is lossless
+    for ((id, text) <- Seq(1L -> "the cat sat on the mat",
+        2L -> "the cat ate the rat", 4L -> "mat rat cat"))
+      assert(out(id).replace(" ", "") == text.replace(" ", ""), s"doc $id")
+    // deterministic: a second train/tokenize run is identical
+    val pieces2 = Unigram.train(docs, "text", vocabSize = 20)
+    assert(pieces2 == pieces)
+    val out2 = Unigram.tokenize(docs, "doc_id", "text", pieces2)
+      .as[(Long, String)].collect().toMap
+    assert(out2 == out)
+  }
+
+  test("frequent multi-char pieces actually win over per-char splits") {
+    val docs = (1 to 50).map(i => (i.toLong, "abcd abcd abcd"))
+      .toDF("doc_id", "text")
+    val pieces = Unigram.train(docs, "text", vocabSize = 10)
+    val out = Unigram.tokenize(docs, "doc_id", "text", pieces)
+      .as[(Long, String)].collect()
+    // "abcd" dominates the corpus: it must tokenize as whole pieces,
+    // not per-character
+    assert(out.forall(_._2 == "abcd abcd abcd"))
+  }
+}
