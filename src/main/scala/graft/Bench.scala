@@ -102,10 +102,11 @@ object Bench {
     "q_expectations" -> 0.11, "q_dedup_best_copy" -> 1.01,
     "q_ann_recall" -> 0.26, "q_expect_ref" -> 0.14, "q_ngram_top" -> 0.21,
     "q_profile" -> 0.25,
-    // round-7 additions (rough sf0.01 verify times scaled; refine from
-    // the next clean run)
-    "q_j3_rule_multicol" -> 0.30, "q_mm_image_dedup" -> 2.00,
-    "q_unigram_tokenize" -> 3.00, "q_dedup_incremental_persisted" -> 2.00)
+    // round-7 additions (mins from the r7 clean run: total 39.2s /
+    // min_total 36.6s over 112 queries, steal 0.49s)
+    "q_j3_rule_multicol" -> 0.09, "q_mm_image_dedup" -> 0.20,
+    "q_unigram_tokenize" -> 0.42, "q_dedup_incremental_persisted" -> 1.32,
+    "q_mm_image_dedup_dhash" -> 0.20)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -903,6 +903,21 @@ object SparkEntry {
         s.read.parquet(art).select(col("doc_id"), col("fp")),
         "doc_id", maxDist = 3)
     }),
+    // dHash variant: horizontal-gradient sign bits — exactly invariant
+    // under uniform brightness shifts, where aHash's mean threshold is
+    // only approximately so. Same exported-grid oracle discipline.
+    "q_mm_image_dedup_dhash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = operators.Multimodal.imageTableWithClones(s, dir)
+      val art = artifactPath(dir, "dhash_grid")
+      dumpOnce(art) {
+        operators.Multimodal.imageDHash(media).toDF()
+          .write.mode("overwrite").parquet(art)
+      }
+      operators.Dedup.simHashNearDupsFrom(
+        s.read.parquet(art).select(col("doc_id"), col("fp")),
+        "doc_id", maxDist = 3)
+    }),
     // ---- training-data pipeline: sketches ------------------------------
     // KMV distinct-count sketch beside the exact count it estimates. The
     // sketch aggregation carries bounded k-long buffers (map-side merged);
@@ -2303,6 +2318,28 @@ object SparkEntry {
              FROM read_parquet('/root/repo/artifacts/ahash_grid/sf=sf0.01/*.parquet')),
          t AS (SELECT doc_id, g, CAST(list_sum(g) AS BIGINT) AS total FROM gr),
          f AS (SELECT doc_id, $terms AS fp FROM t),
+         banded AS (
+           SELECT doc_id, fp, q, (fp >> (q * 16)) & 65535 AS bucket
+           FROM f, (VALUES (0), (1), (2), (3)) t2(q))
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.q = b.q AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+    },
+    // dHash replay: gradient-sign bits from the exported 8×9 grid —
+    // plain integer comparisons, then the same banding/Hamming SQL
+    "q_mm_image_dedup_dhash" -> {
+      val terms = (0 until 64).map { i =>
+        val bit =
+          if (i == 63) "(-9223372036854775807::BIGINT - 1)"
+          else s"(1::BIGINT << $i)"
+        val r = i / 8
+        val c = i % 8
+        s"CASE WHEN g[${r * 9 + c + 1}] > g[${r * 9 + c + 2}] THEN $bit ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH gr AS (SELECT doc_id, g
+             FROM read_parquet('/root/repo/artifacts/dhash_grid/sf=sf0.01/*.parquet')),
+         f AS (SELECT doc_id, $terms AS fp FROM gr),
          banded AS (
            SELECT doc_id, fp, q, (fp >> (q * 16)) & 65535 AS bucket
            FROM f, (VALUES (0), (1), (2), (3)) t2(q))

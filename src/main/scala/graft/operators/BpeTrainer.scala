@@ -30,10 +30,11 @@ import org.apache.spark.sql.functions._
   * identically in the JVM and the oracle engine. No RNG, no floats.
   *
   * For production vocab sizes (10k–50k merges) the per-iteration plan
-  * lineage grows by one `replace` each round — localCheckpoint the vocab
-  * every ~50 iterations; at N=thousands the vocab also shrinks-by-merge
-  * far below its initial size. The iteration COUNT is inherent to BPE
-  * (each merge depends on the previous), not a distribution artifact.
+  * lineage grows by one `replace` each round — the loop localCheckpoints
+  * the vocab every [[CheckpointEvery]] merges to keep the plan flat; at
+  * N=thousands the vocab also shrinks-by-merge far below its initial
+  * size. The iteration COUNT is inherent to BPE (each merge depends on
+  * the previous), not a distribution artifact.
   */
 object BpeTrainer {
 
@@ -63,6 +64,13 @@ object BpeTrainer {
     finally { base.unpersist(); () }
   }
 
+  /** Truncate the vocab lineage every this many merges: each merge adds
+    * one `replace` to the plan, and at production vocab sizes (10k-50k
+    * merges) an unbounded chain re-optimizes a 10k-deep expression tree
+    * per iteration. Eager localCheckpoint resets the plan to a flat scan
+    * of the (small, shrinking) vocab table. */
+  private val CheckpointEvery = 50
+
   private def train(base: DataFrame, nMerges: Int): Seq[Merge] = {
     var vocab = base
     val merges = Seq.newBuilder[Merge]
@@ -91,6 +99,7 @@ object BpeTrainer {
       // merge semantics incl. adjacent runs, identical in the oracle
       vocab = vocab.withColumn("sym",
         call_function("replace", col("sym"), lit(s" $a  $b "), lit(s" $a$b ")))
+      if (step % CheckpointEvery == 0) vocab = vocab.localCheckpoint()
     }
     merges.result()
   }

@@ -136,6 +136,40 @@ object Multimodal {
     }
   }
 
+  /** Difference-hash (dHash) variant: a 8-row × 9-col sampled grid, bit
+    * `r·8+c` set iff `g(r,c) > g(r,c+1)` — the horizontal-gradient sign,
+    * which is EXACTLY invariant under uniform brightness shifts (aHash's
+    * mean threshold is only approximately so). Same exact-integer
+    * discipline; the oracle replays bits from the exported 72-value
+    * grid with plain comparisons. */
+  def imageDHash(media: DataFrame)(
+      implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.flatMap { r =>
+        MediaFormats.pngPixels(r.payload).map { case (w, h, px) =>
+          val g = new Array[Int](72) // row-major 8 rows × 9 cols
+          var i = 0
+          while (i < 72) {
+            g(i) = px((i / 9) * h / 8 * w + (i % 9) * w / 9)
+            i += 1
+          }
+          var fp = 0L
+          var r8 = 0
+          while (r8 < 8) {
+            var c = 0
+            while (c < 8) {
+              if (g(r8 * 9 + c) > g(r8 * 9 + c + 1)) fp |= 1L << (r8 * 8 + c)
+              c += 1
+            }
+            r8 += 1
+          }
+          ImageHash(r.doc_id, g, fp)
+        }
+      }
+    }
+  }
+
   /** Near-duplicate images by aHash Hamming distance: the fingerprints
     * feed the SAME banded machinery as SimHash text dedup
     * ([[Dedup.simHashNearDupsFrom]] — 16-bit quadrant candidate join,

@@ -145,8 +145,10 @@ object Unigram {
       textCol: String,
       vocabSize: Int,
       maxPieceLen: Int = 4,
-      chunkLen: Int = 16): Seq[ScoredPiece] = {
-    require(vocabSize >= 1 && maxPieceLen >= 1 && chunkLen >= maxPieceLen)
+      chunkLen: Int = 16,
+      emIters: Int = 1): Seq[ScoredPiece] = {
+    require(vocabSize >= 1 && maxPieceLen >= 1 && chunkLen >= maxPieceLen &&
+      emIters >= 1)
     // the word table feeds candidate counting AND E-step weighting:
     // materialize once, lineage truncated (nothing survives the return —
     // train hands back driver data only)
@@ -162,24 +164,30 @@ object Unigram {
       .collect() // vocab-bounded by construction
       .map(r => r.getString(0) -> r.getLong(1))
     val t0 = seedRows.map(_._2).sum
-    val lp0 = seedRows.map { case (p, c) => p -> lpMu(c, t0) }.toMap
-    // E-step: piece-usage counts from the Viterbi segmentation of the
-    // weighted word table (distinct chunks segmented once)
-    val ec = ch.join(segmentChunks(ch, lp0, maxPieceLen), "chunk")
-      .select(col("cnt"), explode(col("pieces")).as("piece"))
-      .groupBy("piece").agg(sum("cnt").as("ec"))
-      .collect() // ⊆ seed pieces — vocab-bounded
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // M-step: retained = used ∪ single chars, add-one smoothed
-    val retained = seedRows.map(_._1)
-      .filter(p => ec.getOrElse(p, 0L) > 0 || p.length == 1)
-    val t1 = retained.map(p => ec.getOrElse(p, 0L)).sum
-    val n1 = retained.size.toLong
-    retained.sorted.map { p =>
-      ScoredPiece(p,
-        math.floor(math.log((ec.getOrElse(p, 0L) + 1).toDouble /
-          (t1 + n1).toDouble) * 1e6 + 0.5).toLong)
+    var scores = seedRows.map { case (p, c) => p -> lpMu(c, t0) }.toMap
+    // hard-EM rounds: E-step = piece-usage counts from the Viterbi
+    // segmentation of the weighted word table (distinct chunks segmented
+    // once per round); M-step = add-one re-estimate over the retained
+    // set (used pieces ∪ single chars — unused multi-char pieces drop
+    // out, so the vocab only shrinks across rounds)
+    var iter = 0
+    while (iter < emIters) {
+      val ec = ch.join(segmentChunks(ch, scores, maxPieceLen), "chunk")
+        .select(col("cnt"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum("cnt").as("ec"))
+        .collect() // ⊆ current vocab — vocab-bounded
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val retained = scores.keySet.toSeq
+        .filter(p => ec.getOrElse(p, 0L) > 0 || p.length == 1)
+      val t = retained.map(p => ec.getOrElse(p, 0L)).sum
+      val n = retained.size.toLong
+      scores = retained.map { p =>
+        p -> math.floor(math.log((ec.getOrElse(p, 0L) + 1).toDouble /
+          (t + n).toDouble) * 1e6 + 0.5).toLong
+      }.toMap
+      iter += 1
     }
+    scores.toSeq.sortBy(_._1).map { case (p, lp) => ScoredPiece(p, lp) }
   }
 
   /** Segment every document under `pieces`: per-word Viterbi (distinct

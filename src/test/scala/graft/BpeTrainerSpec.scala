@@ -102,4 +102,19 @@ class BpeTrainerSpec extends SparkSpec {
     val merges = BpeTrainer.train(df, "text", 10)
     assert(merges === Seq(Merge(1, "a", "b", 2L)))
   }
+
+  test("long trainings cross the lineage-checkpoint boundary unchanged") {
+    // >50 merges exercises the periodic localCheckpoint; results must be
+    // the same deterministic sequence and encoding stays lossless
+    val words = (0 until 30).map(i => s"alpha${i}beta${i}gamma${i}")
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(df, "text", 60)
+    assert(merges.size == 60)
+    assert(merges.map(m => (m.left, m.right)).distinct.size == 60)
+    val enc = BpeTrainer.encode(df, "doc_id", "text", merges)
+      .select("bpe_tokens").as[Seq[String]].collect().head
+    assert(enc.mkString("") == words.mkString(""))
+    // deterministic across runs (same plan, fresh lineage)
+    assert(BpeTrainer.train(df, "text", 60) == merges)
+  }
 }

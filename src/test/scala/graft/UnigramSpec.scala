@@ -53,6 +53,18 @@ class UnigramSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("extra EM rounds stay lossless and only shrink the vocab") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the rat")).toDF("doc_id", "text")
+    val p1 = Unigram.train(docs, "text", vocabSize = 20, emIters = 1)
+    val p3 = Unigram.train(docs, "text", vocabSize = 20, emIters = 3)
+    assert(p3.map(_.piece).toSet.subsetOf(p1.map(_.piece).toSet))
+    val out = Unigram.tokenize(docs, "doc_id", "text", p3)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L).replace(" ", "") == "thecatsatonthemat")
+  }
+
   test("frequent multi-char pieces actually win over per-char splits") {
     val docs = (1 to 50).map(i => (i.toLong, "abcd abcd abcd"))
       .toDF("doc_id", "text")
