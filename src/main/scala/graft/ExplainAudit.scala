@@ -11,6 +11,10 @@ import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      // same extensions as Verify/Bench — without them the audit shows
+      // pre-fusion plans (observed: q_j3's rules join reported unfused
+      // here while the real sessions push it down)
+      .withExtensions(new graft.plans.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

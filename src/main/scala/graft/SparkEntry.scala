@@ -918,6 +918,22 @@ object SparkEntry {
         s.read.parquet(art).select(col("doc_id"), col("fp")),
         "doc_id", maxDist = 3)
     }),
+    // audio-content near-dup: decode PCM → 64-window energy envelope →
+    // threshold hash → banded Hamming join. Exported energy grids give
+    // the oracle the same full-replay contract as the image variants;
+    // only the WAV decode is Spark-side.
+    "q_mm_audio_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = operators.Multimodal.audioTableWithClones(s, dir)
+      val art = artifactPath(dir, "ehash_grid")
+      dumpOnce(art) {
+        operators.Multimodal.audioEHash(media).toDF()
+          .write.mode("overwrite").parquet(art)
+      }
+      operators.Dedup.simHashNearDupsFrom(
+        s.read.parquet(art).select(col("doc_id"), col("fp")),
+        "doc_id", maxDist = 3)
+    }),
     // ---- training-data pipeline: sketches ------------------------------
     // KMV distinct-count sketch beside the exact count it estimates. The
     // sketch aggregation carries bounded k-long buffers (map-side merged);
@@ -2340,6 +2356,27 @@ object SparkEntry {
       s"""WITH gr AS (SELECT doc_id, g
              FROM read_parquet('/root/repo/artifacts/dhash_grid/sf=sf0.01/*.parquet')),
          f AS (SELECT doc_id, $terms AS fp FROM gr),
+         banded AS (
+           SELECT doc_id, fp, q, (fp >> (q * 16)) & 65535 AS bucket
+           FROM f, (VALUES (0), (1), (2), (3)) t2(q))
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.q = b.q AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+    },
+    // eHash replay from the exported 64-window energy grid: identical
+    // integer pipeline to the aHash oracle, over energies not pixels
+    "q_mm_audio_dedup" -> {
+      val terms = (0 until 64).map { i =>
+        val bit =
+          if (i == 63) "(-9223372036854775807::BIGINT - 1)"
+          else s"(1::BIGINT << $i)"
+        s"CASE WHEN 64*e[${i + 1}] > total THEN $bit ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH gr AS (SELECT doc_id, e
+             FROM read_parquet('/root/repo/artifacts/ehash_grid/sf=sf0.01/*.parquet')),
+         t AS (SELECT doc_id, e, CAST(list_sum(e) AS BIGINT) AS total FROM gr),
+         f AS (SELECT doc_id, $terms AS fp FROM t),
          banded AS (
            SELECT doc_id, fp, q, (fp >> (q * 16)) & 65535 AS bucket
            FROM f, (VALUES (0), (1), (2), (3)) t2(q))

@@ -181,6 +181,82 @@ object Multimodal {
       imageAHash(media).toDF().select(col("doc_id"), col("fp")),
       "doc_id", maxDist)
 
+  /** Energy-envelope hash per audio payload — the audio analog of
+    * [[imageAHash]]: mono samples split into 64 equal windows, window
+    * energy = Σ|sample| (exact integers), bit w set iff
+    * `64·e(w) > Σe`. Loudness-envelope shape survives re-encoding noise
+    * the way pixel structure survives brightness shifts, so the SAME
+    * banded Hamming join finds near-duplicate clips. Rows that don't
+    * decode as 16-bit PCM WAV, or are shorter than 64 samples, drop. */
+  final case class AudioHash(doc_id: Long, e: Array[Long], fp: Long)
+
+  def audioEHash(media: DataFrame)(
+      implicit spark: SparkSession): Dataset[AudioHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.flatMap { r =>
+        MediaFormats.wavSamples(r.payload)
+          .filter(_._2.length >= 64)
+          .map { case (_, mono) =>
+            val n = mono.length
+            val e = new Array[Long](64)
+            var i = 0
+            while (i < n) {
+              e((i.toLong * 64 / n).toInt) += math.abs(mono(i))
+              i += 1
+            }
+            var total = 0L
+            var w = 0
+            while (w < 64) { total += e(w); w += 1 }
+            var fp = 0L
+            w = 0
+            while (w < 64) {
+              if (64L * e(w) > total) fp |= 1L << w
+              w += 1
+            }
+            AudioHash(r.doc_id, e, fp)
+          }
+      }
+    }
+  }
+
+  /** Near-duplicate audio by envelope-hash Hamming distance — same
+    * banded machinery as [[imageNearDups]]/SimHash. */
+  def audioNearDups(media: DataFrame, maxDist: Int = 3)(
+      implicit spark: SparkSession): DataFrame =
+    Dedup.simHashNearDupsFrom(
+      audioEHash(media).toDF().select(col("doc_id"), col("fp")),
+      "doc_id", maxDist)
+
+  /** Patterned-audio fixture with near-dup clones, mirroring
+    * [[imageTableWithClones]]: each audio id renders a WAV whose
+    * loudness envelope follows an id-derived 16-bit pattern; every
+    * `cloneEvery`-th id gets a re-rendering with fresh noise (seed+1)
+    * under the SAME pattern at id+`cloneIdOffset` — same envelope,
+    * different samples: the controlled near-dup population. */
+  def audioTableWithClones(
+      spark: SparkSession,
+      docsDir: String,
+      cloneEvery: Long = 30L,
+      cloneIdOffset: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$docsDir/documents.parquet")
+      .select("doc_id").as[Long]
+      .filter(_ % 3 == 1)
+      .mapPartitions(_.flatMap { id =>
+        val n = 2000 + (id % 50).toInt * 100
+        val pattern = id * 0x9e3779b97f4a7c15L >>> 48 // id-derived 16 bits
+        val base = MediaRecord(id, "audio",
+          MediaFormats.wavPattern(8000, n, id, pattern))
+        // audio ids are ≡1 (mod 3), so anchor the clone draw at id-1 —
+        // `id % cloneEvery == 0` would never fire when 3 | cloneEvery
+        if ((id - 1) % cloneEvery == 0)
+          Iterator(base, MediaRecord(id + cloneIdOffset, "audio",
+            MediaFormats.wavPattern(8000, n, id + 1, pattern)))
+        else Iterator(base)
+      }).toDF()
+  }
+
   /** The image slice of [[mediaTableReal]] plus a deterministic
     * near-duplicate clone every `cloneEvery` ids: the clone re-renders
     * the SAME dimensions with a +1 pixel-seed shift (a uniform brightness

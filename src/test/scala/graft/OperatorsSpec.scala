@@ -570,6 +570,46 @@ class MultimodalSpec extends SparkSpec {
     assert(g.length == 72 && g.forall(v => v >= 0 && v <= 255))
   }
 
+  test("wavSamples matches javax.sound's decode of the same bytes") {
+    val bytes = MediaFormats.wav(11000, 2, nSamples = 123, seed = 7L)
+    val decoded = MediaFormats.wavSamples(bytes)
+    assert(decoded.isDefined)
+    val (rate, mono) = decoded.get
+    assert(rate == 11000 && mono.length == 123)
+    // independent decode via the JDK: signed 16-bit LE frames
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val raw = ais.readAllBytes()
+    for (f <- 0 until 123) {
+      val l = ((raw(f * 4) & 0xff) | (raw(f * 4 + 1) << 8)).toShort.toInt
+      val r = ((raw(f * 4 + 2) & 0xff) | (raw(f * 4 + 3) << 8)).toShort.toInt
+      assert(mono(f) == math.floorDiv(l + r, 2), s"frame $f")
+    }
+    // non-WAV payloads are None, not exceptions
+    assert(MediaFormats.wavSamples(MediaFormats.png(8, 8, 1L)).isEmpty)
+    assert(MediaFormats.wavSamples(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("audioEHash: same-pattern clips hash near, different patterns far") {
+    val a = Multimodal.MediaRecord(0L, "audio",
+      MediaFormats.wavPattern(8000, 3000, seed = 5L, pattern = 0xA5C3L))
+    val b = Multimodal.MediaRecord(1L, "audio",
+      MediaFormats.wavPattern(8000, 3000, seed = 6L, pattern = 0xA5C3L))
+    val c = Multimodal.MediaRecord(2L, "audio",
+      MediaFormats.wavPattern(8000, 3000, seed = 5L, pattern = 0x1248L))
+    val d = Multimodal.MediaRecord(3L, "image", MediaFormats.png(8, 8, 1L))
+    val hs = Multimodal.audioEHash(Seq(a, b, c, d).toDF())(spark)
+      .collect().map(ah => ah.doc_id -> ah.fp).toMap
+    assert(hs.keySet == Set(0L, 1L, 2L)) // the PNG row drops
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(hs(0L), hs(1L)) <= 3,
+      s"same envelope should hash near, got ${ham(hs(0L), hs(1L))}")
+    assert(ham(hs(0L), hs(2L)) > 3, "different envelope should hash far")
+    val pairs = Multimodal.audioNearDups(Seq(a, b, c).toDF())(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
   // ---- generator validity: JDK codecs (ImageIO / AudioSystem) agree ----
 
   test("generated PNG is a valid image per ImageIO, dims match") {
