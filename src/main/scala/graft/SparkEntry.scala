@@ -934,6 +934,16 @@ object SparkEntry {
         s.read.parquet(art).select(col("doc_id"), col("fp")),
         "doc_id", maxDist = 3)
     }),
+    // model-based quality filter: logistic regression over text stats,
+    // trained IN-ENGINE by 3 rounds of deterministic full-batch GD
+    // (integer micro-unit gradients — order-free sums), scored map-only
+    // with the learned weights as literals. Label: lang = 'en'. The
+    // oracle replays the ENTIRE training loop (unrolled iterations).
+    "q_quality_model" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .withColumn("y01", (col("lang") === "en").cast("int"))
+      operators.QualityModel.trainAndScore(docs, "doc_id", "text", "y01")
+    }),
     // ---- training-data pipeline: sketches ------------------------------
     // KMV distinct-count sketch beside the exact count it estimates. The
     // sketch aggregation carries bounded k-long buffers (map-side merged);
@@ -1435,6 +1445,55 @@ object SparkEntry {
            FROM dws JOIN wseg USING (word) GROUP BY doc_id)
        SELECT d.doc_id, coalesce(a.uni_text, '') AS uni_text
        FROM documents d LEFT JOIN asm a ON d.doc_id = a.doc_id"""
+  }
+
+  /** The q_quality_model oracle — unrolled full-batch GD replay of
+    * [[operators.QualityModel]]: per-iteration single-row weight CTEs,
+    * integer micro-unit gradient aggregates, every double expression in
+    * the operator's documented operand order. DuckDB regexp_replace
+    * needs the 'g' flag (Spark's replaces all matches by default). */
+  private def qualityModelOracleSql(iters: Int, lr: Double): String = {
+    val d = operators.QualityModel.NumFeatures
+    def zExpr = (0 until d)
+      .map(j => s"(w$j * (x$j::DOUBLE / 1000000.0))").mkString(" + ")
+    val featCols =
+      """1000000::BIGINT AS x0,
+         CAST(floor(least(length(text), 10000)::DOUBLE * 100.0 + 0.5)
+           AS BIGINT) AS x1,
+         CAST(floor(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+           * 1000000.0 / greatest(length(text), 1)::DOUBLE + 0.5)
+           AS BIGINT) AS x2,
+         CAST(floor(length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE
+           * 1000000.0 / greatest(length(text), 1)::DOUBLE + 0.5)
+           AS BIGINT) AS x3,
+         CAST(floor(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+           * 1000000.0 / greatest(length(text), 1)::DOUBLE + 0.5)
+           AS BIGINT) AS x4"""
+    val iterCtes = (1 to iters).map { it =>
+      val gs = (0 until d).map(j =>
+        s"""CAST(sum(CAST(floor(((sigma - y) * (x$j::DOUBLE / 1000000.0))
+            * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g$j""")
+        .mkString(", ")
+      val ws = (0 until d).map(j =>
+        s"w$j - $lr * g$j::DOUBLE / (1000000.0 * n::DOUBLE) AS w$j")
+        .mkString(", ")
+      s"""s$it AS (SELECT f.*, 1.0 / (1.0 + exp(-($zExpr))) AS sigma
+             FROM f, w${it - 1}),
+         g$it AS (SELECT $gs FROM s$it),
+         w$it AS (SELECT $ws FROM w${it - 1}, g$it, nn)"""
+    }.mkString(",\n         ")
+    s"""WITH f AS (
+           SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             $featCols
+           FROM documents),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+         w0 AS (SELECT ${(0 until d).map(j => s"0.0 AS w$j").mkString(", ")}),
+         $iterCtes
+       SELECT doc_id, y,
+         CAST(floor((1.0 / (1.0 + exp(-($zExpr)))) * 1000000.0 + 0.5)
+           AS BIGINT) AS score_mu
+       FROM f, w$iters"""
   }
 
   /** Shared by q_dedup_incremental and q_dedup_incremental_persisted —
@@ -2882,6 +2941,7 @@ object SparkEntry {
          FROM e WHERE reps > 0""",
     // the tokenize oracle's merge re-derivation, emitting the arrays
     "q_unigram_tokenize" -> unigramOracleSql(vocabSize = 60, l = 4, w = 16),
+    "q_quality_model" -> qualityModelOracleSql(iters = 3, lr = 0.5),
     "q_bpe_encode" -> {
       val applied = (1 to 5).foldLeft(
         "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')") { (acc, i) =>

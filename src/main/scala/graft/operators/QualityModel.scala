@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the fasttext-style classifier stage
+  * every LLM data recipe runs (GPT-3/CCNet lineage: score each document
+  * against a small supervised model, keep by threshold or importance
+  * sample by score). The model here is logistic regression over cheap
+  * text statistics, TRAINED IN-ENGINE by deterministic full-batch
+  * gradient descent — no model files, no external runtime, and the
+  * whole training loop replays exactly in the DuckDB oracle.
+  *
+  * Scale shape: one corpus scan per GD iteration (an aggregate of d
+  * per-feature partial sums, map-side combined — gradient descent is
+  * inherently sequential in iterations, and K is small); driver state is
+  * the d-vector of weights and one count. Scoring is a map-only
+  * projection with the learned weights folded in as literals.
+  *
+  * Determinism contract: features are exact MICRO-UNIT integers
+  * (floor(1e6·ratio + 0.5)); each document's gradient contribution is
+  * micro-unit rounded BEFORE the sum, so the per-iteration gradient is
+  * an integer aggregate — order-free and bit-identical cross-engine.
+  * The weight update is a fixed double expression over those integers
+  * (evaluated in one documented operand order), and the sigmoid's `exp`
+  * sits behind the 10⁻⁶ rounding where a 1-ulp libm disagreement cannot
+  * move a contribution (the [[LmScore]] discipline).
+  */
+object QualityModel {
+
+  /** Feature count: bias + 4 text statistics. */
+  val NumFeatures = 5
+
+  /** Micro-unit integer features, fixed order — the contract the oracle
+    * replays: bias; length ratio (chars/10k, capped); digit ratio;
+    * space ratio; lowercase-letter ratio. All from one `text` column,
+    * codegen-friendly string expressions only. */
+  def featuresMu(text: Column): Seq[Column] = {
+    val len = length(text)
+    val safeLen = greatest(len, lit(1)).cast("double")
+    def classCount(cls: String): Column =
+      length(regexp_replace(text, cls, "")).cast("double")
+    def ratioMu(count: Column): Column =
+      floor(count * lit(1e6d) / safeLen + lit(0.5d)).cast("long")
+    Seq(
+      lit(1000000L),
+      floor(least(len, lit(10000)).cast("double") * lit(100.0d) + lit(0.5d))
+        .cast("long"),
+      ratioMu(classCount("[^0-9]")),
+      ratioMu(classCount("[^ ]")),
+      ratioMu(classCount("[^a-z]")))
+  }
+
+  /** Learn weights by `iters` rounds of full-batch GD on logistic loss.
+    * `labelCol` must be 0/1 integers. Returns the weight vector (one
+    * double per feature, bias first). */
+  def train(
+      df: DataFrame,
+      textCol: String,
+      labelCol: String,
+      iters: Int = 3,
+      lr: Double = 0.5d): Array[Double] = {
+    require(iters >= 1 && lr > 0)
+    val xs = featuresMu(col(textCol))
+    val y = col(labelCol).cast("double")
+    val w = Array.fill(NumFeatures)(0.0d)
+    val n = df.count()
+    require(n > 0, "cannot train on an empty corpus")
+    var it = 0
+    while (it < iters) {
+      // z = Σ w_j · (x_j/1e6), explicit left-to-right fixed order
+      val z = xs.zipWithIndex.map { case (x, j) =>
+        lit(w(j)) * (x.cast("double") / lit(1e6d))
+      }.reduce(_ + _)
+      val sigma = lit(1.0d) / (lit(1.0d) + exp(negate(z)))
+      // per-doc contribution, micro-rounded BEFORE the (integer) sum
+      val grads = xs.zipWithIndex.map { case (x, j) =>
+        sum(floor((sigma - y) * (x.cast("double") / lit(1e6d)) * lit(1e6d)
+          + lit(0.5d)).cast("long")).as(s"g$j")
+      }
+      val row = df.agg(grads.head, grads.tail: _*).collect()(0)
+      var j = 0
+      while (j < NumFeatures) {
+        // one documented operand order: w - lr·g / (1e6·N)
+        w(j) = w(j) - lr * row.getLong(j).toDouble / (1e6d * n.toDouble)
+        j += 1
+      }
+      it += 1
+    }
+    w
+  }
+
+  /** Score every document under learned weights: map-only, weights as
+    * plan literals. Output appends `score_mu` — σ(w·x) in micro-units,
+    * the keep-threshold / importance-sampling key. */
+  def score(
+      df: DataFrame,
+      textCol: String,
+      w: Array[Double]): DataFrame = {
+    require(w.length == NumFeatures)
+    val xs = featuresMu(col(textCol))
+    val z = xs.zipWithIndex.map { case (x, j) =>
+      lit(w(j)) * (x.cast("double") / lit(1e6d))
+    }.reduce(_ + _)
+    val sigma = lit(1.0d) / (lit(1.0d) + exp(negate(z)))
+    df.withColumn("score_mu", floor(sigma * lit(1e6d) + lit(0.5d)).cast("long"))
+  }
+
+  /** Train on a 0/1 label and score the same corpus — the composed
+    * quality-filter pass (label from any deterministic signal; the
+    * flagship query uses `lang = 'en'`). */
+  def trainAndScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      iters: Int = 3,
+      lr: Double = 0.5d): DataFrame = {
+    val w = train(df, textCol, labelCol, iters, lr)
+    score(df, textCol, w)
+      .select(col(idCol), col(labelCol).cast("int").as("y"), col("score_mu"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.QualityModel
+import org.apache.spark.sql.functions._
+
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // separable corpus: "good" docs are lowercase prose, "bad" docs are
+  // digit-heavy noise — the lowercase/digit ratio features split them
+  private lazy val docs = (
+    (1 to 30).map(i => (i.toLong, s"plain readable prose text number $i", 1)) ++
+    (31 to 60).map(i => (i.toLong, s"00${i}11 2345 9$i 77 ${i}8", 0)))
+    .toDF("doc_id", "text", "y01")
+
+  test("GD training separates the classes it was given") {
+    val w = QualityModel.train(docs, "text", "y01", iters = 5)
+    assert(w.length == QualityModel.NumFeatures)
+    val scored = QualityModel.score(docs, "text", w)
+      .select(col("y01"), col("score_mu"))
+      .as[(Int, Long)].collect()
+    val pos = scored.filter(_._1 == 1).map(_._2)
+    val neg = scored.filter(_._1 == 0).map(_._2)
+    // every positive outscores every negative on this separable corpus
+    assert(pos.min > neg.max,
+      s"pos.min=${pos.min} neg.max=${neg.max} w=${w.mkString(",")}")
+  }
+
+  test("training is deterministic and invariant to input partitioning") {
+    val w1 = QualityModel.train(docs, "text", "y01")
+    val w2 = QualityModel.train(docs.repartition(7), "text", "y01")
+    // integer micro-unit gradients make the sum order-free: weights are
+    // bit-identical regardless of partitioning
+    assert(w1.toSeq == w2.toSeq)
+    val s1 = QualityModel.trainAndScore(docs, "doc_id", "text", "y01")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val s2 = QualityModel.trainAndScore(docs.repartition(5), "doc_id", "text", "y01")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(s1 == s2)
+  }
+
+  test("scoring is a map-only plan with literal weights") {
+    val w = Array(0.1, 0.2, -0.3, 0.0, 0.4)
+    val plan = QualityModel.score(docs, "text", w)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
+  }
+
+  test("empty corpus refuses to train") {
+    intercept[IllegalArgumentException] {
+      QualityModel.train(docs.filter(col("doc_id") < 0), "text", "y01")
+    }
+  }
+}
