@@ -944,6 +944,17 @@ object SparkEntry {
         .withColumn("y01", (col("lang") === "en").cast("int"))
       operators.QualityModel.trainAndScore(docs, "doc_id", "text", "y01")
     }),
+    // classifier-weighted retention: the GPT-3 recipe's importance draw —
+    // keep iff the learned quality score beats the row's deterministic
+    // uniform draw; composes the trained model with the hash-draw
+    // machinery, end-to-end oracle-replayed
+    "q_quality_sample" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .withColumn("y01", (col("lang") === "en").cast("int"))
+      operators.Sampling.importanceSample(
+        operators.QualityModel.trainAndScore(docs, "doc_id", "text", "y01"),
+        "doc_id", "score_mu", seed = 11L)
+    }),
     // ---- training-data pipeline: sketches ------------------------------
     // KMV distinct-count sketch beside the exact count it estimates. The
     // sketch aggregation carries bounded k-long buffers (map-side merged);
@@ -2942,6 +2953,13 @@ object SparkEntry {
     // the tokenize oracle's merge re-derivation, emitting the arrays
     "q_unigram_tokenize" -> unigramOracleSql(vocabSize = 60, l = 4, w = 16),
     "q_quality_model" -> qualityModelOracleSql(iters = 3, lr = 0.5),
+    "q_quality_sample" ->
+      s"""SELECT doc_id, y, score_mu FROM (
+            ${qualityModelOracleSql(iters = 3, lr = 0.5)}
+          ) q
+          WHERE score_mu >
+            ('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 8))::BIGINT
+              % 1000000""",
     "q_bpe_encode" -> {
       val applied = (1 to 5).foldLeft(
         "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')") { (acc, i) =>

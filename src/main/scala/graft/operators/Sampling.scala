@@ -37,6 +37,19 @@ object Sampling {
         .cast("long"),
       lit(Resolution))
 
+  /** Importance sampling by a micro-unit score — the GPT-3-recipe draw:
+    * keep a row iff its quality score beats the row's deterministic
+    * uniform draw (`score_mu > bucket(id)`), so keep probability equals
+    * score_mu/10⁶ per row, reproducibly (no RNG; same row always makes
+    * the same decision under a seed). Map-only filter; compose after
+    * [[QualityModel.trainAndScore]] for classifier-weighted retention. */
+  def importanceSample(
+      df: DataFrame,
+      idCol: String,
+      scoreMuCol: String,
+      seed: Long = 0L): DataFrame =
+    df.filter(col(scoreMuCol) > hashBucket(col(idCol), seed))
+
   /** Deterministic train/val/test (or any n-way) split: appends `split`
     * with the name whose cumulative weight range contains the row's
     * bucket. Weights need not sum to 1 — they're normalized. Rows land in

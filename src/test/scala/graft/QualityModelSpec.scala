@@ -46,6 +46,22 @@ class QualityModelSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
   }
 
+  test("importance sampling keeps rows exactly when score beats the draw") {
+    import graft.operators.Sampling
+    val scored = QualityModel.trainAndScore(docs, "doc_id", "text", "y01",
+      iters = 5)
+    val kept = Sampling.importanceSample(scored, "doc_id", "score_mu", seed = 3L)
+      .select("doc_id").as[Long].collect().toSet
+    val model = scored.select(col("doc_id"), col("score_mu"),
+        Sampling.hashBucket(col("doc_id"), 3L).as("b"))
+      .as[(Long, Long, Long)].collect()
+    assert(kept == model.filter(r => r._2 > r._3).map(_._1).toSet)
+    // high-scoring positives are kept far more often than noise docs
+    val posKept = model.filter(r => r._1 <= 30 && kept(r._1)).length
+    val negKept = model.filter(r => r._1 > 30 && kept(r._1)).length
+    assert(posKept > negKept)
+  }
+
   test("empty corpus refuses to train") {
     intercept[IllegalArgumentException] {
       QualityModel.train(docs.filter(col("doc_id") < 0), "text", "y01")
