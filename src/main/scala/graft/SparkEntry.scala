@@ -1187,6 +1187,13 @@ object SparkEntry {
         .select(col("doc_id"),
           array_join(col("bpe_tokens"), " ").as("bpe_text"))
     }),
+    // the learned unigram piece table itself — the vocab artifact a
+    // tokenizer deployment ships; oracle shares the full training replay
+    "q_unigram_vocab" -> ((s, dir) => {
+      import s.implicits._
+      operators.Unigram.train(read(s, dir, "documents"), "text",
+        vocabSize = 60).toDF()
+    }),
     // unigram-LM (SentencePiece-style) tokenizer: substring-seeded vocab,
     // one hard-EM round, Viterbi segmentation — the oracle replays the
     // WHOLE pipeline (both Viterbi passes as unrolled DP + recursive
@@ -1346,45 +1353,82 @@ object SparkEntry {
     * map extraction yields a one-element list; empty ⇒ NULL ⇒ the
     * NegInf sentinel). Generated, not hand-written, so the unroll width
     * follows the operator's chunkLen. */
-  private def unigramOracleSql(vocabSize: Int, l: Int, w: Int): String = {
+  /** One Viterbi DP as chained CTEs — one CTE per position: a lateral
+    * alias would be EXPANDED TEXTUALLY by the binder, making b16's tree
+    * ~4^16 nodes (observed hang); chaining makes each prior level's best
+    * score a real column. */
+  private def unigramDpCtes(name: String, mapCte: String, l: Int, w: Int): String = {
     val neg = operators.Unigram.NegInf.toString
     def lpAt(j: Int, len: Int) =
       s"coalesce(m[substr(chunk, ${j + 1}, $len)][1], $neg)"
     val clList = (1 to w).map("c" + _).mkString("[", ", ", "]")
-    // one CTE per DP level: a lateral alias would be EXPANDED TEXTUALLY
-    // by the binder, making b16's tree ~4^16 nodes (observed hang); a
-    // chained CTE makes each prior level's b a real column
-    def dp(name: String, mapCte: String) = {
-      val levels = (1 to w).map { k =>
-        val lMax = math.min(l, k)
-        val cands = (lMax to 1 by -1)
-          .map(pl => s"(b${k - pl} + ${lpAt(k - pl, pl)})")
-        val branches = (lMax to 2 by -1)
-          .map(pl => s"WHEN b$k = (b${k - pl} + ${lpAt(k - pl, pl)}) THEN $pl")
-        val ck =
-          if (branches.isEmpty) s"1 AS c$k"
-          else s"CASE ${branches.mkString(" ")} ELSE 1 END AS c$k"
-        s"""${name}_$k AS (
-             SELECT *, greatest(${cands.mkString(", ")}) AS b$k, $ck
-             FROM ${name}_${k - 1})"""
-      }.mkString(",\n         ")
-      s"""${name}_0 AS (
-           SELECT chunk, length(chunk) AS len, m, 0::BIGINT AS b0
-           FROM cd, $mapCte),
-         $levels,
-         $name AS (SELECT chunk, len, $clList AS cl FROM ${name}_$w)"""
-    }
-    def seg(name: String, dpName: String) =
-      s"""seg$name AS (
-           SELECT chunk, len AS pos, []::VARCHAR[] AS pieces FROM $dpName
-           UNION ALL
-           SELECT s.chunk, s.pos - d.cl[s.pos],
-             list_prepend(
-               substr(s.chunk, s.pos - d.cl[s.pos] + 1, d.cl[s.pos]),
-               s.pieces)
-           FROM seg$name s JOIN $dpName d ON s.chunk = d.chunk
-           WHERE s.pos > 0),
-         sf$name AS (SELECT chunk, pieces FROM seg$name WHERE pos = 0)"""
+    val levels = (1 to w).map { k =>
+      val lMax = math.min(l, k)
+      val cands = (lMax to 1 by -1)
+        .map(pl => s"(b${k - pl} + ${lpAt(k - pl, pl)})")
+      val branches = (lMax to 2 by -1)
+        .map(pl => s"WHEN b$k = (b${k - pl} + ${lpAt(k - pl, pl)}) THEN $pl")
+      val ck =
+        if (branches.isEmpty) s"1 AS c$k"
+        else s"CASE ${branches.mkString(" ")} ELSE 1 END AS c$k"
+      s"""${name}_$k AS (
+           SELECT *, greatest(${cands.mkString(", ")}) AS b$k, $ck
+           FROM ${name}_${k - 1})"""
+    }.mkString(",\n         ")
+    s"""${name}_0 AS (
+         SELECT chunk, length(chunk) AS len, m, 0::BIGINT AS b0
+         FROM cd, $mapCte),
+       $levels,
+       $name AS (SELECT chunk, len, $clList AS cl FROM ${name}_$w)"""
+  }
+
+  /** The recursive-CTE backtrack over a DP's chosen-length list. */
+  private def unigramSegCtes(name: String, dpName: String): String =
+    s"""seg$name AS (
+         SELECT chunk, len AS pos, []::VARCHAR[] AS pieces FROM $dpName
+         UNION ALL
+         SELECT s.chunk, s.pos - d.cl[s.pos],
+           list_prepend(
+             substr(s.chunk, s.pos - d.cl[s.pos] + 1, d.cl[s.pos]),
+             s.pieces)
+         FROM seg$name s JOIN $dpName d ON s.chunk = d.chunk
+         WHERE s.pos > 0),
+       sf$name AS (SELECT chunk, pieces FROM seg$name WHERE pos = 0)"""
+
+  private def unigramOracleSql(vocabSize: Int, l: Int, w: Int): String = {
+    def dp(name: String, mapCte: String) = unigramDpCtes(name, mapCte, l, w)
+    def seg(name: String, dpName: String) = unigramSegCtes(name, dpName)
+    unigramTrainPrefix(vocabSize, l, w, dp, seg) + s""",
+         m1c AS (SELECT map(list(piece ORDER BY piece),
+                            list(lp ORDER BY piece)) AS m FROM lp1),
+         ${dp("dp1", "m1c")},
+         ${seg("1", "dp1")},
+         wch AS (SELECT DISTINCT word, ci, chunk FROM ch),
+         wseg AS (
+           SELECT word, flatten(list(pieces ORDER BY ci)) AS wp
+           FROM wch JOIN sf1 USING (chunk) GROUP BY word),
+         dws AS (
+           SELECT doc_id, i, ws[i] AS word
+           FROM (SELECT doc_id, list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   x -> length(x) > 0) AS ws FROM documents),
+                unnest(range(1, len(ws) + 1)) t(i)),
+         asm AS (
+           SELECT doc_id,
+             array_to_string(flatten(list(wp ORDER BY i)), ' ') AS uni_text
+           FROM dws JOIN wseg USING (word) GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(a.uni_text, '') AS uni_text
+       FROM documents d LEFT JOIN asm a ON d.doc_id = a.doc_id"""
+  }
+
+  /** The seeding + one-EM-round CTE chain shared by the tokenize and
+    * vocab oracles — everything up to the final scores (`lp1`). */
+  private def unigramTrainPrefix(
+      vocabSize: Int,
+      l: Int,
+      w: Int,
+      dp: (String, String) => String,
+      seg: (String, String) => String): String =
     s"""WITH RECURSIVE
          wf AS (
            SELECT word, CAST(count(*) AS BIGINT) AS cnt
@@ -1435,27 +1479,16 @@ object SparkEntry {
            SELECT piece,
              CAST(floor(ln((ec + 1)::DOUBLE / (t1 + n1)::DOUBLE) * 1e6 + 0.5)
                AS BIGINT) AS lp
-           FROM ret, tn),
-         m1c AS (SELECT map(list(piece ORDER BY piece),
-                            list(lp ORDER BY piece)) AS m FROM lp1),
-         ${dp("dp1", "m1c")},
-         ${seg("1", "dp1")},
-         wch AS (SELECT DISTINCT word, ci, chunk FROM ch),
-         wseg AS (
-           SELECT word, flatten(list(pieces ORDER BY ci)) AS wp
-           FROM wch JOIN sf1 USING (chunk) GROUP BY word),
-         dws AS (
-           SELECT doc_id, i, ws[i] AS word
-           FROM (SELECT doc_id, list_filter(
-                   string_split_regex(trim(lower(text)), '\\s+'),
-                   x -> length(x) > 0) AS ws FROM documents),
-                unnest(range(1, len(ws) + 1)) t(i)),
-         asm AS (
-           SELECT doc_id,
-             array_to_string(flatten(list(wp ORDER BY i)), ' ') AS uni_text
-           FROM dws JOIN wseg USING (word) GROUP BY doc_id)
-       SELECT d.doc_id, coalesce(a.uni_text, '') AS uni_text
-       FROM documents d LEFT JOIN asm a ON d.doc_id = a.doc_id"""
+           FROM ret, tn)"""
+
+  /** The learned piece table alone — the vocab artifact a tokenizer
+    * deployment ships; shares the full training replay with
+    * [[unigramOracleSql]]. */
+  private def unigramVocabOracleSql(vocabSize: Int, l: Int, w: Int): String = {
+    def dp(name: String, mapCte: String) = unigramDpCtes(name, mapCte, l, w)
+    def seg(name: String, dpName: String) = unigramSegCtes(name, dpName)
+    unigramTrainPrefix(vocabSize, l, w, dp, seg) +
+      "\n       SELECT piece, lp AS lp_micros FROM lp1"
   }
 
   /** The q_quality_model oracle — unrolled full-batch GD replay of
@@ -2952,6 +2985,7 @@ object SparkEntry {
          FROM e WHERE reps > 0""",
     // the tokenize oracle's merge re-derivation, emitting the arrays
     "q_unigram_tokenize" -> unigramOracleSql(vocabSize = 60, l = 4, w = 16),
+    "q_unigram_vocab" -> unigramVocabOracleSql(vocabSize = 60, l = 4, w = 16),
     "q_quality_model" -> qualityModelOracleSql(iters = 3, lr = 0.5),
     "q_quality_sample" ->
       s"""SELECT doc_id, y, score_mu FROM (
