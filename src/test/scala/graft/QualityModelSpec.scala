@@ -62,6 +62,36 @@ class QualityModelSpec extends SparkSpec {
     assert(posKept > negKept)
   }
 
+  test("distributed GD equals a sequential in-JVM reference replay") {
+    // the same micro-unit arithmetic run sequentially over collected
+    // feature rows must give bit-identical weights — the in-process
+    // mirror of what the DuckDB oracle replays
+    val rows = docs
+      .select(Seq(col("y01").cast("double").as("y")) ++
+        QualityModel.featuresMu(col("text")).zipWithIndex
+          .map { case (c, j) => c.as(s"x$j") }: _*)
+      .collect()
+      .map(r => (r.getDouble(0), (0 until QualityModel.NumFeatures)
+        .map(j => r.getLong(j + 1)).toArray))
+    val n = rows.length
+    val w = Array.fill(QualityModel.NumFeatures)(0.0d)
+    for (_ <- 1 to 3) {
+      val g = Array.fill(QualityModel.NumFeatures)(0L)
+      for ((y, xs) <- rows) {
+        val z = (0 until QualityModel.NumFeatures)
+          .map(j => w(j) * (xs(j).toDouble / 1e6d)).sum
+        val sigma = 1.0d / (1.0d + math.exp(-z))
+        for (j <- 0 until QualityModel.NumFeatures)
+          g(j) += math.floor((sigma - y) * (xs(j).toDouble / 1e6d) * 1e6d
+            + 0.5d).toLong
+      }
+      for (j <- 0 until QualityModel.NumFeatures)
+        w(j) = w(j) - 0.5d * g(j).toDouble / (1e6d * n.toDouble)
+    }
+    val trained = QualityModel.train(docs, "text", "y01")
+    assert(trained.toSeq == w.toSeq)
+  }
+
   test("empty corpus refuses to train") {
     intercept[IllegalArgumentException] {
       QualityModel.train(docs.filter(col("doc_id") < 0), "text", "y01")

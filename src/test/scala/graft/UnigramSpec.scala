@@ -65,6 +65,46 @@ class UnigramSpec extends SparkSpec {
     assert(out(1L).replace(" ", "") == "thecatsatonthemat")
   }
 
+  test("Viterbi matches brute-force enumeration on random chunks/vocabs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val alphabet = "abc"
+    def gen: Gen[(String, Map[String, Long])] = for {
+      n <- Gen.chooseNum(1, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf(alphabet.toSeq))
+      // random multi-char pieces over the alphabet; ALL singles present
+      nPieces <- Gen.chooseNum(0, 6)
+      ps <- Gen.listOfN(nPieces, for {
+        l <- Gen.chooseNum(2, 4)
+        pcs <- Gen.listOfN(l, Gen.oneOf(alphabet.toSeq))
+        lp <- Gen.chooseNum(-40000000L, -1000000L)
+      } yield (pcs.mkString, lp))
+      singles <- Gen.listOfN(3, Gen.chooseNum(-40000000L, -1000000L))
+    } yield (cs.mkString,
+      (alphabet.toSeq.map(_.toString).zip(singles) ++ ps).toMap)
+    // brute force: all segmentations into pieces of length <= 4
+    def all(s: String): Seq[Seq[String]] =
+      if (s.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(4, s.length)).flatMap(l =>
+        all(s.drop(l)).map(s.take(l) +: _))
+    def score(seg: Seq[String], lp: Map[String, Long]): Long =
+      seg.map(p => lp.getOrElse(p, Unigram.NegInf)).sum
+    val cases = (0 until 40).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(1337L + i)))
+    for ((chunk, lp) <- cases) {
+      val got = seg(chunk, lp)
+      assert(got.mkString("") == chunk, s"lossless: $chunk")
+      val best = all(chunk).map(s => score(s, lp)).max
+      assert(score(got, lp) == best,
+        s"optimal: chunk=$chunk lp=$lp got=$got (${score(got, lp)} vs $best)")
+      // tie-break: among optimal segmentations, ours is the one a
+      // longest-piece-first greedy backtrack produces — check it is at
+      // least not longer (fewer-or-equal pieces) than every optimum
+      val optimal = all(chunk).filter(s => score(s, lp) == best)
+      assert(optimal.exists(_ == got))
+    }
+  }
+
   test("frequent multi-char pieces actually win over per-char splits") {
     val docs = (1 to 50).map(i => (i.toLong, "abcd abcd abcd"))
       .toDF("doc_id", "text")
