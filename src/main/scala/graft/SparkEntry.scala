@@ -955,6 +955,23 @@ object SparkEntry {
         operators.QualityModel.trainAndScore(docs, "doc_id", "text", "y01"),
         "doc_id", "score_mu", seed = 11L)
     }),
+    // the composed mini-recipe: train a quality model on the corpus,
+    // keep by importance draw, then near-dup dedup the survivors — the
+    // classifier→sample→dedup chain of a real data recipe, end-to-end
+    // under ONE exact oracle (unrolled GD + draw filter + all-pairs
+    // Jaccard + transitive closure)
+    "q_pipeline_recipe" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+        .withColumn("y01", (col("lang") === "en").cast("int"))
+      val scored = operators.QualityModel
+        .trainAndScore(docs, "doc_id", "text", "y01")
+      val kept = operators.Sampling
+        .importanceSample(scored, "doc_id", "score_mu", seed = 11L)
+      val keptDocs = docs.join(kept.select("doc_id", "score_mu"), Seq("doc_id"))
+      operators.Dedup.nearDupDedup(keptDocs, "doc_id", "text",
+          jaccardThreshold = 0.8)
+        .select("doc_id", "lang", "source", "score_mu")
+    }),
     // ---- training-data pipeline: sketches ------------------------------
     // KMV distinct-count sketch beside the exact count it estimates. The
     // sketch aggregation carries bounded k-long buffers (map-side merged);
@@ -2994,6 +3011,46 @@ object SparkEntry {
           WHERE score_mu >
             ('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 8))::BIGINT
               % 1000000""",
+    // the composed recipe replay: the quality-model training loop as a
+    // nested CTE, the importance draw, then exact all-pairs Jaccard +
+    // transitive closure over the SURVIVORS only (the q_dedup_resolve
+    // pattern restricted to the kept set)
+    "q_pipeline_recipe" ->
+      s"""WITH RECURSIVE
+         qm AS (${qualityModelOracleSql(iters = 3, lr = 0.5)}),
+         kept AS (
+           SELECT doc_id, score_mu FROM qm
+           WHERE score_mu >
+             ('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 8))::BIGINT
+               % 1000000),
+         kw AS (
+           SELECT d.doc_id,
+             string_split_regex(trim(lower(d.text)), '\\s+') AS ws
+           FROM documents d JOIN kept k ON d.doc_id = k.doc_id),
+         ksh AS (
+           SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS s
+           FROM kw),
+         ke AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM ksh a JOIN ksh b ON b.doc_id > a.doc_id
+           WHERE len(list_intersect(a.s, b.s)) /
+               CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                 AS DOUBLE) >= 0.8),
+         kund AS (SELECT id_a AS a, id_b AS b FROM ke
+                  UNION SELECT id_b, id_a FROM ke),
+         kreach AS (
+           SELECT a, b FROM kund
+           UNION
+           SELECT r.a, u.b FROM kreach r JOIN kund u ON r.b = u.a
+           WHERE u.b <> r.a)
+         SELECT d.doc_id, d.lang, d.source, k.score_mu
+         FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+         WHERE d.doc_id NOT IN
+           (SELECT a FROM kreach GROUP BY a HAVING min(b) < a)""",
     "q_bpe_encode" -> {
       val applied = (1 to 5).foldLeft(
         "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')") { (acc, i) =>
