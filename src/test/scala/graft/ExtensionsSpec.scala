@@ -134,6 +134,51 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.join(broadcast(allNull), cond2, "left_anti").count() == 4)
   }
 
+  test("FuseRangeRuleJoin: fused results equal the reference model on random rules") {
+    import org.apache.spark.sql.functions.broadcast
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // random one- and two-column rule sets with occasional NULL bounds,
+    // random keys with occasional NULLs; the fused filter must match a
+    // plain in-JVM evaluation of the join semantics exactly
+    val genCase = for {
+      nRules <- Gen.chooseNum(0, 5)
+      rules <- Gen.listOfN(nRules, for {
+        lo <- Gen.option(Gen.chooseNum(0L, 20L))
+        span <- Gen.chooseNum(0L, 6L)
+        lo2 <- Gen.option(Gen.chooseNum(0L, 20L))
+        span2 <- Gen.chooseNum(0L, 6L)
+      } yield (lo, lo.map(_ + span), lo2, lo2.map(_ + span2)))
+      nKeys <- Gen.chooseNum(1, 25)
+      keys <- Gen.listOfN(nKeys, for {
+        a <- Gen.option(Gen.chooseNum(0L, 26L))
+        b <- Gen.option(Gen.chooseNum(0L, 26L))
+      } yield (a, b))
+    } yield (rules, keys)
+    val cases = (0 until 12).flatMap(i =>
+      genCase.apply(Gen.Parameters.default, Seed(4242L + i)))
+    for (((rules, keys), ci) <- cases.zipWithIndex) {
+      val rulesDf = rules.toDF("lo_a", "hi_a", "lo_b", "hi_b")
+      val df = keys.toDF("a", "b")
+      def matches(k: (Option[Long], Option[Long])): Boolean =
+        rules.exists { case (lo, hi, lo2, hi2) =>
+          (for (a <- k._1; b <- k._2; l <- lo; h <- hi; l2 <- lo2; h2 <- hi2)
+            yield a >= l && a <= h && b >= l2 && b <= h2).getOrElse(false)
+        }
+      val cond = df("a") >= rulesDf("lo_a") && df("a") <= rulesDf("hi_a") &&
+        df("b") >= rulesDf("lo_b") && df("b") <= rulesDf("hi_b")
+      def got(tpe: String): Seq[(Option[Long], Option[Long])] =
+        df.join(broadcast(rulesDf), cond, tpe).collect().toSeq.map(r =>
+          (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+            if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      val semi = got("left_semi").sorted
+      val anti = got("left_anti").sorted
+      assert(semi == keys.filter(matches).sorted, s"case $ci semi: $rules $keys")
+      assert(anti == keys.filterNot(matches).sorted, s"case $ci anti: $rules $keys")
+    }
+  }
+
   test("FuseRangeRuleJoin leaves non-rule joins untouched") {
     import org.apache.spark.sql.functions.broadcast
     import spark.implicits._
