@@ -108,7 +108,8 @@ object Bench {
     "q_unigram_tokenize" -> 0.42, "q_dedup_incremental_persisted" -> 1.32,
     "q_mm_image_dedup_dhash" -> 0.20, "q_mm_audio_dedup" -> 0.40,
     "q_quality_model" -> 0.80, "q_quality_sample" -> 0.85,
-    "q_unigram_vocab" -> 0.35, "q_pipeline_recipe" -> 1.60)
+    "q_unigram_vocab" -> 0.35, "q_pipeline_recipe" -> 1.60,
+    "q_sketch_hll_merge" -> 0.60)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

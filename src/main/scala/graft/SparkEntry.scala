@@ -994,6 +994,23 @@ object SparkEntry {
       operators.Sketches.hllDistinct(
         read(s, dir, "lineitem"), Seq("l_returnflag"), "l_orderkey",
         p = 6, seed = 11)),
+    // HLL mergeability — THE property that makes sketches work at
+    // 100 TB (partial registers per partition/batch, register-max merge
+    // at the top): two disjoint halves' sketches merged must estimate
+    // exactly what the whole-corpus sketch estimates, so the one oracle
+    // covers both
+    "q_sketch_hll_merge" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val ra = operators.Sketches.hllRegisters(
+        li.filter(col("l_orderkey") % 2 === 0), Seq("l_returnflag"),
+        "l_orderkey", p = 6, seed = 11)
+      val rb = operators.Sketches.hllRegisters(
+        li.filter(col("l_orderkey") % 2 =!= 0), Seq("l_returnflag"),
+        "l_orderkey", p = 6, seed = 11)
+      operators.Sketches.hllEstimate(
+        operators.Sketches.hllMerge(ra, rb, Seq("l_returnflag")),
+        Seq("l_returnflag"), p = 6)
+    }),
     // count-min sketch probed at the exact top-10 heavy hitters: the
     // sketch is a bounded depth×width counter table (broadcastable), the
     // estimate the min over depth counters — never below the exact count
@@ -1599,6 +1616,29 @@ object SparkEntry {
            AND doc_id NOT IN (SELECT doc_id FROM cross_drop)
            AND doc_id NOT IN (SELECT a FROM reach GROUP BY a
                               HAVING min(b) < a)"""
+
+  /** Shared by q_sketch_hll and q_sketch_hll_merge: register-max
+    * merging is exact, so the merged-halves estimate equals the
+    * whole-corpus estimate. */
+  private def hllOracleSql: String =
+    s"""WITH h AS (SELECT l_returnflag,
+             ('0x' || substr(md5(l_orderkey::VARCHAR || ':11'), 1, 15))::BIGINT AS h
+           FROM lineitem),
+         b AS (SELECT l_returnflag, (h >> 54) AS idx,
+             (h & ((1::BIGINT << 54) - 1)) AS rest FROM h),
+         regs AS (SELECT l_returnflag, idx,
+             max(CASE WHEN rest = 0 THEN 55
+                 ELSE bit_count((rest & (-rest)) - 1) + 1 END) AS rho
+           FROM b GROUP BY 1, 2),
+         z AS (SELECT l_returnflag,
+             CAST(sum((1::BIGINT << (55 - rho))) AS BIGINT) AS zpresent,
+             count(*) AS nregs
+           FROM regs GROUP BY 1)
+         SELECT l_returnflag,
+           round(${operators.Sketches.hllAlpha(64) * 64 * 64 * math.pow(2.0, 55)}
+             / CAST(zpresent + (64 - nregs) * (1::BIGINT << 55) AS DOUBLE), 3)
+             AS hll_est
+         FROM z"""
 
   def oracleSql: Map[String, String] = Map(
     "q_f1_rule_keep" ->
@@ -2528,25 +2568,9 @@ object SparkEntry {
     // of the low 54 ((x & -x) - 1 bit-count), harmonic sum in exact
     // integer units of 2^-55 — bit-identical across engines; numerator
     // alpha_64 * m^2 * 2^55 inlined as the driver-folded double literal
-    "q_sketch_hll" ->
-      s"""WITH h AS (SELECT l_returnflag,
-             ('0x' || substr(md5(l_orderkey::VARCHAR || ':11'), 1, 15))::BIGINT AS h
-           FROM lineitem),
-         b AS (SELECT l_returnflag, (h >> 54) AS idx,
-             (h & ((1::BIGINT << 54) - 1)) AS rest FROM h),
-         regs AS (SELECT l_returnflag, idx,
-             max(CASE WHEN rest = 0 THEN 55
-                 ELSE bit_count((rest & (-rest)) - 1) + 1 END) AS rho
-           FROM b GROUP BY 1, 2),
-         z AS (SELECT l_returnflag,
-             CAST(sum((1::BIGINT << (55 - rho))) AS BIGINT) AS zpresent,
-             count(*) AS nregs
-           FROM regs GROUP BY 1)
-         SELECT l_returnflag,
-           round(${operators.Sketches.hllAlpha(64) * 64 * 64 * math.pow(2.0, 55)}
-             / CAST(zpresent + (64 - nregs) * (1::BIGINT << 55) AS DOUBLE), 3)
-             AS hll_est
-         FROM z""",
+    "q_sketch_hll" -> hllOracleSql,
+    // register-max merge of disjoint halves ≡ the whole-corpus sketch
+    "q_sketch_hll_merge" -> hllOracleSql,
     // CMS replay: build the 4x512 counter table, probe the exact top-10
     // heavy hitters, estimate = min counter across the 4 hash rows
     "q_sketch_cms" ->

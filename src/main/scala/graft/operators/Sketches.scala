@@ -121,9 +121,22 @@ object Sketches {
       groupCols: Seq[String],
       valueCol: String,
       p: Int = 6,
+      seed: Long = 0L): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol, p, seed), groupCols, p)
+
+  /** The PARTIAL sketch: one `(group, __idx, __rho)` register row per
+    * observed register — the table a 100 TB deployment persists per
+    * ingest batch / partition and merges later. Register-max is the
+    * whole merge algebra, so sketches built on disjoint (or even
+    * overlapping) slices combine losslessly via [[hllMerge]] — pinned in
+    * SketchesSpec and `q_sketch_hll_merge`. */
+  def hllRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int = 6,
       seed: Long = 0L): DataFrame = {
     require(p >= 4 && p <= 16, "p must be in [4,16]")
-    val m = 1 << p
     val restBits = HashBits - p
     val maxRho = restBits + 1 // rank when the rest field is all zeros
     val h = hash60(col(valueCol), seed)
@@ -131,10 +144,29 @@ object Sketches {
     val rest = h.bitwiseAND(lit((1L << restBits) - 1))
     val rho = when(rest === 0, lit(maxRho))
       .otherwise(bit_count(rest.bitwiseAND(-rest) - 1) + 1)
-    val regs = df
-      .select(groupCols.map(col) :+ idx.as("__idx") :+ rho.as("__rho"): _*)
+    df.select(groupCols.map(col) :+ idx.as("__idx") :+ rho.as("__rho"): _*)
       .groupBy(groupCols.map(col) :+ col("__idx"): _*)
       .agg(max(col("__rho")).as("__rho"))
+  }
+
+  /** Merge partial sketches: union + register-max. Exact — the merged
+    * registers equal the registers of the concatenated inputs. */
+  def hllMerge(
+      a: DataFrame,
+      b: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col) :+ col("__idx"): _*)
+      .agg(max(col("__rho")).as("__rho"))
+
+  /** Estimate from a register table (built or merged). */
+  def hllEstimate(
+      regs: DataFrame,
+      groupCols: Seq[String],
+      p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4,16]")
+    val m = 1 << p
+    val maxRho = HashBits - p + 1
     // integer harmonic sum: present register j contributes 2^(maxRho-rho_j),
     // each of the (m - observed) empty registers contributes 2^maxRho
     val zint = regs

@@ -71,6 +71,19 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hllMerge of arbitrary slices equals the whole-corpus sketch") {
+    val df = (1 to 3000).map(i => ("g", i.toLong % 997)).toDF("g", "v")
+    val whole = Sketches.hllDistinct(df, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // OVERLAPPING slices too: merge is max, so double-counting is safe
+    val a = Sketches.hllRegisters(df.filter(col("v") < 600), Seq("g"), "v")
+    val b = Sketches.hllRegisters(df.filter(col("v") >= 350), Seq("g"), "v")
+    val merged = Sketches.hllEstimate(
+        Sketches.hllMerge(a, b, Seq("g")), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(merged == whole)
+  }
+
   test("hllDistinct is deterministic across partitioning") {
     val a = Sketches.hllDistinct(lineitem.repartition(1), Seq("l_returnflag"), "l_orderkey", 6, 11)
       .as[(String, Double)].collect().toMap
