@@ -30,8 +30,13 @@ class CacheScopeSpec extends SparkSpec {
     }
     // final sweep: with every query frame out of scope, GC must let the
     // ContextCleaner drain the checkpoint blocks too. Bounded poll — the
-    // cleaner processes the reference queue asynchronously after GC.
-    val deadline = System.currentTimeMillis() + 30000
+    // cleaner processes the reference queue asynchronously after GC, and
+    // drains serially: with the round-7 operators checkpointing more
+    // intermediates the backlog can take tens of seconds under host
+    // steal (one observed 30s-deadline flake). A REAL leak (a strong
+    // reference in a registry or plan cache) never clears, so a longer
+    // deadline loses no detection power.
+    val deadline = System.currentTimeMillis() + 120000
     var remaining = spark.sparkContext.getPersistentRDDs
     while (remaining.nonEmpty && System.currentTimeMillis() < deadline) {
       System.gc()
