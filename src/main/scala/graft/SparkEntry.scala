@@ -972,6 +972,33 @@ object SparkEntry {
           jaccardThreshold = 0.8)
         .select("doc_id", "lang", "source", "score_mu")
     }),
+    // cross-modal duplicate resolution: text near-dup pairs (SimHash)
+    // and image near-dup pairs (aHash) merge into ONE component resolve —
+    // a page duplicated in prose OR in imagery collapses to one survivor.
+    // Both fingerprint tables ride the artifact contract, so the oracle
+    // replays both pair derivations and the closure from the same bytes.
+    "q_mm_cross_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = readWide(s, dir, "documents")
+      val artSim = artifactPath(dir, "simhash_fp")
+      dumpOnce(artSim) {
+        operators.Dedup.simHashFingerprints(docs, "doc_id", "text")
+          .write.mode("overwrite").parquet(artSim)
+      }
+      val artImg = artifactPath(dir, "ahash_grid")
+      dumpOnce(artImg) {
+        operators.Multimodal.imageAHash(
+            operators.Multimodal.imageTableWithClones(s, dir)).toDF()
+          .write.mode("overwrite").parquet(artImg)
+      }
+      val textPairs = operators.Dedup.simHashNearDupsFrom(
+        s.read.parquet(artSim), "doc_id", maxDist = 3)
+      val imagePairs = operators.Dedup.simHashNearDupsFrom(
+        s.read.parquet(artImg).select(col("doc_id"), col("fp")),
+        "doc_id", maxDist = 3)
+      operators.Dedup.resolveDuplicateGroups(
+        textPairs.unionByName(imagePairs))
+    }),
     // ---- training-data pipeline: sketches ------------------------------
     // KMV distinct-count sketch beside the exact count it estimates. The
     // sketch aggregation carries bounded k-long buffers (map-side merged);
@@ -2544,6 +2571,60 @@ object SparkEntry {
          FROM banded a JOIN banded b
            ON a.q = b.q AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+    },
+    // cross-modal resolve: both pair derivations from their artifacts,
+    // unioned, transitive closure, min-label survivors (the union-find
+    // contract: every id appearing in some pair, labeled by component min)
+    "q_mm_cross_dedup" -> {
+      val terms = (0 until 64).map { i =>
+        val bit =
+          if (i == 63) "(-9223372036854775807::BIGINT - 1)"
+          else s"(1::BIGINT << $i)"
+        s"CASE WHEN 64*g[${i + 1}] > total THEN $bit ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH RECURSIVE
+         tfp AS (SELECT doc_id, fp
+             FROM read_parquet('/root/repo/artifacts/simhash_fp/sf=sf0.01/*.parquet')),
+         tbanded AS (
+           SELECT doc_id, fp, q, (fp >> (q * 16)) & 65535 AS bucket
+           FROM tfp, (VALUES (0), (1), (2), (3)) t(q)),
+         tpairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM tbanded a JOIN tbanded b
+             ON a.q = b.q AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         gr AS (SELECT doc_id, g
+             FROM read_parquet('/root/repo/artifacts/ahash_grid/sf=sf0.01/*.parquet')),
+         gt AS (SELECT doc_id, g, CAST(list_sum(g) AS BIGINT) AS total FROM gr),
+         ifp AS (SELECT doc_id, $terms AS fp FROM gt),
+         ibanded AS (
+           SELECT doc_id, fp, q, (fp >> (q * 16)) & 65535 AS bucket
+           FROM ifp, (VALUES (0), (1), (2), (3)) t(q)),
+         ipairs AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM ibanded a JOIN ibanded b
+             ON a.q = b.q AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         pairs AS (
+           SELECT DISTINCT id_a, id_b FROM (
+             SELECT id_a, id_b FROM tpairs
+             UNION ALL SELECT id_a, id_b FROM ipairs)),
+         nodes AS (
+           SELECT DISTINCT id FROM (
+             SELECT id_a AS id FROM pairs
+             UNION ALL SELECT id_b FROM pairs)),
+         und AS (
+           SELECT DISTINCT a, b FROM (
+             SELECT id_a AS a, id_b AS b FROM pairs
+             UNION ALL SELECT id_b, id_a FROM pairs)),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+           WHERE u.b <> r.a)
+         SELECT n.id, least(n.id, coalesce(r.mn, n.id)) AS survivor_id
+         FROM nodes n LEFT JOIN
+           (SELECT a, min(b) AS mn FROM reach GROUP BY a) r ON n.id = r.a"""
     },
     // the sketch oracles re-derive the md5 60-bit hash natively (15 hex
     // digits, the hash60 idiom) and replay the EXACT estimator: the
