@@ -149,15 +149,33 @@ object Unigram {
       emIters: Int = 1): Seq[ScoredPiece] = {
     require(vocabSize >= 1 && maxPieceLen >= 1 && chunkLen >= maxPieceLen &&
       emIters >= 1)
-    // the word table feeds candidate counting AND E-step weighting:
-    // materialize once, lineage truncated (nothing survives the return —
-    // train hands back driver data only)
-    val wf = wordCounts(df, textCol).localCheckpoint()
-    val ch = chunksOf(wf, chunkLen)
-    val pieceCnt = ch
+    // the word table feeds candidate counting AND every E-step round:
+    // materialize once via persist + explicit release (NOT localCheckpoint
+    // — train returns only driver data, so there is no lineage to
+    // truncate, and the GC-owned checkpoint blocks were observed to
+    // outlive the session sweep; explicit unpersist is deterministic)
+    val wf = wordCounts(df, textCol).persist()
+    val pieceCnt = chunksOf(wf, chunkLen)
       .select(col("cnt"), explode(substrings(col("chunk"), maxPieceLen)).as("piece"))
       .groupBy("piece").agg(sum("cnt").as("c"))
-      .localCheckpoint() // two refs below: top-k cut + single-char union
+      .persist() // two refs below: top-k cut + single-char union
+    try {
+      trainLoop(wf, pieceCnt, vocabSize, maxPieceLen, chunkLen, emIters)
+    } finally {
+      pieceCnt.unpersist()
+      wf.unpersist()
+      ()
+    }
+  }
+
+  private def trainLoop(
+      wf: DataFrame,
+      pieceCnt: DataFrame,
+      vocabSize: Int,
+      maxPieceLen: Int,
+      chunkLen: Int,
+      emIters: Int): Seq[ScoredPiece] = {
+    val ch = chunksOf(wf, chunkLen)
     val seedRows = pieceCnt.orderBy(col("c").desc, col("piece")).limit(vocabSize)
       .unionByName(pieceCnt.filter(length(col("piece")) === 1))
       .dropDuplicates("piece")
