@@ -102,14 +102,14 @@ object Bench {
     "q_expectations" -> 0.11, "q_dedup_best_copy" -> 1.01,
     "q_ann_recall" -> 0.26, "q_expect_ref" -> 0.14, "q_ngram_top" -> 0.21,
     "q_profile" -> 0.25,
-    // round-7 additions (mins from the final r7 clean run: total 42.6s /
-    // min_total 38.6s over 119 queries, steal 0.34s)
+    // round-7 additions (mins from the final r7 clean run: total 45.0s /
+    // min_total 40.4s over all 120 queries, steal 0.36s)
     "q_j3_rule_multicol" -> 0.09, "q_mm_image_dedup" -> 0.20,
-    "q_unigram_tokenize" -> 0.43, "q_dedup_incremental_persisted" -> 1.13,
+    "q_unigram_tokenize" -> 0.64, "q_dedup_incremental_persisted" -> 1.13,
     "q_mm_image_dedup_dhash" -> 0.21, "q_mm_audio_dedup" -> 0.20,
     "q_quality_model" -> 0.63, "q_quality_sample" -> 0.76,
-    "q_unigram_vocab" -> 0.39, "q_pipeline_recipe" -> 1.62,
-    "q_sketch_hll_merge" -> 0.34, "q_mm_cross_dedup" -> 0.70)
+    "q_unigram_vocab" -> 0.62, "q_pipeline_recipe" -> 1.62,
+    "q_sketch_hll_merge" -> 0.34, "q_mm_cross_dedup" -> 0.77)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
