@@ -109,7 +109,8 @@ object Bench {
     "q_mm_image_dedup_dhash" -> 0.21, "q_mm_audio_dedup" -> 0.20,
     "q_quality_model" -> 0.63, "q_quality_sample" -> 0.76,
     "q_unigram_vocab" -> 0.62, "q_pipeline_recipe" -> 1.62,
-    "q_sketch_hll_merge" -> 0.34, "q_mm_cross_dedup" -> 0.77)
+    "q_sketch_hll_merge" -> 0.34, "q_mm_cross_dedup" -> 0.77,
+    "q_token_budget_per_source" -> 0.30)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

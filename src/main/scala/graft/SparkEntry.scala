@@ -1209,6 +1209,18 @@ object SparkEntry {
             .as("q")),
         "doc_id", "ntok", "q", budgetTokens = 11000L)
     }),
+    // the per-domain variant: ≤800 tokens PER SOURCE by seeded hash
+    // order (sources carry ~1400 tokens each at sf0.01, so the budget
+    // genuinely cuts) — the "N tokens per domain" recipe statement
+    "q_token_budget_per_source" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      operators.TrainPrep.tokenBudgetPerGroup(
+          docs.select(col("doc_id"), col("source"),
+            operators.TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens")),
+          "doc_id", "source", "n_tokens", budgetPerGroup = 800L, seed = 7L)
+        .select("doc_id", "source", "n_tokens")
+    }),
     // contrastive hard negatives: top-10 nearest with a DIFFERENT label
     "q_hard_negatives" -> ((s, dir) => {
       val emb = readWide(s, dir, "embeddings")
@@ -3056,6 +3068,20 @@ object SparkEntry {
            FROM mu)
          SELECT doc_id, smu AS score_mu, CAST(ntok AS BIGINT) AS n_tokens
          FROM cum WHERE run <= 11000""",
+    "q_token_budget_per_source" ->
+      """WITH t AS (SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+               % 1000000 AS bucket
+           FROM documents),
+         c AS (SELECT doc_id, source, ntok,
+             CAST(sum(ntok) OVER (PARTITION BY source ORDER BY bucket, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS run
+           FROM t)
+         SELECT doc_id, source, CAST(ntok AS BIGINT) AS n_tokens
+         FROM c WHERE run <= 800""",
     "q_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
              label AS qlabel

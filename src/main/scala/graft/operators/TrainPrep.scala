@@ -196,6 +196,39 @@ object TrainPrep {
     full.unionByName(boundary)
   }
 
+  /** Per-group TOKEN budget — the "N tokens per domain" recipe
+    * statement ([[selectByTokenBudget]] caps the whole corpus;
+    * [[capPerGroup]] caps per-group ROWS; this caps per-group TOKENS):
+    * within each group, keep the hash-ordered prefix whose running
+    * token total stays ≤ `budgetPerGroup` (same strict fill rule as the
+    * global variant: a row that would overflow the budget is dropped).
+    * Hash order = seeded uniform draw, so survivors are unbiased by
+    * content and reruns agree.
+    *
+    * Output: the kept rows of `df` (all columns).
+    *
+    * Plan: one map-only hash scoring pass + ONE running-sum window
+    * partitioned by group — a hash-partitioned shuffle, each group
+    * summed within its partition. A pathologically dominant group
+    * serializes its own sort (the usual keyed-window caveat); when few
+    * huge groups dominate, run [[selectByTokenBudget]] per group
+    * instead — its bucket-table prefix needs no per-row window. */
+  def tokenBudgetPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      tokenCol: String,
+      budgetPerGroup: Long,
+      seed: Long = 0L): DataFrame = {
+    require(budgetPerGroup >= 0, "budgetPerGroup must be >= 0")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(Sampling.hashBucket(col(idCol), seed), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__run", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("__run") <= budgetPerGroup)
+      .drop("__run")
+  }
+
   /** Per-group cap (domain capping): keep at most `cap` rows per group,
     * chosen DETERMINISTICALLY by md5 hash order (a seeded uniform draw,
     * not a quality rank — capping is a de-biasing step: no domain may

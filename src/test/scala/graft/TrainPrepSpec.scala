@@ -189,6 +189,31 @@ class TrainPrepSpec extends SparkSpec {
     singles.foreach { case (id, _, sp) => assert(plain(id) == sp) }
   }
 
+  test("per-group token budget: hash-ordered prefix, strict fill, per group") {
+    import graft.operators.{Sampling, TrainPrep}
+    val df = (1 to 40).map(i => (i.toLong, s"g${i % 2}", 10L + i % 3))
+      .toDF("id", "grp", "ntok")
+    val kept = TrainPrep.tokenBudgetPerGroup(df, "id", "grp", "ntok",
+        budgetPerGroup = 60L, seed = 3L)
+      .select("id").as[Long].collect().toSet
+    // reference model: per group, sort by (hashBucket, id), greedy fill
+    val buckets = df.select(col("id"), Sampling.hashBucket(col("id"), 3L))
+      .as[(Long, Long)].collect().toMap
+    val want = (1 to 40).map(i => (i.toLong, s"g${i % 2}", 10L + i % 3))
+      .groupBy(_._2).values.flatMap { rows =>
+        var run = 0L
+        rows.sortBy(r => (buckets(r._1), r._1)).takeWhile { r =>
+          run += r._3; run <= 60L
+        }.map(_._1)
+      }.toSet
+    assert(kept == want)
+    // every group's kept total respects the budget
+    val totals = TrainPrep.tokenBudgetPerGroup(df, "id", "grp", "ntok", 60L, 3L)
+      .groupBy("grp").agg(sum("ntok").as("t"))
+      .as[(String, Long)].collect()
+    assert(totals.forall(_._2 <= 60L) && totals.nonEmpty)
+  }
+
   test("best-copy dedup keeps the highest-quality member per group") {
     val base = "the quick brown fox jumps over the lazy dog again and again ok"
     val df = Seq(
