@@ -110,7 +110,7 @@ object Bench {
     "q_quality_model" -> 0.63, "q_quality_sample" -> 0.76,
     "q_unigram_vocab" -> 0.62, "q_pipeline_recipe" -> 1.62,
     "q_sketch_hll_merge" -> 0.34, "q_mm_cross_dedup" -> 0.77,
-    "q_token_budget_per_source" -> 0.30)
+    "q_token_budget_per_source" -> 0.30, "q_sketch_cms_merge" -> 1.30)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

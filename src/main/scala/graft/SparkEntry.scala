@@ -1050,6 +1050,21 @@ object SparkEntry {
       operators.Sketches.cmsEstimate(sketch, top, "o_custkey", 512, 4, 100)
         .select("o_custkey", "exact_cnt", "cms_est")
     }),
+    // CMS mergeability: counter tables from two disjoint halves ADD to
+    // exactly the whole-corpus sketch (multiset semantics), so the one
+    // oracle covers both — the per-batch persist-and-merge shape
+    "q_sketch_cms_merge" -> ((s, dir) => {
+      val o = read(s, dir, "orders")
+      val ska = operators.Sketches.cmsSketch(
+        o.filter(col("o_orderkey") % 2 === 0), "o_custkey", 512, 4, 100)
+      val skb = operators.Sketches.cmsSketch(
+        o.filter(col("o_orderkey") % 2 =!= 0), "o_custkey", 512, 4, 100)
+      val top = o.groupBy("o_custkey").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("o_custkey")).limit(10)
+      operators.Sketches.cmsEstimate(
+          operators.Sketches.cmsMerge(ska, skb), top, "o_custkey", 512, 4, 100)
+        .select("o_custkey", "exact_cnt", "cms_est")
+    }),
     // order statistics over a deterministic hash sample — the distributed
     // selection shape (literal range bounds → per-partition rank +
     // broadcast bases), never a global single-reducer window
@@ -1678,6 +1693,26 @@ object SparkEntry {
              / CAST(zpresent + (64 - nregs) * (1::BIGINT << 55) AS DOUBLE), 3)
              AS hll_est
          FROM z"""
+
+  /** Shared by q_sketch_cms and q_sketch_cms_merge: disjoint-half
+    * counter tables ADD to the whole-corpus sketch exactly. */
+  private def cmsOracleSql: String =
+    """WITH sk AS (SELECT d,
+             ('0x' || substr(md5(o_custkey::VARCHAR || ':' || (100 + d)::VARCHAR), 1, 8))::BIGINT
+               % 512 AS slot,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM orders CROSS JOIN range(4) t(d) GROUP BY 1, 2),
+         top AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS exact_cnt
+           FROM orders GROUP BY 1
+           ORDER BY exact_cnt DESC, o_custkey LIMIT 10),
+         slots AS (SELECT t.o_custkey, t.exact_cnt, r.d,
+             ('0x' || substr(md5(t.o_custkey::VARCHAR || ':' || (100 + r.d)::VARCHAR), 1, 8))::BIGINT
+               % 512 AS slot
+           FROM top t CROSS JOIN range(4) r(d)),
+         pr AS (SELECT sl.o_custkey, sl.exact_cnt, s.cnt
+           FROM slots sl JOIN sk s ON s.d = sl.d AND s.slot = sl.slot)
+         SELECT o_custkey, exact_cnt, CAST(min(cnt) AS BIGINT) AS cms_est
+         FROM pr GROUP BY 1, 2"""
 
   def oracleSql: Map[String, String] = Map(
     "q_f1_rule_keep" ->
@@ -2666,23 +2701,8 @@ object SparkEntry {
     "q_sketch_hll_merge" -> hllOracleSql,
     // CMS replay: build the 4x512 counter table, probe the exact top-10
     // heavy hitters, estimate = min counter across the 4 hash rows
-    "q_sketch_cms" ->
-      """WITH sk AS (SELECT d,
-             ('0x' || substr(md5(o_custkey::VARCHAR || ':' || (100 + d)::VARCHAR), 1, 8))::BIGINT
-               % 512 AS slot,
-             CAST(count(*) AS BIGINT) AS cnt
-           FROM orders CROSS JOIN range(4) t(d) GROUP BY 1, 2),
-         top AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS exact_cnt
-           FROM orders GROUP BY 1
-           ORDER BY exact_cnt DESC, o_custkey LIMIT 10),
-         slots AS (SELECT t.o_custkey, t.exact_cnt, r.d,
-             ('0x' || substr(md5(t.o_custkey::VARCHAR || ':' || (100 + r.d)::VARCHAR), 1, 8))::BIGINT
-               % 512 AS slot
-           FROM top t CROSS JOIN range(4) r(d)),
-         pr AS (SELECT sl.o_custkey, sl.exact_cnt, s.cnt
-           FROM slots sl JOIN sk s ON s.d = sl.d AND s.slot = sl.slot)
-         SELECT o_custkey, exact_cnt, CAST(min(cnt) AS BIGINT) AS cms_est
-         FROM pr GROUP BY 1, 2""",
+    "q_sketch_cms" -> cmsOracleSql,
+    "q_sketch_cms_merge" -> cmsOracleSql,
     // sampled order statistics: same hash-bucket sample, ranks resolved
     // over (value, id-as-string) order — the operator's declared total
     // order (its tie column is the stringified id)

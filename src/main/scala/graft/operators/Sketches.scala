@@ -210,6 +210,15 @@ object Sketches {
     * bound: never under-counts, over-counts by collision mass). The sketch
     * is bounded (`depth × width` rows) so it broadcasts; probing any
     * number of items is a broadcast join + a tiny aggregation. */
+  /** Merge count-min sketches by element-wise counter addition — exact
+    * for sketches built over DISJOINT slices (counts add; unlike
+    * [[hllMerge]]'s register-max, overlapping inputs double-count, which
+    * is the correct multiset semantics). The per-batch sketch table is
+    * what a 100 TB deployment persists; heavy-hitter queries probe the
+    * merged table only. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("d", "slot").agg(sum("cnt").as("cnt"))
+
   def cmsEstimate(
       sketch: DataFrame,
       items: DataFrame,

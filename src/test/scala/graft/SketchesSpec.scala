@@ -84,6 +84,19 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("cmsMerge of disjoint halves equals the whole-corpus sketch table") {
+    val df = (1 to 2000).map(i => (i.toLong, i.toLong % 37)).toDF("id", "v")
+    def table(d: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsSketch(d, "v", width = 64, depth = 3)
+        .as[(Int, Long, Long)].collect().toSet
+    val whole = table(df)
+    val merged = Sketches.cmsMerge(
+        Sketches.cmsSketch(df.filter(col("id") % 2 === 0), "v", 64, 3),
+        Sketches.cmsSketch(df.filter(col("id") % 2 =!= 0), "v", 64, 3))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
   test("hllDistinct is deterministic across partitioning") {
     val a = Sketches.hllDistinct(lineitem.repartition(1), Seq("l_returnflag"), "l_orderkey", 6, 11)
       .as[(String, Double)].collect().toMap
