@@ -205,11 +205,6 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Point-query the sketch for each row of `items`: the estimate is the
-    * MINIMUM counter across the `depth` hash rows (classic CMS upper
-    * bound: never under-counts, over-counts by collision mass). The sketch
-    * is bounded (`depth × width` rows) so it broadcasts; probing any
-    * number of items is a broadcast join + a tiny aggregation. */
   /** Merge count-min sketches by element-wise counter addition — exact
     * for sketches built over DISJOINT slices (counts add; unlike
     * [[hllMerge]]'s register-max, overlapping inputs double-count, which
@@ -219,6 +214,11 @@ object Sketches {
   def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("d", "slot").agg(sum("cnt").as("cnt"))
 
+  /** Point-query the sketch for each row of `items`: the estimate is the
+    * MINIMUM counter across the `depth` hash rows (classic CMS upper
+    * bound: never under-counts, over-counts by collision mass). The sketch
+    * is bounded (`depth × width` rows) so it broadcasts; probing any
+    * number of items is a broadcast join + a tiny aggregation. */
   def cmsEstimate(
       sketch: DataFrame,
       items: DataFrame,
