@@ -628,6 +628,23 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"),
           col("rank"))
     }),
+    // LEARNED-centroid IVF: the coarse quantizer comes from the engine's
+    // own exact-integer k-means (Lloyd) instead of a strided-id sample —
+    // lists track the embedding distribution's modes, so the same nprobe
+    // buys more recall (comparison pinned in SimilaritySpec). The whole
+    // train+assign+probe pipeline stays deterministic, so the oracle
+    // replays it exactly.
+    "q_sim_ann_ivf_kmeans" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val (cents, assigned) =
+        operators.Similarity.buildIvfIndexKmeans(emb, nlist = 8, iters = 2)
+      operators.Similarity.ivfTopKFromIndex(cents, assigned, q, k = 10,
+          nprobe = 2, metric = "l2")
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"),
+          col("rank"))
+    }),
     // PERSISTED-index IVF: the index (centroid table + list assignments)
     // is built once, written to parquet, and the query batch probes the
     // STORED tables — the build-once/query-many production shape. Same
@@ -903,6 +920,34 @@ object SparkEntry {
         s.read.parquet(art).select(col("doc_id"), col("fp")),
         "doc_id", maxDist = 3)
     }),
+    // PERSISTED-fingerprint incremental image dedup — the production
+    // ingest shape: the corpus's quadrant-band aHash index is written to
+    // parquet ONCE, and a new batch (odd-id images + the clone
+    // population) probes it from disk — corpus payloads are never
+    // re-decoded. Clones of indexed images drop at the probe; the
+    // survivors then resolve internally. Oracle replays the whole
+    // split/probe/resolve pipeline from the exported grids.
+    "q_mm_image_dedup_persisted" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = operators.Multimodal.imageTableWithClones(s, dir)
+      val art = artifactPath(dir, "ahash_grid")
+      dumpOnce(art) {
+        operators.Multimodal.imageAHash(media).toDF()
+          .write.mode("overwrite").parquet(art)
+      }
+      val fps = s.read.parquet(art).select(col("doc_id"), col("fp"))
+      val corpusFps = fps.filter(col("doc_id") % 2 === 0 &&
+        col("doc_id") < 1000000L)
+      val deltaFps = fps.join(corpusFps.select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      val idx = artifactPath(dir, "ahash_band_index")
+      dumpOnce(idx) {
+        operators.Dedup.simHashBanded(corpusFps, "doc_id")
+          .write.mode("overwrite").parquet(idx)
+      }
+      operators.Dedup.incrementalSimHashDedup(
+        s.read.parquet(idx), deltaFps, "doc_id", maxDist = 3)
+    }),
     // dHash variant: horizontal-gradient sign bits — exactly invariant
     // under uniform brightness shifts, where aHash's mean threshold is
     // only approximately so. Same exported-grid oracle discipline.
@@ -943,6 +988,16 @@ object SparkEntry {
       val docs = read(s, dir, "documents")
         .withColumn("y01", (col("lang") === "en").cast("int"))
       operators.QualityModel.trainAndScore(docs, "doc_id", "text", "y01")
+    }),
+    // wider-feature variant: + 8 hashed char-3-gram buckets (fastText's
+    // subword trick) — bucket mass sees CONTENT, not just global shape;
+    // gradient stays an order-free integer sum, oracle unrolls the same
+    // GD with the bucket features replayed from md5 hashes
+    "q_quality_model_ngram" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .withColumn("y01", (col("lang") === "en").cast("int"))
+      operators.QualityModel.trainAndScore(docs, "doc_id", "text", "y01",
+        nGramBuckets = 8)
     }),
     // classifier-weighted retention: the GPT-3 recipe's importance draw —
     // keep iff the learned quality score beats the row's deterministic
@@ -1038,6 +1093,26 @@ object SparkEntry {
         operators.Sketches.hllMerge(ra, rb, Seq("l_returnflag")),
         Seq("l_returnflag"), p = 6)
     }),
+    // KMV mergeability: disjoint halves' ≤k-hash partials union and
+    // re-cut to the k smallest — exact for ANY slicing (the global
+    // k-smallest hashes are each among their own slice's k smallest), so
+    // the whole-corpus oracle covers the merged estimate
+    "q_sketch_kmv_merge" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val pa = operators.Sketches.kmvPartial(
+        li.filter(col("l_orderkey") % 2 === 0), Seq("l_returnflag"),
+        "l_orderkey", k = 128, seed = 7)
+      val pb = operators.Sketches.kmvPartial(
+        li.filter(col("l_orderkey") % 2 =!= 0), Seq("l_returnflag"),
+        "l_orderkey", k = 128, seed = 7)
+      val est = operators.Sketches.kmvEstimate(
+        operators.Sketches.kmvMerge(pa, pb, Seq("l_returnflag"), 128),
+        Seq("l_returnflag"), 128)
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      exact.join(est, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_exact"), col("kmv_est"))
+    }),
     // count-min sketch probed at the exact top-10 heavy hitters: the
     // sketch is a bounded depth×width counter table (broadcastable), the
     // estimate the min over depth counters — never below the exact count
@@ -1072,6 +1147,19 @@ object SparkEntry {
       operators.Sketches.sampleQuantiles(
         readWide(s, dir, "documents"), "doc_id", "n_chars",
         Seq(0.5, 0.9, 0.99), fraction = 0.5, seed = 7)),
+    // quantile mergeability: the hash sample is a pure function of the id,
+    // so disjoint slices' samples UNION to exactly the whole-corpus sample
+    // and every order statistic follows — the whole-corpus oracle covers
+    // the merged sketch
+    "q_sketch_quantile_merge" -> ((s, dir) => {
+      val d = readWide(s, dir, "documents")
+      val pa = operators.Sketches.quantileSample(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "n_chars", 0.5, seed = 7)
+      val pb = operators.Sketches.quantileSample(
+        d.filter(col("doc_id") % 2 =!= 0), "doc_id", "n_chars", 0.5, seed = 7)
+      operators.Sketches.quantilesFromSample(
+        operators.Sketches.quantileMerge(pa, pb), Seq(0.5, 0.9, 0.99))
+    }),
     // ---- training-data pipeline: decontamination -----------------------
     // benchmark decontamination: a deterministic 95/5 split stands in for
     // corpus-vs-benchmark; eval shingles broadcast, train shingles feed
@@ -1291,6 +1379,17 @@ object SparkEntry {
       val pieces = operators.Unigram.train(docs, "text", vocabSize = 60)
       operators.Unigram.tokenize(docs, "doc_id", "text", pieces)
     }),
+    // two-round hard-EM variant: the vocab can only SHRINK round over
+    // round (unused multi-char pieces drop; singles always retained, so
+    // no chunk is ever stranded — UnigramSpec property), and scores
+    // sharpen toward the pieces Viterbi actually uses. Oracle unrolls
+    // BOTH EM rounds plus the final segmentation pass.
+    "q_unigram_tokenize_em2" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val pieces = operators.Unigram.train(docs, "text", vocabSize = 60,
+        emIters = 2)
+      operators.Unigram.tokenize(docs, "doc_id", "text", pieces)
+    }),
     // the materialized concat-and-chunk blocks: every output row is one
     // 512-token trainer block with straddling docs stitched in order
     "q_pack_blocks" -> ((s, dir) =>
@@ -1483,18 +1582,19 @@ object SparkEntry {
          WHERE s.pos > 0),
        sf$name AS (SELECT chunk, pieces FROM seg$name WHERE pos = 0)"""
 
-  private def unigramOracleSql(vocabSize: Int, l: Int, w: Int): String = {
+  private def unigramOracleSql(
+      vocabSize: Int, l: Int, w: Int, emIters: Int = 1): String = {
     def dp(name: String, mapCte: String) = unigramDpCtes(name, mapCte, l, w)
     def seg(name: String, dpName: String) = unigramSegCtes(name, dpName)
-    unigramTrainPrefix(vocabSize, l, w, dp, seg) + s""",
-         m1c AS (SELECT map(list(piece ORDER BY piece),
-                            list(lp ORDER BY piece)) AS m FROM lp1),
-         ${dp("dp1", "m1c")},
-         ${seg("1", "dp1")},
+    unigramTrainPrefix(vocabSize, l, w, dp, seg, emIters) + s""",
+         mfc AS (SELECT map(list(piece ORDER BY piece),
+                            list(lp ORDER BY piece)) AS m FROM lp$emIters),
+         ${dp("dpf", "mfc")},
+         ${seg("f", "dpf")},
          wch AS (SELECT DISTINCT word, ci, chunk FROM ch),
          wseg AS (
            SELECT word, flatten(list(pieces ORDER BY ci)) AS wp
-           FROM wch JOIN sf1 USING (chunk) GROUP BY word),
+           FROM wch JOIN sff USING (chunk) GROUP BY word),
          dws AS (
            SELECT doc_id, i, ws[i] AS word
            FROM (SELECT doc_id, list_filter(
@@ -1509,14 +1609,19 @@ object SparkEntry {
        FROM documents d LEFT JOIN asm a ON d.doc_id = a.doc_id"""
   }
 
-  /** The seeding + one-EM-round CTE chain shared by the tokenize and
-    * vocab oracles — everything up to the final scores (`lp1`). */
+  /** The seeding + `emIters`-EM-round CTE chain shared by the tokenize
+    * and vocab oracles — everything up to the final scores
+    * (`lp<emIters>`). Round r segments the chunk table under lp(r-1)
+    * (Viterbi DP `dpt(r-1)` + backtrack `sft(r-1)`), re-counts piece
+    * usage, and re-estimates `lp r` with add-one smoothing over the
+    * retained set — the exact unroll of the operator's hard-EM loop. */
   private def unigramTrainPrefix(
       vocabSize: Int,
       l: Int,
       w: Int,
       dp: (String, String) => String,
-      seg: (String, String) => String): String =
+      seg: (String, String) => String,
+      emIters: Int = 1): String =
     s"""WITH RECURSIVE
          wf AS (
            SELECT word, CAST(count(*) AS BIGINT) AS cnt
@@ -1547,36 +1652,39 @@ object SparkEntry {
            SELECT piece,
              CAST(floor(ln(c::DOUBLE / t::DOUBLE) * 1e6 + 0.5) AS BIGINT)
                AS lp
-           FROM seed, tz),
-         m0c AS (SELECT map(list(piece ORDER BY piece),
-                            list(lp ORDER BY piece)) AS m FROM lp0),
-         ${dp("dp0", "m0c")},
-         ${seg("0", "dp0")},
-         ecnt AS (
+           FROM seed, tz)""" + (1 to emIters).map { r =>
+      s""",
+         m${r - 1}c AS (SELECT map(list(piece ORDER BY piece),
+                            list(lp ORDER BY piece)) AS m FROM lp${r - 1}),
+         ${dp(s"dpt${r - 1}", s"m${r - 1}c")},
+         ${seg(s"t${r - 1}", s"dpt${r - 1}")},
+         ecnt$r AS (
            SELECT piece, CAST(sum(cnt) AS BIGINT) AS ec
            FROM (SELECT c2.cnt, unnest(f.pieces) AS piece
-                 FROM ch c2 JOIN sf0 f ON c2.chunk = f.chunk)
+                 FROM ch c2 JOIN sft${r - 1} f ON c2.chunk = f.chunk)
            GROUP BY 1),
-         ret AS (
+         ret$r AS (
            SELECT s.piece, coalesce(e.ec, 0) AS ec
-           FROM seed s LEFT JOIN ecnt e ON s.piece = e.piece
+           FROM lp${r - 1} s LEFT JOIN ecnt$r e ON s.piece = e.piece
            WHERE coalesce(e.ec, 0) > 0 OR length(s.piece) = 1),
-         tn AS (SELECT CAST(sum(ec) AS BIGINT) AS t1,
-                       CAST(count(*) AS BIGINT) AS n1 FROM ret),
-         lp1 AS (
+         tn$r AS (SELECT CAST(sum(ec) AS BIGINT) AS t,
+                       CAST(count(*) AS BIGINT) AS n FROM ret$r),
+         lp$r AS (
            SELECT piece,
-             CAST(floor(ln((ec + 1)::DOUBLE / (t1 + n1)::DOUBLE) * 1e6 + 0.5)
+             CAST(floor(ln((ec + 1)::DOUBLE / (t + n)::DOUBLE) * 1e6 + 0.5)
                AS BIGINT) AS lp
-           FROM ret, tn)"""
+           FROM ret$r, tn$r)"""
+    }.mkString
 
   /** The learned piece table alone — the vocab artifact a tokenizer
     * deployment ships; shares the full training replay with
     * [[unigramOracleSql]]. */
-  private def unigramVocabOracleSql(vocabSize: Int, l: Int, w: Int): String = {
+  private def unigramVocabOracleSql(
+      vocabSize: Int, l: Int, w: Int, emIters: Int = 1): String = {
     def dp(name: String, mapCte: String) = unigramDpCtes(name, mapCte, l, w)
     def seg(name: String, dpName: String) = unigramSegCtes(name, dpName)
-    unigramTrainPrefix(vocabSize, l, w, dp, seg) +
-      "\n       SELECT piece, lp AS lp_micros FROM lp1"
+    unigramTrainPrefix(vocabSize, l, w, dp, seg, emIters) +
+      s"\n       SELECT piece, lp AS lp_micros FROM lp$emIters"
   }
 
   /** The q_quality_model oracle — unrolled full-batch GD replay of
@@ -1584,11 +1692,12 @@ object SparkEntry {
     * integer micro-unit gradient aggregates, every double expression in
     * the operator's documented operand order. DuckDB regexp_replace
     * needs the 'g' flag (Spark's replaces all matches by default). */
-  private def qualityModelOracleSql(iters: Int, lr: Double): String = {
-    val d = operators.QualityModel.NumFeatures
+  private def qualityModelOracleSql(
+      iters: Int, lr: Double, nGramBuckets: Int = 0): String = {
+    val d = operators.QualityModel.NumFeatures + math.max(nGramBuckets, 0)
     def zExpr = (0 until d)
       .map(j => s"(w$j * (x$j::DOUBLE / 1000000.0))").mkString(" + ")
-    val featCols =
+    val baseFeatCols =
       """1000000::BIGINT AS x0,
          CAST(floor(least(length(text), 10000)::DOUBLE * 100.0 + 0.5)
            AS BIGINT) AS x1,
@@ -1601,6 +1710,16 @@ object SparkEntry {
          CAST(floor(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
            * 1000000.0 / greatest(length(text), 1)::DOUBLE + 0.5)
            AS BIGINT) AS x4"""
+    // hashed char-3-gram bucket ratios: one bucket-id list per doc (the
+    // `bids` alias below), each bucket feature a filtered count over it
+    val featCols =
+      if (nGramBuckets <= 0) baseFeatCols
+      else baseFeatCols + (0 until nGramBuckets).map { b =>
+        s""",
+         CAST(floor(len(list_filter(bids, x -> x = $b))::DOUBLE
+           * 1000000.0 / greatest(len(bids), 1)::DOUBLE + 0.5)
+           AS BIGINT) AS x${operators.QualityModel.NumFeatures + b}"""
+      }.mkString
     val iterCtes = (1 to iters).map { it =>
       val gs = (0 until d).map(j =>
         s"""CAST(sum(CAST(floor(((sigma - y) * (x$j::DOUBLE / 1000000.0))
@@ -1614,11 +1733,23 @@ object SparkEntry {
          g$it AS (SELECT $gs FROM s$it),
          w$it AS (SELECT $ws FROM w${it - 1}, g$it, nn)"""
     }.mkString(",\n         ")
+    val fSource =
+      if (nGramBuckets <= 0) "documents"
+      else s"""(SELECT doc_id, lang, text,
+             list_transform(
+               list_filter(
+                 list_transform(
+                   range(1, greatest(length(lower(text)) - 2, 0) + 1),
+                   i -> substr(lower(text), i, 3)),
+                 g -> length(g) = 3),
+               g -> ('0x' || substr(md5(g), 1, 8))::BIGINT % $nGramBuckets)
+               AS bids
+           FROM documents)"""
     s"""WITH f AS (
            SELECT doc_id,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
              $featCols
-           FROM documents),
+           FROM $fSource),
          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
          w0 AS (SELECT ${(0 until d).map(j => s"0.0 AS w$j").mkString(", ")}),
          $iterCtes
@@ -1693,6 +1824,43 @@ object SparkEntry {
              / CAST(zpresent + (64 - nregs) * (1::BIGINT << 55) AS DOUBLE), 3)
              AS hll_est
          FROM z"""
+
+  /** Shared by q_sketch_kmv and q_sketch_kmv_merge: union + re-cut-to-k
+    * merging is exact for any slicing, so the merged-halves estimate
+    * equals the whole-corpus estimate. */
+  private def kmvOracleSql: String =
+    """WITH h AS (SELECT DISTINCT l_returnflag,
+             ('0x' || substr(md5(l_orderkey::VARCHAR || ':7'), 1, 15))::BIGINT AS h
+           FROM lineitem),
+         r AS (SELECT l_returnflag, h,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+           FROM h),
+         k AS (SELECT l_returnflag, max(h) AS kth, count(*) AS cnt
+           FROM r WHERE rn <= 128 GROUP BY 1),
+         e AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
+           FROM lineitem GROUP BY 1)
+         SELECT e.l_returnflag, CAST(e.n_exact AS BIGINT) AS n_exact,
+           round(CASE WHEN k.cnt < 128 THEN CAST(k.cnt AS DOUBLE)
+                 ELSE 127.0 * 1152921504606846976.0 / CAST(k.kth AS DOUBLE)
+                 END, 3) AS kmv_est
+         FROM e JOIN k USING (l_returnflag)"""
+
+  /** Shared by q_sketch_quantile and q_sketch_quantile_merge: the hash
+    * sample distributes over disjoint union, so the merged sample is the
+    * whole-corpus sample. */
+  private def quantileOracleSql: String =
+    """WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v
+           FROM documents
+           WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+             % 1000000 < 500000),
+         r AS (SELECT v,
+             row_number() OVER (ORDER BY v, doc_id::VARCHAR) AS rn FROM s),
+         n AS (SELECT count(*) AS n FROM s),
+         qs AS (SELECT CAST(q AS DOUBLE) AS q
+           FROM (VALUES (0.5), (0.9), (0.99)) t(q))
+         SELECT qs.q, r.v AS value
+         FROM qs CROSS JOIN n
+         JOIN r ON r.rn = CAST(floor((n.n - 1) * qs.q) AS BIGINT) + 1"""
 
   /** Shared by q_sketch_cms and q_sketch_cms_merge: disjoint-half
     * counter tables ADD to the whole-corpus sketch exactly. */
@@ -2063,6 +2231,32 @@ object SparkEntry {
     // identical replay: the persisted-index round-trip must preserve the
     // in-memory derivation exactly (float64 parquet round-trip is lossless)
     "q_sim_ann_ivf_persisted" -> ivfOracleSql,
+    // learned-centroid IVF replay: the kmeansCtes Lloyd rounds (k=8,
+    // iters=2, exact integer micro-unit sums) produce cent1; assignment
+    // and probe use the L2 surrogate `c·c − 2·v·c` the centroids were
+    // trained under (ascending, smaller-id tie-break — the kmeans a-step
+    // discipline), nprobe=2
+    "q_sim_ann_ivf_kmeans" -> (kmeansCtes +
+      """,
+         ivf_assigned AS (
+           SELECT q.vec_id, q.v,
+             (SELECT c1.j FROM cent1 c1
+              ORDER BY list_dot_product(c1.c, c1.c)
+                - 2 * list_dot_product(q.v, c1.c), c1.j LIMIT 1) AS list
+           FROM q),
+         qq AS (SELECT vec_id AS query_id, v AS qv FROM q WHERE vec_id < 3),
+         probed AS (
+           SELECT qq.query_id, qq.qv, c.j AS list
+           FROM qq, LATERAL (SELECT j FROM cent1
+             ORDER BY list_dot_product(cent1.c, cent1.c)
+               - 2 * list_dot_product(qq.qv, cent1.c), j LIMIT 2) c),
+         scored AS (
+           SELECT p.query_id, a.vec_id, list_cosine_similarity(a.v, p.qv) AS cos
+           FROM probed p JOIN ivf_assigned a ON a.list = p.list)
+         SELECT query_id, vec_id, round(cos, 6) AS cos_r,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS INT) AS rank
+         FROM scored QUALIFY rank <= 10"""),
     // filtered-ANN replay: identical IVF derivation but over the
     // metadata-filtered corpus (centroids, assignment, probe all see only
     // eligible vectors); queries come from the unfiltered table
@@ -2576,6 +2770,53 @@ object SparkEntry {
            ON a.q = b.q AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
     },
+    // persisted-probe replay: fps from the exported grids, the even-id
+    // corpus / odd-and-clone delta split, drop-on-corpus-match, then the
+    // internal band join + transitive closure + min-label survivors
+    "q_mm_image_dedup_persisted" -> {
+      val terms = (0 until 64).map { i =>
+        val bit =
+          if (i == 63) "(-9223372036854775807::BIGINT - 1)"
+          else s"(1::BIGINT << $i)"
+        s"CASE WHEN 64*g[${i + 1}] > total THEN $bit ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH RECURSIVE
+         gr AS (SELECT doc_id, g
+             FROM read_parquet('/root/repo/artifacts/ahash_grid/sf=sf0.01/*.parquet')),
+         t AS (SELECT doc_id, g, CAST(list_sum(g) AS BIGINT) AS total FROM gr),
+         f AS (SELECT doc_id, $terms AS fp FROM t),
+         corpus AS (SELECT * FROM f WHERE doc_id % 2 = 0 AND doc_id < 1000000),
+         delta AS (SELECT * FROM f
+           WHERE NOT (doc_id % 2 = 0 AND doc_id < 1000000)),
+         cb AS (SELECT doc_id, fp, q, (fp >> (q * 16)) & 65535 AS bucket
+           FROM corpus, (VALUES (0), (1), (2), (3)) t2(q)),
+         db AS (SELECT doc_id, fp, q, (fp >> (q * 16)) & 65535 AS bucket
+           FROM delta, (VALUES (0), (1), (2), (3)) t2(q)),
+         dropids AS (SELECT DISTINCT d.doc_id
+           FROM db d JOIN cb c ON d.q = c.q AND d.bucket = c.bucket
+           WHERE bit_count(xor(d.fp, c.fp)) <= 3),
+         fresh AS (SELECT * FROM delta
+           WHERE doc_id NOT IN (SELECT doc_id FROM dropids)),
+         fb AS (SELECT doc_id, fp, q, (fp >> (q * 16)) & 65535 AS bucket
+           FROM fresh, (VALUES (0), (1), (2), (3)) t2(q)),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM fb a JOIN fb b
+             ON a.q = b.q AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         und AS (SELECT DISTINCT a, b FROM (
+             SELECT id_a AS a, id_b AS b FROM pairs
+             UNION ALL SELECT id_b, id_a FROM pairs)),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+           WHERE u.b <> r.a),
+         lab AS (SELECT a AS id, least(a, min(b)) AS survivor
+           FROM reach GROUP BY a)
+         SELECT fr.doc_id, fr.fp FROM fresh fr
+         WHERE NOT EXISTS (
+           SELECT 1 FROM lab l WHERE l.id = fr.doc_id AND l.survivor <> l.id)"""
+    },
     // dHash replay: gradient-sign bits from the exported 8×9 grid —
     // plain integer comparisons, then the same banding/Hamming SQL
     "q_mm_image_dedup_dhash" -> {
@@ -2676,22 +2917,9 @@ object SparkEntry {
     // the sketch oracles re-derive the md5 60-bit hash natively (15 hex
     // digits, the hash60 idiom) and replay the EXACT estimator: the
     // "approximation" is a fixed hash function, not run randomness
-    "q_sketch_kmv" ->
-      """WITH h AS (SELECT DISTINCT l_returnflag,
-             ('0x' || substr(md5(l_orderkey::VARCHAR || ':7'), 1, 15))::BIGINT AS h
-           FROM lineitem),
-         r AS (SELECT l_returnflag, h,
-             row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
-           FROM h),
-         k AS (SELECT l_returnflag, max(h) AS kth, count(*) AS cnt
-           FROM r WHERE rn <= 128 GROUP BY 1),
-         e AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
-           FROM lineitem GROUP BY 1)
-         SELECT e.l_returnflag, CAST(e.n_exact AS BIGINT) AS n_exact,
-           round(CASE WHEN k.cnt < 128 THEN CAST(k.cnt AS DOUBLE)
-                 ELSE 127.0 * 1152921504606846976.0 / CAST(k.kth AS DOUBLE)
-                 END, 3) AS kmv_est
-         FROM e JOIN k USING (l_returnflag)""",
+    "q_sketch_kmv" -> kmvOracleSql,
+    // union + re-cut-to-k merge of disjoint halves ≡ the whole-corpus sketch
+    "q_sketch_kmv_merge" -> kmvOracleSql,
     // HLL replay: register = top 6 hash bits, rank = trailing zeros + 1
     // of the low 54 ((x & -x) - 1 bit-count), harmonic sum in exact
     // integer units of 2^-55 — bit-identical across engines; numerator
@@ -2706,19 +2934,9 @@ object SparkEntry {
     // sampled order statistics: same hash-bucket sample, ranks resolved
     // over (value, id-as-string) order — the operator's declared total
     // order (its tie column is the stringified id)
-    "q_sketch_quantile" ->
-      """WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v
-           FROM documents
-           WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
-             % 1000000 < 500000),
-         r AS (SELECT v,
-             row_number() OVER (ORDER BY v, doc_id::VARCHAR) AS rn FROM s),
-         n AS (SELECT count(*) AS n FROM s),
-         qs AS (SELECT CAST(q AS DOUBLE) AS q
-           FROM (VALUES (0.5), (0.9), (0.99)) t(q))
-         SELECT qs.q, r.v AS value
-         FROM qs CROSS JOIN n
-         JOIN r ON r.rn = CAST(floor((n.n - 1) * qs.q) AS BIGINT) + 1""",
+    "q_sketch_quantile" -> quantileOracleSql,
+    // disjoint-slice samples union to exactly the whole-corpus sample
+    "q_sketch_quantile_merge" -> quantileOracleSql,
     // decontamination replay: same md5 hash-bucket split, same distinct
     // 3-gram shingles (the q_dedup_minhash_pairs CTE), intersection
     // counted per cross-split pair
@@ -3153,8 +3371,14 @@ object SparkEntry {
          FROM e WHERE reps > 0""",
     // the tokenize oracle's merge re-derivation, emitting the arrays
     "q_unigram_tokenize" -> unigramOracleSql(vocabSize = 60, l = 4, w = 16),
+    // both EM rounds unrolled (dpt0/dpt1 + the final segmentation pass)
+    "q_unigram_tokenize_em2" ->
+      unigramOracleSql(vocabSize = 60, l = 4, w = 16, emIters = 2),
     "q_unigram_vocab" -> unigramVocabOracleSql(vocabSize = 60, l = 4, w = 16),
     "q_quality_model" -> qualityModelOracleSql(iters = 3, lr = 0.5),
+    // same unrolled GD with 8 hashed 3-gram bucket features appended
+    "q_quality_model_ngram" ->
+      qualityModelOracleSql(iters = 3, lr = 0.5, nGramBuckets = 8),
     "q_quality_sample" ->
       s"""SELECT doc_id, y, score_mu FROM (
             ${qualityModelOracleSql(iters = 3, lr = 0.5)}

@@ -63,7 +63,23 @@ object Clustering {
       idCol: String,
       vecCol: String,
       k: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    df.withColumn("cluster",
+      nearest(col(vecCol), kmeansCentroids(df, idCol, vecCol, k, iters))
+        .cast("int"))
+
+  /** The trained centroids themselves — the reusable product of the Lloyd
+    * loop (e.g. as learned IVF coarse-quantizer lists,
+    * [[Similarity.buildIvfIndexKmeans]]). Same determinism contract as
+    * [[kmeansAssign]]: integer micro-unit sums, IVF seeding, no RNG —
+    * cluster ids are the seed indices, so ids of clusters that lose all
+    * members simply vanish from the result. */
+  def kmeansCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      iters: Int = 2): Seq[(Int, Seq[Double])] = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
     // distances use the raw double vector; SUMS use the quantized one —
     // quantization exists to make the update exact, not to rescale space
@@ -114,7 +130,7 @@ object Clustering {
         .sortBy(_._1)
     }
 
-    df.withColumn("cluster", nearest(col(vecCol), centroids).cast("int"))
+    centroids
   }
 
   /** SemDeDup: k-means-cluster the embeddings, then inside each cluster

@@ -444,9 +444,7 @@ object Dedup {
       fps: DataFrame,
       idCol: String,
       maxDist: Int = 3): DataFrame = {
-    val banded = fps.selectExpr(idCol, "fp",
-      "explode(transform(sequence(0,3), q -> struct(q AS q, shiftright(fp, q*16) & 65535 AS bucket))) AS e")
-      .selectExpr(idCol, "fp", "e.q AS q", "e.bucket AS bucket")
+    val banded = simHashBanded(fps, idCol)
       // shared co-partitioned exchange for both self-join branches (see
       // lshCandidatePairs): fingerprints computed once, join shuffle-free
       .repartition(col("q"), col("bucket"))
@@ -462,6 +460,62 @@ object Dedup {
           hammingDist(col("a.fp"), col("b.fp")) <= maxDist)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+  }
+
+  /** The persistable quadrant-band index of a fingerprint table: 4 rows
+    * `(id, fp, q, bucket)` per fingerprint — what an ingest pipeline
+    * writes to parquet (bucketable by `(q, bucket)`) so later media
+    * batches probe fingerprints FROM DISK without re-decoding corpus
+    * payloads. The fingerprint itself rides along because the Hamming
+    * verify needs both sides' full 64 bits at the join. */
+  def simHashBanded(fps: DataFrame, idCol: String): DataFrame =
+    fps.selectExpr(idCol, "fp",
+      "explode(transform(sequence(0,3), q -> struct(q AS q, shiftright(fp, q*16) & 65535 AS bucket))) AS e")
+      .selectExpr(idCol, "fp", "e.q AS q", "e.bucket AS bucket")
+
+  /** Incremental fingerprint dedup against a PERSISTED quadrant index
+    * (see [[simHashBanded]]) — the media analog of
+    * [[incrementalDedupFromIndex]], shared by aHash/dHash image and
+    * eHash audio fingerprints: a new batch's `(id, fp)` rows are
+    * (1) dropped when within `maxDist` Hamming bits of any indexed
+    * corpus fingerprint, then (2) internally resolved (quadrant
+    * candidate join → Hamming verify → connected components → min-id
+    * survivor). Returns the surviving delta fingerprint rows. The corpus
+    * index is only ever equi-joined on `(q, bucket)` — never self-joined,
+    * never re-decoded; incremental cost is O(|delta| · 4) probe rows.
+    * Order is the [[incrementalDedup]] contract: corpus-duplicate removal
+    * precedes internal resolution. Parity with the rebuild-from-scratch
+    * path is pinned in OperatorsSpec. */
+  def incrementalSimHashDedup(
+      corpusBanded: DataFrame,
+      deltaFps: DataFrame,
+      idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    // materialized once: feeds the cross-probe AND the internal self-join
+    // (4 longs × |delta| rows, executor-local; localCheckpoint truncates
+    // lineage like incrementalDedupFromIndex)
+    val deltaBanded = simHashBanded(deltaFps, idCol).localCheckpoint()
+    val dropIds = deltaBanded.as("d")
+      .join(corpusBanded.as("c"),
+        col("d.q") === col("c.q") && col("d.bucket") === col("c.bucket") &&
+          hammingDist(col("d.fp"), col("c.fp")) <= maxDist)
+      .select(col(s"d.$idCol").as(idCol)).distinct()
+      .localCheckpoint()
+    val fresh = deltaFps.join(dropIds, Seq(idCol), "left_anti")
+    val freshBanded = deltaBanded.join(dropIds, Seq(idCol), "left_anti")
+      .repartition(col("q"), col("bucket"))
+    val a = freshBanded.as("a")
+    val b = freshBanded.as("b")
+    val pairs = a.join(b,
+        col("a.q") === col("b.q") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          hammingDist(col("a.fp"), col("b.fp")) <= maxDist)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val losers = resolveDuplicateGroups(pairs)
+      .filter(col("id") =!= col("survivor_id"))
+      .select(col("id").as(idCol))
+    fresh.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Candidate pairs between a NEW batch and an existing corpus's

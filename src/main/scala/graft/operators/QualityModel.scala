@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   */
 object QualityModel {
 
-  /** Feature count: bias + 4 text statistics. */
+  /** Base feature count: bias + 4 text statistics. */
   val NumFeatures = 5
 
   /** Micro-unit integer features, fixed order — the contract the oracle
@@ -51,6 +51,39 @@ object QualityModel {
       ratioMu(classCount("[^a-z]")))
   }
 
+  /** Hashed char-3-gram bucket features (the fastText trick that lifts
+    * the model past global ratios — bucket mass distinguishes CONTENT,
+    * not just shape): bucket b's feature is the micro-unit fraction of
+    * the document's 3-grams whose md5-derived bucket is b. One md5 per
+    * 3-gram (the bucket-id array is built once and reused by all
+    * `buckets` counts), map-only, and exactly replayable — the hash is
+    * the [[Sketches.slotHash]] idiom, the grams plain substrings of
+    * `lower(text)`. */
+  def ngramBucketFeaturesMu(text: Column, buckets: Int): Seq[Column] = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val t = lower(text)
+    // all substrings of length exactly 3 (short texts yield none; the
+    // trailing <3-char starts produce short grams the filter drops)
+    val grams = filter(
+      transform(sequence(lit(1), greatest(length(t) - 2, lit(1))),
+        i => t.substr(i, lit(3))),
+      g => length(g) === 3)
+    val bids = transform(grams, g =>
+      pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+    val total = greatest(size(bids), lit(1)).cast("double")
+    (0 until buckets).map { b =>
+      floor(size(filter(bids, x => x === b)).cast("double") * lit(1e6d)
+        / total + lit(0.5d)).cast("long")
+    }
+  }
+
+  /** The full feature row: base statistics plus `nGramBuckets` hashed
+    * 3-gram buckets (0 = the base model). */
+  def allFeaturesMu(text: Column, nGramBuckets: Int): Seq[Column] =
+    if (nGramBuckets <= 0) featuresMu(text)
+    else featuresMu(text) ++ ngramBucketFeaturesMu(text, nGramBuckets)
+
   /** Learn weights by `iters` rounds of full-batch GD on logistic loss.
     * `labelCol` must be 0/1 integers. Returns the weight vector (one
     * double per feature, bias first). */
@@ -59,11 +92,13 @@ object QualityModel {
       textCol: String,
       labelCol: String,
       iters: Int = 3,
-      lr: Double = 0.5d): Array[Double] = {
+      lr: Double = 0.5d,
+      nGramBuckets: Int = 0): Array[Double] = {
     require(iters >= 1 && lr > 0)
-    val xs = featuresMu(col(textCol))
+    val xs = allFeaturesMu(col(textCol), nGramBuckets)
+    val d = xs.length
     val y = col(labelCol).cast("double")
-    val w = Array.fill(NumFeatures)(0.0d)
+    val w = Array.fill(d)(0.0d)
     val n = df.count()
     require(n > 0, "cannot train on an empty corpus")
     var it = 0
@@ -80,7 +115,7 @@ object QualityModel {
       }
       val row = df.agg(grads.head, grads.tail: _*).collect()(0)
       var j = 0
-      while (j < NumFeatures) {
+      while (j < d) {
         // one documented operand order: w - lr·g / (1e6·N)
         w(j) = w(j) - lr * row.getLong(j).toDouble / (1e6d * n.toDouble)
         j += 1
@@ -96,9 +131,11 @@ object QualityModel {
   def score(
       df: DataFrame,
       textCol: String,
-      w: Array[Double]): DataFrame = {
-    require(w.length == NumFeatures)
-    val xs = featuresMu(col(textCol))
+      w: Array[Double],
+      nGramBuckets: Int = 0): DataFrame = {
+    val xs = allFeaturesMu(col(textCol), nGramBuckets)
+    require(w.length == xs.length,
+      s"weight vector has ${w.length} entries for ${xs.length} features")
     val z = xs.zipWithIndex.map { case (x, j) =>
       lit(w(j)) * (x.cast("double") / lit(1e6d))
     }.reduce(_ + _)
@@ -115,9 +152,10 @@ object QualityModel {
       textCol: String,
       labelCol: String,
       iters: Int = 3,
-      lr: Double = 0.5d): DataFrame = {
-    val w = train(df, textCol, labelCol, iters, lr)
-    score(df, textCol, w)
+      lr: Double = 0.5d,
+      nGramBuckets: Int = 0): DataFrame = {
+    val w = train(df, textCol, labelCol, iters, lr, nGramBuckets)
+    score(df, textCol, w, nGramBuckets)
       .select(col(idCol), col(labelCol).cast("int").as("y"), col("score_mu"))
   }
 }

@@ -293,6 +293,35 @@ object Similarity {
       slice(reverse(array_sort(ivfScoredArray(vec, centroids))), 1, nprobe),
       s => s.getField("i"))
 
+  /** L2 variant of the scored array: the squared-distance surrogate
+    * `c·c − 2·v·c` (the `v·v` term is centroid-invariant under argmin —
+    * the [[Clustering]] discipline), smaller = nearer. Used when the
+    * centroids were TRAINED under L2 (k-means): assigning/probing them
+    * by max-dot would favor large-norm centroids and unbalance the lists
+    * (measured: recall LOSS vs strided centroids before this existed). */
+  private def ivfL2ScoredArray(
+      vec: Column, centroids: Array[(Int, Seq[Double])]): Column =
+    array(centroids.map { case (i, c) =>
+      val cc = c.foldLeft(0.0d)((acc, x) => acc + x * x)
+      struct(
+        (lit(cc) - lit(2.0d) * dot(vec.cast("array<double>"), typedLit(c)))
+          .as("d"),
+        lit(i).as("i"))
+    }: _*)
+
+  /** Nearest list by L2 surrogate; ties break to the SMALLER id
+    * (array_min over structs — matches k-means assignment). */
+  private def ivfL2NearestList(
+      vec: Column, centroids: Array[(Int, Seq[Double])]): Column =
+    array_min(ivfL2ScoredArray(vec, centroids)).getField("i")
+
+  /** The `nprobe` L2-nearest list ids, ascending surrogate then id. */
+  private def ivfL2ProbeLists(
+      vec: Column, centroids: Array[(Int, Seq[Double])], nprobe: Int): Column =
+    transform(
+      slice(array_sort(ivfL2ScoredArray(vec, centroids)), 1, nprobe),
+      s => s.getField("i"))
+
   /** Build a PERSISTED IVF index — the production shape: the build is the
     * only full-corpus pass (one count, an O(nlist) centroid collect, one
     * map-only assignment projection), and what it returns is two plain
@@ -327,6 +356,44 @@ object Similarity {
     (centroidsDf, assigned)
   }
 
+  /** [[buildIvfIndex]] with LEARNED (k-means) coarse-quantizer centroids
+    * instead of the strided-id sample: [[Clustering.kmeansCentroids]]
+    * trains Lloyd iterations under its exact-integer determinism
+    * contract, and assignment/probing use the L2 surrogate the centroids
+    * were trained under ([[ivfL2NearestList]] — metric consistency
+    * matters: max-dot over averaged centroids favors large norms and
+    * unbalances lists, measured as a recall LOSS). On clustered
+    * embedding distributions the learned lists track the data's actual
+    * modes, so a fixed nprobe recovers at-least-strided recall (pinned
+    * in SimilaritySpec). List ids are the k-means cluster ids; clusters
+    * that lose every member during training simply have no list. Build
+    * cost: `iters` corpus passes (each one map-side-combined
+    * aggregation) vs the strided build's single pass — the classic
+    * index-quality ↔ build-cost trade, chosen per corpus. Probe the
+    * result with `ivfTopKFromIndex(..., metric = "l2")`. */
+  def buildIvfIndexKmeans(
+      corpus: DataFrame,
+      nlist: Int = 16,
+      iters: Int = 2,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding"): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+    val centroids: Array[(Int, Seq[Double])] =
+      Clustering.kmeansCentroids(corpus, corpusId, corpusVec, nlist, iters)
+        .toArray
+    val spark = corpus.sparkSession
+    val centroidsDf = spark.createDataFrame(
+      java.util.Arrays.asList(centroids.map { case (j, c) => Row(j, c) }: _*),
+      StructType(Seq(
+        StructField("list", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(DoubleType), nullable = false))))
+    // L2 assignment — the metric the centroids were trained under
+    val assigned = corpus.withColumn("__list",
+      ivfL2NearestList(col(corpusVec), centroids))
+    (centroidsDf, assigned)
+  }
+
   /** Probe a stored IVF index (see [[buildIvfIndex]]): collects the
     * O(nlist) centroid table to drive the probe expression, explodes each
     * query into its `nprobe` lists, equi-joins the (bucketed) assignment
@@ -341,13 +408,20 @@ object Similarity {
       corpusId: String = "vec_id",
       corpusVec: String = "embedding",
       queryId: String = "query_id",
-      queryVec: String = "query_vec"): DataFrame = {
+      queryVec: String = "query_vec",
+      metric: String = "dot"): DataFrame = {
     import org.apache.spark.sql.Row
+    require(metric == "dot" || metric == "l2", s"unknown metric '$metric'")
     val centroids: Array[(Int, Seq[Double])] = centroidsDf
       .orderBy("list").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
-    val probed = queries
-      .withColumn("__list", explode(ivfProbeLists(col(queryVec), centroids, nprobe)))
+    // probe under the metric the index was BUILT with ([[buildIvfIndex]]
+    // = dot, [[buildIvfIndexKmeans]] = l2) — a mismatched probe walks
+    // lists the assignment never filled
+    val probeLists =
+      if (metric == "l2") ivfL2ProbeLists(col(queryVec), centroids, nprobe)
+      else ivfProbeLists(col(queryVec), centroids, nprobe)
+    val probed = queries.withColumn("__list", explode(probeLists))
     val joined = assigned.join(broadcast(probed), "__list")
     val scored = joined.select(
       col(queryId), col(corpusId),

@@ -79,18 +79,50 @@ object Sketches {
       groupCols: Seq[String],
       valueCol: String,
       k: Int,
-      seed: Long = 0L): DataFrame = {
-    val ks = df
-      .groupBy(groupCols.map(col): _*)
+      seed: Long = 0L): DataFrame =
+    kmvEstimate(kmvPartial(df, groupCols, valueCol, k, seed), groupCols, k)
+
+  /** The PARTIAL sketch: per group, the ascending array of the k smallest
+    * distinct 60-bit hashes — the ≤k-long table a 100 TB deployment
+    * persists per ingest batch and merges later. Output:
+    * `groupCols..., __kmv array<long>`. */
+  def kmvPartial(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int,
+      seed: Long = 0L): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
       .agg(kMinValues(hash60(col(valueCol), seed), k).as("__kmv"))
-    ks.select(
+
+  /** Merge partial KMV sketches: union the hash sets, re-cut to the k
+    * smallest. EXACT for any slicing, overlapping or not — every hash in
+    * the k smallest of A∪B is necessarily among its own slice's k
+    * smallest, and [[graft.functions.KMinValues]] keeps DISTINCT hashes,
+    * so duplicates from overlap collapse. Same merge algebra shape as
+    * [[hllMerge]] (register-max) — the per-batch persist-and-merge path. */
+  def kmvMerge(
+      a: DataFrame,
+      b: DataFrame,
+      groupCols: Seq[String],
+      k: Int): DataFrame =
+    a.unionByName(b)
+      .select(groupCols.map(col) :+ explode(col("__kmv")).as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(kMinValues(col("__h"), k).as("__kmv"))
+
+  /** Estimate from a partial (built or merged) KMV table. */
+  def kmvEstimate(
+      partial: DataFrame,
+      groupCols: Seq[String],
+      k: Int): DataFrame =
+    partial.select(
       groupCols.map(col) :+
         round(
           when(size(col("__kmv")) < k, size(col("__kmv")).cast("double"))
             .otherwise(lit((k - 1).toDouble) * lit(TwoPow60)
               / element_at(col("__kmv"), k).cast("double")),
           3).as("kmv_est"): _*)
-  }
 
   /** HLL bias-correction constant alpha_m (Flajolet et al. 2007, fig. 3). */
   def hllAlpha(m: Int): Double = m match {
@@ -260,11 +292,41 @@ object Sketches {
       qs: Seq[Double],
       fraction: Double,
       seed: Long = 0L,
+      numPartitions: Int = 0): DataFrame =
+    quantilesFromSample(
+      quantileSample(df, idCol, valueCol, fraction, seed), qs, numPartitions)
+
+  /** The PARTIAL for mergeable quantiles: the deterministic hash-sample
+    * rows `(__id string, __v long)` themselves. Because
+    * [[Sampling.hashSample]] keeps a row iff a pure hash of its id falls
+    * under the threshold, the sample of a corpus slice is EXACTLY the
+    * whole-corpus sample restricted to that slice — so partials built
+    * over DISJOINT slices merge by plain union ([[quantileMerge]]) into
+    * precisely the whole-corpus sample, and every order statistic follows.
+    * (Overlapping slices would duplicate rows — disjoint-only semantics,
+    * like [[cmsMerge]].) Partial size is `fraction × slice`, the
+    * sampled-base formulation of a mergeable quantile sketch. */
+  def quantileSample(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      fraction: Double,
+      seed: Long = 0L): DataFrame =
+    Sampling.hashSample(df, idCol, fraction, seed)
+      .select(col(idCol).cast("string").as("__id"), col(valueCol).cast("long").as("__v"))
+
+  /** Merge quantile partials from disjoint slices: plain union. */
+  def quantileMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+
+  /** Order statistics from a (built or merged) quantile sample — the
+    * distributed-selection body of [[sampleQuantiles]]. */
+  def quantilesFromSample(
+      sample: DataFrame,
+      qs: Seq[Double],
       numPartitions: Int = 0): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), "qs must be in [0,1]")
-    val spark = df.sparkSession
-    val sample = Sampling.hashSample(df, idCol, fraction, seed)
-      .select(col(idCol).cast("string").as("__id"), col(valueCol).cast("long").as("__v"))
+    val spark = sample.sparkSession
     val n = sample.count()
     val outSchema = StructType(Seq(
       StructField("q", DoubleType, nullable = false),

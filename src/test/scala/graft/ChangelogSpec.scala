@@ -93,9 +93,15 @@ class ChangelogSpec extends SparkSpec {
 
   test("applyChangelog with no tombstones equals CompactJob.lwwDedup") {
     import graft.model.TableSpec
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("user_id", "event_type", "ts div 1000 AS wt",
-        "value", "event_id")
+    // writetime µs, adaptive to the parquet layout (nanos-as-long vs
+    // timestamp[us]) — the eventsWt discipline from SparkEntry
+    val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    val wt = evRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    val ev = evRaw.withColumn("wt", wt)
+      .select("user_id", "event_type", "wt", "value", "event_id")
     val viaChangelog = graft.operators.Changelog.applyChangelog(
         ev.limit(0), ev.withColumn("op", lit("U"))
           .select("user_id", "event_type", "wt", "op", "value", "event_id"),

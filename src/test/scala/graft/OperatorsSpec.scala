@@ -325,6 +325,85 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex == direct)
   }
 
+  test("kmeans-IVF beats strided centroids on clustered data; deterministic") {
+    // the synthetic embeddings table is measured structureless (within-
+    // vs cross-label cosine both ≈ 0), where no coarse quantizer can beat
+    // another — so the recall advantage is demonstrated on a CLUSTERED
+    // fixture built to expose the strided quantizer's real failure mode:
+    // dot-metric assignment is norm-sensitive (large-norm centroids
+    // absorb foreign vectors — and with SEVERAL of them, the absorbed
+    // members scatter into lists a query's 2 probes never visit), while
+    // k-means centroids + L2 assignment are norm-robust. 8 orthogonal
+    // blobs in contiguous id blocks (so BOTH builders seed one centroid
+    // per blob — the comparison isolates the metric/averaging, not seed
+    // luck), blobs 0–3 at 20× norm, deterministic LCG jitter.
+    val dims = 16
+    def jit(id: Long, d: Int): Double = {
+      val x = (id * 6364136223846793005L + d * 1442695040888963407L + 11L)
+      ((x >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 0.4
+    }
+    val rows = (0L until 512L).map { id =>
+      val blob = (id / 64).toInt
+      val norm = if (blob < 4) 20.0 else 1.0
+      val v = Array.tabulate(dims)(d =>
+        (if (d == blob * 2) norm else 0.0) + jit(id, d) * norm * 0.5)
+      (id, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") % 64 < 3) // 3 queries per blob
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val k = 10
+    val scored = emb.crossJoin(broadcast(q)).select(
+      col("query_id"), col("vec_id"),
+      Similarity.cosine(col("embedding").cast("array<double>"),
+        col("query_vec").cast("array<double>")).as("cos"))
+    val exact = Similarity.topKPerQuery(scored, k, "query_id", "cos", "vec_id")
+      .localCheckpoint()
+    def recallSum(
+        index: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame),
+        metric: String) =
+      Similarity.recallAtK(
+          Similarity.ivfTopKFromIndex(index._1, index._2, q, k, nprobe = 2,
+            metric = metric),
+          exact, k)
+        .agg(sum("recall_ppm")).as[Long].head()
+    val (cs, as_) = Similarity.buildIvfIndex(emb, nlist = 8)
+    val (ck, ak) = Similarity.buildIvfIndexKmeans(emb, nlist = 8, iters = 2)
+    // k-means + L2: perfect blob ↔ list bijection (purity 1 on 8 lists)
+    val kDist = ak.withColumn("blob", (col("vec_id") / 64).cast("int"))
+      .groupBy("blob", "__list").count()
+      .as[(Int, Int, Long)].collect()
+    assert(kDist.length == 8 && kDist.map(_._2).distinct.length == 8 &&
+      kDist.forall(_._3 == 64L),
+      s"kmeans assignment must be blob-pure: ${kDist.toSeq}")
+    // strided + dot: norm-dominated assignment SHATTERS the unit blobs
+    // (purity < 1 — at 100 TB this is lost recall and skewed lists; at
+    // this toy scale end-recall can be rescued by correlated
+    // misassignment, so purity is the stable discriminator)
+    val sDist = as_.withColumn("blob", (col("vec_id") / 64).cast("int"))
+      .groupBy("blob", "__list").count()
+      .as[(Int, Int, Long)].collect()
+    assert(sDist.groupBy(_._1).exists(_._2.length > 1),
+      s"expected strided-dot to shatter some blob: ${sDist.toSeq}")
+    // learned recall is PERFECT here and never below strided
+    val strided = recallSum((cs, as_), "dot")
+    val learned = recallSum((ck, ak), "l2")
+    assert(learned == 24L * 1000000, s"learned recall not perfect: $learned")
+    assert(learned >= strided,
+      s"learned must not lose to strided: learned=$learned strided=$strided")
+    // determinism on the REAL table: rebuilt index → identical ranking
+    val real = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val rq = real.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val (c1, a1) = Similarity.buildIvfIndexKmeans(real, nlist = 8, iters = 2)
+    val (c2, a2) = Similarity.buildIvfIndexKmeans(real, nlist = 8, iters = 2)
+    val r1 = Similarity.ivfTopKFromIndex(c1, a1, rq, k, nprobe = 2, metric = "l2")
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val r2 = Similarity.ivfTopKFromIndex(c2, a2, rq, k, nprobe = 2, metric = "l2")
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(r1 == r2 && r1.nonEmpty)
+  }
+
   test("int8Quantize: zero vector → zeros with scale 0; extremes hit ±127") {
     val emb = Seq(
       (1L, Array(0.0f, 0.0f)),
@@ -590,6 +669,46 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaFormats.wavSamples(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("incrementalSimHashDedup: probe-from-index ≡ reference model; clones drop") {
+    val media = Multimodal.imageTableWithClones(spark, sfDir)
+    val fps = Multimodal.imageAHash(media).toDF().select(col("doc_id"), col("fp"))
+      .localCheckpoint()
+    val corpus = fps.filter(col("doc_id") % 2 === 0 && col("doc_id") < 1000000L)
+    val delta = fps.join(corpus.select("doc_id"), Seq("doc_id"), "left_anti")
+    // the persisted path: index written to parquet, probed from disk
+    val idxDir = java.nio.file.Files.createTempDirectory("fpidx").toString
+    Dedup.simHashBanded(corpus, "doc_id").write.mode("overwrite").parquet(idxDir)
+    val got = Dedup.incrementalSimHashDedup(
+        spark.read.parquet(idxDir), delta, "doc_id", maxDist = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // reference model: corpus-match drop, then internal resolve, driver-side
+    val cfp = corpus.as[(Long, Long)].collect()
+    val dfp = delta.as[(Long, Long)].collect()
+    def near(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b) <= 3
+    val dropped = dfp.filter { case (_, f) => cfp.exists(c => near(c._2, f)) }.map(_._1).toSet
+    val freshArr = dfp.filterNot(d => dropped(d._1))
+    val internalPairs = for {
+      a <- freshArr; b <- freshArr
+      if a._1 < b._1 && near(a._2, b._2)
+    } yield (a._1, b._1)
+    // transitive closure, min-label survivors
+    val parent = scala.collection.mutable.Map(freshArr.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    internalPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = freshArr.map(_._1).filter(id => find(id) == id).toSet
+    assert(got == expect)
+    // clones of indexed corpus images are caught by the disk probe (the
+    // occasional 255→0 brightness wrap can push a clone past 3 bits, so
+    // "some drop" is the stable property — exact parity is checked above)
+    val evenBaseClones = dfp.map(_._1).filter(id =>
+      id >= 1000000L && (id - 1000000L) % 2 == 0)
+    assert(evenBaseClones.nonEmpty && evenBaseClones.exists(dropped))
+  }
+
   test("audioEHash: same-pattern clips hash near, different patterns far") {
     val a = Multimodal.MediaRecord(0L, "audio",
       MediaFormats.wavPattern(8000, 3000, seed = 5L, pattern = 0xA5C3L))
@@ -658,6 +777,26 @@ class MultimodalSpec extends SparkSpec {
     val corrupt = png.clone()
     corrupt(18) = (corrupt(18) ^ 0x40).toByte // flip a width bit; CRC now wrong
     assert(MediaFormats.parse(corrupt).container == "unknown")
+  }
+
+  test("oversized (would-be-negative) chunk lengths terminate: PNG and WAV") {
+    // a declared chunk length above the payload size casts to a negative
+    // Int and would stall the chunk walk forever (offset stops advancing);
+    // the guards must reject these as corrupt, never hang
+    val png = MediaFormats.png(16, 16, 1L)
+    val badPng = png.clone()
+    // IHDR length field: bytes 8..11, big-endian → 0xFFFFFFF4 (= -12 signed)
+    badPng(8) = 0xFF.toByte; badPng(9) = 0xFF.toByte
+    badPng(10) = 0xFF.toByte; badPng(11) = 0xF4.toByte
+    assert(MediaFormats.parse(badPng).container == "unknown")
+    assert(MediaFormats.pngPixels(badPng).isEmpty)
+    val wav = MediaFormats.wav(8000, 1, nSamples = 64, seed = 3L)
+    val badWav = wav.clone()
+    // "fmt " chunk size field: bytes 16..19, little-endian → 0xFFFFFFF8 (= -8)
+    badWav(16) = 0xF8.toByte; badWav(17) = 0xFF.toByte
+    badWav(18) = 0xFF.toByte; badWav(19) = 0xFF.toByte
+    assert(MediaFormats.parse(badWav).container == "unknown")
+    assert(MediaFormats.wavSamples(badWav).isEmpty)
   }
 
   // ---- the Spark pipeline over real payloads ----

@@ -39,6 +39,27 @@ class QualityModelSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("ngram-bucket features: order-free GD, partitioning-invariant, wider fit") {
+    val w1 = QualityModel.train(docs, "text", "y01", nGramBuckets = 8)
+    val w2 = QualityModel.train(docs.repartition(7), "text", "y01", nGramBuckets = 8)
+    assert(w1.length == QualityModel.NumFeatures + 8)
+    assert(w1.toSeq == w2.toSeq)
+    // bucket features are real: at least one bucket weight moved
+    assert(w1.drop(QualityModel.NumFeatures).exists(_ != 0.0d))
+    // scoring with the wider model stays map-only and partition-invariant
+    val s1 = QualityModel.trainAndScore(docs, "doc_id", "text", "y01",
+        nGramBuckets = 8)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val s2 = QualityModel.trainAndScore(docs.repartition(5), "doc_id", "text",
+        "y01", nGramBuckets = 8)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(s1 == s2)
+    // the wider weight vector refuses to score under the base feature set
+    intercept[IllegalArgumentException] {
+      QualityModel.score(docs, "text", w1)
+    }
+  }
+
   test("scoring is a map-only plan with literal weights") {
     val w = Array(0.1, 0.2, -0.3, 0.0, 0.4)
     val plan = QualityModel.score(docs, "text", w)

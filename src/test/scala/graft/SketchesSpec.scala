@@ -97,6 +97,40 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("kmvMerge of overlapping slices equals the whole-corpus sketch") {
+    val df = (1 to 3000).map(i => ("g", i.toLong % 997)).toDF("g", "v")
+    val k = 64
+    val whole = Sketches.kmvDistinct(df, Seq("g"), "v", k, seed = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // OVERLAPPING slices: merge unions distinct hashes and re-cuts to k,
+    // so double-seen values collapse — exact for any slicing
+    val a = Sketches.kmvPartial(df.filter(col("v") < 600), Seq("g"), "v", k, seed = 3)
+    val b = Sketches.kmvPartial(df.filter(col("v") >= 350), Seq("g"), "v", k, seed = 3)
+    val merged = Sketches.kmvEstimate(
+        Sketches.kmvMerge(a, b, Seq("g"), k), Seq("g"), k)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(merged == whole)
+    // the merged PARTIAL itself is the whole-corpus partial (array equality)
+    val wholeArr = Sketches.kmvPartial(df, Seq("g"), "v", k, seed = 3)
+      .select("__kmv").as[Seq[Long]].head()
+    val mergedArr = Sketches.kmvMerge(a, b, Seq("g"), k)
+      .select("__kmv").as[Seq[Long]].head()
+    assert(mergedArr == wholeArr)
+  }
+
+  test("quantileMerge of disjoint halves equals the whole-corpus quantiles") {
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val whole = Sketches.sampleQuantiles(docs, "doc_id", "n_chars", qs, 0.5, 7)
+      .as[(Double, Long)].collect().toMap
+    val pa = Sketches.quantileSample(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "n_chars", 0.5, 7)
+    val pb = Sketches.quantileSample(
+      docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "n_chars", 0.5, 7)
+    val merged = Sketches.quantilesFromSample(Sketches.quantileMerge(pa, pb), qs)
+      .as[(Double, Long)].collect().toMap
+    assert(merged == whole)
+  }
+
   test("hllDistinct is deterministic across partitioning") {
     val a = Sketches.hllDistinct(lineitem.repartition(1), Seq("l_returnflag"), "l_orderkey", 6, 11)
       .as[(String, Double)].collect().toMap

@@ -50,14 +50,14 @@ class TemporalJoinsSpec extends SparkSpec {
       .select(col("event_id").as("cid"), col("user_id"), col("wt").as("cwt"))
     val fast = TemporalJoins.asofJoin(p, c, Seq("user_id"), "wt", "cwt", "cid")
       .select(col("event_id"), col("matched.cid").as("cid"))
-    // quadratic reference: join all pairs at-or-before, rank per purchase
-    val w = Window.partitionBy("event_id").orderBy(col("cwt").desc, col("cid").desc)
+    // quadratic reference: all pairs, max (cwt, cid) struct among clicks
+    // at-or-before — a purchase whose clicks are ALL later (or whose user
+    // never clicked) keeps a null match instead of vanishing
     val slow = p.join(c, Seq("user_id"), "left")
-      .filter(col("cwt").isNull || col("cwt") <= col("wt"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("event_id"),
-        when(col("cwt") <= col("wt"), col("cid")).as("cid"))
+      .groupBy("event_id")
+      .agg(max(when(col("cwt") <= col("wt"),
+        struct(col("cwt"), col("cid")))).as("m"))
+      .select(col("event_id"), col("m.cid").as("cid"))
     assert(fast.except(slow).isEmpty && slow.except(fast).isEmpty)
   }
 
