@@ -920,6 +920,23 @@ object SparkEntry {
         s.read.parquet(art).select(col("doc_id"), col("fp")),
         "doc_id", maxDist = 3)
     }),
+    // JPEG image near-dup: the SAME aHash pipeline over baseline-JPEG
+    // payloads — the engine's own Huffman+IDCT luma decoder feeds the
+    // grid (bytes come from the JDK encoder, so the decode is proven
+    // against independent external bytes); grids export and the oracle
+    // replays threshold/bit-pack/banding/Hamming from them
+    "q_mm_image_dedup_jpeg" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = operators.Multimodal.jpegTableWithClones(s, dir)
+      val art = artifactPath(dir, "ahash_grid_jpeg")
+      dumpOnce(art) {
+        operators.Multimodal.imageAHash(media).toDF()
+          .write.mode("overwrite").parquet(art)
+      }
+      operators.Dedup.simHashNearDupsFrom(
+        s.read.parquet(art).select(col("doc_id"), col("fp")),
+        "doc_id", maxDist = 3)
+    }),
     // PERSISTED-fingerprint incremental image dedup — the production
     // ingest shape: the corpus's quadrant-band aHash index is written to
     // parquet ONCE, and a new batch (odd-id images + the clone
@@ -1197,6 +1214,14 @@ object SparkEntry {
     "q_clean_span_dedup" -> ((s, dir) =>
       operators.CorpusClean.spanDedup(read(s, dir, "documents"),
         "doc_id", "text", w = 8)),
+    // cross-document exact-substring dedup: spans duplicated in ≥2
+    // DISTINCT documents excise from every non-holder (min-id holder
+    // keeps all its occurrences; within-document repetition is
+    // legitimate and kept) — the "who copied whom" clone variant beside
+    // the boilerplate-removal span dedup above
+    "q_dedup_substring" -> ((s, dir) =>
+      operators.CorpusClean.substringDedup(read(s, dir, "documents"),
+        "doc_id", "text", k = 8)),
     // PII scrub over deterministically synthesized PII (the corpus has
     // none) — replacement and counts both exercised for real
     "q_clean_pii" -> ((s, dir) => {
@@ -2770,6 +2795,26 @@ object SparkEntry {
            ON a.q = b.q AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
     },
+    // JPEG replay: identical integer pipeline over the jpeg-decoded grids
+    "q_mm_image_dedup_jpeg" -> {
+      val terms = (0 until 64).map { i =>
+        val bit =
+          if (i == 63) "(-9223372036854775807::BIGINT - 1)"
+          else s"(1::BIGINT << $i)"
+        s"CASE WHEN 64*g[${i + 1}] > total THEN $bit ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH gr AS (SELECT doc_id, g
+             FROM read_parquet('/root/repo/artifacts/ahash_grid_jpeg/sf=sf0.01/*.parquet')),
+         t AS (SELECT doc_id, g, CAST(list_sum(g) AS BIGINT) AS total FROM gr),
+         f AS (SELECT doc_id, $terms AS fp FROM t),
+         banded AS (
+           SELECT doc_id, fp, q, (fp >> (q * 16)) & 65535 AS bucket
+           FROM f, (VALUES (0), (1), (2), (3)) t2(q))
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.q = b.q AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+    },
     // persisted-probe replay: fps from the exported grids, the even-id
     // corpus / odd-and-clone delta split, drop-on-corpus-match, then the
     // internal band join + transitive closure + min-label survivors
@@ -3023,6 +3068,38 @@ object SparkEntry {
            coalesce(array_to_string(list_transform(k, i -> ws[i+1]), ' '), '')
              AS text_clean
          FROM kept""",
+    // cross-doc substring replay: same window hashes (md5, case-kept),
+    // distinct-doc evidence, min-doc holder, coverage-union excision
+    "q_dedup_substring" ->
+      """WITH w AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+               x -> length(x) > 0) AS ws
+           FROM documents),
+         sh AS (SELECT doc_id,
+             unnest(range(0, greatest(len(ws) - 7, 0))) AS pos,
+             unnest(list_transform(range(0, greatest(len(ws) - 7, 0)),
+               i -> md5(array_to_string(ws[i+1:i+8], ' ')))) AS h
+           FROM w),
+         dup AS (SELECT h, min(doc_id) AS holder FROM sh
+           GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT s.doc_id, s.pos + t.o AS tp
+           FROM sh s JOIN dup d ON s.h = d.h AND s.doc_id <> d.holder
+           CROSS JOIN unnest(range(0, 8)) t(o)),
+         tok AS (SELECT doc_id, i - 1 AS tp, ws[i] AS wd
+           FROM w, unnest(range(1, len(ws) + 1)) t(i)),
+         kept AS (SELECT t.doc_id, t.tp, t.wd
+           FROM tok t LEFT JOIN cov c
+             ON t.doc_id = c.doc_id AND t.tp = c.tp
+           WHERE c.tp IS NULL),
+         asm AS (SELECT doc_id,
+             array_to_string(list(wd ORDER BY tp), ' ') AS sub_text,
+             CAST(count(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY doc_id),
+         cnt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w)
+         SELECT c.doc_id, c.n_tokens,
+           CAST(c.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(a.sub_text, '') AS sub_text
+         FROM cnt c LEFT JOIN asm a ON c.doc_id = a.doc_id""",
     "q_clean_pii" ->
       """WITH p AS (SELECT doc_id,
              text || ' contact user' || doc_id::VARCHAR ||

@@ -90,6 +90,90 @@ object CorpusClean {
     * (a cleaning pass that silently lowercases the corpus is a bug). */
   private def toks(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Cross-document exact-substring dedup — the Lee et al. 2022
+    * "train-data clone" variant beside [[spanDedup]]: a span of `k`
+    * consecutive tokens is excised from a document iff the SAME span
+    * appears in at least one OTHER document (distinct-doc evidence —
+    * within-document repetition is legitimate and kept), and the span's
+    * canonical HOLDER (the minimum doc id among its holders) keeps every
+    * occurrence. [[spanDedup]] instead keeps one occurrence GLOBALLY and
+    * counts within-document repeats as duplication — boilerplate
+    * removal; this operator answers "which documents are copying each
+    * other", the decontamination-adjacent clone question. Overlapping
+    * duplicated windows union into maximal excised runs via position
+    * coverage, so arbitrary-boundary clones longer than `k` excise
+    * end-to-end.
+    *
+    * Plan (sorted-shingle-run formulation, never all-pairs): one token
+    * explode; window hashes per start position (md5, cross-engine); ONE
+    * map-side-combined `groupBy(hash)` carrying `countDistinct(doc)` and
+    * `min(doc)`; a co-partitioned join back for non-holder occurrences
+    * only; coverage explode of the excised starts (≤ k rows each); one
+    * `groupBy(doc)` rebuild. Shuffles: the hash aggregation, the hash
+    * join, the doc rebuild — all keyed, no driver state, no pair join.
+    *
+    * Output: `(idCol, n_tokens, n_removed, sub_text)` for every input
+    * row; `sub_text` is whitespace-normalized (tokens re-joined with
+    * single spaces). */
+  def substringDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, "window width must be >= 2")
+    val id = col(idCol)
+    val base = df.select(id.as("__id"),
+      filter(toks(col(textCol)), t => length(t) > 0).as("__toks"))
+    val wins = base
+      .filter(size(col("__toks")) >= k)
+      .select(col("__id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("__toks")) - lit(k)),
+          i => md5(concat_ws(" ", slice(col("__toks"), i + lit(1), lit(k))))))
+          .as(Seq("__pos", "__h")))
+    // cross-document spans with their canonical holder — the only
+    // corpus-wide aggregation, partial-combined on the hash key
+    val crossDoc = wins
+      .groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__nd"), min(col("__id")).as("__holder"))
+      .filter(col("__nd") >= 2)
+    // excised token positions: non-holder occurrences, exploded to the k
+    // covered positions (row growth bounded by k × excised starts)
+    val excised = wins
+      .join(crossDoc, Seq("__h"))
+      .filter(col("__id") =!= col("__holder"))
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__tp"))
+      .distinct()
+      .groupBy(col("__id"))
+      .agg(collect_set(col("__tp")).as("__cut"))
+    base
+      .join(excised, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        col("__toks"),
+        coalesce(col("__cut"), array().cast("array<int>")).as("__cut"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        // empty docs: sequence(0, -1) would DESCEND ([0, -1]); guard to
+        // an empty position list instead
+        filter(
+          when(size(col("__toks")) > 0,
+            sequence(lit(0), size(col("__toks")) - lit(1)))
+            .otherwise(array().cast("array<int>")),
+          i => !array_contains(col("__cut"), i)).as("__kept"),
+        col("__toks"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        (col("n_tokens") - size(col("__kept"))).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(col("__kept"), i => element_at(col("__toks"), i + lit(1))))
+          .as("sub_text"))
+  }
+
   /** Duplicated-span removal (Lee et al. 2022 ExactSubstr, re-expressed
     * relationally): every run of `w` consecutive word tokens is hashed
     * (md5 of the space-joined window — cross-engine reproducible); a

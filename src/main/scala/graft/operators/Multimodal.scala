@@ -112,12 +112,19 @@ object Multimodal {
     * grayscale PNG are dropped (quarantine via [[decodeAll]] instead). */
   final case class ImageHash(doc_id: Long, g: Array[Int], fp: Long)
 
+  /** Grayscale pixel decode across the supported image codecs: PNG
+    * (grayscale-8) or baseline JPEG (luma plane) — the dispatch that
+    * lets one fingerprint pipeline serve a mixed-format scrape. */
+  def grayPixels(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    MediaFormats.pngPixels(payload)
+      .orElse(MediaFormats.jpegPixels(payload))
+
   def imageAHash(media: DataFrame)(
       implicit spark: SparkSession): Dataset[ImageHash] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { batch =>
       batch.flatMap { r =>
-        MediaFormats.pngPixels(r.payload).map { case (w, h, px) =>
+        grayPixels(r.payload).map { case (w, h, px) =>
           val g = new Array[Int](64)
           var i = 0
           while (i < 64) {
@@ -147,7 +154,7 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { batch =>
       batch.flatMap { r =>
-        MediaFormats.pngPixels(r.payload).map { case (w, h, px) =>
+        grayPixels(r.payload).map { case (w, h, px) =>
           val g = new Array[Int](72) // row-major 8 rows × 9 cols
           var i = 0
           while (i < 72) {
@@ -279,6 +286,34 @@ object Multimodal {
         if (id % cloneEvery == 0)
           Iterator(base, MediaRecord(id + cloneIdOffset, "image",
             MediaFormats.png(w, h, id + 1)))
+        else Iterator(base)
+      }).toDF()
+  }
+
+  /** JPEG slice of the media id space (ids ≡ 2 mod 3 — the slot PNG
+    * images and WAV audio don't use) plus a near-duplicate clone every
+    * `cloneEvery` ids: the clone re-encodes the SAME pattern nudged +4
+    * brighter under id+`cloneIdOffset`. Payloads come from the JDK's
+    * ImageIO JPEG ENCODER, so the engine's own [[MediaFormats.jpegPixels]]
+    * decoder is exercised against externally-produced bytes — real
+    * scrapes are JPEG-majority, and this is that path's fixture. */
+  def jpegTableWithClones(
+      spark: SparkSession,
+      docsDir: String,
+      cloneEvery: Long = 30L,
+      cloneIdOffset: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$docsDir/documents.parquet")
+      .select("doc_id").as[Long]
+      .filter(_ % 3 == 2)
+      .mapPartitions(_.flatMap { id =>
+        val w = 24 + (id % 40).toInt
+        val h = 24 + ((id / 40) % 40).toInt
+        val base = MediaRecord(id, "image", MediaFormats.jpegGray(w, h, id))
+        // jpeg ids are ≡2 (mod 3): anchor the clone draw at id-2
+        if ((id - 2) % cloneEvery == 0)
+          Iterator(base, MediaRecord(id + cloneIdOffset, "image",
+            MediaFormats.jpegGray(w, h, id, brighten = 4)))
         else Iterator(base)
       }).toDF()
   }

@@ -58,6 +58,39 @@ class CorpusCleanSpec extends SparkSpec {
     assert(out(1) === Row(20L, 5L, 5L, ""))
   }
 
+  test("substringDedup: holder keeps all, non-holders excised, within-doc repeats kept") {
+    val clone = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 tokens
+    val docs = Seq(
+      (1L, s"intro one $clone outro one"),           // holder (min id)
+      (2L, s"different lead $clone different tail"), // non-holder: excised
+      (3L, s"$clone"),                               // non-holder, exact clone
+      // within-doc repetition only — no second DOCUMENT holds the span
+      (4L, s"$clone $clone"),
+      (5L, "no shared content here at all and too short anyway"),
+      (6L, "")).toDF("doc_id", "text")
+    val out = CorpusClean.substringDedup(docs, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // holder keeps everything
+    assert(out(1L) == ((12L, 0L, s"intro one $clone outro one")))
+    // non-holder: the 8-token clone span excised, surroundings kept
+    assert(out(2L) == ((12L, 8L, "different lead different tail")))
+    assert(out(3L) == ((8L, 8L, "")))
+    // within-doc repeats are NOT cross-document evidence... but doc 4
+    // shares the span with docs 1-3, so its occurrences excise too —
+    // every window covering the clone is duplicated cross-doc
+    assert(out(4L)._2 == 16L)
+    assert(out(5L) == ((10L, 0L, "no shared content here at all and too short anyway")))
+    assert(out(6L) == ((0L, 0L, "")))
+    // pure within-doc repetition with NO other document sharing it: kept
+    val solo = Seq(
+      (1L, s"$clone $clone"),
+      (2L, "completely unrelated words that never repeat anything")).toDF("doc_id", "text")
+    val soloOut = CorpusClean.substringDedup(solo, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(soloOut(1L) == 0L && soloOut(2L) == 0L)
+  }
+
   test("piiScrub replaces and counts each category against its own input state") {
     val docs = Seq(
       (1L, "mail a.b+c@test.org and b@x.io, ip 192.168.0.1, call 555-867-5309"),

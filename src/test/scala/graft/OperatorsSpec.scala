@@ -779,6 +779,67 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaFormats.parse(corrupt).container == "unknown")
   }
 
+  test("jpegPixels matches ImageIO's decode of JDK-encoded grayscale JPEGs") {
+    for (seed <- Seq(3L, 47L, 200L); (w, h) <- Seq((24, 24), (37, 53), (64, 48))) {
+      val bytes = MediaFormats.jpegGray(w, h, seed)
+      val (gw, gh, px) = MediaFormats.jpegPixels(bytes).get
+      assert(gw == w && gh == h)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == w && img.getHeight == h)
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val ref = img.getRaster.getSample(x, y, 0)
+        maxDiff = math.max(maxDiff, math.abs(px(y * w + x) - ref))
+      }
+      // IDCT implementations legitimately differ by ±1 (JPEG conformance
+      // is a tolerance, not bit-exactness); anything more is a real bug
+      assert(maxDiff <= 1, s"seed=$seed ${w}x$h maxDiff=$maxDiff")
+    }
+  }
+
+  test("jpegPixels decodes color (YCbCr, subsampled) JPEGs' luma plane") {
+    // RGB gradient image → JDK encodes 3-component YCbCr with subsampling;
+    // the decoder must stay stream-synced through the chroma blocks
+    val w = 45; val h = 31
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 5) % 256 << 16) | ((y * 7) % 256 << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val bytes = bos.toByteArray
+    val m = MediaFormats.parse(bytes)
+    assert(m.container == "jpeg" && m.width.contains(w) && m.height.contains(h)
+      && m.nChannels.contains(3))
+    val (gw, gh, px) = MediaFormats.jpegPixels(bytes).get
+    assert(gw == w && gh == h && px.length == w * h)
+    // luma of a gradient is a gradient: right half brighter than left
+    val left = px.indices.filter(i => i % w < w / 2).map(px).sum.toDouble
+    val right = px.indices.filter(i => i % w >= w / 2).map(px).sum.toDouble
+    assert(px.forall(v => v >= 0 && v <= 255) && right > left)
+  }
+
+  test("jpeg aHash: clones near, distinct far, via the shared banded join") {
+    val media = Multimodal.jpegTableWithClones(spark, sfDir)
+    val fps = Multimodal.imageAHash(media).toDF()
+      .select(col("doc_id"), col("fp")).as[(Long, Long)].collect().toMap
+    assert(fps.nonEmpty)
+    val clones = fps.keys.filter(_ >= 1000000L).toSeq
+    assert(clones.nonEmpty)
+    // every clone fingerprints within 3 bits of its base image
+    clones.foreach { c =>
+      val d = java.lang.Long.bitCount(fps(c) ^ fps(c - 1000000L))
+      assert(d <= 3, s"clone $c dist $d")
+    }
+    val pairs = Dedup.simHashNearDupsFrom(
+        Multimodal.imageAHash(media).toDF().select(col("doc_id"), col("fp")),
+        "doc_id", maxDist = 3)
+      .as[(Long, Long)].collect().toSet
+    clones.foreach { c =>
+      assert(pairs.contains((c - 1000000L, c)), s"clone pair missing for $c")
+    }
+  }
+
   test("oversized (would-be-negative) chunk lengths terminate: PNG and WAV") {
     // a declared chunk length above the payload size casts to a negative
     // Int and would stall the chunk walk forever (offset stops advancing);
