@@ -104,6 +104,12 @@ object Bench {
     "q_profile" -> 0.25,
     // round-7 additions (mins from the final r7 clean run: total 45.0s /
     // min_total 40.4s over all 120 queries, steal 0.36s)
+    // round-9 additions (estimates pending a clean-host run)
+    "q_sketch_kmv_merge" -> 0.60, "q_sketch_quantile_merge" -> 1.50,
+    "q_sim_ann_ivf_kmeans" -> 2.50, "q_mm_image_dedup_persisted" -> 1.30,
+    "q_unigram_tokenize_em2" -> 1.20, "q_quality_model_ngram" -> 2.00,
+    "q_dedup_substring" -> 1.50, "q_mm_image_dedup_jpeg" -> 1.50,
+    "q_mm_audio_dedup_persisted" -> 0.80,
     "q_j3_rule_multicol" -> 0.09, "q_mm_image_dedup" -> 0.20,
     "q_unigram_tokenize" -> 0.64, "q_dedup_incremental_persisted" -> 1.13,
     "q_mm_image_dedup_dhash" -> 0.21, "q_mm_audio_dedup" -> 0.20,

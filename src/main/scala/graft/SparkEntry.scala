@@ -996,6 +996,32 @@ object SparkEntry {
         s.read.parquet(art).select(col("doc_id"), col("fp")),
         "doc_id", maxDist = 3)
     }),
+    // audio mirror of the persisted-fingerprint probe: the corpus's
+    // eHash quadrant index persists once; the delta batch (odd-base
+    // clips + clones) probes it from disk — same operator, same oracle
+    // discipline over the exported energy grids
+    "q_mm_audio_dedup_persisted" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = operators.Multimodal.audioTableWithClones(s, dir)
+      val art = artifactPath(dir, "ehash_grid")
+      dumpOnce(art) {
+        operators.Multimodal.audioEHash(media).toDF()
+          .write.mode("overwrite").parquet(art)
+      }
+      val fps = s.read.parquet(art).select(col("doc_id"), col("fp"))
+      // audio ids are ≡1 (mod 3): corpus = base clips with (id-1) % 2 == 0
+      val corpusFps = fps.filter((col("doc_id") - 1) % 2 === 0 &&
+        col("doc_id") < 1000000L)
+      val deltaFps = fps.join(corpusFps.select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      val idx = artifactPath(dir, "ehash_band_index")
+      dumpOnce(idx) {
+        operators.Dedup.simHashBanded(corpusFps, "doc_id")
+          .write.mode("overwrite").parquet(idx)
+      }
+      operators.Dedup.incrementalSimHashDedup(
+        s.read.parquet(idx), deltaFps, "doc_id", maxDist = 3)
+    }),
     // model-based quality filter: logistic regression over text stats,
     // trained IN-ENGINE by 3 rounds of deterministic full-batch GD
     // (integer micro-unit gradients — order-free sums), scored map-only
@@ -2904,6 +2930,54 @@ object SparkEntry {
          FROM banded a JOIN banded b
            ON a.q = b.q AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+    },
+    // audio persisted-probe replay: eHash fps from the exported energy
+    // grids, the (id-1)-parity corpus/delta split, drop-on-corpus-match,
+    // internal band join + closure + min-label survivors
+    "q_mm_audio_dedup_persisted" -> {
+      val terms = (0 until 64).map { i =>
+        val bit =
+          if (i == 63) "(-9223372036854775807::BIGINT - 1)"
+          else s"(1::BIGINT << $i)"
+        s"CASE WHEN 64*e[${i + 1}] > total THEN $bit ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH RECURSIVE
+         gr AS (SELECT doc_id, e
+             FROM read_parquet('/root/repo/artifacts/ehash_grid/sf=sf0.01/*.parquet')),
+         t AS (SELECT doc_id, e, CAST(list_sum(e) AS BIGINT) AS total FROM gr),
+         f AS (SELECT doc_id, $terms AS fp FROM t),
+         corpus AS (SELECT * FROM f
+           WHERE (doc_id - 1) % 2 = 0 AND doc_id < 1000000),
+         delta AS (SELECT * FROM f
+           WHERE NOT ((doc_id - 1) % 2 = 0 AND doc_id < 1000000)),
+         cb AS (SELECT doc_id, fp, q, (fp >> (q * 16)) & 65535 AS bucket
+           FROM corpus, (VALUES (0), (1), (2), (3)) t2(q)),
+         db AS (SELECT doc_id, fp, q, (fp >> (q * 16)) & 65535 AS bucket
+           FROM delta, (VALUES (0), (1), (2), (3)) t2(q)),
+         dropids AS (SELECT DISTINCT d.doc_id
+           FROM db d JOIN cb c ON d.q = c.q AND d.bucket = c.bucket
+           WHERE bit_count(xor(d.fp, c.fp)) <= 3),
+         fresh AS (SELECT * FROM delta
+           WHERE doc_id NOT IN (SELECT doc_id FROM dropids)),
+         fb AS (SELECT doc_id, fp, q, (fp >> (q * 16)) & 65535 AS bucket
+           FROM fresh, (VALUES (0), (1), (2), (3)) t2(q)),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM fb a JOIN fb b
+             ON a.q = b.q AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         und AS (SELECT DISTINCT a, b FROM (
+             SELECT id_a AS a, id_b AS b FROM pairs
+             UNION ALL SELECT id_b, id_a FROM pairs)),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+           WHERE u.b <> r.a),
+         lab AS (SELECT a AS id, least(a, min(b)) AS survivor
+           FROM reach GROUP BY a)
+         SELECT fr.doc_id, fr.fp FROM fresh fr
+         WHERE NOT EXISTS (
+           SELECT 1 FROM lab l WHERE l.id = fr.doc_id AND l.survivor <> l.id)"""
     },
     // cross-modal resolve: both pair derivations from their artifacts,
     // unioned, transitive closure, min-label survivors (the union-find
