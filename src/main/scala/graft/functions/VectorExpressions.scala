@@ -90,6 +90,7 @@ object SignatureEval {
   import org.apache.spark.sql.catalyst.expressions.XxHash64Function
   import org.apache.spark.sql.catalyst.util.GenericArrayData
   import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
 
   /** MinHash: k per-seed minimums over the shingle set. Hash derivation is
     * EXACTLY the relational formulation it replaces
@@ -114,6 +115,33 @@ object SignatureEval {
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** Per-bucket counts of a string's char n-grams, bucketed by the first
+    * four md5 digest bytes (big-endian unsigned) mod `buckets` — the
+    * EXACT integer the relational `conv(substring(md5(g), 1, 8), 16, 10)
+    * % buckets` idiom produces, computed from the raw digest without hex
+    * round-trips, one MessageDigest reused across the row's grams. The
+    * interpreted transform/md5 HOF this replaces paid per-gram lambda
+    * frames plus a hex parse (measured: it dominated
+    * q_quality_model_ngram's featurize pass). Output: `buckets` longs;
+    * total gram count = their sum. */
+  def charNgramBuckets(s: UTF8String, n: Int, buckets: Int): ArrayData = {
+    val str = s.toString
+    val counts = new Array[Long](buckets)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    val max = str.length - n
+    while (i <= max) {
+      md.reset()
+      val d = md.digest(
+        str.substring(i, i + n).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      counts((v % buckets).toInt) += 1
+      i += 1
+    }
+    new GenericArrayData(counts)
   }
 
   /** ALL word n-grams in position order, duplicates kept — the counting
@@ -220,6 +248,37 @@ case class NGramAll(child: Expression, n: Int)
       s"graft.functions.SignatureEval.ngramsAll($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): NGramAll =
+    copy(child = newChild)
+}
+
+/** Per-bucket char-n-gram counts as ONE codegen'd projection over a
+  * string column — the feature extractor behind the quality model's
+  * hashed-bucket features (see [[SignatureEval.charNgramBuckets]] for
+  * the md5-parity contract). Replaces a per-gram interpreted HOF chain
+  * (`transform` → `md5` → `conv(substring)` per element). */
+case class CharNgramBucketCounts(child: Expression, n: Int, buckets: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string, got ${other.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_char_ngram_buckets"
+
+  override def nullSafeEval(in: Any): Any =
+    SignatureEval.charNgramBuckets(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, buckets)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SignatureEval.charNgramBuckets($c, $n, $buckets)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharNgramBucketCounts =
     copy(child = newChild)
 }
 

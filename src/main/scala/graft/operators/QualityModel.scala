@@ -61,19 +61,17 @@ object QualityModel {
     * `lower(text)`. */
   def ngramBucketFeaturesMu(text: Column, buckets: Int): Seq[Column] = {
     require(buckets >= 1, "buckets must be >= 1")
-    val t = lower(text)
-    // all substrings of length exactly 3 (short texts yield none; the
-    // trailing <3-char starts produce short grams the filter drops)
-    val grams = filter(
-      transform(sequence(lit(1), greatest(length(t) - 2, lit(1))),
-        i => t.substr(i, lit(3))),
-      g => length(g) === 3)
-    val bids = transform(grams, g =>
-      pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
-        lit(buckets.toLong)))
-    val total = greatest(size(bids), lit(1)).cast("double")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // ALL bucket counts in one codegen'd pass over the row (md5 parity
+    // with the relational conv(substring(md5)) idiom pinned in
+    // ExpressionPropertySpec); codegen subexpression elimination shares
+    // the one array across the `buckets` features + the total
+    val counts = ColumnBridge.column(graft.functions.CharNgramBucketCounts(
+      ColumnBridge.expression(lower(text)), 3, buckets))
+    val total = greatest(
+      aggregate(counts, lit(0L), (a, b) => a + b), lit(1L)).cast("double")
     (0 until buckets).map { b =>
-      floor(size(filter(bids, x => x === b)).cast("double") * lit(1e6d)
+      floor(element_at(counts, b + 1).cast("double") * lit(1e6d)
         / total + lit(0.5d)).cast("long")
     }
   }
@@ -97,23 +95,34 @@ object QualityModel {
     require(iters >= 1 && lr > 0)
     val xs = allFeaturesMu(col(textCol), nGramBuckets)
     val d = xs.length
-    val y = col(labelCol).cast("double")
+    // featurize ONCE: GD is inherently one aggregation per iteration,
+    // but the features (regex class counts, hashed n-gram arrays) are
+    // iteration-invariant — without this the text work (md5 per 3-gram)
+    // re-ran every round. The checkpointed table is d+1 longs per doc;
+    // iterations scan that, not the corpus. Same shape as the oracle's
+    // single feature CTE.
+    val feat = df.select(
+      col(labelCol).cast("double").as("__y") +:
+        xs.zipWithIndex.map { case (x, j) => x.as(s"__x$j") }: _*)
+      .localCheckpoint()
     val w = Array.fill(d)(0.0d)
-    val n = df.count()
+    val n = feat.count()
     require(n > 0, "cannot train on an empty corpus")
+    val fx = (0 until d).map(j => col(s"__x$j"))
+    val y = col("__y")
     var it = 0
     while (it < iters) {
       // z = Σ w_j · (x_j/1e6), explicit left-to-right fixed order
-      val z = xs.zipWithIndex.map { case (x, j) =>
+      val z = fx.zipWithIndex.map { case (x, j) =>
         lit(w(j)) * (x.cast("double") / lit(1e6d))
       }.reduce(_ + _)
       val sigma = lit(1.0d) / (lit(1.0d) + exp(negate(z)))
       // per-doc contribution, micro-rounded BEFORE the (integer) sum
-      val grads = xs.zipWithIndex.map { case (x, j) =>
+      val grads = fx.zipWithIndex.map { case (x, j) =>
         sum(floor((sigma - y) * (x.cast("double") / lit(1e6d)) * lit(1e6d)
           + lit(0.5d)).cast("long")).as(s"g$j")
       }
-      val row = df.agg(grads.head, grads.tail: _*).collect()(0)
+      val row = feat.agg(grads.head, grads.tail: _*).collect()(0)
       var j = 0
       while (j < d) {
         // one documented operand order: w - lr·g / (1e6·N)

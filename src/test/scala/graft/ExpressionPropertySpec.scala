@@ -58,6 +58,42 @@ class ExpressionPropertySpec extends SparkSpec {
     ef.foreach { case (id, fp) => assert(nf(id) == fp, s"doc $id") }
   }
 
+  test("property: CharNgramBucketCounts ≡ relational md5-bucket HOF on random texts") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // ascii-only texts: the md5-parity contract is over the gram's UTF-8
+    // bytes, and Spark substr vs DuckDB substr agree there; the corpus
+    // this feeds is ascii (binaryMeta-pinned)
+    val genAscii: Gen[String] = for {
+      n <- Gen.chooseNum(0, 60)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaLowerChar, 2 -> Gen.const(' '), 1 -> Gen.numChar))
+    } yield cs.mkString
+    val texts = samples(genAscii, 120).distinct
+    val buckets = 8
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val native = df.select(col("id"),
+        ColumnBridge.column(graft.functions.CharNgramBucketCounts(
+          ColumnBridge.expression(lower(col("text"))), 3, buckets)).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // the interpreted formulation this replaced
+    val t = lower(col("text"))
+    val grams = filter(
+      transform(sequence(lit(1), greatest(length(t) - 2, lit(1))),
+        i => t.substr(i, lit(3))),
+      g => length(g) === 3)
+    val bids = transform(grams, g =>
+      pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+    val relational = df.select(col("id"), bids.as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    texts.indices.foreach { i =>
+      val expect = (0 until buckets)
+        .map(b => relational(i.toLong).count(_ == b).toLong)
+      assert(native(i.toLong) == expect, s"text ${texts(i)}")
+    }
+  }
+
   test("property: VectorDot ≡ HOF fold on random vectors, bit-exact") {
     val genVec: Gen[Seq[Double]] = for {
       n <- Gen.chooseNum(1, 64)
