@@ -110,6 +110,7 @@ object Bench {
     "q_unigram_tokenize_em2" -> 1.20, "q_quality_model_ngram" -> 2.00,
     "q_dedup_substring" -> 1.50, "q_mm_image_dedup_jpeg" -> 1.50,
     "q_mm_audio_dedup_persisted" -> 0.80,
+    "q_decontam_semantic_pairs" -> 1.20, "q_decontam_semantic_filter" -> 1.40,
     "q_j3_rule_multicol" -> 0.09, "q_mm_image_dedup" -> 0.20,
     "q_unigram_tokenize" -> 0.64, "q_dedup_incremental_persisted" -> 1.13,
     "q_mm_image_dedup_dhash" -> 0.21, "q_mm_audio_dedup" -> 0.20,

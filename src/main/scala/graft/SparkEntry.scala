@@ -1217,6 +1217,31 @@ object SparkEntry {
           .select(col("doc_id").as("test_id"), col("text")),
         "doc_id", "test_id", "text", n = 3, minShared = 2)
     }),
+    // SEMANTIC decontamination: embedding-cosine contamination across the
+    // same train/heldout split — catches paraphrased leaks the n-gram
+    // test misses. Banded RHP-LSH candidates (shared deterministic
+    // planes on both sides), one dot per candidate, exact oracle replay
+    "q_decontam_semantic_pairs" -> ((s, dir) => {
+      val split = operators.Sampling.hashSplit(readWide(s, dir, "embeddings"),
+        "vec_id", Seq(("train", 0.95), ("heldout", 0.05)), seed = 7L)
+      operators.Decontamination.semanticContaminationPairs(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") === "heldout")
+          .select(col("vec_id").as("test_vid"), col("embedding")),
+        "vec_id", "test_vid", "embedding", tau = 0.35)
+    }),
+    // the semantically-filtered corpus: train minus every row within tau
+    // of some heldout embedding (as recalled by the LSH candidate stage)
+    "q_decontam_semantic_filter" -> ((s, dir) => {
+      val split = operators.Sampling.hashSplit(readWide(s, dir, "embeddings"),
+        "vec_id", Seq(("train", 0.95), ("heldout", 0.05)), seed = 7L)
+      operators.Decontamination.semanticDecontaminate(
+          split.filter(col("split") === "train"),
+          split.filter(col("split") === "heldout")
+            .select(col("vec_id").as("test_vid"), col("embedding")),
+          "vec_id", "test_vid", "embedding", tau = 0.35)
+        .select("vec_id", "label")
+    }),
     // the filtered corpus: train minus every contaminated document
     "q_decontam_filter" -> ((s, dir) => {
       val split = operators.Sampling.hashSplit(readWide(s, dir, "documents"),
@@ -3077,6 +3102,56 @@ object SparkEntry {
          SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
            CAST(len(list_intersect(tr.s, te.s)) AS BIGINT) AS shared_ngrams
          FROM tr JOIN te ON len(list_intersect(tr.s, te.s)) >= 2""",
+    // semantic replay: same md5 split, 8×4-bit band signatures from the
+    // inlined plane literals, candidates = any-band agreement, threshold
+    // on the ROUNDED cosine (the operator's declared semantics)
+    "q_decontam_semantic_pairs" -> {
+      val bandCols = (0 until 8)
+        .map(b => s"(${rhpSigSql("v", 4, bandOffset = b * 4)}) AS s$b")
+        .mkString(", ")
+      val unions = (0 until 8)
+        .map(b => s"SELECT t.train_id, e.test_vid FROM trs t JOIN tes e ON t.s$b = e.s$b")
+        .mkString(" UNION ALL ")
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             ('0x' || substr(md5(vec_id::VARCHAR || ':7'), 1, 8))::BIGINT
+               % 1000000 AS bk
+           FROM embeddings),
+         trs AS (SELECT vec_id AS train_id, v, $bandCols FROM emb
+           WHERE bk < 950000),
+         tes AS (SELECT vec_id AS test_vid, v, $bandCols FROM emb
+           WHERE bk >= 950000),
+         cand AS (SELECT DISTINCT train_id, test_vid FROM ($unions)),
+         scored AS (SELECT c.train_id, c.test_vid,
+             round(list_cosine_similarity(ta.v, eb.v), 6) AS cos
+           FROM cand c JOIN emb ta ON ta.vec_id = c.train_id
+                       JOIN emb eb ON eb.vec_id = c.test_vid)
+         SELECT train_id, test_vid AS test_id, cos FROM scored
+         WHERE cos >= 0.35"""
+    },
+    "q_decontam_semantic_filter" -> {
+      val bandCols = (0 until 8)
+        .map(b => s"(${rhpSigSql("v", 4, bandOffset = b * 4)}) AS s$b")
+        .mkString(", ")
+      val unions = (0 until 8)
+        .map(b => s"SELECT t.train_id, e.test_vid FROM trs t JOIN tes e ON t.s$b = e.s$b")
+        .mkString(" UNION ALL ")
+      s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             ('0x' || substr(md5(vec_id::VARCHAR || ':7'), 1, 8))::BIGINT
+               % 1000000 AS bk
+           FROM embeddings),
+         trs AS (SELECT vec_id AS train_id, v, $bandCols FROM emb
+           WHERE bk < 950000),
+         tes AS (SELECT vec_id AS test_vid, v, $bandCols FROM emb
+           WHERE bk >= 950000),
+         cand AS (SELECT DISTINCT train_id, test_vid FROM ($unions)),
+         bad AS (SELECT DISTINCT c.train_id
+           FROM cand c JOIN emb ta ON ta.vec_id = c.train_id
+                       JOIN emb eb ON eb.vec_id = c.test_vid
+           WHERE round(list_cosine_similarity(ta.v, eb.v), 6) >= 0.35)
+         SELECT vec_id, label FROM emb
+         WHERE bk < 950000
+           AND vec_id NOT IN (SELECT train_id FROM bad)"""
+    },
     "q_decontam_filter" ->
       """WITH b AS (SELECT doc_id, text, lang, source,
              ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT

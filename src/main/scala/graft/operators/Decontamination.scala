@@ -65,4 +65,71 @@ object Decontamination {
       .select(col("train_id").as(trainId)).distinct()
     train.join(bad, Seq(trainId), "left_anti")
   }
+
+  /** SEMANTIC contamination: (train, eval) pairs whose EMBEDDING cosine
+    * reaches `tau` — catches the paraphrased/translated leak the n-gram
+    * collision test misses (same claim as SemDeDup, pointed across the
+    * train/eval boundary). Candidates come from banded random-hyperplane
+    * LSH with BOTH sides signed by the same deterministic planes
+    * ([[Similarity.rhpSignature]]) and equi-joined on `(band, bucket)` —
+    * never an all-pairs product; each candidate costs one dot (norms
+    * pre-materialized on the pre-join projections). Approximate-by-recall
+    * like every LSH operator here, with an EXACT oracle: the planes are
+    * driver constants, so the other engine replays the identical
+    * signatures, join, and threshold. Eval is benchmark-sized: its
+    * banded side broadcasts under AQE, leaving the train exchange as the
+    * only data-scale shuffle. Output: `(train_id, test_id, cos)` with
+    * cos rounded to 6 decimals (rank-free threshold semantics). */
+  def semanticContaminationPairs(
+      train: DataFrame,
+      test: DataFrame,
+      trainId: String,
+      testId: String,
+      vecCol: String,
+      tau: Double,
+      nbits: Int = 4,
+      bands: Int = 8): DataFrame = {
+    require(tau > -1 && tau <= 1 && nbits >= 1 && bands >= 1)
+    def banded(df: DataFrame, idCol: String, outId: String): DataFrame = {
+      val v = col(vecCol).cast("array<double>")
+      df.select(
+          Seq(col(idCol).as(outId), v.as("__v"), Similarity.norm(v).as("__n")) ++
+            (0 until bands).map(b =>
+              Similarity.rhpSignature(col(vecCol), nbits, bandOffset = b * nbits)
+                .as(s"__sig$b")): _*)
+        .select(col(outId), col("__v"), col("__n"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"), col(s"__sig$b").as("bucket"))): _*))
+            .as("__e"))
+        .select(col(outId), col("__v"), col("__n"),
+          col("__e.band").as("band"), col("__e.bucket").as("bucket"))
+    }
+    val t = banded(train, trainId, "train_id").as("t")
+    val e = banded(test, testId, "test_id").as("e")
+    t.join(e, col("t.band") === col("e.band") &&
+        col("t.bucket") === col("e.bucket"))
+      .select(col("train_id"), col("test_id"),
+        round(Similarity.dot(col("t.__v"), col("e.__v"))
+          / (col("t.__n") * col("e.__n")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+      .dropDuplicates("train_id", "test_id")
+  }
+
+  /** The filtered corpus under the semantic test: train rows whose
+    * embedding is within `tau` cosine of NO eval row (as recalled by the
+    * LSH candidate stage). */
+  def semanticDecontaminate(
+      train: DataFrame,
+      test: DataFrame,
+      trainId: String,
+      testId: String,
+      vecCol: String,
+      tau: Double,
+      nbits: Int = 4,
+      bands: Int = 8): DataFrame = {
+    val bad = semanticContaminationPairs(
+        train, test, trainId, testId, vecCol, tau, nbits, bands)
+      .select(col("train_id").as(trainId)).distinct()
+    train.join(bad, Seq(trainId), "left_anti")
+  }
 }

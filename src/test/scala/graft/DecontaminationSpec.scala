@@ -68,4 +68,34 @@ class DecontaminationSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(run(1) == run(7))
   }
+
+  test("semantic contamination: exact-copy leak found, orthogonal vectors clean") {
+    // train rows 1..4: e1, e2, e3, e4 axis vectors (dims 8, padded);
+    // eval row 100 = a COPY of train row 2's vector (the paraphrase-free
+    // leak), eval row 101 orthogonal to everything else
+    def axis(i: Int): Seq[Double] = Seq.tabulate(8)(d => if (d == i) 1.0 else 0.0)
+    val train = Seq(
+      (1L, axis(0)), (2L, axis(1)), (3L, axis(2)), (4L, axis(3)))
+      .toDF("vec_id", "embedding")
+    val eval_ = Seq((100L, axis(1)), (101L, axis(7)))
+      .toDF("test_vid", "embedding")
+    val pairs = Decontamination.semanticContaminationPairs(
+        train, eval_, "vec_id", "test_vid", "embedding", tau = 0.9,
+        nbits = 2, bands = 8)
+      .as[(Long, Long, Double)].collect()
+    // identical vectors share every band signature -> always recalled
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((2L, 100L)))
+    assert(pairs.head._3 == 1.0)
+    val kept = Decontamination.semanticDecontaminate(
+        train, eval_, "vec_id", "test_vid", "embedding", tau = 0.9,
+        nbits = 2, bands = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+    // partitioning invariance
+    val p2 = Decontamination.semanticContaminationPairs(
+        train.repartition(5), eval_.repartition(3), "vec_id", "test_vid",
+        "embedding", tau = 0.9, nbits = 2, bands = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(p2 == pairs.toSet)
+  }
 }

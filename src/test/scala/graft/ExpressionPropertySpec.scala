@@ -153,6 +153,32 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: jpegPixels is total under random corruption (never throws/hangs)") {
+    import graft.operators.MediaFormats
+    val base = MediaFormats.jpegGray(40, 32, 7L)
+    // single-byte corruptions at deterministic positions: marker bytes,
+    // segment lengths, Huffman tables, entropy data — decoder must return
+    // None or a valid-shaped result, never throw, never stall
+    val positions = (0 until 400).map(i => (i * 37) % base.length)
+    for (p <- positions; v <- Seq(0x00, 0xff, 0xd9, 0xf4)) {
+      val bad = base.clone()
+      bad(p) = v.toByte
+      val r = MediaFormats.jpegPixels(bad) // must terminate without throwing
+      r.foreach { case (w, h, px) =>
+        assert(w > 0 && h > 0 && px.length == w * h &&
+          px.forall(x => x >= 0 && x <= 255))
+      }
+      val m = MediaFormats.parse(bad) // total too
+      assert(m.container == "jpeg" || m.container == "unknown")
+    }
+    // truncations: every prefix length down to nothing
+    for (n <- Seq(0, 1, 2, 3, 20, base.length / 2, base.length - 1)) {
+      assert(MediaFormats.jpegPixels(base.take(n)).forall(_._3.nonEmpty))
+      val m = MediaFormats.parse(base.take(n))
+      assert(m.container == "jpeg" || m.container == "unknown")
+    }
+  }
+
   test("property: parse never throws on arbitrary byte junk (total function)") {
     import graft.operators.MediaFormats
     val genBytes = Gen.chooseNum(0, 200)
