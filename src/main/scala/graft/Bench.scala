@@ -104,13 +104,14 @@ object Bench {
     "q_profile" -> 0.25,
     // round-7 additions (mins from the final r7 clean run: total 45.0s /
     // min_total 40.4s over all 120 queries, steal 0.36s)
-    // round-9 additions (estimates pending a clean-host run)
-    "q_sketch_kmv_merge" -> 0.60, "q_sketch_quantile_merge" -> 1.50,
-    "q_sim_ann_ivf_kmeans" -> 2.50, "q_mm_image_dedup_persisted" -> 1.30,
-    "q_unigram_tokenize_em2" -> 1.20, "q_quality_model_ngram" -> 2.00,
-    "q_dedup_substring" -> 1.50, "q_mm_image_dedup_jpeg" -> 1.50,
-    "q_mm_audio_dedup_persisted" -> 0.80,
-    "q_decontam_semantic_pairs" -> 1.20, "q_decontam_semantic_filter" -> 1.40,
+    // round-9 additions (mins from the end-of-round 133-query full run:
+    // total 202.8s / min_total 68.0s, steal 23.7s)
+    "q_sketch_kmv_merge" -> 0.70, "q_sketch_quantile_merge" -> 1.39,
+    "q_sim_ann_ivf_kmeans" -> 1.20, "q_mm_image_dedup_persisted" -> 0.75,
+    "q_unigram_tokenize_em2" -> 0.99, "q_quality_model_ngram" -> 1.19,
+    "q_dedup_substring" -> 0.12, "q_mm_image_dedup_jpeg" -> 0.29,
+    "q_mm_audio_dedup_persisted" -> 1.01,
+    "q_decontam_semantic_pairs" -> 0.57, "q_decontam_semantic_filter" -> 0.71,
     "q_j3_rule_multicol" -> 0.09, "q_mm_image_dedup" -> 0.20,
     "q_unigram_tokenize" -> 0.64, "q_dedup_incremental_persisted" -> 1.13,
     "q_mm_image_dedup_dhash" -> 0.21, "q_mm_audio_dedup" -> 0.20,
