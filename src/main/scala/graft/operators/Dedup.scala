@@ -462,6 +462,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Choose `(bands, rowsPerBand)` for a MinHash-LSH run from a target
+    * Jaccard `threshold` and signature width `k`: over every factor pair
+    * with `bands·rows ≤ k`, pick the pair whose S-curve inflection
+    * `(1/bands)^(1/rows)` lands nearest the threshold (ties → more
+    * bands, i.e. higher recall at equal inflection). The standard MMDS
+    * planning rule — callers stop hand-tuning band counts per corpus;
+    * at 100 TB a mis-set inflection either floods the verify stage
+    * (too low) or silently loses near-dups (too high). Deterministic
+    * driver-side arithmetic, spec-pinned against the closed form. */
+  def lshPlan(threshold: Double, k: Int): (Int, Int) = {
+    require(threshold > 0 && threshold < 1 && k >= 2,
+      "need 0 < threshold < 1 and k >= 2")
+    val candidates = for {
+      rows <- 1 to k
+      bands <- 1 to k / rows
+    } yield (bands, rows)
+    candidates.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), -b)
+    }
+  }
+
   /** The persistable quadrant-band index of a fingerprint table: 4 rows
     * `(id, fp, q, bucket)` per fingerprint — what an ingest pipeline
     * writes to parquet (bucketable by `(q, bucket)`) so later media

@@ -112,6 +112,45 @@ object StreamingRetentionJob {
       .drop("__fp")
   }
 
+  /** Corpus-duplicate drop for a STREAM of fingerprints against the
+    * PERSISTED quadrant-band index
+    * ([[graft.operators.Dedup.simHashBanded]], written at batch ingest):
+    * the `foreachBatch` body of the streaming media-dedup pipeline —
+    * "keep the row iff NO indexed corpus fingerprint sits within
+    * `maxDist` Hamming bits" needs an all-quadrants-missed decision per
+    * id, which is an anti join against a stream-derived frame and
+    * therefore not plannable as a continuous streaming join (stream-
+    * stream ANTI is unsupported); inside `foreachBatch` each micro-batch
+    * is a plain DataFrame and the batch operator's exact semantics
+    * apply. Probe cost per batch: O(|batch|·4) join rows against the
+    * bucketed index — the [[graft.operators.Dedup.incrementalSimHashDedup]]
+    * cross-corpus stage verbatim; the batch-internal resolve stage stays
+    * in the nightly reconciliation job (the [[streamingSimHashDedup]]
+    * scope note's architecture).
+    *
+    * Usage:
+    * {{{
+    * fpStream.writeStream.foreachBatch { (batch, _) =>
+    *   StreamingRetentionJob.probeBatchAgainstIndex(batch, idx, "doc_id")
+    *     .write.mode("append").parquet(out)
+    * }
+    * }}} */
+  def probeBatchAgainstIndex(
+      microBatch: DataFrame,
+      corpusBanded: DataFrame,
+      idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val banded = microBatch.selectExpr(idCol, "fp",
+      "explode(transform(sequence(0,3), q -> struct(q AS q, shiftright(fp, q*16) & 65535 AS bucket))) AS e")
+      .selectExpr(idCol, "fp", "e.q AS q", "e.bucket AS bucket")
+    val hits = banded.as("d")
+      .join(corpusBanded.as("c"),
+        col("d.q") === col("c.q") && col("d.bucket") === col("c.bucket") &&
+          graft.operators.Dedup.hammingDist(col("d.fp"), col("c.fp")) <= maxDist)
+      .select(col(s"d.$idCol").as(idCol)).distinct()
+    microBatch.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Streaming curation — the streaming face of
     * [[graft.jobs.CurationJob]]: quality threshold → repetition caps
     * (both stateless map-only projections, identical expressions to the

@@ -106,6 +106,23 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 4L)) < 0.2)
   }
 
+  test("lshPlan picks the S-curve inflection nearest the threshold") {
+    // exhaustive check against the closed form over the full grid
+    for (t <- Seq(0.5, 0.7, 0.8, 0.9); k <- Seq(20, 64, 128)) {
+      val (b, r) = Dedup.lshPlan(t, k)
+      assert(b >= 1 && r >= 1 && b * r <= k)
+      val err = math.abs(math.pow(1.0 / b, 1.0 / r) - t)
+      for (rr <- 1 to k; bb <- 1 to k / rr) {
+        val e2 = math.abs(math.pow(1.0 / bb, 1.0 / rr) - t)
+        assert(err <= e2 + 1e-12, s"t=$t k=$k chose ($b,$r) but ($bb,$rr) closer")
+      }
+    }
+    // a higher threshold plans FEWER bands or more rows (more selective)
+    val (b80, r80) = Dedup.lshPlan(0.8, 20)
+    val (b50, r50) = Dedup.lshPlan(0.5, 20)
+    assert(math.pow(1.0 / b80, 1.0 / r80) > math.pow(1.0 / b50, 1.0 / r50))
+  }
+
   test("duplicate groups resolve to component minimum; chains connect") {
     // components: {1,2,3} (chain), {7,9}, singleton 5 untouched (no edges)
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")

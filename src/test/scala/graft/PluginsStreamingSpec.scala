@@ -122,6 +122,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch index probe drops corpus-near fingerprints, batch-exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // static corpus index: two fingerprints, quadrant-banded
+    val corpus = Seq((100L, 0x0F0F0F0F0F0F0F0FL), (200L, -1L))
+      .toDF("doc_id", "fp")
+    val idx = graft.operators.Dedup.simHashBanded(corpus, "doc_id")
+      .localCheckpoint()
+    val in = MemoryStream[(Long, Long)]
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = in.toDF().toDF("doc_id", "fp")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        survivors ++= graft.streaming.StreamingRetentionJob
+          .probeBatchAgainstIndex(batch, idx, "doc_id", maxDist = 3)
+          .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect()
+        ()
+      }
+      .start()
+    try {
+      in.addData(
+        (1L, 0x0F0F0F0F0F0F0F0FL), // exact corpus match: drop
+        (2L, 0x0F0F0F0F0F0F0F0EL), // 1 bit from corpus: drop
+        (3L, 0x1234567890ABCDEFL)) // far from both: keep
+      q.processAllAvailable()
+      in.addData((4L, -2L)) // 1 bit from corpus fp -1L: drop
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(3L))
+    } finally q.stop()
+  }
+
   test("streaming SimHash dedup drops token-reordered near-identicals cross-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
