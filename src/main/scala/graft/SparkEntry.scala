@@ -1097,6 +1097,16 @@ object SparkEntry {
       operators.Dedup.resolveDuplicateGroups(
         textPairs.unionByName(imagePairs))
     }),
+    // LSH parameter planning surfaced through the gate: the (bands,
+    // rows) the engine would pick for standard thresholds at k=20 —
+    // DuckDB replays the S-curve argmin over the same factor grid
+    "q_dedup_lsh_plan" -> ((s, dir) => {
+      import s.implicits._
+      Seq(0.5, 0.7, 0.8, 0.9).map { t =>
+        val (b, r) = operators.Dedup.lshPlan(t, 20)
+        (t, b, r)
+      }.toDF("threshold", "bands", "rows_per_band")
+    }),
     // ---- training-data pipeline: sketches ------------------------------
     // KMV distinct-count sketch beside the exact count it estimates. The
     // sketch aggregation carries bounded k-long buffers (map-side merged);
@@ -3061,6 +3071,20 @@ object SparkEntry {
     // the sketch oracles re-derive the md5 60-bit hash natively (15 hex
     // digits, the hash60 idiom) and replay the EXACT estimator: the
     // "approximation" is a fixed hash function, not run randomness
+    // S-curve argmin replay over the same bands×rows factor grid; the
+    // pow-based error metric is far from ties at these thresholds, so
+    // the 1-ulp libm difference between engines cannot flip the argmin
+    "q_dedup_lsh_plan" ->
+      """WITH ts AS (SELECT CAST(t AS DOUBLE) AS threshold
+           FROM (VALUES (0.5), (0.7), (0.8), (0.9)) v(t)),
+         grid AS (SELECT CAST(b AS INT) AS bands, CAST(r AS INT) AS rows_per_band
+           FROM range(1, 21) t1(r), range(1, 21) t2(b) WHERE r * b <= 20),
+         scored AS (SELECT ts.threshold, g.bands, g.rows_per_band,
+             abs(pow(1.0 / g.bands, 1.0 / g.rows_per_band) - ts.threshold) AS err
+           FROM ts CROSS JOIN grid g)
+         SELECT threshold, bands, rows_per_band FROM scored
+         QUALIFY row_number() OVER (PARTITION BY threshold
+           ORDER BY err, bands DESC) = 1""",
     "q_sketch_kmv" -> kmvOracleSql,
     // union + re-cut-to-k merge of disjoint halves ≡ the whole-corpus sketch
     "q_sketch_kmv_merge" -> kmvOracleSql,
