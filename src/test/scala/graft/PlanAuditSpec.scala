@@ -276,4 +276,24 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("HashAggregate"), plan)
     assert(plan.contains("graft_dot"), plan)
   }
+
+  test("substring dedup: three keyed exchanges, partial-agg'd, never a pair join") {
+    val plan = simple("q_dedup_substring")
+    // the window-hash aggregation, the excised-position collect, and the
+    // doc rebuild — each keyed, each with map-side partial aggregation;
+    // the dup lookup joins back on the hash key (no cartesian/SMJ at
+    // this scale it broadcasts; at scale AQE re-plans on the same key)
+    assert("hashpartitioning".r.findAllMatchIn(plan).size <= 3, plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_min"), plan)
+  }
+
+  test("semantic decontamination: banded equi-join, no nested loop, one dot per candidate") {
+    val plan = simple("q_decontam_semantic_pairs")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("graft_dot"), plan) // native dot in the verify
+  }
 }
