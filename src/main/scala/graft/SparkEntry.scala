@@ -60,6 +60,47 @@ object SparkEntry {
       catch { case e: Throwable => dumped.remove(art); throw e }
     }
 
+  /** Deterministic HTML payload built from the documents row — the
+    * fixture for q_html_extract. The SAME concatenation runs in the
+    * oracle, so the hash check verifies the EXTRACTION chain, not the
+    * fixture. Exercises: title/style/script subtrees (must vanish,
+    * including a `<` inside script code), a comment, entities (incl.
+    * the `&amp;`-last ordering), anchors for link density. */
+  private def htmlFixture: Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id"),
+    lit("</title><style type=\"text/css\">p { color: red; }</style>" +
+      "</head><body><script>var x = 1 < 2 && 0;</script><h1>"),
+    upper(col("source")),
+    lit("</h1><!-- nav boilerplate --><p>"), col("text"),
+    lit(" &amp; more &lt;tags&gt; &#39;q&#39;&nbsp;end</p><a href=\"/d/"),
+    col("doc_id"),
+    lit("\">click here "), col("doc_id"),
+    lit("</a> <a href=\"/next?utm_source=x\">next page</a></body></html>"))
+
+  /** Deterministic URL fixture for q_url_normalize: parity-alternating
+    * scheme/port (https:443 vs http:80 — both default-port strips),
+    * a `www.` on the https branch, a co.uk-vs-com TLD split (both
+    * registrable-domain branches), mixed case, `/index.html`, tracking
+    * params surrounding a real one, and a fragment. */
+  private def urlFixture: Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("HTTP://")),
+    col("source"),
+    when(col("doc_id") % 3 === 0, lit(".Example.CO.UK")).otherwise(lit(".Example.COM")),
+    when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")),
+    lit("/Files/"), col("doc_id"),
+    lit("/index.html?utm_source=feed&id="), col("doc_id"),
+    lit("&gclid=z12&page=2#frag"))
+
+  /** [[htmlFixture]] rendered as the equivalent DuckDB concatenation —
+    * character-identical output, so the oracle's extraction replay sees
+    * the same bytes. */
+  private def htmlFixtureSql: String =
+    """'<html><head><title>Doc ' || doc_id || '</title><style type="text/css">p { color: red; }</style></head><body><script>var x = 1 < 2 && 0;</script><h1>' || upper(source) || '</h1><!-- nav boilerplate --><p>' || text || ' &amp; more &lt;tags&gt; &#39;q&#39;&nbsp;end</p><a href="/d/' || doc_id || '">click here ' || doc_id || '</a> <a href="/next?utm_source=x">next page</a></body></html>'"""
+
+  /** [[urlFixture]] as the equivalent DuckDB expression. */
+  private def urlFixtureSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'HTTP://' END) || source || (CASE WHEN doc_id % 3 = 0 THEN '.Example.CO.UK' ELSE '.Example.COM' END) || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) || '/Files/' || doc_id || '/index.html?utm_source=feed&id=' || doc_id || '&gclid=z12&page=2#frag'"""
+
   /** IVF replay shared by q_sim_ann_ivf and its persisted-index twin:
     * stride-sampled centroids, nearest-list assignment with larger-index
     * tie-break, nprobe=4 probe, cosine rank. */
@@ -1538,7 +1579,73 @@ object SparkEntry {
           ("lang_code_shape",
             col("lang").isNotNull && length(col("lang")).between(2, 3)),
           ("source_prefixed", col("source").startsWith("src")),
-          ("text_nonempty", length(trim(col("text"))) > 0))))
+          ("text_nonempty", length(trim(col("text"))) > 0)))),
+    // web-scrape ingestion: HTML → visible text + anchor-text density
+    // (the boilerplate signal). The markup fixture is built in-engine
+    // from the documents table (same expression in the oracle), so the
+    // EXTRACTION — comment/script/style stripping, tag removal, entity
+    // decode, whitespace collapse — is what's exact-checked. Map-only
+    // regex chain; no shuffle.
+    "q_html_extract" -> ((s, dir) =>
+      readWide(s, dir, "documents")
+        .withColumn("html", htmlFixture)
+        .select(col("doc_id"),
+          operators.WebExtract.htmlToText(col("html")).as("clean_text"),
+          operators.WebExtract.linkDensity(col("html")).as("link_density"))),
+    // URL canonicalization + registrable domain (eTLD+1): the dedup
+    // key for re-fetched pages and the grouping key for domain stats.
+    // Fixture URLs exercise both default-port branches, the www strip,
+    // tracking-param excision mid-query, /index.html collapse, and the
+    // two-level-suffix (co.uk) vs generic TLD domain extraction.
+    "q_url_normalize" -> ((s, dir) => {
+      val withUrl = read(s, dir, "documents").withColumn("url", urlFixture)
+      val norm = operators.WebExtract.normalizeUrl(col("url"))
+      withUrl.select(col("doc_id"), norm.as("url_norm"),
+        operators.WebExtract.registrableDomain(norm).as("domain"))
+    }),
+    // Gopher-style rule-ensemble filter: every document with its
+    // per-rule flags (word count / mean word length / distinct
+    // stopword types / duplicate-word fraction) and the conjunction
+    // verdict — the tunable curation panel, map-only.
+    "q_gopher_filter" -> ((s, dir) =>
+      operators.TextAnalysis.gopherFlags(
+          readWide(s, dir, "documents"), "text")
+        .select("doc_id", "wc", "mean_word_len", "n_stopwords",
+          "dup_word_frac", "wc_ok", "mwl_ok", "stop_ok", "dup_ok", "kept")),
+    // deterministic per-source k-reservoir: ≤12 uniform (hash-ranked)
+    // docs per source — one keyed shuffle, per-group window, rank cut
+    "q_sample_reservoir" -> ((s, dir) =>
+      operators.Sampling.reservoirPerGroup(
+          read(s, dir, "documents"), "doc_id", "source", k = 12, seed = 5L)
+        .select("source", "doc_id", "sample_rank")),
+    // empirical LSH recall/precision vs exact ground truth on a hash
+    // sample — the measurement behind q_dedup_lsh_plan's prediction.
+    // The banded candidate table is exported so the oracle replays the
+    // REAL candidate stage (xxhash64 buckets aren't derivable in SQL);
+    // the exact-Jaccard truth derives in SQL from the same sample.
+    "q_dedup_lsh_recall" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val sample = operators.Sampling.hashSample(docs, "doc_id", 0.6, seed = 11L)
+      val art = artifactPath(dir, "lsh_recall_bands")
+      dumpOnce(art) {
+        operators.Dedup.bandedSignatures(sample, "doc_id", "text",
+            shingleN = 3, k = 20, bands = 10)
+          .write.mode("overwrite").parquet(art)
+      }
+      operators.Dedup.lshRecallEval(sample, "doc_id", "text",
+        shingleN = 3, k = 20, bands = 10, threshold = 0.3)
+    }),
+    // DoReMi-lite per-domain mixture weights from the quality score:
+    // √-tempered mean score per source, normalized to micro-units —
+    // one agg to |domains| rows + a broadcast 1-row normalizer
+    "q_domain_reweight" -> ((s, dir) =>
+      operators.Sampling.domainWeights(
+          readWide(s, dir, "documents")
+            .withColumn("score_mu",
+              round(operators.TextAnalysis.qualityScore(col("text")) * 1e6)
+                .cast("long")),
+          "source", "score_mu")
+        .select("source", "n_docs", "weight_micro"))
   )
 
   /** DuckDB rendering of one RHP hyperplane as a DOUBLE[] literal.
@@ -3911,7 +4018,179 @@ object SparkEntry {
            n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM embeddings)
          SELECT 'embedding_has_document' AS check_name, o.n_violations,
            n.n_rows, o.n_violations = 0 AS pass
-         FROM o, n"""
+         FROM o, n""",
+    // replays the extraction chain verbatim (comments → script → style
+    // → tags → entities with &amp; last → whitespace collapse) over the
+    // same in-engine markup fixture
+    "q_html_extract" ->
+      s"""WITH h AS (SELECT doc_id, $htmlFixtureSql AS html FROM documents),
+         c1 AS (SELECT doc_id, html,
+             regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
+         c2 AS (SELECT doc_id, html,
+             regexp_replace(t, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g') AS t FROM c1),
+         c3 AS (SELECT doc_id, html,
+             regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS t FROM c2),
+         c4 AS (SELECT doc_id, html,
+             regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM c3),
+         c5 AS (SELECT doc_id, html,
+             replace(replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+               '&nbsp;', ' '), '&amp;', '&') AS t FROM c4),
+         c6 AS (SELECT doc_id, html,
+             trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text FROM c5)
+         SELECT doc_id, clean_text,
+           round(CAST(coalesce(list_sum(list_transform(
+               regexp_extract_all(html, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+               x -> length(x))), 0) AS DOUBLE)
+             / greatest(CAST(length(clean_text) AS DOUBLE), 1.0), 6)
+             AS link_density
+         FROM c6""",
+    // replays canonicalization: authority split, lowercase + www/default
+    // -port strip (backrefs are \\1 in RE2, $1 in Java — same rewrite),
+    // fragment/tracking-param excision, separator repair, /index.html
+    // collapse, then eTLD+1 via the two-level-suffix mini-list
+    "q_url_normalize" ->
+      s"""WITH u AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+         px AS (SELECT doc_id, url,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS prefix
+           FROM u),
+         sp AS (SELECT doc_id, substr(url, length(prefix) + 1) AS rest,
+             regexp_replace(regexp_replace(regexp_replace(lower(prefix),
+               '^(https?://)www\\.', '\\1', 'g'),
+               '^(http://[^/:?#]*):80$$', '\\1', 'g'),
+               '^(https?://[^/:?#]*):443$$', '\\1', 'g') AS p
+           FROM px),
+         r1 AS (SELECT doc_id, p,
+             regexp_replace(rest, '#.*$$', '', 'g') AS r FROM sp),
+         r2 AS (SELECT doc_id, p,
+             regexp_replace(r, '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g')
+               AS r FROM r1),
+         r3 AS (SELECT doc_id, p,
+             regexp_replace(r, '&{2,}', '&', 'g') AS r FROM r2),
+         r4 AS (SELECT doc_id, p,
+             regexp_replace(r, '\\?&', '?', 'g') AS r FROM r3),
+         r5 AS (SELECT doc_id, p,
+             regexp_replace(r, '[?&]+$$', '', 'g') AS r FROM r4),
+         r6 AS (SELECT doc_id, p,
+             regexp_replace(r, '/index\\.html\\?', '/?', 'g') AS r FROM r5),
+         rr AS (SELECT doc_id, p,
+             regexp_replace(r, '/index\\.html$$', '/', 'g') AS r FROM r6),
+         n AS (SELECT doc_id, p || r AS url_norm FROM rr),
+         d AS (SELECT doc_id, url_norm,
+             regexp_extract(url_norm, '^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1)
+               AS host
+           FROM n),
+         g AS (SELECT doc_id, url_norm, host,
+             regexp_extract(host,
+               '([^.]+\\.co\\.uk|[^.]+\\.org\\.uk|[^.]+\\.ac\\.uk|[^.]+\\.com\\.au|[^.]+\\.co\\.jp)$$',
+               1) AS psl
+           FROM d)
+         SELECT doc_id, url_norm,
+           CASE WHEN psl <> '' THEN psl
+                ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS domain
+         FROM g""",
+    // per-rule flags on the ROUNDED statistics (the Spark side compares
+    // the round-6 columns, so the oracle must too)
+    "q_gopher_filter" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS ntok,
+             string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         f AS (SELECT doc_id,
+             CAST(ntok AS BIGINT) AS wc,
+             round(CAST(len AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE), 6)
+               AS mean_word_len,
+             CAST(len(list_filter(
+               ['the', 'a', 'of', 'to', 'and', 'in', 'be', 'that'],
+               w -> list_contains(ws, w))) AS BIGINT) AS n_stopwords,
+             round(CASE WHEN ntok = 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                             / CAST(ntok AS DOUBLE) END, 6) AS dup_word_frac
+           FROM t)
+         SELECT doc_id, wc, mean_word_len, n_stopwords, dup_word_frac,
+           wc BETWEEN 20 AND 100000 AS wc_ok,
+           mean_word_len BETWEEN 3.0 AND 10.0 AS mwl_ok,
+           n_stopwords >= 2 AS stop_ok,
+           dup_word_frac <= 0.5 AS dup_ok,
+           (wc BETWEEN 20 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND n_stopwords >= 2 AND dup_word_frac <= 0.5 AS kept
+         FROM f""",
+    "q_sample_reservoir" ->
+      """WITH r AS (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5('5:' || doc_id::VARCHAR), doc_id) AS sample_rank
+           FROM documents)
+         SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 12""",
+    // truth = exact all-pairs 3-gram Jaccard on the hash sample (SQL-
+    // derivable); candidates = the EXPORTED banded table self-joined on
+    // (band, bucket) — the production stage's pairs, not a re-derivation
+    "q_dedup_lsh_recall" ->
+      """WITH s AS (SELECT doc_id, text FROM documents
+             WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 8))::BIGINT
+               % 1000000 < 600000),
+         w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM s),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS sg
+           FROM w),
+         tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+           WHERE len(list_intersect(a.sg, b.sg)) /
+               CAST(len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))
+                 AS DOUBLE) >= 0.3),
+         bd AS (SELECT * FROM
+           read_parquet('/root/repo/artifacts/lsh_recall_bands/sf=sf0.01/*.parquet')),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bd a JOIN bd b
+           ON a.band = b.band AND a.bucket = b.bucket AND b.doc_id > a.doc_id),
+         hit AS (SELECT id_a FROM tp JOIN cand USING (id_a, id_b)),
+         c AS (SELECT (SELECT count(*) FROM s) AS n_docs,
+             (SELECT count(*) FROM tp) AS n_true,
+             (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM hit) AS n_hits)
+         SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CASE WHEN n_true = 0 THEN CAST(1000000 AS BIGINT)
+                ELSE CAST(round(1e6 * n_hits / n_true) AS BIGINT)
+             END AS recall_micro,
+           CASE WHEN n_candidates = 0 THEN CAST(1000000 AS BIGINT)
+                ELSE CAST(round(1e6 * n_hits / n_candidates) AS BIGINT)
+             END AS precision_micro
+         FROM c""",
+    // √-tempered mean micro-score per source, normalized; divisions
+    // before the 1e6 scale so nothing leaves double-exact range
+    "q_domain_reweight" ->
+      """WITH t AS (SELECT doc_id, source, text, length(text) AS len,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS ntok
+           FROM documents),
+         sc AS (SELECT doc_id, source,
+             CAST(round(round((CASE WHEN len BETWEEN 100 AND 10000 THEN 1.0
+                         WHEN len BETWEEN 20 AND 99 THEN 0.5 ELSE 0.0 END) * 0.3
+               + (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) /
+                   CAST(greatest(len, 1) AS DOUBLE)) * 0.3
+               + (1.0 - least((length(regexp_replace(text, '[^[:punct:]]', '', 'g')) /
+                   CAST(greatest(len, 1) AS DOUBLE)) * 5.0, 1.0)) * 0.2
+               + (CASE WHEN len / CAST(greatest(ntok, 1) AS DOUBLE)
+                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+               6) * 1e6) AS BIGINT) AS score_mu
+           FROM t),
+         agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(score_mu) AS BIGINT) AS s FROM sc GROUP BY source),
+         w AS (SELECT source, n_docs,
+             CAST(round(sqrt(CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1e9)
+               AS BIGINT) AS w_raw FROM agg),
+         z AS (SELECT CAST(sum(w_raw) AS BIGINT) AS z FROM w)
+         SELECT w.source, w.n_docs,
+           CAST(round((CAST(w.w_raw AS DOUBLE) / CAST(z.z AS DOUBLE)) * 1e6)
+             AS BIGINT) AS weight_micro
+         FROM w, z"""
   )
 
   /** Oracle CTE chain for the BPE trainer: `n` unrolled merge

@@ -483,6 +483,62 @@ object Dedup {
     }
   }
 
+  /** Empirical recall/precision of the banded-MinHash candidate stage
+    * against EXACT n-gram Jaccard ground truth — the measurement that
+    * closes the loop on [[lshPlan]]'s S-curve prediction: before
+    * committing (bands, rows) for a 100 TB dedup run, run this on a
+    * bounded sample and read off what the banding actually catches at
+    * the target threshold.
+    *
+    * DIAGNOSTIC operator: the ground truth is all-pairs exact Jaccard,
+    * quadratic in |df| by construction (there is no sub-quadratic exact
+    * truth — that's why LSH exists). Pass a SAMPLED frame (e.g.
+    * [[Sampling.hashSample]] cut to ≲10³ docs); the operator itself is
+    * honest about the shape and never belongs in a production path —
+    * same contract as the brute-force ANN baselines. The candidate side
+    * runs the REAL banded pipeline ([[lshCandidatePairs]]), so the
+    * measured recall is the production stage's recall on the sample.
+    *
+    * Output (one row): n_docs, n_true (exact pairs ≥ threshold),
+    * n_candidates (LSH pairs, any similarity), n_hits (candidates that
+    * are true pairs), recall_micro, precision_micro. Empty truth/
+    * candidate sets report 10⁶ (vacuous success) rather than a NULL. */
+  def lshRecallEval(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 20,
+      bands: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
+    // all-pairs truth: a broadcast nested-loop on the (sampled) frame —
+    // the documented-quadratic diagnostic stage
+    val truth = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("j"))
+      .filter(col("j") >= threshold)
+      .localCheckpoint() // referenced twice (count + hit join)
+    val cand = lshCandidatePairs(df, idCol, textCol, shingleN, k, bands)
+      .localCheckpoint() // referenced twice (count + hit join)
+    val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+    val counts = df.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+    counts
+      .withColumn("recall_micro",
+        when(col("n_true") === 0, 1000000L)
+          .otherwise(round(lit(1e6) * col("n_hits") / col("n_true")).cast("long")))
+      .withColumn("precision_micro",
+        when(col("n_candidates") === 0, 1000000L)
+          .otherwise(round(lit(1e6) * col("n_hits") / col("n_candidates"))
+            .cast("long")))
+  }
+
   /** The persistable quadrant-band index of a fingerprint table: 4 rows
     * `(id, fp, q, bucket)` per fingerprint — what an ingest pipeline
     * writes to parquet (bucketable by `(q, bucket)`) so later media

@@ -188,6 +188,71 @@ object Sampling {
       wInt.map { case (s, wi) => s -> wi / z }, seed)
   }
 
+  /** Deterministic per-group k-reservoir: the `k` rows of each group
+    * with the smallest seeded hash rank — "give me an unbiased,
+    * reproducible sample of ≤k documents per source/domain" (eyeball
+    * samples, per-domain eval slices, debugging cuts). Equivalent to a
+    * uniform reservoir sample per group, but membership is a pure
+    * function of (id, seed): same rows every run, any engine.
+    *
+    * Plan shape: ONE shuffle keyed by the group column; within each
+    * group a rank over (md5(seed:id), id) and a `<= k` cut. The window
+    * is PER-GROUP (never a single global reducer), and Spark's window
+    * ranks stream within each partition after the sort — per-group cost
+    * is sort, not state. Groups are domains/sources (bounded
+    * cardinality skew: the largest web domain is ~1% of a crawl), so
+    * the heaviest group fits a partition at 100 TB; if one didn't, AQE
+    * skew-split handles the sort spill. Output carries `sample_rank`
+    * (1-based) so callers can cut tighter without resampling. */
+  def reservoirPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int,
+      seed: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val rankKey = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(rankKey, col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** Per-domain mixture weights from a per-row micro-unit quality
+    * score — the lightweight DoReMi-style reweighting loop: domains
+    * whose documents score higher get proportionally more sampling
+    * mass, tempered by √ so no domain starves (α=0.5 through `sqrt`,
+    * correctly rounded in every IEEE engine — same reasoning as
+    * [[temperatureMixture]]). Feed the output's `weight_micro / 1e6`
+    * into [[rebalanceToMixture]] to materialize the mix.
+    *
+    * Determinism: the per-domain mean is a BIGINT score sum over a
+    * deterministic micro score divided by the count (one IEEE double
+    * division), √ is correctly rounded, and both roundings are
+    * half-up on positives — bit-identical in any engine. Plan: one
+    * map-side-combined aggregation down to ≤|domains| rows, then the
+    * normalizer is a 1-row aggregate broadcast back — no driver
+    * collect, no second scan of the data. */
+  def domainWeights(
+      df: DataFrame,
+      groupCol: String,
+      scoreMuCol: String): DataFrame = {
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(scoreMuCol)).cast("long").as("score_sum"))
+      .withColumn("w_raw",
+        round(sqrt(col("score_sum").cast("double") /
+          col("n_docs").cast("double")) * 1e9).cast("long"))
+    val z = agg.agg(sum(col("w_raw")).as("z"))
+    agg.crossJoin(broadcast(z))
+      .withColumn("weight_micro",
+        // divide FIRST: the ratio is ≤1 (exact-enough double), while
+        // 1e6·w_raw can exceed 2^53 and round before the division
+        round((col("w_raw").cast("double") / col("z").cast("double")) * 1e6)
+          .cast("long"))
+      .drop("z")
+  }
+
   /** Epoch expansion: materialize a training mix where stratum `s` is
     * seen `epochs(s)` times — upsampling (2.5 → every row twice plus a
     * 50% hash draw for the third copy) and downsampling (0.3 → a 30%

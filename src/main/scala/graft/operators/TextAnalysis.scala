@@ -179,6 +179,46 @@ object TextAnalysis {
       .filter(col("dup_word_frac") <= maxDupWordFrac &&
         col("dup_ngram_frac") <= maxDupNgramFrac)
 
+  /** Gopher-style rule-ensemble document filter (Rae et al. 2021 §A1.1
+    * shape): each rule is an independent boolean flag, and a document is
+    * kept only when EVERY flag passes. Returning all documents WITH
+    * their flags (not pre-filtered) is deliberate — the per-rule pass
+    * rates are the knobs a curation run tunes, and downstream just
+    * filters on `kept`. Map-only projection; every flag is integral or
+    * a fixed-threshold comparison on a deterministic ratio, so the
+    * ensemble reproduces bit-identically cross-engine.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [minMeanWordLen, maxMeanWordLen]; at least `minStopwords` DISTINCT
+    * stopword types present (membership, not frequency — the Gopher
+    * "has ≥2 of {the, be, to, …}" rule); duplicate-word fraction at or
+    * under `maxDupWordFrac`. */
+  def gopherFlags(
+      df: DataFrame,
+      textCol: String,
+      minWords: Int = 20,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minStopwords: Int = 2,
+      maxDupWordFrac: Double = 0.5): DataFrame = {
+    val stopwords = Seq("the", "a", "of", "to", "and", "in", "be", "that")
+    val t = col(textCol)
+    val wc = tokenCount(t)
+    val mwl = length(t).cast("double") / greatest(wc, lit(1)).cast("double")
+    df.withColumn("wc", wc.cast("long"))
+      .withColumn("mean_word_len", round(mwl, 6))
+      .withColumn("n_stopwords", markerHits(t, stopwords).cast("long"))
+      .withColumn("dup_word_frac", round(dupWordFrac(t), 6))
+      .withColumn("wc_ok", col("wc").between(minWords, maxWords))
+      .withColumn("mwl_ok",
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen))
+      .withColumn("stop_ok", col("n_stopwords") >= minStopwords)
+      .withColumn("dup_ok", col("dup_word_frac") <= maxDupWordFrac)
+      .withColumn("kept",
+        col("wc_ok") && col("mwl_ok") && col("stop_ok") && col("dup_ok"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * cross-engine verifiable canonical-content hash. */
   def fingerprintMd5(text: Column): Column =

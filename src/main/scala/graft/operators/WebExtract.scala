@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Web-scrape ingestion primitives: HTML→text extraction and URL
+  * canonicalization — the first stage of every web-corpus pipeline
+  * (the reference engine stops at structured rows; a training-data
+  * deployment starts from crawled markup, so this layer is the
+  * bridge from raw scrape to the `documents` shape the rest of the
+  * engine consumes).
+  *
+  * Everything here is a chain of codegen'd string/regex projections
+  * (`regexp_replace` / `regexp_extract_all` / `translate`): map-only,
+  * no shuffle, no state — linear at 100 TB and embarrassingly
+  * parallel. The regex chains are deliberately engine-portable (RE2
+  * and java.util.regex subsets only: no backreferences in patterns,
+  * no lookbehind), so the exact same extraction replays in the DuckDB
+  * oracle and in any downstream non-Spark tooling.
+  *
+  * This is a deterministic readability-lite, not a browser: tags are
+  * structure, not rendering. Documented contract: comments, script
+  * and style subtrees are dropped; every other tag is a token
+  * boundary; a fixed entity set is decoded (one pass, `&amp;` last,
+  * so double-escaped entities surface as literals per HTML spec);
+  * whitespace runs collapse to single spaces.
+  */
+object WebExtract {
+
+  /** Visible text of an HTML payload. Chain order is load-bearing:
+    * comments first (a commented-out script must not trip the script
+    * stripper), then script/style subtrees (their character data is
+    * NOT content), then remaining tags → spaces, then entity decode
+    * (after tag-strip so `&lt;p&gt;` in text never becomes a tag),
+    * then whitespace collapse. */
+  def htmlToText(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript =
+      regexp_replace(noComment, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val decoded = decodeEntities(noTags)
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Fixed-set entity decode: `&lt; &gt; &quot; &#39; &nbsp;` then
+    * `&amp;` LAST — single-pass semantics, so `&amp;lt;` decodes to
+    * the literal `&lt;` (not `<`), matching how browsers unescape. */
+  private def decodeEntities(c: Column): Column = {
+    val e1 = regexp_replace(c, "&lt;", "<")
+    val e2 = regexp_replace(e1, "&gt;", ">")
+    val e3 = regexp_replace(e2, "&quot;", "\"")
+    val e4 = regexp_replace(e3, "&#39;", "'")
+    val e5 = regexp_replace(e4, "&nbsp;", " ")
+    regexp_replace(e5, "&amp;", "&")
+  }
+
+  /** Anchor-text density: chars inside `<a>` elements / chars of
+    * extracted text — the classic boilerplate signal (nav bars and
+    * link farms are anchor-heavy; body prose is not). Rounded to 6
+    * places like every other quality ratio in the engine. Nested
+    * markup inside an anchor counts its raw span (tags included) —
+    * a density heuristic, not a DOM walk; documented contract. */
+  def linkDensity(html: Column): Column = {
+    val anchors = regexp_extract_all(html, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))
+    val linkChars = aggregate(
+      transform(anchors, a => length(a)), lit(0), (acc, x) => acc + x)
+    round(linkChars.cast("double") /
+      greatest(length(htmlToText(html)).cast("double"), lit(1.0)), 6)
+  }
+
+  /** Tracking query parameters stripped by [[normalizeUrl]]. */
+  private val TrackingParams = "utm_[a-z]+|fbclid|gclid|ref"
+
+  /** URL canonicalization — the dedup key for "same page fetched
+    * twice": lowercase scheme+host, drop `www.`, drop default ports
+    * (`:80` http / `:443` https), drop the fragment, strip tracking
+    * params (`utm_*`, `fbclid`, `gclid`, `ref`), drop a trailing
+    * `/index.html`. Path case and surviving params are preserved —
+    * paths ARE case-sensitive; over-normalizing merges distinct
+    * pages, which is worse than missing a dup (the content-hash
+    * dedup downstream catches those). */
+  def normalizeUrl(url: Column): Column = {
+    // split at the end of the authority: scheme://host[:port]
+    val prefix = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val rest = substring_index_tail(url, prefix)
+    val p1 = lower(prefix)
+    val p2 = regexp_replace(p1, "^(https?://)www\\.", "$1")
+    val p3 = regexp_replace(p2, "^(http://[^/:?#]*):80$", "$1")
+    val p4 = regexp_replace(p3, "^(https?://[^/:?#]*):443$", "$1")
+    val r1 = regexp_replace(rest, "#.*$", "")
+    val r2 = regexp_replace(r1, "(" + TrackingParams + ")=[^&#]*", "")
+    val r3 = regexp_replace(r2, "&{2,}", "&")
+    val r4 = regexp_replace(r3, "\\?&", "?")
+    val r5 = regexp_replace(r4, "[?&]+$", "")
+    // `/index.html` collapses whether the path ends the URL or a query
+    // follows (RE2 has no lookahead, so two literal variants)
+    val r6 = regexp_replace(r5, "/index\\.html\\?", "/?")
+    val r7 = regexp_replace(r6, "/index\\.html$", "/")
+    concat(p4, r7)
+  }
+
+  /** `substr(url, len(prefix)+1)` — the path+query+fragment tail.
+    * Factored out because the same two-arg shape replays verbatim in
+    * the oracle SQL. */
+  private def substring_index_tail(url: Column, prefix: Column): Column =
+    url.substr(length(prefix) + 1, lit(Int.MaxValue))
+    // NB: three-arg substr with a huge length = "to end of string"
+    // in both Spark and DuckDB.
+
+  /** Two-level public suffixes recognized by [[registrableDomain]].
+    * A fixed mini-list (the full PSL is a data file, not logic): the
+    * common ccTLD second-level registries. */
+  private val TwoLevelSuffixes = Seq("co.uk", "org.uk", "ac.uk", "com.au", "co.jp")
+
+  /** Registrable domain (eTLD+1) of a NORMALIZED url: the per-site
+    * grouping key for domain stats, per-domain budgets
+    * ([[TrainPrep]]), and domain reweighting ([[Sampling]]).
+    * `a.b.co.uk` → `b.co.uk`; `x.y.example.com` → `example.com`. */
+  def registrableDomain(normUrl: Column): Column = {
+    val host = regexp_extract(normUrl, "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+    val twoLevel = TwoLevelSuffixes
+      .map(s => "[^.]+\\." + s.replace(".", "\\."))
+      .mkString("(", "|", ")$")
+    val viaPsl = regexp_extract(host, twoLevel, 1)
+    when(viaPsl =!= "", viaPsl)
+      .otherwise(regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+  }
+}

@@ -21,6 +21,28 @@ class DedupSpec extends SparkSpec {
     assert(out2.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L))
   }
 
+  test("lshRecallEval: hits/truth/candidates agree with hand-computed sets") {
+    // docs 1-2 exact dup, 2-3/1-3 near dups; 4-5 a weaker near pair
+    val ev = Dedup.lshRecallEval(docs, "doc_id", "text",
+      shingleN = 3, k = 20, bands = 10, threshold = 0.3)
+      .select("n_docs", "n_true", "n_candidates", "n_hits",
+        "recall_micro", "precision_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(ev._1 == 5)
+    // exact truth at J>=0.3 over 3-gram shingles: pairs (1,2), (1,3),
+    // (2,3), (4,5) — verified by the exact-Jaccard operator itself
+    val truth = Dedup.ngramJaccard(docs,
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (4L, 5L)).toDF("id_a", "id_b"),
+      "doc_id", "text", shingleN = 3)
+      .filter($"jaccard" >= 0.3).count()
+    assert(ev._2 == truth && truth == 4)
+    // recall/precision are consistent with the counts they summarize
+    assert(ev._5 == math.round(1e6 * ev._4.toDouble / ev._2))
+    assert(ev._6 == math.round(1e6 * ev._4.toDouble / ev._3))
+    // an exact dup pair is always a candidate (identical signatures)
+    assert(ev._4 >= 1)
+  }
+
   test("bucket cap drops degenerate clusters, keeps small-bucket pairs") {
     // 100 identical boilerplate docs (a degenerate LSH cluster: every band
     // bucket holds all 100) + one genuine near-dup pair

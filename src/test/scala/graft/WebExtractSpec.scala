@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators.{Sampling, TextAnalysis, WebExtract}
+import org.apache.spark.sql.functions._
+
+class WebExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(WebExtract.htmlToText(col("h"))).as[String].head()
+
+  test("htmlToText strips comments, script/style subtrees, tags; decodes entities") {
+    val html =
+      """<html><head><title>T</title><style>p { color: red; }</style>
+        |<script type="text/javascript">var x = 1 < 2 && 0;</script></head>
+        |<body><!-- hidden --><h1>Head</h1><p>A &amp; B &lt;ok&gt; &#39;q&#39;&nbsp;end</p>
+        |</body></html>""".stripMargin
+    assert(extract(html) == "T Head A & B <ok> 'q' end")
+  }
+
+  test("a commented-out script does not desynchronize the stripper") {
+    // comments are removed FIRST, so the <script> inside never opens a
+    // script subtree that would swallow the following paragraph
+    val html = "<body><!-- <script> --><p>kept</p><script>var g = 0;</script></body>"
+    assert(extract(html) == "kept")
+  }
+
+  test("double-escaped entities decode one level only (&amp;lt; -> &lt;)") {
+    assert(extract("<p>&amp;lt;tag&amp;gt;</p>") == "&lt;tag&gt;")
+  }
+
+  test("linkDensity = anchor chars / extracted chars") {
+    val html = "<body><p>0123456789</p><a href=\"/x\">01234</a></body>"
+    // text = "0123456789 01234" (16 chars), anchor text = 5 chars
+    val d = Seq(html).toDF("h")
+      .select(WebExtract.linkDensity(col("h"))).as[Double].head()
+    assert(d == math.round(5.0 / 16.0 * 1e6) / 1e6)
+  }
+
+  private def norm(url: String): String =
+    Seq(url).toDF("u").select(WebExtract.normalizeUrl(col("u"))).as[String].head()
+
+  test("normalizeUrl: case, www, default ports, fragment, tracking params") {
+    assert(norm("HTTPS://WWW.Ex.COM:443/Path/One?utm_source=a&id=3&gclid=z#f")
+      == "https://ex.com/Path/One?id=3")
+    assert(norm("HTTP://Ex.CO.UK:80/a/index.html?ref=x&page=2")
+      == "http://ex.co.uk/a/?page=2")
+    // non-default port survives; path case preserved; plain params kept
+    assert(norm("http://ex.com:8080/A/B?x=1") == "http://ex.com:8080/A/B?x=1")
+    // all params tracking -> bare path, trailing separators repaired
+    assert(norm("https://ex.com/p?utm_source=a&utm_medium=b") == "https://ex.com/p")
+    // /index.html at end of URL collapses to /
+    assert(norm("http://ex.com/d/index.html") == "http://ex.com/d/")
+  }
+
+  test("registrableDomain: generic TLD vs two-level suffix list") {
+    val d = Seq(
+      "https://a.b.example.com/x",
+      "https://deep.example.co.uk/x",
+      "http://example.com/").toDF("u")
+      .select(WebExtract.registrableDomain(col("u"))).as[String].collect()
+    assert(d.toSeq == Seq("example.com", "example.co.uk", "example.com"))
+  }
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("reservoirPerGroup: <=k per group, dense 1..k ranks, deterministic, nested") {
+    val s5 = Sampling.reservoirPerGroup(docs, "doc_id", "source", k = 5, seed = 3L)
+    val per = s5.groupBy("source").count().as[(String, Long)].collect()
+    assert(per.forall(_._2 <= 5))
+    // ranks are dense from 1 within each group
+    val maxRank = s5.groupBy("source").agg(max("sample_rank").as("m"), count(lit(1)).as("n"))
+    assert(maxRank.filter(col("m") =!= col("n")).count() == 0)
+    // same seed -> same rows; a smaller k is a prefix of a larger k
+    val s5b = Sampling.reservoirPerGroup(docs, "doc_id", "source", k = 5, seed = 3L)
+    assert(s5.except(s5b).isEmpty && s5b.except(s5).isEmpty)
+    val s3 = Sampling.reservoirPerGroup(docs, "doc_id", "source", k = 3, seed = 3L)
+    assert(s3.join(s5, Seq("source", "doc_id"), "left_anti").count() == 0)
+    // different seed re-deals membership
+    val s5c = Sampling.reservoirPerGroup(docs, "doc_id", "source", k = 5, seed = 4L)
+    assert(s5.select("source", "doc_id").except(s5c.select("source", "doc_id")).count() > 0)
+  }
+
+  test("domainWeights: weights normalize to ~1e6 and order by mean score") {
+    val scored = docs.withColumn("score_mu",
+      round(TextAnalysis.qualityScore(col("text")) * 1e6).cast("long"))
+    val w = Sampling.domainWeights(scored, "source", "score_mu")
+      .select("source", "n_docs", "weight_micro")
+      .as[(String, Long, Long)].collect()
+    val total = w.map(_._3).sum
+    // each per-domain rounding moves <= 0.5 micro
+    assert(math.abs(total - 1000000L) <= w.length, s"total=$total")
+    // √-tempered: weight is monotone in the mean score (pairs whose
+    // means are within a micro of each other may round either way)
+    val means = docs.withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .groupBy("source").agg(avg("q").as("m")).as[(String, Double)].collect().toMap
+    for {
+      (si, _, wi) <- w
+      (sj, _, wj) <- w
+      if means(si) < means(sj) - 1e-5
+    } assert(wi <= wj, s"$si (${means(si)}) got $wi > $sj (${means(sj)}) $wj")
+  }
+
+  test("gopherFlags: each rule flips independently; kept is the conjunction") {
+    val rows = Seq(
+      (1L, ("the a " + ("word " * 30)).trim),          // all pass
+      (2L, "the a short text here"),                    // wc < 20
+      (3L, ("the a " + ("supercalifragilistic " * 30)).trim), // mwl > 10
+      (4L, ("zz qq " + ("word " * 30)).trim),           // no stopwords
+      (5L, ("the a " + ("word " * 60)).trim)            // dup frac 1 - 3/62 ≈ 0.95
+    ).toDF("doc_id", "text")
+    val f = TextAnalysis.gopherFlags(rows, "text", maxDupWordFrac = 0.96)
+      .select("doc_id", "wc_ok", "mwl_ok", "stop_ok", "dup_ok", "kept")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    assert(f(0) == ((1L, true, true, true, true, true)))
+    assert(!f(1)._2 && !f(1)._6)               // word count fails
+    assert(!f(2)._3 && !f(2)._6)               // mean word length fails
+    assert(!f(3)._4 && !f(3)._6)               // stopwords fail
+    assert(f(4)._6)                            // dup frac under the cap
+    // tighten the cap: doc 5 (61 tokens, 3 distinct) now fails dup_ok
+    val tight = TextAnalysis.gopherFlags(rows, "text", maxDupWordFrac = 0.5)
+      .filter(col("doc_id") === 5L).select("dup_ok", "kept")
+      .as[(Boolean, Boolean)].head()
+    assert(!tight._1 && !tight._2)
+  }
+}
