@@ -118,7 +118,15 @@ object Bench {
     "q_quality_model" -> 0.63, "q_quality_sample" -> 0.76,
     "q_unigram_vocab" -> 0.62, "q_pipeline_recipe" -> 1.62,
     "q_sketch_hll_merge" -> 0.34, "q_mm_cross_dedup" -> 0.77,
-    "q_token_budget_per_source" -> 0.30, "q_sketch_cms_merge" -> 1.30)
+    "q_token_budget_per_source" -> 0.30, "q_sketch_cms_merge" -> 1.30,
+    // round-9 session-2 additions (mins from the 140-query sf0.1 run:
+    // total 86.6s / min_total 74.2s, steal 46.9s). q_dedup_lsh_recall's
+    // 8.06s was measured BEFORE its sample got count-capped; left high
+    // so it stays ordered with the heavies until remeasured.
+    "q_html_extract" -> 0.16, "q_url_normalize" -> 0.10,
+    "q_gopher_filter" -> 0.21, "q_sample_reservoir" -> 0.15,
+    "q_domain_reweight" -> 0.45, "q_dedup_lsh_recall" -> 3.00,
+    "q_clean_cc_scrub" -> 0.50, "q_lm_trigram_score" -> 2.00)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

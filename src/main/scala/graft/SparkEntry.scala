@@ -97,6 +97,17 @@ object SparkEntry {
   private def htmlFixtureSql: String =
     """'<html><head><title>Doc ' || doc_id || '</title><style type="text/css">p { color: red; }</style></head><body><script>var x = 1 < 2 && 0;</script><h1>' || upper(source) || '</h1><!-- nav boilerplate --><p>' || text || ' &amp; more &lt;tags&gt; &#39;q&#39;&nbsp;end</p><a href="/d/' || doc_id || '">click here ' || doc_id || '</a> <a href="/next?utm_source=x">next page</a></body></html>'"""
 
+  /** DuckDB rendering of [[graft.operators.CorpusClean.luhnSum]] over an
+    * arbitrary SQL digit-string expression — the same rightmost-first
+    * double-every-second-digit integer fold. */
+  private def luhnSumSql(e: String): String =
+    s"""list_sum(list_transform(range(1, length($e) + 1),
+        i -> CASE WHEN i % 2 = 0
+          THEN CASE WHEN 2 * (ascii(substr(reverse($e), i, 1)) - 48) > 9
+            THEN 2 * (ascii(substr(reverse($e), i, 1)) - 48) - 9
+            ELSE 2 * (ascii(substr(reverse($e), i, 1)) - 48) END
+          ELSE ascii(substr(reverse($e), i, 1)) - 48 END))"""
+
   /** [[urlFixture]] as the equivalent DuckDB expression. */
   private def urlFixtureSql: String =
     """(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'HTTP://' END) || source || (CASE WHEN doc_id % 3 = 0 THEN '.Example.CO.UK' ELSE '.Example.COM' END) || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) || '/Files/' || doc_id || '/index.html?utm_source=feed&id=' || doc_id || '&gclid=z12&page=2#frag'"""
@@ -1625,7 +1636,16 @@ object SparkEntry {
     // the exact-Jaccard truth derives in SQL from the same sample.
     "q_dedup_lsh_recall" -> ((s, dir) => {
       val docs = readWide(s, dir, "documents")
-      val sample = operators.Sampling.hashSample(docs, "doc_id", 0.6, seed = 11L)
+      // fixed-SIZE sample target (~300 docs), not a fixed fraction: the
+      // truth stage is quadratic in the sample BY DESIGN, so a fraction
+      // would make the diagnostic grow with the corpus (measured 8 s at
+      // sf0.1). One count aggregate → a driver scalar → integer-division
+      // micro fraction, replayed identically in the oracle (at sf0.01
+      // this is exactly 600000 micro = the 0.6 it replaces).
+      val n = docs.count()
+      val fracMicro = math.min(1000000L, 300L * 1000000L / n)
+      val sample = docs.filter(
+        operators.Sampling.hashBucket(col("doc_id"), 11L) < fracMicro)
       val art = artifactPath(dir, "lsh_recall_bands")
       dumpOnce(art) {
         operators.Dedup.bandedSignatures(sample, "doc_id", "text",
@@ -1635,6 +1655,30 @@ object SparkEntry {
       operators.Dedup.lshRecallEval(sample, "doc_id", "text",
         shingleN = 3, k = 20, bands = 10, threshold = 0.3)
     }),
+    // checksum-validated credit-card scrub: a deterministic card number
+    // (valid Luhn check digit on even ids, corrupted on odd) is planted
+    // in each document; the scrub must redact EXACTLY the valid ones —
+    // shape alone (13-19 digits) is not enough, the Luhn gate decides
+    "q_clean_cc_scrub" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val base = concat(lit("4"),
+        lpad((col("doc_id") % 100000000).cast("string"), 14, "0"))
+      val s0 = operators.CorpusClean.luhnSum(concat(base, lit("0")))
+      val check = (lit(10) - (s0 % 10)) % 10
+      val digit = when(col("doc_id") % 2 === 0, check)
+        .otherwise((check + lit(5)) % 10)
+      val withCard = docs.withColumn("text2",
+        concat(col("text"), lit(" card "), base, digit.cast("string"),
+          lit(" end")))
+      operators.CorpusClean.ccScrub(withCard, "text2")
+        .select("doc_id", "n_cc", "text_cc_redacted")
+    }),
+    // interpolated trigram LM scoring (λ₃P₃+λ₂P₂+λ₁P₁ behind micro
+    // rounding) — the perplexity signal one order above the bigram model
+    "q_lm_trigram_score" -> ((s, dir) =>
+      operators.LmScore.trigramLogProb(
+          readWide(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "logprob3_micros", "n_trigrams")),
     // DoReMi-lite per-domain mixture weights from the quality score:
     // √-tempered mean score per source, normalized to micro-units —
     // one agg to |domains| rows + a broadcast 1-row normalizer
@@ -4126,9 +4170,11 @@ object SparkEntry {
     // derivable); candidates = the EXPORTED banded table self-joined on
     // (band, bucket) — the production stage's pairs, not a re-derivation
     "q_dedup_lsh_recall" ->
-      """WITH s AS (SELECT doc_id, text FROM documents
+      """WITH f AS (SELECT least(1000000, 300 * 1000000 // count(*)) AS fm
+           FROM documents),
+         s AS (SELECT doc_id, text FROM documents, f
              WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 8))::BIGINT
-               % 1000000 < 600000),
+               % 1000000 < f.fm),
          w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
            FROM s),
          sh AS (SELECT doc_id,
@@ -4163,6 +4209,65 @@ object SparkEntry {
                 ELSE CAST(round(1e6 * n_hits / n_candidates) AS BIGINT)
              END AS precision_micro
          FROM c""",
+    // rebuilds the planted card, RE-RUNS the Luhn fold over it in SQL
+    // (the validity decision is recomputed, not assumed from parity),
+    // and redacts conditionally — exactly the scrub's semantics
+    "q_clean_cc_scrub" ->
+      s"""WITH b AS (SELECT doc_id, text,
+             '4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0') AS base
+           FROM documents),
+         s AS (SELECT doc_id, text, base,
+             ${luhnSumSql("base || '0'")} AS s0 FROM b),
+         c AS (SELECT doc_id, text, base,
+             CASE WHEN doc_id % 2 = 0 THEN (10 - (s0 % 10)) % 10
+                  ELSE ((10 - (s0 % 10)) % 10 + 5) % 10 END AS cd FROM s),
+         t AS (SELECT doc_id, base || CAST(cd AS VARCHAR) AS card,
+             text || ' card ' || base || CAST(cd AS VARCHAR) || ' end' AS t2
+           FROM c),
+         v AS (SELECT doc_id, card, t2,
+             (${luhnSumSql("card")}) % 10 = 0 AS ok FROM t)
+         SELECT doc_id,
+           CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS n_cc,
+           CASE WHEN ok THEN replace(t2, card, '<CC>') ELSE t2 END
+             AS text_cc_redacted
+         FROM v""",
+    // trigram replay: three count tables, the two scalar model constants
+    // (V, N) from the unigram table, and the identical λ-mix double
+    // chain behind micro rounding
+    "q_lm_trigram_score" ->
+      """WITH d AS (SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+         uni AS (SELECT w, count(*) AS c1 FROM (
+             SELECT unnest(ws) AS w FROM d) GROUP BY 1),
+         sc AS (SELECT count(*) AS v, CAST(sum(c1) AS BIGINT) AS n FROM uni),
+         pr AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS wa,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS wb
+           FROM d),
+         bi AS (SELECT wa, wb, count(*) AS c2 FROM pr GROUP BY 1, 2),
+         tr AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1), i -> ws[i])) AS w1,
+             unnest(list_transform(range(1, len(ws) - 1), i -> ws[i+1])) AS w2,
+             unnest(list_transform(range(1, len(ws) - 1), i -> ws[i+2])) AS w3
+           FROM d),
+         tc AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr GROUP BY 1, 2, 3),
+         terms AS (SELECT doc_id,
+             CAST(round(ln(0.6 * ((c3 + 1.0) / (c12 + 1.0 * v))
+                         + 0.3 * ((c23 + 1.0) / (c2w + 1.0 * v))
+                         + 0.1 * ((c1 + 1.0) / (CAST(n AS DOUBLE) + 1.0 * v)))
+                 * 1000000.0) AS BIGINT) AS t
+           FROM tr
+           JOIN tc USING (w1, w2, w3)
+           JOIN (SELECT wa AS w1, wb AS w2, c2 AS c12 FROM bi) USING (w1, w2)
+           JOIN (SELECT wa AS w2, wb AS w3, c2 AS c23 FROM bi) USING (w2, w3)
+           JOIN (SELECT w AS w3, c1 FROM uni) USING (w3)
+           JOIN (SELECT w AS w2, c1 AS c2w FROM uni) USING (w2), sc),
+         ag AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS logprob3_micros,
+             count(*) AS n_trigrams FROM terms GROUP BY 1)
+         SELECT d.doc_id, d.lang,
+           coalesce(ag.logprob3_micros, 0) AS logprob3_micros,
+           coalesce(ag.n_trigrams, 0) AS n_trigrams
+         FROM d LEFT JOIN ag USING (doc_id)""",
     // √-tempered mean micro-score per source, normalized; divisions
     // before the 1e6 scale so nothing leaves double-exact range
     "q_domain_reweight" ->

@@ -248,6 +248,49 @@ object CorpusClean {
           .as("text_clean"))
   }
 
+  /** Luhn checksum sum of a digit string (ISO/IEC 7812): from the
+    * RIGHTMOST digit, every second digit doubles (9-subtracted when the
+    * double exceeds 9), all summed. Pure integer column arithmetic over
+    * a `sequence` fold — bit-identical in any engine, codegen-friendly,
+    * no UDF. */
+  def luhnSum(digits: Column): Column = {
+    val rev = reverse(digits)
+    aggregate(
+      sequence(lit(1), length(digits)),
+      lit(0),
+      (acc, i) => {
+        val d = ascii(rev.substr(i, lit(1))) - lit(48)
+        val dbl = d * 2
+        acc + when(i % 2 === 0,
+          when(dbl > 9, dbl - 9).otherwise(dbl)).otherwise(d)
+      })
+  }
+
+  /** True iff the digit string passes the Luhn check — the validity
+    * gate that separates a real card/IMEI-shaped number from an
+    * arbitrary digit run. */
+  def luhnValid(digits: Column): Column = luhnSum(digits) % 10 === 0
+
+  /** Candidate payment-card shape: a word-bounded 13-19 digit run.
+    * RE2-compatible (shared with the oracle engine). */
+  val ccCandidatePattern = "\\b[0-9]{13,19}\\b"
+
+  /** Checksum-validated credit-card scrub: digit runs of card length are
+    * redacted ONLY when they pass the Luhn check — the validation step
+    * that keeps order ids, timestamps, and log line numbers intact where
+    * a bare `\d{16}` regex would shred them (industry-standard PII
+    * practice: shape alone has ~10× the false-positive rate). Pure
+    * projection: extract candidates, filter through [[luhnValid]], fold
+    * `replace` over the validated set. Adds `n_cc` (validated candidate
+    * occurrences) and `text_cc_redacted`. */
+  def ccScrub(df: DataFrame, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(ccCandidatePattern), lit(0))
+    val valid = filter(cands, c => luhnValid(c))
+    df.withColumn("n_cc", size(valid).cast("long"))
+      .withColumn("text_cc_redacted",
+        aggregate(valid, col(textCol), (acc, c) => replace(acc, c, lit("<CC>"))))
+  }
+
   /** RE2-compatible PII patterns (no lookarounds, no backreferences), so
     * the IDENTICAL pattern string runs in Java regex (Spark) and RE2
     * (DuckDB, Go tooling) with the same matches. Order matters: emails

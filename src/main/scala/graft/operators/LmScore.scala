@@ -72,4 +72,96 @@ object LmScore {
       .withColumn("logprob_micros", coalesce(col("logprob_micros"), lit(0L)))
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
+
+  /** Interpolated trigram scoring — the next rung up from
+    * [[bigramLogProb]] and the standard CCNet/KenLM-lite formulation:
+    * each trigram scores `ln(λ₃P₃ + λ₂P₂ + λ₁P₁)` where the three
+    * components are add-k maximum-likelihood estimates at trigram,
+    * bigram, and unigram order. Interpolation (rather than strict
+    * backoff) keeps the expression branch-free — every trigram mixes
+    * all three orders, so the score is one fixed double chain behind
+    * the micro-unit rounding (same determinism contract as the bigram
+    * model).
+    *
+    * Scale shape: three map-side-combined count aggregations (trigram /
+    * bigram / unigram tables, all vocabulary-bounded), then the scoring
+    * pass joins the exploded trigrams to the three tables on their word
+    * keys — co-partitioned hash joins at corpus scale, broadcasts when
+    * the model is small. Driver state: TWO scalars (vocabulary size,
+    * total token count).
+    *
+    * Appends `logprob3_micros` and `n_trigrams` (0 for documents with
+    * fewer than three tokens). */
+  def trigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      smoothing: Double = 1.0d,
+      l3: Double = 0.6d,
+      l2: Double = 0.3d,
+      l1: Double = 0.1d): DataFrame = {
+    require(smoothing > 0, "smoothing must be positive")
+    require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9, "lambdas must sum to 1")
+    val id = col(idCol)
+    val words = df.select(id.as("__id"), toks(col(textCol)).as("__w"))
+    val tris = words.select(col("__id"),
+      explode(when(size(col("__w")) >= 3,
+        transform(sequence(lit(0), size(col("__w")) - lit(3)),
+          i => struct(
+            element_at(col("__w"), i + lit(1)).as("w1"),
+            element_at(col("__w"), i + lit(2)).as("w2"),
+            element_at(col("__w"), i + lit(3)).as("w3"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>")))
+        .as("__t"))
+      .select(col("__id"), col("__t.w1").as("w1"), col("__t.w2").as("w2"),
+        col("__t.w3").as("w3"))
+
+    val uni = words.select(explode(col("__w")).as("w3"))
+      .groupBy(col("w3")).agg(count(lit(1)).as("__c1"))
+    val biCtx = words.select(explode(when(size(col("__w")) >= 2,
+        transform(sequence(lit(0), size(col("__w")) - lit(2)),
+          i => struct(
+            element_at(col("__w"), i + lit(1)).as("wa"),
+            element_at(col("__w"), i + lit(2)).as("wb"))))
+        .otherwise(array().cast("array<struct<wa:string,wb:string>>")))
+        .as("__p"))
+      .select(col("__p.wa").as("wa"), col("__p.wb").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("__c2"))
+    val tri = tris.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__c3"))
+
+    // TWO driver scalars, computed in one aggregate pass over the
+    // unigram table (vocabulary-bounded input, not the corpus)
+    val (vocab, totalTokens) = {
+      val r = uni.agg(count(lit(1)), sum(col("__c1"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    val p3 = (col("__c3") + lit(smoothing)) /
+      (col("__c12") + lit(smoothing * vocab))
+    val p2 = (col("__c23") + lit(smoothing)) /
+      (col("__c2w") + lit(smoothing * vocab))
+    val p1 = (col("__c1") + lit(smoothing)) /
+      (lit(totalTokens.toDouble) + lit(smoothing * vocab))
+    val term = round(
+      log(lit(l3) * p3 + lit(l2) * p2 + lit(l1) * p1) * lit(1000000.0d))
+      .cast("long")
+
+    val scored = tris
+      .join(tri, Seq("w1", "w2", "w3"))
+      .join(biCtx.select(col("wa").as("w1"), col("wb").as("w2"),
+        col("__c2").as("__c12")), Seq("w1", "w2"))
+      .join(biCtx.select(col("wa").as("w2"), col("wb").as("w3"),
+        col("__c2").as("__c23")), Seq("w2", "w3"))
+      .join(uni.select(col("w3"), col("__c1")), Seq("w3"))
+      .join(uni.select(col("w3").as("w2"), col("__c1").as("__c2w")), Seq("w2"))
+      .select(col("__id"), term.as("__t"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__t")).as("logprob3_micros"),
+        count(lit(1)).as("n_trigrams"))
+    df.join(scored, id === scored("__id"), "left")
+      .drop("__id")
+      .withColumn("logprob3_micros", coalesce(col("logprob3_micros"), lit(0L)))
+      .withColumn("n_trigrams", coalesce(col("n_trigrams"), lit(0L)))
+  }
 }

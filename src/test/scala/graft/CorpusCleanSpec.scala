@@ -91,6 +91,29 @@ class CorpusCleanSpec extends SparkSpec {
     assert(soloOut(1L) == 0L && soloOut(2L) == 0L)
   }
 
+  test("luhnValid matches known vectors; ccScrub redacts only valid card-shaped runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "pay with 4532015112830366 now"),      // canonical valid Visa test number
+      (2L, "pay with 4532015112830367 now"),      // last digit flipped: checksum fails
+      (3L, "order 12345 on 2024 has short runs"), // nothing card-shaped
+      (4L, "79927398713 is valid but too short")  // valid Luhn, only 11 digits
+    ).toDF("doc_id", "text")
+    val out = CorpusClean.ccScrub(rows, "text")
+      .select("doc_id", "n_cc", "text_cc_redacted")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 1L, "pay with <CC> now")))
+    assert(out(1) == ((2L, 0L, "pay with 4532015112830367 now")))
+    assert(out(2)._2 == 0L && out(3)._2 == 0L)
+    val v = Seq(("4532015112830366", true), ("79927398713", true),
+      ("79927398710", false))
+      .toDF("d", "expect")
+      .select(CorpusClean.luhnValid(col("d")) === col("expect"))
+      .as[Boolean].collect()
+    assert(v.forall(identity))
+  }
+
   test("piiScrub replaces and counts each category against its own input state") {
     val docs = Seq(
       (1L, "mail a.b+c@test.org and b@x.io, ip 192.168.0.1, call 555-867-5309"),

@@ -35,4 +35,26 @@ class LmScoreSpec extends SparkSpec {
       .map { case (id, lp, n) => id -> lp.toDouble / n }.toMap
     assert(out(0L) > out(99L))
   }
+
+  test("trigram scores are exact micro-unit sums of the interpolated mix") {
+    // corpus: doc1 "a b c a b c", doc2 "a b", doc3 "x"
+    // uni a:3 b:3 c:2 x:1 (V=4, N=9); bi ab:3 bc:2 ca:1; tri abc:2 bca:1 cab:1
+    val docs = Seq(
+      (1L, "a b c a b c"),
+      (2L, "a b"),
+      (3L, "x")).toDF("doc_id", "text")
+    def t3(c3: Long, c12: Long, c23: Long, c2w: Long, c1: Long): Long =
+      math.round(math.log(0.6 * ((c3 + 1.0) / (c12 + 4.0))
+        + 0.3 * ((c23 + 1.0) / (c2w + 4.0))
+        + 0.1 * ((c1 + 1.0) / (9.0 + 4.0))) * 1e6)
+    val abc = t3(2, 3, 2, 3, 2) // P(c|ab), P(c|b), P(c)
+    val bca = t3(1, 2, 1, 2, 3) // P(a|bc), P(a|c), P(a)
+    val cab = t3(1, 1, 3, 3, 3) // P(b|ca), P(b|a), P(b)
+    val out = LmScore.trigramLogProb(docs, "doc_id", "text")
+      .select("doc_id", "n_trigrams", "logprob3_micros")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 4L, 2 * abc + bca + cab)))
+    assert(out(1) == ((2L, 0L, 0L))) // two tokens: no trigrams
+    assert(out(2) == ((3L, 0L, 0L)))
+  }
 }
