@@ -97,6 +97,33 @@ object SparkEntry {
   private def htmlFixtureSql: String =
     """'<html><head><title>Doc ' || doc_id || '</title><style type="text/css">p { color: red; }</style></head><body><script>var x = 1 < 2 && 0;</script><h1>' || upper(source) || '</h1><!-- nav boilerplate --><p>' || text || ' &amp; more &lt;tags&gt; &#39;q&#39;&nbsp;end</p><a href="/d/' || doc_id || '">click here ' || doc_id || '</a> <a href="/next?utm_source=x">next page</a></body></html>'"""
 
+  /** Deterministic 16-digit card-shaped fixture: '4' + 14 id-derived
+    * digits + a Luhn check digit that is CORRECT on even ids and
+    * corrupted (+5 mod 10) on odd — so a checksum-validating scrub must
+    * redact exactly the even half. Shared by q_clean_cc_scrub and
+    * q_pipeline_ingest. */
+  private def cardFixture: Column = {
+    val base = concat(lit("4"),
+      lpad((col("doc_id") % 100000000).cast("string"), 14, "0"))
+    val s0 = operators.CorpusClean.luhnSum(concat(base, lit("0")))
+    val check = (lit(10) - (s0 % 10)) % 10
+    val digit = when(col("doc_id") % 2 === 0, check)
+      .otherwise((check + lit(5)) % 10)
+    concat(base, digit.cast("string"))
+  }
+
+  /** Crawl-page markup fixture for q_pipeline_ingest: title/style
+    * subtrees, a heading, the document text, a contact paragraph with an
+    * email + phone + the [[cardFixture]] number, one anchor, a comment. */
+  private def ingestHtmlFixture: Column = concat(
+    lit("<html><head><title>Page "), col("doc_id"),
+    lit("</title><style>body { margin: 0; }</style></head><body><h1>"),
+    upper(col("source")),
+    lit("</h1><p>"), col("text"),
+    lit("</p><p>contact "), col("source"),
+    lit("@example.com or 555-867-5309 card "), cardFixture,
+    lit("</p><a href=\"/about\">about us</a><!-- tracker --></body></html>"))
+
   /** DuckDB rendering of [[graft.operators.CorpusClean.luhnSum]] over an
     * arbitrary SQL digit-string expression — the same rightmost-first
     * double-every-second-digit integer fold. */
@@ -1661,17 +1688,21 @@ object SparkEntry {
     // shape alone (13-19 digits) is not enough, the Luhn gate decides
     "q_clean_cc_scrub" -> ((s, dir) => {
       val docs = readWide(s, dir, "documents")
-      val base = concat(lit("4"),
-        lpad((col("doc_id") % 100000000).cast("string"), 14, "0"))
-      val s0 = operators.CorpusClean.luhnSum(concat(base, lit("0")))
-      val check = (lit(10) - (s0 % 10)) % 10
-      val digit = when(col("doc_id") % 2 === 0, check)
-        .otherwise((check + lit(5)) % 10)
       val withCard = docs.withColumn("text2",
-        concat(col("text"), lit(" card "), base, digit.cast("string"),
-          lit(" end")))
+        concat(col("text"), lit(" card "), cardFixture, lit(" end")))
       operators.CorpusClean.ccScrub(withCard, "text2")
         .select("doc_id", "n_cc", "text_cc_redacted")
+    }),
+    // the COMPOSED ingestion pipeline: raw crawl rows (id, url, html) →
+    // curated documents-shaped rows in ONE map-only chain (IngestJob):
+    // url canonicalize + eTLD+1, html→text + link density, Luhn card
+    // scrub, pattern PII scrub, Gopher flags + langid, keep-filter.
+    // Oracled end-to-end by chaining the per-stage oracle formulations.
+    "q_pipeline_ingest" -> ((s, dir) => {
+      val crawl = readWide(s, dir, "documents")
+        .select(col("doc_id"), urlFixture.as("url"),
+          ingestHtmlFixture.as("html"))
+      jobs.IngestJob.ingest(crawl)
     }),
     // interpolated trigram LM scoring (λ₃P₃+λ₂P₂+λ₁P₁ behind micro
     // rounding) — the perplexity signal one order above the bigram model
@@ -4231,6 +4262,154 @@ object SparkEntry {
            CASE WHEN ok THEN replace(t2, card, '<CC>') ELSE t2 END
              AS text_cc_redacted
          FROM v""",
+    // end-to-end ingest replay: card + url + markup fixtures, the url
+    // chain, the extraction chain, Luhn re-check, the three-pattern PII
+    // chain, Gopher statistics, max-code-tie-break langid, keep filter
+    "q_pipeline_ingest" ->
+      s"""WITH b0 AS (SELECT doc_id, text, source, $urlFixtureSql AS url,
+             '4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0') AS cbase
+           FROM documents),
+         b1 AS (SELECT *, ${luhnSumSql("cbase || '0'")} AS ls0 FROM b0),
+         b2 AS (SELECT doc_id, text, source, url,
+             cbase || CAST(CASE WHEN doc_id % 2 = 0 THEN (10 - (ls0 % 10)) % 10
+                 ELSE ((10 - (ls0 % 10)) % 10 + 5) % 10 END AS VARCHAR) AS card
+           FROM b1),
+         h AS (SELECT doc_id, url, card,
+             '<html><head><title>Page ' || doc_id ||
+             '</title><style>body { margin: 0; }</style></head><body><h1>' ||
+             upper(source) || '</h1><p>' || text || '</p><p>contact ' ||
+             source || '@example.com or 555-867-5309 card ' || card ||
+             '</p><a href="/about">about us</a><!-- tracker --></body></html>'
+               AS html
+           FROM b2),
+         px AS (SELECT doc_id, card, html, url,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS prefix
+           FROM h),
+         sp AS (SELECT doc_id, card, html,
+             substr(url, length(prefix) + 1) AS rest,
+             regexp_replace(regexp_replace(regexp_replace(lower(prefix),
+               '^(https?://)www\\.', '\\1', 'g'),
+               '^(http://[^/:?#]*):80$$', '\\1', 'g'),
+               '^(https?://[^/:?#]*):443$$', '\\1', 'g') AS p
+           FROM px),
+         u1 AS (SELECT doc_id, card, html, p,
+             regexp_replace(rest, '#.*$$', '', 'g') AS r FROM sp),
+         u2 AS (SELECT doc_id, card, html, p,
+             regexp_replace(r, '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g')
+               AS r FROM u1),
+         u3 AS (SELECT doc_id, card, html, p,
+             regexp_replace(r, '&{2,}', '&', 'g') AS r FROM u2),
+         u4 AS (SELECT doc_id, card, html, p,
+             regexp_replace(r, '\\?&', '?', 'g') AS r FROM u3),
+         u5 AS (SELECT doc_id, card, html, p,
+             regexp_replace(r, '[?&]+$$', '', 'g') AS r FROM u4),
+         u6 AS (SELECT doc_id, card, html, p,
+             regexp_replace(r, '/index\\.html\\?', '/?', 'g') AS r FROM u5),
+         u7 AS (SELECT doc_id, card, html, p,
+             regexp_replace(r, '/index\\.html$$', '/', 'g') AS r FROM u6),
+         nn AS (SELECT doc_id, card, html, p || r AS url_norm FROM u7),
+         dd AS (SELECT doc_id, card, html, url_norm,
+             regexp_extract(url_norm, '^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1)
+               AS host
+           FROM nn),
+         dom AS (SELECT doc_id, card, html, url_norm,
+             CASE WHEN regexp_extract(host,
+                 '([^.]+\\.co\\.uk|[^.]+\\.org\\.uk|[^.]+\\.ac\\.uk|[^.]+\\.com\\.au|[^.]+\\.co\\.jp)$$',
+                 1) <> ''
+               THEN regexp_extract(host,
+                 '([^.]+\\.co\\.uk|[^.]+\\.org\\.uk|[^.]+\\.ac\\.uk|[^.]+\\.com\\.au|[^.]+\\.co\\.jp)$$',
+                 1)
+               ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS domain
+           FROM dd),
+         e1 AS (SELECT doc_id, card, html, url_norm, domain,
+             regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS t FROM dom),
+         e2 AS (SELECT doc_id, card, html, url_norm, domain,
+             regexp_replace(t, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g')
+               AS t FROM e1),
+         e3 AS (SELECT doc_id, card, html, url_norm, domain,
+             regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g')
+               AS t FROM e2),
+         e4 AS (SELECT doc_id, card, html, url_norm, domain,
+             regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM e3),
+         e5 AS (SELECT doc_id, card, html, url_norm, domain,
+             replace(replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+               '&nbsp;', ' '), '&amp;', '&') AS t FROM e4),
+         e6 AS (SELECT doc_id, card, html, url_norm, domain,
+             trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text FROM e5),
+         ld AS (SELECT doc_id, card, url_norm, domain, clean_text,
+             round(CAST(coalesce(list_sum(list_transform(
+                 regexp_extract_all(html, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                 x -> length(x))), 0) AS DOUBLE)
+               / greatest(CAST(length(clean_text) AS DOUBLE), 1.0), 6)
+               AS link_density
+           FROM e6),
+         ccv AS (SELECT *, (${luhnSumSql("card")}) % 10 = 0 AS ok FROM ld),
+         cc AS (SELECT doc_id, url_norm, domain, link_density,
+             CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS n_cc,
+             CASE WHEN ok THEN replace(clean_text, card, '<CC>')
+                  ELSE clean_text END AS t
+           FROM ccv),
+         s1 AS (SELECT doc_id, url_norm, domain, link_density, n_cc,
+             CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_email,
+             regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t FROM cc),
+         s2 AS (SELECT doc_id, url_norm, domain, link_density, n_cc, n_email,
+             CAST(len(regexp_extract_all(t,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+               AS n_ip,
+             regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+               '<IP>', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id, url_norm, domain, link_density, n_cc, n_email,
+             n_ip,
+             CAST(len(regexp_extract_all(t, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b'))
+               AS BIGINT) AS n_phone,
+             regexp_replace(t, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b',
+               '<PHONE>', 'g') AS text FROM s2),
+         g0 AS (SELECT *, length(text) AS len,
+             string_split_regex(trim(lower(text)), '\\s+') AS ws,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+               AS ntok
+           FROM s3),
+         gf AS (SELECT *,
+             CAST(ntok AS BIGINT) AS wc,
+             round(CAST(len AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE), 6)
+               AS mean_word_len,
+             CAST(len(list_filter(
+               ['the', 'a', 'of', 'to', 'and', 'in', 'be', 'that'],
+               w -> list_contains(ws, w))) AS BIGINT) AS n_stopwords,
+             round(CASE WHEN ntok = 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                             / CAST(ntok AS DOUBLE) END, 6) AS dup_word_frac,
+             len(list_intersect(list_distinct(ws),
+               ['der','die','und','das','ist'])) AS h_de,
+             len(list_intersect(list_distinct(ws),
+               ['the','and','of','to','is'])) AS h_en,
+             len(list_intersect(list_distinct(ws),
+               ['el','los','las','es','una'])) AS h_es,
+             len(list_intersect(list_distinct(ws),
+               ['le','la','et','les','est'])) AS h_fr,
+             len(list_intersect(list_distinct(ws),
+               ['的','是','了','在','我'])) AS h_zh
+           FROM g0)
+         SELECT doc_id, url_norm, domain,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                ELSE 'de' END AS lang,
+           text, n_cc, n_email, n_ip, n_phone, wc, mean_word_len,
+           n_stopwords, dup_word_frac, link_density
+         FROM gf
+         WHERE wc BETWEEN 20 AND 100000
+           AND mean_word_len BETWEEN 3.0 AND 10.0
+           AND n_stopwords >= 2 AND dup_word_frac <= 0.5
+           AND link_density <= 0.5""",
     // trigram replay: three count tables, the two scalar model constants
     // (V, N) from the unigram table, and the identical λ-mix double
     // chain behind micro rounding

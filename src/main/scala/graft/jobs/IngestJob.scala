@@ -1,0 +1,69 @@
+package graft.jobs
+
+import graft.operators.{CorpusClean, TextAnalysis, WebExtract}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The web-scrape INGESTION pipeline as one composed job: raw crawl
+  * rows `(id, url, html)` → curated, documents-shaped rows ready for
+  * [[CleanJob]]/[[CurationJob]]. Stages, in order:
+  *
+  *  1. URL canonicalization + registrable domain
+  *     ([[WebExtract.normalizeUrl]] / [[WebExtract.registrableDomain]])
+  *  2. HTML → visible text + anchor-text density
+  *     ([[WebExtract.htmlToText]] / [[WebExtract.linkDensity]])
+  *  3. Checksum-validated card scrub, then pattern PII scrub
+  *     ([[CorpusClean.ccScrub]] → [[CorpusClean.piiScrub]] — most
+  *     specific first: the Luhn gate sees raw digit runs before the
+  *     phone pattern can splice placeholders into them)
+  *  4. Gopher rule flags on the SCRUBBED text
+  *     ([[TextAnalysis.gopherFlags]]) + language ID + link-density cap
+  *  5. Keep = every rule flag passes AND link density under the cap
+  *
+  * Scale shape — the reason ingest is its own job: EVERY stage is a
+  * map-only projection; the whole pipeline is one filter over one
+  * projection chain. No shuffle, no state, no driver collect — ingest
+  * parallelizes embarrassingly at 100 TB (unlike [[CleanJob]], whose
+  * dedup stages shuffle, which is why dedup runs AFTER ingest on the
+  * much smaller kept set). One scan in, one write out.
+  *
+  * Output: the id, `url_norm`, `domain`, `lang`, the scrubbed text as
+  * `text`, the scrub counters (`n_cc`, `n_email`, `n_ip`, `n_phone`),
+  * the rule statistics (`wc`, `mean_word_len`, `n_stopwords`,
+  * `dup_word_frac`), and `link_density` — kept rows only.
+  */
+object IngestJob {
+
+  final case class IngestOptions(
+      idCol: String = "doc_id",
+      urlCol: String = "url",
+      htmlCol: String = "html",
+      minWords: Int = 20,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minStopwords: Int = 2,
+      maxDupWordFrac: Double = 0.5,
+      maxLinkDensity: Double = 0.5)
+
+  def ingest(df: DataFrame, opts: IngestOptions = IngestOptions()): DataFrame = {
+    val withUrl = df
+      .withColumn("url_norm", WebExtract.normalizeUrl(col(opts.urlCol)))
+      .withColumn("domain", WebExtract.registrableDomain(col("url_norm")))
+      .withColumn("link_density", WebExtract.linkDensity(col(opts.htmlCol)))
+      .withColumn("__text_raw", WebExtract.htmlToText(col(opts.htmlCol)))
+    val scrubbed = CorpusClean.piiScrub(
+      CorpusClean.ccScrub(withUrl, "__text_raw"), "text_cc_redacted")
+    val flagged = TextAnalysis.gopherFlags(
+      scrubbed.withColumn("text", col("text_redacted")), "text",
+      opts.minWords, opts.maxWords, opts.minMeanWordLen, opts.maxMeanWordLen,
+      opts.minStopwords, opts.maxDupWordFrac)
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+    flagged
+      .filter(col("kept") && col("link_density") <= opts.maxLinkDensity)
+      .select(col(opts.idCol), col("url_norm"), col("domain"), col("lang"),
+        col("text"), col("n_cc"), col("n_email"), col("n_ip"), col("n_phone"),
+        col("wc"), col("mean_word_len"), col("n_stopwords"),
+        col("dup_word_frac"), col("link_density"))
+  }
+}

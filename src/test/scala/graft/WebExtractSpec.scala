@@ -101,6 +101,36 @@ class WebExtractSpec extends SparkSpec {
     } assert(wi <= wj, s"$si (${means(si)}) got $wi > $sj (${means(sj)}) $wj")
   }
 
+  test("IngestJob: map-only plan, scrubs fire, quality + link gates filter") {
+    val goodBody = "the quick brown fox jumps over a lazy dog while seven " +
+      "other animals watch from nearby trees and birds sing songs about " +
+      "distant hills under bright morning light"
+    val crawl = Seq(
+      (1L, "HTTPS://WWW.News.Example.COM:443/a?utm_source=x",
+        s"<html><body><p>$goodBody contact bob@example.com card " +
+          "4532015112830366</p><a href=\"/x\">more</a></body></html>"),
+      // link farm: anchor text dominates the extracted chars
+      (2L, "http://spam.example.com/hub",
+        "<body><p>the a of links</p>" +
+          (1 to 30).map(i => s"""<a href="/$i">offer number $i here</a>""")
+            .mkString + "</body>"),
+      // too short for the word-count gate
+      (3L, "http://stub.example.com/s", "<body><p>the a stub</p></body>")
+    ).toDF("doc_id", "url", "html")
+    val out = jobs.IngestJob.ingest(crawl)
+    // the whole ingest is one projection chain + filter: no shuffle
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = out.select("doc_id", "url_norm", "domain", "n_cc", "n_email",
+      "text").as[(Long, String, String, Long, Long, String)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1L))
+    val r = rows.head
+    assert(r._2 == "https://news.example.com/a")
+    assert(r._3 == "example.com")
+    assert(r._4 == 1L && r._5 == 1L)
+    assert(r._6.contains("<CC>") && r._6.contains("<EMAIL>"))
+    assert(!r._6.contains("4532015112830366") && !r._6.contains("bob@example.com"))
+  }
+
   test("gopherFlags: each rule flips independently; kept is the conjunction") {
     val rows = Seq(
       (1L, ("the a " + ("word " * 30)).trim),          // all pass
