@@ -1693,6 +1693,14 @@ object SparkEntry {
       operators.CorpusClean.ccScrub(withCard, "text2")
         .select("doc_id", "n_cc", "text_cc_redacted")
     }),
+    // T5-style span corruption: deterministic denoising (input, target)
+    // pairs — one masked span per full 20-token block at a seeded
+    // offset, sentinels numbered per block. Map-only generator.
+    "q_span_corrupt" -> ((s, dir) =>
+      operators.TrainPrep.spanCorrupt(
+          readWide(s, dir, "documents"), "doc_id", "text",
+          blockSize = 20, spanLen = 3, seed = 0L)
+        .select("doc_id", "input_text", "target_text", "n_masked")),
     // the COMPOSED ingestion pipeline: raw crawl rows (id, url, html) →
     // curated documents-shaped rows in ONE map-only chain (IngestJob):
     // url canonicalize + eTLD+1, html→text + link density, Luhn card
@@ -4262,6 +4270,33 @@ object SparkEntry {
            CASE WHEN ok THEN replace(t2, card, '<CC>') ELSE t2 END
              AS text_cc_redacted
          FROM v""",
+    // replays the block partition, the seeded offset bucket, and both
+    // rebuilds with DuckDB's 1-based inclusive list slices
+    "q_span_corrupt" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         p AS (SELECT doc_id, ws, len(ws) AS n,
+             CAST(len(ws) // 20 AS INT) AS nb FROM t),
+         b AS (SELECT doc_id, ws, n, nb,
+             list_transform(range(0, nb), k ->
+               CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' || k::VARCHAR
+                 || ':0'), 1, 8))::BIGINT % 18 AS INT)) AS offs
+           FROM p)
+         SELECT doc_id,
+           CASE WHEN nb >= 1 THEN
+             array_to_string(flatten(list_transform(range(0, nb), k ->
+               ws[k*20+1 : k*20+offs[k+1]]
+               || ['<extra_id_' || k::VARCHAR || '>']
+               || ws[k*20+offs[k+1]+4 : (k+1)*20]))
+               || ws[nb*20+1 : n], ' ')
+           ELSE array_to_string(ws, ' ') END AS input_text,
+           CASE WHEN nb >= 1 THEN
+             array_to_string(flatten(list_transform(range(0, nb), k ->
+               ['<extra_id_' || k::VARCHAR || '>']
+               || ws[k*20+offs[k+1]+1 : k*20+offs[k+1]+3])), ' ')
+           ELSE '' END AS target_text,
+           CAST(nb * 3 AS BIGINT) AS n_masked
+         FROM b""",
     // end-to-end ingest replay: card + url + markup fixtures, the url
     // chain, the extraction chain, Luhn re-check, the three-pattern PII
     // chain, Gopher statistics, max-code-tie-break langid, keep filter

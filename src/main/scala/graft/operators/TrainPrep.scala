@@ -315,6 +315,62 @@ object TrainPrep {
     * `max(struct(score_mu, -id))` — over the group-member table (|pair
     * ids| rows, never corpus-sized), and a broadcastable semi-join of
     * the loser set against the corpus. */
+  /** T5/UL2-style span corruption: turn each document into a
+    * denoising (input, target) pair — the input has token spans replaced
+    * by numbered sentinels, the target lists each sentinel followed by
+    * the tokens it hides. The DETERMINISTIC formulation (the
+    * [[Sampling]] discipline, vs. the paper's RNG): tokens partition
+    * into fixed blocks of `blockSize`; each FULL block masks one
+    * `spanLen`-token span whose offset is the block's seeded md5 bucket
+    * — so the corruption rate is exactly spanLen/blockSize, every
+    * (id, seed) pair yields the same pair forever, and the whole
+    * construction replays in any engine. The tail block (< blockSize
+    * tokens) stays unmasked; documents shorter than one block pass
+    * through with an empty target.
+    *
+    * Map-only generator: one projection, no shuffle, no state — linear
+    * at 100 TB like [[chunkDocuments]].
+    *
+    * Output: adds `input_text`, `target_text`, `n_masked`. */
+  def spanCorrupt(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockSize: Int = 20,
+      spanLen: Int = 3,
+      seed: Long = 0L): DataFrame = {
+    require(spanLen >= 1 && blockSize > spanLen,
+      "need 1 <= spanLen < blockSize")
+    val ws = split(trim(col(textCol)), "\\s+")
+    val n = size(ws)
+    val nb = (n / blockSize).cast("int") // FULL blocks only
+    val range = blockSize - spanLen + 1
+    def off(k: org.apache.spark.sql.Column) =
+      pmod(
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+          k.cast("string"), lit(s":$seed"))), 1, 8), 16, 10).cast("long"),
+        lit(range)).cast("int")
+    def sentinel(k: org.apache.spark.sql.Column) =
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    val blocksIn = flatten(transform(sequence(lit(0), nb - 1), k =>
+      concat(
+        slice(ws, k * blockSize + 1, off(k)),
+        array(sentinel(k)),
+        slice(ws, k * blockSize + off(k) + spanLen + 1,
+          lit(blockSize) - off(k) - spanLen))))
+    val tail = slice(ws, nb * blockSize + 1, n - nb * blockSize)
+    val blocksTgt = flatten(transform(sequence(lit(0), nb - 1), k =>
+      concat(array(sentinel(k)),
+        slice(ws, k * blockSize + off(k) + 1, lit(spanLen)))))
+    // sequence(0, -1) would count DOWN; guard the no-full-block case
+    df.withColumn("input_text",
+        when(nb >= 1, array_join(concat(blocksIn, tail), " "))
+          .otherwise(array_join(ws, " ")))
+      .withColumn("target_text",
+        when(nb >= 1, array_join(blocksTgt, " ")).otherwise(lit("")))
+      .withColumn("n_masked", (nb * spanLen).cast("long"))
+  }
+
   def bestCopyDedup(
       df: DataFrame,
       idCol: String,

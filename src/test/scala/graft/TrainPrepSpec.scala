@@ -214,6 +214,53 @@ class TrainPrepSpec extends SparkSpec {
     assert(totals.forall(_._2 <= 60L) && totals.nonEmpty)
   }
 
+  test("spanCorrupt: reference-model parity, rate exact, short docs pass through") {
+    // 45 tokens -> 2 full 20-blocks masked, 5-token tail untouched
+    val df = Seq(
+      (7L, (1 to 45).map(i => s"w$i").mkString(" ")),
+      (8L, (1 to 19).map(i => s"s$i").mkString(" ")), // < one block
+      (9L, "")).toDF("doc_id", "text")
+    val out = TrainPrep.spanCorrupt(df, "doc_id", "text",
+      blockSize = 20, spanLen = 3, seed = 0L)
+      .select("doc_id", "input_text", "target_text", "n_masked")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    // reference model in plain Scala
+    def bucket(id: Long, k: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$k:0".getBytes)
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 18).toInt
+    }
+    val toks = (1 to 45).map(i => s"w$i")
+    val (inParts, tgtParts) = (0 until 2).map { k =>
+      val off = bucket(7L, k)
+      val block = toks.slice(k * 20, (k + 1) * 20)
+      val in = block.take(off) ++ Seq(s"<extra_id_$k>") ++ block.drop(off + 3)
+      val tgt = Seq(s"<extra_id_$k>") ++ block.slice(off, off + 3)
+      (in, tgt)
+    }.unzip
+    val expIn = (inParts.flatten ++ toks.drop(40)).mkString(" ")
+    val expTgt = tgtParts.flatten.mkString(" ")
+    assert(out(0) == ((7L, expIn, expTgt, 6L)))
+    // exactly spanLen/blockSize of the full-block tokens are masked
+    assert(out(0)._2.split(" ").count(_.startsWith("<extra_id_")) == 2)
+    // short doc: unchanged tokens, empty target, nothing masked
+    assert(out(1) == ((8L, (1 to 19).map(i => s"s$i").mkString(" "), "", 0L)))
+    assert(out(2)._3 == "" && out(2)._4 == 0L)
+    // round-trip property: reinserting each target span at its sentinel
+    // restores the original token sequence
+    val restored = {
+      var cur = out(0)._2
+      val spans = out(0)._3.split("<extra_id_").filter(_.nonEmpty)
+        .map(s => s.splitAt(s.indexOf('>'))).map { case (k, rest) =>
+          (k.toInt, rest.drop(1).trim) }
+      spans.foreach { case (k, span) =>
+        cur = cur.replace(s"<extra_id_$k>", span) }
+      cur
+    }
+    assert(restored == (1 to 45).map(i => s"w$i").mkString(" "))
+  }
+
   test("best-copy dedup keeps the highest-quality member per group") {
     val base = "the quick brown fox jumps over the lazy dog again and again ok"
     val df = Seq(

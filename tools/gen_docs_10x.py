@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Generate an Nx replicated documents.parquet for scale validation
+(SCALE_r9.json method, documents table only): replica r keeps the
+original rows at r=0 and appends shifted-id copies whose text is salted
+with words drawn from a 70-token alphabet keyed by (r, doc_id) — so
+cross-replica Jaccard stays low and dedup pair growth stays linear,
+while per-source densities are preserved (source/lang unchanged).
+
+Usage: gen_docs_10x.py <src_sf_dir> <out_dir> [replicas=10]
+Writes <out_dir>/documents.parquet; symlinks every other table from the
+source dir so table-complete readers still resolve.
+"""
+import hashlib
+import os
+import sys
+
+import duckdb
+
+src, out = sys.argv[1], sys.argv[2]
+reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+os.makedirs(out, exist_ok=True)
+con = duckdb.connect()
+rows = con.execute(
+    f"SELECT doc_id, text, lang, source, n_chars FROM "
+    f"read_parquet('{src}/documents.parquet') ORDER BY doc_id").fetchall()
+maxid = max(r[0] for r in rows) + 1
+
+SALT = [f"salt{i:02d}" for i in range(70)]
+
+
+def salt_words(r, doc_id, k=12):
+    h = hashlib.md5(f"{r}:{doc_id}".encode()).digest()
+    return " ".join(SALT[h[i] % 70] for i in range(k))
+
+
+con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+            "source VARCHAR, n_chars BIGINT)")
+ins = []
+for r in range(reps):
+    for (doc_id, text, lang, source, n_chars) in rows:
+        if r == 0:
+            ins.append((doc_id, text, lang, source, n_chars))
+        else:
+            t2 = text + " " + salt_words(r, doc_id)
+            ins.append((doc_id + r * maxid, t2, lang, source, len(t2)))
+con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", ins)
+con.execute(f"COPY (SELECT * FROM t ORDER BY doc_id) TO "
+            f"'{out}/documents.parquet' (FORMAT PARQUET)")
+
+for f in os.listdir(src):
+    if f.endswith(".parquet") and f != "documents.parquet":
+        dst = os.path.join(out, f)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(src, f), dst)
+print(f"wrote {len(ins)} docs ({reps}x) to {out}")
