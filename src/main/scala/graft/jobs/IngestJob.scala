@@ -46,16 +46,34 @@ object IngestJob {
       maxDupWordFrac: Double = 0.5,
       maxLinkDensity: Double = 0.5)
 
+  /** Generator barrier: `explode` of a 1-element array yields the same
+    * row with `e` computed EXACTLY ONCE — `CollapseProject` cannot
+    * inline expressions across a `Generate` node, so the dozens of
+    * downstream columns that consume a text stage reference the
+    * attribute instead of each re-deriving the whole regex chain
+    * (measured: the un-barriered plan carried 449 `regexp_replace`
+    * calls for ~25 distinct ones, ~18× duplicated work). Still
+    * map-only: `Generate` streams inside the same codegen stage. */
+  private def computedOnce(df: DataFrame, name: String, e: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn(name, explode(array(e)))
+
   def ingest(df: DataFrame, opts: IngestOptions = IngestOptions()): DataFrame = {
-    val withUrl = df
-      .withColumn("url_norm", WebExtract.normalizeUrl(col(opts.urlCol)))
-      .withColumn("domain", WebExtract.registrableDomain(col("url_norm")))
-      .withColumn("link_density", WebExtract.linkDensity(col(opts.htmlCol)))
-      .withColumn("__text_raw", WebExtract.htmlToText(col(opts.htmlCol)))
+    val withUrl = computedOnce(
+      df.withColumn("url_norm", WebExtract.normalizeUrl(col(opts.urlCol)))
+        .withColumn("domain", WebExtract.registrableDomain(col("url_norm")))
+        .withColumn("__link_chars", WebExtract.linkChars(col(opts.htmlCol))),
+      "__text_raw", WebExtract.htmlToText(col(opts.htmlCol)))
+      // same operand order as WebExtract.linkDensity, against the
+      // already-extracted attribute (no second extraction chain)
+      .withColumn("link_density",
+        round(col("__link_chars").cast("double") /
+          greatest(length(col("__text_raw")).cast("double"), lit(1.0)), 6))
     val scrubbed = CorpusClean.piiScrub(
-      CorpusClean.ccScrub(withUrl, "__text_raw"), "text_cc_redacted")
+      computedOnce(CorpusClean.ccScrub(withUrl, "__text_raw"),
+        "text_cc_redacted", col("text_cc_redacted")),
+      "text_cc_redacted")
     val flagged = TextAnalysis.gopherFlags(
-      scrubbed.withColumn("text", col("text_redacted")), "text",
+      computedOnce(scrubbed, "text", col("text_redacted")), "text",
       opts.minWords, opts.maxWords, opts.minMeanWordLen, opts.maxMeanWordLen,
       opts.minStopwords, opts.maxDupWordFrac)
       .withColumn("lang", TextAnalysis.langId(col("text")))

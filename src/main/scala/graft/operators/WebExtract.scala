@@ -62,12 +62,18 @@ object WebExtract {
     * places like every other quality ratio in the engine. Nested
     * markup inside an anchor counts its raw span (tags included) —
     * a density heuristic, not a DOM walk; documented contract. */
-  def linkDensity(html: Column): Column = {
-    val anchors = regexp_extract_all(html, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))
-    val linkChars = aggregate(
-      transform(anchors, a => length(a)), lit(0), (acc, x) => acc + x)
-    round(linkChars.cast("double") /
+  def linkDensity(html: Column): Column =
+    round(linkChars(html).cast("double") /
       greatest(length(htmlToText(html)).cast("double"), lit(1.0)), 6)
+
+  /** Total characters inside `<a>` elements — the numerator of
+    * [[linkDensity]], exposed so a pipeline that already extracted the
+    * text ([[graft.jobs.IngestJob]]) can form the ratio against the
+    * extracted attribute instead of re-running the whole extraction
+    * chain inside the density expression. */
+  def linkChars(html: Column): Column = {
+    val anchors = regexp_extract_all(html, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))
+    aggregate(transform(anchors, a => length(a)), lit(0), (acc, x) => acc + x)
   }
 
   /** Tracking query parameters stripped by [[normalizeUrl]]. */
