@@ -131,6 +131,28 @@ class WebExtractSpec extends SparkSpec {
     assert(!r._6.contains("4532015112830366") && !r._6.contains("bob@example.com"))
   }
 
+  test("IngestJob runs unchanged on a stream (stateless map-only chain)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val goodBody = "the quick brown fox jumps over a lazy dog while seven " +
+      "other animals watch from nearby trees and birds sing songs about " +
+      "distant hills under bright morning light"
+    val in = MemoryStream[(Long, String, String)]
+    val q = jobs.IngestJob.ingest(in.toDF().toDF("doc_id", "url", "html"))
+      .writeStream.format("memory").queryName("singest").outputMode("append")
+      .start()
+    try {
+      in.addData(
+        (1L, "https://a.example.com/x",
+          s"<html><body><p>$goodBody</p></body></html>"),
+        (2L, "https://b.example.com/y", "<body><p>the a stub</p></body>"))
+      q.processAllAvailable()
+      val rows = spark.table("singest").select("doc_id", "domain")
+        .as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "example.com"))) // doc 2 fails the wc gate
+    } finally q.stop()
+  }
+
   test("gopherFlags: each rule flips independently; kept is the conjunction") {
     val rows = Seq(
       (1L, ("the a " + ("word " * 30)).trim),          // all pass
