@@ -296,4 +296,31 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("graft_dot"), plan) // native dot in the verify
   }
+
+  test("ingest: generator barriers keep the text stages computed once") {
+    // CollapseProject once inlined the extraction/scrub regex chains into
+    // every consumer column: 449 regexp_replace calls in the executed
+    // plan for ~25 distinct ones (measured 18x duplicated work, 10x
+    // wall-clock on 10x data). The explode(array(e)) barriers pin each
+    // stage to one evaluation — this asserts the duplication stays gone.
+    val plan = simple("q_pipeline_ingest")
+    assert("regexp_replace".r.findAllMatchIn(plan).size <= 40, plan)
+    // still no shuffle beyond the read-side parallelism spreader, and no
+    // join of any kind — ingest is one map-only chain
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"), plan)
+  }
+
+  test("per-group reservoir: exactly one keyed exchange, rank filter local") {
+    val plan = simple("q_sample_reservoir")
+    assert("hashpartitioning".r.findAllMatchIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("domain reweight: map-side partial agg; 1-row normalizer broadcasts") {
+    val plan = simple("q_domain_reweight")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
