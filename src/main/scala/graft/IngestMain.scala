@@ -1,0 +1,69 @@
+package graft
+
+import graft.jobs.IngestJob
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, lit, sum}
+
+/** CLI entry point for a web-ingestion run — the spark-submit surface
+  * for [[graft.jobs.IngestJob]] (url canonicalize + eTLD+1 → html→text +
+  * link density → Luhn card scrub → pattern PII scrub → Gopher flags +
+  * langid → keep filter; one map-only chain).
+  *
+  * Usage:
+  *   IngestMain src=<parquet> out=<dir> [id=doc_id] [url=url] [html=html] \
+  *     [min_words=20] [max_words=100000] [min_mwl=3.0] [max_mwl=10.0] \
+  *     [min_stopwords=2] [max_dup_word_frac=0.5] [max_link_density=0.5]
+  *
+  * Prints one JSON counters line (input, kept, total scrub redactions)
+  * on stdout — the CurationMain discipline: the write is the ONE action,
+  * counters ride it via observe, no separate counting scans.
+  */
+object IngestMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad arg '$a' (want key=value)")
+      a.take(i) -> a.drop(i + 1).replace("%20", " ")
+    }.toMap
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-ingest")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val iOpts = IngestJob.IngestOptions(
+        idCol = opts.getOrElse("id", "doc_id"),
+        urlCol = opts.getOrElse("url", "url"),
+        htmlCol = opts.getOrElse("html", "html"),
+        minWords = opts.getOrElse("min_words", "20").toInt,
+        maxWords = opts.getOrElse("max_words", "100000").toInt,
+        minMeanWordLen = opts.getOrElse("min_mwl", "3.0").toDouble,
+        maxMeanWordLen = opts.getOrElse("max_mwl", "10.0").toDouble,
+        minStopwords = opts.getOrElse("min_stopwords", "2").toInt,
+        maxDupWordFrac = opts.getOrElse("max_dup_word_frac", "0.5").toDouble,
+        maxLinkDensity = opts.getOrElse("max_link_density", "0.5").toDouble)
+      val src = spark.read.parquet(opts("src"))
+      val input = src.count()
+      // the Observation rides the WRITE action (the RetentionJob
+      // discipline) — a name-keyed observe on the lazy frame would read
+      // from a QueryExecution the write never runs
+      val obs = new org.apache.spark.sql.Observation()
+      val out = IngestJob.ingest(src, iOpts)
+        .observe(obs,
+          count(lit(1)).as("kept"),
+          sum(col("n_cc") + col("n_email") + col("n_ip") + col("n_phone"))
+            .as("redactions"))
+      out.write.mode("overwrite").parquet(opts("out"))
+      val row = obs.get
+      val kept = Option(row("kept")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val redactions =
+        Option(row("redactions")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      println(s"""{"input":$input,"kept":$kept,"redactions":$redactions}""")
+    } finally spark.stop()
+  }
+}

@@ -53,6 +53,17 @@ class WebExtractSpec extends SparkSpec {
     assert(norm("http://ex.com/d/index.html") == "http://ex.com/d/")
   }
 
+  test("normalizeUrl is idempotent: normalized urls are fixed points") {
+    val urls = Seq(
+      "https://ex.com/Path/One?id=3",
+      "http://ex.co.uk/a/?page=2",
+      "http://ex.com:8080/A/B?x=1",
+      "https://ex.com/p")
+    val again = urls.toDF("u")
+      .select(WebExtract.normalizeUrl(col("u"))).as[String].collect()
+    assert(again.toSeq == urls)
+  }
+
   test("registrableDomain: generic TLD vs two-level suffix list") {
     val d = Seq(
       "https://a.b.example.com/x",
