@@ -124,6 +124,21 @@ object SparkEntry {
     lit("@example.com or 555-867-5309 card "), cardFixture,
     lit("</p><a href=\"/about\">about us</a><!-- tracker --></body></html>"))
 
+  /** Two-record WARC crawl-file fixture for q_warc_extract: a request
+    * record (must be filtered out) followed by a response record whose
+    * HTTP body is a small HTML page built from the documents row. */
+  private def warcFixture: Column = concat(
+    lit("WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: https://"),
+    col("source"), lit(".example.com/p/"), col("doc_id"),
+    lit("\r\n\r\nGET /p/"), col("doc_id"),
+    lit(" HTTP/1.1\r\nHost: example.com\r\n\r\n\r\n"),
+    lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://"),
+    col("source"), lit(".example.com/p/"), col("doc_id"),
+    lit("\r\n\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><body><h1>"),
+    upper(col("source")), lit("</h1><p>"), col("text"),
+    lit(" &amp; tail</p></body></html>\r\n\r\n"))
+
   /** DuckDB rendering of [[graft.operators.CorpusClean.luhnSum]] over an
     * arbitrary SQL digit-string expression — the same rightmost-first
     * double-every-second-digit integer fold. */
@@ -1692,6 +1707,19 @@ object SparkEntry {
         concat(col("text"), lit(" card "), cardFixture, lit(" end")))
       operators.CorpusClean.ccScrub(withCard, "text2")
         .select("doc_id", "n_cc", "text_cc_redacted")
+    }),
+    // WARC crawl-file parsing: split records, keep responses, take the
+    // HTTP body, extract visible text — the step BEFORE q_pipeline_
+    // ingest when the input is raw crawl archives. The request record
+    // in each fixture file must vanish; the response body must survive
+    // header stripping exactly.
+    "q_warc_extract" -> ((s, dir) => {
+      val crawl = readWide(s, dir, "documents")
+        .withColumn("payload", warcFixture)
+      crawl.select(col("doc_id"),
+          explode(operators.WebExtract.warcResponses(col("payload"))).as("r"))
+        .select(col("doc_id"), col("r.url").as("url"),
+          operators.WebExtract.htmlToText(col("r.body")).as("clean_text"))
     }),
     // T5-style span corruption: deterministic denoising (input, target)
     // pairs — one masked span per full 20-token block at a seeded
@@ -4270,6 +4298,51 @@ object SparkEntry {
            CASE WHEN ok THEN replace(t2, card, '<CC>') ELSE t2 END
              AS text_cc_redacted
          FROM v""",
+    // replays the record split (literal version-line separator), the
+    // (?m)-anchored WARC headers, the after-second-blank-line body rule,
+    // and the extraction chain on the body
+    "q_warc_extract" ->
+      """WITH p AS (SELECT doc_id, text, source,
+             e'WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: https://'
+             || source || '.example.com/p/' || doc_id
+             || e'\r\n\r\nGET /p/' || doc_id
+             || e' HTTP/1.1\r\nHost: example.com\r\n\r\n\r\n'
+             || e'WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://'
+             || source || '.example.com/p/' || doc_id
+             || e'\r\n\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><body><h1>'
+             || upper(source) || '</h1><p>' || text
+             || e' &amp; tail</p></body></html>\r\n\r\n' AS payload
+           FROM documents),
+         recs AS (SELECT doc_id,
+             unnest(list_filter(string_split(payload, e'WARC/1.0\r\n'),
+               r -> length(r) > 0)) AS r
+           FROM p),
+         typed AS (SELECT doc_id,
+             regexp_extract(r, '(?m)^WARC-Type: ([^\r\n]+)', 1) AS wtype,
+             regexp_extract(r, '(?m)^WARC-Target-URI: ([^\r\n]+)', 1) AS url,
+             regexp_replace(
+               regexp_extract(r, '(?s)\r\n\r\n.*?\r\n\r\n(.*)$', 1),
+               '(\r\n)+$', '') AS body
+           FROM recs),
+         resp AS (SELECT doc_id, url, body FROM typed
+           WHERE wtype = 'response'),
+         c1 AS (SELECT doc_id, url,
+             regexp_replace(body, '(?s)<!--.*?-->', ' ', 'g') AS t FROM resp),
+         c2 AS (SELECT doc_id, url,
+             regexp_replace(t, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g')
+               AS t FROM c1),
+         c3 AS (SELECT doc_id, url,
+             regexp_replace(t, '(?is)<style\b[^>]*>.*?</style>', ' ', 'g')
+               AS t FROM c2),
+         c4 AS (SELECT doc_id, url,
+             regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM c3),
+         c5 AS (SELECT doc_id, url,
+             replace(replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+               '&nbsp;', ' '), '&amp;', '&') AS t FROM c4)
+         SELECT doc_id, url,
+           trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text
+         FROM c5""",
     // replays the block partition, the seeded offset bucket, and both
     // rebuilds with DuckDB's 1-based inclusive list slices
     "q_span_corrupt" ->

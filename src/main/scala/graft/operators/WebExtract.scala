@@ -115,6 +115,31 @@ object WebExtract {
     // NB: three-arg substr with a huge length = "to end of string"
     // in both Spark and DuckDB.
 
+  /** WARC (ISO 28500) response records of a crawl-file payload:
+    * `array<struct<url, body>>` — one entry per `WARC-Type: response`
+    * record, with the HTTP message body (content after the response
+    * header block) as `body`. The start of the crawl pipeline: feed
+    * each entry's `body` to [[htmlToText]] or the whole pair to
+    * [[graft.jobs.IngestJob]].
+    *
+    * Parsing is a split + per-record regex projection (records split on
+    * the version line; WARC headers matched with `(?m)` anchors; the
+    * body is everything after the SECOND blank line — WARC headers end
+    * at the first, HTTP headers at the second), so it is map-only,
+    * engine-portable, and total: a truncated or non-WARC payload yields
+    * an empty array, never an exception. Gzip-member WARCs must be
+    * inflated upstream (the codec boundary, like [[MediaFormats]]). */
+  def warcResponses(payload: Column): Column = {
+    val recs = filter(split(payload, "WARC/1\\.0\\r\\n"), r => length(r) > 0)
+    val parsed = transform(recs, r => struct(
+      regexp_extract(r, "(?m)^WARC-Type: ([^\\r\\n]+)", 1).as("wtype"),
+      regexp_extract(r, "(?m)^WARC-Target-URI: ([^\\r\\n]+)", 1).as("url"),
+      regexp_replace(
+        regexp_extract(r, "(?s)\\r\\n\\r\\n.*?\\r\\n\\r\\n(.*)$", 1),
+        "(\\r\\n)+$", "").as("body")))
+    filter(parsed, p => p.getField("wtype") === "response")
+  }
+
   /** Two-level public suffixes recognized by [[registrableDomain]].
     * A fixed mini-list (the full PSL is a data file, not logic): the
     * common ccTLD second-level registries. */

@@ -112,6 +112,46 @@ class WebExtractSpec extends SparkSpec {
     } assert(wi <= wj, s"$si (${means(si)}) got $wi > $sj (${means(sj)}) $wj")
   }
 
+  test("warcResponses: responses kept, requests dropped, parser total") {
+    val warc =
+      "WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: https://a.com/x\r\n" +
+        "\r\nGET /x HTTP/1.1\r\nHost: a.com\r\n\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://a.com/x\r\n" +
+        "\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "<html><p>page one</p></html>\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://a.com/y\r\n" +
+        "\r\nHTTP/1.1 200 OK\r\n\r\nsecond body\r\n\r\n"
+    val out = Seq(warc).toDF("p")
+      .select(explode(WebExtract.warcResponses(col("p"))).as("r"))
+      .select("r.url", "r.body").as[(String, String)].collect().toSeq
+    assert(out == Seq(
+      ("https://a.com/x", "<html><p>page one</p></html>"),
+      ("https://a.com/y", "second body")))
+    // totality: garbage, empty, and truncated payloads yield empty arrays
+    val weird = Seq("", "not a warc at all", "WARC/1.0\r\nWARC-Type: resp")
+      .toDF("p").select(size(WebExtract.warcResponses(col("p"))))
+      .as[Int].collect()
+    assert(weird.toSeq == Seq(0, 0, 0))
+  }
+
+  test("WARC records feed IngestJob end-to-end") {
+    val goodBody = "the quick brown fox jumps over a lazy dog while seven " +
+      "other animals watch from nearby trees and birds sing songs about " +
+      "distant hills under bright morning light"
+    val warc =
+      "WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: HTTPS://WWW.News.Example.COM:443/a\r\n" +
+        s"\r\nHTTP/1.1 200 OK\r\n\r\n<html><body><p>$goodBody</p></body></html>\r\n\r\n"
+    val crawl = Seq((1L, warc)).toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        explode(WebExtract.warcResponses(col("payload"))).as("r"))
+      .select(col("doc_id"), col("r.url").as("url"), col("r.body").as("html"))
+    val out = jobs.IngestJob.ingest(crawl)
+      .select("doc_id", "url_norm", "domain").as[(Long, String, String)]
+      .collect().toSeq
+    assert(out == Seq((1L, "https://news.example.com/a", "example.com")))
+  }
+
   test("IngestJob: map-only plan, scrubs fire, quality + link gates filter") {
     val goodBody = "the quick brown fox jumps over a lazy dog while seven " +
       "other animals watch from nearby trees and birds sing songs about " +
