@@ -1721,6 +1721,29 @@ object SparkEntry {
         .select(col("doc_id"), col("r.url").as("url"),
           operators.WebExtract.htmlToText(col("r.body")).as("clean_text"))
     }),
+    // recrawl handling: a new crawl batch probes the standing corpus's
+    // PERSISTED (url, fingerprint) index — unchanged refetches drop,
+    // changed pages flag `updated`, unseen urls flag `new`. The fixture
+    // makes urls collide across the corpus/delta split (key = id mod
+    // 350) with static (content keyed by url) and dynamic (content
+    // keyed by fetch) pages, so all three classes occur.
+    "q_ingest_recrawl" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val k = col("doc_id") % 350
+      val content = when(k % 3 === 0, concat(lit("page "), k))
+        .otherwise(concat(lit("page "), k, lit(" v"), col("doc_id")))
+      val rows = docs.select(col("doc_id"),
+        concat(lit("https://ex.com/p/"), k).as("url_norm"),
+        md5(content).as("fp"))
+      val corpus = rows.filter(col("doc_id") % 4 =!= 0)
+      val delta = rows.filter(col("doc_id") % 4 === 0)
+      val art = artifactPath(dir, "recrawl_index")
+      dumpOnce(art) {
+        corpus.select("url_norm", "fp").write.mode("overwrite").parquet(art)
+      }
+      jobs.IngestJob.recrawlDelta(delta, s.read.parquet(art))
+        .select("doc_id", "url_norm", "recrawl_status")
+    }),
     // T5-style span corruption: deterministic denoising (input, target)
     // pairs — one masked span per full 20-token block at a seeded
     // offset, sentinels numbered per block. Map-only generator.
@@ -4298,6 +4321,23 @@ object SparkEntry {
            CASE WHEN ok THEN replace(t2, card, '<CC>') ELSE t2 END
              AS text_cc_redacted
          FROM v""",
+    // the index derives in SQL from the same fixture (md5 is portable);
+    // unchanged = (url, fp) indexed; updated = url indexed, fp not
+    "q_ingest_recrawl" ->
+      """WITH r AS (SELECT doc_id, doc_id % 350 AS k FROM documents),
+         rw AS (SELECT doc_id, 'https://ex.com/p/' || k AS url_norm,
+             md5(CASE WHEN k % 3 = 0 THEN 'page ' || k
+                      ELSE 'page ' || k || ' v' || doc_id END) AS fp
+           FROM r),
+         corpus AS (SELECT * FROM rw WHERE doc_id % 4 <> 0),
+         delta AS (SELECT * FROM rw WHERE doc_id % 4 = 0)
+         SELECT d.doc_id, d.url_norm,
+           CASE WHEN NOT EXISTS (SELECT 1 FROM corpus c
+                                 WHERE c.url_norm = d.url_norm)
+                THEN 'new' ELSE 'updated' END AS recrawl_status
+         FROM delta d
+         WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                           WHERE c.url_norm = d.url_norm AND c.fp = d.fp)""",
     // replays the record split (literal version-line separator), the
     // (?m)-anchored WARC headers, the after-second-blank-line body rule,
     // and the extraction chain on the body

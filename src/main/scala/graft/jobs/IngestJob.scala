@@ -46,6 +46,37 @@ object IngestJob {
       maxDupWordFrac: Double = 0.5,
       maxLinkDensity: Double = 0.5)
 
+  /** Recrawl delta filter — the step between [[ingest]] and the dedup
+    * stack when the input is a RE-crawl: a new batch is checked against
+    * the standing corpus's persisted `(url, fingerprint)` index, and
+    * each page is classified `new` (url never seen — keep), `updated`
+    * (url seen with different content — keep, downstream replaces), or
+    * unchanged (url+fingerprint already indexed — DROPPED: a refetch of
+    * a static page is not new data). Near-dup content under a DIFFERENT
+    * url is deliberately left to the content-dedup stack —
+    * this operator is the cheap url-keyed first cut.
+    *
+    * Plan shape: the index aggregates to one row per url (fingerprint
+    * SET per url, bounded by that url's refetch count), then ONE
+    * equi-join on the url key — co-partitioned/bucketed by url at 100 TB,
+    * never a content comparison. Returns surviving delta rows with
+    * `recrawl_status` ∈ {new, updated}. */
+  def recrawlDelta(
+      delta: DataFrame,
+      index: DataFrame,
+      urlCol: String = "url_norm",
+      fpCol: String = "fp"): DataFrame = {
+    val idx = index.groupBy(col(urlCol))
+      .agg(collect_set(col(fpCol)).as("__fps"))
+    delta.join(idx, Seq(urlCol), "left")
+      .withColumn("recrawl_status",
+        when(col("__fps").isNull, "new")
+          .when(array_contains(col("__fps"), col(fpCol)), null)
+          .otherwise("updated"))
+      .filter(col("recrawl_status").isNotNull)
+      .drop("__fps")
+  }
+
   /** Generator barrier: `explode` of a 1-element array yields the same
     * row with `e` computed EXACTLY ONCE — `CollapseProject` cannot
     * inline expressions across a `Generate` node, so the dozens of

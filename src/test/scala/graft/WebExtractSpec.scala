@@ -152,6 +152,21 @@ class WebExtractSpec extends SparkSpec {
     assert(out == Seq((1L, "https://news.example.com/a", "example.com")))
   }
 
+  test("recrawlDelta: unchanged drops; updated/new keep; multi-fp urls honored") {
+    val index = Seq(
+      ("https://a.com/1", "fpA"), ("https://a.com/1", "fpB"), // page changed over time
+      ("https://a.com/2", "fpC")).toDF("url_norm", "fp")
+    val delta = Seq(
+      (1L, "https://a.com/1", "fpB"),  // matches an OLDER indexed fp: unchanged
+      (2L, "https://a.com/1", "fpZ"),  // known url, novel content: updated
+      (3L, "https://a.com/2", "fpC"),  // unchanged
+      (4L, "https://a.com/9", "fpQ")   // unseen url: new
+    ).toDF("doc_id", "url_norm", "fp")
+    val out = jobs.IngestJob.recrawlDelta(delta, index)
+      .select("doc_id", "recrawl_status").as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "updated", 4L -> "new"))
+  }
+
   test("IngestJob: map-only plan, scrubs fire, quality + link gates filter") {
     val goodBody = "the quick brown fox jumps over a lazy dog while seven " +
       "other animals watch from nearby trees and birds sing songs about " +
