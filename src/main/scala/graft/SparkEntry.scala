@@ -1721,6 +1721,22 @@ object SparkEntry {
         .select(col("doc_id"), col("r.url").as("url"),
           operators.WebExtract.htmlToText(col("r.body")).as("clean_text"))
     }),
+    // robots.txt compliance gate: per-document robots payloads with an
+    // agent-* group between decoy groups; a url is blocked iff a
+    // Disallow prefix of the * group prefixes its path — decoy groups'
+    // rules must NOT apply
+    "q_robots_gate" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val robots = concat(
+        lit("User-agent: googlebot\r\nDisallow: /private\r\n\r\n" +
+          "User-agent: *\r\nDisallow: /Files/"),
+        col("doc_id") % 5,
+        lit("\r\nDisallow: /tmp\r\n\r\nUser-agent: other\r\nDisallow: /"))
+      val url = concat(lit("https://ex.com/Files/"), col("doc_id"),
+        lit("/a?x=1"))
+      docs.select(col("doc_id"), url.as("url"),
+        operators.WebExtract.robotsBlocked(url, robots).as("blocked"))
+    }),
     // recrawl handling: a new crawl batch probes the standing corpus's
     // PERSISTED (url, fingerprint) index — unchanged refetches drop,
     // changed pages flag `updated`, unseen urls flag `new`. The fixture
@@ -4321,6 +4337,33 @@ object SparkEntry {
            CASE WHEN ok THEN replace(t2, card, '<CC>') ELSE t2 END
              AS text_cc_redacted
          FROM v""",
+    // replays group extraction (agent-* block to the next User-agent or
+    // EOF), Disallow-line harvest, and the path-prefix test
+    "q_robots_gate" ->
+      """WITH p AS (SELECT doc_id,
+             e'User-agent: googlebot\r\nDisallow: /private\r\n\r\nUser-agent: *\r\nDisallow: /Files/'
+               || (doc_id % 5) ||
+               e'\r\nDisallow: /tmp\r\n\r\nUser-agent: other\r\nDisallow: /'
+               AS robots,
+             'https://ex.com/Files/' || doc_id || '/a?x=1' AS url
+           FROM documents),
+         g AS (SELECT doc_id, url,
+             regexp_extract(robots,
+               '(?is)User-agent:\s*\*\s*\r?\n(.*?)(\r?\nUser-agent:|$)', 1)
+               AS grp,
+             regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '')
+               AS path
+           FROM p),
+         d AS (SELECT doc_id, url, path,
+             list_filter(list_transform(
+               list_filter(string_split_regex(grp, '\r?\n'),
+                 l -> regexp_matches(l, '(?i)^\s*Disallow:')),
+               l -> trim(regexp_replace(l, '(?i)^\s*Disallow:\s*', ''))),
+               x -> x <> '') AS prefixes
+           FROM g)
+         SELECT doc_id, url,
+           len(list_filter(prefixes, p -> starts_with(path, p))) > 0 AS blocked
+         FROM d""",
     // the index derives in SQL from the same fixture (md5 is portable);
     // unchanged = (url, fp) indexed; updated = url indexed, fp not
     "q_ingest_recrawl" ->

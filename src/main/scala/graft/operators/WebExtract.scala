@@ -140,6 +140,35 @@ object WebExtract {
     filter(parsed, p => p.getField("wtype") === "response")
   }
 
+  /** Disallow path-prefixes of one user-agent group in a robots.txt
+    * payload: the block from the agent's `User-agent:` line to the next
+    * `User-agent:` line (or end of file), its `Disallow:` lines
+    * extracted and trimmed, empty values (= allow all) dropped.
+    * Documented subset of REP (RFC 9309): exact-agent groups and
+    * prefix rules only — no `Allow:` precedence, no wildcards in
+    * paths, which covers the overwhelmingly common `User-agent: *`
+    * prefix-list form. Map-only split + regex projection. */
+  def robotsDisallows(robotsTxt: Column, agent: String = "*"): Column = {
+    val quoted = java.util.regex.Pattern.quote(agent)
+    val group = regexp_extract(robotsTxt,
+      "(?is)User-agent:\\s*" + quoted + "\\s*\\r?\\n(.*?)(?:\\r?\\nUser-agent:|$)",
+      1)
+    val lines = split(group, "\\r?\\n")
+    val dis = transform(
+      filter(lines, l => l.rlike("(?i)^\\s*Disallow:")),
+      l => trim(regexp_replace(l, "(?i)^\\s*Disallow:\\s*", "")))
+    filter(dis, p => p =!= "")
+  }
+
+  /** True iff `url`'s path+query is disallowed for `agent` by
+    * `robotsTxt` — the crawl-compliance gate: run BEFORE fetching (or
+    * before admitting a fetched page into the corpus, the
+    * training-data use). Prefix semantics per [[robotsDisallows]]. */
+  def robotsBlocked(url: Column, robotsTxt: Column, agent: String = "*"): Column = {
+    val path = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    exists(robotsDisallows(robotsTxt, agent), p => path.startsWith(p))
+  }
+
   /** Two-level public suffixes recognized by [[registrableDomain]].
     * A fixed mini-list (the full PSL is a data file, not logic): the
     * common ccTLD second-level registries. */

@@ -152,6 +152,25 @@ class WebExtractSpec extends SparkSpec {
     assert(out == Seq((1L, "https://news.example.com/a", "example.com")))
   }
 
+  test("robots gate: star-group rules only, prefix semantics, empty allows") {
+    val robots =
+      "User-agent: googlebot\r\nDisallow: /only-google\r\n\r\n" +
+        "user-agent: *\r\ndisallow: /blocked\r\nDisallow:\r\nDisallow: /tmp/\r\n\r\n" +
+        "User-agent: other\r\nDisallow: /"
+    def blocked(url: String): Boolean =
+      Seq((url, robots)).toDF("u", "r")
+        .select(WebExtract.robotsBlocked(col("u"), col("r"))).as[Boolean].head()
+    assert(blocked("https://a.com/blocked/page"))
+    assert(blocked("https://a.com/tmp/x"))
+    assert(!blocked("https://a.com/tmp"))          // '/tmp' != prefix '/tmp/'
+    assert(!blocked("https://a.com/only-google"))  // decoy group must not apply
+    assert(!blocked("https://a.com/open"))         // 'other' group's "/" ignored
+    // a file with no star group blocks nothing
+    val noStar = "User-agent: googlebot\r\nDisallow: /x"
+    assert(!Seq(("https://a.com/x", noStar)).toDF("u", "r")
+      .select(WebExtract.robotsBlocked(col("u"), col("r"))).as[Boolean].head())
+  }
+
   test("recrawlDelta: unchanged drops; updated/new keep; multi-fp urls honored") {
     val index = Seq(
       ("https://a.com/1", "fpA"), ("https://a.com/1", "fpB"), // page changed over time
