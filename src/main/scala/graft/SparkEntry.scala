@@ -139,6 +139,40 @@ object SparkEntry {
     upper(col("source")), lit("</h1><p>"), col("text"),
     lit(" &amp; tail</p></body></html>\r\n\r\n"))
 
+  /** One UL2 denoiser branch as DuckDB SQL: the q_span_corrupt replay
+    * parameterized by (blockSize, spanLen) over one hash-bucket slice
+    * of the corpus (seed 21 for both the assignment and the offsets). */
+  private def ul2BranchSql(tag: String, b: Int, m: Int, cond: String): String = {
+    val r = b - m + 1
+    s"""SELECT doc_id, '$tag' AS denoiser,
+       CASE WHEN nb >= 1 THEN
+         array_to_string(flatten(list_transform(range(0, nb), k ->
+           ws[k*$b+1 : k*$b+offs[k+1]]
+           || ['<extra_id_' || k::VARCHAR || '>']
+           || ws[k*$b+offs[k+1]+${m + 1} : (k+1)*$b]))
+           || ws[nb*$b+1 : n], ' ')
+       ELSE array_to_string(ws, ' ') END AS input_text,
+       CASE WHEN nb >= 1 THEN
+         array_to_string(flatten(list_transform(range(0, nb), k ->
+           ['<extra_id_' || k::VARCHAR || '>']
+           || ws[k*$b+offs[k+1]+1 : k*$b+offs[k+1]+$m])), ' ')
+       ELSE '' END AS target_text,
+       CAST(nb * $m AS BIGINT) AS n_masked
+     FROM (
+       SELECT doc_id, ws, n, nb,
+         list_transform(range(0, nb), k ->
+           CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' || k::VARCHAR
+             || ':21'), 1, 8))::BIGINT % $r AS INT)) AS offs
+       FROM (
+         SELECT doc_id, ws, len(ws) AS n, CAST(len(ws) // $b AS INT) AS nb
+         FROM (SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS ws,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':21'), 1, 8))::BIGINT
+               % 1000000 AS bkt
+           FROM documents)
+         WHERE $cond))"""
+  }
+
   /** DuckDB rendering of [[graft.operators.CorpusClean.luhnSum]] over an
     * arbitrary SQL digit-string expression — the same rightmost-first
     * double-every-second-digit integer fold. */
@@ -1768,6 +1802,22 @@ object SparkEntry {
           readWide(s, dir, "documents"), "doc_id", "text",
           blockSize = 20, spanLen = 3, seed = 0L)
         .select("doc_id", "input_text", "target_text", "n_masked")),
+    // UL2-style mixture of denoisers: each document is hash-assigned one
+    // of three span-corruption regimes (R: light 3-in-20, X: aggressive
+    // 8-in-16, S: heavy 5-in-10) — the multi-objective denoising mix,
+    // three disjoint map-only branches unioned
+    "q_ul2_mixture" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val b = operators.Sampling.hashBucket(col("doc_id"), 21L)
+      def branch(df: DataFrame, tag: String, blockSize: Int, spanLen: Int) =
+        operators.TrainPrep.spanCorrupt(df, "doc_id", "text",
+            blockSize, spanLen, seed = 21L)
+          .select(col("doc_id"), lit(tag).as("denoiser"), col("input_text"),
+            col("target_text"), col("n_masked"))
+      branch(docs.filter(b < 500000), "r", 20, 3)
+        .union(branch(docs.filter(b >= 500000 && b < 750000), "x", 16, 8))
+        .union(branch(docs.filter(b >= 750000), "s", 10, 5))
+    }),
     // the COMPOSED ingestion pipeline: raw crawl rows (id, url, html) →
     // curated documents-shaped rows in ONE map-only chain (IngestJob):
     // url canonicalize + eTLD+1, html→text + link density, Luhn card
@@ -4426,6 +4476,14 @@ object SparkEntry {
          SELECT doc_id, url,
            trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text
          FROM c5""",
+    // three parameterized span-corruption replays over disjoint hash
+    // buckets, UNION ALL'd — same template as q_span_corrupt
+    "q_ul2_mixture" -> Seq(
+      ("r", 20, 3, "bkt < 500000"),
+      ("x", 16, 8, "bkt >= 500000 AND bkt < 750000"),
+      ("s", 10, 5, "bkt >= 750000"))
+      .map { case (tag, b, m, cond) => ul2BranchSql(tag, b, m, cond) }
+      .mkString(" UNION ALL "),
     // replays the block partition, the seeded offset bucket, and both
     // rebuilds with DuckDB's 1-based inclusive list slices
     "q_span_corrupt" ->

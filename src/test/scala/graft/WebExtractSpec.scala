@@ -186,6 +186,27 @@ class WebExtractSpec extends SparkSpec {
     assert(out == Map(2L -> "updated", 4L -> "new"))
   }
 
+  test("recrawlDelta runs on a stream against a static index (stream-static join)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val index = Seq(("https://a.com/1", "fpA"), ("https://a.com/2", "fpC"))
+      .toDF("url_norm", "fp")
+    val in = MemoryStream[(Long, String, String)]
+    val q = jobs.IngestJob
+      .recrawlDelta(in.toDF().toDF("doc_id", "url_norm", "fp"), index)
+      .writeStream.format("memory").queryName("srecrawl").outputMode("append")
+      .start()
+    try {
+      in.addData((1L, "https://a.com/1", "fpA"),   // unchanged: dropped
+        (2L, "https://a.com/1", "fpZ"),            // updated
+        (3L, "https://a.com/9", "fpQ"))            // new
+      q.processAllAvailable()
+      val out = spark.table("srecrawl").select("doc_id", "recrawl_status")
+        .as[(Long, String)].collect().toMap
+      assert(out == Map(2L -> "updated", 3L -> "new"))
+    } finally q.stop()
+  }
+
   test("IngestJob: map-only plan, scrubs fire, quality + link gates filter") {
     val goodBody = "the quick brown fox jumps over a lazy dog while seven " +
       "other animals watch from nearby trees and birds sing songs about " +
