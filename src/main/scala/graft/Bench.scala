@@ -129,7 +129,8 @@ object Bench {
     "q_clean_cc_scrub" -> 0.50, "q_lm_trigram_score" -> 2.00,
     "q_pipeline_ingest" -> 0.71, "q_span_corrupt" -> 0.24,
     "q_warc_extract" -> 0.30, "q_ingest_recrawl" -> 0.40,
-    "q_robots_gate" -> 0.20, "q_ul2_mixture" -> 0.45)
+    "q_robots_gate" -> 0.20, "q_ul2_mixture" -> 0.45,
+    "q_datasheet" -> 0.40, "q_ppl_filter" -> 2.00)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -139,6 +139,41 @@ object SparkEntry {
     upper(col("source")), lit("</h1><p>"), col("text"),
     lit(" &amp; tail</p></body></html>\r\n\r\n"))
 
+  /** Shared CTE chain for the interpolated trigram model (ends at the
+    * per-document aggregate `ag`; the base table `d` stays in scope for
+    * the caller's final SELECT) — used by q_lm_trigram_score and
+    * q_ppl_filter. */
+  private def trigramCtes: String =
+    """WITH d AS (SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+         uni AS (SELECT w, count(*) AS c1 FROM (
+             SELECT unnest(ws) AS w FROM d) GROUP BY 1),
+         sc AS (SELECT count(*) AS v, CAST(sum(c1) AS BIGINT) AS n FROM uni),
+         pr AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS wa,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS wb
+           FROM d),
+         bi AS (SELECT wa, wb, count(*) AS c2 FROM pr GROUP BY 1, 2),
+         tr AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1), i -> ws[i])) AS w1,
+             unnest(list_transform(range(1, len(ws) - 1), i -> ws[i+1])) AS w2,
+             unnest(list_transform(range(1, len(ws) - 1), i -> ws[i+2])) AS w3
+           FROM d),
+         tc AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr GROUP BY 1, 2, 3),
+         terms AS (SELECT doc_id,
+             CAST(round(ln(0.6 * ((c3 + 1.0) / (c12 + 1.0 * v))
+                         + 0.3 * ((c23 + 1.0) / (c2w + 1.0 * v))
+                         + 0.1 * ((c1 + 1.0) / (CAST(n AS DOUBLE) + 1.0 * v)))
+                 * 1000000.0) AS BIGINT) AS t
+           FROM tr
+           JOIN tc USING (w1, w2, w3)
+           JOIN (SELECT wa AS w1, wb AS w2, c2 AS c12 FROM bi) USING (w1, w2)
+           JOIN (SELECT wa AS w2, wb AS w3, c2 AS c23 FROM bi) USING (w2, w3)
+           JOIN (SELECT w AS w3, c1 FROM uni) USING (w3)
+           JOIN (SELECT w AS w2, c1 AS c2w FROM uni) USING (w2), sc),
+         ag AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS logprob3_micros,
+             count(*) AS n_trigrams FROM terms GROUP BY 1)"""
+
   /** One UL2 denoiser branch as DuckDB SQL: the q_span_corrupt replay
     * parameterized by (blockSize, spanLen) over one hash-bucket slice
     * of the corpus (seed 21 for both the assignment and the offsets). */
@@ -1802,6 +1837,11 @@ object SparkEntry {
           readWide(s, dir, "documents"), "doc_id", "text",
           blockSize = 20, spanLen = 3, seed = 0L)
         .select("doc_id", "input_text", "target_text", "n_masked")),
+    // one-row corpus datasheet: volume, diversity, duplication, quality
+    // mass, short-doc count — ONE global aggregation pass
+    "q_datasheet" -> ((s, dir) =>
+      operators.TextAnalysis.datasheet(
+        readWide(s, dir, "documents"), "text", "lang", "source")),
     // UL2-style mixture of denoisers: each document is hash-assigned one
     // of three span-corruption regimes (R: light 3-in-20, X: aggressive
     // 8-in-16, S: heavy 5-in-10) — the multi-objective denoising mix,
@@ -1835,6 +1875,17 @@ object SparkEntry {
       operators.LmScore.trigramLogProb(
           readWide(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "logprob3_micros", "n_trigrams")),
+    // fixed-threshold perplexity filter (CCNet shape): keep documents
+    // whose mean per-trigram log-prob clears the reference cut
+    "q_ppl_filter" -> ((s, dir) =>
+      operators.LmScore.trigramLogProb(
+          readWide(s, dir, "documents"), "doc_id", "text")
+        .filter(col("n_trigrams") > 0)
+        .withColumn("mean_lp_mu",
+          floor(col("logprob3_micros").cast("double") /
+            col("n_trigrams").cast("double")).cast("long"))
+        .filter(col("mean_lp_mu") >= -3200000L)
+        .select("doc_id", "lang", "mean_lp_mu")),
     // DoReMi-lite per-domain mixture weights from the quality score:
     // √-tempered mean score per source, normalized to micro-units —
     // one agg to |domains| rows + a broadcast 1-row normalizer
@@ -4476,6 +4527,36 @@ object SparkEntry {
          SELECT doc_id, url,
            trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text
          FROM c5""",
+    "q_datasheet" ->
+      """WITH t AS (SELECT doc_id, lang, source, text,
+             length(text) AS len,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+               AS ntok
+           FROM documents),
+         sc AS (SELECT *,
+             CAST(round(round((CASE WHEN len BETWEEN 100 AND 10000 THEN 1.0
+                         WHEN len BETWEEN 20 AND 99 THEN 0.5 ELSE 0.0 END) * 0.3
+               + (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) /
+                   CAST(greatest(len, 1) AS DOUBLE)) * 0.3
+               + (1.0 - least((length(regexp_replace(text, '[^[:punct:]]', '', 'g')) /
+                   CAST(greatest(len, 1) AS DOUBLE)) * 5.0, 1.0)) * 0.2
+               + (CASE WHEN len / CAST(greatest(ntok, 1) AS DOUBLE)
+                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+               6) * 1e6) AS BIGINT) AS q_mu
+           FROM t)
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           CAST(sum(len) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+           CAST(sum(q_mu) AS BIGINT) AS quality_mu_sum,
+           CAST(sum(CASE WHEN ntok < 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short_docs,
+           CAST(max(ntok) AS BIGINT) AS max_doc_tokens,
+           CAST(min(ntok) AS BIGINT) AS min_doc_tokens
+         FROM sc""",
     // three parameterized span-corruption replays over disjoint hash
     // buckets, UNION ALL'd — same template as q_span_corrupt
     "q_ul2_mixture" -> Seq(
@@ -4662,40 +4743,25 @@ object SparkEntry {
     // trigram replay: three count tables, the two scalar model constants
     // (V, N) from the unigram table, and the identical λ-mix double
     // chain behind micro rounding
-    "q_lm_trigram_score" ->
-      """WITH d AS (SELECT doc_id, lang,
-             string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
-         uni AS (SELECT w, count(*) AS c1 FROM (
-             SELECT unnest(ws) AS w FROM d) GROUP BY 1),
-         sc AS (SELECT count(*) AS v, CAST(sum(c1) AS BIGINT) AS n FROM uni),
-         pr AS (SELECT doc_id,
-             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS wa,
-             unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS wb
-           FROM d),
-         bi AS (SELECT wa, wb, count(*) AS c2 FROM pr GROUP BY 1, 2),
-         tr AS (SELECT doc_id,
-             unnest(list_transform(range(1, len(ws) - 1), i -> ws[i])) AS w1,
-             unnest(list_transform(range(1, len(ws) - 1), i -> ws[i+1])) AS w2,
-             unnest(list_transform(range(1, len(ws) - 1), i -> ws[i+2])) AS w3
-           FROM d),
-         tc AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr GROUP BY 1, 2, 3),
-         terms AS (SELECT doc_id,
-             CAST(round(ln(0.6 * ((c3 + 1.0) / (c12 + 1.0 * v))
-                         + 0.3 * ((c23 + 1.0) / (c2w + 1.0 * v))
-                         + 0.1 * ((c1 + 1.0) / (CAST(n AS DOUBLE) + 1.0 * v)))
-                 * 1000000.0) AS BIGINT) AS t
-           FROM tr
-           JOIN tc USING (w1, w2, w3)
-           JOIN (SELECT wa AS w1, wb AS w2, c2 AS c12 FROM bi) USING (w1, w2)
-           JOIN (SELECT wa AS w2, wb AS w3, c2 AS c23 FROM bi) USING (w2, w3)
-           JOIN (SELECT w AS w3, c1 FROM uni) USING (w3)
-           JOIN (SELECT w AS w2, c1 AS c2w FROM uni) USING (w2), sc),
-         ag AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS logprob3_micros,
-             count(*) AS n_trigrams FROM terms GROUP BY 1)
-         SELECT d.doc_id, d.lang,
+    "q_lm_trigram_score" -> (trigramCtes +
+      """ SELECT d.doc_id, d.lang,
            coalesce(ag.logprob3_micros, 0) AS logprob3_micros,
            coalesce(ag.n_trigrams, 0) AS n_trigrams
-         FROM d LEFT JOIN ag USING (doc_id)""",
+         FROM d LEFT JOIN ag USING (doc_id)"""),
+    // fixed-threshold perplexity filter over the trigram model (the
+    // CCNet shape: threshold chosen per corpus from a reference run);
+    // floor-div for the per-trigram mean on both sides
+    "q_ppl_filter" -> (trigramCtes +
+      """, m AS (SELECT d.doc_id, d.lang,
+             coalesce(ag.logprob3_micros, 0) AS lp,
+             coalesce(ag.n_trigrams, 0) AS nt
+           FROM d LEFT JOIN ag USING (doc_id))
+         SELECT doc_id, lang,
+           CAST(floor(CAST(lp AS DOUBLE) / CAST(nt AS DOUBLE)) AS BIGINT)
+             AS mean_lp_mu
+         FROM m WHERE nt > 0
+           AND CAST(floor(CAST(lp AS DOUBLE) / CAST(nt AS DOUBLE)) AS BIGINT)
+               >= -3200000"""),
     // √-tempered mean micro-score per source, normalized; divisions
     // before the 1e6 scale so nothing leaves double-exact range
     "q_domain_reweight" ->

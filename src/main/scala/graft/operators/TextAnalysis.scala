@@ -249,6 +249,37 @@ object TextAnalysis {
     * rewrite to a two-level aggregation on (source, value) partials —
     * still no row-level shuffle); every figure is integral so the report
     * reproduces bit-identically cross-engine. */
+  /** One-row corpus datasheet — the "datasheets for datasets" summary a
+    * curation run publishes alongside the corpus: volume (docs, tokens,
+    * chars), diversity (languages, sources), duplication (exact-dup
+    * count), quality mass (micro-unit score sum — divide by `n_docs`
+    * for the mean; the sum stays integral and order-free), and the
+    * short-doc count the word-count gate would cut. ONE global
+    * aggregation with map-side partials (the distinct-style aggregates
+    * rewrite to two-level aggregation) — a single scan at any scale,
+    * every figure integral so it reproduces bit-identically. */
+  def datasheet(
+      docs: DataFrame,
+      textCol: String,
+      langCol: String,
+      sourceCol: String,
+      shortDocWords: Int = 20): DataFrame = {
+    val t = col(textCol)
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(t)).cast("long").as("n_tokens"),
+      sum(length(t)).cast("long").as("n_chars"),
+      countDistinct(col(langCol)).as("n_langs"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      (count(lit(1)) - countDistinct(md5(t))).as("n_exact_dups"),
+      sum(round(qualityScore(t) * 1e6).cast("long")).cast("long")
+        .as("quality_mu_sum"),
+      sum(when(tokenCount(t) < shortDocWords, 1L).otherwise(0L)).cast("long")
+        .as("n_short_docs"),
+      max(tokenCount(t)).cast("long").as("max_doc_tokens"),
+      min(tokenCount(t)).cast("long").as("min_doc_tokens"))
+  }
+
   def corpusReport(
       docs: DataFrame,
       textCol: String,

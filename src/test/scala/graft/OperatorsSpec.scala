@@ -463,6 +463,29 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("datasheet: one row, hand-checked volume/diversity/dup/short counts") {
+    val docs = Seq(
+      (1L, "en", "s1", "alpha beta gamma"),
+      (2L, "en", "s2", "alpha beta gamma"),   // exact dup of 1
+      (3L, "de", "s1", (1 to 25).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "lang", "source", "text")
+    val r = TextAnalysis.datasheet(docs, "text", "lang", "source",
+      shortDocWords = 20).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 3)
+    assert(r.getAs[Long]("n_tokens") == 3 + 3 + 25)
+    assert(r.getAs[Long]("n_langs") == 2 && r.getAs[Long]("n_sources") == 2)
+    assert(r.getAs[Long]("n_exact_dups") == 1)
+    assert(r.getAs[Long]("n_short_docs") == 2)
+    assert(r.getAs[Long]("max_doc_tokens") == 25)
+    assert(r.getAs[Long]("min_doc_tokens") == 3)
+    // quality mass equals the sum of the per-doc micro scores
+    val qs = docs.select(
+      org.apache.spark.sql.functions.round(
+        TextAnalysis.qualityScore(col("text")) * 1e6).cast("long"))
+      .as[Long].collect().sum
+    assert(r.getAs[Long]("quality_mu_sum") == qs)
+  }
+
   test("langId picks marker-matching language, und for no match") {
     val df = Seq(
       "the cat and the dog is here",
