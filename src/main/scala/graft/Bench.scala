@@ -130,7 +130,8 @@ object Bench {
     "q_pipeline_ingest" -> 0.71, "q_span_corrupt" -> 0.24,
     "q_warc_extract" -> 0.30, "q_ingest_recrawl" -> 0.40,
     "q_robots_gate" -> 0.20, "q_ul2_mixture" -> 0.45,
-    "q_datasheet" -> 0.40, "q_ppl_filter" -> 2.00)
+    "q_datasheet" -> 0.40, "q_ppl_filter" -> 2.00,
+    "q_html_links" -> 0.25, "q_link_pagerank" -> 1.50)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -139,6 +139,36 @@ object SparkEntry {
     upper(col("source")), lit("</h1><p>"), col("text"),
     lit(" &amp; tail</p></body></html>\r\n\r\n"))
 
+  /** Unrolled PageRank replay: per iteration, per-edge floored
+    * contribution (BEFORE the sum — matches the engine's order), one
+    * group-by-destination, base + inbound for every node. */
+  private def pageRankOracleSql: String = {
+    val iters = 3
+    val steps = (1 to iters).map { i =>
+      s""",
+       c$i AS (SELECT e.dst AS node,
+           CAST(sum(CAST(floor(CAST(r.rank_mu AS DOUBLE) * 85 /
+             (CAST(od.outdeg AS DOUBLE) * 100.0)) AS BIGINT)) AS BIGINT)
+             AS in_mu
+         FROM e JOIN r${i - 1} r ON r.node = e.src
+         JOIN od ON od.node = e.src
+         GROUP BY 1),
+       r$i AS (SELECT n.node,
+           CAST(150000 + coalesce(c$i.in_mu, 0) AS BIGINT) AS rank_mu
+         FROM n LEFT JOIN c$i USING (node))"""
+    }.mkString
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+         SELECT source AS src, 'src' || ((doc_id * 7) % 20) AS dst FROM documents
+         UNION ALL
+         SELECT source AS src, 'src' || ((doc_id * 13) % 20) AS dst FROM documents)
+       WHERE src <> dst),
+       n AS (SELECT DISTINCT node FROM
+         (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+       od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+       r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_mu FROM n)$steps
+       SELECT node, rank_mu FROM r$iters"""
+  }
+
   /** Shared CTE chain for the interpolated trigram model (ends at the
     * per-document aggregate `ag`; the base table `d` stays in scope for
     * the caller's final SELECT) — used by q_lm_trigram_score and
@@ -1837,6 +1867,24 @@ object SparkEntry {
           readWide(s, dir, "documents"), "doc_id", "text",
           blockSize = 20, spanLen = 3, seed = 0L)
         .select("doc_id", "input_text", "target_text", "n_masked")),
+    // anchor href harvest from the markup fixture — the link-graph raw
+    // material; one row per (doc, href) in document order
+    "q_html_links" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(operators.WebExtract.extractLinks(htmlFixture))
+            .as(Seq("link_pos", "href")))),
+    // domain-authority PageRank over a deterministic cross-domain link
+    // graph (distinct edges derived from the documents table): 3 exact
+    // integer-micro iterations, floor-per-edge before the sum
+    "q_link_pagerank" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      def dst(m: Int) = concat(lit("src"), (col("doc_id") * m) % 20)
+      val edges = docs.select(col("source").as("src"), dst(7).as("dst"))
+        .union(docs.select(col("source").as("src"), dst(13).as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      operators.LinkGraph.pageRank(edges, "src", "dst", iters = 3)
+    }),
     // one-row corpus datasheet: volume, diversity, duplication, quality
     // mass, short-doc count — ONE global aggregation pass
     "q_datasheet" -> ((s, dir) =>
@@ -4527,6 +4575,17 @@ object SparkEntry {
          SELECT doc_id, url,
            trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text
          FROM c5""",
+    "q_html_links" ->
+      s"""WITH h AS (SELECT doc_id, $htmlFixtureSql AS html FROM documents),
+         l AS (SELECT doc_id,
+             regexp_extract_all(html, '(?is)<a\\b[^>]*?href="([^"]*)"', 1)
+               AS ls
+           FROM h)
+         SELECT doc_id, CAST(t.i - 1 AS INT) AS link_pos, ls[t.i] AS href
+         FROM l, UNNEST(range(1, len(ls) + 1)) AS t(i)""",
+    // 3 unrolled integer-micro PageRank iterations over the same
+    // deterministic distinct edge set
+    "q_link_pagerank" -> pageRankOracleSql,
     "q_datasheet" ->
       """WITH t AS (SELECT doc_id, lang, source, text,
              length(text) AS len,

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for crawl curation: the domain-authority prior
+  * (PageRank) that crawl frontiers and corpus-quality weighting use —
+  * "prefer pages from domains the web links to" (the role harmonic
+  * centrality plays for Common Crawl).
+  *
+  * Determinism contract (the engine-wide discipline): ranks are BIGINT
+  * micro-units; each edge's contribution floors `rank·d / (100·outdeg)`
+  * BEFORE the sum (all operands far below 2⁵³, so the double ops are
+  * exact and order-free), and every iteration is the same fixed
+  * arithmetic — bit-identical in any engine, unrollable as oracle SQL.
+  * This is the scaled formulation (per-node base `(1−d)·10⁶`, initial
+  * rank 10⁶); dangling mass (nodes with no outlinks) is dropped rather
+  * than redistributed — documented contract, deterministic.
+  *
+  * Scale shape: per iteration, ONE join of the edge table to the
+  * current rank table on the source key plus ONE map-side-combined
+  * `groupBy(dst)` — the standard distributed PageRank (edges
+  * partitioned by src, ranks by node; 2 exchanges per iteration, both
+  * keyed, no driver state). Ranks localCheckpoint per iteration so the
+  * lineage stays flat across iterations (the BPE/unigram loop
+  * discipline). Edge count, not node count, dominates — linear per
+  * iteration at any scale.
+  */
+object LinkGraph {
+
+  /** Fixed-iteration deterministic PageRank over `(srcCol, dstCol)`
+    * edges (dedup them upstream if multigraph semantics aren't
+    * wanted). Returns `(node, rank_mu)` for every node that appears as
+    * a source or destination. `dampingPct` is the damping factor in
+    * percent (85 = the classic 0.85). */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 3,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct > 0 && dampingPct < 100,
+      "need iters >= 1 and 0 < dampingPct < 100")
+    val nodes = edges.select(col(srcCol).as("node"))
+      .union(edges.select(col(dstCol).as("node"))).distinct()
+      .localCheckpoint()
+    val outdeg = edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val baseMu = (100 - dampingPct) * 10000L // (1-d)·10⁶
+    var ranks = nodes.withColumn("rank_mu", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("node", srcCol), srcCol)
+        .join(outdeg.withColumnRenamed("node", srcCol), srcCol)
+        .select(col(dstCol).as("node"),
+          floor(col("rank_mu").cast("double") * dampingPct /
+            (col("outdeg").cast("double") * 100.0)).cast("long").as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__in_mu"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .withColumn("rank_mu", lit(baseMu) + coalesce(col("__in_mu"), lit(0L)))
+        .select("node", "rank_mu")
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -140,6 +140,13 @@ object WebExtract {
     filter(parsed, p => p.getField("wtype") === "response")
   }
 
+  /** `href` targets of a page's anchors, in document order — the raw
+    * material of the link graph ([[LinkGraph.pageRank]]) and of frontier
+    * expansion. Double-quoted hrefs only (the emitted-HTML norm);
+    * map-only regex extraction. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("(?is)<a\\b[^>]*?href=\"([^\"]*)\""), lit(1))
+
   /** Disallow path-prefixes of one user-agent group in a robots.txt
     * payload: the block from the agent's `User-agent:` line to the next
     * `User-agent:` line (or end of file), its `Disallow:` lines

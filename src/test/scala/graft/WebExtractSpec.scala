@@ -152,6 +152,25 @@ class WebExtractSpec extends SparkSpec {
     assert(out == Seq((1L, "https://news.example.com/a", "example.com")))
   }
 
+  test("extractLinks returns hrefs in document order") {
+    val html = """<body><a href="/one">1</a><p>x</p><A HREF="/two?q=1">2</A>
+                 |<a class="c" href="/three">3</a></body>""".stripMargin
+    val links = Seq(html).toDF("h")
+      .select(WebExtract.extractLinks(col("h"))).as[Seq[String]].head()
+    assert(links == Seq("/one", "/two?q=1", "/three"))
+  }
+
+  test("pageRank matches the hand-unrolled integer-micro model") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a")).toDF("src", "dst")
+    val got = operators.LinkGraph.pageRank(edges, "src", "dst", iters = 3)
+      .as[(String, Long)].collect().toMap
+    // hand-rolled: r1 = (a 1000000, b 575000, c 575000);
+    // r2 = (a 638750, b 575000, c 575000); r3 below (floor per edge)
+    assert(got == Map("a" -> 638750L, "b" -> 421468L, "c" -> 421468L))
+    // sink c receives but never emits; ranks stay positive and bounded
+    assert(got.values.forall(v => v >= 150000L && v <= 3000000L))
+  }
+
   test("robots gate: star-group rules only, prefix semantics, empty allows") {
     val robots =
       "User-agent: googlebot\r\nDisallow: /only-google\r\n\r\n" +
