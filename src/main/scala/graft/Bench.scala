@@ -128,10 +128,11 @@ object Bench {
     "q_domain_reweight" -> 0.45, "q_dedup_lsh_recall" -> 3.00,
     "q_clean_cc_scrub" -> 0.50, "q_lm_trigram_score" -> 2.00,
     "q_pipeline_ingest" -> 0.71, "q_span_corrupt" -> 0.24,
-    "q_warc_extract" -> 0.30, "q_ingest_recrawl" -> 0.40,
-    "q_robots_gate" -> 0.20, "q_ul2_mixture" -> 0.45,
-    "q_datasheet" -> 0.40, "q_ppl_filter" -> 2.00,
-    "q_html_links" -> 0.25, "q_link_pagerank" -> 1.50)
+    // measured sf0.1 mins (66s-steal window — mins are the floor)
+    "q_warc_extract" -> 0.28, "q_ingest_recrawl" -> 0.75,
+    "q_robots_gate" -> 0.17, "q_ul2_mixture" -> 0.48,
+    "q_datasheet" -> 0.31, "q_ppl_filter" -> 2.19,
+    "q_html_links" -> 0.16, "q_link_pagerank" -> 1.17)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
