@@ -171,6 +171,40 @@ class WebExtractSpec extends SparkSpec {
     assert(got.values.forall(v => v >= 150000L && v <= 3000000L))
   }
 
+  test("web extractors are total on adversarial payloads (fuzz)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // markup-ish soup: tag fragments, entities, control chars, CRLF runs
+    val frag = Gen.oneOf("<", ">", "<!--", "-->", "<script", "</script>",
+      "<a href=\"", "\"", "&amp;", "&lt;", "&#39;", "WARC/1.0\r\n",
+      "WARC-Type: response\r\n", "\r\n\r\n", "User-agent: *\n", "Disallow:",
+      "http://", "://x", "a b c", " ", "\t", "é¿", "%%", "$1", "\\")
+    val payloads = (0 until 40).flatMap { i =>
+      Gen.listOf(frag).map(_.mkString)
+        .apply(Gen.Parameters.default, Seed(31L + i))
+    }
+    val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "p")
+    // every extractor must evaluate without throwing on every payload
+    val out = df.select(col("id"),
+      WebExtract.htmlToText(col("p")).as("t"),
+      WebExtract.linkDensity(col("p")).as("d"),
+      WebExtract.normalizeUrl(col("p")).as("u"),
+      WebExtract.registrableDomain(WebExtract.normalizeUrl(col("p"))).as("dom"),
+      size(WebExtract.warcResponses(col("p"))).as("nw"),
+      size(WebExtract.extractLinks(col("p"))).as("nl"),
+      WebExtract.robotsBlocked(lit("http://a.com/x"), col("p")).as("b"))
+      .collect()
+    assert(out.length == payloads.length)
+    // deterministic: a second evaluation is bit-identical. (NB: entity
+    // decode may legitimately surface literal "<...>" TEXT — decode runs
+    // after tag-strip precisely so entities can never become markup, so
+    // "no tags in output" is NOT an invariant of the extractor.)
+    val again = df.select(col("id"), WebExtract.htmlToText(col("p")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.forall(r => again(r.getAs[Long]("id")) == r.getAs[String]("t")))
+  }
+
   test("robots gate: star-group rules only, prefix semantics, empty allows") {
     val robots =
       "User-agent: googlebot\r\nDisallow: /only-google\r\n\r\n" +
