@@ -132,7 +132,8 @@ object Bench {
     "q_warc_extract" -> 0.28, "q_ingest_recrawl" -> 0.75,
     "q_robots_gate" -> 0.17, "q_ul2_mixture" -> 0.48,
     "q_datasheet" -> 0.31, "q_ppl_filter" -> 2.19,
-    "q_html_links" -> 0.16, "q_link_pagerank" -> 1.17)
+    "q_html_links" -> 0.16, "q_link_pagerank" -> 1.17,
+    "q_anchor_text" -> 0.25)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

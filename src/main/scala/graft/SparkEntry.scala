@@ -1874,6 +1874,15 @@ object SparkEntry {
         .select(col("doc_id"),
           posexplode(operators.WebExtract.extractLinks(htmlFixture))
             .as(Seq("link_pos", "href")))),
+    // (href, anchor-text) pairs — the anchor-text relevance signal,
+    // whitespace-normalized, aligned by the shared match pattern
+    "q_anchor_text" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(operators.WebExtract.anchorTexts(htmlFixture))
+            .as(Seq("link_pos", "a")))
+        .select(col("doc_id"), col("link_pos"), col("a.href").as("href"),
+          trim(regexp_replace(col("a.anchor"), "\\s+", " ")).as("anchor"))),
     // domain-authority PageRank over a deterministic cross-domain link
     // graph (distinct edges derived from the documents table): 3 exact
     // integer-micro iterations, floor-per-edge before the sum
@@ -4586,6 +4595,17 @@ object SparkEntry {
     // 3 unrolled integer-micro PageRank iterations over the same
     // deterministic distinct edge set
     "q_link_pagerank" -> pageRankOracleSql,
+    "q_anchor_text" ->
+      s"""WITH h AS (SELECT doc_id, $htmlFixtureSql AS html FROM documents),
+         l AS (SELECT doc_id,
+             regexp_extract_all(html,
+               '(?is)<a\\b[^>]*?href="([^"]*)"[^>]*>(.*?)</a>', 1) AS hs,
+             regexp_extract_all(html,
+               '(?is)<a\\b[^>]*?href="([^"]*)"[^>]*>(.*?)</a>', 2) AS asx
+           FROM h)
+         SELECT doc_id, CAST(t.i - 1 AS INT) AS link_pos, hs[t.i] AS href,
+           trim(regexp_replace(asx[t.i], '\\s+', ' ', 'g')) AS anchor
+         FROM l, UNNEST(range(1, len(hs) + 1)) AS t(i)""",
     "q_datasheet" ->
       """WITH t AS (SELECT doc_id, lang, source, text,
              length(text) AS len,

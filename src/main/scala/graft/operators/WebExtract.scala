@@ -147,6 +147,18 @@ object WebExtract {
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit("(?is)<a\\b[^>]*?href=\"([^\"]*)\""), lit(1))
 
+  /** `(href, anchor)` pairs of a page's linked anchors — the classic
+    * anchor-text relevance signal (the linking page DESCRIBES the
+    * target; index it against the target for retrieval). Both arrays
+    * extract from the SAME pattern, so alignment is guaranteed by the
+    * identical match set; anchors without an href are skipped. */
+  def anchorTexts(html: Column): Column = {
+    val pat = "(?is)<a\\b[^>]*?href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+    arrays_zip(
+      regexp_extract_all(html, lit(pat), lit(1)).as("href"),
+      regexp_extract_all(html, lit(pat), lit(2)).as("anchor"))
+  }
+
   /** Disallow path-prefixes of one user-agent group in a robots.txt
     * payload: the block from the agent's `User-agent:` line to the next
     * `User-agent:` line (or end of file), its `Disallow:` lines
