@@ -1386,6 +1386,44 @@ object SparkEntry {
           operators.Sketches.cmsMerge(ska, skb), top, "o_custkey", 512, 4, 100)
         .select("o_custkey", "exact_cnt", "cms_est")
     }),
+    // Bloom filter membership sketch: packed-word build over each half,
+    // bitwise-OR merge (exact under ANY slicing — OR is idempotent),
+    // then the Swamidass–Baldi fill-based cardinality estimate against
+    // the exact distinct count. All positions md5-derived → the
+    // "approximate" sketch is exactly replayable
+    "q_sketch_bloom_merge" -> ((s, dir) => {
+      val o = read(s, dir, "orders")
+      val ba = operators.Sketches.bloomBuild(
+        o.filter(col("o_orderkey") % 2 === 0), "o_custkey", 65536, 3, 31L)
+      val bb = operators.Sketches.bloomBuild(
+        o.filter(col("o_orderkey") % 2 =!= 0), "o_custkey", 65536, 3, 31L)
+      val card = operators.Sketches.bloomCardinality(
+        operators.Sketches.bloomMerge(ba, bb), 65536, 3)
+      val exact = o.agg(countDistinct(col("o_custkey")).as("n_exact"))
+      card.crossJoin(broadcast(exact))
+        .select("bits_set", "estimate_mu", "n_exact")
+    }),
+    // Bloom-gated decontamination: the heldout slice's shingles build a
+    // standing membership filter ONCE (≤ m/64 packed words, broadcast as
+    // a literal); every train document then probes its whole shingle
+    // array in ONE map-only projection — no join against the eval side
+    // at all, the O(1)-per-gram gate a 100 TB recontamination scan wants.
+    // False positives are hash-deterministic, so the oracle replays them
+    "q_bloom_decontam" -> ((s, dir) => {
+      val split = operators.Sampling.hashSplit(readWide(s, dir, "documents"),
+        "doc_id", Seq(("train", 0.95), ("heldout", 0.05)), seed = 7L)
+      val held = split.filter(col("split") === "heldout")
+        .select(explode(operators.Dedup.shingles(col("text"), 3)).as("g"))
+      val words = operators.Sketches.bloomDenseWords(
+        operators.Sketches.bloomBuild(held, "g", 262144, 3, 31L), 262144)
+      split.filter(col("split") === "train")
+        .withColumn("__sh", operators.Dedup.shingles(col("text"), 3))
+        .select(col("doc_id"), size(col("__sh")).cast("long").as("n_grams"),
+          size(filter(col("__sh"), g =>
+            operators.Sketches.bloomContainsExpr(g, words, 262144, 3, 31L)))
+            .cast("long").as("n_hits"))
+        .filter(col("n_hits") > 0)
+    }),
     // order statistics over a deterministic hash sample — the distributed
     // selection shape (literal range bounds → per-partition rank +
     // broadcast bases), never a global single-reducer window
@@ -1953,7 +1991,24 @@ object SparkEntry {
               round(operators.TextAnalysis.qualityScore(col("text")) * 1e6)
                 .cast("long")),
           "source", "score_mu")
-        .select("source", "n_docs", "weight_micro"))
+        .select("source", "n_docs", "weight_micro")),
+    // DSIR importance resampling (Xie et al. 2023): hashed char-3-gram
+    // bucket distributions for the target slice (lang='en') vs the raw
+    // corpus, add-one smoothed; per-doc log-weight = integer dot product
+    // of the bucket-count array with the micro-rounded log-ratio vector
+    // (B bounded rows driver-folded into a literal → map-only scoring)
+    "q_dsir_weights" -> ((s, dir) =>
+      operators.Dsir.dsirWeights(
+          readWide(s, dir, "documents"), "text", col("lang") === "en", 16)
+        .select("doc_id", "lang", "weight_mu")),
+    // the accept/reject draw: keep iff the deterministic uniform
+    // micro-draw is below min(1, e^λ) — target-looking documents
+    // survive, off-distribution documents thin out proportionally
+    "q_dsir_sample" -> ((s, dir) =>
+      operators.Dsir.dsirSelect(
+          readWide(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", 16, seed = 17L)
+        .select("doc_id", "lang", "source", "weight_mu"))
   )
 
   /** DuckDB rendering of one RHP hyperplane as a DOUBLE[] literal.
@@ -4868,8 +4923,111 @@ object SparkEntry {
          SELECT w.source, w.n_docs,
            CAST(round((CAST(w.w_raw AS DOUBLE) / CAST(z.z AS DOUBLE)) * 1e6)
              AS BIGINT) AS weight_micro
-         FROM w, z"""
+         FROM w, z""",
+    // Bloom merge ≡ whole-corpus build (OR is idempotent), so the oracle
+    // states the merged filter as the distinct md5 position set of ALL
+    // orders; the fill-based estimate replays the same double chain
+    "q_sketch_bloom_merge" ->
+      """WITH pos AS (
+           SELECT DISTINCT
+             ('0x' || substr(md5(o_custkey::VARCHAR || ':' ||
+                 CAST(31 + i.i AS VARCHAR)), 1, 8))::BIGINT % 65536 AS p
+           FROM orders, range(0, 3) i(i)),
+         x AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM pos),
+         ex AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+           FROM orders)
+         SELECT x.bits_set,
+           CAST(round((-65536.0 / 3) *
+               ln(1.0 - x.bits_set / 65536.0) * 1000000.0) AS BIGINT)
+             AS estimate_mu,
+           ex.n_exact
+         FROM x, ex""",
+    // Bloom-gated decontamination replay: a shingle hits iff ALL 3 of
+    // its md5 slot positions are in the heldout position set — the
+    // position-set statement of the same packed-word filter
+    "q_bloom_decontam" ->
+      """WITH b AS (SELECT doc_id, text,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+               % 1000000 AS bucket
+           FROM documents),
+         w AS (SELECT doc_id, bucket,
+             string_split_regex(trim(lower(text)), '\s+') AS ws FROM b),
+         sh AS (SELECT doc_id, bucket,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS s
+           FROM w),
+         he AS (SELECT doc_id, s FROM sh WHERE bucket >= 950000),
+         hg AS (SELECT unnest(s) AS g FROM he),
+         hp AS (SELECT DISTINCT
+             ('0x' || substr(md5(g || ':' || CAST(31 + i.i AS VARCHAR)),
+               1, 8))::BIGINT % 262144 AS p
+           FROM hg, range(0, 3) i(i)),
+         tr AS (SELECT doc_id, s FROM sh WHERE bucket < 950000),
+         tg AS (SELECT doc_id, unnest(s) AS g FROM tr),
+         th AS (SELECT doc_id, g,
+             min(CASE WHEN
+                 ('0x' || substr(md5(g || ':' || CAST(31 + i.i AS VARCHAR)),
+                   1, 8))::BIGINT % 262144 IN (SELECT p FROM hp)
+               THEN 1 ELSE 0 END) AS hit
+           FROM tg, range(0, 3) i(i) GROUP BY doc_id, g),
+         agg AS (SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_hits
+           FROM th GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.s) AS BIGINT) AS n_grams, a.n_hits
+         FROM tr t JOIN agg a ON t.doc_id = a.doc_id
+         WHERE a.n_hits > 0""",
+    // DSIR: replay the bucketed 3-gram distributions, the micro-rounded
+    // per-bucket log-ratio, and the per-doc integer dot product
+    "q_dsir_weights" ->
+      s"""WITH ${dsirCtes(16)}
+         SELECT d.doc_id, d.lang, COALESCE(wd.w, 0) AS weight_mu
+         FROM documents d LEFT JOIN wd ON d.doc_id = wd.doc_id""",
+    "q_dsir_sample" ->
+      s"""WITH ${dsirCtes(16)},
+         sw AS (SELECT d.doc_id, d.lang, d.source,
+             COALESCE(wd.w, 0) AS weight_mu
+           FROM documents d LEFT JOIN wd ON d.doc_id = wd.doc_id)
+         SELECT doc_id, lang, source, weight_mu FROM sw
+         WHERE CAST(round(exp(least(weight_mu, 0) / 1000000.0) * 1000000.0)
+               AS BIGINT)
+           > ('0x' || substr(md5(doc_id::VARCHAR || ':17'), 1, 8))::BIGINT
+               % 1000000"""
   )
+
+  /** DSIR oracle CTE chain (composed under an outer WITH): hashed
+    * 3-gram bucket ids per doc, per-bucket target/raw counts, add-one
+    * smoothed micro log-ratios, and the per-doc weight sum `wd(doc_id,
+    * w)`. Buckets absent from the corpus never contribute to any
+    * document, so the sparse DuckDB count table matches Spark's dense
+    * array aggregation exactly (zero rows add zero to both totals). */
+  private def dsirCtes(buckets: Int): String =
+    s"""g AS (
+           SELECT doc_id, lang, source,
+             list_transform(
+               list_filter(
+                 list_transform(
+                   range(1, greatest(length(lower(text)) - 2, 0) + 1),
+                   i -> substr(lower(text), i, 3)),
+                 t -> length(t) = 3),
+               t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % $buckets)
+               AS bids
+           FROM documents),
+         e AS (SELECT doc_id, lang, unnest(bids) AS b FROM g),
+         cb AS (SELECT e.b,
+             CAST(sum(CASE WHEN e.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tc,
+             CAST(count(*) AS BIGINT) AS rc
+           FROM e GROUP BY e.b),
+         tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,
+             CAST(sum(rc) AS BIGINT) AS rt FROM cb),
+         lr AS (SELECT b,
+             CAST(round((ln((tc + 1.0) / (tt + ${buckets}.0)) -
+                         ln((rc + 1.0) / (rt + ${buckets}.0))) * 1000000.0)
+               AS BIGINT) AS lr_mu
+           FROM cb, tot),
+         wd AS (SELECT e.doc_id, CAST(sum(lr.lr_mu) AS BIGINT) AS w
+           FROM e JOIN lr ON e.b = lr.b GROUP BY e.doc_id)"""
 
   /** Oracle CTE chain for the BPE trainer: `n` unrolled merge
     * iterations (`b1..b$n` hold the winning pairs). Each round replays

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+  * for Language Models via Importance Resampling"): select raw-corpus
+  * documents that look like a small TARGET distribution by comparing
+  * hashed n-gram bucket distributions.
+  *
+  *   - Feature space: hashed char-3-gram buckets (the fastText trick the
+  *     quality model already uses — [[graft.functions.CharNgramBucketCounts]],
+  *     one codegen'd md5 pass per document).
+  *   - Estimate bag-of-buckets unigram distributions p̂ (target slice)
+  *     and q̂ (whole raw corpus) with add-one smoothing.
+  *   - Per-document log importance weight
+  *       λ(doc) = Σ_grams [ln p̂(b(g)) − ln q̂(b(g))]
+  *     = dot(bucketCounts, logRatioVector).
+  *   - Resample: keep a document iff its deterministic uniform hash draw
+  *     beats min(1, e^λ) — the same accept/reject discipline as
+  *     [[Sampling.importanceSample]], reproducible in any engine.
+  *
+  * Determinism contract: the per-bucket log-ratio is rounded to integer
+  * MICRO-UNITS once (B values), so a document's weight is an integer dot
+  * product — order-free and bit-identical cross-engine; `ln`/`exp` sit
+  * behind the 10⁻⁶ rounding where a 1-ulp libm disagreement cannot move
+  * a value (the [[LmScore]] discipline).
+  *
+  * Scale shape (100 TB): pass 1 estimates the two distributions with ONE
+  * corpus scan — per-doc count arrays explode to B rows/doc but the
+  * partial hash aggregate collapses each task to ≤B rows before the
+  * exchange, so the shuffle is O(tasks·B), not O(docs·B). The B-row
+  * log-ratio table is driver-collected (provably bounded: exactly
+  * `buckets` rows) and re-emitted as a broadcast literal, making pass 2
+  * (scoring) and the resample MAP-ONLY — no join, no shuffle, whole-stage
+  * codegen end to end.
+  */
+object Dsir {
+
+  /** Hashed char-3-gram bucket count array for one document (length =
+    * `buckets`, bucket = first-8-hex-digits of md5(gram) mod buckets —
+    * the [[Sketches.slotHash]] idiom, exactly replayable). */
+  def bucketCounts(text: Column, buckets: Int): Column =
+    ColumnBridge.column(graft.functions.CharNgramBucketCounts(
+      ColumnBridge.expression(lower(text)), 3, buckets))
+
+  /** Pass 1: per-bucket gram counts for the target slice and the raw
+    * corpus, plus the micro-unit smoothed log-ratio
+    * `round(1e6·(ln((tc+1)/(T+B)) − ln((rc+1)/(R+B))))`.
+    *
+    * Output: exactly `buckets` rows `(bucket, target_cnt, raw_cnt,
+    * lr_mu)`. One corpus scan; the count-array posexplode is collapsed
+    * by the map-side partial aggregate (≤B groups per task). */
+  def bucketLogRatios(
+      df: DataFrame,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val perDoc = df.select(
+      isTarget.cast("long").as("__t"),
+      bucketCounts(col(textCol), buckets).as("__c"))
+    // every array has length `buckets` (zeros included), so every bucket
+    // id survives the explode and the output is dense — no left-join
+    // against a bucket spine needed
+    val byBucket = perDoc
+      .select(col("__t"), posexplode(col("__c")).as(Seq("bucket", "cnt")))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("__t") === 1L, col("cnt")).otherwise(0L))
+          .as("target_cnt"),
+        sum(col("cnt")).as("raw_cnt"))
+    val tot = byBucket.agg(
+      sum(col("target_cnt")).as("__tt"), sum(col("raw_cnt")).as("__rt"))
+    byBucket.crossJoin(broadcast(tot))
+      .withColumn("lr_mu",
+        round((log((col("target_cnt").cast("double") + lit(1.0d)) /
+                   (col("__tt").cast("double") + lit(buckets.toDouble))) -
+               log((col("raw_cnt").cast("double") + lit(1.0d)) /
+                   (col("__rt").cast("double") + lit(buckets.toDouble)))) *
+          lit(1e6d)).cast("long"))
+      .drop("__tt", "__rt")
+  }
+
+  /** Pass 2: append `weight_mu` — the integer dot product of the
+    * document's bucket-count array with the broadcast log-ratio vector.
+    * The B log-ratios are collected (bounded: exactly `buckets` rows)
+    * and folded in as an array literal, so scoring is map-only. */
+  def dsirWeights(
+      df: DataFrame,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int): DataFrame = {
+    val lrRows = bucketLogRatios(df, textCol, isTarget, buckets)
+      .select(col("bucket").cast("int"), col("lr_mu"))
+      .collect() // bounded: exactly `buckets` rows by construction
+    val lr = Array.ofDim[Long](buckets)
+    lrRows.foreach(r => lr(r.getInt(0)) = r.getLong(1))
+    val lrLit = typedLit(lr.toSeq)
+    df.withColumn("weight_mu",
+      aggregate(
+        zip_with(bucketCounts(col(textCol), buckets), lrLit, (c, l) => c * l),
+        lit(0L), (acc, x) => acc + x))
+  }
+
+  /** The importance draw: keep a row iff its deterministic uniform
+    * micro-draw is below min(1, e^λ) — keep probability equals the
+    * capped importance ratio, reproducibly (no RNG). Map-only filter
+    * over a `weight_mu` column produced by [[dsirWeights]]. */
+  def dsirResample(
+      scored: DataFrame,
+      idCol: String,
+      weightMuCol: String = "weight_mu",
+      seed: Long = 0L): DataFrame = {
+    val keepProbMu = round(
+      exp(least(col(weightMuCol), lit(0L)).cast("double") / lit(1e6d)) *
+        lit(1e6d)).cast("long")
+    scored.filter(keepProbMu > Sampling.hashBucket(col(idCol), seed))
+  }
+
+  /** The composed selector: estimate → weight → resample, one operator
+    * call for the common case. Two corpus scans total (distribution
+    * estimate + map-only score/filter), both shuffle-free past the
+    * bounded B-row aggregate. */
+  def dsirSelect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int,
+      seed: Long = 0L): DataFrame =
+    dsirResample(dsirWeights(df, textCol, isTarget, buckets), idCol,
+      "weight_mu", seed)
+}

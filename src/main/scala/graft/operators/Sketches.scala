@@ -367,4 +367,96 @@ object Sketches {
       .join(broadcast(targetDf), Seq("__rank"))
       .select(col("q"), col("__v").as("value"))
   }
+
+  // ---- Bloom filter (Bloom 1970) ----
+  //
+  // The membership sketch the other three can't provide: "have I seen
+  // this exact item" in O(m) bits with a bounded false-positive rate —
+  // the standing-corpus membership gate for decontamination and
+  // incremental exact dedup at 100 TB. Built as ≤ ceil(m/64) packed
+  // 64-bit words via ONE map-side-combined bit_or aggregation (per-task
+  // partials are ≤ m/64 rows regardless of input size); merging filters
+  // of the same shape is bitwise OR — exact for ANY slicing, overlapping
+  // included (OR is idempotent), completing the persist-and-merge
+  // algebra. All k probe hashes are md5 slot hashes, so membership —
+  // including every false positive — is deterministic and exactly
+  // replayable cross-engine: a bit is set in the packed word iff its
+  // position is in the distinct-position set, which is how the DuckDB
+  // oracle states the same filter.
+
+  /** The k bit positions of one item as an array column. */
+  def bloomPositions(item: Column, mBits: Int, k: Int, seed: Long): Column =
+    array((0 until k).map(i => slotHash(item, seed + i, mBits)): _*)
+
+  /** Build: packed words `(word_idx, word)`, ≤ ceil(m/64) rows. */
+  def bloomBuild(
+      df: DataFrame,
+      itemCol: String,
+      mBits: Int,
+      k: Int,
+      seed: Long): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0, "mBits must be a multiple of 64")
+    require(k >= 1, "k must be >= 1")
+    df.select(explode(bloomPositions(col(itemCol), mBits, k, seed)).as("pos"))
+      .groupBy((col("pos") / 64).cast("long").as("word_idx"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
+        .as("word"))
+  }
+
+  /** Merge two packed filters of the same (m, k, seed) shape: bitwise OR
+    * per word — the partial-sketch algebra, exact under overlap. */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select("word_idx", "word").union(b.select("word_idx", "word"))
+      .groupBy("word_idx").agg(expr("bit_or(word)").as("word"))
+
+  /** Unpack a words table to its distinct set bit positions — the
+    * representation-independent view the oracle checks (proves the
+    * packing round-trips). ≤ m rows; the 64-bit explode stays inside
+    * codegen. */
+  def bloomBits(words: DataFrame): DataFrame =
+    words
+      .select(col("word_idx"), col("word"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .filter(expr("(shiftright(word, bit) & 1) = 1"))
+      .select((col("word_idx") * 64 + col("bit")).as("pos"))
+
+  /** Swamidass–Baldi cardinality estimate from the fill:
+    * `−(m/k)·ln(1 − X/m)` where X = set bits, micro-rounded. One row. */
+  def bloomCardinality(words: DataFrame, mBits: Int, k: Int): DataFrame =
+    bloomBits(words).agg(count(lit(1)).as("bits_set"))
+      .withColumn("estimate_mu",
+        round(lit(-mBits.toDouble / k) *
+          log(lit(1.0d) - col("bits_set").cast("double") / lit(mBits.toDouble)) *
+          lit(1e6d)).cast("long"))
+
+  /** Membership test against a DENSE driver-collected word array
+    * (bounded: exactly mBits/64 longs — e.g. 2^20 bits = 16 K longs;
+    * the broadcast-literal shape Spark's own runtime bloom pushdown
+    * uses). Composable inside higher-order lambdas, so a whole shingle
+    * array probes in one map-only projection. */
+  def bloomContainsExpr(
+      item: Column,
+      words: Array[Long],
+      mBits: Int,
+      k: Int,
+      seed: Long): Column = {
+    val wordsLit = typedLit(words.toSeq)
+    (0 until k).map { i =>
+      val pos = slotHash(item, seed + i, mBits)
+      val word = element_at(wordsLit, (pos / 64).cast("int") + 1)
+      val mask = call_function("shiftleft", lit(1L), pmod(pos, lit(64L)).cast("int"))
+      word.bitwiseAND(mask) =!= 0L
+    }.reduce(_ && _)
+  }
+
+  /** Collect a packed words table to the dense array [[bloomContainsExpr]]
+    * wants (missing words are 0). Driver state is provably bounded at
+    * mBits/64 longs. */
+  def bloomDenseWords(words: DataFrame, mBits: Int): Array[Long] = {
+    val dense = Array.ofDim[Long](mBits / 64)
+    words.select(col("word_idx").cast("int"), col("word"))
+      .collect() // bounded: ≤ mBits/64 rows by construction
+      .foreach(r => dense(r.getInt(0)) = r.getLong(1))
+    dense
+  }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = 8
+
+  private lazy val docs = Seq(
+    (1L, "en", "the quick brown fox jumps over the lazy dog"),
+    (2L, "en", "a stitch in time saves nine every single time"),
+    (3L, "de", "der schnelle braune fuchs springt ueber den hund"),
+    (4L, "de", "ein mann ein plan ein kanal"),
+    (5L, "en", "pack my box with five dozen liquor jugs"),
+    (6L, "xx", "")) // no grams at all → weight must be exactly 0
+    .toDF("doc_id", "lang", "text")
+
+  /** Driver-side reference: same md5 bucket, same add-one log ratios,
+    * same micro rounding — an independent re-implementation the Spark
+    * plan must agree with bit-for-bit. */
+  private def reference: Map[Long, Long] = {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def bucketsOf(text: String): Seq[Int] = {
+      val t = text.toLowerCase
+      (0 to t.length - 3).map { i =>
+        (java.lang.Long.parseLong(md5hex(t.substring(i, i + 3)).take(8), 16)
+          % B).toInt
+      }
+    }
+    val rows = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2)))
+    val tc = Array.ofDim[Long](B); val rc = Array.ofDim[Long](B)
+    rows.foreach { case (_, lang, text) =>
+      bucketsOf(text).foreach { b =>
+        if (lang == "en") tc(b) += 1
+        rc(b) += 1
+      }
+    }
+    val tt = tc.sum.toDouble; val rt = rc.sum.toDouble
+    val lr = (0 until B).map(b => math.round(
+      (math.log((tc(b) + 1.0) / (tt + B)) -
+       math.log((rc(b) + 1.0) / (rt + B))) * 1e6))
+    rows.map { case (id, _, text) =>
+      id -> bucketsOf(text).map(b => lr(b)).sum
+    }.toMap
+  }
+
+  test("bucketLogRatios is dense, bounded, and total-consistent") {
+    val lr = Dsir.bucketLogRatios(docs, "text", $"lang" === "en", B)
+    val got = lr.orderBy("bucket").collect()
+    assert(got.length == B)
+    assert(got.map(_.getAs[Number]("bucket").intValue).toSeq == (0 until B))
+    // raw totals = total gram count; target totals = en-doc gram count
+    val totalGrams = docs.select(
+      sum(greatest(length(lower($"text")) - 2, lit(0)))).as[Long].head()
+    assert(got.map(_.getAs[Long]("raw_cnt")).sum == totalGrams)
+    val enGrams = docs.filter($"lang" === "en").select(
+      sum(greatest(length(lower($"text")) - 2, lit(0)))).as[Long].head()
+    assert(got.map(_.getAs[Long]("target_cnt")).sum == enGrams)
+  }
+
+  test("dsirWeights matches the independent driver reference exactly") {
+    val got = Dsir.dsirWeights(docs, "text", $"lang" === "en", B)
+      .select("doc_id", "weight_mu").as[(Long, Long)].collect().toMap
+    assert(got == reference)
+    assert(got(6L) == 0L) // gram-free doc scores exactly zero
+    // target-language docs must outweigh off-target ones on average
+    val en = Seq(1L, 2L, 5L).map(got); val de = Seq(3L, 4L).map(got)
+    assert(en.sum.toDouble / en.size > de.sum.toDouble / de.size)
+  }
+
+  test("dsirResample: non-negative weights always survive; draw is deterministic") {
+    val scored = Dsir.dsirWeights(docs, "text", $"lang" === "en", B)
+    val kept = Dsir.dsirResample(scored, "doc_id", seed = 17L)
+      .select("doc_id").as[Long].collect().toSet
+    val kept2 = Dsir.dsirResample(scored, "doc_id", seed = 17L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == kept2) // no RNG anywhere
+    val weights = scored.select("doc_id", "weight_mu")
+      .as[(Long, Long)].collect().toMap
+    weights.filter(_._2 >= 0).keys.foreach(id => assert(kept.contains(id)))
+    // and the kept set is exactly the accept/reject rule replayed
+    def draw(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:17".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) %
+        1000000L
+    }
+    val expect = weights.filter { case (id, w) =>
+      math.round(math.exp(math.min(w, 0L).toDouble / 1e6) * 1e6) > draw(id)
+    }.keySet
+    assert(kept == expect)
+  }
+
+  test("scoring is map-only: no exchange in the weight projection") {
+    // pass 1 (estimation) aggregates; pass 2 must be shuffle-free. Build
+    // the literal the same way dsirWeights does, then check the plan of
+    // the scoring projection alone.
+    val scored = Dsir.dsirWeights(docs, "text", $"lang" === "en", B)
+      .select("doc_id", "weight_mu")
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"weight scoring should be map-only, got:\n$plan")
+  }
+}
