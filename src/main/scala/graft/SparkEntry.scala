@@ -1538,6 +1538,17 @@ object SparkEntry {
       operators.Clustering.semDedup(read(s, dir, "embeddings"),
           "vec_id", "embedding", tau = 0.4, k = 8, iters = 2)
         .select("vec_id", "label", "cluster")),
+    // cluster-balanced sampling: k-means clusters as strata, then a
+    // deterministic ≤k-per-cluster reservoir — the "cluster then cap"
+    // recipe for topic-balanced subcorpora (SemDeDup's diversity goal
+    // without the n²/k pair stage). Composes the exact-integer k-means
+    // with the keyed-window reservoir under one chained oracle
+    "q_cluster_balanced" -> ((s, dir) =>
+      operators.Sampling.reservoirPerGroup(
+          operators.Clustering.kmeansAssign(read(s, dir, "embeddings"),
+            "vec_id", "embedding", k = 8, iters = 2),
+          "vec_id", "cluster", k = 12, seed = 5L)
+        .select("cluster", "vec_id", "sample_rank")),
     // BM25 lexical top-k (integer micro-unit scores — see TextSearch)
     "q_bm25_topk" -> ((s, dir) =>
       operators.TextSearch.bm25TopK(read(s, dir, "documents"),
@@ -2008,7 +2019,27 @@ object SparkEntry {
       operators.Dsir.dsirSelect(
           readWide(s, dir, "documents"), "doc_id", "text",
           col("lang") === "en", 16, seed = 17L)
-        .select("doc_id", "lang", "source", "weight_mu"))
+        .select("doc_id", "lang", "source", "weight_mu")),
+    // WordPiece (BERT-style) tokenizer: frequency-seeded vocabulary with
+    // ##-continuation marking ∪ all single-char pieces; pure string
+    // membership, so the whole pipeline replays exactly in SQL
+    "q_wordpiece_vocab" -> ((s, dir) => {
+      import s.implicits._
+      operators.Wordpiece.vocab(read(s, dir, "documents"), "text",
+          vocabSize = 80, maxPieceLen = 4, maxWordLen = 16)
+        .map(v => (v.token, v.c)).toDF("token", "c")
+    }),
+    // greedy longest-match-first encode per DISTINCT word (the
+    // mapPartitions boundary, like the unigram Viterbi), relational
+    // reassembly per document; words over 16 chars become [UNK] (BERT's
+    // long-word rule — and the oracle's static unroll bound)
+    "q_wordpiece_tokenize" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val voc = operators.Wordpiece.vocab(docs, "text",
+        vocabSize = 80, maxPieceLen = 4, maxWordLen = 16)
+      operators.Wordpiece.tokenize(docs, "doc_id", "text", voc,
+        maxPieceLen = 4, maxWordLen = 16)
+    })
   )
 
   /** DuckDB rendering of one RHP hyperplane as a DOUBLE[] literal.
@@ -3778,6 +3809,14 @@ object SparkEntry {
          SELECT a1.vec_id, e.label, CAST(a1.j AS INT) AS cluster
          FROM a1 JOIN embeddings e ON e.vec_id = a1.vec_id
          WHERE a1.vec_id NOT IN (SELECT drop_id FROM p)"""),
+    // cluster-balanced reservoir: the same Lloyd replay, then the
+    // q_sample_reservoir window keyed by cluster instead of source
+    "q_cluster_balanced" -> (kmeansCtes +
+      """, r AS (SELECT CAST(a1.j AS INT) AS cluster, vec_id,
+             row_number() OVER (PARTITION BY a1.j
+               ORDER BY md5('5:' || vec_id::VARCHAR), vec_id) AS sample_rank
+           FROM a1)
+         SELECT cluster, vec_id, sample_rank FROM r WHERE sample_rank <= 12"""),
     // BM25 replay: identical operation order as TextSearch.bm25TopK —
     // constants written as the same arithmetic ((1.2 + 1.0), (1.0 - 0.75))
     // so both engines fold to bit-identical doubles; the ln sits behind
@@ -4992,8 +5031,95 @@ object SparkEntry {
          WHERE CAST(round(exp(least(weight_mu, 0) / 1000000.0) * 1000000.0)
                AS BIGINT)
            > ('0x' || substr(md5(doc_id::VARCHAR || ':17'), 1, 8))::BIGINT
-               % 1000000"""
+               % 1000000""",
+    // WordPiece: replay vocab seeding and the full greedy loop
+    "q_wordpiece_vocab" ->
+      s"""WITH ${wordpieceCtes(80, 4, 16)}
+         SELECT token, c FROM voc""",
+    "q_wordpiece_tokenize" ->
+      s"""WITH ${wordpieceCtes(80, 4, 16)},
+         dws AS (SELECT doc_id, i, ws[i] AS word
+           FROM (SELECT doc_id, list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   x -> length(x) > 0) AS ws FROM documents),
+                unnest(range(1, len(ws) + 1)) t(i)),
+         asm AS (SELECT doc_id,
+             array_to_string(list(wp ORDER BY i), ' ') AS wp_text
+           FROM dws JOIN wpw USING (word) GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.wp_text, '') AS wp_text
+         FROM documents d LEFT JOIN asm a ON d.doc_id = a.doc_id"""
   )
+
+  /** WordPiece oracle CTE chain: word counts, position-marked candidate
+    * counts (`##` continuations), the top-`vocabSize` ∪ single-char
+    * vocab, and an UNROLLED greedy longest-match-first loop — step i
+    * carries `(p_i, u_i, a_i)` = (cursor, unk flag, emitted tokens);
+    * every step consumes ≥1 char, so `w` steps cover any ≤w-char word.
+    * Pure string membership — no floats — so parity is exact. */
+  private def wordpieceCtes(vocabSize: Int, l: Int, w: Int): String = {
+    def tok(p: String, len: String) =
+      s"(CASE WHEN $p = 1 THEN substr(word, $p, $len)" +
+        s" ELSE '##' || substr(word, $p, $len) END)"
+    val steps = (1 to w).map { i =>
+      val pp = s"p${i - 1}"; val uu = s"u${i - 1}"; val aa = s"a${i - 1}"
+      val mlCases = (l to 2 by -1).map { ln =>
+        s"WHEN n - $pp + 1 >= $ln AND ${tok(pp, ln.toString)}" +
+          s" IN (SELECT token FROM voc) THEN $ln"
+      }.mkString("\n               ")
+      // ml is computed in its own CTE: DuckDB cannot lateral-reference
+      // an alias whose expression contains a subquery, but across a CTE
+      // boundary it is a plain column
+      s""",
+         h$i AS (SELECT word, n, $pp, $uu, $aa,
+             CASE WHEN $pp <= n AND $uu = 0 THEN
+               CASE $mlCases
+                 WHEN ${tok(pp, "1")} IN (SELECT token FROM voc) THEN 1
+                 ELSE 0 END
+             ELSE 0 END AS ml$i
+           FROM g${i - 1}),
+         g$i AS (SELECT word, n,
+             CASE WHEN $pp <= n AND $uu = 0 AND ml$i = 0
+               THEN 1 ELSE $uu END AS u$i,
+             CASE WHEN ml$i > 0 THEN $pp + ml$i ELSE $pp END AS p$i,
+             CASE WHEN ml$i > 0 THEN
+               (CASE WHEN $aa = '' THEN '' ELSE $aa || ' ' END) ||
+                 ${tok(pp, s"ml$i")}
+             ELSE $aa END AS a$i
+           FROM h$i)"""
+    }.mkString
+    s"""wf AS (
+           SELECT word, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'),
+               x -> length(x) > 0)) AS word FROM documents)
+           GROUP BY 1),
+         cand AS (
+           SELECT CASE WHEN s = 1 THEN substr(word, s, pl)
+                       ELSE '##' || substr(word, s, pl) END AS token,
+             CAST(sum(cnt) AS BIGINT) AS c
+           FROM wf, unnest(range(1, $w + 1)) t(s),
+                unnest(range(1, $l + 1)) u(pl)
+           WHERE length(word) <= $w AND s <= length(word)
+             AND s + pl - 1 <= length(word)
+           GROUP BY 1),
+         topk AS (SELECT token, c FROM cand
+           QUALIFY row_number() OVER (ORDER BY c DESC, token) <= $vocabSize),
+         voc AS (SELECT DISTINCT token, c FROM (
+             SELECT token, c FROM topk
+             UNION ALL
+             SELECT token, c FROM cand
+             WHERE length(token) = 1
+                OR (length(token) = 3 AND substr(token, 1, 2) = '##'))),
+         g0 AS (SELECT word, length(word) AS n, 1 AS p0, 0 AS u0,
+             CAST('' AS VARCHAR) AS a0
+           FROM (SELECT DISTINCT word FROM wf) WHERE length(word) <= $w)$steps,
+         wpw AS (
+           SELECT word, CASE WHEN u$w = 1 THEN '[UNK]' ELSE a$w END AS wp
+           FROM g$w
+           UNION ALL
+           SELECT word, '[UNK]' AS wp FROM (SELECT DISTINCT word FROM wf)
+           WHERE length(word) > $w)"""
+  }
 
   /** DSIR oracle CTE chain (composed under an outer WITH): hashed
     * 3-gram bucket ids per doc, per-bucket target/raw counts, add-one

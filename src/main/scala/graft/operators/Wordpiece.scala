@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenization (Schuster & Nakajima 2012; the BERT tokenizer,
+  * Devlin et al. 2018) — the third tokenizer family beside [[BpeTrainer]]
+  * and [[Unigram]]: continuation pieces carry a `##` prefix, and encoding
+  * is GREEDY LONGEST-MATCH-FIRST per word (no DP, no merges — which is
+  * why BERT-style serving is so cheap). The vocabulary here is
+  * frequency-seeded: top-`vocabSize` position-marked substrings of the
+  * corpus words by weighted count, plus ALL single-char pieces (initial
+  * and `##`-continuation) so every corpus word tokenizes without [UNK];
+  * words longer than `maxWordLen` become `[UNK]` outright (BERT's own
+  * long-word rule, and what gives the oracle's unrolled greedy loop a
+  * static step bound).
+  *
+  * Scale shape: ONE corpus scan for word counts (map-side combined);
+  * candidates explode from the word table, never the corpus; the greedy
+  * matcher — a per-word imperative loop, the documented `mapPartitions`
+  * boundary, like [[Unigram.segmentChunk]] — runs only on DISTINCT
+  * words against a broadcast vocab set; document reassembly is
+  * relational (join + ordered collect per doc). Driver state: the vocab
+  * (bounded by `vocabSize` + 2·charset).
+  *
+  * Determinism: pure string membership — no floating point anywhere —
+  * so the DuckDB oracle replays seeding and the whole greedy loop
+  * (unrolled `maxWordLen` steps) exactly.
+  */
+object Wordpiece {
+
+  val Unk = "[UNK]"
+
+  final case class VocabToken(token: String, c: Long)
+
+  /** Non-empty lowercased words with corpus counts — ONE corpus scan. */
+  private def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Candidate tokens of one word: plain prefixes at start 1, `##`-marked
+    * substrings at starts ≥ 2, lengths 1..maxPieceLen. Runs on the word
+    * table. */
+  private def candidates(word: Column, maxPieceLen: Int): Column =
+    flatten(transform(sequence(lit(1), length(word)),
+      s => transform(
+        sequence(lit(1), least(lit(maxPieceLen), length(word) - s + lit(1))),
+        l => when(s === 1, word.substr(s, l))
+          .otherwise(concat(lit("##"), word.substr(s, l))))))
+
+  /** Learn the vocabulary: top-`vocabSize` candidates by (weighted count
+    * desc, token asc) ∪ all single-char pieces. Sorted by token. */
+  def vocab(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 16): Seq[VocabToken] = {
+    require(vocabSize >= 1 && maxPieceLen >= 1 && maxWordLen >= maxPieceLen)
+    val wf = wordCounts(df, textCol).filter(length(col("word")) <= maxWordLen)
+    val cand = wf
+      .select(col("cnt"), explode(candidates(col("word"), maxPieceLen)).as("token"))
+      .groupBy("token").agg(sum("cnt").as("c"))
+      .persist() // two refs: top-k cut + single-char union
+    try {
+      val isSingle = length(col("token")) === 1 ||
+        (length(col("token")) === 3 && substring(col("token"), 1, 2) === "##")
+      cand.orderBy(col("c").desc, col("token")).limit(vocabSize)
+        .unionByName(cand.filter(isSingle))
+        .dropDuplicates("token")
+        .collect() // vocab-bounded by construction
+        .map(r => VocabToken(r.getString(0), r.getLong(1)))
+        .sortBy(_.token).toSeq
+    } finally { cand.unpersist(); () }
+  }
+
+  /** Greedy longest-match-first encode of one word (already known to be
+    * ≤ maxWordLen chars). Mirrored step-for-step by the oracle's
+    * unrolled loop — any change here must change the SQL generator too. */
+  private[graft] def tokenizeWord(
+      word: String,
+      voc: java.util.HashSet[String],
+      maxPieceLen: Int): Array[String] = {
+    val n = word.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = 0
+    while (p < n) {
+      var l = math.min(maxPieceLen, n - p)
+      var found: String = null
+      while (l >= 1 && found == null) {
+        val cand = (if (p == 0) "" else "##") + word.substring(p, p + l)
+        if (voc.contains(cand)) found = cand else l -= 1
+      }
+      if (found == null) return Array(Unk)
+      out += found
+      p += found.length - (if (p == 0) 0 else 2)
+    }
+    out.toArray
+  }
+
+  /** Encode the DISTINCT words under the vocab — the only imperative
+    * stage, bounded by the word vocabulary. Words longer than
+    * `maxWordLen` map to `[UNK]`. */
+  private def tokenizeWords(
+      words: DataFrame,
+      voc: Seq[VocabToken],
+      maxPieceLen: Int,
+      maxWordLen: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val vocB = spark.sparkContext.broadcast(voc.map(_.token).toArray)
+    words.select("word").distinct().as[String].mapPartitions { it =>
+      val set = new java.util.HashSet[String]()
+      vocB.value.foreach(set.add)
+      it.map { w =>
+        val pieces =
+          if (w.length > maxWordLen) Array(Unk)
+          else tokenizeWord(w, set, maxPieceLen)
+        (w, pieces.toSeq)
+      }
+    }.toDF("word", "pieces")
+  }
+
+  /** Tokenize every document: greedy-encode the distinct words once,
+    * reassemble in word order per document, emit the space-joined token
+    * string (pieces never contain spaces). Returns `(idCol, wp_text)`;
+    * empty documents yield `''`. */
+  def tokenize(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      voc: Seq[VocabToken],
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 16): DataFrame = {
+    val dw = df.select(col(idCol).as("__id"),
+      posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("__pos", "word")))
+      .filter(length(col("word")) > 0)
+    val wseg = tokenizeWords(dw.select("word").distinct(), voc,
+      maxPieceLen, maxWordLen)
+      .withColumn("wp", array_join(col("pieces"), " "))
+    val assembled = dw.join(wseg, "word")
+      .groupBy(col("__id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("wp")))),
+        s => s.getField("wp")), " ").as("wp_text"))
+    df.select(col(idCol))
+      .join(assembled, col(idCol) === assembled("__id"), "left")
+      .select(col(idCol), coalesce(col("wp_text"), lit("")).as("wp_text"))
+  }
+}

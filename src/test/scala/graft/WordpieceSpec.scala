@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class WordpieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "unaffable unaffable runner running run"),
+    (2L, "the runner ran a run the unbelievable run"),
+    (3L, "supercalifragilisticexpialidocious stop"), // 34 chars → [UNK]
+    (4L, "")) // empty doc → ''
+    .toDF("doc_id", "text")
+
+  private def hs(ts: String*): java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    ts.foreach(s.add)
+    s
+  }
+
+  test("greedy longest-match-first on the classic BERT example") {
+    // vocab {un, ##aff, ##able, ...singles} → unaffable = un ##aff ##able
+    val voc = hs("un", "##aff", "##able", "u", "n", "a", "f", "b", "l", "e",
+      "##a", "##f", "##b", "##l", "##e", "##n")
+    assert(Wordpiece.tokenizeWord("unaffable", voc, 5).toSeq ==
+      Seq("un", "##aff", "##able"))
+    // longest-first is greedy, not optimal: with {ab, ##c} absent it
+    // falls back through singles
+    assert(Wordpiece.tokenizeWord("una", voc, 5).toSeq ==
+      Seq("un", "##a"))
+  }
+
+  test("greedy returns [UNK] when a position has no matching piece") {
+    val voc = hs("a", "##b") // 'c' unreachable
+    assert(Wordpiece.tokenizeWord("abc", voc, 4).toSeq == Seq(Wordpiece.Unk))
+  }
+
+  test("corpus-trained vocab never strands a ≤16-char word; long words are [UNK]") {
+    val voc = Wordpiece.vocab(docs, "text", vocabSize = 20,
+      maxPieceLen = 4, maxWordLen = 16)
+    // singles retained: every initial char and ##-continuation char
+    assert(voc.exists(_.token == "r") && voc.exists(_.token == "##u"))
+    val out = Wordpiece.tokenize(docs, "doc_id", "text", voc,
+      maxPieceLen = 4, maxWordLen = 16)
+      .as[(Long, String)].collect().toMap
+    assert(out(4L) == "")
+    // doc 3: the 34-char word is [UNK], 'stop' tokenizes
+    val d3 = out(3L).split(" ")
+    assert(d3.head == Wordpiece.Unk && !d3.tail.contains(Wordpiece.Unk))
+    // docs 1-2: no [UNK] anywhere (all words ≤ 16 chars, singles retained)
+    assert(!out(1L).contains(Wordpiece.Unk) && !out(2L).contains(Wordpiece.Unk))
+  }
+
+  test("tokenization round-trips: stripping ## and spaces restores the word") {
+    val voc = Wordpiece.vocab(docs, "text", vocabSize = 30,
+      maxPieceLen = 4, maxWordLen = 16)
+    val set = new java.util.HashSet[String]()
+    voc.foreach(v => set.add(v.token))
+    val words = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= 16)
+      .distinct().as[String].collect()
+    words.foreach { w =>
+      val pieces = Wordpiece.tokenizeWord(w, set, 4)
+      assert(pieces.head != Wordpiece.Unk, s"stranded word $w")
+      val rebuilt = pieces.head + pieces.tail.map(_.stripPrefix("##")).mkString
+      assert(rebuilt == w, s"round-trip broke: $w → ${pieces.toSeq}")
+      // continuation marking is positional: first piece unmarked, rest marked
+      assert(!pieces.head.startsWith("##") || w.startsWith("##"))
+      pieces.tail.foreach(p => assert(p.startsWith("##"), s"unmarked tail in $w"))
+    }
+  }
+
+  test("distributed tokenize agrees with the driver-side greedy per word") {
+    val voc = Wordpiece.vocab(docs, "text", vocabSize = 25,
+      maxPieceLen = 4, maxWordLen = 16)
+    val set = new java.util.HashSet[String]()
+    voc.foreach(v => set.add(v.token))
+    val got = Wordpiece.tokenize(docs, "doc_id", "text", voc,
+      maxPieceLen = 4, maxWordLen = 16)
+      .as[(Long, String)].collect().toMap
+    val expect = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val words = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        id -> words.map { w =>
+          if (w.length > 16) Wordpiece.Unk
+          else Wordpiece.tokenizeWord(w, set, 4).mkString(" ")
+        }.mkString(" ")
+      }.toMap
+    assert(got == expect)
+  }
+}
