@@ -133,7 +133,12 @@ object Bench {
     "q_robots_gate" -> 0.17, "q_ul2_mixture" -> 0.48,
     "q_datasheet" -> 0.31, "q_ppl_filter" -> 2.19,
     "q_html_links" -> 0.16, "q_link_pagerank" -> 1.17,
-    "q_anchor_text" -> 0.25)
+    "q_anchor_text" -> 0.25,
+    // round-9 session-3 additions (mins from a 3.9s-steal sf0.1 run)
+    "q_dsir_weights" -> 1.27, "q_dsir_sample" -> 1.61,
+    "q_sketch_bloom_merge" -> 0.60, "q_bloom_decontam" -> 2.21,
+    "q_cluster_balanced" -> 0.88, "q_wordpiece_vocab" -> 0.73,
+    "q_wordpiece_tokenize" -> 1.00)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -83,26 +83,44 @@ object Dsir {
       .drop("__tt", "__rt")
   }
 
-  /** Pass 2: append `weight_mu` — the integer dot product of the
-    * document's bucket-count array with the broadcast log-ratio vector.
-    * The B log-ratios are collected (bounded: exactly `buckets` rows)
-    * and folded in as an array literal, so scoring is map-only. */
+  /** The dense micro log-ratio vector, driver-collected (bounded:
+    * exactly `buckets` rows by construction). This is the trained
+    * "model" — persist it once and score any later batch or STREAM with
+    * [[scoreWithRatios]] (which is map-only and therefore runs
+    * unchanged under Structured Streaming). */
+  def logRatioVector(
+      df: DataFrame,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int): Array[Long] = {
+    val lr = Array.ofDim[Long](buckets)
+    bucketLogRatios(df, textCol, isTarget, buckets)
+      .select(col("bucket").cast("int"), col("lr_mu"))
+      .collect() // bounded: exactly `buckets` rows by construction
+      .foreach(r => lr(r.getInt(0)) = r.getLong(1))
+    lr
+  }
+
+  /** Append `weight_mu` — the integer dot product of the document's
+    * bucket-count array with the literal log-ratio vector. Map-only:
+    * works on batches and streams alike. */
+  def scoreWithRatios(df: DataFrame, textCol: String, lr: Array[Long]): DataFrame = {
+    val lrLit = typedLit(lr.toSeq)
+    df.withColumn("weight_mu",
+      aggregate(
+        zip_with(bucketCounts(col(textCol), lr.length), lrLit, (c, l) => c * l),
+        lit(0L), (acc, x) => acc + x))
+  }
+
+  /** Pass 1 + pass 2 over the same frame: estimate the distributions,
+    * fold the ratio vector in as a literal, score map-only. */
   def dsirWeights(
       df: DataFrame,
       textCol: String,
       isTarget: Column,
-      buckets: Int): DataFrame = {
-    val lrRows = bucketLogRatios(df, textCol, isTarget, buckets)
-      .select(col("bucket").cast("int"), col("lr_mu"))
-      .collect() // bounded: exactly `buckets` rows by construction
-    val lr = Array.ofDim[Long](buckets)
-    lrRows.foreach(r => lr(r.getInt(0)) = r.getLong(1))
-    val lrLit = typedLit(lr.toSeq)
-    df.withColumn("weight_mu",
-      aggregate(
-        zip_with(bucketCounts(col(textCol), buckets), lrLit, (c, l) => c * l),
-        lit(0L), (acc, x) => acc + x))
-  }
+      buckets: Int): DataFrame =
+    scoreWithRatios(df, textCol,
+      logRatioVector(df, textCol, isTarget, buckets))
 
   /** The importance draw: keep a row iff its deterministic uniform
     * micro-draw is below min(1, e^λ) — keep probability equals the

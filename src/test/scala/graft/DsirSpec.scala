@@ -98,6 +98,37 @@ class DsirSpec extends SparkSpec {
     assert(kept == expect)
   }
 
+  test("scoreWithRatios + resample run natively on a stream (map-only)") {
+    // the production shape: ratios trained once on the standing corpus,
+    // every later micro-batch scored and importance-drawn with the same
+    // literal vector — no stateful operator, no batch-only construct
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lr = Dsir.logRatioVector(docs, "text", $"lang" === "en", B)
+    val in = MemoryStream[(Long, String)]
+    val q = Dsir.dsirResample(
+        Dsir.scoreWithRatios(in.toDF().toDF("doc_id", "text"), "text", lr),
+        "doc_id", seed = 17L)
+      .writeStream.format("memory").queryName("dsirstream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "the quick brown fox jumps over the lazy dog"),
+        (3L, "der schnelle braune fuchs springt ueber den hund"))
+      q.processAllAvailable()
+      val got = spark.table("dsirstream").select("doc_id", "weight_mu")
+        .as[(Long, Long)].collect().toMap
+      // batch semantics replayed exactly on the stream
+      val batch = Dsir.dsirResample(
+          Dsir.scoreWithRatios(
+            Seq((1L, "the quick brown fox jumps over the lazy dog"),
+              (3L, "der schnelle braune fuchs springt ueber den hund"))
+              .toDF("doc_id", "text"), "text", lr),
+          "doc_id", seed = 17L)
+        .select("doc_id", "weight_mu").as[(Long, Long)].collect().toMap
+      assert(got == batch && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("scoring is map-only: no exchange in the weight projection") {
     // pass 1 (estimation) aggregates; pass 2 must be shuffle-free. Build
     // the literal the same way dsirWeights does, then check the plan of

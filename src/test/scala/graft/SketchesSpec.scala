@@ -244,6 +244,34 @@ class SketchesSpec extends SparkSpec {
     assert((1 to 400).map(i => s"other$i").exists(got(_)))
   }
 
+  test("bloom probe runs natively on a stream (map-only literal test)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val built = Seq("alpha", "beta", "gamma")
+    val words = Sketches.bloomDenseWords(
+      Sketches.bloomBuild(built.toDF("v"), "v", bloomM, bloomK, bloomSeed),
+      bloomM)
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("v")
+      .withColumn("hit",
+        Sketches.bloomContainsExpr(col("v"), words, bloomM, bloomK, bloomSeed))
+      .writeStream.format("memory").queryName("bloomstream")
+      .outputMode("append").start()
+    try {
+      in.addData("alpha", "delta", "gamma")
+      q.processAllAvailable()
+      val got = spark.table("bloomstream").as[(String, Boolean)]
+        .collect().toMap
+      assert(got("alpha") && got("gamma")) // members always hit
+      // "delta" matches iff its positions collide — same rule as batch
+      val batch = Seq("delta").toDF("v")
+        .withColumn("hit",
+          Sketches.bloomContainsExpr(col("v"), words, bloomM, bloomK, bloomSeed))
+        .as[(String, Boolean)].head()._2
+      assert(got("delta") == batch)
+    } finally q.stop()
+  }
+
   test("bloomCardinality estimate tracks the true distinct count") {
     val items = (1 to 180).map(i => s"card$i")
     val est = Sketches.bloomCardinality(
