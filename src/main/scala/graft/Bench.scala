@@ -138,7 +138,9 @@ object Bench {
     "q_dsir_weights" -> 1.27, "q_dsir_sample" -> 1.61,
     "q_sketch_bloom_merge" -> 0.60, "q_bloom_decontam" -> 2.21,
     "q_cluster_balanced" -> 0.88, "q_wordpiece_vocab" -> 0.73,
-    "q_wordpiece_tokenize" -> 1.00)
+    "q_wordpiece_tokenize" -> 1.00,
+    "q_text_normalize" -> 0.23, "q_text_winnow" -> 1.11,
+    "q_mlm_mask" -> 0.37, "q_blocklist_gate" -> 0.25)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2039,7 +2039,52 @@ object SparkEntry {
         vocabSize = 80, maxPieceLen = 4, maxWordLen = 16)
       operators.Wordpiece.tokenize(docs, "doc_id", "text", voc,
         maxPieceLen = 4, maxWordLen = 16)
-    })
+    }),
+    // Unicode normalization (the CCNet/C4 cleanup pass). The fixture is
+    // synthetic ASCII, so the dirty input is built IN-ENGINE from the
+    // documents row (the q_html_extract discipline — same expression in
+    // the oracle, so the TRANSFORM is what's hash-checked): curly
+    // quotes, NBSP, em-dash, ellipsis, zero-width, a control char
+    "q_text_normalize" -> ((s, dir) => {
+      val dirty = concat(lit("\u201C"),
+        regexp_replace(col("text"), " value ",
+          " \u00A0value\u2019s\u2014 "),
+        lit("\u2026\u201D\u200B\u0007"))
+      readWide(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextAnalysis.normalizeText(dirty).as("norm_text"))
+    }),
+    // winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    // algorithm): per-window min k-gram hash, ties → rightmost;
+    // guarantees any shared run ≥ w+k−1 chars shares a fingerprint.
+    // Map-only; the position-aware overlap-detection sketch
+    "q_text_winnow" -> ((s, dir) => {
+      val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+      readWide(s, dir, "documents")
+        .withColumn("__norm", norm)
+        .withColumn("__h",
+          operators.TextAnalysis.kgramHashes(col("__norm"), 8, 13L))
+        .select(col("doc_id"),
+          explode(operators.TextAnalysis.winnowFingerprints(
+            col("__norm"), col("__h"), 8, 6)).as("s"))
+        .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+    }),
+    // BERT-style MLM masking: 15% of positions masked — 80% [MASK],
+    // 10% a random in-document token, 10% unchanged — all three draws
+    // deterministic md5 buckets of (doc, position, seed)
+    "q_mlm_mask" -> ((s, dir) =>
+      operators.TrainPrep.mlmMask(readWide(s, dir, "documents"),
+          "doc_id", "text", rateMu = 150000L, seed = 41L)
+        .select("doc_id", "mlm_text", "n_masked")),
+    // C4-style blocklist gate: distinct blocklisted-token membership
+    // per doc; kept = no hit. Map-only broadcast-literal word list
+    "q_blocklist_gate" -> ((s, dir) =>
+      readWide(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextAnalysis.markerHits(col("text"),
+            Seq("casino", "spark", "vector", "viagra")).cast("long")
+            .as("n_blocked"))
+        .withColumn("kept", col("n_blocked") === 0L))
   )
 
   /** DuckDB rendering of one RHP hyperplane as a DOUBLE[] literal.
@@ -5032,6 +5077,91 @@ object SparkEntry {
                AS BIGINT)
            > ('0x' || substr(md5(doc_id::VARCHAR || ':17'), 1, 8))::BIGINT
                % 1000000""",
+    // normalization: the identical dirty-text construction, then the
+    // identical 8-stage regex chain (RE2 ∩ java.util.regex, 'g' flags)
+    "q_text_normalize" ->
+      s"""WITH dirty AS (SELECT doc_id,
+             '“' || regexp_replace(text, ' value ',
+               '  value’s— ', 'g') ||
+               '…”​' AS d
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(d,
+                           '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+                         '[\\x{00A0}\\x{2007}\\x{202F}]', ' ', 'g'),
+                       '[\\x{2018}\\x{2019}]', '''', 'g'),
+                     '[\\x{201C}\\x{201D}]', '"', 'g'),
+                   '[\\x{2013}\\x{2014}]', '-', 'g'),
+                 '\\x{2026}', '...', 'g'),
+               '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'),
+             '\\s+', ' ', 'g')) AS norm_text
+         FROM dirty""",
+    // winnowing: exploded per-window argmin (ORDER BY h, i DESC = min
+    // hash, tie → rightmost), distinct selected (pos, fp)
+    "q_text_winnow" ->
+      """WITH t AS (SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
+           FROM documents),
+         g AS (SELECT doc_id, CAST(i AS INT) AS i,
+             ('0x' || substr(md5(substr(nt, CAST(i AS INT), 8) || ':13'),
+               1, 15))::BIGINT AS h
+           FROM t, unnest(range(1, greatest(length(nt) - 7, 0) + 1)) r(i)),
+         ngc AS (SELECT doc_id,
+             CAST(greatest(length(nt) - 7, 0) AS INT) AS ng FROM t),
+         wnd AS (SELECT doc_id, CAST(j AS INT) AS j
+           FROM ngc, unnest(range(1, greatest(ng - 5, 1) + 1)) r(j)
+           WHERE ng >= 1),
+         cand AS (SELECT w.doc_id, w.j, g.i, g.h
+           FROM wnd w JOIN g ON g.doc_id = w.doc_id
+           WHERE g.i >= w.j AND g.i <= w.j + 5),
+         pick AS (SELECT doc_id, j, i, h,
+             row_number() OVER (PARTITION BY doc_id, j
+               ORDER BY h, i DESC) AS rn
+           FROM cand)
+         SELECT DISTINCT doc_id, i AS pos, h AS fp
+         FROM pick WHERE rn = 1""",
+    // MLM: replay the three md5 draws per position
+    "q_mlm_mask" -> {
+      def d(s: Int) =
+        s"(('0x' || substr(md5(doc_id::VARCHAR || ':' || " +
+          s"CAST(p AS VARCHAR) || ':$s'), 1, 8))::BIGINT % 1000000)"
+      s"""WITH m AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+               x -> length(x) > 0) AS ws
+           FROM documents),
+         nn AS (SELECT doc_id, ws, len(ws) AS n FROM m)
+         SELECT doc_id,
+           CASE WHEN n >= 1 THEN
+             array_to_string(list_transform(range(1, n + 1), p ->
+               CASE WHEN ${d(41)} < 150000 THEN
+                 CASE WHEN ${d(42)} < 800000 THEN '[MASK]'
+                      WHEN ${d(42)} < 900000
+                        THEN ws[CAST(${d(43)} % n AS INT) + 1]
+                      ELSE ws[p] END
+               ELSE ws[p] END), ' ')
+           ELSE '' END AS mlm_text,
+           CAST(len(list_filter(range(1, n + 1),
+             p -> ${d(41)} < 150000)) AS BIGINT) AS n_masked
+         FROM nn"""
+    },
+    // blocklist: distinct-membership count over the same token list
+    "q_blocklist_gate" ->
+      """SELECT doc_id,
+           CAST(len(list_intersect(
+             list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+             ['casino', 'spark', 'vector', 'viagra'])) AS BIGINT)
+             AS n_blocked,
+           (len(list_intersect(
+             list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+             ['casino', 'spark', 'vector', 'viagra'])) = 0) AS kept
+         FROM documents""",
     // WordPiece: replay vocab seeding and the full greedy loop
     "q_wordpiece_vocab" ->
       s"""WITH ${wordpieceCtes(80, 4, 16)}

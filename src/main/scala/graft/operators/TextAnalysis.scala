@@ -242,6 +242,66 @@ object TextAnalysis {
       1, $w)
     """)
 
+  /** Unicode text normalization — the CCNet/C4-style cleanup pass that
+    * runs BEFORE tokenization so downstream hashes and token counts are
+    * stable across typographic variants: zero-width characters removed,
+    * non-breaking-space family → plain space, curly quotes → straight,
+    * en/em dashes → hyphen, ellipsis → three dots, C0 control characters
+    * (except \t\n\r, which are whitespace-collapsed anyway) removed,
+    * whitespace collapsed and trimmed. Map-only chained regex in the
+    * engine-portable subset (RE2 ∩ java.util.regex — the [[WebExtract]]
+    * discipline), so the oracle runs the identical chain. */
+  def normalizeText(text: Column): Column = {
+    // \\x{...} escapes: the hex-codepoint form BOTH regex engines accept
+    // (java.util.regex and RE2) -- \\uXXXX is Java-only
+    val noZw = regexp_replace(text, "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", "")
+    val spaces = regexp_replace(noZw, "[\\x{00A0}\\x{2007}\\x{202F}]", " ")
+    val quotes1 = regexp_replace(spaces, "[\\x{2018}\\x{2019}]", "'")
+    val quotes2 = regexp_replace(quotes1, "[\\x{201C}\\x{201D}]", "\"")
+    val dashes = regexp_replace(quotes2, "[\\x{2013}\\x{2014}]", "-")
+    val ellipsis = regexp_replace(dashes, "\\x{2026}", "...")
+    val noCtl = regexp_replace(ellipsis,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    trim(regexp_replace(noCtl, "\\s+", " "))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+    * MOSS algorithm): over the whitespace-normalized lowercased text,
+    * hash every char k-gram, slide a window of `w` consecutive hashes,
+    * and keep each window's minimum (ties → RIGHTMOST, the robust-
+    * winnowing rule). Guarantees any shared substring of length
+    * ≥ w + k − 1 produces at least one shared fingerprint — the
+    * position-aware complement of the bottom-w sketch
+    * ([[kgramSketchExpr]]). Hashes are [[Sketches.hash60]] md5 values,
+    * so the fingerprint set replays exactly in any engine. Returns an
+    * array of `(pos, fp)` structs (distinct, document order); empty for
+    * texts shorter than k. Map-only; O(grams·w) comparisons per doc. */
+  def winnowFingerprints(
+      normText: Column, hashes: Column, k: Int, w: Int): Column = {
+    require(k >= 1 && w >= 1)
+    val ng = length(normText) - lit(k - 1) // gram count
+    val wins = greatest(ng - lit(w - 1), lit(1)) // window count
+    array_distinct(
+      when(ng >= 1,
+        transform(sequence(lit(1), wins), j => {
+          val win = transform(
+            sequence(j, least(j + lit(w - 1), ng)),
+            i => struct(element_at(hashes, i).as("h"), (-i).as("ni")))
+          val m = array_min(win)
+          struct((-m.getField("ni")).as("pos"), m.getField("h").as("fp"))
+        }))
+        .otherwise(array().cast("array<struct<pos:int,fp:bigint>>")))
+  }
+
+  /** The k-gram hash array [[winnowFingerprints]] consumes — bind it as
+    * its own column so the expression evaluates once per row, not once
+    * per window. */
+  def kgramHashes(normText: Column, k: Int, seed: Long): Column =
+    when(length(normText) >= k,
+      transform(sequence(lit(1), length(normText) - lit(k - 1)),
+        i => Sketches.hash60(normText.substr(i, lit(k)), seed)))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Per-source corpus report — the summary panel a curation run consults
     * before choosing mixture weights and filter thresholds: document and
     * exact-duplicate counts, char/token volume, language spread. ONE

@@ -332,6 +332,55 @@ object TrainPrep {
     * at 100 TB like [[chunkDocuments]].
     *
     * Output: adds `input_text`, `target_text`, `n_masked`. */
+  /** BERT-style MLM masking (Devlin et al. 2018): each token is masked
+    * with probability `rateMu/10⁶`; of the masked positions, 80% become
+    * `[MASK]`, 10% a random token, 10% stay unchanged (so the model
+    * can't rely on `[MASK]` always marking a prediction site). All three
+    * draws are deterministic md5 buckets of `(doc, position, seed)` — no
+    * RNG, any engine replays the same masking — and the "random"
+    * replacement is drawn from the document's own token list (index =
+    * third draw mod token count), keeping the operator self-contained.
+    *
+    * Map-only generator: one projection, no shuffle, no state.
+    *
+    * Output: adds `mlm_text`, `n_masked`. */
+  def mlmMask(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rateMu: Long = 150000L,
+      seed: Long = 41L): DataFrame = {
+    require(rateMu >= 0 && rateMu <= 1000000L, "rateMu is micro-units")
+    def draw(p: org.apache.spark.sql.Column, s: Long) =
+      Sampling.hashBucket(
+        concat(col(idCol).cast("string"), lit(":"), p.cast("string")), s)
+    val ws = filter(TextAnalysis.tokens(col(textCol)),
+      w => length(w) > 0)
+    df.withColumn("__ws", ws)
+      .withColumn("__n", size(col("__ws")))
+      .withColumn("mlm_text",
+        // sequence(1, 0) would count DOWN; guard the empty-doc case
+        when(col("__n") >= 1, array_join(
+          transform(sequence(lit(1), col("__n")), p => {
+            val orig = element_at(col("__ws"), p)
+            when(draw(p, seed) < rateMu,
+              when(draw(p, seed + 1) < 800000L, lit("[MASK]"))
+                .when(draw(p, seed + 1) < 900000L,
+                  element_at(col("__ws"),
+                    pmod(draw(p, seed + 2), col("__n").cast("long"))
+                      .cast("int") + 1))
+                .otherwise(orig))
+              .otherwise(orig)
+          }), " "))
+          .otherwise(lit("")))
+      .withColumn("n_masked",
+        when(col("__n") >= 1,
+          size(filter(sequence(lit(1), col("__n")),
+            p => draw(p, seed) < rateMu)).cast("long"))
+          .otherwise(lit(0L)))
+      .drop("__ws", "__n")
+  }
+
   def spanCorrupt(
       df: DataFrame,
       idCol: String,

@@ -463,6 +463,65 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("normalizeText: typographic variants collapse; idempotent") {
+    val dirty = "“word’s” — a b…" +
+      "​zerobell \t multi   space "
+    val got = Seq(dirty).toDF("t")
+      .select(TextAnalysis.normalizeText(col("t"))).as[String].head()
+    assert(got == "\"word's\" - a b...zerobell multi space")
+    // idempotence: normalized text is a fixed point
+    val again = Seq(got).toDF("t")
+      .select(TextAnalysis.normalizeText(col("t"))).as[String].head()
+    assert(again == got)
+  }
+
+  test("winnowing: shared runs ≥ w+k−1 chars share a fingerprint; rightmost tie rule") {
+    val k = 8; val w = 6
+    // two docs sharing a 20-char run (> w+k-1 = 13)
+    val shared = "abcdefghijklmnopqrst"
+    val docs = Seq((1L, s"xxxyyzz $shared 111"), (2L, s"qqq $shared 999888"))
+      .toDF("doc_id", "text")
+    val fps = docs
+      .withColumn("__norm", regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+      .withColumn("__h", TextAnalysis.kgramHashes(col("__norm"), k, 13L))
+      .select(col("doc_id"),
+        explode(TextAnalysis.winnowFingerprints(col("__norm"), col("__h"), k, w))
+          .as("s"))
+      .select(col("doc_id"), col("s.fp")).as[(Long, Long)].collect()
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "winnowing guarantee violated: shared 20-char run, no shared fingerprint")
+    // driver reference replay (min by hash, tie -> rightmost)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s + ":13").take(15), 16)
+    val t = "xxxyyzz " + shared + " 111"
+    val hs = (0 to t.length - k).map(i => h60(t.substring(i, i + k)))
+    val ng = hs.length
+    val expect = (0 until math.max(ng - w + 1, 1)).map { j =>
+      val win = (j until math.min(j + w, ng)).map(i => (hs(i), -i))
+      val m = win.min
+      (-m._2 + 1, m._1) // 1-based pos
+    }.toSet
+    val got1 = docs.filter(col("doc_id") === 1L)
+      .withColumn("__norm", regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+      .withColumn("__h", TextAnalysis.kgramHashes(col("__norm"), k, 13L))
+      .select(explode(TextAnalysis.winnowFingerprints(
+        col("__norm"), col("__h"), k, w)).as("s"))
+      .select(col("s.pos"), col("s.fp")).as[(Int, Long)].collect().toSet
+    assert(got1 == expect)
+    // short text: below k chars → no fingerprints; k..w+k-2 chars → one window
+    val short = Seq((9L, "abc"), (10L, "abcdefghi")).toDF("doc_id", "text")
+      .withColumn("__norm", regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+      .withColumn("__h", TextAnalysis.kgramHashes(col("__norm"), k, 13L))
+      .select(col("doc_id"),
+        size(TextAnalysis.winnowFingerprints(col("__norm"), col("__h"), k, w))
+          .as("n")).as[(Long, Int)].collect().toMap
+    assert(short(9L) == 0 && short(10L) >= 1)
+  }
+
   test("datasheet: one row, hand-checked volume/diversity/dup/short counts") {
     val docs = Seq(
       (1L, "en", "s1", "alpha beta gamma"),

@@ -214,6 +214,38 @@ class TrainPrepSpec extends SparkSpec {
     assert(totals.forall(_._2 <= 60L) && totals.nonEmpty)
   }
 
+  test("mlmMask: deterministic, rate-consistent, only legal outputs") {
+    val df = Seq(
+      (1L, (1 to 400).map(i => s"tok$i").mkString(" ")),
+      (2L, "one two three"),
+      (3L, "")) // empty doc → '' and 0 masked
+      .toDF("doc_id", "text")
+    val out = TrainPrep.mlmMask(df, "doc_id", "text")
+      .select("doc_id", "mlm_text", "n_masked")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val out2 = TrainPrep.mlmMask(df, "doc_id", "text")
+      .select("doc_id", "mlm_text", "n_masked")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == out2.toSeq) // no RNG anywhere
+    assert(out(2) == ((3L, "", 0L)))
+    val (id1, text1, n1) = out(0)
+    assert(id1 == 1L)
+    val toks = text1.split(" ")
+    assert(toks.length == 400) // masking never changes length
+    // every output token is [MASK] or some original token
+    val orig = (1 to 400).map(i => s"tok$i").toSet
+    toks.foreach(t => assert(t == "[MASK]" || orig.contains(t)))
+    // n_masked tracks the 15% rate (binomial, 400 draws: 3σ ≈ 21)
+    assert(n1 > 60 - 21 && n1 < 60 + 21, s"n_masked $n1 far from 60")
+    // [MASK] count ≈ 80% of masked; replaced-or-kept make up the rest
+    val nMask = toks.count(_ == "[MASK]")
+    assert(nMask <= n1 && nMask >= (n1 * 0.5).toInt,
+      s"$nMask [MASK] of $n1 masked — sub-draw badly skewed")
+    // positions NOT masked are bit-identical to the input
+    val changed = toks.zipWithIndex.count { case (t, i) => t != s"tok${i + 1}" }
+    assert(changed <= n1) // kept-as-is masked positions may equal input
+  }
+
   test("spanCorrupt: reference-model parity, rate exact, short docs pass through") {
     // 45 tokens -> 2 full 20-blocks masked, 5-token tail untouched
     val df = Seq(
