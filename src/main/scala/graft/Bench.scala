@@ -140,7 +140,8 @@ object Bench {
     "q_cluster_balanced" -> 0.88, "q_wordpiece_vocab" -> 0.73,
     "q_wordpiece_tokenize" -> 1.00,
     "q_text_normalize" -> 0.23, "q_text_winnow" -> 1.11,
-    "q_mlm_mask" -> 0.37, "q_blocklist_gate" -> 0.25)
+    "q_mlm_mask" -> 0.37, "q_blocklist_gate" -> 0.25,
+    "q_winnow_pairs" -> 2.05, "q_sample_weighted_reservoir" -> 0.57)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

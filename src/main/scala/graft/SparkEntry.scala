@@ -2069,6 +2069,25 @@ object SparkEntry {
             col("__norm"), col("__h"), 8, 6)).as("s"))
         .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
     }),
+    // weighted reservoir (Efraimidis–Spirakis A-ES): ≤k per source with
+    // inclusion probability ∝ quality score — sample harder from good
+    // documents, still cover the tail; micro-rounded exponential keys
+    // so the ORDERING is cross-engine exact
+    "q_sample_weighted_reservoir" -> ((s, dir) =>
+      operators.Sampling.weightedReservoirPerGroup(
+          readWide(s, dir, "documents").withColumn("w_mu",
+            greatest(round(operators.TextAnalysis.qualityScore(col("text"))
+              * 1e6).cast("long"), lit(1L))),
+          "doc_id", "source", "w_mu", k = 12, seed = 5L)
+        .select("source", "doc_id", "sample_rank")),
+    // containment candidate pairs from shared winnowing fingerprints,
+    // df-cut (> 20-doc fingerprints discarded: non-discriminative AND
+    // the quadratic-bucket guard) — detects shared character runs
+    // ≥ w+k−1, the character-level complement of MinHash
+    "q_winnow_pairs" -> ((s, dir) =>
+      operators.Dedup.winnowPairs(readWide(s, dir, "documents"),
+        "doc_id", "text", k = 8, w = 6, seed = 13L,
+        maxDf = 20L, minShared = 2L)),
     // BERT-style MLM masking: 15% of positions masked — 80% [MASK],
     // 10% a random in-document token, 10% unchanged — all three draws
     // deterministic md5 buckets of (doc, position, seed)
@@ -5077,6 +5096,37 @@ object SparkEntry {
                AS BIGINT)
            > ('0x' || substr(md5(doc_id::VARCHAR || ':17'), 1, 8))::BIGINT
                % 1000000""",
+    // weighted reservoir: the q_domain_reweight score CTE, the
+    // micro-rounded exponential key, the same keyed window
+    "q_sample_weighted_reservoir" ->
+      """WITH t AS (SELECT doc_id, source, text, length(text) AS len,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+               AS ntok
+           FROM documents),
+         sc AS (SELECT doc_id, source,
+             CAST(round(round((CASE WHEN len BETWEEN 100 AND 10000 THEN 1.0
+                         WHEN len BETWEEN 20 AND 99 THEN 0.5 ELSE 0.0 END) * 0.3
+               + (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) /
+                   CAST(greatest(len, 1) AS DOUBLE)) * 0.3
+               + (1.0 - least((length(regexp_replace(text, '[^[:punct:]]', '', 'g')) /
+                   CAST(greatest(len, 1) AS DOUBLE)) * 5.0, 1.0)) * 0.2
+               + (CASE WHEN len / CAST(greatest(ntok, 1) AS DOUBLE)
+                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+               6) * 1e6) AS BIGINT) AS score_mu
+           FROM t),
+         wkey AS (SELECT doc_id, source,
+             CAST(floor(
+               ln(((('0x' || substr(md5(doc_id::VARCHAR || ':5'), 1, 8))::BIGINT
+                     % 1000000) + 1.0) / 1000001.0)
+               / (greatest(score_mu, 1) / 1000000.0) * 1000000.0)
+               AS BIGINT) AS key_mu
+           FROM sc),
+         r AS (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY key_mu DESC, doc_id) AS sample_rank
+           FROM wkey)
+         SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 12""",
     // normalization: the identical dirty-text construction, then the
     // identical 8-stage regex chain (RE2 ∩ java.util.regex, 'g' flags)
     "q_text_normalize" ->
@@ -5106,27 +5156,21 @@ object SparkEntry {
     // winnowing: exploded per-window argmin (ORDER BY h, i DESC = min
     // hash, tie → rightmost), distinct selected (pos, fp)
     "q_text_winnow" ->
-      """WITH t AS (SELECT doc_id,
-             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
-           FROM documents),
-         g AS (SELECT doc_id, CAST(i AS INT) AS i,
-             ('0x' || substr(md5(substr(nt, CAST(i AS INT), 8) || ':13'),
-               1, 15))::BIGINT AS h
-           FROM t, unnest(range(1, greatest(length(nt) - 7, 0) + 1)) r(i)),
-         ngc AS (SELECT doc_id,
-             CAST(greatest(length(nt) - 7, 0) AS INT) AS ng FROM t),
-         wnd AS (SELECT doc_id, CAST(j AS INT) AS j
-           FROM ngc, unnest(range(1, greatest(ng - 5, 1) + 1)) r(j)
-           WHERE ng >= 1),
-         cand AS (SELECT w.doc_id, w.j, g.i, g.h
-           FROM wnd w JOIN g ON g.doc_id = w.doc_id
-           WHERE g.i >= w.j AND g.i <= w.j + 5),
-         pick AS (SELECT doc_id, j, i, h,
-             row_number() OVER (PARTITION BY doc_id, j
-               ORDER BY h, i DESC) AS rn
-           FROM cand)
+      s"""WITH ${winnowCtes}
          SELECT DISTINCT doc_id, i AS pos, h AS fp
          FROM pick WHERE rn = 1""",
+    // containment candidates: same winnow replay, then the df-cut
+    // (discard fingerprints shared by > maxDf docs) and the shared-count
+    // pair aggregation
+    "q_winnow_pairs" ->
+      s"""WITH ${winnowCtes},
+         fps AS (SELECT DISTINCT doc_id, h AS fp FROM pick WHERE rn = 1),
+         keepfp AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+         fk AS (SELECT f.doc_id, f.fp FROM fps f JOIN keepfp USING (fp))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+         FROM fk a JOIN fk b ON a.fp = b.fp AND b.doc_id > a.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
     // MLM: replay the three md5 draws per position
     "q_mlm_mask" -> {
       def d(s: Int) =
@@ -5250,6 +5294,31 @@ object SparkEntry {
            SELECT word, '[UNK]' AS wp FROM (SELECT DISTINCT word FROM wf)
            WHERE length(word) > $w)"""
   }
+
+  /** Winnowing oracle CTE chain (k=8, w=6, seed 13): normalized text,
+    * k-gram md5 hashes, per-window candidates, and the argmin pick
+    * (`rn = 1` rows are the selected fingerprints — min hash, ties →
+    * rightmost position). Shared by q_text_winnow and q_winnow_pairs. */
+  private val winnowCtes: String =
+    """t AS (SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
+           FROM documents),
+         g AS (SELECT doc_id, CAST(i AS INT) AS i,
+             ('0x' || substr(md5(substr(nt, CAST(i AS INT), 8) || ':13'),
+               1, 15))::BIGINT AS h
+           FROM t, unnest(range(1, greatest(length(nt) - 7, 0) + 1)) r(i)),
+         ngc AS (SELECT doc_id,
+             CAST(greatest(length(nt) - 7, 0) AS INT) AS ng FROM t),
+         wnd AS (SELECT doc_id, CAST(j AS INT) AS j
+           FROM ngc, unnest(range(1, greatest(ng - 5, 1) + 1)) r(j)
+           WHERE ng >= 1),
+         cand AS (SELECT w.doc_id, w.j, g.i, g.h
+           FROM wnd w JOIN g ON g.doc_id = w.doc_id
+           WHERE g.i >= w.j AND g.i <= w.j + 5),
+         pick AS (SELECT doc_id, j, i, h,
+             row_number() OVER (PARTITION BY doc_id, j
+               ORDER BY h, i DESC) AS rn
+           FROM cand)"""
 
   /** DSIR oracle CTE chain (composed under an outer WITH): hashed
     * 3-gram bucket ids per doc, per-bucket target/raw counts, add-one

@@ -712,4 +712,47 @@ object Dedup {
       .select(col("id").as(idCol))
     fresh.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Containment/plagiarism candidate pairs from shared WINNOWING
+    * fingerprints ([[TextAnalysis.winnowFingerprints]]): documents
+    * sharing ≥ `minShared` selected fingerprints, after discarding
+    * fingerprints held by more than `maxDf` documents (the df-cut — a
+    * boilerplate gram shared by everyone is non-discriminative AND is
+    * what would otherwise make a fingerprint bucket quadratic). The
+    * winnowing guarantee makes this a detector for shared runs of
+    * ≥ w+k−1 chars, not just whole-document similarity — the
+    * character-level complement of the MinHash shingle pipeline.
+    *
+    * Plan: map-only fingerprinting; ONE groupBy(fp) for the df-cut
+    * (map-side combined); the pair join reuses the fp partitioning; the
+    * pair aggregation is bounded by the cut: ≤ maxDf² rows per kept
+    * fingerprint — never all-pairs.
+    *
+    * Output: `(id_a, id_b, shared_fps)` with id_a < id_b. */
+  def winnowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 6,
+      seed: Long = 13L,
+      maxDf: Long = 20L,
+      minShared: Long = 2L): DataFrame = {
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    val fps = df.withColumn("__norm", norm)
+      .withColumn("__h", TextAnalysis.kgramHashes(col("__norm"), k, seed))
+      .select(col(idCol),
+        explode(array_distinct(transform(
+          TextAnalysis.winnowFingerprints(col("__norm"), col("__h"), k, w),
+          s => s.getField("fp")))).as("fp"))
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    val fk = fps.join(keep, Seq("fp"))
+    val a = fk.select(col("fp"), col(idCol).as("id_a"))
+    val b = fk.select(col("fp"), col(idCol).as("id_b"))
+    a.join(b, a("fp") === b("fp") && col("id_b") > col("id_a"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

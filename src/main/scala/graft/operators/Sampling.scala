@@ -218,6 +218,41 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** WEIGHTED reservoir sampling per group (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): keep the k rows per group with the smallest
+    * exponential key `−ln(u)/w` — equivalently rank by `ln(u)/w`
+    * DESCENDING — where `u` is the row's deterministic uniform draw and
+    * `w` its weight; a row's inclusion probability is then proportional
+    * to its weight, without replacement. The weighted complement of
+    * [[reservoirPerGroup]] (which is the w≡1 case): sample harder from
+    * high-quality documents while still covering the tail.
+    *
+    * Determinism contract: u = (bucket+1)/(Resolution+1) ∈ (0,1] exact;
+    * the key is rounded to integer MICRO-units (floor(x·10⁶), exact-tie
+    * safe: ties then break on the id) so a 1-ulp `ln` disagreement
+    * between engines cannot reorder rows — the [[LmScore]] discipline
+    * applied to an ORDERING.
+    *
+    * One keyed window, same shape as [[reservoirPerGroup]]. Weights must
+    * be positive micro-units (`weightMuCol` > 0). */
+  def weightedReservoirPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      weightMuCol: String,
+      k: Int,
+      seed: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (hashBucket(col(idCol), seed).cast("double") + lit(1.0d)) /
+      lit((Resolution + 1).toDouble)
+    val keyMu = floor(log(u) / (col(weightMuCol).cast("double") / lit(1e6d)) *
+      lit(1e6d)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(keyMu.desc, col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Per-domain mixture weights from a per-row micro-unit quality
     * score — the lightweight DoReMi-style reweighting loop: domains
     * whose documents score higher get proportionally more sampling

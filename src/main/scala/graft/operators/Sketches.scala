@@ -383,6 +383,11 @@ object Sketches {
   // replayable cross-engine: a bit is set in the packed word iff its
   // position is in the distinct-position set, which is how the DuckDB
   // oracle states the same filter.
+  //
+  // Sizing: false-positive rate ≈ (1 − e^(−kn/m))^k for n built items —
+  // size m proportionally to the BUILD side's distinct item count
+  // (m ≈ 10·k·n keeps fill < ~0.26 and per-probe FP < ~2%); a fixed m
+  // saturates deterministically (never incorrectly) as n grows.
 
   /** The k bit positions of one item as an array column. */
   def bloomPositions(item: Column, mBits: Int, k: Int, seed: Long): Column =

@@ -92,6 +92,49 @@ class WebExtractSpec extends SparkSpec {
     assert(s5.select("source", "doc_id").except(s5c.select("source", "doc_id")).count() > 0)
   }
 
+  test("weightedReservoirPerGroup: A-ES semantics — bounded, deterministic, weight-sensitive") {
+    val weighted = docs.withColumn("w_mu",
+      greatest(round(TextAnalysis.qualityScore(col("text")) * 1e6)
+        .cast("long"), lit(1L)))
+    val s = Sampling.weightedReservoirPerGroup(weighted, "doc_id", "source",
+      "w_mu", k = 5, seed = 3L)
+    assert(s.groupBy("source").count().as[(String, Long)].collect()
+      .forall(_._2 <= 5))
+    val s2 = Sampling.weightedReservoirPerGroup(weighted, "doc_id", "source",
+      "w_mu", k = 5, seed = 3L)
+    assert(s.except(s2).isEmpty && s2.except(s).isEmpty) // deterministic
+    // driver replay: same buckets, same micro-rounded key, same window
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = weighted.select("doc_id", "source", "w_mu")
+      .as[(Long, String, Long)].collect()
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (src, rs) =>
+      rs.map { case (id, _, w) =>
+        val b = java.lang.Long.parseLong(md5hex(s"$id:3").take(8), 16) % 1000000L
+        val u = (b + 1.0) / 1000001.0
+        val key = math.floor(math.log(u) / (w / 1e6) * 1e6).toLong
+        (id, key)
+      }.sortBy { case (id, key) => (-key, id) }.take(5)
+        .zipWithIndex.map { case ((id, _), r) => (src, id, r + 1) }.toSeq
+    }.toSet
+    val got = s.select("source", "doc_id", "sample_rank")
+      .as[(String, Long, Int)].collect().toSet
+    assert(got == expect)
+    // weight sensitivity: give one specific row an enormous weight and
+    // it must enter its group's sample
+    val target = docs.select("doc_id", "source").as[(Long, String)].head()
+    val boosted = weighted.withColumn("w_mu",
+      when(col("doc_id") === target._1, lit(1000000000000L))
+        .otherwise(lit(1L)))
+    val sb = Sampling.weightedReservoirPerGroup(boosted, "doc_id", "source",
+      "w_mu", k = 1, seed = 3L)
+      .filter(col("source") === target._2)
+      .select("doc_id").as[Long].collect()
+    assert(sb.toSeq == Seq(target._1),
+      s"boosted row ${target._1} missing from its group sample")
+  }
+
   test("domainWeights: weights normalize to ~1e6 and order by mean score") {
     val scored = docs.withColumn("score_mu",
       round(TextAnalysis.qualityScore(col("text")) * 1e6).cast("long"))
