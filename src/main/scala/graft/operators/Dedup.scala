@@ -747,7 +747,12 @@ object Dedup {
           s => s.getField("fp")))).as("fp"))
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("fp")
-    val fk = fps.join(keep, Seq("fp"))
+    // eager checkpoint: the self-join references the kept-fingerprint
+    // table TWICE, and without pinning, each side re-derives every md5
+    // k-gram hash from the corpus (plan-audited: 4 parquet scans). One
+    // materialization; blocks are ContextCleaner-owned (cache-scope
+    // sanctioned)
+    val fk = fps.join(keep, Seq("fp")).localCheckpoint()
     val a = fk.select(col("fp"), col(idCol).as("id_a"))
     val b = fk.select(col("fp"), col(idCol).as("id_b"))
     a.join(b, a("fp") === b("fp") && col("id_b") > col("id_a"))
