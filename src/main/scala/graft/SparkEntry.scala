@@ -1981,6 +1981,13 @@ object SparkEntry {
       operators.LmScore.trigramLogProb(
           readWide(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "logprob3_micros", "n_trigrams")),
+    // interpolated Kneser–Ney trigram scoring (the KenLM smoothing):
+    // absolute discount + continuation-probability backoff, all from
+    // integer type/token counts — the full KN recursion replays in SQL
+    "q_lm_kn_score" -> ((s, dir) =>
+      operators.LmScore.kneserNeyTrigram(
+          readWide(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "logprob_kn_micros", "n_trigrams")),
     // fixed-threshold perplexity filter (CCNet shape): keep documents
     // whose mean per-trigram log-prob clears the reference cut
     "q_ppl_filter" -> ((s, dir) =>
@@ -2069,6 +2076,14 @@ object SparkEntry {
             col("__norm"), col("__h"), 8, 6)).as("s"))
         .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
     }),
+    // per-source distribution drift vs the corpus: KL over the same
+    // hashed 3-gram buckets, per-bucket terms nano-rounded BEFORE the
+    // per-group sum (order-free integer aggregate) — the monitor that
+    // tells a recurring ingest when to re-estimate its DSIR ratios
+    "q_domain_drift" -> ((s, dir) =>
+      operators.Dsir.domainDrift(readWide(s, dir, "documents"),
+          "source", "text", 16)
+        .select("source", "n_grams", "kl_nano")),
     // weighted reservoir (Efraimidis–Spirakis A-ES): ≤k per source with
     // inclusion probability ∝ quality score — sample harder from good
     // documents, still cover the tail; micro-rounded exponential keys
@@ -5096,6 +5111,93 @@ object SparkEntry {
                AS BIGINT)
            > ('0x' || substr(md5(doc_id::VARCHAR || ':17'), 1, 8))::BIGINT
                % 1000000""",
+    // Kneser–Ney: the same trigram/bigram explode, then the count/type
+    // tables and the exact double chain (operand order mirrored)
+    "q_lm_kn_score" ->
+      """WITH d AS (SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         tr AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+             ws[CAST(i AS INT) + 1] AS w2, ws[CAST(i AS INT) + 2] AS w3
+           FROM d, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) t(i)),
+         bp AS (SELECT ws[CAST(i AS INT)] AS wa,
+             ws[CAST(i AS INT) + 1] AS wb
+           FROM d, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) t(i)),
+         bic AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS c2
+           FROM bp GROUP BY 1, 2),
+         trt AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+           FROM tr GROUP BY 1, 2, 3),
+         nf2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS nf2
+           FROM trt GROUP BY 1, 2),
+         np AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS np
+           FROM trt GROUP BY 1, 2),
+         nm AS (SELECT w2, CAST(count(*) AS BIGINT) AS nm
+           FROM trt GROUP BY 1),
+         nf1 AS (SELECT wa AS w2, CAST(count(*) AS BIGINT) AS nf1
+           FROM bic GROUP BY 1),
+         cw AS (SELECT wb AS w3, CAST(count(*) AS BIGINT) AS ct
+           FROM bic GROUP BY 1),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM bic),
+         sc AS (SELECT t.doc_id,
+             CAST(round(ln(
+               greatest(trt.c3 - 0.75, 0.0) / bi12.c2 +
+               0.75 * nf2.nf2 / bi12.c2 *
+                 (greatest(np.np - 0.75, 0.0) / nm.nm +
+                  0.75 * nf1.nf1 / nm.nm *
+                    (cw.ct / CAST(nt.ntypes AS DOUBLE)))
+             ) * 1000000.0) AS BIGINT) AS term
+           FROM tr t
+           JOIN trt ON t.w1 = trt.w1 AND t.w2 = trt.w2 AND t.w3 = trt.w3
+           JOIN bic bi12 ON bi12.wa = t.w1 AND bi12.wb = t.w2
+           JOIN nf2 ON nf2.w1 = t.w1 AND nf2.w2 = t.w2
+           JOIN np ON np.w2 = t.w2 AND np.w3 = t.w3
+           JOIN nm ON nm.w2 = t.w2
+           JOIN nf1 ON nf1.w2 = t.w2
+           JOIN cw ON cw.w3 = t.w3, nt),
+         ag AS (SELECT doc_id,
+             CAST(sum(term) AS BIGINT) AS logprob_kn_micros,
+             CAST(count(*) AS BIGINT) AS n_trigrams
+           FROM sc GROUP BY 1)
+         SELECT d0.doc_id, d0.lang,
+           coalesce(ag.logprob_kn_micros, 0) AS logprob_kn_micros,
+           coalesce(ag.n_trigrams, 0) AS n_trigrams
+         FROM documents d0 LEFT JOIN ag ON d0.doc_id = ag.doc_id""",
+    // drift: densified (source × bucket) counts — zero-count buckets
+    // CONTRIBUTE to KL, so the sparse count table left-joins a spine
+    "q_domain_drift" ->
+      """WITH g AS (
+           SELECT source,
+             list_transform(
+               list_filter(
+                 list_transform(
+                   range(1, greatest(length(lower(text)) - 2, 0) + 1),
+                   i -> substr(lower(text), i, 3)),
+                 t -> length(t) = 3),
+               t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 16) AS bids
+           FROM documents),
+         e AS (SELECT source, unnest(bids) AS b FROM g),
+         gb AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c_gb
+           FROM e GROUP BY 1, 2),
+         src AS (SELECT DISTINCT source FROM documents),
+         dense AS (SELECT s.source, r.b, COALESCE(gb.c_gb, 0) AS c_gb
+           FROM src s CROSS JOIN range(0, 16) r(b)
+           LEFT JOIN gb ON gb.source = s.source AND gb.b = r.b),
+         bb AS (SELECT b, CAST(sum(c_gb) AS BIGINT) AS c_b
+           FROM dense GROUP BY b),
+         tg AS (SELECT source, CAST(sum(c_gb) AS BIGINT) AS t_g
+           FROM dense GROUP BY source),
+         tt AS (SELECT CAST(sum(c_b) AS BIGINT) AS t FROM bb),
+         terms AS (SELECT d.source,
+             CAST(round(
+               ((d.c_gb + 1.0) / (tg.t_g + 16.0)) *
+               ln(((d.c_gb + 1.0) / (tg.t_g + 16.0)) /
+                  ((bb.c_b + 1.0) / (tt.t + 16.0))) * 1000000000.0)
+               AS BIGINT) AS term
+           FROM dense d JOIN bb USING (b) JOIN tg USING (source), tt)
+         SELECT t.source, tg.t_g AS n_grams,
+           CAST(sum(t.term) AS BIGINT) AS kl_nano
+         FROM terms t JOIN tg USING (source)
+         GROUP BY 1, 2""",
     // weighted reservoir: the q_domain_reweight score CTE, the
     // micro-rounded exponential key, the same keyed window
     "q_sample_weighted_reservoir" ->

@@ -137,6 +137,50 @@ object Dsir {
     scored.filter(keepProbMu > Sampling.hashBucket(col(idCol), seed))
   }
 
+  /** Per-group distribution drift vs the whole corpus: KL(p_g ‖ q) over
+    * the same hashed 3-gram buckets, add-one smoothed — the
+    * "has this source's content shifted" monitor a recurring ingest
+    * pipeline runs per batch (and the quantitative basis for re-running
+    * [[dsirWeights]] with fresh ratios). Each of the G·B per-bucket
+    * terms is rounded to integer NANO-units before the per-group sum,
+    * so the divergence is an order-free integer aggregate (the
+    * [[LmScore]] discipline at a finer grain — KL terms are ~10⁻³).
+    *
+    * ONE corpus scan (the posexplode collapses to ≤G·B rows per task in
+    * the partial aggregate); everything after runs on the G·B-row count
+    * table. Output: `(groupCol, n_grams, kl_nano)`, G rows. */
+  def domainDrift(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val perDoc = df.select(col(groupCol).as("__g"),
+      bucketCounts(col(textCol), buckets).as("__c"))
+    // dense per group: every doc's array has length `buckets`
+    val byGB = perDoc
+      .select(col("__g"), posexplode(col("__c")).as(Seq("bucket", "cnt")))
+      .groupBy(col("__g"), col("bucket"))
+      .agg(sum(col("cnt")).as("c_gb"))
+    val byB = byGB.groupBy(col("bucket"))
+      .agg(sum(col("c_gb")).as("c_b"))
+    val totG = byGB.groupBy(col("__g")).agg(sum(col("c_gb")).as("t_g"))
+    val tot = byB.agg(sum(col("c_b")).as("t"))
+    val p = (col("c_gb").cast("double") + lit(1.0d)) /
+      (col("t_g").cast("double") + lit(buckets.toDouble))
+    val q = (col("c_b").cast("double") + lit(1.0d)) /
+      (col("t").cast("double") + lit(buckets.toDouble))
+    byGB
+      .join(broadcast(byB), Seq("bucket"))
+      .join(broadcast(totG), Seq("__g"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__term_nano", round(p * log(p / q) * lit(1e9d)).cast("long"))
+      .groupBy(col("__g"))
+      .agg(first(col("t_g")).as("n_grams"),
+        sum(col("__term_nano")).as("kl_nano"))
+      .withColumnRenamed("__g", groupCol)
+  }
+
   /** The composed selector: estimate → weight → resample, one operator
     * call for the common case. Two corpus scans total (distribution
     * estimate + map-only score/filter), both shuffle-free past the

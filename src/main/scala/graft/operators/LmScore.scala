@@ -73,6 +73,105 @@ object LmScore {
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
 
+  /** Interpolated Kneser–Ney trigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999 — the KenLM smoothing): absolute discount `d` at the
+    * trigram level backing off into CONTINUATION probabilities, which
+    * ask "how many distinct contexts does this word complete" instead of
+    * "how often does it occur" — the fix for high-frequency words that
+    * only ever follow one context.
+    *
+    *   P(w3|w1w2) = max(c(w1w2w3)−d,0)/c(w1w2)
+    *                + d·N1+(w1w2·)/c(w1w2) · Pmid(w3|w2)
+    *   Pmid(w3|w2) = max(N1+(·w2w3)−d,0)/N1+(·w2·)
+    *                + d·N1+(w2·)/N1+(·w2·) · Pcont(w3)
+    *   Pcont(w3)  = N1+(·w3) / |distinct bigram types|
+    *
+    * Scoring the training corpus itself, every denominator is positive
+    * (each scored trigram was observed). All inputs are integer type/
+    * token counts, the probability is one fixed double chain, and the
+    * `ln` sits behind micro-unit rounding — the module's determinism
+    * contract, so the full KN recursion replays exactly in SQL.
+    *
+    * Scale shape: the count/type tables all derive from the trigram and
+    * bigram TYPE tables (vocabulary-bounded, map-side-combined
+    * aggregations); scoring joins the exploded trigrams to seven small
+    * tables on word keys (broadcast when the model is small,
+    * co-partitioned hash joins at corpus scale). Driver state: ONE
+    * scalar (the distinct-bigram-type count).
+    *
+    * Appends `logprob_kn_micros` and `n_trigrams`. */
+  def kneserNeyTrigram(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75d): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val id = col(idCol)
+    val words = df.select(id.as("__id"), toks(col(textCol)).as("__w"))
+    val tris = words.select(col("__id"),
+      explode(when(size(col("__w")) >= 3,
+        transform(sequence(lit(0), size(col("__w")) - lit(3)),
+          i => struct(
+            element_at(col("__w"), i + lit(1)).as("w1"),
+            element_at(col("__w"), i + lit(2)).as("w2"),
+            element_at(col("__w"), i + lit(3)).as("w3"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>")))
+        .as("__t"))
+      .select(col("__id"), col("__t.w1").as("w1"), col("__t.w2").as("w2"),
+        col("__t.w3").as("w3"))
+    val bis = words.select(explode(when(size(col("__w")) >= 2,
+        transform(sequence(lit(0), size(col("__w")) - lit(2)),
+          i => struct(
+            element_at(col("__w"), i + lit(1)).as("wa"),
+            element_at(col("__w"), i + lit(2)).as("wb"))))
+        .otherwise(array().cast("array<struct<wa:string,wb:string>>")))
+        .as("__p"))
+      .select(col("__p.wa").as("wa"), col("__p.wb").as("wb"))
+
+    val biCnt = bis.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("__c2"))
+    val triType = tris.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__c3"))
+    val n1Follow2 = triType.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__nf2"))
+    val n1Prec = triType.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__np"))
+    val n1Mid = triType.groupBy(col("w2")).agg(count(lit(1)).as("__nm"))
+    val n1Follow1 = biCnt.groupBy(col("wa")).agg(count(lit(1)).as("__nf1"))
+    val contOf = biCnt.groupBy(col("wb")).agg(count(lit(1)).as("__ct"))
+    // ONE driver scalar, from the vocabulary-bounded bigram type table
+    val nTypes = biCnt.count()
+
+    val d = discount
+    val pcont = col("__ct").cast("double") / lit(nTypes.toDouble)
+    val pmid =
+      greatest(col("__np").cast("double") - lit(d), lit(0.0d)) /
+        col("__nm").cast("double") +
+      lit(d) * col("__nf1").cast("double") / col("__nm").cast("double") * pcont
+    val pkn =
+      greatest(col("__c3").cast("double") - lit(d), lit(0.0d)) /
+        col("__c12").cast("double") +
+      lit(d) * col("__nf2").cast("double") / col("__c12").cast("double") * pmid
+    val term = round(log(pkn) * lit(1000000.0d)).cast("long")
+
+    val scored = tris
+      .join(triType, Seq("w1", "w2", "w3"))
+      .join(biCnt.select(col("wa").as("w1"), col("wb").as("w2"),
+        col("__c2").as("__c12")), Seq("w1", "w2"))
+      .join(n1Follow2, Seq("w1", "w2"))
+      .join(n1Prec, Seq("w2", "w3"))
+      .join(n1Mid, Seq("w2"))
+      .join(n1Follow1.select(col("wa").as("w2"), col("__nf1")), Seq("w2"))
+      .join(contOf.select(col("wb").as("w3"), col("__ct")), Seq("w3"))
+      .select(col("__id"), term.as("__t"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__t")).as("logprob_kn_micros"),
+        count(lit(1)).as("n_trigrams"))
+    df.join(scored, id === scored("__id"), "left")
+      .drop("__id")
+      .withColumn("logprob_kn_micros", coalesce(col("logprob_kn_micros"), lit(0L)))
+      .withColumn("n_trigrams", coalesce(col("n_trigrams"), lit(0L)))
+  }
+
   /** Interpolated trigram scoring — the next rung up from
     * [[bigramLogProb]] and the standard CCNet/KenLM-lite formulation:
     * each trigram scores `ln(λ₃P₃ + λ₂P₂ + λ₁P₁)` where the three

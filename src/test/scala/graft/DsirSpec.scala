@@ -129,6 +129,29 @@ class DsirSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("domainDrift: KL ≥ 0 (mod rounding), shifted group scores highest, G rows") {
+    val grouped = Seq(
+      (1L, "mix", "alpha beta gamma delta epsilon"),
+      (2L, "mix", "zeta eta theta iota kappa"),
+      (3L, "mix", "lambda mu nu xi omicron"),
+      (4L, "shifted", "zzzz zzzz zzzz zzzz zzzz zzzz zzzz zzzz"))
+      .toDF("doc_id", "source", "text")
+    val drift = Dsir.domainDrift(grouped, "source", "text", B)
+      .select("source", "kl_nano").as[(String, Long)].collect().toMap
+    assert(drift.size == 2)
+    // KL is non-negative up to B half-nano rounding slack
+    drift.values.foreach(kl => assert(kl >= -B / 2 - 1, s"negative KL $kl"))
+    // the degenerate single-gram group diverges more than the mixed one
+    assert(drift("shifted") > drift("mix"))
+    // n_grams totals the group's gram count
+    val grams = grouped.select(col("source"),
+      greatest(length(lower(col("text"))) - 2, lit(0)).as("g"))
+      .groupBy("source").agg(sum("g")).as[(String, Long)].collect().toMap
+    val ng = Dsir.domainDrift(grouped, "source", "text", B)
+      .select("source", "n_grams").as[(String, Long)].collect().toMap
+    assert(ng == grams)
+  }
+
   test("scoring is map-only: no exchange in the weight projection") {
     // pass 1 (estimation) aggregates; pass 2 must be shuffle-free. Build
     // the literal the same way dsirWeights does, then check the plan of

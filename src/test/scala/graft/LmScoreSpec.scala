@@ -57,4 +57,39 @@ class LmScoreSpec extends SparkSpec {
     assert(out(1) == ((2L, 0L, 0L))) // two tokens: no trigrams
     assert(out(2) == ((3L, 0L, 0L)))
   }
+
+  test("Kneser–Ney: hand-replayed recursion on a tiny corpus") {
+    // corpus "a b c a b c" ∪ "x y": trigrams (a,b,c)×2, (b,c,a),
+    // (c,a,b); bigram types (a,b), (b,c), (c,a), (x,y) → 4 types
+    val docs = Seq((1L, "a b c a b c"), (2L, "x y"), (3L, ""))
+      .toDF("doc_id", "text")
+    val d = 0.75
+    val nTypes = 4.0
+    // continuation counts: ct(b)=1 (only a·b), ct(c)=1, ct(a)=1
+    // trigram types: abc, bca, cab → nf2(a,b)=1, np(b,c)=1, nm(b)=1 …
+    def kn(c3: Long, c12: Long, nf2: Long, np: Long, nm: Long, nf1: Long,
+        ct: Long): Long = {
+      val pcont = ct / nTypes
+      val pmid = math.max(np - d, 0.0) / nm + d * nf1 / nm * pcont
+      val p = math.max(c3 - d, 0.0) / c12 + d * nf2 / c12 * pmid
+      math.round(math.log(p) * 1e6)
+    }
+    // (a,b,c): c3=2, c12=c(a,b)=2, nf2(a,b)=1, np(b,c)=1, nm(b)=1,
+    //          nf1(b)=1 (b followed only by c), ct(c)=1
+    val abc = kn(2, 2, 1, 1, 1, 1, 1)
+    // (b,c,a): c3=1, c12=c(b,c)=2, nf2(b,c)=1, np(c,a)=1, nm(c)=1,
+    //          nf1(c)=1, ct(a)=1
+    val bca = kn(1, 2, 1, 1, 1, 1, 1)
+    // (c,a,b): c3=1, c12=c(c,a)=1, nf2(c,a)=1, np(a,b)=1, nm(a)=1,
+    //          nf1(a)=1, ct(b)=1
+    val cab = kn(1, 1, 1, 1, 1, 1, 1)
+    val out = LmScore.kneserNeyTrigram(docs, "doc_id", "text")
+      .select("doc_id", "n_trigrams", "logprob_kn_micros")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 4L, 2 * abc + bca + cab)))
+    assert(out(1) == ((2L, 0L, 0L)))
+    assert(out(2) == ((3L, 0L, 0L)))
+    // proper probabilities: every per-doc sum is negative when trigrams exist
+    assert(out(0)._3 < 0)
+  }
 }
