@@ -2076,6 +2076,19 @@ object SparkEntry {
             col("__norm"), col("__h"), 8, 6)).as("s"))
         .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
     }),
+    // within-doc repeat excision (generation-loop/stutter cleanup):
+    // later occurrences of a repeated k-token window excise, first
+    // occurrence protected — a MAP-ONLY array-expression projection
+    "q_self_repeat" -> ((s, dir) =>
+      operators.CorpusClean.selfRepeatExcise(
+        readWide(s, dir, "documents"), "doc_id", "text", k = 3)),
+    // shard manifest: per-shard row/char volume + an order-free XOR
+    // content checksum — the integrity gate a training job checks
+    // before reading a materialized corpus
+    "q_shard_manifest" -> ((s, dir) =>
+      operators.TrainPrep.shardManifest(
+        readWide(s, dir, "documents"), "doc_id", "text",
+        numShards = 16, seed = 9L)),
     // per-source distribution drift vs the corpus: KL over the same
     // hashed 3-gram buckets, per-bucket terms nano-rounded BEFORE the
     // per-group sum (order-free integer aggregate) — the monitor that
@@ -5111,6 +5124,60 @@ object SparkEntry {
                AS BIGINT)
            > ('0x' || substr(md5(doc_id::VARCHAR || ':17'), 1, 8))::BIGINT
                % 1000000""",
+    // self-repeat: list-lambda replay of the window-hash dup/protect
+    // sets and the coverage-difference excision
+    "q_self_repeat" ->
+      """WITH b AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> length(x) > 0) AS toks
+           FROM documents),
+         h AS (SELECT doc_id, toks, len(toks) AS nt,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(0, len(toks) - 2), i ->
+                 ('0x' || substr(md5(array_to_string(
+                   toks[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ')),
+                   1, 15))::BIGINT)
+             ELSE [] END AS hs
+           FROM b),
+         m AS (SELECT doc_id, toks, nt, hs, len(hs) AS nw,
+             list_filter(range(0, len(hs)),
+               i -> list_position(hs, hs[CAST(i + 1 AS INT)]) - 1 < i)
+               AS dup_i,
+             list_filter(range(0, len(hs)), i ->
+               list_position(hs, hs[CAST(i + 1 AS INT)]) - 1 = i AND
+               len(list_filter(hs, (x, j) -> j - 1 > i AND
+                 x = hs[CAST(i + 1 AS INT)])) > 0) AS first_i
+           FROM h),
+         c AS (SELECT doc_id, toks, nt,
+             list_distinct(flatten(list_transform(dup_i,
+               i -> range(i, i + 3)))) AS cov_dup,
+             list_distinct(flatten(list_transform(first_i,
+               i -> range(i, i + 3)))) AS cov_first
+           FROM m),
+         x AS (SELECT doc_id, toks, nt,
+             list_filter(cov_dup, p -> NOT list_contains(cov_first, p))
+               AS cut
+           FROM c),
+         kpt AS (SELECT doc_id, toks, nt,
+             list_filter(range(0, nt), p -> NOT list_contains(cut, p))
+               AS kept
+           FROM x)
+         SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+           CAST(nt - len(kept) AS BIGINT) AS n_removed,
+           array_to_string(list_transform(kept,
+             p -> toks[CAST(p + 1 AS INT)]), ' ') AS self_text
+         FROM kpt""",
+    // manifest: same md5 shard + row-hash idioms, bit_xor checksum
+    "q_shard_manifest" ->
+      """SELECT
+           CAST(('0x' || substr(md5(doc_id::VARCHAR || ':9'), 1, 8))::BIGINT
+             % 16 AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text),
+             1, 15))::BIGINT) AS BIGINT) AS content_hash
+         FROM documents
+         GROUP BY 1""",
     // Kneser–Ney: the same trigram/bigram explode, then the count/type
     // tables and the exact double chain (operand order mirrored)
     "q_lm_kn_score" ->

@@ -115,6 +115,65 @@ object CorpusClean {
     * Output: `(idCol, n_tokens, n_removed, sub_text)` for every input
     * row; `sub_text` is whitespace-normalized (tokens re-joined with
     * single spaces). */
+  /** WITHIN-document repeat excision — the self-repetition complement
+    * of [[substringDedup]] (which deliberately keeps within-doc repeats
+    * as non-evidence): any k-token window whose hash already occurred
+    * EARLIER in the same document is excised, except that each repeated
+    * window's FIRST occurrence is protected — `"x y z x y z"` (k=3)
+    * → `"x y z"`, and an n-long single-token run collapses to k tokens.
+    * The cleanup for generation loops and stuttered boilerplate.
+    *
+    * Entirely per-row array expressions — a MAP-ONLY projection with no
+    * shuffle and no state at any scale. Per-doc cost is O(windows²)
+    * long-hash comparisons (`array_position` per window); fine for
+    * documents up to tens of thousands of tokens — chunk longer ones
+    * first ([[graft.operators.TrainPrep.chunkDocuments]]).
+    *
+    * Output: `(idCol, n_tokens, n_removed, self_text)`. */
+  def selfRepeatExcise(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 2, "window width must be >= 2")
+    val base = df.select(col(idCol),
+      filter(toks(col(textCol)), t => length(t) > 0).as("__toks"))
+    val withHs = base.withColumn("__hs",
+      when(size(col("__toks")) >= k,
+        transform(sequence(lit(0), size(col("__toks")) - lit(k)),
+          i => conv(substring(md5(
+            concat_ws(" ", slice(col("__toks"), i + lit(1), lit(k)))),
+            1, 15), 16, 10).cast("long")))
+        .otherwise(array().cast("array<bigint>")))
+    val nw = size(col("__hs"))
+    // dup(i): this window's hash occurred earlier; firstDup(i): the
+    // first occurrence of a hash that recurs later
+    val dupIdx = filter(sequence(lit(0), nw - 1),
+      i => array_position(col("__hs"), element_at(col("__hs"), i + 1)) - 1 < i)
+    val firstDupIdx = filter(sequence(lit(0), nw - 1), i =>
+      (array_position(col("__hs"), element_at(col("__hs"), i + 1)) - 1 === i) &&
+        size(filter(col("__hs"),
+          (x, j) => j > i && x === element_at(col("__hs"), i + 1))) > 0)
+    def cov(idx: Column) =
+      array_distinct(flatten(transform(idx, i => sequence(i, i + lit(k - 1)))))
+    val cut = array_except(cov(dupIdx), cov(firstDupIdx))
+    val out = withHs
+      .withColumn("__cut", when(nw > 0, cut).otherwise(array().cast("array<int>")))
+      .withColumn("__kept",
+        filter(
+          when(size(col("__toks")) > 0,
+            sequence(lit(0), size(col("__toks")) - lit(1)))
+            .otherwise(array().cast("array<int>")),
+          p => !array_contains(col("__cut"), p)))
+    out.select(
+      col(idCol),
+      size(col("__toks")).cast("long").as("n_tokens"),
+      (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"),
+      concat_ws(" ",
+        transform(col("__kept"), p => element_at(col("__toks"), p + lit(1))))
+        .as("self_text"))
+  }
+
   def substringDedup(
       df: DataFrame,
       idCol: String,

@@ -118,6 +118,37 @@ object TrainPrep {
       .drop("__key")
   }
 
+  /** Shard manifest — the integrity artifact a training job validates
+    * before reading a materialized corpus: per shard, the row count,
+    * character volume, and an ORDER-FREE content checksum (`bit_xor` of
+    * each row's md5-derived 60-bit content hash — XOR commutes, so the
+    * checksum is independent of partitioning and write order, and any
+    * single changed/missing/duplicated row flips it). One map-side-
+    * combined aggregation; ≤ numShards rows.
+    *
+    * Output: `(shard, n_rows, n_chars, content_hash)`. */
+  def shardManifest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numShards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val shard = pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(s":$seed"))),
+        1, 8), 16, 10).cast("long"),
+      lit(numShards.toLong)).cast("int")
+    val rowHash = conv(substring(md5(
+      concat(col(idCol).cast("string"), lit(":"), col(textCol))),
+      1, 15), 16, 10).cast("long")
+    df.select(shard.as("shard"), length(col(textCol)).cast("long").as("__len"),
+        rowHash.as("__rh"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__len")).as("n_chars"),
+        expr("bit_xor(__rh)").as("content_hash"))
+  }
+
   /** Global ordered-prefix selection under a token budget: order the
     * corpus by (score desc, id asc) and keep rows while the running token
     * total stays ≤ `budgetTokens` — "take the best N tokens", the

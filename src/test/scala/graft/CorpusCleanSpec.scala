@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.CorpusClean
+import graft.operators.{CorpusClean, TrainPrep}
 import org.apache.spark.sql.Row
 
 /** Unit tests for the corpus-cleaning passes on crafted documents where
@@ -127,5 +127,56 @@ class CorpusCleanSpec extends SparkSpec {
     // are digit/dot transitions) — documented RE2-compatible behavior, same
     // in the oracle engine
     assert(out(1).getLong(1) === 0L && out(1).getLong(3) === 0L)
+  }
+
+  test("selfRepeatExcise: loops collapse, first occurrence survives, no-repeat docs untouched") {
+    val df = Seq(
+      (1L, "x y z x y z"),          // exact repeat → first copy kept
+      (2L, "a a a a a a a a"),      // run: collapses to the k-window
+      (3L, "p q r s t u v"),        // no repeats → unchanged
+      (4L, "go go go stop go go go stop"), // repeated phrase mid-doc
+      (5L, "one two"),              // below k → unchanged
+      (6L, ""))                     // empty
+      .toDF("doc_id", "text")
+    val out = CorpusClean.selfRepeatExcise(df, "doc_id", "text", k = 3)
+      .select("doc_id", "n_tokens", "n_removed", "self_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 6L, 3L, "x y z")))
+    assert(out(1) == ((2L, 8L, 5L, "a a a")))
+    assert(out(2) == ((3L, 7L, 0L, "p q r s t u v")))
+    // doc 4: windows repeat starting at position 4 ("go go go"), the
+    // protected firsts cover 0..2 and 1..3; dup coverage is 4..7 minus
+    // nothing protected there → the second phrase excises entirely
+    assert(out(3)._3 > 0 && out(3)._4.startsWith("go go go stop"))
+    assert(out(4) == ((5L, 2L, 0L, "one two")))
+    assert(out(5) == ((6L, 0L, 0L, "")))
+    // idempotence: a second pass removes nothing further
+    val again = CorpusClean.selfRepeatExcise(
+      out.map(r => (r._1, r._4)).toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", k = 3)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect()
+    assert(again.forall(_._2 == 0L))
+  }
+
+  test("shardManifest: partition-invariant checksums, volumes add up") {
+    import org.apache.spark.sql.functions.{col, length, sum}
+    val df = Seq.tabulate(100)(i => (i.toLong, s"text body number $i"))
+      .toDF("doc_id", "text")
+    val m1 = TrainPrep.shardManifest(df, "doc_id", "text", 8, seed = 9L)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    val m2 = TrainPrep.shardManifest(df.repartition(13), "doc_id", "text", 8, 9L)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(m1.toSeq == m2.toSeq) // XOR checksum is order/partitioning-free
+    assert(m1.map(_._2).sum == 100L)
+    assert(m1.map(_._3).sum ==
+      df.select(sum(length(col("text")))).as[Long].head())
+    // a single mutated row flips exactly its shard's checksum
+    val df2 = Seq.tabulate(100)(i =>
+      (i.toLong, if (i == 42) "tampered" else s"text body number $i"))
+      .toDF("doc_id", "text")
+    val m3 = TrainPrep.shardManifest(df2, "doc_id", "text", 8, 9L)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    val diff = m1.zip(m3).count { case (a, b) => a._4 != b._4 }
+    assert(diff == 1)
   }
 }
