@@ -143,7 +143,8 @@ object Bench {
     "q_mlm_mask" -> 0.37, "q_blocklist_gate" -> 0.25,
     "q_winnow_pairs" -> 2.05, "q_sample_weighted_reservoir" -> 0.57,
     "q_lm_kn_score" -> 0.73, "q_domain_drift" -> 1.30,
-    "q_self_repeat" -> 0.31, "q_shard_manifest" -> 0.36)
+    "q_self_repeat" -> 0.31, "q_shard_manifest" -> 0.36,
+    "q_dedup_prefix_join" -> 2.26)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

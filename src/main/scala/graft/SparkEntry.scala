@@ -2076,6 +2076,13 @@ object SparkEntry {
             col("__norm"), col("__h"), 8, 6)).as("s"))
         .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
     }),
+    // EXACT set-similarity join via prefix filtering (SSJoin/PPJoin):
+    // every J ≥ 0.8 pair, no LSH false negatives — rare-first prefix
+    // join for candidates, exact Jaccard verify. The oracle is plain
+    // brute force BECAUSE the algorithm is exact
+    "q_dedup_prefix_join" -> ((s, dir) =>
+      operators.Dedup.prefixFilterPairs(
+        readWide(s, dir, "documents"), "doc_id", "text")),
     // within-doc repeat excision (generation-loop/stutter cleanup):
     // later occurrences of a repeated k-token window excise, first
     // occurrence protected — a MAP-ONLY array-expression projection
@@ -5124,6 +5131,26 @@ object SparkEntry {
                AS BIGINT)
            > ('0x' || substr(md5(doc_id::VARCHAR || ':17'), 1, 8))::BIGINT
                % 1000000""",
+    // prefix join: the algorithm is EXACT, so the oracle is the plain
+    // all-pairs Jaccard truth at the threshold
+    "q_dedup_prefix_join" ->
+      """WITH w AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS s
+           FROM w),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS i,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+           FROM sh a JOIN sh b ON b.doc_id > a.doc_id)
+         SELECT id_a, id_b,
+           CAST(round(i / CAST(u AS DOUBLE) * 1000000.0) AS BIGINT)
+             AS jaccard_micro
+         FROM p WHERE i / CAST(u AS DOUBLE) >= 0.8""",
     // self-repeat: list-lambda replay of the window-hash dup/protect
     // sets and the coverage-difference excision
     "q_self_repeat" ->

@@ -713,6 +713,59 @@ object Dedup {
     fresh.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** EXACT set-similarity join by prefix filtering (Chaudhuri, Ganti &
+    * Kaushik 2006 / PPJoin lineage) — the exact-threshold complement of
+    * MinHash-LSH: returns EVERY pair with shingle Jaccard ≥ `threshold`
+    * (no LSH false negatives to measure or tune away), while still
+    * never going all-pairs. The filter: order all shingles globally by
+    * (corpus frequency asc, shingle) — rare first — and keep each
+    * document's first `|s| − ⌈t·|s|⌉ + 1` shingles as its PREFIX; any
+    * pair at J ≥ t must share a prefix shingle (the smallest common
+    * element in the global order lands in both prefixes), so joining on
+    * prefix shingles is candidate-complete, and rare-first ordering
+    * keeps the buckets small. Candidates then verify with exact
+    * [[ngramJaccard]].
+    *
+    * ⌈t·n⌉ is computed in INTEGER arithmetic (`(tMu·n + 999999) div
+    * 10⁶`) — a float `ceil(0.8·n)` rounds up on exact multiples
+    * (0.8·5 = 4.000…001) and would shorten the prefix below the
+    * completeness bound.
+    *
+    * Plan: one frequency aggregation (map-side combined), one keyed
+    * window per doc for ranks, the prefix self-join on the shingle key,
+    * then the verify join. Everything keyed; no driver state.
+    *
+    * Output: `(id_a, id_b, jaccard_micro)`, complete at the threshold. */
+  def prefixFilterPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdMu: Long = 800000L,
+      shingleN: Int = 3): DataFrame = {
+    require(thresholdMu > 0 && thresholdMu <= 1000000L,
+      "thresholdMu is micro-units in (0, 1e6]")
+    val sh = df.select(col(idCol).as("__id"),
+      shingles(col(textCol), shingleN).as("__s"))
+    val ex = sh.select(col("__id"), size(col("__s")).as("__n"),
+      explode(col("__s")).as("__sh"))
+    val freq = ex.groupBy(col("__sh")).agg(count(lit(1)).as("__f"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__f"), col("__sh"))
+    val prefix = ex.join(freq, Seq("__sh"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__alpha",
+        expr(s"(__n * $thresholdMu + 999999) DIV 1000000"))
+      .filter(col("__rn") <= col("__n") - col("__alpha") + 1)
+      .select(col("__sh"), col("__id"))
+    val cand = prefix.select(col("__sh"), col("__id").as("id_a"))
+      .join(prefix.select(col("__sh"), col("__id").as("id_b")), Seq("__sh"))
+      .filter(col("id_b") > col("id_a"))
+      .select("id_a", "id_b").distinct()
+    ngramJaccard(df, cand, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= lit(thresholdMu.toDouble / 1e6))
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard") * lit(1e6d)).cast("long").as("jaccard_micro"))
+  }
+
   /** Containment/plagiarism candidate pairs from shared WINNOWING
     * fingerprints ([[TextAnalysis.winnowFingerprints]]): documents
     * sharing ≥ `minShared` selected fingerprints, after discarding

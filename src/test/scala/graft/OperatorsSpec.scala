@@ -21,6 +21,28 @@ class DedupSpec extends SparkSpec {
     assert(out2.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L))
   }
 
+  test("prefixFilterPairs: EXACTLY the brute-force pair set (completeness + precision)") {
+    // a corpus with near-dups, exact dups, and unrelated docs — plus
+    // doc sizes that are exact multiples of 5, the float-ceil trap
+    // (0.8·5 = 4.000…001 would shorten the prefix below completeness)
+    val corpus = (docs.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      Seq((6L, "one two three four five six seven"),
+        (7L, "one two three four five six SEVEN"),
+        (8L, "totally disjoint vocabulary sentence here now yes")))
+      .toSeq.toDF("doc_id", "text")
+    val got = Dedup.prefixFilterPairs(corpus, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // truth: all-pairs exact Jaccard at the same threshold
+    val ids = corpus.select("doc_id").as[Long].collect().sorted
+    val allPairs = for { a <- ids; b <- ids if b > a } yield (a, b)
+    val truth = Dedup.ngramJaccard(corpus, allPairs.toSeq.toDF("id_a", "id_b"),
+        "doc_id", "text", shingleN = 3)
+      .filter($"jaccard" >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == truth, s"prefix join diverged: got $got, truth $truth")
+    assert(truth.contains((1L, 2L))) // the exact dup pair is actually exercised
+  }
+
   test("lshRecallEval: hits/truth/candidates agree with hand-computed sets") {
     // docs 1-2 exact dup, 2-3/1-3 near dups; 4-5 a weaker near pair
     val ev = Dedup.lshRecallEval(docs, "doc_id", "text",
