@@ -2076,6 +2076,35 @@ object SparkEntry {
             col("__norm"), col("__h"), 8, 6)).as("s"))
         .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
     }),
+    // compression-ratio quality filter (Gopher/RefinedWeb): zlib is
+    // deterministic but not SQL-expressible — lengths export as an
+    // artifact, the oracle replays the ratio/keep logic from them
+    "q_compress_filter" -> ((s, dir) => {
+      val stats = operators.TextAnalysis.compressionStats(
+        readWide(s, dir, "documents"), "doc_id", "text")
+      val art = artifactPath(dir, "compress_len")
+      dumpOnce(art) { stats.write.mode("overwrite").parquet(art) }
+      s.read.parquet(art)
+        .withColumn("ratio_mu",
+          round(col("comp_len").cast("double") /
+            greatest(col("raw_len"), lit(1L)).cast("double") * 1e6)
+            .cast("long"))
+        .filter(col("ratio_mu").between(200000L, 900000L))
+        .select("doc_id", "raw_len", "comp_len", "ratio_mu")
+    }),
+    // composed capstone: Gopher-quality keep → exact dedup (min-id
+    // survivor per text) → sharded manifest with XOR checksums — the
+    // filter→dedup→materialize integrity chain under ONE oracle
+    "q_pipeline_shards" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val kept = docs.join(
+        operators.TextAnalysis.gopherFlags(docs, "text")
+          .filter(col("kept")).select("doc_id"),
+        Seq("doc_id"))
+      val deduped = operators.Dedup.exactDedup(kept, "doc_id", "text")
+      operators.TrainPrep.shardManifest(deduped, "doc_id", "text",
+        numShards = 8, seed = 9L)
+    }),
     // EXACT set-similarity join via prefix filtering (SSJoin/PPJoin):
     // every J ≥ 0.8 pair, no LSH false negatives — rare-first prefix
     // join for candidates, exact Jaccard verify. The oracle is plain
@@ -5131,6 +5160,50 @@ object SparkEntry {
                AS BIGINT)
            > ('0x' || substr(md5(doc_id::VARCHAR || ':17'), 1, 8))::BIGINT
                % 1000000""",
+    // compression filter: ratio/keep replay from the exported lengths
+    "q_compress_filter" ->
+      """WITH a AS (SELECT doc_id, raw_len, comp_len FROM
+           read_parquet('/root/repo/artifacts/compress_len/sf=sf0.01/*.parquet'))
+         SELECT doc_id, raw_len, comp_len,
+           CAST(round(comp_len / CAST(greatest(raw_len, 1) AS DOUBLE)
+             * 1000000.0) AS BIGINT) AS ratio_mu
+         FROM a
+         WHERE CAST(round(comp_len / CAST(greatest(raw_len, 1) AS DOUBLE)
+             * 1000000.0) AS BIGINT) BETWEEN 200000 AND 900000""",
+    // capstone chain: gopher keep → min-id exact dedup → manifest
+    "q_pipeline_shards" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+               AS ntok,
+             string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         f AS (SELECT doc_id,
+             CAST(ntok AS BIGINT) AS wc,
+             round(CAST(len AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE), 6)
+               AS mwl,
+             CAST(len(list_filter(
+               ['the', 'a', 'of', 'to', 'and', 'in', 'be', 'that'],
+               w -> list_contains(ws, w))) AS BIGINT) AS nsw,
+             round(CASE WHEN ntok = 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                             / CAST(ntok AS DOUBLE) END, 6) AS dwf
+           FROM t),
+         k AS (SELECT d.doc_id, d.text FROM documents d JOIN f USING (doc_id)
+           WHERE (f.wc BETWEEN 20 AND 100000)
+             AND (f.mwl BETWEEN 3.0 AND 10.0)
+             AND f.nsw >= 2 AND f.dwf <= 0.5),
+         dd AS (SELECT doc_id, text FROM k
+           WHERE doc_id IN (SELECT min(doc_id) FROM k GROUP BY text))
+         SELECT
+           CAST(('0x' || substr(md5(doc_id::VARCHAR || ':9'), 1, 8))::BIGINT
+             % 8 AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text),
+             1, 15))::BIGINT) AS BIGINT) AS content_hash
+         FROM dd
+         GROUP BY 1""",
     // prefix join: the algorithm is EXACT, so the oracle is the plain
     // all-pairs Jaccard truth at the threshold
     "q_dedup_prefix_join" ->

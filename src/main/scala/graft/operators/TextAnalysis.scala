@@ -302,6 +302,42 @@ object TextAnalysis {
         i => Sketches.hash60(normText.substr(i, lit(k)), seed)))
       .otherwise(array().cast("array<bigint>"))
 
+  /** Per-document zlib compression length — the Gopher/RefinedWeb
+    * "compression ratio" quality signal: highly compressible text is
+    * repetitive boilerplate/spam, incompressible text is noise or
+    * binary junk; natural prose sits in a band. DEFLATE (fixed level,
+    * default strategy) is deterministic for a given input but is not
+    * expressible in SQL, so queries export `(id, raw_len, comp_len)`
+    * as a parquet artifact and the oracle replays the RATIO/keep logic
+    * from the exported lengths — the SimHash/media-codec artifact
+    * discipline. `mapPartitions` is the documented codec boundary (one
+    * reused Deflater per partition); map-only, no shuffle.
+    *
+    * Output: `(idCol, raw_len, comp_len)`. */
+  def compressionStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val in = Option(text).getOrElse("").getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var compLen = 0L
+          while (!deflater.finished()) compLen += deflater.deflate(buf)
+          (id, in.length.toLong, compLen)
+        }
+      }
+      .toDF(idCol, "raw_len", "comp_len")
+  }
+
   /** Per-source corpus report — the summary panel a curation run consults
     * before choosing mixture weights and filter thresholds: document and
     * exact-duplicate counts, char/token volume, language spread. ONE

@@ -485,6 +485,32 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("compressionStats: deterministic, partition-invariant, signal points the right way") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog while zebras watch"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.compressionStats(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val b = TextAnalysis.compressionStats(df.repartition(7), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq) // deflate is deterministic per input
+    val byId = a.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId(3L)._1 == 0L)
+    // repetitive text compresses harder than diverse text
+    val ratio1 = byId(1L)._2.toDouble / byId(1L)._1
+    val ratio2 = byId(2L)._2.toDouble / byId(2L)._1
+    assert(ratio1 < ratio2, s"spam ratio $ratio1 !< prose ratio $ratio2")
+    // round-trip sanity: inflate restores the bytes for one row
+    val text = "the quick brown fox jumps over a lazy dog while zebras watch"
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(text.getBytes("UTF-8")); d.finish()
+    val out = new Array[Byte](4096)
+    val n = d.deflate(out)
+    assert(n == byId(2L)._2, "operator comp_len differs from a direct Deflater run")
+  }
+
   test("normalizeText: typographic variants collapse; idempotent") {
     val dirty = "“word’s” — a b…" +
       "​zerobell \t multi   space "
