@@ -1750,6 +1750,23 @@ object SparkEntry {
         .topKPerQuery(scored, 10, "query_id", "cos_r", "vec_id")
       operators.Similarity.recallAtK(approx, exact, 10)
     }),
+    // graded rank quality beyond recall: NDCG@10 + MRR@10 of the LSH
+    // run against the exact top-10 — "in how good an order", not just
+    // "how many of the right items"
+    "q_ann_ndcg" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val approx = operators.Similarity.lshTopK(emb, q, k = 10, nbits = 4)
+      val scored = emb.crossJoin(broadcast(q)).select(
+        col("query_id"), col("vec_id"),
+        round(operators.Similarity.cosine(
+          col("embedding").cast("array<double>"),
+          col("query_vec").cast("array<double>")), 6).as("cos_r"))
+      val exact = operators.Similarity
+        .topKPerQuery(scored, 10, "query_id", "cos_r", "vec_id")
+      operators.Similarity.rankEval(approx, exact, 10)
+    }),
     // column profiling: nulls/distincts/min/max/sum per column, one pass
     // (micro-unit values for numerics, lengths for strings)
     "q_profile" -> ((s, dir) =>
@@ -4505,6 +4522,42 @@ object SparkEntry {
            CAST(coalesce(hits.n_hits, 0) * 1000000 // ne.n_exact AS BIGINT)
              AS recall_ppm
          FROM ne LEFT JOIN hits USING (query_id)""",
+    "q_ann_ndcg" -> {
+      val idcg = (1 to 10).map(r => math.round(
+        (11 - r).toDouble / (math.log(r + 1.0) / math.log(2.0)) * 1e6)).sum
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         sig AS (SELECT vec_id, v, ${rhpSigSql("v", 4)} AS s FROM emb),
+         q AS (SELECT vec_id AS query_id, v AS qv, s FROM sig
+               WHERE vec_id < 3),
+         approx AS (SELECT query_id, vec_id, rn AS rr FROM (
+             SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id)
+                 AS rn
+             FROM sig c JOIN q ON c.s = q.s) WHERE rn <= 10),
+         ex AS (SELECT query_id, vec_id, rn AS tr FROM (
+             SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                   e.vec_id) AS rn
+             FROM emb e CROSS JOIN q) WHERE rn <= 10),
+         hits AS (SELECT e.query_id,
+             CAST(round((11 - e.tr) / (ln(a.rr + 1.0) / ln(2.0))
+               * 1000000.0) AS BIGINT) AS term,
+             a.rr AS rr
+           FROM ex e JOIN approx a USING (query_id, vec_id)),
+         pq AS (SELECT query_id, CAST(sum(term) AS BIGINT) AS dcg_mu,
+             min(rr) AS minrr FROM hits GROUP BY 1),
+         qq AS (SELECT DISTINCT query_id FROM ex)
+         SELECT qq.query_id,
+           CAST(coalesce(pq.dcg_mu, 0) AS BIGINT) AS dcg_mu,
+           CAST($idcg AS BIGINT) AS idcg_mu,
+           CAST(coalesce(pq.dcg_mu, 0) * 1000000 // $idcg AS BIGINT)
+             AS ndcg_ppm,
+           CAST(coalesce(round(1000000.0 / pq.minrr), 0) AS BIGINT) AS rr_mu
+         FROM qq LEFT JOIN pq USING (query_id)"""
+    },
     "q_ngram_top" ->
       """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
            FROM documents),

@@ -179,6 +179,50 @@ object Similarity {
           .as("recall_ppm"))
   }
 
+  /** Graded rank-quality metrics beyond [[recallAtK]]: NDCG@k and MRR@k
+    * of an approximate run against the exact top-k. The exact rank-r
+    * item carries graded relevance `k+1−r`; a run item outside the
+    * exact set contributes nothing. Each hit's DCG term
+    * `(k+1−truth_rank) / log₂(run_rank+1)` micro-rounds BEFORE the
+    * per-query integer sum (order-free; the log sits behind the
+    * rounding), and IDCG is a closed-form constant of k folded in as a
+    * literal — recall says "how many of the right items", NDCG says
+    * "and in how good an order", MRR "how soon the first one".
+    *
+    * Both inputs are rank-capped (≤ k·|queries| rows by contract), so
+    * the joins broadcast. Output: `(queryIdCol, dcg_mu, idcg_mu,
+    * ndcg_ppm, rr_mu)` per query. */
+  def rankEval(
+      approx: DataFrame,
+      exact: DataFrame,
+      k: Int,
+      queryIdCol: String = "query_id",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val a = approx.filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("rank").as("__rr"))
+    val e = exact.filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("rank").as("__tr"))
+    val hits = e.join(broadcast(a), Seq(queryIdCol, idCol))
+      .withColumn("__term_mu",
+        round((lit(k + 1) - col("__tr")).cast("double") /
+          (log(col("__rr").cast("double") + lit(1.0d)) / log(lit(2.0d))) *
+          lit(1e6d)).cast("long"))
+    val perQ = hits.groupBy(col(queryIdCol))
+      .agg(sum(col("__term_mu")).as("dcg_mu"), min(col("__rr")).as("__minrr"))
+    val idcgMu = (1 to k).map(r => math.round(
+      (k + 1 - r).toDouble / (math.log(r + 1.0) / math.log(2.0)) * 1e6)).sum
+    exact.select(col(queryIdCol)).distinct()
+      .join(broadcast(perQ), Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        coalesce(col("dcg_mu"), lit(0L)).as("dcg_mu"),
+        lit(idcgMu).as("idcg_mu"),
+        expr(s"CAST((coalesce(dcg_mu, 0) * 1000000) DIV $idcgMu AS BIGINT)")
+          .as("ndcg_ppm"),
+        coalesce(round(lit(1e6d) / col("__minrr").cast("double")).cast("long"),
+          lit(0L)).as("rr_mu"))
+  }
+
   /** Random-projection dimensionality reduction: project each embedding
     * onto `outDim` deterministic [[planes]] (the Johnson–Lindenstrauss
     * scale path — distances are approximately preserved while per-vector

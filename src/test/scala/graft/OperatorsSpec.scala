@@ -202,6 +202,31 @@ class SimilaritySpec extends SparkSpec {
   private lazy val emb = spark.read
     .parquet(s"$sfDir/embeddings.parquet")
 
+  test("rankEval: perfect run scores NDCG=MRR=1e6; reversal and misses degrade correctly") {
+    val exact = Seq((0L, 10L, 1), (0L, 20L, 2), (0L, 30L, 3))
+      .toDF("query_id", "vec_id", "rank")
+    def ev(run: Seq[(Long, Long, Int)]) =
+      Similarity.rankEval(run.toDF("query_id", "vec_id", "rank"), exact, k = 3)
+        .select("query_id", "dcg_mu", "idcg_mu", "ndcg_ppm", "rr_mu")
+        .as[(Long, Long, Long, Long, Long)].collect().head
+    // perfect order
+    val p = ev(Seq((0L, 10L, 1), (0L, 20L, 2), (0L, 30L, 3)))
+    assert(p._2 == p._3 && p._4 == 1000000L && p._5 == 1000000L)
+    // reversed order: same recall, lower NDCG; first run item still relevant
+    val r = ev(Seq((0L, 30L, 1), (0L, 20L, 2), (0L, 10L, 3)))
+    assert(r._4 < 1000000L && r._4 > 0L && r._5 == 1000000L)
+    // first relevant item only at run rank 2
+    val m = ev(Seq((0L, 99L, 1), (0L, 10L, 2), (0L, 98L, 3)))
+    assert(m._5 == 500000L)
+    // zero overlap
+    val z = ev(Seq((0L, 97L, 1), (0L, 98L, 2), (0L, 99L, 3)))
+    assert(z._2 == 0L && z._4 == 0L && z._5 == 0L)
+    // hand-check the reversed DCG against the formula
+    def term(tr: Int, rr: Int) = math.round(
+      (4 - tr).toDouble / (math.log(rr + 1.0) / math.log(2.0)) * 1e6)
+    assert(r._2 == term(3, 1) + term(2, 2) + term(1, 3))
+  }
+
   test("native VectorDot is bit-identical to the interpreted HOF fold") {
     import graft.operators.Similarity
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
