@@ -146,7 +146,7 @@ object Bench {
     "q_self_repeat" -> 0.31, "q_shard_manifest" -> 0.36,
     "q_dedup_prefix_join" -> 2.26,
     "q_compress_filter" -> 0.31, "q_pipeline_shards" -> 1.03,
-    "q_ann_ndcg" -> 0.68)
+    "q_ann_ndcg" -> 0.68, "q_wordpiece_oov" -> 1.10)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2064,6 +2064,25 @@ object SparkEntry {
       operators.Wordpiece.tokenize(docs, "doc_id", "text", voc,
         maxPieceLen = 4, maxWordLen = 16)
     }),
+    // tokenizer OOV evaluation: vocab trained on 90% of the corpus,
+    // [UNK] rate measured on the held-out 10% — the coverage metric a
+    // tokenizer deployment publishes before freezing a vocab
+    "q_wordpiece_oov" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val held = docs.filter(col("doc_id") % 10 === 0)
+      val voc = operators.Wordpiece.vocab(train, "text",
+        vocabSize = 80, maxPieceLen = 4, maxWordLen = 16)
+      val tk = operators.Wordpiece.tokenize(held, "doc_id", "text", voc,
+        maxPieceLen = 4, maxWordLen = 16)
+      val nw = held.select(col("doc_id"),
+        size(filter(split(trim(lower(col("text"))), "\\s+"),
+          t => length(t) > 0)).cast("long").as("n_words"))
+      nw.join(tk, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"),
+          size(filter(split(col("wp_text"), " "), t => t === "[UNK]"))
+            .cast("long").as("n_unk"))
+    }),
     // Unicode normalization (the CCNet/C4 cleanup pass). The fixture is
     // synthetic ASCII, so the dirty input is built IN-ENGINE from the
     // documents row (the q_html_extract discipline — same expression in
@@ -5449,6 +5468,27 @@ object SparkEntry {
                ORDER BY key_mu DESC, doc_id) AS sample_rank
            FROM wkey)
          SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 12""",
+    // OOV: vocab CTEs from the train slice, greedy loop over the
+    // held-out word set, [UNK]s counted per occurrence
+    "q_wordpiece_oov" ->
+      s"""WITH ${wordpieceCtes(80, 4, 16,
+             trainWhere = " WHERE doc_id % 10 <> 0",
+             tokenizeWhere = " WHERE doc_id % 10 = 0")},
+         dws AS (SELECT doc_id, i, ws[i] AS word
+           FROM (SELECT doc_id, list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   x -> length(x) > 0) AS ws FROM documents
+                 WHERE doc_id % 10 = 0),
+                unnest(range(1, len(ws) + 1)) t(i)),
+         cnts AS (SELECT d.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN wpw.wp = '[UNK]' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_unk
+           FROM dws d JOIN wpw USING (word) GROUP BY 1)
+         SELECT d0.doc_id, coalesce(c.n_words, 0) AS n_words,
+           coalesce(c.n_unk, 0) AS n_unk
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d0
+         LEFT JOIN cnts c ON d0.doc_id = c.doc_id""",
     // normalization: the identical dirty-text construction, then the
     // identical 8-stage regex chain (RE2 ∩ java.util.regex, 'g' flags)
     "q_text_normalize" ->
@@ -5552,7 +5592,12 @@ object SparkEntry {
     * carries `(p_i, u_i, a_i)` = (cursor, unk flag, emitted tokens);
     * every step consumes ≥1 char, so `w` steps cover any ≤w-char word.
     * Pure string membership — no floats — so parity is exact. */
-  private def wordpieceCtes(vocabSize: Int, l: Int, w: Int): String = {
+  private def wordpieceCtes(
+      vocabSize: Int,
+      l: Int,
+      w: Int,
+      trainWhere: String = "",
+      tokenizeWhere: String = ""): String = {
     def tok(p: String, len: String) =
       s"(CASE WHEN $p = 1 THEN substr(word, $p, $len)" +
         s" ELSE '##' || substr(word, $p, $len) END)"
@@ -5587,8 +5632,12 @@ object SparkEntry {
            SELECT word, CAST(count(*) AS BIGINT) AS cnt
            FROM (SELECT unnest(list_filter(
                string_split_regex(trim(lower(text)), '\\s+'),
-               x -> length(x) > 0)) AS word FROM documents)
+               x -> length(x) > 0)) AS word FROM documents$trainWhere)
            GROUP BY 1),
+         wt AS (
+           SELECT DISTINCT unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'),
+               x -> length(x) > 0)) AS word FROM documents$tokenizeWhere),
          cand AS (
            SELECT CASE WHEN s = 1 THEN substr(word, s, pl)
                        ELSE '##' || substr(word, s, pl) END AS token,
@@ -5608,12 +5657,12 @@ object SparkEntry {
                 OR (length(token) = 3 AND substr(token, 1, 2) = '##'))),
          g0 AS (SELECT word, length(word) AS n, 1 AS p0, 0 AS u0,
              CAST('' AS VARCHAR) AS a0
-           FROM (SELECT DISTINCT word FROM wf) WHERE length(word) <= $w)$steps,
+           FROM wt WHERE length(word) <= $w)$steps,
          wpw AS (
            SELECT word, CASE WHEN u$w = 1 THEN '[UNK]' ELSE a$w END AS wp
            FROM g$w
            UNION ALL
-           SELECT word, '[UNK]' AS wp FROM (SELECT DISTINCT word FROM wf)
+           SELECT word, '[UNK]' AS wp FROM wt
            WHERE length(word) > $w)"""
   }
 
