@@ -323,4 +323,46 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("prefix join: keyed equi-joins only — never a cartesian candidate stage") {
+    val plan = simple("q_dedup_prefix_join")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("winnow pairs: fingerprints computed once (checkpoint feeds the self-join)") {
+    // without the eager checkpoint each self-join side re-derived every
+    // md5 k-gram hash from parquet (audited: 4 scans); the pinned shape
+    // reads the materialized RDD
+    val plan = simple("q_winnow_pairs")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      plan)
+    assert(!plan.contains("Scan parquet"), plan)
+  }
+
+  test("bloom decontam probe is map-only past the split filter") {
+    // the probe side must be scan -> filter/project (literal word array
+    // folded in) with NO join against the eval side and NO keyed
+    // shuffle (readWide's round-robin repartition is the one exchange)
+    val plan = simple("q_bloom_decontam")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
+  test("DSIR sample: map-only scoring + draw, no join in the final plan") {
+    val plan = simple("q_dsir_sample")
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
+  test("self-repeat excision is one codegen'd projection — no keyed shuffle") {
+    val plan = simple("q_self_repeat")
+    assert(!plan.contains("hashpartitioning") && !plan.contains("Join"), plan)
+  }
+
+  test("shard manifest: single map-side-combined aggregation") {
+    val plan = simple("q_shard_manifest")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert("hashpartitioning".r.findAllMatchIn(plan).size == 1, plan)
+  }
 }
