@@ -61,6 +61,55 @@ object StreamingRetentionJob {
         col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Event-time windowed APPROXIMATE distinct count — HLL registers as
+    * the first stateful aggregation, the harmonic estimate as a second
+    * CHAINED stateful aggregation over the same event-time window (the
+    * multiple-stateful-operator shape Spark supports since 3.4;
+    * `window_time` re-anchors the second window on the first stage's
+    * event-time). State per window is ≤ 2^p registers — the "distinct
+    * users per hour" monitor at unbounded ingest, where exact distinct
+    * state grows with cardinality and this doesn't. The estimate is
+    * IDENTICAL to the batch [[graft.operators.Sketches.hllRegisters]] +
+    * [[graft.operators.Sketches.hllEstimate]] pair over the same rows
+    * (md5-hash-defined — stream≡batch parity spec-pinned). */
+  def streamingWindowedDistinct(
+      events: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      window: String = "1 hour",
+      watermark: String = "2 hours",
+      p: Int = 6,
+      seed: Long = 0L): DataFrame = {
+    import graft.operators.Sketches
+    require(p >= 4 && p <= 16, "p must be in [4,16]")
+    val m = 1 << p
+    val restBits = Sketches.HashBits - p
+    val maxRho = restBits + 1
+    val h = Sketches.hash60(col(valueCol), seed)
+    val idx = shiftright(h, restBits)
+    val rest = h.bitwiseAND(lit((1L << restBits) - 1))
+    val rho = when(rest === 0, lit(maxRho))
+      .otherwise(bit_count(rest.bitwiseAND(-rest) - 1) + 1)
+    val reg = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window),
+        idx.as("__idx"))
+      .agg(max(rho).as("__rho"))
+    val numerator = Sketches.hllAlpha(m) * m * m * math.pow(2.0, maxRho)
+    reg
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.window_time(col("window")), window)
+        .as("window"))
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - __rho)")).as("__zp"),
+        count(lit(1)).as("__nregs"))
+      .select(col("window"),
+        round(lit(numerator) /
+          (col("__zp") + (lit(m.toLong) - col("__nregs")) * lit(1L << maxRho))
+            .cast("double"), 3).as("hll_est"))
+  }
+
   /** Streaming exact dedup — the streaming face of
     * [[graft.operators.Dedup.exactDedup]]: one survivor per content hash.
     * In a stream the survivor is necessarily the FIRST arrival (a min-id

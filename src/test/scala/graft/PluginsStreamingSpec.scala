@@ -101,6 +101,43 @@ class StreamingSpec extends SparkSpec {
     assert(all == Set((1753L, "c"), (1768L, "d"), (1799L, "f")))
   }
 
+  test("chained stateful HLL: streaming windowed distinct ≡ batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val q = StreamingRetentionJob.streamingWindowedDistinct(
+        in.toDF().toDF("user_id", "ts"), "ts", "user_id",
+        window = "1 hour", watermark = "30 minutes", p = 6)
+      .writeStream.format("memory").queryName("shll").outputMode("append")
+      .start()
+    try {
+      // hour 0: users 1..40 (some repeated); hour 1: users 100..119
+      in.addData((1 to 40).map(u => (u.toLong, ts(0, (u % 50) + 1))): _*)
+      in.addData((1 to 10).map(u => (u.toLong, ts(0, 30))): _*) // repeats
+      in.addData((100 to 119).map(u => (u.toLong, ts(1, 10))): _*)
+      // far-future event pushes the watermark past both windows
+      in.addData((999L, ts(8, 0)))
+      q.processAllAvailable()
+      val got = spark.table("shll")
+        .selectExpr("hour(window.start) AS h", "hll_est")
+        .as[(Int, Double)].collect().toMap
+      assert(got.contains(0) && got.contains(1), s"windows missing: $got")
+      // batch replay on the same rows must give the identical estimate
+      def batchEst(users: Seq[Long]): Double = {
+        val df = users.toDF("v")
+        graft.operators.Sketches.hllEstimate(
+          graft.operators.Sketches.hllRegisters(
+            df.withColumn("g", lit(1)), Seq("g"), "v", p = 6),
+          Seq("g"), p = 6)
+          .select("hll_est").as[Double].head()
+      }
+      assert(got(0) == batchEst((1L to 40L).toSeq))
+      assert(got(1) == batchEst((100L to 119L).map(_.toLong)))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: first arrival survives per content hash") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
