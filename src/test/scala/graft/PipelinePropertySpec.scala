@@ -21,6 +21,74 @@ class PipelinePropertySpec extends AnyFunSuite {
     toks <- Gen.listOfN(n, Gen.chooseNum(0L, 300L))
   } yield toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
 
+  test("wordpiece greedy is TOTAL and round-trips on random corpora") {
+    import graft.operators.Wordpiece
+    val genDocs: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.chooseNum(1, 25)
+      texts <- Gen.listOfN(n, for {
+        w <- Gen.chooseNum(0, 12)
+        words <- Gen.listOfN(w, for {
+          len <- Gen.chooseNum(1, 22) // some exceed maxWordLen=16
+          cs <- Gen.listOfN(len, Gen.oneOf(('a' to 'f') ++ Seq('#', '1', 'ß')))
+        } yield cs.mkString)
+      } yield words.mkString(" "))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for (corpus <- samples(genDocs, 8)) {
+      val df = corpus.toDF("doc_id", "text")
+      val voc = Wordpiece.vocab(df, "text", vocabSize = 40,
+        maxPieceLen = 4, maxWordLen = 16)
+      val set = new java.util.HashSet[String]()
+      voc.foreach(v => set.add(v.token))
+      val out = Wordpiece.tokenize(df, "doc_id", "text", voc,
+        maxPieceLen = 4, maxWordLen = 16)
+        .as[(Long, String)].collect().toMap
+      // totality: every doc tokenizes (no exception already proven by
+      // reaching here); round-trip: non-[UNK] words reconstruct
+      corpus.foreach { case (id, text) =>
+        val words = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        words.filter(_.length <= 16).foreach { w =>
+          val pieces = Wordpiece.tokenizeWord(w, set, 4)
+          if (pieces.head != Wordpiece.Unk) {
+            val rebuilt = pieces.head +
+              pieces.tail.map(_.stripPrefix("##")).mkString
+            assert(rebuilt == w, s"round-trip broke on '$w'")
+          } else assert(false,
+            s"corpus word '$w' stranded despite single-char retention")
+        }
+        assert(out.contains(id))
+      }
+    }
+  }
+
+  test("winnow fingerprints are partitioning-invariant and deterministic") {
+    import graft.operators.TextAnalysis
+    val genDocs: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.chooseNum(1, 30)
+      texts <- Gen.listOfN(n, Gen.listOfN(40,
+        Gen.oneOf('a', 'b', ' ', 'c')).map(_.mkString))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def fps(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] = df
+      .withColumn("__norm",
+        regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+      .withColumn("__h", TextAnalysis.kgramHashes(col("__norm"), 5, 13L))
+      .select(col("doc_id"),
+        explode(TextAnalysis.winnowFingerprints(col("__norm"), col("__h"), 5, 4))
+          .as("s"))
+      .select(col("doc_id"), col("s.pos"), col("s.fp"))
+      .as[(Long, Int, Long)].collect().toSet
+    for (corpus <- samples(genDocs, 6)) {
+      val df = corpus.toDF("doc_id", "text")
+      assert(fps(df) == fps(df.repartition(7)))
+      // selected positions are valid gram starts and within bounds
+      fps(df).foreach { case (id, pos, _) =>
+        val norm = corpus.toMap.apply(id).trim.toLowerCase
+          .replaceAll("\\s+", " ")
+        assert(pos >= 1 && pos <= math.max(norm.length - 4, 0),
+          s"pos $pos out of range for doc $id (${norm.length} chars)")
+      }
+    }
+  }
+
   test("packOffsets: offsets are contiguous and blocks consistent (random corpora)") {
     for (corpus <- samples(genCorpus, 12)) {
       val df = corpus.toDF("id", "ntok")
