@@ -1734,6 +1734,66 @@ object SparkEntry {
     "q_ngram_top" -> ((s, dir) =>
       operators.TextAnalysis.topNgrams(read(s, dir, "documents"), "text",
         n = 3, k = 20)),
+    // phrase mining: top-20 bigram collocations by PMI (bigrams seen ≥5×)
+    // — two vocab-bounded count tables, corpus totals via ReusedExchange
+    "q_text_pmi" -> ((s, dir) =>
+      operators.TextAnalysis.pmiCollocations(read(s, dir, "documents"),
+        "text", minCount = 5, k = 20)),
+    // per-doc top-3 tf-idf keywords: idf frozen to integer micros first,
+    // so rank order is exact integer math; per-doc window, never global
+    "q_tfidf_keywords" -> ((s, dir) =>
+      operators.TextSearch.tfidfKeywords(readWide(s, dir, "documents"),
+        "doc_id", "text", k = 3)),
+    // script detection: per-class character counts + dominant script over
+    // a mixed-script fixture built in-engine (the corpus is ASCII; the
+    // oracle replays fixture AND classifier) — map-only regex passes
+    "q_text_script" -> ((s, dir) => {
+      val m4 = pmod(col("doc_id"), lit(4))
+      val mixed = when(m4 === 1, concat(col("text"), lit(" привет мир дом")))
+        .when(m4 === 2, lit("你好世界漢字文化"))
+        .when(m4 === 3, lit("مرحبا بالعالم ١٢٣"))
+        .otherwise(col("text"))
+      readWide(s, dir, "documents").select(
+        (col("doc_id") +: operators.TextAnalysis.ScriptClasses.map {
+          case (n, r) => operators.TextAnalysis.scriptCount(mixed, r)
+            .cast("long").as(s"n_$n")
+        }) :+ operators.TextAnalysis.dominantScript(mixed).as("script"): _*)
+    }),
+    // UniMax mixture (Chung et al. 2023): epoch-capped waterfilled token
+    // allocation across sources — integer arithmetic end-to-end, G-row
+    // bounded windows, budget hit exactly (4 capped / 16 waterfilled /
+    // remainder granted at sf0.01)
+    "q_unimax_weights" -> ((s, dir) =>
+      operators.Sampling.unimaxAllocation(
+        read(s, dir, "documents").groupBy(col("source")).agg(
+          sum(operators.TextAnalysis.tokenCount(col("text"))).cast("long")
+            .as("tokens")),
+        "source", "tokens", budget = 38000L, maxEpochsMilli = 1500L)),
+    // deterministic global epoch shuffle: 60-bit md5 permutation key,
+    // literal key-space range partitioning (uniform by construction — no
+    // sampling pass), distributed prefix sum for the global position
+    "q_epoch_shuffle" -> ((s, dir) =>
+      operators.TrainPrep.epochShuffle(readWide(s, dir, "documents"),
+          "doc_id", seed = 11L, epoch = 2)
+        .select(col("doc_id"), col("pos"))),
+    // DPO-shape preference pairs: best-vs-worst quality per prompt
+    // group, one struct-extreme aggregation, zero-margin groups dropped
+    "q_pref_pairs" -> ((s, dir) =>
+      operators.TrainPrep.preferencePairs(
+        readWide(s, dir, "documents").select(
+          pmod(col("doc_id"), lit(200)).as("prompt_id"), col("doc_id"),
+          round(operators.TextAnalysis.qualityScore(col("text")) * 1e6)
+            .cast("long").as("score_mu")),
+        "prompt_id", "doc_id", "score_mu")),
+    // chat-SFT assembly: events → ordered alternating-role turns →
+    // one rendered transcript per conversation (per-user windows +
+    // one bounded collect aggregation; maxTurns caps agg state)
+    "q_chat_flatten" -> ((s, dir) =>
+      operators.Conversations.renderChat(
+        operators.Conversations.turnsFromEvents(
+          readWide(s, dir, "events"), "user_id", "ts", "event_id",
+          payload = concat(col("event_type"), lit(":"), col("props")),
+          maxTurns = 8))),
     // ANN recall@10: the LSH path measured against brute force — exact
     // parts-per-million, the eval that keeps nbits choices honest
     "q_ann_recall" -> ((s, dir) => {
@@ -1749,6 +1809,16 @@ object SparkEntry {
       val exact = operators.Similarity
         .topKPerQuery(scored, 10, "query_id", "cos_r", "vec_id")
       operators.Similarity.recallAtK(approx, exact, 10)
+    }),
+    // matryoshka truncation curve: recall@10 of prefix-dim brute search
+    // vs full-dim — the "search 8x less vector" eval; one broadcast+
+    // bounded-heap pass per dim, per-dim integral ppm
+    "q_ann_recall_dims" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      operators.Similarity.matryoshkaRecall(emb, q, k = 10,
+        dims = Seq(8, 16, 32))
     }),
     // graded rank quality beyond recall: NDCG@10 + MRR@10 of the LSH
     // run against the exact top-10 — "in how good an order", not just
@@ -4010,6 +4080,200 @@ object SparkEntry {
            CAST(row_number() OVER (ORDER BY CAST(score_micros AS DOUBLE) DESC, doc)
              AS INT) AS rank
          FROM scored QUALIFY rank <= 10""",
+    // PMI replay: unigram + bigram count tables, totals from the same
+    // aggregates, the ratio written as ONE identically-associated double
+    // expression on both engines before the micro-round
+    "q_text_pmi" ->
+      """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+             FROM documents),
+         uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM (
+             SELECT unnest(ws) AS w FROM d) GROUP BY 1),
+         pr AS (SELECT unnest(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM d),
+         bi AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab
+           FROM pr GROUP BY 1),
+         tot AS (SELECT (SELECT sum(n_w) FROM uni) AS n1,
+                        (SELECT sum(n_ab) FROM bi) AS n2),
+         sc AS (SELECT bigram, n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+             CAST(round(ln((CAST(n_ab AS DOUBLE) * n1 * n1) /
+               (CAST(n2 AS DOUBLE) * ua.n_w * ub.n_w)) * 1000000.0)
+               AS BIGINT) AS pmi_micros
+           FROM bi JOIN uni ua ON ua.w = string_split(bigram, ' ')[1]
+                   JOIN uni ub ON ub.w = string_split(bigram, ' ')[2], tot
+           WHERE n_ab >= 5)
+         SELECT bigram, n_ab, n_a, n_b, pmi_micros FROM sc
+         ORDER BY pmi_micros DESC, bigram LIMIT 20""",
+    // tf-idf replay: posting-table counts, idf micro-frozen BEFORE the
+    // tf multiply (exact integer rank math), per-doc window top-3
+    "q_tfidf_keywords" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+         tfg AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf FROM (
+             SELECT doc_id AS doc, unnest(ws) AS term FROM d) GROUP BY 1, 2),
+         n AS (SELECT count(DISTINCT doc) AS nd FROM tfg),
+         dfreq AS (SELECT term, count(DISTINCT doc) AS df FROM tfg GROUP BY 1),
+         sc AS (SELECT doc, term, tf,
+             tf * CAST(round(ln(CAST(nd AS DOUBLE) / df) * 1000000.0)
+               AS BIGINT) AS score_micros
+           FROM tfg JOIN dfreq USING (term), n)
+         SELECT doc, term, tf, score_micros, CAST(rn AS INT) AS rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc
+             ORDER BY score_micros DESC, term) AS rn FROM sc)
+         WHERE rn <= 3""",
+    // script-detection replay: the same mixed-script fixture, the same
+    // explicit codepoint-range classes (RE2 ∩ java.util.regex syntax),
+    // dominant = max count with the fixed priority order
+    "q_text_script" ->
+      """WITH m AS (SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 1 THEN text || ' привет мир дом'
+               WHEN 2 THEN '你好世界漢字文化'
+               WHEN 3 THEN 'مرحبا بالعالم ١٢٣'
+               ELSE text END AS t
+           FROM documents),
+         c AS (SELECT doc_id,
+             CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS BIGINT)
+               AS n_latin,
+             CAST(length(regexp_replace(t, '[^\x{0400}-\x{04FF}]', '', 'g'))
+               AS BIGINT) AS n_cyrillic,
+             CAST(length(regexp_replace(t, '[^\x{0370}-\x{03FF}]', '', 'g'))
+               AS BIGINT) AS n_greek,
+             CAST(length(regexp_replace(t,
+               '[^\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS BIGINT)
+               AS n_cjk,
+             CAST(length(regexp_replace(t, '[^\x{0600}-\x{06FF}]', '', 'g'))
+               AS BIGINT) AS n_arabic,
+             CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS BIGINT)
+               AS n_digit
+           FROM m),
+         g AS (SELECT *, greatest(n_latin, n_cyrillic, n_greek, n_cjk,
+             n_arabic, n_digit) AS mx FROM c)
+         SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit,
+           CASE WHEN mx = 0 THEN 'none'
+                WHEN n_latin = mx THEN 'latin'
+                WHEN n_cyrillic = mx THEN 'cyrillic'
+                WHEN n_greek = mx THEN 'greek'
+                WHEN n_cjk = mx THEN 'cjk'
+                WHEN n_arabic = mx THEN 'arabic'
+                ELSE 'digit' END AS script
+         FROM g""",
+    // UniMax replay: per-source token caps, the monotone capped-prefix
+    // test multiplied (never divided), even split + remainder grant —
+    // all integer arithmetic, identical windows
+    "q_unimax_weights" ->
+      """WITH d AS (SELECT source,
+             CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(lower(text)), '\s+')) END)
+               AS BIGINT) AS tokens
+           FROM documents GROUP BY 1),
+         b AS (SELECT source, tokens, tokens * 1500 // 1000 AS cap
+           FROM d WHERE tokens > 0),
+         r AS (SELECT *, row_number() OVER (ORDER BY cap, source) AS rn,
+             coalesce(sum(cap) OVER (ORDER BY cap, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+             count(*) OVER () AS n
+           FROM b),
+         cz AS (SELECT *,
+             (cap * (n - rn + 1) <= 38000 - pre) AS capped FROM r),
+         st AS (SELECT *,
+             sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+             coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0) AS s
+           FROM cz),
+         lv AS (SELECT *, n - k AS m, 38000 - s AS rbud FROM st),
+         al AS (SELECT *,
+             CASE WHEN capped THEN cap
+                  ELSE (CASE WHEN m > 0 THEN rbud // m ELSE 0 END) +
+                    (CASE WHEN m > 0 AND rn - k <= rbud % m THEN 1 ELSE 0 END)
+             END AS alloc
+           FROM lv)
+         SELECT source, tokens, cap, alloc,
+           CAST(round(alloc * 1000000.0 / tokens) AS BIGINT) AS epochs_micros
+         FROM al""",
+    // matryoshka replay: per-dim prefix-slice brute rankings vs the
+    // full-dim ranking, identical 6-decimal rounding, integral ppm
+    "q_ann_recall_dims" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+         dims AS (SELECT unnest([8, 16, 32]) AS dim),
+         ex AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                   e.vec_id) AS rn
+             FROM emb e CROSS JOIN q) WHERE rn <= 10),
+         ap AS (SELECT dim, query_id, vec_id FROM (
+             SELECT d.dim, q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY d.dim, q.query_id
+                 ORDER BY round(list_cosine_similarity(
+                     list_slice(e.v, 1, d.dim), list_slice(q.qv, 1, d.dim)),
+                   6) DESC, e.vec_id) AS rn
+             FROM emb e CROSS JOIN q CROSS JOIN dims d) WHERE rn <= 10),
+         hits AS (SELECT dim, count(*) AS n_hits
+           FROM ap JOIN ex USING (query_id, vec_id) GROUP BY 1),
+         exn AS (SELECT dim, count(*) AS n_exact
+           FROM ex CROSS JOIN dims GROUP BY 1)
+         SELECT dim, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           CAST((coalesce(n_hits, 0) * 1000000) // n_exact AS BIGINT)
+             AS recall_ppm
+         FROM exn LEFT JOIN hits USING (dim)""",
+    // epoch-shuffle replay: one global row_number over the identical
+    // 60-bit md5 permutation key (DuckDB can afford the global sort at
+    // oracle scale; the engine side does it distributed)
+    "q_epoch_shuffle" ->
+      """SELECT doc_id, CAST(row_number() OVER (ORDER BY
+             ('0x' || substr(md5('11:2:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+             doc_id) AS BIGINT) AS pos
+         FROM documents""",
+    // preference-pair replay: quality micro score per doc, group extremes
+    // with min-id tie-break on both ends, zero-margin groups dropped
+    "q_pref_pairs" ->
+      """WITH t AS (SELECT doc_id, doc_id % 200 AS prompt_id, text,
+             length(text) AS len,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+               AS ntok
+           FROM documents),
+         sc AS (SELECT prompt_id, doc_id,
+             CAST(round(round((CASE WHEN len BETWEEN 100 AND 10000 THEN 1.0
+                   WHEN len BETWEEN 20 AND 99 THEN 0.5 ELSE 0.0 END) * 0.3
+               + (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) /
+                   CAST(greatest(len, 1) AS DOUBLE)) * 0.3
+               + (1.0 - least((length(regexp_replace(text, '[^[:punct:]]', '',
+                   'g')) / CAST(greatest(len, 1) AS DOUBLE)) * 5.0, 1.0)) * 0.2
+               + (CASE WHEN len / CAST(greatest(ntok, 1) AS DOUBLE)
+                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+               6) * 1e6) AS BIGINT) AS smu
+           FROM t),
+         ag AS (SELECT prompt_id, max(smu) AS chosen_mu,
+             min(smu) AS rejected_mu FROM sc GROUP BY 1),
+         pick AS (SELECT s.prompt_id,
+             min(CASE WHEN s.smu = a.chosen_mu THEN s.doc_id END) AS chosen_id,
+             min(CASE WHEN s.smu = a.rejected_mu THEN s.doc_id END)
+               AS rejected_id
+           FROM sc s JOIN ag a USING (prompt_id) GROUP BY 1)
+         SELECT p.prompt_id, p.chosen_id, p.rejected_id, a.chosen_mu,
+           a.rejected_mu, a.chosen_mu - a.rejected_mu AS margin_mu
+         FROM pick p JOIN ag a USING (prompt_id)
+         WHERE a.chosen_mu - a.rejected_mu > 0""",
+    // chat-flatten replay: per-user turn numbering, alternating roles,
+    // ordered string_agg — the rendered transcript hash-checked whole
+    "q_chat_flatten" ->
+      """WITH t AS (SELECT user_id, event_id, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS turn
+           FROM events),
+         c AS (SELECT user_id, turn,
+             '<|' || (CASE WHEN turn % 2 = 1 THEN 'user' ELSE 'assistant' END)
+               || '|>' || event_type || ':' || props AS line
+           FROM t WHERE turn <= 8),
+         r AS (SELECT user_id AS conv_id, CAST(max(turn) AS BIGINT) AS n_turns,
+             string_agg(line, '' ORDER BY turn) AS rendered
+           FROM c GROUP BY 1)
+         SELECT conv_id, n_turns, rendered,
+           CAST(length(rendered) AS BIGINT) AS n_chars
+         FROM r""",
     // hybrid RRF replay: the bm25 CTEs (top-20), a single-query cosine
     // ranking (top-20), then integer micro-unit reciprocal-rank sums.
     // No value of 10^6/(60+rank) lands on an exact .5 (2*10^6 has no

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Conversation assembly for instruction-tuning data: turn an event log
+  * (or any per-user interaction stream) into flattened chat transcripts
+  * — ordered turns, alternating roles, one rendered template string per
+  * conversation — the text a chat SFT run actually tokenizes.
+  *
+  * Scale shape: turn numbering is a `row_number` window PARTITIONED BY
+  * the conversation key (millions of independent small partitions — the
+  * good kind of window); rendering is ONE per-conversation aggregation
+  * whose state is the turn list (bounded by `maxTurns`, enforced BEFORE
+  * the collect so a pathological million-event user cannot balloon
+  * aggregation state). No global ordering anywhere.
+  *
+  * Determinism contract: turn order is `(tsCol, idCol)` — the id breaks
+  * timestamp ties — and the rendered string is the concat of turns in
+  * that order (`array_sort` on `(turn, line)` structs, turn unique
+  * within a conversation). Exactly replayable as DuckDB's
+  * `string_agg(line, '' ORDER BY turn)`.
+  */
+object Conversations {
+
+  /** Turn table: `(conv_id, turn, role, line)` with 1-based `turn`,
+    * roles alternating user/assistant (odd turns are the user — event
+    * streams are request-shaped), and `line` the rendered turn
+    * `<|role|>payload`. Turns beyond `maxTurns` are dropped (context
+    * budget; also the aggregation-state bound for [[renderChat]]). */
+  def turnsFromEvents(
+      events: DataFrame,
+      convCol: String,
+      tsCol: String,
+      idCol: String,
+      payload: Column,
+      maxTurns: Int = 32): DataFrame = {
+    require(maxTurns >= 1, "maxTurns must be >= 1")
+    val w = Window.partitionBy(col(convCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("turn", row_number().over(w))
+      .filter(col("turn") <= maxTurns)
+      .withColumn("role",
+        when(col("turn") % 2 === 1, lit("user")).otherwise(lit("assistant")))
+      .select(col(convCol).as("conv_id"), col("turn"), col("role"),
+        concat(lit("<|"), col("role"), lit("|>"), payload).as("line"))
+  }
+
+  /** One row per conversation: `(conv_id, n_turns, rendered, n_chars)`.
+    * `rendered` is the turns concatenated in turn order with no
+    * separator (each line already carries its role tag). */
+  def renderChat(turns: DataFrame): DataFrame =
+    turns
+      .groupBy(col("conv_id"))
+      .agg(
+        max(col("turn")).cast("long").as("n_turns"),
+        concat_ws("", transform(
+          array_sort(collect_list(struct(col("turn"), col("line")))),
+          t => t.getField("line"))).as("rendered"))
+      .withColumn("n_chars", length(col("rendered")).cast("long"))
+}

@@ -330,4 +330,78 @@ object Sampling {
       .select(col(idCol), col(strataCol),
         explode(sequence(lit(0L), col("__reps") - 1L)).as("rep"))
   }
+
+  /** UniMax token allocation (Chung et al. 2023): spread a total token
+    * `budget` across domains as uniformly as possible, capping each
+    * domain at `maxEpochsMilli/1000` passes over its own tokens — the
+    * principled alternative to temperature mixing (no tiny-domain
+    * over-repetition, no hand-tuned τ).
+    *
+    * Waterfilling: sort domains by cap ascending; a domain is "capped"
+    * while `cap·(domains remaining) ≤ budget − (caps already granted)` —
+    * the condition is monotone under the ascending sort, so the capped
+    * set is a prefix. Everyone else splits the remaining budget evenly
+    * (`level = ⌊R/m⌋`), with the `R mod m` remainder granted one token
+    * each to the first uncapped domains in sort order — `Σ alloc` hits
+    * the budget EXACTLY when the budget is attainable, and never exceeds
+    * `Σ cap` otherwise. All of it is integer arithmetic: caps are
+    * `⌊tokens·maxEpochsMilli/1000⌋`, the capped test multiplies instead
+    * of dividing, so the result is bit-reproducible in any engine.
+    *
+    * Scale shape: the input is the per-DOMAIN token table (G rows — the
+    * heavy corpus aggregation happened upstream); the `Window.orderBy`
+    * global windows here run on that G-row table, the same documented
+    * bounded-window exception as [[domainWeights]]' 1-row z-join. The
+    * emitted allocation table is the artifact a 100 TB run feeds to
+    * [[epochExpand]]/[[rebalanceToMixture]] as a broadcast mix.
+    *
+    * Output: `(groupCol, tokens, cap, alloc, epochs_micros)` where
+    * `epochs_micros = round(alloc·10⁶/tokens)`. */
+  def unimaxAllocation(
+      domainTokens: DataFrame,
+      groupCol: String,
+      tokensCol: String,
+      budget: Long,
+      maxEpochsMilli: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    require(maxEpochsMilli > 0, "maxEpochsMilli must be > 0")
+    import org.apache.spark.sql.expressions.Window
+    val base = domainTokens
+      .select(col(groupCol), col(tokensCol).cast("long").as("tokens"))
+      .filter(col("tokens") > 0)
+      // DIV, not `/`: Spark's `/` on longs returns DOUBLE, which loses
+      // exactness past 2^53 — real at 100 TB token counts
+      .withColumn("cap", expr(s"tokens * ${maxEpochsMilli}L DIV 1000L"))
+    val w = Window.orderBy(col("cap"), col(groupCol))
+    val full = Window.orderBy(col("cap"), col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = base
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__pre",
+        coalesce(sum(col("cap")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", count(lit(1)).over(full))
+      .withColumn("__capped",
+        col("cap") * (col("__n") - col("__r") + 1L) <= lit(budget) - col("__pre"))
+    val stats = ranked
+      .withColumn("__k", sum(when(col("__capped"), 1L).otherwise(0L)).over(full))
+      .withColumn("__s",
+        coalesce(sum(when(col("__capped"), col("cap"))).over(full), lit(0L)))
+      .withColumn("__m", col("__n") - col("__k"))
+      .withColumn("__rbud", lit(budget) - col("__s"))
+      .withColumn("__level",
+        when(col("__m") > 0, expr("__rbud DIV __m")).otherwise(lit(0L)))
+      .withColumn("__rem",
+        when(col("__m") > 0, col("__rbud") % col("__m")).otherwise(lit(0L)))
+    stats
+      .withColumn("alloc",
+        when(col("__capped"), col("cap")).otherwise(
+          col("__level") +
+            when(col("__r") - col("__k") <= col("__rem"), 1L).otherwise(0L)))
+      .withColumn("epochs_micros",
+        round(col("alloc") * lit(1000000.0d) / col("tokens").cast("double"))
+          .cast("long"))
+      .select(col(groupCol), col("tokens"), col("cap"), col("alloc"),
+        col("epochs_micros"))
+  }
 }

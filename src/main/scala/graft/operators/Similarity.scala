@@ -861,4 +861,55 @@ object Similarity {
         x => floor(x.cast("double") * scale + lit(0.5d)).cast("int"))
         .as("qvec"))
   }
+
+  /** Matryoshka-truncation recall curve: for each prefix length `d` in
+    * `dims`, the recall@k of brute-force cosine search on the FIRST `d`
+    * embedding components against full-dimension search — the
+    * measurement behind "can we store/search 8× less vector?" decisions
+    * (Kusupati et al. 2022 trains embeddings for exactly this
+    * truncation; this operator is the eval side).
+    *
+    * Scale shape: one brute pass per dim (`|dims|`+1 corpus scans, each
+    * the [[bruteForceTopK]] broadcast + bounded-heap shape — queries
+    * must be small); recall joins are on rank-capped ≤k·|queries|-row
+    * tables. Aggregated per dim: ≤|dims| output rows.
+    *
+    * Determinism: cosines round to 6 decimals before ranking (the
+    * repo-wide ANN contract), recall is integral ppm via DIV. Output:
+    * `(dim, n_exact, n_hits, recall_ppm)`. */
+  def matryoshkaRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dims: Seq[Int],
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), "need dims >= 1")
+    def topkAt(d: Option[Int]): DataFrame = {
+      val joined = corpus.crossJoin(broadcast(queries))
+      def cut(c: Column) = d match {
+        case Some(n) => slice(c.cast("array<double>"), 1, n)
+        case None => c.cast("array<double>")
+      }
+      val scored = joined.select(
+        col(queryId), col(corpusId),
+        round(cosine(cut(col(corpusVec)), cut(col(queryVec))), 6).as("cos_r"))
+      topKPerQuery(scored, k, queryId, "cos_r", corpusId)
+    }
+    // the exact ranking feeds every dim branch; without pinning it the
+    // planner re-derives the full brute pass per branch. Rank-capped
+    // ≤ k·|queries| rows — trivially cheap to hold
+    val exact = topkAt(None).localCheckpoint(true)
+    dims.map { d =>
+      recallAtK(topkAt(Some(d)), exact, k, queryId, corpusId)
+        .withColumn("dim", lit(d))
+    }.reduce(_ unionByName _)
+      .groupBy(col("dim"))
+      .agg(sum(col("n_exact")).cast("long").as("n_exact"),
+        sum(col("n_hits")).cast("long").as("n_hits"))
+      .withColumn("recall_ppm",
+        expr("CAST((n_hits * 1000000) DIV n_exact AS BIGINT)"))
+  }
 }

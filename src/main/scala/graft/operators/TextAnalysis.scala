@@ -376,6 +376,88 @@ object TextAnalysis {
       min(tokenCount(t)).cast("long").as("min_doc_tokens"))
   }
 
+  /** Unicode-script character classes for [[scriptCount]] /
+    * [[dominantScript]] — explicit codepoint ranges (not `\p{Script=…}`
+    * names) so the SAME class strings run under both java.util.regex and
+    * RE2 (the DuckDB oracle), which disagree on script-name syntax. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "greek" -> "\\x{0370}-\\x{03FF}",
+    "cjk" -> "\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}",
+    "arabic" -> "\\x{0600}-\\x{06FF}",
+    "digit" -> "0-9")
+
+  /** Count of characters in one [[ScriptClasses]] range — strip the
+    * complement, measure what is left (one codegen'd regex pass). */
+  def scriptCount(text: Column, rangeClass: String): Column =
+    length(regexp_replace(text, s"[^$rangeClass]", ""))
+
+  /** Dominant script of a document — the language-ID prior that works
+    * when word lists don't (CJK has no spaces to tokenize): the script
+    * with the most characters, ties broken by [[ScriptClasses]] order,
+    * `none` when no class matches at all. Pure map-only projection. */
+  def dominantScript(text: Column): Column = {
+    val counts = ScriptClasses.map { case (n, r) => n -> scriptCount(text, r) }
+    val m = greatest(counts.map(_._2): _*)
+    counts.foldRight(lit("none")) { case ((n, c), acc) =>
+      when(c === m && m > 0, lit(n)).otherwise(acc)
+    }
+  }
+
+  /** Top-`k` bigram collocations by pointwise mutual information —
+    * the classic phrase-mining signal (Church & Hanks 1990): how much
+    * more often `a b` co-occurs than independence predicts,
+    * `PMI = ln(p(ab) / (p(a)·p(b)))` with `p(ab) = c_ab/N₂`,
+    * `p(a) = c_a/N₁`. Bigrams below `minCount` are cut first (PMI of
+    * rare pairs is noise — the standard guard).
+    *
+    * Scale shape: two corpus scans, each collapsing map-side into a
+    * vocabulary-bounded count table; the corpus totals N₁/N₂ are derived
+    * FROM those aggregates (ReusedExchange — no third scan, same trick as
+    * [[Scale.skewReport]]); the bigram→unigram count joins are keyed on a
+    * token (vocab-bounded both sides, AQE broadcasts the smaller). Never
+    * a data-scale shuffle beyond the two count aggregations.
+    *
+    * Determinism contract: counts are exact longs; PMI is one double
+    * expression written identically in the DuckDB oracle
+    * (`ln((c_ab·N₁·N₁)/(N₂·c_a·c_b))`), micro-rounded; final ties break
+    * ASC on the bigram. Output: `(bigram, n_ab, n_a, n_b, pmi_micros)`.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Int = 5,
+      k: Int = 20): DataFrame = {
+    require(minCount >= 1 && k >= 1, "need minCount >= 1 and k >= 1")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val toks = tokens(col(textCol))
+    val uni = df.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val grams = ColumnBridge.column(graft.functions.NGramAll(
+      ColumnBridge.expression(toks), 2))
+    val bi = df.select(explode(grams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+    // 1-row totals from the SAME two aggregates (their exchanges are
+    // reused verbatim), broadcast back in as a cross join
+    val totals = uni.agg(sum(col("n_w")).as("__n1"))
+      .crossJoin(bi.agg(sum(col("n_ab")).as("__n2")))
+    val pmi = round(
+      log((col("n_ab").cast("double") * col("__n1") * col("__n1")) /
+        (col("__n2").cast("double") * col("n_a") * col("n_b"))) *
+        lit(1000000.0d)).cast("long")
+    bi.filter(col("n_ab") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+        pmi.as("pmi_micros"))
+      .orderBy(col("pmi_micros").desc, col("bigram"))
+      .limit(k)
+  }
+
   def corpusReport(
       docs: DataFrame,
       textCol: String,

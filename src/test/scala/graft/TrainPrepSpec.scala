@@ -367,6 +367,78 @@ class TrainPrepSpec extends SparkSpec {
     } finally { qc.stop(); qe.stop() }
   }
 
+  test("epochShuffle: dense 1..n permutation, replayable, partition-invariant") {
+    val df = (1L to 500L).toDF("id")
+    def key(seed: Long, epoch: Int, id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"$seed:$epoch:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val out = TrainPrep.epochShuffle(df, "id", seed = 3L, epoch = 1)
+      .select("id", "pos").as[(Long, Long)].collect()
+    // dense 1-based permutation
+    assert(out.map(_._2).sorted.toSeq == (1L to 500L))
+    // driver replay of the global order
+    val expect = (1L to 500L).sortBy(i => (key(3L, 1, i), i))
+    assert(out.sortBy(_._2).map(_._1).toSeq == expect)
+    // position is a pure function of the row set, not the partition count
+    val out2 = TrainPrep.epochShuffle(df.repartition(13), "id",
+        seed = 3L, epoch = 1, numPartitions = 7)
+      .select("id", "pos").as[(Long, Long)].collect()
+    assert(out2.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // a different epoch is a different permutation
+    val out3 = TrainPrep.epochShuffle(df, "id", seed = 3L, epoch = 2)
+      .select("id", "pos").as[(Long, Long)].collect()
+    assert(out3.sortBy(_._1).map(_._2).toSeq !=
+      out.sortBy(_._1).map(_._2).toSeq)
+  }
+
+  test("preferencePairs: extremes per group, id tie-breaks, degenerate drops") {
+    val rows = Seq(
+      (1L, 10L, 100L), (1L, 11L, 300L), (1L, 12L, 300L), // score tie at max
+      (2L, 20L, 50L),                                    // singleton
+      (3L, 30L, 70L), (3L, 31L, 70L),                    // zero margin
+      (4L, 42L, 900L), (4L, 40L, 5L), (4L, 41L, 5L))     // tie at min
+      .toDF("g", "id", "smu")
+    val out = TrainPrep.preferencePairs(rows, "g", "id", "smu")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 4L)) // groups 2 (singleton) and 3 (margin 0) drop
+    assert(out(1L) === ((1L, 11L, 10L, 300L, 100L, 200L))) // chosen tie → min id
+    assert(out(4L) === ((4L, 42L, 40L, 900L, 5L, 895L)))   // rejected tie → min id
+  }
+
+  test("unimaxAllocation: waterfill hits the budget exactly, caps bind") {
+    import graft.operators.Sampling
+    val dom = Seq(("a", 100L), ("b", 1000L), ("c", 1000L), ("d", 10000L))
+      .toDF("g", "tokens")
+    def run(budget: Long) =
+      Sampling.unimaxAllocation(dom, "g", "tokens", budget,
+          maxEpochsMilli = 2000L)
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+    // caps: a=200 b=2000 c=2000 d=20000; budget 10000 → a,b,c capped,
+    // d takes the remaining 5800
+    val r1 = run(10000L)
+    assert(r1("a")._4 == 200L && r1("b")._4 == 2000L && r1("c")._4 == 2000L)
+    assert(r1("d")._4 == 5800L)
+    assert(r1.values.map(_._4).sum == 10000L) // budget spent exactly
+    assert(r1("a")._5 == 2000000L)            // a runs its full 2 epochs
+    // remainder grant: one extra token to the first uncapped domain
+    val r2 = run(10001L)
+    assert(r2("d")._4 == 5801L && r2.values.map(_._4).sum == 10001L)
+    // over-budget: every domain capped, surplus unspent
+    val r3 = run(50000L)
+    assert(r3.values.map(t => t._4 == t._3).forall(identity))
+    assert(r3.values.map(_._4).sum == 24200L)
+    // even-split regime: budget below every cap share → nobody capped,
+    // level = 400/4 = 100 each
+    val r4 = run(400L)
+    assert(r4.values.map(_._4).sum == 400L)
+    assert(r4.values.forall(_._4 == 100L))
+  }
+
   test("hard negatives never share the anchor's label and match brute force") {
     val rnd = new scala.util.Random(7)
     val emb = (0L until 60L).map { i =>
