@@ -398,11 +398,18 @@ object TextAnalysis {
     * with the most characters, ties broken by [[ScriptClasses]] order,
     * `none` when no class matches at all. Pure map-only projection. */
   def dominantScript(text: Column): Column = {
-    val counts = ScriptClasses.map { case (n, r) => n -> scriptCount(text, r) }
-    val m = greatest(counts.map(_._2): _*)
-    counts.foldRight(lit("none")) { case ((n, c), acc) =>
-      when(c === m && m > 0, lit(n)).otherwise(acc)
-    }
+    // argmax via array_max over (count, -priority, name) structs — each
+    // class count is evaluated ONCE. A when-chain against greatest(...)
+    // would re-expand every count per branch (~40 regex passes per row
+    // instead of 6; the documented argmax-duplication trap). The all-zero
+    // case rides IN the array as a (0, +1, "none") sentinel — it beats
+    // every zero-count class on priority and loses to any positive count
+    // — so `best` is referenced once and the array isn't duplicated into
+    // a when/otherwise pair.
+    val entries = ScriptClasses.zipWithIndex.map { case ((n, r), i) =>
+      struct(scriptCount(text, r).as("c"), lit(-i).as("np"), lit(n).as("nm"))
+    } :+ struct(lit(0).as("c"), lit(1).as("np"), lit("none").as("nm"))
+    array_max(array(entries: _*)).getField("nm")
   }
 
   /** Top-`k` bigram collocations by pointwise mutual information —

@@ -365,4 +365,70 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
     assert("hashpartitioning".r.findAllMatchIn(plan).size == 1, plan)
   }
+
+  test("PMI: corpus totals ride ReusedExchanges, count aggs combine map-side") {
+    // exchange reuse is an AQE runtime decision — execute, then audit the
+    // final plan: the unigram table feeds two joins and the N1 total, the
+    // bigram table feeds the result and the N2 total, all off TWO corpus
+    // scans' exchanges
+    val df = SparkEntry.queries("q_text_pmi")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("reused"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("tf-idf keywords: rank window is per-doc, tf agg combines map-side") {
+    val plan = simple("q_tfidf_keywords")
+    assert(plan.contains("partial_count"), plan)
+    val winLine = plan.linesIterator
+      .find(l => l.contains("Window") && l.contains("row_number")).get
+    assert(winLine.contains("doc"), winLine) // partitioned, never global
+  }
+
+  test("script detection is map-only: no keyed shuffle, counts not re-expanded") {
+    val plan = simple("q_text_script")
+    // the only exchange allowed is the read path's parallelism round-robin
+    assert(!plan.contains("hashpartitioning") &&
+      !plan.contains("rangepartitioning"), plan)
+    // the argmax evaluates each class count once: 6 class-count columns +
+    // 6 inside the dominant's struct array = 12 regex ops, not the ~40 a
+    // when-chain-vs-greatest formulation re-expands to
+    val nRegex = "regexp_replace".r.findAllMatchIn(plan).size
+    assert(nRegex <= 12, s"$nRegex regexp_replace ops — argmax re-expansion:\n$plan")
+  }
+
+  test("epoch shuffle: position window is per-slice, base offsets broadcast") {
+    val plan = simple("q_epoch_shuffle")
+    val winLine = plan.linesIterator
+      .find(l => l.contains("Window") && l.contains("row_number")).get
+    assert(winLine.contains("__pid"), winLine) // literal key-space slices
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("preference pairs: ONE aggregation — no window, no join") {
+    val plan = simple("q_pref_pairs")
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+    assert(plan.contains("partial_max") || plan.contains("partial_min"), plan)
+  }
+
+  test("chat flatten: per-conversation turn window, collect agg partials map-side") {
+    val plan = simple("q_chat_flatten")
+    val winLine = plan.linesIterator
+      .find(l => l.contains("Window") && l.contains("row_number")).get
+    assert(winLine.contains("user_id"), winLine)
+    assert(plan.contains("partial_collect_list") ||
+      plan.contains("partial_max"), plan)
+  }
+
+  test("unimax: corpus collapses to the domain table before any window") {
+    val plan = simple("q_unimax_weights")
+    // the token sum partial-aggregates map-side; windows run above the
+    // G-row aggregate, never against the raw corpus
+    assert(plan.contains("partial_sum"), plan)
+    val iAgg = plan.indexOf("partial_sum")
+    val iWin = plan.indexOf("Window")
+    assert(iWin >= 0 && iWin < iAgg, plan) // physical plans print root-first
+  }
 }
