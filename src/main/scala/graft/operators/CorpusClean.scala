@@ -376,12 +376,39 @@ object CorpusClean {
     *
     * Adds `n_<category>` counts and `text_redacted`.
     */
-  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
-    val (out, counts) = piiPatterns.foldLeft((col(textCol), Seq.empty[Column])) {
+  def piiScrub(df: DataFrame, textCol: String): DataFrame =
+    scrubWith(df, textCol, piiPatterns, "text_redacted")
+
+  /** Leaked-credential patterns (RE2 ∩ java.util.regex, like
+    * [[piiPatterns]]): AWS access key ids, GitHub fine-grained tokens,
+    * HTTP bearer tokens, long lowercase hex runs (API keys / session
+    * tokens), and PEM private-key headers. Order matters: the typed,
+    * high-precision shapes match first so the broad hex rule only sees
+    * what they left behind. */
+  val secretPatterns: Seq[(String, String, String)] = Seq(
+    ("aws_key", "\\bAKIA[0-9A-Z]{16}\\b", "<AWSKEY>"),
+    ("gh_token", "\\bgh[pousr]_[A-Za-z0-9]{36}\\b", "<GHTOKEN>"),
+    ("bearer", "[Bb]earer +[A-Za-z0-9._~+/=-]{20,}", "<BEARER>"),
+    ("hex_secret", "\\b[0-9a-f]{32,64}\\b", "<HEXSECRET>"),
+    ("pem", "-----BEGIN [A-Z ]*PRIVATE KEY-----", "<PEMKEY>"))
+
+  /** Credential scrubbing — the "don't train the model to memorize
+    * somebody's API key" pass. Same contract as [[piiScrub]]: pure
+    * projection, per-category counts against the progressive text state.
+    * Adds `n_<category>` and `text_secret_redacted`. */
+  def secretScrub(df: DataFrame, textCol: String): DataFrame =
+    scrubWith(df, textCol, secretPatterns, "text_secret_redacted")
+
+  private def scrubWith(
+      df: DataFrame,
+      textCol: String,
+      patterns: Seq[(String, String, String)],
+      outCol: String): DataFrame = {
+    val (out, counts) = patterns.foldLeft((col(textCol), Seq.empty[Column])) {
       case ((txt, acc), (name, pat, repl)) =>
         (regexp_replace(txt, pat, repl),
           acc :+ regexp_count(txt, lit(pat)).cast("long").as(s"n_$name"))
     }
-    df.select(df.columns.map(col) ++ counts :+ out.as("text_redacted"): _*)
+    df.select(df.columns.map(col) ++ counts :+ out.as(outCol): _*)
   }
 }

@@ -66,6 +66,44 @@ object Decontamination {
     train.join(bad, Seq(trainId), "left_anti")
   }
 
+  /** Per-train-document contamination FRACTION: how many of the
+    * document's distinct word n-grams appear anywhere in the eval set —
+    * the graded dirtiness score behind the GPT-3-style "remove documents
+    * with ≥ N overlapping n-grams" rule ([[decontaminate]] is the
+    * boolean cut; this is the measurement that justifies the threshold,
+    * and the artifact a data audit reports).
+    *
+    * Scale shape: the eval side collapses to a DISTINCT shingle set
+    * (benchmark-sized, broadcast); the train side explodes once and
+    * left-joins the broadcast — ONE corpus scan, one keyed aggregation.
+    * Never a train-train or train×eval product.
+    *
+    * Output: `(train_id, n_shingles, n_hit, contam_ppm)` for EVERY
+    * train document (clean docs report 0). */
+  def contaminationFraction(
+      train: DataFrame,
+      test: DataFrame,
+      trainId: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n > 0, "n must be positive")
+    val trainSh = train.select(
+      col(trainId).as("train_id"),
+      explode(Dedup.shingles(col(textCol), n)).as("__sh"))
+    val evalSh = test
+      .select(explode(Dedup.shingles(col(textCol), n)).as("__sh"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    trainSh.join(broadcast(evalSh), Seq("__sh"), "left")
+      .groupBy(col("train_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("n_hit"))
+      .withColumn("contam_ppm",
+        expr("CAST((n_hit * 1000000) DIV n_shingles AS BIGINT)"))
+  }
+
   /** SEMANTIC contamination: (train, eval) pairs whose EMBEDDING cosine
     * reaches `tau` — catches the paraphrased/translated leak the n-gram
     * collision test misses (same claim as SemDeDup, pointed across the

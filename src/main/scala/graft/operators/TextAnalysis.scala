@@ -376,6 +376,39 @@ object TextAnalysis {
       min(tokenCount(t)).cast("long").as("min_doc_tokens"))
   }
 
+  /** Keyword alternation for [[codeProfile]] — common across C-family /
+    * Python / JS, RE2 ∩ java.util.regex syntax. */
+  val CodeKeywordPattern: String =
+    "\\b(def|return|import|class|void|int|function|var|const)\\b"
+
+  /** Code-vs-prose profiling — the signal behind composing a training
+    * mix's code fraction (and routing code to a code-aware tokenizer):
+    * structural-symbol density (`{}();=<>[]` per million chars) and
+    * programming-keyword hits, with the boolean cut
+    * `is_code = density > symPerMChar OR keywords ≥ minKeywords`.
+    * Pure map-only projection; all-integer arithmetic (the density is a
+    * micro-unit DIV), so the classification replays exactly anywhere.
+    *
+    * Output: `(idCol, n_chars, n_sym, n_kw, sym_per_mchar, is_code)`. */
+  def codeProfile(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      symPerMChar: Long = 20000L,
+      minKeywords: Int = 2): DataFrame =
+    df.select(col(idCol), col(textCol).as("__t"))
+      .withColumn("n_chars", length(col("__t")).cast("long"))
+      .withColumn("n_sym",
+        length(regexp_replace(col("__t"), "[^{}()=;<>\\[\\]]", ""))
+          .cast("long"))
+      .withColumn("n_kw",
+        regexp_count(col("__t"), lit(CodeKeywordPattern)).cast("long"))
+      .withColumn("sym_per_mchar",
+        expr("n_sym * 1000000 DIV greatest(n_chars, 1)"))
+      .withColumn("is_code",
+        col("sym_per_mchar") > symPerMChar || col("n_kw") >= minKeywords)
+      .drop("__t")
+
   /** Unicode-script character classes for [[scriptCount]] /
     * [[dominantScript]] — explicit codepoint ranges (not `\p{Script=…}`
     * names) so the SAME class strings run under both java.util.regex and

@@ -98,4 +98,20 @@ class DecontaminationSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(p2 == pairs.toSet)
   }
+
+  test("contaminationFraction: exact ppm per train doc, clean docs report 0") {
+    val train = Seq(
+      (1L, "a b c d e"),   // shingles: "a b c","b c d","c d e"
+      (2L, "p q r s"),     // "p q r","q r s" — fully clean
+      (3L, "b c d"))       // single shingle, fully contaminated
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, "b c d x y")).toDF("doc_id", "text")
+    val got = Decontamination.contaminationFraction(
+        train, eval_, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // every train doc reports
+    assert(got(1L) == ((1L, 3L, 1L, 333333L)))
+    assert(got(2L) == ((2L, 2L, 0L, 0L)))
+    assert(got(3L) == ((3L, 1L, 1L, 1000000L)))
+  }
 }

@@ -653,6 +653,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cut.map(_._1).toSeq === Seq("new york"))
   }
 
+  test("codeProfile: symbol density and keywords split code from prose") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "def fib(n) { return n < 2 ? n : fib(n-1); }"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "import os; import sys"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.codeProfile(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._6 && got(3L)._6) // both density and keyword routes
+    assert(!got(2L)._6 && !got(4L)._6)
+    // exact integer model for doc 1: symbols {}()();<  → count them
+    val text1 = "def fib(n) { return n < 2 ? n : fib(n-1); }"
+    val nSym = text1.count("{}()=;<>[]".contains(_)).toLong
+    assert(got(1L)._3 == nSym)
+    assert(got(1L)._5 == nSym * 1000000L / text1.length)
+    // empty text: density guard divides by 1, not 0
+    assert(got(4L)._5 == 0L)
+  }
+
   test("dominantScript: per-script counts and priority ties") {
     import graft.operators.TextAnalysis
     val df = Seq("hello world", "привет мир", "你好世界", "مرحبا", "12345",

@@ -422,6 +422,25 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("partial_max"), plan)
   }
 
+  test("contamination fraction: eval broadcasts, train explodes once") {
+    val plan = simple("q_decontam_fraction")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    // exactly one keyed aggregation (per-train-doc tally); the eval
+    // distinct rides the broadcast side
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("secret and code scans are map-only: no keyed shuffle") {
+    for (q <- Seq("q_clean_secrets", "q_code_detect")) {
+      val plan = simple(q)
+      assert(!plan.contains("hashpartitioning") &&
+        !plan.contains("rangepartitioning"), s"$q:\n$plan")
+      assert(!plan.contains("Join"), s"$q:\n$plan")
+    }
+  }
+
   test("unimax: corpus collapses to the domain table before any window") {
     val plan = simple("q_unimax_weights")
     // the token sum partial-aggregates map-side; windows run above the
