@@ -402,4 +402,72 @@ object StreamingRetentionJob {
       .withColumn(opCol, when(col("__del") === 1, lit("D")).otherwise(lit("U")))
       .drop("__del")
   }
+
+  final case class ChatOut(
+      conv_id: String, n_turns: Long, rendered: String, n_chars: Long)
+  final case class ChatState(
+      turns: List[(Long, Long, String)], // (tsMs, eventId, payload)
+      lastMs: Long)
+
+  /** Streaming conversation assembly — the incremental form of
+    * [[graft.operators.Conversations]]: per conversation key, buffer
+    * arriving turns (ordered by event time, ties on the event id, capped
+    * at `maxTurns` — the state bound), and when the event-time watermark
+    * passes `gapMs` with no new turn, emit ONE rendered transcript and
+    * drop the state. Roles alternate user/assistant in final turn order,
+    * rendering matches [[graft.operators.Conversations.renderChat]]
+    * byte-for-byte (`<|role|>payload` concat) — the parity is
+    * spec-pinned against the batch operator on the same events.
+    *
+    * Late turns inside the watermark splice into their position (the
+    * buffer re-sorts on every batch — ≤ maxTurns elements); turns beyond
+    * the watermark are dropped by the engine. State per key is O(maxTurns)
+    * strings. Input: string `key`, TIMESTAMP `ts` (watermarked), long
+    * `event_id`, string `payload`; Append mode. */
+  def streamingChatAssembly(
+      events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      gapMs: Long,
+      maxTurns: Int = 32): org.apache.spark.sql.Dataset[ChatOut] = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(gapMs > 0 && maxTurns >= 1, "need gapMs > 0 and maxTurns >= 1")
+    implicit val stateEnc = Encoders.product[ChatState]
+    implicit val outEnc = Encoders.product[ChatOut]
+
+    def render(key: String, turns: List[(Long, Long, String)]): ChatOut = {
+      val lines = turns.zipWithIndex.map { case ((_, _, payload), i) =>
+        val role = if (i % 2 == 0) "user" else "assistant"
+        s"<|$role|>$payload"
+      }
+      val rendered = lines.mkString("")
+      ChatOut(key, turns.size.toLong, rendered, rendered.length.toLong)
+    }
+
+    events
+      .groupByKey((r: Row) => r.getAs[String]("key"))(Encoders.STRING)
+      .flatMapGroupsWithState[ChatState, ChatOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[Row], state: GroupState[ChatState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(render(key, s.turns))
+          } else {
+            val arrivals = rows.map { r =>
+              (r.getAs[java.sql.Timestamp]("ts").getTime,
+                r.getAs[Long]("event_id"), r.getAs[String]("payload"))
+            }.toList
+            val prev = state.getOption.getOrElse(ChatState(Nil, Long.MinValue))
+            val merged = (prev.turns ++ arrivals)
+              .sortBy(t => (t._1, t._2)).take(maxTurns)
+            val lastMs = math.max(prev.lastMs,
+              arrivals.map(_._1).foldLeft(Long.MinValue)(math.max))
+            state.update(ChatState(merged, lastMs))
+            // the conversation closes when the WATERMARK passes the last
+            // arrival (even a beyond-cap one) plus the gap
+            state.setTimeoutTimestamp(lastMs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
 }

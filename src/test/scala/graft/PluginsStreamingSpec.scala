@@ -490,4 +490,45 @@ class StreamingSpec extends SparkSpec {
       assert(last == ((1L, 200L, 7.0, "U")))
     } finally q.stop()
   }
+
+  test("streaming chat assembly ≡ batch renderChat once conversations close") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Conversations
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val in = MemoryStream[(String, java.sql.Timestamp, Long, String)]
+    val stream = in.toDF().toDF("key", "ts", "event_id", "payload")
+      .withWatermark("ts", "0 seconds")
+    val out = StreamingRetentionJob.streamingChatAssembly(
+      stream, gapMs = 5 * 60 * 1000L, maxTurns = 3)
+    val q = out.writeStream.format("memory").queryName("chat")
+      .outputMode("append").start()
+    try {
+      in.addData(("A", ts(1), 1L, "hi"), ("A", ts(2), 2L, "yo"),
+        ("B", ts(3), 10L, "solo"))
+      q.processAllAvailable()
+      // cross-batch append; equal-ts tie breaks on event_id; the cap
+      // drops the 4th turn but its timestamp still anchors the timeout
+      in.addData(("A", ts(4), 3L, "more"), ("A", ts(4), 4L, "overflow"))
+      q.processAllAvailable()
+      in.addData(("C", ts(30), 99L, "later")) // watermark → A and B close
+      q.processAllAvailable()
+      val got = spark.table("chat").as[(String, Long, String, Long)]
+        .collect().map(r => r._1 -> r).toMap
+      assert(got.keySet == Set("A", "B")) // C is still open
+      assert(got("A")._3 == "<|user|>hi<|assistant|>yo<|user|>more")
+      assert(got("A")._2 == 3L)
+      assert(got("B")._3 == "<|user|>solo" && got("B")._2 == 1L)
+      // parity: the batch operator over the SAME closed conversations
+      val ev = Seq(
+        ("A", ts(1), 1L, "hi"), ("A", ts(2), 2L, "yo"),
+        ("A", ts(4), 3L, "more"), ("A", ts(4), 4L, "overflow"),
+        ("B", ts(3), 10L, "solo"))
+        .toDF("user_id", "ts", "event_id", "payload")
+      val batch = Conversations.renderChat(Conversations.turnsFromEvents(
+          ev, "user_id", "ts", "event_id", col("payload"), maxTurns = 3))
+        .as[(String, Long, String, Long)].collect().map(r => r._1 -> r).toMap
+      assert(got("A") == batch("A") && got("B") == batch("B"))
+    } finally q.stop()
+  }
 }
