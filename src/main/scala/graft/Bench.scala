@@ -146,7 +146,15 @@ object Bench {
     "q_self_repeat" -> 0.31, "q_shard_manifest" -> 0.36,
     "q_dedup_prefix_join" -> 2.26,
     "q_compress_filter" -> 0.31, "q_pipeline_shards" -> 1.03,
-    "q_ann_ndcg" -> 0.68, "q_wordpiece_oov" -> 1.10)
+    "q_ann_ndcg" -> 0.68, "q_wordpiece_oov" -> 1.10,
+    // round-9 session-5 additions (mins from a 12.1s-steal sf0.1 run;
+    // q_pipeline_select estimated from its parts, unmeasured)
+    "q_clean_secrets" -> 0.27, "q_code_detect" -> 0.30,
+    "q_text_script" -> 0.34, "q_unimax_weights" -> 0.33,
+    "q_text_pmi" -> 0.51, "q_epoch_shuffle" -> 0.67,
+    "q_chat_flatten" -> 0.77, "q_decontam_fraction" -> 0.81,
+    "q_ann_recall_dims" -> 0.81, "q_pref_pairs" -> 0.93,
+    "q_tfidf_keywords" -> 1.85, "q_pipeline_select" -> 2.50)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1785,6 +1785,30 @@ object SparkEntry {
           round(operators.TextAnalysis.qualityScore(col("text")) * 1e6)
             .cast("long").as("score_mu")),
         "prompt_id", "doc_id", "score_mu")),
+    // session capstone: quality cut → contamination-fraction cut →
+    // UniMax per-source token allocation — the "what do we actually
+    // train on, and how often" artifact, end-to-end under ONE oracle
+    "q_pipeline_select" -> ((s, dir) => {
+      val split = operators.Sampling.hashSplit(readWide(s, dir, "documents"),
+        "doc_id", Seq(("train", 0.95), ("heldout", 0.05)), seed = 7L)
+      val train = split.filter(col("split") === "train")
+      val contamOk = operators.Decontamination.contaminationFraction(
+          train, split.filter(col("split") === "heldout"),
+          "doc_id", "text", n = 3)
+        .filter(col("contam_ppm") < 300000L)
+        .select(col("train_id").as("doc_id"))
+      val kept = train
+        .withColumn("q_mu",
+          round(operators.TextAnalysis.qualityScore(col("text")) * 1e6)
+            .cast("long"))
+        .filter(col("q_mu") >= 900000L)
+        .join(contamOk, Seq("doc_id"), "left_semi")
+      operators.Sampling.unimaxAllocation(
+        kept.groupBy(col("source")).agg(
+          sum(operators.TextAnalysis.tokenCount(col("text"))).cast("long")
+            .as("tokens")),
+        "source", "tokens", budget = 30000L, maxEpochsMilli = 1500L)
+    }),
     // per-doc contamination fraction: share of each train doc's distinct
     // 3-grams found anywhere in the eval slice — eval collapses to a
     // broadcast distinct-shingle set, train explodes ONCE
@@ -4301,6 +4325,70 @@ object SparkEntry {
            a.rejected_mu, a.chosen_mu - a.rejected_mu AS margin_mu
          FROM pick p JOIN ag a USING (prompt_id)
          WHERE a.chosen_mu - a.rejected_mu > 0""",
+    // capstone replay: the quality CTE, the contamination CTEs, both
+    // cuts, then the full waterfill — one chained statement
+    "q_pipeline_select" ->
+      """WITH b AS (SELECT doc_id, text, source,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+               % 1000000 AS bucket
+           FROM documents),
+         w AS (SELECT doc_id, source, bucket,
+             string_split_regex(trim(lower(text)), '\s+') AS ws,
+             length(text) AS len, text FROM b),
+         sh AS (SELECT doc_id, source, bucket,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS s
+           FROM w),
+         tru AS (SELECT doc_id AS train_id, unnest(s) AS g FROM sh
+           WHERE bucket < 950000),
+         evs AS (SELECT DISTINCT unnest(s) AS g FROM sh
+           WHERE bucket >= 950000),
+         contam AS (SELECT train_id,
+             (sum(CASE WHEN g IN (SELECT g FROM evs) THEN 1 ELSE 0 END)
+               * 1000000) // count(*) AS ppm
+           FROM tru GROUP BY 1),
+         q AS (SELECT doc_id, source, ntok0 AS ntok,
+             CAST(round(round((CASE WHEN len BETWEEN 100 AND 10000 THEN 1.0
+                   WHEN len BETWEEN 20 AND 99 THEN 0.5 ELSE 0.0 END) * 0.3
+               + (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) /
+                   CAST(greatest(len, 1) AS DOUBLE)) * 0.3
+               + (1.0 - least((length(regexp_replace(text, '[^[:punct:]]', '',
+                   'g')) / CAST(greatest(len, 1) AS DOUBLE)) * 5.0, 1.0)) * 0.2
+               + (CASE WHEN len / CAST(greatest(ntok0, 1) AS DOUBLE)
+                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+               6) * 1e6) AS BIGINT) AS q_mu
+           FROM (SELECT *, CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(ws) END AS ntok0 FROM w WHERE bucket < 950000)),
+         kept AS (SELECT q.doc_id, q.source, q.ntok FROM q
+           JOIN contam c ON c.train_id = q.doc_id
+           WHERE q.q_mu >= 900000 AND c.ppm < 300000),
+         d AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS tokens
+           FROM kept GROUP BY 1),
+         bb AS (SELECT source, tokens, tokens * 1500 // 1000 AS cap
+           FROM d WHERE tokens > 0),
+         r AS (SELECT *, row_number() OVER (ORDER BY cap, source) AS rn,
+             coalesce(sum(cap) OVER (ORDER BY cap, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+             count(*) OVER () AS n
+           FROM bb),
+         cz AS (SELECT *,
+             (cap * (n - rn + 1) <= 30000 - pre) AS capped FROM r),
+         st AS (SELECT *,
+             sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+             coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0) AS s
+           FROM cz),
+         lv AS (SELECT *, n - k AS m, 30000 - s AS rbud FROM st),
+         al AS (SELECT *,
+             CASE WHEN capped THEN cap
+                  ELSE (CASE WHEN m > 0 THEN rbud // m ELSE 0 END) +
+                    (CASE WHEN m > 0 AND rn - k <= rbud % m THEN 1 ELSE 0 END)
+             END AS alloc
+           FROM lv)
+         SELECT source, tokens, cap, alloc,
+           CAST(round(alloc * 1000000.0 / tokens) AS BIGINT) AS epochs_micros
+         FROM al""",
     // contamination-fraction replay: same md5 split and shingle CTEs as
     // q_decontam_pairs; per-train-doc membership count against the
     // eval distinct-shingle set

@@ -357,4 +357,39 @@ class PipelinePropertySpec extends AnyFunSuite {
     chainDf.unpersist()
     assert(chainLabels.length == 300 && chainLabels.forall(_._2 == 0L))
   }
+
+  test("unimaxAllocation laws: caps bind, budget conserved, order-free (random)") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 25)
+      toks <- Gen.listOfN(n, Gen.chooseNum(1L, 5000L))
+      budget <- Gen.chooseNum(0L, 60000L)
+      epochsMilli <- Gen.oneOf(250L, 1000L, 1500L, 3000L)
+    } yield (toks.zipWithIndex.map { case (t, i) => (s"d$i", t) },
+      budget, epochsMilli)
+    for (((domains, budget, em), i) <- samples(gen, 12).zipWithIndex) {
+      val df = domains.toDF("g", "tokens")
+      val out = Sampling.unimaxAllocation(df, "g", "tokens", budget, em)
+        .as[(String, Long, Long, Long, Long)].collect()
+      val byG = out.map(r => r._1 -> r).toMap
+      assert(out.length == domains.length, s"case $i: every domain reports")
+      // law 1: 0 <= alloc <= cap, and cap = tokens*em/1000 exactly
+      out.foreach { case (g, tokens, cap, alloc, _) =>
+        assert(cap == tokens * em / 1000L, s"case $i $g")
+        assert(alloc >= 0L && alloc <= cap, s"case $i $g: $alloc vs $cap")
+      }
+      // law 2: budget conservation — spends min(budget, sum caps)
+      // exactly when the even split has no forced shortfall
+      val totalCap = out.map(_._3).sum
+      val spent = out.map(_._4).sum
+      assert(spent <= math.min(budget, totalCap), s"case $i overspent")
+      if (budget >= totalCap) assert(spent == totalCap, s"case $i undercap")
+      else assert(spent == budget, s"case $i: attainable budget not hit")
+      // law 3: input order is irrelevant (allocation keyed by (cap, name))
+      val shuffled = new scala.util.Random(i).shuffle(domains)
+      val out2 = Sampling.unimaxAllocation(
+          shuffled.toDF("g", "tokens"), "g", "tokens", budget, em)
+        .as[(String, Long, Long, Long, Long)].collect()
+      assert(out2.map(r => r._1 -> r).toMap == byG, s"case $i order-dependent")
+    }
+  }
 }

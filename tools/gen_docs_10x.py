@@ -48,9 +48,40 @@ con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", ins)
 con.execute(f"COPY (SELECT * FROM t ORDER BY doc_id) TO "
             f"'{out}/documents.parquet' (FORMAT PARQUET)")
 
+# events: replicate with shifted event/user ids (ts and payload kept, so
+# per-user event density and time ordering are preserved per replica)
+con.execute(
+    "CREATE TABLE ev AS SELECT * FROM read_parquet('" + src + "/events.parquet')")
+maxeid, maxuid = con.execute(
+    "SELECT max(event_id) + 1, max(user_id) + 1 FROM ev").fetchone()
+con.execute(f"""
+    COPY (SELECT event_id + r * {maxeid} AS event_id, ts,
+                 user_id + r * {maxuid} AS user_id, event_type, value, props
+          FROM ev CROSS JOIN (SELECT unnest(range({reps})) AS r)
+          ORDER BY event_id)
+    TO '{out}/events.parquet' (FORMAT PARQUET)""")
+
+# embeddings: shifted ids; replica vectors perturbed deterministically in
+# one coordinate (keyed by (r, vec_id)) so replicas are near- but not
+# exact duplicates of the originals
+con.execute(
+    "CREATE TABLE em AS SELECT * FROM read_parquet('" + src + "/embeddings.parquet')")
+maxvid = con.execute("SELECT max(vec_id) + 1 FROM em").fetchone()[0]
+con.execute(f"""
+    COPY (SELECT vec_id + r * {maxvid} AS vec_id,
+                 CASE WHEN r = 0 THEN embedding
+                      ELSE list_transform(embedding, x -> CAST(
+                        x + 0.001 * (CAST(hash(r * 1000000 + vec_id) % 7 AS BIGINT) - 3)
+                        AS FLOAT)) END AS embedding,
+                 label
+          FROM em CROSS JOIN (SELECT unnest(range({reps})) AS r)
+          ORDER BY vec_id)
+    TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+
 for f in os.listdir(src):
-    if f.endswith(".parquet") and f != "documents.parquet":
+    if f.endswith(".parquet") and f not in (
+            "documents.parquet", "events.parquet", "embeddings.parquet"):
         dst = os.path.join(out, f)
         if not os.path.exists(dst):
             os.symlink(os.path.join(src, f), dst)
-print(f"wrote {len(ins)} docs ({reps}x) to {out}")
+print(f"wrote {len(ins)} docs + {reps}x events/embeddings to {out}")
