@@ -1785,6 +1785,28 @@ object SparkEntry {
           round(operators.TextAnalysis.qualityScore(col("text")) * 1e6)
             .cast("long").as("score_mu")),
         "prompt_id", "doc_id", "score_mu")),
+    // KMV set algebra: Jaccard/union/intersection estimates of two
+    // overlapping token corpora from two ≤k-row sketches — never the
+    // data; k=16 so the re-cut path engages at sf0.01
+    "q_sketch_kmv_jaccard" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      def toks(f: Column) = docs.filter(f).select(lit("corpus").as("g"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      val pa = operators.Sketches.kmvPartial(
+        toks(pmod(col("doc_id"), lit(3)) =!= 0), Seq("g"), "w", 16, seed = 5L)
+      val pb = operators.Sketches.kmvPartial(
+        toks(pmod(col("doc_id"), lit(2)) === 0), Seq("g"), "w", 16, seed = 5L)
+      operators.Sketches.kmvJaccard(pa, pb, Seq("g"), k = 16)
+    }),
+    // curriculum quantile bands: global score-quantile assignment via the
+    // driver-folded bucket table — only boundary-straddling buckets get a
+    // per-row rank window
+    "q_curriculum_bands" -> ((s, dir) =>
+      operators.TrainPrep.curriculumBands(
+        readWide(s, dir, "documents")
+          .select(col("doc_id"),
+            operators.TextAnalysis.qualityScore(col("text")).as("q")),
+        "doc_id", "q", nBands = 8)),
     // session capstone: quality cut → contamination-fraction cut →
     // UniMax per-source token allocation — the "what do we actually
     // train on, and how often" artifact, end-to-end under ONE oracle
@@ -4325,6 +4347,65 @@ object SparkEntry {
            a.rejected_mu, a.chosen_mu - a.rejected_mu AS margin_mu
          FROM pick p JOIN ag a USING (prompt_id)
          WHERE a.chosen_mu - a.rejected_mu > 0""",
+    // KMV-Jaccard replay: both sides' k-min hash lists from the same
+    // md5 hashes, exact union re-cut, membership counts, the shared
+    // kmv_est expression, inter_est from the ROUNDED union_est
+    "q_sketch_kmv_jaccard" ->
+      """WITH da AS (SELECT DISTINCT
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents WHERE doc_id % 3 <> 0),
+         db AS (SELECT DISTINCT
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents WHERE doc_id % 2 = 0),
+         ha AS (SELECT DISTINCT
+             ('0x' || substr(md5(w || ':5'), 1, 15))::BIGINT AS h FROM da),
+         hb AS (SELECT DISTINCT
+             ('0x' || substr(md5(w || ':5'), 1, 15))::BIGINT AS h FROM db),
+         ka AS (SELECT list_slice(list_sort(list(h)), 1, 16) AS la FROM ha),
+         kb AS (SELECT list_slice(list_sort(list(h)), 1, 16) AS lb FROM hb),
+         u AS (SELECT la, lb,
+             list_slice(list_sort(list_distinct(la || lb)), 1, 16) AS lu
+           FROM ka, kb),
+         m AS (SELECT
+             CAST(len(lu) AS BIGINT) AS n_k,
+             CAST(len(list_intersect(list_intersect(lu, la), lb)) AS BIGINT)
+               AS n_both,
+             round(CASE WHEN len(lu) < 16 THEN CAST(len(lu) AS DOUBLE)
+                   ELSE 15.0 * 1152921504606846976.0 / CAST(lu[16] AS DOUBLE)
+                   END, 3) AS union_est
+           FROM u)
+         SELECT 'corpus' AS g, n_k, n_both,
+           CAST(CASE WHEN n_k = 0 THEN 0
+                ELSE n_both * 1000000 // n_k END AS BIGINT) AS jaccard_ppm,
+           union_est,
+           CASE WHEN n_k = 0 THEN 0.0
+                ELSE round(union_est * n_both / n_k, 3) END AS inter_est
+         FROM m""",
+    // curriculum replay: one global row_number over (score_mu, id) —
+    // exactly the rank the distributed bucket-table formulation computes
+    "q_curriculum_bands" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+               AS ntok
+           FROM documents),
+         sc AS (SELECT doc_id,
+             CAST(floor(round((CASE WHEN len BETWEEN 100 AND 10000 THEN 1.0
+                   WHEN len BETWEEN 20 AND 99 THEN 0.5 ELSE 0.0 END) * 0.3
+               + (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) /
+                   CAST(greatest(len, 1) AS DOUBLE)) * 0.3
+               + (1.0 - least((length(regexp_replace(text, '[^[:punct:]]', '',
+                   'g')) / CAST(greatest(len, 1) AS DOUBLE)) * 5.0, 1.0)) * 0.2
+               + (CASE WHEN len / CAST(greatest(ntok, 1) AS DOUBLE)
+                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+               6) * 1000000 + 0.5) AS BIGINT) AS score_mu
+           FROM t),
+         n AS (SELECT count(*) AS t FROM sc),
+         r AS (SELECT doc_id, score_mu,
+             row_number() OVER (ORDER BY score_mu, doc_id) AS rk FROM sc)
+         SELECT doc_id, score_mu,
+           CAST((rk - 1) * 8 // t AS INT) AS band
+         FROM r, n""",
     // capstone replay: the quality CTE, the contamination CTEs, both
     // cuts, then the full waterfill — one chained statement
     "q_pipeline_select" ->

@@ -111,6 +111,52 @@ object Sketches {
       .groupBy(groupCols.map(col): _*)
       .agg(kMinValues(col("__h"), k).as("__kmv"))
 
+  /** Set-operation estimates from two partial KMV sketches sharing the
+    * group keys — the "how much do these two corpora overlap" question
+    * (ingest-batch vs standing corpus, two scrapes, two snapshots)
+    * answered from two ≤k-row sketch tables, never the data:
+    * `K = k-min(A ∪ B)` (exact from the two partials — every member of
+    * the union's k smallest is in its own side's k smallest), then
+    * `Ĵ = |K ∩ A ∩ B| / |K|` (Beyer et al. 2007). Also emits the union
+    * estimate ([[kmvEstimate]] formula on K) and the intersection
+    * estimate `Ĵ·Û`.
+    *
+    * Determinism contract: hashes are the md5-based [[hash60]] values —
+    * the membership arithmetic is exact integers, `jaccard_ppm` is an
+    * integral DIV, and the two double estimates are the established
+    * 3-decimal kmv_est discipline. Output: `groupCols..., n_k, n_both,
+    * jaccard_ppm, union_est, inter_est`. */
+  def kmvJaccard(
+      a: DataFrame,
+      b: DataFrame,
+      groupCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val aa = a.select(groupCols.map(col) :+ col("__kmv").as("__ka"): _*)
+    val bb = b.select(groupCols.map(col) :+ col("__kmv").as("__kb"): _*)
+    val unionEst =
+      when(size(col("__ku")) < k, size(col("__ku")).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(TwoPow60)
+          / element_at(col("__ku"), k).cast("double"))
+    aa.join(bb, groupCols)
+      .withColumn("__ku",
+        slice(array_sort(array_distinct(concat(col("__ka"), col("__kb")))),
+          1, k))
+      .withColumn("n_k", size(col("__ku")).cast("long"))
+      .withColumn("n_both",
+        size(array_intersect(array_intersect(col("__ku"), col("__ka")),
+          col("__kb"))).cast("long"))
+      .withColumn("jaccard_ppm",
+        when(col("n_k") === 0, lit(0L))
+          .otherwise(expr("CAST(n_both * 1000000 DIV n_k AS BIGINT)")))
+      .withColumn("union_est", round(unionEst, 3))
+      .withColumn("inter_est",
+        when(col("n_k") === 0, lit(0.0d)).otherwise(
+          round(col("union_est") * col("n_both") / col("n_k"), 3)))
+      .select(groupCols.map(col) ++ Seq(col("n_k"), col("n_both"),
+        col("jaccard_ppm"), col("union_est"), col("inter_est")): _*)
+  }
+
   /** Estimate from a partial (built or merged) KMV table. */
   def kmvEstimate(
       partial: DataFrame,

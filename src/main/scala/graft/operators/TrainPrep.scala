@@ -281,6 +281,65 @@ object TrainPrep {
     full.unionByName(boundary)
   }
 
+  /** Curriculum quantile bands: assign every row its global score
+    * quantile band (`band = ⌊(rank−1)·nBands/N⌋`, rank by score ASC then
+    * id — band 0 is the lowest-scored slice), the artifact behind
+    * easy-first/hard-first curriculum schedules and quantile-stratified
+    * reporting.
+    *
+    * Scale shape — the [[selectByTokenBudget]] trick pointed at ranks:
+    * the global ordered rank collapses to ONE map-side-combined count
+    * per score unit (≤ scoreScale+1 rows, driver-folded and re-emitted
+    * as a broadcast literal); a bucket whose whole span lands in one
+    * band stamps that band map-only, and ONLY the ≤ nBands−1 buckets
+    * straddling a band boundary get a per-row rank window (partitioned
+    * by the bucket — bounded partitions, never a global sort).
+    *
+    * Output: `(idCol, score_mu, band int)`. */
+  def curriculumBands(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      nBands: Int,
+      scoreScale: Long = 1000000L): DataFrame = {
+    require(nBands >= 1, "nBands must be >= 1")
+    val base = df.select(col(idCol).as("__id"),
+      floor(col(scoreCol) * scoreScale + 0.5).cast("long").as("score_mu"))
+    val wc = Window.orderBy(col("score_mu"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketRows = base.groupBy(col("score_mu"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(wc))
+      .select(col("score_mu"), (col("__cum") - col("__cnt")).as("__before"),
+        col("__cnt"))
+      .collect()
+    val total = bucketRows.map(_.getLong(2)).sum
+    val marked = bucketRows.map { r =>
+      val (smu, before, cnt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val bandLo = before * nBands / total
+      val bandHi = (before + cnt - 1) * nBands / total
+      org.apache.spark.sql.Row(smu, before, bandLo.toInt, bandLo == bandHi)
+    }
+    import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StructField, StructType}
+    val markedDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(marked: _*),
+      StructType(Seq(StructField("score_mu", LongType),
+        StructField("__before", LongType),
+        StructField("__band_lo", IntegerType),
+        StructField("__uniform", BooleanType))))
+    val joined = base.join(broadcast(markedDf), Seq("score_mu"))
+    val uniform = joined.filter(col("__uniform"))
+      .select(col("__id").as(idCol), col("score_mu"),
+        col("__band_lo").as("band"))
+    val wb = Window.partitionBy(col("score_mu")).orderBy(col("__id"))
+    val straddlers = joined.filter(!col("__uniform"))
+      .withColumn("__rk", row_number().over(wb).cast("long"))
+      .select(col("__id").as(idCol), col("score_mu"),
+        expr(s"CAST((__before + __rk - 1) * $nBands DIV ${math.max(total, 1L)} AS INT)")
+          .as("band"))
+    uniform.unionByName(straddlers)
+  }
+
   /** Per-group TOKEN budget — the "N tokens per domain" recipe
     * statement ([[selectByTokenBudget]] caps the whole corpus;
     * [[capPerGroup]] caps per-group ROWS; this caps per-group TOKENS):

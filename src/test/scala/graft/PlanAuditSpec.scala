@@ -441,6 +441,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("curriculum bands: bucket table broadcasts, rank window per-bucket") {
+    val plan = simple("q_curriculum_bands")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    val winLine = plan.linesIterator
+      .find(l => l.contains("Window") && l.contains("row_number")).get
+    assert(winLine.contains("score_mu"), winLine) // never a global sort
+  }
+
   test("unimax: corpus collapses to the domain table before any window") {
     val plan = simple("q_unimax_weights")
     // the token sum partial-aggregates map-side; windows run above the

@@ -281,4 +281,37 @@ class SketchesSpec extends SparkSpec {
     val rel = math.abs(est / 1e6 - 180.0) / 180.0
     assert(rel < 0.15, s"estimate ${est / 1e6} vs 180 (rel err $rel)")
   }
+
+  test("kmvJaccard: exact below k, identical=1, disjoint=0, estimate tracks truth") {
+    import graft.operators.Sketches
+    def side(vals: Seq[String]) = Sketches.kmvPartial(
+      vals.map(("g", _)).toDF("g", "w"), Seq("g"), "w", k = 16, seed = 5L)
+    def jac(a: Seq[String], b: Seq[String]) =
+      Sketches.kmvJaccard(side(a), side(b), Seq("g"), k = 16)
+        .as[(String, Long, Long, Long, Double, Double)].collect().head
+    // below k: everything exact. A={a..j} (10), B={f..o} (10), ∩=5, ∪=15
+    val a = ('a' to 'j').map(_.toString)
+    val b = ('f' to 'o').map(_.toString)
+    val r = jac(a, b)
+    assert(r._2 == 15L && r._3 == 5L)
+    assert(r._4 == 5L * 1000000L / 15L)
+    assert(r._5 == 15.0 && r._6 == 5.0) // union/intersection exact below k
+    val same = jac(a, a)
+    assert(same._4 == 1000000L && same._6 == 10.0)
+    val disj = jac(a, ('p' to 'z').map(_.toString))
+    assert(disj._3 == 0L && disj._4 == 0L && disj._6 == 0.0)
+    // above k: the estimate tracks the true Jaccard within sketch noise
+    val bigA = (1 to 400).map(i => s"w$i")
+    val bigB = (201 to 600).map(i => s"w$i") // J = 200/600 = 0.333
+    val rb = Sketches.kmvJaccard(
+        Sketches.kmvPartial(bigA.map(("g", _)).toDF("g", "w"), Seq("g"), "w",
+          k = 64, seed = 5L),
+        Sketches.kmvPartial(bigB.map(("g", _)).toDF("g", "w"), Seq("g"), "w",
+          k = 64, seed = 5L),
+        Seq("g"), k = 64)
+      .as[(String, Long, Long, Long, Double, Double)].collect().head
+    assert(rb._2 == 64L)
+    assert(math.abs(rb._4 / 1e6 - 1.0 / 3) < 0.15, rb.toString)
+    assert(math.abs(rb._5 - 600.0) / 600.0 < 0.3, rb.toString)
+  }
 }

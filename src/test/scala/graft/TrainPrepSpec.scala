@@ -439,6 +439,30 @@ class TrainPrepSpec extends SparkSpec {
     assert(r4.values.forall(_._4 == 100L))
   }
 
+  test("curriculumBands: matches the global-rank model, bands balanced") {
+    // heavy score ties so buckets straddle band boundaries — the path
+    // that needs the per-row window
+    val rows = (1L to 100L).map(i => (i, (i % 5) / 10.0 + 0.5))
+    val df = rows.toDF("id", "score")
+    val got = TrainPrep.curriculumBands(df, "id", "score", nBands = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(got.length == 100)
+    // reference model: rank by (score_mu, id), band = (rank-1)*4/100
+    val smu = rows.map { case (i, s) => i -> math.floor(s * 1e6 + 0.5).toLong }.toMap
+    val expect = rows.map(_._1).sortBy(i => (smu(i), i)).zipWithIndex
+      .map { case (i, rk) => i -> (rk * 4 / 100) }.toMap
+    got.foreach { case (id, mu, band) =>
+      assert(mu == smu(id) && band == expect(id), s"id $id")
+    }
+    // balanced: each band holds exactly N/nBands here
+    assert(got.groupBy(_._3).view.mapValues(_.length).toMap ==
+      Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25))
+    // partition-count invariance
+    val got2 = TrainPrep.curriculumBands(df.repartition(7), "id", "score", 4)
+      .as[(Long, Long, Int)].collect()
+    assert(got2.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
+
   test("hard negatives never share the anchor's label and match brute force") {
     val rnd = new scala.util.Random(7)
     val emb = (0L until 60L).map { i =>
