@@ -1785,6 +1785,33 @@ object SparkEntry {
           round(operators.TextAnalysis.qualityScore(col("text")) * 1e6)
             .cast("long").as("score_mu")),
         "prompt_id", "doc_id", "score_mu")),
+    // JSONL ingest with corrupt-record quarantine: every line kept and
+    // labeled (ok + parsed fields, raw line for the dead-letter path) —
+    // from_json is map-only/stream-safe; fixture injects unparseable
+    // lines at doc_id % 7 == 3
+    "q_jsonl_ingest" -> ((s, dir) => {
+      val art = artifactPath(dir, "jsonl_lines")
+      dumpOnce(art) {
+        read(s, dir, "documents").select(
+          when(pmod(col("doc_id"), lit(7)) === 3,
+            concat(lit("not json "), col("doc_id").cast("string")))
+          .otherwise(
+            to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+          .as("value"))
+          .write.mode("overwrite").parquet(art)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      sources.JsonlSource.parseLines(
+        operators.Scale.ensureParallelism(s.read.parquet(art),
+          s.sparkContext.defaultParallelism),
+        "value", schema, requiredField = "doc_id")
+    }),
     // KMV set algebra: Jaccard/union/intersection estimates of two
     // overlapping token corpora from two ≤k-row sketches — never the
     // data; k=16 so the re-cut path engages at sf0.01
@@ -4347,6 +4374,20 @@ object SparkEntry {
            a.rejected_mu, a.chosen_mu - a.rejected_mu AS margin_mu
          FROM pick p JOIN ag a USING (prompt_id)
          WHERE a.chosen_mu - a.rejected_mu > 0""",
+    // JSONL replay: same artifact lines; ok = json_valid, fields via
+    // json extraction, quarantined lines keep null fields + the raw line
+    "q_jsonl_ingest" ->
+      """SELECT json_valid(value) AS ok,
+           CASE WHEN json_valid(value)
+             THEN CAST(json_extract(value, '$.doc_id') AS BIGINT) END
+             AS doc_id,
+           CASE WHEN json_valid(value)
+             THEN json_extract_string(value, '$.lang') END AS lang,
+           CASE WHEN json_valid(value)
+             THEN CAST(json_extract(value, '$.n_chars') AS BIGINT) END
+             AS n_chars,
+           value
+         FROM read_parquet('/root/repo/artifacts/jsonl_lines/sf=sf0.01/*.parquet')""",
     // KMV-Jaccard replay: both sides' k-min hash lists from the same
     // md5 hashes, exact union re-cut, membership counts, the shared
     // kmv_est expression, inter_est from the ROUNDED union_est

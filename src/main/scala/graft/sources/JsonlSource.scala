@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** JSONL ingestion with corrupt-record quarantine — the front door of a
+  * real scrape pipeline: upstream dumps are NEVER uniformly well-formed,
+  * and a parser that either crashes on or silently drops bad lines is
+  * operationally wrong both ways. Every line is kept and labeled; the
+  * caller routes `ok` rows into the pipeline and quarantined raw lines
+  * into a dead-letter table for inspection/replay.
+  *
+  * Built on `from_json` over a raw line column (NOT `spark.read.json`):
+  * the parse is then an ordinary codegen'd map-only expression — it
+  * composes with any upstream source (parquet of lines, Kafka values, a
+  * WARC extractor), runs UNCHANGED on a stream, and sidesteps the
+  * "queries of the corrupt-record column alone are disallowed" caveat of
+  * the file-source PERMISSIVE mode.
+  *
+  * Determinism contract: a line is `ok` iff the parse materializes the
+  * `requiredField` (Spark returns an all-null struct for malformed
+  * input; a present required field ⇒ the document parsed). The DuckDB
+  * oracle states the same predicate as `json_valid` + extraction.
+  */
+object JsonlSource {
+
+  /** Label + parse: appends `ok` and the fields of `schema` to each
+    * line row; malformed lines keep the raw line with null fields.
+    * Map-only at any scale. */
+  def parseLines(
+      df: DataFrame,
+      lineCol: String,
+      schema: StructType,
+      requiredField: String): DataFrame = {
+    require(schema.fieldNames.contains(requiredField),
+      s"requiredField '$requiredField' not in schema")
+    val parsed = from_json(col(lineCol), schema)
+    df.withColumn("__p", parsed)
+      .withColumn("ok", col("__p").getField(requiredField).isNotNull)
+      .select(Seq(col("ok")) ++
+        schema.fieldNames.map(f =>
+          when(col("ok"), col("__p").getField(f)).as(f)) :+
+        col(lineCol): _*)
+  }
+
+  /** The rows that parsed — the pipeline input. */
+  def good(parsed: DataFrame, lineCol: String): DataFrame =
+    parsed.filter(col("ok")).drop("ok", lineCol)
+
+  /** The dead-letter table: raw line only, nothing synthesized. */
+  def quarantine(parsed: DataFrame, lineCol: String): DataFrame =
+    parsed.filter(!col("ok")).select(col(lineCol))
+}

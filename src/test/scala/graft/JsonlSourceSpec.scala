@@ -1,0 +1,58 @@
+package graft
+
+import graft.sources.JsonlSource
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+class JsonlSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  test("parseLines labels, parses, and quarantines; nothing is dropped") {
+    val lines = Seq(
+      """{"id": 1, "name": "alpha"}""",
+      """{"id": 2}""",               // valid, missing optional field
+      """not json at all""",
+      """{"id": broken""",
+      """{"name": "no id"}""")       // valid JSON but missing required id
+      .toDF("value")
+    val parsed = JsonlSource.parseLines(lines, "value", schema, "id")
+    val rows = parsed.as[(Boolean, Option[Long], Option[String], String)]
+      .collect().map(r => r._4 -> r).toMap
+    assert(parsed.count() == 5) // every line labeled, none dropped
+    assert(rows("""{"id": 1, "name": "alpha"}""")._1 &&
+      rows("""{"id": 1, "name": "alpha"}""")._2.contains(1L))
+    assert(rows("""{"id": 2}""")._1 && rows("""{"id": 2}""")._3.isEmpty)
+    assert(!rows("not json at all")._1)
+    assert(!rows("""{"id": broken""")._1)
+    // required-field rule: parseable but id-less is NOT ok
+    assert(!rows("""{"name": "no id"}""")._1)
+    // quarantine keeps the raw lines verbatim; good drops bookkeeping
+    val q = JsonlSource.quarantine(parsed, "value").as[String].collect().toSet
+    assert(q == Set("not json at all", """{"id": broken""",
+      """{"name": "no id"}"""))
+    val g = JsonlSource.good(parsed, "value")
+    assert(g.columns.toSeq == Seq("id", "name") && g.count() == 2)
+  }
+
+  test("parseLines is stream-safe: identical labels on a MemoryStream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = JsonlSource.parseLines(in.toDF().toDF("value"), "value",
+      schema, "id")
+    val q = out.writeStream.format("memory").queryName("jsonl")
+      .outputMode("append").start()
+    try {
+      in.addData("""{"id": 9, "name": "s"}""", "garbage")
+      q.processAllAvailable()
+      val got = spark.table("jsonl")
+        .as[(Boolean, Option[Long], Option[String], String)].collect()
+        .map(r => r._4 -> r._1).toMap
+      assert(got == Map("""{"id": 9, "name": "s"}""" -> true,
+        "garbage" -> false))
+    } finally q.stop()
+  }
+}
