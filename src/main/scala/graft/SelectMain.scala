@@ -1,0 +1,76 @@
+package graft
+
+import graft.jobs.SelectJob
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, lit, sum}
+
+/** CLI entry point for a training-mix selection run — the spark-submit
+  * surface for [[graft.jobs.SelectJob]].
+  *
+  * Usage:
+  *   SelectMain src=<parquet> heldout=<parquet> kept=<dir> alloc=<dir> \
+  *     [id=doc_id] [text=text] [source=source] [min_q_mu=900000] \
+  *     [max_contam_ppm=300000] [shingle_n=3] [scrub_secrets=true] \
+  *     [budget=<tokens>] [epochs_milli=1500]
+  *
+  * Two writes: the kept scrubbed corpus, then the per-domain allocation
+  * DERIVED FROM THE WRITTEN PARQUET (not the lazy chain — the selection
+  * pipeline runs once, the IngestMain/RetentionJob staging discipline).
+  * Counters ride the kept write via an Observation; one JSON line on
+  * stdout.
+  */
+object SelectMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad arg '$a' (want key=value)")
+      a.take(i) -> a.drop(i + 1).replace("%20", " ")
+    }.toMap
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-select")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val sOpts = SelectJob.SelectOptions(
+        idCol = opts.getOrElse("id", "doc_id"),
+        textCol = opts.getOrElse("text", "text"),
+        sourceCol = opts.getOrElse("source", "source"),
+        qualityMinMu = opts.getOrElse("min_q_mu", "900000").toLong,
+        contamMaxPpm = opts.getOrElse("max_contam_ppm", "300000").toLong,
+        shingleN = opts.getOrElse("shingle_n", "3").toInt,
+        scrubSecrets = opts.getOrElse("scrub_secrets", "true").toBoolean)
+      val train = spark.read.parquet(opts("src"))
+      val heldout = spark.read.parquet(opts("heldout"))
+      val input = train.count()
+      val obs = new org.apache.spark.sql.Observation()
+      val kept = SelectJob.select(train, heldout, sOpts)
+        .observe(obs,
+          count(lit(1)).as("kept"),
+          sum(col("n_secrets")).as("secrets_redacted"))
+      kept.write.mode("overwrite").parquet(opts("kept"))
+      val row = obs.get
+      val nKept = Option(row("kept")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val nSecrets = Option(row("secrets_redacted"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      // allocation from the MATERIALIZED kept corpus — one pipeline run
+      val alloc = SelectJob.allocation(
+        spark.read.parquet(opts("kept")),
+        budget = opts.getOrElse("budget", "30000").toLong,
+        maxEpochsMilli = opts.getOrElse("epochs_milli", "1500").toLong,
+        sOpts)
+      alloc.write.mode("overwrite").parquet(opts("alloc"))
+      val spent = spark.read.parquet(opts("alloc"))
+        .agg(sum(col("alloc"))).collect()(0)
+      val allocated =
+        if (spent.isNullAt(0)) 0L else spent.getLong(0)
+      println(s"""{"input":$input,"kept":$nKept,""" +
+        s""""secrets_redacted":$nSecrets,"allocated_tokens":$allocated}""")
+    } finally spark.stop()
+  }
+}

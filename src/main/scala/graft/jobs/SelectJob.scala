@@ -1,0 +1,91 @@
+package graft.jobs
+
+import graft.operators.{CorpusClean, Decontamination, Sampling, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The training-mix selection job: credential scrub → quality cut →
+  * eval-contamination cut → UniMax per-domain token allocation — the
+  * composed "what do we train on, and how often" pass (the job form of
+  * `q_pipeline_select`, plus the safety scrub up front so every
+  * downstream measurement sees the text a trainer would).
+  *
+  * Stage order matters and is part of the contract: scrubbing FIRST
+  * means quality ratios and contamination shingles are computed over the
+  * redacted text (a credential blob is not evidence of quality, and a
+  * key shared between train and eval must not read as contamination);
+  * the contamination cut runs on the quality survivors only (the eval
+  * probe is the expensive stage — don't probe documents the quality cut
+  * already rejected).
+  *
+  * Scale shape: scrub and scoring are map-only; the contamination probe
+  * broadcasts the eval distinct-shingle set ([[Decontamination
+  * .contaminationFraction]]); the allocation is a G-row waterfill
+  * ([[Sampling.unimaxAllocation]]). The kept corpus should be WRITTEN
+  * then re-read before deriving the allocation (see SelectMain) so the
+  * two outputs don't re-run the chain twice.
+  */
+object SelectJob {
+
+  final case class SelectOptions(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source",
+      qualityMinMu: Long = 900000L,
+      contamMaxPpm: Long = 300000L,
+      shingleN: Int = 3,
+      scrubSecrets: Boolean = true)
+
+  /** The kept, scrubbed corpus: original columns with `textCol` replaced
+    * by its scrubbed form, plus `q_mu`, `contam_ppm`, and the per-row
+    * secret-redaction count `n_secrets` (for the counters that ride the
+    * write). */
+  def select(
+      train: DataFrame,
+      heldout: DataFrame,
+      opts: SelectOptions = SelectOptions()): DataFrame = {
+    val t = opts.textCol
+    val scrubbed =
+      if (opts.scrubSecrets) {
+        val secretCols = CorpusClean.secretPatterns.map { case (n, _, _) =>
+          col(s"n_$n")
+        }
+        CorpusClean.secretScrub(train, t)
+          .withColumn("n_secrets",
+            secretCols.reduce(_ + _))
+          .drop(t +: CorpusClean.secretPatterns.map { case (n, _, _) =>
+            s"n_$n"
+          }: _*)
+          .withColumnRenamed("text_secret_redacted", t)
+      } else train.withColumn("n_secrets", lit(0L))
+    val scored = scrubbed
+      .withColumn("q_mu",
+        round(TextAnalysis.qualityScore(col(t)) * 1e6).cast("long"))
+      .filter(col("q_mu") >= opts.qualityMinMu)
+    val heldoutScrubbed =
+      if (opts.scrubSecrets)
+        heldout.withColumn(t, CorpusClean.secretPatterns.foldLeft(col(t)) {
+          case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+        })
+      else heldout
+    val contam = Decontamination.contaminationFraction(
+      scored, heldoutScrubbed, opts.idCol, t, opts.shingleN)
+    scored.join(
+      contam.select(col("train_id").as(opts.idCol), col("contam_ppm")),
+      Seq(opts.idCol))
+      .filter(col("contam_ppm") < opts.contamMaxPpm)
+  }
+
+  /** Per-domain token allocation over an already-materialized kept
+    * corpus (read it back from its write — don't re-run the chain). */
+  def allocation(
+      kept: DataFrame,
+      budget: Long,
+      maxEpochsMilli: Long,
+      opts: SelectOptions = SelectOptions()): DataFrame =
+    Sampling.unimaxAllocation(
+      kept.groupBy(col(opts.sourceCol)).agg(
+        sum(TextAnalysis.tokenCount(col(opts.textCol))).cast("long")
+          .as("tokens")),
+      opts.sourceCol, "tokens", budget, maxEpochsMilli)
+}
