@@ -1825,6 +1825,23 @@ object SparkEntry {
         toks(pmod(col("doc_id"), lit(2)) === 0), Seq("g"), "w", 16, seed = 5L)
       operators.Sketches.kmvJaccard(pa, pb, Seq("g"), k = 16)
     }),
+    // mix materialization: the UniMax allocation driver-folded (G rows)
+    // into per-source epoch counts, then epochExpand emits the actual
+    // training-mix rows — allocation artifact → materialized mix,
+    // end-to-end under one oracle
+    "q_mix_materialize" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val alloc = operators.Sampling.unimaxAllocation(
+        docs.groupBy(col("source")).agg(
+          sum(operators.TextAnalysis.tokenCount(col("text"))).cast("long")
+            .as("tokens")),
+        "source", "tokens", budget = 38000L, maxEpochsMilli = 1500L)
+      // G-row driver fold — the bounded allocation table IS the mix spec
+      val epochs = alloc.select(col("source"), col("epochs_micros"))
+        .collect().map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
+      operators.Sampling.epochExpand(docs.select(col("doc_id"), col("source")),
+        "doc_id", "source", epochs, defaultEpochs = 0.0, seed = 3L)
+    }),
     // curriculum quantile bands: global score-quantile assignment via the
     // driver-folded bucket table — only boundary-straddling buckets get a
     // per-row rank window
@@ -4422,6 +4439,48 @@ object SparkEntry {
            CASE WHEN n_k = 0 THEN 0.0
                 ELSE round(union_est * n_both / n_k, 3) END AS inter_est
          FROM m""",
+    // mix-materialization replay: the waterfill CTEs → per-source epoch
+    // micros → whole copies + fractional md5 draw → UNNEST(range)
+    "q_mix_materialize" ->
+      """WITH d AS (SELECT source,
+             CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(lower(text)), '\s+')) END)
+               AS BIGINT) AS tokens
+           FROM documents GROUP BY 1),
+         bb AS (SELECT source, tokens, tokens * 1500 // 1000 AS cap
+           FROM d WHERE tokens > 0),
+         r AS (SELECT *, row_number() OVER (ORDER BY cap, source) AS rn,
+             coalesce(sum(cap) OVER (ORDER BY cap, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+             count(*) OVER () AS n
+           FROM bb),
+         cz AS (SELECT *,
+             (cap * (n - rn + 1) <= 38000 - pre) AS capped FROM r),
+         st AS (SELECT *,
+             sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+             coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0) AS s
+           FROM cz),
+         lv AS (SELECT *, n - k AS m, 38000 - s AS rbud FROM st),
+         al AS (SELECT *,
+             CASE WHEN capped THEN cap
+                  ELSE (CASE WHEN m > 0 THEN rbud // m ELSE 0 END) +
+                    (CASE WHEN m > 0 AND rn - k <= rbud % m THEN 1 ELSE 0 END)
+             END AS alloc
+           FROM lv),
+         em AS (SELECT source,
+             CAST(round(alloc * 1000000.0 / tokens) AS BIGINT) AS wm
+           FROM al),
+         j AS (SELECT doc_id, dd.source, wm % 1000000 AS frac,
+             wm // 1000000 AS whole,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':3'), 1, 8))::BIGINT
+               % 1000000 AS bucket
+           FROM documents dd JOIN em USING (source)),
+         r2 AS (SELECT doc_id, source,
+             whole + (CASE WHEN bucket < frac THEN 1 ELSE 0 END) AS reps
+           FROM j)
+         SELECT doc_id, source, CAST(t.r AS BIGINT) AS rep
+         FROM r2, UNNEST(range(reps)) AS t(r)
+         WHERE reps > 0""",
     // curriculum replay: one global row_number over (score_mu, id) —
     // exactly the rank the distributed bucket-table formulation computes
     "q_curriculum_bands" ->

@@ -218,16 +218,25 @@ object StreamingRetentionJob {
       maxDupNgramFrac: Double = 0.2,
       shingleN: Int = 3,
       watermark: String = "1 hour",
-      scrubPii: Boolean = false): DataFrame = {
+      scrubPii: Boolean = false,
+      scrubSecrets: Boolean = false): DataFrame = {
     import graft.operators.{CorpusClean, TextAnalysis}
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    // scrub FIRST (stateless projection) so quality scoring and both
+    // scrub FIRST (stateless projections) so quality scoring and both
     // dedup fingerprints see the redacted text — two documents differing
-    // only in PII dedup as the duplicates they are
-    val input =
+    // only in PII, or only in a leaked credential, dedup as the
+    // duplicates they are
+    val piiClean =
       if (scrubPii)
         stream.withColumn(textCol, CorpusClean.redactText(col(textCol)))
       else stream
+    val input =
+      if (scrubSecrets)
+        piiClean.withColumn(textCol,
+          CorpusClean.secretPatterns.foldLeft(col(textCol)) {
+            case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+          })
+      else piiClean
     val scored = input
       .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
       .filter(
