@@ -441,6 +441,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("jsonl ingest parse is map-only; mix materialization is a broadcast+generator") {
+    val jplan = simple("q_jsonl_ingest")
+    assert(!jplan.contains("hashpartitioning") &&
+      !jplan.contains("rangepartitioning"), jplan)
+    assert(!jplan.contains("Join"), jplan)
+    // the mix expansion: alloc folded driver-side (no join against the
+    // allocation), a Generate for the copy explode, no keyed shuffle of
+    // the corpus
+    val mplan = simple("q_mix_materialize")
+    assert(mplan.contains("Generate"), mplan)
+    assert(!mplan.contains("SortMergeJoin"), mplan)
+  }
+
   test("curriculum bands: bucket table broadcasts, rank window per-bucket") {
     val plan = simple("q_curriculum_bands")
     assert(plan.contains("BroadcastHashJoin") ||
