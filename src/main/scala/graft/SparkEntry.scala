@@ -1825,6 +1825,16 @@ object SparkEntry {
         toks(pmod(col("doc_id"), lit(2)) === 0), Seq("g"), "w", 16, seed = 5L)
       operators.Sketches.kmvJaccard(pa, pb, Seq("g"), k = 16)
     }),
+    // Zipf-law fit over the top-200 vocabulary: the corpus-health law —
+    // milli-ln integers first (order-free sums), closed-form regression
+    "q_zipf_fit" -> ((s, dir) =>
+      operators.TextAnalysis.zipfFit(read(s, dir, "documents"), "text",
+        topK = 200)),
+    // dedup audit: near-dup group-size histogram off the same
+    // candidate→verify→resolve pipeline as q_dedup_resolve
+    "q_dedup_group_stats" -> ((s, dir) =>
+      operators.Dedup.duplicateGroupStats(readWide(s, dir, "documents"),
+        "doc_id", "text", jaccardThreshold = 0.8)),
     // mix materialization: the UniMax allocation driver-folded (G rows)
     // into per-source epoch counts, then epochExpand emits the actual
     // training-mix rows — allocation artifact → materialized mix,
@@ -4439,6 +4449,66 @@ object SparkEntry {
            CASE WHEN n_k = 0 THEN 0.0
                 ELSE round(union_est * n_both / n_k, 3) END AS inter_est
          FROM m""",
+    // Zipf replay: vocab top-K, milli-ln integers, identical closed-form
+    // double expressions over the exact integer sums
+    "q_zipf_fit" ->
+      """WITH v AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+             SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             FROM documents)
+           GROUP BY 1 ORDER BY freq DESC, w LIMIT 200),
+         r AS (SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, w) AS rank FROM v),
+         m AS (SELECT
+             CAST(round(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS x,
+             CAST(round(ln(CAST(freq AS DOUBLE)) * 1000) AS BIGINT) AS y
+           FROM r),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx FROM m),
+         s2 AS (SELECT *,
+             CAST(round((CAST(n_terms AS DOUBLE) * sxy -
+                 CAST(sx AS DOUBLE) * sy) /
+               (CAST(n_terms AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+               1000000.0) AS BIGINT) AS slope_micros
+           FROM a)
+         SELECT n_terms, sx, sy, sxy, sxx, slope_micros,
+           CAST(round((CAST(sy AS DOUBLE) -
+             CAST(slope_micros AS DOUBLE) / 1000000.0 * sx) /
+             CAST(n_terms AS DOUBLE)) AS BIGINT) AS intercept_millis
+         FROM s2""",
+    // group-size histogram replay: the q_dedup_resolve component CTEs,
+    // then root = min reachable, then two aggregations
+    "q_dedup_group_stats" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS s
+           FROM w),
+         e AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+           WHERE len(list_intersect(a.s, b.s)) /
+               CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                 AS DOUBLE) >= 0.8),
+         und AS (SELECT id_a AS a, id_b AS b FROM e
+           UNION SELECT id_b, id_a FROM e),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+           WHERE u.b <> r.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS root
+           FROM reach GROUP BY a),
+         gs AS (SELECT root, CAST(count(*) AS BIGINT) AS group_size
+           FROM comp GROUP BY 1)
+         SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
+         FROM gs GROUP BY 1""",
     // mix-materialization replay: the waterfill CTEs → per-source epoch
     // micros → whole copies + fractional md5 draw → UNNEST(range)
     "q_mix_materialize" ->

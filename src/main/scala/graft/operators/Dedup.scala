@@ -383,6 +383,33 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Duplicate-group size histogram — the dedup AUDIT artifact: how
+    * many near-dup groups exist at each size. The shape of this
+    * histogram is what decides dedup policy (a fat tail of giant groups
+    * means templated/boilerplate content and argues for keep-best-copy
+    * scoring; a thin tail of pairs means organic mirroring and keep-min
+    * suffices) — and it is the first thing to re-check after changing
+    * bands/threshold. Same candidate→verify→resolve pipeline as
+    * [[nearDupDedup]], then two bounded aggregations (groups, then
+    * sizes). Output: `(group_size, n_groups)`, sizes ≥ 2. */
+  def duplicateGroupStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      jaccardThreshold: Double = 0.8,
+      shingleN: Int = 3,
+      k: Int = 20,
+      bands: Int = 10): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, k, bands, None)
+    val verified = ngramJaccard(df, cands, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b")
+    resolveDuplicateGroups(verified)
+      .groupBy(col("survivor_id")).agg(count(lit(1)).as("gs"))
+      .groupBy(col("gs")).agg(count(lit(1)).cast("long").as("n_groups"))
+      .select(col("gs").cast("long").as("group_size"), col("n_groups"))
+  }
+
   /** Hamming distance between two 64-bit SimHash fingerprints. */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

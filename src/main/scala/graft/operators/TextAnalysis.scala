@@ -498,6 +498,54 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Zipf-law fit over the top-`topK` vocabulary: least-squares slope
+    * and intercept of ln(freq) against ln(rank) — the corpus-health law
+    * (natural text slopes ≈ −1; a flat slope screams templated/
+    * synthetic content, a cliff screams truncation or boilerplate).
+    *
+    * Scale shape: ONE vocab-bounded count aggregation; the top-K cut is
+    * a `TakeOrdered` (map-side partial top-K, no full sort); ranks are a
+    * window over ≤ topK rows (bounded, documented); the regression
+    * reduces to five integer sums. Determinism: each term's ln values
+    * are MILLI-rounded integers FIRST (order-free sums — the logistic-GD
+    * trick), the closed-form slope/intercept are single double
+    * expressions over those exact sums, written identically in the
+    * oracle, micro-rounded.
+    *
+    * Output: one row `(n_terms, sx, sy, sxy, sxx, slope_micros,
+    * intercept_millis)` — the raw sums ride along because they are the
+    * exactly-hashable part. */
+  def zipfFit(
+      df: DataFrame,
+      textCol: String,
+      topK: Int = 1000): DataFrame = {
+    require(topK >= 2, "need topK >= 2 for a slope")
+    import org.apache.spark.sql.expressions.Window
+    val vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(topK)
+    val ranked = vocab.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("w"))))
+    val milled = ranked.select(
+      round(log(col("rank").cast("double")) * 1000).cast("long").as("x"),
+      round(log(col("freq").cast("double")) * 1000).cast("long").as("y"))
+    milled.agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_micros",
+        round((col("n_terms").cast("double") * col("sxy") -
+          col("sx").cast("double") * col("sy")) /
+          (col("n_terms").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sx")) * lit(1000000.0d))
+          .cast("long"))
+      .withColumn("intercept_millis",
+        round((col("sy").cast("double") -
+          col("slope_micros").cast("double") / 1000000.0d * col("sx")) /
+          col("n_terms").cast("double")).cast("long"))
+  }
+
   def corpusReport(
       docs: DataFrame,
       textCol: String,

@@ -633,6 +633,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("quality_mu_sum") == qs)
   }
 
+  test("zipfFit: slope tracks an exact power-law corpus, sums integer-exact") {
+    import graft.operators.TextAnalysis
+    // freq(rank r) = 2^(4-r): a perfect ln2-slope line in (ln r, ln f)?
+    // no — zipf plots ln f vs ln RANK; freqs 16,8,4,2 at ranks 1..4 give
+    // a CONVEX curve, so just verify against an independent double-math
+    // least squares on the same milli-rounded points
+    val words = Seq.fill(16)("aa") ++ Seq.fill(8)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(2)("dd")
+    val df = words.grouped(5).map(_.mkString(" ")).toSeq.toDF("text")
+    val r = TextAnalysis.zipfFit(df, "text", topK = 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r._1 == 4L)
+    val pts = Seq((1, 16), (2, 8), (3, 4), (4, 2)).map { case (rk, f) =>
+      (math.round(math.log(rk) * 1000).toDouble,
+        math.round(math.log(f) * 1000).toDouble)
+    }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    assert(r._2 == sx.toLong && r._3 == sy.toLong)
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r._6 - slope * 1e6) <= 1, s"${r._6} vs ${slope * 1e6}")
+    assert(r._6 < 0) // frequencies fall with rank
+  }
+
+  test("duplicateGroupStats: histogram of near-dup group sizes") {
+    import graft.operators.Dedup
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine"
+    val docs = Seq(
+      (1L, t1), (2L, t1), (3L, t1),     // group of 3
+      (4L, t2), (5L, t2),               // group of 2
+      (6L, "totally unrelated words appear only here once"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateGroupStats(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 1L, 2L -> 1L))
+  }
+
   test("pmiCollocations: hand-computed PMI, minCount cut, desc order, ties ASC") {
     import graft.operators.TextAnalysis
     val docs = Seq("new york new york", "new deal", "york minster")
