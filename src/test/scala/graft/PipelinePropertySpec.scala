@@ -358,6 +358,30 @@ class PipelinePropertySpec extends AnyFunSuite {
     assert(chainLabels.length == 300 && chainLabels.forall(_._2 == 0L))
   }
 
+  test("curriculumBands law: equals the rank model on random score multisets") {
+    import graft.operators.TrainPrep
+    val gen = for {
+      n <- Gen.chooseNum(1, 120)
+      scores <- Gen.listOfN(n, Gen.chooseNum(0, 20)) // heavy ties
+      bands <- Gen.chooseNum(1, 7)
+    } yield (scores.zipWithIndex.map { case (s, i) =>
+      (i.toLong, s / 20.0) }, bands)
+    for (((rows, nBands), ci) <- samples(gen, 10).zipWithIndex) {
+      val got = TrainPrep.curriculumBands(rows.toDF("id", "score"),
+          "id", "score", nBands)
+        .as[(Long, Long, Int)].collect()
+      val smu = rows.map { case (i, s) =>
+        i -> math.floor(s * 1e6 + 0.5).toLong }.toMap
+      val n = rows.size
+      val expect = rows.map(_._1).sortBy(i => (smu(i), i)).zipWithIndex
+        .map { case (i, rk) => i -> (rk.toLong * nBands / n).toInt }.toMap
+      assert(got.length == n, s"case $ci")
+      got.foreach { case (id, mu, band) =>
+        assert(mu == smu(id) && band == expect(id), s"case $ci id $id")
+      }
+    }
+  }
+
   test("unimaxAllocation laws: caps bind, budget conserved, order-free (random)") {
     val gen = for {
       n <- Gen.chooseNum(1, 25)

@@ -191,6 +191,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch semantic probe: embedding batches dedup against a static corpus, batch-exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Decontamination
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // static corpus of embeddings; stream rows near any of them drop.
+    // foreachBatch is the right seam (the fingerprint-probe pattern):
+    // inside the batch the full banded-LSH + cosine machinery applies
+    // unchanged, so streaming ≡ batch by construction — asserted below
+    val corpus = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (200L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val in = MemoryStream[(Long, Array[Float])]
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        survivors ++= Decontamination.semanticDecontaminate(
+            batch, corpus, "vec_id", "vec_id", "embedding",
+            tau = 0.95, nbits = 2, bands = 8)
+          .select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect()
+        ()
+      }
+      .start()
+    val streamRows = Seq(
+      (1L, Array(0.99f, 0.05f, 0.0f, 0.0f)),  // ~corpus 100: drop
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),    // orthogonal: keep
+      (3L, Array(0.02f, 0.998f, 0.0f, 0.0f))) // ~corpus 200: drop
+    try {
+      in.addData(streamRows.take(2): _*)
+      q.processAllAvailable()
+      in.addData(streamRows.drop(2): _*)
+      q.processAllAvailable()
+      assert(survivors.toSet == Set(2L))
+      // batch-exact: the same rows through the batch operator
+      val batchKeep = Decontamination.semanticDecontaminate(
+          streamRows.toDF("vec_id", "embedding"), corpus,
+          "vec_id", "vec_id", "embedding", tau = 0.95, nbits = 2, bands = 8)
+        .select("vec_id").as[Long].collect().toSet
+      assert(batchKeep == survivors.toSet)
+    } finally q.stop()
+  }
+
   test("streaming SimHash dedup drops token-reordered near-identicals cross-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
