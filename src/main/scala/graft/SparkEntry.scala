@@ -1825,6 +1825,11 @@ object SparkEntry {
         toks(pmod(col("doc_id"), lit(2)) === 0), Seq("g"), "w", 16, seed = 5L)
       operators.Sketches.kmvJaccard(pa, pb, Seq("g"), k = 16)
     }),
+    // needle-in-a-haystack eval construction: unique retrievable marker
+    // spliced at 10/50/90% token depth per doc — map-only generator
+    "q_needle_insert" -> ((s, dir) =>
+      operators.TrainPrep.needleInserts(readWide(s, dir, "documents"),
+        "doc_id", "text", depthsPct = Seq(10, 50, 90))),
     // Zipf-law fit over the top-200 vocabulary: the corpus-health law —
     // milli-ln integers first (order-free sums), closed-form regression
     "q_zipf_fit" -> ((s, dir) =>
@@ -4449,6 +4454,23 @@ object SparkEntry {
            CASE WHEN n_k = 0 THEN 0.0
                 ELSE round(union_est * n_both / n_k, 3) END AS inter_est
          FROM m""",
+    // needle replay: same whitespace split (trim only — the operator
+    // preserves case), integer insert position, list splice
+    "q_needle_insert" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS ws FROM documents),
+         b AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tokens,
+             unnest([10, 50, 90]) AS depth_pct FROM t),
+         p AS (SELECT *, CAST(n_tokens * depth_pct // 100 AS INT) AS pos,
+             'NEEDLE-' || doc_id::VARCHAR || '-' || depth_pct::VARCHAR
+               AS needle
+           FROM b)
+         SELECT doc_id, depth_pct, needle,
+           array_to_string(
+             list_slice(ws, 1, pos) || [needle] ||
+             list_slice(ws, pos + 1, len(ws)), ' ') AS text,
+           n_tokens
+         FROM p""",
     // Zipf replay: vocab top-K, milli-ln integers, identical closed-form
     // double expressions over the exact integer sums
     "q_zipf_fit" ->

@@ -281,6 +281,42 @@ object TrainPrep {
     full.unionByName(boundary)
   }
 
+  /** Needle-in-a-haystack eval construction: splice a unique retrievable
+    * marker (`NEEDLE-<id>-<depth>`) into each document at each requested
+    * token depth — the standard long-context retrieval eval
+    * ("at what depth does recall fall off?") built from the corpus
+    * itself. One output row per (document, depth); the needle string is
+    * derived from (id, depth) so graders can verify retrieval without a
+    * side table.
+    *
+    * Pure map-only generator (explode over the literal depth list,
+    * slice + concat on the token array); insert position is the exact
+    * integer `⌊n_tokens·depth/100⌋`. Output: `(idCol, depth_pct, needle,
+    * text, n_tokens)` where `n_tokens` counts the original document. */
+  def needleInserts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      depthsPct: Seq[Int] = Seq(10, 50, 90)): DataFrame = {
+    require(depthsPct.nonEmpty && depthsPct.forall(d => d >= 0 && d <= 100),
+      "depths must be percentages")
+    val base = df.select(col(idCol), toks(col(textCol)).as("__t"))
+      .withColumn("n_tokens", size(col("__t")).cast("long"))
+      .withColumn("depth_pct",
+        explode(array(depthsPct.map(d => lit(d)): _*)))
+      .withColumn("__pos", expr("n_tokens * depth_pct DIV 100").cast("int"))
+      .withColumn("needle",
+        concat(lit("NEEDLE-"), col(idCol).cast("string"), lit("-"),
+          col("depth_pct").cast("string")))
+    base.select(col(idCol), col("depth_pct"), col("needle"),
+      concat_ws(" ",
+        concat(slice(col("__t"), lit(1), col("__pos")),
+          array(col("needle")),
+          slice(col("__t"), col("__pos") + 1,
+            (col("n_tokens") - col("__pos")).cast("int")))).as("text"),
+      col("n_tokens"))
+  }
+
   /** Curriculum quantile bands: assign every row its global score
     * quantile band (`band = ⌊(rank−1)·nBands/N⌋`, rank by score ASC then
     * id — band 0 is the lowest-scored slice), the artifact behind

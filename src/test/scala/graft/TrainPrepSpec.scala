@@ -439,6 +439,23 @@ class TrainPrepSpec extends SparkSpec {
     assert(r4.values.forall(_._4 == 100L))
   }
 
+  test("needleInserts: marker lands at the exact token depth, text intact") {
+    val df = Seq((7L, "a b c d e f g h i j")).toDF("id", "text")
+    val got = TrainPrep.needleInserts(df, "id", "text", Seq(0, 50, 100))
+      .as[(Long, Int, String, String, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(got.keySet == Set(0, 50, 100))
+    assert(got(0)._4 == "NEEDLE-7-0 a b c d e f g h i j")
+    assert(got(50)._4 == "a b c d e NEEDLE-7-50 f g h i j")
+    assert(got(100)._4 == "a b c d e f g h i j NEEDLE-7-100")
+    assert(got.values.forall(_._5 == 10L))
+    // removing the needle restores the original token sequence
+    got.values.foreach { r =>
+      val restored = r._4.split(" ").filterNot(_ == r._3).mkString(" ")
+      assert(restored == "a b c d e f g h i j")
+    }
+  }
+
   test("curriculumBands: matches the global-rank model, bands balanced") {
     // heavy score ties so buckets straddle band boundaries — the path
     // that needs the per-row window
