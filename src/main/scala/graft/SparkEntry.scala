@@ -1825,6 +1825,13 @@ object SparkEntry {
         toks(pmod(col("doc_id"), lit(2)) === 0), Seq("g"), "w", 16, seed = 5L)
       operators.Sketches.kmvJaccard(pa, pb, Seq("g"), k = 16)
     }),
+    // crawl-politeness schedule: per-domain serialized fetch slots
+    // delayMs apart (per-site windows ride one partitioning; domains
+    // proceed in parallel) — the frontier layout a polite crawler runs
+    "q_crawl_schedule" -> ((s, dir) =>
+      operators.WebExtract.crawlSchedule(
+        read(s, dir, "documents").withColumn("url", urlFixture),
+        "url", baseMs = JobStartMs, delayMs = 1000L)),
     // needle-in-a-haystack eval construction: unique retrievable marker
     // spliced at 10/50/90% token depth per doc — map-only generator
     "q_needle_insert" -> ((s, dir) =>
@@ -4454,6 +4461,58 @@ object SparkEntry {
            CASE WHEN n_k = 0 THEN 0.0
                 ELSE round(union_est * n_both / n_k, 3) END AS inter_est
          FROM m""",
+    // crawl-schedule replay: the url-normalization chain, then per-domain
+    // row_number slots at baseMs + (seq-1)*delayMs
+    "q_crawl_schedule" ->
+      s"""WITH u AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+         px AS (SELECT doc_id, url,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS prefix
+           FROM u),
+         sp AS (SELECT doc_id,
+             substr(url, length(prefix) + 1) AS rest,
+             regexp_replace(regexp_replace(regexp_replace(lower(prefix),
+               '^(https?://)www\\.', '\\1', 'g'),
+               '^(http://[^/:?#]*):80$$', '\\1', 'g'),
+               '^(https?://[^/:?#]*):443$$', '\\1', 'g') AS p
+           FROM px),
+         r1 AS (SELECT doc_id, p,
+             regexp_replace(rest, '#.*$$', '', 'g') AS r FROM sp),
+         r2 AS (SELECT doc_id, p,
+             regexp_replace(r, '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g')
+               AS r FROM r1),
+         r3 AS (SELECT doc_id, p,
+             regexp_replace(r, '&{2,}', '&', 'g') AS r FROM r2),
+         r4 AS (SELECT doc_id, p,
+             regexp_replace(r, '\\?&', '?', 'g') AS r FROM r3),
+         r5 AS (SELECT doc_id, p,
+             regexp_replace(r, '[?&]+$$', '', 'g') AS r FROM r4),
+         r6 AS (SELECT doc_id, p,
+             regexp_replace(r, '/index\\.html\\?', '/?', 'g') AS r FROM r5),
+         rr AS (SELECT doc_id, p,
+             regexp_replace(r, '/index\\.html$$', '/', 'g') AS r FROM r6),
+         n AS (SELECT doc_id, p || r AS url_norm FROM rr),
+         d AS (SELECT url_norm,
+             regexp_extract(url_norm, '^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1)
+               AS host
+           FROM n),
+         g AS (SELECT url_norm, host,
+             regexp_extract(host,
+               '([^.]+\\.co\\.uk|[^.]+\\.org\\.uk|[^.]+\\.ac\\.uk|[^.]+\\.com\\.au|[^.]+\\.co\\.jp)$$',
+               1) AS psl
+           FROM d),
+         dom AS (SELECT url_norm,
+             CASE WHEN psl <> '' THEN psl
+                  ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END
+               AS domain
+           FROM g),
+         sched AS (SELECT url_norm, domain,
+             CAST(row_number() OVER (PARTITION BY domain ORDER BY url_norm)
+               AS BIGINT) AS seq,
+             CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n_domain
+           FROM dom)
+         SELECT url_norm, domain, seq, n_domain,
+           ${JobStartMs} + (seq - 1) * 1000 AS fetch_at_ms
+         FROM sched""",
     // needle replay: same whitespace split (trim only — the operator
     // preserves case), integer insert position, list splice
     "q_needle_insert" ->

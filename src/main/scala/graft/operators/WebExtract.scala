@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Web-scrape ingestion primitives: HTML→text extraction and URL
@@ -192,6 +192,37 @@ object WebExtract {
     * A fixed mini-list (the full PSL is a data file, not logic): the
     * common ccTLD second-level registries. */
   private val TwoLevelSuffixes = Seq("co.uk", "org.uk", "ac.uk", "com.au", "co.jp")
+
+  /** Crawl-politeness schedule: per registrable domain, assign every url
+    * an ordered fetch slot `delayMs` apart — the frontier layout a
+    * polite distributed crawler executes (one domain's fetches are
+    * serialized and spaced; different domains proceed in parallel).
+    * `fetch_at_ms = baseMs + (seq − 1)·delayMs` where `seq` is the url's
+    * 1-based position within its domain (ordered by the normalized url,
+    * ties impossible after normalization dedup — callers should
+    * distinct() first).
+    *
+    * Scale shape: one `row_number` window PARTITIONED BY the domain —
+    * millions of independent per-site partitions; `n_domain` rides the
+    * same partitioning as a count window (no extra exchange). Output:
+    * `(url_norm, domain, seq, n_domain, fetch_at_ms)`. */
+  def crawlSchedule(
+      df: DataFrame,
+      urlCol: String,
+      baseMs: Long,
+      delayMs: Long = 1000L): DataFrame = {
+    require(delayMs >= 0, "delayMs must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val norm = normalizeUrl(col(urlCol))
+    val w = Window.partitionBy(col("domain")).orderBy(col("url_norm"))
+    val wAll = Window.partitionBy(col("domain"))
+    df.select(norm.as("url_norm"))
+      .withColumn("domain", registrableDomain(col("url_norm")))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("n_domain", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("fetch_at_ms",
+        lit(baseMs) + (col("seq") - 1L) * lit(delayMs))
+  }
 
   /** Registrable domain (eTLD+1) of a NORMALIZED url: the per-site
     * grouping key for domain stats, per-domain budgets

@@ -441,6 +441,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("new text queries prune the documents scan to the referenced columns") {
+    // tf-idf needs (doc_id, text); pmi and zipf need text only — the
+    // 100 TB reader must never drag lang/source/n_chars through the scan
+    val tf = formatted("q_tfidf_keywords")
+    val tfRead = tf.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(tfRead.contains("doc_id") && tfRead.contains("text"), tfRead)
+    assert(!tfRead.contains("n_chars") && !tfRead.contains("source"), tfRead)
+    for (q <- Seq("q_text_pmi", "q_zipf_fit")) {
+      val plan = formatted(q)
+      val reads = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+      assert(reads.contains("text") && !reads.contains("n_chars"),
+        s"$q: $reads")
+    }
+  }
+
   test("jsonl ingest parse is map-only; mix materialization is a broadcast+generator") {
     val jplan = simple("q_jsonl_ingest")
     assert(!jplan.contains("hashpartitioning") &&

@@ -378,4 +378,25 @@ class WebExtractSpec extends SparkSpec {
       .as[(Boolean, Boolean)].head()
     assert(!tight._1 && !tight._2)
   }
+
+  test("crawlSchedule: per-domain serialized slots, domains independent") {
+    val urls = Seq(
+      "https://a.example.com/p1",
+      "https://a.example.com/p2",
+      "https://b.other.org/only",
+      "https://a.example.com/p3").toDF("url")
+    val got = WebExtract.crawlSchedule(urls, "url", baseMs = 1000L,
+        delayMs = 250L)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // domain a: three urls, url-ordered slots 250ms apart from base
+    val a = Seq("p1", "p2", "p3").map(p =>
+      got(s"https://a.example.com/$p"))
+    assert(a.map(_._3) == Seq(1L, 2L, 3L))
+    assert(a.map(_._5) == Seq(1000L, 1250L, 1500L))
+    assert(a.forall(_._4 == 3L))
+    // domain b starts at base in parallel, not after a's slots
+    val b = got("https://b.other.org/only")
+    assert(b._3 == 1L && b._4 == 1L && b._5 == 1000L)
+  }
 }
