@@ -1825,6 +1825,18 @@ object SparkEntry {
         toks(pmod(col("doc_id"), lit(2)) === 0), Seq("g"), "w", 16, seed = 5L)
       operators.Sketches.kmvJaccard(pa, pb, Seq("g"), k = 16)
     }),
+    // SFT assembly composition: events → rendered transcripts → model-
+    // window chunks with overlap — the chat-data layout a trainer reads
+    "q_chat_chunks" -> ((s, dir) => {
+      val rendered = operators.Conversations.renderChat(
+        operators.Conversations.turnsFromEvents(
+          readWide(s, dir, "events"), "user_id", "ts", "event_id",
+          payload = concat(col("event_type"), lit(":"), col("props")),
+          maxTurns = 8))
+      operators.TrainPrep.chunkDocuments(
+        rendered.select(col("conv_id"), col("rendered")),
+        "conv_id", "rendered", chunkTokens = 12, overlapTokens = 3)
+    }),
     // crawl-politeness schedule: per-domain serialized fetch slots
     // delayMs apart (per-site windows ride one partitioning; domains
     // proceed in parallel) — the frontier layout a polite crawler runs
@@ -4461,6 +4473,35 @@ object SparkEntry {
            CASE WHEN n_k = 0 THEN 0.0
                 ELSE round(union_est * n_both / n_k, 3) END AS inter_est
          FROM m""",
+    // chat-chunks replay: the chat CTEs feed the chunk CTEs — one
+    // chained statement over both compositions
+    "q_chat_chunks" ->
+      """WITH t0 AS (SELECT user_id, event_id, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS turn
+           FROM events),
+         c0 AS (SELECT user_id, turn,
+             '<|' || (CASE WHEN turn % 2 = 1 THEN 'user' ELSE 'assistant' END)
+               || '|>' || event_type || ':' || props AS line
+           FROM t0 WHERE turn <= 8),
+         r0 AS (SELECT user_id AS conv_id,
+             string_agg(line, '' ORDER BY turn) AS rendered
+           FROM c0 GROUP BY 1),
+         t AS (SELECT conv_id,
+             CASE WHEN length(trim(rendered)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(rendered), '\s+')) END
+               AS ntok,
+             string_split_regex(trim(rendered), '\s+') AS toks
+           FROM r0),
+         ch AS (SELECT conv_id, ntok, toks,
+             unnest(range(0, ntok, 9)) AS s
+           FROM t WHERE ntok > 0)
+         SELECT conv_id, CAST(s // 9 AS INT) AS chunk_idx,
+           s AS tok_start, least(s + 12, ntok) AS tok_end,
+           least(s + 12, ntok) - s AS n_tokens,
+           array_to_string(toks[s + 1 : least(s + 12, ntok)], ' ')
+             AS chunk_text
+         FROM ch""",
     // crawl-schedule replay: the url-normalization chain, then per-domain
     // row_number slots at baseMs + (seq-1)*delayMs
     "q_crawl_schedule" ->
