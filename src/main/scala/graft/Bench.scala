@@ -154,7 +154,13 @@ object Bench {
     "q_text_pmi" -> 0.51, "q_epoch_shuffle" -> 0.67,
     "q_chat_flatten" -> 0.77, "q_decontam_fraction" -> 0.81,
     "q_ann_recall_dims" -> 0.81, "q_pref_pairs" -> 0.93,
-    "q_tfidf_keywords" -> 1.85, "q_pipeline_select" -> 2.50)
+    "q_tfidf_keywords" -> 1.85, "q_pipeline_select" -> 1.71,
+    // session-5 second half (clean-window sf0.1 mins)
+    "q_crawl_schedule" -> 0.19, "q_zipf_fit" -> 0.28,
+    "q_needle_insert" -> 0.29, "q_jsonl_ingest" -> 0.32,
+    "q_sketch_kmv_jaccard" -> 0.54, "q_mix_materialize" -> 0.84,
+    "q_chat_chunks" -> 0.87, "q_dedup_group_stats" -> 1.26,
+    "q_curriculum_bands" -> 1.45)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
