@@ -358,6 +358,57 @@ class PipelinePropertySpec extends AnyFunSuite {
     assert(chainLabels.length == 300 && chainLabels.forall(_._2 == 0L))
   }
 
+  test("epochShuffle law: dense permutation matching the md5 model on random ids") {
+    import graft.operators.TrainPrep
+    def key(seed: Long, epoch: Int, id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$epoch:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val gen = for {
+      n <- Gen.chooseNum(1, 80)
+      ids <- Gen.listOfN(n, Gen.chooseNum(0L, Long.MaxValue / 2))
+      seed <- Gen.chooseNum(0L, 999L)
+      epoch <- Gen.chooseNum(1, 5)
+      parts <- Gen.chooseNum(1, 9)
+    } yield (ids.distinct, seed, epoch, parts)
+    for (((ids, seed, epoch, parts), ci) <- samples(gen, 8).zipWithIndex) {
+      val got = TrainPrep.epochShuffle(ids.toDF("id"), "id", seed, epoch,
+          numPartitions = parts)
+        .select("id", "pos").as[(Long, Long)].collect()
+      assert(got.map(_._2).sorted.toSeq == (1L to ids.size.toLong),
+        s"case $ci: not dense")
+      val expect = ids.sortBy(i => (key(seed, epoch, i), i))
+      assert(got.sortBy(_._2).map(_._1).toSeq == expect, s"case $ci")
+    }
+  }
+
+  test("needleInserts law: removing the needle restores the document") {
+    import graft.operators.TrainPrep
+    // n >= 1: the empty document degenerates to a needle-only row (its
+    // single "token" is the empty string, which whitespace-joining
+    // erases) — legitimate output, but outside the round-trip law
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      words <- Gen.listOfN(n, Gen.listOfN(3,
+        Gen.oneOf('a' to 'f')).map(_.mkString))
+      depth <- Gen.chooseNum(0, 100)
+    } yield (words.mkString(" "), depth)
+    for (((text, depth), ci) <- samples(gen, 10).zipWithIndex) {
+      val got = TrainPrep.needleInserts(
+          Seq((1L, text)).toDF("id", "text"), "id", "text", Seq(depth))
+        .as[(Long, Int, String, String, Long)].collect().head
+      val toks = got._4.split("\\s+").toSeq
+      assert(toks.count(_ == got._3) == 1, s"case $ci: needle once")
+      val restored = toks.filterNot(_ == got._3)
+      val orig = text.trim.split("\\s+").toSeq
+      assert(restored == orig, s"case $ci")
+      // position law: the needle sits at exactly floor(n*depth/100)
+      assert(toks.indexOf(got._3) == orig.size * depth / 100, s"case $ci")
+    }
+  }
+
   test("curriculumBands law: equals the rank model on random score multisets") {
     import graft.operators.TrainPrep
     val gen = for {
