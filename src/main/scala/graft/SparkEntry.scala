@@ -1825,6 +1825,25 @@ object SparkEntry {
         toks(pmod(col("doc_id"), lit(2)) === 0), Seq("g"), "w", 16, seed = 5L)
       operators.Sketches.kmvJaccard(pa, pb, Seq("g"), k = 16)
     }),
+    // packing-efficiency report: packs vs the ⌈total/budget⌉ lower
+    // bound, wasted capacity in ppm — how a packing policy gets judged
+    "q_pack_report" -> ((s, dir) =>
+      operators.Packing.packReport(
+        operators.Packing.greedyPack(
+          readWide(s, dir, "documents").select(col("doc_id"), col("source"),
+            length(col("text")).cast("long").as("ntok")),
+          "ntok", budget = 8192L, groupCol = "source", orderCol = "doc_id"),
+        "source", "ntok", budget = 8192L)),
+    // Flesch reading-ease profile over a punctuation-injected fixture —
+    // exact integer word/sentence/vowel-group counts, one double formula
+    "q_readability" -> ((s, dir) => {
+      val mixed = when(pmod(col("doc_id"), lit(2)) === 0,
+          regexp_replace(col("text"), " table ", ". Table "))
+        .otherwise(col("text"))
+      operators.TextAnalysis.fleschProfile(
+        readWide(s, dir, "documents").select(col("doc_id"), mixed.as("text")),
+        "doc_id", "text")
+    }),
     // SFT assembly composition: events → rendered transcripts → model-
     // window chunks with overlap — the chat-data layout a trainer reads
     "q_chat_chunks" -> ((s, dir) => {
@@ -4473,6 +4492,59 @@ object SparkEntry {
            CASE WHEN n_k = 0 THEN 0.0
                 ELSE round(union_est * n_both / n_k, 3) END AS inter_est
          FROM m""",
+    // pack-report replay: the greedy recursion, then per-source pack
+    // count / volume / clamped waste / lower bound
+    "q_pack_report" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, source, CAST(length(text) AS BIGINT) AS ntok,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents),
+         rec AS (
+           SELECT source, rn, doc_id, ntok,
+             CAST(0 AS BIGINT) AS pack_seq, ntok AS used
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.source, d.rn, d.doc_id, d.ntok,
+             CASE WHEN r.used > 0 AND r.used + d.ntok > 8192
+                  THEN r.pack_seq + 1 ELSE r.pack_seq END,
+             CASE WHEN r.used > 0 AND r.used + d.ntok > 8192
+                  THEN d.ntok ELSE r.used + d.ntok END
+           FROM rec r JOIN d ON d.source = r.source AND d.rn = r.rn + 1),
+         agg AS (SELECT source,
+             CAST(count(DISTINCT pack_seq) AS BIGINT) AS n_packs,
+             CAST(sum(ntok) AS BIGINT) AS total_tokens
+           FROM rec GROUP BY 1)
+         SELECT source, n_packs, total_tokens,
+           greatest(n_packs * 8192 - total_tokens, 0) * 1000000
+             // (n_packs * 8192) AS waste_ppm,
+           (total_tokens + 8191) // 8192 AS lb_packs
+         FROM agg""",
+    // readability replay: same fixture, same integer counts, the Flesch
+    // formula written identically before the micro-round
+    "q_readability" ->
+      """WITH m AS (SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+               THEN regexp_replace(text, ' table ', '. Table ', 'g')
+               ELSE text END AS t
+           FROM documents),
+         c AS (SELECT doc_id,
+             CAST(CASE WHEN length(trim(t)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(lower(t)), '\s+')) END
+               AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1)
+               AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(t), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables
+           FROM m)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words = 0 THEN NULL
+                ELSE CAST(round((206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE) /
+                      CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (CAST(n_syllables AS DOUBLE) /
+                      CAST(n_words AS DOUBLE))) * 1000000.0) AS BIGINT)
+           END AS flesch_micros
+         FROM c""",
     // chat-chunks replay: the chat CTEs feed the chunk CTEs — one
     // chained statement over both compositions
     "q_chat_chunks" ->

@@ -198,4 +198,28 @@ object Packing {
             array_sort(collect_list(struct(col("start_offset"), col("__seg")))),
             s => s.getField("__seg"))).as("text"))
   }
+
+  /** Packing-efficiency report over a [[greedyPack]] result: per group,
+    * the pack count, token volume, wasted capacity, and the bin-count
+    * LOWER BOUND `⌈total/budget⌉` — the number every packing policy
+    * change gets judged against (greedy-by-arrival wastes more than
+    * FFD; this report is how much). Two bounded aggregations; waste is
+    * clamped at 0 because an oversized single document legitimately
+    * overfills its own pack. Output: `(groupCol, n_packs, total_tokens,
+    * waste_ppm, lb_packs)`. */
+  def packReport(
+      packed: DataFrame,
+      groupCol: String,
+      tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    packed.groupBy(col(groupCol))
+      .agg(countDistinct(col("pack_seq")).as("n_packs"),
+        sum(col(tokenCol).cast("long")).as("total_tokens"))
+      .withColumn("waste_ppm",
+        expr(s"greatest(n_packs * ${budget}L - total_tokens, 0L) " +
+          s"* 1000000L DIV (n_packs * ${budget}L)"))
+      .withColumn("lb_packs",
+        expr(s"(total_tokens + ${budget - 1}L) DIV ${budget}L"))
+  }
 }

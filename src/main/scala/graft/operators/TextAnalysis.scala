@@ -498,6 +498,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Flesch reading-ease profile — the classic readability signal for
+    * audience-targeted corpus slicing (children's-book vs academic
+    * registers train differently): `206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/words)`. Sentences are `[.!?]+` runs (min 1);
+    * syllables are the standard vowel-group approximation
+    * (`[aeiouy]+` runs in the lowercased text — whitespace breaks
+    * groups, so counts never leak across words). All three inputs are
+    * exact integers; the formula is one double expression written
+    * identically in the oracle, micro-rounded. Map-only. */
+  def fleschProfile(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol), t.as("__t"))
+      .withColumn("n_words", tokenCount(col("__t")).cast("long"))
+      .withColumn("n_sentences",
+        greatest(regexp_count(col("__t"), lit("[.!?]+")), lit(1))
+          .cast("long"))
+      .withColumn("n_syllables",
+        regexp_count(lower(col("__t")), lit("[aeiouy]+")).cast("long"))
+      .withColumn("flesch_micros",
+        when(col("n_words") === 0, lit(null).cast("long")).otherwise(
+          round((lit(206.835d)
+            - lit(1.015d) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double"))
+            - lit(84.6d) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double"))) * lit(1000000.0d))
+            .cast("long")))
+      .drop("__t")
+  }
+
   /** Zipf-law fit over the top-`topK` vocabulary: least-squares slope
     * and intercept of ln(freq) against ln(rank) — the corpus-health law
     * (natural text slopes ≈ −1; a flat slope screams templated/

@@ -633,6 +633,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("quality_mu_sum") == qs)
   }
 
+  test("fleschProfile: hand-computed score, min-1 sentences, null on empty") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, "The cat sat. It ran!"), (2L, "no punctuation here"),
+      (3L, "")).toDF("id", "text")
+    val got = TextAnalysis.fleschProfile(df, "id", "text")
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 5L && got(1L)._3 == 2L && got(1L)._4 == 5L)
+    val expect = (206.835 - 1.015 * (5.0 / 2) - 84.6 * (5.0 / 5)) * 1e6
+    assert(got(1L)._5.contains(math.round(expect)))
+    assert(got(2L)._3 == 1L) // no terminator → one sentence
+    assert(got(3L)._2 == 0L && got(3L)._5.isEmpty)
+  }
+
+  test("packReport: waste vs the bin lower bound, oversize clamps to zero") {
+    import graft.operators.Packing
+    val packed = Packing.greedyPack(
+      Seq((1L, "g", 6L), (2L, "g", 6L), (3L, "g", 9L), (10L, "h", 15L))
+        .toDF("id", "grp", "ntok"),
+      "ntok", budget = 10L, groupCol = "grp", orderCol = "id")
+    val got = Packing.packReport(packed, "grp", "ntok", budget = 10L)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // g: greedy opens three packs (6 | 6 | 9); capacity 30, used 21
+    assert(got("g") == (("g", 3L, 21L, 9L * 1000000L / 30L, 3L)))
+    // h: one oversized doc overfills its own pack — waste clamps to 0,
+    // and the LOWER BOUND (2) legitimately exceeds the pack count (1)
+    assert(got("h") == (("h", 1L, 15L, 0L, 2L)))
+  }
+
   test("zipfFit: slope tracks an exact power-law corpus, sums integer-exact") {
     import graft.operators.TextAnalysis
     // freq(rank r) = 2^(4-r): a perfect ln2-slope line in (ln r, ln f)?
