@@ -1825,6 +1825,32 @@ object SparkEntry {
         toks(pmod(col("doc_id"), lit(2)) === 0), Seq("g"), "w", 16, seed = 5L)
       operators.Sketches.kmvJaccard(pa, pb, Seq("g"), k = 16)
     }),
+    // k-anonymity suppression: rows whose (source, lang) cell holds
+    // fewer than 5 documents drop — the re-identification defense that
+    // complements scrubbing; one count agg + semi join
+    "q_k_anonymity" -> ((s, dir) =>
+      operators.CorpusClean.kAnonymityFilter(
+          readWide(s, dir, "documents"), Seq("source", "lang"), k = 5L)
+        .select("doc_id", "source", "lang")),
+    // license-marker routing over an injected fixture: first-match tag
+    // + the permissive-only gate — copyright-aware corpus assembly
+    "q_license_tag" -> ((s, dir) => {
+      val m6 = pmod(col("doc_id"), lit(6))
+      val mixed = when(m6 === 1,
+          concat(col("text"), lit(" Licensed under the Apache License 2.0")))
+        .when(m6 === 2, concat(col("text"), lit(" (C) All Rights Reserved")))
+        .when(m6 === 3,
+          concat(col("text"), lit(" released under Creative Commons CC-BY 4.0")))
+        .when(m6 === 4,
+          concat(col("text"), lit(" GNU General Public License v3")))
+        .when(m6 === 5, concat(col("text"), lit(" MIT License terms")))
+        .otherwise(col("text"))
+      readWide(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextAnalysis.licenseTag(mixed).as("license"))
+        .withColumn("permissive",
+          col("license").isin("none", "cc-by", "mit", "apache"))
+    }),
     // packing-efficiency report: packs vs the ⌈total/budget⌉ lower
     // bound, wasted capacity in ppm — how a packing policy gets judged
     "q_pack_report" -> ((s, dir) =>
@@ -4492,6 +4518,37 @@ object SparkEntry {
            CASE WHEN n_k = 0 THEN 0.0
                 ELSE round(union_est * n_both / n_k, 3) END AS inter_est
          FROM m""",
+    // k-anonymity replay: qualifying cells, membership semi join
+    "q_k_anonymity" ->
+      """WITH c AS (SELECT source, lang FROM documents
+           GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT d.doc_id, d.source, d.lang
+         FROM documents d JOIN c USING (source, lang)""",
+    // license replay: same fixture, same patterns in the same order
+    "q_license_tag" ->
+      """WITH m AS (SELECT doc_id,
+             lower(CASE doc_id % 6
+               WHEN 1 THEN text || ' Licensed under the Apache License 2.0'
+               WHEN 2 THEN text || ' (C) All Rights Reserved'
+               WHEN 3 THEN text ||
+                 ' released under Creative Commons CC-BY 4.0'
+               WHEN 4 THEN text || ' GNU General Public License v3'
+               WHEN 5 THEN text || ' MIT License terms'
+               ELSE text END) AS t
+           FROM documents),
+         g AS (SELECT doc_id,
+             CASE WHEN regexp_matches(t, 'creative commons|cc-by')
+                    THEN 'cc-by'
+                  WHEN regexp_matches(t,
+                    'gnu general public license|\bgpl\b') THEN 'gpl'
+                  WHEN regexp_matches(t, 'mit license') THEN 'mit'
+                  WHEN regexp_matches(t, 'apache license') THEN 'apache'
+                  WHEN regexp_matches(t, 'all rights reserved') THEN 'arr'
+                  ELSE 'none' END AS license
+           FROM m)
+         SELECT doc_id, license,
+           license IN ('none', 'cc-by', 'mit', 'apache') AS permissive
+         FROM g""",
     // pack-report replay: the greedy recursion, then per-source pack
     // count / volume / clamped waste / lower bound
     "q_pack_report" ->

@@ -399,6 +399,29 @@ object CorpusClean {
   def secretScrub(df: DataFrame, textCol: String): DataFrame =
     scrubWith(df, textCol, secretPatterns, "text_secret_redacted")
 
+  /** k-anonymity suppression over quasi-identifier columns: drop every
+    * row whose (quasiCols) combination is shared by fewer than `k` rows
+    * — redaction ([[piiScrub]]/[[secretScrub]]) removes DIRECT
+    * identifiers; suppression is the complementary defense against
+    * re-identification through rare attribute combinations (a document
+    * that is the only one from its (source, lang, date) cell points at
+    * its author even with every email scrubbed).
+    *
+    * One keyed count aggregation + a broadcast-friendly semi join on the
+    * qualifying cells (cell cardinality ≪ rows). Deterministic — no
+    * sampling, the cut is exact. */
+  def kAnonymityFilter(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1, "need quasi columns and k >= 1")
+    val cells = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= k)
+      .drop("__n")
+    df.join(cells, quasiCols, "left_semi")
+  }
+
   private def scrubWith(
       df: DataFrame,
       textCol: String,

@@ -498,6 +498,27 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** License-marker patterns (RE2 ∩ java.util.regex, lowercase-input):
+    * checked IN ORDER — the first match names the license tag, so put
+    * the more specific markers first. Public corpus practice: permissive
+    * tags pass, copyleft and all-rights-reserved are routed or dropped. */
+  val LicenseMarkers: Seq[(String, String)] = Seq(
+    ("cc-by", "creative commons|cc-by"),
+    ("gpl", "gnu general public license|\\bgpl\\b"),
+    ("mit", "mit license"),
+    ("apache", "apache license"),
+    ("arr", "all rights reserved"))
+
+  /** First-matching license tag of the lowercased text, `none` when no
+    * marker fires — the routing signal for copyright-aware corpus
+    * assembly. One codegen'd when-chain of regex tests, map-only. */
+  def licenseTag(text: Column): Column = {
+    val lt = lower(text)
+    LicenseMarkers.foldRight(lit("none")) { case ((tag, pat), acc) =>
+      when(lt.rlike(pat), lit(tag)).otherwise(acc)
+    }
+  }
+
   /** Flesch reading-ease profile — the classic readability signal for
     * audience-targeted corpus slicing (children's-book vs academic
     * registers train differently): `206.835 − 1.015·(words/sentences)

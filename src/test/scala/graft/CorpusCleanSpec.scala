@@ -180,6 +180,39 @@ class CorpusCleanSpec extends SparkSpec {
     assert(diff == 1)
   }
 
+  test("kAnonymityFilter: rare quasi-identifier cells suppress whole") {
+    import graft.operators.CorpusClean
+    val df = Seq(
+      (1L, "s1", "en"), (2L, "s1", "en"), (3L, "s1", "en"), // cell of 3
+      (4L, "s1", "de"), (5L, "s1", "de"),                   // cell of 2
+      (6L, "s2", "en"))                                     // singleton
+      .toDF("id", "source", "lang")
+    val k3 = CorpusClean.kAnonymityFilter(df, Seq("source", "lang"), 3L)
+      .select("id").as[Long].collect().toSet
+    assert(k3 == Set(1L, 2L, 3L))
+    val k2 = CorpusClean.kAnonymityFilter(df, Seq("source", "lang"), 2L)
+      .select("id").as[Long].collect().toSet
+    assert(k2 == Set(1L, 2L, 3L, 4L, 5L))
+    // k=1 keeps everything (every row trivially shares its own cell)
+    assert(CorpusClean.kAnonymityFilter(df, Seq("source", "lang"), 1L)
+      .count() == 6)
+  }
+
+  test("licenseTag: first marker wins, none when clean") {
+    import graft.operators.TextAnalysis
+    val got = Seq(
+      "code under the MIT License here",
+      "dual: Creative Commons AND all rights reserved", // cc-by checked first
+      "GNU General Public License applies",
+      "plain text with no legal language",
+      "Copyright 2020 All Rights Reserved")
+      .toDF("text")
+      .select(TextAnalysis.licenseTag(
+        org.apache.spark.sql.functions.col("text")))
+      .as[String].collect().toSeq
+    assert(got == Seq("mit", "cc-by", "gpl", "none", "arr"))
+  }
+
   test("secretScrub: typed credentials redact, prose and short hex survive") {
     import graft.operators.CorpusClean
     val df = Seq(
