@@ -142,7 +142,9 @@ object SparkEntry {
   /** Unrolled PageRank replay: per iteration, per-edge floored
     * contribution (BEFORE the sum — matches the engine's order), one
     * group-by-destination, base + inbound for every node. */
-  private def pageRankOracleSql: String = {
+  /** The PR computation's WITH chain (through `r3`), shared by the
+    * plain ranking oracle and the rank-weighted-sampling composition. */
+  private def pageRankCtes: String = {
     val iters = 3
     val steps = (1 to iters).map { i =>
       s""",
@@ -165,9 +167,12 @@ object SparkEntry {
        n AS (SELECT DISTINCT node FROM
          (SELECT src AS node FROM e UNION SELECT dst FROM e)),
        od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
-       r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_mu FROM n)$steps
-       SELECT node, rank_mu FROM r$iters"""
+       r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_mu FROM n)$steps"""
   }
+
+  private def pageRankOracleSql: String =
+    s"""$pageRankCtes
+       SELECT node, rank_mu FROM r3"""
 
   /** Shared CTE chain for the interpolated trigram model (ends at the
     * per-document aggregate `ag`; the base table `d` stays in scope for
@@ -1824,6 +1829,25 @@ object SparkEntry {
       val pb = operators.Sketches.kmvPartial(
         toks(pmod(col("doc_id"), lit(2)) === 0), Seq("g"), "w", 16, seed = 5L)
       operators.Sketches.kmvJaccard(pa, pb, Seq("g"), k = 16)
+    }),
+    // graph signal → selection: per-domain PageRank normalized into a
+    // keep probability, applied as the deterministic hash draw — the
+    // "weight crawl authority into the mix" loop closed in one query
+    "q_rank_weighted_sample" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      def dst(m: Int) = concat(lit("src"), (col("doc_id") * m) % 20)
+      val edges = docs.select(col("source").as("src"), dst(7).as("dst"))
+        .union(docs.select(col("source").as("src"), dst(13).as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      val ranks = operators.LinkGraph.pageRank(edges, "src", "dst", iters = 3)
+      val mx = ranks.agg(max(col("rank_mu")).as("__mx"))
+      val probs = ranks.crossJoin(broadcast(mx))
+        .select(col("node").as("source"),
+          expr("rank_mu * 1000000 DIV __mx").as("keep_mu"))
+      docs.join(broadcast(probs), Seq("source"))
+        .filter(operators.Sampling.hashBucket(col("doc_id"), 21L)
+          < col("keep_mu"))
+        .select("doc_id", "source", "keep_mu")
     }),
     // k-anonymity suppression: rows whose (source, lang) cell holds
     // fewer than 5 documents drop — the re-identification defense that
@@ -4518,6 +4542,17 @@ object SparkEntry {
            CASE WHEN n_k = 0 THEN 0.0
                 ELSE round(union_est * n_both / n_k, 3) END AS inter_est
          FROM m""",
+    // rank-weighted-sample replay: the PR chain, max-normalized keep
+    // probability, the same md5 hash draw
+    "q_rank_weighted_sample" ->
+      s"""$pageRankCtes,
+       mx AS (SELECT max(rank_mu) AS m FROM r3),
+       pk AS (SELECT node AS source, rank_mu * 1000000 // m AS keep_mu
+         FROM r3, mx)
+       SELECT d.doc_id, d.source, pk.keep_mu
+       FROM documents d JOIN pk USING (source)
+       WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':21'), 1, 8))::BIGINT
+         % 1000000 < pk.keep_mu""",
     // k-anonymity replay: qualifying cells, membership semi join
     "q_k_anonymity" ->
       """WITH c AS (SELECT source, lang FROM documents
