@@ -160,7 +160,11 @@ object Bench {
     "q_needle_insert" -> 0.29, "q_jsonl_ingest" -> 0.32,
     "q_sketch_kmv_jaccard" -> 0.54, "q_mix_materialize" -> 0.84,
     "q_chat_chunks" -> 0.87, "q_dedup_group_stats" -> 1.26,
-    "q_curriculum_bands" -> 1.45)
+    "q_curriculum_bands" -> 1.45,
+    "q_license_tag" -> 0.26, "q_readability" -> 0.26,
+    "q_pack_report" -> 0.51, "q_k_anonymity" -> 0.68,
+    // pagerank chain + draw; estimated from q_link_pagerank's floor
+    "q_rank_weighted_sample" -> 1.50)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
