@@ -125,7 +125,7 @@ object Bench {
     // so it stays ordered with the heavies until remeasured.
     "q_html_extract" -> 0.16, "q_url_normalize" -> 0.10,
     "q_gopher_filter" -> 0.21, "q_sample_reservoir" -> 0.15,
-    "q_domain_reweight" -> 0.45, "q_dedup_lsh_recall" -> 3.00,
+    "q_domain_reweight" -> 0.45, "q_dedup_lsh_recall" -> 1.21,
     "q_clean_cc_scrub" -> 0.50, "q_lm_trigram_score" -> 2.00,
     "q_pipeline_ingest" -> 0.71, "q_span_corrupt" -> 0.24,
     // measured sf0.1 mins (66s-steal window — mins are the floor)
@@ -163,8 +163,7 @@ object Bench {
     "q_curriculum_bands" -> 1.45,
     "q_license_tag" -> 0.26, "q_readability" -> 0.26,
     "q_pack_report" -> 0.51, "q_k_anonymity" -> 0.68,
-    // pagerank chain + draw; estimated from q_link_pagerank's floor
-    "q_rank_weighted_sample" -> 1.50)
+    "q_rank_weighted_sample" -> 2.94, "q_align_margin" -> 0.50)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

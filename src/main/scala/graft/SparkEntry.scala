@@ -2047,6 +2047,18 @@ object SparkEntry {
         .topKPerQuery(scored, 10, "query_id", "cos_r", "vec_id")
       operators.Similarity.recallAtK(approx, exact, 10)
     }),
+    // margin-based alignment mining (CCMatrix criterion): label-0
+    // queries mine their best cross-label partner only when the cosine
+    // stands out from the query's own top-8 neighborhood — integer
+    // margin math, broadcast query frontier
+    "q_align_margin" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("label") === 0 && col("vec_id") < 60)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      operators.Similarity.marginAlignPairs(
+        emb.filter(col("label") =!= 0), q, k = 8,
+        minMarginPpm = 1020000L)
+    }),
     // matryoshka truncation curve: recall@10 of prefix-dim brute search
     // vs full-dim — the "search 8x less vector" eval; one broadcast+
     // bounded-heap pass per dim, per-dim integral ppm
@@ -4426,6 +4438,31 @@ object SparkEntry {
          SELECT source, tokens, cap, alloc,
            CAST(round(alloc * 1000000.0 / tokens) AS BIGINT) AS epochs_micros
          FROM al""",
+    // margin replay: brute top-8 per query over the cross-label corpus,
+    // micro-frozen cosines, integer margin, rank-1 filter
+    "q_align_margin" ->
+      """WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM emb
+           WHERE label = 0 AND vec_id < 60),
+         c AS (SELECT vec_id, v FROM emb WHERE label <> 0),
+         s AS (SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(c.v, q.qv), 6) AS cos_r
+           FROM c CROSS JOIN q),
+         t AS (SELECT query_id, vec_id,
+             CAST(round(cos_r * 1e6) AS BIGINT) AS cos_mu,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_r DESC, vec_id) AS rn
+           FROM s),
+         top AS (SELECT * FROM t WHERE rn <= 8),
+         hood AS (SELECT query_id, CAST(sum(cos_mu) AS BIGINT) AS sum_mu,
+             CAST(count(*) AS BIGINT) AS k FROM top GROUP BY 1),
+         best AS (SELECT query_id, vec_id, cos_mu FROM top WHERE rn = 1)
+         SELECT b.query_id, b.vec_id, b.cos_mu AS cos_micros,
+           (b.cos_mu * h.k * 1000000) // h.sum_mu AS margin_ppm
+         FROM best b JOIN hood h USING (query_id)
+         WHERE h.sum_mu > 0
+           AND (b.cos_mu * h.k * 1000000) // h.sum_mu >= 1020000""",
     // matryoshka replay: per-dim prefix-slice brute rankings vs the
     // full-dim ranking, identical 6-decimal rounding, integral ppm
     "q_ann_recall_dims" ->

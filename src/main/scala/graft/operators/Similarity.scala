@@ -862,6 +862,52 @@ object Similarity {
         .as("qvec"))
   }
 
+  /** Margin-based alignment mining (the CCMatrix/LASER bitext
+    * criterion, one-sided): for each query, its best corpus match
+    * qualifies only if the cosine STANDS OUT from the query's own
+    * neighborhood — `margin = cos(x, best) / mean(top-k cos)` — which
+    * kills the hubness failure of raw thresholds (a query that is
+    * moderately close to EVERYTHING mines nothing; a query with one
+    * clearly-best partner mines it even at a lower absolute cosine).
+    *
+    * Scale shape: `queries` must be small/broadcastable (the mining
+    * frontier — at 100 TB you mine in bounded batches); one
+    * [[bruteForceTopK]] pass gives both the best match and the
+    * neighborhood mean. Determinism: cosines freeze to micro integers
+    * at rank time, the neighborhood mean stays a (sum, count) pair, and
+    * the margin is `cos_mu·k·10⁶ DIV Σcos_mu` — pure integer math.
+    * Negative-sum neighborhoods (pathological anti-aligned spaces)
+    * yield no pairs. Output: `(queryId, corpusId, cos_micros,
+    * margin_ppm)` for rank-1 matches clearing `minMarginPpm`. */
+  def marginAlignPairs(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 8,
+      minMarginPpm: Long = 1050000L,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    require(k >= 2, "need k >= 2 for a neighborhood")
+    val joined = corpus.crossJoin(broadcast(queries))
+    val scored = joined.select(
+      col(queryId), col(corpusId),
+      round(cosine(col(corpusVec).cast("array<double>"),
+        col(queryVec).cast("array<double>")), 6).as("cos_r"))
+    val top = topKPerQuery(scored, k, queryId, "cos_r", corpusId)
+      .withColumn("cos_mu", round(col("cos_r") * 1e6).cast("long"))
+    val hood = top.groupBy(col(queryId))
+      .agg(sum(col("cos_mu")).as("__sum_mu"), count(lit(1)).as("__k"))
+    top.filter(col("rank") === 1)
+      .join(hood, Seq(queryId))
+      .filter(col("__sum_mu") > 0)
+      .withColumn("margin_ppm",
+        expr("cos_mu * __k * 1000000 DIV __sum_mu"))
+      .filter(col("margin_ppm") >= minMarginPpm)
+      .select(col(queryId), col(corpusId), col("cos_mu").as("cos_micros"),
+        col("margin_ppm"))
+  }
+
   /** Matryoshka-truncation recall curve: for each prefix length `d` in
     * `dims`, the recall@k of brute-force cosine search on the FIRST `d`
     * embedding components against full-dimension search — the

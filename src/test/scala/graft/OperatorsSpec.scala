@@ -505,6 +505,26 @@ class SimilaritySpec extends SparkSpec {
     assert(q2 == Seq(127, -127, 64)) // floor(63.5+0.5) = 64
   }
 
+  test("marginAlignPairs: standout partners mine, hub queries don't") {
+    // corpus: one clear partner for query 0; a cloud of near-equal
+    // moderate neighbors that would all pass a raw threshold for query 1
+    val corpus = (Seq(
+      (100L, Array(1.0f, 0.02f, 0.0f, 0.0f))) ++   // partner of q0
+      (0 until 7).map(i =>
+        (200L + i, Array(0.5f, 0.5f, 0.1f * i, 1.0f))))  // the hub cloud
+      .toDF("vec_id", "embedding")
+    val queries = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.5f, 0.5f, 0.3f, 1.0f)))  // close to the whole cloud
+      .toDF("query_id", "query_vec")
+    val got = Similarity.marginAlignPairs(corpus, queries, k = 4,
+        minMarginPpm = 1100000L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(0L), got.toString)   // the hub mines nothing
+    assert(got(0L)._2 == 100L)                    // and q0 mines its partner
+    assert(got(0L)._4 >= 1100000L)
+  }
+
   test("matryoshkaRecall: full prefix is perfect, truncation bounded") {
     val emb = (0 until 20).map(i =>
         (i.toLong, Array.tabulate(4)(d => math.sin(i * 3 + d).toFloat)))
