@@ -1945,6 +1945,25 @@ object SparkEntry {
       operators.Sampling.epochExpand(docs.select(col("doc_id"), col("source")),
         "doc_id", "source", epochs, defaultEpochs = 0.0, seed = 3L)
     }),
+    // the materialized mix in trainer order: epochShuffle over the
+    // (doc, rep) composite id — every copy gets its own deterministic
+    // global position; mix → order is the last step before the reader
+    "q_mix_ordered" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val alloc = operators.Sampling.unimaxAllocation(
+        docs.groupBy(col("source")).agg(
+          sum(operators.TextAnalysis.tokenCount(col("text"))).cast("long")
+            .as("tokens")),
+        "source", "tokens", budget = 38000L, maxEpochsMilli = 1500L)
+      val epochs = alloc.select(col("source"), col("epochs_micros"))
+        .collect().map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
+      val mix = operators.Sampling.epochExpand(
+          docs.select(col("doc_id"), col("source")),
+          "doc_id", "source", epochs, defaultEpochs = 0.0, seed = 3L)
+        .withColumn("copy_id", col("doc_id") * 16L + col("rep"))
+      operators.TrainPrep.epochShuffle(mix, "copy_id", seed = 4L, epoch = 1)
+        .select(col("doc_id"), col("source"), col("rep"), col("pos"))
+    }),
     // curriculum quantile bands: global score-quantile assignment via the
     // driver-folded bucket table — only boundary-straddling buckets get a
     // per-row rank window
@@ -4874,6 +4893,54 @@ object SparkEntry {
          SELECT doc_id, source, CAST(t.r AS BIGINT) AS rep
          FROM r2, UNNEST(range(reps)) AS t(r)
          WHERE reps > 0""",
+    // mix-order replay: the materialization CTEs plus one global
+    // row_number over the composite-id md5 permutation key
+    "q_mix_ordered" ->
+      """WITH d AS (SELECT source,
+             CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(lower(text)), '\s+')) END)
+               AS BIGINT) AS tokens
+           FROM documents GROUP BY 1),
+         bb AS (SELECT source, tokens, tokens * 1500 // 1000 AS cap
+           FROM d WHERE tokens > 0),
+         r AS (SELECT *, row_number() OVER (ORDER BY cap, source) AS rn,
+             coalesce(sum(cap) OVER (ORDER BY cap, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+             count(*) OVER () AS n
+           FROM bb),
+         cz AS (SELECT *,
+             (cap * (n - rn + 1) <= 38000 - pre) AS capped FROM r),
+         st AS (SELECT *,
+             sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+             coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0) AS s
+           FROM cz),
+         lv AS (SELECT *, n - k AS m, 38000 - s AS rbud FROM st),
+         al AS (SELECT *,
+             CASE WHEN capped THEN cap
+                  ELSE (CASE WHEN m > 0 THEN rbud // m ELSE 0 END) +
+                    (CASE WHEN m > 0 AND rn - k <= rbud % m THEN 1 ELSE 0 END)
+             END AS alloc
+           FROM lv),
+         em AS (SELECT source,
+             CAST(round(alloc * 1000000.0 / tokens) AS BIGINT) AS wm
+           FROM al),
+         j AS (SELECT doc_id, dd.source, wm % 1000000 AS frac,
+             wm // 1000000 AS whole,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':3'), 1, 8))::BIGINT
+               % 1000000 AS bucket
+           FROM documents dd JOIN em USING (source)),
+         r2 AS (SELECT doc_id, source,
+             whole + (CASE WHEN bucket < frac THEN 1 ELSE 0 END) AS reps
+           FROM j),
+         mix AS (SELECT doc_id, source, CAST(t.r AS BIGINT) AS rep,
+             doc_id * 16 + CAST(t.r AS BIGINT) AS copy_id
+           FROM r2, UNNEST(range(reps)) AS t(r)
+           WHERE reps > 0)
+         SELECT doc_id, source, rep,
+           CAST(row_number() OVER (ORDER BY
+             ('0x' || substr(md5('4:1:' || copy_id::VARCHAR), 1, 15))::BIGINT,
+             copy_id) AS BIGINT) AS pos
+         FROM mix""",
     // curriculum replay: one global row_number over (score_mu, id) —
     // exactly the rank the distributed bucket-table formulation computes
     "q_curriculum_bands" ->
