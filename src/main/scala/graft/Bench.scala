@@ -163,7 +163,8 @@ object Bench {
     "q_curriculum_bands" -> 1.45,
     "q_license_tag" -> 0.26, "q_readability" -> 0.26,
     "q_pack_report" -> 0.51, "q_k_anonymity" -> 0.68,
-    "q_rank_weighted_sample" -> 2.94, "q_align_margin" -> 0.50)
+    "q_rank_weighted_sample" -> 2.94, "q_align_margin" -> 0.50,
+    "q_mix_ordered" -> 1.30)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
