@@ -1939,11 +1939,13 @@ object SparkEntry {
           sum(operators.TextAnalysis.tokenCount(col("text"))).cast("long")
             .as("tokens")),
         "source", "tokens", budget = 38000L, maxEpochsMilli = 1500L)
-      // G-row driver fold — the bounded allocation table IS the mix spec
+      // G-row driver fold — the bounded allocation table IS the mix spec;
+      // micros pass through exactly (no double roundtrip)
       val epochs = alloc.select(col("source"), col("epochs_micros"))
-        .collect().map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
-      operators.Sampling.epochExpand(docs.select(col("doc_id"), col("source")),
-        "doc_id", "source", epochs, defaultEpochs = 0.0, seed = 3L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      operators.Sampling.epochExpandMicros(
+        docs.select(col("doc_id"), col("source")),
+        "doc_id", "source", epochs, defaultMicros = 0L, seed = 3L)
     }),
     // the materialized mix in trainer order: epochShuffle over the
     // (doc, rep) composite id — every copy gets its own deterministic
@@ -1956,10 +1958,10 @@ object SparkEntry {
             .as("tokens")),
         "source", "tokens", budget = 38000L, maxEpochsMilli = 1500L)
       val epochs = alloc.select(col("source"), col("epochs_micros"))
-        .collect().map(r => r.getString(0) -> r.getLong(1) / 1e6).toMap
-      val mix = operators.Sampling.epochExpand(
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val mix = operators.Sampling.epochExpandMicros(
           docs.select(col("doc_id"), col("source")),
-          "doc_id", "source", epochs, defaultEpochs = 0.0, seed = 3L)
+          "doc_id", "source", epochs, defaultMicros = 0L, seed = 3L)
         .withColumn("copy_id", col("doc_id") * 16L + col("rep"))
       operators.TrainPrep.epochShuffle(mix, "copy_id", seed = 4L, epoch = 1)
         .select(col("doc_id"), col("source"), col("rep"), col("pos"))
@@ -4455,7 +4457,9 @@ object SparkEntry {
              END AS alloc
            FROM lv)
          SELECT source, tokens, cap, alloc,
-           CAST(round(alloc * 1000000.0 / tokens) AS BIGINT) AS epochs_micros
+           CAST((alloc // tokens) * 1000000 +
+             ((alloc % tokens) * 2000000 + tokens) // (2 * tokens)
+             AS BIGINT) AS epochs_micros
          FROM al""",
     // margin replay: brute top-8 per query over the cross-label corpus,
     // micro-frozen cosines, integer margin, rank-1 filter
@@ -4880,7 +4884,9 @@ object SparkEntry {
              END AS alloc
            FROM lv),
          em AS (SELECT source,
-             CAST(round(alloc * 1000000.0 / tokens) AS BIGINT) AS wm
+             CAST((alloc // tokens) * 1000000 +
+               ((alloc % tokens) * 2000000 + tokens) // (2 * tokens)
+               AS BIGINT) AS wm
            FROM al),
          j AS (SELECT doc_id, dd.source, wm % 1000000 AS frac,
              wm // 1000000 AS whole,
@@ -4922,7 +4928,9 @@ object SparkEntry {
              END AS alloc
            FROM lv),
          em AS (SELECT source,
-             CAST(round(alloc * 1000000.0 / tokens) AS BIGINT) AS wm
+             CAST((alloc // tokens) * 1000000 +
+               ((alloc % tokens) * 2000000 + tokens) // (2 * tokens)
+               AS BIGINT) AS wm
            FROM al),
          j AS (SELECT doc_id, dd.source, wm % 1000000 AS frac,
              wm // 1000000 AS whole,
@@ -5028,7 +5036,9 @@ object SparkEntry {
              END AS alloc
            FROM lv)
          SELECT source, tokens, cap, alloc,
-           CAST(round(alloc * 1000000.0 / tokens) AS BIGINT) AS epochs_micros
+           CAST((alloc // tokens) * 1000000 +
+             ((alloc % tokens) * 2000000 + tokens) // (2 * tokens)
+             AS BIGINT) AS epochs_micros
          FROM al""",
     // contamination-fraction replay: same md5 split and shingle CTEs as
     // q_decontam_pairs; per-train-doc membership count against the

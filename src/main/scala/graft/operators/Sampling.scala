@@ -314,9 +314,29 @@ object Sampling {
     require(epochs.values.forall(_ >= 0) && defaultEpochs >= 0,
       "epoch counts must be >= 0")
     def micro(w: Double): Long = math.round(w * Resolution)
-    val wm = epochs.toSeq.sortBy(_._1)
-      .foldLeft(lit(micro(defaultEpochs))) { case (acc, (s, w)) =>
-        when(col(strataCol) === s, lit(micro(w))).otherwise(acc)
+    epochExpandMicros(df, idCol, strataCol,
+      epochs.map { case (s, w) => s -> micro(w) },
+      micro(defaultEpochs), seed)
+  }
+
+  /** [[epochExpand]] with the mix stated directly in integer micro-epochs
+    * — the lossless entry point when the mix comes from
+    * [[unimaxAllocation]]'s `epochs_micros` column: passing the exact
+    * long through avoids a `/1e6` → `·1e6` double roundtrip whose ±1
+    * drift would flip the repeat count for any row whose hash bucket
+    * equals the fractional threshold. */
+  def epochExpandMicros(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      epochsMicros: Map[String, Long],
+      defaultMicros: Long = Resolution.toLong,
+      seed: Long = 0L): DataFrame = {
+    require(epochsMicros.values.forall(_ >= 0) && defaultMicros >= 0,
+      "epoch counts must be >= 0")
+    val wm = epochsMicros.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultMicros)) { case (acc, (s, m)) =>
+        when(col(strataCol) === s, lit(m)).otherwise(acc)
       }
     val frac = wm % Resolution
     // (wm - frac) is an exact multiple of the resolution; the double
@@ -356,7 +376,15 @@ object Sampling {
     * [[epochExpand]]/[[rebalanceToMixture]] as a broadcast mix.
     *
     * Output: `(groupCol, tokens, cap, alloc, epochs_micros)` where
-    * `epochs_micros = round(alloc·10⁶/tokens)`. */
+    * `epochs_micros` is the half-up rounding of `alloc·10⁶/tokens` —
+    * computed in PURE integer arithmetic (whole part via `DIV`, the
+    * fractional part as `(r·2·10⁶ + t) DIV (2t)` on the remainder), never
+    * through a double `round()`: Spark's `Round` goes via BigDecimal on
+    * the shortest decimal repr while other engines round the raw double,
+    * so an `x.5`-printing value can flip between engines. The remainder
+    * decomposition also keeps every intermediate below 2⁶³ for any
+    * per-domain token count up to ~4.6·10¹² (the naive
+    * `alloc·2·10⁶` overflows past alloc ≈ 4.6·10¹²). */
   def unimaxAllocation(
       domainTokens: DataFrame,
       groupCol: String,
@@ -399,8 +427,8 @@ object Sampling {
           col("__level") +
             when(col("__r") - col("__k") <= col("__rem"), 1L).otherwise(0L)))
       .withColumn("epochs_micros",
-        round(col("alloc") * lit(1000000.0d) / col("tokens").cast("double"))
-          .cast("long"))
+        expr("(alloc DIV tokens) * 1000000L + " +
+          "((alloc % tokens) * 2000000L + tokens) DIV (2L * tokens)"))
       .select(col(groupCol), col("tokens"), col("cap"), col("alloc"),
         col("epochs_micros"))
   }
