@@ -53,6 +53,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Engine provenance, in a SEPARATE file so the driver's iteration
+    // over oracle_sql.json keys never sees a non-query entry. The r9
+    // UniMax hash flip was invisible locally because the builder's and
+    // driver's oracle-engine builds differed; recording versions in the
+    // artifact trail turns the next such skew from an unexplained hash
+    // mismatch into a diffable fact. (The DuckDB version is appended by
+    // the comparer side — tools/check_oracles.py — since only it loads
+    // that engine.)
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
+      s"""{"spark_version": ${q(spark.version)}, """ +
+        s""""scala_version": ${q(scala.util.Properties.versionNumberString)}, """ +
+        s""""java_version": ${q(System.getProperty("java.version"))}}""")
     spark.stop()
   }
 }

@@ -19,6 +19,18 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 
+# Append the comparer-side engine version to the verify dump's provenance
+# file (Verify.scala wrote the Spark/Scala/Java side): cross-engine skew —
+# the r9 UniMax lesson — should be diffable from the artifacts.
+try:
+    import os
+    meta_path = f"{outdir}/verify_meta.json"
+    meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+    meta["duckdb_version"] = duckdb.__version__
+    json.dump(meta, open(meta_path, "w"))
+except Exception as e:
+    print(f"(verify_meta update skipped: {e})", file=sys.stderr)
+
 def canon(v):
     if v is None:
         return "NULL"
