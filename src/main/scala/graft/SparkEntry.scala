@@ -2356,6 +2356,30 @@ object SparkEntry {
             col("n_trigrams").cast("double")).cast("long"))
         .filter(col("mean_lp_mu") >= -3200000L)
         .select("doc_id", "lang", "mean_lp_mu")),
+    // perplexity filter from a PERSISTED model: the three trigram count
+    // tables written to parquet once (build-once/query-many — the
+    // Similarity-index shape), then scoring is ONE pass over the batch
+    // joining the artifact tables; same oracle as the in-memory path
+    // because counts are integers and the score chain is identical
+    "q_ppl_filter_persisted" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val art = artifactPath(dir, "lm_trigram")
+      dumpOnce(art) {
+        val (uni, bi, tri) = operators.LmScore.buildTrigramModel(docs, "text")
+        uni.write.mode("overwrite").parquet(s"$art/uni")
+        bi.write.mode("overwrite").parquet(s"$art/bi")
+        tri.write.mode("overwrite").parquet(s"$art/tri")
+      }
+      operators.LmScore.trigramLogProbFromModel(docs, "doc_id", "text",
+          s.read.parquet(s"$art/uni"), s.read.parquet(s"$art/bi"),
+          s.read.parquet(s"$art/tri"))
+        .filter(col("n_trigrams") > 0)
+        .withColumn("mean_lp_mu",
+          floor(col("logprob3_micros").cast("double") /
+            col("n_trigrams").cast("double")).cast("long"))
+        .filter(col("mean_lp_mu") >= -3200000L)
+        .select("doc_id", "lang", "mean_lp_mu")
+    }),
     // DoReMi-lite per-domain mixture weights from the quality score:
     // √-tempered mean score per source, normalized to micro-units —
     // one agg to |domains| rows + a broadcast 1-row normalizer
@@ -6258,6 +6282,19 @@ object SparkEntry {
     // CCNet shape: threshold chosen per corpus from a reference run);
     // floor-div for the per-trigram mean on both sides
     "q_ppl_filter" -> (trigramCtes +
+      """, m AS (SELECT d.doc_id, d.lang,
+             coalesce(ag.logprob3_micros, 0) AS lp,
+             coalesce(ag.n_trigrams, 0) AS nt
+           FROM d LEFT JOIN ag USING (doc_id))
+         SELECT doc_id, lang,
+           CAST(floor(CAST(lp AS DOUBLE) / CAST(nt AS DOUBLE)) AS BIGINT)
+             AS mean_lp_mu
+         FROM m WHERE nt > 0
+           AND CAST(floor(CAST(lp AS DOUBLE) / CAST(nt AS DOUBLE)) AS BIGINT)
+               >= -3200000"""),
+    // persisted-model scoring replays the SAME arithmetic: the artifact
+    // tables are the exact integer counts the in-memory path derives
+    "q_ppl_filter_persisted" -> (trigramCtes +
       """, m AS (SELECT d.doc_id, d.lang,
              coalesce(ag.logprob3_micros, 0) AS lp,
              coalesce(ag.n_trigrams, 0) AS nt

@@ -199,6 +199,77 @@ object LmScore {
       l3: Double = 0.6d,
       l2: Double = 0.3d,
       l1: Double = 0.1d): DataFrame = {
+    val (uni, bi, tri) = buildTrigramModel(df, textCol)
+    trigramLogProbFromModel(df, idCol, textCol, uni, bi, tri,
+      smoothing, l3, l2, l1)
+  }
+
+  /** Train the interpolated-trigram count model: the three
+    * vocabulary-bounded count tables `(uni(w, c1), bi(wa, wb, c2),
+    * tri(w1, w2, w3, c3))` — each one map-side-combined aggregation over
+    * the exploded n-grams. These tables ARE the model artifact: write
+    * them to parquet once and score any number of batches from disk via
+    * [[trigramLogProbFromModel]] — the build-once/query-many shape
+    * (mirroring `Similarity.buildIvfIndex`) that a 100 TB run needs, and
+    * that drops the in-query training cost from every scoring pass. */
+  def buildTrigramModel(
+      df: DataFrame,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val words = df.select(toks(col(textCol)).as("__w"))
+    val uni = words.select(explode(col("__w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = words.select(explode(when(size(col("__w")) >= 2,
+        transform(sequence(lit(0), size(col("__w")) - lit(2)),
+          i => struct(
+            element_at(col("__w"), i + lit(1)).as("wa"),
+            element_at(col("__w"), i + lit(2)).as("wb"))))
+        .otherwise(array().cast("array<struct<wa:string,wb:string>>")))
+        .as("__p"))
+      .select(col("__p.wa").as("wa"), col("__p.wb").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c2"))
+    val tri = words.select(explode(when(size(col("__w")) >= 3,
+        transform(sequence(lit(0), size(col("__w")) - lit(3)),
+          i => struct(
+            element_at(col("__w"), i + lit(1)).as("w1"),
+            element_at(col("__w"), i + lit(2)).as("w2"),
+            element_at(col("__w"), i + lit(3)).as("w3"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>")))
+        .as("__t"))
+      .select(col("__t.w1").as("w1"), col("__t.w2").as("w2"),
+        col("__t.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    (uni, bi, tri)
+  }
+
+  /** Score `df` against a pre-built trigram model (the
+    * [[buildTrigramModel]] tables, typically read back from parquet) —
+    * ONE pass over the batch: explode its trigrams and join the three
+    * count tables on their word keys (broadcast when the model is small,
+    * co-partitioned hash joins at corpus scale). The two normalization
+    * scalars (vocabulary size, total token count) come from one
+    * aggregate over the vocabulary-bounded unigram table, so scoring a
+    * delta never rescans the training corpus.
+    *
+    * Only trigrams present in the model score (inner joins) — identical
+    * semantics to training on the scored corpus itself, where every
+    * trigram is by construction in the tables; when scoring OTHER
+    * corpora, unseen trigrams are skipped rather than backed off (callers
+    * wanting add-k mass for unseen n-grams should union the batch into
+    * the model build).
+    *
+    * Appends `logprob3_micros` and `n_trigrams` (0 for documents with
+    * fewer than three tokens). */
+  def trigramLogProbFromModel(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      uni: DataFrame,
+      bi: DataFrame,
+      tri: DataFrame,
+      smoothing: Double = 1.0d,
+      l3: Double = 0.6d,
+      l2: Double = 0.3d,
+      l1: Double = 0.1d): DataFrame = {
     require(smoothing > 0, "smoothing must be positive")
     require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9, "lambdas must sum to 1")
     val id = col(idCol)
@@ -215,24 +286,10 @@ object LmScore {
       .select(col("__id"), col("__t.w1").as("w1"), col("__t.w2").as("w2"),
         col("__t.w3").as("w3"))
 
-    val uni = words.select(explode(col("__w")).as("w3"))
-      .groupBy(col("w3")).agg(count(lit(1)).as("__c1"))
-    val biCtx = words.select(explode(when(size(col("__w")) >= 2,
-        transform(sequence(lit(0), size(col("__w")) - lit(2)),
-          i => struct(
-            element_at(col("__w"), i + lit(1)).as("wa"),
-            element_at(col("__w"), i + lit(2)).as("wb"))))
-        .otherwise(array().cast("array<struct<wa:string,wb:string>>")))
-        .as("__p"))
-      .select(col("__p.wa").as("wa"), col("__p.wb").as("wb"))
-      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("__c2"))
-    val tri = tris.groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("__c3"))
-
     // TWO driver scalars, computed in one aggregate pass over the
     // unigram table (vocabulary-bounded input, not the corpus)
     val (vocab, totalTokens) = {
-      val r = uni.agg(count(lit(1)), sum(col("__c1"))).head()
+      val r = uni.agg(count(lit(1)), sum(col("c1"))).head()
       (r.getLong(0), r.getLong(1))
     }
 
@@ -247,13 +304,14 @@ object LmScore {
       .cast("long")
 
     val scored = tris
-      .join(tri, Seq("w1", "w2", "w3"))
-      .join(biCtx.select(col("wa").as("w1"), col("wb").as("w2"),
-        col("__c2").as("__c12")), Seq("w1", "w2"))
-      .join(biCtx.select(col("wa").as("w2"), col("wb").as("w3"),
-        col("__c2").as("__c23")), Seq("w2", "w3"))
-      .join(uni.select(col("w3"), col("__c1")), Seq("w3"))
-      .join(uni.select(col("w3").as("w2"), col("__c1").as("__c2w")), Seq("w2"))
+      .join(tri.select(col("w1"), col("w2"), col("w3"),
+        col("c3").as("__c3")), Seq("w1", "w2", "w3"))
+      .join(bi.select(col("wa").as("w1"), col("wb").as("w2"),
+        col("c2").as("__c12")), Seq("w1", "w2"))
+      .join(bi.select(col("wa").as("w2"), col("wb").as("w3"),
+        col("c2").as("__c23")), Seq("w2", "w3"))
+      .join(uni.select(col("w").as("w3"), col("c1").as("__c1")), Seq("w3"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("__c2w")), Seq("w2"))
       .select(col("__id"), term.as("__t"))
       .groupBy(col("__id"))
       .agg(sum(col("__t")).as("logprob3_micros"),
