@@ -2052,6 +2052,20 @@ object SparkEntry {
           readWide(s, dir, "events"), "user_id", "ts", "event_id",
           payload = concat(col("event_type"), lit(":"), col("props")),
           maxTurns = 8))),
+    // the null-props variant: every 7th event's props nulled BEFORE
+    // assembly — the turn must render as its bare role tag (coalesce in
+    // the operator), not vanish from the transcript while still counting
+    // toward n_turns; real event logs have NULL props
+    "q_chat_flatten_nulls" -> ((s, dir) =>
+      operators.Conversations.renderChat(
+        operators.Conversations.turnsFromEvents(
+          readWide(s, dir, "events")
+            .withColumn("props",
+              when(col("event_id") % 7 === 0, lit(null: String))
+                .otherwise(col("props"))),
+          "user_id", "ts", "event_id",
+          payload = concat(col("event_type"), lit(":"), col("props")),
+          maxTurns = 8))),
     // ANN recall@10: the LSH path measured against brute force — exact
     // parts-per-million, the eval that keeps nbits choices honest
     "q_ann_recall" -> ((s, dir) => {
@@ -5159,7 +5173,29 @@ object SparkEntry {
            FROM events),
          c AS (SELECT user_id, turn,
              '<|' || (CASE WHEN turn % 2 = 1 THEN 'user' ELSE 'assistant' END)
-               || '|>' || event_type || ':' || props AS line
+               || '|>' || coalesce(event_type || ':' || props, '') AS line
+           FROM t WHERE turn <= 8),
+         r AS (SELECT user_id AS conv_id, CAST(max(turn) AS BIGINT) AS n_turns,
+             string_agg(line, '' ORDER BY turn) AS rendered
+           FROM c GROUP BY 1)
+         SELECT conv_id, n_turns, rendered,
+           CAST(length(rendered) AS BIGINT) AS n_chars
+         FROM r""",
+    // null-props replay: props nulled on event_id % 7 = 0; the coalesce
+    // keeps the turn in the transcript as its bare role tag on BOTH
+    // engines (an un-coalesced NULL line would be skipped by string_agg
+    // — engine-dependently — while max(turn) still counted it)
+    "q_chat_flatten_nulls" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS props
+           FROM events),
+         t AS (SELECT user_id, event_id, event_type, props,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS turn
+           FROM e),
+         c AS (SELECT user_id, turn,
+             '<|' || (CASE WHEN turn % 2 = 1 THEN 'user' ELSE 'assistant' END)
+               || '|>' || coalesce(event_type || ':' || props, '') AS line
            FROM t WHERE turn <= 8),
          r AS (SELECT user_id AS conv_id, CAST(max(turn) AS BIGINT) AS n_turns,
              string_agg(line, '' ORDER BY turn) AS rendered

@@ -28,7 +28,15 @@ object Conversations {
     * roles alternating user/assistant (odd turns are the user — event
     * streams are request-shaped), and `line` the rendered turn
     * `<|role|>payload`. Turns beyond `maxTurns` are dropped (context
-    * budget; also the aggregation-state bound for [[renderChat]]). */
+    * budget; also the aggregation-state bound for [[renderChat]]).
+    *
+    * NULL hardening: a NULL `payload` renders as the bare role tag
+    * (`coalesce` to empty) instead of nulling the whole line — a
+    * null-propagated line would silently vanish from the rendered
+    * transcript (`concat_ws`/`string_agg` both skip NULLs) while still
+    * counting toward `n_turns`, and the two engines need not agree on
+    * that skip. Real event logs have NULL props; the synthetic fixture
+    * never did, which is why this held latent until round 10. */
   def turnsFromEvents(
       events: DataFrame,
       convCol: String,
@@ -44,7 +52,8 @@ object Conversations {
       .withColumn("role",
         when(col("turn") % 2 === 1, lit("user")).otherwise(lit("assistant")))
       .select(col(convCol).as("conv_id"), col("turn"), col("role"),
-        concat(lit("<|"), col("role"), lit("|>"), payload).as("line"))
+        concat(lit("<|"), col("role"), lit("|>"),
+          coalesce(payload, lit(""))).as("line"))
   }
 
   /** One row per conversation: `(conv_id, n_turns, rendered, n_chars)`.
