@@ -1449,6 +1449,25 @@ object SparkEntry {
       operators.Sketches.quantilesFromSample(
         operators.Sketches.quantileMerge(pa, pb), Seq(0.5, 0.9, 0.99))
     }),
+    // log-bucket histogram quantiles (DDSketch-family): per-lang p50/p90/
+    // p99 of n_chars from the bounded bucket table — deterministic
+    // integer bucket boundaries, so the oracle replays the sketch exactly
+    "q_sketch_loghist" -> ((s, dir) =>
+      operators.Sketches.logHistQuantiles(
+        operators.Sketches.logHistogram(
+          readWide(s, dir, "documents"), "n_chars", b = 5, Seq("lang")),
+        Seq(0.5, 0.9, 0.99), b = 5, Seq("lang"))),
+    // mergeability: three disjoint slices' sketches merge by count
+    // addition into the EXACT whole-corpus sketch (not just an equal
+    // sample) — one whole-corpus oracle covers the merged path
+    "q_sketch_loghist_merge" -> ((s, dir) => {
+      val d = readWide(s, dir, "documents")
+      def slice(r: Int) = operators.Sketches.logHistogram(
+        d.filter(pmod(col("doc_id"), lit(3)) === r), "n_chars", b = 5, Seq("lang"))
+      operators.Sketches.logHistQuantiles(
+        operators.Sketches.logHistMerge(slice(0), slice(1), slice(2)),
+        Seq(0.5, 0.9, 0.99), b = 5, Seq("lang"))
+    }),
     // ---- training-data pipeline: decontamination -----------------------
     // benchmark decontamination: a deterministic 95/5 split stands in for
     // corpus-vs-benchmark; eval shingles broadcast, train shingles feed
@@ -2991,6 +3010,37 @@ object SparkEntry {
          FROM qs CROSS JOIN n
          JOIN r ON r.rn = CAST(floor((n.n - 1) * qs.q) AS BIGINT) + 1"""
 
+  /** Shared by q_sketch_loghist and q_sketch_loghist_merge: merged
+    * disjoint-slice histograms equal the whole-corpus bucket table
+    * exactly, so one whole-corpus replay covers both. Bucket index and
+    * lower bound are pure integer arithmetic (binary-string length for
+    * ⌊log₂⌋ — never a double log — plus shifts), b=5, mirroring
+    * Sketches.logBucket/logBucketLow. */
+  private def logHistOracleSql: String =
+    """WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS x
+           FROM documents WHERE n_chars IS NOT NULL),
+         bkt AS (SELECT lang,
+             CASE WHEN x < 32 THEN x
+               ELSE (length(bin(x)) - 6) * 32 + (x >> (length(bin(x)) - 6))
+             END AS bucket
+           FROM v),
+         h AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM bkt GROUP BY 1, 2),
+         c AS (SELECT lang, bucket, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bucket)
+               AS BIGINT) AS cum
+           FROM h),
+         n AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+         t AS (SELECT lang, CAST(q AS DOUBLE) AS q,
+             CAST(floor((n - 1) * q) AS BIGINT) + 1 AS rk
+           FROM n, (VALUES (0.5), (0.9), (0.99)) qs(q))
+         SELECT c.lang, t.q,
+           CAST(CASE WHEN bucket < 32 THEN bucket
+             ELSE (bucket - (bucket // 32 - 1) * 32) << (bucket // 32 - 1)
+             END AS BIGINT) AS value
+         FROM c JOIN t ON c.lang = t.lang
+           AND c.cum >= t.rk AND c.cum - c.cnt < t.rk"""
+
   /** Shared by q_sketch_cms and q_sketch_cms_merge: disjoint-half
     * counter tables ADD to the whole-corpus sketch exactly. */
   private def cmsOracleSql: String =
@@ -4148,6 +4198,12 @@ object SparkEntry {
     "q_sketch_quantile" -> quantileOracleSql,
     // disjoint-slice samples union to exactly the whole-corpus sample
     "q_sketch_quantile_merge" -> quantileOracleSql,
+    // log-bucket histogram replay: the bucket index is pure integer
+    // arithmetic (binary length + shift), so DuckDB rebuilds the
+    // identical sketch and lands on the identical bucket lower bounds
+    "q_sketch_loghist" -> logHistOracleSql,
+    // merged disjoint slices ARE the whole-corpus sketch (count addition)
+    "q_sketch_loghist_merge" -> logHistOracleSql,
     // decontamination replay: same md5 hash-bucket split, same distinct
     // 3-gram shingles (the q_dedup_minhash_pairs CTE), intersection
     // counted per cross-split pair

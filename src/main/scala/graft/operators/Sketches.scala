@@ -34,6 +34,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   *    [[Packing.packOffsets]] (range-partition by literal bounds +
   *    per-partition window + broadcast bases; never a global
   *    single-reducer window).
+  *  - [[logHistogram]] / [[logHistQuantiles]] — DDSketch-family
+  *    log-bucket histogram quantiles: relative-error tails the sampled
+  *    formulation can't reach, and a merge (count addition) that is
+  *    exact and order-free for any disjoint slicing.
   */
 object Sketches {
 
@@ -412,6 +416,137 @@ object Sketches {
     ranked
       .join(broadcast(targetDf), Seq("__rank"))
       .select(col("q"), col("__v").as("value"))
+  }
+
+  // ---- Log-bucket histogram quantiles (DDSketch / HdrHistogram family) ----
+  //
+  // The mergeable quantile sketch with REAL tails: every value maps to a
+  // deterministic bucket whose width is relative (≤ 2^-b of the value), so
+  // p99.99 and max carry the same error guarantee as the median —
+  // precisely where the hash-sampled formulation above is weak (a 0.5%
+  // sample simply contains no rows from a 1-in-10⁵ tail). This is the
+  // DDSketch idea (Masson, Rim & Lee, VLDB 2019) with HdrHistogram's
+  // base-2 integer bucketing instead of γ^k log-buckets: the bucket index
+  // is PURE integer arithmetic (binary length + shift), so the
+  // "compression boundaries" are deterministic constants of the value
+  // alone — the property that makes the oracle an exact replay, and the
+  // reason this formulation was chosen over a t-digest, whose cluster
+  // boundaries depend on merge ORDER (a per-run artifact no cross-engine
+  // oracle can replay, and a nondeterminism the repo's contract forbids).
+  //
+  // Merge algebra: the sketch IS a bounded (bucket → count) table, so
+  // merge = count addition — associative, commutative, and EXACT for any
+  // disjoint slicing: merged partials equal the whole-corpus sketch
+  // bit-for-bit (the sampled formulation only achieves sample-equality,
+  // and only for disjoint slices; here re-merging k partials in any order
+  // or tree shape lands on the identical table). Overlapping slices add
+  // their overlap's counts twice — multiset semantics, same as CMS.
+  //
+  // Scale shape: building is one map-side-combined groupBy on the bucket
+  // index; the shuffle carries ≤ #buckets rows per task where #buckets ≤
+  // (64-b)·2^b + 2^b per sign (b=5 → ~2k) regardless of input size.
+  // Quantile extraction runs entirely on that bounded table (windows over
+  // ≤2k-row groups), never on the data.
+
+  /** Deterministic log-bucket index of a long value — the sketch's
+    * "compression boundary" function. |v| < 2^b keeps its exact value
+    * (small values are EXACT); otherwise with e = ⌊log₂|v|⌋ the index is
+    * `(e-b)·2^b + (|v| >> (e-b))` — monotone in |v|, contiguous across
+    * exponents, relative bucket width ≤ 2^-b. Negative values mirror to
+    * negative indices. e comes from the binary-string length (exact
+    * integer arithmetic in every engine — never floor(log2) on a double,
+    * which can misround at 2^53-adjacent powers of two). */
+  def logBucket(value: Column, b: Int): Column = {
+    require(b >= 1 && b <= 16, "b must be in [1,16]")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{ShiftRight => CShiftRight}
+    val base = 1L << b
+    val v = value.cast("long")
+    val a = abs(v)
+    val e = (length(bin(a)) - lit(1)).cast("int")
+    val shifted = ColumnBridge.column(CShiftRight(
+      ColumnBridge.expression(a),
+      ColumnBridge.expression((e - lit(b)).cast("int"))))
+    val idx = when(a < base, a)
+      .otherwise((e.cast("long") - lit(b.toLong)) * lit(base) + shifted)
+    when(v >= 0, idx).otherwise(-idx)
+  }
+
+  /** Inverse of [[logBucket]]: the bucket's LOWER bound (by magnitude) —
+    * the deterministic representative value quantiles report. Exact for
+    * |v| < 2^b buckets; within 2^-b·|v| below the true value otherwise. */
+  def logBucketLow(bucket: Column, b: Int): Column = {
+    require(b >= 1 && b <= 16, "b must be in [1,16]")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{ShiftLeft => CShiftLeft}
+    val base = 1L << b
+    val i = abs(bucket.cast("long"))
+    val t = (i / lit(base)).cast("long") // i DIV 2^b, exact: both positive
+    val sub = i - (t - lit(1L)) * lit(base)
+    val lo = ColumnBridge.column(CShiftLeft(
+      ColumnBridge.expression(sub),
+      ColumnBridge.expression((t - lit(1L)).cast("int"))))
+    val mag = when(i < base, i).otherwise(lo)
+    when(bucket >= 0, mag).otherwise(-mag)
+  }
+
+  /** Build the sketch: the bounded `(groupCols..., bucket, cnt)` table.
+    * One map-side-combined aggregation; this table is the persistable
+    * artifact ([[logHistMerge]] combines slices, [[logHistQuantiles]]
+    * extracts order statistics). */
+  def logHistogram(
+      df: DataFrame,
+      valueCol: String,
+      b: Int,
+      groupCols: Seq[String] = Nil): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ logBucket(col(valueCol), b).as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge sketch slices: bucket-wise count addition. Exact — and
+    * order/tree-shape free — for any disjoint slicing; overlapping
+    * slices count their overlap per occurrence (multiset semantics). */
+  def logHistMerge(slices: DataFrame*): DataFrame = {
+    require(slices.nonEmpty, "need at least one slice")
+    val keys = slices.head.columns.filterNot(_ == "cnt").toSeq
+    slices.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Order statistics from a (built or merged) sketch: for each requested
+    * quantile `q`, the lower bound of the bucket containing 1-based rank
+    * `⌊(n-1)·q⌋+1` (same "lower" convention as [[sampleQuantiles]]).
+    * Output `(groupCols..., q, value)`. Everything here runs on the
+    * bounded bucket table: one count aggregate per group, one bounded
+    * cumulative window, one join against the ≤|qs| target rows. */
+  def logHistQuantiles(
+      sketch: DataFrame,
+      qs: Seq[Double],
+      b: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), "qs must be in [0,1]")
+    val gcols = groupCols.map(col)
+    val w =
+      if (groupCols.isEmpty) Window.orderBy(col("bucket"))
+      else Window.partitionBy(gcols: _*).orderBy(col("bucket"))
+    val cum = sketch.withColumn("__cum", sum(col("cnt")).over(w))
+    val totals = sketch.groupBy(gcols: _*).agg(sum(col("cnt")).as("__n"))
+    // group keys renamed on the target side: both inputs descend from
+    // `sketch`, and unrenamed keys would be a self-join ambiguity
+    val targets = totals.select(gcols :+ explode(array(
+        qs.map(q => struct(lit(q).as("q"),
+          (floor((col("__n") - lit(1L)).cast("double") * lit(q)).cast("long") +
+            lit(1L)).as("__rk"))): _*)).as("__t"): _*)
+      .select(groupCols.map(g => col(g).as(s"__g_$g")) :+
+        col("__t.q").as("q") :+ col("__t.__rk").as("__rk"): _*)
+    cum.join(targets,
+        groupCols.foldLeft(col("__cum") >= col("__rk") &&
+          col("__cum") - col("cnt") < col("__rk")) { (c, g) =>
+          c && col(g) === col(s"__g_$g") },
+        "inner")
+      .select(gcols :+ col("q") :+
+        logBucketLow(col("bucket"), b).cast("long").as("value"): _*)
   }
 
   // ---- Bloom filter (Bloom 1970) ----

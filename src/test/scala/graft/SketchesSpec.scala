@@ -314,4 +314,83 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(rb._4 / 1e6 - 1.0 / 3) < 0.15, rb.toString)
     assert(math.abs(rb._5 - 600.0) / 600.0 < 0.3, rb.toString)
   }
+
+  // reference model of the bucket function, plain Scala
+  private def refBucket(v: Long, b: Int): Long = {
+    val a = math.abs(v)
+    val base = 1L << b
+    val idx =
+      if (a < base) a
+      else {
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(a)
+        (e - b).toLong * base + (a >> (e - b))
+      }
+    if (v >= 0) idx else -idx
+  }
+
+  test("logBucket matches the reference model; low() bound is tight") {
+    val b = 5
+    val rnd = new scala.util.Random(11)
+    val vs = (Seq(0L, 1L, 31L, 32L, 33L, 63L, 64L, 1L << 40,
+      (1L << 40) - 1, Long.MaxValue, -1L, -32L, -12345678L) ++
+      Seq.fill(300)(rnd.nextLong() % (1L << 50))).distinct
+    val got = vs.toDF("v")
+      .select(col("v"), Sketches.logBucket(col("v"), b).as("bkt"))
+      .withColumn("low", Sketches.logBucketLow(col("bkt"), b))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (v, bkt, low) =>
+      assert(bkt == refBucket(v, b), s"v=$v")
+      // low is the magnitude lower bound: |low| <= |v|, relative error <= 2^-b
+      assert(math.abs(low) <= math.abs(v) || v == 0, s"v=$v low=$low")
+      assert(math.abs(v) - math.abs(low) <= (math.abs(v) >> b), s"v=$v low=$low")
+      // low lands in the same bucket (the boundary is its own representative)
+      assert(refBucket(low, b) == bkt, s"v=$v low=$low")
+    }
+    // monotone: value order implies non-decreasing bucket order
+    val byValue = got.sortBy(_._1).map(_._2)
+    assert(byValue.zip(byValue.tail).forall { case (a2, b2) => a2 <= b2 })
+  }
+
+  test("logHistMerge of disjoint slices equals the whole-corpus sketch table") {
+    val whole = Sketches.logHistogram(docs, "n_chars", 5, Seq("lang"))
+    val slices = (0 to 2).map(r => Sketches.logHistogram(
+      docs.filter(pmod(col("doc_id"), lit(3)) === r), "n_chars", 5, Seq("lang")))
+    val merged = Sketches.logHistMerge(slices: _*)
+    assert(merged.except(whole).count() == 0 && whole.except(merged).count() == 0)
+    // order/tree-shape free: right-fold merge lands on the same table
+    val merged2 = Sketches.logHistMerge(
+      slices(2), Sketches.logHistMerge(slices(1), slices(0)))
+    assert(merged2.except(whole).count() == 0 && whole.except(merged2).count() == 0)
+  }
+
+  test("logHistQuantiles: tails carry the relative-error guarantee") {
+    // heavy-tailed fixture the 0.5%-sample formulation cannot see:
+    // 10k small values + a handful of huge outliers
+    val vs = (1 to 10000).map(_.toLong % 997 + 1) ++
+      Seq(1000000L, 5000000L, 900000000L)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val sk = Sketches.logHistogram(df, "v", 5)
+    val got = Sketches.logHistQuantiles(sk, Seq(0.5, 0.9999, 1.0), 5)
+      .as[(Double, Long)].collect().toMap
+    val sortedVs = vs.sorted
+    def exact(q: Double) = sortedVs(math.floor((vs.size - 1) * q).toInt)
+    Seq(0.5, 0.9999, 1.0).foreach { q =>
+      val e = exact(q)
+      assert(got(q) <= e && e - got(q) <= (e >> 5),
+        s"q=$q exact=$e got=${got(q)}")
+    }
+    // p100 specifically: the 900M outlier is visible within 2^-5 relative
+    assert(got(1.0) > 900000000L - (900000000L >> 5))
+  }
+
+  test("logHistQuantiles handles negative values (mirrored buckets)") {
+    val df = Seq(-1000L, -100L, -10L, -1L, 0L, 1L, 10L, 100L, 1000L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Sketches.logHistQuantiles(
+        Sketches.logHistogram(df, "v", 5), Seq(0.0, 0.5, 1.0), 5)
+      .as[(Double, Long)].collect().toMap
+    assert(got(0.5) == 0L)              // median exact (|v| < 32 buckets)
+    assert(got(0.0) == -992L)           // min: -1000's mirrored bucket bound
+    assert(got(1.0) == 992L)            // max: 1000's bucket lower bound
+  }
 }
