@@ -1178,6 +1178,25 @@ object SparkEntry {
         s.read.parquet(art).select(col("doc_id"), col("fp")),
         "doc_id", maxDist = 3)
     }),
+    // perceptual DCT hash (pHash) near-dup: box-filter 32×32 → DCT-II
+    // 8×8 block → median-threshold bits; clones are STEEP-gamma
+    // brightness edits of smooth spectral images — the population the
+    // pixel-domain hashes lose (majority of pairs beyond aHash's cut,
+    // spec-pinned). 8×8-bit banding, Hamming≤6 verify (clean-band
+    // guarantee to 7); the exported milli-rounded coefficient grids give
+    // the oracle the full median/threshold/band/Hamming replay
+    "q_mm_image_dedup_phash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = operators.Multimodal.smoothImageTableWithClones(s, dir)
+      val art = artifactPath(dir, "phash_grid")
+      dumpOnce(art) {
+        operators.Multimodal.imagePHash(media).toDF()
+          .write.mode("overwrite").parquet(art)
+      }
+      operators.Dedup.simHashNearDupsBanded(
+        s.read.parquet(art).select(col("doc_id"), col("fp")),
+        "doc_id", maxDist = 6, bands = 8)
+    }),
     // audio-content near-dup: decode PCM → 64-window energy envelope →
     // threshold hash → banded Hamming join. Exported energy grids give
     // the oracle the same full-replay contract as the image variants;
@@ -4037,6 +4056,28 @@ object SparkEntry {
          FROM banded a JOIN banded b
            ON a.q = b.q AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+    },
+    // pHash replay from the exported milli-rounded DCT grid: median of
+    // the 63 non-DC coefficients via list slicing + sort (exact integer
+    // selection), threshold bits, 8×8-bit banding, Hamming ≤ 6
+    "q_mm_image_dedup_phash" -> {
+      val terms = (0 until 64).map { i =>
+        val bit =
+          if (i == 63) "(-9223372036854775807::BIGINT - 1)"
+          else s"(1::BIGINT << $i)"
+        s"CASE WHEN c[${i + 1}] > m THEN $bit ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH gr AS (SELECT doc_id, c
+             FROM read_parquet('/root/repo/artifacts/phash_grid/sf=sf0.01/*.parquet')),
+         md AS (SELECT doc_id, c, list_sort(c[2:])[32] AS m FROM gr),
+         f AS (SELECT doc_id, $terms AS fp FROM md),
+         banded AS (
+           SELECT doc_id, fp, q, (fp >> (q * 8)) & 255 AS bucket
+           FROM f, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) t2(q))
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.q = b.q AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 6"""
     },
     // eHash replay from the exported 64-window energy grid: identical
     // integer pipeline to the aHash oracle, over energies not pixels

@@ -470,8 +470,17 @@ object Dedup {
   def simHashNearDupsFrom(
       fps: DataFrame,
       idCol: String,
-      maxDist: Int = 3): DataFrame = {
-    val banded = simHashBanded(fps, idCol)
+      maxDist: Int = 3): DataFrame =
+    simHashNearDupsBanded(fps, idCol, maxDist, bands = 4)
+
+  /** [[simHashNearDupsFrom]] over [[simHashBandedN]] banding — `bands-1`
+    * is the detection guarantee, `maxDist` the verify cut. */
+  def simHashNearDupsBanded(
+      fps: DataFrame,
+      idCol: String,
+      maxDist: Int,
+      bands: Int): DataFrame = {
+    val banded = simHashBandedN(fps, idCol, bands)
       // shared co-partitioned exchange for both self-join branches (see
       // lshCandidatePairs): fingerprints computed once, join shuffle-free
       .repartition(col("q"), col("bucket"))
@@ -573,9 +582,27 @@ object Dedup {
     * payloads. The fingerprint itself rides along because the Hamming
     * verify needs both sides' full 64 bits at the join. */
   def simHashBanded(fps: DataFrame, idCol: String): DataFrame =
+    simHashBandedN(fps, idCol, bands = 4)
+
+  /** [[simHashBanded]] with a configurable band count (64 must divide
+    * evenly): `bands` q-slices of 64/bands bits each. More bands widen
+    * the pigeonhole guarantee (any pair within Hamming `bands-1` shares
+    * a clean band) at the cost of smaller buckets — 8×8-bit banding is
+    * the pHash operating point, where perceptual distances run higher
+    * than SimHash text distances and 4×16 would lose dist-4..6 clones
+    * whose flips touch all four quadrants. The recall/cost knob is the
+    * caller's: candidate volume grows as bands·N²/2^(64/bands) under
+    * uniform buckets, so narrower bands need the verify cut right after
+    * the join (which [[simHashNearDupsBanded]] does). */
+  def simHashBandedN(fps: DataFrame, idCol: String, bands: Int): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     fps.selectExpr(idCol, "fp",
-      "explode(transform(sequence(0,3), q -> struct(q AS q, shiftright(fp, q*16) & 65535 AS bucket))) AS e")
+      s"explode(transform(sequence(0,${bands - 1}), q -> " +
+        s"struct(q AS q, shiftright(fp, q*$width) & $mask AS bucket))) AS e")
       .selectExpr(idCol, "fp", "e.q AS q", "e.bucket AS bucket")
+  }
 
   /** Incremental fingerprint dedup against a PERSISTED quadrant index
     * (see [[simHashBanded]]) — the media analog of

@@ -119,24 +119,30 @@ object Multimodal {
     MediaFormats.pngPixels(payload)
       .orElse(MediaFormats.jpegPixels(payload))
 
+  /** The pure aHash kernel (unit-testable without a session). */
+  private[operators] def aHashCore(w: Int, h: Int, px: Array[Int]): (Array[Int], Long) = {
+    val g = new Array[Int](64)
+    var i = 0
+    while (i < 64) {
+      g(i) = px((i / 8) * h / 8 * w + (i % 8) * w / 8)
+      i += 1
+    }
+    var total = 0L
+    i = 0
+    while (i < 64) { total += g(i); i += 1 }
+    var fp = 0L
+    i = 0
+    while (i < 64) { if (64L * g(i) > total) fp |= 1L << i; i += 1 }
+    (g, fp)
+  }
+
   def imageAHash(media: DataFrame)(
       implicit spark: SparkSession): Dataset[ImageHash] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { batch =>
       batch.flatMap { r =>
         grayPixels(r.payload).map { case (w, h, px) =>
-          val g = new Array[Int](64)
-          var i = 0
-          while (i < 64) {
-            g(i) = px((i / 8) * h / 8 * w + (i % 8) * w / 8)
-            i += 1
-          }
-          var total = 0L
-          i = 0
-          while (i < 64) { total += g(i); i += 1 }
-          var fp = 0L
-          i = 0
-          while (i < 64) { if (64L * g(i) > total) fp |= 1L << i; i += 1 }
+          val (g, fp) = aHashCore(w, h, px)
           ImageHash(r.doc_id, g, fp)
         }
       }
@@ -172,6 +178,119 @@ object Multimodal {
             r8 += 1
           }
           ImageHash(r.doc_id, g, fp)
+        }
+      }
+    }
+  }
+
+  /** Perceptual DCT hash (pHash): box-filter resize to 32×32, 2-D
+    * orthonormal DCT-II, keep the top-left 8×8 coefficient block
+    * (micro-rounded ×1000 to longs — the export the oracle replays
+    * from), bit i set iff `c(i) > median(c(1..63))` (DC excluded from
+    * the median; its bit is effectively constant). Catches what the
+    * pixel-domain hashes can't: a NONLINEAR brightness curve (gamma,
+    * contrast) moves the mean threshold's percentile and flips aHash
+    * bits wholesale, but only rescales the dominant DCT coefficients —
+    * their order against the median survives.
+    *
+    * Two lessons from the failed first attempt are structural here:
+    * the resize is a BOX FILTER (area average), not nearest-neighbor —
+    * NN aliases high-frequency content straight into the low-frequency
+    * block and drowns the signal; and the eval fixture
+    * ([[smoothImageTableWithClones]]) must have ENERGY ACROSS THE FULL
+    * 8×8 block — with a sparse spectrum the median sits in near-zero
+    * noise and the 49 empty slots flip randomly. Perceptual distances
+    * run higher than SimHash text distances even so (the curve's
+    * intermodulation perturbs small coefficients near the median), so
+    * the pHash pair join uses 8×8-bit banding with a Hamming-6 cut
+    * ([[Dedup.simHashNearDupsBanded]]: clean-band guarantee to dist 7)
+    * rather than the 4×16/dist-3 text setting.
+    *
+    * Cell bounds for the box average are exact integer arithmetic
+    * (`lo = i·h DIV 32`, floor-widened to non-empty); the DCT runs in
+    * doubles but lands behind the milli-unit rounding, and the oracle
+    * replays median/threshold/banding/Hamming from the exported
+    * integers (the aHash contract). Map-only. */
+  final case class ImagePHash(doc_id: Long, c: Array[Long], fp: Long)
+
+  private val PHashN = 32
+  // cos((2x+1)uπ/(2n)) table for u < 8, x < n
+  private lazy val pHashCosT = Array.tabulate(8, PHashN)((u, x) =>
+    math.cos((2 * x + 1) * u * math.Pi / (2.0 * PHashN)))
+
+  /** The pure pHash kernel (unit-testable without a session). */
+  private[operators] def pHashCore(w: Int, h: Int, px: Array[Int]): (Array[Long], Long) = {
+    val n = PHashN
+    val cosT = pHashCosT
+    val a0 = math.sqrt(1.0 / n)
+    val au = math.sqrt(2.0 / n)
+    // box-filter resize to n×n: cell = mean of its pixel rectangle
+    val grid = new Array[Double](n * n)
+    var i = 0
+    while (i < n) {
+      var rLo = i * h / n
+      val rHi = math.max((i + 1) * h / n, rLo + 1)
+      if (rLo >= h) rLo = h - 1
+      var j = 0
+      while (j < n) {
+        var cLo = j * w / n
+        val cHi = math.max((j + 1) * w / n, cLo + 1)
+        if (cLo >= w) cLo = w - 1
+        var s = 0L
+        var rr = rLo
+        while (rr < rHi) {
+          var cc = cLo
+          while (cc < cHi) { s += px(rr * w + cc); cc += 1 }
+          rr += 1
+        }
+        grid(i * n + j) = s.toDouble / ((rHi - rLo) * (cHi - cLo))
+        j += 1
+      }
+      i += 1
+    }
+    // separable DCT-II: rows first (8 output cols), then columns
+    val rowT = new Array[Double](n * 8) // n rows × 8 freqs
+    var y = 0
+    while (y < n) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += grid(y * n + x) * cosT(u)(x); x += 1 }
+        rowT(y * 8 + u) = s * (if (u == 0) a0 else au)
+        u += 1
+      }
+      y += 1
+    }
+    val c = new Array[Long](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) { s += rowT(yy * 8 + u) * cosT(v)(yy); yy += 1 }
+        val coef = s * (if (v == 0) a0 else au)
+        c(v * 8 + u) = math.round(coef * 1000.0)
+        u += 1
+      }
+      v += 1
+    }
+    val m = c.drop(1).sorted.apply(31) // median of the 63 non-DC
+    var fp = 0L
+    i = 0
+    while (i < 64) { if (c(i) > m) fp |= 1L << i; i += 1 }
+    (c, fp)
+  }
+
+  def imagePHash(media: DataFrame)(
+      implicit spark: SparkSession): Dataset[ImagePHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.flatMap { r =>
+        grayPixels(r.payload).map { case (w, h, px) =>
+          val (c, fp) = pHashCore(w, h, px)
+          ImagePHash(r.doc_id, c, fp)
         }
       }
     }
@@ -288,6 +407,104 @@ object Multimodal {
             MediaFormats.png(w, h, id + 1)))
         else Iterator(base)
       }).toDF()
+  }
+
+  /** Smooth spectral image fixture for the pHash eval: each id renders a
+    * PNG whose pixel field is a sum of 2-D half-cosines over the FULL
+    * 8×8 frequency block pHash measures — id-derived signs, 1/(1+u+v)
+    * amplitude decay (a natural-image-like spectrum), so all 63 non-DC
+    * coefficients carry deliberate energy and the median threshold sits
+    * between well-separated values, not in noise. Every `cloneEvery`-th
+    * id adds a clone under id+`cloneIdOffset`: the SAME field through a
+    * steep γ=3.2 darkening curve — a monotone nonlinear edit that
+    * preserves dominant DCT coefficient order (pHash Hamming stays
+    * within the 8-band join's reach) while moving the mean threshold's
+    * percentile enough to flip aHash bits past its dist-3 cut on the
+    * majority of pairs: the pair population where pHash separates and
+    * aHash does not. Constants are the measured operating point of a
+    * (γ, dominant-amplitude) sweep over the encode→decode→hash
+    * pipeline, not guesses. */
+  def smoothImageTableWithClones(
+      spark: SparkSession,
+      docsDir: String,
+      cloneEvery: Long = 30L,
+      cloneIdOffset: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$docsDir/documents.parquet")
+      .select("doc_id").as[Long]
+      .filter(_ % 3 == 0)
+      .mapPartitions(_.flatMap { id =>
+        val w = 32 + (id % 48).toInt
+        val h = 32 + ((id / 48) % 48).toInt
+        val base = MediaRecord(id, "image",
+          MediaFormats.pngFromPixels(w, h, smoothField(w, h, id, gamma = false)))
+        if (id % cloneEvery == 0)
+          Iterator(base, MediaRecord(id + cloneIdOffset, "image",
+            MediaFormats.pngFromPixels(w, h, smoothField(w, h, id, gamma = true))))
+        else Iterator(base)
+      }).toDF()
+  }
+
+  /** The pixel field behind [[smoothImageTableWithClones]]. The γ and
+    * dominant-amplitude defaults are the empirically tuned operating
+    * point (see the sweep in the pHash spec history): every clone pair
+    * within pHash Hamming 3 while a majority exceed aHash's reach. */
+  private[operators] def smoothField(
+      w: Int, h: Int, id: Long, gamma: Boolean,
+      gammaExp: Double = 3.2, domAmp: Double = 5.0): Array[Int] = {
+    // 63 sign bits from a splitmix-style id hash
+    var z = id * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    val bits = z ^ (z >>> 31)
+    var z2 = (id + 77L) * 0x9e3779b97f4a7c15L
+    z2 = (z2 ^ (z2 >>> 30)) * 0xbf58476d1ce4e5b9L
+    val bits2 = z2 ^ (z2 >>> 27)
+    def sign(u: Int, v: Int): Double = {
+      val k = v * 8 + u
+      val b = if (k < 63) (bits >> k) & 1L else (bits2 >> (k - 63)) & 1L
+      if (b == 1L) 1.0 else -1.0
+    }
+    // UNIQUE amplitude per slot — a 0.1-px ladder descending over the
+    // (u+v, v)-ordered slots, so no two |coefficients| tie: the flips the
+    // first fixture produced were all equal-amplitude slots crowding the
+    // median. The first slot gets a dominant boost for pixel variance
+    // (what makes the aHash mean threshold actually move under γ).
+    val slots = (for (v <- 0 until 8; u <- 0 until 8 if u != 0 || v != 0)
+      yield (u, v)).sortBy { case (u, v) => (u + v, v) }
+    val amp = new Array[Double](64)
+    slots.zipWithIndex.foreach { case ((u, v), rank) =>
+      amp(v * 8 + u) = (if (rank == 0) domAmp else 0.0) + 6.8 - 0.1 * rank
+    }
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            if (u != 0 || v != 0) {
+              s += sign(u, v) * amp(v * 8 + u) *
+                math.cos(math.Pi * u * (x + 0.5) / w) *
+                math.cos(math.Pi * v * (y + 0.5) / h)
+            }
+            u += 1
+          }
+          v += 1
+        }
+        val base = math.min(255.0, math.max(0.0, 128.0 + s))
+        val out =
+          if (gamma) 255.0 * math.pow(base / 255.0, gammaExp)
+          else base
+        px(y * w + x) = math.min(255, math.max(0, math.round(out).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    px
   }
 
   /** JPEG slice of the media id space (ids ≡ 2 mod 3 — the slot PNG

@@ -1026,6 +1026,51 @@ class MultimodalSpec extends SparkSpec {
     assert(g.length == 72 && g.forall(v => v >= 0 && v <= 255))
   }
 
+  test("imagePHash: gamma-curve clones hash near; aHash flips far on the same pairs") {
+    // the discriminating fixture: smooth full-spectrum images, clones
+    // through a steep darkening curve (γ=3.2, the measured sweep point)
+    val media = Multimodal.smoothImageTableWithClones(spark, sfDir,
+      cloneEvery = 6L)
+    val ph = Multimodal.imagePHash(media)(spark).collect()
+      .map(x => x.doc_id -> x).toMap
+    val ah = Multimodal.imageAHash(media)(spark).collect()
+      .map(x => x.doc_id -> x.fp).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val clonePairs = ph.keySet.filter(_ >= 1000000L).map(c => (c - 1000000L, c))
+    assert(clonePairs.nonEmpty)
+    // pHash: every gamma clone within the 8-band join's dist-6 reach
+    clonePairs.foreach { case (a, b) =>
+      assert(ham(ph(a).fp, ph(b).fp) <= 6,
+        s"pHash should survive the brightness curve: pair ($a,$b) " +
+          s"dist ${ham(ph(a).fp, ph(b).fp)}")
+    }
+    // aHash: the same curve moves the mean threshold's percentile and
+    // flips bits past its own dist-3 cut — the majority of pairs must
+    // be OUT of aHash's reach (the pair population pHash exists for)
+    val aMissed = clonePairs.count { case (a, b) => ham(ah(a), ah(b)) > 3 }
+    assert(aMissed * 2 > clonePairs.size,
+      s"aHash should miss most gamma clones, missed $aMissed/${clonePairs.size}")
+    // the banded pair join recovers EVERY clone pair (8 bands ⇒ clean
+    // band guaranteed to dist 7)
+    val pairs = graft.operators.Dedup.simHashNearDupsBanded(
+        Multimodal.imagePHash(media)(spark).toDF()
+          .select(col("doc_id"), col("fp")), "doc_id", maxDist = 6, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    clonePairs.foreach(p => assert(pairs.contains(p), s"pair $p lost"))
+    // distinct base images stay far apart under pHash (no false pairs)
+    val bases = ph.keySet.filter(_ < 1000000L).toSeq.sorted.take(12)
+    for (i <- bases.indices; j <- i + 1 until bases.size)
+      assert(ham(ph(bases(i)).fp, ph(bases(j)).fp) > 6,
+        s"distinct images ${bases(i)},${bases(j)} too close")
+    // exported coefficient grid: 64 micro-rounded longs, median rule
+    val one = ph(clonePairs.head._1)
+    assert(one.c.length == 64)
+    val m = one.c.drop(1).sorted.apply(31)
+    (0 until 64).foreach { i =>
+      assert(((one.fp >> i) & 1L) == (if (one.c(i) > m) 1L else 0L))
+    }
+  }
+
   test("wavSamples matches javax.sound's decode of the same bytes") {
     val bytes = MediaFormats.wav(11000, 2, nSamples = 123, seed = 7L)
     val decoded = MediaFormats.wavSamples(bytes)
