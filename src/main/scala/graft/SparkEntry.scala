@@ -1894,6 +1894,18 @@ object SparkEntry {
       operators.CorpusClean.kAnonymityFilter(
           readWide(s, dir, "documents"), Seq("source", "lang"), k = 5L)
         .select("doc_id", "source", "lang")),
+    // NULL-cell variant: every 11th doc's lang nulled BEFORE the cut —
+    // NULL combinations must participate in the k test as cells (the
+    // null-safe semi join), not silently drop; real data's "unknown"
+    // cell is usually the largest and safest
+    "q_k_anonymity_nulls" -> ((s, dir) =>
+      operators.CorpusClean.kAnonymityFilter(
+          readWide(s, dir, "documents")
+            .withColumn("lang",
+              when(col("doc_id") % 11 === 0, lit(null: String))
+                .otherwise(col("lang"))),
+          Seq("source", "lang"), k = 5L)
+        .select("doc_id", "source", "lang")),
     // license-marker routing over an injected fixture: first-match tag
     // + the permissive-only gate — copyright-aware corpus assembly
     "q_license_tag" -> ((s, dir) => {
@@ -4691,18 +4703,28 @@ object SparkEntry {
          WHERE a.chosen_mu - a.rejected_mu > 0""",
     // JSONL replay: same artifact lines; ok = json_valid, fields via
     // json extraction, quarantined lines keep null fields + the raw line
+    // ok states the FULL cross-engine contract — valid JSON *with the
+    // required field present* — not bare json_valid: a valid-JSON line
+    // that is not an object or lacks doc_id is quarantined by the
+    // operator (all-null struct field), and the oracle must agree even
+    // though the fixture never produces such lines
     "q_jsonl_ingest" ->
-      """SELECT json_valid(value) AS ok,
-           CASE WHEN json_valid(value)
+      """WITH l AS (SELECT value,
+             (CASE WHEN json_valid(value)
+                THEN json_extract(value, '$.doc_id') IS NOT NULL
+                ELSE FALSE END) AS ok
+           FROM read_parquet('/root/repo/artifacts/jsonl_lines/sf=sf0.01/*.parquet'))
+         SELECT ok,
+           CASE WHEN ok
              THEN CAST(json_extract(value, '$.doc_id') AS BIGINT) END
              AS doc_id,
-           CASE WHEN json_valid(value)
+           CASE WHEN ok
              THEN json_extract_string(value, '$.lang') END AS lang,
-           CASE WHEN json_valid(value)
+           CASE WHEN ok
              THEN CAST(json_extract(value, '$.n_chars') AS BIGINT) END
              AS n_chars,
            value
-         FROM read_parquet('/root/repo/artifacts/jsonl_lines/sf=sf0.01/*.parquet')""",
+         FROM l""",
     // KMV-Jaccard replay: both sides' k-min hash lists from the same
     // md5 hashes, exact union re-cut, membership counts, the shared
     // kmv_est expression, inter_est from the ROUNDED union_est
@@ -4754,6 +4776,19 @@ object SparkEntry {
            GROUP BY 1, 2 HAVING count(*) >= 5)
          SELECT d.doc_id, d.source, d.lang
          FROM documents d JOIN c USING (source, lang)""",
+    // null-cell replay: the join is IS NOT DISTINCT FROM, matching the
+    // operator's null-safe <=> semantics — a USING join would drop
+    // every NULL-lang row regardless of its cell count
+    "q_k_anonymity_nulls" ->
+      """WITH d AS (SELECT doc_id, source,
+             CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang
+           FROM documents),
+         c AS (SELECT source, lang FROM d
+           GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT d.doc_id, d.source, d.lang
+         FROM d JOIN c
+           ON d.source IS NOT DISTINCT FROM c.source
+          AND d.lang IS NOT DISTINCT FROM c.lang""",
     // license replay: same fixture, same patterns in the same order
     "q_license_tag" ->
       """WITH m AS (SELECT doc_id,
@@ -5229,8 +5264,8 @@ object SparkEntry {
              regexp_replace(t2, '[Bb]earer +[A-Za-z0-9._~+/=-]{20,}',
                '<BEARER>', 'g') AS t3 FROM s2),
          s4 AS (SELECT *, CAST(len(regexp_extract_all(t3,
-               '\b[0-9a-f]{32,64}\b')) AS BIGINT) AS n_hex_secret,
-             regexp_replace(t3, '\b[0-9a-f]{32,64}\b', '<HEXSECRET>', 'g')
+               '\b[0-9a-f]{32,}\b')) AS BIGINT) AS n_hex_secret,
+             regexp_replace(t3, '\b[0-9a-f]{32,}\b', '<HEXSECRET>', 'g')
                AS t4 FROM s3),
          s5 AS (SELECT *, CAST(len(regexp_extract_all(t4,
                '-----BEGIN [A-Z ]*PRIVATE KEY-----')) AS BIGINT) AS n_pem,

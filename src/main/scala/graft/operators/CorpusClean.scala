@@ -384,12 +384,21 @@ object CorpusClean {
     * HTTP bearer tokens, long lowercase hex runs (API keys / session
     * tokens), and PEM private-key headers. Order matters: the typed,
     * high-precision shapes match first so the broad hex rule only sees
-    * what they left behind. */
+    * what they left behind.
+    *
+    * The hex rule is OPEN-ENDED (`{32,}`, not `{32,64}`): a bounded
+    * upper repeat cannot match inside a longer run — there is no word
+    * boundary mid-run, so a 128-hex key would escape a `{32,64}` rule
+    * entirely, which is exactly backwards for a redaction pass. The
+    * cost is a known false positive: 40-hex git commit SHAs redact too.
+    * For a safety scrub over-redaction is the right failure direction;
+    * callers curating code corpora where SHAs matter should whitelist
+    * them upstream rather than reopening the >64-char escape hatch. */
   val secretPatterns: Seq[(String, String, String)] = Seq(
     ("aws_key", "\\bAKIA[0-9A-Z]{16}\\b", "<AWSKEY>"),
     ("gh_token", "\\bgh[pousr]_[A-Za-z0-9]{36}\\b", "<GHTOKEN>"),
     ("bearer", "[Bb]earer +[A-Za-z0-9._~+/=-]{20,}", "<BEARER>"),
-    ("hex_secret", "\\b[0-9a-f]{32,64}\\b", "<HEXSECRET>"),
+    ("hex_secret", "\\b[0-9a-f]{32,}\\b", "<HEXSECRET>"),
     ("pem", "-----BEGIN [A-Z ]*PRIVATE KEY-----", "<PEMKEY>"))
 
   /** Credential scrubbing — the "don't train the model to memorize
@@ -409,7 +418,16 @@ object CorpusClean {
     *
     * One keyed count aggregation + a broadcast-friendly semi join on the
     * qualifying cells (cell cardinality ≪ rows). Deterministic — no
-    * sampling, the cut is exact. */
+    * sampling, the cut is exact.
+    *
+    * NULL quasi values are a CELL, not a discard: the semi join is
+    * null-safe (`<=>`), so rows whose (quasiCols) include NULL survive
+    * iff their NULL-containing combination clears `k` like any other —
+    * `groupBy` already counted NULL keys as a group, and a plain
+    * equi-join would have silently dropped every such row regardless of
+    * its count (the asymmetry real data hits immediately: "unknown
+    * language" is usually the LARGEST cell, and anonymity-wise it is
+    * also the safest). */
   def kAnonymityFilter(
       df: DataFrame,
       quasiCols: Seq[String],
@@ -418,8 +436,10 @@ object CorpusClean {
     val cells = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= k)
-      .drop("__n")
-    df.join(cells, quasiCols, "left_semi")
+      .select(quasiCols.map(c => col(c).as(s"__cell_$c")): _*)
+    df.join(cells,
+      quasiCols.map(c => col(c) <=> col(s"__cell_$c")).reduce(_ && _),
+      "left_semi")
   }
 
   private def scrubWith(

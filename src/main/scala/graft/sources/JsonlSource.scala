@@ -20,8 +20,14 @@ import org.apache.spark.sql.types.StructType
   *
   * Determinism contract: a line is `ok` iff the parse materializes the
   * `requiredField` (Spark returns an all-null struct for malformed
-  * input; a present required field ⇒ the document parsed). The DuckDB
-  * oracle states the same predicate as `json_valid` + extraction.
+  * input; a present required field ⇒ the document parsed). This is
+  * STRICTER than mere well-formedness: a valid-JSON line that is not an
+  * object, lacks the required field, or type-mismatches it quarantines
+  * too — so the cross-engine statement of the predicate is
+  * `json_valid(line) AND json_extract(line, '$.field') IS NOT NULL`,
+  * never bare `json_valid` (the q_jsonl_ingest oracle states exactly
+  * that, keeping the gate honest for inputs the fixture doesn't
+  * produce).
   */
 object JsonlSource {
 

@@ -198,6 +198,23 @@ class CorpusCleanSpec extends SparkSpec {
       .count() == 6)
   }
 
+  test("kAnonymityFilter: NULL quasi values form cells, not discards") {
+    import graft.operators.CorpusClean
+    val df = Seq(
+      (1L, "s1", null), (2L, "s1", null), (3L, "s1", null), // NULL cell of 3
+      (4L, "s1", "de"), (5L, "s1", "de"),                   // cell of 2
+      (6L, "s2", null))                                     // NULL singleton
+      .toDF("id", "source", "lang")
+    // the big NULL cell clears k=3; the NULL singleton does not — a
+    // plain equi-join would have dropped rows 1-3 regardless of count
+    val k3 = CorpusClean.kAnonymityFilter(df, Seq("source", "lang"), 3L)
+      .select("id").as[Long].collect().toSet
+    assert(k3 == Set(1L, 2L, 3L))
+    val k2 = CorpusClean.kAnonymityFilter(df, Seq("source", "lang"), 2L)
+      .select("id").as[Long].collect().toSet
+    assert(k2 == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("licenseTag: first marker wins, none when clean") {
     import graft.operators.TextAnalysis
     val got = Seq(
