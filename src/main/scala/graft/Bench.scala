@@ -44,127 +44,113 @@ object Bench {
     * few heaviest queries, not an alphabetic suffix. Unknown names run
     * with the heavies (cost 9.99) so new queries are never starved. */
   private val costHint: Map[String, Double] = Map(
-    "q_x5_classify" -> 0.09, "q_x4_hex" -> 0.10, "q_f2_cluster_keep" -> 0.13,
-    "q_x6_age" -> 0.13, "q_e1_sql_function" -> 0.13,
-    "q_x3_literal_render" -> 0.13, "q_mm_binary_meta" -> 0.14,
-    "q_f5_first_column" -> 0.14, "q_f4_binary_range" -> 0.15,
-    "q_x2_typed_bounds" -> 0.15, "q_f3_null_keep" -> 0.15,
-    "q_x1_convert" -> 0.16, "q_a4_effective_ttl" -> 0.16,
-    "q_x7_parity" -> 0.16, "q_s5_rule_drop" -> 0.17,
-    "q_f8_ttl_pk_ck" -> 0.17, "q_f6_json_rules" -> 0.17,
-    "q_f1_rule_keep" -> 0.17, "q_sample_stratified" -> 0.18,
-    "q_f7_ttl_keep" -> 0.19, "q_clean_pii" -> 0.20,
-    "q_j1_rule_antijoin" -> 0.24, "q_clean_segment_dedup" -> 0.24,
-    "q_clean_span_dedup" -> 0.24, "q_s3_rules_source" -> 0.25,
-    "q_text_fingerprint" -> 0.25, "q_text_repetition" -> 0.25,
-    "q_j2_rule_semijoin" -> 0.26, "q_a1_counters" -> 0.26,
-    "q_s7_stmt_exec" -> 0.26, "q_a3_backup_count" -> 0.29,
-    "q_text_stats" -> 0.31, "q_dedup_jaccard" -> 0.33,
-    "q_u1_union" -> 0.35, "q_split_hash" -> 0.36,
-    "q_s9_batch_union" -> 0.36, "q_asof_join" -> 0.38,
-    "q_t3_windowed_counts" -> 0.43, "q_mm_frames" -> 0.43,
-    "q_interval_join" -> 0.43, "q_sketch_kmv" -> 0.45,
-    "q_sketch_hll" -> 0.50, "q_a7_lww_dedup" -> 0.53,
-    "q_dedup_exact" -> 0.53, "q_pack_greedy" -> 0.54,
-    "q_u2_split_complement" -> 0.60, "q_text_quality_filter" -> 0.63,
-    "q_lm_bigram_score" -> 0.65, "q_mm_decode" -> 0.66,
-    "q_sample_mixture" -> 0.74, "q_sessionize" -> 0.80,
-    "q_scale_zorder" -> 0.38, "q_curation_topk_per_source" -> 0.91,
-    "q_retrieval_rrf" -> 3.67, "q_sim_ann_ivf_filtered" -> 1.58,
-    "q_sim_near_dup_exact" -> 0.81, "q_p1_key_projection" -> 0.83,
-    "q_sim_ann_lsh" -> 0.93, "q_sim_topk_brute" -> 0.98,
-    "q_scale_salted_join" -> 1.04, "q_sketch_cms" -> 1.20,
-    "q_pack_offsets" -> 1.21, "q_w1_group_verdict" -> 1.28,
-    "q_sim_near_dup" -> 1.36, "q_dedup_simhash_pairs" -> 1.43,
-    "q_bm25_topk" -> 1.45, "q_decontam_pairs" -> 1.64,
-    "q_cluster_kmeans" -> 1.70, "q_bpe_tokenize" -> 1.75,
-    "q_sim_ann_ivf" -> 1.83, "q_sim_near_dup_probe" -> 1.87,
-    "q_cluster_semdedup" -> 1.92, "q_decontam_filter" -> 1.95,
-    "q_sim_ann_pq_rerank" -> 2.18, "q_dedup_minhash_pairs" -> 2.21,
-    "q_sim_ann_pq" -> 2.24, "q_dedup_resolve" -> 2.35,
-    "q_sketch_quantile" -> 2.46, "q_bpe_merges" -> 2.63,
-    "q_sim_ann_ivfpq" -> 2.66, "q_curation" -> 2.94,
-    "q_pipeline_clean" -> 8.33,
-    // round-6 session-2 additions (mins from the r6 sf0.1 run)
-    "q_scale_skew_report" -> 0.24, "q_embed_quantize" -> 0.50,
-    "q_cdc_apply" -> 0.64, "q_cdc_extract" -> 0.60,
-    "q_scd2_history" -> 0.84, "q_scd2_snapshot" -> 0.85,
-    "q_corpus_report" -> 0.40, "q_sim_ann_ivf_persisted" -> 1.85,
-    "q_sample_temperature" -> 0.45,
-    "q_dedup_incremental" -> 6.00,
-    // round-6 session-3 additions (mins from the clean-host full run:
-    // total 49.3s / min_total 35.8s over 107 queries, steal 2.9s)
-    "q_chunk_overlap" -> 0.16, "q_shard_order" -> 0.15,
-    "q_hard_negatives" -> 0.23, "q_token_budget" -> 0.88,
-    "q_group_cap" -> 0.40, "q_embed_project" -> 0.16,
-    "q_epoch_expand" -> 0.17, "q_bpe_encode" -> 0.76,
-    "q_pack_blocks" -> 0.46, "q_split_leakage_safe" -> 0.54,
-    "q_expectations" -> 0.11, "q_dedup_best_copy" -> 1.01,
-    "q_ann_recall" -> 0.26, "q_expect_ref" -> 0.14, "q_ngram_top" -> 0.21,
-    "q_profile" -> 0.25,
-    // round-7 additions (mins from the final r7 clean run: total 45.0s /
-    // min_total 40.4s over all 120 queries, steal 0.36s)
-    // round-9 additions (mins from the end-of-round 133-query full run:
-    // total 202.8s / min_total 68.0s, steal 23.7s)
-    "q_sketch_kmv_merge" -> 0.70, "q_sketch_quantile_merge" -> 1.39,
-    "q_sim_ann_ivf_kmeans" -> 1.20, "q_mm_image_dedup_persisted" -> 0.75,
-    "q_unigram_tokenize_em2" -> 0.99, "q_quality_model_ngram" -> 1.19,
-    "q_dedup_substring" -> 0.12, "q_mm_image_dedup_jpeg" -> 0.29,
-    "q_mm_audio_dedup_persisted" -> 1.01,
-    "q_decontam_semantic_pairs" -> 0.57, "q_decontam_semantic_filter" -> 0.71,
-    "q_j3_rule_multicol" -> 0.09, "q_mm_image_dedup" -> 0.20,
-    "q_unigram_tokenize" -> 0.64, "q_dedup_incremental_persisted" -> 1.13,
-    "q_mm_image_dedup_dhash" -> 0.21, "q_mm_audio_dedup" -> 0.20,
-    "q_quality_model" -> 0.63, "q_quality_sample" -> 0.76,
-    "q_unigram_vocab" -> 0.62, "q_pipeline_recipe" -> 1.62,
-    "q_sketch_hll_merge" -> 0.34, "q_mm_cross_dedup" -> 0.77,
-    "q_token_budget_per_source" -> 0.30, "q_sketch_cms_merge" -> 1.30,
-    // round-9 session-2 additions (mins from the 140-query sf0.1 run:
-    // total 86.6s / min_total 74.2s, steal 46.9s). q_dedup_lsh_recall's
-    // 8.06s was measured BEFORE its sample got count-capped; left high
-    // so it stays ordered with the heavies until remeasured.
-    "q_html_extract" -> 0.16, "q_url_normalize" -> 0.10,
-    "q_gopher_filter" -> 0.21, "q_sample_reservoir" -> 0.15,
-    "q_domain_reweight" -> 0.45, "q_dedup_lsh_recall" -> 1.21,
-    "q_clean_cc_scrub" -> 0.50, "q_lm_trigram_score" -> 2.00,
-    "q_pipeline_ingest" -> 0.71, "q_span_corrupt" -> 0.24,
-    // measured sf0.1 mins (66s-steal window — mins are the floor)
-    "q_warc_extract" -> 0.28, "q_ingest_recrawl" -> 0.75,
-    "q_robots_gate" -> 0.17, "q_ul2_mixture" -> 0.48,
-    "q_datasheet" -> 0.31, "q_ppl_filter" -> 2.19,
-    "q_html_links" -> 0.16, "q_link_pagerank" -> 1.17,
-    "q_anchor_text" -> 0.25,
-    // round-9 session-3 additions (mins from a 3.9s-steal sf0.1 run)
-    "q_dsir_weights" -> 1.27, "q_dsir_sample" -> 1.61,
-    "q_sketch_bloom_merge" -> 0.60, "q_bloom_decontam" -> 2.21,
-    "q_cluster_balanced" -> 0.88, "q_wordpiece_vocab" -> 0.73,
-    "q_wordpiece_tokenize" -> 1.00,
-    "q_text_normalize" -> 0.23, "q_text_winnow" -> 1.11,
-    "q_mlm_mask" -> 0.37, "q_blocklist_gate" -> 0.25,
-    "q_winnow_pairs" -> 2.05, "q_sample_weighted_reservoir" -> 0.57,
-    "q_lm_kn_score" -> 0.73, "q_domain_drift" -> 1.30,
-    "q_self_repeat" -> 0.31, "q_shard_manifest" -> 0.36,
-    "q_dedup_prefix_join" -> 2.26,
-    "q_compress_filter" -> 0.31, "q_pipeline_shards" -> 1.03,
-    "q_ann_ndcg" -> 0.68, "q_wordpiece_oov" -> 1.10,
-    // round-9 session-5 additions (mins from a 12.1s-steal sf0.1 run;
-    // q_pipeline_select estimated from its parts, unmeasured)
-    "q_clean_secrets" -> 0.27, "q_code_detect" -> 0.30,
-    "q_text_script" -> 0.34, "q_unimax_weights" -> 0.33,
-    "q_text_pmi" -> 0.51, "q_epoch_shuffle" -> 0.67,
-    "q_chat_flatten" -> 0.77, "q_decontam_fraction" -> 0.81,
-    "q_ann_recall_dims" -> 0.81, "q_pref_pairs" -> 0.93,
-    "q_tfidf_keywords" -> 1.85, "q_pipeline_select" -> 1.71,
-    // session-5 second half (clean-window sf0.1 mins)
-    "q_crawl_schedule" -> 0.19, "q_zipf_fit" -> 0.28,
-    "q_needle_insert" -> 0.29, "q_jsonl_ingest" -> 0.32,
-    "q_sketch_kmv_jaccard" -> 0.54, "q_mix_materialize" -> 0.84,
-    "q_chat_chunks" -> 0.87, "q_dedup_group_stats" -> 1.26,
-    "q_curriculum_bands" -> 1.45,
-    "q_license_tag" -> 0.26, "q_readability" -> 0.26,
-    "q_pack_report" -> 0.51, "q_k_anonymity" -> 0.68,
-    "q_rank_weighted_sample" -> 2.94, "q_align_margin" -> 0.50,
-    "q_mix_ordered" -> 1.30)
+    // Regenerated r10: per-query MINS from the r9 end-of-round clean
+    // full run (BENCH_r9_local.json, 203 queries) — a stale hint 2-3x
+    // above the real floor weakens the believed() stall-cap (a cheap
+    // query whose only sample hit a host stall may never retry).
+    // Round-10 additions carry estimates until the end-of-round run.
+    "q_dedup_lsh_plan" -> 0.04, "q_x5_classify" -> 0.05,
+    "q_a1_counters" -> 0.1, "q_a4_effective_ttl" -> 0.1,
+    "q_clean_pii" -> 0.1, "q_f4_binary_range" -> 0.1,
+    "q_mm_binary_meta" -> 0.1, "q_scale_zorder" -> 0.1,
+    "q_url_normalize" -> 0.1, "q_x3_literal_render" -> 0.1,
+    "q_x4_hex" -> 0.1, "q_a3_backup_count" -> 0.11,
+    "q_clean_segment_dedup" -> 0.11, "q_f5_first_column" -> 0.11,
+    "q_j2_rule_semijoin" -> 0.11, "q_robots_gate" -> 0.11,
+    "q_s5_rule_drop" -> 0.11, "q_x1_convert" -> 0.11, "q_x6_age" -> 0.11,
+    "q_crawl_schedule" -> 0.12, "q_e1_sql_function" -> 0.12,
+    "q_f2_cluster_keep" -> 0.12, "q_f6_json_rules" -> 0.12,
+    "q_j1_rule_antijoin" -> 0.12, "q_mm_decode" -> 0.12, "q_profile" -> 0.12,
+    "q_x2_typed_bounds" -> 0.12, "q_asof_join" -> 0.13,
+    "q_clean_span_dedup" -> 0.13, "q_dedup_substring" -> 0.13,
+    "q_f3_null_keep" -> 0.13, "q_f7_ttl_keep" -> 0.13,
+    "q_html_links" -> 0.13, "q_s3_rules_source" -> 0.13,
+    "q_s7_stmt_exec" -> 0.13, "q_s9_batch_union" -> 0.13,
+    "q_x7_parity" -> 0.13, "q_expectations" -> 0.14,
+    "q_f1_rule_keep" -> 0.14, "q_f8_ttl_pk_ck" -> 0.14,
+    "q_j3_rule_multicol" -> 0.14, "q_text_normalize" -> 0.14,
+    "q_u1_union" -> 0.14, "q_corpus_report" -> 0.15, "q_anchor_text" -> 0.16,
+    "q_dedup_jaccard" -> 0.16, "q_sample_reservoir" -> 0.16,
+    "q_scale_skew_report" -> 0.16, "q_needle_insert" -> 0.17,
+    "q_a7_lww_dedup" -> 0.18, "q_cdc_extract" -> 0.18, "q_mlm_mask" -> 0.18,
+    "q_mm_frames" -> 0.18, "q_sketch_hll" -> 0.18,
+    "q_t3_windowed_counts" -> 0.18, "q_expect_ref" -> 0.19,
+    "q_interval_join" -> 0.19, "q_self_repeat" -> 0.19,
+    "q_text_fingerprint" -> 0.19, "q_text_script" -> 0.19,
+    "q_license_tag" -> 0.2, "q_sketch_kmv" -> 0.2, "q_split_hash" -> 0.2,
+    "q_blocklist_gate" -> 0.21, "q_clean_secrets" -> 0.21,
+    "q_datasheet" -> 0.21, "q_dedup_exact" -> 0.21,
+    "q_embed_quantize" -> 0.21, "q_jsonl_ingest" -> 0.21,
+    "q_span_corrupt" -> 0.21, "q_text_repetition" -> 0.21,
+    "q_zipf_fit" -> 0.21, "q_readability" -> 0.22,
+    "q_shard_manifest" -> 0.22, "q_shard_order" -> 0.22,
+    "q_text_stats" -> 0.22, "q_clean_cc_scrub" -> 0.23,
+    "q_code_detect" -> 0.23, "q_compress_filter" -> 0.23,
+    "q_embed_project" -> 0.23, "q_html_extract" -> 0.23,
+    "q_sample_stratified" -> 0.23, "q_unimax_weights" -> 0.23,
+    "q_gopher_filter" -> 0.24, "q_chunk_overlap" -> 0.25,
+    "q_epoch_expand" -> 0.25, "q_u2_split_complement" -> 0.25,
+    "q_sim_topk_brute" -> 0.26, "q_warc_extract" -> 0.27,
+    "q_ngram_top" -> 0.28, "q_mm_audio_dedup" -> 0.29,
+    "q_scd2_history" -> 0.29, "q_mm_image_dedup_phash" -> 0.3,
+    "q_mm_image_dedup_dhash" -> 0.31, "q_group_cap" -> 0.32,
+    "q_hard_negatives" -> 0.32, "q_mm_image_dedup" -> 0.32,
+    "q_scd2_snapshot" -> 0.32, "q_sessionize" -> 0.32,
+    "q_sim_near_dup_exact" -> 0.32, "q_sim_ann_lsh" -> 0.33,
+    "q_cdc_apply" -> 0.34, "q_sketch_kmv_jaccard" -> 0.34,
+    "q_mm_image_dedup_jpeg" -> 0.35, "q_ann_recall" -> 0.36,
+    "q_lm_bigram_score" -> 0.36, "q_text_pmi" -> 0.36, "q_ann_ndcg" -> 0.37,
+    "q_sketch_bloom_merge" -> 0.39, "q_curation_topk_per_source" -> 0.41,
+    "q_pack_greedy" -> 0.42, "q_scale_salted_join" -> 0.42,
+    "q_ul2_mixture" -> 0.43, "q_pipeline_ingest" -> 0.45,
+    "q_sample_mixture" -> 0.45, "q_sketch_loghist" -> 0.45,
+    "q_token_budget_per_source" -> 0.46, "q_cluster_kmeans" -> 0.47,
+    "q_epoch_shuffle" -> 0.47, "q_sketch_hll_merge" -> 0.48,
+    "q_domain_reweight" -> 0.5, "q_p1_key_projection" -> 0.5,
+    "q_sketch_cms_merge" -> 0.5, "q_pack_report" -> 0.51,
+    "q_text_quality_filter" -> 0.51, "q_quality_model" -> 0.52,
+    "q_cluster_balanced" -> 0.53, "q_sketch_loghist_merge" -> 0.55,
+    "q_ann_recall_dims" -> 0.56, "q_decontam_pairs" -> 0.56,
+    "q_wordpiece_vocab" -> 0.56, "q_sim_ann_ivf_filtered" -> 0.57,
+    "q_sim_ann_ivf_persisted" -> 0.57, "q_align_margin" -> 0.58,
+    "q_sketch_kmv_merge" -> 0.58, "q_wordpiece_tokenize" -> 0.58,
+    "q_ingest_recrawl" -> 0.59, "q_decontam_fraction" -> 0.6,
+    "q_pack_blocks" -> 0.6, "q_sketch_cms" -> 0.63,
+    "q_decontam_semantic_filter" -> 0.64, "q_sample_temperature" -> 0.64,
+    "q_k_anonymity" -> 0.66, "q_sample_weighted_reservoir" -> 0.66,
+    "q_pref_pairs" -> 0.69, "q_k_anonymity_nulls" -> 0.7,
+    "q_sim_ann_ivf" -> 0.7, "q_quality_sample" -> 0.71,
+    "q_mm_audio_dedup_persisted" -> 0.72,
+    "q_decontam_semantic_pairs" -> 0.75, "q_mix_materialize" -> 0.79,
+    "q_wordpiece_oov" -> 0.79, "q_chat_flatten_nulls" -> 0.8,
+    "q_lm_kn_score" -> 0.8, "q_chat_flatten" -> 0.82,
+    "q_cluster_semdedup" -> 0.83, "q_lm_trigram_score" -> 0.83,
+    "q_w1_group_verdict" -> 0.83, "q_pack_offsets" -> 0.84,
+    "q_chat_chunks" -> 0.86, "q_mm_image_dedup_persisted" -> 0.86,
+    "q_dsir_weights" -> 0.87, "q_sim_near_dup" -> 0.87,
+    "q_decontam_filter" -> 0.88, "q_unigram_tokenize" -> 0.88,
+    "q_dedup_simhash_pairs" -> 0.89, "q_dedup_group_stats" -> 0.92,
+    "q_bm25_topk" -> 0.93, "q_unigram_vocab" -> 0.93,
+    "q_split_leakage_safe" -> 0.97, "q_mix_ordered" -> 0.98,
+    "q_ppl_filter_persisted" -> 1.0, "q_unigram_tokenize_em2" -> 1.01,
+    "q_sketch_quantile" -> 1.02, "q_text_winnow" -> 1.02,
+    "q_bpe_encode" -> 1.03, "q_bpe_merges" -> 1.03, "q_bpe_tokenize" -> 1.05,
+    "q_dedup_minhash_pairs" -> 1.05, "q_link_pagerank" -> 1.09,
+    "q_token_budget" -> 1.1, "q_pipeline_shards" -> 1.11,
+    "q_sim_ann_ivfpq" -> 1.15, "q_dedup_resolve" -> 1.16,
+    "q_retrieval_rrf" -> 1.18, "q_dedup_lsh_recall" -> 1.19,
+    "q_quality_model_ngram" -> 1.21, "q_sketch_quantile_merge" -> 1.21,
+    "q_sim_ann_pq" -> 1.25, "q_curriculum_bands" -> 1.26,
+    "q_sim_ann_ivf_kmeans" -> 1.26, "q_sim_near_dup_probe" -> 1.26,
+    "q_mm_cross_dedup" -> 1.31, "q_dsir_sample" -> 1.34,
+    "q_sim_ann_pq_rerank" -> 1.34, "q_dedup_best_copy" -> 1.5,
+    "q_domain_drift" -> 1.55, "q_pipeline_select" -> 1.71,
+    "q_tfidf_keywords" -> 1.73, "q_bloom_decontam" -> 1.75,
+    "q_dedup_incremental_persisted" -> 1.93, "q_ppl_filter" -> 2.08,
+    "q_dedup_incremental" -> 2.11, "q_pipeline_recipe" -> 2.45,
+    "q_winnow_pairs" -> 2.45, "q_dedup_prefix_join" -> 2.46,
+    "q_rank_weighted_sample" -> 2.47, "q_curation" -> 2.6,
+    "q_pipeline_clean" -> 3.01)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
