@@ -2049,6 +2049,38 @@ object SparkEntry {
             .as("tokens")),
         "source", "tokens", budget = 30000L, maxEpochsMilli = 1500L)
     }),
+    // incremental-admission capstone: a delta batch gated against the
+    // STANDING corpus's persisted artifacts only — quality cut (pure
+    // function), eval-shingle Bloom probe (broadcast literal),
+    // perplexity vs the corpus-trained LM artifact, near-dup vs the
+    // banded-signature index. The O(|delta|) steady-state shape: the
+    // corpus text is touched only to Jaccard-verify index candidates
+    "q_pipeline_delta" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val delta = docs.filter(col("doc_id") % 5 === 0)
+      val art = artifactPath(dir, "delta_admission")
+      dumpOnce(art) {
+        val (uni, bi, tri) = operators.LmScore.buildTrigramModel(corpus, "text")
+        uni.write.mode("overwrite").parquet(s"$art/uni")
+        bi.write.mode("overwrite").parquet(s"$art/bi")
+        tri.write.mode("overwrite").parquet(s"$art/tri")
+        operators.Dedup.bandedSignatures(corpus, "doc_id", "text",
+            shingleN = 3, k = 20, bands = 10)
+          .write.mode("overwrite").parquet(s"$art/lsh")
+      }
+      val held = operators.Sampling.hashSplit(docs, "doc_id",
+          Seq(("train", 0.95), ("heldout", 0.05)), seed = 7L)
+        .filter(col("split") === "heldout")
+      val words = operators.Sketches.bloomDenseWords(
+        operators.Sketches.bloomBuild(
+          held.select(explode(operators.Dedup.shingles(col("text"), 3)).as("g")),
+          "g", 262144, 3, 31L), 262144)
+      jobs.DeltaJob.admit(delta, corpus, s.read.parquet(s"$art/lsh"),
+          s.read.parquet(s"$art/uni"), s.read.parquet(s"$art/bi"),
+          s.read.parquet(s"$art/tri"), words)
+        .select("doc_id", "lang", "q_mu", "contam_ppm", "mean_lp_mu")
+    }),
     // per-doc contamination fraction: share of each train doc's distinct
     // 3-grams found anywhere in the eval slice — eval collapses to a
     // broadcast distinct-shingle set, train explodes ONCE
@@ -5210,6 +5242,124 @@ object SparkEntry {
              ((alloc % tokens) * 2000000 + tokens) // (2 * tokens)
              AS BIGINT) AS epochs_micros
          FROM al""",
+    // delta-admission replay, all four gates chained: the quality CTE,
+    // the heldout Bloom position-set probe (all-k min = AND), the
+    // corpus-trained trigram model scoring DELTA instances via inner
+    // joins (= the FromModel skip-unseen semantics), then the
+    // incremental-dedup recursive CTE restricted to gate-123 survivors
+    "q_pipeline_delta" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, lang, text,
+             string_split_regex(trim(lower(text)), '\s+') AS ws,
+             length(text) AS len,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+               AS ntok
+           FROM documents),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS s
+           FROM d),
+         bk AS (SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 8))::BIGINT
+               % 1000000 AS bucket
+           FROM d),
+         hp AS (SELECT DISTINCT
+             ('0x' || substr(md5(g || ':' || CAST(31 + i.i AS VARCHAR)),
+               1, 8))::BIGINT % 262144 AS p
+           FROM (SELECT unnest(s) AS g FROM sh JOIN bk USING (doc_id)
+                 WHERE bucket >= 950000), range(0, 3) i(i)),
+         dq AS (SELECT doc_id, lang,
+             CAST(round(round((CASE WHEN len BETWEEN 100 AND 10000 THEN 1.0
+                   WHEN len BETWEEN 20 AND 99 THEN 0.5 ELSE 0.0 END) * 0.3
+               + (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) /
+                   CAST(greatest(len, 1) AS DOUBLE)) * 0.3
+               + (1.0 - least((length(regexp_replace(text, '[^[:punct:]]',
+                   '', 'g')) / CAST(greatest(len, 1) AS DOUBLE)) * 5.0, 1.0))
+                   * 0.2
+               + (CASE WHEN len / CAST(greatest(ntok, 1) AS DOUBLE)
+                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+               6) * 1e6) AS BIGINT) AS q_mu
+           FROM d WHERE doc_id % 5 = 0),
+         th AS (SELECT t.doc_id, t.g,
+             min(CASE WHEN ('0x' || substr(md5(t.g || ':' ||
+                   CAST(31 + i.i AS VARCHAR)), 1, 8))::BIGINT % 262144
+                 IN (SELECT p FROM hp) THEN 1 ELSE 0 END) AS hit
+           FROM (SELECT doc_id, unnest(s) AS g FROM sh
+                 WHERE doc_id % 5 = 0) t, range(0, 3) i(i)
+           GROUP BY t.doc_id, t.g),
+         cf AS (SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS n_grams,
+             a.n_hits,
+             a.n_hits * 1000000 //
+               greatest(CAST(len(sh.s) AS BIGINT), 1) AS contam_ppm
+           FROM sh JOIN (SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_hits
+               FROM th GROUP BY 1) a USING (doc_id)
+           WHERE sh.doc_id % 5 = 0),
+         cd AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+         uni AS (SELECT w, count(*) AS c1 FROM (
+             SELECT unnest(ws) AS w FROM cd) GROUP BY 1),
+         sc AS (SELECT count(*) AS v, CAST(sum(c1) AS BIGINT) AS n FROM uni),
+         bi AS (SELECT wa, wb, count(*) AS c2 FROM (
+             SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS wa,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS wb
+             FROM cd) GROUP BY 1, 2),
+         tc AS (SELECT w1, w2, w3, count(*) AS c3 FROM (
+             SELECT
+               unnest(list_transform(range(1, len(ws) - 1), i -> ws[i])) AS w1,
+               unnest(list_transform(range(1, len(ws) - 1), i -> ws[i+1])) AS w2,
+               unnest(list_transform(range(1, len(ws) - 1), i -> ws[i+2])) AS w3
+             FROM cd) GROUP BY 1, 2, 3),
+         trd AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 1), i -> ws[i])) AS w1,
+             unnest(list_transform(range(1, len(ws) - 1), i -> ws[i+1])) AS w2,
+             unnest(list_transform(range(1, len(ws) - 1), i -> ws[i+2])) AS w3
+           FROM d WHERE doc_id % 5 = 0),
+         terms AS (SELECT doc_id,
+             CAST(round(ln(0.6 * ((c3 + 1.0) / (c12 + 1.0 * v))
+                         + 0.3 * ((c23 + 1.0) / (c2w + 1.0 * v))
+                         + 0.1 * ((c1 + 1.0) / (CAST(n AS DOUBLE) + 1.0 * v)))
+                 * 1000000.0) AS BIGINT) AS t
+           FROM trd
+           JOIN tc USING (w1, w2, w3)
+           JOIN (SELECT wa AS w1, wb AS w2, c2 AS c12 FROM bi) USING (w1, w2)
+           JOIN (SELECT wa AS w2, wb AS w3, c2 AS c23 FROM bi) USING (w2, w3)
+           JOIN (SELECT w AS w3, c1 FROM uni) USING (w3)
+           JOIN (SELECT w AS w2, c1 AS c2w FROM uni) USING (w2), sc),
+         ag AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS lp,
+             count(*) AS nt FROM terms GROUP BY 1),
+         keep3 AS (SELECT dq.doc_id, dq.lang, dq.q_mu, cf.contam_ppm,
+             CAST(floor(CAST(ag.lp AS DOUBLE) / CAST(ag.nt AS DOUBLE))
+               AS BIGINT) AS mean_lp_mu
+           FROM dq JOIN cf USING (doc_id) JOIN ag USING (doc_id)
+           WHERE dq.q_mu >= 900000 AND cf.contam_ppm < 300000 AND ag.nt > 0
+             AND CAST(floor(CAST(ag.lp AS DOUBLE) / CAST(ag.nt AS DOUBLE))
+                 AS BIGINT) >= -3200000),
+         dsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep3 USING (doc_id)),
+         csh AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0),
+         cross_drop AS (SELECT DISTINCT d2.doc_id
+           FROM dsh d2 JOIN csh c
+           ON len(list_intersect(d2.s, c.s)) /
+              CAST(len(d2.s) + len(c.s) - len(list_intersect(d2.s, c.s))
+                AS DOUBLE) >= 0.8),
+         d3 AS (SELECT * FROM dsh
+                WHERE doc_id NOT IN (SELECT doc_id FROM cross_drop)),
+         e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM d3 a JOIN d3 b ON b.doc_id > a.doc_id
+           WHERE len(list_intersect(a.s, b.s)) /
+             CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+               AS DOUBLE) >= 0.8),
+         und AS (SELECT id_a AS a, id_b AS b FROM e
+                 UNION SELECT id_b, id_a FROM e),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+           WHERE u.b <> r.a)
+         SELECT doc_id, lang, q_mu, contam_ppm, mean_lp_mu FROM keep3
+         WHERE doc_id NOT IN (SELECT doc_id FROM cross_drop)
+           AND doc_id NOT IN (SELECT a FROM reach GROUP BY a
+                              HAVING min(b) < a)""",
     // contamination-fraction replay: same md5 split and shingle CTEs as
     // q_decontam_pairs; per-train-doc membership count against the
     // eval distinct-shingle set

@@ -263,4 +263,41 @@ class JobsSpec extends SparkSpec {
     assert(alloc.map(_._4).sum == 50L)
     alloc.foreach(r => assert(r._4 <= r._3))
   }
+
+  test("DeltaJob: sequential attribution partitions the input; run ≡ admit") {
+    import graft.jobs.DeltaJob
+    import graft.operators.{Dedup, LmScore, Sketches}
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val (uni, bi, tri) = LmScore.buildTrigramModel(corpus, "text")
+    val banded = Dedup.bandedSignatures(corpus, "doc_id", "text", 3, 20, 10)
+    val held = graft.operators.Sampling.hashSplit(docs, "doc_id",
+        Seq(("train", 0.95), ("heldout", 0.05)), seed = 7L)
+      .filter(col("split") === "heldout")
+    val words = Sketches.bloomDenseWords(
+      Sketches.bloomBuild(
+        held.select(explode(Dedup.shingles(col("text"), 3)).as("g")),
+        "g", 262144, 3, 31L), 262144)
+    val (admitted, stats) = DeltaJob.run(spark, delta, corpus, banded,
+      uni, bi, tri, words)
+    // the stats partition the input exactly (sequential attribution)
+    assert(stats.input == delta.count())
+    assert(stats.lowQuality + stats.contaminated + stats.offModel +
+      stats.nearDup + stats.admitted == stats.input)
+    assert(stats.admitted == admitted.count())
+    assert(stats.admitted > 0 && stats.admitted < stats.input)
+    // every non-admitted gate actually fires on this fixture
+    assert(stats.contaminated > 0)
+    // eager run emits the same id set as the lazy composition
+    val lazyIds = DeltaJob.admit(delta, corpus, banded, uni, bi, tri, words)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted.select("doc_id").as[Long].collect().toSet == lazyIds)
+    // admitted rows carry their gate metrics, all clearing the cuts
+    val m = admitted.select("q_mu", "contam_ppm", "mean_lp_mu")
+      .as[(Long, Long, Long)].collect()
+    assert(m.forall { case (q, c, lp) =>
+      q >= 900000L && c < 300000L && lp >= -3200000L })
+  }
 }
