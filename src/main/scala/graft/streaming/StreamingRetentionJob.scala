@@ -200,6 +200,42 @@ object StreamingRetentionJob {
     microBatch.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Streaming face of [[graft.jobs.DeltaJob]] — incremental corpus
+    * admission per micro-batch, the `foreachBatch` body of a continuous
+    * ingest stream gated against the standing corpus's persisted
+    * artifacts. Continuous planning is impossible twice over: the LM
+    * gate aggregates each document's EXPLODED trigrams back to one score
+    * row (a stream-derived keyed aggregation feeding a join back onto
+    * the stream), and the index dedup anti-joins against a
+    * stream-derived candidate set — both unsupported as continuous
+    * streaming plans. Inside `foreachBatch` each trigger is a plain
+    * DataFrame, so the batch job's EXACT semantics apply per batch
+    * (parity spec-pinned). Cross-batch internal near-dups are out of
+    * scope here, same architecture as [[streamingSimHashDedup]]'s note:
+    * the nightly reconciliation owns them. The LM normalization scalars
+    * are re-read per trigger from the vocabulary-bounded unigram table —
+    * bounded driver work; cache the tables if triggers are frequent.
+    *
+    * Usage:
+    * {{{
+    * docStream.writeStream.foreachBatch { (batch, _) =>
+    *   StreamingRetentionJob.admitBatch(batch, corpus, idx, uni, bi, tri, bloom)
+    *     .write.mode("append").parquet(admittedDir)
+    * }
+    * }}} */
+  def admitBatch(
+      microBatch: DataFrame,
+      corpusText: DataFrame,
+      corpusBanded: DataFrame,
+      lmUni: DataFrame,
+      lmBi: DataFrame,
+      lmTri: DataFrame,
+      evalBloomWords: Array[Long],
+      opts: graft.jobs.DeltaJob.DeltaOptions = graft.jobs.DeltaJob.DeltaOptions())
+      : DataFrame =
+    graft.jobs.DeltaJob.admit(microBatch, corpusText, corpusBanded,
+      lmUni, lmBi, lmTri, evalBloomWords, opts)
+
   /** Streaming curation — the streaming face of
     * [[graft.jobs.CurationJob]]: quality threshold → repetition caps
     * (both stateless map-only projections, identical expressions to the

@@ -191,6 +191,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch admission: each micro-batch admits exactly as the batch job") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Dedup, LmScore, Sketches}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).localCheckpoint()
+    val (uni0, bi0, tri0) = LmScore.buildTrigramModel(corpus, "text")
+    val (uni, bi, tri) =
+      (uni0.localCheckpoint(), bi0.localCheckpoint(), tri0.localCheckpoint())
+    val idx = Dedup.bandedSignatures(corpus, "doc_id", "text", 3, 20, 10)
+      .localCheckpoint()
+    val held = graft.operators.Sampling.hashSplit(docs, "doc_id",
+        Seq(("train", 0.95), ("heldout", 0.05)), seed = 7L)
+      .filter(col("split") === "heldout")
+    val words = Sketches.bloomDenseWords(
+      Sketches.bloomBuild(
+        held.select(explode(Dedup.shingles(col("text"), 3)).as("g")),
+        "g", 262144, 3, 31L), 262144)
+    // two micro-batches split by id parity
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+      .as[(Long, String)].collect()
+    val (b0, b1) = delta.partition(_._1 % 10 == 0)
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.streaming.StreamingRetentionJob
+          .admitBatch(batch, corpus, idx, uni, bi, tri, words)
+          .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect()
+        ()
+      }
+      .start()
+    try {
+      in.addData(b0.toSeq); q.processAllAvailable()
+      in.addData(b1.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // per-batch parity: streaming union == batch admit of each batch
+    // (cross-batch internal near-dups are the reconciliation job's
+    // scope — the documented architecture)
+    def batchIds(rows: Array[(Long, String)]): Set[Long] =
+      graft.jobs.DeltaJob.admit(rows.toSeq.toDF("doc_id", "text"),
+          corpus, idx, uni, bi, tri, words)
+        .select("doc_id").as[Long].collect().toSet
+    assert(got.toSet == batchIds(b0) ++ batchIds(b1))
+    assert(got.nonEmpty)
+  }
+
   test("foreachBatch semantic probe: embedding batches dedup against a static corpus, batch-exact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Decontamination
