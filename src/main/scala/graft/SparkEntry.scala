@@ -1197,6 +1197,22 @@ object SparkEntry {
         s.read.parquet(art).select(col("doc_id"), col("fp")),
         "doc_id", maxDist = 6, bands = 8)
     }),
+    // the same pHash pipeline over LOSSY bytes: smooth fields + gamma
+    // clones JPEG-encoded by ImageIO and decoded by the engine's own
+    // baseline-JPEG luma decoder — decode path and perceptual hash
+    // proven together; identical oracle replay from the exported grids
+    "q_mm_image_dedup_phash_jpeg" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = operators.Multimodal.smoothJpegTableWithClones(s, dir)
+      val art = artifactPath(dir, "phash_grid_jpeg")
+      dumpOnce(art) {
+        operators.Multimodal.imagePHash(media).toDF()
+          .write.mode("overwrite").parquet(art)
+      }
+      operators.Dedup.simHashNearDupsBanded(
+        s.read.parquet(art).select(col("doc_id"), col("fp")),
+        "doc_id", maxDist = 6, bands = 8)
+    }),
     // audio-content near-dup: decode PCM → 64-window energy envelope →
     // threshold hash → banded Hamming join. Exported energy grids give
     // the oracle the same full-replay contract as the image variants;
@@ -3073,6 +3089,31 @@ object SparkEntry {
          FROM qs CROSS JOIN n
          JOIN r ON r.rn = CAST(floor((n.n - 1) * qs.q) AS BIGINT) + 1"""
 
+  /** pHash pair replay parameterized by the grid artifact: rebuild the
+    * fingerprint from the exported milli-rounded DCT coefficients
+    * (median of the 63 non-DC values via list-sort selection — exact
+    * integer arithmetic), then 8×8-bit banding with the Hamming-6 cut.
+    * Shared by the PNG and JPEG pHash queries. */
+  private def phashOracle(artifact: String): String = {
+    val terms = (0 until 64).map { i =>
+      val bit =
+        if (i == 63) "(-9223372036854775807::BIGINT - 1)"
+        else s"(1::BIGINT << $i)"
+      s"CASE WHEN c[${i + 1}] > m THEN $bit ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH gr AS (SELECT doc_id, c
+           FROM read_parquet('/root/repo/artifacts/$artifact/sf=sf0.01/*.parquet')),
+       md AS (SELECT doc_id, c, list_sort(c[2:])[32] AS m FROM gr),
+       f AS (SELECT doc_id, $terms AS fp FROM md),
+       banded AS (
+         SELECT doc_id, fp, q, (fp >> (q * 8)) & 255 AS bucket
+         FROM f, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) t2(q))
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM banded a JOIN banded b
+         ON a.q = b.q AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.fp, b.fp)) <= 6"""
+  }
+
   /** Shared by q_sketch_loghist and q_sketch_loghist_merge: merged
     * disjoint-slice histograms equal the whole-corpus bucket table
     * exactly, so one whole-corpus replay covers both. Bucket index and
@@ -4104,25 +4145,11 @@ object SparkEntry {
     // pHash replay from the exported milli-rounded DCT grid: median of
     // the 63 non-DC coefficients via list slicing + sort (exact integer
     // selection), threshold bits, 8×8-bit banding, Hamming ≤ 6
-    "q_mm_image_dedup_phash" -> {
-      val terms = (0 until 64).map { i =>
-        val bit =
-          if (i == 63) "(-9223372036854775807::BIGINT - 1)"
-          else s"(1::BIGINT << $i)"
-        s"CASE WHEN c[${i + 1}] > m THEN $bit ELSE 0 END"
-      }.mkString(" + ")
-      s"""WITH gr AS (SELECT doc_id, c
-             FROM read_parquet('/root/repo/artifacts/phash_grid/sf=sf0.01/*.parquet')),
-         md AS (SELECT doc_id, c, list_sort(c[2:])[32] AS m FROM gr),
-         f AS (SELECT doc_id, $terms AS fp FROM md),
-         banded AS (
-           SELECT doc_id, fp, q, (fp >> (q * 8)) & 255 AS bucket
-           FROM f, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) t2(q))
-         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM banded a JOIN banded b
-           ON a.q = b.q AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.fp, b.fp)) <= 6"""
-    },
+    "q_mm_image_dedup_phash" -> phashOracle("phash_grid"),
+    // identical replay over the JPEG-decoded grids — the exported
+    // integers already absorbed the lossy decode, so one oracle shape
+    // covers both codec paths
+    "q_mm_image_dedup_phash_jpeg" -> phashOracle("phash_grid_jpeg"),
     // eHash replay from the exported 64-window energy grid: identical
     // integer pipeline to the aHash oracle, over energies not pixels
     "q_mm_audio_dedup" -> {

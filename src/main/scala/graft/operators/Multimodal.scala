@@ -507,6 +507,36 @@ object Multimodal {
     px
   }
 
+  /** [[smoothImageTableWithClones]] through the JPEG encoder instead of
+    * PNG: the same smooth spectral fields and γ=3.2 clones, rendered by
+    * the JDK's ImageIO JPEG writer and decoded by the engine's own
+    * baseline-JPEG luma decoder — so the pHash eval and the Huffman+IDCT
+    * decode path prove themselves TOGETHER on lossy bytes (real scrapes
+    * are JPEG-majority). Measured at the same operating point: JPEG
+    * quantization noise rides on top of the gamma edit and every clone
+    * pair still lands within the 8-band join's Hamming-6 reach while the
+    * majority stay past aHash's cut. */
+  def smoothJpegTableWithClones(
+      spark: SparkSession,
+      docsDir: String,
+      cloneEvery: Long = 30L,
+      cloneIdOffset: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$docsDir/documents.parquet")
+      .select("doc_id").as[Long]
+      .filter(_ % 3 == 0)
+      .mapPartitions(_.flatMap { id =>
+        val w = 32 + (id % 48).toInt
+        val h = 32 + ((id / 48) % 48).toInt
+        val base = MediaRecord(id, "image",
+          MediaFormats.jpegFromPixels(w, h, smoothField(w, h, id, gamma = false)))
+        if (id % cloneEvery == 0)
+          Iterator(base, MediaRecord(id + cloneIdOffset, "image",
+            MediaFormats.jpegFromPixels(w, h, smoothField(w, h, id, gamma = true))))
+        else Iterator(base)
+      }).toDF()
+  }
+
   /** JPEG slice of the media id space (ids ≡ 2 mod 3 — the slot PNG
     * images and WAV audio don't use) plus a near-duplicate clone every
     * `cloneEvery` ids: the clone re-encodes the SAME pattern nudged +4

@@ -1071,6 +1071,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imagePHash survives the JPEG roundtrip at the same operating point") {
+    // same smooth fields and gamma clones, but through ImageIO's lossy
+    // JPEG encoder and the engine's own baseline-JPEG decoder: the
+    // quantization noise rides on top of the gamma edit and the tuned
+    // constants must still hold
+    val media = Multimodal.smoothJpegTableWithClones(spark, sfDir,
+      cloneEvery = 6L)
+    val ph = Multimodal.imagePHash(media)(spark).collect()
+      .map(x => x.doc_id -> x.fp).toMap
+    val ah = Multimodal.imageAHash(media)(spark).collect()
+      .map(x => x.doc_id -> x.fp).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val clonePairs = ph.keySet.filter(_ >= 1000000L).map(c => (c - 1000000L, c))
+    assert(clonePairs.nonEmpty)
+    clonePairs.foreach { case (a, b) =>
+      assert(ham(ph(a), ph(b)) <= 6,
+        s"pair ($a,$b) dist ${ham(ph(a), ph(b))}")
+    }
+    val aMissed = clonePairs.count { case (a, b) => ham(ah(a), ah(b)) > 3 }
+    assert(aMissed * 2 > clonePairs.size,
+      s"aHash should miss most, missed $aMissed/${clonePairs.size}")
+    val bases = ph.keySet.filter(_ < 1000000L).toSeq.sorted.take(12)
+    for (i <- bases.indices; j <- i + 1 until bases.size)
+      assert(ham(ph(bases(i)), ph(bases(j))) > 6)
+  }
+
   test("wavSamples matches javax.sound's decode of the same bytes") {
     val bytes = MediaFormats.wav(11000, 2, nSamples = 123, seed = 7L)
     val decoded = MediaFormats.wavSamples(bytes)
