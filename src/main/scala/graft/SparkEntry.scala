@@ -2457,6 +2457,21 @@ object SparkEntry {
       operators.LmScore.kneserNeyTrigram(
           readWide(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "logprob_kn_micros", "n_trigrams")),
+    // KN scoring from a PERSISTED model: only the bigram and trigram
+    // count tables persist (every continuation/type table re-derives
+    // from them, vocabulary-bounded) — same oracle as the in-memory path
+    "q_lm_kn_score_persisted" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val art = artifactPath(dir, "lm_kn")
+      dumpOnce(art) {
+        val (bi, tri) = operators.LmScore.buildKneserNeyModel(docs, "text")
+        bi.write.mode("overwrite").parquet(s"$art/bi")
+        tri.write.mode("overwrite").parquet(s"$art/tri")
+      }
+      operators.LmScore.kneserNeyTrigramFromModel(docs, "doc_id", "text",
+          s.read.parquet(s"$art/bi"), s.read.parquet(s"$art/tri"))
+        .select("doc_id", "lang", "logprob_kn_micros", "n_trigrams")
+    }),
     // fixed-threshold perplexity filter (CCNet shape): keep documents
     // whose mean per-trigram log-prob clears the reference cut
     "q_ppl_filter" -> ((s, dir) =>
@@ -3088,6 +3103,59 @@ object SparkEntry {
          SELECT qs.q, r.v AS value
          FROM qs CROSS JOIN n
          JOIN r ON r.rn = CAST(floor((n.n - 1) * qs.q) AS BIGINT) + 1"""
+
+  /** Shared by q_lm_kn_score and q_lm_kn_score_persisted: the full
+    * Kneser-Ney recursion replay (integer type/token counts, one fixed
+    * double chain behind micro-rounding). */
+  private def knOracleSql: String =
+      """WITH d AS (SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         tr AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+             ws[CAST(i AS INT) + 1] AS w2, ws[CAST(i AS INT) + 2] AS w3
+           FROM d, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) t(i)),
+         bp AS (SELECT ws[CAST(i AS INT)] AS wa,
+             ws[CAST(i AS INT) + 1] AS wb
+           FROM d, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) t(i)),
+         bic AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS c2
+           FROM bp GROUP BY 1, 2),
+         trt AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+           FROM tr GROUP BY 1, 2, 3),
+         nf2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS nf2
+           FROM trt GROUP BY 1, 2),
+         np AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS np
+           FROM trt GROUP BY 1, 2),
+         nm AS (SELECT w2, CAST(count(*) AS BIGINT) AS nm
+           FROM trt GROUP BY 1),
+         nf1 AS (SELECT wa AS w2, CAST(count(*) AS BIGINT) AS nf1
+           FROM bic GROUP BY 1),
+         cw AS (SELECT wb AS w3, CAST(count(*) AS BIGINT) AS ct
+           FROM bic GROUP BY 1),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM bic),
+         sc AS (SELECT t.doc_id,
+             CAST(round(ln(
+               greatest(trt.c3 - 0.75, 0.0) / bi12.c2 +
+               0.75 * nf2.nf2 / bi12.c2 *
+                 (greatest(np.np - 0.75, 0.0) / nm.nm +
+                  0.75 * nf1.nf1 / nm.nm *
+                    (cw.ct / CAST(nt.ntypes AS DOUBLE)))
+             ) * 1000000.0) AS BIGINT) AS term
+           FROM tr t
+           JOIN trt ON t.w1 = trt.w1 AND t.w2 = trt.w2 AND t.w3 = trt.w3
+           JOIN bic bi12 ON bi12.wa = t.w1 AND bi12.wb = t.w2
+           JOIN nf2 ON nf2.w1 = t.w1 AND nf2.w2 = t.w2
+           JOIN np ON np.w2 = t.w2 AND np.w3 = t.w3
+           JOIN nm ON nm.w2 = t.w2
+           JOIN nf1 ON nf1.w2 = t.w2
+           JOIN cw ON cw.w3 = t.w3, nt),
+         ag AS (SELECT doc_id,
+             CAST(sum(term) AS BIGINT) AS logprob_kn_micros,
+             CAST(count(*) AS BIGINT) AS n_trigrams
+           FROM sc GROUP BY 1)
+         SELECT d0.doc_id, d0.lang,
+           coalesce(ag.logprob_kn_micros, 0) AS logprob_kn_micros,
+           coalesce(ag.n_trigrams, 0) AS n_trigrams
+         FROM documents d0 LEFT JOIN ag ON d0.doc_id = ag.doc_id"""
 
   /** pHash pair replay parameterized by the grid artifact: rebuild the
     * fingerprint from the exported milli-rounded DCT coefficients
@@ -6867,55 +6935,11 @@ object SparkEntry {
          GROUP BY 1""",
     // Kneser–Ney: the same trigram/bigram explode, then the count/type
     // tables and the exact double chain (operand order mirrored)
-    "q_lm_kn_score" ->
-      """WITH d AS (SELECT doc_id, lang,
-             string_split_regex(trim(lower(text)), '\s+') AS ws
-           FROM documents),
-         tr AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1,
-             ws[CAST(i AS INT) + 1] AS w2, ws[CAST(i AS INT) + 2] AS w3
-           FROM d, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) t(i)),
-         bp AS (SELECT ws[CAST(i AS INT)] AS wa,
-             ws[CAST(i AS INT) + 1] AS wb
-           FROM d, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) t(i)),
-         bic AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS c2
-           FROM bp GROUP BY 1, 2),
-         trt AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
-           FROM tr GROUP BY 1, 2, 3),
-         nf2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS nf2
-           FROM trt GROUP BY 1, 2),
-         np AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS np
-           FROM trt GROUP BY 1, 2),
-         nm AS (SELECT w2, CAST(count(*) AS BIGINT) AS nm
-           FROM trt GROUP BY 1),
-         nf1 AS (SELECT wa AS w2, CAST(count(*) AS BIGINT) AS nf1
-           FROM bic GROUP BY 1),
-         cw AS (SELECT wb AS w3, CAST(count(*) AS BIGINT) AS ct
-           FROM bic GROUP BY 1),
-         nt AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM bic),
-         sc AS (SELECT t.doc_id,
-             CAST(round(ln(
-               greatest(trt.c3 - 0.75, 0.0) / bi12.c2 +
-               0.75 * nf2.nf2 / bi12.c2 *
-                 (greatest(np.np - 0.75, 0.0) / nm.nm +
-                  0.75 * nf1.nf1 / nm.nm *
-                    (cw.ct / CAST(nt.ntypes AS DOUBLE)))
-             ) * 1000000.0) AS BIGINT) AS term
-           FROM tr t
-           JOIN trt ON t.w1 = trt.w1 AND t.w2 = trt.w2 AND t.w3 = trt.w3
-           JOIN bic bi12 ON bi12.wa = t.w1 AND bi12.wb = t.w2
-           JOIN nf2 ON nf2.w1 = t.w1 AND nf2.w2 = t.w2
-           JOIN np ON np.w2 = t.w2 AND np.w3 = t.w3
-           JOIN nm ON nm.w2 = t.w2
-           JOIN nf1 ON nf1.w2 = t.w2
-           JOIN cw ON cw.w3 = t.w3, nt),
-         ag AS (SELECT doc_id,
-             CAST(sum(term) AS BIGINT) AS logprob_kn_micros,
-             CAST(count(*) AS BIGINT) AS n_trigrams
-           FROM sc GROUP BY 1)
-         SELECT d0.doc_id, d0.lang,
-           coalesce(ag.logprob_kn_micros, 0) AS logprob_kn_micros,
-           coalesce(ag.n_trigrams, 0) AS n_trigrams
-         FROM documents d0 LEFT JOIN ag ON d0.doc_id = ag.doc_id""",
+    "q_lm_kn_score" -> knOracleSql,
+    // persisted-model scoring replays the SAME arithmetic: the two
+    // artifact tables are the exact integer counts the in-memory path
+    // derives, and every type table re-derives identically
+    "q_lm_kn_score_persisted" -> knOracleSql,
     // drift: densified (source × bucket) counts — zero-count buckets
     // CONTRIBUTE to KL, so the sparse count table left-joins a spine
     "q_domain_drift" ->

@@ -105,6 +105,58 @@ object LmScore {
       idCol: String,
       textCol: String,
       discount: Double = 0.75d): DataFrame = {
+    val (biCnt, triType) = buildKneserNeyModel(df, textCol)
+    kneserNeyTrigramFromModel(df, idCol, textCol, biCnt, triType, discount)
+  }
+
+  /** Train the KN count model: `(bi(wa, wb, c2), tri(w1, w2, w3, c3))` —
+    * the ONLY two tables the full recursion needs (every continuation/
+    * type table derives from them by vocabulary-bounded aggregations, so
+    * re-deriving at score time costs nothing corpus-sized). Write both
+    * to parquet once and score any number of batches via
+    * [[kneserNeyTrigramFromModel]] — the same build-once/query-many
+    * shape as [[buildTrigramModel]]. */
+  def buildKneserNeyModel(
+      df: DataFrame,
+      textCol: String): (DataFrame, DataFrame) = {
+    val words = df.select(toks(col(textCol)).as("__w"))
+    val bi = words.select(explode(when(size(col("__w")) >= 2,
+        transform(sequence(lit(0), size(col("__w")) - lit(2)),
+          i => struct(
+            element_at(col("__w"), i + lit(1)).as("wa"),
+            element_at(col("__w"), i + lit(2)).as("wb"))))
+        .otherwise(array().cast("array<struct<wa:string,wb:string>>")))
+        .as("__p"))
+      .select(col("__p.wa").as("wa"), col("__p.wb").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c2"))
+    val tri = words.select(explode(when(size(col("__w")) >= 3,
+        transform(sequence(lit(0), size(col("__w")) - lit(3)),
+          i => struct(
+            element_at(col("__w"), i + lit(1)).as("w1"),
+            element_at(col("__w"), i + lit(2)).as("w2"),
+            element_at(col("__w"), i + lit(3)).as("w3"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>")))
+        .as("__t"))
+      .select(col("__t.w1").as("w1"), col("__t.w2").as("w2"),
+        col("__t.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    (bi, tri)
+  }
+
+  /** Score `df` against a pre-built KN model (the [[buildKneserNeyModel]]
+    * tables, typically read back from parquet). The continuation/type
+    * tables re-derive from the two artifacts (vocabulary-bounded
+    * aggregations); only trigrams present in the model score (inner
+    * joins — identical to training on the scored corpus; unseen trigrams
+    * in foreign batches are skipped, the [[trigramLogProbFromModel]]
+    * contract). */
+  def kneserNeyTrigramFromModel(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bi: DataFrame,
+      tri: DataFrame,
+      discount: Double = 0.75d): DataFrame = {
     require(discount > 0 && discount < 1, "discount must be in (0,1)")
     val id = col(idCol)
     val words = df.select(id.as("__id"), toks(col(textCol)).as("__w"))
@@ -119,18 +171,10 @@ object LmScore {
         .as("__t"))
       .select(col("__id"), col("__t.w1").as("w1"), col("__t.w2").as("w2"),
         col("__t.w3").as("w3"))
-    val bis = words.select(explode(when(size(col("__w")) >= 2,
-        transform(sequence(lit(0), size(col("__w")) - lit(2)),
-          i => struct(
-            element_at(col("__w"), i + lit(1)).as("wa"),
-            element_at(col("__w"), i + lit(2)).as("wb"))))
-        .otherwise(array().cast("array<struct<wa:string,wb:string>>")))
-        .as("__p"))
-      .select(col("__p.wa").as("wa"), col("__p.wb").as("wb"))
 
-    val biCnt = bis.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("__c2"))
-    val triType = tris.groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("__c3"))
+    val biCnt = bi.select(col("wa"), col("wb"), col("c2").as("__c2"))
+    val triType = tri.select(col("w1"), col("w2"), col("w3"),
+      col("c3").as("__c3"))
     val n1Follow2 = triType.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("__nf2"))
     val n1Prec = triType.groupBy(col("w2"), col("w3"))
