@@ -191,6 +191,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming log-histogram: per-batch sketches merge to the whole-corpus table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Sketches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the merge algebra IS the streaming story: each micro-batch builds
+    // its own bounded bucket table, foreachBatch folds it into the
+    // accumulated sketch by count addition — associative and exact, so
+    // the final artifact equals the batch-built whole-corpus sketch
+    // bit-for-bit regardless of how triggers sliced the stream
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val in = MemoryStream[(Long, String, Long)]
+    var acc: Option[org.apache.spark.sql.DataFrame] = None
+    val q = in.toDF().toDF("doc_id", "lang", "n_chars")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val h = Sketches.logHistogram(batch, "n_chars", 5, Seq("lang"))
+        acc = Some(acc.fold(h)(a =>
+          Sketches.logHistMerge(a, h)).localCheckpoint())
+        ()
+      }
+      .start()
+    val rows = docs.as[(Long, String, Long)].collect()
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    try {
+      in.addData(b0.toSeq); q.processAllAvailable()
+      in.addData(b1.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val whole = Sketches.logHistogram(docs, "n_chars", 5, Seq("lang"))
+    assert(acc.get.except(whole).count() == 0 &&
+      whole.except(acc.get).count() == 0)
+    // and the quantiles read off the streamed artifact match the batch path
+    val sq = Sketches.logHistQuantiles(acc.get, Seq(0.5, 0.99), 5, Seq("lang"))
+      .as[(String, Double, Long)].collect().toSet
+    val bq = Sketches.logHistQuantiles(whole, Seq(0.5, 0.99), 5, Seq("lang"))
+      .as[(String, Double, Long)].collect().toSet
+    assert(sq == bq)
+  }
+
   test("foreachBatch admission: each micro-batch admits exactly as the batch job") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.{Dedup, LmScore, Sketches}
