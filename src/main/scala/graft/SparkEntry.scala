@@ -891,6 +891,13 @@ object SparkEntry {
         .select(col("vec_id"), col("qscale"),
           array_join(transform(col("qvec"), x => x.cast("string")), ",")
             .as("qvec_s"))),
+    // CALIBRATED int8: per-dimension p1/p99 clip bounds read off the
+    // log-bucket histogram (the sketch's production use case — one
+    // bounded aggregation calibrates the quantizer, outliers can't
+    // crush a dimension's resolution), then an integer affine map
+    "q_embed_quantize_calibrated" -> ((s, dir) =>
+      operators.Similarity.int8QuantizeCalibrated(
+        readWide(s, dir, "embeddings"), "vec_id", "embedding")),
     // product-quantization ANN: 8 sub-space codes per vector (32×
     // compression), ADC table-lookup scoring — deterministic sampled
     // codebooks give it an exact oracle like the LSH/IVF paths
@@ -3658,6 +3665,47 @@ object SparkEntry {
     // exact oracle for PQ: codebooks derive in SQL (same every-step-th
     // per-vector scale then floor(x·scale + 0.5) — identical floor
     // semantics both engines; qvec cast INT to match Spark's IntegerType
+    // calibrated-int8 replay: per-dim log-bucket histogram (mirrored
+    // integer bucketing, same as logHistOracleSql), p1/p99 bucket lower
+    // bounds, then the integer affine map — floor-frozen micro values
+    "q_embed_quantize_calibrated" ->
+      """WITH v AS (SELECT vec_id, CAST(i AS INT) - 1 AS dim,
+             CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT) AS v_mu
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)),
+         bkt AS (SELECT dim, v_mu,
+             (CASE WHEN v_mu >= 0 THEN 1 ELSE -1 END) *
+             (CASE WHEN abs(v_mu) < 32 THEN abs(v_mu)
+               ELSE (length(bin(abs(v_mu))) - 6) * 32 +
+                    (abs(v_mu) >> (length(bin(abs(v_mu))) - 6)) END)
+               AS bucket
+           FROM v),
+         h AS (SELECT dim, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM bkt GROUP BY 1, 2),
+         c AS (SELECT dim, bucket, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY dim ORDER BY bucket)
+               AS BIGINT) AS cum
+           FROM h),
+         n AS (SELECT dim, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+         t AS (SELECT dim, CAST(q AS DOUBLE) AS q,
+             CAST(floor((n - 1) * q) AS BIGINT) + 1 AS rk
+           FROM n, (VALUES (0.01), (0.99)) qs(q)),
+         sel AS (SELECT c.dim, t.q,
+             (CASE WHEN bucket >= 0 THEN 1 ELSE -1 END) *
+             CAST(CASE WHEN abs(bucket) < 32 THEN abs(bucket)
+               ELSE (abs(bucket) - (abs(bucket) // 32 - 1) * 32)
+                    << (abs(bucket) // 32 - 1)
+               END AS BIGINT) AS value
+           FROM c JOIN t ON c.dim = t.dim
+             AND c.cum >= t.rk AND c.cum - c.cnt < t.rk),
+         bounds AS (SELECT dim,
+             min(CASE WHEN q = 0.01 THEN value END) AS lo,
+             min(CASE WHEN q = 0.99 THEN value END) AS hi
+           FROM sel GROUP BY 1)
+         SELECT v.vec_id, v.dim, v.v_mu,
+           CAST((least(greatest(v.v_mu, b.lo), b.hi) - b.lo) * 254 //
+             greatest(b.hi - b.lo, 1) AS INT) - 127 AS q8
+         FROM v JOIN bounds b USING (dim)""",
     "q_embed_quantize" ->
       """WITH m AS (SELECT vec_id, embedding,
              list_max(list_transform(embedding, x -> abs(x))) AS ma

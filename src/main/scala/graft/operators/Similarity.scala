@@ -862,6 +862,50 @@ object Similarity {
         .as("qvec"))
   }
 
+  /** CALIBRATED int8 quantization: per-DIMENSION clip bounds from corpus
+    * percentiles instead of [[int8Quantize]]'s per-vector max-abs — the
+    * production scheme for ANN compression, where a single outlier
+    * coordinate otherwise crushes every other dimension's resolution
+    * into a few codes. The calibration statistics come from
+    * [[Sketches.logHistogram]] over the micro-frozen values: one
+    * bounded-output aggregation per dimension (≤ ~2k buckets/dim
+    * regardless of corpus size — this is precisely the sketch's job),
+    * quantiles read off the bucket table, and the (dim, lo, hi) bounds
+    * table (|dims| rows) broadcasts into a map-only quantize pass. Two
+    * corpus scans total: calibrate + quantize.
+    *
+    * Determinism: values freeze to micro-units via `floor(x·10⁶ + 0.5)`
+    * (the repo's cross-engine rounding discipline), bounds are bucket
+    * lower bounds (pure integer), and the affine map is integer
+    * arithmetic — `(clip(v) − lo)·254 DIV max(hi − lo, 1) − 127` into
+    * [−127, 127]. A degenerate dimension (lo = hi) maps to −127.
+    *
+    * Output: `(idCol, dim, v_mu, q8)` — exploded, the layout a PQ/ANN
+    * codebook build consumes. */
+  def int8QuantizeCalibrated(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      loQ: Double = 0.01,
+      hiQ: Double = 0.99,
+      b: Int = 5): DataFrame = {
+    val vals = emb.select(col(idCol),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .withColumn("v_mu",
+        floor(col("__v").cast("double") * lit(1e6) + lit(0.5d)).cast("long"))
+      .drop("__v")
+    val hist = Sketches.logHistogram(vals, "v_mu", b, Seq("dim"))
+    val bounds = Sketches.logHistQuantiles(hist, Seq(loQ, hiQ), b, Seq("dim"))
+      .groupBy(col("dim")).agg(
+        min(when(col("q") === loQ, col("value"))).as("lo"),
+        min(when(col("q") === hiQ, col("value"))).as("hi"))
+    vals.join(broadcast(bounds), Seq("dim"))
+      .withColumn("__c", least(greatest(col("v_mu"), col("lo")), col("hi")))
+      .withColumn("q8",
+        expr("CAST((__c - lo) * 254L DIV greatest(hi - lo, 1L) AS INT) - 127"))
+      .select(col(idCol), col("dim"), col("v_mu"), col("q8"))
+  }
+
   /** Margin-based alignment mining (the CCMatrix/LASER bitext
     * criterion, one-sided): for each query, its best corpus match
     * qualifies only if the cosine STANDS OUT from the query's own

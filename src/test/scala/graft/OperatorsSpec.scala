@@ -505,6 +505,30 @@ class SimilaritySpec extends SparkSpec {
     assert(q2 == Seq(127, -127, 64)) // floor(63.5+0.5) = 64
   }
 
+  test("int8QuantizeCalibrated: percentile clip defeats the outlier dimension") {
+    // dim 0: 99 values in [0, 0.98] plus ONE huge outlier (100.0) —
+    // per-vector max-abs would crush dim 0's codes into ~nothing; the
+    // p99 clip bound ignores the outlier and the inliers keep their
+    // resolution. dim 1: a clean ramp (monotone codes).
+    val emb = (0 until 99).map(i =>
+        (i.toLong, Array(i / 100.0f, i / 99.0f))) :+
+      (99L, Array(100.0f, 1.0f))
+    val got = Similarity.int8QuantizeCalibrated(
+        emb.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .as[(Long, Int, Long, Int)].collect()
+    assert(got.forall(r => r._4 >= -127 && r._4 <= 127))
+    val dim0 = got.filter(_._2 == 0).sortBy(_._1)
+    // the outlier clips to the top code...
+    assert(dim0.last._4 == 127)
+    // ...and the inliers still spread across most of the code range
+    // (with max-abs scaling they would all collapse below code 2)
+    val inlierCodes = dim0.dropRight(1).map(_._4)
+    assert(inlierCodes.max - inlierCodes.min > 200, inlierCodes.toSeq.toString)
+    // monotone: higher value never gets a lower code
+    val dim1 = got.filter(_._2 == 1).sortBy(_._3).map(_._4)
+    assert(dim1.zip(dim1.tail).forall { case (a, b) => a <= b })
+  }
+
   test("marginAlignPairs: standout partners mine, hub queries don't") {
     // corpus: one clear partner for query 0; a cloud of near-equal
     // moderate neighbors that would all pass a raw threshold for query 1
