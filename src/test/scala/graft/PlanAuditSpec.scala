@@ -487,4 +487,28 @@ class PlanAuditSpec extends SparkSpec {
     val iWin = plan.indexOf("Window")
     assert(iWin >= 0 && iWin < iAgg, plan) // physical plans print root-first
   }
+
+  test("log-histogram quantiles: partial-agg'd sketch, per-group window, no product") {
+    val plan = simple("q_sketch_loghist")
+    // the histogram combines map-side (shuffle carries bounded bucket
+    // rows, never values), and the cumulative window is PARTITIONED —
+    // a global single-reducer window over the sketch would still be
+    // bounded, but the per-group form scales with group count
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("windowspecdefinition(lang"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("calibrated quantize: bounds broadcast into a hash join, histogram partial-aggs") {
+    val plan = simple("q_embed_quantize_calibrated")
+    // the (dim, lo, hi) calibration table must reach the value stream as
+    // a broadcast hash join — a shuffle of 32k (and at scale, billions
+    // of) exploded values against a |dims|-row table would be the wrong
+    // plan at any size
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
