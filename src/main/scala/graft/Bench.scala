@@ -48,9 +48,9 @@ object Bench {
     // full run (BENCH_r9_local.json, 203 queries) — a stale hint 2-3x
     // above the real floor weakens the believed() stall-cap (a cheap
     // query whose only sample hit a host stall may never retry).
-    // second-wave r10 additions (estimates until the next full run)
-    "q_pipeline_delta" -> 2.5, "q_mm_image_dedup_phash_jpeg" -> 0.5,
-    "q_lm_kn_score_persisted" -> 1.0, "q_embed_quantize_calibrated" -> 0.8,
+    // second-wave r10 additions (measured floors, end-of-round runs)
+    "q_pipeline_delta" -> 2.98, "q_mm_image_dedup_phash_jpeg" -> 0.33,
+    "q_lm_kn_score_persisted" -> 0.39, "q_embed_quantize_calibrated" -> 1.03,
     // Round-10 additions refreshed from the r10 end-of-round full run
     // (BENCH_r10_local.json: 209 queries, 0 errors/skips, steal 21.7s).
     "q_dedup_lsh_plan" -> 0.04, "q_x5_classify" -> 0.05,
