@@ -1683,6 +1683,20 @@ object SparkEntry {
       operators.LmScore.bigramLogProb(read(s, dir, "documents"),
           "doc_id", "text")
         .select("doc_id", "lang", "n_bigrams", "logprob_micros")),
+    // bigram scoring from a PERSISTED model — all three LM families now
+    // share the build-once/query-many artifact shape; same oracle
+    "q_lm_bigram_score_persisted" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val art = artifactPath(dir, "lm_bigram")
+      dumpOnce(art) {
+        val (uni, bi) = operators.LmScore.buildBigramModel(docs, "text")
+        uni.write.mode("overwrite").parquet(s"$art/uni")
+        bi.write.mode("overwrite").parquet(s"$art/bi")
+      }
+      operators.LmScore.bigramLogProbFromModel(docs, "doc_id", "text",
+          s.read.parquet(s"$art/uni"), s.read.parquet(s"$art/bi"))
+        .select("doc_id", "lang", "n_bigrams", "logprob_micros")
+    }),
     // ---- training-run preparation --------------------------------------
     // overlapped token-window chunking (map-only generator; no shuffle)
     "q_chunk_overlap" -> ((s, dir) =>
@@ -3110,6 +3124,29 @@ object SparkEntry {
          SELECT qs.q, r.v AS value
          FROM qs CROSS JOIN n
          JOIN r ON r.rn = CAST(floor((n.n - 1) * qs.q) AS BIGINT) + 1"""
+
+  /** Shared by q_lm_bigram_score and q_lm_bigram_score_persisted. */
+  private def bigramOracleSql: String =
+    """WITH d AS (SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+         uni AS (SELECT w1, count(*) AS cu FROM (
+             SELECT unnest(ws) AS w1 FROM d) GROUP BY 1),
+         vc AS (SELECT count(*) AS v FROM uni),
+         pr AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+           FROM d),
+         bi AS (SELECT w1, w2, count(*) AS cb FROM pr GROUP BY 1, 2),
+         terms AS (SELECT doc_id,
+             CAST(round(ln((cb + 1.0) / (cu + 1.0 * v)) * 1000000.0) AS BIGINT)
+               AS t
+           FROM pr JOIN bi USING (w1, w2) JOIN uni USING (w1), vc),
+         ag AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS logprob_micros,
+             count(*) AS n_bigrams FROM terms GROUP BY 1)
+         SELECT d.doc_id, d.lang,
+           coalesce(ag.n_bigrams, 0) AS n_bigrams,
+           coalesce(ag.logprob_micros, 0) AS logprob_micros
+         FROM d LEFT JOIN ag USING (doc_id)"""
 
   /** Shared by q_lm_kn_score and q_lm_kn_score_persisted: the full
     * Kneser-Ney recursion replay (integer type/token counts, one fixed
@@ -5770,27 +5807,9 @@ object SparkEntry {
            AS n_bpe_tokens
          FROM dd, m"""
     },
-    "q_lm_bigram_score" ->
-      """WITH d AS (SELECT doc_id, lang,
-             string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
-         uni AS (SELECT w1, count(*) AS cu FROM (
-             SELECT unnest(ws) AS w1 FROM d) GROUP BY 1),
-         vc AS (SELECT count(*) AS v FROM uni),
-         pr AS (SELECT doc_id,
-             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
-             unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
-           FROM d),
-         bi AS (SELECT w1, w2, count(*) AS cb FROM pr GROUP BY 1, 2),
-         terms AS (SELECT doc_id,
-             CAST(round(ln((cb + 1.0) / (cu + 1.0 * v)) * 1000000.0) AS BIGINT)
-               AS t
-           FROM pr JOIN bi USING (w1, w2) JOIN uni USING (w1), vc),
-         ag AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS logprob_micros,
-             count(*) AS n_bigrams FROM terms GROUP BY 1)
-         SELECT d.doc_id, d.lang,
-           coalesce(ag.n_bigrams, 0) AS n_bigrams,
-           coalesce(ag.logprob_micros, 0) AS logprob_micros
-         FROM d LEFT JOIN ag USING (doc_id)""",
+    "q_lm_bigram_score" -> bigramOracleSql,
+    // persisted-model replay: identical integer counts, identical chain
+    "q_lm_bigram_score_persisted" -> bigramOracleSql,
     // chunking re-derived from scratch: DuckDB list slicing is 1-based
     // inclusive, so toks[s+1 : least(s+24, ntok)] is exactly Spark's
     // slice(toks, s+1, least(24, ntok-s))

@@ -38,6 +38,41 @@ object LmScore {
       idCol: String,
       textCol: String,
       smoothing: Double = 1.0d): DataFrame = {
+    val (uni, bi) = buildBigramModel(df, textCol)
+    bigramLogProbFromModel(df, idCol, textCol, uni, bi, smoothing)
+  }
+
+  /** Train the bigram count model `(uni(w, c1), bi(wa, wb, c2))` — the
+    * persistable artifact, same build-once/query-many shape as
+    * [[buildTrigramModel]] (which all three LM families now share). */
+  def buildBigramModel(
+      df: DataFrame,
+      textCol: String): (DataFrame, DataFrame) = {
+    val words = df.select(toks(col(textCol)).as("__w"))
+    val uni = words.select(explode(col("__w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = words.select(explode(when(size(col("__w")) >= 2,
+        transform(sequence(lit(0), size(col("__w")) - lit(2)),
+          i => struct(
+            element_at(col("__w"), i + lit(1)).as("wa"),
+            element_at(col("__w"), i + lit(2)).as("wb"))))
+        .otherwise(array().cast("array<struct<wa:string,wb:string>>")))
+        .as("__p"))
+      .select(col("__p.wa").as("wa"), col("__p.wb").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c2"))
+    (uni, bi)
+  }
+
+  /** Score `df` against a pre-built bigram model — one pass over the
+    * batch; only model-present bigrams score (inner joins, the
+    * [[trigramLogProbFromModel]] contract). */
+  def bigramLogProbFromModel(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      uni: DataFrame,
+      bi: DataFrame,
+      smoothing: Double = 1.0d): DataFrame = {
     require(smoothing > 0, "smoothing must be positive")
     val id = col(idCol)
     val words = df.select(id.as("__id"), toks(col(textCol)).as("__w"))
@@ -51,9 +86,6 @@ object LmScore {
         .as(Seq("__pos", "__p")))
       .select(col("__id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
 
-    val uni = words.select(explode(col("__w")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("__cu"))
-    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__cb"))
     val vocab = uni.count() // ONE driver scalar
 
     val term = round(
@@ -61,8 +93,9 @@ object LmScore {
         (col("__cu") + lit(smoothing * vocab))) * lit(1000000.0d))
       .cast("long")
     val scored = pairs
-      .join(bi, Seq("w1", "w2"))
-      .join(uni, Seq("w1"))
+      .join(bi.select(col("wa").as("w1"), col("wb").as("w2"),
+        col("c2").as("__cb")), Seq("w1", "w2"))
+      .join(uni.select(col("w").as("w1"), col("c1").as("__cu")), Seq("w1"))
       .select(col("__id"), term.as("__t"))
       .groupBy(col("__id"))
       .agg(sum(col("__t")).as("logprob_micros"),
