@@ -2633,10 +2633,12 @@ object SparkEntry {
       val art = artifactPath(dir, "compress_len")
       dumpOnce(art) { stats.write.mode("overwrite").parquet(art) }
       s.read.parquet(art)
+        // integer half-up, never round() over an integer ratio (the
+        // UniMax cross-engine trap: the rational can sit exactly on a
+        // half-micro boundary)
         .withColumn("ratio_mu",
-          round(col("comp_len").cast("double") /
-            greatest(col("raw_len"), lit(1L)).cast("double") * 1e6)
-            .cast("long"))
+          expr("(comp_len * 2000000L + greatest(raw_len, 1L)) DIV " +
+            "(2L * greatest(raw_len, 1L))"))
         .filter(col("ratio_mu").between(200000L, 900000L))
         .select("doc_id", "raw_len", "comp_len", "ratio_mu")
     }),
@@ -6278,11 +6280,12 @@ object SparkEntry {
          c6 AS (SELECT doc_id, html,
              trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text FROM c5)
          SELECT doc_id, clean_text,
-           round(CAST(coalesce(list_sum(list_transform(
+           CAST((coalesce(list_sum(list_transform(
                regexp_extract_all(html, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
-               x -> length(x))), 0) AS DOUBLE)
-             / greatest(CAST(length(clean_text) AS DOUBLE), 1.0), 6)
-             AS link_density
+               x -> length(x))), 0) * 2000000
+               + greatest(length(clean_text), 1)) //
+               (2 * greatest(length(clean_text), 1)) AS DOUBLE)
+             / 1000000.0 AS link_density
          FROM c6""",
     // replays canonicalization: authority split, lowercase + www/default
     // -port strip (backrefs are \\1 in RE2, $1 in Java — same rewrite),
@@ -6678,11 +6681,12 @@ object SparkEntry {
          e6 AS (SELECT doc_id, card, html, url_norm, domain,
              trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text FROM e5),
          ld AS (SELECT doc_id, card, url_norm, domain, clean_text,
-             round(CAST(coalesce(list_sum(list_transform(
+             CAST((coalesce(list_sum(list_transform(
                  regexp_extract_all(html, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
-                 x -> length(x))), 0) AS DOUBLE)
-               / greatest(CAST(length(clean_text) AS DOUBLE), 1.0), 6)
-               AS link_density
+                 x -> length(x))), 0) * 2000000
+                 + greatest(length(clean_text), 1)) //
+                 (2 * greatest(length(clean_text), 1)) AS DOUBLE)
+               / 1000000.0 AS link_density
            FROM e6),
          ccv AS (SELECT *, (${luhnSumSql("card")}) % 10 = 0 AS ok FROM ld),
          cc AS (SELECT doc_id, url_norm, domain, link_density,
@@ -6810,7 +6814,7 @@ object SparkEntry {
                AS BIGINT) AS w_raw FROM agg),
          z AS (SELECT CAST(sum(w_raw) AS BIGINT) AS z FROM w)
          SELECT w.source, w.n_docs,
-           CAST(round((CAST(w.w_raw AS DOUBLE) / CAST(z.z AS DOUBLE)) * 1e6)
+           CAST((w.w_raw * 2000000 + z.z) // (2 * z.z)
              AS BIGINT) AS weight_micro
          FROM w, z""",
     // Bloom merge ≡ whole-corpus build (OR is idempotent), so the oracle
@@ -6887,11 +6891,12 @@ object SparkEntry {
       """WITH a AS (SELECT doc_id, raw_len, comp_len FROM
            read_parquet('/root/repo/artifacts/compress_len/sf=sf0.01/*.parquet'))
          SELECT doc_id, raw_len, comp_len,
-           CAST(round(comp_len / CAST(greatest(raw_len, 1) AS DOUBLE)
-             * 1000000.0) AS BIGINT) AS ratio_mu
+           CAST((comp_len * 2000000 + greatest(raw_len, 1)) //
+             (2 * greatest(raw_len, 1)) AS BIGINT) AS ratio_mu
          FROM a
-         WHERE CAST(round(comp_len / CAST(greatest(raw_len, 1) AS DOUBLE)
-             * 1000000.0) AS BIGINT) BETWEEN 200000 AND 900000""",
+         WHERE CAST((comp_len * 2000000 + greatest(raw_len, 1)) //
+             (2 * greatest(raw_len, 1)) AS BIGINT)
+           BETWEEN 200000 AND 900000""",
     // capstone chain: gopher keep → min-id exact dedup → manifest
     "q_pipeline_shards" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS len,

@@ -94,11 +94,11 @@ object IngestJob {
         .withColumn("domain", WebExtract.registrableDomain(col("url_norm")))
         .withColumn("__link_chars", WebExtract.linkChars(col(opts.htmlCol))),
       "__text_raw", WebExtract.htmlToText(col(opts.htmlCol)))
-      // same operand order as WebExtract.linkDensity, against the
+      // same expression as WebExtract.linkDensity, against the
       // already-extracted attribute (no second extraction chain)
       .withColumn("link_density",
-        round(col("__link_chars").cast("double") /
-          greatest(length(col("__text_raw")).cast("double"), lit(1.0)), 6))
+        WebExtract.linkDensityOf(col("__link_chars"),
+          length(col("__text_raw"))))
     val scrubbed = CorpusClean.piiScrub(
       computedOnce(CorpusClean.ccScrub(withUrl, "__text_raw"),
         "text_cc_redacted", col("text_cc_redacted")),

@@ -281,10 +281,10 @@ object Sampling {
     val z = agg.agg(sum(col("w_raw")).as("z"))
     agg.crossJoin(broadcast(z))
       .withColumn("weight_micro",
-        // divide FIRST: the ratio is ≤1 (exact-enough double), while
-        // 1e6·w_raw can exceed 2^53 and round before the division
-        round((col("w_raw").cast("double") / col("z").cast("double")) * 1e6)
-          .cast("long"))
+        // exact integer half-up — round() over an integer ratio is the
+        // UniMax cross-engine trap (w_raw/z can sit exactly on a
+        // half-micro boundary). w_raw ≤ 10⁹ keeps w_raw·2·10⁶ < 2⁶³.
+        expr("(w_raw * 2000000L + z) DIV (2L * z)"))
       .drop("z")
   }
 

@@ -219,6 +219,10 @@ object Similarity {
         lit(idcgMu).as("idcg_mu"),
         expr(s"CAST((coalesce(dcg_mu, 0) * 1000000) DIV $idcgMu AS BIGINT)")
           .as("ndcg_ppm"),
+        // round() over 10⁶/rank is exempt from the integer-ratio rounding
+        // rule: an exact half-micro needs 2·10⁶/rank odd, i.e. rank ∈
+        // {128·5ᵃ} — unreachable for any top-k eval (k ≪ 128); cf. the
+        // identical documented proof on the RRF constant
         coalesce(round(lit(1e6d) / col("__minrr").cast("double")).cast("long"),
           lit(0L)).as("rr_mu"))
   }

@@ -63,8 +63,27 @@ object WebExtract {
     * markup inside an anchor counts its raw span (tags included) —
     * a density heuristic, not a DOM walk; documented contract. */
   def linkDensity(html: Column): Column =
-    round(linkChars(html).cast("double") /
-      greatest(length(htmlToText(html)).cast("double"), lit(1.0)), 6)
+    linkDensityOf(linkChars(html), length(htmlToText(html)))
+
+  /** The density ratio itself, from already-computed operands — exact
+    * integer half-up at micro resolution, then scaled back to a double:
+    * `round(a/b, 6)` over two INTEGERS is the UniMax rounding trap (the
+    * rational can sit exactly on a half-micro boundary, where Spark's
+    * BigDecimal shortest-repr rounding and a raw-double `round()` can
+    * disagree); `(a·2·10⁶ + b) DIV (2b)` is the same half-up value
+    * computed identically in any engine, and dividing the exact micro
+    * integer by 10⁶ yields the identical double everywhere. */
+  def linkDensityOf(chars: Column, textLen: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val a = chars.cast("long")
+    val b = greatest(textLen.cast("long"), lit(1L))
+    // IntegralDivide, not `/`: Column `/` on longs returns DOUBLE
+    val micro = ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(a * lit(2000000L) + b),
+      ColumnBridge.expression(lit(2L) * b)))
+    micro.cast("double") / lit(1e6)
+  }
 
   /** Total characters inside `<a>` elements — the numerator of
     * [[linkDensity]], exposed so a pipeline that already extracted the
