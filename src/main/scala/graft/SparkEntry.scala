@@ -866,6 +866,35 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"),
           col("rank"))
     }),
+    // INCREMENTAL index maintenance: the corpus's IVF index persists
+    // once; a delta batch assigns against the FIXED centroids (pure
+    // function) and unions onto the stored table — exactly the table a
+    // full re-assignment would produce, at O(|delta|) cost. Queries
+    // probe the updated index; centroid retraining stays a nightly
+    // rebuild (the reconciliation split)
+    "q_sim_ann_ivf_incremental" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      // residue 4, not 0: the strided centroid sample picks multiples of
+      // step (a multiple of 5 here), which a %5==0 delta would swallow
+      val corpus = emb.filter(col("vec_id") % 5 =!= 4)
+      val delta = emb.filter(col("vec_id") % 5 === 4)
+      val art = artifactPath(dir, "ivf_index_incr")
+      dumpOnce(art) {
+        val (cents, assigned) =
+          operators.Similarity.buildIvfIndex(corpus, nlist = 16)
+        cents.write.mode("overwrite").parquet(s"$art/centroids")
+        assigned.write.mode("overwrite").parquet(s"$art/assigned")
+      }
+      val cents = s.read.parquet(s"$art/centroids")
+      val updated = s.read.parquet(s"$art/assigned")
+        .unionByName(operators.Similarity.ivfAppendToIndex(cents, delta))
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      operators.Similarity.ivfTopKFromIndex(cents, updated, q,
+          k = 10, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"),
+          col("rank"))
+    }),
     // metadata-FILTERED ANN: the corpus is restricted by a predicate
     // BEFORE the index derivation and probe join, so the parquet scan
     // prunes on the metadata column and the index only covers eligible
@@ -3625,6 +3654,37 @@ object SparkEntry {
     // (deterministic), assignment is argmax dot with larger-index
     // tie-break, probes are the top-nprobe lists — all expressible in SQL
     "q_sim_ann_ivf" -> ivfOracleSql,
+    // incremental replay: centroids derive from the CORPUS slice only
+    // (strided sample of vec_id % 5 <> 0), assignment covers corpus ∪
+    // delta — with fixed centroids, append ≡ whole re-assignment
+    "q_sim_ann_ivf_incremental" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         corpus AS (SELECT * FROM emb WHERE vec_id % 5 <> 4),
+         stepc AS (SELECT greatest(1,
+             (SELECT count(*) FROM corpus) // 16) AS step),
+         cent AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+           FROM corpus, stepc WHERE vec_id % stepc.step = 0
+           ORDER BY vec_id LIMIT 16),
+         assigned AS (
+           SELECT e.vec_id, e.v,
+             (SELECT c.i FROM cent c
+              ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC LIMIT 1)
+               AS list
+           FROM emb e),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+         probed AS (
+           SELECT q.query_id, q.qv, c.i AS list
+           FROM q, LATERAL (SELECT i FROM cent
+             ORDER BY list_dot_product(q.qv, cent.v) DESC, i DESC LIMIT 4) c),
+         scored AS (
+           SELECT p.query_id, a.vec_id, list_cosine_similarity(a.v, p.qv) AS cos
+           FROM probed p JOIN assigned a ON a.list = p.list)
+         SELECT query_id, vec_id, round(cos, 6) AS cos_r,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS INT) AS rank
+         FROM scored QUALIFY rank <= 10""",
     // identical replay: the persisted-index round-trip must preserve the
     // in-memory derivation exactly (float64 parquet round-trip is lossless)
     "q_sim_ann_ivf_persisted" -> ivfOracleSql,

@@ -447,6 +447,34 @@ object Similarity {
     * query into its `nprobe` lists, equi-joins the (bucketed) assignment
     * table, and ranks with the two-phase heap. Per-batch cost is the
     * probed lists only — the corpus-wide work lives in the index build. */
+  /** Append a delta batch to a PERSISTED IVF index — the ANN analog of
+    * [[graft.operators.Dedup.incrementalDedupFromIndex]]: with the
+    * centroids FIXED, list assignment is a pure function of
+    * `(vector, centroids)`, so assigning only the delta and unioning the
+    * rows onto the stored `assigned` table yields EXACTLY the table a
+    * full re-assignment would — no rebuild, no corpus read, O(|delta|)
+    * per batch (spec-pinned: append ≡ rebuild under the same
+    * centroids). The knob this does NOT turn: the centroids themselves
+    * drift as the corpus grows; the nightly job that retrains them is a
+    * [[buildIvfIndexKmeans]] rebuild, same architecture split as the
+    * dedup reconciliation note. Probe the updated table with
+    * [[ivfTopKFromIndex]] under the SAME metric the index was built
+    * with. */
+  def ivfAppendToIndex(
+      centroidsDf: DataFrame,
+      delta: DataFrame,
+      corpusVec: String = "embedding",
+      metric: String = "dot"): DataFrame = {
+    require(metric == "dot" || metric == "l2", s"unknown metric '$metric'")
+    val centroids: Array[(Int, Seq[Double])] = centroidsDf
+      .orderBy("list").collect() // bounded: nlist rows
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val assign =
+      if (metric == "l2") ivfL2NearestList(col(corpusVec), centroids)
+      else ivfNearestList(col(corpusVec), centroids)
+    delta.withColumn("__list", assign)
+  }
+
   def ivfTopKFromIndex(
       centroidsDf: DataFrame,
       assigned: DataFrame,

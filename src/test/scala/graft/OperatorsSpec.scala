@@ -411,6 +411,25 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex == direct)
   }
 
+  test("ivfAppendToIndex: append ≡ rebuild under fixed centroids") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 5 =!= 4)
+    val delta = emb.filter(col("vec_id") % 5 === 4)
+    val (cents0, assigned) = Similarity.buildIvfIndex(corpus, nlist = 16)
+    val cents = cents0.localCheckpoint()
+    val appended = assigned
+      .unionByName(Similarity.ivfAppendToIndex(cents, delta))
+      .select("vec_id", "__list")
+    // with the centroids fixed, assigning everything from scratch must
+    // produce the identical table — the property that makes append the
+    // O(|delta|) maintenance path
+    val rebuilt = Similarity.ivfAppendToIndex(cents, emb)
+      .select("vec_id", "__list")
+    assert(appended.except(rebuilt).count() == 0 &&
+      rebuilt.except(appended).count() == 0)
+    assert(appended.count() == emb.count())
+  }
+
   test("kmeans-IVF beats strided centroids on clustered data; deterministic") {
     // the synthetic embeddings table is measured structureless (within-
     // vs cross-label cosine both ≈ 0), where no coarse quantizer can beat
