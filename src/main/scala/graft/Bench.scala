@@ -48,7 +48,7 @@ object Bench {
     // full run (BENCH_r9_local.json, 203 queries) — a stale hint 2-3x
     // above the real floor weakens the believed() stall-cap (a cheap
     // query whose only sample hit a host stall may never retry).
-    "q_lm_bigram_score_persisted" -> 0.4, "q_sim_ann_ivf_incremental" -> 0.6,
+    "q_lm_bigram_score_persisted" -> 0.25, "q_sim_ann_ivf_incremental" -> 0.84,
     // second-wave r10 additions (measured floors, end-of-round runs)
     "q_pipeline_delta" -> 2.98, "q_mm_image_dedup_phash_jpeg" -> 0.33,
     "q_lm_kn_score_persisted" -> 0.39, "q_embed_quantize_calibrated" -> 1.03,
