@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions.{col, explode}
   *
   * Usage:
   *   DeltaMain delta=<parquet> corpus=<parquet> index=<dir> \
-  *     lm=<dir> eval=<parquet> out=<dir> \
+  *     lm=<dir> eval=<parquet> out=<dir> [index_delta=<dir>] \
   *     [id=doc_id] [text=text] [min_q_mu=900000] [max_contam_ppm=300000] \
   *     [min_mean_lp_mu=-3200000] [jaccard=0.8] \
   *     [build_artifacts=false]
@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions.{col, explode}
   * on the driver, and benchmark-sized eval tables are the contract).
   * Admitted rows write to `out`; one JSON stats line (sequential
   * attribution — the five counts partition the input) on stdout.
+  *
+  * `index_delta` closes the maintenance loop: the admitted rows'
+  * banded signatures write there, so the NEXT batch's index is the old
+  * index plus this delta (append a parquet dir, never rebuild — the
+  * same fixed-parameters-make-append-exact property as
+  * [[graft.operators.Similarity.ivfAppendToIndex]]: signatures are a
+  * pure function of (text, shingleN, k, bands)).
   */
 object DeltaMain {
   def main(args: Array[String]): Unit = {
@@ -76,6 +83,12 @@ object DeltaMain {
         spark.read.parquet(s"${opts("lm")}/tri"),
         words, dOpts)
       admitted.write.mode("overwrite").parquet(opts("out"))
+      opts.get("index_delta").foreach { d =>
+        Dedup.bandedSignatures(spark.read.parquet(opts("out")),
+            dOpts.idCol, dOpts.textCol,
+            dOpts.shingleN, dOpts.minhashK, dOpts.bands)
+          .write.mode("overwrite").parquet(d)
+      }
       println(s"""{"input":${stats.input},"low_quality":${stats.lowQuality},""" +
         s""""contaminated":${stats.contaminated},"off_model":${stats.offModel},""" +
         s""""near_dup":${stats.nearDup},"admitted":${stats.admitted}}""")
