@@ -149,8 +149,7 @@ object SparkEntry {
     val steps = (1 to iters).map { i =>
       s""",
        c$i AS (SELECT e.dst AS node,
-           CAST(sum(CAST(floor(CAST(r.rank_mu AS DOUBLE) * 85 /
-             (CAST(od.outdeg AS DOUBLE) * 100.0)) AS BIGINT)) AS BIGINT)
+           CAST(sum((r.rank_mu * 85) // (od.outdeg * 100)) AS BIGINT)
              AS in_mu
          FROM e JOIN r${i - 1} r ON r.node = e.src
          JOIN od ON od.node = e.src
@@ -887,7 +886,8 @@ object SparkEntry {
       }
       val cents = s.read.parquet(s"$art/centroids")
       val updated = s.read.parquet(s"$art/assigned")
-        .unionByName(operators.Similarity.ivfAppendToIndex(cents, delta))
+        .unionByName(operators.Similarity.ivfAppendToIndex(cents, delta,
+          metric = "dot"))
       val q = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       operators.Similarity.ivfTopKFromIndex(cents, updated, q,
@@ -2529,8 +2529,8 @@ object SparkEntry {
           readWide(s, dir, "documents"), "doc_id", "text")
         .filter(col("n_trigrams") > 0)
         .withColumn("mean_lp_mu",
-          floor(col("logprob3_micros").cast("double") /
-            col("n_trigrams").cast("double")).cast("long"))
+          expr("(logprob3_micros - pmod(logprob3_micros, n_trigrams))" +
+            " DIV n_trigrams"))
         .filter(col("mean_lp_mu") >= -3200000L)
         .select("doc_id", "lang", "mean_lp_mu")),
     // perplexity filter from a PERSISTED model: the three trigram count
@@ -2552,8 +2552,8 @@ object SparkEntry {
           s.read.parquet(s"$art/tri"))
         .filter(col("n_trigrams") > 0)
         .withColumn("mean_lp_mu",
-          floor(col("logprob3_micros").cast("double") /
-            col("n_trigrams").cast("double")).cast("long"))
+          expr("(logprob3_micros - pmod(logprob3_micros, n_trigrams))" +
+            " DIV n_trigrams"))
         .filter(col("mean_lp_mu") >= -3200000L)
         .select("doc_id", "lang", "mean_lp_mu")
     }),
@@ -4877,7 +4877,7 @@ object SparkEntry {
                     (CASE WHEN m > 0 AND rn - k <= rbud % m THEN 1 ELSE 0 END)
              END AS alloc
            FROM lv)
-         SELECT source, tokens, cap, alloc,
+         SELECT source, tokens, cap, CAST(alloc AS BIGINT) AS alloc,
            CAST((alloc // tokens) * 1000000 +
              ((alloc % tokens) * 2000000 + tokens) // (2 * tokens)
              AS BIGINT) AS epochs_micros
@@ -5479,7 +5479,7 @@ object SparkEntry {
                     (CASE WHEN m > 0 AND rn - k <= rbud % m THEN 1 ELSE 0 END)
              END AS alloc
            FROM lv)
-         SELECT source, tokens, cap, alloc,
+         SELECT source, tokens, cap, CAST(alloc AS BIGINT) AS alloc,
            CAST((alloc // tokens) * 1000000 +
              ((alloc % tokens) * 2000000 + tokens) // (2 * tokens)
              AS BIGINT) AS epochs_micros
@@ -5571,12 +5571,12 @@ object SparkEntry {
          ag AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS lp,
              count(*) AS nt FROM terms GROUP BY 1),
          keep3 AS (SELECT dq.doc_id, dq.lang, dq.q_mu, cf.contam_ppm,
-             CAST(floor(CAST(ag.lp AS DOUBLE) / CAST(ag.nt AS DOUBLE))
-               AS BIGINT) AS mean_lp_mu
+             (ag.lp - (((ag.lp % ag.nt) + ag.nt) % ag.nt)) // ag.nt
+               AS mean_lp_mu
            FROM dq JOIN cf USING (doc_id) JOIN ag USING (doc_id)
            WHERE dq.q_mu >= 900000 AND cf.contam_ppm < 300000 AND ag.nt > 0
-             AND CAST(floor(CAST(ag.lp AS DOUBLE) / CAST(ag.nt AS DOUBLE))
-                 AS BIGINT) >= -3200000),
+             AND (ag.lp - (((ag.lp % ag.nt) + ag.nt) % ag.nt)) // ag.nt
+                 >= -3200000),
          dsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep3 USING (doc_id)),
          csh AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0),
          cross_drop AS (SELECT DISTINCT d2.doc_id
@@ -6831,10 +6831,10 @@ object SparkEntry {
              coalesce(ag.n_trigrams, 0) AS nt
            FROM d LEFT JOIN ag USING (doc_id))
          SELECT doc_id, lang,
-           CAST(floor(CAST(lp AS DOUBLE) / CAST(nt AS DOUBLE)) AS BIGINT)
+           (lp - (((lp % nt) + nt) % nt)) // nt
              AS mean_lp_mu
          FROM m WHERE nt > 0
-           AND CAST(floor(CAST(lp AS DOUBLE) / CAST(nt AS DOUBLE)) AS BIGINT)
+           AND (lp - (((lp % nt) + nt) % nt)) // nt
                >= -3200000"""),
     // persisted-model scoring replays the SAME arithmetic: the artifact
     // tables are the exact integer counts the in-memory path derives
@@ -6844,10 +6844,10 @@ object SparkEntry {
              coalesce(ag.n_trigrams, 0) AS nt
            FROM d LEFT JOIN ag USING (doc_id))
          SELECT doc_id, lang,
-           CAST(floor(CAST(lp AS DOUBLE) / CAST(nt AS DOUBLE)) AS BIGINT)
+           (lp - (((lp % nt) + nt) % nt)) // nt
              AS mean_lp_mu
          FROM m WHERE nt > 0
-           AND CAST(floor(CAST(lp AS DOUBLE) / CAST(nt AS DOUBLE)) AS BIGINT)
+           AND (lp - (((lp % nt) + nt) % nt)) // nt
                >= -3200000"""),
     // √-tempered mean micro-score per source, normalized; divisions
     // before the 1e6 scale so nothing leaves double-exact range

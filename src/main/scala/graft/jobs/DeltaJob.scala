@@ -98,10 +98,12 @@ object DeltaJob {
       .drop("__sh")
     LmScore.trigramLogProbFromModel(flagged, opts.idCol, opts.textCol,
         lmUni, lmBi, lmTri)
+      // negative-safe integer floor division: the double quotient loses
+      // exactness once |logprob3_micros| exceeds 2^53 at scale
       .withColumn("mean_lp_mu",
         when(col("n_trigrams") > 0,
-          floor(col("logprob3_micros").cast("double") /
-            col("n_trigrams").cast("double")).cast("long")))
+          expr("(logprob3_micros - pmod(logprob3_micros, n_trigrams))" +
+            " DIV n_trigrams")))
       .withColumn("ok_quality", col("q_mu") >= opts.minQualityMu)
       .withColumn("ok_contam", col("contam_ppm") < opts.maxContamPpm)
       .withColumn("ok_model",

@@ -52,9 +52,10 @@ object LinkGraph {
       val contribs = edges
         .join(ranks.withColumnRenamed("node", srcCol), srcCol)
         .join(outdeg.withColumnRenamed("node", srcCol), srcCol)
+        // pure integer: rank_mu·d is exact in BIGINT where the double
+        // product loses exactness past 2^53; non-negative → DIV == floor
         .select(col(dstCol).as("node"),
-          floor(col("rank_mu").cast("double") * dampingPct /
-            (col("outdeg").cast("double") * 100.0)).cast("long").as("__c"))
+          expr(s"(rank_mu * $dampingPct) DIV (outdeg * 100)").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__in_mu"))
       ranks = nodes.join(contribs, Seq("node"), "left")
         .withColumn("rank_mu", lit(baseMu) + coalesce(col("__in_mu"), lit(0L)))

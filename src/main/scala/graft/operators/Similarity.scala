@@ -464,7 +464,10 @@ object Similarity {
       centroidsDf: DataFrame,
       delta: DataFrame,
       corpusVec: String = "embedding",
-      metric: String = "dot"): DataFrame = {
+      metric: String): DataFrame = {
+    // no default: buildIvfIndex assigns with dot, buildIvfIndexKmeans
+    // with L2 — a defaulted metric silently mis-assigns delta lists on
+    // the other index family (append != rebuild, recall-loss symptom)
     require(metric == "dot" || metric == "l2", s"unknown metric '$metric'")
     val centroids: Array[(Int, Seq[Double])] = centroidsDf
       .orderBy("list").collect() // bounded: nlist rows

@@ -543,7 +543,9 @@ object Sketches {
     cum.join(targets,
         groupCols.foldLeft(col("__cum") >= col("__rk") &&
           col("__cum") - col("cnt") < col("__rk")) { (c, g) =>
-          c && col(g) === col(s"__g_$g") },
+          // null-safe: a NULL-keyed group is counted by logHistogram
+          // and must surface in quantile output too
+          c && col(g) <=> col(s"__g_$g") },
         "inner")
       .select(gcols :+ col("q") :+
         logBucketLow(col("bucket"), b).cast("long").as("value"): _*)

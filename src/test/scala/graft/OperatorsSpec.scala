@@ -418,12 +418,12 @@ class SimilaritySpec extends SparkSpec {
     val (cents0, assigned) = Similarity.buildIvfIndex(corpus, nlist = 16)
     val cents = cents0.localCheckpoint()
     val appended = assigned
-      .unionByName(Similarity.ivfAppendToIndex(cents, delta))
+      .unionByName(Similarity.ivfAppendToIndex(cents, delta, metric = "dot"))
       .select("vec_id", "__list")
     // with the centroids fixed, assigning everything from scratch must
     // produce the identical table — the property that makes append the
     // O(|delta|) maintenance path
-    val rebuilt = Similarity.ivfAppendToIndex(cents, emb)
+    val rebuilt = Similarity.ivfAppendToIndex(cents, emb, metric = "dot")
       .select("vec_id", "__list")
     assert(appended.except(rebuilt).count() == 0 &&
       rebuilt.except(appended).count() == 0)

@@ -64,6 +64,17 @@ for name, sql in sorted(oracles.items()):
         f"SELECT * FROM read_parquet({spark_files!r})").fetchall()
     scols = [d[0] for d in con.description]
     try:
+        # Type gate (r10 lesson): a HUGEINT/UHUGEINT/DECIMAL output column
+        # hashes green here (python collapses to int) but diverges on the
+        # driver's Arrow fetch (decimal128). Fail loudly before comparing.
+        desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+        bad = [(c, t) for c, t, *_ in desc
+               if any(k in str(t).upper()
+                      for k in ("HUGEINT", "UHUGEINT", "DECIMAL"))]
+        if bad:
+            print(f"{name}: ORACLE TYPE GATE {bad} — cast to BIGINT/DOUBLE")
+            fails += 1
+            continue
         odf = con.execute(sql).fetchall()
         ocols = [d[0] for d in con.description]
     except Exception as e:
