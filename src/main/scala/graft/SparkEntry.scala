@@ -51,14 +51,24 @@ object SparkEntry {
     * repeated builder invocations (bench iterations, spec sweeps) skip
     * the write, so timed iterations measure the query, not the
     * oracle-input plumbing. */
-  private val dumped = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def dumpOnce(art: String)(write: => Unit): Unit =
-    if (dumped.add(art)) {
+  private val dumped =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CountDownLatch]()
+  private def dumpOnce(art: String)(write: => Unit): Unit = {
+    // Latch per path: several queries share one artifact (ahash_grid x3),
+    // and Bench's warm phase runs queries concurrently — a loser of the
+    // putIfAbsent race must BLOCK until the writer finishes, not skip
+    // ahead and read a half-written artifact.
+    val fresh = new java.util.concurrent.CountDownLatch(1)
+    val prior = dumped.putIfAbsent(art, fresh)
+    if (prior == null) {
       // un-mark on failure so a transient write error doesn't poison the
       // path for the rest of the JVM (next invocation re-dumps)
-      try write
-      catch { case e: Throwable => dumped.remove(art); throw e }
-    }
+      try { write; fresh.countDown() }
+      catch { case e: Throwable =>
+        dumped.remove(art); fresh.countDown(); throw e
+      }
+    } else prior.await()
+  }
 
   /** Deterministic HTML payload built from the documents row — the
     * fixture for q_html_extract. The SAME concatenation runs in the
@@ -776,6 +786,36 @@ object SparkEntry {
           jaccardThreshold = 0.8)
         .select("doc_id", "lang", "source", "n_chars")
     }),
+    // DELETION-side index maintenance — the reference's conviction-
+    // triggered index cleanup (FilteringSSTableScanner.java:135-193)
+    // applied to the derived-artifact layer: a retention rule convicts a
+    // doc_id range, and the persisted banded-signature index drops
+    // exactly those rows by anti-join. With fixed hash seeds the result
+    // is bit-identical to rebuilding from the survivors (spec-pinned in
+    // JobsSpec); without it a convicted document's signatures keep
+    // suppressing future admits as false near-dups. Output: per-band
+    // row/doc counts + bucket XOR of the maintained index; the oracle
+    // replays the anti-join over the SAME dumped artifact bytes.
+    "q_dedup_index_retention" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val art = artifactPath(dir, "lsh_index")
+      dumpOnce(art) {
+        operators.Dedup.bandedSignatures(corpus, "doc_id", "text",
+            shingleN = 3, k = 20, bands = 10)
+          .write.mode("overwrite").parquet(art)
+      }
+      val rs = RuleSet(Seq(Rule("retire", Map(
+        "doc_id" -> Seq(Bound(Some("100"), Some("249")))))))
+      val convicted = corpus.filter(!RuleCompiler.keep(rs, corpus.schema))
+        .select("doc_id")
+      jobs.ArtifactRetention.retainRows(s.read.parquet(art), convicted,
+          "doc_id")
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          expr("bit_xor(bucket)").as("bucket_xor"))
+    }),
     // SimHash fingerprint near-dup pairs. xxhash64 has no DuckDB
     // equivalent, so the fingerprints themselves are exported as a parquet
     // artifact and the oracle re-derives the pairs (quadrant banding +
@@ -891,6 +931,33 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       operators.Similarity.ivfTopKFromIndex(cents, updated, q,
+          k = 10, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"),
+          col("rank"))
+    }),
+    // deletion-side IVF maintenance: retention convicts a vec_id range;
+    // the persisted assignment table drops those rows by anti-join with
+    // the centroids FIXED, and queries probe the maintained index.
+    // Anti-join ≡ reassigning the survivors under the same centroids
+    // (assignment is a pure function of (vector, centroids) —
+    // spec-pinned); centroid retraining stays the nightly rebuild.
+    "q_sim_ann_ivf_retention" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val art = artifactPath(dir, "ivf_index")
+      dumpOnce(art) {
+        val (cents, assigned) =
+          operators.Similarity.buildIvfIndex(emb, nlist = 16)
+        cents.write.mode("overwrite").parquet(s"$art/centroids")
+        assigned.write.mode("overwrite").parquet(s"$art/assigned")
+      }
+      val convicted = emb.filter(col("vec_id").between(200, 399))
+        .select("vec_id")
+      val maintained = jobs.ArtifactRetention.retainRows(
+        s.read.parquet(s"$art/assigned"), convicted, "vec_id")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      operators.Similarity.ivfTopKFromIndex(
+          s.read.parquet(s"$art/centroids"), maintained, q,
           k = 10, nprobe = 4)
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"),
           col("rank"))
@@ -2557,6 +2624,30 @@ object SparkEntry {
         .filter(col("mean_lp_mu") >= -3200000L)
         .select("doc_id", "lang", "mean_lp_mu")
     }),
+    // deletion-side LM maintenance: subtract the convicted docs' own
+    // count tables from the persisted trigram artifact (integer count
+    // algebra — the negated log-histogram merge); rows reaching zero
+    // leave the table so the vocabulary-size normalizer shrinks too. The
+    // oracle REBUILDS the unigram table from the survivors in SQL, so a
+    // green hash proves subtract ≡ rebuild cross-engine; bi/tri table
+    // equivalence is spec-pinned in JobsSpec.
+    "q_lm_model_retention" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val art = artifactPath(dir, "lm_trigram")
+      dumpOnce(art) {
+        val (uni, bi, tri) = operators.LmScore.buildTrigramModel(docs, "text")
+        uni.write.mode("overwrite").parquet(s"$art/uni")
+        bi.write.mode("overwrite").parquet(s"$art/bi")
+        tri.write.mode("overwrite").parquet(s"$art/tri")
+      }
+      val rs = RuleSet(Seq(Rule("retire_lang", Map(
+        "lang" -> Seq(Bound(Some("de"), Some("de")))))))
+      val convicted = docs.filter(!RuleCompiler.keep(rs, docs.schema))
+      val (uniM, _, _) = jobs.ArtifactRetention.retainTrigramModel(
+        s.read.parquet(s"$art/uni"), s.read.parquet(s"$art/bi"),
+        s.read.parquet(s"$art/tri"), convicted, "text")
+      uniM.select("w", "c1")
+    }),
     // DoReMi-lite per-domain mixture weights from the quality score:
     // √-tempered mean score per source, normalized to micro-units —
     // one agg to |domains| rows + a broadcast 1-row normalizer
@@ -3615,6 +3706,16 @@ object SparkEntry {
     // the SAME deterministic signature table from parquet, so the one
     // oracle covers both paths
     "q_dedup_incremental_persisted" -> incrementalDedupOracle,
+    // maintained index = artifact rows minus the convicted doc_id range;
+    // same anti-join over the same dumped bytes, per-band stats
+    "q_dedup_index_retention" ->
+      """WITH idx AS (SELECT * FROM
+             read_parquet('/root/repo/artifacts/lsh_index/sf=sf0.01/*.parquet')),
+         kept AS (SELECT * FROM idx WHERE doc_id NOT BETWEEN 100 AND 249)
+         SELECT band, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(bit_xor(bucket) AS BIGINT) AS bucket_xor
+         FROM kept GROUP BY 1""",
     // SimHash pairing over the exported fingerprint artifact (written by
     // the query itself; the correctness gate always runs at sf0.01): the
     // quadrant banding + Hamming≤3 cut re-derived with DuckDB-native
@@ -3688,6 +3789,12 @@ object SparkEntry {
     // identical replay: the persisted-index round-trip must preserve the
     // in-memory derivation exactly (float64 parquet round-trip is lossless)
     "q_sim_ann_ivf_persisted" -> ivfOracleSql,
+    // deletion-side maintenance: the assignment CTE excludes the
+    // convicted range while the centroid derivation stays full-corpus
+    // (fixed centroids) — exactly the anti-join the engine performs
+    "q_sim_ann_ivf_retention" -> ivfOracleSql.replace(
+      "FROM emb e),",
+      "FROM emb e WHERE e.vec_id NOT BETWEEN 200 AND 399),"),
     // learned-centroid IVF replay: the kmeansCtes Lloyd rounds (k=8,
     // iters=2, exact integer micro-unit sums) produce cent1; assignment
     // and probe use the L2 surrogate `c·c − 2·v·c` the centroids were
@@ -6849,6 +6956,13 @@ object SparkEntry {
          FROM m WHERE nt > 0
            AND (lp - (((lp % nt) + nt) % nt)) // nt
                >= -3200000"""),
+    // survivors-rebuild of the unigram artifact: green hash ≡ the
+    // engine's count-subtraction equals a from-scratch rebuild
+    "q_lm_model_retention" ->
+      """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+             FROM documents WHERE lang IS NULL OR lang <> 'de')
+         SELECT w, CAST(count(*) AS BIGINT) AS c1
+         FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1""",
     // √-tempered mean micro-score per source, normalized; divisions
     // before the 1e6 scale so nothing leaves double-exact range
     "q_domain_reweight" ->

@@ -1,0 +1,114 @@
+package graft.jobs
+
+import graft.operators.LmScore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deletion-side maintenance for the persisted derived artifacts — the
+  * reference's conviction-triggered index-cleanup semantics
+  * (ref: deleting-compaction-strategy/src/main/java/com/protectwise/
+  * cassandra/io/sstable/FilteringSSTableScanner.java:135-193, where
+  * convicting a partition also removes its secondary-index entries)
+  * applied to OUR derived layer: the banded-signature LSH index, the IVF
+  * assignment table, and the LM count tables.
+  *
+  * Without this, a convicted document keeps suppressing future admits as
+  * a false near-dup ([[DeltaJob]] probes the signature index), keeps
+  * attracting ANN probes, and keeps biasing LM scores — retention and
+  * admission users hit all three.
+  *
+  * The algebra mirrors the build-side incremental story exactly:
+  *
+  *  - **Row-per-key artifacts** (banded signatures, IVF lists): each
+  *    index row is a pure function of ONE document (fixed hash seeds /
+  *    fixed centroids), so deletion is an anti-join on the convicted key
+  *    set — `index ∖ convicted ≡ rebuild(survivors)` EXACTLY, the
+  *    deletion twin of the append ≡ rebuild invariant
+  *    ([[graft.operators.Similarity.ivfAppendToIndex]],
+  *    [[graft.operators.Dedup.incrementalDedupFromIndex]]).
+  *  - **Count artifacts** (LM unigram/bigram/trigram, KN tables): counts
+  *    are integers and grouped sums are slicing-free, so deletion is
+  *    bucket-wise count SUBTRACTION of the convicted slice's own count
+  *    table, dropping rows that reach zero — the negated form of the
+  *    log-histogram merge algebra ([[graft.operators.Sketches]]). KN's
+  *    continuation/type tables need no handling: they re-derive from the
+  *    two count artifacts at scoring time by design.
+  *  - **Bloom filters**: NOT maintained — a Bloom has no deletion, and
+  *    the one persisted Bloom here gates decontamination against the
+  *    EVAL set (membership of eval shingles, not corpus docs), which
+  *    conviction of corpus documents does not change.
+  *
+  * Scale shape: every operation is O(|convicted|) + one key-partitioned
+  * join against the artifact — the corpus text is never re-read, no
+  * artifact is rebuilt, no driver state. At 100 TB this is the difference
+  * between a nightly full index rebuild and a per-retention-run delta.
+  */
+object ArtifactRetention {
+
+  /** Row-per-key artifact deletion: drop every index row keyed by a
+    * convicted id. Exact — with fixed hash seeds / centroids the result
+    * is bit-identical to rebuilding the artifact from the survivors
+    * (spec-pinned for both the banded-signature and IVF tables). */
+  def retainRows(
+      index: DataFrame,
+      convictedIds: DataFrame,
+      idCol: String): DataFrame =
+    index.join(convictedIds.select(idCol).distinct(), Seq(idCol), "left_anti")
+
+  /** Count-table deletion: subtract the convicted slice's own count
+    * table bucket-wise; rows whose count reaches zero leave the
+    * artifact (a zero-count n-gram row would otherwise shift the
+    * model's vocabulary-size normalizer). `sub` must aggregate the SAME
+    * key columns with the SAME counting rule as the artifact build —
+    * callers below guarantee that by reusing the build functions on the
+    * convicted slice. */
+  def subtractCounts(
+      artifact: DataFrame,
+      sub: DataFrame,
+      keyCols: Seq[String],
+      cntCol: String): DataFrame =
+    artifact.join(
+        sub.withColumnRenamed(cntCol, "__sub"), keyCols, "left")
+      .withColumn(cntCol, col(cntCol) - coalesce(col("__sub"), lit(0L)))
+      .filter(col(cntCol) > 0)
+      .drop("__sub")
+
+  /** Trigram-model maintenance on conviction: build the convicted docs'
+    * own three count tables (O(|convicted|)) and subtract. Result ≡
+    * [[LmScore.buildTrigramModel]] over the survivors. */
+  def retainTrigramModel(
+      uni: DataFrame,
+      bi: DataFrame,
+      tri: DataFrame,
+      convictedDocs: DataFrame,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val (du, db, dt) = LmScore.buildTrigramModel(convictedDocs, textCol)
+    (subtractCounts(uni, du, Seq("w"), "c1"),
+      subtractCounts(bi, db, Seq("wa", "wb"), "c2"),
+      subtractCounts(tri, dt, Seq("w1", "w2", "w3"), "c3"))
+  }
+
+  /** Bigram-model maintenance on conviction (same algebra). */
+  def retainBigramModel(
+      uni: DataFrame,
+      bi: DataFrame,
+      convictedDocs: DataFrame,
+      textCol: String): (DataFrame, DataFrame) = {
+    val (du, db) = LmScore.buildBigramModel(convictedDocs, textCol)
+    (subtractCounts(uni, du, Seq("w"), "c1"),
+      subtractCounts(bi, db, Seq("wa", "wb"), "c2"))
+  }
+
+  /** Kneser-Ney maintenance on conviction: the persisted artifact is the
+    * two raw count tables; the discount/type tables re-derive at scoring
+    * time, so subtracting the raw counts is complete. */
+  def retainKneserNeyModel(
+      bi: DataFrame,
+      tri: DataFrame,
+      convictedDocs: DataFrame,
+      textCol: String): (DataFrame, DataFrame) = {
+    val (db, dt) = LmScore.buildKneserNeyModel(convictedDocs, textCol)
+    (subtractCounts(bi, db, Seq("wa", "wb"), "c2"),
+      subtractCounts(tri, dt, Seq("w1", "w2", "w3"), "c3"))
+  }
+}

@@ -236,6 +236,45 @@ object StreamingRetentionJob {
     graft.jobs.DeltaJob.admit(microBatch, corpusText, corpusBanded,
       lmUni, lmBi, lmTri, evalBloomWords, opts)
 
+  /** Checkpointed streaming ADMISSION over a file source — the
+    * end-to-end face of [[admitBatch]], and the failure-recovery story:
+    * the checkpoint tracks which source files each committed batch
+    * consumed, so a job killed between batches RESUMES from the next
+    * unprocessed file on restart — already-admitted batches are neither
+    * re-read nor re-admitted, and the union of admitted outputs across
+    * the kill is identical to an uninterrupted run (restart-parity
+    * spec-pinned). This matches the reference's abort-then-rerun
+    * compaction semantics (ref: FilteringSSTableScanner.java:205-224 —
+    * an aborted compaction leaves the originals in place and the next
+    * run redoes only that unit of work). `Trigger.AvailableNow` drains
+    * what is there and stops; re-invoking with the same checkpoint is
+    * the recurring-ingest loop. */
+  def runAdmission(
+      spark: SparkSession,
+      srcPath: String,
+      schema: StructType,
+      corpusText: DataFrame,
+      corpusBanded: DataFrame,
+      lmUni: DataFrame,
+      lmBi: DataFrame,
+      lmTri: DataFrame,
+      evalBloomWords: Array[Long],
+      admittedPath: String,
+      checkpoint: String,
+      opts: graft.jobs.DeltaJob.DeltaOptions =
+        graft.jobs.DeltaJob.DeltaOptions()): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitBatch(batch, corpusText, corpusBanded, lmUni, lmBi, lmTri,
+            evalBloomWords, opts)
+          .write.mode("append").parquet(admittedPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming curation — the streaming face of
     * [[graft.jobs.CurationJob]]: quality threshold → repetition caps
     * (both stateless map-only projections, identical expressions to the

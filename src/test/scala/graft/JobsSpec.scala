@@ -300,4 +300,102 @@ class JobsSpec extends SparkSpec {
     assert(m.forall { case (q, c, lp) =>
       q >= 900000L && c < 300000L && lp >= -3200000L })
   }
+  test("ArtifactRetention: banded-index delete \u2261 rebuild from survivors") {
+    import graft.jobs.ArtifactRetention
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx = Dedup.bandedSignatures(docs, "doc_id", "text", 3, 20, 10)
+    val convicted = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val maintained = ArtifactRetention.retainRows(idx, convicted, "doc_id")
+    val rebuilt = Dedup.bandedSignatures(
+      docs.join(convicted, Seq("doc_id"), "left_anti"),
+      "doc_id", "text", 3, 20, 10)
+    assert(maintained.except(rebuilt).count() == 0 &&
+      rebuilt.except(maintained).count() == 0)
+    assert(maintained.count() == rebuilt.count() && maintained.count() > 0)
+  }
+
+  test("ArtifactRetention: trigram subtract \u2261 rebuild, all three tables") {
+    import graft.jobs.ArtifactRetention
+    import graft.operators.LmScore
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (uni, bi, tri) = LmScore.buildTrigramModel(docs, "text")
+    val convicted = docs.filter(col("lang") === "de")
+    assert(convicted.count() > 0)
+    val (uniM, biM, triM) = ArtifactRetention.retainTrigramModel(
+      uni, bi, tri, convicted, "text")
+    val survivors = docs.filter(col("lang").isNull || col("lang") =!= "de")
+    val (uniR, biR, triR) = LmScore.buildTrigramModel(survivors, "text")
+    for ((m, r) <- Seq((uniM, uniR), (biM, biR), (triM, triR))) {
+      assert(m.except(r).count() == 0 && r.except(m).count() == 0)
+    }
+    // counts actually shrank (the shared vocabulary loses the de mass)
+    val sumC = (d: org.apache.spark.sql.DataFrame) =>
+      d.agg(org.apache.spark.sql.functions.sum("c1")).head().getLong(0)
+    assert(sumC(uniM) < sumC(uni))
+    // zero-count rows leave the table: convicting a doc with a unique
+    // vocabulary removes its words entirely
+    val two = Seq((1L, "qq ww ee qq"), (2L, "rr tt yy")).toDF("doc_id", "text")
+    val (u2, b2, t2) = LmScore.buildTrigramModel(two, "text")
+    val (u2M, _, _) = ArtifactRetention.retainTrigramModel(
+      u2, b2, t2, two.filter(col("doc_id") === 2), "text")
+    assert(u2M.select("w").collect().map(_.getString(0)).toSet ==
+      Set("qq", "ww", "ee"))
+  }
+
+  test("ArtifactRetention: IVF delete \u2261 survivor reassignment, fixed centroids") {
+    import graft.jobs.ArtifactRetention
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (cents0, assigned) = Similarity.buildIvfIndex(emb, nlist = 8)
+    val cents = cents0.localCheckpoint()
+    val convicted = emb.filter(col("vec_id") % 3 === 1).select("vec_id")
+    val maintained = ArtifactRetention
+      .retainRows(assigned, convicted, "vec_id").select("vec_id", "__list")
+    val rebuilt = Similarity.ivfAppendToIndex(
+        cents, emb.join(convicted, Seq("vec_id"), "left_anti"), metric = "dot")
+      .select("vec_id", "__list")
+    assert(maintained.except(rebuilt).count() == 0 &&
+      rebuilt.except(maintained).count() == 0)
+  }
+
+  test("conviction unblocks re-admission of a near-dup (DeltaJob end-to-end)") {
+    import graft.jobs.{ArtifactRetention, DeltaJob}
+    import graft.operators.{Dedup, LmScore, Sketches}
+    import org.apache.spark.sql.functions.{col, explode}
+    // ten synthetic docs with DISJOINT vocabularies (zero cross-doc
+    // shingle overlap — a rotation fixture would make every doc a
+    // near-dup of every other); doc 1 is the standing-corpus original
+    // the delta nearly duplicates
+    val corpus = (1 to 10).map { i =>
+      (i.toLong, (0 until 20).map(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val delta = Seq((100L, corpus.filter(col("doc_id") === 1)
+      .head().getString(1) + " uniform")).toDF("doc_id", "text")
+    val banded = Dedup.bandedSignatures(corpus, "doc_id", "text", 3, 20, 10)
+      .localCheckpoint()
+    val (uni, bi, tri) = LmScore.buildTrigramModel(corpus, "text")
+    val noEval = Sketches.bloomDenseWords(
+      Sketches.bloomBuild(Seq.empty[String].toDF("g"), "g", 4096, 3, 31L),
+      4096)
+    // gates 1-3 held open so the DEDUP gate is the one under test
+    val opts = DeltaJob.DeltaOptions(minQualityMu = 0L,
+      maxContamPpm = 2000000L, minMeanLpMu = Long.MinValue,
+      bloomMBits = 4096)
+    val before = DeltaJob.admit(delta, corpus, banded, uni, bi, tri,
+      noEval, opts)
+    assert(before.count() == 0) // suppressed: near-dup of standing doc 1
+    // retention convicts doc 1; index maintenance removes its signatures
+    val convicted = Seq(1L).toDF("doc_id")
+    val maintainedIdx = ArtifactRetention.retainRows(banded, convicted,
+      "doc_id")
+    val survivors = corpus.join(convicted, Seq("doc_id"), "left_anti")
+    val after = DeltaJob.admit(delta, survivors, maintainedIdx, uni, bi,
+      tri, noEval, opts)
+    assert(after.select("doc_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(100L)) // re-admitted once the convicted original is gone
+  }
 }

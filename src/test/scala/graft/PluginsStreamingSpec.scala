@@ -692,4 +692,52 @@ class StreamingSpec extends SparkSpec {
       assert(got("A") == batch("A") && got("B") == batch("B"))
     } finally q.stop()
   }
+  test("runAdmission survives a kill between batches: resume from checkpoint, no re-admission") {
+    import graft.operators.{Dedup, LmScore, Sketches}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).localCheckpoint()
+    val (uni0, bi0, tri0) = LmScore.buildTrigramModel(corpus, "text")
+    val (uni, bi, tri) =
+      (uni0.localCheckpoint(), bi0.localCheckpoint(), tri0.localCheckpoint())
+    val idx = Dedup.bandedSignatures(corpus, "doc_id", "text", 3, 20, 10)
+      .localCheckpoint()
+    val held = graft.operators.Sampling.hashSplit(docs, "doc_id",
+        Seq(("train", 0.95), ("heldout", 0.05)), seed = 7L)
+      .filter(col("split") === "heldout")
+    val words = Sketches.bloomDenseWords(
+      Sketches.bloomBuild(
+        held.select(explode(Dedup.shingles(col("text"), 3)).as("g")),
+        "g", 262144, 3, 31L), 262144)
+    val delta = docs.filter(col("doc_id") % 5 === 0).as[(Long, String)].collect()
+    val (b0, b1) = delta.partition(_._1 % 10 == 0)
+    val dir = Files.createTempDirectory("graft-admit-restart").toString
+    val src = s"$dir/src"
+    val schema = b0.toSeq.toDF("doc_id", "text").schema
+    def drain(): Unit = StreamingRetentionJob.runAdmission(
+      spark, src, schema, corpus, idx, uni, bi, tri, words,
+      admittedPath = s"$dir/admitted", checkpoint = s"$dir/cp")
+      .awaitTermination(180000)
+    // run 1 drains batch-1 files, then the job "dies" (AvailableNow stops)
+    b0.toSeq.toDF("doc_id", "text").write.parquet(src)
+    drain()
+    val afterRun1 = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    // restart against the SAME checkpoint with new files present:
+    // only the unprocessed files are read — nothing is re-admitted
+    b1.toSeq.toDF("doc_id", "text").write.mode("append").parquet(src)
+    drain()
+    val all = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(all.distinct.size == all.size) // no batch replayed twice
+    // admitted union across the kill == an uninterrupted per-batch run
+    def batchIds(rows: Array[(Long, String)]): Set[Long] =
+      graft.jobs.DeltaJob.admit(rows.toSeq.toDF("doc_id", "text"),
+          corpus, idx, uni, bi, tri, words)
+        .select("doc_id").as[Long].collect().toSet
+    val exp0 = batchIds(b0)
+    assert(afterRun1 == exp0)
+    assert(all.toSet == exp0 ++ batchIds(b1))
+    assert(all.nonEmpty)
+  }
 }
