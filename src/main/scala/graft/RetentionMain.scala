@@ -17,13 +17,24 @@ import org.apache.spark.sql.SparkSession
   *     pk=col1,col2 [ck=col3] [writetime=col] [rules_path=<parquet>] \
   *     [ttl_mode=true] [default_ttl=seconds] [dcs_is_dry_run=true] \
   *     [dcs_convictor=<class>] [dcs_status_report_ms=<ms>] \
-  *     [write_timestamp=<micros>] [job_start_ms=<ms>]
+  *     [write_timestamp=<micros>] [job_start_ms=<ms>] \
+  *     [maintained_out=<dir> [maintain_index=<banded parquet>]
+  *      [maintain_ivf=<assigned parquet>] [maintain_lm=<dir w/ uni,bi,tri>]
+  *      [id_col=doc_id] [text_col=text]]
   *
   * `dcs_status_report_ms` enables the A2 interval heartbeat;
   * `write_timestamp` stamps the Q7 writetime onto kept-side writes;
   * `job_start_ms` pins the T1 TTL base time (defaults to now — pass it
   * for reproducible runs/backfills).
-  */
+  *
+  * The `maintain_*` options close the deletion-side artifact loop (the
+  * reference's conviction-triggered index cleanup,
+  * FilteringSSTableScanner.java:135-193, applied to derived artifacts):
+  * the convicted key set is anti-joined out of the banded-signature /
+  * IVF tables and count-subtracted from the LM tables
+  * ([[graft.jobs.ArtifactRetention]]), written under `maintained_out`
+  * (`index/`, `ivf/`, `lm/{uni,bi,tri}`). Skipped on dry runs — a
+  * dry run convicts nothing. */
 object RetentionMain {
   def main(args: Array[String]): Unit = {
     // values may encode spaces as %20 (launchers like sbt split on spaces)
@@ -76,6 +87,8 @@ object RetentionMain {
         if (opts.contains(StrategyOptions.StatusReportKey))
           Some(graft.plans.StatusReporter.start(spark, strat.statusReportMs))
         else None
+      val jobStartMs = opts.get("job_start_ms").map(_.toLong)
+        .getOrElse(System.currentTimeMillis())
       val stats =
         try RetentionJob.run(
           spark, df, spec, rs,
@@ -83,10 +96,42 @@ object RetentionMain {
           backupPath = opts.get("backup").orElse(strat.backupDir),
           ttlMode = ttlMode,
           dryRun = strat.effectiveDryRun,
-          jobStartMs = opts.get("job_start_ms").map(_.toLong)
-            .getOrElse(System.currentTimeMillis()),
+          jobStartMs = jobStartMs,
           writeTimestampMicros = opts.get("write_timestamp").map(_.toLong))
         finally reporter.foreach(_.stop())
+      // deletion-side artifact maintenance on a LIVE run: subtract the
+      // convicted keys from the persisted derived artifacts
+      opts.get("maintained_out").foreach { outDir =>
+        import org.apache.spark.sql.functions.col
+        val (keepCol, mode) = RetentionJob.plan(df, spec, rs, ttlMode,
+          jobStartMs)
+        if (!mode.isDryRun && !strat.effectiveDryRun) {
+          val idCol = opts.getOrElse("id_col", "doc_id")
+          val convictedDocs = df.filter(!keepCol).localCheckpoint()
+          val convicted = convictedDocs.select(idCol).distinct()
+          opts.get("maintain_index").foreach { p =>
+            graft.jobs.ArtifactRetention
+              .retainRows(spark.read.parquet(p), convicted, idCol)
+              .write.mode("overwrite").parquet(s"$outDir/index")
+          }
+          opts.get("maintain_ivf").foreach { p =>
+            graft.jobs.ArtifactRetention
+              .retainRows(spark.read.parquet(p), convicted, idCol)
+              .write.mode("overwrite").parquet(s"$outDir/ivf")
+          }
+          opts.get("maintain_lm").foreach { p =>
+            val textCol = opts.getOrElse("text_col", "text")
+            val (u, b, t) = graft.jobs.ArtifactRetention.retainTrigramModel(
+              spark.read.parquet(s"$p/uni"), spark.read.parquet(s"$p/bi"),
+              spark.read.parquet(s"$p/tri"),
+              convictedDocs.select(col(idCol), col(textCol)), textCol)
+            u.write.mode("overwrite").parquet(s"$outDir/lm/uni")
+            b.write.mode("overwrite").parquet(s"$outDir/lm/bi")
+            t.write.mode("overwrite").parquet(s"$outDir/lm/tri")
+          }
+        } else System.err.println(
+          "[retention] dry run: artifact maintenance skipped")
+      }
       // one JSON status line, like the reference's interval stats log
       println(s"""{"kept":${stats.kept},"dropped":${stats.dropped},""" +
         s""""dryRun":${stats.mode.isDryRun || strat.effectiveDryRun},""" +
