@@ -755,6 +755,21 @@ object SparkEntry {
           readWide(s, dir, "documents"), "doc_id", "text",
           jaccardThreshold = 0.8)
         .select("doc_id", "lang", "source", "n_chars")),
+    // the NIGHTLY reconciliation capstone: one full-corpus near-dup
+    // resolution (the cross-batch dups no incremental path can see) +
+    // artifact rebuild, reported as exact integer counts. The oracle
+    // re-derives every number from the recursive-CTE dedup replay:
+    // survivors, index rows (= survivors x bands — one row per band per
+    // doc), LM vocabulary of the reconciled corpus.
+    "q_reconcile_report" -> ((s, dir) => {
+      import s.implicits._
+      val r = jobs.ReconcileJob.run(s, readWide(s, dir, "documents"),
+        "doc_id", "text", jaccardThreshold = 0.8)
+      Seq((r.stats.input, r.stats.dupDropped, r.stats.survivors,
+        r.stats.indexRows, r.stats.vocab))
+        .toDF("n_input", "n_dup_dropped", "n_survivors", "n_index_rows",
+          "n_vocab")
+    }),
     // incremental dedup: the new batch (doc_id ≡ 0 mod 5) dedups against
     // the standing corpus (the rest) via its banded-signature table, then
     // internally; the corpus is never self-joined. Surviving delta rows.
@@ -3697,6 +3712,41 @@ object SparkEntry {
            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a)
          SELECT doc_id, lang, source, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT a FROM reach GROUP BY a HAVING min(b) < a)""",
+    // the reconcile report re-derives from the SAME dedup replay:
+    // index rows = survivors x 10 bands, vocab over survivor tokens
+    "q_reconcile_report" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+               THEN list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               ELSE [array_to_string(ws, ' ')] END AS s
+           FROM w),
+         e AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+           WHERE len(list_intersect(a.s, b.s)) /
+               CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.8),
+         und AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+         reach AS (
+           SELECT a, b FROM und
+           UNION
+           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE u.b <> r.a),
+         surv AS (SELECT doc_id, text FROM documents
+           WHERE doc_id NOT IN (SELECT a FROM reach GROUP BY a HAVING min(b) < a)),
+         vocab AS (SELECT count(DISTINCT tok) AS v FROM (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM surv))
+         SELECT
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_input,
+           CAST((SELECT count(*) FROM documents) -
+                (SELECT count(*) FROM surv) AS BIGINT) AS n_dup_dropped,
+           CAST((SELECT count(*) FROM surv) AS BIGINT) AS n_survivors,
+           CAST((SELECT count(*) FROM surv) * 10 AS BIGINT) AS n_index_rows,
+           CAST((SELECT v FROM vocab) AS BIGINT) AS n_vocab""",
     // incremental replay with exact all-pairs Jaccard (the LSH misses a
     // J≥0.8 pair with negligible probability — same argument as
     // q_dedup_minhash_pairs): delta docs near a corpus doc drop first,

@@ -1,0 +1,106 @@
+package graft.jobs
+
+import graft.operators.{Dedup, LmScore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The nightly reconciliation — the batch complement that every
+  * incremental path in this library explicitly defers to
+  * ([[DeltaJob]]'s cross-batch-near-dup scope note,
+  * [[graft.streaming.StreamingRetentionJob.admitBatch]],
+  * [[graft.operators.Similarity.ivfAppendToIndex]]'s centroid-drift
+  * note). The reference has the same two-speed architecture: per-flush
+  * compactions do the incremental work and a full (major) compaction
+  * periodically re-establishes the global invariants
+  * (ref: DeletingCompactionStrategy.java:103-126 — conviction re-runs
+  * on every compaction, and only a compaction that sees ALL the data
+  * can resolve cross-SSTable state).
+  *
+  * What the incremental paths cannot do, and this job does:
+  *
+  *  1. **Cross-batch internal near-dups.** [[DeltaJob.admit]] dedups a
+  *     batch against the corpus and within itself, but two documents
+  *     admitted in DIFFERENT batches are never compared. One full
+  *     banded LSH pass over the corpus resolves them
+  *     ([[Dedup.nearDupDedup]] — bucketed candidates, exact Jaccard
+  *     verify, connected-component min-id survivors).
+  *  2. **Artifact rebuild from the reconciled corpus.** The banded
+  *     signature index and LM count tables rebuild from the survivors —
+  *     the ground truth the next day's incremental appends
+  *     ([[DeltaJob]]) and deletions ([[ArtifactRetention]]) maintain.
+  *  3. **Drift audit.** When the incrementally-maintained index is
+  *     passed in, the job reports exact row-level drift against the
+  *     rebuild (anti-joins on the full `(id, band, bucket)` key). For
+  *     deterministic artifacts the expected drift is EXACTLY the rows
+  *     of documents this reconciliation itself dropped (spec-pinned);
+  *     anything else means a maintenance bug upstream.
+  *
+  * IVF centroids deliberately rebuild elsewhere:
+  * [[graft.operators.Similarity.buildIvfIndexKmeans]] is the retrain
+  * (k-means is its own iterative job); this job owns the TEXT-derived
+  * artifacts whose incremental algebra is exact.
+  *
+  * Scale shape: one full-corpus pass — that is the point of NIGHTLY.
+  * Every stage is the already-audited linear machinery: banded LSH
+  * candidates (bucketed, never all-pairs), keyed count aggregations,
+  * keyed anti-joins for drift. No driver state beyond the bounded
+  * union-find fallback inside [[Dedup.resolveDuplicateGroups]]. */
+object ReconcileJob {
+
+  /** Exact-count report of one reconciliation (all actions eager). */
+  final case class ReconcileStats(
+      input: Long,
+      dupDropped: Long,
+      survivors: Long,
+      indexRows: Long,
+      vocab: Long,
+      driftOnlyMaintained: Long,
+      driftOnlyRebuilt: Long)
+
+  /** The reconciled corpus and the rebuilt artifacts (lazy frames). */
+  final case class ReconcileResult(
+      corpus: DataFrame,
+      banded: DataFrame,
+      lmUni: DataFrame,
+      lmBi: DataFrame,
+      lmTri: DataFrame,
+      stats: ReconcileStats)
+
+  def run(
+      spark: SparkSession,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      jaccardThreshold: Double = 0.8,
+      shingleN: Int = 3,
+      minhashK: Int = 20,
+      bands: Int = 10,
+      maintainedIndex: Option[DataFrame] = None): ReconcileResult = {
+    val input = corpus.count()
+    // 1. global near-dup resolution (the cross-batch pass)
+    val survivors = Dedup.nearDupDedup(corpus, idCol, textCol,
+      jaccardThreshold, shingleN, minhashK, bands).localCheckpoint()
+    val nSurv = survivors.count()
+    // 2. rebuild the deterministic artifacts from the reconciled corpus
+    val banded = Dedup.bandedSignatures(survivors, idCol, textCol,
+      shingleN, minhashK, bands).localCheckpoint()
+    val (uni, bi, tri) = LmScore.buildTrigramModel(survivors, textCol)
+    // 3. exact drift vs the incrementally-maintained index
+    val key = Seq(idCol, "band", "bucket")
+    val (onlyM, onlyR) = maintainedIndex match {
+      case Some(m) => (
+        m.join(banded, key, "left_anti").count(),
+        banded.join(m, key, "left_anti").count())
+      case None => (0L, 0L)
+    }
+    ReconcileResult(survivors, banded, uni, bi, tri,
+      ReconcileStats(
+        input = input,
+        dupDropped = input - nSurv,
+        survivors = nSurv,
+        indexRows = banded.count(),
+        vocab = uni.count(),
+        driftOnlyMaintained = onlyM,
+        driftOnlyRebuilt = onlyR))
+  }
+}

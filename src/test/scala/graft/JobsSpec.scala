@@ -398,4 +398,49 @@ class JobsSpec extends SparkSpec {
     assert(after.select("doc_id").collect().map(_.getLong(0)).toSeq ==
       Seq(100L)) // re-admitted once the convicted original is gone
   }
+  test("ReconcileJob: stats partition input; drift is exactly the dropped docs") {
+    import graft.jobs.{ArtifactRetention, ReconcileJob}
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    // the incremental day: corpus0 indexed, a delta appended (pure
+    // per-doc signatures - the append==rebuild path), one doc convicted
+    val corpus0 = (1 to 8).map { i =>
+      (i.toLong, (0 until 20).map(j => s"v${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val delta = Seq(
+      (9L, (0 until 20).map(j => s"v9_$j").mkString(" ")),
+      (10L, (0 until 20).map(j => s"v10_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val maintained = Dedup.bandedSignatures(corpus0, "doc_id", "text", 3, 20, 10)
+      .unionByName(Dedup.bandedSignatures(delta, "doc_id", "text", 3, 20, 10))
+    val convicted = Seq(3L).toDF("doc_id")
+    val maintained2 = ArtifactRetention.retainRows(maintained, convicted,
+      "doc_id").localCheckpoint()
+    val live = corpus0.unionByName(delta)
+      .join(convicted, Seq("doc_id"), "left_anti").localCheckpoint()
+    // dup-free corpus, exact incremental maintenance -> ZERO drift
+    val r = ReconcileJob.run(spark, live,
+      maintainedIndex = Some(maintained2))
+    assert(r.stats.input == 9 && r.stats.dupDropped == 0 &&
+      r.stats.survivors == 9)
+    assert(r.stats.indexRows == 9 * 10)
+    assert(r.stats.driftOnlyMaintained == 0 && r.stats.driftOnlyRebuilt == 0)
+    assert(r.stats.input == r.stats.dupDropped + r.stats.survivors)
+    // a cross-batch near-dup sneaks in (admitted in a later batch, so
+    // no incremental pass ever compared it to doc 5): reconciliation
+    // drops it, and the drift report shows EXACTLY its index rows
+    val dupRow = Seq((500L, live.filter(col("doc_id") === 5)
+      .head().getString(1) + " tail")).toDF("doc_id", "text")
+    val live2 = live.unionByName(dupRow)
+    val maintained3 = maintained2.unionByName(
+      Dedup.bandedSignatures(dupRow, "doc_id", "text", 3, 20, 10))
+    val r2 = ReconcileJob.run(spark, live2,
+      maintainedIndex = Some(maintained3))
+    assert(r2.stats.dupDropped == 1 && r2.stats.survivors == 9)
+    assert(r2.stats.driftOnlyMaintained == 10 && // the dropped doc's bands
+      r2.stats.driftOnlyRebuilt == 0)
+    // min-id survivor discipline: 5 stays, 500 goes
+    assert(r2.corpus.filter(col("doc_id") === 5L).count() == 1)
+    assert(r2.corpus.filter(col("doc_id") === 500L).count() == 0)
+  }
 }
