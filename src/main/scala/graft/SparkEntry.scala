@@ -977,6 +977,42 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_r"),
           col("rank"))
     }),
+    // RETRAIN-TRIGGER metric for the ANN maintenance loop: recall@10 of
+    // the STALE index (centroids trained before the drift batch; batch
+    // appended under fixed centroids — the incremental path) vs the
+    // FRESH rebuild (centroids re-derived over the full corpus), both
+    // against exact brute force. The gap is the measured cost of
+    // deferring the nightly retrain — the number that decides the
+    // retrain cadence. Integer ppm end-to-end.
+    "q_ann_index_drift" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val old = emb.filter(col("vec_id") % 5 =!= 4)
+      val delta = emb.filter(col("vec_id") % 5 === 4)
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val (centsOld, assignedOld) =
+        operators.Similarity.buildIvfIndex(old, nlist = 16)
+      val stale = assignedOld.unionByName(
+        operators.Similarity.ivfAppendToIndex(centsOld, delta, metric = "dot"))
+      val staleTop = operators.Similarity.ivfTopKFromIndex(
+        centsOld, stale, q, k = 10, nprobe = 4)
+      val (centsF, assignedF) =
+        operators.Similarity.buildIvfIndex(emb, nlist = 16)
+      val freshTop = operators.Similarity.ivfTopKFromIndex(
+        centsF, assignedF, q, k = 10, nprobe = 4)
+      val scored = emb.crossJoin(broadcast(q)).select(
+        col("query_id"), col("vec_id"),
+        round(operators.Similarity.cosine(
+          col("embedding").cast("array<double>"),
+          col("query_vec").cast("array<double>")), 6).as("cos_r"))
+      val exact = operators.Similarity.topKPerQuery(
+        scored, 10, "query_id", "cos_r", "vec_id")
+      val rStale = operators.Similarity.recallAtK(staleTop, exact, 10)
+        .select(col("query_id"), col("recall_ppm").as("stale_recall_ppm"))
+      val rFresh = operators.Similarity.recallAtK(freshTop, exact, 10)
+        .select(col("query_id"), col("recall_ppm").as("fresh_recall_ppm"))
+      rStale.join(rFresh, Seq("query_id"))
+    }),
     // metadata-FILTERED ANN: the corpus is restricted by a predicate
     // BEFORE the index derivation and probe join, so the parquet scan
     // prunes on the metadata column and the index only covers eligible
@@ -3845,6 +3881,63 @@ object SparkEntry {
     "q_sim_ann_ivf_retention" -> ivfOracleSql.replace(
       "FROM emb e),",
       "FROM emb e WHERE e.vec_id NOT BETWEEN 200 AND 399),"),
+    // stale-vs-fresh recall: both index pipelines replayed (old-corpus
+    // centroids assigning ALL vectors = the appended table; full-corpus
+    // centroids = the rebuild), recalls against the exact top-10
+    "q_ann_index_drift" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         old AS (SELECT * FROM emb WHERE vec_id % 5 <> 4),
+         so AS (SELECT greatest(1, (SELECT count(*) FROM old) // 16) AS step),
+         co AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+           FROM old, so WHERE vec_id % so.step = 0 ORDER BY vec_id LIMIT 16),
+         sa AS (SELECT e.vec_id, e.v,
+             (SELECT c.i FROM co c
+              ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC LIMIT 1) AS list
+           FROM emb e),
+         sfc AS (SELECT greatest(1, (SELECT count(*) FROM emb) // 16) AS step),
+         cf AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+           FROM emb, sfc WHERE vec_id % sfc.step = 0 ORDER BY vec_id LIMIT 16),
+         fa AS (SELECT e.vec_id, e.v,
+             (SELECT c.i FROM cf c
+              ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC LIMIT 1) AS list
+           FROM emb e),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+         pso AS (SELECT q.query_id, q.qv, c.i AS list FROM q, LATERAL (
+             SELECT i FROM co
+             ORDER BY list_dot_product(q.qv, co.v) DESC, i DESC LIMIT 4) c),
+         psf AS (SELECT q.query_id, q.qv, c.i AS list FROM q, LATERAL (
+             SELECT i FROM cf
+             ORDER BY list_dot_product(q.qv, cf.v) DESC, i DESC LIMIT 4) c),
+         stp AS (SELECT query_id, vec_id FROM (
+             SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY list_cosine_similarity(a.v, p.qv) DESC, a.vec_id)
+                 AS rn
+             FROM pso p JOIN sa a ON a.list = p.list) WHERE rn <= 10),
+         ftp AS (SELECT query_id, vec_id FROM (
+             SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY list_cosine_similarity(a.v, p.qv) DESC, a.vec_id)
+                 AS rn
+             FROM psf p JOIN fa a ON a.list = p.list) WHERE rn <= 10),
+         ex AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                   e.vec_id) AS rn
+             FROM emb e CROSS JOIN q) WHERE rn <= 10),
+         hs AS (SELECT query_id, count(*) AS n FROM ex
+           JOIN stp USING (query_id, vec_id) GROUP BY 1),
+         hf AS (SELECT query_id, count(*) AS n FROM ex
+           JOIN ftp USING (query_id, vec_id) GROUP BY 1),
+         ne AS (SELECT query_id, count(*) AS n FROM ex GROUP BY 1)
+         SELECT ne.query_id,
+           CAST(coalesce(hs.n, 0) * 1000000 // ne.n AS BIGINT)
+             AS stale_recall_ppm,
+           CAST(coalesce(hf.n, 0) * 1000000 // ne.n AS BIGINT)
+             AS fresh_recall_ppm
+         FROM ne LEFT JOIN hs USING (query_id) LEFT JOIN hf USING (query_id)""",
     // learned-centroid IVF replay: the kmeansCtes Lloyd rounds (k=8,
     // iters=2, exact integer micro-unit sums) produce cent1; assignment
     // and probe use the L2 surrogate `c·c − 2·v·c` the centroids were
