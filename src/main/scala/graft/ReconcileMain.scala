@@ -1,0 +1,75 @@
+package graft
+
+import graft.jobs.ReconcileJob
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point for the nightly reconciliation — the spark-submit
+  * surface for [[graft.jobs.ReconcileJob]], the batch complement the
+  * incremental commands ([[DeltaMain]] admission, [[RetentionMain]]
+  * deletion-side maintenance) defer cross-batch work to.
+  *
+  * Usage:
+  *   ReconcileMain corpus=<parquet> out=<dir> \
+  *     [maintained_index=<parquet>] [maintained_lm=<dir w/ uni,bi,tri>] \
+  *     [id=doc_id] [text=text] \
+  *     [jaccard=0.8] [shingle_n=3] [minhash_k=20] [bands=10]
+  *
+  * Writes the reconciled corpus and the rebuilt artifacts under `out`
+  * (`corpus/`, `index/`, `lm/{uni,bi,tri}`) — the ground truth the next
+  * day's incremental appends and deletions maintain — and prints one
+  * JSON stats line. When `maintained_index` is passed, the line also
+  * reports exact row-level drift of that incrementally-maintained index
+  * against the rebuild: for deterministic artifacts the expected
+  * `drift_only_maintained` is exactly the index rows of documents this
+  * reconciliation dropped, and `drift_only_rebuilt` is 0 — anything
+  * else is a maintenance bug upstream (the spec-pinned invariant). */
+object ReconcileMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad arg '$a' (want key=value)")
+      a.take(i) -> a.drop(i + 1).replace("%20", " ")
+    }.toMap
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-reconcile")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val out = opts("out")
+      val r = ReconcileJob.run(
+        spark,
+        corpus = spark.read.parquet(opts("corpus")),
+        idCol = opts.getOrElse("id", "doc_id"),
+        textCol = opts.getOrElse("text", "text"),
+        jaccardThreshold = opts.getOrElse("jaccard", "0.8").toDouble,
+        shingleN = opts.getOrElse("shingle_n", "3").toInt,
+        minhashK = opts.getOrElse("minhash_k", "20").toInt,
+        bands = opts.getOrElse("bands", "10").toInt,
+        maintainedIndex = opts.get("maintained_index")
+          .map(spark.read.parquet(_)),
+        maintainedLm = opts.get("maintained_lm").map(d =>
+          (spark.read.parquet(s"$d/uni"), spark.read.parquet(s"$d/bi"),
+            spark.read.parquet(s"$d/tri"))))
+      r.corpus.write.mode("overwrite").parquet(s"$out/corpus")
+      r.banded.write.mode("overwrite").parquet(s"$out/index")
+      r.lmUni.write.mode("overwrite").parquet(s"$out/lm/uni")
+      r.lmBi.write.mode("overwrite").parquet(s"$out/lm/bi")
+      r.lmTri.write.mode("overwrite").parquet(s"$out/lm/tri")
+      val st = r.stats
+      println(s"""{"input":${st.input},"dupDropped":${st.dupDropped},""" +
+        s""""survivors":${st.survivors},"indexRows":${st.indexRows},""" +
+        s""""vocab":${st.vocab},""" +
+        s""""driftOnlyMaintained":${st.driftOnlyMaintained},""" +
+        s""""driftOnlyRebuilt":${st.driftOnlyRebuilt},""" +
+        s""""lmDriftOnlyMaintained":${st.lmDriftOnlyMaintained},""" +
+        s""""lmDriftOnlyRebuilt":${st.lmDriftOnlyRebuilt}}""")
+    } finally spark.stop()
+  }
+}

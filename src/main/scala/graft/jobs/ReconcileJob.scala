@@ -28,12 +28,16 @@ import org.apache.spark.sql.functions._
   *     signature index and LM count tables rebuild from the survivors —
   *     the ground truth the next day's incremental appends
   *     ([[DeltaJob]]) and deletions ([[ArtifactRetention]]) maintain.
-  *  3. **Drift audit.** When the incrementally-maintained index is
-  *     passed in, the job reports exact row-level drift against the
-  *     rebuild (anti-joins on the full `(id, band, bucket)` key). For
-  *     deterministic artifacts the expected drift is EXACTLY the rows
-  *     of documents this reconciliation itself dropped (spec-pinned);
-  *     anything else means a maintenance bug upstream.
+  *  3. **Drift audit.** When the incrementally-maintained artifacts
+  *     are passed in, the job reports exact row-level drift against the
+  *     rebuild (anti-joins on the full row key). For the signature
+  *     index the expected drift is EXACTLY the rows of documents this
+  *     reconciliation itself dropped (spec-pinned); anything else means
+  *     a maintenance bug upstream. For the LM count tables, exact
+  *     subtraction-maintained artifacts drift 0 (spec-pinned), while a
+  *     corpus grown through [[DeltaJob]] admissions shows its LM
+  *     staleness — admissions append to the signature index but the
+  *     count tables wait for this rebuild.
   *
   * IVF centroids deliberately rebuild elsewhere:
   * [[graft.operators.Similarity.buildIvfIndexKmeans]] is the retrain
@@ -55,7 +59,9 @@ object ReconcileJob {
       indexRows: Long,
       vocab: Long,
       driftOnlyMaintained: Long,
-      driftOnlyRebuilt: Long)
+      driftOnlyRebuilt: Long,
+      lmDriftOnlyMaintained: Long = 0L,
+      lmDriftOnlyRebuilt: Long = 0L)
 
   /** The reconciled corpus and the rebuilt artifacts (lazy frames). */
   final case class ReconcileResult(
@@ -75,7 +81,9 @@ object ReconcileJob {
       shingleN: Int = 3,
       minhashK: Int = 20,
       bands: Int = 10,
-      maintainedIndex: Option[DataFrame] = None): ReconcileResult = {
+      maintainedIndex: Option[DataFrame] = None,
+      maintainedLm: Option[(DataFrame, DataFrame, DataFrame)] = None)
+      : ReconcileResult = {
     val input = corpus.count()
     // 1. global near-dup resolution (the cross-batch pass)
     val survivors = Dedup.nearDupDedup(corpus, idCol, textCol,
@@ -93,6 +101,22 @@ object ReconcileJob {
         banded.join(m, key, "left_anti").count())
       case None => (0L, 0L)
     }
+    // LM drift: full-row anti-joins (keys + count) per table, summed.
+    // With exact incremental maintenance (ArtifactRetention subtraction)
+    // and no cross-batch dups dropped, both sides are 0 (spec-pinned);
+    // a corpus that grew through DeltaJob admissions shows its LM
+    // staleness here — DeltaJob appends to the signature index but the
+    // count tables wait for this nightly rebuild.
+    val (lmM, lmR) = maintainedLm match {
+      case Some((mu, mb, mt)) =>
+        val pairs = Seq(
+          (mu, uni, Seq("w", "c1")),
+          (mb, bi, Seq("wa", "wb", "c2")),
+          (mt, tri, Seq("w1", "w2", "w3", "c3")))
+        (pairs.map { case (m, r, k) => m.join(r, k, "left_anti").count() }.sum,
+          pairs.map { case (m, r, k) => r.join(m, k, "left_anti").count() }.sum)
+      case None => (0L, 0L)
+    }
     ReconcileResult(survivors, banded, uni, bi, tri,
       ReconcileStats(
         input = input,
@@ -101,6 +125,8 @@ object ReconcileJob {
         indexRows = banded.count(),
         vocab = uni.count(),
         driftOnlyMaintained = onlyM,
-        driftOnlyRebuilt = onlyR))
+        driftOnlyRebuilt = onlyR,
+        lmDriftOnlyMaintained = lmM,
+        lmDriftOnlyRebuilt = lmR))
   }
 }

@@ -418,13 +418,24 @@ class JobsSpec extends SparkSpec {
       "doc_id").localCheckpoint()
     val live = corpus0.unionByName(delta)
       .join(convicted, Seq("doc_id"), "left_anti").localCheckpoint()
+    // exact incremental LM maintenance: model of corpus0+delta with the
+    // convicted doc's counts subtracted
+    import graft.operators.LmScore
+    val (mu0, mb0, mt0) = LmScore.buildTrigramModel(
+      corpus0.unionByName(delta), "text")
+    val (mu, mb, mt) = ArtifactRetention.retainTrigramModel(
+      mu0, mb0, mt0, corpus0.filter(col("doc_id") === 3L), "text")
     // dup-free corpus, exact incremental maintenance -> ZERO drift
     val r = ReconcileJob.run(spark, live,
-      maintainedIndex = Some(maintained2))
+      maintainedIndex = Some(maintained2),
+      maintainedLm = Some((mu.localCheckpoint(), mb.localCheckpoint(),
+        mt.localCheckpoint())))
     assert(r.stats.input == 9 && r.stats.dupDropped == 0 &&
       r.stats.survivors == 9)
     assert(r.stats.indexRows == 9 * 10)
     assert(r.stats.driftOnlyMaintained == 0 && r.stats.driftOnlyRebuilt == 0)
+    assert(r.stats.lmDriftOnlyMaintained == 0 &&
+      r.stats.lmDriftOnlyRebuilt == 0)
     assert(r.stats.input == r.stats.dupDropped + r.stats.survivors)
     // a cross-batch near-dup sneaks in (admitted in a later batch, so
     // no incremental pass ever compared it to doc 5): reconciliation
