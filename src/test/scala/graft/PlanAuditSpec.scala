@@ -511,4 +511,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+  test("index retention: convicted keys broadcast into a hash ANTI join") {
+    // deletion is index \ convicted — the convicted key set is the small
+    // side by construction (one retention run's victims vs the corpus
+    // index), so it must broadcast; a sort-merge anti join would shuffle
+    // the full index for a key set that fits in one task
+    val plan = formatted("q_dedup_index_retention")
+    assert(plan.contains("BroadcastHashJoin LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("LM retention: the convicted slice's counts broadcast into the subtraction join") {
+    // subtractCounts left-joins the artifact against the CONVICTED
+    // docs' own count table — |convicted|-bounded, so broadcast; the
+    // vocabulary-sized artifact side streams through map tasks
+    val plan = formatted("q_lm_model_retention")
+    assert(plan.contains("BroadcastHashJoin LeftOuter"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
