@@ -467,4 +467,45 @@ class PipelinePropertySpec extends AnyFunSuite {
       assert(out2.map(r => r._1 -> r).toMap == byG, s"case $i order-dependent")
     }
   }
+  test("deletion algebra: subtract ≡ rebuild and anti-join ≡ rebuild on random corpora") {
+    import graft.jobs.ArtifactRetention
+    import graft.operators.{Dedup, LmScore}
+    // random docs over a tiny vocabulary so n-grams COLLIDE across docs
+    // (the shared-count case the fixed fixture can't stress), plus edge
+    // docs: empty text, 1-2 tokens (below bigram/trigram thresholds)
+    val genDocs: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.chooseNum(2, 14)
+      texts <- Gen.listOfN(n, for {
+        w <- Gen.chooseNum(0, 9)
+        words <- Gen.listOfN(w, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+      } yield words.mkString(" "))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for ((corpus, i) <- samples(genDocs, 6).zipWithIndex) {
+      val df = corpus.toDF("doc_id", "text").localCheckpoint()
+      // convict a pseudo-random ~third of the docs, never all of them
+      val convictedIds = corpus.map(_._1).filter(id => (id * 7 + i) % 3 == 0)
+        .take(corpus.size - 1)
+      val convicted = df.filter(col("doc_id").isInCollection(
+        if (convictedIds.isEmpty) Seq(-1L) else convictedIds))
+      val survivors = df.filter(!col("doc_id").isInCollection(
+        if (convictedIds.isEmpty) Seq(-1L) else convictedIds))
+      // LM counts: subtract ≡ rebuild, all three tables
+      val (u0, b0, t0) = LmScore.buildTrigramModel(df, "text")
+      val (uM, bM, tM) = ArtifactRetention.retainTrigramModel(
+        u0, b0, t0, convicted, "text")
+      val (uR, bR, tR) = LmScore.buildTrigramModel(survivors, "text")
+      for (((m, r), tag) <- Seq((uM, uR), (bM, bR), (tM, tR))
+          .zip(Seq("uni", "bi", "tri"))) {
+        assert(m.except(r).count() == 0 && r.except(m).count() == 0,
+          s"case $i table $tag: subtract != rebuild")
+      }
+      // banded index: anti-join ≡ rebuild (fixed hash seeds)
+      val idx = Dedup.bandedSignatures(df, "doc_id", "text", 3, 8, 4)
+      val idxM = ArtifactRetention.retainRows(idx,
+        convicted.select("doc_id"), "doc_id")
+      val idxR = Dedup.bandedSignatures(survivors, "doc_id", "text", 3, 8, 4)
+      assert(idxM.except(idxR).count() == 0 &&
+        idxR.except(idxM).count() == 0, s"case $i: index delete != rebuild")
+    }
+  }
 }
