@@ -2699,6 +2699,22 @@ object SparkEntry {
         s.read.parquet(s"$art/tri"), convicted, "text")
       uniM.select("w", "c1")
     }),
+    // admission-side LM maintenance — the addCounts twin of the
+    // subtraction above: build the delta's own count tables and add
+    // bucket-wise (O(|delta|) + one keyed aggregation; the corpus text
+    // is never re-read). The oracle rebuilds the unigram table from
+    // corpus ∪ delta in SQL, so a green hash proves append ≡ rebuild
+    // cross-engine; bi/tri equivalence and the full admit→convict
+    // interleaving are pinned in LifecycleSpec.
+    "q_lm_model_append" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val delta = docs.filter(col("doc_id") % 5 === 0)
+      val (uni, bi, tri) = operators.LmScore.buildTrigramModel(corpus, "text")
+      val (uniA, _, _) = jobs.ArtifactRetention.appendTrigramModel(
+        uni, bi, tri, delta, "text")
+      uniA.select("w", "c1")
+    }),
     // DoReMi-lite per-domain mixture weights from the quality score:
     // √-tempered mean score per source, normalized to micro-units —
     // one agg to |domains| rows + a broadcast 1-row normalizer
@@ -7104,6 +7120,13 @@ object SparkEntry {
     "q_lm_model_retention" ->
       """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
              FROM documents WHERE lang IS NULL OR lang <> 'de')
+         SELECT w, CAST(count(*) AS BIGINT) AS c1
+         FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1""",
+    // full-table rebuild: corpus (id%5!=0) plus delta (id%5==0) is the
+    // whole documents table — green hash ≡ append ≡ rebuild
+    "q_lm_model_append" ->
+      """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+             FROM documents)
          SELECT w, CAST(count(*) AS BIGINT) AS c1
          FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1""",
     // √-tempered mean micro-score per source, normalized; divisions

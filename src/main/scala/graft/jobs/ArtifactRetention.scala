@@ -38,6 +38,12 @@ import org.apache.spark.sql.functions._
   *    EVAL set (membership of eval shingles, not corpus docs), which
   *    conviction of corpus documents does not change.
   *
+  * The count algebra cuts both ways: [[addCounts]]/[[appendTrigramModel]]
+  * are the admission-side twins, so a pipeline that appends on admit and
+  * subtracts on convict keeps its LM artifact EXACT between nightly
+  * rebuilds (drift report reads 0) — the group structure the
+  * lifecycle spec pins end-to-end.
+  *
   * Scale shape: every operation is O(|convicted|) + one key-partitioned
   * join against the artifact — the corpus text is never re-read, no
   * artifact is rebuilt, no driver state. At 100 TB this is the difference
@@ -72,6 +78,44 @@ object ArtifactRetention {
       .withColumn(cntCol, col(cntCol) - coalesce(col("__sub"), lit(0L)))
       .filter(col(cntCol) > 0)
       .drop("__sub")
+
+  /** Count-table append — the admission-side twin of [[subtractCounts]]
+    * (the count algebra is an abelian group: append on admission,
+    * subtract on conviction, bucket-wise merge across shards — all
+    * exact integer operations, so maintained ≡ rebuilt under ANY
+    * interleaving). `add` must aggregate the same key columns with the
+    * same counting rule as the artifact; [[appendTrigramModel]]
+    * guarantees that by reusing the build functions on the admitted
+    * slice. O(|admitted|) + one keyed aggregation. */
+  def addCounts(
+      artifact: DataFrame,
+      add: DataFrame,
+      keyCols: Seq[String],
+      cntCol: String): DataFrame = {
+    val cols = keyCols :+ cntCol
+    artifact.selectExpr(cols: _*)
+      .unionByName(add.selectExpr(cols: _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(cntCol).as(cntCol))
+  }
+
+  /** Trigram-model maintenance on ADMISSION: build the admitted docs'
+    * own count tables (O(|admitted|)) and add. Result ≡
+    * [[LmScore.buildTrigramModel]] over corpus ∪ admitted — so a
+    * [[DeltaJob]] pipeline that appends here keeps its LM artifact
+    * exact and [[ReconcileJob]]'s LM drift report reads 0 instead of
+    * the admitted docs' staleness. */
+  def appendTrigramModel(
+      uni: DataFrame,
+      bi: DataFrame,
+      tri: DataFrame,
+      admittedDocs: DataFrame,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val (au, ab, at) = LmScore.buildTrigramModel(admittedDocs, textCol)
+    (addCounts(uni, au, Seq("w"), "c1"),
+      addCounts(bi, ab, Seq("wa", "wb"), "c2"),
+      addCounts(tri, at, Seq("w1", "w2", "w3"), "c3"))
+  }
 
   /** Trigram-model maintenance on conviction: build the convicted docs'
     * own three count tables (O(|convicted|)) and subtract. Result ≡

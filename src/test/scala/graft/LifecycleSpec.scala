@@ -1,0 +1,155 @@
+package graft
+
+import graft.jobs.{ArtifactRetention, DeltaJob, ReconcileJob}
+import graft.operators.{Dedup, LmScore, Sketches}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The corpus lifecycle end-to-end: N days of admissions ([[DeltaJob]])
+  * and convictions ([[ArtifactRetention]]) with exact artifact
+  * maintenance on BOTH sides, closed by the nightly [[ReconcileJob]].
+  * This is the integration twin of the per-job specs — it pins the
+  * GLOBAL invariants the reference's compaction model guarantees
+  * (per-flush incremental work + a major compaction that re-establishes
+  * the world, DeletingCompactionStrategy.java:103-126):
+  *
+  *  - id accounting: live = initial ∪ admitted ∖ convicted, every day;
+  *  - maintained signature index ≡ rebuild from live, every day
+  *    (append on admit + anti-join on convict, both exact);
+  *  - maintained LM tables ≡ rebuild from live, every day
+  *    (addCounts on admit + subtractCounts on convict — the abelian
+  *    group survives arbitrary interleaving);
+  *  - the nightly reconcile over a correctly-maintained world reports
+  *    ZERO drift and drops nothing;
+  *  - a maintenance LAPSE (a batch admitted without artifact appends)
+  *    is exactly what the drift report names: index drift = the lapsed
+  *    docs' band rows on the rebuilt side, LM drift = their vocabulary
+  *    staleness.
+  */
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def baseDoc(id: Long): (Long, String) =
+    (id, (0 until 20).map(j => s"w${id}_$j").mkString(" "))
+
+  /** A fresh admissible doc: first 10 words of base doc `a` + first 10
+    * of base doc `b`. Its trigrams are in-model (only the 2 seam
+    * trigrams are unseen — the scorer's inner join just skips them), and
+    * its 3-shingle Jaccard vs any single source is 8/28 ≈ 0.29 < 0.8, so
+    * it clears both the model gate and the near-dup gate. */
+  private def remixDoc(id: Long, a: Long, b: Long): (Long, String) = {
+    def half(i: Long) = (0 until 10).map(j => s"w${i}_$j")
+    (id, (half(a) ++ half(b)).mkString(" "))
+  }
+
+  private def assertFrameEq(m: DataFrame, r: DataFrame, what: String): Unit =
+    assert(m.except(r).count() == 0 && r.except(m).count() == 0,
+      s"$what: maintained differs from rebuild")
+
+  test("3-day admit/convict lifecycle keeps every artifact exact; nightly reconcile reports zero drift") {
+    // day 0: twelve docs with disjoint vocabularies (zero cross-doc
+    // shingle overlap keeps near-dup semantics deterministic)
+    var live = (1 to 12).map(i => baseDoc(i.toLong))
+      .toDF("doc_id", "text").localCheckpoint()
+    var banded = Dedup.bandedSignatures(live, "doc_id", "text", 3, 20, 10)
+      .localCheckpoint()
+    var (uni, bi, tri) = LmScore.buildTrigramModel(live, "text")
+    uni = uni.localCheckpoint(); bi = bi.localCheckpoint()
+    tri = tri.localCheckpoint()
+    val noEval = Sketches.bloomDenseWords(
+      Sketches.bloomBuild(Seq.empty[String].toDF("g"), "g", 4096, 3, 31L),
+      4096)
+    // quality/contam/model gates held open: admission is governed by
+    // the dedup gate, whose index this lifecycle maintains
+    val opts = DeltaJob.DeltaOptions(minQualityMu = 0L,
+      maxContamPpm = 2000000L, minMeanLpMu = Long.MinValue,
+      bloomMBits = 4096)
+
+    var expectedIds = (1 to 12).map(_.toLong).toSet
+    for (day <- 1 to 3) {
+      // the day's delta: two fresh remixes (distinct never-convicted
+      // source pairs per day; cross-day remix overlap tops out at
+      // Jaccard 8/28) + one near-dup of a live doc
+      val srcs = Seq(Seq((4L, 5L), (6L, 7L)), Seq((8L, 9L), (10L, 11L)),
+        Seq((4L, 6L), (5L, 7L)))(day - 1)
+      val dupOf = live.filter(col("doc_id") === day.toLong)
+        .head().getString(1) + " tail"
+      val delta = (Seq(
+        remixDoc(100L * day + 1, srcs(0)._1, srcs(0)._2),
+        remixDoc(100L * day + 2, srcs(1)._1, srcs(1)._2)) :+
+        ((100L * day + 3, dupOf))).toDF("doc_id", "text")
+      val (admitted, stats) = DeltaJob.run(spark, delta, live, banded,
+        uni, bi, tri, noEval, opts)
+      assert(stats.admitted == 2 && stats.nearDup == 1,
+        s"day $day: gate attribution (got $stats)")
+      // admission-side maintenance: signature append + LM count append
+      banded = banded.unionByName(
+          Dedup.bandedSignatures(admitted, "doc_id", "text", 3, 20, 10))
+        .localCheckpoint()
+      val lmA = ArtifactRetention.appendTrigramModel(uni, bi, tri,
+        admitted, "text")
+      live = live.unionByName(admitted.select("doc_id", "text"))
+      expectedIds ++= Set(100L * day + 1, 100L * day + 2)
+      // conviction: retention retires one of the original docs
+      val convicted = Seq(day.toLong).toDF("doc_id")
+      banded = ArtifactRetention.retainRows(banded, convicted, "doc_id")
+        .localCheckpoint()
+      val convDocs = live.join(convicted, Seq("doc_id"), "left_semi")
+      val lmM = ArtifactRetention.retainTrigramModel(
+        lmA._1, lmA._2, lmA._3, convDocs, "text")
+      uni = lmM._1.localCheckpoint(); bi = lmM._2.localCheckpoint()
+      tri = lmM._3.localCheckpoint()
+      live = live.join(convicted, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      expectedIds -= day.toLong
+      // daily invariants: accounting + maintained ≡ rebuilt, everywhere
+      assert(live.select("doc_id").as[Long].collect().toSet == expectedIds,
+        s"day $day: id accounting")
+      assertFrameEq(banded,
+        Dedup.bandedSignatures(live, "doc_id", "text", 3, 20, 10),
+        s"day $day signature index")
+      val (ru, rb, rt) = LmScore.buildTrigramModel(live, "text")
+      assertFrameEq(uni, ru, s"day $day unigram")
+      assertFrameEq(bi, rb, s"day $day bigram")
+      assertFrameEq(tri, rt, s"day $day trigram")
+    }
+
+    // nightly: a correctly-maintained world reconciles to itself
+    val r = ReconcileJob.run(spark, live,
+      maintainedIndex = Some(banded), maintainedLm = Some((uni, bi, tri)))
+    assert(r.stats.input == expectedIds.size && r.stats.dupDropped == 0)
+    assert(r.stats.driftOnlyMaintained == 0 && r.stats.driftOnlyRebuilt == 0)
+    assert(r.stats.lmDriftOnlyMaintained == 0 &&
+      r.stats.lmDriftOnlyRebuilt == 0)
+
+    // day 4, with a LAPSE: the batch is admitted but nobody appends the
+    // artifacts. The next reconcile must name exactly that gap.
+    val lapse = Seq(remixDoc(401L, 8L, 10L)).toDF("doc_id", "text")
+    val (admitted4, stats4) = DeltaJob.run(spark, lapse, live, banded,
+      uni, bi, tri, noEval, opts)
+    assert(stats4.admitted == 1)
+    val live4 = live.unionByName(admitted4.select("doc_id", "text"))
+      .localCheckpoint()
+    val r4 = ReconcileJob.run(spark, live4,
+      maintainedIndex = Some(banded), maintainedLm = Some((uni, bi, tri)))
+    assert(r4.stats.dupDropped == 0)
+    // index drift: the lapsed doc's 10 band rows exist only in the rebuild
+    assert(r4.stats.driftOnlyMaintained == 0 &&
+      r4.stats.driftOnlyRebuilt == 10)
+    // LM drift: the lapsed doc shifts counts of SHARED n-gram rows, so
+    // the old-count rows show as only-maintained and the new-count rows
+    // (plus its unseen seam trigrams) as only-rebuilt — staleness is
+    // visible from both sides
+    assert(r4.stats.lmDriftOnlyMaintained > 0 &&
+      r4.stats.lmDriftOnlyRebuilt > r4.stats.lmDriftOnlyMaintained)
+    // adopting the reconcile's rebuilt artifacts heals the lapse
+    val r5 = ReconcileJob.run(spark, r4.corpus,
+      maintainedIndex = Some(r4.banded.localCheckpoint()),
+      maintainedLm = Some((r4.lmUni.localCheckpoint(),
+        r4.lmBi.localCheckpoint(), r4.lmTri.localCheckpoint())))
+    assert(r5.stats.driftOnlyMaintained == 0 &&
+      r5.stats.driftOnlyRebuilt == 0 &&
+      r5.stats.lmDriftOnlyMaintained == 0 &&
+      r5.stats.lmDriftOnlyRebuilt == 0)
+  }
+}
