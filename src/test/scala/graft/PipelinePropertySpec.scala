@@ -508,4 +508,57 @@ class PipelinePropertySpec extends AnyFunSuite {
         idxR.except(idxM).count() == 0, s"case $i: index delete != rebuild")
     }
   }
+
+  test("count-group algebra: random admit/convict interleavings stay exact") {
+    import graft.jobs.ArtifactRetention
+    import graft.operators.LmScore
+    // The abelian-group claim behind incremental LM maintenance: ANY
+    // interleaving of appendTrigramModel (admission) and
+    // retainTrigramModel (conviction) equals a rebuild from the final
+    // live set. Tiny vocabulary so counts collide and cross zero.
+    val genPool: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.chooseNum(8, 16)
+      texts <- Gen.listOfN(n, for {
+        w <- Gen.chooseNum(0, 8)
+        words <- Gen.listOfN(w, Gen.oneOf("aa", "bb", "cc", "dd"))
+      } yield words.mkString(" "))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for ((pool, i) <- samples(genPool, 5).zipWithIndex) {
+      val (initial, future) = pool.splitAt(pool.size / 2)
+      var live = initial.toDF("doc_id", "text").localCheckpoint()
+      var (u, b, t) = LmScore.buildTrigramModel(live, "text")
+      var pending = future
+      var step = 0
+      while (pending.nonEmpty || step == 0) {
+        // admit the next chunk of unseen docs (size varies per step)
+        val (batch, rest) = pending.splitAt(1 + (i + step) % 3)
+        if (batch.nonEmpty) {
+          val bdf = batch.toDF("doc_id", "text")
+          val a = ArtifactRetention.appendTrigramModel(u, b, t, bdf, "text")
+          u = a._1.localCheckpoint(); b = a._2.localCheckpoint()
+          t = a._3.localCheckpoint()
+          live = live.unionByName(bdf).localCheckpoint()
+        }
+        pending = rest
+        // convict a pseudo-random live subset (sometimes empty)
+        val ids = live.select("doc_id").as[Long].collect()
+          .filter(id => (id * 11 + i + step) % 4 == 0)
+        if (ids.nonEmpty && ids.length < live.count()) {
+          val conv = live.filter(col("doc_id").isInCollection(ids))
+          val m = ArtifactRetention.retainTrigramModel(u, b, t, conv, "text")
+          u = m._1.localCheckpoint(); b = m._2.localCheckpoint()
+          t = m._3.localCheckpoint()
+          live = live.filter(!col("doc_id").isInCollection(ids))
+            .localCheckpoint()
+        }
+        step += 1
+      }
+      val (uR, bR, tR) = LmScore.buildTrigramModel(live, "text")
+      for (((m, r), tag) <- Seq((u, uR), (b, bR), (t, tR))
+          .zip(Seq("uni", "bi", "tri"))) {
+        assert(m.except(r).count() == 0 && r.except(m).count() == 0,
+          s"case $i table $tag after $step steps: maintained != rebuild")
+      }
+    }
+  }
 }
