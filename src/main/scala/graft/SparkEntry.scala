@@ -2715,6 +2715,59 @@ object SparkEntry {
         uni, bi, tri, delta, "text")
       uniA.select("w", "c1")
     }),
+    // versioned artifact store (the reference's rewrite-then-atomic-swap
+    // SSTable lifecycle applied to derived artifacts): publish the
+    // unigram LM as generation 1, convict doc_id % 7 == 0 and publish
+    // the subtraction-maintained table as generation 2, then answer
+    // "what left the model between v1 and v2?" purely from the store's
+    // time-travel reads. The oracle rebuilds the convicted slice's
+    // counts from the base table, so a green hash proves
+    // v1 − v2 ≡ build(convicted) cross-engine — the generations carry
+    // the exact deletion algebra. A fresh temp store per invocation
+    // keeps version numbers deterministic under bench re-runs.
+    "q_artifact_timetravel" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-store-tt").toString
+      val (uni, _, _) = operators.LmScore.buildTrigramModel(docs, "text")
+      val v1 = jobs.ArtifactStore.publish(s, store, Seq("uni" -> uni))
+      val convicted = docs.filter(col("doc_id") % 7 === 0)
+      val (dUni, _, _) =
+        operators.LmScore.buildTrigramModel(convicted, "text")
+      val uniM = jobs.ArtifactRetention.subtractCounts(
+        jobs.ArtifactStore.read(s, store, "uni", Some(v1)),
+        dUni, Seq("w"), "c1")
+      val v2 = jobs.ArtifactStore.publish(s, store, Seq("uni" -> uniM))
+      val a = jobs.ArtifactStore.read(s, store, "uni", Some(v1))
+      val b = jobs.ArtifactStore.read(s, store, "uni", Some(v2))
+      a.join(b.withColumnRenamed("c1", "__c2"), Seq("w"), "left")
+        .select(col("w"),
+          (col("c1") - coalesce(col("__c2"), lit(0L))).as("c_removed"))
+        .filter(col("c_removed") > 0)
+    }),
+    // the store's audit surface: per-generation manifest rows (row
+    // count + order-free 60-bit md5/xor content checksum, the
+    // shardManifest algebra) for the same two-generation lifecycle —
+    // the oracle recomputes BOTH generations' counts and checksums from
+    // the base table in SQL, so a green hash proves the driver-written
+    // manifest metadata replays cross-engine, not just the data dirs.
+    "q_artifact_manifest" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-store-mf").toString
+      val (uni, _, _) = operators.LmScore.buildTrigramModel(docs, "text")
+      val v1 = jobs.ArtifactStore.publish(s, store, Seq("uni" -> uni))
+      val convicted = docs.filter(col("doc_id") % 7 === 0)
+      val (dUni, _, _) =
+        operators.LmScore.buildTrigramModel(convicted, "text")
+      val uniM = jobs.ArtifactRetention.subtractCounts(
+        jobs.ArtifactStore.read(s, store, "uni", Some(v1)),
+        dUni, Seq("w"), "c1")
+      jobs.ArtifactStore.publish(s, store, Seq("uni" -> uniM))
+      jobs.ArtifactStore.manifests(s, store)
+        .select(col("version"), col("artifact"),
+          col("rows").as("n_rows"), col("checksum"))
+    }),
     // DoReMi-lite per-domain mixture weights from the quality score:
     // √-tempered mean score per source, normalized to micro-units —
     // one agg to |domains| rows + a broadcast 1-row normalizer
@@ -7129,6 +7182,40 @@ object SparkEntry {
              FROM documents)
          SELECT w, CAST(count(*) AS BIGINT) AS c1
          FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1""",
+    // the store's v1−v2 per-word diff ≡ the convicted slice's own
+    // unigram counts (subtract-then-drop-zeros algebra): full conviction
+    // of a word removes all its occurrences, partial conviction removes
+    // exactly the convicted occurrences — both are count(*) over the
+    // convicted docs
+    "q_artifact_timetravel" ->
+      """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+             FROM documents WHERE doc_id % 7 = 0)
+         SELECT w, CAST(count(*) AS BIGINT) AS c_removed
+         FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1""",
+    // generation 1 = counts over the whole table; generation 2 = counts
+    // over survivors (subtraction-maintained ≡ rebuilt, pinned
+    // elsewhere); each manifest row carries count(*) plus the
+    // shardManifest-style order-free checksum (bit_xor of the 60-bit
+    // md5 hash of 'key:key')
+    "q_artifact_manifest" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents),
+         u1 AS (SELECT w FROM (SELECT unnest(ws) AS w FROM d)
+                GROUP BY 1),
+         u2 AS (SELECT w FROM (SELECT unnest(ws) AS w FROM d
+                  WHERE doc_id % 7 <> 0) GROUP BY 1)
+         SELECT CAST(1 AS BIGINT) AS version, 'uni' AS artifact,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(('0x' || substr(md5(w || ':' || w), 1, 15))::BIGINT)
+             AS BIGINT) AS checksum
+         FROM u1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'uni',
+           CAST(count(*) AS BIGINT),
+           CAST(bit_xor(('0x' || substr(md5(w || ':' || w), 1, 15))::BIGINT)
+             AS BIGINT)
+         FROM u2""",
     // √-tempered mean micro-score per source, normalized; divisions
     // before the 1e6 scale so nothing leaves double-exact range
     "q_domain_reweight" ->

@@ -1,0 +1,285 @@
+package graft.jobs
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned artifact store with an atomic manifest swap — the
+  * reference's SSTable lifecycle applied to this library's derived
+  * artifacts (LM count tables, banded-signature indexes, IVF lists).
+  *
+  * In the reference, compaction writes NEW immutable SSTables to disk
+  * and only then atomically swaps them into the live set; a crashed
+  * compaction leaves orphan files that are never visible to readers
+  * and are reclaimed later (ref: DeletingCompactionStrategy.java — the
+  * rewrite-then-swap contract behind conviction, and
+  * FilteringSSTableScanner.java:205-224 — abort leaves the old
+  * generation authoritative). [[ReconcileJob]]/[[ArtifactRetention]]/
+  * [[DeltaJob]] produce exactly such rewrite generations for our
+  * artifacts; until now they overwrote in place, so a reader racing a
+  * rebuild (or a rebuild dying mid-write) could observe a torn
+  * artifact. This store gives them the reference's contract:
+  *
+  *  - **Immutable version dirs**: `<root>/data/<artifact>/v=N/` is
+  *    written once and never modified. Readers that resolved a version
+  *    keep a consistent view forever (until GC).
+  *  - **Manifest-last commit**: a version exists only once
+  *    `<root>/_manifests/manifest-v{N}.json` exists, and that file
+  *    appears via write-temp-then-atomic-rename. A publisher crash
+  *    before the rename leaves data dirs that no reader ever resolves.
+  *  - **Snapshot reads**: `read(name)` resolves the LATEST committed
+  *    manifest; `read(name, Some(v))` time-travels. All artifacts
+  *    published together share one manifest, so a multi-artifact
+  *    snapshot (uni+bi+tri, or index+centroids) is mutually consistent
+  *    — the lifecycle jobs' cross-table invariants survive the swap.
+  *  - **Integrity**: the manifest records row count and an ORDER-FREE
+  *    content checksum per artifact (bit_xor of a 60-bit md5 row hash
+  *    over a caller-named key column — the [[graft.operators.TrainPrep
+  *    .shardManifest]] algebra, independent of partitioning and write
+  *    order). `read(verify = true)` recomputes and fails loudly on
+  *    drift — bit rot or an out-of-band overwrite, never silence.
+  *  - **GC**: `gc(keepLast = k)` deletes data dirs referenced by none
+  *    of the k newest manifests (and the superseded manifests
+  *    themselves). Orphans ABOVE the latest committed version (a
+  *    crashed in-flight publish) are not GC'd — the next publish
+  *    truncates and reuses that version slot, mirroring the
+  *    reference's abort-then-rerun semantics.
+  *
+  * Scale shape: manifests are tiny driver-written JSON (one row per
+  * artifact); data dirs are ordinary parquet writes — the store adds
+  * zero shuffles. Checksums are one keyed aggregation per published
+  * artifact, and verification is opt-in so the hot read path stays a
+  * bare parquet scan. Version resolution is a single directory listing
+  * of `_manifests` (O(versions), bounded by GC). */
+object ArtifactStore {
+
+  final case class ArtifactMeta(
+      artifact: String,
+      path: String,
+      rows: Long,
+      checksum: Long,
+      keyCol: String)
+
+  final case class Manifest(
+      version: Long,
+      note: String,
+      artifacts: Seq[ArtifactMeta])
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(root: String) = new Path(root, "_manifests")
+  private def manifestPath(root: String, v: Long) =
+    new Path(manifestDir(root), f"manifest-v$v%09d.json")
+  private def dataDir(root: String, artifact: String, v: Long) =
+    new Path(new Path(root, "data"), s"$artifact/v=$v")
+
+  /** 60-bit order-free content checksum over the key column — the
+    * exact [[graft.operators.TrainPrep.shardManifest]] row-hash shape
+    * (`('0x' || substr(md5(key || ':' || key), 1, 15))::BIGINT` with
+    * bit_xor in DuckDB), so manifests replay cross-engine. The row is
+    * hashed as `key:key` rather than inventing a second payload column:
+    * artifact tables are keyed, and a row's identity IS its key plus
+    * the caller-visible count columns the specs pin separately. */
+  private def checksumOf(df: DataFrame, keyCol: String): (Long, Long) = {
+    val rh = conv(substring(md5(
+      concat(col(keyCol).cast("string"), lit(":"),
+        col(keyCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val r = df.select(rh.as("__rh"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(__rh)"), lit(0L)).as("h"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Latest COMMITTED version — max N among manifest files, or None for
+    * an empty/unborn store. Orphan data dirs never count. */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    val dir = manifestDir(root)
+    if (!f.exists(dir)) None
+    else {
+      val vs = f.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("manifest-v") && n.endsWith(".json") =>
+          n.stripPrefix("manifest-v").stripSuffix(".json").toLong }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  private def writeString(f: FileSystem, p: Path, s: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readString(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val b = new Array[Byte](8192)
+      var n = in.read(b)
+      while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
+
+  // hand-rolled flat JSON (keys are fixed, values are longs/paths we
+  // escape) — no extra deps, stable field order for byte-stable files
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+
+  private def render(m: Manifest): String = {
+    val arts = m.artifacts.map { a =>
+      s"""{"artifact":"${esc(a.artifact)}","path":"${esc(a.path)}",""" +
+        s""""rows":${a.rows},"checksum":${a.checksum},"key_col":"${esc(a.keyCol)}"}"""
+    }.mkString("[", ",", "]")
+    s"""{"version":${m.version},"note":"${esc(m.note)}","artifacts":$arts}"""
+  }
+
+  private def field(json: String, key: String): String = {
+    val m = ("\"" + key + "\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|-?\\d+)").r
+      .findFirstMatchIn(json)
+      .getOrElse(sys.error(s"manifest field '$key' missing"))
+    val v = m.group(1)
+    if (v.startsWith("\""))
+      v.substring(1, v.length - 1)
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+    else v
+  }
+
+  private def parse(json: String): Manifest = {
+    val arts = "\\{[^{}]*\\}".r.findAllIn(
+      json.substring(json.indexOf("\"artifacts\""))).toSeq.map { a =>
+      ArtifactMeta(field(a, "artifact"), field(a, "path"),
+        field(a, "rows").toLong, field(a, "checksum").toLong,
+        field(a, "key_col"))
+    }
+    Manifest(field(json, "version").toLong, field(json, "note"), arts)
+  }
+
+  def readManifest(spark: SparkSession, root: String, version: Long): Manifest = {
+    val f = fs(spark, root)
+    val p = manifestPath(root, version)
+    require(f.exists(p), s"no committed manifest v$version under $root")
+    parse(readString(f, p))
+  }
+
+  /** Publish one consistent snapshot of artifacts as the next version.
+    *
+    * Commit protocol (crash-safe at every step):
+    *  1. pick N = latest committed + 1;
+    *  2. TRUNCATE any orphan `v=N` data dirs (a predecessor's crashed
+    *     publish — invisible to readers, safe to reclaim);
+    *  3. write every artifact's parquet under its `v=N` dir;
+    *  4. write the manifest JSON to a temp name and atomically rename
+    *     it into `_manifests/` — the version exists from this instant.
+    *
+    * `keyCol` names the checksum column per artifact (defaults to the
+    * first column). Returns N. */
+  def publish(
+      spark: SparkSession,
+      root: String,
+      artifacts: Seq[(String, DataFrame)],
+      note: String = "",
+      keyCols: Map[String, String] = Map.empty): Long = {
+    require(artifacts.nonEmpty, "publish needs at least one artifact")
+    require(artifacts.map(_._1).distinct.size == artifacts.size,
+      "duplicate artifact names in one publish")
+    val f = fs(spark, root)
+    val v = latestVersion(spark, root).getOrElse(0L) + 1L
+    val metas = artifacts.map { case (name, df) =>
+      require(name.nonEmpty && !name.contains("/") && !name.contains(".."),
+        s"bad artifact name '$name'")
+      val dir = dataDir(root, name, v)
+      if (f.exists(dir)) f.delete(dir, true) // orphan from a crashed publish
+      df.write.mode("overwrite").parquet(dir.toString)
+      val key = keyCols.getOrElse(name, df.columns.head)
+      val (n, h) = checksumOf(spark.read.parquet(dir.toString), key)
+      ArtifactMeta(name, dir.toString, n, h, key)
+    }
+    val tmp = new Path(manifestDir(root), s".tmp-manifest-v$v-${java.util.UUID.randomUUID}")
+    f.mkdirs(manifestDir(root))
+    writeString(f, tmp, render(Manifest(v, note, metas)))
+    val dst = manifestPath(root, v)
+    if (!f.rename(tmp, dst)) {
+      f.delete(tmp, false)
+      sys.error(s"manifest commit for v$v lost a publish race under $root")
+    }
+    v
+  }
+
+  /** Read one artifact at a version (default: latest committed).
+    * `verify = true` recomputes the row count + order-free checksum
+    * against the manifest and fails on any drift. */
+  def read(
+      spark: SparkSession,
+      root: String,
+      artifact: String,
+      version: Option[Long] = None,
+      verify: Boolean = false): DataFrame = {
+    val v = version.orElse(latestVersion(spark, root))
+      .getOrElse(sys.error(s"artifact store $root has no committed version"))
+    val m = readManifest(spark, root, v)
+    val a = m.artifacts.find(_.artifact == artifact).getOrElse(
+      sys.error(s"artifact '$artifact' not in manifest v$v " +
+        s"(has: ${m.artifacts.map(_.artifact).mkString(", ")})"))
+    require(fs(spark, root).exists(new Path(a.path)),
+      s"artifact '$artifact' v$v was garbage-collected (path ${a.path})")
+    val df = spark.read.parquet(a.path)
+    if (verify) {
+      val (n, h) = checksumOf(df, a.keyCol)
+      require(n == a.rows && h == a.checksum,
+        s"artifact '$artifact' v$v failed verification: manifest says " +
+          s"rows=${a.rows} checksum=${a.checksum}, data has rows=$n checksum=$h")
+    }
+    df
+  }
+
+  /** All committed manifests as one DataFrame — (version, note,
+    * artifact, rows, checksum): the store's own audit table. */
+  def manifests(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, root)
+    val dir = manifestDir(root)
+    val rows =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("manifest-v") &&
+          p.getName.endsWith(".json"))
+        .map(p => parse(readString(f, p)))
+        .flatMap(m => m.artifacts.map(a =>
+          (m.version, m.note, a.artifact, a.rows, a.checksum)))
+    rows.toDF("version", "note", "artifact", "rows", "checksum")
+  }
+
+  final case class GcReport(
+      keptVersions: Seq[Long],
+      deletedVersions: Seq[Long],
+      deletedDirs: Seq[String])
+
+  /** Delete data dirs referenced by none of the `keepLast` newest
+    * manifests, then the superseded manifests themselves. Data dirs
+    * with version ABOVE the latest committed manifest (a crashed
+    * in-flight publish) are left for the next publish to truncate.
+    * A dir referenced by BOTH a kept and a dropped manifest survives
+    * (reference counting on the kept set, not version arithmetic). */
+  def gc(spark: SparkSession, root: String, keepLast: Int): GcReport = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val f = fs(spark, root)
+    val dir = manifestDir(root)
+    if (!f.exists(dir)) return GcReport(Nil, Nil, Nil)
+    val versions = f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("manifest-v") && n.endsWith(".json") =>
+        n.stripPrefix("manifest-v").stripSuffix(".json").toLong }
+      .sorted
+    val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
+    val keptPaths = keep.flatMap(v =>
+      readManifest(spark, root, v).artifacts.map(_.path)).toSet
+    val doomedDirs = drop.flatMap(v =>
+      readManifest(spark, root, v).artifacts.map(_.path))
+      .distinct.filterNot(keptPaths)
+    doomedDirs.foreach(p => f.delete(new Path(p), true))
+    drop.foreach(v => f.delete(manifestPath(root, v), false))
+    GcReport(keep, drop, doomedDirs)
+  }
+}

@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.jobs.{ArtifactRetention, ArtifactStore, ReconcileJob}
+import graft.operators.LmScore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The versioned artifact store — the SSTable lifecycle contract
+  * applied to derived artifacts: immutable version dirs, manifest-last
+  * atomic commit, snapshot/time-travel reads, checksum verification,
+  * and GC that can never touch a referenced generation. Crash points
+  * are simulated at every step of the publish protocol (data written /
+  * manifest absent), matching the reference's abort-leaves-old-
+  * generation-authoritative semantics
+  * (FilteringSSTableScanner.java:205-224). */
+class ArtifactStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-artifact-store").toString
+
+  private def counts(rows: (String, Long)*): DataFrame =
+    rows.toSeq.toDF("w", "c1")
+
+  private def sortedRows(df: DataFrame): Seq[(String, Long)] =
+    df.as[(String, Long)].collect().toSeq.sorted
+
+  test("publish/read roundtrip; latest resolves the newest commit") {
+    val root = tmpRoot()
+    assert(ArtifactStore.latestVersion(spark, root).isEmpty)
+    val v1 = ArtifactStore.publish(spark, root,
+      Seq("uni" -> counts("a" -> 3L, "b" -> 1L)), note = "day1")
+    assert(v1 == 1L)
+    assert(ArtifactStore.latestVersion(spark, root).contains(1L))
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni")) ==
+      Seq(("a", 3L), ("b", 1L)))
+    val v2 = ArtifactStore.publish(spark, root,
+      Seq("uni" -> counts("a" -> 2L)), note = "day2")
+    assert(v2 == 2L)
+    // latest moved; the old version is intact (time travel)
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni")) ==
+      Seq(("a", 2L)))
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni", Some(1L))) ==
+      Seq(("a", 3L), ("b", 1L)))
+  }
+
+  test("multi-artifact snapshot is mutually consistent under one manifest") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root, Seq(
+      "uni" -> counts("a" -> 1L),
+      "bi" -> Seq(("a b", 1L)).toDF("w12", "c2")))
+    val m = ArtifactStore.readManifest(spark, root, 1L)
+    assert(m.artifacts.map(_.artifact).sorted == Seq("bi", "uni"))
+    // reading either name resolves the same committed generation
+    assert(ArtifactStore.read(spark, root, "bi").columns.toSeq ==
+      Seq("w12", "c2"))
+    val e = intercept[RuntimeException] {
+      ArtifactStore.read(spark, root, "tri")
+    }
+    assert(e.getMessage.contains("not in manifest"))
+  }
+
+  test("crashed publish (data written, no manifest) is invisible and reclaimed") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root, Seq("uni" -> counts("a" -> 3L)))
+    // simulate a publisher dying after step 3: v=2 data exists on disk,
+    // but no manifest-v2 was ever renamed in
+    counts("poison" -> 99L).write.parquet(s"$root/data/uni/v=2")
+    assert(ArtifactStore.latestVersion(spark, root).contains(1L))
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni")) ==
+      Seq(("a", 3L)))
+    intercept[IllegalArgumentException] {
+      ArtifactStore.readManifest(spark, root, 2L)
+    }
+    // the next publish truncates the orphan slot and commits cleanly
+    val v2 = ArtifactStore.publish(spark, root, Seq("uni" -> counts("b" -> 7L)))
+    assert(v2 == 2L)
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni", Some(2L),
+      verify = true)) == Seq(("b", 7L)))
+  }
+
+  test("verify = true catches out-of-band data drift") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root, Seq("uni" -> counts("a" -> 3L, "b" -> 1L)))
+    // unverified read of the intact generation is fine
+    ArtifactStore.read(spark, root, "uni", verify = true).collect()
+    // an out-of-band overwrite breaks immutability; verification names it
+    val path = ArtifactStore.readManifest(spark, root, 1L)
+      .artifacts.head.path
+    counts("a" -> 3L).write.mode("overwrite").parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      ArtifactStore.read(spark, root, "uni", verify = true).collect()
+    }
+    assert(e.getMessage.contains("failed verification"))
+  }
+
+  test("gc keeps the newest k generations and never a still-referenced dir") {
+    val root = tmpRoot()
+    (1 to 4).foreach(i => ArtifactStore.publish(spark, root,
+      Seq("uni" -> counts(s"w$i" -> i.toLong))))
+    val rep = ArtifactStore.gc(spark, root, keepLast = 2)
+    assert(rep.keptVersions == Seq(3L, 4L))
+    assert(rep.deletedVersions == Seq(1L, 2L))
+    assert(rep.deletedDirs.size == 2)
+    // kept generations still read (and verify); dropped ones fail loudly
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni", Some(3L),
+      verify = true)) == Seq(("w3", 3L)))
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni", Some(4L))) ==
+      Seq(("w4", 4L)))
+    intercept[IllegalArgumentException] {
+      ArtifactStore.read(spark, root, "uni", Some(1L))
+    }
+    // manifests audit table reflects the post-gc world
+    val vs = ArtifactStore.manifests(spark, root)
+      .select("version").as[Long].collect().toSeq.sorted
+    assert(vs == Seq(3L, 4L))
+  }
+
+  test("gc leaves an in-flight orphan above latest for publish to reclaim") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root, Seq("uni" -> counts("a" -> 1L)))
+    ArtifactStore.publish(spark, root, Seq("uni" -> counts("b" -> 2L)))
+    counts("inflight" -> 9L).write.parquet(s"$root/data/uni/v=3")
+    val rep = ArtifactStore.gc(spark, root, keepLast = 1)
+    assert(rep.deletedVersions == Seq(1L))
+    // the orphan survives gc…
+    assert(spark.read.parquet(s"$root/data/uni/v=3").count() == 1L)
+    // …and the next publish truncates it and takes the slot
+    val v3 = ArtifactStore.publish(spark, root, Seq("uni" -> counts("c" -> 3L)))
+    assert(v3 == 3L)
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni", verify = true)) ==
+      Seq(("c", 3L)))
+  }
+
+  test("lifecycle integration: retention generations publish and replay") {
+    val root = tmpRoot()
+    val docs = Seq(
+      (1L, "aa bb cc"), (2L, "bb cc dd"), (3L, "aa aa"), (4L, "dd"))
+      .toDF("doc_id", "text")
+    val (uni, bi, tri) = LmScore.buildTrigramModel(docs, "text")
+    val v1 = ArtifactStore.publish(spark, root,
+      Seq("uni" -> uni, "bi" -> bi, "tri" -> tri), note = "full")
+    val convicted = docs.filter(col("doc_id") % 2 === 0)
+    val (uM, bM, tM) = ArtifactRetention.retainTrigramModel(
+      ArtifactStore.read(spark, root, "uni", Some(v1)),
+      ArtifactStore.read(spark, root, "bi", Some(v1)),
+      ArtifactStore.read(spark, root, "tri", Some(v1)),
+      convicted, "text")
+    val v2 = ArtifactStore.publish(spark, root,
+      Seq("uni" -> uM, "bi" -> bM, "tri" -> tM), note = "post-retention")
+    // latest generation ≡ rebuild from survivors, table by table
+    val survivors = docs.filter(col("doc_id") % 2 =!= 0)
+    val (uR, bR, tR) = LmScore.buildTrigramModel(survivors, "text")
+    for (((name, r), _) <- Seq(("uni", uR), ("bi", bR), ("tri", tR)).zipWithIndex) {
+      val m = ArtifactStore.read(spark, root, name, Some(v2), verify = true)
+      assert(m.except(r).count() == 0 && r.except(m).count() == 0,
+        s"$name: published generation != rebuild")
+    }
+    // and v1 still replays the pre-retention world exactly
+    val u1 = ArtifactStore.read(spark, root, "uni", Some(v1), verify = true)
+    assert(u1.except(uni).count() == 0 && uni.except(u1).count() == 0)
+  }
+}
