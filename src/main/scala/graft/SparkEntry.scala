@@ -2730,14 +2730,14 @@ object SparkEntry {
       val store = java.nio.file.Files
         .createTempDirectory("graft-store-tt").toString
       val (uni, _, _) = operators.LmScore.buildTrigramModel(docs, "text")
-      val v1 = jobs.ArtifactStore.publish(s, store, Seq("uni" -> uni))
+      val v1 = jobs.ArtifactStore.publish(s, store, Seq("uni" -> jobs.ArtifactStore.Snapshot(uni)))
       val convicted = docs.filter(col("doc_id") % 7 === 0)
       val (dUni, _, _) =
         operators.LmScore.buildTrigramModel(convicted, "text")
       val uniM = jobs.ArtifactRetention.subtractCounts(
         jobs.ArtifactStore.read(s, store, "uni", Some(v1)),
         dUni, Seq("w"), "c1")
-      val v2 = jobs.ArtifactStore.publish(s, store, Seq("uni" -> uniM))
+      val v2 = jobs.ArtifactStore.publish(s, store, Seq("uni" -> jobs.ArtifactStore.Snapshot(uniM)))
       val a = jobs.ArtifactStore.read(s, store, "uni", Some(v1))
       val b = jobs.ArtifactStore.read(s, store, "uni", Some(v2))
       a.join(b.withColumnRenamed("c1", "__c2"), Seq("w"), "left")
@@ -2756,17 +2756,45 @@ object SparkEntry {
       val store = java.nio.file.Files
         .createTempDirectory("graft-store-mf").toString
       val (uni, _, _) = operators.LmScore.buildTrigramModel(docs, "text")
-      val v1 = jobs.ArtifactStore.publish(s, store, Seq("uni" -> uni))
+      val v1 = jobs.ArtifactStore.publish(s, store, Seq("uni" -> jobs.ArtifactStore.Snapshot(uni)))
       val convicted = docs.filter(col("doc_id") % 7 === 0)
       val (dUni, _, _) =
         operators.LmScore.buildTrigramModel(convicted, "text")
       val uniM = jobs.ArtifactRetention.subtractCounts(
         jobs.ArtifactStore.read(s, store, "uni", Some(v1)),
         dUni, Seq("w"), "c1")
-      jobs.ArtifactStore.publish(s, store, Seq("uni" -> uniM))
+      jobs.ArtifactStore.publish(s, store, Seq("uni" -> jobs.ArtifactStore.Snapshot(uniM)))
       jobs.ArtifactStore.manifests(s, store)
         .select(col("version"), col("artifact"),
           col("rows").as("n_rows"), col("checksum"))
+    }),
+    // the store's log-structured merge end-to-end: generation 1 is a
+    // counts-kind snapshot of the initial corpus's unigram table,
+    // generation 2 APPENDS the admitted delta's own counts (O(|delta|),
+    // old segments untouched), generation 3 appends the convicted docs'
+    // NEGATED counts (O(|convicted|) deletion — the reference's
+    // conviction as a tombstone segment). The merged read
+    // (union → sum per key → drop ≤0) must equal a rebuild over the
+    // live documents — the oracle computes exactly that rebuild in SQL,
+    // so a green hash proves the whole segment algebra cross-engine.
+    "q_artifact_lsm" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-store-lsm").toString
+      val S = jobs.ArtifactStore
+      val uniOf = (d: org.apache.spark.sql.DataFrame) =>
+        operators.LmScore.buildTrigramModel(d, "text")._1
+      S.publish(s, store,
+        Seq("uni" -> S.Snapshot(uniOf(docs.filter(col("doc_id") % 3 =!= 0)))),
+        note = "initial", kinds = Map("uni" -> "counts"),
+        keyCols = Map("uni" -> Seq("w")), cntCols = Map("uni" -> "c1"))
+      S.publish(s, store,
+        Seq("uni" -> S.Append(uniOf(docs.filter(col("doc_id") % 3 === 0)))),
+        note = "admit")
+      S.publish(s, store,
+        Seq("uni" -> S.Append(uniOf(docs.filter(col("doc_id") % 7 === 0))
+          .withColumn("c1", -col("c1")))), note = "convict")
+      S.read(s, store, "uni")
     }),
     // DoReMi-lite per-domain mixture weights from the quality score:
     // √-tempered mean score per source, normalized to micro-units —
@@ -7216,6 +7244,14 @@ object SparkEntry {
            CAST(bit_xor(('0x' || substr(md5(w || ':' || w), 1, 15))::BIGINT)
              AS BIGINT)
          FROM u2""",
+    // snapshot(initial) + append(admitted) + append(−convicted), merged
+    // = rebuild over the live docs (initial ∪ admitted covers the whole
+    // table; conviction removes id % 7 = 0)
+    "q_artifact_lsm" ->
+      """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+             FROM documents WHERE doc_id % 7 <> 0)
+         SELECT w, CAST(count(*) AS BIGINT) AS c1
+         FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1""",
     // √-tempered mean micro-score per source, normalized; divisions
     // before the 1e6 scale so nothing leaves double-exact range
     "q_domain_reweight" ->

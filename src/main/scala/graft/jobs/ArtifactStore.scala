@@ -4,66 +4,93 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Versioned artifact store with an atomic manifest swap — the
-  * reference's SSTable lifecycle applied to this library's derived
-  * artifacts (LM count tables, banded-signature indexes, IVF lists).
+/** Versioned, log-structured artifact store with an atomic manifest
+  * swap — the reference's SSTable lifecycle applied to this library's
+  * derived artifacts (LM count tables, banded-signature indexes, IVF
+  * lists).
   *
-  * In the reference, compaction writes NEW immutable SSTables to disk
-  * and only then atomically swaps them into the live set; a crashed
-  * compaction leaves orphan files that are never visible to readers
-  * and are reclaimed later (ref: DeletingCompactionStrategy.java — the
-  * rewrite-then-swap contract behind conviction, and
-  * FilteringSSTableScanner.java:205-224 — abort leaves the old
-  * generation authoritative). [[ReconcileJob]]/[[ArtifactRetention]]/
-  * [[DeltaJob]] produce exactly such rewrite generations for our
-  * artifacts; until now they overwrote in place, so a reader racing a
-  * rebuild (or a rebuild dying mid-write) could observe a torn
-  * artifact. This store gives them the reference's contract:
+  * In the reference, a flush/compaction writes NEW immutable SSTables
+  * and only then atomically swaps the live set; readers see either the
+  * old generation or the new one, never a torn middle, and a crashed
+  * rewrite leaves orphan files no reader resolves
+  * (ref: DeletingCompactionStrategy.java — rewrite-then-swap behind
+  * conviction; FilteringSSTableScanner.java:205-224 — abort leaves the
+  * old generation authoritative). The live set is a LIST of immutable
+  * segments, per-flush work appends one, and compaction collapses the
+  * list. This store gives [[DeltaJob]]/[[ArtifactRetention]]/
+  * [[ReconcileJob]] the same contract:
   *
-  *  - **Immutable version dirs**: `<root>/data/<artifact>/v=N/` is
-  *    written once and never modified. Readers that resolved a version
-  *    keep a consistent view forever (until GC).
-  *  - **Manifest-last commit**: a version exists only once
-  *    `<root>/_manifests/manifest-v{N}.json` exists, and that file
-  *    appears via write-temp-then-atomic-rename. A publisher crash
-  *    before the rename leaves data dirs that no reader ever resolves.
-  *  - **Snapshot reads**: `read(name)` resolves the LATEST committed
-  *    manifest; `read(name, Some(v))` time-travels. All artifacts
-  *    published together share one manifest, so a multi-artifact
-  *    snapshot (uni+bi+tri, or index+centroids) is mutually consistent
-  *    — the lifecycle jobs' cross-table invariants survive the swap.
-  *  - **Integrity**: the manifest records row count and an ORDER-FREE
-  *    content checksum per artifact (bit_xor of a 60-bit md5 row hash
-  *    over a caller-named key column — the [[graft.operators.TrainPrep
-  *    .shardManifest]] algebra, independent of partitioning and write
-  *    order). `read(verify = true)` recomputes and fails loudly on
-  *    drift — bit rot or an out-of-band overwrite, never silence.
-  *  - **GC**: `gc(keepLast = k)` deletes data dirs referenced by none
-  *    of the k newest manifests (and the superseded manifests
-  *    themselves). Orphans ABOVE the latest committed version (a
-  *    crashed in-flight publish) are not GC'd — the next publish
-  *    truncates and reuses that version slot, mirroring the
-  *    reference's abort-then-rerun semantics.
+  *  - **Immutable segments**: `<root>/data/<artifact>/v=N/` is written
+  *    once, never modified. A generation is a manifest: the segment
+  *    list per artifact, committed by writing
+  *    `<root>/_manifests/manifest-v{N}.json` via temp + atomic rename.
+  *    Data-written-but-no-manifest (a publisher crash) is invisible and
+  *    the slot is truncated by the next publish.
+  *  - **Two merge kinds** (declared per artifact, recorded in the
+  *    manifest):
+  *      - `rows` — read = union of segments. Admission appends a
+  *        segment in O(|delta|); deletion rewrites via [[Snapshot]]
+  *        (tombstone-free by design: the nightly [[ReconcileJob]]
+  *        compacts anyway, mirroring the reference's major compaction).
+  *      - `counts` — read = union → sum per key → drop ≤ 0. Count
+  *        tables form an abelian group, so admission appends the
+  *        delta's own counts and CONVICTION APPENDS NEGATED COUNTS —
+  *        both O(|delta|); the merged view is exact under any
+  *        interleaving ([[ArtifactRetention]]'s algebra, now
+  *        persistent). [[compact]] collapses the segment list back to
+  *        one.
+  *  - **Carry-forward generations**: a publish names only the artifacts
+  *    it changes; every other artifact's segment list carries into the
+  *    new manifest untouched, so a generation is always a complete,
+  *    mutually-consistent snapshot (uni+bi+tri+index move together).
+  *  - **Integrity, incrementally**: every segment records its row count
+  *    and an ORDER-FREE 60-bit md5/xor content checksum over the key
+  *    columns (the [[graft.operators.TrainPrep.shardManifest]] algebra
+  *    — partitioning- and write-order-independent). Appending never
+  *    re-hashes old segments; `read(verify = true)` re-checksums each
+  *    segment and fails loudly on drift.
+  *  - **GC**: `gc(keepLast = k)` deletes segment dirs referenced by
+  *    none of the k newest manifests (reference counting on paths — a
+  *    segment shared by five generations survives until all five are
+  *    dropped), then the superseded manifests. Orphan dirs ABOVE the
+  *    latest committed version (an in-flight publish) are never GC'd.
   *
   * Scale shape: manifests are tiny driver-written JSON (one row per
-  * artifact); data dirs are ordinary parquet writes — the store adds
-  * zero shuffles. Checksums are one keyed aggregation per published
-  * artifact, and verification is opt-in so the hot read path stays a
-  * bare parquet scan. Version resolution is a single directory listing
-  * of `_manifests` (O(versions), bounded by GC). */
+  * segment); publishes add zero shuffles beyond the parquet write of
+  * the delta itself plus one keyed aggregation for its checksum. The
+  * `counts` read path adds one keyed aggregation over the segment
+  * union — bounded by vocabulary, and collapsed to zero by the nightly
+  * [[compact]]. Version resolution is one `_manifests` listing,
+  * bounded by GC. */
 object ArtifactStore {
 
+  /** One immutable segment dir + its integrity stamp. */
+  final case class Segment(path: String, rows: Long, checksum: Long)
+
+  /** One artifact's state within a generation. `kind` is `rows` or
+    * `counts`; `keyCols` drive both the checksum and the counts-merge
+    * grouping; `cntCol` is the summed column for `counts` artifacts
+    * (empty for `rows`). */
   final case class ArtifactMeta(
       artifact: String,
-      path: String,
-      rows: Long,
-      checksum: Long,
-      keyCol: String)
+      kind: String,
+      keyCols: Seq[String],
+      cntCol: String,
+      segments: Seq[Segment])
 
   final case class Manifest(
       version: Long,
       note: String,
       artifacts: Seq[ArtifactMeta])
+
+  /** How a publish changes one artifact. */
+  sealed trait Change { def df: DataFrame }
+  /** Replace the artifact's segment list with this one frame —
+    * a rebuild/compaction generation. */
+  final case class Snapshot(df: DataFrame) extends Change
+  /** Add one segment to the artifact's list — O(|delta|) admission
+    * (or, for `counts` artifacts, a negated-counts conviction). */
+  final case class Append(df: DataFrame) extends Change
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -74,17 +101,15 @@ object ArtifactStore {
   private def dataDir(root: String, artifact: String, v: Long) =
     new Path(new Path(root, "data"), s"$artifact/v=$v")
 
-  /** 60-bit order-free content checksum over the key column — the
+  /** 60-bit order-free content checksum over the key columns — the
     * exact [[graft.operators.TrainPrep.shardManifest]] row-hash shape
-    * (`('0x' || substr(md5(key || ':' || key), 1, 15))::BIGINT` with
-    * bit_xor in DuckDB), so manifests replay cross-engine. The row is
-    * hashed as `key:key` rather than inventing a second payload column:
-    * artifact tables are keyed, and a row's identity IS its key plus
-    * the caller-visible count columns the specs pin separately. */
-  private def checksumOf(df: DataFrame, keyCol: String): (Long, Long) = {
-    val rh = conv(substring(md5(
-      concat(col(keyCol).cast("string"), lit(":"),
-        col(keyCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    * (`('0x' || substr(md5(k1 || ':' || k2 …), 1, 15))::BIGINT` with
+    * `bit_xor` in DuckDB), so manifests replay cross-engine. */
+  private def checksumOf(df: DataFrame, keyCols: Seq[String]): (Long, Long) = {
+    val keyed = keyCols.map(k => col(k).cast("string"))
+      .reduceLeft((a, b) => concat(a, lit(":"), b))
+    val rh = conv(substring(md5(concat(keyed, lit(":"), keyed)), 1, 15),
+      16, 10).cast("long")
     val r = df.select(rh.as("__rh"))
       .agg(count(lit(1)).as("n"),
         coalesce(expr("bit_xor(__rh)"), lit(0L)).as("h"))
@@ -122,18 +147,24 @@ object ArtifactStore {
     } finally in.close()
   }
 
-  // hand-rolled flat JSON (keys are fixed, values are longs/paths we
-  // escape) — no extra deps, stable field order for byte-stable files
+  // Hand-rolled JSON with a deliberately FLAT layout — one object per
+  // segment, artifact metadata repeated — so parsing is a brace-free
+  // regex scan with no nesting and no extra deps. Manifests are tiny
+  // (one row per segment, GC-bounded), so the repetition costs nothing.
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                 case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
 
   private def render(m: Manifest): String = {
-    val arts = m.artifacts.map { a =>
-      s"""{"artifact":"${esc(a.artifact)}","path":"${esc(a.path)}",""" +
-        s""""rows":${a.rows},"checksum":${a.checksum},"key_col":"${esc(a.keyCol)}"}"""
+    val rows = m.artifacts.flatMap { a =>
+      a.segments.map { s =>
+        s"""{"artifact":"${esc(a.artifact)}","kind":"${a.kind}",""" +
+          s""""key_cols":"${esc(a.keyCols.mkString(","))}",""" +
+          s""""cnt_col":"${esc(a.cntCol)}","seg_path":"${esc(s.path)}",""" +
+          s""""rows":${s.rows},"checksum":${s.checksum}}"""
+      }
     }.mkString("[", ",", "]")
-    s"""{"version":${m.version},"note":"${esc(m.note)}","artifacts":$arts}"""
+    s"""{"version":${m.version},"note":"${esc(m.note)}","segments":$rows}"""
   }
 
   private def field(json: String, key: String): String = {
@@ -148,11 +179,17 @@ object ArtifactStore {
   }
 
   private def parse(json: String): Manifest = {
-    val arts = "\\{[^{}]*\\}".r.findAllIn(
-      json.substring(json.indexOf("\"artifacts\""))).toSeq.map { a =>
-      ArtifactMeta(field(a, "artifact"), field(a, "path"),
-        field(a, "rows").toLong, field(a, "checksum").toLong,
-        field(a, "key_col"))
+    val body = json.substring(json.indexOf("\"segments\""))
+    val segRows = "\\{[^{}]*\\}".r.findAllIn(body).toSeq.map { o =>
+      (field(o, "artifact"), field(o, "kind"),
+        field(o, "key_cols").split(",").toSeq, field(o, "cnt_col"),
+        Segment(field(o, "seg_path"), field(o, "rows").toLong,
+          field(o, "checksum").toLong))
+    }
+    val arts = segRows.map(_._1).distinct.map { name =>
+      val rows = segRows.filter(_._1 == name)
+      ArtifactMeta(name, rows.head._2, rows.head._3, rows.head._4,
+        rows.map(_._5))
     }
     Manifest(field(json, "version").toLong, field(json, "note"), arts)
   }
@@ -164,42 +201,72 @@ object ArtifactStore {
     parse(readString(f, p))
   }
 
-  /** Publish one consistent snapshot of artifacts as the next version.
+  /** Publish the next generation. `changes` names only what this
+    * publish touches — a [[Snapshot]] replaces the artifact's segment
+    * list, an [[Append]] adds one segment to it; every other artifact
+    * in the latest manifest carries forward untouched, so the new
+    * generation is a complete snapshot.
     *
-    * Commit protocol (crash-safe at every step):
-    *  1. pick N = latest committed + 1;
-    *  2. TRUNCATE any orphan `v=N` data dirs (a predecessor's crashed
-    *     publish — invisible to readers, safe to reclaim);
-    *  3. write every artifact's parquet under its `v=N` dir;
-    *  4. write the manifest JSON to a temp name and atomically rename
-    *     it into `_manifests/` — the version exists from this instant.
+    * Commit protocol (crash-safe at every step): pick
+    * N = latest committed + 1; truncate any orphan `v=N` segment dirs
+    * (a predecessor's crashed publish — invisible, safe to reclaim);
+    * write each changed artifact's delta/snapshot parquet under its
+    * `v=N` dir; write the manifest JSON to a temp name and atomically
+    * rename it in — the generation exists from that instant.
     *
-    * `keyCol` names the checksum column per artifact (defaults to the
-    * first column). Returns N. */
+    * `kinds`/`keyCols`/`cntCols` configure artifacts on FIRST
+    * appearance (defaults: kind `rows`, key = first column, cnt `c1`);
+    * later publishes inherit the recorded metadata and reject
+    * contradictions. Returns N. */
   def publish(
       spark: SparkSession,
       root: String,
-      artifacts: Seq[(String, DataFrame)],
+      changes: Seq[(String, Change)],
       note: String = "",
-      keyCols: Map[String, String] = Map.empty): Long = {
-    require(artifacts.nonEmpty, "publish needs at least one artifact")
-    require(artifacts.map(_._1).distinct.size == artifacts.size,
+      kinds: Map[String, String] = Map.empty,
+      keyCols: Map[String, Seq[String]] = Map.empty,
+      cntCols: Map[String, String] = Map.empty): Long = {
+    require(changes.nonEmpty, "publish needs at least one change")
+    require(changes.map(_._1).distinct.size == changes.size,
       "duplicate artifact names in one publish")
     val f = fs(spark, root)
-    val v = latestVersion(spark, root).getOrElse(0L) + 1L
-    val metas = artifacts.map { case (name, df) =>
+    val prevV = latestVersion(spark, root)
+    val v = prevV.getOrElse(0L) + 1L
+    val prev: Map[String, ArtifactMeta] = prevV
+      .map(pv => readManifest(spark, root, pv).artifacts
+        .map(a => a.artifact -> a).toMap)
+      .getOrElse(Map.empty)
+
+    val changed = changes.map { case (name, change) =>
       require(name.nonEmpty && !name.contains("/") && !name.contains(".."),
         s"bad artifact name '$name'")
+      val meta0 = prev.get(name)
+      val kind = kinds.getOrElse(name,
+        meta0.map(_.kind).getOrElse("rows"))
+      require(kind == "rows" || kind == "counts", s"unknown kind '$kind'")
+      meta0.foreach(m => require(m.kind == kind,
+        s"artifact '$name' is kind '${m.kind}', publish says '$kind'"))
+      val keys = keyCols.getOrElse(name,
+        meta0.map(_.keyCols).getOrElse(Seq(change.df.columns.head)))
+      val cnt = cntCols.getOrElse(name,
+        meta0.map(_.cntCol).getOrElse(if (kind == "counts") "c1" else ""))
       val dir = dataDir(root, name, v)
       if (f.exists(dir)) f.delete(dir, true) // orphan from a crashed publish
-      df.write.mode("overwrite").parquet(dir.toString)
-      val key = keyCols.getOrElse(name, df.columns.head)
-      val (n, h) = checksumOf(spark.read.parquet(dir.toString), key)
-      ArtifactMeta(name, dir.toString, n, h, key)
+      change.df.write.mode("overwrite").parquet(dir.toString)
+      val (n, h) = checksumOf(spark.read.parquet(dir.toString), keys)
+      val seg = Segment(dir.toString, n, h)
+      val segs = change match {
+        case _: Snapshot => Seq(seg)
+        case _: Append => meta0.map(_.segments).getOrElse(Nil) :+ seg
+      }
+      ArtifactMeta(name, kind, keys, cnt, segs)
     }
-    val tmp = new Path(manifestDir(root), s".tmp-manifest-v$v-${java.util.UUID.randomUUID}")
+    val carried = (prev -- changes.map(_._1)).values.toSeq
+      .sortBy(_.artifact)
+    val tmp = new Path(manifestDir(root),
+      s".tmp-manifest-v$v-${java.util.UUID.randomUUID}")
     f.mkdirs(manifestDir(root))
-    writeString(f, tmp, render(Manifest(v, note, metas)))
+    writeString(f, tmp, render(Manifest(v, note, changed ++ carried)))
     val dst = manifestPath(root, v)
     if (!f.rename(tmp, dst)) {
       f.delete(tmp, false)
@@ -208,35 +275,71 @@ object ArtifactStore {
     v
   }
 
-  /** Read one artifact at a version (default: latest committed).
-    * `verify = true` recomputes the row count + order-free checksum
-    * against the manifest and fails on any drift. */
-  def read(
+  private def metaOf(
       spark: SparkSession,
       root: String,
       artifact: String,
-      version: Option[Long] = None,
-      verify: Boolean = false): DataFrame = {
+      version: Option[Long]): (Long, ArtifactMeta) = {
     val v = version.orElse(latestVersion(spark, root))
       .getOrElse(sys.error(s"artifact store $root has no committed version"))
     val m = readManifest(spark, root, v)
     val a = m.artifacts.find(_.artifact == artifact).getOrElse(
       sys.error(s"artifact '$artifact' not in manifest v$v " +
         s"(has: ${m.artifacts.map(_.artifact).mkString(", ")})"))
-    require(fs(spark, root).exists(new Path(a.path)),
-      s"artifact '$artifact' v$v was garbage-collected (path ${a.path})")
-    val df = spark.read.parquet(a.path)
-    if (verify) {
-      val (n, h) = checksumOf(df, a.keyCol)
-      require(n == a.rows && h == a.checksum,
-        s"artifact '$artifact' v$v failed verification: manifest says " +
-          s"rows=${a.rows} checksum=${a.checksum}, data has rows=$n checksum=$h")
-    }
-    df
+    (v, a)
   }
 
-  /** All committed manifests as one DataFrame — (version, note,
-    * artifact, rows, checksum): the store's own audit table. */
+  /** Read one artifact's MERGED view at a version (default: latest).
+    * `rows` artifacts union their segments; `counts` artifacts union,
+    * sum per key, and drop rows ≤ 0 (so a negated-counts conviction
+    * segment exactly cancels admitted occurrences —
+    * [[ArtifactRetention.subtractCounts]] semantics, persistent).
+    * `verify = true` re-checksums every segment against the manifest
+    * first and fails on any drift. */
+  def read(
+      spark: SparkSession,
+      root: String,
+      artifact: String,
+      version: Option[Long] = None,
+      verify: Boolean = false): DataFrame = {
+    val (v, a) = metaOf(spark, root, artifact, version)
+    val f = fs(spark, root)
+    a.segments.foreach { s =>
+      require(f.exists(new Path(s.path)),
+        s"artifact '$artifact' v$v segment ${s.path} was garbage-collected")
+    }
+    if (verify) a.segments.foreach { s =>
+      val (n, h) = checksumOf(spark.read.parquet(s.path), a.keyCols)
+      require(n == s.rows && h == s.checksum,
+        s"artifact '$artifact' v$v segment ${s.path} failed verification: " +
+          s"manifest says rows=${s.rows} checksum=${s.checksum}, " +
+          s"data has rows=$n checksum=$h")
+    }
+    val union = a.segments.map(s => spark.read.parquet(s.path))
+      .reduceLeft(_ unionByName _)
+    if (a.kind == "counts")
+      union.groupBy(a.keyCols.map(col): _*)
+        .agg(sum(a.cntCol).as(a.cntCol))
+        .filter(col(a.cntCol) > 0)
+    else union
+  }
+
+  /** Collapse an artifact's segment list to one segment holding its
+    * merged view — the store-level major compaction. Publishes a new
+    * generation (other artifacts carry forward). Returns the version. */
+  def compact(
+      spark: SparkSession,
+      root: String,
+      artifact: String,
+      note: String = "compact"): Long = {
+    val merged = read(spark, root, artifact).localCheckpoint()
+    publish(spark, root, Seq(artifact -> Snapshot(merged)), note)
+  }
+
+  /** All committed manifests as one audit DataFrame — (version, note,
+    * artifact, kind, n_segments, rows, checksum): rows is the segment
+    * total and checksum the XOR of segment checksums (order-free, so
+    * stable for any segment layout of identical content history). */
   def manifests(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val f = fs(spark, root)
@@ -248,8 +351,11 @@ object ArtifactStore {
           p.getName.endsWith(".json"))
         .map(p => parse(readString(f, p)))
         .flatMap(m => m.artifacts.map(a =>
-          (m.version, m.note, a.artifact, a.rows, a.checksum)))
-    rows.toDF("version", "note", "artifact", "rows", "checksum")
+          (m.version, m.note, a.artifact, a.kind, a.segments.size,
+            a.segments.map(_.rows).sum,
+            a.segments.map(_.checksum).foldLeft(0L)(_ ^ _))))
+    rows.toDF("version", "note", "artifact", "kind", "n_segments",
+      "rows", "checksum")
   }
 
   final case class GcReport(
@@ -257,12 +363,12 @@ object ArtifactStore {
       deletedVersions: Seq[Long],
       deletedDirs: Seq[String])
 
-  /** Delete data dirs referenced by none of the `keepLast` newest
-    * manifests, then the superseded manifests themselves. Data dirs
-    * with version ABOVE the latest committed manifest (a crashed
-    * in-flight publish) are left for the next publish to truncate.
-    * A dir referenced by BOTH a kept and a dropped manifest survives
-    * (reference counting on the kept set, not version arithmetic). */
+  /** Delete segment dirs referenced by none of the `keepLast` newest
+    * manifests, then the superseded manifests themselves. Reference
+    * counting on paths: a segment shared by kept and dropped
+    * generations survives. Orphan dirs above the latest committed
+    * version (a crashed in-flight publish) are left for the next
+    * publish to truncate. */
   def gc(spark: SparkSession, root: String, keepLast: Int): GcReport = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val f = fs(spark, root)
@@ -274,9 +380,11 @@ object ArtifactStore {
       .sorted
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepLast))
     val keptPaths = keep.flatMap(v =>
-      readManifest(spark, root, v).artifacts.map(_.path)).toSet
+      readManifest(spark, root, v).artifacts
+        .flatMap(_.segments.map(_.path))).toSet
     val doomedDirs = drop.flatMap(v =>
-      readManifest(spark, root, v).artifacts.map(_.path))
+      readManifest(spark, root, v).artifacts
+        .flatMap(_.segments.map(_.path)))
       .distinct.filterNot(keptPaths)
     doomedDirs.foreach(p => f.delete(new Path(p), true))
     drop.foreach(v => f.delete(manifestPath(root, v), false))

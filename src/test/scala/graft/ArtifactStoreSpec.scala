@@ -2,18 +2,20 @@ package graft
 
 import java.nio.file.Files
 
-import graft.jobs.{ArtifactRetention, ArtifactStore, ReconcileJob}
+import graft.jobs.{ArtifactRetention, ArtifactStore}
+import graft.jobs.ArtifactStore.{Append, Snapshot}
 import graft.operators.LmScore
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** The versioned artifact store — the SSTable lifecycle contract
-  * applied to derived artifacts: immutable version dirs, manifest-last
-  * atomic commit, snapshot/time-travel reads, checksum verification,
-  * and GC that can never touch a referenced generation. Crash points
-  * are simulated at every step of the publish protocol (data written /
-  * manifest absent), matching the reference's abort-leaves-old-
-  * generation-authoritative semantics
+/** The versioned, log-structured artifact store — the SSTable lifecycle
+  * contract applied to derived artifacts: immutable segments,
+  * manifest-last atomic commit, carry-forward generations, O(|delta|)
+  * appends (negated counts = conviction), snapshot/time-travel reads,
+  * per-segment checksum verification, compaction, and GC that can never
+  * touch a referenced segment. Crash points are simulated at every step
+  * of the publish protocol (data written / manifest absent), matching
+  * the reference's abort-leaves-old-generation-authoritative semantics
   * (FilteringSSTableScanner.java:205-224). */
 class ArtifactStoreSpec extends SparkSpec {
   import spark.implicits._
@@ -31,31 +33,93 @@ class ArtifactStoreSpec extends SparkSpec {
     val root = tmpRoot()
     assert(ArtifactStore.latestVersion(spark, root).isEmpty)
     val v1 = ArtifactStore.publish(spark, root,
-      Seq("uni" -> counts("a" -> 3L, "b" -> 1L)), note = "day1")
+      Seq("uni" -> Snapshot(counts("a" -> 3L, "b" -> 1L))), note = "day1")
     assert(v1 == 1L)
     assert(ArtifactStore.latestVersion(spark, root).contains(1L))
     assert(sortedRows(ArtifactStore.read(spark, root, "uni")) ==
       Seq(("a", 3L), ("b", 1L)))
     val v2 = ArtifactStore.publish(spark, root,
-      Seq("uni" -> counts("a" -> 2L)), note = "day2")
+      Seq("uni" -> Snapshot(counts("a" -> 2L))), note = "day2")
     assert(v2 == 2L)
-    // latest moved; the old version is intact (time travel)
+    // latest moved; the old generation is intact (time travel)
     assert(sortedRows(ArtifactStore.read(spark, root, "uni")) ==
       Seq(("a", 2L)))
     assert(sortedRows(ArtifactStore.read(spark, root, "uni", Some(1L))) ==
       Seq(("a", 3L), ("b", 1L)))
   }
 
-  test("multi-artifact snapshot is mutually consistent under one manifest") {
+  test("append segments: rows-kind union, O(|delta|) admission lineage") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("idx" -> Snapshot(Seq((1L, 10L)).toDF("doc_id", "bucket"))))
+    ArtifactStore.publish(spark, root,
+      Seq("idx" -> Append(Seq((2L, 20L)).toDF("doc_id", "bucket"))))
+    ArtifactStore.publish(spark, root,
+      Seq("idx" -> Append(Seq((3L, 10L)).toDF("doc_id", "bucket"))))
+    val m = ArtifactStore.readManifest(spark, root, 3L)
+    assert(m.artifacts.head.segments.size == 3)
+    assert(ArtifactStore.read(spark, root, "idx", verify = true)
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 10L)))
+    // earlier generations still read their shorter lineage
+    assert(ArtifactStore.read(spark, root, "idx", Some(2L))
+      .count() == 2L)
+  }
+
+  test("counts-kind merge: appends add, negative segments convict, zeros drop") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 3L, "b" -> 1L))),
+      kinds = Map("uni" -> "counts"), keyCols = Map("uni" -> Seq("w")),
+      cntCols = Map("uni" -> "c1"))
+    // admission: the delta's own counts append
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("a" -> 2L, "c" -> 5L))))
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni")) ==
+      Seq(("a", 5L), ("b", 1L), ("c", 5L)))
+    // conviction: NEGATED counts append; 'b' reaches zero and leaves
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("a" -> -1L, "b" -> -1L))))
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni", verify = true)) ==
+      Seq(("a", 4L), ("c", 5L)))
+    // every prior generation still replays its own merged view
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni", Some(1L))) ==
+      Seq(("a", 3L), ("b", 1L)))
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni", Some(2L))) ==
+      Seq(("a", 5L), ("b", 1L), ("c", 5L)))
+  }
+
+  test("compact collapses the lineage without changing the merged view") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 3L))),
+      kinds = Map("uni" -> "counts"))
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("a" -> 2L, "b" -> 7L))))
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("b" -> -7L))))
+    val before = sortedRows(ArtifactStore.read(spark, root, "uni"))
+    val v4 = ArtifactStore.compact(spark, root, "uni")
+    assert(v4 == 4L)
+    val m = ArtifactStore.readManifest(spark, root, v4)
+    assert(m.artifacts.head.segments.size == 1)
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni",
+      verify = true)) == before)
+  }
+
+  test("carry-forward: untouched artifacts move into the new generation") {
     val root = tmpRoot()
     ArtifactStore.publish(spark, root, Seq(
-      "uni" -> counts("a" -> 1L),
-      "bi" -> Seq(("a b", 1L)).toDF("w12", "c2")))
-    val m = ArtifactStore.readManifest(spark, root, 1L)
-    assert(m.artifacts.map(_.artifact).sorted == Seq("bi", "uni"))
-    // reading either name resolves the same committed generation
-    assert(ArtifactStore.read(spark, root, "bi").columns.toSeq ==
-      Seq("w12", "c2"))
+      "uni" -> Snapshot(counts("a" -> 1L)),
+      "idx" -> Snapshot(Seq((1L, 10L)).toDF("doc_id", "bucket"))))
+    // publish touches only idx; uni carries forward
+    ArtifactStore.publish(spark, root,
+      Seq("idx" -> Append(Seq((2L, 20L)).toDF("doc_id", "bucket"))))
+    val m = ArtifactStore.readManifest(spark, root, 2L)
+    assert(m.artifacts.map(_.artifact).sorted == Seq("idx", "uni"))
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni")) ==
+      Seq(("a", 1L)))
+    assert(ArtifactStore.read(spark, root, "idx").count() == 2L)
     val e = intercept[RuntimeException] {
       ArtifactStore.read(spark, root, "tri")
     }
@@ -64,9 +128,10 @@ class ArtifactStoreSpec extends SparkSpec {
 
   test("crashed publish (data written, no manifest) is invisible and reclaimed") {
     val root = tmpRoot()
-    ArtifactStore.publish(spark, root, Seq("uni" -> counts("a" -> 3L)))
-    // simulate a publisher dying after step 3: v=2 data exists on disk,
-    // but no manifest-v2 was ever renamed in
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 3L))))
+    // simulate a publisher dying after the data write: v=2 segment
+    // exists on disk, but no manifest-v2 was ever renamed in
     counts("poison" -> 99L).write.parquet(s"$root/data/uni/v=2")
     assert(ArtifactStore.latestVersion(spark, root).contains(1L))
     assert(sortedRows(ArtifactStore.read(spark, root, "uni")) ==
@@ -75,91 +140,141 @@ class ArtifactStoreSpec extends SparkSpec {
       ArtifactStore.readManifest(spark, root, 2L)
     }
     // the next publish truncates the orphan slot and commits cleanly
-    val v2 = ArtifactStore.publish(spark, root, Seq("uni" -> counts("b" -> 7L)))
+    val v2 = ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("b" -> 7L))))
     assert(v2 == 2L)
     assert(sortedRows(ArtifactStore.read(spark, root, "uni", Some(2L),
       verify = true)) == Seq(("b", 7L)))
   }
 
-  test("verify = true catches out-of-band data drift") {
+  test("kind is sticky: a later publish cannot flip rows to counts") {
     val root = tmpRoot()
-    ArtifactStore.publish(spark, root, Seq("uni" -> counts("a" -> 3L, "b" -> 1L)))
-    // unverified read of the intact generation is fine
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 1L))),
+      kinds = Map("uni" -> "counts"))
+    val e = intercept[IllegalArgumentException] {
+      ArtifactStore.publish(spark, root,
+        Seq("uni" -> Append(counts("b" -> 1L))),
+        kinds = Map("uni" -> "rows"))
+    }
+    assert(e.getMessage.contains("kind"))
+  }
+
+  test("verify = true catches out-of-band data drift, segment by segment") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 3L, "b" -> 1L))))
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("c" -> 2L))))
+    // unverified read of the intact lineage is fine
     ArtifactStore.read(spark, root, "uni", verify = true).collect()
-    // an out-of-band overwrite breaks immutability; verification names it
-    val path = ArtifactStore.readManifest(spark, root, 1L)
-      .artifacts.head.path
-    counts("a" -> 3L).write.mode("overwrite").parquet(path)
+    // an out-of-band overwrite of the FIRST segment breaks immutability;
+    // verification names the segment
+    val seg1 = ArtifactStore.readManifest(spark, root, 2L)
+      .artifacts.head.segments.head.path
+    counts("a" -> 3L).write.mode("overwrite").parquet(seg1)
     val e = intercept[IllegalArgumentException] {
       ArtifactStore.read(spark, root, "uni", verify = true).collect()
     }
     assert(e.getMessage.contains("failed verification"))
   }
 
-  test("gc keeps the newest k generations and never a still-referenced dir") {
+  test("gc keeps the newest k generations; shared segments survive") {
     val root = tmpRoot()
-    (1 to 4).foreach(i => ArtifactStore.publish(spark, root,
-      Seq("uni" -> counts(s"w$i" -> i.toLong))))
+    // v1 snapshot, v2..v4 appends — v4's lineage includes v1's segment,
+    // so gc(keepLast=2) must keep the v1 SEGMENT even though it drops
+    // the v1 and v2 MANIFESTS
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("w1" -> 1L))),
+      kinds = Map("uni" -> "counts"))
+    (2 to 4).foreach(i => ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts(s"w$i" -> i.toLong)))))
     val rep = ArtifactStore.gc(spark, root, keepLast = 2)
     assert(rep.keptVersions == Seq(3L, 4L))
     assert(rep.deletedVersions == Seq(1L, 2L))
-    assert(rep.deletedDirs.size == 2)
-    // kept generations still read (and verify); dropped ones fail loudly
-    assert(sortedRows(ArtifactStore.read(spark, root, "uni", Some(3L),
-      verify = true)) == Seq(("w3", 3L)))
-    assert(sortedRows(ArtifactStore.read(spark, root, "uni", Some(4L))) ==
-      Seq(("w4", 4L)))
+    assert(rep.deletedDirs.isEmpty) // every dropped manifest's segments live on
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni", verify = true)) ==
+      Seq(("w1", 1L), ("w2", 2L), ("w3", 3L), ("w4", 4L)))
+    // now compact and gc to 1: the old lineage is unreferenced and goes
+    ArtifactStore.compact(spark, root, "uni")
+    val rep2 = ArtifactStore.gc(spark, root, keepLast = 1)
+    assert(rep2.deletedDirs.size == 4)
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni", verify = true)) ==
+      Seq(("w1", 1L), ("w2", 2L), ("w3", 3L), ("w4", 4L)))
     intercept[IllegalArgumentException] {
-      ArtifactStore.read(spark, root, "uni", Some(1L))
+      ArtifactStore.read(spark, root, "uni", Some(3L))
     }
-    // manifests audit table reflects the post-gc world
     val vs = ArtifactStore.manifests(spark, root)
       .select("version").as[Long].collect().toSeq.sorted
-    assert(vs == Seq(3L, 4L))
+    assert(vs == Seq(5L))
   }
 
   test("gc leaves an in-flight orphan above latest for publish to reclaim") {
     val root = tmpRoot()
-    ArtifactStore.publish(spark, root, Seq("uni" -> counts("a" -> 1L)))
-    ArtifactStore.publish(spark, root, Seq("uni" -> counts("b" -> 2L)))
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 1L))))
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("b" -> 2L))))
     counts("inflight" -> 9L).write.parquet(s"$root/data/uni/v=3")
     val rep = ArtifactStore.gc(spark, root, keepLast = 1)
     assert(rep.deletedVersions == Seq(1L))
     // the orphan survives gc…
     assert(spark.read.parquet(s"$root/data/uni/v=3").count() == 1L)
     // …and the next publish truncates it and takes the slot
-    val v3 = ArtifactStore.publish(spark, root, Seq("uni" -> counts("c" -> 3L)))
+    val v3 = ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("c" -> 3L))))
     assert(v3 == 3L)
     assert(sortedRows(ArtifactStore.read(spark, root, "uni", verify = true)) ==
       Seq(("c", 3L)))
   }
 
-  test("lifecycle integration: retention generations publish and replay") {
+  test("lifecycle integration: admit-append and convict-negate generations " +
+      "equal the rebuild from live docs") {
     val root = tmpRoot()
-    val docs = Seq(
+    val initial = Seq(
       (1L, "aa bb cc"), (2L, "bb cc dd"), (3L, "aa aa"), (4L, "dd"))
       .toDF("doc_id", "text")
-    val (uni, bi, tri) = LmScore.buildTrigramModel(docs, "text")
-    val v1 = ArtifactStore.publish(spark, root,
-      Seq("uni" -> uni, "bi" -> bi, "tri" -> tri), note = "full")
-    val convicted = docs.filter(col("doc_id") % 2 === 0)
-    val (uM, bM, tM) = ArtifactRetention.retainTrigramModel(
-      ArtifactStore.read(spark, root, "uni", Some(v1)),
-      ArtifactStore.read(spark, root, "bi", Some(v1)),
-      ArtifactStore.read(spark, root, "tri", Some(v1)),
-      convicted, "text")
-    val v2 = ArtifactStore.publish(spark, root,
-      Seq("uni" -> uM, "bi" -> bM, "tri" -> tM), note = "post-retention")
-    // latest generation ≡ rebuild from survivors, table by table
-    val survivors = docs.filter(col("doc_id") % 2 =!= 0)
-    val (uR, bR, tR) = LmScore.buildTrigramModel(survivors, "text")
-    for (((name, r), _) <- Seq(("uni", uR), ("bi", bR), ("tri", tR)).zipWithIndex) {
-      val m = ArtifactStore.read(spark, root, name, Some(v2), verify = true)
+    val admitted = Seq((5L, "cc cc ee"), (6L, "aa ee")).toDF("doc_id", "text")
+    val build = (d: DataFrame) => LmScore.buildTrigramModel(d, "text")
+    val (u0, b0, t0) = build(initial)
+    val kinds = Map("uni" -> "counts", "bi" -> "counts", "tri" -> "counts")
+    val keys = Map("uni" -> Seq("w"), "bi" -> Seq("wa", "wb"),
+      "tri" -> Seq("w1", "w2", "w3"))
+    val cnts = Map("uni" -> "c1", "bi" -> "c2", "tri" -> "c3")
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(u0), "bi" -> Snapshot(b0), "tri" -> Snapshot(t0)),
+      note = "initial", kinds = kinds, keyCols = keys, cntCols = cnts)
+    // day 2: admission appends the delta's own counts — O(|delta|)
+    val (uA, bA, tA) = build(admitted)
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(uA), "bi" -> Append(bA), "tri" -> Append(tA)),
+      note = "admit")
+    // day 3: conviction appends NEGATED counts — O(|convicted|)
+    val live0 = initial.unionByName(admitted)
+    val convicted = live0.filter(col("doc_id") % 2 === 0)
+    val (uC, bC, tC) = build(convicted)
+    val neg = (d: DataFrame, c: String) => d.withColumn(c, -col(c))
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(neg(uC, "c1")), "bi" -> Append(neg(bC, "c2")),
+        "tri" -> Append(neg(tC, "c3"))), note = "convict")
+    // merged view ≡ rebuild from the live set, table by table
+    val live = live0.filter(col("doc_id") % 2 =!= 0)
+    val (uR, bR, tR) = build(live)
+    for ((name, r) <- Seq(("uni", uR), ("bi", bR), ("tri", tR))) {
+      val m = ArtifactStore.read(spark, root, name, verify = true)
       assert(m.except(r).count() == 0 && r.except(m).count() == 0,
-        s"$name: published generation != rebuild")
+        s"$name: merged lineage != rebuild from live docs")
     }
-    // and v1 still replays the pre-retention world exactly
-    val u1 = ArtifactStore.read(spark, root, "uni", Some(v1), verify = true)
-    assert(u1.except(uni).count() == 0 && uni.except(u1).count() == 0)
+    // and generation 1 still replays the pre-admission world exactly
+    val u1 = ArtifactStore.read(spark, root, "uni", Some(1L), verify = true)
+    assert(u1.except(u0).count() == 0 && u0.except(u1).count() == 0)
+    // subtractCounts (the in-place algebra) agrees with the store's
+    // negative-segment merge — one algebra, two carriers
+    val viaSubtract = ArtifactRetention.subtractCounts(
+      ArtifactRetention.addCounts(u0, uA, Seq("w"), "c1"),
+      uC, Seq("w"), "c1")
+    val viaStore = ArtifactStore.read(spark, root, "uni")
+    assert(viaStore.except(viaSubtract).count() == 0 &&
+      viaSubtract.except(viaStore).count() == 0)
   }
 }
