@@ -16,6 +16,21 @@ import org.apache.spark.sql.functions.{col, explode}
   *     [min_mean_lp_mu=-3200000] [jaccard=0.8] \
   *     [build_artifacts=false]
   *
+  * Or store-backed (replaces `index=`/`lm=`/`index_delta=`):
+  *   DeltaMain delta=<parquet> corpus=<parquet> eval=<parquet> \
+  *     out=<dir> store=<artifact-store root> [build_artifacts=true on day 0]
+  *
+  * With `store`, artifacts resolve from the latest committed
+  * [[graft.jobs.ArtifactStore]] generation, and after admission ONE new
+  * generation is published atomically: the admitted rows' banded
+  * signatures APPEND to `index` and their own trigram counts append to
+  * `lm_uni`/`lm_bi`/`lm_tri` (counts-kind segments) — O(|batch|)
+  * including persistence, old segments untouched. A crash anywhere
+  * before the manifest rename leaves the previous generation
+  * authoritative (the reference's abort-then-rerun compaction
+  * semantics); the nightly [[ReconcileMain]] `store=` publish is the
+  * compaction that collapses the day's appends.
+  *
   * `index` is the banded-signature parquet and `lm` the trigram count
   * tables (`uni/ bi/ tri/` subdirs) — normally built ONCE by a prior
   * run with `build_artifacts=true` (which derives both from `corpus`
@@ -60,14 +75,35 @@ object DeltaMain {
         jaccardThreshold = opts.getOrElse("jaccard", "0.8").toDouble)
       val corpus = spark.read.parquet(opts("corpus"))
       val delta = spark.read.parquet(opts("delta"))
+      val store = opts.get("store")
+      import graft.jobs.ArtifactStore
       if (opts.getOrElse("build_artifacts", "false").toBoolean) {
         val (uni, bi, tri) = LmScore.buildTrigramModel(corpus, dOpts.textCol)
-        uni.write.mode("overwrite").parquet(s"${opts("lm")}/uni")
-        bi.write.mode("overwrite").parquet(s"${opts("lm")}/bi")
-        tri.write.mode("overwrite").parquet(s"${opts("lm")}/tri")
-        Dedup.bandedSignatures(corpus, dOpts.idCol, dOpts.textCol,
-            dOpts.shingleN, dOpts.minhashK, dOpts.bands)
-          .write.mode("overwrite").parquet(opts("index"))
+        val sigs = Dedup.bandedSignatures(corpus, dOpts.idCol, dOpts.textCol,
+          dOpts.shingleN, dOpts.minhashK, dOpts.bands)
+        store match {
+          case Some(root) =>
+            // day-0 generation: everything as one consistent snapshot
+            ArtifactStore.publish(spark, root, Seq(
+                "index" -> ArtifactStore.Snapshot(sigs),
+                "lm_uni" -> ArtifactStore.Snapshot(uni),
+                "lm_bi" -> ArtifactStore.Snapshot(bi),
+                "lm_tri" -> ArtifactStore.Snapshot(tri)),
+              note = "build",
+              kinds = Map("index" -> "rows", "lm_uni" -> "counts",
+                "lm_bi" -> "counts", "lm_tri" -> "counts"),
+              keyCols = Map(
+                "index" -> Seq(dOpts.idCol, "band", "bucket"),
+                "lm_uni" -> Seq("w"), "lm_bi" -> Seq("wa", "wb"),
+                "lm_tri" -> Seq("w1", "w2", "w3")),
+              cntCols = Map("lm_uni" -> "c1", "lm_bi" -> "c2",
+                "lm_tri" -> "c3"))
+          case None =>
+            uni.write.mode("overwrite").parquet(s"${opts("lm")}/uni")
+            bi.write.mode("overwrite").parquet(s"${opts("lm")}/bi")
+            tri.write.mode("overwrite").parquet(s"${opts("lm")}/tri")
+            sigs.write.mode("overwrite").parquet(opts("index"))
+        }
       }
       val words = Sketches.bloomDenseWords(
         Sketches.bloomBuild(
@@ -76,22 +112,47 @@ object DeltaMain {
               dOpts.shingleN)).as("g")),
           "g", dOpts.bloomMBits, dOpts.bloomK, dOpts.bloomSeed),
         dOpts.bloomMBits)
+      val (idx, uniA, biA, triA) = store match {
+        case Some(root) => (
+          ArtifactStore.read(spark, root, "index"),
+          ArtifactStore.read(spark, root, "lm_uni"),
+          ArtifactStore.read(spark, root, "lm_bi"),
+          ArtifactStore.read(spark, root, "lm_tri"))
+        case None => (
+          spark.read.parquet(opts("index")),
+          spark.read.parquet(s"${opts("lm")}/uni"),
+          spark.read.parquet(s"${opts("lm")}/bi"),
+          spark.read.parquet(s"${opts("lm")}/tri"))
+      }
       val (admitted, stats) = DeltaJob.run(spark, delta, corpus,
-        spark.read.parquet(opts("index")),
-        spark.read.parquet(s"${opts("lm")}/uni"),
-        spark.read.parquet(s"${opts("lm")}/bi"),
-        spark.read.parquet(s"${opts("lm")}/tri"),
-        words, dOpts)
+        idx, uniA, biA, triA, words, dOpts)
       admitted.write.mode("overwrite").parquet(opts("out"))
+      val admittedBack = spark.read.parquet(opts("out"))
       opts.get("index_delta").foreach { d =>
-        Dedup.bandedSignatures(spark.read.parquet(opts("out")),
+        Dedup.bandedSignatures(admittedBack,
             dOpts.idCol, dOpts.textCol,
             dOpts.shingleN, dOpts.minhashK, dOpts.bands)
           .write.mode("overwrite").parquet(d)
       }
+      // store-backed maintenance: one atomic generation appends the
+      // batch's signatures and its own trigram counts — O(|batch|)
+      val storeLine = store.map { root =>
+        val sigDelta = Dedup.bandedSignatures(admittedBack,
+          dOpts.idCol, dOpts.textCol,
+          dOpts.shingleN, dOpts.minhashK, dOpts.bands)
+        val (du, db, dt) =
+          LmScore.buildTrigramModel(admittedBack, dOpts.textCol)
+        val v = ArtifactStore.publish(spark, root, Seq(
+            "index" -> ArtifactStore.Append(sigDelta),
+            "lm_uni" -> ArtifactStore.Append(du),
+            "lm_bi" -> ArtifactStore.Append(db),
+            "lm_tri" -> ArtifactStore.Append(dt)),
+          note = "delta-admit")
+        s""","storeVersion":$v"""
+      }.getOrElse("")
       println(s"""{"input":${stats.input},"low_quality":${stats.lowQuality},""" +
         s""""contaminated":${stats.contaminated},"off_model":${stats.offModel},""" +
-        s""""near_dup":${stats.nearDup},"admitted":${stats.admitted}}""")
+        s""""near_dup":${stats.nearDup},"admitted":${stats.admitted}$storeLine}""")
     } finally spark.stop()
   }
 }

@@ -11,8 +11,18 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   ReconcileMain corpus=<parquet> out=<dir> \
   *     [maintained_index=<parquet>] [maintained_lm=<dir w/ uni,bi,tri>] \
+  *     [store=<artifact-store root>] [gc_keep=<k>] \
   *     [id=doc_id] [text=text] \
   *     [jaccard=0.8] [shingle_n=3] [minhash_k=20] [bands=10]
+  *
+  * `store` additionally publishes the rebuilt artifacts as ONE new
+  * [[graft.jobs.ArtifactStore]] generation (index as a rows snapshot,
+  * lm_uni/bi/tri as counts snapshots) — the store-level major
+  * compaction that collapses the day's [[DeltaMain]] append segments
+  * and [[RetentionMain]] negative segments. `gc_keep=k` then drops all
+  * but the newest k generations (reference-counted — segments shared
+  * with kept generations survive). The JSON line gains
+  * `storeVersion`/`gcDeletedDirs`.
   *
   * Writes the reconciled corpus and the rebuilt artifacts under `out`
   * (`corpus/`, `index/`, `lm/{uni,bi,tri}`) — the ground truth the next
@@ -62,6 +72,33 @@ object ReconcileMain {
       r.lmUni.write.mode("overwrite").parquet(s"$out/lm/uni")
       r.lmBi.write.mode("overwrite").parquet(s"$out/lm/bi")
       r.lmTri.write.mode("overwrite").parquet(s"$out/lm/tri")
+      // publish the rebuild as one consistent store generation (reading
+      // back the flat writes — no recomputation of the lazy frames)
+      val storeLine = opts.get("store").map { root =>
+        import graft.jobs.ArtifactStore
+        val id = opts.getOrElse("id", "doc_id")
+        val v = ArtifactStore.publish(spark, root, Seq(
+            "index" -> ArtifactStore.Snapshot(
+              spark.read.parquet(s"$out/index")),
+            "lm_uni" -> ArtifactStore.Snapshot(
+              spark.read.parquet(s"$out/lm/uni")),
+            "lm_bi" -> ArtifactStore.Snapshot(
+              spark.read.parquet(s"$out/lm/bi")),
+            "lm_tri" -> ArtifactStore.Snapshot(
+              spark.read.parquet(s"$out/lm/tri"))),
+          note = "reconcile",
+          kinds = Map("index" -> "rows", "lm_uni" -> "counts",
+            "lm_bi" -> "counts", "lm_tri" -> "counts"),
+          keyCols = Map("index" -> Seq(id, "band", "bucket"),
+            "lm_uni" -> Seq("w"), "lm_bi" -> Seq("wa", "wb"),
+            "lm_tri" -> Seq("w1", "w2", "w3")),
+          cntCols = Map("lm_uni" -> "c1", "lm_bi" -> "c2",
+            "lm_tri" -> "c3"))
+        val gcDirs = opts.get("gc_keep")
+          .map(k => ArtifactStore.gc(spark, root, k.toInt).deletedDirs.size)
+          .getOrElse(0)
+        s""","storeVersion":$v,"gcDeletedDirs":$gcDirs"""
+      }.getOrElse("")
       val st = r.stats
       println(s"""{"input":${st.input},"dupDropped":${st.dupDropped},""" +
         s""""survivors":${st.survivors},"indexRows":${st.indexRows},""" +
@@ -69,7 +106,7 @@ object ReconcileMain {
         s""""driftOnlyMaintained":${st.driftOnlyMaintained},""" +
         s""""driftOnlyRebuilt":${st.driftOnlyRebuilt},""" +
         s""""lmDriftOnlyMaintained":${st.lmDriftOnlyMaintained},""" +
-        s""""lmDriftOnlyRebuilt":${st.lmDriftOnlyRebuilt}}""")
+        s""""lmDriftOnlyRebuilt":${st.lmDriftOnlyRebuilt}$storeLine}""")
     } finally spark.stop()
   }
 }

@@ -20,7 +20,8 @@ import org.apache.spark.sql.SparkSession
   *     [write_timestamp=<micros>] [job_start_ms=<ms>] \
   *     [maintained_out=<dir> [maintain_index=<banded parquet>]
   *      [maintain_ivf=<assigned parquet>] [maintain_lm=<dir w/ uni,bi,tri>]
-  *      [id_col=doc_id] [text_col=text]]
+  *      [id_col=doc_id] [text_col=text]] \
+  *     [store=<artifact-store root>]
   *
   * `dcs_status_report_ms` enables the A2 interval heartbeat;
   * `write_timestamp` stamps the Q7 writetime onto kept-side writes;
@@ -101,33 +102,72 @@ object RetentionMain {
         finally reporter.foreach(_.stop())
       // deletion-side artifact maintenance on a LIVE run: subtract the
       // convicted keys from the persisted derived artifacts
-      opts.get("maintained_out").foreach { outDir =>
+      if (opts.contains("maintained_out") || opts.contains("store")) {
         import org.apache.spark.sql.functions.col
         val (keepCol, mode) = RetentionJob.plan(df, spec, rs, ttlMode,
           jobStartMs)
         if (!mode.isDryRun && !strat.effectiveDryRun) {
           val idCol = opts.getOrElse("id_col", "doc_id")
+          val textCol = opts.getOrElse("text_col", "text")
           val convictedDocs = df.filter(!keepCol).localCheckpoint()
           val convicted = convictedDocs.select(idCol).distinct()
-          opts.get("maintain_index").foreach { p =>
-            graft.jobs.ArtifactRetention
-              .retainRows(spark.read.parquet(p), convicted, idCol)
-              .write.mode("overwrite").parquet(s"$outDir/index")
+          opts.get("maintained_out").foreach { outDir =>
+            opts.get("maintain_index").foreach { p =>
+              graft.jobs.ArtifactRetention
+                .retainRows(spark.read.parquet(p), convicted, idCol)
+                .write.mode("overwrite").parquet(s"$outDir/index")
+            }
+            opts.get("maintain_ivf").foreach { p =>
+              graft.jobs.ArtifactRetention
+                .retainRows(spark.read.parquet(p), convicted, idCol)
+                .write.mode("overwrite").parquet(s"$outDir/ivf")
+            }
+            opts.get("maintain_lm").foreach { p =>
+              val (u, b, t) = graft.jobs.ArtifactRetention.retainTrigramModel(
+                spark.read.parquet(s"$p/uni"), spark.read.parquet(s"$p/bi"),
+                spark.read.parquet(s"$p/tri"),
+                convictedDocs.select(col(idCol), col(textCol)), textCol)
+              u.write.mode("overwrite").parquet(s"$outDir/lm/uni")
+              b.write.mode("overwrite").parquet(s"$outDir/lm/bi")
+              t.write.mode("overwrite").parquet(s"$outDir/lm/tri")
+            }
           }
-          opts.get("maintain_ivf").foreach { p =>
-            graft.jobs.ArtifactRetention
-              .retainRows(spark.read.parquet(p), convicted, idCol)
-              .write.mode("overwrite").parquet(s"$outDir/ivf")
-          }
-          opts.get("maintain_lm").foreach { p =>
-            val textCol = opts.getOrElse("text_col", "text")
-            val (u, b, t) = graft.jobs.ArtifactRetention.retainTrigramModel(
-              spark.read.parquet(s"$p/uni"), spark.read.parquet(s"$p/bi"),
-              spark.read.parquet(s"$p/tri"),
-              convictedDocs.select(col(idCol), col(textCol)), textCol)
-            u.write.mode("overwrite").parquet(s"$outDir/lm/uni")
-            b.write.mode("overwrite").parquet(s"$outDir/lm/bi")
-            t.write.mode("overwrite").parquet(s"$outDir/lm/tri")
+          // store-backed maintenance: ONE atomic generation — rows-kind
+          // artifacts (index/ivf) rewrite via anti-join snapshot,
+          // counts-kind LM tables append NEGATED counts (O(|convicted|);
+          // the reference's conviction-triggered index cleanup,
+          // FilteringSSTableScanner.java:135-193, as segment algebra)
+          opts.get("store").foreach { root =>
+            import graft.jobs.ArtifactStore
+            val latest = ArtifactStore.latestVersion(spark, root)
+              .getOrElse(sys.error(
+                s"store=$root has no committed generation to maintain"))
+            val present = ArtifactStore
+              .readManifest(spark, root, latest).artifacts
+              .map(_.artifact).toSet
+            val rowKinds = Seq("index", "ivf").filter(present).map { n =>
+              n -> ArtifactStore.Snapshot(graft.jobs.ArtifactRetention
+                .retainRows(ArtifactStore.read(spark, root, n),
+                  convicted, idCol))
+            }
+            val lmKinds = if (present("lm_uni")) {
+              val (du, db, dt) = graft.operators.LmScore.buildTrigramModel(
+                convictedDocs.select(col(idCol), col(textCol)), textCol)
+              Seq(
+                "lm_uni" -> ArtifactStore.Append(
+                  du.withColumn("c1", -col("c1"))),
+                "lm_bi" -> ArtifactStore.Append(
+                  db.withColumn("c2", -col("c2"))),
+                "lm_tri" -> ArtifactStore.Append(
+                  dt.withColumn("c3", -col("c3"))))
+            } else Nil
+            val changes = rowKinds ++ lmKinds
+            if (changes.nonEmpty) {
+              val v = ArtifactStore.publish(spark, root, changes,
+                note = "retention")
+              System.err.println(s"[retention] store generation v$v " +
+                s"(${changes.map(_._1).mkString(", ")})")
+            }
           }
         } else System.err.println(
           "[retention] dry run: artifact maintenance skipped")
