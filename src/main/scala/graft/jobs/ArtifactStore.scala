@@ -358,6 +358,29 @@ object ArtifactStore {
       "rows", "checksum")
   }
 
+  /** Find the generation a given note committed, if any — the
+    * idempotence handle for streaming publishers: stamp each
+    * micro-batch's publish with a unique note ("batch-<id>") and skip
+    * the publish on replay when the stamp is already committed
+    * (foreachBatch can replay its last uncommitted batch after a
+    * crash). Scans the manifest listing — bounded by GC; callers must
+    * keep at least the replay window's generations (any realistic
+    * `gc(keepLast)` does: a replay is the immediately-next restart,
+    * GC is nightly). */
+  def findVersionByNote(
+      spark: SparkSession,
+      root: String,
+      note: String): Option[Long] = {
+    val f = fs(spark, root)
+    val dir = manifestDir(root)
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("manifest-v") &&
+        p.getName.endsWith(".json"))
+      .map(p => parse(readString(f, p)))
+      .collectFirst { case m if m.note == note => m.version }
+  }
+
   final case class GcReport(
       keptVersions: Seq[Long],
       deletedVersions: Seq[Long],
