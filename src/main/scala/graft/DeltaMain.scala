@@ -18,7 +18,14 @@ import org.apache.spark.sql.functions.{col, explode}
   *
   * Or store-backed (replaces `index=`/`lm=`/`index_delta=`):
   *   DeltaMain delta=<parquet> corpus=<parquet> eval=<parquet> \
-  *     out=<dir> store=<artifact-store root> [build_artifacts=true on day 0]
+  *     out=<dir> store=<artifact-store root> [run_id=<unique batch id>] \
+  *     [build_artifacts=true on day 0]
+  *
+  * `run_id` keys the store publish for idempotence (default: the delta
+  * path — correct when each batch arrives under its own path). A
+  * re-run with the same id is absorbed: the stats line reports the
+  * already-committed generation with `"storeReplayed":true` and the
+  * store is untouched.
   *
   * With `store`, artifacts resolve from the latest committed
   * [[graft.jobs.ArtifactStore]] generation, and after admission ONE new
@@ -135,20 +142,28 @@ object DeltaMain {
           .write.mode("overwrite").parquet(d)
       }
       // store-backed maintenance: one atomic generation appends the
-      // batch's signatures and its own trigram counts — O(|batch|)
+      // batch's signatures and its own trigram counts — O(|batch|).
+      // The publish is keyed by a per-batch note (run_id= if given,
+      // else the delta path) so a RETRIED DeltaMain — an orchestrator
+      // re-running after a crash between the manifest rename and
+      // process exit — is absorbed: the already-committed generation
+      // returns instead of appending the same batch's rows and counts
+      // a second time (counts-kind merge would silently inflate the LM
+      // tables until the nightly reconcile).
       val storeLine = store.map { root =>
+        val batchId = opts.getOrElse("run_id", opts("delta"))
         val sigDelta = Dedup.bandedSignatures(admittedBack,
           dOpts.idCol, dOpts.textCol,
           dOpts.shingleN, dOpts.minhashK, dOpts.bands)
         val (du, db, dt) =
           LmScore.buildTrigramModel(admittedBack, dOpts.textCol)
-        val v = ArtifactStore.publish(spark, root, Seq(
+        val (v, published) = ArtifactStore.publishIdempotent(spark, root, Seq(
             "index" -> ArtifactStore.Append(sigDelta),
             "lm_uni" -> ArtifactStore.Append(du),
             "lm_bi" -> ArtifactStore.Append(db),
             "lm_tri" -> ArtifactStore.Append(dt)),
-          note = "delta-admit")
-        s""","storeVersion":$v"""
+          note = s"delta-admit:$batchId")
+        s""","storeVersion":$v,"storeReplayed":${!published}"""
       }.getOrElse("")
       println(s"""{"input":${stats.input},"low_quality":${stats.lowQuality},""" +
         s""""contaminated":${stats.contaminated},"off_model":${stats.offModel},""" +

@@ -96,15 +96,67 @@ object ArtifactStore {
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestDir(root: String) = new Path(root, "_manifests")
+  private def lockPath(root: String) = new Path(root, "_writer.lock")
+
+  /** Serialize store mutations across processes ([[DeltaMain]],
+    * [[graft.RetentionMain]], and [[graft.ReconcileMain]] are separate
+    * CLIs that can target the same store): without it, two concurrent
+    * publishes both resolve v = N, and the second's orphan-truncate
+    * deletes the first's in-flight `v=N` segment data before either
+    * manifest commits. The lock is a create-exclusive file
+    * (`create(path, overwrite = false)` — atomic on HDFS and on the
+    * local filesystem) holding `uuid epochMillis`; a holder that
+    * crashed is broken after `staleMs` (mutations are short —
+    * O(|delta|) writes — so a realistic staleness bound is minutes).
+    * Release deletes the file only if the uuid still matches, so a
+    * breaker never loses its own freshly-acquired lock to the broken
+    * holder's cleanup. */
+  private def withWriterLock[T](
+      f: FileSystem, root: String, staleMs: Long)(body: => T): T = {
+    val p = lockPath(root)
+    val id = java.util.UUID.randomUUID.toString
+    def tryAcquire(): Boolean =
+      try {
+        val out = f.create(p, false)
+        try out.write(s"$id ${System.currentTimeMillis}".getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def holderIsStale(): Boolean =
+      try {
+        val ts = readString(f, p).split(" ")(1).toLong
+        System.currentTimeMillis - ts > staleMs
+      } catch { case _: Exception => true } // unreadable/torn lock: break it
+    var acquired = tryAcquire()
+    if (!acquired && holderIsStale()) {
+      f.delete(p, false)
+      acquired = tryAcquire()
+    }
+    if (!acquired) sys.error(
+      s"artifact store $root: another writer holds ${p} — concurrent " +
+        "publishers are serialized; retry after it commits (or after " +
+        s"${staleMs}ms if it crashed)")
+    try body
+    finally {
+      val mine = try readString(f, p).startsWith(id)
+        catch { case _: Exception => false }
+      if (mine) f.delete(p, false)
+    }
+  }
   private def manifestPath(root: String, v: Long) =
     new Path(manifestDir(root), f"manifest-v$v%09d.json")
   private def dataDir(root: String, artifact: String, v: Long) =
     new Path(new Path(root, "data"), s"$artifact/v=$v")
 
-  /** 60-bit order-free content checksum over the key columns — the
-    * exact [[graft.operators.TrainPrep.shardManifest]] row-hash shape
-    * (`('0x' || substr(md5(k1 || ':' || k2 …), 1, 15))::BIGINT` with
-    * `bit_xor` in DuckDB), so manifests replay cross-engine. */
+  /** 60-bit order-free content checksum over the key columns. The
+    * hashed payload per row is the joined key string CONCATENATED WITH
+    * ITSELF — `keyed || ':' || keyed` where
+    * `keyed = k1 || ':' || k2 …` — i.e. the DuckDB replay is
+    * `('0x' || substr(md5(keyed || ':' || keyed), 1, 15))::BIGINT`
+    * folded with `bit_xor` (exactly what the `q_artifact_manifest`
+    * oracle does). The self-concat doubles the hashed entropy of short
+    * keys for free; anyone replaying the checksum cross-engine must
+    * reproduce it. */
   private def checksumOf(df: DataFrame, keyCols: Seq[String]): (Long, Long) = {
     val keyed = keyCols.map(k => col(k).cast("string"))
       .reduceLeft((a, b) => concat(a, lit(":"), b))
@@ -167,14 +219,33 @@ object ArtifactStore {
     s"""{"version":${m.version},"note":"${esc(m.note)}","segments":$rows}"""
   }
 
+  /** Single-pass JSON string unescape — the exact inverse of [[esc]]:
+    * decodes `\"`, `\\`, and the `\uXXXX` escapes esc() emits for
+    * control characters, so a note/path containing any of them
+    * round-trips bit-exact through render/parse. */
+  private def unescape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            out.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case e => out.append(e); i += 2
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   private def field(json: String, key: String): String = {
     val m = ("\"" + key + "\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|-?\\d+)").r
       .findFirstMatchIn(json)
       .getOrElse(sys.error(s"manifest field '$key' missing"))
     val v = m.group(1)
-    if (v.startsWith("\""))
-      v.substring(1, v.length - 1)
-        .replace("\\\"", "\"").replace("\\\\", "\\")
+    if (v.startsWith("\"")) unescape(v.substring(1, v.length - 1))
     else v
   }
 
@@ -207,12 +278,17 @@ object ArtifactStore {
     * in the latest manifest carries forward untouched, so the new
     * generation is a complete snapshot.
     *
-    * Commit protocol (crash-safe at every step): pick
+    * Commit protocol (crash-safe at every step, and serialized across
+    * processes by the create-exclusive writer lock — see
+    * [[withWriterLock]]): acquire the lock; pick
     * N = latest committed + 1; truncate any orphan `v=N` segment dirs
     * (a predecessor's crashed publish — invisible, safe to reclaim);
     * write each changed artifact's delta/snapshot parquet under its
-    * `v=N` dir; write the manifest JSON to a temp name and atomically
-    * rename it in — the generation exists from that instant.
+    * `v=N` dir; write the manifest JSON to a temp name, check the
+    * destination is absent (local-fs rename overwrites silently — an
+    * occupied slot means the lock was wrongly broken), and atomically
+    * rename it in — the generation exists from that instant. For
+    * retried publishers, use [[publishIdempotent]] with a unique note.
     *
     * `kinds`/`keyCols`/`cntCols` configure artifacts on FIRST
     * appearance (defaults: kind `rows`, key = first column, cnt `c1`);
@@ -225,11 +301,13 @@ object ArtifactStore {
       note: String = "",
       kinds: Map[String, String] = Map.empty,
       keyCols: Map[String, Seq[String]] = Map.empty,
-      cntCols: Map[String, String] = Map.empty): Long = {
+      cntCols: Map[String, String] = Map.empty,
+      lockStaleMs: Long = DefaultLockStaleMs): Long = {
     require(changes.nonEmpty, "publish needs at least one change")
     require(changes.map(_._1).distinct.size == changes.size,
       "duplicate artifact names in one publish")
     val f = fs(spark, root)
+    withWriterLock(f, root, lockStaleMs) {
     val prevV = latestVersion(spark, root)
     val v = prevV.getOrElse(0L) + 1L
     val prev: Map[String, ArtifactMeta] = prevV
@@ -268,11 +346,55 @@ object ArtifactStore {
     f.mkdirs(manifestDir(root))
     writeString(f, tmp, render(Manifest(v, note, changed ++ carried)))
     val dst = manifestPath(root, v)
+    // Put-if-absent commit: under the writer lock `dst` cannot exist
+    // (we picked v = latest + 1), so an existing manifest here means
+    // this holder was wrongly broken as stale mid-publish and another
+    // writer committed v. Checking BEFORE the rename matters because
+    // Hadoop's local-filesystem rename() silently overwrites an
+    // existing destination — the failure the guard exists to catch.
+    if (f.exists(dst)) {
+      f.delete(tmp, false)
+      sys.error(s"manifest commit for v$v lost a publish race under $root " +
+        "(writer lock was broken as stale — raise lockStaleMs above the " +
+        "longest real publish)")
+    }
     if (!f.rename(tmp, dst)) {
       f.delete(tmp, false)
       sys.error(s"manifest commit for v$v lost a publish race under $root")
     }
     v
+    }
+  }
+
+  /** Staleness bound after which a crashed publisher's writer lock is
+    * broken. Mutations are O(|delta|) parquet writes plus a manifest
+    * rename; ten minutes dwarfs any real publish. */
+  val DefaultLockStaleMs: Long = 10L * 60 * 1000
+
+  /** [[publish]] keyed by a UNIQUE note — the idempotence handle for
+    * retried publishers (an orchestrator re-running a crashed
+    * [[graft.DeltaMain]], a replayed foreachBatch micro-batch): if a
+    * committed generation already carries `note`, the publish is
+    * skipped and that generation's version returns. Returns
+    * (version, published?) — `false` means the replay was absorbed.
+    * The note must be unique per logical batch (e.g.
+    * "delta-admit:<run-id>"); callers' GC must keep at least the
+    * replay window's manifests (nightly `gc(keepLast)` does — a replay
+    * is the immediately-next restart). */
+  def publishIdempotent(
+      spark: SparkSession,
+      root: String,
+      changes: Seq[(String, Change)],
+      note: String,
+      kinds: Map[String, String] = Map.empty,
+      keyCols: Map[String, Seq[String]] = Map.empty,
+      cntCols: Map[String, String] = Map.empty): (Long, Boolean) = {
+    require(note.nonEmpty, "publishIdempotent needs a unique non-empty note")
+    findVersionByNote(spark, root, note) match {
+      case Some(v) => (v, false)
+      case None =>
+        (publish(spark, root, changes, note, kinds, keyCols, cntCols), true)
+    }
   }
 
   private def metaOf(
@@ -387,16 +509,27 @@ object ArtifactStore {
       deletedDirs: Seq[String])
 
   /** Delete segment dirs referenced by none of the `keepLast` newest
-    * manifests, then the superseded manifests themselves. Reference
-    * counting on paths: a segment shared by kept and dropped
-    * generations survives. Orphan dirs above the latest committed
-    * version (a crashed in-flight publish) are left for the next
-    * publish to truncate. */
-  def gc(spark: SparkSession, root: String, keepLast: Int): GcReport = {
+    * manifests, then the superseded manifests themselves; finally
+    * reclaim ORPHAN data dirs — `data/<artifact>/v=N` with
+    * N ≤ latest committed version that no surviving manifest
+    * references. Orphans arise when a publish crashes after writing
+    * artifact A's `v=N` data and the NEXT publish at N changes a
+    * different artifact: versions never revisit N, so the dir would
+    * otherwise leak forever. Reference counting on paths: a segment
+    * shared by kept and dropped generations survives. Dirs ABOVE the
+    * latest committed version (an in-flight publish) are never
+    * touched — the writer lock plus this bound make reclamation safe
+    * under a concurrent publisher. */
+  def gc(
+      spark: SparkSession,
+      root: String,
+      keepLast: Int,
+      lockStaleMs: Long = DefaultLockStaleMs): GcReport = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val f = fs(spark, root)
     val dir = manifestDir(root)
     if (!f.exists(dir)) return GcReport(Nil, Nil, Nil)
+    withWriterLock(f, root, lockStaleMs) {
     val versions = f.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("manifest-v") && n.endsWith(".json") =>
         n.stripPrefix("manifest-v").stripSuffix(".json").toLong }
@@ -411,6 +544,26 @@ object ArtifactStore {
       .distinct.filterNot(keptPaths)
     doomedDirs.foreach(p => f.delete(new Path(p), true))
     drop.foreach(v => f.delete(manifestPath(root, v), false))
-    GcReport(keep, drop, doomedDirs)
+    // Orphan reclamation: committed-version bound keeps in-flight
+    // publishes (always at latest + 1) out of reach. Compare paths in
+    // qualified form — manifests record what the publisher passed
+    // (possibly scheme-less), listStatus returns qualified paths.
+    val latestCommitted = versions.lastOption.getOrElse(0L)
+    val keptQualified = keptPaths.map(s => f.makeQualified(new Path(s)).toString)
+    val dataRoot = new Path(root, "data")
+    val orphans =
+      if (!f.exists(dataRoot)) Nil
+      else f.listStatus(dataRoot).toSeq.filter(_.isDirectory).flatMap { art =>
+        f.listStatus(art.getPath).toSeq.map(_.getPath)
+          .filter { p =>
+            p.getName.startsWith("v=") &&
+              p.getName.stripPrefix("v=").forall(_.isDigit) &&
+              p.getName.stripPrefix("v=").toLong <= latestCommitted &&
+              !keptQualified(f.makeQualified(p).toString)
+          }
+      }
+    orphans.foreach(p => f.delete(p, true))
+    GcReport(keep, drop, (doomedDirs ++ orphans.map(_.toString)).distinct)
+    }
   }
 }

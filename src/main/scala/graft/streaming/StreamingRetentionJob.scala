@@ -243,12 +243,19 @@ object StreamingRetentionJob {
     * unprocessed file on restart — already-admitted batches are neither
     * re-read nor re-admitted, and the union of admitted outputs across
     * the kill is identical to an uninterrupted run (restart-parity
-    * spec-pinned). This matches the reference's abort-then-rerun
-    * compaction semantics (ref: FilteringSSTableScanner.java:205-224 —
-    * an aborted compaction leaves the originals in place and the next
-    * run redoes only that unit of work). `Trigger.AvailableNow` drains
-    * what is there and stops; re-invoking with the same checkpoint is
-    * the recurring-ingest loop. */
+    * spec-pinned). foreachBatch is AT-LEAST-ONCE — a crash after the
+    * sink write but before the checkpoint commit replays that batch on
+    * restart — so each batch writes to its own deterministic
+    * `batch=<batchId>` partition dir with overwrite: the replay
+    * rewrites the same dir with the same rows instead of appending
+    * duplicates (readers of `admittedPath` see a `batch` partition
+    * column carrying the micro-batch id — provenance for free). This
+    * matches the reference's abort-then-rerun compaction semantics
+    * (ref: FilteringSSTableScanner.java:205-224 — an aborted compaction
+    * leaves the originals in place and the next run redoes only that
+    * unit of work). `Trigger.AvailableNow` drains what is there and
+    * stops; re-invoking with the same checkpoint is the
+    * recurring-ingest loop. */
   def runAdmission(
       spark: SparkSession,
       srcPath: String,
@@ -265,15 +272,103 @@ object StreamingRetentionJob {
         graft.jobs.DeltaJob.DeltaOptions()): StreamingQuery =
     spark.readStream.schema(schema).parquet(srcPath)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatch(batch, corpusText, corpusBanded, lmUni, lmBi, lmTri,
             evalBloomWords, opts)
-          .write.mode("append").parquet(admittedPath)
+          .write.mode("overwrite").parquet(s"$admittedPath/batch=$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Store-backed streaming admission — [[runAdmission]] with the
+    * persisted artifacts resolved from (and maintained in) a
+    * [[graft.jobs.ArtifactStore]], closing the exactly-once loop
+    * end-to-end: each micro-batch gates against the store's banded
+    * index and LM count tables, writes its admitted rows to a
+    * deterministic `batch=<id>` dir, and publishes ONE atomic
+    * generation appending the admitted rows' signatures and their own
+    * trigram counts (the [[graft.DeltaMain]] store contract, per
+    * micro-batch). The store must carry the `index` / `lm_uni` /
+    * `lm_bi` / `lm_tri` artifacts of a day-0 `build_artifacts` run.
+    *
+    * Exactly-once under at-least-once replay, both crash windows:
+    *  - crash AFTER the sink write, BEFORE the store publish: the
+    *    replay rewrites the same batch dir with the same rows and the
+    *    publish happens once, on the replay;
+    *  - crash AFTER the store publish, BEFORE the checkpoint commit:
+    *    the replay finds its note (`stream-admit:<streamId>:<batchId>`)
+    *    already committed at generation v and gates against v − 1 —
+    *    the generation that preceded this batch — so the batch's OWN
+    *    signatures (already in v) cannot suppress its replay as
+    *    self-near-dups; the rewrite is bit-identical and
+    *    [[graft.jobs.ArtifactStore.publishIdempotent]] absorbs the
+    *    duplicate publish.
+    *
+    * Each batch's candidate texts are the day-0 corpus plus the
+    * admitted output of STRICTLY EARLIER batches (the `batch` partition
+    * column makes the before-me filter exact under replay), so index
+    * hits against previously-admitted docs always resolve their text.
+    * `streamId` namespaces the publish notes when several streams feed
+    * one store. GC of the store must keep at least the replay window's
+    * generations (nightly `gc(keepLast)` does). */
+  def runAdmissionStore(
+      spark: SparkSession,
+      srcPath: String,
+      schema: StructType,
+      corpusText: DataFrame,
+      evalBloomWords: Array[Long],
+      admittedPath: String,
+      checkpoint: String,
+      storeRoot: String,
+      streamId: String = "stream",
+      opts: graft.jobs.DeltaJob.DeltaOptions =
+        graft.jobs.DeltaJob.DeltaOptions()): StreamingQuery = {
+    import graft.jobs.ArtifactStore
+    import graft.operators.{Dedup, LmScore}
+    val corpusBase = corpusText.select(col(opts.idCol), col(opts.textCol))
+    spark.readStream.schema(schema).parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val note = s"stream-admit:$streamId:$batchId"
+        // replay-stable artifact resolution: gate against the
+        // generation that preceded this batch's own publish
+        val ver = ArtifactStore.findVersionByNote(spark, storeRoot, note)
+          .map(_ - 1)
+        val idx = ArtifactStore.read(spark, storeRoot, "index", ver)
+        val uni = ArtifactStore.read(spark, storeRoot, "lm_uni", ver)
+        val bi = ArtifactStore.read(spark, storeRoot, "lm_bi", ver)
+        val tri = ArtifactStore.read(spark, storeRoot, "lm_tri", ver)
+        val fs = new org.apache.hadoop.fs.Path(admittedPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(admittedPath)))
+            corpusBase.limit(0)
+          else spark.read.parquet(admittedPath)
+            .filter(col("batch") < batchId)
+            .select(col(opts.idCol), col(opts.textCol))
+        val admitted = graft.jobs.DeltaJob.admit(batch,
+            corpusBase.unionByName(prior), idx, uni, bi, tri,
+            evalBloomWords, opts)
+          .localCheckpoint()
+        admitted.write.mode("overwrite")
+          .parquet(s"$admittedPath/batch=$batchId")
+        val sigs = Dedup.bandedSignatures(admitted, opts.idCol, opts.textCol,
+          opts.shingleN, opts.minhashK, opts.bands)
+        val (du, db, dt) = LmScore.buildTrigramModel(admitted, opts.textCol)
+        ArtifactStore.publishIdempotent(spark, storeRoot, Seq(
+            "index" -> ArtifactStore.Append(sigs),
+            "lm_uni" -> ArtifactStore.Append(du),
+            "lm_bi" -> ArtifactStore.Append(db),
+            "lm_tri" -> ArtifactStore.Append(dt)),
+          note = note)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 
   /** Streaming curation — the streaming face of
     * [[graft.jobs.CurationJob]]: quality threshold → repetition caps

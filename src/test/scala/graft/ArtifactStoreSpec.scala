@@ -277,4 +277,95 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(viaStore.except(viaSubtract).count() == 0 &&
       viaSubtract.except(viaStore).count() == 0)
   }
+
+  test("publishIdempotent absorbs a retried publish by its unique note") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 3L))),
+      kinds = Map("uni" -> "counts"))
+    val (v2, published) = ArtifactStore.publishIdempotent(spark, root,
+      Seq("uni" -> Append(counts("a" -> 2L, "b" -> 1L))),
+      note = "delta-admit:batch-7")
+    assert(v2 == 2L && published)
+    // the retry — an orchestrator re-running the same batch after a
+    // crash between the manifest rename and process exit — is a no-op
+    val (v2b, publishedB) = ArtifactStore.publishIdempotent(spark, root,
+      Seq("uni" -> Append(counts("a" -> 2L, "b" -> 1L))),
+      note = "delta-admit:batch-7")
+    assert(v2b == 2L && !publishedB)
+    assert(ArtifactStore.latestVersion(spark, root).contains(2L))
+    // counts were NOT double-applied
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni")) ==
+      Seq(("a", 5L), ("b", 1L)))
+    // a genuinely new batch still publishes
+    val (v3, publishedC) = ArtifactStore.publishIdempotent(spark, root,
+      Seq("uni" -> Append(counts("c" -> 4L))),
+      note = "delta-admit:batch-8")
+    assert(v3 == 3L && publishedC)
+  }
+
+  test("writer lock: a live concurrent publisher is rejected, a stale one is broken") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 1L))))
+    val lock = java.nio.file.Paths.get(root, "_writer.lock")
+    // a FRESH lock (a live writer mid-publish) blocks the publish
+    java.nio.file.Files.write(lock,
+      s"other-writer ${System.currentTimeMillis}".getBytes("UTF-8"))
+    val e = intercept[RuntimeException] {
+      ArtifactStore.publish(spark, root,
+        Seq("uni" -> Append(counts("b" -> 1L))))
+    }
+    assert(e.getMessage.contains("another writer"))
+    assert(ArtifactStore.latestVersion(spark, root).contains(1L))
+    // a STALE lock (a crashed writer) is broken and the publish proceeds
+    java.nio.file.Files.write(lock,
+      s"crashed-writer ${System.currentTimeMillis - 3600 * 1000L}".getBytes("UTF-8"))
+    val v2 = ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("b" -> 1L))))
+    assert(v2 == 2L)
+    // the successful publish released its own lock
+    assert(!java.nio.file.Files.exists(lock))
+  }
+
+  test("gc reclaims a permanently-orphaned data dir at or below latest") {
+    val root = tmpRoot()
+    // v1 commits artifacts A and B
+    ArtifactStore.publish(spark, root, Seq(
+      "arta" -> Snapshot(counts("a" -> 1L)),
+      "artb" -> Snapshot(counts("b" -> 1L))))
+    // a publish touching A crashes at v=2 AFTER writing data, BEFORE
+    // the manifest rename — invisible, but occupying data/arta/v=2
+    counts("crashed" -> 9L).write.parquet(s"$root/data/arta/v=2")
+    // the NEXT publish at v=2 changes only B: it truncates orphan slots
+    // for the artifacts IT touches, so A's orphan survives the publish —
+    // and versions never revisit 2, so without gc it would leak forever
+    ArtifactStore.publish(spark, root,
+      Seq("artb" -> Snapshot(counts("b" -> 2L))))
+    assert(spark.read.parquet(s"$root/data/arta/v=2").count() == 1L)
+    val rep = ArtifactStore.gc(spark, root, keepLast = 2)
+    // both manifests survive; only the unreferenced orphan dir goes
+    assert(rep.deletedVersions.isEmpty)
+    assert(rep.deletedDirs.map(p => p.substring(p.indexOf("/data/"))) ==
+      Seq("/data/arta/v=2"))
+    // live segments are untouched and fully verifiable
+    assert(sortedRows(ArtifactStore.read(spark, root, "arta", verify = true)) ==
+      Seq(("a", 1L)))
+    assert(sortedRows(ArtifactStore.read(spark, root, "artb", verify = true)) ==
+      Seq(("b", 2L)))
+  }
+
+  test("notes with quotes, backslashes, and control chars round-trip the manifest") {
+    val root = tmpRoot()
+    val gnarly = "line1\nline2\t\"quoted\" \\slash\\ end"
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 1L))), note = gnarly)
+    assert(ArtifactStore.readManifest(spark, root, 1L).note == gnarly)
+    // findVersionByNote resolves the exact original text
+    assert(ArtifactStore.findVersionByNote(spark, root, gnarly).contains(1L))
+    import spark.implicits._
+    val audited = ArtifactStore.manifests(spark, root)
+      .select("note").as[String].head()
+    assert(audited == gnarly)
+  }
 }

@@ -739,5 +739,138 @@ class StreamingSpec extends SparkSpec {
     assert(afterRun1 == exp0)
     assert(all.toSet == exp0 ++ batchIds(b1))
     assert(all.nonEmpty)
+
+    // MID-batch crash: foreachBatch is at-least-once — simulate a kill
+    // after the sink write but before the checkpoint commit by deleting
+    // the newest commit marker and restarting. The engine replays that
+    // batch from the offset log; the deterministic batch=<id> overwrite
+    // write absorbs the replay, so the admitted set is unchanged and no
+    // row is duplicated.
+    val commits = new java.io.File(s"$dir/cp/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete())
+    // the local fs keeps a .crc sidecar per commit marker — drop it too,
+    // or the replayed commit write trips the concurrent-query guard
+    new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+      .delete()
+    drain()
+    val afterReplay = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(afterReplay.distinct.size == afterReplay.size)
+    assert(afterReplay.toSet == all.toSet)
+  }
+
+  test("runAdmissionStore: per-batch atomic generations, exactly-once through both crash windows") {
+    import graft.jobs.ArtifactStore
+    import graft.operators.{Dedup, LmScore, Sketches}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).localCheckpoint()
+    val (uni0, bi0, tri0) = LmScore.buildTrigramModel(corpus, "text")
+    val idx0 = Dedup.bandedSignatures(corpus, "doc_id", "text", 3, 20, 10)
+    val store = Files.createTempDirectory("graft-admit-store").toString
+    ArtifactStore.publish(spark, store, Seq(
+        "index" -> ArtifactStore.Snapshot(idx0),
+        "lm_uni" -> ArtifactStore.Snapshot(uni0),
+        "lm_bi" -> ArtifactStore.Snapshot(bi0),
+        "lm_tri" -> ArtifactStore.Snapshot(tri0)),
+      note = "build",
+      kinds = Map("index" -> "rows", "lm_uni" -> "counts",
+        "lm_bi" -> "counts", "lm_tri" -> "counts"),
+      keyCols = Map("index" -> Seq("doc_id", "band", "bucket"),
+        "lm_uni" -> Seq("w"), "lm_bi" -> Seq("wa", "wb"),
+        "lm_tri" -> Seq("w1", "w2", "w3")),
+      cntCols = Map("lm_uni" -> "c1", "lm_bi" -> "c2", "lm_tri" -> "c3"))
+    val held = graft.operators.Sampling.hashSplit(docs, "doc_id",
+        Seq(("train", 0.95), ("heldout", 0.05)), seed = 7L)
+      .filter(col("split") === "heldout")
+    val words = Sketches.bloomDenseWords(
+      Sketches.bloomBuild(
+        held.select(explode(Dedup.shingles(col("text"), 3)).as("g")),
+        "g", 262144, 3, 31L), 262144)
+    val delta = docs.filter(col("doc_id") % 5 === 0).as[(Long, String)].collect()
+    val (b0, b1) = delta.partition(_._1 % 10 == 0)
+    val dir = Files.createTempDirectory("graft-admit-store-run").toString
+    val src = s"$dir/src"
+    val schema = b0.toSeq.toDF("doc_id", "text").schema
+    def drain(): Unit = StreamingRetentionJob.runAdmissionStore(
+      spark, src, schema, corpus, words,
+      admittedPath = s"$dir/admitted", checkpoint = s"$dir/cp",
+      storeRoot = store).awaitTermination(180000)
+    b0.toSeq.toDF("doc_id", "text").write.parquet(src)
+    drain()
+    assert(ArtifactStore.latestVersion(spark, store).contains(2L))
+    val afterB0 = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    // batch-twin parity: same admitted set as a direct DeltaJob.admit
+    // against the day-0 artifacts
+    def artifactsAt(v: Long) = (
+      ArtifactStore.read(spark, store, "index", Some(v)),
+      ArtifactStore.read(spark, store, "lm_uni", Some(v)),
+      ArtifactStore.read(spark, store, "lm_bi", Some(v)),
+      ArtifactStore.read(spark, store, "lm_tri", Some(v)))
+    val (i1, u1, l1, t1) = artifactsAt(1L)
+    val exp0 = graft.jobs.DeltaJob.admit(b0.toSeq.toDF("doc_id", "text"),
+        corpus, i1, u1, l1, t1, words)
+      .select("doc_id").as[Long].collect().toSet
+    assert(afterB0 == exp0 && afterB0.nonEmpty)
+
+    // CRASH WINDOW 2: store generation committed, checkpoint commit
+    // lost. The replay must gate against generation 1 (not 2 — its own
+    // signatures would flag the whole batch as self-near-dups) and the
+    // duplicate publish must be absorbed by its note.
+    val commits = new java.io.File(s"$dir/cp/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.last.delete())
+    new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+      .delete()
+    drain()
+    assert(ArtifactStore.latestVersion(spark, store).contains(2L))
+    val replayed = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(replayed.distinct.size == replayed.size)
+    assert(replayed.toSet == exp0)
+
+    // CRASH WINDOW 1: sink write landed (even partially/corrupt),
+    // store publish did not. Simulate by pre-seeding the NEXT batch's
+    // deterministic dir with the WRONG rows — the replay's overwrite
+    // must erase them, not append to them.
+    val b0Dir = new java.io.File(s"$dir/admitted/batch=0")
+    val b1Dir = new java.io.File(s"$dir/admitted/batch=1")
+    b1Dir.mkdirs()
+    b0Dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { pf =>
+      java.nio.file.Files.copy(pf.toPath,
+        new java.io.File(b1Dir, pf.getName).toPath)
+    }
+    b1.toSeq.toDF("doc_id", "text").write.mode("append").parquet(src)
+    drain()
+    assert(ArtifactStore.latestVersion(spark, store).contains(3L))
+    val all = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(all.distinct.size == all.size) // the seeded garbage is gone
+    // batch 1's twin gates against generation 2 and the corpus grown by
+    // batch 0's admissions
+    val (i2, u2, l2, t2) = artifactsAt(2L)
+    val exp1 = graft.jobs.DeltaJob.admit(b1.toSeq.toDF("doc_id", "text"),
+        corpus.unionByName(spark.read.parquet(s"$dir/admitted")
+          .filter(col("batch") === 0).select("doc_id", "text")),
+        i2, u2, l2, t2, words)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all.toSet == exp0 ++ exp1)
+
+    // store state is exactly the rebuild over corpus + all admissions:
+    // counts-merge telescopes the per-batch appends
+    val admittedDocs = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id", "text")
+    val grown = corpus.unionByName(admittedDocs)
+    val rebuiltUni = LmScore.buildTrigramModel(grown, "text")._1
+    val storedUni = ArtifactStore.read(spark, store, "lm_uni")
+    assert(storedUni.except(rebuiltUni).count() == 0 &&
+      rebuiltUni.except(storedUni).count() == 0)
+    val rebuiltIdx = Dedup.bandedSignatures(grown, "doc_id", "text", 3, 20, 10)
+    val storedIdx = ArtifactStore.read(spark, store, "index")
+    assert(storedIdx.except(rebuiltIdx).count() == 0 &&
+      rebuiltIdx.except(storedIdx).count() == 0)
   }
 }
