@@ -163,6 +163,18 @@ object DeltaMain {
             "lm_bi" -> ArtifactStore.Append(db),
             "lm_tri" -> ArtifactStore.Append(dt)),
           note = s"delta-admit:$batchId")
+        // An absorbed publish keyed only by the DEFAULT id (the delta
+        // path) is ambiguous: a true replay of a crashed run, or a
+        // genuinely NEW batch delivered at a reused staging path whose
+        // artifacts are now silently missing from the store. Shout —
+        // don't just set a stats field.
+        if (!published && !opts.contains("run_id")) System.err.println(
+          s"WARNING: store publish absorbed by note 'delta-admit:$batchId' " +
+            "derived from the DELTA PATH because no run_id= was given. If " +
+            "this is a NEW batch delivered at a reused path, its " +
+            "signatures and LM counts were NOT added to the store — " +
+            "re-run with a unique run_id= (and always pass run_id= when " +
+            "staging paths are reused).")
         s""","storeVersion":$v,"storeReplayed":${!published}"""
       }.getOrElse("")
       println(s"""{"input":${stats.input},"low_quality":${stats.lowQuality},""" +

@@ -77,6 +77,22 @@ object ReconcileMain {
       val storeLine = opts.get("store").map { root =>
         import graft.jobs.ArtifactStore
         val id = opts.getOrElse("id", "doc_id")
+        val text = opts.getOrElse("text", "text")
+        // A streaming store ([[StreamMain]]) accumulates admitted (id,
+        // text) rows in `admitted_docs` for prior-batch text
+        // resolution. The reconciled corpus written to $out/corpus
+        // subsumes those docs — the operator re-points the stream's
+        // corpus= there — so the rebuild generation resets the artifact
+        // to empty; leaving the stale rows would double-count every
+        // admitted doc as both corpus and prior.
+        val resetAdmitted = ArtifactStore.latestVersion(spark, root)
+          .exists(v => ArtifactStore.readManifest(spark, root, v)
+            .artifacts.exists(_.artifact == "admitted_docs"))
+        val admittedReset =
+          if (!resetAdmitted) Nil
+          else Seq("admitted_docs" -> ArtifactStore.Snapshot(
+            spark.read.parquet(s"$out/corpus")
+              .select(id, text).limit(0)))
         val v = ArtifactStore.publish(spark, root, Seq(
             "index" -> ArtifactStore.Snapshot(
               spark.read.parquet(s"$out/index")),
@@ -85,7 +101,7 @@ object ReconcileMain {
             "lm_bi" -> ArtifactStore.Snapshot(
               spark.read.parquet(s"$out/lm/bi")),
             "lm_tri" -> ArtifactStore.Snapshot(
-              spark.read.parquet(s"$out/lm/tri"))),
+              spark.read.parquet(s"$out/lm/tri"))) ++ admittedReset,
           note = "reconcile",
           kinds = Map("index" -> "rows", "lm_uni" -> "counts",
             "lm_bi" -> "counts", "lm_tri" -> "counts"),

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point for store-backed STREAMING admission — the
+  * spark-submit surface for
+  * [[graft.streaming.StreamingRetentionJob.runAdmissionStore]],
+  * completing the CLI matrix ([[DeltaMain]] batch admission,
+  * [[RetentionMain]] deletion-side maintenance, [[ReconcileMain]]
+  * nightly rebuild): the reference's surface is operational — strategy
+  * configured per table, run by the server
+  * (ref: DeletingCompactionStrategyOptions.java:145-202) — so the
+  * streaming path needs a command, not just a library call.
+  *
+  * Usage:
+  *   StreamMain src=<parquet dir of arriving files> corpus=<parquet> \
+  *     eval=<parquet> store=<artifact-store root> out=<admitted dir> \
+  *     checkpoint=<dir> [stream_id=stream] [auto_compact=0] \
+  *     [await_ms=1800000] [id=doc_id] [text=text] [min_q_mu=900000] \
+  *     [max_contam_ppm=300000] [min_mean_lp_mu=-3200000] [jaccard=0.8] \
+  *     [build_artifacts=false]
+  *
+  * Each invocation drains every source file the checkpoint has not yet
+  * consumed (`Trigger.AvailableNow`) and stops — re-running with the
+  * same `checkpoint=` is the recurring-ingest loop, and a KILLED run
+  * resumes exactly-once: per micro-batch the job writes a deterministic
+  * `batch=<id>` sink dir, records the gated store generation, and
+  * publishes ONE atomic generation appending the admitted rows'
+  * signatures, trigram counts, and (id, text) rows, keyed by the note
+  * `stream-admit:<stream_id>:<batchId>` so replays are absorbed (both
+  * crash windows — see [[graft.streaming.StreamingRetentionJob
+  * .runAdmissionStore]]). `stream_id` must differ per source stream
+  * when several feed one store. `auto_compact=K` caps any artifact's
+  * segment list at K between nightly reconciles.
+  *
+  * `build_artifacts=true` first publishes the day-0 generation from
+  * `corpus` (the [[DeltaMain]] contract), then streams. The store must
+  * otherwise already carry `index`/`lm_uni`/`lm_bi`/`lm_tri`. */
+object StreamMain {
+
+  /** The testable core — everything but session construction. Returns
+    * (store version after the drain, total admitted rows in the sink). */
+  def run(spark: SparkSession, opts: Map[String, String]): (Long, Long) = {
+    import graft.jobs.{ArtifactStore, DeltaJob}
+    import graft.operators.{Dedup, LmScore, Sketches}
+    import org.apache.spark.sql.functions.{col, explode}
+    val dOpts = DeltaJob.DeltaOptions(
+      idCol = opts.getOrElse("id", "doc_id"),
+      textCol = opts.getOrElse("text", "text"),
+      minQualityMu = opts.getOrElse("min_q_mu", "900000").toLong,
+      maxContamPpm = opts.getOrElse("max_contam_ppm", "300000").toLong,
+      minMeanLpMu = opts.getOrElse("min_mean_lp_mu", "-3200000").toLong,
+      jaccardThreshold = opts.getOrElse("jaccard", "0.8").toDouble)
+    val corpus = spark.read.parquet(opts("corpus"))
+    val root = opts("store")
+    if (opts.getOrElse("build_artifacts", "false").toBoolean) {
+      val (uni, bi, tri) = LmScore.buildTrigramModel(corpus, dOpts.textCol)
+      val sigs = Dedup.bandedSignatures(corpus, dOpts.idCol, dOpts.textCol,
+        dOpts.shingleN, dOpts.minhashK, dOpts.bands)
+      ArtifactStore.publish(spark, root, Seq(
+          "index" -> ArtifactStore.Snapshot(sigs),
+          "lm_uni" -> ArtifactStore.Snapshot(uni),
+          "lm_bi" -> ArtifactStore.Snapshot(bi),
+          "lm_tri" -> ArtifactStore.Snapshot(tri)),
+        note = "build",
+        kinds = Map("index" -> "rows", "lm_uni" -> "counts",
+          "lm_bi" -> "counts", "lm_tri" -> "counts"),
+        keyCols = Map(
+          "index" -> Seq(dOpts.idCol, "band", "bucket"),
+          "lm_uni" -> Seq("w"), "lm_bi" -> Seq("wa", "wb"),
+          "lm_tri" -> Seq("w1", "w2", "w3")),
+        cntCols = Map("lm_uni" -> "c1", "lm_bi" -> "c2", "lm_tri" -> "c3"))
+    }
+    val words = Sketches.bloomDenseWords(
+      Sketches.bloomBuild(
+        spark.read.parquet(opts("eval"))
+          .select(explode(Dedup.shingles(col(dOpts.textCol),
+            dOpts.shingleN)).as("g")),
+        "g", dOpts.bloomMBits, dOpts.bloomK, dOpts.bloomSeed),
+      dOpts.bloomMBits)
+    val schema = spark.read.parquet(opts("src")).schema
+    val q = graft.streaming.StreamingRetentionJob.runAdmissionStore(
+      spark,
+      srcPath = opts("src"),
+      schema = schema,
+      corpusText = corpus,
+      evalBloomWords = words,
+      admittedPath = opts("out"),
+      checkpoint = opts("checkpoint"),
+      storeRoot = root,
+      streamId = opts.getOrElse("stream_id", "stream"),
+      autoCompactAt = opts.getOrElse("auto_compact", "0").toInt,
+      opts = dOpts)
+    q.awaitTermination(opts.getOrElse("await_ms", "1800000").toLong)
+    val v = ArtifactStore.latestVersion(spark, root).getOrElse(0L)
+    val admitted = {
+      val fs = new org.apache.hadoop.fs.Path(opts("out"))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(opts("out")))) 0L
+      else spark.read.parquet(opts("out")).count()
+    }
+    (v, admitted)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad arg '$a' (want key=value)")
+      a.take(i) -> a.drop(i + 1).replace("%20", " ")
+    }.toMap
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-stream-admit")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val (v, admitted) = run(spark, opts)
+      println(s"""{"storeVersion":$v,"admittedRows":$admitted}""")
+    } finally spark.stop()
+  }
+}

@@ -45,10 +45,13 @@ import org.apache.spark.sql.functions._
   *    mutually-consistent snapshot (uni+bi+tri+index move together).
   *  - **Integrity, incrementally**: every segment records its row count
   *    and an ORDER-FREE 60-bit md5/xor content checksum over the key
-  *    columns (the [[graft.operators.TrainPrep.shardManifest]] algebra
-  *    — partitioning- and write-order-independent). Appending never
-  *    re-hashes old segments; `read(verify = true)` re-checksums each
-  *    segment and fails loudly on drift.
+  *    columns — per row the hashed payload is the `:`-joined key string
+  *    concatenated with itself (`keyed || ':' || keyed`, see
+  *    [[checksumOf]] for the exact cross-engine replay), folded with
+  *    bit-xor so the result is partitioning- and write-order-
+  *    independent. Appending never re-hashes old segments;
+  *    `read(verify = true)` re-checksums each segment and fails loudly
+  *    on drift.
   *  - **GC**: `gc(keepLast = k)` deletes segment dirs referenced by
   *    none of the k newest manifests (reference counting on paths — a
   *    segment shared by five generations survives until all five are
@@ -98,23 +101,105 @@ object ArtifactStore {
   private def manifestDir(root: String) = new Path(root, "_manifests")
   private def lockPath(root: String) = new Path(root, "_writer.lock")
 
+  /** A lock file younger than this (by filesystem modification time) is
+    * treated as LIVE even when its payload is unreadable: `create` makes
+    * the file before the payload write lands, so a concurrent reader can
+    * observe a torn/empty lock that belongs to a perfectly healthy
+    * writer. Only an OLD unreadable lock is break-eligible. */
+  private val TornLockGraceMs: Long = 5000L
+
+  /** A break CLAIM (`_writer.lock.breaking`) orphaned by a crashed
+    * breaker is cleared after this long. The claim's critical section
+    * is a re-read + delete of the stale lock — microseconds, no Spark
+    * work — so a minute dwarfs any live claim. */
+  private val BreakClaimStaleMs: Long = 60L * 1000
+
+  /** Filesystem schemes whose `create(path, overwrite = false)` is not
+    * an atomic put-if-absent (plain S3 has no create-exclusive; modern
+    * S3 conditional writes exist but need explicit opt-in). The lock
+    * protocol is only sound on filesystems with atomic create-exclusive
+    * (HDFS; the local filesystem is close enough — Hadoop's RawLocalFS
+    * check-then-create window is sub-syscall, see [[withWriterLock]]'s
+    * contract note). Deployments on these schemes must either front the
+    * store with an external mutex or, where the object store provides
+    * conditional writes (S3 If-None-Match, GCS generation preconditions),
+    * enable them and set `graft.artifactstore.lock.allow-nonatomic-create`
+    * to `true` in the Hadoop configuration to acknowledge the contract. */
+  private[graft] val NonAtomicCreateSchemes: Set[String] =
+    Set("s3", "s3a", "s3n")
+
+  /** Reject the lock protocol on a filesystem that cannot honor it —
+    * see [[NonAtomicCreateSchemes]]. Pure on (scheme, override) so the
+    * contract is unit-testable without instantiating an S3 client. */
+  private[graft] def assertLockCapableScheme(
+      scheme: String, allowNonAtomic: Boolean): Unit =
+    if (NonAtomicCreateSchemes(scheme) && !allowNonAtomic) sys.error(
+      s"artifact store writer lock needs atomic create-exclusive, which " +
+        s"'$scheme' does not provide natively. Enable the object store's " +
+        "conditional writes and set " +
+        "graft.artifactstore.lock.allow-nonatomic-create=true, or front " +
+        "the store with an external mutex.")
+
   /** Serialize store mutations across processes ([[DeltaMain]],
     * [[graft.RetentionMain]], and [[graft.ReconcileMain]] are separate
     * CLIs that can target the same store): without it, two concurrent
     * publishes both resolve v = N, and the second's orphan-truncate
     * deletes the first's in-flight `v=N` segment data before either
     * manifest commits. The lock is a create-exclusive file
-    * (`create(path, overwrite = false)` — atomic on HDFS and on the
-    * local filesystem) holding `uuid epochMillis`; a holder that
-    * crashed is broken after `staleMs` (mutations are short —
-    * O(|delta|) writes — so a realistic staleness bound is minutes).
-    * Release deletes the file only if the uuid still matches, so a
-    * breaker never loses its own freshly-acquired lock to the broken
-    * holder's cleanup. */
+    * (`create(path, overwrite = false)`) holding `uuid epochMillis`.
+    *
+    * Contract: create-exclusive must be an atomic put-if-absent. HDFS
+    * guarantees it; Hadoop's local filesystem implements it as
+    * check-then-create (a sub-syscall window — acceptable for tests and
+    * single-host operation, not a cluster guarantee); object stores
+    * without conditional writes cannot honor it at all and are rejected
+    * up front ([[assertLockCapableScheme]]).
+    *
+    * A holder that crashed is broken after `staleMs` (mutations are
+    * short — O(|delta|) writes — so a realistic staleness bound is
+    * minutes). Breaking is serialized by a BREAK CLAIM — a second
+    * create-exclusive file (`_writer.lock.breaking`): of N writers that
+    * observed the same stale lock, exactly one wins the claim; the
+    * claim holder re-reads the lock and deletes it only if its payload
+    * is STILL the one judged stale (while the stale lock occupies the
+    * path, no writer can acquire, and the claim excludes other
+    * breakers, so the re-read cannot be fooled by a fresh lock), then
+    * releases the claim and races the normal atomic acquire. Losers of
+    * the claim report the store as held. A live lock is therefore never
+    * deleted or displaced by a breaker — the double-hold corruption
+    * (loser's orphan-truncate stomping the winner's in-flight `v=N`
+    * data) cannot arise from concurrent breaking. A claim orphaned by
+    * a breaker crash is itself cleared after [[BreakClaimStaleMs]].
+    * An unreadable lock younger than [[TornLockGraceMs]] is treated as
+    * live, not torn (the holder may be between create and payload
+    * write). Release deletes the file only if the uuid still matches.
+    *
+    * The body receives a handle whose `assertStillHeld()` re-reads the
+    * lock and fails loudly if ownership was lost — publish calls it
+    * immediately before the manifest rename, so a writer whose lock was
+    * wrongly broken (a publish genuinely longer than `staleMs`) aborts
+    * with the old generation still authoritative instead of committing
+    * over the breaker's work. */
+  private final class WriterLock(f: FileSystem, p: Path, id: String) {
+    def assertStillHeld(root: String): Unit = {
+      val mine = try readString(f, p).startsWith(id)
+        catch { case _: Exception => false }
+      if (!mine) sys.error(
+        s"artifact store $root: writer lock was broken as stale " +
+          "mid-publish (this publish outlived lockStaleMs) — aborting " +
+          "before the manifest commit; raise lockStaleMs above the " +
+          "longest real publish")
+    }
+  }
+
   private def withWriterLock[T](
-      f: FileSystem, root: String, staleMs: Long)(body: => T): T = {
+      f: FileSystem, root: String, staleMs: Long)(body: WriterLock => T): T = {
     val p = lockPath(root)
     val id = java.util.UUID.randomUUID.toString
+    assertLockCapableScheme(
+      Option(f.getUri.getScheme).getOrElse("file"),
+      f.getConf.getBoolean(
+        "graft.artifactstore.lock.allow-nonatomic-create", false))
     def tryAcquire(): Boolean =
       try {
         val out = f.create(p, false)
@@ -122,21 +207,85 @@ object ArtifactStore {
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
-    def holderIsStale(): Boolean =
+    // Live / Stale(observed payload) / Gone — Gone (vanished between
+    // our failed acquire and this check) just retries the acquire. The
+    // Stale case CAPTURES the payload it judged stale: the break path
+    // must compare against exactly this observation, never a re-read
+    // (a re-read can return a successor's fresh lock).
+    sealed trait Holder
+    case object Live extends Holder
+    final case class Stale(observed: Option[String]) extends Holder
+    case object Gone extends Holder
+    def checkHolder(): Holder =
       try {
-        val ts = readString(f, p).split(" ")(1).toLong
-        System.currentTimeMillis - ts > staleMs
-      } catch { case _: Exception => true } // unreadable/torn lock: break it
+        val st = f.getFileStatus(p)
+        val payload = try Some(readString(f, p))
+          catch { case _: Exception => None }
+        payload.flatMap(s =>
+          scala.util.Try(s.split(" ")(1).toLong).toOption) match {
+          case Some(ts) =>
+            if (System.currentTimeMillis - ts > staleMs) Stale(payload)
+            else Live
+          case None => // torn/empty: live unless the FILE itself is old
+            if (System.currentTimeMillis - st.getModificationTime >
+              math.max(staleMs, TornLockGraceMs)) Stale(payload)
+            else Live
+        }
+      } catch { case _: java.io.FileNotFoundException => Gone
+                case _: Exception => Live }
     var acquired = tryAcquire()
-    if (!acquired && holderIsStale()) {
-      f.delete(p, false)
-      acquired = tryAcquire()
+    if (!acquired) checkHolder() match {
+      case Gone => acquired = tryAcquire()
+      case Stale(observed) =>
+        // Break under a create-exclusive CLAIM: exactly one breaker
+        // enters; inside, the stale lock still occupies the path (so
+        // no writer can have re-acquired) and other breakers are
+        // excluded (so no one else can delete/recreate it) — the
+        // re-read below can only see the dead holder's payload or its
+        // absence, never a live successor's. Delete iff it is still
+        // the observation judged stale, then race the normal acquire.
+        val claim = new Path(p.getParent, s"${p.getName}.breaking")
+        def tryClaim(): Boolean =
+          try {
+            val out = f.create(claim, false)
+            try out.write(id.getBytes("UTF-8")) finally out.close()
+            true
+          } catch { case _: java.io.IOException => false }
+        if (tryClaim()) {
+          try {
+            val curStat = try Some(f.getFileStatus(p))
+              catch { case _: java.io.FileNotFoundException => None }
+            curStat.foreach { st =>
+              val cur = try Some(readString(f, p))
+                catch { case _: Exception => None }
+              val sameStale = (cur, observed) match {
+                case (Some(a), Some(b)) => a == b
+                case (None, None) =>
+                  System.currentTimeMillis - st.getModificationTime >
+                    math.max(staleMs, TornLockGraceMs)
+                case _ => false
+              }
+              if (sameStale) f.delete(p, false)
+            }
+          } finally f.delete(claim, false)
+          acquired = tryAcquire()
+        } else {
+          // another breaker holds the claim — this attempt reports the
+          // store as held; clear the claim only if ITS holder crashed
+          // (old by mtime) so a later attempt can break
+          val claimOld =
+            try System.currentTimeMillis -
+              f.getFileStatus(claim).getModificationTime > BreakClaimStaleMs
+            catch { case _: Exception => false }
+          if (claimOld) f.delete(claim, false)
+        }
+      case Live => ()
     }
     if (!acquired) sys.error(
       s"artifact store $root: another writer holds ${p} — concurrent " +
         "publishers are serialized; retry after it commits (or after " +
         s"${staleMs}ms if it crashed)")
-    try body
+    try body(new WriterLock(f, p, id))
     finally {
       val mine = try readString(f, p).startsWith(id)
         catch { case _: Exception => false }
@@ -302,13 +451,43 @@ object ArtifactStore {
       kinds: Map[String, String] = Map.empty,
       keyCols: Map[String, Seq[String]] = Map.empty,
       cntCols: Map[String, String] = Map.empty,
-      lockStaleMs: Long = DefaultLockStaleMs): Long = {
+      lockStaleMs: Long = DefaultLockStaleMs): Long =
+    publishImpl(spark, root, changes, note, kinds, keyCols, cntCols,
+      lockStaleMs, ifNoteAbsent = None, requireBase = None)._1
+
+  /** The locked publish core. `ifNoteAbsent = Some(note)` re-checks the
+    * note INSIDE the critical section and absorbs the publish (returning
+    * the committed version and `false`) if a generation already carries
+    * it — two concurrent publishers of the SAME note (a duplicate batch
+    * submission racing its twin, not just a retry-after-crash) serialize
+    * on the lock and exactly one commits. `requireBase = Some(v)` aborts
+    * (returning the current latest and `false`) unless the latest
+    * committed version is still `v` — the optimistic-concurrency guard
+    * for read-then-replace publishes ([[compact]]/[[autoCompact]]),
+    * whose Snapshot would silently drop a segment appended between their
+    * read and their commit. */
+  private def publishImpl(
+      spark: SparkSession,
+      root: String,
+      changes: Seq[(String, Change)],
+      note: String,
+      kinds: Map[String, String],
+      keyCols: Map[String, Seq[String]],
+      cntCols: Map[String, String],
+      lockStaleMs: Long,
+      ifNoteAbsent: Option[String],
+      requireBase: Option[Long]): (Long, Boolean) = {
     require(changes.nonEmpty, "publish needs at least one change")
     require(changes.map(_._1).distinct.size == changes.size,
       "duplicate artifact names in one publish")
     val f = fs(spark, root)
-    withWriterLock(f, root, lockStaleMs) {
+    withWriterLock(f, root, lockStaleMs) { lock =>
+    val absorbed = ifNoteAbsent.flatMap(n => findVersionByNote(spark, root, n))
     val prevV = latestVersion(spark, root)
+    if (absorbed.isDefined) (absorbed.get, false)
+    else if (requireBase.exists(b => !prevV.contains(b)))
+      (prevV.getOrElse(0L), false)
+    else {
     val v = prevV.getOrElse(0L) + 1L
     val prev: Map[String, ArtifactMeta] = prevV
       .map(pv => readManifest(spark, root, pv).artifacts
@@ -346,6 +525,13 @@ object ArtifactStore {
     f.mkdirs(manifestDir(root))
     writeString(f, tmp, render(Manifest(v, note, changed ++ carried)))
     val dst = manifestPath(root, v)
+    // Ownership re-check at the last possible moment: a publish that
+    // outlived lockStaleMs had its lock broken, and a successor may be
+    // mid-write at this same v — abort with the old generation still
+    // authoritative rather than committing a manifest over the
+    // successor's data.
+    try lock.assertStillHeld(root)
+    catch { case e: Throwable => f.delete(tmp, false); throw e }
     // Put-if-absent commit: under the writer lock `dst` cannot exist
     // (we picked v = latest + 1), so an existing manifest here means
     // this holder was wrongly broken as stale mid-publish and another
@@ -362,7 +548,8 @@ object ArtifactStore {
       f.delete(tmp, false)
       sys.error(s"manifest commit for v$v lost a publish race under $root")
     }
-    v
+    (v, true)
+    }
     }
   }
 
@@ -380,7 +567,15 @@ object ArtifactStore {
     * The note must be unique per logical batch (e.g.
     * "delta-admit:<run-id>"); callers' GC must keep at least the
     * replay window's manifests (nightly `gc(keepLast)` does — a replay
-    * is the immediately-next restart). */
+    * is the immediately-next restart).
+    *
+    * The note check runs TWICE: once here (the cheap fast path — an
+    * absorbed replay never waits on the lock) and again INSIDE the
+    * writer lock's critical section, so two CONCURRENT publishers of
+    * the same note — a duplicate submission racing its twin, where both
+    * observe the note absent before either commits — still yield
+    * exactly one generation instead of double-appending the batch's
+    * counts. */
   def publishIdempotent(
       spark: SparkSession,
       root: String,
@@ -393,7 +588,8 @@ object ArtifactStore {
     findVersionByNote(spark, root, note) match {
       case Some(v) => (v, false)
       case None =>
-        (publish(spark, root, changes, note, kinds, keyCols, cntCols), true)
+        publishImpl(spark, root, changes, note, kinds, keyCols, cntCols,
+          DefaultLockStaleMs, ifNoteAbsent = Some(note), requireBase = None)
     }
   }
 
@@ -448,14 +644,58 @@ object ArtifactStore {
 
   /** Collapse an artifact's segment list to one segment holding its
     * merged view — the store-level major compaction. Publishes a new
-    * generation (other artifacts carry forward). Returns the version. */
+    * generation (other artifacts carry forward). Returns the version.
+    *
+    * Guarded optimistically: the Snapshot replaces the segment list
+    * with a view read BEFORE the lock, so if another writer commits in
+    * between, publishing it would silently drop their append — the
+    * publish aborts with an error instead (re-run the compaction). */
   def compact(
       spark: SparkSession,
       root: String,
       artifact: String,
       note: String = "compact"): Long = {
-    val merged = read(spark, root, artifact).localCheckpoint()
-    publish(spark, root, Seq(artifact -> Snapshot(merged)), note)
+    val base = latestVersion(spark, root).getOrElse(
+      sys.error(s"artifact store $root has no committed version"))
+    val merged = read(spark, root, artifact, Some(base)).localCheckpoint()
+    val (v, published) = publishImpl(spark, root,
+      Seq(artifact -> Snapshot(merged)), note,
+      Map.empty, Map.empty, Map.empty, DefaultLockStaleMs,
+      ifNoteAbsent = None, requireBase = Some(base))
+    if (!published) sys.error(
+      s"compact of '$artifact' under $root lost a race: another writer " +
+        s"committed v$v after the merged view was read at v$base — re-run")
+    v
+  }
+
+  /** Opportunistic store-level compaction — the LSM read-amplification
+    * cap: collapse EVERY artifact whose segment list exceeds
+    * `maxSegments`, all in one generation (read-equivalent by the merge
+    * algebra; `rows` stays a union, `counts` telescopes). Call after a
+    * publish on high-frequency append paths (streaming micro-batches)
+    * where waiting for the nightly [[ReconcileJob]] would let the
+    * `counts` read cost grow linearly in batches. Returns the
+    * compaction generation, or None when nothing was over threshold or
+    * the optimistic base-version guard lost a race (harmless — the next
+    * call retries). */
+  def autoCompact(
+      spark: SparkSession,
+      root: String,
+      maxSegments: Int): Option[Long] = {
+    require(maxSegments >= 1, "maxSegments must be >= 1")
+    latestVersion(spark, root).flatMap { base =>
+      val over = readManifest(spark, root, base).artifacts
+        .filter(_.segments.size > maxSegments).map(_.artifact).sorted
+      if (over.isEmpty) None
+      else {
+        val changes = over.map(a =>
+          a -> Snapshot(read(spark, root, a, Some(base)).localCheckpoint()))
+        val (v, published) = publishImpl(spark, root, changes,
+          s"auto-compact@v$base", Map.empty, Map.empty, Map.empty,
+          DefaultLockStaleMs, ifNoteAbsent = None, requireBase = Some(base))
+        if (published) Some(v) else None
+      }
+    }
   }
 
   /** All committed manifests as one audit DataFrame — (version, note,
@@ -529,7 +769,7 @@ object ArtifactStore {
     val f = fs(spark, root)
     val dir = manifestDir(root)
     if (!f.exists(dir)) return GcReport(Nil, Nil, Nil)
-    withWriterLock(f, root, lockStaleMs) {
+    withWriterLock(f, root, lockStaleMs) { _ =>
     val versions = f.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("manifest-v") && n.endsWith(".json") =>
         n.stripPrefix("manifest-v").stripSuffix(".json").toLong }

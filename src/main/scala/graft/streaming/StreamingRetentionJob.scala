@@ -295,24 +295,39 @@ object StreamingRetentionJob {
     *
     * Exactly-once under at-least-once replay, both crash windows:
     *  - crash AFTER the sink write, BEFORE the store publish: the
-    *    replay rewrites the same batch dir with the same rows and the
-    *    publish happens once, on the replay;
+    *    replay finds its note uncommitted, gates afresh against the
+    *    latest generation, rewrites the batch dir, and the publish
+    *    happens once, on the replay;
     *  - crash AFTER the store publish, BEFORE the checkpoint commit:
     *    the replay finds its note (`stream-admit:<streamId>:<batchId>`)
-    *    already committed at generation v and gates against v − 1 —
-    *    the generation that preceded this batch — so the batch's OWN
-    *    signatures (already in v) cannot suppress its replay as
-    *    self-near-dups; the rewrite is bit-identical and
+    *    already committed and gates against the generation number the
+    *    original attempt RECORDED in the batch dir (`_gated_version`,
+    *    written after the sink overwrite and before the publish) — the
+    *    exact artifacts the committed rows were admitted against, so
+    *    the rewrite is bit-identical even when OTHER writers
+    *    ([[graft.RetentionMain]] convictions, a second stream's
+    *    publishes) interleaved between this batch's gate and its
+    *    publish, and the batch's OWN signatures (already committed)
+    *    cannot suppress its replay as self-near-dups;
     *    [[graft.jobs.ArtifactStore.publishIdempotent]] absorbs the
-    *    duplicate publish.
+    *    duplicate publish. (A missing marker — a pre-recording batch
+    *    dir — falls back to note-version − 1, the single-writer
+    *    assumption.)
     *
     * Each batch's candidate texts are the day-0 corpus plus the
-    * admitted output of STRICTLY EARLIER batches (the `batch` partition
-    * column makes the before-me filter exact under replay), so index
-    * hits against previously-admitted docs always resolve their text.
-    * `streamId` namespaces the publish notes when several streams feed
-    * one store. GC of the store must keep at least the replay window's
-    * generations (nightly `gc(keepLast)` does). */
+    * `admitted_docs` store artifact at the gated generation — every
+    * publish appends its own admitted (id, text) rows, so prior-batch
+    * text resolution is the manifest's bounded segment list, not a
+    * grows-with-batch-count listing of `batch=*` sink dirs, and it is
+    * exact under replay because the gated generation precedes the
+    * batch's own publish. `streamId` namespaces the publish notes when
+    * several streams feed one store. GC of the store must keep at
+    * least the replay window's generations (nightly `gc(keepLast)`
+    * does). `autoCompactAt` > 0 opportunistically collapses any
+    * artifact whose segment list outgrows it after a publish
+    * ([[graft.jobs.ArtifactStore.autoCompact]]) — the LSM
+    * read-amplification cap for high-frequency micro-batches between
+    * nightly reconciles. */
   def runAdmissionStore(
       spark: SparkSession,
       srcPath: String,
@@ -323,37 +338,66 @@ object StreamingRetentionJob {
       checkpoint: String,
       storeRoot: String,
       streamId: String = "stream",
+      autoCompactAt: Int = 0,
       opts: graft.jobs.DeltaJob.DeltaOptions =
         graft.jobs.DeltaJob.DeltaOptions()): StreamingQuery = {
     import graft.jobs.ArtifactStore
     import graft.operators.{Dedup, LmScore}
+    import org.apache.hadoop.fs.Path
     val corpusBase = corpusText.select(col(opts.idCol), col(opts.textCol))
     spark.readStream.schema(schema).parquet(srcPath)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val note = s"stream-admit:$streamId:$batchId"
-        // replay-stable artifact resolution: gate against the
-        // generation that preceded this batch's own publish
-        val ver = ArtifactStore.findVersionByNote(spark, storeRoot, note)
-          .map(_ - 1)
-        val idx = ArtifactStore.read(spark, storeRoot, "index", ver)
-        val uni = ArtifactStore.read(spark, storeRoot, "lm_uni", ver)
-        val bi = ArtifactStore.read(spark, storeRoot, "lm_bi", ver)
-        val tri = ArtifactStore.read(spark, storeRoot, "lm_tri", ver)
-        val fs = new org.apache.hadoop.fs.Path(admittedPath)
+        val batchDir = s"$admittedPath/batch=$batchId"
+        val fs = new Path(admittedPath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new Path(batchDir, "_gated_version")
+        // Replay-stable artifact resolution: a FRESH batch gates
+        // against the latest committed generation and records it; a
+        // replay whose publish already committed re-reads the RECORDED
+        // generation — exact even under interleaved writers.
+        val gateV: Long =
+          ArtifactStore.findVersionByNote(spark, storeRoot, note) match {
+            case Some(committedV) =>
+              val recorded =
+                if (!fs.exists(marker)) None
+                else {
+                  val in = fs.open(marker)
+                  try scala.util.Try(new String(
+                    in.readAllBytes, "UTF-8").trim.toLong).toOption
+                  finally in.close()
+                }
+              recorded.getOrElse(committedV - 1)
+            case None =>
+              ArtifactStore.latestVersion(spark, storeRoot).getOrElse(
+                sys.error(s"artifact store $storeRoot has no committed " +
+                  "generation — run a day-0 build_artifacts publish first"))
+          }
+        val idx = ArtifactStore.read(spark, storeRoot, "index", Some(gateV))
+        val uni = ArtifactStore.read(spark, storeRoot, "lm_uni", Some(gateV))
+        val bi = ArtifactStore.read(spark, storeRoot, "lm_bi", Some(gateV))
+        val tri = ArtifactStore.read(spark, storeRoot, "lm_tri", Some(gateV))
+        // Prior-batch text from the store's own admitted_docs artifact:
+        // the manifest's bounded segment list replaces a per-batch
+        // listing/scan of every batch=* sink dir (a small-files
+        // hotspot growing linearly with batch count).
+        val hasPrior = ArtifactStore.readManifest(spark, storeRoot, gateV)
+          .artifacts.exists(_.artifact == "admitted_docs")
         val prior =
-          if (!fs.exists(new org.apache.hadoop.fs.Path(admittedPath)))
-            corpusBase.limit(0)
-          else spark.read.parquet(admittedPath)
-            .filter(col("batch") < batchId)
+          if (!hasPrior) corpusBase.limit(0)
+          else ArtifactStore.read(spark, storeRoot, "admitted_docs", Some(gateV))
             .select(col(opts.idCol), col(opts.textCol))
         val admitted = graft.jobs.DeltaJob.admit(batch,
             corpusBase.unionByName(prior), idx, uni, bi, tri,
             evalBloomWords, opts)
           .localCheckpoint()
-        admitted.write.mode("overwrite")
-          .parquet(s"$admittedPath/batch=$batchId")
+        admitted.write.mode("overwrite").parquet(batchDir)
+        // record the gate AFTER the overwrite (which wipes the dir) and
+        // BEFORE the publish — the underscore prefix hides it from
+        // parquet readers of the sink
+        val out = fs.create(marker, true)
+        try out.write(gateV.toString.getBytes("UTF-8")) finally out.close()
         val sigs = Dedup.bandedSignatures(admitted, opts.idCol, opts.textCol,
           opts.shingleN, opts.minhashK, opts.bands)
         val (du, db, dt) = LmScore.buildTrigramModel(admitted, opts.textCol)
@@ -361,8 +405,13 @@ object StreamingRetentionJob {
             "index" -> ArtifactStore.Append(sigs),
             "lm_uni" -> ArtifactStore.Append(du),
             "lm_bi" -> ArtifactStore.Append(db),
-            "lm_tri" -> ArtifactStore.Append(dt)),
-          note = note)
+            "lm_tri" -> ArtifactStore.Append(dt),
+            "admitted_docs" -> ArtifactStore.Append(
+              admitted.select(col(opts.idCol), col(opts.textCol)))),
+          note = note,
+          keyCols = Map("admitted_docs" -> Seq(opts.idCol)))
+        if (autoCompactAt > 0)
+          ArtifactStore.autoCompact(spark, storeRoot, autoCompactAt)
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -355,6 +355,150 @@ class ArtifactStoreSpec extends SparkSpec {
       Seq(("b", 2L)))
   }
 
+  test("N concurrent breakers of one stale lock: exactly the serialized " +
+      "publishers commit, the store verifies clean") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 1L))),
+      kinds = Map("uni" -> "counts"))
+    // a crashed writer's hour-stale lock — every thread below sees it
+    // as break-eligible at once
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "_writer.lock"),
+      s"crashed-writer ${System.currentTimeMillis - 3600 * 1000L}"
+        .getBytes("UTF-8"))
+    val n = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = (1 to n).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[String, Long]] {
+        def call(): Either[String, Long] = {
+          gate.await()
+          try Right(ArtifactStore.publish(spark, root,
+            Seq("uni" -> Append(counts(s"t$i" -> 1L)))))
+          catch { case e: Throwable => Left(e.getMessage) }
+        }
+      })
+    }
+    gate.countDown()
+    val done = results.map(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val wins = done.collect { case Right(v) => v }
+    val losses = done.collect { case Left(m) => m }
+    // rename-to-tomb guarantees mutual exclusion: every loser was turned
+    // away at the lock (never a broken commit), every winner serialized
+    assert(wins.nonEmpty && wins.size + losses.size == n)
+    assert(losses.forall(_.contains("another writer")), losses.mkString("; "))
+    assert(wins.sorted == (2L to (1L + wins.size)))
+    assert(ArtifactStore.latestVersion(spark, root).contains(1L + wins.size))
+    // no double-held lock stomped a winner's in-flight segment data
+    val merged = sortedRows(ArtifactStore.read(spark, root, "uni",
+      verify = true))
+    assert(merged.size == 1 + wins.size && merged.contains(("a", 1L)))
+    // the lock and every breaker tomb were cleaned up
+    val leftovers = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("_writer.lock"))
+    assert(leftovers.isEmpty, leftovers.mkString(", "))
+  }
+
+  test("concurrent same-note publishers yield ONE generation (in-lock recheck)") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 3L))),
+      kinds = Map("uni" -> "counts"))
+    val n = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    // duplicate submission of ONE batch racing its twin: all four carry
+    // the same note and the same delta — the exact LM-inflation shape
+    val results = (1 to n).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Either[String, (Long, Boolean)]] {
+        def call(): Either[String, (Long, Boolean)] = {
+          gate.await()
+          try Right(ArtifactStore.publishIdempotent(spark, root,
+            Seq("uni" -> Append(counts("a" -> 2L, "b" -> 1L))),
+            note = "delta-admit:batch-42"))
+          catch { case e: Throwable => Left(e.getMessage) }
+        }
+      })
+    }
+    gate.countDown()
+    val done = results.map(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    // losers of the LOCK race error out ("another writer") — acceptable,
+    // they retry; publishers that serialized through the lock must agree:
+    // exactly one published, the rest absorbed by the in-lock note check
+    val ok = done.collect { case Right(r) => r }
+    assert(ok.nonEmpty)
+    assert(ok.count(_._2) == 1, s"published flags: $ok")
+    assert(ok.map(_._1).distinct == Seq(2L))
+    assert(ArtifactStore.latestVersion(spark, root).contains(2L))
+    // counts applied exactly once — no inflation
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni", verify = true)) ==
+      Seq(("a", 5L), ("b", 1L)))
+  }
+
+  test("autoCompact collapses only over-threshold artifacts, read-equivalent") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root, Seq(
+        "uni" -> Snapshot(counts("a" -> 1L)),
+        "idx" -> Snapshot(Seq((1L, 10L)).toDF("doc_id", "bucket"))),
+      kinds = Map("uni" -> "counts"))
+    (2 to 5).foreach(i => ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("a" -> 1L, s"w$i" -> i.toLong)))))
+    val before = sortedRows(ArtifactStore.read(spark, root, "uni"))
+    // uni has 5 segments, idx has 1: threshold 3 compacts only uni
+    val v = ArtifactStore.autoCompact(spark, root, maxSegments = 3)
+    assert(v.contains(6L))
+    val m = ArtifactStore.readManifest(spark, root, 6L)
+    assert(m.note == "auto-compact@v5")
+    assert(m.artifacts.find(_.artifact == "uni").get.segments.size == 1)
+    assert(m.artifacts.find(_.artifact == "idx").get.segments.size == 1)
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni",
+      verify = true)) == before)
+    // time travel still replays the pre-compaction lineage
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni", Some(5L))) ==
+      before)
+    // nothing over threshold now: a no-op, no new generation
+    assert(ArtifactStore.autoCompact(spark, root, maxSegments = 3).isEmpty)
+    assert(ArtifactStore.latestVersion(spark, root).contains(6L))
+  }
+
+  test("lock protocol is refused on object-store schemes without the opt-in") {
+    val e = intercept[RuntimeException] {
+      ArtifactStore.assertLockCapableScheme("s3a", allowNonAtomic = false)
+    }
+    assert(e.getMessage.contains("atomic create-exclusive"))
+    assert(e.getMessage.contains("allow-nonatomic-create"))
+    // acknowledged contract (conditional writes enabled) passes
+    ArtifactStore.assertLockCapableScheme("s3a", allowNonAtomic = true)
+    // and native create-exclusive filesystems always pass
+    ArtifactStore.assertLockCapableScheme("hdfs", allowNonAtomic = false)
+    ArtifactStore.assertLockCapableScheme("file", allowNonAtomic = false)
+  }
+
+  test("a torn/empty lock is live while young, break-eligible once old") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 1L))))
+    val lock = java.nio.file.Paths.get(root, "_writer.lock")
+    // empty payload, fresh mtime: a writer between create and payload
+    // write — must be treated as LIVE, not broken
+    java.nio.file.Files.write(lock, Array.emptyByteArray)
+    val e = intercept[RuntimeException] {
+      ArtifactStore.publish(spark, root,
+        Seq("uni" -> Append(counts("b" -> 1L))))
+    }
+    assert(e.getMessage.contains("another writer"))
+    // same torn file, but OLD by modification time: break-eligible
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 3600 * 1000L))
+    val v2 = ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("b" -> 1L))))
+    assert(v2 == 2L)
+    assert(!java.nio.file.Files.exists(lock))
+  }
+
   test("notes with quotes, backslashes, and control chars round-trip the manifest") {
     val root = tmpRoot()
     val gnarly = "line1\nline2\t\"quoted\" \\slash\\ end"

@@ -873,4 +873,181 @@ class StreamingSpec extends SparkSpec {
     assert(storedIdx.except(rebuiltIdx).count() == 0 &&
       rebuiltIdx.except(storedIdx).count() == 0)
   }
+
+  test("runAdmissionStore replay gates on the RECORDED generation, exact " +
+      "under writers interleaved between gate and publish") {
+    import graft.jobs.ArtifactStore
+    import graft.operators.{Dedup, LmScore, Sketches}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).localCheckpoint()
+    val (uni0, bi0, tri0) = LmScore.buildTrigramModel(corpus, "text")
+    val idx0 = Dedup.bandedSignatures(corpus, "doc_id", "text", 3, 20, 10)
+    val store = Files.createTempDirectory("graft-admit-ilv-store").toString
+    ArtifactStore.publish(spark, store, Seq(
+        "index" -> ArtifactStore.Snapshot(idx0),
+        "lm_uni" -> ArtifactStore.Snapshot(uni0),
+        "lm_bi" -> ArtifactStore.Snapshot(bi0),
+        "lm_tri" -> ArtifactStore.Snapshot(tri0)),
+      note = "build",
+      kinds = Map("index" -> "rows", "lm_uni" -> "counts",
+        "lm_bi" -> "counts", "lm_tri" -> "counts"),
+      keyCols = Map("index" -> Seq("doc_id", "band", "bucket"),
+        "lm_uni" -> Seq("w"), "lm_bi" -> Seq("wa", "wb"),
+        "lm_tri" -> Seq("w1", "w2", "w3")),
+      cntCols = Map("lm_uni" -> "c1", "lm_bi" -> "c2", "lm_tri" -> "c3"))
+    val words = Sketches.bloomDenseWords(
+      Sketches.bloomBuild(
+        docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(Dedup.shingles(col("text"), 3)).as("g")),
+        "g", 262144, 3, 31L), 262144)
+    // batch 0 mixes genuinely-new docs with verbatim COPIES of corpus
+    // docs under fresh ids: the copies are near-dup-suppressed when
+    // gating at generation 1, but would be ADMITTED against the
+    // interleaved generation 2 below (which empties the index)
+    val fresh = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 === 0)
+    val copies = corpus.orderBy("doc_id").limit(20)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+      .localCheckpoint()
+    // the discriminator must be REAL: against an empty index (the
+    // interleaved generation below), at least one copy sails through
+    // the quality/LM/contamination gates and would be admitted
+    assert(graft.jobs.DeltaJob.admit(copies, corpus, idx0.limit(0),
+      uni0, bi0, tri0, words).count() > 0)
+    val b0 = fresh.unionByName(copies).as[(Long, String)].collect()
+    val dir = Files.createTempDirectory("graft-admit-ilv-run").toString
+    val src = s"$dir/src"
+    b0.toSeq.toDF("doc_id", "text").write.parquet(src)
+
+    // ---- Hand-run the foreachBatch protocol for batch 0, with an
+    // interleaved writer committing BETWEEN this batch's gate and its
+    // publish (the window a live multi-writer store really has):
+    val gateV = 1L
+    val admitted0 = graft.jobs.DeltaJob.admit(
+        b0.toSeq.toDF("doc_id", "text"), corpus,
+        ArtifactStore.read(spark, store, "index", Some(gateV)),
+        ArtifactStore.read(spark, store, "lm_uni", Some(gateV)),
+        ArtifactStore.read(spark, store, "lm_bi", Some(gateV)),
+        ArtifactStore.read(spark, store, "lm_tri", Some(gateV)), words)
+      .localCheckpoint()
+    val admitted0Ids = admitted0.select("doc_id").as[Long].collect().toSet
+    assert(admitted0Ids.nonEmpty)
+    assert(copies.as[(Long, String)].collect()
+      .forall(c => !admitted0Ids.contains(c._1)),
+      "copies must be near-dup-suppressed at generation 1")
+    admitted0.write.mode("overwrite").parquet(s"$dir/admitted/batch=0")
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$dir/admitted/batch=0", "_gated_version")
+    val mout = fsys.create(marker, true)
+    try mout.write(gateV.toString.getBytes("UTF-8")) finally mout.close()
+    // the interleaved writer: a reconcile-ish publish that EMPTIES the
+    // index (so gating against it admits the copies)
+    ArtifactStore.publish(spark, store,
+      Seq("index" -> ArtifactStore.Snapshot(idx0.limit(0))),
+      note = "interleaved-writer")
+    // this batch's own publish — lands at v3, two generations past its
+    // gate, exactly the multi-writer shape note−1 gating gets wrong
+    val sigs0 = Dedup.bandedSignatures(admitted0, "doc_id", "text", 3, 20, 10)
+    val (du0, db0, dt0) = LmScore.buildTrigramModel(admitted0, "text")
+    ArtifactStore.publishIdempotent(spark, store, Seq(
+        "index" -> ArtifactStore.Append(sigs0),
+        "lm_uni" -> ArtifactStore.Append(du0),
+        "lm_bi" -> ArtifactStore.Append(db0),
+        "lm_tri" -> ArtifactStore.Append(dt0),
+        "admitted_docs" -> ArtifactStore.Append(
+          admitted0.select("doc_id", "text"))),
+      note = "stream-admit:stream:0",
+      keyCols = Map("admitted_docs" -> Seq("doc_id")))
+    assert(ArtifactStore.latestVersion(spark, store).contains(3L))
+
+    // ---- The checkpoint was never committed (crash before it): the
+    // stream replays batch 0 from scratch. It must resolve the RECORDED
+    // gate (v1) — not note-version − 1 = v2, whose emptied index would
+    // admit the copies — and absorb the duplicate publish.
+    val schema = b0.toSeq.toDF("doc_id", "text").schema
+    StreamingRetentionJob.runAdmissionStore(
+      spark, src, schema, corpus, words,
+      admittedPath = s"$dir/admitted", checkpoint = s"$dir/cp",
+      storeRoot = store).awaitTermination(180000)
+    assert(ArtifactStore.latestVersion(spark, store).contains(3L))
+    val replayed = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(replayed.distinct.size == replayed.size)
+    assert(replayed.toSet == admitted0Ids,
+      "replay must reproduce the v1-gated admission bit-for-bit")
+    // the marker survives the replay with the same recorded gate
+    val min = fsys.open(marker)
+    val rec = try new String(min.readAllBytes, "UTF-8").trim finally min.close()
+    assert(rec == "1")
+  }
+
+  test("StreamMain CLI: run, kill, re-run resumes exactly-once; " +
+      "auto_compact caps the segment lists") {
+    import graft.jobs.ArtifactStore
+    import graft.operators.LmScore
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-streammain").toString
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    corpus.write.parquet(s"$dir/corpus")
+    docs.filter(col("doc_id") % 97 === 0).write.parquet(s"$dir/eval")
+    val delta = docs.filter(col("doc_id") % 5 === 0).as[(Long, String)].collect()
+    val (b0, b1) = delta.partition(_._1 % 10 == 0)
+    b0.toSeq.toDF("doc_id", "text").write.parquet(s"$dir/src")
+    val opts = Map(
+      "src" -> s"$dir/src", "corpus" -> s"$dir/corpus",
+      "eval" -> s"$dir/eval", "store" -> s"$dir/store",
+      "out" -> s"$dir/admitted", "checkpoint" -> s"$dir/cp",
+      "stream_id" -> "cli", "auto_compact" -> "2")
+    // run 1: day-0 build + drain of batch 0, then the job stops
+    // (AvailableNow) — the "kill" between runs
+    val (v1, n1) = StreamMain.run(spark,
+      opts + ("build_artifacts" -> "true"))
+    assert(v1 >= 2L && n1 > 0L)
+    val afterRun1 = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    // run 2: new files under the SAME checkpoint — resumes from the
+    // next unprocessed file, nothing re-admitted
+    b1.toSeq.toDF("doc_id", "text").write.mode("append").parquet(s"$dir/src")
+    val (v2, n2) = StreamMain.run(spark, opts)
+    assert(v2 > v1 && n2 > n1)
+    val all = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(all.distinct.size == all.size)
+    assert(afterRun1.subsetOf(all.toSet))
+    // kill INSIDE the commit window: drop the newest checkpoint commit
+    // and re-run — the replay is absorbed, nothing changes
+    val commits = new java.io.File(s"$dir/cp/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.last.delete())
+    new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+      .delete()
+    val (v3, n3) = StreamMain.run(spark, opts)
+    assert(n3 == n2)
+    val replayed = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(replayed.distinct.size == replayed.size)
+    assert(replayed.toSet == all.toSet)
+    // auto_compact=2 kept every artifact's lineage collapsed: after two
+    // batch appends at least one auto-compact generation committed, and
+    // no artifact's segment list exceeds threshold+1 (one in-flight
+    // append past the cap before the next compaction)
+    val m = ArtifactStore.readManifest(spark, s"$dir/store", v3)
+    assert(m.artifacts.forall(_.segments.size <= 3),
+      m.artifacts.map(a => s"${a.artifact}=${a.segments.size}").mkString(", "))
+    val notes = ArtifactStore.manifests(spark, s"$dir/store")
+      .select("note").as[String].collect().toSet
+    assert(notes.exists(_.startsWith("auto-compact@")))
+    // exactness preserved across compactions: stored LM ≡ rebuild over
+    // corpus + everything admitted
+    val grown = corpus.unionByName(
+      spark.read.parquet(s"$dir/admitted").select("doc_id", "text"))
+    val rebuiltUni = LmScore.buildTrigramModel(grown, "text")._1
+    val storedUni = ArtifactStore.read(spark, s"$dir/store", "lm_uni",
+      verify = true)
+    assert(storedUni.except(rebuiltUni).count() == 0 &&
+      rebuiltUni.except(storedUni).count() == 0)
+  }
 }
