@@ -34,24 +34,11 @@ import org.apache.spark.sql.SparkSession
   * reconciliation dropped, and `drift_only_rebuilt` is 0 — anything
   * else is a maintenance bug upstream (the spec-pinned invariant). */
 object ReconcileMain {
-  def main(args: Array[String]): Unit = {
-    val opts = args.map { a =>
-      val i = a.indexOf('=')
-      require(i > 0, s"bad arg '$a' (want key=value)")
-      a.take(i) -> a.drop(i + 1).replace("%20", " ")
-    }.toMap
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .appName("graft-reconcile")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try {
+  /** The testable core — everything but session construction. Returns
+    * the JSON stats line main prints. */
+  def run(spark: SparkSession, opts: Map[String, String]): String = {
+    {
       val out = opts("out")
       val r = ReconcileJob.run(
         spark,
@@ -116,13 +103,34 @@ object ReconcileMain {
         s""","storeVersion":$v,"gcDeletedDirs":$gcDirs"""
       }.getOrElse("")
       val st = r.stats
-      println(s"""{"input":${st.input},"dupDropped":${st.dupDropped},""" +
+      s"""{"input":${st.input},"dupDropped":${st.dupDropped},""" +
         s""""survivors":${st.survivors},"indexRows":${st.indexRows},""" +
         s""""vocab":${st.vocab},""" +
         s""""driftOnlyMaintained":${st.driftOnlyMaintained},""" +
         s""""driftOnlyRebuilt":${st.driftOnlyRebuilt},""" +
         s""""lmDriftOnlyMaintained":${st.lmDriftOnlyMaintained},""" +
-        s""""lmDriftOnlyRebuilt":${st.lmDriftOnlyRebuilt}$storeLine}""")
-    } finally spark.stop()
+        s""""lmDriftOnlyRebuilt":${st.lmDriftOnlyRebuilt}$storeLine}"""
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad arg '$a' (want key=value)")
+      a.take(i) -> a.drop(i + 1).replace("%20", " ")
+    }.toMap
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-reconcile")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try println(run(spark, opts))
+    finally spark.stop()
   }
 }

@@ -2746,8 +2746,9 @@ object SparkEntry {
         .filter(col("c_removed") > 0)
     }),
     // the store's audit surface: per-generation manifest rows (row
-    // count + order-free 60-bit md5/xor content checksum, the
-    // shardManifest algebra) for the same two-generation lifecycle —
+    // count + order-free 60-bit md5/xor content checksum over the
+    // self-concatenated key string, keyed||':'||keyed) for the same
+    // two-generation lifecycle —
     // the oracle recomputes BOTH generations' counts and checksums from
     // the base table in SQL, so a green hash proves the driver-written
     // manifest metadata replays cross-engine, not just the data dirs.
@@ -2795,6 +2796,41 @@ object SparkEntry {
         Seq("uni" -> S.Append(uniOf(docs.filter(col("doc_id") % 7 === 0))
           .withColumn("c1", -col("c1")))), note = "convict")
       S.read(s, store, "uni")
+    }),
+    // the store's opportunistic compaction (the LSM read-amplification
+    // cap a high-frequency micro-batch stream needs between nightly
+    // reconciles): the same snapshot + admit-append + convict-append
+    // lineage, then autoCompact with the segment threshold exceeded —
+    // the lineage collapses to ONE segment in a new generation and the
+    // merged read is UNCHANGED. The oracle rebuilds the live documents'
+    // counts in SQL, so a green hash proves read-equivalence across
+    // compaction cross-engine; the in-builder require pins the collapse
+    // itself (1 segment, auto-compact note). verify = true re-checksums
+    // the compacted segment against its manifest stamp on every run.
+    "q_artifact_autocompact" -> ((s, dir) => {
+      val docs = readWide(s, dir, "documents")
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-store-ac").toString
+      val S = jobs.ArtifactStore
+      val uniOf = (d: org.apache.spark.sql.DataFrame) =>
+        operators.LmScore.buildTrigramModel(d, "text")._1
+      S.publish(s, store,
+        Seq("uni" -> S.Snapshot(uniOf(docs.filter(col("doc_id") % 2 === 0)))),
+        note = "initial", kinds = Map("uni" -> "counts"),
+        keyCols = Map("uni" -> Seq("w")), cntCols = Map("uni" -> "c1"))
+      S.publish(s, store,
+        Seq("uni" -> S.Append(uniOf(docs.filter(col("doc_id") % 2 =!= 0)))),
+        note = "admit")
+      S.publish(s, store,
+        Seq("uni" -> S.Append(uniOf(docs.filter(col("doc_id") % 5 === 0))
+          .withColumn("c1", -col("c1")))), note = "convict")
+      val v = S.autoCompact(s, store, maxSegments = 2).getOrElse(
+        sys.error("autoCompact must fire on a 3-segment lineage"))
+      val m = S.readManifest(s, store, v)
+      require(m.note == "auto-compact@v3" &&
+        m.artifacts.head.segments.size == 1,
+        "auto-compaction must collapse the lineage to one segment")
+      S.read(s, store, "uni", verify = true)
     }),
     // DoReMi-lite per-domain mixture weights from the quality score:
     // √-tempered mean score per source, normalized to micro-units —
@@ -7223,8 +7259,8 @@ object SparkEntry {
     // generation 1 = counts over the whole table; generation 2 = counts
     // over survivors (subtraction-maintained ≡ rebuilt, pinned
     // elsewhere); each manifest row carries count(*) plus the
-    // shardManifest-style order-free checksum (bit_xor of the 60-bit
-    // md5 hash of 'key:key')
+    // order-free checksum (bit_xor of the 60-bit md5 hash of the
+    // self-concatenated key string 'key:key')
     "q_artifact_manifest" ->
       """WITH d AS (SELECT doc_id,
              string_split_regex(trim(lower(text)), '\s+') AS ws
@@ -7250,6 +7286,14 @@ object SparkEntry {
     "q_artifact_lsm" ->
       """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
              FROM documents WHERE doc_id % 7 <> 0)
+         SELECT w, CAST(count(*) AS BIGINT) AS c1
+         FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1""",
+    // snapshot(%2=0) + append(%2<>0) + append(−%5=0), auto-compacted to
+    // one segment: the merged read must still equal the rebuild over
+    // the live docs (%5 <> 0) — read-equivalence across compaction
+    "q_artifact_autocompact" ->
+      """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+             FROM documents WHERE doc_id % 5 <> 0)
          SELECT w, CAST(count(*) AS BIGINT) AS c1
          FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1""",
     // √-tempered mean micro-score per source, normalized; divisions

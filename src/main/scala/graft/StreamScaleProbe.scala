@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Measurement harness for the store-backed streaming admission path —
+  * produces the numbers behind the SCALE_r* claims "per-batch cost is
+  * O(|delta|), flat in batch count" and "auto-compaction caps the
+  * segment-list read amplification".
+  *
+  * Usage:
+  *   StreamScaleProbe docs=<documents.parquet> work=<scratch dir> \
+  *     [n_batches=20] [batch_rows=200] [auto_compact=0]
+  *
+  * Splits the documents table into a standing corpus (doc_id % 5 != 0,
+  * day-0 store generation) and a delta pool (doc_id % 5 == 0) sliced
+  * into `n_batches` fixed-size batches. Per batch: stage the batch's
+  * files into the stream source, then time ONE
+  * [[graft.streaming.StreamingRetentionJob.runAdmissionStore]] drain
+  * (file write excluded; the drain includes stream startup, gate reads,
+  * admission, sink write, and the atomic store publish). Emits one JSON
+  * line per batch — wall seconds, committed store version, and the
+  * widest segment list in the latest manifest — plus a summary line
+  * with the median wall of the first and last third of batches (a flat
+  * profile means per-batch cost does not grow with admitted history).
+  * Run the same arguments against a 10x-replicated documents table to
+  * measure how per-batch cost scales with CORPUS size at fixed |delta|. */
+object StreamScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val opts = args.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad arg '$a' (want key=value)")
+      a.take(i) -> a.drop(i + 1)
+    }.toMap
+    val nBatches = opts.getOrElse("n_batches", "20").toInt
+    val batchRows = opts.getOrElse("batch_rows", "200").toInt
+    val autoCompact = opts.getOrElse("auto_compact", "0").toInt
+    val work = opts("work")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft-stream-scale-probe")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      import graft.jobs.ArtifactStore
+      import graft.operators.{Dedup, LmScore, Sketches}
+      val docs = spark.read.parquet(opts("docs")).select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0).localCheckpoint()
+      val store = s"$work/store"
+      val (uni, bi, tri) = LmScore.buildTrigramModel(corpus, "text")
+      val sigs = Dedup.bandedSignatures(corpus, "doc_id", "text", 3, 20, 10)
+      ArtifactStore.publish(spark, store, Seq(
+          "index" -> ArtifactStore.Snapshot(sigs),
+          "lm_uni" -> ArtifactStore.Snapshot(uni),
+          "lm_bi" -> ArtifactStore.Snapshot(bi),
+          "lm_tri" -> ArtifactStore.Snapshot(tri)),
+        note = "build",
+        kinds = Map("index" -> "rows", "lm_uni" -> "counts",
+          "lm_bi" -> "counts", "lm_tri" -> "counts"),
+        keyCols = Map("index" -> Seq("doc_id", "band", "bucket"),
+          "lm_uni" -> Seq("w"), "lm_bi" -> Seq("wa", "wb"),
+          "lm_tri" -> Seq("w1", "w2", "w3")),
+        cntCols = Map("lm_uni" -> "c1", "lm_bi" -> "c2", "lm_tri" -> "c3"))
+      val words = Sketches.bloomDenseWords(
+        Sketches.bloomBuild(
+          docs.filter(col("doc_id") % 97 === 0)
+            .select(explode(Dedup.shingles(col("text"), 3)).as("g")),
+          "g", 262144, 3, 31L), 262144)
+      // fixed-size delta batches, deterministic slicing by doc_id rank
+      val pool = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("rn",
+          row_number().over(Window.orderBy("doc_id")) - 1)
+        .localCheckpoint()
+      val src = s"$work/src"
+      val schema = docs.schema
+      val walls = (0 until nBatches).map { b =>
+        pool.filter(col("rn") >= b * batchRows &&
+            col("rn") < (b + 1) * batchRows)
+          .drop("rn")
+          .write.mode("append").parquet(src)
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingRetentionJob.runAdmissionStore(
+          spark, src, schema, corpus, words,
+          admittedPath = s"$work/admitted", checkpoint = s"$work/cp",
+          storeRoot = store, streamId = "probe",
+          autoCompactAt = autoCompact)
+          .awaitTermination(600000)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val v = ArtifactStore.latestVersion(spark, store).get
+        val maxSegs = ArtifactStore.readManifest(spark, store, v)
+          .artifacts.map(_.segments.size).max
+        println(f"""{"probe":"stream_admit","batch":$b,"wall_sec":$wall%.2f,"store_version":$v,"max_segments":$maxSegs}""")
+        wall
+      }
+      def med(xs: Seq[Double]) = xs.sorted.apply((xs.size - 1) / 2)
+      val third = math.max(1, nBatches / 3)
+      println(f"""{"probe":"stream_admit_summary","n_batches":$nBatches,"batch_rows":$batchRows,"auto_compact":$autoCompact,"median_first_third_sec":${med(walls.take(third))}%.2f,"median_last_third_sec":${med(walls.takeRight(third))}%.2f,"total_sec":${walls.sum}%.2f,"docs":"${opts("docs")}"}""")
+    } finally spark.stop()
+  }
+}

@@ -117,16 +117,48 @@ object ArtifactStore {
   /** Filesystem schemes whose `create(path, overwrite = false)` is not
     * an atomic put-if-absent (plain S3 has no create-exclusive; modern
     * S3 conditional writes exist but need explicit opt-in). The lock
-    * protocol is only sound on filesystems with atomic create-exclusive
-    * (HDFS; the local filesystem is close enough — Hadoop's RawLocalFS
-    * check-then-create window is sub-syscall, see [[withWriterLock]]'s
-    * contract note). Deployments on these schemes must either front the
-    * store with an external mutex or, where the object store provides
-    * conditional writes (S3 If-None-Match, GCS generation preconditions),
-    * enable them and set `graft.artifactstore.lock.allow-nonatomic-create`
-    * to `true` in the Hadoop configuration to acknowledge the contract. */
+    * protocol is only sound on filesystems with atomic create-exclusive:
+    * HDFS provides it at the NameNode, and the local scheme is routed
+    * through NIO `CREATE_NEW` ([[createExclusive]] — Hadoop's own
+    * RawLocalFS create is check-then-create). Deployments on these
+    * schemes must either front the store with an external mutex or,
+    * where the object store provides conditional writes (S3
+    * If-None-Match, GCS generation preconditions), enable them and set
+    * `graft.artifactstore.lock.allow-nonatomic-create` to `true` in the
+    * Hadoop configuration to acknowledge the contract. */
   private[graft] val NonAtomicCreateSchemes: Set[String] =
     Set("s3", "s3a", "s3n")
+
+  /** Atomic put-if-absent file creation. On the LOCAL filesystem
+    * Hadoop's `create(path, overwrite = false)` is check-then-create —
+    * two simultaneous creators can both "win" — so the local scheme
+    * goes through NIO `CREATE_NEW` (a true `O_CREAT|O_EXCL`, atomic at
+    * the syscall); everything else uses the FileSystem contract (HDFS
+    * create-exclusive is atomic on the NameNode). The payload write
+    * follows the creation, so a concurrent reader can observe a
+    * momentarily-empty file — [[TornLockGraceMs]] covers that window. */
+  private def createExclusive(f: FileSystem, p: Path, payload: String): Boolean = {
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      try {
+        val nio = java.nio.file.Paths.get(p.toUri.getPath)
+        Option(nio.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(nio, payload.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else {
+      try {
+        val out = f.create(p, false)
+        try out.write(payload.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
 
   /** Reject the lock protocol on a filesystem that cannot honor it —
     * see [[NonAtomicCreateSchemes]]. Pure on (scheme, override) so the
@@ -149,11 +181,11 @@ object ArtifactStore {
     * (`create(path, overwrite = false)`) holding `uuid epochMillis`.
     *
     * Contract: create-exclusive must be an atomic put-if-absent. HDFS
-    * guarantees it; Hadoop's local filesystem implements it as
-    * check-then-create (a sub-syscall window — acceptable for tests and
-    * single-host operation, not a cluster guarantee); object stores
-    * without conditional writes cannot honor it at all and are rejected
-    * up front ([[assertLockCapableScheme]]).
+    * guarantees it; the local filesystem goes through NIO `CREATE_NEW`
+    * (true `O_CREAT|O_EXCL` — Hadoop's own local create is
+    * check-then-create and loses simultaneous-acquire races); object
+    * stores without conditional writes cannot honor it at all and are
+    * rejected up front ([[assertLockCapableScheme]]).
     *
     * A holder that crashed is broken after `staleMs` (mutations are
     * short — O(|delta|) writes — so a realistic staleness bound is
@@ -201,12 +233,7 @@ object ArtifactStore {
       f.getConf.getBoolean(
         "graft.artifactstore.lock.allow-nonatomic-create", false))
     def tryAcquire(): Boolean =
-      try {
-        val out = f.create(p, false)
-        try out.write(s"$id ${System.currentTimeMillis}".getBytes("UTF-8"))
-        finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      createExclusive(f, p, s"$id ${System.currentTimeMillis}")
     // Live / Stale(observed payload) / Gone — Gone (vanished between
     // our failed acquire and this check) just retries the acquire. The
     // Stale case CAPTURES the payload it judged stale: the break path
@@ -245,13 +272,7 @@ object ArtifactStore {
         // absence, never a live successor's. Delete iff it is still
         // the observation judged stale, then race the normal acquire.
         val claim = new Path(p.getParent, s"${p.getName}.breaking")
-        def tryClaim(): Boolean =
-          try {
-            val out = f.create(claim, false)
-            try out.write(id.getBytes("UTF-8")) finally out.close()
-            true
-          } catch { case _: java.io.IOException => false }
-        if (tryClaim()) {
+        if (createExclusive(f, claim, id)) {
           try {
             val curStat = try Some(f.getFileStatus(p))
               catch { case _: java.io.FileNotFoundException => None }

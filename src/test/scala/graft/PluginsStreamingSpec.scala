@@ -1050,4 +1050,55 @@ class StreamingSpec extends SparkSpec {
     assert(storedUni.except(rebuiltUni).count() == 0 &&
       rebuiltUni.except(storedUni).count() == 0)
   }
+
+  test("ReconcileMain store publish resets admitted_docs; the re-based " +
+      "stream resumes without double-counting prior admissions") {
+    import graft.jobs.ArtifactStore
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-reconcile-reset").toString
+    docs.filter(col("doc_id") % 5 =!= 0).write.parquet(s"$dir/corpus")
+    docs.filter(col("doc_id") % 97 === 0).write.parquet(s"$dir/eval")
+    val delta = docs.filter(col("doc_id") % 5 === 0).as[(Long, String)].collect()
+    val (b0, b1) = delta.partition(_._1 % 10 == 0)
+    b0.toSeq.toDF("doc_id", "text").write.parquet(s"$dir/src")
+    val store = s"$dir/store"
+    val streamOpts = Map(
+      "src" -> s"$dir/src", "corpus" -> s"$dir/corpus",
+      "eval" -> s"$dir/eval", "store" -> store,
+      "out" -> s"$dir/admitted", "checkpoint" -> s"$dir/cp")
+    StreamMain.run(spark, streamOpts + ("build_artifacts" -> "true"))
+    val admitted0 = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted0.nonEmpty)
+    assert(ArtifactStore.read(spark, store, "admitted_docs").count() ==
+      admitted0.size)
+    // nightly reconcile over the grown corpus, published to the store:
+    // the reconciled corpus subsumes the admitted docs, so the rebuild
+    // generation must RESET admitted_docs to empty
+    spark.read.parquet(s"$dir/corpus")
+      .unionByName(spark.read.parquet(s"$dir/admitted")
+        .select("doc_id", "text"))
+      .write.parquet(s"$dir/grown")
+    val line = ReconcileMain.run(spark, Map(
+      "corpus" -> s"$dir/grown", "out" -> s"$dir/rec", "store" -> store))
+    assert(line.contains("\"storeVersion\""))
+    val v = ArtifactStore.latestVersion(spark, store).get
+    assert(ArtifactStore.readManifest(spark, store, v).artifacts
+      .exists(_.artifact == "admitted_docs"))
+    assert(ArtifactStore.read(spark, store, "admitted_docs").count() == 0L)
+    // the stream resumes re-based on the reconciled corpus: batch 1
+    // gates against the rebuilt artifacts and an EMPTY prior — its
+    // candidates are the reconciled corpus alone, no double counting
+    b1.toSeq.toDF("doc_id", "text").write.mode("append").parquet(s"$dir/src")
+    StreamMain.run(spark, streamOpts + ("corpus" -> s"$dir/rec/corpus"))
+    val all = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(all.distinct.size == all.size)
+    assert(admitted0.subsetOf(all.toSet))
+    // admitted_docs now carries exactly batch 1's admissions
+    val storeAdmitted = ArtifactStore.read(spark, store, "admitted_docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(storeAdmitted == all.toSet -- admitted0)
+  }
 }
