@@ -1051,6 +1051,51 @@ class StreamingSpec extends SparkSpec {
       rebuiltUni.except(storedUni).count() == 0)
   }
 
+  test("nightly gc keeps the replay window: a post-gc replay still gates " +
+      "on its recorded generation, reference-counted segments intact") {
+    import graft.jobs.ArtifactStore
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-gc-replay").toString
+    docs.filter(col("doc_id") % 5 =!= 0).write.parquet(s"$dir/corpus")
+    docs.filter(col("doc_id") % 97 === 0).write.parquet(s"$dir/eval")
+    val delta = docs.filter(col("doc_id") % 5 === 0).as[(Long, String)].collect()
+    val (b0, b1) = delta.partition(_._1 % 10 == 0)
+    b0.toSeq.toDF("doc_id", "text").write.parquet(s"$dir/src")
+    val store = s"$dir/store"
+    val opts = Map(
+      "src" -> s"$dir/src", "corpus" -> s"$dir/corpus",
+      "eval" -> s"$dir/eval", "store" -> store,
+      "out" -> s"$dir/admitted", "checkpoint" -> s"$dir/cp")
+    StreamMain.run(spark, opts + ("build_artifacts" -> "true")) // v1 + v2
+    b1.toSeq.toDF("doc_id", "text").write.mode("append").parquet(s"$dir/src")
+    StreamMain.run(spark, opts) // v3 (batch 1 gated at v2, marker = 2)
+    val all = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSeq
+    // the nightly gc: keepLast=2 drops the day-0 manifest (v1) but both
+    // kept generations' segment lists still reference v1's segment dirs
+    // — reference counting must keep them
+    val rep = ArtifactStore.gc(spark, store, keepLast = 2)
+    assert(rep.deletedVersions == Seq(1L) && rep.deletedDirs.isEmpty)
+    // crash window 2 on batch 1 AFTER the gc: the replay's note resolves
+    // v3, its recorded gate is v2 — inside the kept window, so the
+    // replay reads the exact artifacts and rewrites bit-identically
+    val commits = new java.io.File(s"$dir/cp/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.last.delete())
+    new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+      .delete()
+    StreamMain.run(spark, opts)
+    val replayed = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(replayed.distinct.size == replayed.size)
+    assert(replayed.toSet == all.toSet)
+    assert(ArtifactStore.latestVersion(spark, store).contains(3L))
+    // and every surviving generation still verifies segment-by-segment
+    ArtifactStore.read(spark, store, "lm_uni", verify = true).collect()
+    ArtifactStore.read(spark, store, "index", verify = true).collect()
+  }
+
   test("ReconcileMain store publish resets admitted_docs; the re-based " +
       "stream resumes without double-counting prior admissions") {
     import graft.jobs.ArtifactStore
