@@ -85,27 +85,16 @@ object DeltaMain {
       val store = opts.get("store")
       import graft.jobs.ArtifactStore
       if (opts.getOrElse("build_artifacts", "false").toBoolean) {
-        val (uni, bi, tri) = LmScore.buildTrigramModel(corpus, dOpts.textCol)
-        val sigs = Dedup.bandedSignatures(corpus, dOpts.idCol, dOpts.textCol,
-          dOpts.shingleN, dOpts.minhashK, dOpts.bands)
         store match {
           case Some(root) =>
-            // day-0 generation: everything as one consistent snapshot
-            ArtifactStore.publish(spark, root, Seq(
-                "index" -> ArtifactStore.Snapshot(sigs),
-                "lm_uni" -> ArtifactStore.Snapshot(uni),
-                "lm_bi" -> ArtifactStore.Snapshot(bi),
-                "lm_tri" -> ArtifactStore.Snapshot(tri)),
-              note = "build",
-              kinds = Map("index" -> "rows", "lm_uni" -> "counts",
-                "lm_bi" -> "counts", "lm_tri" -> "counts"),
-              keyCols = Map(
-                "index" -> Seq(dOpts.idCol, "band", "bucket"),
-                "lm_uni" -> Seq("w"), "lm_bi" -> Seq("wa", "wb"),
-                "lm_tri" -> Seq("w1", "w2", "w3")),
-              cntCols = Map("lm_uni" -> "c1", "lm_bi" -> "c2",
-                "lm_tri" -> "c3"))
+            // day-0 generation: everything as one consistent snapshot,
+            // under the ONE shared schema contract
+            DeltaJob.publishDay0Artifacts(spark, root, corpus, dOpts)
           case None =>
+            val (uni, bi, tri) =
+              LmScore.buildTrigramModel(corpus, dOpts.textCol)
+            val sigs = Dedup.bandedSignatures(corpus, dOpts.idCol,
+              dOpts.textCol, dOpts.shingleN, dOpts.minhashK, dOpts.bands)
             uni.write.mode("overwrite").parquet(s"${opts("lm")}/uni")
             bi.write.mode("overwrite").parquet(s"${opts("lm")}/bi")
             tri.write.mode("overwrite").parquet(s"${opts("lm")}/tri")

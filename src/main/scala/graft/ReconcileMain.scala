@@ -62,17 +62,27 @@ object ReconcileMain {
       // publish the rebuild as one consistent store generation (reading
       // back the flat writes — no recomputation of the lazy frames)
       val storeLine = opts.get("store").map { root =>
-        import graft.jobs.ArtifactStore
+        import graft.jobs.{ArtifactStore, DeltaJob}
         val id = opts.getOrElse("id", "doc_id")
         val text = opts.getOrElse("text", "text")
+        // Optimistic-concurrency base: the rebuild replaces every gate
+        // artifact with a Snapshot derived from a corpus snapshot that
+        // corresponds to the store state read HERE — if a stream batch
+        // commits between this read and the publish below, the
+        // requireBase guard aborts the publish loudly instead of
+        // silently erasing that batch's signatures and counts.
+        // (Operational contract: quiesce the stream for the nightly
+        // reconcile, or re-run it on this error.)
+        val base = ArtifactStore.latestVersion(spark, root)
         // A streaming store ([[StreamMain]]) accumulates admitted (id,
         // text) rows in `admitted_docs` for prior-batch text
         // resolution. The reconciled corpus written to $out/corpus
         // subsumes those docs — the operator re-points the stream's
         // corpus= there — so the rebuild generation resets the artifact
         // to empty; leaving the stale rows would double-count every
-        // admitted doc as both corpus and prior.
-        val resetAdmitted = ArtifactStore.latestVersion(spark, root)
+        // admitted doc as both corpus and prior. Presence is checked at
+        // the SAME base the guard pins.
+        val resetAdmitted = base
           .exists(v => ArtifactStore.readManifest(spark, root, v)
             .artifacts.exists(_.artifact == "admitted_docs"))
         val admittedReset =
@@ -90,13 +100,10 @@ object ReconcileMain {
             "lm_tri" -> ArtifactStore.Snapshot(
               spark.read.parquet(s"$out/lm/tri"))) ++ admittedReset,
           note = "reconcile",
-          kinds = Map("index" -> "rows", "lm_uni" -> "counts",
-            "lm_bi" -> "counts", "lm_tri" -> "counts"),
-          keyCols = Map("index" -> Seq(id, "band", "bucket"),
-            "lm_uni" -> Seq("w"), "lm_bi" -> Seq("wa", "wb"),
-            "lm_tri" -> Seq("w1", "w2", "w3")),
-          cntCols = Map("lm_uni" -> "c1", "lm_bi" -> "c2",
-            "lm_tri" -> "c3"))
+          kinds = DeltaJob.artifactKinds,
+          keyCols = DeltaJob.artifactKeyCols(id),
+          cntCols = DeltaJob.artifactCntCols,
+          requireBase = base)
         val gcDirs = opts.get("gc_keep")
           .map(k => ArtifactStore.gc(spark, root, k.toInt).deletedDirs.size)
           .getOrElse(0)

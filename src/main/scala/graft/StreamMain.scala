@@ -42,7 +42,7 @@ object StreamMain {
     * (store version after the drain, total admitted rows in the sink). */
   def run(spark: SparkSession, opts: Map[String, String]): (Long, Long) = {
     import graft.jobs.{ArtifactStore, DeltaJob}
-    import graft.operators.{Dedup, LmScore, Sketches}
+    import graft.operators.{Dedup, Sketches}
     import org.apache.spark.sql.functions.{col, explode}
     val dOpts = DeltaJob.DeltaOptions(
       idCol = opts.getOrElse("id", "doc_id"),
@@ -53,24 +53,8 @@ object StreamMain {
       jaccardThreshold = opts.getOrElse("jaccard", "0.8").toDouble)
     val corpus = spark.read.parquet(opts("corpus"))
     val root = opts("store")
-    if (opts.getOrElse("build_artifacts", "false").toBoolean) {
-      val (uni, bi, tri) = LmScore.buildTrigramModel(corpus, dOpts.textCol)
-      val sigs = Dedup.bandedSignatures(corpus, dOpts.idCol, dOpts.textCol,
-        dOpts.shingleN, dOpts.minhashK, dOpts.bands)
-      ArtifactStore.publish(spark, root, Seq(
-          "index" -> ArtifactStore.Snapshot(sigs),
-          "lm_uni" -> ArtifactStore.Snapshot(uni),
-          "lm_bi" -> ArtifactStore.Snapshot(bi),
-          "lm_tri" -> ArtifactStore.Snapshot(tri)),
-        note = "build",
-        kinds = Map("index" -> "rows", "lm_uni" -> "counts",
-          "lm_bi" -> "counts", "lm_tri" -> "counts"),
-        keyCols = Map(
-          "index" -> Seq(dOpts.idCol, "band", "bucket"),
-          "lm_uni" -> Seq("w"), "lm_bi" -> Seq("wa", "wb"),
-          "lm_tri" -> Seq("w1", "w2", "w3")),
-        cntCols = Map("lm_uni" -> "c1", "lm_bi" -> "c2", "lm_tri" -> "c3"))
-    }
+    if (opts.getOrElse("build_artifacts", "false").toBoolean)
+      DeltaJob.publishDay0Artifacts(spark, root, corpus, dOpts)
     val words = Sketches.bloomDenseWords(
       Sketches.bloomBuild(
         spark.read.parquet(opts("eval"))
@@ -91,7 +75,17 @@ object StreamMain {
       streamId = opts.getOrElse("stream_id", "stream"),
       autoCompactAt = opts.getOrElse("auto_compact", "0").toInt,
       opts = dOpts)
-    q.awaitTermination(opts.getOrElse("await_ms", "1800000").toLong)
+    val awaitMs = opts.getOrElse("await_ms", "1800000").toLong
+    if (!q.awaitTermination(awaitMs)) {
+      // a timed-out drain must not be reported as a completed run (and
+      // letting main() stop the session would kill an in-flight batch
+      // mid-protocol); stop the query and fail loudly — the checkpoint
+      // makes the re-run resume exactly-once from the incomplete batch
+      q.stop()
+      sys.error(s"stream drain did not finish within ${awaitMs}ms — " +
+        "re-run with a larger await_ms; the checkpoint resumes " +
+        "exactly-once from the first unfinished batch")
+    }
     val v = ArtifactStore.latestVersion(spark, root).getOrElse(0L)
     val admitted = {
       val fs = new org.apache.hadoop.fs.Path(opts("out"))

@@ -49,24 +49,11 @@ object StreamScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     try {
       import graft.jobs.ArtifactStore
-      import graft.operators.{Dedup, LmScore, Sketches}
+      import graft.operators.{Dedup, Sketches}
       val docs = spark.read.parquet(opts("docs")).select("doc_id", "text")
       val corpus = docs.filter(col("doc_id") % 5 =!= 0).localCheckpoint()
       val store = s"$work/store"
-      val (uni, bi, tri) = LmScore.buildTrigramModel(corpus, "text")
-      val sigs = Dedup.bandedSignatures(corpus, "doc_id", "text", 3, 20, 10)
-      ArtifactStore.publish(spark, store, Seq(
-          "index" -> ArtifactStore.Snapshot(sigs),
-          "lm_uni" -> ArtifactStore.Snapshot(uni),
-          "lm_bi" -> ArtifactStore.Snapshot(bi),
-          "lm_tri" -> ArtifactStore.Snapshot(tri)),
-        note = "build",
-        kinds = Map("index" -> "rows", "lm_uni" -> "counts",
-          "lm_bi" -> "counts", "lm_tri" -> "counts"),
-        keyCols = Map("index" -> Seq("doc_id", "band", "bucket"),
-          "lm_uni" -> Seq("w"), "lm_bi" -> Seq("wa", "wb"),
-          "lm_tri" -> Seq("w1", "w2", "w3")),
-        cntCols = Map("lm_uni" -> "c1", "lm_bi" -> "c2", "lm_tri" -> "c3"))
+      graft.jobs.DeltaJob.publishDay0Artifacts(spark, store, corpus)
       val words = Sketches.bloomDenseWords(
         Sketches.bloomBuild(
           docs.filter(col("doc_id") % 97 === 0)
@@ -85,12 +72,18 @@ object StreamScaleProbe {
           .drop("rn")
           .write.mode("append").parquet(src)
         val t0 = System.nanoTime()
-        graft.streaming.StreamingRetentionJob.runAdmissionStore(
+        val q = graft.streaming.StreamingRetentionJob.runAdmissionStore(
           spark, src, schema, corpus, words,
           admittedPath = s"$work/admitted", checkpoint = s"$work/cp",
           storeRoot = store, streamId = "probe",
           autoCompactAt = autoCompact)
-          .awaitTermination(600000)
+        if (!q.awaitTermination(600000)) {
+          // a capped sample would poison the emitted medians, and the
+          // next iteration would race this query on the shared
+          // checkpoint — abort the probe instead
+          q.stop()
+          sys.error(s"probe batch $b did not drain within 600s")
+        }
         val wall = (System.nanoTime() - t0) / 1e9
         val v = ArtifactStore.latestVersion(spark, store).get
         val maxSegs = ArtifactStore.readManifest(spark, store, v)

@@ -149,14 +149,29 @@ object ArtifactStore {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.io.IOException => false
+        case _: java.io.IOException =>
+          // the create may have landed before the write failed — an
+          // orphan empty file here would wedge every later acquirer
+          // for the full staleness bound; reclaim our own debris
+          try java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(p.toUri.getPath))
+          catch { case _: Exception => () }
+          false
       }
     } else {
+      var created = false
       try {
         val out = f.create(p, false)
+        created = true
         try out.write(payload.getBytes("UTF-8")) finally out.close()
         true
-      } catch { case _: java.io.IOException => false }
+      } catch {
+        case _: java.io.IOException =>
+          // as above: if OUR create succeeded but the payload write
+          // failed, delete the torn lock rather than stranding it
+          if (created) { try f.delete(p, false) catch { case _: Exception => () } }
+          false
+      }
     }
   }
 
@@ -472,9 +487,19 @@ object ArtifactStore {
       kinds: Map[String, String] = Map.empty,
       keyCols: Map[String, Seq[String]] = Map.empty,
       cntCols: Map[String, String] = Map.empty,
-      lockStaleMs: Long = DefaultLockStaleMs): Long =
-    publishImpl(spark, root, changes, note, kinds, keyCols, cntCols,
-      lockStaleMs, ifNoteAbsent = None, requireBase = None)._1
+      lockStaleMs: Long = DefaultLockStaleMs,
+      requireBase: Option[Long] = None): Long = {
+    val (v, published) = publishImpl(spark, root, changes, note, kinds,
+      keyCols, cntCols, lockStaleMs, ifNoteAbsent = None,
+      requireBase = requireBase)
+    if (!published) sys.error(
+      s"publish under $root lost an optimistic-concurrency race: another " +
+        s"writer committed v$v after this publish read its base " +
+        s"v${requireBase.get} — rebuild from the current state and re-run " +
+        "(the read-then-replace Snapshot would have silently dropped the " +
+        "interleaved writer's changes)")
+    v
+  }
 
   /** The locked publish core. `ifNoteAbsent = Some(note)` re-checks the
     * note INSIDE the critical section and absorbs the publish (returning
@@ -760,6 +785,14 @@ object ArtifactStore {
     else f.listStatus(dir).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("manifest-v") &&
         p.getName.endsWith(".json"))
+      // newest-first, lazily: a replayed note is always among the
+      // newest generations (a replay is the immediately-next restart),
+      // so the common case parses one or two manifests, not the whole
+      // GC-bounded history — per-micro-batch gate resolution stays
+      // O(1)-ish as generations accumulate between nightly GCs
+      .sortBy(p => -p.getName.stripPrefix("manifest-v")
+        .stripSuffix(".json").toLong)
+      .view
       .map(p => parse(readString(f, p)))
       .collectFirst { case m if m.note == note => m.version }
   }

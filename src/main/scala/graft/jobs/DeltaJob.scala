@@ -171,4 +171,43 @@ object DeltaJob {
       admitted = nAdmitted)
     (admitted, stats)
   }
+
+  /** The admission pipeline's artifact-store schema contract — ONE
+    * definition shared by every publisher ([[graft.DeltaMain]],
+    * [[graft.StreamMain]], [[graft.ReconcileMain]],
+    * [[graft.StreamScaleProbe]]): the kinds/key-columns/count-columns
+    * of the four gate artifacts. All CLIs must publish with the same
+    * maps or cross-CLI checksums and counts-merges diverge. */
+  def artifactKinds: Map[String, String] = Map(
+    "index" -> "rows", "lm_uni" -> "counts",
+    "lm_bi" -> "counts", "lm_tri" -> "counts")
+  def artifactKeyCols(idCol: String): Map[String, Seq[String]] = Map(
+    "index" -> Seq(idCol, "band", "bucket"),
+    "lm_uni" -> Seq("w"), "lm_bi" -> Seq("wa", "wb"),
+    "lm_tri" -> Seq("w1", "w2", "w3"))
+  def artifactCntCols: Map[String, String] = Map(
+    "lm_uni" -> "c1", "lm_bi" -> "c2", "lm_tri" -> "c3")
+
+  /** Derive the gate artifacts from `corpus` and publish them as one
+    * day-0 [[ArtifactStore]] generation (the `build_artifacts=true`
+    * contract of the admission CLIs). Returns the committed version. */
+  def publishDay0Artifacts(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String,
+      corpus: DataFrame,
+      opts: DeltaOptions = DeltaOptions(),
+      note: String = "build"): Long = {
+    val (uni, bi, tri) = LmScore.buildTrigramModel(corpus, opts.textCol)
+    val sigs = Dedup.bandedSignatures(corpus, opts.idCol, opts.textCol,
+      opts.shingleN, opts.minhashK, opts.bands)
+    ArtifactStore.publish(spark, root, Seq(
+        "index" -> ArtifactStore.Snapshot(sigs),
+        "lm_uni" -> ArtifactStore.Snapshot(uni),
+        "lm_bi" -> ArtifactStore.Snapshot(bi),
+        "lm_tri" -> ArtifactStore.Snapshot(tri)),
+      note = note,
+      kinds = artifactKinds,
+      keyCols = artifactKeyCols(opts.idCol),
+      cntCols = artifactCntCols)
+  }
 }

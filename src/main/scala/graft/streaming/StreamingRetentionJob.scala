@@ -301,8 +301,10 @@ object StreamingRetentionJob {
     *  - crash AFTER the store publish, BEFORE the checkpoint commit:
     *    the replay finds its note (`stream-admit:<streamId>:<batchId>`)
     *    already committed and gates against the generation number the
-    *    original attempt RECORDED in the batch dir (`_gated_version`,
-    *    written after the sink overwrite and before the publish) — the
+    *    original attempt RECORDED under `<admittedPath>/_gates/`
+    *    (written after the sink write and before the publish; a sibling
+    *    of the batch dirs so a replay's sink overwrite can never wipe
+    *    it) — the
     *    exact artifacts the committed rows were admitted against, so
     *    the rewrite is bit-identical even when OTHER writers
     *    ([[graft.RetentionMain]] convictions, a second stream's
@@ -352,7 +354,13 @@ object StreamingRetentionJob {
         val batchDir = s"$admittedPath/batch=$batchId"
         val fs = new Path(admittedPath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val marker = new Path(batchDir, "_gated_version")
+        // The gate record lives in a SIBLING dir, not the batch dir:
+        // the replay's sink overwrite wipes the batch dir, and a crash
+        // between that wipe and a marker rewrite would lose the
+        // recorded gate exactly when a second replay needs it. The
+        // underscore prefix hides the dir from parquet readers of the
+        // sink root.
+        val marker = new Path(s"$admittedPath/_gates", s"batch=$batchId")
         // Replay-stable artifact resolution: a FRESH batch gates
         // against the latest committed generation and records it; a
         // replay whose publish already committed re-reads the RECORDED
@@ -381,21 +389,31 @@ object StreamingRetentionJob {
         // Prior-batch text from the store's own admitted_docs artifact:
         // the manifest's bounded segment list replaces a per-batch
         // listing/scan of every batch=* sink dir (a small-files
-        // hotspot growing linearly with batch count).
+        // hotspot growing linearly with batch count). A store whose
+        // generations predate the artifact (an upgrade resuming an
+        // existing checkpoint) falls back to the sink-dir scan so
+        // previously-admitted texts keep resolving; from the first
+        // publish after the upgrade the bounded path takes over.
         val hasPrior = ArtifactStore.readManifest(spark, storeRoot, gateV)
           .artifacts.exists(_.artifact == "admitted_docs")
         val prior =
-          if (!hasPrior) corpusBase.limit(0)
-          else ArtifactStore.read(spark, storeRoot, "admitted_docs", Some(gateV))
-            .select(col(opts.idCol), col(opts.textCol))
+          if (hasPrior)
+            ArtifactStore.read(spark, storeRoot, "admitted_docs", Some(gateV))
+              .select(col(opts.idCol), col(opts.textCol))
+          else if (fs.exists(new Path(admittedPath)) &&
+              fs.listStatus(new Path(admittedPath))
+                .exists(_.getPath.getName.startsWith("batch=")))
+            spark.read.parquet(admittedPath)
+              .filter(col("batch") < batchId)
+              .select(col(opts.idCol), col(opts.textCol))
+          else corpusBase.limit(0)
         val admitted = graft.jobs.DeltaJob.admit(batch,
             corpusBase.unionByName(prior), idx, uni, bi, tri,
             evalBloomWords, opts)
           .localCheckpoint()
         admitted.write.mode("overwrite").parquet(batchDir)
-        // record the gate AFTER the overwrite (which wipes the dir) and
-        // BEFORE the publish — the underscore prefix hides it from
-        // parquet readers of the sink
+        // record the gate AFTER the sink write and BEFORE the publish;
+        // the sibling location survives any later replay's overwrite
         val out = fs.create(marker, true)
         try out.write(gateV.toString.getBytes("UTF-8")) finally out.close()
         val sigs = Dedup.bandedSignatures(admitted, opts.idCol, opts.textCol,

@@ -939,7 +939,7 @@ class StreamingSpec extends SparkSpec {
     val fsys = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(
-      s"$dir/admitted/batch=0", "_gated_version")
+      s"$dir/admitted/_gates", "batch=0")
     val mout = fsys.create(marker, true)
     try mout.write(gateV.toString.getBytes("UTF-8")) finally mout.close()
     // the interleaved writer: a reconcile-ish publish that EMPTIES the
@@ -981,6 +981,25 @@ class StreamingSpec extends SparkSpec {
     val min = fsys.open(marker)
     val rec = try new String(min.readAllBytes, "UTF-8").trim finally min.close()
     assert(rec == "1")
+
+    // DOUBLE CRASH: a second replay dies mid-sink-rewrite — the batch
+    // dir is wiped/partial, but the gate record lives in the sibling
+    // _gates dir, so a third replay still gates at v1 (not note−1 = v2)
+    val commits2 = new java.io.File(s"$dir/cp/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits2.last.delete())
+    new java.io.File(commits2.last.getParent, s".${commits2.last.getName}.crc")
+      .delete()
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$dir/admitted/batch=0"), true)
+    StreamingRetentionJob.runAdmissionStore(
+      spark, src, schema, corpus, words,
+      admittedPath = s"$dir/admitted", checkpoint = s"$dir/cp",
+      storeRoot = store).awaitTermination(180000)
+    val replayed2 = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(replayed2.distinct.size == replayed2.size)
+    assert(replayed2.toSet == admitted0Ids)
+    assert(ArtifactStore.latestVersion(spark, store).contains(3L))
   }
 
   test("StreamMain CLI: run, kill, re-run resumes exactly-once; " +
