@@ -40,6 +40,18 @@ object ReconcileMain {
   def run(spark: SparkSession, opts: Map[String, String]): String = {
     {
       val out = opts("out")
+      // Optimistic-concurrency base, read BEFORE the corpus read and
+      // the whole rebuild: the Snapshot publish at the end replaces
+      // every gate artifact with state derived from the corpus AS OF
+      // NOW, so any stream/delta batch that commits to the store from
+      // here on is not reflected in the rebuild — the requireBase
+      // guard on the publish then aborts loudly instead of silently
+      // erasing that batch's signatures and counts. base 0 = the store
+      // must still be unborn at publish time. (Operational contract:
+      // quiesce the stream for the nightly reconcile, or re-run on
+      // this error.)
+      val storeBase = opts.get("store").map(root =>
+        graft.jobs.ArtifactStore.latestVersion(spark, root).getOrElse(0L))
       val r = ReconcileJob.run(
         spark,
         corpus = spark.read.parquet(opts("corpus")),
@@ -65,15 +77,7 @@ object ReconcileMain {
         import graft.jobs.{ArtifactStore, DeltaJob}
         val id = opts.getOrElse("id", "doc_id")
         val text = opts.getOrElse("text", "text")
-        // Optimistic-concurrency base: the rebuild replaces every gate
-        // artifact with a Snapshot derived from a corpus snapshot that
-        // corresponds to the store state read HERE — if a stream batch
-        // commits between this read and the publish below, the
-        // requireBase guard aborts the publish loudly instead of
-        // silently erasing that batch's signatures and counts.
-        // (Operational contract: quiesce the stream for the nightly
-        // reconcile, or re-run it on this error.)
-        val base = ArtifactStore.latestVersion(spark, root)
+        val base = storeBase.get // read before the rebuild, see above
         // A streaming store ([[StreamMain]]) accumulates admitted (id,
         // text) rows in `admitted_docs` for prior-batch text
         // resolution. The reconciled corpus written to $out/corpus
@@ -82,9 +86,9 @@ object ReconcileMain {
         // to empty; leaving the stale rows would double-count every
         // admitted doc as both corpus and prior. Presence is checked at
         // the SAME base the guard pins.
-        val resetAdmitted = base
-          .exists(v => ArtifactStore.readManifest(spark, root, v)
-            .artifacts.exists(_.artifact == "admitted_docs"))
+        val resetAdmitted = base > 0 &&
+          ArtifactStore.readManifest(spark, root, base)
+            .artifacts.exists(_.artifact == "admitted_docs")
         val admittedReset =
           if (!resetAdmitted) Nil
           else Seq("admitted_docs" -> ArtifactStore.Snapshot(
@@ -103,7 +107,7 @@ object ReconcileMain {
           kinds = DeltaJob.artifactKinds,
           keyCols = DeltaJob.artifactKeyCols(id),
           cntCols = DeltaJob.artifactCntCols,
-          requireBase = base)
+          requireBase = Some(base))
         val gcDirs = opts.get("gc_keep")
           .map(k => ArtifactStore.gc(spark, root, k.toInt).deletedDirs.size)
           .getOrElse(0)

@@ -79,9 +79,15 @@ object StreamMain {
     if (!q.awaitTermination(awaitMs)) {
       // a timed-out drain must not be reported as a completed run (and
       // letting main() stop the session would kill an in-flight batch
-      // mid-protocol); stop the query and fail loudly — the checkpoint
-      // makes the re-run resume exactly-once from the incomplete batch
-      q.stop()
+      // mid-protocol); stop the query — BOUNDED, because stop() itself
+      // blocks on the hung stream thread with the default stopTimeout —
+      // then fail loudly either way: the checkpoint makes the re-run
+      // resume exactly-once from the incomplete batch
+      val stopper = new Thread(() =>
+        try q.stop() catch { case _: Throwable => () })
+      stopper.setDaemon(true)
+      stopper.start()
+      stopper.join(30000)
       sys.error(s"stream drain did not finish within ${awaitMs}ms — " +
         "re-run with a larger await_ms; the checkpoint resumes " +
         "exactly-once from the first unfinished batch")

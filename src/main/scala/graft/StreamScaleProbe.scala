@@ -80,8 +80,13 @@ object StreamScaleProbe {
         if (!q.awaitTermination(600000)) {
           // a capped sample would poison the emitted medians, and the
           // next iteration would race this query on the shared
-          // checkpoint — abort the probe instead
-          q.stop()
+          // checkpoint — abort the probe instead (bounded stop: stop()
+          // blocks on the hung stream thread)
+          val stopper = new Thread(() =>
+            try q.stop() catch { case _: Throwable => () })
+          stopper.setDaemon(true)
+          stopper.start()
+          stopper.join(30000)
           sys.error(s"probe batch $b did not drain within 600s")
         }
         val wall = (System.nanoTime() - t0) / 1e9

@@ -140,22 +140,29 @@ object ArtifactStore {
   private def createExclusive(f: FileSystem, p: Path, payload: String): Boolean = {
     val scheme = Option(f.getUri.getScheme).getOrElse("file")
     if (scheme == "file") {
+      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      // two steps, so failure cleanup only ever targets a file WE
+      // created: createFile is the atomic O_CREAT|O_EXCL claim; if the
+      // payload write then fails, deleting the file is safe (no rival
+      // can hold it — their create would have failed on ours). A
+      // single-call Files.write(CREATE_NEW) that failed ambiguously
+      // could otherwise lead us to delete a rival's fresh lock.
+      var created = false
       try {
-        val nio = java.nio.file.Paths.get(p.toUri.getPath)
         Option(nio.getParent).foreach(java.nio.file.Files.createDirectories(_))
-        java.nio.file.Files.write(nio, payload.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
+        java.nio.file.Files.createFile(nio)
+        created = true
+        java.nio.file.Files.write(nio, payload.getBytes("UTF-8"))
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: java.io.IOException =>
-          // the create may have landed before the write failed — an
-          // orphan empty file here would wedge every later acquirer
-          // for the full staleness bound; reclaim our own debris
-          try java.nio.file.Files.deleteIfExists(
-            java.nio.file.Paths.get(p.toUri.getPath))
-          catch { case _: Exception => () }
+          // an orphan empty file of OURS would wedge every later
+          // acquirer for the full staleness bound; reclaim it
+          if (created) {
+            try java.nio.file.Files.deleteIfExists(nio)
+            catch { case _: Exception => () }
+          }
           false
       }
     } else {
@@ -531,7 +538,10 @@ object ArtifactStore {
     val absorbed = ifNoteAbsent.flatMap(n => findVersionByNote(spark, root, n))
     val prevV = latestVersion(spark, root)
     if (absorbed.isDefined) (absorbed.get, false)
-    else if (requireBase.exists(b => !prevV.contains(b)))
+    // base 0 means "require the store still empty/unborn" — the guard
+    // for a rebuild that started against a store with no committed
+    // generation and must not stomp a generation committed since
+    else if (requireBase.exists(b => prevV.getOrElse(0L) != b))
       (prevV.getOrElse(0L), false)
     else {
     val v = prevV.getOrElse(0L) + 1L
@@ -785,11 +795,16 @@ object ArtifactStore {
     else f.listStatus(dir).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith("manifest-v") &&
         p.getName.endsWith(".json"))
-      // newest-first, lazily: a replayed note is always among the
-      // newest generations (a replay is the immediately-next restart),
-      // so the common case parses one or two manifests, not the whole
-      // GC-bounded history — per-micro-batch gate resolution stays
-      // O(1)-ish as generations accumulate between nightly GCs
+      // Newest-first, lazily: when the note IS committed (a replay, an
+      // absorbed retry) it is among the newest generations, so that
+      // path parses one or two manifests instead of the whole
+      // GC-bounded history. A MISS still scans everything — that is
+      // the proof of absence the idempotence contract needs (an old
+      // run_id redelivered a week later must still be absorbed), so
+      // callers on a hot path should avoid calling this when absence
+      // is already known (e.g. [[graft.streaming.StreamingRetentionJob
+      // .runAdmissionStore]] skips it when no gate record exists —
+      // the marker precedes every publish, so no marker ⟹ no commit).
       .sortBy(p => -p.getName.stripPrefix("manifest-v")
         .stripSuffix(".json").toLong)
       .view

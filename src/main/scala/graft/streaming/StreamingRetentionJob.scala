@@ -361,27 +361,40 @@ object StreamingRetentionJob {
         // underscore prefix hides the dir from parquet readers of the
         // sink root.
         val marker = new Path(s"$admittedPath/_gates", s"batch=$batchId")
+        // pre-relocation builds recorded the gate inside the batch dir;
+        // read it as a secondary fallback so a crash-window replay
+        // across the upgrade still resolves its exact gate
+        val legacyMarker = new Path(batchDir, "_gated_version")
+        def readMarker(path: Path): Option[Long] =
+          if (!fs.exists(path)) None
+          else {
+            val in = fs.open(path)
+            try scala.util.Try(new String(
+              in.readAllBytes, "UTF-8").trim.toLong).toOption
+            finally in.close()
+          }
         // Replay-stable artifact resolution: a FRESH batch gates
         // against the latest committed generation and records it; a
         // replay whose publish already committed re-reads the RECORDED
-        // generation — exact even under interleaved writers.
-        val gateV: Long =
-          ArtifactStore.findVersionByNote(spark, storeRoot, note) match {
-            case Some(committedV) =>
-              val recorded =
-                if (!fs.exists(marker)) None
-                else {
-                  val in = fs.open(marker)
-                  try scala.util.Try(new String(
-                    in.readAllBytes, "UTF-8").trim.toLong).toOption
-                  finally in.close()
-                }
-              recorded.getOrElse(committedV - 1)
-            case None =>
-              ArtifactStore.latestVersion(spark, storeRoot).getOrElse(
-                sys.error(s"artifact store $storeRoot has no committed " +
-                  "generation — run a day-0 build_artifacts publish first"))
-          }
+        // generation — exact even under interleaved writers. The gate
+        // record is written BEFORE every publish and never deleted, so
+        // no record at either location ⟹ this batch never published —
+        // the hot path (every fresh batch) skips the note scan
+        // entirely and pays one manifest LISTING, zero parses.
+        val recorded = readMarker(marker).orElse(readMarker(legacyMarker))
+        // an EXISTING-but-unreadable record must still trigger the note
+        // check (the publish may have committed); only a wholly absent
+        // record proves no publish happened
+        val committedV =
+          if (!fs.exists(marker) && !fs.exists(legacyMarker)) None
+          else ArtifactStore.findVersionByNote(spark, storeRoot, note)
+        val gateV: Long = committedV match {
+          case Some(v) => recorded.getOrElse(v - 1)
+          case None =>
+            ArtifactStore.latestVersion(spark, storeRoot).getOrElse(
+              sys.error(s"artifact store $storeRoot has no committed " +
+                "generation — run a day-0 build_artifacts publish first"))
+        }
         val idx = ArtifactStore.read(spark, storeRoot, "index", Some(gateV))
         val uni = ArtifactStore.read(spark, storeRoot, "lm_uni", Some(gateV))
         val bi = ArtifactStore.read(spark, storeRoot, "lm_bi", Some(gateV))
@@ -403,9 +416,17 @@ object StreamingRetentionJob {
           else if (fs.exists(new Path(admittedPath)) &&
               fs.listStatus(new Path(admittedPath))
                 .exists(_.getPath.getName.startsWith("batch=")))
-            spark.read.parquet(admittedPath)
-              .filter(col("batch") < batchId)
-              .select(col(opts.idCol), col(opts.textCol))
+            // the legacy dirs can be unreadable precisely during a
+            // replay (a crashed first attempt left batch=0 with no
+            // parquet footer — the dir this very batch is about to
+            // rewrite); recover with an empty prior instead of wedging
+            // every restart on schema inference
+            scala.util.Try(
+                spark.read.parquet(admittedPath)
+                  .filter(col("batch") < batchId)
+                  .select(col(opts.idCol), col(opts.textCol))
+                  .localCheckpoint())
+              .getOrElse(corpusBase.limit(0))
           else corpusBase.limit(0)
         val admitted = graft.jobs.DeltaJob.admit(batch,
             corpusBase.unionByName(prior), idx, uni, bi, tri,

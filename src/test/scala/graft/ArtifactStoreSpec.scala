@@ -463,6 +463,34 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(ArtifactStore.latestVersion(spark, root).contains(6L))
   }
 
+  test("publish with requireBase aborts loudly when another writer " +
+      "committed after the base was read") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 1L))),
+      kinds = Map("uni" -> "counts"))
+    // a rebuild reads its base (v1)… then an interleaved writer commits
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("b" -> 2L))))
+    // …so the guarded Snapshot publish must abort instead of silently
+    // erasing the interleaved append (the ReconcileMain store contract)
+    val e = intercept[RuntimeException] {
+      ArtifactStore.publish(spark, root,
+        Seq("uni" -> Snapshot(counts("a" -> 1L))),
+        note = "rebuild", requireBase = Some(1L))
+    }
+    assert(e.getMessage.contains("optimistic-concurrency"))
+    // nothing was committed; the interleaved writer's data is intact
+    assert(ArtifactStore.latestVersion(spark, root).contains(2L))
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni", verify = true)) ==
+      Seq(("a", 1L), ("b", 2L)))
+    // with the CURRENT base the same publish commits
+    val v3 = ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 9L))),
+      note = "rebuild", requireBase = Some(2L))
+    assert(v3 == 3L)
+  }
+
   test("lock protocol is refused on object-store schemes without the opt-in") {
     val e = intercept[RuntimeException] {
       ArtifactStore.assertLockCapableScheme("s3a", allowNonAtomic = false)
