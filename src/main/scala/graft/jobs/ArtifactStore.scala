@@ -226,7 +226,11 @@ object ArtifactStore {
     * a breaker crash is itself cleared after [[BreakClaimStaleMs]].
     * An unreadable lock younger than [[TornLockGraceMs]] is treated as
     * live, not torn (the holder may be between create and payload
-    * write). Release deletes the file only if the uuid still matches.
+    * write). Release deletes the file only if the uuid still matches,
+    * and does so UNDER the same break claim ([[releaseOwnLock]]) — every
+    * deletion of the lock file is claim-serialized, acquisition never
+    * deletes, so no read-then-delete interleaving survives anywhere in
+    * the protocol.
     *
     * The body receives a handle whose `assertStillHeld()` re-reads the
     * lock and fails loudly if ownership was lost — publish calls it
@@ -329,10 +333,46 @@ object ArtifactStore {
         "publishers are serialized; retry after it commits (or after " +
         s"${staleMs}ms if it crashed)")
     try body(new WriterLock(f, p, id))
-    finally {
-      val mine = try readString(f, p).startsWith(id)
-        catch { case _: Exception => false }
-      if (mine) f.delete(p, false)
+    finally releaseOwnLock(f, p, id)
+  }
+
+  /** Release = delete our own lock, UNDER the break claim. Without the
+    * claim, release is read-then-delete: the owner reads its own lock
+    * (stale, because the body outlived `staleMs`), a breaker deletes
+    * that exact stale lock, a successor acquires, and the owner's
+    * delete then removes the LIVE successor's lock — reopening the
+    * double-hold window the claim protocol exists to close. With every
+    * lock deletion serialized under the claim — breakers and owner
+    * release alike — that interleaving is impossible: whoever holds the
+    * claim sees either the lock it expects or evidence someone else
+    * already acted, and acquisition itself never deletes (it is a pure
+    * atomic create). The claim's critical section is microseconds, so
+    * the bounded spin resolves immediately in practice; if the claim
+    * stays held past the spin (a crashed breaker's orphan younger than
+    * [[BreakClaimStaleMs]]), the lock is LEFT IN PLACE — safe and
+    * self-healing, since an unreleased lock is broken as stale after
+    * `staleMs` and the orphaned claim is cleared by any later waiter. */
+  private def releaseOwnLock(f: FileSystem, p: Path, id: String): Unit = {
+    val claim = new Path(p.getParent, s"${p.getName}.breaking")
+    var tries = 0
+    var done = false
+    while (!done && tries < 200) {
+      if (createExclusive(f, claim, id)) {
+        try {
+          val mine = try readString(f, p).startsWith(id)
+            catch { case _: Exception => false }
+          if (mine) f.delete(p, false)
+        } finally f.delete(claim, false)
+        done = true
+      } else {
+        val claimOld =
+          try System.currentTimeMillis -
+            f.getFileStatus(claim).getModificationTime > BreakClaimStaleMs
+          catch { case _: Exception => false }
+        if (claimOld) { try f.delete(claim, false) catch { case _: Exception => () } }
+        else Thread.sleep(5)
+        tries += 1
+      }
     }
   }
   private def manifestPath(root: String, v: Long) =

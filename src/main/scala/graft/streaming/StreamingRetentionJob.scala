@@ -312,9 +312,16 @@ object StreamingRetentionJob {
     *    publish, and the batch's OWN signatures (already committed)
     *    cannot suppress its replay as self-near-dups;
     *    [[graft.jobs.ArtifactStore.publishIdempotent]] absorbs the
-    *    duplicate publish. (A missing marker — a pre-recording batch
-    *    dir — falls back to note-version − 1, the single-writer
-    *    assumption.)
+    *    duplicate publish. The marker is only the hot-path shortcut:
+    *    the AUTHORITATIVE record is the `stream_gates` artifact — one
+    *    (stream, batch, gate) row appended atomically WITH each
+    *    publish — so a torn or lost marker after a committed publish
+    *    still resolves the exact gate, and a replay that wrongly
+    *    believed itself fresh (record lost entirely) detects the
+    *    absorbed publish and SELF-HEALS: it re-admits at the gate
+    *    recorded inside the committed generation and rewrites the sink
+    *    to match. (A store predating `stream_gates` falls back to
+    *    note-version − 1, the single-writer assumption.)
     *
     * Each batch's candidate texts are the day-0 corpus plus the
     * `admitted_docs` store artifact at the gated generation — every
@@ -373,82 +380,135 @@ object StreamingRetentionJob {
               in.readAllBytes, "UTF-8").trim.toLong).toOption
             finally in.close()
           }
+        // The AUTHORITATIVE gate record is committed atomically WITH
+        // the publish itself: every publish appends one (stream, batch,
+        // gate) row to the `stream_gates` artifact, so a replay whose
+        // publish committed can always recover the exact gate from the
+        // committed generation — even if every marker file was torn or
+        // lost. The markers remain as the hot-path shortcut (absent ⟹
+        // almost certainly never published ⟹ skip the note scan) and
+        // the cheap first-choice record on replay.
+        def gateFromStore(v: Long): Option[Long] =
+          if (!ArtifactStore.readManifest(spark, storeRoot, v)
+              .artifacts.exists(_.artifact == "stream_gates")) None
+          else ArtifactStore.read(spark, storeRoot, "stream_gates", Some(v))
+            .filter(col("stream") === streamId && col("batch") === batchId)
+            .select("gate").collect().headOption.map(_.getLong(0))
         // Replay-stable artifact resolution: a FRESH batch gates
         // against the latest committed generation and records it; a
         // replay whose publish already committed re-reads the RECORDED
         // generation — exact even under interleaved writers. The gate
-        // record is written BEFORE every publish and never deleted, so
-        // no record at either location ⟹ this batch never published —
-        // the hot path (every fresh batch) skips the note scan
-        // entirely and pays one manifest LISTING, zero parses.
+        // record is written BEFORE every publish, so no record at
+        // either location ⟹ this batch (almost certainly) never
+        // published — the hot path (every fresh batch) skips the note
+        // scan entirely and pays one manifest LISTING, zero parses.
+        // The one false negative — record lost AFTER a committed
+        // publish — is caught below by the absorbed-publish check and
+        // self-heals from `stream_gates`.
         val recorded = readMarker(marker).orElse(readMarker(legacyMarker))
         // an EXISTING-but-unreadable record must still trigger the note
-        // check (the publish may have committed); only a wholly absent
-        // record proves no publish happened
+        // check (the publish may have committed)
         val committedV =
           if (!fs.exists(marker) && !fs.exists(legacyMarker)) None
           else ArtifactStore.findVersionByNote(spark, storeRoot, note)
         val gateV: Long = committedV match {
-          case Some(v) => recorded.getOrElse(v - 1)
+          case Some(v) => recorded.orElse(gateFromStore(v)).getOrElse(v - 1)
           case None =>
             ArtifactStore.latestVersion(spark, storeRoot).getOrElse(
               sys.error(s"artifact store $storeRoot has no committed " +
                 "generation — run a day-0 build_artifacts publish first"))
         }
-        val idx = ArtifactStore.read(spark, storeRoot, "index", Some(gateV))
-        val uni = ArtifactStore.read(spark, storeRoot, "lm_uni", Some(gateV))
-        val bi = ArtifactStore.read(spark, storeRoot, "lm_bi", Some(gateV))
-        val tri = ArtifactStore.read(spark, storeRoot, "lm_tri", Some(gateV))
-        // Prior-batch text from the store's own admitted_docs artifact:
-        // the manifest's bounded segment list replaces a per-batch
-        // listing/scan of every batch=* sink dir (a small-files
-        // hotspot growing linearly with batch count). A store whose
-        // generations predate the artifact (an upgrade resuming an
-        // existing checkpoint) falls back to the sink-dir scan so
-        // previously-admitted texts keep resolving; from the first
-        // publish after the upgrade the bounded path takes over.
-        val hasPrior = ArtifactStore.readManifest(spark, storeRoot, gateV)
-          .artifacts.exists(_.artifact == "admitted_docs")
-        val prior =
-          if (hasPrior)
-            ArtifactStore.read(spark, storeRoot, "admitted_docs", Some(gateV))
-              .select(col(opts.idCol), col(opts.textCol))
-          else if (fs.exists(new Path(admittedPath)) &&
-              fs.listStatus(new Path(admittedPath))
-                .exists(_.getPath.getName.startsWith("batch=")))
-            // the legacy dirs can be unreadable precisely during a
-            // replay (a crashed first attempt left batch=0 with no
-            // parquet footer — the dir this very batch is about to
-            // rewrite); recover with an empty prior instead of wedging
-            // every restart on schema inference
-            scala.util.Try(
-                spark.read.parquet(admittedPath)
-                  .filter(col("batch") < batchId)
-                  .select(col(opts.idCol), col(opts.textCol))
-                  .localCheckpoint())
-              .getOrElse(corpusBase.limit(0))
-          else corpusBase.limit(0)
-        val admitted = graft.jobs.DeltaJob.admit(batch,
-            corpusBase.unionByName(prior), idx, uni, bi, tri,
-            evalBloomWords, opts)
-          .localCheckpoint()
-        admitted.write.mode("overwrite").parquet(batchDir)
-        // record the gate AFTER the sink write and BEFORE the publish;
-        // the sibling location survives any later replay's overwrite
-        val out = fs.create(marker, true)
-        try out.write(gateV.toString.getBytes("UTF-8")) finally out.close()
+        // the full admission at a given gate — also the self-healing
+        // re-run below, so everything gate-dependent (artifacts AND the
+        // prior-text resolution) lives inside
+        def admitAt(g: Long): DataFrame = {
+          val idx = ArtifactStore.read(spark, storeRoot, "index", Some(g))
+          val uni = ArtifactStore.read(spark, storeRoot, "lm_uni", Some(g))
+          val bi = ArtifactStore.read(spark, storeRoot, "lm_bi", Some(g))
+          val tri = ArtifactStore.read(spark, storeRoot, "lm_tri", Some(g))
+          // Prior-batch text from the store's own admitted_docs
+          // artifact: the manifest's bounded segment list replaces a
+          // per-batch listing/scan of every batch=* sink dir (a
+          // small-files hotspot growing linearly with batch count). A
+          // store whose generations predate the artifact (an upgrade
+          // resuming an existing checkpoint) falls back to the sink-dir
+          // scan so previously-admitted texts keep resolving; from the
+          // first publish after the upgrade the bounded path takes over.
+          val hasPrior = ArtifactStore.readManifest(spark, storeRoot, g)
+            .artifacts.exists(_.artifact == "admitted_docs")
+          val prior =
+            if (hasPrior)
+              ArtifactStore.read(spark, storeRoot, "admitted_docs", Some(g))
+                .select(col(opts.idCol), col(opts.textCol))
+            else if (fs.exists(new Path(admittedPath)) &&
+                fs.listStatus(new Path(admittedPath))
+                  .exists(_.getPath.getName.startsWith("batch=")))
+              // the legacy dirs can be unreadable precisely during a
+              // replay (a crashed first attempt left batch=0 with no
+              // parquet footer — the dir this very batch is about to
+              // rewrite); recover with an empty prior instead of wedging
+              // every restart on schema inference
+              scala.util.Try(
+                  spark.read.parquet(admittedPath)
+                    .filter(col("batch") < batchId)
+                    .select(col(opts.idCol), col(opts.textCol))
+                    .localCheckpoint())
+                .getOrElse(corpusBase.limit(0))
+            else corpusBase.limit(0)
+          graft.jobs.DeltaJob.admit(batch,
+              corpusBase.unionByName(prior), idx, uni, bi, tri,
+              evalBloomWords, opts)
+            .localCheckpoint()
+        }
+        def writeSinkAndMarker(admitted: DataFrame, g: Long): Unit = {
+          admitted.write.mode("overwrite").parquet(batchDir)
+          // record the gate AFTER the sink write and BEFORE the
+          // publish; the sibling location survives any later replay's
+          // overwrite
+          val out = fs.create(marker, true)
+          try out.write(g.toString.getBytes("UTF-8")) finally out.close()
+        }
+        val admitted = admitAt(gateV)
+        writeSinkAndMarker(admitted, gateV)
         val sigs = Dedup.bandedSignatures(admitted, opts.idCol, opts.textCol,
           opts.shingleN, opts.minhashK, opts.bands)
         val (du, db, dt) = LmScore.buildTrigramModel(admitted, opts.textCol)
-        ArtifactStore.publishIdempotent(spark, storeRoot, Seq(
+        val gateRow = spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            streamId, batchId, gateV)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("stream",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("batch",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("gate",
+              org.apache.spark.sql.types.LongType))))
+        val (committed, published) = ArtifactStore.publishIdempotent(
+          spark, storeRoot, Seq(
             "index" -> ArtifactStore.Append(sigs),
             "lm_uni" -> ArtifactStore.Append(du),
             "lm_bi" -> ArtifactStore.Append(db),
             "lm_tri" -> ArtifactStore.Append(dt),
             "admitted_docs" -> ArtifactStore.Append(
-              admitted.select(col(opts.idCol), col(opts.textCol)))),
+              admitted.select(col(opts.idCol), col(opts.textCol))),
+            "stream_gates" -> ArtifactStore.Append(gateRow)),
           note = note,
-          keyCols = Map("admitted_docs" -> Seq(opts.idCol)))
+          keyCols = Map("admitted_docs" -> Seq(opts.idCol),
+            "stream_gates" -> Seq("stream", "batch", "gate")))
+        if (!published && committedV.isEmpty) {
+          // This attempt believed the batch fresh (no gate record at
+          // either location) yet the publish was absorbed — an earlier
+          // attempt committed and its records were since lost. The sink
+          // just written gated at latest, which may not match the
+          // committed generation; SELF-HEAL from the gate committed
+          // inside that generation, restoring sink ≡ store bit-exactly.
+          val g = gateFromStore(committed).getOrElse(committed - 1)
+          if (g != gateV) writeSinkAndMarker(admitAt(g), g)
+          else {
+            val out = fs.create(marker, true)
+            try out.write(g.toString.getBytes("UTF-8")) finally out.close()
+          }
+        }
         if (autoCompactAt > 0)
           ArtifactStore.autoCompact(spark, storeRoot, autoCompactAt)
         ()

@@ -328,6 +328,49 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(lock))
   }
 
+  test("release is claim-serialized: a foreign fresh break-claim defers " +
+      "the release; the left-behind lock self-heals via staleness") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 1L))),
+      kinds = Map("uni" -> "counts"))
+    // a breaker crashed holding a FRESH claim: every deletion of the
+    // lock file is claim-serialized (owner release included), so the
+    // publish below must commit normally but DEFER its release — the
+    // alternative, deleting the lock outside the claim, is exactly the
+    // read-then-delete interleaving that can remove a successor's live
+    // lock
+    val claim = java.nio.file.Paths.get(root, "_writer.lock.breaking")
+    java.nio.file.Files.write(claim, "crashed-breaker".getBytes("UTF-8"))
+    val v2 = ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("b" -> 2L))))
+    assert(v2 == 2L)
+    val lock = java.nio.file.Paths.get(root, "_writer.lock")
+    assert(java.nio.file.Files.exists(lock),
+      "release must leave the lock in place while a fresh claim is held")
+    assert(java.nio.file.Files.exists(claim),
+      "a fresh (possibly live) claim is never cleared by a releaser")
+    // the unreleased lock correctly reads as a live writer…
+    val e = intercept[RuntimeException] {
+      ArtifactStore.publish(spark, root,
+        Seq("uni" -> Append(counts("c" -> 3L))))
+    }
+    assert(e.getMessage.contains("another writer"))
+    // …and self-heals through the normal staleness machinery (aged by
+    // hand here instead of waiting out the bounds)
+    java.nio.file.Files.delete(claim)
+    val uuid = new String(
+      java.nio.file.Files.readAllBytes(lock), "UTF-8").split(" ")(0)
+    java.nio.file.Files.write(lock,
+      s"$uuid ${System.currentTimeMillis - 3600 * 1000L}".getBytes("UTF-8"))
+    val v3 = ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("c" -> 3L))))
+    assert(v3 == 3L)
+    assert(!java.nio.file.Files.exists(lock))
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni", verify = true)) ==
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+  }
+
   test("gc reclaims a permanently-orphaned data dir at or below latest") {
     val root = tmpRoot()
     // v1 commits artifacts A and B

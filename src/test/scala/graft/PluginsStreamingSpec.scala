@@ -1002,6 +1002,126 @@ class StreamingSpec extends SparkSpec {
     assert(ArtifactStore.latestVersion(spark, store).contains(3L))
   }
 
+  test("runAdmissionStore self-heals a LOST gate record: the absorbed " +
+      "publish re-resolves the gate committed inside the generation") {
+    import graft.jobs.ArtifactStore
+    import graft.operators.{Dedup, LmScore, Sketches}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).localCheckpoint()
+    val (uni0, bi0, tri0) = LmScore.buildTrigramModel(corpus, "text")
+    val idx0 = Dedup.bandedSignatures(corpus, "doc_id", "text", 3, 20, 10)
+    val store = Files.createTempDirectory("graft-admit-heal-store").toString
+    ArtifactStore.publish(spark, store, Seq(
+        "index" -> ArtifactStore.Snapshot(idx0),
+        "lm_uni" -> ArtifactStore.Snapshot(uni0),
+        "lm_bi" -> ArtifactStore.Snapshot(bi0),
+        "lm_tri" -> ArtifactStore.Snapshot(tri0)),
+      note = "build",
+      kinds = Map("index" -> "rows", "lm_uni" -> "counts",
+        "lm_bi" -> "counts", "lm_tri" -> "counts"),
+      keyCols = Map("index" -> Seq("doc_id", "band", "bucket"),
+        "lm_uni" -> Seq("w"), "lm_bi" -> Seq("wa", "wb"),
+        "lm_tri" -> Seq("w1", "w2", "w3")),
+      cntCols = Map("lm_uni" -> "c1", "lm_bi" -> "c2", "lm_tri" -> "c3"))
+    val words = Sketches.bloomDenseWords(
+      Sketches.bloomBuild(
+        docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(Dedup.shingles(col("text"), 3)).as("g")),
+        "g", 262144, 3, 31L), 262144)
+    // genuinely-new docs + verbatim copies of corpus docs under fresh
+    // ids: suppressed at generation 1, admitted against the interleaved
+    // generation below (which empties the index)
+    val fresh = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 === 0)
+    val copies = corpus.orderBy("doc_id").limit(20)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+      .localCheckpoint()
+    val b0 = fresh.unionByName(copies).as[(Long, String)].collect()
+    val dir = Files.createTempDirectory("graft-admit-heal-run").toString
+    val src = s"$dir/src"
+    b0.toSeq.toDF("doc_id", "text").write.parquet(src)
+
+    // ---- Hand-run the full batch-0 protocol as the job executes it,
+    // INCLUDING the stream_gates row committed atomically with the
+    // publish:
+    val gateV = 1L
+    val admitted0 = graft.jobs.DeltaJob.admit(
+        b0.toSeq.toDF("doc_id", "text"), corpus,
+        ArtifactStore.read(spark, store, "index", Some(gateV)),
+        ArtifactStore.read(spark, store, "lm_uni", Some(gateV)),
+        ArtifactStore.read(spark, store, "lm_bi", Some(gateV)),
+        ArtifactStore.read(spark, store, "lm_tri", Some(gateV)), words)
+      .localCheckpoint()
+    val admitted0Ids = admitted0.select("doc_id").as[Long].collect().toSet
+    assert(admitted0Ids.nonEmpty)
+    admitted0.write.mode("overwrite").parquet(s"$dir/admitted/batch=0")
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$dir/admitted/_gates", "batch=0")
+    val mout = fsys.create(marker, true)
+    try mout.write(gateV.toString.getBytes("UTF-8")) finally mout.close()
+    // interleaved writer empties the index at v2
+    ArtifactStore.publish(spark, store,
+      Seq("index" -> ArtifactStore.Snapshot(idx0.limit(0))),
+      note = "interleaved-writer")
+    // batch 0's publish lands at v3, carrying its gate record
+    val sigs0 = Dedup.bandedSignatures(admitted0, "doc_id", "text", 3, 20, 10)
+    val (du0, db0, dt0) = LmScore.buildTrigramModel(admitted0, "text")
+    val gateRow = Seq(("stream", 0L, gateV)).toDF("stream", "batch", "gate")
+    ArtifactStore.publishIdempotent(spark, store, Seq(
+        "index" -> ArtifactStore.Append(sigs0),
+        "lm_uni" -> ArtifactStore.Append(du0),
+        "lm_bi" -> ArtifactStore.Append(db0),
+        "lm_tri" -> ArtifactStore.Append(dt0),
+        "admitted_docs" -> ArtifactStore.Append(
+          admitted0.select("doc_id", "text")),
+        "stream_gates" -> ArtifactStore.Append(gateRow)),
+      note = "stream-admit:stream:0",
+      keyCols = Map("admitted_docs" -> Seq("doc_id"),
+        "stream_gates" -> Seq("stream", "batch", "gate")))
+    assert(ArtifactStore.latestVersion(spark, store).contains(3L))
+
+    // The discriminator must be REAL: a fresh-believing replay gates at
+    // v3 (emptied index + batch 0's own signatures) and would admit a
+    // DIFFERENT set — notably the copies, whose corpus signatures are
+    // gone
+    val wrongSet = graft.jobs.DeltaJob.admit(
+        b0.toSeq.toDF("doc_id", "text"),
+        corpus.unionByName(admitted0.select("doc_id", "text")),
+        ArtifactStore.read(spark, store, "index", Some(3L)),
+        ArtifactStore.read(spark, store, "lm_uni", Some(3L)),
+        ArtifactStore.read(spark, store, "lm_bi", Some(3L)),
+        ArtifactStore.read(spark, store, "lm_tri", Some(3L)), words)
+      .select("doc_id").as[Long].collect().toSet
+    assert(wrongSet != admitted0Ids,
+      "gating at v3 must actually diverge for this test to discriminate")
+
+    // ---- LOSE every gate record (torn marker dir wiped by an
+    // operator, no legacy marker) and the checkpoint (crash before its
+    // commit): the replay believes batch 0 fresh, gates at v3, gets its
+    // publish ABSORBED by the note — and must then self-heal from the
+    // stream_gates row committed inside generation 3.
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$dir/admitted/_gates"), true)
+    val schema = b0.toSeq.toDF("doc_id", "text").schema
+    StreamingRetentionJob.runAdmissionStore(
+      spark, src, schema, corpus, words,
+      admittedPath = s"$dir/admitted", checkpoint = s"$dir/cp",
+      storeRoot = store).awaitTermination(180000)
+    assert(ArtifactStore.latestVersion(spark, store).contains(3L),
+      "the absorbed publish must not mint a new generation")
+    val replayed = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(replayed.distinct.size == replayed.size)
+    assert(replayed.toSet == admitted0Ids,
+      "self-heal must restore the v1-gated admission, not leave the " +
+        "v3-gated rewrite")
+    // the marker was re-created with the healed gate
+    val min = fsys.open(marker)
+    val rec = try new String(min.readAllBytes, "UTF-8").trim finally min.close()
+    assert(rec == "1")
+  }
+
   test("StreamMain CLI: run, kill, re-run resumes exactly-once; " +
       "auto_compact caps the segment lists") {
     import graft.jobs.ArtifactStore
