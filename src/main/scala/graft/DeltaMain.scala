@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions.{col, explode}
   * path — correct when each batch arrives under its own path). A
   * re-run with the same id is absorbed: the stats line reports the
   * already-committed generation with `"storeReplayed":true` and the
-  * store is untouched.
+  * store is untouched — and because every publish carries its gate
+  * generation in [[graft.jobs.DeltaJob.gateArtifact]], the re-run
+  * re-gates at the EXACT generation the committed publish was derived
+  * from, so `out` is rewritten bit-identical to the original admission
+  * even when other writers committed in between.
   *
   * With `store`, artifacts resolve from the latest committed
   * [[graft.jobs.ArtifactStore]] generation, and after admission ONE new
@@ -72,7 +76,13 @@ object DeltaMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
+    try println(run(spark, opts)) finally spark.stop()
+  }
+
+  /** The whole admission run, testable without owning a session.
+    * Returns the JSON stats line `main` prints. */
+  def run(spark: SparkSession, opts: Map[String, String]): String = {
+    {
       val dOpts = DeltaJob.DeltaOptions(
         idCol = opts.getOrElse("id", "doc_id"),
         textCol = opts.getOrElse("text", "text"),
@@ -108,12 +118,41 @@ object DeltaMain {
               dOpts.shingleN)).as("g")),
           "g", dOpts.bloomMBits, dOpts.bloomK, dOpts.bloomSeed),
         dOpts.bloomMBits)
+      // Store mode resolves the publish note and the GATE generation up
+      // front, then reads ALL FOUR artifacts pinned at that one
+      // generation. Pinning matters twice over: (a) un-versioned reads
+      // resolve "latest" independently per call, so a concurrent
+      // writer's commit could hand this run an index from v5 and LM
+      // tables from v6 — a mixed-generation gate; (b) a RETRY whose
+      // publish already committed re-gates at the generation recorded
+      // inside that commit ([[DeltaJob.gateArtifact]]), so the rewritten
+      // `out` is bit-identical to what the committed signatures/counts
+      // describe, even when other writers interleaved since (a fresh
+      // "latest" would admit a different set — sink/store divergence).
+      val storeGate: Option[(String, Long, Option[Long])] =
+        store.map { root =>
+          val batchId = opts.getOrElse("run_id", opts("delta"))
+          val note = s"delta-admit:$batchId"
+          ArtifactStore.findVersionByNote(spark, root, note) match {
+            case Some(v) =>
+              // pre-gateArtifact stores fall back to the single-writer
+              // assumption (the generation just before the commit)
+              (note, DeltaJob.recordedGate(spark, root, v, note)
+                .getOrElse(v - 1), Some(v))
+            case None =>
+              (note, ArtifactStore.latestVersion(spark, root).getOrElse(
+                sys.error(s"artifact store $root has no committed " +
+                  "generation — run with build_artifacts=true first")),
+                None)
+          }
+        }
       val (idx, uniA, biA, triA) = store match {
-        case Some(root) => (
-          ArtifactStore.read(spark, root, "index"),
-          ArtifactStore.read(spark, root, "lm_uni"),
-          ArtifactStore.read(spark, root, "lm_bi"),
-          ArtifactStore.read(spark, root, "lm_tri"))
+        case Some(root) =>
+          val g = Some(storeGate.get._2)
+          (ArtifactStore.read(spark, root, "index", g),
+            ArtifactStore.read(spark, root, "lm_uni", g),
+            ArtifactStore.read(spark, root, "lm_bi", g),
+            ArtifactStore.read(spark, root, "lm_tri", g))
         case None => (
           spark.read.parquet(opts("index")),
           spark.read.parquet(s"${opts("lm")}/uni"),
@@ -140,7 +179,7 @@ object DeltaMain {
       // a second time (counts-kind merge would silently inflate the LM
       // tables until the nightly reconcile).
       val storeLine = store.map { root =>
-        val batchId = opts.getOrElse("run_id", opts("delta"))
+        val (note, gate, _) = storeGate.get
         val sigDelta = Dedup.bandedSignatures(admittedBack,
           dOpts.idCol, dOpts.textCol,
           dOpts.shingleN, dOpts.minhashK, dOpts.bands)
@@ -150,15 +189,20 @@ object DeltaMain {
             "index" -> ArtifactStore.Append(sigDelta),
             "lm_uni" -> ArtifactStore.Append(du),
             "lm_bi" -> ArtifactStore.Append(db),
-            "lm_tri" -> ArtifactStore.Append(dt)),
-          note = s"delta-admit:$batchId")
+            "lm_tri" -> ArtifactStore.Append(dt),
+            // the gate record rides the same atomic generation — the
+            // durable exact-replay contract (see storeGate above)
+            DeltaJob.gateArtifact -> ArtifactStore.Append(
+              DeltaJob.gateRecord(spark, note, gate))),
+          note = note,
+          keyCols = Map(DeltaJob.gateArtifact -> Seq("note", "gate")))
         // An absorbed publish keyed only by the DEFAULT id (the delta
         // path) is ambiguous: a true replay of a crashed run, or a
         // genuinely NEW batch delivered at a reused staging path whose
         // artifacts are now silently missing from the store. Shout —
         // don't just set a stats field.
         if (!published && !opts.contains("run_id")) System.err.println(
-          s"WARNING: store publish absorbed by note 'delta-admit:$batchId' " +
+          s"WARNING: store publish absorbed by note '$note' " +
             "derived from the DELTA PATH because no run_id= was given. If " +
             "this is a NEW batch delivered at a reused path, its " +
             "signatures and LM counts were NOT added to the store — " +
@@ -166,9 +210,9 @@ object DeltaMain {
             "staging paths are reused).")
         s""","storeVersion":$v,"storeReplayed":${!published}"""
       }.getOrElse("")
-      println(s"""{"input":${stats.input},"low_quality":${stats.lowQuality},""" +
+      s"""{"input":${stats.input},"low_quality":${stats.lowQuality},""" +
         s""""contaminated":${stats.contaminated},"off_model":${stats.offModel},""" +
-        s""""near_dup":${stats.nearDup},"admitted":${stats.admitted}$storeLine}""")
-    } finally spark.stop()
+        s""""near_dup":${stats.nearDup},"admitted":${stats.admitted}$storeLine}"""
+    }
   }
 }

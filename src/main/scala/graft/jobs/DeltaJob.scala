@@ -188,6 +188,40 @@ object DeltaJob {
   def artifactCntCols: Map[String, String] = Map(
     "lm_uni" -> "c1", "lm_bi" -> "c2", "lm_tri" -> "c3")
 
+  /** The gate-record artifact: one (note, gate) row appended atomically
+    * WITH every admission publish, mapping the publish's idempotence
+    * note to the store generation the admission GATED against. This is
+    * the durable replay contract shared by [[graft.DeltaMain]] and
+    * [[graft.streaming.StreamingRetentionJob.runAdmissionStore]]: a
+    * retry/replay whose publish already committed resolves its exact
+    * gate from the committed generation itself — no side-channel marker
+    * can be lost that breaks it — and re-derives a sink bit-identical
+    * to the one the committed signatures/counts describe, even when
+    * other writers interleaved between the original gate and publish. */
+  val gateArtifact = "run_gates"
+
+  /** One-row (note, gate) DataFrame for [[gateArtifact]]. */
+  def gateRecord(spark: org.apache.spark.sql.SparkSession,
+      note: String, gate: Long): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(note, gate)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("note",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("gate",
+          org.apache.spark.sql.types.LongType))))
+
+  /** The gate recorded for `note` inside committed generation `v`, or
+    * None for a store predating [[gateArtifact]]. Bounded: the artifact
+    * holds one tiny row per publish within the GC window. */
+  def recordedGate(spark: org.apache.spark.sql.SparkSession,
+      root: String, v: Long, note: String): Option[Long] =
+    if (!ArtifactStore.readManifest(spark, root, v)
+        .artifacts.exists(_.artifact == gateArtifact)) None
+    else ArtifactStore.read(spark, root, gateArtifact, Some(v))
+      .filter(org.apache.spark.sql.functions.col("note") === note)
+      .select("gate").collect().headOption.map(_.getLong(0))
+
   /** Derive the gate artifacts from `corpus` and publish them as one
     * day-0 [[ArtifactStore]] generation (the `build_artifacts=true`
     * contract of the admission CLIs). Returns the committed version. */

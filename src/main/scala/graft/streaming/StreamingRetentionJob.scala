@@ -313,8 +313,9 @@ object StreamingRetentionJob {
     *    cannot suppress its replay as self-near-dups;
     *    [[graft.jobs.ArtifactStore.publishIdempotent]] absorbs the
     *    duplicate publish. The marker is only the hot-path shortcut:
-    *    the AUTHORITATIVE record is the `stream_gates` artifact — one
-    *    (stream, batch, gate) row appended atomically WITH each
+    *    the AUTHORITATIVE record is the shared
+    *    [[graft.jobs.DeltaJob.gateArtifact]] (`run_gates`) — one
+    *    (note, gate) row appended atomically WITH each
     *    publish — so a torn or lost marker after a committed publish
     *    still resolves the exact gate, and a replay that wrongly
     *    believed itself fresh (record lost entirely) detects the
@@ -381,19 +382,15 @@ object StreamingRetentionJob {
             finally in.close()
           }
         // The AUTHORITATIVE gate record is committed atomically WITH
-        // the publish itself: every publish appends one (stream, batch,
-        // gate) row to the `stream_gates` artifact, so a replay whose
-        // publish committed can always recover the exact gate from the
-        // committed generation — even if every marker file was torn or
-        // lost. The markers remain as the hot-path shortcut (absent ⟹
-        // almost certainly never published ⟹ skip the note scan) and
-        // the cheap first-choice record on replay.
+        // the publish itself: every publish appends one (note, gate)
+        // row to the shared [[graft.jobs.DeltaJob.gateArtifact]], so a
+        // replay whose publish committed can always recover the exact
+        // gate from the committed generation — even if every marker
+        // file was torn or lost. The markers remain as the hot-path
+        // shortcut (absent ⟹ almost certainly never published ⟹ skip
+        // the note scan) and the cheap first-choice record on replay.
         def gateFromStore(v: Long): Option[Long] =
-          if (!ArtifactStore.readManifest(spark, storeRoot, v)
-              .artifacts.exists(_.artifact == "stream_gates")) None
-          else ArtifactStore.read(spark, storeRoot, "stream_gates", Some(v))
-            .filter(col("stream") === streamId && col("batch") === batchId)
-            .select("gate").collect().headOption.map(_.getLong(0))
+          graft.jobs.DeltaJob.recordedGate(spark, storeRoot, v, note)
         // Replay-stable artifact resolution: a FRESH batch gates
         // against the latest committed generation and records it; a
         // replay whose publish already committed re-reads the RECORDED
@@ -473,16 +470,7 @@ object StreamingRetentionJob {
         val sigs = Dedup.bandedSignatures(admitted, opts.idCol, opts.textCol,
           opts.shingleN, opts.minhashK, opts.bands)
         val (du, db, dt) = LmScore.buildTrigramModel(admitted, opts.textCol)
-        val gateRow = spark.createDataFrame(
-          java.util.Arrays.asList(org.apache.spark.sql.Row(
-            streamId, batchId, gateV)),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("stream",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("batch",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("gate",
-              org.apache.spark.sql.types.LongType))))
+        val gateRow = graft.jobs.DeltaJob.gateRecord(spark, note, gateV)
         val (committed, published) = ArtifactStore.publishIdempotent(
           spark, storeRoot, Seq(
             "index" -> ArtifactStore.Append(sigs),
@@ -491,10 +479,10 @@ object StreamingRetentionJob {
             "lm_tri" -> ArtifactStore.Append(dt),
             "admitted_docs" -> ArtifactStore.Append(
               admitted.select(col(opts.idCol), col(opts.textCol))),
-            "stream_gates" -> ArtifactStore.Append(gateRow)),
+            graft.jobs.DeltaJob.gateArtifact -> ArtifactStore.Append(gateRow)),
           note = note,
           keyCols = Map("admitted_docs" -> Seq(opts.idCol),
-            "stream_gates" -> Seq("stream", "batch", "gate")))
+            graft.jobs.DeltaJob.gateArtifact -> Seq("note", "gate")))
         if (!published && committedV.isEmpty) {
           // This attempt believed the batch fresh (no gate record at
           // either location) yet the publish was absorbed — an earlier

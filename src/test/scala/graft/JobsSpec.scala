@@ -454,4 +454,73 @@ class JobsSpec extends SparkSpec {
     assert(r2.corpus.filter(col("doc_id") === 5L).count() == 1)
     assert(r2.corpus.filter(col("doc_id") === 500L).count() == 0)
   }
+
+  test("DeltaMain.run: a retried run re-gates at the generation recorded " +
+      "in its committed publish - out rewritten bit-identical under " +
+      "interleaved writers") {
+    import graft.jobs.{ArtifactStore, DeltaJob}
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val dir = tmp()
+    corpus.write.parquet(s"$dir/corpus")
+    // the delta mixes genuinely-new docs with verbatim copies of corpus
+    // docs under fresh ids: suppressed when gating at generation 1,
+    // admitted against the interleaved generation below that empties
+    // the index - the discriminator that catches a latest-gated retry
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val copies = corpus.orderBy("doc_id").limit(20)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+    fresh.unionByName(copies).write.parquet(s"$dir/delta")
+    docs.filter(col("doc_id") % 97 === 0).write.parquet(s"$dir/eval")
+    val store = s"$dir/store"
+    DeltaJob.publishDay0Artifacts(spark, store,
+      spark.read.parquet(s"$dir/corpus"))
+    val opts = Map("delta" -> s"$dir/delta", "corpus" -> s"$dir/corpus",
+      "eval" -> s"$dir/eval", "out" -> s"$dir/out", "store" -> store,
+      "run_id" -> "batch-1")
+    val line1 = DeltaMain.run(spark, opts)
+    assert(line1.contains("\"storeReplayed\":false"))
+    assert(ArtifactStore.latestVersion(spark, store).contains(2L))
+    val out1 = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out1.nonEmpty)
+    // the gate record rode the committed generation
+    assert(DeltaJob.recordedGate(spark, store, 2L, "delta-admit:batch-1")
+      .contains(1L))
+    // an interleaved writer EMPTIES the index
+    ArtifactStore.publish(spark, store, Seq(
+        "index" -> ArtifactStore.Snapshot(
+          ArtifactStore.read(spark, store, "index").limit(0))),
+      note = "interleaved")
+    assert(ArtifactStore.latestVersion(spark, store).contains(3L))
+    // the discriminator must be REAL: gating at latest (v3) admits a
+    // different set than the committed publish described
+    val words = graft.operators.Sketches.bloomDenseWords(
+      graft.operators.Sketches.bloomBuild(
+        spark.read.parquet(s"$dir/eval")
+          .select(org.apache.spark.sql.functions.explode(
+            graft.operators.Dedup.shingles(col("text"), 3)).as("g")),
+        "g", 262144, 3, 31L), 262144)
+    val wrongSet = DeltaJob.admit(spark.read.parquet(s"$dir/delta"),
+        spark.read.parquet(s"$dir/corpus"),
+        ArtifactStore.read(spark, store, "index", Some(3L)),
+        ArtifactStore.read(spark, store, "lm_uni", Some(3L)),
+        ArtifactStore.read(spark, store, "lm_bi", Some(3L)),
+        ArtifactStore.read(spark, store, "lm_tri", Some(3L)), words)
+      .select("doc_id").as[Long].collect().toSet
+    assert(wrongSet != out1,
+      "gating at v3 must actually diverge for this test to discriminate")
+    // the RETRY: absorbed publish, out rewritten bit-identical to the
+    // v1-gated original - not the v3-gated wrong set
+    val line2 = DeltaMain.run(spark, opts)
+    assert(line2.contains("\"storeReplayed\":true"))
+    assert(line2.contains("\"storeVersion\":2"))
+    assert(ArtifactStore.latestVersion(spark, store).contains(3L),
+      "a retry must not mint a generation")
+    val out2 = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 == out1)
+  }
 }

@@ -1068,7 +1068,8 @@ class StreamingSpec extends SparkSpec {
     // batch 0's publish lands at v3, carrying its gate record
     val sigs0 = Dedup.bandedSignatures(admitted0, "doc_id", "text", 3, 20, 10)
     val (du0, db0, dt0) = LmScore.buildTrigramModel(admitted0, "text")
-    val gateRow = Seq(("stream", 0L, gateV)).toDF("stream", "batch", "gate")
+    val gateRow = graft.jobs.DeltaJob.gateRecord(
+      spark, "stream-admit:stream:0", gateV)
     ArtifactStore.publishIdempotent(spark, store, Seq(
         "index" -> ArtifactStore.Append(sigs0),
         "lm_uni" -> ArtifactStore.Append(du0),
@@ -1076,10 +1077,10 @@ class StreamingSpec extends SparkSpec {
         "lm_tri" -> ArtifactStore.Append(dt0),
         "admitted_docs" -> ArtifactStore.Append(
           admitted0.select("doc_id", "text")),
-        "stream_gates" -> ArtifactStore.Append(gateRow)),
+        graft.jobs.DeltaJob.gateArtifact -> ArtifactStore.Append(gateRow)),
       note = "stream-admit:stream:0",
       keyCols = Map("admitted_docs" -> Seq("doc_id"),
-        "stream_gates" -> Seq("stream", "batch", "gate")))
+        graft.jobs.DeltaJob.gateArtifact -> Seq("note", "gate")))
     assert(ArtifactStore.latestVersion(spark, store).contains(3L))
 
     // The discriminator must be REAL: a fresh-believing replay gates at
