@@ -370,7 +370,15 @@ object ArtifactStore {
             f.getFileStatus(claim).getModificationTime > BreakClaimStaleMs
           catch { case _: Exception => false }
         if (claimOld) { try f.delete(claim, false) catch { case _: Exception => () } }
-        else Thread.sleep(5)
+        else {
+          // release runs in a finally block: an interrupt must neither
+          // mask the body's exception nor abort the JVM-side cleanup
+          // loop abruptly — note it, stop spinning, leave the lock to
+          // the staleness self-heal
+          try Thread.sleep(5)
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt(); tries = 200 }
+        }
         tries += 1
       }
     }
