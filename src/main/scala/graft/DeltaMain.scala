@@ -146,29 +146,37 @@ object DeltaMain {
                 None)
           }
         }
-      val (idx, uniA, biA, triA) = store match {
-        case Some(root) =>
-          val g = Some(storeGate.get._2)
-          (ArtifactStore.read(spark, root, "index", g),
-            ArtifactStore.read(spark, root, "lm_uni", g),
-            ArtifactStore.read(spark, root, "lm_bi", g),
-            ArtifactStore.read(spark, root, "lm_tri", g))
-        case None => (
-          spark.read.parquet(opts("index")),
-          spark.read.parquet(s"${opts("lm")}/uni"),
-          spark.read.parquet(s"${opts("lm")}/bi"),
-          spark.read.parquet(s"${opts("lm")}/tri"))
+      // One full admission pass at a given gate generation (None =
+      // path-based artifacts, non-store mode), writing `out` and the
+      // optional `index_delta` — also the self-heal re-run below, so
+      // everything gate-dependent lives inside.
+      def runAt(gate: Option[Long])
+          : (org.apache.spark.sql.DataFrame, DeltaJob.DeltaStats) = {
+        val (idx, uniA, biA, triA) = (store, gate) match {
+          case (Some(root), g @ Some(_)) =>
+            (ArtifactStore.read(spark, root, "index", g),
+              ArtifactStore.read(spark, root, "lm_uni", g),
+              ArtifactStore.read(spark, root, "lm_bi", g),
+              ArtifactStore.read(spark, root, "lm_tri", g))
+          case _ => (
+            spark.read.parquet(opts("index")),
+            spark.read.parquet(s"${opts("lm")}/uni"),
+            spark.read.parquet(s"${opts("lm")}/bi"),
+            spark.read.parquet(s"${opts("lm")}/tri"))
+        }
+        val (admitted, stats) = DeltaJob.run(spark, delta, corpus,
+          idx, uniA, biA, triA, words, dOpts)
+        admitted.write.mode("overwrite").parquet(opts("out"))
+        val admittedBack = spark.read.parquet(opts("out"))
+        opts.get("index_delta").foreach { d =>
+          Dedup.bandedSignatures(admittedBack,
+              dOpts.idCol, dOpts.textCol,
+              dOpts.shingleN, dOpts.minhashK, dOpts.bands)
+            .write.mode("overwrite").parquet(d)
+        }
+        (admittedBack, stats)
       }
-      val (admitted, stats) = DeltaJob.run(spark, delta, corpus,
-        idx, uniA, biA, triA, words, dOpts)
-      admitted.write.mode("overwrite").parquet(opts("out"))
-      val admittedBack = spark.read.parquet(opts("out"))
-      opts.get("index_delta").foreach { d =>
-        Dedup.bandedSignatures(admittedBack,
-            dOpts.idCol, dOpts.textCol,
-            dOpts.shingleN, dOpts.minhashK, dOpts.bands)
-          .write.mode("overwrite").parquet(d)
-      }
+      val (admittedBack, stats) = runAt(storeGate.map(_._2))
       // store-backed maintenance: one atomic generation appends the
       // batch's signatures and its own trigram counts — O(|batch|).
       // The publish is keyed by a per-batch note (run_id= if given,
@@ -178,8 +186,8 @@ object DeltaMain {
       // returns instead of appending the same batch's rows and counts
       // a second time (counts-kind merge would silently inflate the LM
       // tables until the nightly reconcile).
-      val storeLine = store.map { root =>
-        val (note, gate, _) = storeGate.get
+      val (storeLine, finalStats) = store.map { root =>
+        val (note, gate, committed0) = storeGate.get
         val sigDelta = Dedup.bandedSignatures(admittedBack,
           dOpts.idCol, dOpts.textCol,
           dOpts.shingleN, dOpts.minhashK, dOpts.bands)
@@ -195,7 +203,11 @@ object DeltaMain {
             DeltaJob.gateArtifact -> ArtifactStore.Append(
               DeltaJob.gateRecord(spark, note, gate))),
           note = note,
-          keyCols = Map(DeltaJob.gateArtifact -> Seq("note", "gate")))
+          keyCols = Map(DeltaJob.gateArtifact -> Seq("note", "gate")),
+          // gate resolution above JUST proved the note absent when
+          // committed0 is empty — skip the redundant second
+          // full-history scan (the in-lock re-check still runs)
+          noteKnownAbsent = committed0.isEmpty)
         // An absorbed publish keyed only by the DEFAULT id (the delta
         // path) is ambiguous: a true replay of a crashed run, or a
         // genuinely NEW batch delivered at a reused staging path whose
@@ -208,11 +220,26 @@ object DeltaMain {
             "signatures and LM counts were NOT added to the store — " +
             "re-run with a unique run_id= (and always pass run_id= when " +
             "staging paths are reused).")
-        s""","storeVersion":$v,"storeReplayed":${!published}"""
-      }.getOrElse("")
-      s"""{"input":${stats.input},"low_quality":${stats.lowQuality},""" +
-        s""""contaminated":${stats.contaminated},"off_model":${stats.offModel},""" +
-        s""""near_dup":${stats.nearDup},"admitted":${stats.admitted}$storeLine}"""
+        // TWIN RACE self-heal (mirror of the spec-pinned branch in
+        // [[graft.streaming.StreamingRetentionJob.runAdmissionStore]]):
+        // this run believed the note fresh, but a twin with the same
+        // run_id committed between the gate resolution and this
+        // publish. `out` was just written from THIS run's gate, which
+        // may differ from the gate the committed generation recorded —
+        // re-gate at the recorded one so out matches the committed
+        // signatures/counts bit-exactly.
+        val healed =
+          if (!published && committed0.isEmpty) {
+            val g = DeltaJob.recordedGate(spark, root, v, note)
+              .getOrElse(v - 1)
+            if (g != gate) Some(runAt(Some(g))._2) else None
+          } else None
+        (s""","storeVersion":$v,"storeReplayed":${!published}""",
+          healed.getOrElse(stats))
+      }.getOrElse(("", stats))
+      s"""{"input":${finalStats.input},"low_quality":${finalStats.lowQuality},""" +
+        s""""contaminated":${finalStats.contaminated},"off_model":${finalStats.offModel},""" +
+        s""""near_dup":${finalStats.nearDup},"admitted":${finalStats.admitted}$storeLine}"""
     }
   }
 }

@@ -228,9 +228,11 @@ object ArtifactStore {
     * live, not torn (the holder may be between create and payload
     * write). Release deletes the file only if the uuid still matches,
     * and does so UNDER the same break claim ([[releaseOwnLock]]) — every
-    * deletion of the lock file is claim-serialized, acquisition never
-    * deletes, so no read-then-delete interleaving survives anywhere in
-    * the protocol.
+    * deletion of the LOCK file is claim-serialized and acquisition
+    * never deletes. Clearing an orphaned CLAIM is itself an
+    * observation-compare delete ([[clearClaimIfStillStale]]); its
+    * residual window cannot unsafely delete a live lock because every
+    * claim-protected action re-verifies its target before acting.
     *
     * The body receives a handle whose `assertStillHeld()` re-reads the
     * lock and fails loudly if ownership was lost — publish calls it
@@ -320,11 +322,7 @@ object ArtifactStore {
           // another breaker holds the claim — this attempt reports the
           // store as held; clear the claim only if ITS holder crashed
           // (old by mtime) so a later attempt can break
-          val claimOld =
-            try System.currentTimeMillis -
-              f.getFileStatus(claim).getModificationTime > BreakClaimStaleMs
-            catch { case _: Exception => false }
-          if (claimOld) f.delete(claim, false)
+          clearClaimIfStillStale(f, claim)
         }
       case Live => ()
     }
@@ -365,12 +363,7 @@ object ArtifactStore {
         } finally f.delete(claim, false)
         done = true
       } else {
-        val claimOld =
-          try System.currentTimeMillis -
-            f.getFileStatus(claim).getModificationTime > BreakClaimStaleMs
-          catch { case _: Exception => false }
-        if (claimOld) { try f.delete(claim, false) catch { case _: Exception => () } }
-        else {
+        if (!clearClaimIfStillStale(f, claim)) {
           // release runs in a finally block: an interrupt must neither
           // mask the body's exception nor abort the JVM-side cleanup
           // loop abruptly — note it, stop spinning, leave the lock to
@@ -383,6 +376,27 @@ object ArtifactStore {
       }
     }
   }
+
+  /** Clear an orphaned break claim, ONLY if it is still the file just
+    * judged stale: stat, judge by mtime, re-stat, and delete only when
+    * the mtime is unchanged — an observation-compare delete, the same
+    * defense breaking applies to lock payloads. A successor's fresh
+    * claim carries a new mtime, so a delayed deleter cannot remove it
+    * on the strength of a stale observation; the residual stat-to-
+    * delete window is instructions wide, and even a claim lost to it
+    * cannot unsafely delete a LIVE lock, because every claim-protected
+    * action re-verifies its target before acting (breakers compare the
+    * lock payload to the exact observation judged stale; release
+    * deletes only its own uuid) and the commit path is backstopped by
+    * `assertStillHeld` + the put-if-absent manifest check. */
+  private def clearClaimIfStillStale(f: FileSystem, claim: Path): Boolean =
+    try {
+      val st = f.getFileStatus(claim)
+      val old = System.currentTimeMillis -
+        st.getModificationTime > BreakClaimStaleMs
+      old && f.getFileStatus(claim).getModificationTime ==
+        st.getModificationTime && f.delete(claim, false)
+    } catch { case _: Exception => false }
   private def manifestPath(root: String, v: Long) =
     new Path(manifestDir(root), f"manifest-v$v%09d.json")
   private def dataDir(root: String, artifact: String, v: Long) =
@@ -687,9 +701,18 @@ object ArtifactStore {
       note: String,
       kinds: Map[String, String] = Map.empty,
       keyCols: Map[String, Seq[String]] = Map.empty,
-      cntCols: Map[String, String] = Map.empty): (Long, Boolean) = {
+      cntCols: Map[String, String] = Map.empty,
+      noteKnownAbsent: Boolean = false): (Long, Boolean) = {
     require(note.nonEmpty, "publishIdempotent needs a unique non-empty note")
-    findVersionByNote(spark, root, note) match {
+    // `noteKnownAbsent` skips the pre-lock fast-path scan when the
+    // caller JUST proved the note absent (e.g. [[graft.DeltaMain]]'s
+    // gate resolution) — a full-history proof of absence costs a parse
+    // of every GC-bounded manifest, so paying it twice per fresh run is
+    // waste. The authoritative in-lock re-check still runs regardless:
+    // a twin publisher can commit between the caller's proof and the
+    // lock acquisition.
+    val pre = if (noteKnownAbsent) None else findVersionByNote(spark, root, note)
+    pre match {
       case Some(v) => (v, false)
       case None =>
         publishImpl(spark, root, changes, note, kinds, keyCols, cntCols,

@@ -321,7 +321,7 @@ object StreamingRetentionJob {
     *    believed itself fresh (record lost entirely) detects the
     *    absorbed publish and SELF-HEALS: it re-admits at the gate
     *    recorded inside the committed generation and rewrites the sink
-    *    to match. (A store predating `stream_gates` falls back to
+    *    to match. (A store predating `run_gates` falls back to
     *    note-version − 1, the single-writer assumption.)
     *
     * Each batch's candidate texts are the day-0 corpus plus the
@@ -388,9 +388,7 @@ object StreamingRetentionJob {
         // gate from the committed generation — even if every marker
         // file was torn or lost. The markers remain as the hot-path
         // shortcut (absent ⟹ almost certainly never published ⟹ skip
-        // the note scan) and the cheap first-choice record on replay.
-        def gateFromStore(v: Long): Option[Long] =
-          graft.jobs.DeltaJob.recordedGate(spark, storeRoot, v, note)
+        // the note scan).
         // Replay-stable artifact resolution: a FRESH batch gates
         // against the latest committed generation and records it; a
         // replay whose publish already committed re-reads the RECORDED
@@ -401,15 +399,25 @@ object StreamingRetentionJob {
         // scan entirely and pays one manifest LISTING, zero parses.
         // The one false negative — record lost AFTER a committed
         // publish — is caught below by the absorbed-publish check and
-        // self-heals from `stream_gates`.
-        val recorded = readMarker(marker).orElse(readMarker(legacyMarker))
-        // an EXISTING-but-unreadable record must still trigger the note
-        // check (the publish may have committed)
+        // self-heals from the committed gate record.
+        val markerExists = fs.exists(marker)
+        val legacyExists = fs.exists(legacyMarker)
         val committedV =
-          if (!fs.exists(marker) && !fs.exists(legacyMarker)) None
+          if (!markerExists && !legacyExists) None
           else ArtifactStore.findVersionByNote(spark, storeRoot, note)
         val gateV: Long = committedV match {
-          case Some(v) => recorded.orElse(gateFromStore(v)).getOrElse(v - 1)
+          case Some(v) =>
+            // the record committed INSIDE the generation is the
+            // authority; the marker is only the fallback for stores
+            // predating run_gates. The other precedence is wrong: a
+            // crashed self-heal attempt leaves a marker recording the
+            // fresh gate it wrongly used, and a marker-first replay
+            // would trust that poisoned value forever instead of the
+            // committed record.
+            graft.jobs.DeltaJob.recordedGate(spark, storeRoot, v, note)
+              .orElse(if (markerExists) readMarker(marker) else None)
+              .orElse(if (legacyExists) readMarker(legacyMarker) else None)
+              .getOrElse(v - 1)
           case None =>
             ArtifactStore.latestVersion(spark, storeRoot).getOrElse(
               sys.error(s"artifact store $storeRoot has no committed " +
@@ -437,21 +445,30 @@ object StreamingRetentionJob {
             if (hasPrior)
               ArtifactStore.read(spark, storeRoot, "admitted_docs", Some(g))
                 .select(col(opts.idCol), col(opts.textCol))
-            else if (fs.exists(new Path(admittedPath)) &&
-                fs.listStatus(new Path(admittedPath))
-                  .exists(_.getPath.getName.startsWith("batch=")))
-              // the legacy dirs can be unreadable precisely during a
-              // replay (a crashed first attempt left batch=0 with no
-              // parquet footer — the dir this very batch is about to
-              // rewrite); recover with an empty prior instead of wedging
-              // every restart on schema inference
-              scala.util.Try(
-                  spark.read.parquet(admittedPath)
-                    .filter(col("batch") < batchId)
-                    .select(col(opts.idCol), col(opts.textCol))
-                    .localCheckpoint())
-                .getOrElse(corpusBase.limit(0))
-            else corpusBase.limit(0)
+            else {
+              // Read ONLY the strictly-earlier batch dirs, listed
+              // explicitly: the current batch's own dir can be torn
+              // precisely during a replay (a crashed first attempt left
+              // it with no parquet footer — the dir this very batch is
+              // about to rewrite), and a whole-root read would wedge
+              // every restart on its schema inference. Earlier dirs
+              // belong to batches whose checkpoint committed, so a
+              // failure reading THEM is real corruption and stays LOUD
+              // — swallowing it would silently drop near-dup
+              // suppression against everything previously admitted.
+              val priorDirs =
+                if (!fs.exists(new Path(admittedPath))) Seq.empty
+                else fs.listStatus(new Path(admittedPath)).toSeq
+                  .map(_.getPath)
+                  .filter { p =>
+                    p.getName.startsWith("batch=") &&
+                      scala.util.Try(p.getName.stripPrefix("batch=").toLong)
+                        .toOption.exists(_ < batchId)
+                  }
+              if (priorDirs.isEmpty) corpusBase.limit(0)
+              else spark.read.parquet(priorDirs.map(_.toString): _*)
+                .select(col(opts.idCol), col(opts.textCol))
+            }
           graft.jobs.DeltaJob.admit(batch,
               corpusBase.unionByName(prior), idx, uni, bi, tri,
               evalBloomWords, opts)
@@ -490,12 +507,13 @@ object StreamingRetentionJob {
           // just written gated at latest, which may not match the
           // committed generation; SELF-HEAL from the gate committed
           // inside that generation, restoring sink ≡ store bit-exactly.
-          val g = gateFromStore(committed).getOrElse(committed - 1)
+          // (When the committed gate equals the one just used, the sink
+          // and the marker writeSinkAndMarker produced are already
+          // right — nothing to redo.)
+          val g = graft.jobs.DeltaJob
+            .recordedGate(spark, storeRoot, committed, note)
+            .getOrElse(committed - 1)
           if (g != gateV) writeSinkAndMarker(admitAt(g), g)
-          else {
-            val out = fs.create(marker, true)
-            try out.write(g.toString.getBytes("UTF-8")) finally out.close()
-          }
         }
         if (autoCompactAt > 0)
           ArtifactStore.autoCompact(spark, storeRoot, autoCompactAt)

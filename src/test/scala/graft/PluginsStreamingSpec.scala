@@ -1042,7 +1042,7 @@ class StreamingSpec extends SparkSpec {
     b0.toSeq.toDF("doc_id", "text").write.parquet(src)
 
     // ---- Hand-run the full batch-0 protocol as the job executes it,
-    // INCLUDING the stream_gates row committed atomically with the
+    // INCLUDING the run_gates row committed atomically with the
     // publish:
     val gateV = 1L
     val admitted0 = graft.jobs.DeltaJob.admit(
@@ -1102,7 +1102,7 @@ class StreamingSpec extends SparkSpec {
     // operator, no legacy marker) and the checkpoint (crash before its
     // commit): the replay believes batch 0 fresh, gates at v3, gets its
     // publish ABSORBED by the note — and must then self-heal from the
-    // stream_gates row committed inside generation 3.
+    // run_gates gate record committed inside generation 3.
     fsys.delete(new org.apache.hadoop.fs.Path(s"$dir/admitted/_gates"), true)
     val schema = b0.toSeq.toDF("doc_id", "text").schema
     StreamingRetentionJob.runAdmissionStore(
@@ -1121,6 +1121,33 @@ class StreamingSpec extends SparkSpec {
     val min = fsys.open(marker)
     val rec = try new String(min.readAllBytes, "UTF-8").trim finally min.close()
     assert(rec == "1")
+
+    // POISONED MARKER: a crashed self-heal attempt can leave a marker
+    // recording the WRONG gate (the fresh one it briefly used). The
+    // committed run_gates record must take precedence over the marker
+    // on replay — a marker-first resolution would trust the poisoned
+    // value forever and leave the sink diverged.
+    val pout = fsys.create(marker, true)
+    try pout.write("3".getBytes("UTF-8")) finally pout.close()
+    val commits = new java.io.File(s"$dir/cp/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.last.delete())
+    new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+      .delete()
+    StreamingRetentionJob.runAdmissionStore(
+      spark, src, schema, corpus, words,
+      admittedPath = s"$dir/admitted", checkpoint = s"$dir/cp",
+      storeRoot = store).awaitTermination(180000)
+    assert(ArtifactStore.latestVersion(spark, store).contains(3L))
+    val replayed2 = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(replayed2.distinct.size == replayed2.size)
+    assert(replayed2.toSet == admitted0Ids,
+      "the committed gate record must beat a poisoned marker")
+    val min2 = fsys.open(marker)
+    val rec2 = try new String(min2.readAllBytes, "UTF-8").trim
+      finally min2.close()
+    assert(rec2 == "1", "the replay re-records the authoritative gate")
   }
 
   test("StreamMain CLI: run, kill, re-run resumes exactly-once; " +
