@@ -33,10 +33,13 @@ class CacheScopeSpec extends SparkSpec {
     // cleaner processes the reference queue asynchronously after GC, and
     // drains serially: with the round-7 operators checkpointing more
     // intermediates the backlog can take tens of seconds under host
-    // steal (one observed 30s-deadline flake). A REAL leak (a strong
-    // reference in a registry or plan cache) never clears, so a longer
-    // deadline loses no detection power.
-    val deadline = System.currentTimeMillis() + 120000
+    // steal (one observed 30s-deadline flake, and a 120s-deadline flake
+    // in round 13 on a run where the whole suite ran ~2x slow under
+    // steal). A REAL leak (a strong reference in a registry or plan
+    // cache) never clears, so a longer deadline loses no detection
+    // power — it only rides out the box's multi-minute stall bursts.
+    val t0 = System.currentTimeMillis()
+    val deadline = t0 + 300000
     var remaining = spark.sparkContext.getPersistentRDDs
     while (remaining.nonEmpty && System.currentTimeMillis() < deadline) {
       System.gc()
@@ -44,7 +47,9 @@ class CacheScopeSpec extends SparkSpec {
       remaining = spark.sparkContext.getPersistentRDDs
     }
     assert(remaining.isEmpty,
-      s"persistent RDDs survived GC (strongly referenced — a real leak): " +
+      s"persistent RDDs survived GC for " +
+        s"${System.currentTimeMillis() - t0}ms (strongly referenced — " +
+        "a real leak): " +
         remaining.values.map(_.toString).mkString(", "))
   }
 }
