@@ -350,7 +350,7 @@ object ArtifactStore {
     * [[BreakClaimStaleMs]]), the lock is LEFT IN PLACE — safe and
     * self-healing, since an unreleased lock is broken as stale after
     * `staleMs` and the orphaned claim is cleared by any later waiter. */
-  private def releaseOwnLock(f: FileSystem, p: Path, id: String): Unit = {
+  private def releaseOwnLock(f: FileSystem, p: Path, id: String): Unit = try {
     val claim = new Path(p.getParent, s"${p.getName}.breaking")
     var tries = 0
     var done = false
@@ -375,6 +375,13 @@ object ArtifactStore {
         tries += 1
       }
     }
+  } catch {
+    // Release must NEVER throw: it runs in withWriterLock's finally, so
+    // an exception here would mask the body's own failure — or worse,
+    // turn an already-COMMITTED publish into a caller-visible error
+    // (inviting a retry that double-applies counts). A lock left behind
+    // by a failed release self-heals through the staleness break.
+    case _: Exception => ()
   }
 
   /** Clear an orphaned break claim, ONLY if it is still the file just

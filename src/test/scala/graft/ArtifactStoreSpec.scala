@@ -443,6 +443,74 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(leftovers.isEmpty, leftovers.mkString(", "))
   }
 
+  test("lock-protocol chaos: concurrent publishers under aggressive " +
+      "staleness breaking lose no acknowledged update, double-apply " +
+      "nothing, and every segment re-checksums clean") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("base" -> 1L))),
+      kinds = Map("uni" -> "counts"))
+    // staleMs far below a real publish (parquet write + checksum read
+    // take seconds): every in-flight lock is break-eligible, so
+    // breakers fire MID-PUBLISH constantly — the abort paths
+    // (assertStillHeld before the manifest rename, the put-if-absent
+    // dst check) and the claim-serialized release all run under fire.
+    // Publish acknowledgement ⟺ manifest committed (release never
+    // throws), so the acknowledged-key set is the exact expectation.
+    val n = 4
+    val perThread = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val futures = (1 to n).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+        def call(): Seq[String] = {
+          gate.await()
+          (1 to perThread).flatMap { j =>
+            val key = s"t$i-$j"
+            // bounded retries: a failed publish (turned away at the
+            // lock, or aborted mid-flight by a breaker) committed
+            // nothing, so retrying the same key cannot double-apply
+            var committed = false
+            var attempts = 0
+            while (!committed && attempts < 8) {
+              attempts += 1
+              try {
+                ArtifactStore.publish(spark, root,
+                  Seq("uni" -> Append(counts(key -> 1L))),
+                  lockStaleMs = 1500L)
+                committed = true
+              } catch { case _: Throwable => Thread.sleep(100L * attempts) }
+            }
+            if (committed) Seq(key) else Nil
+          }
+        }
+      })
+    }
+    gate.countDown()
+    val acked = futures.flatMap(
+      _.get(600, java.util.concurrent.TimeUnit.SECONDS)).toSet
+    pool.shutdown()
+    // the merged, verify-checksummed view is EXACTLY base + every
+    // acknowledged append, each applied once — no lost update (a
+    // breaker stomping a winner's committed segment), no double-apply
+    // (a false failure inviting a committing retry), no phantom rows
+    // (an aborted publish's data leaking into a manifest)
+    val merged = sortedRows(ArtifactStore.read(spark, root, "uni",
+      verify = true))
+    assert(merged.toSet == acked.map(_ -> 1L) + ("base" -> 1L),
+      s"acked=$acked merged=$merged")
+    assert(acked.nonEmpty, "chaos run must commit at least one append")
+    // the store heals to a steady state: a release deferred by claim
+    // contention can leave a lock behind (by design — it self-heals via
+    // staleness), so age past the bound and publish once more,
+    // uncontended; the lock must be gone afterwards
+    Thread.sleep(1600)
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("final" -> 1L))),
+      lockStaleMs = 1500L)
+    assert(!new java.io.File(root, "_writer.lock").exists())
+  }
+
   test("concurrent same-note publishers yield ONE generation (in-lock recheck)") {
     val root = tmpRoot()
     ArtifactStore.publish(spark, root,
