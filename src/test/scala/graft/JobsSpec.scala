@@ -523,4 +523,52 @@ class JobsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out2 == out1)
   }
+
+  test("DeltaMain.run non-store mode: build_artifacts writes the path-based " +
+      "artifacts once; admission gates against them (twin of DeltaJob.admit)") {
+    import graft.jobs.DeltaJob
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val dir = tmp()
+    corpus.write.parquet(s"$dir/corpus")
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val copies = corpus.orderBy("doc_id").limit(20)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+    fresh.unionByName(copies).write.parquet(s"$dir/delta")
+    docs.filter(col("doc_id") % 97 === 0).write.parquet(s"$dir/eval")
+    val line = DeltaMain.run(spark, Map(
+      "delta" -> s"$dir/delta", "corpus" -> s"$dir/corpus",
+      "eval" -> s"$dir/eval", "out" -> s"$dir/out",
+      "index" -> s"$dir/index", "lm" -> s"$dir/lm",
+      "index_delta" -> s"$dir/index_delta",
+      "build_artifacts" -> "true"))
+    assert(line.startsWith("{\"input\":") && !line.contains("storeVersion"))
+    val outIds = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(outIds.nonEmpty)
+    // the CLI is the exact twin of DeltaJob.admit over the artifacts it
+    // just wrote: same gates, same admitted set
+    val words = graft.operators.Sketches.bloomDenseWords(
+      graft.operators.Sketches.bloomBuild(
+        spark.read.parquet(s"$dir/eval")
+          .select(org.apache.spark.sql.functions.explode(
+            graft.operators.Dedup.shingles(col("text"), 3)).as("g")),
+        "g", 262144, 3, 31L), 262144)
+    val twin = DeltaJob.admit(spark.read.parquet(s"$dir/delta"),
+        spark.read.parquet(s"$dir/corpus"),
+        spark.read.parquet(s"$dir/index"),
+        spark.read.parquet(s"$dir/lm/uni"),
+        spark.read.parquet(s"$dir/lm/bi"),
+        spark.read.parquet(s"$dir/lm/tri"), words)
+      .select("doc_id").as[Long].collect().toSet
+    assert(outIds == twin)
+    // verbatim corpus copies are near-dup-suppressed by the built index
+    assert(copies.select("doc_id").as[Long].collect()
+      .forall(id => !outIds.contains(id)))
+    // the maintenance delta holds exactly the admitted rows' signatures
+    val idxDelta = spark.read.parquet(s"$dir/index_delta")
+    assert(idxDelta.select("doc_id").as[Long].collect().toSet == outIds)
+  }
 }
