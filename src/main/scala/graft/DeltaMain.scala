@@ -140,10 +140,25 @@ object DeltaMain {
               (note, DeltaJob.recordedGate(spark, root, v, note)
                 .getOrElse(v - 1), Some(v))
             case None =>
-              (note, ArtifactStore.latestVersion(spark, root).getOrElse(
-                sys.error(s"artifact store $root has no committed " +
-                  "generation — run with build_artifacts=true first")),
-                None)
+              val latest = ArtifactStore.latestVersion(spark, root)
+                .getOrElse(sys.error(
+                  s"artifact store $root has no committed " +
+                    "generation — run with build_artifacts=true first"))
+              // The note may be unfindable because its manifest was
+              // GC'd (a retry arriving after the replay window), not
+              // because this batch is new. run_gates rows accumulate
+              // across compactions and are never reset, so the note's
+              // presence AT LATEST proves the publish committed once —
+              // re-publishing would double-apply the batch's counts.
+              if (DeltaJob.recordedGate(spark, root, latest, note)
+                  .isDefined)
+                sys.error(s"'$note' already published (its gate record " +
+                  s"survives in ${DeltaJob.gateArtifact}), but the " +
+                  "note's manifest was garbage-collected — this retry " +
+                  "arrived past the replay window. Re-running would " +
+                  "double-apply the batch's signatures and counts; the " +
+                  "batch is already in the store.")
+              (note, latest, None)
           }
         }
       // One full admission pass at a given gate generation (None =

@@ -419,9 +419,30 @@ object StreamingRetentionJob {
               .orElse(if (legacyExists) readMarker(legacyMarker) else None)
               .getOrElse(v - 1)
           case None =>
-            ArtifactStore.latestVersion(spark, storeRoot).getOrElse(
-              sys.error(s"artifact store $storeRoot has no committed " +
-                "generation — run a day-0 build_artifacts publish first"))
+            val latest = ArtifactStore.latestVersion(spark, storeRoot)
+              .getOrElse(sys.error(
+                s"artifact store $storeRoot has no committed " +
+                  "generation — run a day-0 build_artifacts publish first"))
+            // A gate record WITHOUT a findable note is ambiguous: a
+            // crash between the record and the publish (the common
+            // window — replay fresh), or a checkpoint rolled back past
+            // gc's keepLast so the note's manifest is GONE. run_gates
+            // disambiguates: its rows accumulate across compactions and
+            // are never reset, so the note's presence AT LATEST proves
+            // the publish committed once — re-publishing would
+            // double-apply this batch's signatures and counts into the
+            // store. Fail loudly instead of silently double-counting.
+            if ((markerExists || legacyExists) &&
+                graft.jobs.DeltaJob
+                  .recordedGate(spark, storeRoot, latest, note).isDefined)
+              sys.error(s"batch $batchId of stream '$streamId' already " +
+                s"published '$note' (its gate record survives in " +
+                s"${graft.jobs.DeltaJob.gateArtifact}), but the note's " +
+                "manifest was garbage-collected — the replay window was " +
+                "GC'd past this checkpoint. Re-publishing would " +
+                "double-apply the batch's counts. Keep gc keepLast at or " +
+                "above the replay window, or rebuild via ReconcileMain.")
+            latest
         }
         // the full admission at a given gate — also the self-healing
         // re-run below, so everything gate-dependent (artifacts AND the

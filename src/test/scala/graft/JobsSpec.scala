@@ -571,4 +571,37 @@ class JobsSpec extends SparkSpec {
     val idxDelta = spark.read.parquet(s"$dir/index_delta")
     assert(idxDelta.select("doc_id").as[Long].collect().toSet == outIds)
   }
+
+  test("DeltaMain.run: a retry arriving past the GC'd replay window fails " +
+      "loudly (run_gates proves the publish committed) - no double-apply") {
+    import graft.jobs.{ArtifactStore, DeltaJob}
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val dir = tmp()
+    corpus.write.parquet(s"$dir/corpus")
+    docs.filter(col("doc_id") % 10 === 0).write.parquet(s"$dir/delta")
+    docs.filter(col("doc_id") % 97 === 0).write.parquet(s"$dir/eval")
+    val store = s"$dir/store"
+    DeltaJob.publishDay0Artifacts(spark, store,
+      spark.read.parquet(s"$dir/corpus"))
+    val opts = Map("delta" -> s"$dir/delta", "corpus" -> s"$dir/corpus",
+      "eval" -> s"$dir/eval", "out" -> s"$dir/out", "store" -> store,
+      "run_id" -> "batch-7")
+    DeltaMain.run(spark, opts)
+    assert(ArtifactStore.latestVersion(spark, store).contains(2L))
+    // two interleaved publishes push batch-7's manifest out of a
+    // keepLast=2 window; its run_gates row survives via carry-forward
+    ArtifactStore.publish(spark, store, Seq("lm_uni" ->
+      ArtifactStore.Append(graft.operators.LmScore
+        .buildTrigramModel(corpus.limit(5), "text")._1)), note = "i1")
+    ArtifactStore.publish(spark, store, Seq("lm_uni" ->
+      ArtifactStore.Append(graft.operators.LmScore
+        .buildTrigramModel(corpus.limit(3), "text")._1)), note = "i2")
+    ArtifactStore.gc(spark, store, keepLast = 2)
+    val e = intercept[RuntimeException] { DeltaMain.run(spark, opts) }
+    assert(e.getMessage.contains("already published"))
+    assert(ArtifactStore.latestVersion(spark, store).contains(4L))
+  }
 }

@@ -1150,6 +1150,63 @@ class StreamingSpec extends SparkSpec {
     assert(rec2 == "1", "the replay re-records the authoritative gate")
   }
 
+  test("a replay whose note manifest was GC'd fails LOUDLY (run_gates " +
+      "proves the publish committed once) instead of double-publishing") {
+    import graft.jobs.ArtifactStore
+    import graft.operators.{Dedup, LmScore, Sketches}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).localCheckpoint()
+    val store = Files.createTempDirectory("graft-admit-gc-store").toString
+    graft.jobs.DeltaJob.publishDay0Artifacts(spark, store, corpus)
+    val words = Sketches.bloomDenseWords(
+      Sketches.bloomBuild(
+        docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(Dedup.shingles(col("text"), 3)).as("g")),
+        "g", 262144, 3, 31L), 262144)
+    val b0 = docs.filter(col("doc_id") % 10 === 0).as[(Long, String)].collect()
+    val dir = Files.createTempDirectory("graft-admit-gc-run").toString
+    val src = s"$dir/src"
+    b0.toSeq.toDF("doc_id", "text").write.parquet(src)
+    val schema = b0.toSeq.toDF("doc_id", "text").schema
+    StreamingRetentionJob.runAdmissionStore(
+      spark, src, schema, corpus, words,
+      admittedPath = s"$dir/admitted", checkpoint = s"$dir/cp",
+      storeRoot = store).awaitTermination(180000)
+    assert(ArtifactStore.latestVersion(spark, store).contains(2L))
+    // two interleaved publishes push the batch's manifest out of a
+    // keepLast=2 window; run_gates' ROWS survive via carry-forward
+    ArtifactStore.publish(spark, store,
+      Seq("lm_uni" -> ArtifactStore.Append(
+        LmScore.buildTrigramModel(corpus.limit(5), "text")._1)),
+      note = "interleave-1")
+    ArtifactStore.publish(spark, store,
+      Seq("lm_uni" -> ArtifactStore.Append(
+        LmScore.buildTrigramModel(corpus.limit(3), "text")._1)),
+      note = "interleave-2")
+    ArtifactStore.gc(spark, store, keepLast = 2)
+    // the checkpoint rolls back past the GC'd window (crash before the
+    // batch's commit was recorded — but its manifest is now GONE)
+    val commits = new java.io.File(s"$dir/cp/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.head.delete())
+    new java.io.File(commits.head.getParent, s".${commits.head.getName}.crc")
+      .delete()
+    val e = intercept[Throwable] {
+      StreamingRetentionJob.runAdmissionStore(
+        spark, src, schema, corpus, words,
+        admittedPath = s"$dir/admitted", checkpoint = s"$dir/cp",
+        storeRoot = store).awaitTermination(180000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("replay window")),
+      s"expected the GC'd-replay-window error, got: ${messages(e)}")
+    // nothing was double-published
+    assert(ArtifactStore.latestVersion(spark, store).contains(4L))
+  }
+
   test("StreamMain CLI: run, kill, re-run resumes exactly-once; " +
       "auto_compact caps the segment lists") {
     import graft.jobs.ArtifactStore
