@@ -1,0 +1,152 @@
+package graft
+
+import graft.jobs.ArtifactStore
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point for artifact-store ADMINISTRATION — the operational
+  * complement to the pipeline commands ([[DeltaMain]] admission,
+  * [[RetentionMain]] deletion, [[ReconcileMain]] nightly rebuild,
+  * [[StreamMain]] streaming admission), which mutate the store as a
+  * side effect of their job. An operator running the store day-to-day
+  * also needs the store-only verbs — inspect what is committed, verify
+  * integrity, collapse read amplification, reclaim space, and pull one
+  * artifact at one version for debugging — without invoking a pipeline.
+  * The reference ships the same kind of surface as `nodetool`-style
+  * maintenance beside the compaction strategy itself (the strategy runs
+  * in the server; operators still trigger/inspect compactions and
+  * verify SSTables by hand).
+  *
+  * Usage:
+  *   StoreMain store=<root> cmd=<audit|verify|compact|gc|export> \
+  *     [artifact=<name>] [version=<v>] [keep_last=<k>] \
+  *     [max_segments=<k>] [out=<dir>]
+  *
+  *  - `cmd=audit` — one JSON line: latest committed version, number of
+  *    committed generations, and per-artifact (kind, segment count,
+  *    manifest row total, xor checksum) AT the requested `version`
+  *    (default latest). Reads only manifests — no data I/O, safe to run
+  *    against a live store at any frequency.
+  *  - `cmd=verify` — re-checksums every segment of `artifact` (or ALL
+  *    artifacts) at `version` (default latest) against the manifest,
+  *    [[ArtifactStore.read]] with `verify = true`; fails loudly on any
+  *    drift, else reports merged row counts. This is the offline
+  *    scrubber: corruption is caught here, not at 3am in a pipeline.
+  *  - `cmd=compact` — with `artifact=`, collapse THAT artifact's
+  *    segment list to one ([[ArtifactStore.compact]]); without it,
+  *    collapse every artifact whose list exceeds `max_segments`
+  *    (default 1, i.e. everything not already compact —
+  *    [[ArtifactStore.autoCompact]]). Optimistic-concurrency guarded:
+  *    loses a race with a concurrent publisher loudly (compact) or
+  *    harmlessly (autoCompact returns no version; re-run).
+  *  - `cmd=gc` — drop all but the newest `keep_last` generations and
+  *    every segment/orphan dir only they reference
+  *    ([[ArtifactStore.gc]] — reference-counted, lock-serialized).
+  *  - `cmd=export` — write `artifact`'s MERGED view at `version`
+  *    (default latest) to `out` as parquet — the time-travel escape
+  *    hatch ("what did the index look like before last night?").
+  *
+  * Every command prints one JSON stats line; mutating commands
+  * (compact/gc) are serialized against concurrent publishers by the
+  * store's writer lock, read-only commands (audit/verify/export) run
+  * lock-free against immutable committed state. */
+object StoreMain {
+
+  /** The testable core — everything but session construction. Returns
+    * the JSON stats line main prints. */
+  def run(spark: SparkSession, opts: Map[String, String]): String = {
+    val root = opts("store")
+    val cmd = opts("cmd")
+    def jstr(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def versionOpt = opts.get("version").map(_.toLong)
+    cmd match {
+      case "audit" =>
+        val latest = ArtifactStore.latestVersion(spark, root)
+        latest match {
+          case None =>
+            s"""{"cmd":"audit","latest":null,"generations":0,"artifacts":[]}"""
+          case Some(lv) =>
+            val v = versionOpt.getOrElse(lv)
+            val m = ArtifactStore.readManifest(spark, root, v)
+            val gens = ArtifactStore.manifests(spark, root)
+              .select("version").distinct().count()
+            val arts = m.artifacts.sortBy(_.artifact).map { a =>
+              s"""{"artifact":${jstr(a.artifact)},"kind":${jstr(a.kind)},""" +
+                s""""n_segments":${a.segments.size},""" +
+                s""""rows":${a.segments.map(_.rows).sum},""" +
+                s""""checksum":${a.segments.map(_.checksum).foldLeft(0L)(_ ^ _)}}"""
+            }.mkString("[", ",", "]")
+            s"""{"cmd":"audit","latest":$lv,"version":$v,"note":${jstr(m.note)},""" +
+              s""""generations":$gens,"artifacts":$arts}"""
+        }
+      case "verify" =>
+        val lv = ArtifactStore.latestVersion(spark, root).getOrElse(
+          sys.error(s"artifact store $root has no committed version"))
+        val v = versionOpt.getOrElse(lv)
+        val names = opts.get("artifact").map(Seq(_)).getOrElse(
+          ArtifactStore.readManifest(spark, root, v)
+            .artifacts.map(_.artifact).sorted)
+        val counts = names.map { a =>
+          val n = ArtifactStore.read(spark, root, a, Some(v), verify = true)
+            .count()
+          s"""{"artifact":${jstr(a)},"merged_rows":$n}"""
+        }.mkString("[", ",", "]")
+        s"""{"cmd":"verify","version":$v,"ok":true,"artifacts":$counts}"""
+      case "compact" =>
+        opts.get("artifact") match {
+          case Some(a) =>
+            val v = ArtifactStore.compact(spark, root, a)
+            s"""{"cmd":"compact","artifact":${jstr(a)},"version":$v}"""
+          case None =>
+            val k = opts.getOrElse("max_segments", "1").toInt
+            ArtifactStore.autoCompact(spark, root, k) match {
+              case Some(v) =>
+                s"""{"cmd":"compact","max_segments":$k,"version":$v}"""
+              case None =>
+                s"""{"cmd":"compact","max_segments":$k,"version":null}"""
+            }
+        }
+      case "gc" =>
+        val k = opts.getOrElse("keep_last", "7").toInt
+        val r = ArtifactStore.gc(spark, root, k)
+        s"""{"cmd":"gc","keep_last":$k,""" +
+          s""""kept_versions":${r.keptVersions.mkString("[", ",", "]")},""" +
+          s""""deleted_versions":${r.deletedVersions.mkString("[", ",", "]")},""" +
+          s""""deleted_dirs":${r.deletedDirs.size}}"""
+      case "export" =>
+        val a = opts.getOrElse("artifact",
+          sys.error("cmd=export needs artifact="))
+        val out = opts.getOrElse("out", sys.error("cmd=export needs out="))
+        val lv = ArtifactStore.latestVersion(spark, root).getOrElse(
+          sys.error(s"artifact store $root has no committed version"))
+        val v = versionOpt.getOrElse(lv)
+        val df = ArtifactStore.read(spark, root, a, Some(v))
+        df.write.mode("overwrite").parquet(out)
+        val n = spark.read.parquet(out).count()
+        s"""{"cmd":"export","artifact":${jstr(a)},"version":$v,""" +
+          s""""out":${jstr(out)},"rows":$n}"""
+      case other =>
+        sys.error(s"unknown cmd '$other' " +
+          "(want audit|verify|compact|gc|export)")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad arg '$a' (want key=value)")
+      a.take(i) -> a.drop(i + 1).replace("%20", " ")
+    }.toMap
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-store-admin")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try println(run(spark, opts))
+    finally spark.stop()
+  }
+}

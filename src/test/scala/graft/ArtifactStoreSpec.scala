@@ -651,4 +651,110 @@ class ArtifactStoreSpec extends SparkSpec {
       .select("note").as[String].head()
     assert(audited == gnarly)
   }
+
+  // ---- StoreMain: the store-administration CLI ------------------------
+
+  private def json(line: String, key: String): String = {
+    val m = ("\"" + key + "\"\\s*:\\s*(\"(?:[^\"\\\\]|\\\\.)*\"|\\[[^\\]]*\\]|-?\\w+)")
+      .r.findFirstMatchIn(line)
+      .getOrElse(fail(s"key '$key' missing in: $line"))
+    val v = m.group(1)
+    if (v.startsWith("\"")) v.substring(1, v.length - 1) else v
+  }
+
+  test("StoreMain: audit / verify / compact / gc / export cycle over a " +
+      "live lineage (the operator's store-only verbs)") {
+    val root = tmpRoot()
+    // lineage: counts snapshot + 2 appends (one negative = conviction),
+    // plus a rows artifact that carries forward untouched
+    ArtifactStore.publish(spark, root, Seq(
+        "uni" -> Snapshot(counts("a" -> 3L, "b" -> 1L)),
+        "idx" -> Snapshot(Seq((1L, 10L)).toDF("doc_id", "bucket"))),
+      note = "day0", kinds = Map("uni" -> "counts"),
+      keyCols = Map("uni" -> Seq("w"), "idx" -> Seq("doc_id")),
+      cntCols = Map("uni" -> "c1"))
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("a" -> 2L, "c" -> 5L))), note = "admit")
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("b" -> -1L))), note = "convict")
+
+    val audit = StoreMain.run(spark, Map("store" -> root, "cmd" -> "audit"))
+    assert(json(audit, "latest") == "3")
+    assert(json(audit, "generations") == "3")
+    assert(json(audit, "note") == "convict")
+    assert(audit.contains(""""artifact":"uni","kind":"counts","n_segments":3"""))
+    assert(audit.contains(""""artifact":"idx","kind":"rows","n_segments":1"""))
+    // audit at a pinned version reads that generation's manifest
+    val audit1 = StoreMain.run(spark,
+      Map("store" -> root, "cmd" -> "audit", "version" -> "1"))
+    assert(json(audit1, "note") == "day0")
+    assert(audit1.contains(""""artifact":"uni","kind":"counts","n_segments":1"""))
+
+    val verify = StoreMain.run(spark, Map("store" -> root, "cmd" -> "verify"))
+    assert(json(verify, "ok") == "true")
+    // merged uni view: a=5, b=0 (dropped), c=5 -> 2 rows; idx -> 1 row
+    assert(verify.contains(""""artifact":"uni","merged_rows":2"""))
+    assert(verify.contains(""""artifact":"idx","merged_rows":1"""))
+
+    // compact (autoCompact path, max_segments=1): collapses uni,
+    // read-equivalent; idx (already 1 segment) untouched
+    val compact = StoreMain.run(spark, Map("store" -> root, "cmd" -> "compact"))
+    assert(json(compact, "version") == "4")
+    assert(ArtifactStore.readManifest(spark, root, 4L)
+      .artifacts.find(_.artifact == "uni").get.segments.size == 1)
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni")) ==
+      Seq(("a", 5L), ("c", 5L)))
+    // nothing over threshold now: version is null, no generation minted
+    val noop = StoreMain.run(spark, Map("store" -> root, "cmd" -> "compact"))
+    assert(json(noop, "version") == "null")
+    assert(ArtifactStore.latestVersion(spark, root).contains(4L))
+
+    // export at a pinned OLD version: time travel to the pre-convict view
+    val out = tmpRoot() + "/uni_v2"
+    val export = StoreMain.run(spark, Map("store" -> root, "cmd" -> "export",
+      "artifact" -> "uni", "version" -> "2", "out" -> out))
+    assert(json(export, "rows") == "3")
+    assert(sortedRows(spark.read.parquet(out)) ==
+      Seq(("a", 5L), ("b", 1L), ("c", 5L)))
+
+    // gc keep_last=1: v1-v3 manifests go, latest survives and still reads
+    val gc = StoreMain.run(spark,
+      Map("store" -> root, "cmd" -> "gc", "keep_last" -> "1"))
+    assert(json(gc, "kept_versions") == "[4]")
+    assert(json(gc, "deleted_versions") == "[1,2,3]")
+    val verifyAfter = StoreMain.run(spark,
+      Map("store" -> root, "cmd" -> "verify"))
+    assert(json(verifyAfter, "ok") == "true")
+    // the exported old version is gone from the store (that's what gc
+    // means) but the export itself preserved it
+    intercept[Exception] {
+      ArtifactStore.read(spark, root, "uni", Some(2L))
+    }
+  }
+
+  test("StoreMain: targeted compact of one artifact; verify pins a " +
+      "version; unknown cmd and empty-store audit fail/report cleanly") {
+    val root = tmpRoot()
+    // empty store: audit reports unborn instead of erroring
+    val empty = StoreMain.run(spark, Map("store" -> root, "cmd" -> "audit"))
+    assert(json(empty, "latest") == "null")
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 1L))), note = "day0",
+      kinds = Map("uni" -> "counts"), keyCols = Map("uni" -> Seq("w")),
+      cntCols = Map("uni" -> "c1"))
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("b" -> 2L))), note = "admit")
+    val c = StoreMain.run(spark, Map("store" -> root, "cmd" -> "compact",
+      "artifact" -> "uni"))
+    assert(json(c, "version") == "3")
+    // verify at the PRE-compaction version still re-checksums that
+    // generation's own segments (immutability makes this meaningful)
+    val v2 = StoreMain.run(spark,
+      Map("store" -> root, "cmd" -> "verify", "version" -> "2"))
+    assert(json(v2, "version") == "2" && json(v2, "ok") == "true")
+    val e = intercept[RuntimeException] {
+      StoreMain.run(spark, Map("store" -> root, "cmd" -> "scrub"))
+    }
+    assert(e.getMessage.contains("unknown cmd"))
+  }
 }
