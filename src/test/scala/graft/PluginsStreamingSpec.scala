@@ -1370,4 +1370,59 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(storeAdmitted == all.toSet -- admitted0)
   }
+
+  test("a micro-batch admitting ZERO documents still commits its gate " +
+      "record atomically; merged views are unchanged and the replay is " +
+      "absorbed") {
+    import graft.jobs.{ArtifactStore, DeltaJob}
+    import graft.operators.{Dedup, Sketches}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).localCheckpoint()
+    val store = Files.createTempDirectory("graft-zero-admit-store").toString
+    DeltaJob.publishDay0Artifacts(spark, store, corpus)
+    val words = Sketches.bloomDenseWords(
+      Sketches.bloomBuild(
+        docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(Dedup.shingles(col("text"), 3)).as("g")),
+        "g", 262144, 3, 31L), 262144)
+    val dir = Files.createTempDirectory("graft-zero-admit").toString
+    // the delta is VERBATIM corpus documents: every one is an exact
+    // duplicate of an indexed doc, so near-dup suppression rejects the
+    // whole batch — admitted = 0, yet the publish must still commit
+    // (the gate record is what makes a later replay exact/absorbable)
+    val dup = corpus.limit(20).localCheckpoint()
+    dup.write.parquet(s"$dir/src")
+    val uniBefore = ArtifactStore.read(spark, store, "lm_uni")
+      .as[(String, Long)].collect().toSet
+    def drain(): Unit = StreamingRetentionJob.runAdmissionStore(
+      spark, s"$dir/src", dup.schema, corpus, words,
+      admittedPath = s"$dir/admitted", checkpoint = s"$dir/cp",
+      storeRoot = store).awaitTermination(180000)
+    drain()
+    // the zero-admit generation committed: empty appends + the gate row
+    assert(ArtifactStore.latestVersion(spark, store).contains(2L))
+    assert(DeltaJob.recordedGate(spark, store, 2L,
+      "stream-admit:stream:0").contains(1L))
+    assert(spark.read.parquet(s"$dir/admitted/batch=0").count() == 0)
+    // merged views unchanged by the empty segments; admitted_docs empty
+    assert(ArtifactStore.read(spark, store, "lm_uni")
+      .as[(String, Long)].collect().toSet == uniBefore)
+    assert(ArtifactStore.read(spark, store, "admitted_docs").count() == 0)
+    // empty segments re-checksum clean (rows=0, xor=0) — the offline
+    // scrubber must not trip on a zero-admit generation
+    val verify = StoreMain.run(spark,
+      Map("store" -> store, "cmd" -> "verify"))
+    assert(verify.contains("\"ok\":true"))
+    // crash window 2 (publish committed, checkpoint commit lost): the
+    // replay is absorbed by its note — no third generation, sink still 0
+    val commits = new java.io.File(s"$dir/cp/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.last.delete())
+    new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+      .delete()
+    drain()
+    assert(ArtifactStore.latestVersion(spark, store).contains(2L))
+    assert(spark.read.parquet(s"$dir/admitted/batch=0").count() == 0)
+  }
 }
