@@ -20,12 +20,15 @@ import org.apache.spark.sql.functions._
   * list. This store gives [[DeltaJob]]/[[ArtifactRetention]]/
   * [[ReconcileJob]] the same contract:
   *
-  *  - **Immutable segments**: `<root>/data/<artifact>/v=N/` is written
-  *    once, never modified. A generation is a manifest: the segment
-  *    list per artifact, committed by writing
-  *    `<root>/_manifests/manifest-v{N}.json` via temp + atomic rename.
-  *    Data-written-but-no-manifest (a publisher crash) is invisible and
-  *    the slot is truncated by the next publish.
+  *  - **Immutable segments**: `<root>/data/<artifact>/v=N-<attempt>/`
+  *    is written once, never modified — the attempt tag is unique per
+  *    publish, so no two publishers ever share a data dir (see
+  *    [[dataDir]]). A generation is a manifest: the segment list per
+  *    artifact (full paths — readers never reconstruct names),
+  *    committed by writing `<root>/_manifests/manifest-v{N}.json` via
+  *    temp + atomic rename. Data-written-but-no-manifest (a publisher
+  *    crash, or an attempt aborted by the ownership/put-if-absent
+  *    guards) is invisible and reclaimed by [[gc]]'s orphan pass.
   *  - **Two merge kinds** (declared per artifact, recorded in the
   *    manifest):
   *      - `rows` — read = union of segments. Admission appends a
@@ -197,9 +200,11 @@ object ArtifactStore {
   /** Serialize store mutations across processes ([[DeltaMain]],
     * [[graft.RetentionMain]], and [[graft.ReconcileMain]] are separate
     * CLIs that can target the same store): without it, two concurrent
-    * publishes both resolve v = N, and the second's orphan-truncate
-    * deletes the first's in-flight `v=N` segment data before either
-    * manifest commits. The lock is a create-exclusive file
+    * publishes both resolve v = N and race the manifest slot — one
+    * attempt's work is wasted, and a read-then-replace Snapshot could
+    * silently drop the other's committed append. (Segment DATA is safe
+    * even without the lock: every attempt writes uniquely-named dirs,
+    * [[dataDir]].) The lock is a create-exclusive file
     * (`create(path, overwrite = false)`) holding `uuid epochMillis`.
     *
     * Contract: create-exclusive must be an atomic put-if-absent. HDFS
@@ -220,9 +225,8 @@ object ArtifactStore {
     * breakers, so the re-read cannot be fooled by a fresh lock), then
     * releases the claim and races the normal atomic acquire. Losers of
     * the claim report the store as held. A live lock is therefore never
-    * deleted or displaced by a breaker — the double-hold corruption
-    * (loser's orphan-truncate stomping the winner's in-flight `v=N`
-    * data) cannot arise from concurrent breaking. A claim orphaned by
+    * deleted or displaced by a breaker — concurrent breaking cannot
+    * produce a double-held lock. A claim orphaned by
     * a breaker crash is itself cleared after [[BreakClaimStaleMs]].
     * An unreadable lock younger than [[TornLockGraceMs]] is treated as
     * live, not torn (the holder may be between create and payload
@@ -239,7 +243,12 @@ object ArtifactStore {
     * immediately before the manifest rename, so a writer whose lock was
     * wrongly broken (a publish genuinely longer than `staleMs`) aborts
     * with the old generation still authoritative instead of committing
-    * over the breaker's work. */
+    * over the breaker's work. Its in-flight DATA writes need no such
+    * guard: they land in the attempt's own uniquely-named segment dirs
+    * ([[dataDir]]), never in the successor's, so even a parquet task
+    * that materializes files AFTER the break cannot corrupt what the
+    * successor checksums and commits — the wrongly-broken writer only
+    * ever wastes its own work. */
   private final class WriterLock(f: FileSystem, p: Path, id: String) {
     def assertStillHeld(root: String): Unit = {
       val mine = try readString(f, p).startsWith(id)
@@ -406,8 +415,33 @@ object ArtifactStore {
     } catch { case _: Exception => false }
   private def manifestPath(root: String, v: Long) =
     new Path(manifestDir(root), f"manifest-v$v%09d.json")
-  private def dataDir(root: String, artifact: String, v: Long) =
-    new Path(new Path(root, "data"), s"$artifact/v=$v")
+
+  /** Segment dir for one artifact at one version, UNIQUE PER PUBLISH
+    * ATTEMPT: the attempt tag makes two publishers that both resolved
+    * v = N (a wrongly-broken slow writer racing its breaker's successor)
+    * write to disjoint dirs, so a loser's in-flight parquet tasks can
+    * NEVER materialize files into the winner's committed segment — the
+    * last data-stomping window of the lock-break protocol, closed
+    * structurally instead of by timing. The manifest records the full
+    * path, so readers never reconstruct names; a loser's dir is an
+    * orphan [[gc]] reclaims (old-style `v=N` dirs from earlier builds
+    * parse the same way there). */
+  private def dataDir(root: String, artifact: String, v: Long,
+      attempt: String) =
+    new Path(new Path(root, "data"), s"$artifact/v=$v-$attempt")
+
+  /** Committed-or-orphan version of a data dir name: `v=N` (pre-attempt
+    * layout) or `v=N-<attempt>`. None for anything else. */
+  private def dirVersion(name: String): Option[Long] =
+    if (!name.startsWith("v=")) None
+    else {
+      val core = name.stripPrefix("v=")
+      val digits = core.takeWhile(_.isDigit)
+      if (digits.isEmpty) None
+      else if (digits.length == core.length || core.charAt(digits.length) == '-')
+        scala.util.Try(digits.toLong).toOption
+      else None
+    }
 
   /** 60-bit order-free content checksum over the key columns. The
     * hashed payload per row is the joined key string CONCATENATED WITH
@@ -542,10 +576,12 @@ object ArtifactStore {
     * Commit protocol (crash-safe at every step, and serialized across
     * processes by the create-exclusive writer lock — see
     * [[withWriterLock]]): acquire the lock; pick
-    * N = latest committed + 1; truncate any orphan `v=N` segment dirs
-    * (a predecessor's crashed publish — invisible, safe to reclaim);
-    * write each changed artifact's delta/snapshot parquet under its
-    * `v=N` dir; write the manifest JSON to a temp name, check the
+    * N = latest committed + 1; write each changed artifact's
+    * delta/snapshot parquet under its own uniquely-named
+    * `v=N-<attempt>` dir ([[dataDir]] — a predecessor's crashed or
+    * aborted attempt left dirs no manifest references, invisible and
+    * reclaimed by [[gc]], never shared); write the manifest JSON to a
+    * temp name, check the
     * destination is absent (local-fs rename overwrites silently — an
     * occupied slot means the lock was wrongly broken), and atomically
     * rename it in — the generation exists from that instant. For
@@ -614,6 +650,12 @@ object ArtifactStore {
       (prevV.getOrElse(0L), false)
     else {
     val v = prevV.getOrElse(0L) + 1L
+    // one attempt tag per publish: every segment dir this attempt writes
+    // is disjoint from any OTHER attempt's dirs at the same version, so
+    // a wrongly-broken slow writer's late parquet task commits land in
+    // its own (orphaned, never-referenced) dirs — not in the data a
+    // successor already checksummed and is about to commit
+    val attempt = java.util.UUID.randomUUID.toString.take(8)
     val prev: Map[String, ArtifactMeta] = prevV
       .map(pv => readManifest(spark, root, pv).artifacts
         .map(a => a.artifact -> a).toMap)
@@ -632,8 +674,7 @@ object ArtifactStore {
         meta0.map(_.keyCols).getOrElse(Seq(change.df.columns.head)))
       val cnt = cntCols.getOrElse(name,
         meta0.map(_.cntCol).getOrElse(if (kind == "counts") "c1" else ""))
-      val dir = dataDir(root, name, v)
-      if (f.exists(dir)) f.delete(dir, true) // orphan from a crashed publish
+      val dir = dataDir(root, name, v, attempt)
       change.df.write.mode("overwrite").parquet(dir.toString)
       val (n, h) = checksumOf(spark.read.parquet(dir.toString), keys)
       val seg = Segment(dir.toString, n, h)
@@ -897,16 +938,19 @@ object ArtifactStore {
 
   /** Delete segment dirs referenced by none of the `keepLast` newest
     * manifests, then the superseded manifests themselves; finally
-    * reclaim ORPHAN data dirs — `data/<artifact>/v=N` with
-    * N ≤ latest committed version that no surviving manifest
-    * references. Orphans arise when a publish crashes after writing
-    * artifact A's `v=N` data and the NEXT publish at N changes a
-    * different artifact: versions never revisit N, so the dir would
+    * reclaim ORPHAN data dirs — `data/<artifact>/v=N-<attempt>` (or a
+    * pre-attempt-layout `v=N`) with N ≤ latest committed version that
+    * no surviving manifest references. Orphans arise when a publish
+    * crashes after writing data but before its manifest rename, or
+    * when an attempt is aborted by the ownership/put-if-absent
+    * guards: versions never revisit N, so the dirs would
     * otherwise leak forever. Reference counting on paths: a segment
     * shared by kept and dropped generations survives. Dirs ABOVE the
     * latest committed version (an in-flight publish) are never
     * touched — the writer lock plus this bound make reclamation safe
-    * under a concurrent publisher. */
+    * under a concurrent publisher (a wrongly-broken writer still
+    * mid-write at N ≤ latest only ever loses its own orphaned
+    * attempt dirs — it aborts at `assertStillHeld` regardless). */
   def gc(
       spark: SparkSession,
       root: String,
@@ -943,9 +987,7 @@ object ArtifactStore {
       else f.listStatus(dataRoot).toSeq.filter(_.isDirectory).flatMap { art =>
         f.listStatus(art.getPath).toSeq.map(_.getPath)
           .filter { p =>
-            p.getName.startsWith("v=") &&
-              p.getName.stripPrefix("v=").forall(_.isDigit) &&
-              p.getName.stripPrefix("v=").toLong <= latestCommitted &&
+            dirVersion(p.getName).exists(_ <= latestCommitted) &&
               !keptQualified(f.makeQualified(p).toString)
           }
       }

@@ -520,7 +520,15 @@ object StreamingRetentionJob {
             graft.jobs.DeltaJob.gateArtifact -> ArtifactStore.Append(gateRow)),
           note = note,
           keyCols = Map("admitted_docs" -> Seq(opts.idCol),
-            graft.jobs.DeltaJob.gateArtifact -> Seq("note", "gate")))
+            graft.jobs.DeltaJob.gateArtifact -> Seq("note", "gate")),
+          // no gate record at either location ⟹ (almost certainly) no
+          // committed publish — skip the pre-lock fast-path scan, whose
+          // MISS costs a parse of every GC-bounded manifest on every
+          // fresh micro-batch (the same waste [[graft.DeltaMain]]'s
+          // gate resolution avoids). The authoritative in-lock re-check
+          // still runs, so the one false negative — record lost after a
+          // committed publish — is still absorbed and self-healed below.
+          noteKnownAbsent = committedV.isEmpty)
         if (!published && committedV.isEmpty) {
           // This attempt believed the batch fresh (no gate record at
           // either location) yet the publish was absorbed — an earlier

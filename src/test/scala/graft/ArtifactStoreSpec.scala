@@ -139,11 +139,19 @@ class ArtifactStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ArtifactStore.readManifest(spark, root, 2L)
     }
-    // the next publish truncates the orphan slot and commits cleanly
+    // the next publish at v=2 writes its OWN attempt-tagged dir — it
+    // never shares (or needs to truncate) the orphan's — and commits
+    // cleanly
     val v2 = ArtifactStore.publish(spark, root,
       Seq("uni" -> Snapshot(counts("b" -> 7L))))
     assert(v2 == 2L)
     assert(sortedRows(ArtifactStore.read(spark, root, "uni", Some(2L),
+      verify = true)) == Seq(("b", 7L)))
+    // the crashed attempt's dir is an unreferenced orphan gc reclaims
+    val rep = ArtifactStore.gc(spark, root, keepLast = 2)
+    assert(rep.deletedDirs.map(p => p.substring(p.indexOf("/data/"))) ==
+      Seq("/data/uni/v=2"))
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni",
       verify = true)) == Seq(("b", 7L)))
   }
 
@@ -209,7 +217,7 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(vs == Seq(5L))
   }
 
-  test("gc leaves an in-flight orphan above latest for publish to reclaim") {
+  test("gc leaves an in-flight orphan above latest; later gc reclaims it") {
     val root = tmpRoot()
     ArtifactStore.publish(spark, root,
       Seq("uni" -> Snapshot(counts("a" -> 1L))))
@@ -218,12 +226,17 @@ class ArtifactStoreSpec extends SparkSpec {
     counts("inflight" -> 9L).write.parquet(s"$root/data/uni/v=3")
     val rep = ArtifactStore.gc(spark, root, keepLast = 1)
     assert(rep.deletedVersions == Seq(1L))
-    // the orphan survives gc…
+    // the orphan survives gc (it may belong to an in-flight publish)…
     assert(spark.read.parquet(s"$root/data/uni/v=3").count() == 1L)
-    // …and the next publish truncates it and takes the slot
+    // …the next publish takes version 3 in its OWN attempt-tagged dir…
     val v3 = ArtifactStore.publish(spark, root,
       Seq("uni" -> Snapshot(counts("c" -> 3L))))
     assert(v3 == 3L)
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni", verify = true)) ==
+      Seq(("c", 3L)))
+    // …and once v=3 is committed the unreferenced orphan is reclaimable
+    val rep2 = ArtifactStore.gc(spark, root, keepLast = 1)
+    assert(rep2.deletedDirs.exists(_.endsWith("/data/uni/v=3")))
     assert(sortedRows(ArtifactStore.read(spark, root, "uni", verify = true)) ==
       Seq(("c", 3L)))
   }
@@ -380,9 +393,9 @@ class ArtifactStoreSpec extends SparkSpec {
     // a publish touching A crashes at v=2 AFTER writing data, BEFORE
     // the manifest rename — invisible, but occupying data/arta/v=2
     counts("crashed" -> 9L).write.parquet(s"$root/data/arta/v=2")
-    // the NEXT publish at v=2 changes only B: it truncates orphan slots
-    // for the artifacts IT touches, so A's orphan survives the publish —
-    // and versions never revisit 2, so without gc it would leak forever
+    // the NEXT publish at v=2 changes only B, in its own attempt-tagged
+    // dir, so A's orphan survives the publish — and versions never
+    // revisit 2, so without gc it would leak forever
     ArtifactStore.publish(spark, root,
       Seq("artb" -> Snapshot(counts("b" -> 2L))))
     assert(spark.read.parquet(s"$root/data/arta/v=2").count() == 1L)
@@ -509,6 +522,62 @@ class ArtifactStoreSpec extends SparkSpec {
       Seq("uni" -> Append(counts("final" -> 1L))),
       lockStaleMs = 1500L)
     assert(!new java.io.File(root, "_writer.lock").exists())
+  }
+
+  test("wrongly-broken slow writer: its late data writes land in its own " +
+      "attempt dirs — the successor's committed generation verifies intact") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("base" -> 1L))),
+      kinds = Map("uni" -> "counts"))
+    // A's DATA WRITE genuinely outlives lockStaleMs: a per-row sleep
+    // keeps its parquet tasks running long after every waiter judges
+    // the lock stale. assertStillHeld only guards A's COMMIT — A's
+    // in-flight tasks keep materializing files after the break, and
+    // before attempt-unique segment dirs they could land INSIDE the
+    // dir the successor had already checksummed (a committed manifest
+    // referencing stomped data, caught only by read(verify)). Now they
+    // land in A's own orphaned dir, structurally.
+    val slowDf = counts("slow" -> 9L).as[(String, Long)]
+      .map { r => Thread.sleep(4000L); r }.toDF("w", "c1")
+    @volatile var aError: Option[String] = None
+    val a = new Thread(() =>
+      try {
+        ArtifactStore.publish(spark, root,
+          Seq("uni" -> Append(slowDf)), lockStaleMs = 1000L)
+        ()
+      } catch { case e: Throwable => aError = Some(String.valueOf(e.getMessage)) })
+    a.start()
+    // wait for A to actually hold the lock, then age it past staleMs
+    val lockFile = new java.io.File(root, "_writer.lock")
+    val t0 = System.currentTimeMillis
+    while (!lockFile.exists() && System.currentTimeMillis - t0 < 10000)
+      Thread.sleep(20)
+    assert(lockFile.exists(), "writer A never acquired the lock")
+    Thread.sleep(1400)
+    // B breaks A's now-stale lock and commits v=2 while A is mid-write
+    val vB = ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("b" -> 2L))), lockStaleMs = 1000L)
+    assert(vB == 2L)
+    a.join(60000)
+    assert(!a.isAlive, "writer A never finished")
+    // A aborted before its commit (ownership lost), with the old/new
+    // generations authoritative — never a torn middle
+    assert(aError.isDefined, "the wrongly-broken writer must abort")
+    assert(aError.get.contains("broken as stale") ||
+      aError.get.contains("lost a publish race"), aError.get)
+    // the core claim: A's late write corrupted nothing — the committed
+    // lineage re-checksums clean and holds exactly base + B's append
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni",
+      verify = true)) == Seq(("b", 2L), ("base", 1L)))
+    // A's stranded data is an unreferenced attempt dir gc reclaims
+    val rep = ArtifactStore.gc(spark, root, keepLast = 2)
+    assert(rep.deletedVersions.isEmpty)
+    assert(rep.deletedDirs.size == 1 &&
+      rep.deletedDirs.head.contains("/data/uni/v=2-"),
+      rep.deletedDirs.mkString(", "))
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni",
+      verify = true)) == Seq(("b", 2L), ("base", 1L)))
   }
 
   test("concurrent same-note publishers yield ONE generation (in-lock recheck)") {
