@@ -16,9 +16,9 @@ import org.apache.spark.sql.SparkSession
   *   StreamMain src=<parquet dir of arriving files> corpus=<parquet> \
   *     eval=<parquet> store=<artifact-store root> out=<admitted dir> \
   *     checkpoint=<dir> [stream_id=stream] [auto_compact=0] \
-  *     [await_ms=1800000] [id=doc_id] [text=text] [min_q_mu=900000] \
-  *     [max_contam_ppm=300000] [min_mean_lp_mu=-3200000] [jaccard=0.8] \
-  *     [build_artifacts=false]
+  *     [lock_wait_ms=120000] [await_ms=1800000] [id=doc_id] [text=text] \
+  *     [min_q_mu=900000] [max_contam_ppm=300000] \
+  *     [min_mean_lp_mu=-3200000] [jaccard=0.8] [build_artifacts=false]
   *
   * Each invocation drains every source file the checkpoint has not yet
   * consumed (`Trigger.AvailableNow`) and stops — re-running with the
@@ -30,8 +30,11 @@ import org.apache.spark.sql.SparkSession
   * `stream-admit:<stream_id>:<batchId>` so replays are absorbed (both
   * crash windows — see [[graft.streaming.StreamingRetentionJob
   * .runAdmissionStore]]). `stream_id` must differ per source stream
-  * when several feed one store. `auto_compact=K` caps any artifact's
-  * segment list at K between nightly reconciles.
+  * when several feed one store; their publishes WAIT-serialize on the
+  * store's writer lock for up to `lock_wait_ms` each (fail-fast is the
+  * batch CLIs' contract — an unattended stream must not die over a
+  * rival's milliseconds-long publish). `auto_compact=K` caps any
+  * artifact's segment list at K between nightly reconciles.
   *
   * `build_artifacts=true` first publishes the day-0 generation from
   * `corpus` (the [[DeltaMain]] contract), then streams. The store must
@@ -74,6 +77,7 @@ object StreamMain {
       storeRoot = root,
       streamId = opts.getOrElse("stream_id", "stream"),
       autoCompactAt = opts.getOrElse("auto_compact", "0").toInt,
+      lockWaitMs = opts.getOrElse("lock_wait_ms", "120000").toLong,
       opts = dOpts)
     val awaitMs = opts.getOrElse("await_ms", "1800000").toLong
     if (!q.awaitTermination(awaitMs)) {

@@ -261,8 +261,18 @@ object ArtifactStore {
     }
   }
 
+  /** `waitMs` bounds how long a LIVE holder is waited out before giving
+    * up: 0 (the default) is fail-fast — the CLI contract, where the
+    * caller owns the retry ("retry after it commits") — while a
+    * positive wait turns concurrent writers from fail-serialized into
+    * wait-serialized, which is what an unattended publisher needs (a
+    * streaming micro-batch whose thrown error would kill the whole
+    * query over a rival's milliseconds-long publish). Stale-break and
+    * Gone-retry run on every poll, so a holder that crashes mid-wait is
+    * still broken as soon as it ages past `staleMs`. */
   private def withWriterLock[T](
-      f: FileSystem, root: String, staleMs: Long)(body: WriterLock => T): T = {
+      f: FileSystem, root: String, staleMs: Long, waitMs: Long = 0L)(
+      body: WriterLock => T): T = {
     val p = lockPath(root)
     val id = java.util.UUID.randomUUID.toString
     assertLockCapableScheme(
@@ -297,43 +307,56 @@ object ArtifactStore {
         }
       } catch { case _: java.io.FileNotFoundException => Gone
                 case _: Exception => Live }
+    val waitDeadline = System.currentTimeMillis + math.max(0L, waitMs)
     var acquired = tryAcquire()
-    if (!acquired) checkHolder() match {
-      case Gone => acquired = tryAcquire()
-      case Stale(observed) =>
-        // Break under a create-exclusive CLAIM: exactly one breaker
-        // enters; inside, the stale lock still occupies the path (so
-        // no writer can have re-acquired) and other breakers are
-        // excluded (so no one else can delete/recreate it) — the
-        // re-read below can only see the dead holder's payload or its
-        // absence, never a live successor's. Delete iff it is still
-        // the observation judged stale, then race the normal acquire.
-        val claim = new Path(p.getParent, s"${p.getName}.breaking")
-        if (createExclusive(f, claim, id)) {
-          try {
-            val curStat = try Some(f.getFileStatus(p))
-              catch { case _: java.io.FileNotFoundException => None }
-            curStat.foreach { st =>
-              val cur = try Some(readString(f, p))
-                catch { case _: Exception => None }
-              val sameStale = (cur, observed) match {
-                case (Some(a), Some(b)) => a == b
-                case (None, None) =>
-                  System.currentTimeMillis - st.getModificationTime >
-                    math.max(staleMs, TornLockGraceMs)
-                case _ => false
+    var exhausted = false
+    // one pass per poll; with waitMs = 0 this runs the match exactly
+    // once (the historical fail-fast semantics, spec-pinned)
+    while (!acquired && !exhausted) {
+      checkHolder() match {
+        case Gone => acquired = tryAcquire()
+        case Stale(observed) =>
+          // Break under a create-exclusive CLAIM: exactly one breaker
+          // enters; inside, the stale lock still occupies the path (so
+          // no writer can have re-acquired) and other breakers are
+          // excluded (so no one else can delete/recreate it) — the
+          // re-read below can only see the dead holder's payload or its
+          // absence, never a live successor's. Delete iff it is still
+          // the observation judged stale, then race the normal acquire.
+          val claim = new Path(p.getParent, s"${p.getName}.breaking")
+          if (createExclusive(f, claim, id)) {
+            try {
+              val curStat = try Some(f.getFileStatus(p))
+                catch { case _: java.io.FileNotFoundException => None }
+              curStat.foreach { st =>
+                val cur = try Some(readString(f, p))
+                  catch { case _: Exception => None }
+                val sameStale = (cur, observed) match {
+                  case (Some(a), Some(b)) => a == b
+                  case (None, None) =>
+                    System.currentTimeMillis - st.getModificationTime >
+                      math.max(staleMs, TornLockGraceMs)
+                  case _ => false
+                }
+                if (sameStale) f.delete(p, false)
               }
-              if (sameStale) f.delete(p, false)
-            }
-          } finally f.delete(claim, false)
-          acquired = tryAcquire()
-        } else {
-          // another breaker holds the claim — this attempt reports the
-          // store as held; clear the claim only if ITS holder crashed
-          // (old by mtime) so a later attempt can break
-          clearClaimIfStillStale(f, claim)
-        }
-      case Live => ()
+            } finally f.delete(claim, false)
+            acquired = tryAcquire()
+          } else {
+            // another breaker holds the claim — this attempt reports the
+            // store as held; clear the claim only if ITS holder crashed
+            // (old by mtime) so a later attempt can break
+            clearClaimIfStillStale(f, claim)
+          }
+        case Live => ()
+      }
+      if (!acquired) {
+        exhausted = System.currentTimeMillis >= waitDeadline
+        if (!exhausted)
+          try Thread.sleep(150)
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt(); exhausted = true }
+      }
     }
     if (!acquired) sys.error(
       s"artifact store $root: another writer holds ${p} — concurrent " +
@@ -600,10 +623,11 @@ object ArtifactStore {
       keyCols: Map[String, Seq[String]] = Map.empty,
       cntCols: Map[String, String] = Map.empty,
       lockStaleMs: Long = DefaultLockStaleMs,
-      requireBase: Option[Long] = None): Long = {
+      requireBase: Option[Long] = None,
+      lockWaitMs: Long = 0L): Long = {
     val (v, published) = publishImpl(spark, root, changes, note, kinds,
       keyCols, cntCols, lockStaleMs, ifNoteAbsent = None,
-      requireBase = requireBase)
+      requireBase = requireBase, lockWaitMs = lockWaitMs)
     if (!published) sys.error(
       s"publish under $root lost an optimistic-concurrency race: another " +
         s"writer committed v$v after this publish read its base " +
@@ -634,12 +658,13 @@ object ArtifactStore {
       cntCols: Map[String, String],
       lockStaleMs: Long,
       ifNoteAbsent: Option[String],
-      requireBase: Option[Long]): (Long, Boolean) = {
+      requireBase: Option[Long],
+      lockWaitMs: Long = 0L): (Long, Boolean) = {
     require(changes.nonEmpty, "publish needs at least one change")
     require(changes.map(_._1).distinct.size == changes.size,
       "duplicate artifact names in one publish")
     val f = fs(spark, root)
-    withWriterLock(f, root, lockStaleMs) { lock =>
+    withWriterLock(f, root, lockStaleMs, lockWaitMs) { lock =>
     val absorbed = ifNoteAbsent.flatMap(n => findVersionByNote(spark, root, n))
     val prevV = latestVersion(spark, root)
     if (absorbed.isDefined) (absorbed.get, false)
@@ -750,7 +775,8 @@ object ArtifactStore {
       kinds: Map[String, String] = Map.empty,
       keyCols: Map[String, Seq[String]] = Map.empty,
       cntCols: Map[String, String] = Map.empty,
-      noteKnownAbsent: Boolean = false): (Long, Boolean) = {
+      noteKnownAbsent: Boolean = false,
+      lockWaitMs: Long = 0L): (Long, Boolean) = {
     require(note.nonEmpty, "publishIdempotent needs a unique non-empty note")
     // `noteKnownAbsent` skips the pre-lock fast-path scan when the
     // caller JUST proved the note absent (e.g. [[graft.DeltaMain]]'s
@@ -764,7 +790,8 @@ object ArtifactStore {
       case Some(v) => (v, false)
       case None =>
         publishImpl(spark, root, changes, note, kinds, keyCols, cntCols,
-          DefaultLockStaleMs, ifNoteAbsent = Some(note), requireBase = None)
+          DefaultLockStaleMs, ifNoteAbsent = Some(note), requireBase = None,
+          lockWaitMs = lockWaitMs)
     }
   }
 
@@ -856,7 +883,8 @@ object ArtifactStore {
   def autoCompact(
       spark: SparkSession,
       root: String,
-      maxSegments: Int): Option[Long] = {
+      maxSegments: Int,
+      lockWaitMs: Long = 0L): Option[Long] = {
     require(maxSegments >= 1, "maxSegments must be >= 1")
     latestVersion(spark, root).flatMap { base =>
       val over = readManifest(spark, root, base).artifacts
@@ -867,7 +895,8 @@ object ArtifactStore {
           a -> Snapshot(read(spark, root, a, Some(base)).localCheckpoint()))
         val (v, published) = publishImpl(spark, root, changes,
           s"auto-compact@v$base", Map.empty, Map.empty, Map.empty,
-          DefaultLockStaleMs, ifNoteAbsent = None, requireBase = Some(base))
+          DefaultLockStaleMs, ifNoteAbsent = None, requireBase = Some(base),
+          lockWaitMs = lockWaitMs)
         if (published) Some(v) else None
       }
     }

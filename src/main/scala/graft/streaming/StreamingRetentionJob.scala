@@ -331,7 +331,11 @@ object StreamingRetentionJob {
     * grows-with-batch-count listing of `batch=*` sink dirs, and it is
     * exact under replay because the gated generation precedes the
     * batch's own publish. `streamId` namespaces the publish notes when
-    * several streams feed one store. GC of the store must keep at
+    * several streams feed one store, and `lockWaitMs` makes their
+    * publishes WAIT-serialize on the store's writer lock instead of
+    * failing fast (the CLI contract) — a thrown lock collision inside
+    * foreachBatch would kill the whole query over a rival's
+    * milliseconds-long publish. GC of the store must keep at
     * least the replay window's generations (nightly `gc(keepLast)`
     * does). `autoCompactAt` > 0 opportunistically collapses any
     * artifact whose segment list outgrows it after a publish
@@ -349,6 +353,7 @@ object StreamingRetentionJob {
       storeRoot: String,
       streamId: String = "stream",
       autoCompactAt: Int = 0,
+      lockWaitMs: Long = 120000L,
       opts: graft.jobs.DeltaJob.DeltaOptions =
         graft.jobs.DeltaJob.DeltaOptions()): StreamingQuery = {
     import graft.jobs.ArtifactStore
@@ -528,7 +533,14 @@ object StreamingRetentionJob {
           // gate resolution avoids). The authoritative in-lock re-check
           // still runs, so the one false negative — record lost after a
           // committed publish — is still absorbed and self-healed below.
-          noteKnownAbsent = committedV.isEmpty)
+          noteKnownAbsent = committedV.isEmpty,
+          // wait out a rival writer instead of failing fast: a thrown
+          // lock collision here kills the WHOLE query, so when several
+          // streams (or a stream and a batch CLI) feed one store, the
+          // milliseconds-long rival publish must be waited through —
+          // unattended streams need wait-serialization, not the CLI's
+          // fail-and-let-the-caller-retry contract
+          lockWaitMs = lockWaitMs)
         if (!published && committedV.isEmpty) {
           // This attempt believed the batch fresh (no gate record at
           // either location) yet the publish was absorbed — an earlier
@@ -545,7 +557,8 @@ object StreamingRetentionJob {
           if (g != gateV) writeSinkAndMarker(admitAt(g), g)
         }
         if (autoCompactAt > 0)
-          ArtifactStore.autoCompact(spark, storeRoot, autoCompactAt)
+          ArtifactStore.autoCompact(spark, storeRoot, autoCompactAt,
+            lockWaitMs = lockWaitMs)
         ()
       }
       .option("checkpointLocation", checkpoint)

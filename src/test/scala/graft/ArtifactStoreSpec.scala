@@ -524,6 +524,40 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(!new java.io.File(root, "_writer.lock").exists())
   }
 
+  test("lockWaitMs: concurrent different-note publishers wait-serialize — " +
+      "every publish commits instead of being turned away at the lock") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("base" -> 1L))),
+      kinds = Map("uni" -> "counts"))
+    // with the default fail-fast contract (lockWaitMs = 0) losers of
+    // the acquire race error out and the CALLER owns the retry — the
+    // N-breakers spec pins that. An unattended publisher (a streaming
+    // micro-batch) needs the opposite: wait out the rival's
+    // seconds-long publish and commit. All four must succeed here.
+    val n = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = (1 to n).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          gate.await()
+          ArtifactStore.publish(spark, root,
+            Seq("uni" -> Append(counts(s"t$i" -> 1L))),
+            lockWaitMs = 120000L)
+        }
+      })
+    }
+    gate.countDown()
+    val vs = results.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      .sorted
+    pool.shutdown()
+    assert(vs == (2L to (1L + n)))
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni",
+      verify = true)) ==
+      (Seq("base" -> 1L) ++ (1 to n).map(i => s"t$i" -> 1L)).sorted)
+  }
+
   test("wrongly-broken slow writer: its late data writes land in its own " +
       "attempt dirs — the successor's committed generation verifies intact") {
     val root = tmpRoot()

@@ -1371,6 +1371,65 @@ class StreamingSpec extends SparkSpec {
     assert(storeAdmitted == all.toSet -- admitted0)
   }
 
+  test("two concurrent streams feed ONE store: publishes wait-serialize " +
+      "on the writer lock and the store equals the rebuild over both sinks") {
+    import graft.jobs.{ArtifactStore, DeltaJob}
+    import graft.operators.{Dedup, LmScore, Sketches}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).localCheckpoint()
+    val store = Files.createTempDirectory("graft-two-streams-store").toString
+    DeltaJob.publishDay0Artifacts(spark, store, corpus)
+    val words = Sketches.bloomDenseWords(
+      Sketches.bloomBuild(
+        docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(Dedup.shingles(col("text"), 3)).as("g")),
+        "g", 262144, 3, 31L), 262144)
+    val dir = Files.createTempDirectory("graft-two-streams").toString
+    // disjoint deltas; both single-batch AvailableNow drains run AT THE
+    // SAME TIME against one store. Their foreachBatch publishes collide
+    // on the writer lock — with the streaming default lockWaitMs the
+    // loser WAITS out the winner's publish instead of throwing (a
+    // thrown collision would kill its whole query). Which stream
+    // publishes first (and therefore which near-dup suppressions apply
+    // cross-stream) is interleaving-dependent; the lifecycle invariant
+    // below is not.
+    docs.filter(col("doc_id") % 10 === 0).write.parquet(s"$dir/srcA")
+    docs.filter(col("doc_id") % 10 === 5).write.parquet(s"$dir/srcB")
+    val schema = docs.schema
+    def start(tag: String) = StreamingRetentionJob.runAdmissionStore(
+      spark, s"$dir/src$tag", schema, corpus, words,
+      admittedPath = s"$dir/admitted$tag", checkpoint = s"$dir/cp$tag",
+      storeRoot = store, streamId = tag)
+    val qa = start("A")
+    val qb = start("B")
+    assert(qa.awaitTermination(300000), "stream A did not drain")
+    assert(qb.awaitTermination(300000), "stream B did not drain")
+    // two publishes on top of day-0, serialized — no failed batch
+    assert(ArtifactStore.latestVersion(spark, store).contains(3L))
+    val admitted = spark.read.parquet(s"$dir/admittedA")
+      .unionByName(spark.read.parquet(s"$dir/admittedB"))
+      .select("doc_id", "text")
+    assert(admitted.count() > 0)
+    // store state ≡ rebuild over corpus + BOTH sinks, for ANY
+    // interleaving: each publish appends exactly its own admitted rows'
+    // signatures and counts, and the merge algebra is order-free
+    val grown = corpus.unionByName(admitted)
+    val rebuiltUni = LmScore.buildTrigramModel(grown, "text")._1
+    val storedUni = ArtifactStore.read(spark, store, "lm_uni", verify = true)
+    assert(storedUni.except(rebuiltUni).count() == 0 &&
+      rebuiltUni.except(storedUni).count() == 0)
+    val rebuiltIdx = Dedup.bandedSignatures(grown, "doc_id", "text", 3, 20, 10)
+    val storedIdx = ArtifactStore.read(spark, store, "index", verify = true)
+    assert(storedIdx.except(rebuiltIdx).count() == 0 &&
+      rebuiltIdx.except(storedIdx).count() == 0)
+    // both streams' gate records are committed and note-resolvable
+    assert(DeltaJob.recordedGate(spark, store, 3L,
+      "stream-admit:A:0").isDefined)
+    assert(DeltaJob.recordedGate(spark, store, 3L,
+      "stream-admit:B:0").isDefined)
+  }
+
   test("a micro-batch admitting ZERO documents still commits its gate " +
       "record atomically; merged views are unchanged and the replay is " +
       "absorbed") {
