@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage:
   *   StreamScaleProbe docs=<documents.parquet> work=<scratch dir> \
-  *     [n_batches=20] [batch_rows=200] [auto_compact=0]
+  *     [n_batches=20] [batch_rows=200] [auto_compact=0] [n_streams=1]
   *
   * Splits the documents table into a standing corpus (doc_id % 5 != 0,
   * day-0 store generation) and a delta pool (doc_id % 5 == 0) sliced
@@ -25,7 +25,16 @@ import org.apache.spark.sql.functions._
   * with the median wall of the first and last third of batches (a flat
   * profile means per-batch cost does not grow with admitted history).
   * Run the same arguments against a 10x-replicated documents table to
-  * measure how per-batch cost scales with CORPUS size at fixed |delta|. */
+  * measure how per-batch cost scales with CORPUS size at fixed |delta|.
+  *
+  * `n_streams=K` > 1 measures the MULTI-WRITER shape: the batch's rows
+  * split across K streams (distinct `streamId`s, sources, checkpoints,
+  * sinks) whose drains run CONCURRENTLY against the one store, so their
+  * publishes collide on the writer lock and wait-serialize
+  * (`lockWaitMs`). The per-wave wall is the max across the K drains —
+  * the cost a real multi-stream deployment pays per trigger, lock
+  * contention included; a failed drain (a publish turned away instead
+  * of waiting) aborts the probe loudly. */
 object StreamScaleProbe {
   def main(args: Array[String]): Unit = {
     val opts = args.map { a =>
@@ -36,6 +45,8 @@ object StreamScaleProbe {
     val nBatches = opts.getOrElse("n_batches", "20").toInt
     val batchRows = opts.getOrElse("batch_rows", "200").toInt
     val autoCompact = opts.getOrElse("auto_compact", "0").toInt
+    val nStreams = opts.getOrElse("n_streams", "1").toInt
+    require(nStreams >= 1, "n_streams must be >= 1")
     val work = opts("work")
 
     val spark = SparkSession.builder()
@@ -64,18 +75,12 @@ object StreamScaleProbe {
         .withColumn("rn",
           row_number().over(Window.orderBy("doc_id")) - 1)
         .localCheckpoint()
-      val src = s"$work/src"
       val schema = docs.schema
-      val walls = (0 until nBatches).map { b =>
-        pool.filter(col("rn") >= b * batchRows &&
-            col("rn") < (b + 1) * batchRows)
-          .drop("rn")
-          .write.mode("append").parquet(src)
-        val t0 = System.nanoTime()
+      def drainOne(tag: String, b: Int): Unit = {
         val q = graft.streaming.StreamingRetentionJob.runAdmissionStore(
-          spark, src, schema, corpus, words,
-          admittedPath = s"$work/admitted", checkpoint = s"$work/cp",
-          storeRoot = store, streamId = "probe",
+          spark, s"$work/src$tag", schema, corpus, words,
+          admittedPath = s"$work/admitted$tag", checkpoint = s"$work/cp$tag",
+          storeRoot = store, streamId = s"probe$tag",
           autoCompactAt = autoCompact)
         if (!q.awaitTermination(600000)) {
           // a capped sample would poison the emitted medians, and the
@@ -87,18 +92,42 @@ object StreamScaleProbe {
           stopper.setDaemon(true)
           stopper.start()
           stopper.join(30000)
-          sys.error(s"probe batch $b did not drain within 600s")
+          sys.error(s"probe stream $tag batch $b did not drain within 600s")
+        }
+      }
+      val walls = (0 until nBatches).map { b =>
+        val wave = pool.filter(col("rn") >= b * batchRows &&
+            col("rn") < (b + 1) * batchRows)
+        // split the wave across the streams by row rank; stage each
+        // slice into its stream's source BEFORE the timer
+        (0 until nStreams).foreach { s =>
+          wave.filter(col("rn") % nStreams === s).drop("rn")
+            .write.mode("append").parquet(s"$work/src$s")
+        }
+        val t0 = System.nanoTime()
+        if (nStreams == 1) drainOne("0", b)
+        else {
+          // all K drains at once: their publishes contend on the one
+          // writer lock and must wait-serialize, never fail
+          val threads = (0 until nStreams).map { s =>
+            val t = new Thread(() => drainOne(s.toString, b))
+            t.start(); t
+          }
+          threads.foreach(_.join())
         }
         val wall = (System.nanoTime() - t0) / 1e9
         val v = ArtifactStore.latestVersion(spark, store).get
         val maxSegs = ArtifactStore.readManifest(spark, store, v)
           .artifacts.map(_.segments.size).max
-        println(f"""{"probe":"stream_admit","batch":$b,"wall_sec":$wall%.2f,"store_version":$v,"max_segments":$maxSegs}""")
+        println(f"""{"probe":"stream_admit","batch":$b,"n_streams":$nStreams,"wall_sec":$wall%.2f,"store_version":$v,"max_segments":$maxSegs}""")
         wall
       }
       def med(xs: Seq[Double]) = xs.sorted.apply((xs.size - 1) / 2)
       val third = math.max(1, nBatches / 3)
-      println(f"""{"probe":"stream_admit_summary","n_batches":$nBatches,"batch_rows":$batchRows,"auto_compact":$autoCompact,"median_first_third_sec":${med(walls.take(third))}%.2f,"median_last_third_sec":${med(walls.takeRight(third))}%.2f,"total_sec":${walls.sum}%.2f,"docs":"${opts("docs")}"}""")
+      // multi-stream: expected store version = 1 (day-0) + waves×streams
+      // publishes — every drain committed exactly once
+      val vFinal = ArtifactStore.latestVersion(spark, store).get
+      println(f"""{"probe":"stream_admit_summary","n_batches":$nBatches,"batch_rows":$batchRows,"auto_compact":$autoCompact,"n_streams":$nStreams,"final_version":$vFinal,"median_first_third_sec":${med(walls.take(third))}%.2f,"median_last_third_sec":${med(walls.takeRight(third))}%.2f,"total_sec":${walls.sum}%.2f,"docs":"${opts("docs")}"}""")
     } finally spark.stop()
   }
 }
