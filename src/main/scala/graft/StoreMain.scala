@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   StoreMain store=<root> cmd=<audit|verify|compact|gc|export> \
   *     [artifact=<name>] [version=<v>] [keep_last=<k>] \
-  *     [max_segments=<k>] [out=<dir>]
+  *     [max_segments=<k>] [out=<dir>] [lock_wait_ms=0]
   *
   *  - `cmd=audit` — one JSON line: latest committed version, number of
   *    committed generations, and per-artifact (kind, segment count,
@@ -47,7 +47,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Every command prints one JSON stats line; mutating commands
   * (compact/gc) are serialized against concurrent publishers by the
-  * store's writer lock, read-only commands (audit/verify/export) run
+  * store's writer lock — fail-fast by default (the CLI contract), or
+  * waiting out a live writer for `lock_wait_ms` when run beside an
+  * active stream — read-only commands (audit/verify/export) run
   * lock-free against immutable committed state. */
 object StoreMain {
 
@@ -93,13 +95,19 @@ object StoreMain {
         }.mkString("[", ",", "]")
         s"""{"cmd":"verify","version":$v,"ok":true,"artifacts":$counts}"""
       case "compact" =>
+        // lock_wait_ms > 0 waits out a live writer (a stream mid-publish)
+        // instead of failing fast — for operators compacting BESIDE a
+        // running stream; the default stays the CLI fail-fast contract
+        val waitMs = opts.getOrElse("lock_wait_ms", "0").toLong
         opts.get("artifact") match {
           case Some(a) =>
-            val v = ArtifactStore.compact(spark, root, a)
+            val v = ArtifactStore.compact(spark, root, a,
+              lockWaitMs = waitMs)
             s"""{"cmd":"compact","artifact":${jstr(a)},"version":$v}"""
           case None =>
             val k = opts.getOrElse("max_segments", "1").toInt
-            ArtifactStore.autoCompact(spark, root, k) match {
+            ArtifactStore.autoCompact(spark, root, k,
+              lockWaitMs = waitMs) match {
               case Some(v) =>
                 s"""{"cmd":"compact","max_segments":$k,"version":$v}"""
               case None =>
@@ -108,7 +116,8 @@ object StoreMain {
         }
       case "gc" =>
         val k = opts.getOrElse("keep_last", "7").toInt
-        val r = ArtifactStore.gc(spark, root, k)
+        val r = ArtifactStore.gc(spark, root, k,
+          lockWaitMs = opts.getOrElse("lock_wait_ms", "0").toLong)
         s"""{"cmd":"gc","keep_last":$k,""" +
           s""""kept_versions":${r.keptVersions.mkString("[", ",", "]")},""" +
           s""""deleted_versions":${r.deletedVersions.mkString("[", ",", "]")},""" +

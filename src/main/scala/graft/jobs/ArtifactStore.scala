@@ -856,14 +856,16 @@ object ArtifactStore {
       spark: SparkSession,
       root: String,
       artifact: String,
-      note: String = "compact"): Long = {
+      note: String = "compact",
+      lockWaitMs: Long = 0L): Long = {
     val base = latestVersion(spark, root).getOrElse(
       sys.error(s"artifact store $root has no committed version"))
     val merged = read(spark, root, artifact, Some(base)).localCheckpoint()
     val (v, published) = publishImpl(spark, root,
       Seq(artifact -> Snapshot(merged)), note,
       Map.empty, Map.empty, Map.empty, DefaultLockStaleMs,
-      ifNoteAbsent = None, requireBase = Some(base))
+      ifNoteAbsent = None, requireBase = Some(base),
+      lockWaitMs = lockWaitMs)
     if (!published) sys.error(
       s"compact of '$artifact' under $root lost a race: another writer " +
         s"committed v$v after the merged view was read at v$base — re-run")
@@ -984,12 +986,13 @@ object ArtifactStore {
       spark: SparkSession,
       root: String,
       keepLast: Int,
-      lockStaleMs: Long = DefaultLockStaleMs): GcReport = {
+      lockStaleMs: Long = DefaultLockStaleMs,
+      lockWaitMs: Long = 0L): GcReport = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val f = fs(spark, root)
     val dir = manifestDir(root)
     if (!f.exists(dir)) return GcReport(Nil, Nil, Nil)
-    withWriterLock(f, root, lockStaleMs) { _ =>
+    withWriterLock(f, root, lockStaleMs, lockWaitMs) { _ =>
     val versions = f.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("manifest-v") && n.endsWith(".json") =>
         n.stripPrefix("manifest-v").stripSuffix(".json").toLong }
