@@ -2797,16 +2797,18 @@ object SparkEntry {
           .withColumn("c1", -col("c1")))), note = "convict")
       S.read(s, store, "uni")
     }),
-    // the store's opportunistic compaction (the LSM read-amplification
-    // cap a high-frequency micro-batch stream needs between nightly
-    // reconciles): the same snapshot + admit-append + convict-append
-    // lineage, then autoCompact with the segment threshold exceeded —
-    // the lineage collapses to ONE segment in a new generation and the
-    // merged read is UNCHANGED. The oracle rebuilds the live documents'
-    // counts in SQL, so a green hash proves read-equivalence across
-    // compaction cross-engine; the in-builder require pins the collapse
-    // itself (1 segment, auto-compact note). verify = true re-checksums
-    // the compacted segment against its manifest stamp on every run.
+    // the store's opportunistic SIZE-TIERED compaction (the LSM
+    // read-amplification cap a high-frequency micro-batch stream needs
+    // between nightly reconciles): the same snapshot + admit-append +
+    // convict-append lineage, then autoCompact with the segment
+    // threshold exceeded — the smallest similar-sized segments merge
+    // into one (work proportional to what is merged, never the corpus —
+    // the 100-TB invariant) and the merged read is UNCHANGED. The
+    // oracle rebuilds the live documents' counts in SQL, so a green
+    // hash proves read-equivalence across compaction cross-engine; the
+    // in-builder require pins the merge itself (strictly shrunk, at or
+    // under threshold, auto-compact note). verify = true re-checksums
+    // every surviving segment against its manifest stamp on every run.
     "q_artifact_autocompact" -> ((s, dir) => {
       val docs = readWide(s, dir, "documents")
       val store = java.nio.file.Files
@@ -2828,8 +2830,9 @@ object SparkEntry {
         sys.error("autoCompact must fire on a 3-segment lineage"))
       val m = S.readManifest(s, store, v)
       require(m.note == "auto-compact@v3" &&
-        m.artifacts.head.segments.size == 1,
-        "auto-compaction must collapse the lineage to one segment")
+        m.artifacts.head.segments.size <= 2,
+        "tiered auto-compaction must merge the small tail back to or " +
+          "under the threshold")
       S.read(s, store, "uni", verify = true)
     }),
     // DoReMi-lite per-domain mixture weights from the quality score:

@@ -32,12 +32,16 @@ import org.apache.spark.sql.SparkSession
   *    drift, else reports merged row counts. This is the offline
   *    scrubber: corruption is caught here, not at 3am in a pipeline.
   *  - `cmd=compact` — with `artifact=`, collapse THAT artifact's
-  *    segment list to one ([[ArtifactStore.compact]]); without it,
-  *    collapse every artifact whose list exceeds `max_segments`
-  *    (default 1, i.e. everything not already compact —
-  *    [[ArtifactStore.autoCompact]]). Optimistic-concurrency guarded:
-  *    loses a race with a concurrent publisher loudly (compact) or
-  *    harmlessly (autoCompact returns no version; re-run).
+  *    segment list to one ([[ArtifactStore.compact]] — the full
+  *    rewrite, sized to that artifact); without it, DRAIN the
+  *    size-tiered compactor ([[ArtifactStore.autoCompact]]): repeat
+  *    tiered merge steps until no artifact's list exceeds
+  *    `max_segments` (default 1), each step merging only the smallest
+  *    similar-sized segments so the work stays proportional to the
+  *    tail being merged, never the corpus. Optimistic-concurrency
+  *    guarded: loses a race with a concurrent publisher loudly
+  *    (compact) or harmlessly (a drain step returns no version and the
+  *    drain stops; re-run).
   *  - `cmd=gc` — drop all but the newest `keep_last` generations and
   *    every segment/orphan dir only they reference
   *    ([[ArtifactStore.gc]] — reference-counted, lock-serialized).
@@ -106,13 +110,19 @@ object StoreMain {
             s"""{"cmd":"compact","artifact":${jstr(a)},"version":$v}"""
           case None =>
             val k = opts.getOrElse("max_segments", "1").toInt
-            ArtifactStore.autoCompact(spark, root, k,
+            // drain: tiered steps strictly shrink some over-threshold
+            // list each round, so this terminates; a lost optimistic
+            // race surfaces as an early stop (re-run)
+            var last: Option[Long] = None
+            var steps = 0
+            var more = true
+            while (more) ArtifactStore.autoCompact(spark, root, k,
               lockWaitMs = waitMs) match {
-              case Some(v) =>
-                s"""{"cmd":"compact","max_segments":$k,"version":$v}"""
-              case None =>
-                s"""{"cmd":"compact","max_segments":$k,"version":null}"""
+              case Some(v) => last = Some(v); steps += 1
+              case None => more = false
             }
+            s"""{"cmd":"compact","max_segments":$k,"steps":$steps,""" +
+              s""""version":${last.map(_.toString).getOrElse("null")}}"""
         }
       case "gc" =>
         val k = opts.getOrElse("keep_last", "7").toInt

@@ -33,8 +33,10 @@ import org.apache.spark.sql.SparkSession
   * when several feed one store; their publishes WAIT-serialize on the
   * store's writer lock for up to `lock_wait_ms` each (fail-fast is the
   * batch CLIs' contract — an unattended stream must not die over a
-  * rival's milliseconds-long publish). `auto_compact=K` caps any
-  * artifact's segment list at K between nightly reconciles.
+  * rival's milliseconds-long publish). `auto_compact=K` tier-compacts
+  * any artifact whose segment list outgrows K — merging only the small
+  * tail, never rewriting a corpus-sized base — between nightly
+  * reconciles.
   *
   * `build_artifacts=true` first publishes the day-0 generation from
   * `corpus` (the [[DeltaMain]] contract), then streams. The store must

@@ -97,6 +97,17 @@ object ArtifactStore {
   /** Add one segment to the artifact's list — O(|delta|) admission
     * (or, for `counts` artifacts, a negated-counts conviction). */
   final case class Append(df: DataFrame) extends Change
+  /** Replace the named segments (by manifest path) with this one
+    * merged segment, leaving every other segment untouched — the
+    * TIERED compaction primitive ([[autoCompact]]): work is
+    * proportional to the segments being merged, never to the artifact
+    * (the reference delegates compaction task selection to a tiered
+    * underlying strategy for exactly this reason —
+    * ref: DeletingCompactionStrategy.java:84-91). The merged frame must
+    * be read-equivalent to the replaced segments' union (for `counts`,
+    * their per-key sums — NEGATIVE partial sums kept, a base segment
+    * elsewhere may offset them). */
+  final case class Rewrite(df: DataFrame, replaces: Set[String]) extends Change
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -118,72 +129,21 @@ object ArtifactStore {
   private val BreakClaimStaleMs: Long = 60L * 1000
 
   /** Filesystem schemes whose `create(path, overwrite = false)` is not
-    * an atomic put-if-absent (plain S3 has no create-exclusive; modern
-    * S3 conditional writes exist but need explicit opt-in). The lock
-    * protocol is only sound on filesystems with atomic create-exclusive:
-    * HDFS provides it at the NameNode, and the local scheme is routed
-    * through NIO `CREATE_NEW` ([[createExclusive]] — Hadoop's own
-    * RawLocalFS create is check-then-create). Deployments on these
-    * schemes must either front the store with an external mutex or,
-    * where the object store provides conditional writes (S3
-    * If-None-Match, GCS generation preconditions), enable them and set
+    * an atomic put-if-absent (plain S3 has no create-exclusive). The
+    * lock protocol is only sound over an atomic put-if-absent: HDFS
+    * provides it at the NameNode, the local scheme is routed through
+    * NIO `CREATE_NEW` ([[HadoopLockIo]] — Hadoop's own RawLocalFS
+    * create is check-then-create), and object stores with conditional
+    * writes (S3 `If-None-Match`, GCS generation preconditions) plug in
+    * a [[LockIo]] provider via
+    * `graft.artifactstore.lock.provider=<class>` — which bypasses this
+    * gate, because the provider now supplies the atomicity. Without a
+    * provider, deployments on these schemes must either front the
+    * store with an external mutex or set
     * `graft.artifactstore.lock.allow-nonatomic-create` to `true` in the
     * Hadoop configuration to acknowledge the contract. */
   private[graft] val NonAtomicCreateSchemes: Set[String] =
     Set("s3", "s3a", "s3n")
-
-  /** Atomic put-if-absent file creation. On the LOCAL filesystem
-    * Hadoop's `create(path, overwrite = false)` is check-then-create —
-    * two simultaneous creators can both "win" — so the local scheme
-    * goes through NIO `CREATE_NEW` (a true `O_CREAT|O_EXCL`, atomic at
-    * the syscall); everything else uses the FileSystem contract (HDFS
-    * create-exclusive is atomic on the NameNode). The payload write
-    * follows the creation, so a concurrent reader can observe a
-    * momentarily-empty file — [[TornLockGraceMs]] covers that window. */
-  private def createExclusive(f: FileSystem, p: Path, payload: String): Boolean = {
-    val scheme = Option(f.getUri.getScheme).getOrElse("file")
-    if (scheme == "file") {
-      val nio = java.nio.file.Paths.get(p.toUri.getPath)
-      // two steps, so failure cleanup only ever targets a file WE
-      // created: createFile is the atomic O_CREAT|O_EXCL claim; if the
-      // payload write then fails, deleting the file is safe (no rival
-      // can hold it — their create would have failed on ours). A
-      // single-call Files.write(CREATE_NEW) that failed ambiguously
-      // could otherwise lead us to delete a rival's fresh lock.
-      var created = false
-      try {
-        Option(nio.getParent).foreach(java.nio.file.Files.createDirectories(_))
-        java.nio.file.Files.createFile(nio)
-        created = true
-        java.nio.file.Files.write(nio, payload.getBytes("UTF-8"))
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.io.IOException =>
-          // an orphan empty file of OURS would wedge every later
-          // acquirer for the full staleness bound; reclaim it
-          if (created) {
-            try java.nio.file.Files.deleteIfExists(nio)
-            catch { case _: Exception => () }
-          }
-          false
-      }
-    } else {
-      var created = false
-      try {
-        val out = f.create(p, false)
-        created = true
-        try out.write(payload.getBytes("UTF-8")) finally out.close()
-        true
-      } catch {
-        case _: java.io.IOException =>
-          // as above: if OUR create succeeded but the payload write
-          // failed, delete the torn lock rather than stranding it
-          if (created) { try f.delete(p, false) catch { case _: Exception => () } }
-          false
-      }
-    }
-  }
 
   /** Reject the lock protocol on a filesystem that cannot honor it —
     * see [[NonAtomicCreateSchemes]]. Pure on (scheme, override) so the
@@ -192,10 +152,37 @@ object ArtifactStore {
       scheme: String, allowNonAtomic: Boolean): Unit =
     if (NonAtomicCreateSchemes(scheme) && !allowNonAtomic) sys.error(
       s"artifact store writer lock needs atomic create-exclusive, which " +
-        s"'$scheme' does not provide natively. Enable the object store's " +
-        "conditional writes and set " +
+        s"'$scheme' does not provide natively. Plug in a conditional-write " +
+        "lock backend (graft.artifactstore.lock.provider=<LockIo class> — " +
+        "S3 If-None-Match / GCS generation preconditions), set " +
         "graft.artifactstore.lock.allow-nonatomic-create=true, or front " +
         "the store with an external mutex.")
+
+  /** Resolve the control-file backend for the lock protocol: a
+    * configured provider class (object-store conditional writes), or
+    * the store's own filesystem. A configured provider carries its own
+    * atomicity guarantee, so the create-exclusive scheme gate is
+    * skipped for it. */
+  private[graft] def lockIoFor(f: FileSystem): LockIo =
+    Option(f.getConf.getTrimmed("graft.artifactstore.lock.provider")) match {
+      case Some(cls) if cls.nonEmpty =>
+        Class.forName(cls).getDeclaredConstructor()
+          .newInstance().asInstanceOf[LockIo]
+      case _ =>
+        assertLockCapableScheme(
+          Option(f.getUri.getScheme).getOrElse("file"),
+          f.getConf.getBoolean(
+            "graft.artifactstore.lock.allow-nonatomic-create", false))
+        new HadoopLockIo(f)
+    }
+
+  /** Consecutive transport-error polls of the lock state tolerated
+    * before the underlying error surfaces to the caller. Without the
+    * bound, a persistent FS outage reads as "another writer holds the
+    * lock" — a misdiagnosis that costs a debugging session; with it,
+    * transient blips are retried and a real outage is reported as
+    * itself within a second. */
+  private val MaxLockStateErrors = 5
 
   /** Serialize store mutations across processes ([[DeltaMain]],
     * [[graft.RetentionMain]], and [[graft.ReconcileMain]] are separate
@@ -249,9 +236,9 @@ object ArtifactStore {
     * that materializes files AFTER the break cannot corrupt what the
     * successor checksums and commits — the wrongly-broken writer only
     * ever wastes its own work. */
-  private final class WriterLock(f: FileSystem, p: Path, id: String) {
+  private final class WriterLock(io: LockIo, p: Path, id: String) {
     def assertStillHeld(root: String): Unit = {
-      val mine = try readString(f, p).startsWith(id)
+      val mine = try io.readPayload(p).exists(_.startsWith(id))
         catch { case _: Exception => false }
       if (!mine) sys.error(
         s"artifact store $root: writer lock was broken as stale " +
@@ -275,12 +262,9 @@ object ArtifactStore {
       body: WriterLock => T): T = {
     val p = lockPath(root)
     val id = java.util.UUID.randomUUID.toString
-    assertLockCapableScheme(
-      Option(f.getUri.getScheme).getOrElse("file"),
-      f.getConf.getBoolean(
-        "graft.artifactstore.lock.allow-nonatomic-create", false))
+    val io = lockIoFor(f)
     def tryAcquire(): Boolean =
-      createExclusive(f, p, s"$id ${System.currentTimeMillis}")
+      io.putIfAbsent(p, s"$id ${System.currentTimeMillis}")
     // Live / Stale(observed payload) / Gone — Gone (vanished between
     // our failed acquire and this check) just retries the acquire. The
     // Stale case CAPTURES the payload it judged stale: the break path
@@ -291,29 +275,54 @@ object ArtifactStore {
     final case class Stale(observed: Option[String]) extends Holder
     case object Gone extends Holder
     def checkHolder(): Holder =
-      try {
-        val st = f.getFileStatus(p)
-        val payload = try Some(readString(f, p))
-          catch { case _: Exception => None }
-        payload.flatMap(s =>
-          scala.util.Try(s.split(" ")(1).toLong).toOption) match {
-          case Some(ts) =>
-            if (System.currentTimeMillis - ts > staleMs) Stale(payload)
-            else Live
-          case None => // torn/empty: live unless the FILE itself is old
-            if (System.currentTimeMillis - st.getModificationTime >
-              math.max(staleMs, TornLockGraceMs)) Stale(payload)
-            else Live
+      io.mtime(p) match {
+        case None => Gone
+        case Some(mt) =>
+          // unreadable-but-present payload = torn (a holder between
+          // create and payload write) — judged by the FILE's age below
+          val payload = try io.readPayload(p)
+            catch { case _: Exception => None }
+          payload.flatMap(s =>
+            scala.util.Try(s.split(" ")(1).toLong).toOption) match {
+            case Some(ts) =>
+              if (System.currentTimeMillis - ts > staleMs) Stale(payload)
+              else Live
+            case None => // torn/empty: live unless the FILE itself is old
+              if (System.currentTimeMillis - mt >
+                math.max(staleMs, TornLockGraceMs)) Stale(payload)
+              else Live
+          }
+      }
+    // Transport errors (outage, auth) must not masquerade as a live
+    // holder: retry the state poll a few times, then surface the REAL
+    // error — "another writer holds the lock" when the filesystem is
+    // down is a misdiagnosis that costs a debugging session.
+    def checkHolderSurfacing(): Holder = {
+      var attempts = 0
+      var out: Option[Holder] = None
+      while (out.isEmpty) {
+        try out = Some(checkHolder())
+        catch {
+          case e: Exception =>
+            attempts += 1
+            if (attempts >= MaxLockStateErrors) throw new RuntimeException(
+              s"artifact store $root: lock state at $p is unreadable " +
+                s"($attempts consecutive failures) — the filesystem/" +
+                "object store is erroring, not a rival writer", e)
+            try Thread.sleep(50)
+            catch { case _: InterruptedException =>
+              Thread.currentThread().interrupt(); throw e }
         }
-      } catch { case _: java.io.FileNotFoundException => Gone
-                case _: Exception => Live }
+      }
+      out.get
+    }
     val waitDeadline = System.currentTimeMillis + math.max(0L, waitMs)
     var acquired = tryAcquire()
     var exhausted = false
     // one pass per poll; with waitMs = 0 this runs the match exactly
     // once (the historical fail-fast semantics, spec-pinned)
     while (!acquired && !exhausted) {
-      checkHolder() match {
+      checkHolderSurfacing() match {
         case Gone => acquired = tryAcquire()
         case Stale(observed) =>
           // Break under a create-exclusive CLAIM: exactly one breaker
@@ -324,36 +333,40 @@ object ArtifactStore {
           // absence, never a live successor's. Delete iff it is still
           // the observation judged stale, then race the normal acquire.
           val claim = new Path(p.getParent, s"${p.getName}.breaking")
-          if (createExclusive(f, claim, id)) {
+          if (io.putIfAbsent(claim, id)) {
             try {
-              val curStat = try Some(f.getFileStatus(p))
-                catch { case _: java.io.FileNotFoundException => None }
-              curStat.foreach { st =>
-                val cur = try Some(readString(f, p))
+              val curMt = io.mtime(p)
+              curMt.foreach { mt =>
+                val cur = try io.readPayload(p)
                   catch { case _: Exception => None }
                 val sameStale = (cur, observed) match {
                   case (Some(a), Some(b)) => a == b
                   case (None, None) =>
-                    System.currentTimeMillis - st.getModificationTime >
+                    System.currentTimeMillis - mt >
                       math.max(staleMs, TornLockGraceMs)
                   case _ => false
                 }
-                if (sameStale) f.delete(p, false)
+                if (sameStale) io.delete(p)
               }
-            } finally f.delete(claim, false)
+            } finally io.delete(claim)
             acquired = tryAcquire()
           } else {
             // another breaker holds the claim — this attempt reports the
             // store as held; clear the claim only if ITS holder crashed
             // (old by mtime) so a later attempt can break
-            clearClaimIfStillStale(f, claim)
+            clearClaimIfStillStale(io, claim)
           }
         case Live => ()
       }
       if (!acquired) {
         exhausted = System.currentTimeMillis >= waitDeadline
+        // Jittered poll: K waiters on one store must not wake in
+        // lockstep — each poll is a stat + read + possible create, and
+        // a synchronized herd turns into simultaneous NameNode RPCs (or
+        // object-store requests) for the whole wait window.
         if (!exhausted)
-          try Thread.sleep(150)
+          try Thread.sleep(java.util.concurrent.ThreadLocalRandom
+            .current().nextLong(100L, 300L))
           catch { case _: InterruptedException =>
             Thread.currentThread().interrupt(); exhausted = true }
       }
@@ -362,8 +375,8 @@ object ArtifactStore {
       s"artifact store $root: another writer holds ${p} — concurrent " +
         "publishers are serialized; retry after it commits (or after " +
         s"${staleMs}ms if it crashed)")
-    try body(new WriterLock(f, p, id))
-    finally releaseOwnLock(f, p, id)
+    try body(new WriterLock(io, p, id))
+    finally releaseOwnLock(io, p, id)
   }
 
   /** Release = delete our own lock, UNDER the break claim. Without the
@@ -382,20 +395,20 @@ object ArtifactStore {
     * [[BreakClaimStaleMs]]), the lock is LEFT IN PLACE — safe and
     * self-healing, since an unreleased lock is broken as stale after
     * `staleMs` and the orphaned claim is cleared by any later waiter. */
-  private def releaseOwnLock(f: FileSystem, p: Path, id: String): Unit = try {
+  private def releaseOwnLock(io: LockIo, p: Path, id: String): Unit = try {
     val claim = new Path(p.getParent, s"${p.getName}.breaking")
     var tries = 0
     var done = false
     while (!done && tries < 200) {
-      if (createExclusive(f, claim, id)) {
+      if (io.putIfAbsent(claim, id)) {
         try {
-          val mine = try readString(f, p).startsWith(id)
+          val mine = try io.readPayload(p).exists(_.startsWith(id))
             catch { case _: Exception => false }
-          if (mine) f.delete(p, false)
-        } finally f.delete(claim, false)
+          if (mine) io.delete(p)
+        } finally io.delete(claim)
         done = true
       } else {
-        if (!clearClaimIfStillStale(f, claim)) {
+        if (!clearClaimIfStillStale(io, claim)) {
           // release runs in a finally block: an interrupt must neither
           // mask the body's exception nor abort the JVM-side cleanup
           // loop abruptly — note it, stop spinning, leave the lock to
@@ -428,13 +441,12 @@ object ArtifactStore {
     * lock payload to the exact observation judged stale; release
     * deletes only its own uuid) and the commit path is backstopped by
     * `assertStillHeld` + the put-if-absent manifest check. */
-  private def clearClaimIfStillStale(f: FileSystem, claim: Path): Boolean =
+  private def clearClaimIfStillStale(io: LockIo, claim: Path): Boolean =
     try {
-      val st = f.getFileStatus(claim)
-      val old = System.currentTimeMillis -
-        st.getModificationTime > BreakClaimStaleMs
-      old && f.getFileStatus(claim).getModificationTime ==
-        st.getModificationTime && f.delete(claim, false)
+      io.mtime(claim).exists { mt =>
+        val old = System.currentTimeMillis - mt > BreakClaimStaleMs
+        old && io.mtime(claim).contains(mt) && { io.delete(claim); true }
+      }
     } catch { case _: Exception => false }
   private def manifestPath(root: String, v: Long) =
     new Path(manifestDir(root), f"manifest-v$v%09d.json")
@@ -679,8 +691,10 @@ object ArtifactStore {
     // is disjoint from any OTHER attempt's dirs at the same version, so
     // a wrongly-broken slow writer's late parquet task commits land in
     // its own (orphaned, never-referenced) dirs — not in the data a
-    // successor already checksummed and is about to commit
-    val attempt = java.util.UUID.randomUUID.toString.take(8)
+    // successor already checksummed and is about to commit. The FULL
+    // uuid: a truncated tag's collision would silently re-share a data
+    // dir, reopening the stomp window this exists to close structurally
+    val attempt = java.util.UUID.randomUUID.toString
     val prev: Map[String, ArtifactMeta] = prevV
       .map(pv => readManifest(spark, root, pv).artifacts
         .map(a => a.artifact -> a).toMap)
@@ -706,6 +720,13 @@ object ArtifactStore {
       val segs = change match {
         case _: Snapshot => Seq(seg)
         case _: Append => meta0.map(_.segments).getOrElse(Nil) :+ seg
+        case r: Rewrite =>
+          val old = meta0.map(_.segments).getOrElse(Nil)
+          require(r.replaces.nonEmpty &&
+            r.replaces.subsetOf(old.map(_.path).toSet),
+            s"Rewrite of '$name' names segments not in the base " +
+              s"manifest: ${r.replaces -- old.map(_.path).toSet}")
+          old.filterNot(s => r.replaces(s.path)) :+ seg
       }
       ArtifactMeta(name, kind, keys, cnt, segs)
     }
@@ -872,13 +893,64 @@ object ArtifactStore {
     v
   }
 
-  /** Opportunistic store-level compaction — the LSM read-amplification
-    * cap: collapse EVERY artifact whose segment list exceeds
-    * `maxSegments`, all in one generation (read-equivalent by the merge
-    * algebra; `rows` stays a union, `counts` telescopes). Call after a
-    * publish on high-frequency append paths (streaming micro-batches)
-    * where waiting for the nightly [[ReconcileJob]] would let the
-    * `counts` read cost grow linearly in batches. Returns the
+  /** Geometric-tier fanout for [[autoCompact]]'s merge-group rule: a
+    * segment joins the group only while it is at most this factor
+    * larger than everything already grouped — so same-sized deltas
+    * always merge, and a corpus-sized base segment is excluded until
+    * the REST of the artifact has grown to within 2× of it (at which
+    * point merging it doubles the artifact's base, the classic
+    * amortized-logarithmic schedule). */
+  private val TierFanout = 2L
+
+  /** The merge group for one tiered compaction: segments sorted by
+    * size ASCENDING, take the longest prefix where each next segment is
+    * ≤ [[TierFanout]] × the running group total — the smallest,
+    * similar-sized segments. A prefix shorter than 2 (the next segment
+    * dwarfs the smallest — e.g. one stray empty delta beside a big
+    * base) falls back to merging just the two smallest, which still
+    * strictly shrinks the list at cost ≤ 2× the second-smallest
+    * segment. Returns the group LENGTH (≥ 2 when sizes.size ≥ 2).
+    * Pure on the size list, so the schedule is unit-testable without a
+    * store. */
+  private[graft] def tierGroupLen(sizes: Seq[Long]): Int = {
+    require(sizes.size >= 2, "tier group needs at least two segments")
+    require(sizes == sizes.sorted, "tierGroupLen expects ascending sizes")
+    var sum = math.max(sizes.head, 0L)
+    var j = 1
+    while (j < sizes.size &&
+        sizes(j) <= TierFanout * math.max(sum, 1L)) {
+      sum += math.max(sizes(j), 0L)
+      j += 1
+    }
+    math.max(j, 2)
+  }
+
+  /** Opportunistic SIZE-TIERED store compaction — the LSM
+    * read-amplification cap for high-frequency append paths (streaming
+    * micro-batches) between nightly [[ReconcileJob]]/[[compact]] runs.
+    *
+    * For every artifact whose segment list exceeds `maxSegments`, merge
+    * ONE group of its smallest, similar-sized segments into a single
+    * segment ([[tierGroupLen]]'s geometric rule), leaving the rest —
+    * in particular any corpus-sized base segment — untouched. This is
+    * the property that keeps streaming admission O(|delta|) at scale:
+    * a full-collapse policy would rewrite a corpus-sized `rows`
+    * artifact (signature index, admitted docs) every ~K micro-batches,
+    * an amortized per-batch write cost LINEAR in corpus size; the
+    * tiered schedule rewrites each row O(log corpus/delta) times total,
+    * and the segment count stays bounded by the number of geometric
+    * size tiers (the reference's compaction likewise scopes work to the
+    * tables being compacted, delegating task selection to a tiered
+    * underlying strategy — ref: DeletingCompactionStrategy.java:84-91).
+    * Because groups are geometrically separated, the post-compaction
+    * list can legitimately exceed `maxSegments` by a few tiers; full
+    * collapse remains the nightly [[compact]]'s job.
+    *
+    * Read-equivalent by the merge algebra: `rows` groups merge to their
+    * union; `counts` groups merge to their per-key partial sums —
+    * keeping NEGATIVE partials (a base segment outside the group may
+    * offset them; only exact zeros drop, they cancel against anything).
+    * All merged artifacts commit in one generation. Returns the
     * compaction generation, or None when nothing was over threshold or
     * the optimistic base-version guard lost a race (harmless — the next
     * call retries). */
@@ -889,12 +961,23 @@ object ArtifactStore {
       lockWaitMs: Long = 0L): Option[Long] = {
     require(maxSegments >= 1, "maxSegments must be >= 1")
     latestVersion(spark, root).flatMap { base =>
-      val over = readManifest(spark, root, base).artifacts
-        .filter(_.segments.size > maxSegments).map(_.artifact).sorted
-      if (over.isEmpty) None
+      val changes = readManifest(spark, root, base).artifacts
+        .filter(_.segments.size > maxSegments).sortBy(_.artifact)
+        .map { a =>
+          val bySize = a.segments.sortBy(s => (s.rows, s.path))
+          val group = bySize.take(tierGroupLen(bySize.map(_.rows)))
+          val union = group.map(s => spark.read.parquet(s.path))
+            .reduceLeft(_ unionByName _)
+          val merged =
+            if (a.kind == "counts")
+              union.groupBy(a.keyCols.map(col): _*)
+                .agg(sum(a.cntCol).as(a.cntCol))
+                .filter(col(a.cntCol) =!= 0)
+            else union
+          a.artifact -> Rewrite(merged, group.map(_.path).toSet)
+        }
+      if (changes.isEmpty) None
       else {
-        val changes = over.map(a =>
-          a -> Snapshot(read(spark, root, a, Some(base)).localCheckpoint()))
         val (v, published) = publishImpl(spark, root, changes,
           s"auto-compact@v$base", Map.empty, Map.empty, Map.empty,
           DefaultLockStaleMs, ifNoteAbsent = None, requireBase = Some(base),

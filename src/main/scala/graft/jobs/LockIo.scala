@@ -1,0 +1,161 @@
+package graft.jobs
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Pluggable atomic-control-file backend for the artifact store's
+  * writer-lock protocol ([[ArtifactStore]]).
+  *
+  * The protocol needs exactly four primitives on two tiny control files
+  * (the lock and its break claim): an ATOMIC put-if-absent create, a
+  * payload read, a modification-time stat, and a delete. The default
+  * backend is the store's own filesystem ([[HadoopLockIo]] — HDFS
+  * create-exclusive is atomic at the NameNode; the local scheme routes
+  * through NIO `O_CREAT|O_EXCL`). Object stores without native
+  * create-exclusive (plain S3) are rejected by the scheme gate — but
+  * modern object stores DO provide an equivalent conditional write
+  * (S3 `If-None-Match: *` conditional PUT, GCS `ifGenerationMatch=0`
+  * preconditions), and a deployment on one plugs it in here: implement
+  * this trait over the store's conditional-write API and select it with
+  *
+  *   graft.artifactstore.lock.provider=<fully.qualified.ClassName>
+  *
+  * in the Hadoop configuration (no-arg constructor). A configured
+  * provider REPLACES the filesystem for the control files only — data
+  * segments and manifests still go through the FileSystem — and
+  * bypasses the create-exclusive scheme gate, because the provider, not
+  * the store's FS, now supplies the atomicity the protocol needs.
+  * [[InMemoryLockIo]] is the reference conditional-PUT implementation
+  * (and the test double proving the whole break/claim/release protocol
+  * is sound over this contract).
+  *
+  * Semantics required of an implementation:
+  *  - `putIfAbsent` is linearizable: of N concurrent callers on one
+  *    absent path, exactly one returns true. A failed/ambiguous write
+  *    must not leave a file a rival's create would trip over.
+  *  - `readPayload`/`mtime` return None for an absent path and THROW
+  *    on transport errors (outage, auth) — the protocol distinguishes
+  *    "not there" (lock free / torn) from "cannot tell" (surfaced to
+  *    the caller after repeated failures instead of being misreported
+  *    as a live holder).
+  *  - `delete` is idempotent; deleting an absent path is a no-op. */
+trait LockIo {
+  /** Atomic put-if-absent: create `path` holding `payload`; false if
+    * it already exists (or this creator's write failed cleanly). */
+  def putIfAbsent(path: Path, payload: String): Boolean
+
+  /** The full payload, or None if absent. Throws on transport errors. */
+  def readPayload(path: Path): Option[String]
+
+  /** Modification time (epoch millis), or None if absent. Throws on
+    * transport errors. */
+  def mtime(path: Path): Option[Long]
+
+  /** Remove the control file (no-op if absent). */
+  def delete(path: Path): Unit
+}
+
+/** Default backend: the store's own filesystem. Local paths use NIO
+  * `CREATE_NEW` (a true `O_CREAT|O_EXCL`, atomic at the syscall —
+  * Hadoop's RawLocalFileSystem `create(overwrite=false)` is
+  * check-then-create and loses simultaneous-acquire races); everything
+  * else uses the FileSystem contract (HDFS create-exclusive is atomic
+  * on the NameNode). The payload write follows the creation, so a
+  * concurrent reader can observe a momentarily-empty file — the
+  * protocol's torn-lock grace covers that window. */
+final class HadoopLockIo(f: FileSystem) extends LockIo {
+
+  def putIfAbsent(p: Path, payload: String): Boolean = {
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val nio = java.nio.file.Paths.get(p.toUri.getPath)
+      // two steps, so failure cleanup only ever targets a file WE
+      // created: createFile is the atomic O_CREAT|O_EXCL claim; if the
+      // payload write then fails, deleting the file is safe (no rival
+      // can hold it — their create would have failed on ours). A
+      // single-call Files.write(CREATE_NEW) that failed ambiguously
+      // could otherwise lead us to delete a rival's fresh lock.
+      var created = false
+      try {
+        Option(nio.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.createFile(nio)
+        created = true
+        java.nio.file.Files.write(nio, payload.getBytes("UTF-8"))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException =>
+          // an orphan empty file of OURS would wedge every later
+          // acquirer for the full staleness bound; reclaim it
+          if (created) {
+            try java.nio.file.Files.deleteIfExists(nio)
+            catch { case _: Exception => () }
+          }
+          false
+      }
+    } else {
+      var created = false
+      try {
+        val out = f.create(p, false)
+        created = true
+        try out.write(payload.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: java.io.IOException =>
+          // as above: if OUR create succeeded but the payload write
+          // failed, delete the torn lock rather than stranding it
+          if (created) { try f.delete(p, false) catch { case _: Exception => () } }
+          false
+      }
+    }
+  }
+
+  def readPayload(p: Path): Option[String] =
+    try {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](8192)
+        var n = in.read(b)
+        while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+        Some(buf.toString("UTF-8"))
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  def mtime(p: Path): Option[Long] =
+    try Some(f.getFileStatus(p).getModificationTime)
+    catch { case _: java.io.FileNotFoundException => None }
+
+  def delete(p: Path): Unit = f.delete(p, false)
+}
+
+/** Reference conditional-PUT implementation: a process-wide atomic map
+  * standing in for an object store's conditional-write API (S3
+  * `If-None-Match: *`, GCS generation preconditions). `putIfAbsent` is
+  * one linearizable compare-and-create — exactly the primitive a
+  * conditional PUT gives — with none of the filesystem's create/write
+  * torn window (object-store PUTs are all-or-nothing, so a reader never
+  * observes an empty lock). Used by the protocol chaos specs to prove
+  * the break/claim/release machinery is sound over the [[LockIo]]
+  * contract alone, independent of filesystem semantics; a real S3/GCS
+  * provider is this class with the map swapped for the store client. */
+final class InMemoryLockIo extends LockIo {
+  import InMemoryLockIo._
+  def putIfAbsent(p: Path, payload: String): Boolean =
+    files.putIfAbsent(p.toString,
+      Entry(payload, System.currentTimeMillis)) == null
+  def readPayload(p: Path): Option[String] =
+    Option(files.get(p.toString)).map(_.payload)
+  def mtime(p: Path): Option[Long] =
+    Option(files.get(p.toString)).map(_.mtimeMs)
+  def delete(p: Path): Unit = { files.remove(p.toString); () }
+}
+
+object InMemoryLockIo {
+  final case class Entry(payload: String, mtimeMs: Long)
+  /** Process-wide, like the object store it stands in for: every
+    * InMemoryLockIo instance (one per lock acquisition) sees the same
+    * namespace, so concurrent writers genuinely contend. Test-visible
+    * so specs can plant crashed-writer locks and inspect leftovers. */
+  private[graft] val files =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+}

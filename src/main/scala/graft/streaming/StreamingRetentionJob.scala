@@ -337,9 +337,13 @@ object StreamingRetentionJob {
     * foreachBatch would kill the whole query over a rival's
     * milliseconds-long publish. GC of the store must keep at
     * least the replay window's generations (nightly `gc(keepLast)`
-    * does). `autoCompactAt` > 0 opportunistically collapses any
+    * does). `autoCompactAt` > 0 opportunistically TIER-COMPACTS any
     * artifact whose segment list outgrows it after a publish
-    * ([[graft.jobs.ArtifactStore.autoCompact]]) — the LSM
+    * ([[graft.jobs.ArtifactStore.autoCompact]] — merges only the
+    * smallest similar-sized segments, so the amortized per-batch
+    * maintenance cost stays O(|delta| · log corpus) even for
+    * corpus-sized `rows` artifacts like the signature index; full
+    * collapse stays the nightly reconcile's job) — the LSM
     * read-amplification cap for high-frequency micro-batches between
     * nightly reconciles. */
   def runAdmissionStore(

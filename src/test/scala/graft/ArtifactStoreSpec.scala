@@ -677,6 +677,109 @@ class ArtifactStoreSpec extends SparkSpec {
     assert(ArtifactStore.latestVersion(spark, root).contains(6L))
   }
 
+  test("tierGroupLen: smallest similar-sized prefix; base excluded until " +
+      "the tail grows comparable; degenerate prefixes fall back to two") {
+    import ArtifactStore.tierGroupLen
+    // equal deltas group together; a 2x-bigger base stays out
+    assert(tierGroupLen(Seq(100L, 100L, 100L, 1000000L)) == 3)
+    // the base joins only once the rest is within the fanout of it
+    assert(tierGroupLen(Seq(400L, 500L, 1500L)) == 3)
+    assert(tierGroupLen(Seq(400L, 500L, 2000L)) == 2)
+    // a stray empty/tiny segment beside a big one: merge the two
+    // smallest anyway (strict progress, cost <= 2x second-smallest)
+    assert(tierGroupLen(Seq(0L, 1000L, 5000L)) == 2)
+    // all similar: everything merges (the full-collapse degenerate)
+    assert(tierGroupLen(Seq(3L, 3L, 4L, 5L)) == 4)
+    intercept[IllegalArgumentException] { tierGroupLen(Seq(5L)) }
+    intercept[IllegalArgumentException] { tierGroupLen(Seq(5L, 1L)) }
+  }
+
+  test("tiered autoCompact: the corpus-sized base segment is NEVER " +
+      "rewritten — only the small tail merges, read stays equivalent") {
+    val root = tmpRoot()
+    val base = (1L to 200L).map(i => (i, i % 7)).toDF("doc_id", "bucket")
+    ArtifactStore.publish(spark, root, Seq("idx" -> Snapshot(base)),
+      keyCols = Map("idx" -> Seq("doc_id")))
+    val basePath = ArtifactStore.readManifest(spark, root, 1L)
+      .artifacts.head.segments.head.path
+    // three small delta appends push the list over threshold 2
+    (1 to 3).foreach(i => ArtifactStore.publish(spark, root,
+      Seq("idx" -> Append(
+        Seq((1000L + i, i.toLong)).toDF("doc_id", "bucket")))))
+    val before = ArtifactStore.read(spark, root, "idx")
+      .as[(Long, Long)].collect().toSet
+    val v = ArtifactStore.autoCompact(spark, root, maxSegments = 2).get
+    val m = ArtifactStore.readManifest(spark, root, v)
+      .artifacts.head
+    // tail (3 x 1 row) merged into one; the 200-row base is byte-for-
+    // byte the SAME segment dir — tiered compaction never touched it
+    assert(m.segments.size == 2, m.segments.map(_.rows))
+    assert(m.segments.map(_.path).contains(basePath))
+    assert(m.segments.map(_.rows).sorted == Seq(3L, 200L))
+    assert(ArtifactStore.read(spark, root, "idx", verify = true)
+      .as[(Long, Long)].collect().toSet == before)
+    // repeated small appends: across many firings the base STILL never
+    // rewrites (amortized cost is the tail, not the corpus), and the
+    // segment list stays tier-bounded
+    (1 to 6).foreach { i =>
+      ArtifactStore.publish(spark, root, Seq("idx" -> Append(
+        Seq((2000L + i, i.toLong)).toDF("doc_id", "bucket"))))
+      ArtifactStore.autoCompact(spark, root, maxSegments = 2)
+    }
+    val fin = ArtifactStore.readManifest(spark, root,
+      ArtifactStore.latestVersion(spark, root).get).artifacts.head
+    assert(fin.segments.map(_.path).contains(basePath),
+      "the base segment must survive every tiered firing untouched")
+    assert(fin.segments.size <= 4, fin.segments.map(_.rows))
+    assert(ArtifactStore.read(spark, root, "idx", verify = true)
+      .count() == 209L)
+  }
+
+  test("tiered counts merge keeps NEGATIVE partial sums (a base segment " +
+      "outside the group offsets them); exact zeros drop") {
+    val root = tmpRoot()
+    // base: 10 keys so it stays out of the merge group
+    val baseRows = ("a" -> 5L) +: (1 to 9).map(i => s"w$i" -> i.toLong)
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts(baseRows: _*))),
+      kinds = Map("uni" -> "counts"))
+    // two conviction appends whose PARTIAL sum for 'a' is negative and
+    // for 'z' is exactly zero
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("a" -> -2L, "z" -> 1L))))
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("a" -> -1L, "z" -> -1L))))
+    val before = sortedRows(ArtifactStore.read(spark, root, "uni"))
+    assert(before.contains(("a", 2L)) && !before.exists(_._1 == "z"))
+    val v = ArtifactStore.autoCompact(spark, root, maxSegments = 2).get
+    val m = ArtifactStore.readManifest(spark, root, v).artifacts.head
+    assert(m.segments.size == 2, m.segments.map(_.rows))
+    // the merged tail carries a = -3 (NOT dropped: the base offsets it)
+    // and no z row (zero cancels against anything)
+    val tail = m.segments.minBy(_.rows)
+    val tailRows = sortedRows(spark.read.parquet(tail.path))
+    assert(tailRows == Seq(("a", -3L)), tailRows)
+    // merged view unchanged, checksums clean
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni",
+      verify = true)) == before)
+    // time travel still replays the pre-compaction lineage
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni", Some(3L))) ==
+      before)
+  }
+
+  test("Rewrite rejects segment paths not in the base manifest") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 1L))),
+      kinds = Map("uni" -> "counts"))
+    val e = intercept[IllegalArgumentException] {
+      ArtifactStore.publish(spark, root, Seq("uni" ->
+        ArtifactStore.Rewrite(counts("a" -> 1L), Set("/nope/v=1-x"))))
+    }
+    assert(e.getMessage.contains("not in the base manifest"))
+    assert(ArtifactStore.latestVersion(spark, root).contains(1L))
+  }
+
   test("publish with requireBase aborts loudly when another writer " +
       "committed after the base was read") {
     val root = tmpRoot()

@@ -1,0 +1,178 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.jobs.{ArtifactStore, HadoopLockIo, InMemoryLockIo, LockIo}
+import graft.jobs.ArtifactStore.{Append, Snapshot}
+import org.apache.spark.sql.DataFrame
+
+/** A LockIo whose state polls always fail — a persistent filesystem /
+  * object-store outage. Acquisition fails (the store looks "held"), and
+  * every attempt to find out WHO holds it errors. The protocol must
+  * surface the transport error, not report a phantom rival writer.
+  * Instantiated reflectively via the provider conf key. */
+final class ThrowingLockIo extends LockIo {
+  import org.apache.hadoop.fs.Path
+  def putIfAbsent(p: Path, payload: String): Boolean = false
+  def readPayload(p: Path): Option[String] =
+    throw new java.io.IOException("injected transport outage (read)")
+  def mtime(p: Path): Option[Long] =
+    throw new java.io.IOException("injected transport outage (stat)")
+  def delete(p: Path): Unit = ()
+}
+
+/** The writer-lock protocol over a pluggable conditional-PUT backend —
+  * the object-store deployment path (S3 `If-None-Match`, GCS generation
+  * preconditions). [[InMemoryLockIo]] is the reference implementation:
+  * one linearizable compare-and-create per control file, no filesystem
+  * involved. These specs drive the REAL publish machinery (manifest
+  * commit, counts merge, checksum verify) with only the lock's control
+  * files routed through the provider, proving the break/claim/release
+  * protocol is sound over the LockIo contract alone. */
+class LockIoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-lockio").toString
+
+  private def counts(rows: (String, Long)*): DataFrame =
+    rows.toSeq.toDF("w", "c1")
+
+  private def sortedRows(df: DataFrame): Seq[(String, Long)] =
+    df.as[(String, Long)].collect().toSeq.sorted
+
+  private def withProvider[T](cls: String)(body: => T): T = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("graft.artifactstore.lock.provider", cls)
+    try body
+    finally conf.unset("graft.artifactstore.lock.provider")
+  }
+
+  test("lockIoFor: provider conf selects the configured backend; " +
+      "default is the filesystem") {
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ArtifactStore.lockIoFor(fs).isInstanceOf[HadoopLockIo])
+    withProvider("graft.jobs.InMemoryLockIo") {
+      assert(ArtifactStore.lockIoFor(fs).isInstanceOf[InMemoryLockIo])
+    }
+  }
+
+  test("conditional-PUT provider: publishes serialize, contend, and " +
+      "verify clean end-to-end") {
+    withProvider("graft.jobs.InMemoryLockIo") {
+      val root = tmpRoot()
+      ArtifactStore.publish(spark, root,
+        Seq("uni" -> Snapshot(counts("a" -> 1L))),
+        kinds = Map("uni" -> "counts"))
+      ArtifactStore.publish(spark, root,
+        Seq("uni" -> Append(counts("b" -> 2L))))
+      assert(sortedRows(ArtifactStore.read(spark, root, "uni",
+        verify = true)) == Seq(("a", 1L), ("b", 2L)))
+      // locks lived in the provider namespace, not the filesystem…
+      assert(!new java.io.File(root, "_writer.lock").exists())
+      // …and were released there
+      val leftovers = InMemoryLockIo.files.keySet().toArray
+        .map(_.toString).filter(_.startsWith(root))
+      assert(leftovers.isEmpty, leftovers.mkString(", "))
+    }
+  }
+
+  test("conditional-PUT provider: N concurrent breakers of one stale " +
+      "lock — exactly the serialized publishers commit, no leftovers") {
+    withProvider("graft.jobs.InMemoryLockIo") {
+      val root = tmpRoot()
+      ArtifactStore.publish(spark, root,
+        Seq("uni" -> Snapshot(counts("a" -> 1L))),
+        kinds = Map("uni" -> "counts"))
+      // a crashed writer's hour-stale lock, planted in the provider's
+      // namespace — every thread below sees it break-eligible at once
+      val lockKey = s"$root/_writer.lock"
+      InMemoryLockIo.files.put(lockKey, InMemoryLockIo.Entry(
+        s"crashed-writer ${System.currentTimeMillis - 3600 * 1000L}",
+        System.currentTimeMillis - 3600 * 1000L))
+      val n = 6
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val results = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Either[String, Long]] {
+          def call(): Either[String, Long] = {
+            gate.await()
+            try Right(ArtifactStore.publish(spark, root,
+              Seq("uni" -> Append(counts(s"t$i" -> 1L)))))
+            catch { case e: Throwable => Left(e.getMessage) }
+          }
+        })
+      }
+      gate.countDown()
+      val done = results.map(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      val wins = done.collect { case Right(v) => v }
+      val losses = done.collect { case Left(m) => m }
+      assert(wins.nonEmpty && wins.size + losses.size == n)
+      assert(losses.forall(_.contains("another writer")),
+        losses.mkString("; "))
+      assert(wins.sorted == (2L to (1L + wins.size)))
+      assert(ArtifactStore.latestVersion(spark, root)
+        .contains(1L + wins.size))
+      // no double-held lock stomped a winner's in-flight segment data
+      val merged = sortedRows(ArtifactStore.read(spark, root, "uni",
+        verify = true))
+      assert(merged.size == 1 + wins.size && merged.contains(("a", 1L)))
+      // the lock and every breaker claim were cleaned out of the
+      // provider namespace
+      val leftovers = InMemoryLockIo.files.keySet().toArray
+        .map(_.toString).filter(_.startsWith(root))
+      assert(leftovers.isEmpty, leftovers.mkString(", "))
+    }
+  }
+
+  test("conditional-PUT provider: lockWaitMs wait-serialization — every " +
+      "concurrent publisher commits") {
+    withProvider("graft.jobs.InMemoryLockIo") {
+      val root = tmpRoot()
+      ArtifactStore.publish(spark, root,
+        Seq("uni" -> Snapshot(counts("base" -> 1L))),
+        kinds = Map("uni" -> "counts"))
+      val n = 4
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val results = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await()
+            ArtifactStore.publish(spark, root,
+              Seq("uni" -> Append(counts(s"t$i" -> 1L))),
+              lockWaitMs = 120000L)
+          }
+        })
+      }
+      gate.countDown()
+      val vs = results.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+        .sorted
+      pool.shutdown()
+      assert(vs == (2L to (1L + n)))
+      assert(sortedRows(ArtifactStore.read(spark, root, "uni",
+        verify = true)) ==
+        (Seq("base" -> 1L) ++ (1 to n).map(i => s"t$i" -> 1L)).sorted)
+    }
+  }
+
+  test("a persistent transport outage surfaces as ITS OWN error after " +
+      "bounded polls — never as a phantom 'another writer holds'") {
+    withProvider("graft.ThrowingLockIo") {
+      val root = tmpRoot()
+      val e = intercept[RuntimeException] {
+        ArtifactStore.publish(spark, root,
+          Seq("uni" -> Snapshot(counts("a" -> 1L))))
+      }
+      assert(e.getMessage.contains("unreadable"), e.getMessage)
+      assert(!e.getMessage.contains("another writer"), e.getMessage)
+      // the root cause rides along for the debugging session
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c =>
+        String.valueOf(c.getMessage).contains("injected transport outage")))
+    }
+  }
+}
