@@ -45,6 +45,9 @@ import org.apache.spark.sql.SparkSession
   *  - `cmd=gc` — drop all but the newest `keep_last` generations and
   *    every segment/orphan dir only they reference
   *    ([[ArtifactStore.gc]] — reference-counted, lock-serialized).
+  *    `grace_ms=G` tombstones evicted segment data instead of deleting
+  *    it, sweeping only tombstones older than G — the reader contract
+  *    for long scans racing gc.
   *  - `cmd=export` — write `artifact`'s MERGED view at `version`
   *    (default latest) to `out` as parquet — the time-travel escape
   *    hatch ("what did the index look like before last night?").
@@ -126,12 +129,19 @@ object StoreMain {
         }
       case "gc" =>
         val k = opts.getOrElse("keep_last", "7").toInt
+        // grace_ms > 0: evicted versions' segment data is tombstoned
+        // and only deleted once the tombstone ages past the grace — the
+        // reader contract for long scans racing gc (set it above the
+        // longest read job); 0 deletes immediately
+        val grace = opts.getOrElse("grace_ms", "0").toLong
         val r = ArtifactStore.gc(spark, root, k,
-          lockWaitMs = opts.getOrElse("lock_wait_ms", "0").toLong)
-        s"""{"cmd":"gc","keep_last":$k,""" +
+          lockWaitMs = opts.getOrElse("lock_wait_ms", "0").toLong,
+          graceMs = grace)
+        s"""{"cmd":"gc","keep_last":$k,"grace_ms":$grace,""" +
           s""""kept_versions":${r.keptVersions.mkString("[", ",", "]")},""" +
           s""""deleted_versions":${r.deletedVersions.mkString("[", ",", "]")},""" +
-          s""""deleted_dirs":${r.deletedDirs.size}}"""
+          s""""deleted_dirs":${r.deletedDirs.size},""" +
+          s""""deferred_dirs":${r.deferredDirs.size}}"""
       case "export" =>
         val a = opts.getOrElse("artifact",
           sys.error("cmd=export needs artifact="))

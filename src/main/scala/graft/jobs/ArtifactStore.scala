@@ -60,6 +60,9 @@ import org.apache.spark.sql.functions._
   *    segment shared by five generations survives until all five are
   *    dropped), then the superseded manifests. Orphan dirs ABOVE the
   *    latest committed version (an in-flight publish) are never GC'd.
+  *    `graceMs` > 0 defers segment deletion behind eviction-time
+  *    tombstones so lock-free readers mid-scan get at least the grace
+  *    to finish — see [[gc]]'s reader contract.
   *
   * Scale shape: manifests are tiny driver-written JSON (one row per
   * segment); publishes add zero shuffles beyond the parquet write of
@@ -1048,7 +1051,14 @@ object ArtifactStore {
   final case class GcReport(
       keptVersions: Seq[Long],
       deletedVersions: Seq[Long],
-      deletedDirs: Seq[String])
+      deletedDirs: Seq[String],
+      deferredDirs: Seq[String] = Nil)
+
+  private def doomedDir(root: String) = new Path(root, "_doomed")
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
   /** Delete segment dirs referenced by none of the `keepLast` newest
     * manifests, then the superseded manifests themselves; finally
@@ -1064,18 +1074,39 @@ object ArtifactStore {
     * touched — the writer lock plus this bound make reclamation safe
     * under a concurrent publisher (a wrongly-broken writer still
     * mid-write at N ≤ latest only ever loses its own orphaned
-    * attempt dirs — it aborts at `assertStillHeld` regardless). */
+    * attempt dirs — it aborts at `assertStillHeld` regardless).
+    *
+    * READER CONTRACT (`graceMs`): readers are lock-free by design, so
+    * a long-running time-travel scan can race gc. With `graceMs` > 0,
+    * an evicted version's MANIFEST goes immediately (a fresh
+    * `read(version = old)` fails loudly at plan time with "no committed
+    * manifest"), but its segment DATA is only tombstoned under
+    * `_doomed/` — recording the eviction time — and deleted by a later
+    * gc run once the tombstone has aged past the grace (the
+    * Delta-vacuum shape, keyed to EVICTION time, not file mtime: a
+    * segment written a month ago may have been readable until this very
+    * run). An in-flight scan that resolved its manifest before the
+    * eviction therefore has at least `graceMs` to finish before its
+    * files disappear; configure the grace above the longest read job.
+    * With `graceMs` = 0 (default) deletion is immediate — the historic
+    * fail-fast behavior, and any reader mid-scan at an evicted version
+    * may die with a task-level FileNotFoundException. True orphans
+    * (crashed publishes, aborted attempts — unreachable by any reader)
+    * are likewise kept while younger than `graceMs` by dir mtime, in
+    * case their writer is still materializing tasks. */
   def gc(
       spark: SparkSession,
       root: String,
       keepLast: Int,
       lockStaleMs: Long = DefaultLockStaleMs,
-      lockWaitMs: Long = 0L): GcReport = {
+      lockWaitMs: Long = 0L,
+      graceMs: Long = 0L): GcReport = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val f = fs(spark, root)
     val dir = manifestDir(root)
     if (!f.exists(dir)) return GcReport(Nil, Nil, Nil)
     withWriterLock(f, root, lockStaleMs, lockWaitMs) { _ =>
+    val now = System.currentTimeMillis
     val versions = f.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("manifest-v") && n.endsWith(".json") =>
         n.stripPrefix("manifest-v").stripSuffix(".json").toLong }
@@ -1084,30 +1115,75 @@ object ArtifactStore {
     val keptPaths = keep.flatMap(v =>
       readManifest(spark, root, v).artifacts
         .flatMap(_.segments.map(_.path))).toSet
+    val keptQualified = keptPaths.map(s => f.makeQualified(new Path(s)).toString)
     val doomedDirs = drop.flatMap(v =>
       readManifest(spark, root, v).artifacts
         .flatMap(_.segments.map(_.path)))
       .distinct.filterNot(keptPaths)
-    doomedDirs.foreach(p => f.delete(new Path(p), true))
+    // standing tombstones from earlier graced runs: qualified dir path
+    // -> (tombstone file, eviction time). Unparseable entries are
+    // skipped, never deleted blind.
+    val dd = doomedDir(root)
+    val tombs: Map[String, (Path, Long)] =
+      if (!f.exists(dd)) Map.empty
+      else f.listStatus(dd).toSeq.map(_.getPath).flatMap { t =>
+        scala.util.Try {
+          val j = readString(f, t)
+          f.makeQualified(new Path(field(j, "path"))).toString ->
+            (t, field(j, "evicted_at").toLong)
+        }.toOption
+      }.toMap
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val deferred = scala.collection.mutable.ArrayBuffer.empty[String]
+    doomedDirs.foreach { p =>
+      if (graceMs <= 0L) { f.delete(new Path(p), true); deleted += p }
+      else {
+        // tombstone now, delete once aged; an existing tombstone keeps
+        // its ORIGINAL eviction time (re-dooming must not reset the
+        // reader clock)
+        val q = f.makeQualified(new Path(p)).toString
+        if (!tombs.contains(q))
+          writeString(f, new Path(dd, s"${md5Hex(q)}.json"),
+            s"""{"path":"${esc(p)}","evicted_at":$now}""")
+        deferred += p
+      }
+    }
     drop.foreach(v => f.delete(manifestPath(root, v), false))
+    // sweep aged tombstones (this run's grace applies to ALL standing
+    // entries); a path a kept manifest still references is never swept
+    // — drop only its tombstone (defense in depth, cannot happen by
+    // construction since doomed ⟹ unreferenced at doom time)
+    tombs.foreach { case (q, (tomb, evictedAt)) =>
+      if (keptQualified(q)) f.delete(tomb, false)
+      else if (now - evictedAt > graceMs) {
+        val p = new Path(q)
+        if (f.exists(p)) { f.delete(p, true); deleted += q }
+        f.delete(tomb, false)
+      } else deferred += q // earlier run's eviction, still inside grace
+    }
     // Orphan reclamation: committed-version bound keeps in-flight
     // publishes (always at latest + 1) out of reach. Compare paths in
     // qualified form — manifests record what the publisher passed
     // (possibly scheme-less), listStatus returns qualified paths.
+    // Tombstoned dirs belong to the graced sweep above, not this pass;
+    // young orphans (< graceMs by mtime) wait for a later run.
     val latestCommitted = versions.lastOption.getOrElse(0L)
-    val keptQualified = keptPaths.map(s => f.makeQualified(new Path(s)).toString)
     val dataRoot = new Path(root, "data")
     val orphans =
       if (!f.exists(dataRoot)) Nil
       else f.listStatus(dataRoot).toSeq.filter(_.isDirectory).flatMap { art =>
-        f.listStatus(art.getPath).toSeq.map(_.getPath)
-          .filter { p =>
-            dirVersion(p.getName).exists(_ <= latestCommitted) &&
-              !keptQualified(f.makeQualified(p).toString)
+        f.listStatus(art.getPath).toSeq
+          .filter { st =>
+            val q = f.makeQualified(st.getPath).toString
+            dirVersion(st.getPath.getName).exists(_ <= latestCommitted) &&
+              !keptQualified(q) && !tombs.contains(q) &&
+              (graceMs <= 0L || now - st.getModificationTime > graceMs)
           }
+          .map(_.getPath)
       }
     orphans.foreach(p => f.delete(p, true))
-    GcReport(keep, drop, (doomedDirs ++ orphans.map(_.toString)).distinct)
+    GcReport(keep, drop,
+      (deleted.toSeq ++ orphans.map(_.toString)).distinct, deferred.toSeq)
     }
   }
 }

@@ -411,6 +411,66 @@ class ArtifactStoreSpec extends SparkSpec {
       Seq(("b", 2L)))
   }
 
+  test("gc grace window: an evicted version's data outlives its manifest " +
+      "by the grace — an in-flight reader finishes, a fresh read fails " +
+      "loudly, and a later run sweeps the aged tombstone") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 1L, "b" -> 2L))),
+      kinds = Map("uni" -> "counts"))
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("c" -> 3L))))
+    // a long-running time-travel reader resolves v1 BEFORE gc…
+    val inFlight = ArtifactStore.read(spark, root, "uni", Some(1L))
+    val rep = ArtifactStore.gc(spark, root, keepLast = 1, graceMs = 60000L)
+    assert(rep.deletedVersions == Seq(1L))
+    assert(rep.deletedDirs.isEmpty && rep.deferredDirs.size == 1)
+    // …and can still finish its scan inside the grace (no task-level
+    // FileNotFoundException: the segment dir is tombstoned, not gone)
+    assert(sortedRows(inFlight) == Seq(("a", 1L), ("b", 2L)))
+    // a FRESH read at the evicted version dies at plan time with the
+    // store's own loud error — the manifest went immediately
+    val e = intercept[IllegalArgumentException] {
+      ArtifactStore.read(spark, root, "uni", Some(1L))
+    }
+    assert(e.getMessage.contains("no committed manifest"))
+    // a second run inside the grace defers again — eviction time is
+    // NOT reset by re-running gc
+    val rep2 = ArtifactStore.gc(spark, root, keepLast = 1, graceMs = 60000L)
+    assert(rep2.deletedDirs.isEmpty && rep2.deferredDirs.size == 1)
+    // once the tombstone ages past the (now tiny) grace, the data and
+    // the tombstone go; the live version is untouched
+    Thread.sleep(150)
+    val rep3 = ArtifactStore.gc(spark, root, keepLast = 1, graceMs = 100L)
+    assert(rep3.deletedDirs.size == 1 && rep3.deferredDirs.isEmpty)
+    assert(!new java.io.File(root, "_doomed").exists() ||
+      new java.io.File(root, "_doomed").listFiles().isEmpty)
+    assert(sortedRows(ArtifactStore.read(spark, root, "uni",
+      verify = true)) == Seq(("c", 3L)))
+  }
+
+  test("gc grace window: young orphans (a possibly-still-writing attempt) " +
+      "survive the graced run; aged orphans are reclaimed") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("arta" -> Snapshot(counts("a" -> 1L))))
+    // a fresh orphan at v=1 (crashed publish) — younger than the grace
+    counts("crashed" -> 9L).write.parquet(s"$root/data/arta/v=1-deadbeef")
+    val rep = ArtifactStore.gc(spark, root, keepLast = 2, graceMs = 60000L)
+    assert(rep.deletedDirs.isEmpty)
+    assert(new java.io.File(s"$root/data/arta/v=1-deadbeef").exists())
+    // age the orphan past the grace by mtime — the next run reclaims it
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$root/data/arta/v=1-deadbeef"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 3600 * 1000L))
+    val rep2 = ArtifactStore.gc(spark, root, keepLast = 2, graceMs = 60000L)
+    assert(rep2.deletedDirs.map(p => p.substring(p.indexOf("/data/"))) ==
+      Seq("/data/arta/v=1-deadbeef"))
+    assert(sortedRows(ArtifactStore.read(spark, root, "arta",
+      verify = true)) == Seq(("a", 1L)))
+  }
+
   test("N concurrent breakers of one stale lock: exactly the serialized " +
       "publishers commit, the store verifies clean") {
     val root = tmpRoot()
