@@ -104,19 +104,43 @@ object StreamScaleProbe {
           wave.filter(col("rn") % nStreams === s).drop("rn")
             .write.mode("append").parquet(s"$work/src$s")
         }
+        val vBefore = ArtifactStore.latestVersion(spark, store).get
         val t0 = System.nanoTime()
         if (nStreams == 1) drainOne("0", b)
         else {
           // all K drains at once: their publishes contend on the one
-          // writer lock and must wait-serialize, never fail
+          // writer lock and must wait-serialize, never fail. A child
+          // thread's failure (drain timeout, a publish turned away at
+          // the lock, a dead query) must ABORT the probe — join()
+          // returns normally after an uncaught exception, which would
+          // otherwise record the wave's wall and silently poison the
+          // published medians.
+          val failures = new java.util.concurrent.ConcurrentLinkedQueue[
+            (Int, Throwable)]()
           val threads = (0 until nStreams).map { s =>
-            val t = new Thread(() => drainOne(s.toString, b))
+            val t = new Thread(() =>
+              try drainOne(s.toString, b)
+              catch { case e: Throwable => failures.add(s -> e) })
             t.start(); t
           }
           threads.foreach(_.join())
+          if (!failures.isEmpty) {
+            import scala.jdk.CollectionConverters._
+            val fs = failures.asScala.toSeq
+            fs.foreach(_._2.printStackTrace())
+            sys.error(s"wave $b: ${fs.size}/$nStreams drains failed " +
+              s"(streams ${fs.map(_._1).mkString(",")}) — aborting the probe")
+          }
         }
         val wall = (System.nanoTime() - t0) / 1e9
         val v = ArtifactStore.latestVersion(spark, store).get
+        // every drain must have committed exactly its own publish (plus
+        // any auto-compact generations): a wave that advanced the store
+        // by fewer than nStreams means a drain silently published
+        // nothing — fail rather than report a too-fast wave
+        require(v - vBefore >= nStreams,
+          s"wave $b advanced the store v$vBefore -> v$v " +
+            s"(< $nStreams admission publishes) — a drain lost its publish")
         val maxSegs = ArtifactStore.readManifest(spark, store, v)
           .artifacts.map(_.segments.size).max
         println(f"""{"probe":"stream_admit","batch":$b,"n_streams":$nStreams,"wall_sec":$wall%.2f,"store_version":$v,"max_segments":$maxSegs}""")
