@@ -19,7 +19,8 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   StoreMain store=<root> cmd=<audit|verify|compact|gc|export> \
   *     [artifact=<name>] [version=<v>] [keep_last=<k>] \
-  *     [max_segments=<k>] [out=<dir>] [lock_wait_ms=0]
+  *     [max_segments=<k>] [out=<dir>] [lock_wait_ms=0] \
+  *     [sample=<pct>] [seed=<n>] [grace_ms=<g>]
   *
   *  - `cmd=audit` — one JSON line: latest committed version, number of
   *    committed generations, and per-artifact (kind, segment count,
@@ -31,6 +32,10 @@ import org.apache.spark.sql.SparkSession
   *    [[ArtifactStore.read]] with `verify = true`; fails loudly on any
   *    drift, else reports merged row counts. This is the offline
   *    scrubber: corruption is caught here, not at 3am in a pipeline.
+  *    `sample=P` (+ optional `seed=`) verifies only a seeded P% slice
+  *    of each artifact's segments ([[ArtifactStore.verifySample]]) —
+  *    a full re-checksum of a 100-TB store is corpus-linear, so the
+  *    scheduled scrubber runs a rotating-seed sample instead.
   *  - `cmd=compact` — with `artifact=`, collapse THAT artifact's
   *    segment list to one ([[ArtifactStore.compact]] — the full
   *    rewrite, sized to that artifact); without it, DRAIN the
@@ -92,15 +97,34 @@ object StoreMain {
         val lv = ArtifactStore.latestVersion(spark, root).getOrElse(
           sys.error(s"artifact store $root has no committed version"))
         val v = versionOpt.getOrElse(lv)
-        val names = opts.get("artifact").map(Seq(_)).getOrElse(
-          ArtifactStore.readManifest(spark, root, v)
-            .artifacts.map(_.artifact).sorted)
-        val counts = names.map { a =>
-          val n = ArtifactStore.read(spark, root, a, Some(v), verify = true)
-            .count()
-          s"""{"artifact":${jstr(a)},"merged_rows":$n}"""
-        }.mkString("[", ",", "]")
-        s"""{"cmd":"verify","version":$v,"ok":true,"artifacts":$counts}"""
+        opts.get("sample") match {
+          // sample=P: seeded P% segment scrub — the schedulable shape
+          // at 100 TB (a full re-checksum is corpus-linear); rotate
+          // seed= across runs to walk different slices
+          case Some(pctStr) =>
+            val pct = pctStr.toDouble
+            val seed = opts.getOrElse("seed", "0").toLong
+            val stats = ArtifactStore.verifySample(spark, root,
+              opts.get("artifact"), Some(v), pct, seed)
+            val arts = stats.map { st =>
+              s"""{"artifact":${jstr(st.artifact)},""" +
+                s""""n_segments":${st.nSegments},""" +
+                s""""n_verified":${st.nVerified},""" +
+                s""""rows_verified":${st.rowsVerified}}"""
+            }.mkString("[", ",", "]")
+            s"""{"cmd":"verify","version":$v,"ok":true,"sample_pct":$pct,""" +
+              s""""seed":$seed,"artifacts":$arts}"""
+          case None =>
+            val names = opts.get("artifact").map(Seq(_)).getOrElse(
+              ArtifactStore.readManifest(spark, root, v)
+                .artifacts.map(_.artifact).sorted)
+            val counts = names.map { a =>
+              val n = ArtifactStore.read(spark, root, a, Some(v),
+                verify = true).count()
+              s"""{"artifact":${jstr(a)},"merged_rows":$n}"""
+            }.mkString("[", ",", "]")
+            s"""{"cmd":"verify","version":$v,"ok":true,"artifacts":$counts}"""
+        }
       case "compact" =>
         // lock_wait_ms > 0 waits out a live writer (a stream mid-publish)
         // instead of failing fast — for operators compacting BESIDE a

@@ -868,6 +868,71 @@ object ArtifactStore {
     else union
   }
 
+  /** Per-artifact scrub report: total segments at the version, how many
+    * this run verified, and the manifest row total of the verified
+    * slice. */
+  final case class VerifyStat(
+      artifact: String, nSegments: Int, nVerified: Int, rowsVerified: Long)
+
+  /** Deterministic segment-sampling rule for [[verifySample]]: a
+    * segment is in the P% slice iff a seeded hash of its path lands
+    * below the cutoff. Keyed to (seed, path) so one seed always scrubs
+    * the same slice (re-runnable/diagnosable) and rotating the seed
+    * walks different slices across scheduled runs. */
+  private def sampleSelected(path: String, seed: Long, pct: Double): Boolean =
+    pct >= 100.0 || {
+      val h = java.lang.Long.parseLong(md5Hex(s"$seed:$path").take(15), 16)
+      (h % 10000L) < math.round(pct * 100.0)
+    }
+
+  /** Re-checksum segments against their manifest stamps — the offline
+    * scrubber core ([[graft.StoreMain]] `cmd=verify`). A FULL re-scrub
+    * of a 100-TB store is a corpus-linear job, so `samplePct` < 100
+    * verifies only a seeded pseudo-random slice of each artifact's
+    * segments — schedulable (e.g. 5% nightly with a rotating seed
+    * covers the store in expectation over ~20 nights) and deterministic
+    * per seed, so a failure reproduces. Fails loudly on the first
+    * missing or drifted segment; returns per-artifact coverage stats
+    * otherwise. `artifact = None` scrubs every artifact at `version`
+    * (default latest). */
+  def verifySample(
+      spark: SparkSession,
+      root: String,
+      artifact: Option[String] = None,
+      version: Option[Long] = None,
+      samplePct: Double = 100.0,
+      seed: Long = 0L): Seq[VerifyStat] = {
+    require(samplePct > 0.0 && samplePct <= 100.0,
+      "samplePct must be in (0, 100]")
+    val v = version.orElse(latestVersion(spark, root))
+      .getOrElse(sys.error(s"artifact store $root has no committed version"))
+    val m = readManifest(spark, root, v)
+    val arts = artifact match {
+      case Some(a) =>
+        val hit = m.artifacts.filter(_.artifact == a)
+        require(hit.nonEmpty, s"artifact '$a' not in manifest v$v")
+        hit
+      case None => m.artifacts
+    }
+    val f = fs(spark, root)
+    arts.sortBy(_.artifact).map { a =>
+      val chosen = a.segments
+        .filter(s => sampleSelected(s.path, seed, samplePct))
+      chosen.foreach { s =>
+        require(f.exists(new Path(s.path)),
+          s"artifact '${a.artifact}' v$v segment ${s.path} " +
+            "was garbage-collected")
+        val (n, h) = checksumOf(spark.read.parquet(s.path), a.keyCols)
+        require(n == s.rows && h == s.checksum,
+          s"artifact '${a.artifact}' v$v segment ${s.path} failed " +
+            s"verification: manifest says rows=${s.rows} " +
+            s"checksum=${s.checksum}, data has rows=$n checksum=$h")
+      }
+      VerifyStat(a.artifact, a.segments.size, chosen.size,
+        chosen.map(_.rows).sum)
+    }
+  }
+
   /** Collapse an artifact's segment list to one segment holding its
     * merged view — the store-level major compaction. Publishes a new
     * generation (other artifacts carry forward). Returns the version.

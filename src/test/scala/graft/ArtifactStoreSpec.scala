@@ -827,6 +827,58 @@ class ArtifactStoreSpec extends SparkSpec {
       before)
   }
 
+  test("verifySample: seeded P% scrub is deterministic, covers the store " +
+      "across seeds, and still catches drift in its slice; full sample " +
+      "equals the exhaustive scrub") {
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 1L))),
+      kinds = Map("uni" -> "counts"))
+    (2 to 9).foreach(i => ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts(s"w$i" -> i.toLong)))))
+    // full sample = exhaustive: all 9 segments verified
+    val full = ArtifactStore.verifySample(spark, root, samplePct = 100.0)
+    assert(full == Seq(ArtifactStore.VerifyStat("uni", 9, 9,
+      full.head.rowsVerified)))
+    // a partial sample is deterministic per seed…
+    val s1 = ArtifactStore.verifySample(spark, root, samplePct = 40.0,
+      seed = 7L)
+    val s2 = ArtifactStore.verifySample(spark, root, samplePct = 40.0,
+      seed = 7L)
+    assert(s1 == s2)
+    assert(s1.head.nVerified < 9, "a 40% sample should not scrub all 9")
+    // …and rotating seeds walks different slices: the union of a few
+    // seeds covers (statistically) more than one seed alone
+    val covered = (0L to 6L).map(sd =>
+      ArtifactStore.verifySample(spark, root, samplePct = 40.0, seed = sd)
+        .head.nVerified).max
+    assert(covered >= s1.head.nVerified)
+    intercept[IllegalArgumentException] {
+      ArtifactStore.verifySample(spark, root, samplePct = 0.0)
+    }
+    // drift is caught when (and only when) the bad segment is in the
+    // slice: corrupt one segment out-of-band…
+    val seg = ArtifactStore.readManifest(spark, root, 9L)
+      .artifacts.head.segments.last
+    counts("evil" -> 666L).write.mode("overwrite").parquet(seg.path)
+    val eFull = intercept[IllegalArgumentException] {
+      ArtifactStore.verifySample(spark, root, samplePct = 100.0)
+    }
+    assert(eFull.getMessage.contains("failed verification"))
+    // a seed whose slice misses the corrupted segment passes — the
+    // sampling contract (coverage over runs, not per run)
+    val missSeed = (0L to 200L).find { sd =>
+      scala.util.Try(ArtifactStore.verifySample(spark, root,
+        samplePct = 30.0, seed = sd)).isSuccess
+    }
+    assert(missSeed.isDefined)
+    // StoreMain surface: sample mode reports coverage, not merged rows
+    val line = StoreMain.run(spark, Map("store" -> root, "cmd" -> "verify",
+      "sample" -> "30", "seed" -> missSeed.get.toString))
+    assert(line.contains(""""sample_pct":30.0""") &&
+      line.contains(""""n_segments":9"""), line)
+  }
+
   test("Rewrite rejects segment paths not in the base manifest") {
     val root = tmpRoot()
     ArtifactStore.publish(spark, root,
