@@ -35,7 +35,16 @@ import org.apache.spark.sql.SparkSession
   * IVF tables and count-subtracted from the LM tables
   * ([[graft.jobs.ArtifactRetention]]), written under `maintained_out`
   * (`index/`, `ivf/`, `lm/{uni,bi,tri}`). Skipped on dry runs — a
-  * dry run convicts nothing. */
+  * dry run convicts nothing.
+  *
+  * With `store=`, the maintenance commits as ONE atomic store
+  * generation, guarded optimistically (`requireBase`): the rows-kind
+  * snapshots are read-then-replace, so an interleaved writer (a
+  * streaming admission publish) between the read and the commit would
+  * otherwise be silently erased — the publish retries from the new
+  * latest instead. `lock_wait_ms=` waits out a live rival writer
+  * (needed when a stream feeds the same store; the CLI default stays
+  * fail-fast). */
 object RetentionMain {
   def main(args: Array[String]): Unit = {
     // values may encode spaces as %20 (launchers like sbt split on spaces)
@@ -55,10 +64,18 @@ object RetentionMain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try println(run(spark, opts))
+    finally spark.stop()
+  }
+
+  /** The testable core — everything but session construction. Returns
+    * the JSON status line main prints. */
+  def run(spark: SparkSession, opts: Map[String, String]): String = {
     // Q8 tracing hooks: trace=true prints per-action timing lines
-    val tracer = if (args.exists(_ == "trace=true"))
-      Some(graft.plans.Tracing.install(spark)) else None
-    try {
+    val tracer: Option[graft.plans.TracingListener] =
+      if (opts.get("trace").contains("true"))
+        Some(graft.plans.Tracing.install(spark)) else None
+    locally {
       val spec = TableSpec(
         partitionKeys = opts.getOrElse("pk", "").split(",").filter(_.nonEmpty).toSeq,
         clusteringKeys = opts.getOrElse("ck", "").split(",").filter(_.nonEmpty).toSeq,
@@ -136,54 +153,78 @@ object RetentionMain {
           // artifacts (index/ivf) rewrite via anti-join snapshot,
           // counts-kind LM tables append NEGATED counts (O(|convicted|);
           // the reference's conviction-triggered index cleanup,
-          // FilteringSSTableScanner.java:135-193, as segment algebra)
+          // FilteringSSTableScanner.java:135-193, as segment algebra).
+          // The snapshots are read-then-replace, so the publish pins
+          // requireBase and RETRIES from the new latest when an
+          // interleaved writer (a concurrent stream's admission publish)
+          // commits in between — without the guard that publish would
+          // silently erase the rival's appended segments.
           opts.get("store").foreach { root =>
             import graft.jobs.ArtifactStore
-            val latest = ArtifactStore.latestVersion(spark, root)
-              .getOrElse(sys.error(
-                s"store=$root has no committed generation to maintain"))
-            val present = ArtifactStore
-              .readManifest(spark, root, latest).artifacts
-              .map(_.artifact).toSet
-            val rowKinds = Seq("index", "ivf").filter(present).map { n =>
-              n -> ArtifactStore.Snapshot(graft.jobs.ArtifactRetention
-                .retainRows(ArtifactStore.read(spark, root, n),
-                  convicted, idCol))
-            }
-            val lmKinds = if (present("lm_uni")) {
-              val (du, db, dt) = graft.operators.LmScore.buildTrigramModel(
-                convictedDocs.select(col(idCol), col(textCol)), textCol)
-              Seq(
-                "lm_uni" -> ArtifactStore.Append(
-                  du.withColumn("c1", -col("c1"))),
-                "lm_bi" -> ArtifactStore.Append(
-                  db.withColumn("c2", -col("c2"))),
-                "lm_tri" -> ArtifactStore.Append(
-                  dt.withColumn("c3", -col("c3"))))
-            } else Nil
-            val changes = rowKinds ++ lmKinds
-            if (changes.nonEmpty) {
-              val v = ArtifactStore.publish(spark, root, changes,
-                note = "retention")
-              System.err.println(s"[retention] store generation v$v " +
-                s"(${changes.map(_._1).mkString(", ")})")
+            val waitMs = opts.getOrElse("lock_wait_ms", "0").toLong
+            val maxAttempts = 8
+            var attempt = 0
+            var committed: Option[Long] = None
+            var nothingToDo = false
+            while (committed.isEmpty && !nothingToDo) {
+              attempt += 1
+              val latest = ArtifactStore.latestVersion(spark, root)
+                .getOrElse(sys.error(
+                  s"store=$root has no committed generation to maintain"))
+              val present = ArtifactStore
+                .readManifest(spark, root, latest).artifacts
+                .map(_.artifact).toSet
+              val rowKinds = Seq("index", "ivf").filter(present).map { n =>
+                n -> ArtifactStore.Snapshot(graft.jobs.ArtifactRetention
+                  .retainRows(
+                    ArtifactStore.read(spark, root, n, Some(latest)),
+                    convicted, idCol))
+              }
+              val lmKinds = if (present("lm_uni")) {
+                val (du, db, dt) = graft.operators.LmScore.buildTrigramModel(
+                  convictedDocs.select(col(idCol), col(textCol)), textCol)
+                Seq(
+                  "lm_uni" -> ArtifactStore.Append(
+                    du.withColumn("c1", -col("c1"))),
+                  "lm_bi" -> ArtifactStore.Append(
+                    db.withColumn("c2", -col("c2"))),
+                  "lm_tri" -> ArtifactStore.Append(
+                    dt.withColumn("c3", -col("c3"))))
+              } else Nil
+              val changes = rowKinds ++ lmKinds
+              if (changes.isEmpty) nothingToDo = true
+              else try {
+                val v = ArtifactStore.publish(spark, root, changes,
+                  note = "retention", requireBase = Some(latest),
+                  lockWaitMs = waitMs)
+                committed = Some(v)
+                System.err.println(s"[retention] store generation v$v " +
+                  s"(${changes.map(_._1).mkString(", ")})")
+              } catch {
+                case e: RuntimeException if attempt < maxAttempts &&
+                    String.valueOf(e.getMessage)
+                      .contains("optimistic-concurrency") =>
+                  System.err.println(s"[retention] store maintenance lost " +
+                    s"an optimistic race at base v$latest (attempt " +
+                    s"$attempt/$maxAttempts) — retrying from the new latest")
+              }
             }
           }
         } else System.err.println(
           "[retention] dry run: artifact maintenance skipped")
       }
-      // one JSON status line, like the reference's interval stats log
-      println(s"""{"kept":${stats.kept},"dropped":${stats.dropped},""" +
-        s""""dryRun":${stats.mode.isDryRun || strat.effectiveDryRun},""" +
-        s""""backupWritten":${stats.backupWritten},""" +
-        s""""elapsedMs":${stats.elapsedMs},""" +
-        f""""keysPerSec":${stats.keysPerSec}%.1f}""")
       tracer.foreach { t =>
         Thread.sleep(500) // listener callbacks are async
         t.drain().foreach(e => println(
           s"""{"trace":"${e.funcName}","class":"${e.queryClass}",""" +
             s""""table":"${e.table}","ms":${e.durationNs / 1000000}}"""))
       }
-    } finally spark.stop()
+      // one JSON status line, like the reference's interval stats log
+      s"""{"kept":${stats.kept},"dropped":${stats.dropped},""" +
+        s""""dryRun":${stats.mode.isDryRun || strat.effectiveDryRun},""" +
+        s""""backupWritten":${stats.backupWritten},""" +
+        s""""elapsedMs":${stats.elapsedMs},""" +
+        f""""keysPerSec":${stats.keysPerSec}%.1f}"""
+    }
   }
 }

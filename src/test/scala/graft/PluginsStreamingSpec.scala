@@ -1430,6 +1430,104 @@ class StreamingSpec extends SparkSpec {
       "stream-admit:B:0").isDefined)
   }
 
+  test("mixed writers on ONE store: a live stream races RetentionMain " +
+      "convictions and a StoreMain tiered compact under lock_wait_ms — " +
+      "all wait-serialize and the store equals the rebuild") {
+    import graft.jobs.{ArtifactStore, DeltaJob}
+    import graft.operators.{Dedup, LmScore, Sketches}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).localCheckpoint()
+    val dir = Files.createTempDirectory("graft-mixed-writers").toString
+    val store = s"$dir/store"
+    corpus.write.parquet(s"$dir/corpus")
+    DeltaJob.publishDay0Artifacts(spark, store, corpus)
+    val words = Sketches.bloomDenseWords(
+      Sketches.bloomBuild(
+        docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(Dedup.shingles(col("text"), 3)).as("g")),
+        "g", 262144, 3, 31L), 262144)
+    // conviction range sits INSIDE the corpus (multiples of 5 — the
+    // stream's deltas — are excluded from src=corpus), so convicted and
+    // admitted stay disjoint and the expected end state is
+    // interleaving-independent even though the admitted SET isn't
+    Seq(("retire", "doc_id", "101", "149"))
+      .toDF("rulename", "column", "lo", "hi")
+      .write.parquet(s"$dir/rules")
+    docs.filter(col("doc_id") % 5 === 0).write.parquet(s"$dir/src")
+    // the advertised production topology, all at once: streaming
+    // admission + batch deletion + store maintenance on one store, all
+    // three waiting out each other's publishes instead of failing
+    val stream = StreamingRetentionJob.runAdmissionStore(
+      spark, s"$dir/src", docs.schema, corpus, words,
+      admittedPath = s"$dir/admitted", checkpoint = s"$dir/cp",
+      storeRoot = store, streamId = "mixed")
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def inThread(body: => Unit): Thread = {
+      val t = new Thread(() =>
+        try body catch { case e: Throwable => failures.add(e) })
+      t.start(); t
+    }
+    val retention = inThread {
+      val line = RetentionMain.run(spark, Map(
+        "src" -> s"$dir/corpus", "pk" -> "doc_id",
+        "rules_path" -> s"$dir/rules", "store" -> store,
+        "lock_wait_ms" -> "120000"))
+      assert(line.contains(""""dryRun":false"""), line)
+    }
+    val compactor = inThread {
+      StoreMain.run(spark, Map("store" -> store, "cmd" -> "compact",
+        "max_segments" -> "2", "lock_wait_ms" -> "120000"))
+      ()
+    }
+    assert(stream.awaitTermination(300000), "stream did not drain")
+    retention.join(300000)
+    compactor.join(300000)
+    import scala.jdk.CollectionConverters._
+    assert(failures.isEmpty,
+      failures.asScala.map(_.toString).mkString("; "))
+    // retention's generation committed (requireBase retries absorbed any
+    // lost race with the stream), and the stream's gate record resolves
+    val latest = ArtifactStore.latestVersion(spark, store).get
+    val notes = ArtifactStore.manifests(spark, store)
+      .select("note").as[String].collect().toSet
+    assert(notes.contains("retention"), notes)
+    assert(DeltaJob.recordedGate(spark, store, latest,
+      "stream-admit:mixed:0").isDefined)
+    // store ≡ rebuild for ANY interleaving: convicted ∩ admitted = ∅ and
+    // the merge algebra is order-free, so the end state is exactly
+    // build(corpus ∪ admitted) minus the convicted docs' contributions
+    val admitted = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id", "text")
+    val convictedDocs = corpus
+      .filter(col("doc_id") >= 101 && col("doc_id") <= 149)
+    assert(convictedDocs.count() > 0)
+    val grown = corpus.unionByName(admitted)
+    val expectedUni = graft.jobs.ArtifactRetention.subtractCounts(
+      LmScore.buildTrigramModel(grown, "text")._1,
+      LmScore.buildTrigramModel(convictedDocs, "text")._1, Seq("w"), "c1")
+    val storedUni = ArtifactStore.read(spark, store, "lm_uni", verify = true)
+    assert(storedUni.except(expectedUni).count() == 0 &&
+      expectedUni.except(storedUni).count() == 0)
+    val expectedIdx = graft.jobs.ArtifactRetention.retainRows(
+      Dedup.bandedSignatures(grown, "doc_id", "text", 3, 20, 10),
+      convictedDocs.select("doc_id").distinct(), "doc_id")
+    val storedIdx = ArtifactStore.read(spark, store, "index", verify = true)
+    assert(storedIdx.except(expectedIdx).count() == 0 &&
+      expectedIdx.except(storedIdx).count() == 0)
+    // a post-race drain leaves every artifact tier-compacted and still
+    // read-equivalent (checksummed above; verify the whole store too)
+    StoreMain.run(spark, Map("store" -> store, "cmd" -> "compact",
+      "max_segments" -> "2"))
+    val m = ArtifactStore.readManifest(spark, store,
+      ArtifactStore.latestVersion(spark, store).get)
+    assert(m.artifacts.forall(_.segments.size <= 2),
+      m.artifacts.map(a => s"${a.artifact}=${a.segments.size}"))
+    assert(StoreMain.run(spark, Map("store" -> store, "cmd" -> "verify"))
+      .contains("\"ok\":true"))
+  }
+
   test("a micro-batch admitting ZERO documents still commits its gate " +
       "record atomically; merged views are unchanged and the replay is " +
       "absorbed") {
