@@ -48,6 +48,16 @@ object StreamScaleProbe {
     val nStreams = opts.getOrElse("n_streams", "1").toInt
     require(nStreams >= 1, "n_streams must be >= 1")
     val work = opts("work")
+    // Admission-gate thresholds, overridable so the probe can measure
+    // the GROWTH regime: with the production defaults the synthetic
+    // sf* pool fails the quality cut and every batch admits ZERO rows —
+    // walls then measure probing but the store's artifacts never grow,
+    // so compaction (the thing auto_compact exists to bound) moves no
+    // data. min_quality_mu=0 admits the pool and makes the tails real.
+    val deltaOpts = graft.jobs.DeltaJob.DeltaOptions(
+      minQualityMu = opts.getOrElse("min_quality_mu", "900000").toLong,
+      maxContamPpm = opts.getOrElse("max_contam_ppm", "300000").toLong,
+      minMeanLpMu = opts.getOrElse("min_mean_lp_mu", "-3200000").toLong)
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -81,7 +91,7 @@ object StreamScaleProbe {
           spark, s"$work/src$tag", schema, corpus, words,
           admittedPath = s"$work/admitted$tag", checkpoint = s"$work/cp$tag",
           storeRoot = store, streamId = s"probe$tag",
-          autoCompactAt = autoCompact)
+          autoCompactAt = autoCompact, opts = deltaOpts)
         if (!q.awaitTermination(600000)) {
           // a capped sample would poison the emitted medians, and the
           // next iteration would race this query on the shared
@@ -141,9 +151,13 @@ object StreamScaleProbe {
         require(v - vBefore >= nStreams,
           s"wave $b advanced the store v$vBefore -> v$v " +
             s"(< $nStreams admission publishes) — a drain lost its publish")
-        val maxSegs = ArtifactStore.readManifest(spark, store, v)
-          .artifacts.map(_.segments.size).max
-        println(f"""{"probe":"stream_admit","batch":$b,"n_streams":$nStreams,"wall_sec":$wall%.2f,"store_version":$v,"max_segments":$maxSegs}""")
+        val m = ArtifactStore.readManifest(spark, store, v)
+        val maxSegs = m.artifacts.map(_.segments.size).max
+        // cumulative admitted rows: proves the batches carry real data
+        // (growing tails) rather than empty appends
+        val admittedRows = m.artifacts.find(_.artifact == "admitted_docs")
+          .map(_.segments.map(_.rows).sum).getOrElse(0L)
+        println(f"""{"probe":"stream_admit","batch":$b,"n_streams":$nStreams,"wall_sec":$wall%.2f,"store_version":$v,"max_segments":$maxSegs,"admitted_rows":$admittedRows}""")
         wall
       }
       def med(xs: Seq[Double]) = xs.sorted.apply((xs.size - 1) / 2)
