@@ -165,16 +165,25 @@ object ArtifactStore {
     * configured provider class (object-store conditional writes), or
     * the store's own filesystem. A configured provider carries its own
     * atomicity guarantee, so the create-exclusive scheme gate is
-    * skipped for it. */
-  private[graft] def lockIoFor(f: FileSystem): LockIo =
-    Option(f.getConf.getTrimmed("graft.artifactstore.lock.provider")) match {
+    * skipped for it.
+    *
+    * The conf is passed EXPLICITLY (the session's Hadoop configuration)
+    * rather than read from `f.getConf`: Hadoop's FileSystem CACHE keys
+    * on (scheme, authority, ugi) only, so the cached instance holds
+    * whatever Configuration object first created it — often a
+    * `newHadoopConf()` COPY made by an unrelated parquet write — and a
+    * provider key set on the live session conf would be invisible
+    * through it. */
+  private[graft] def lockIoFor(
+      conf: org.apache.hadoop.conf.Configuration, f: FileSystem): LockIo =
+    Option(conf.getTrimmed("graft.artifactstore.lock.provider")) match {
       case Some(cls) if cls.nonEmpty =>
         Class.forName(cls).getDeclaredConstructor()
           .newInstance().asInstanceOf[LockIo]
       case _ =>
         assertLockCapableScheme(
           Option(f.getUri.getScheme).getOrElse("file"),
-          f.getConf.getBoolean(
+          conf.getBoolean(
             "graft.artifactstore.lock.allow-nonatomic-create", false))
         new HadoopLockIo(f)
     }
@@ -261,11 +270,12 @@ object ArtifactStore {
     * Gone-retry run on every poll, so a holder that crashes mid-wait is
     * still broken as soon as it ages past `staleMs`. */
   private def withWriterLock[T](
-      f: FileSystem, root: String, staleMs: Long, waitMs: Long = 0L)(
+      spark: SparkSession, f: FileSystem, root: String,
+      staleMs: Long, waitMs: Long = 0L)(
       body: WriterLock => T): T = {
     val p = lockPath(root)
     val id = java.util.UUID.randomUUID.toString
-    val io = lockIoFor(f)
+    val io = lockIoFor(spark.sparkContext.hadoopConfiguration, f)
     def tryAcquire(): Boolean =
       io.putIfAbsent(p, s"$id ${System.currentTimeMillis}")
     // Live / Stale(observed payload) / Gone — Gone (vanished between
@@ -679,7 +689,7 @@ object ArtifactStore {
     require(changes.map(_._1).distinct.size == changes.size,
       "duplicate artifact names in one publish")
     val f = fs(spark, root)
-    withWriterLock(f, root, lockStaleMs, lockWaitMs) { lock =>
+    withWriterLock(spark, f, root, lockStaleMs, lockWaitMs) { lock =>
     val absorbed = ifNoteAbsent.flatMap(n => findVersionByNote(spark, root, n))
     val prevV = latestVersion(spark, root)
     if (absorbed.isDefined) (absorbed.get, false)
@@ -1170,7 +1180,7 @@ object ArtifactStore {
     val f = fs(spark, root)
     val dir = manifestDir(root)
     if (!f.exists(dir)) return GcReport(Nil, Nil, Nil)
-    withWriterLock(f, root, lockStaleMs, lockWaitMs) { _ =>
+    withWriterLock(spark, f, root, lockStaleMs, lockWaitMs) { _ =>
     val now = System.currentTimeMillis
     val versions = f.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("manifest-v") && n.endsWith(".json") =>

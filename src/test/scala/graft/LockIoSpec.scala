@@ -50,11 +50,16 @@ class LockIoSpec extends SparkSpec {
 
   test("lockIoFor: provider conf selects the configured backend; " +
       "default is the filesystem") {
-    val fs = new org.apache.hadoop.fs.Path("/tmp")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(ArtifactStore.lockIoFor(fs).isInstanceOf[HadoopLockIo])
+    // the conf is passed explicitly — Hadoop's FileSystem cache returns
+    // whatever Configuration object FIRST created the instance (often a
+    // newHadoopConf() copy from an unrelated parquet write), so reading
+    // the provider key through f.getConf misses live session-conf
+    // updates in any long-lived process
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path("/tmp").getFileSystem(conf)
+    assert(ArtifactStore.lockIoFor(conf, fs).isInstanceOf[HadoopLockIo])
     withProvider("graft.jobs.InMemoryLockIo") {
-      assert(ArtifactStore.lockIoFor(fs).isInstanceOf[InMemoryLockIo])
+      assert(ArtifactStore.lockIoFor(conf, fs).isInstanceOf[InMemoryLockIo])
     }
   }
 
