@@ -64,8 +64,10 @@ object Bench {
     // round-11 deletion-side maintenance additions (measured at add time)
     "q_dedup_index_retention" -> 0.2, "q_lm_model_retention" -> 0.3,
     "q_lm_model_append" -> 0.4,
-    "q_artifact_timetravel" -> 0.8, "q_artifact_manifest" -> 0.8,
-    "q_artifact_lsm" -> 0.9, "q_artifact_autocompact" -> 2.9,
+    // r14: the q_artifact_* lineages build once per process (shared
+    // fixtures) — timed iterations measure the read surface only
+    "q_artifact_timetravel" -> 0.5, "q_artifact_manifest" -> 0.8,
+    "q_artifact_lsm" -> 0.9, "q_artifact_autocompact" -> 0.7,
     "q_sim_ann_ivf_retention" -> 0.6, "q_reconcile_report" -> 2.2,
     "q_ann_index_drift" -> 1.3,
     // Round-10 additions refreshed from the r10 end-of-round full run
