@@ -102,6 +102,31 @@ object SparkEntry {
       ()
     }
 
+  /** q_artifact_lsm / q_store_verify_sample's shared three-segment
+    * lineage: v1 = counts snapshot over doc_id %3 ≠ 0, v2 appends the
+    * %3 = 0 delta, v3 appends the %7 = 0 docs' NEGATED counts — the
+    * canonical snapshot/admit/convict segment algebra, left
+    * uncompacted so the segment-level surfaces (merged read, scrubber
+    * coverage) see all three segments. */
+  private def lsmFixture(s: SparkSession, dir: String): String =
+    storeFixture(dir, "lsm") { root =>
+      val S = jobs.ArtifactStore
+      val docs = readWide(s, dir, "documents")
+      val uniOf = (d: org.apache.spark.sql.DataFrame) =>
+        operators.LmScore.buildTrigramModel(d, "text")._1
+      S.publish(s, root,
+        Seq("uni" -> S.Snapshot(uniOf(docs.filter(col("doc_id") % 3 =!= 0)))),
+        note = "initial", kinds = Map("uni" -> "counts"),
+        keyCols = Map("uni" -> Seq("w")), cntCols = Map("uni" -> "c1"))
+      S.publish(s, root,
+        Seq("uni" -> S.Append(uniOf(docs.filter(col("doc_id") % 3 === 0)))),
+        note = "admit")
+      S.publish(s, root,
+        Seq("uni" -> S.Append(uniOf(docs.filter(col("doc_id") % 7 === 0))
+          .withColumn("c1", -col("c1")))), note = "convict")
+      ()
+    }
+
   private def dumpOnce(art: String)(write: => Unit): Unit = {
     // Latch per path: several queries share one artifact (ahash_grid x3),
     // and Bench's warm phase runs queries concurrently — a loser of the
@@ -1142,6 +1167,15 @@ object SparkEntry {
       operators.Similarity.exactNearDups(
           readWide(s, dir, "embeddings"), threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))),
+    // SemDeDup (Abbas et al. 2023): cluster-bounded semantic dedup —
+    // strided coarse centroids, within-cluster pairs only, keep the
+    // low-centroid-similarity member of each duplicate pair (τ tuned to
+    // this corpus: 58 within-cluster pairs above 0.35 → 53 pruned of
+    // 500). Exact replay oracle: the whole assign→pair→verdict chain
+    // reruns in SQL on micro-quantized centroid similarities
+    "q_semdedup_centroid" -> ((s, dir) =>
+      operators.Similarity.semDedupCentroid(
+        readWide(s, dir, "embeddings"), tau = 0.35, nlist = 16)),
     // batch sessionization: gap-bounded per-user sessions over event
     // writetimes (1-hour gap in µs) — the training-data segmentation shape
     "q_sessionize" -> ((s, dir) => {
@@ -2808,23 +2842,73 @@ object SparkEntry {
     // live documents — the oracle computes exactly that rebuild in SQL,
     // so a green hash proves the whole segment algebra cross-engine.
     "q_artifact_lsm" -> ((s, dir) => {
+      jobs.ArtifactStore.read(s, lsmFixture(s, dir), "uni")
+    }),
+    // the store's offline scrubber surface: verifySample at 100%
+    // re-checksums every segment of the 3-segment lsm lineage and
+    // reports per-artifact coverage — (n_segments, n_checked, rows
+    // checked) must equal the SQL-derived segment row totals, so a
+    // green hash proves the manifest row accounting AND that a full
+    // scrub passes. The in-builder requires pin the SAMPLED mode: a
+    // seeded <100% slice is deterministic (failures reproduce) and
+    // covers a subset of the full scrub.
+    "q_store_verify_sample" -> ((s, dir) => {
       val S = jobs.ArtifactStore
-      val store = storeFixture(dir, "lsm") { root =>
+      val store = lsmFixture(s, dir)
+      val full = S.verifySample(s, store, samplePct = 100.0, seed = 7L)
+      val p40 = S.verifySample(s, store, samplePct = 40.0, seed = 7L)
+      require(p40 == S.verifySample(s, store, samplePct = 40.0, seed = 7L),
+        "a seeded sampled scrub must be deterministic per (seed, store)")
+      require(p40.head.nVerified <= full.head.nVerified &&
+        p40.head.rowsVerified <= full.head.rowsVerified,
+        "a sampled scrub must cover a subset of the full scrub")
+      import s.implicits._
+      full.map(v => (v.artifact, v.nSegments, v.nVerified, v.rowsVerified))
+        .toDF("artifact", "n_segments", "n_checked", "rows_checked")
+    }),
+    // gc with a reader grace window (the lock-free-reader contract):
+    // snapshot + append, an in-flight reader pins generation 1, then a
+    // full collapse makes v1/v2's segments exclusive and
+    // gc(keepLast=1, grace=24h) evicts both manifests. Inside the
+    // grace the segments are TOMBSTONED, not deleted — the pinned
+    // reader finishes cleanly; a FRESH read of the evicted generation
+    // fails loudly at plan time with the store's own error. The
+    // result is the surviving generation's verified read; the oracle
+    // rebuilds it over all documents, so a green hash proves gc left
+    // the kept data bit-exact.
+    "q_artifact_gc_grace" -> ((s, dir) => {
+      val S = jobs.ArtifactStore
+      val store = storeFixture(dir, "gcg") { root =>
         val docs = readWide(s, dir, "documents")
         val uniOf = (d: org.apache.spark.sql.DataFrame) =>
           operators.LmScore.buildTrigramModel(d, "text")._1
         S.publish(s, root,
-          Seq("uni" -> S.Snapshot(uniOf(docs.filter(col("doc_id") % 3 =!= 0)))),
+          Seq("uni" -> S.Snapshot(uniOf(docs.filter(col("doc_id") % 2 === 0)))),
           note = "initial", kinds = Map("uni" -> "counts"),
           keyCols = Map("uni" -> Seq("w")), cntCols = Map("uni" -> "c1"))
         S.publish(s, root,
-          Seq("uni" -> S.Append(uniOf(docs.filter(col("doc_id") % 3 === 0)))),
+          Seq("uni" -> S.Append(uniOf(docs.filter(col("doc_id") % 2 =!= 0)))),
           note = "admit")
-        S.publish(s, root,
-          Seq("uni" -> S.Append(uniOf(docs.filter(col("doc_id") % 7 === 0))
-            .withColumn("c1", -col("c1")))), note = "convict")
+        val pinnedV1 = S.read(s, root, "uni", Some(1L))
+        S.compact(s, root, "uni")
+        val rep = S.gc(s, root, keepLast = 1, graceMs = 24L * 3600 * 1000)
+        require(rep.keptVersions == Seq(3L) &&
+          rep.deletedVersions == Seq(1L, 2L),
+          s"gc(keepLast=1) must evict v1/v2 and keep v3, got $rep")
+        require(rep.deferredDirs.size == 2 && rep.deletedDirs.isEmpty,
+          "inside the grace the evicted segments must be tombstoned, " +
+            s"not deleted: $rep")
+        require(pinnedV1.count() > 0,
+          "an in-flight reader inside the grace window must finish")
+        val loud =
+          try { S.read(s, root, "uni", Some(1L)); false }
+          catch { case e: Exception =>
+            e.getMessage.contains("no committed manifest") }
+        require(loud,
+          "a fresh read of an evicted generation must fail loudly at " +
+            "plan time")
       }
-      S.read(s, store, "uni")
+      S.read(s, store, "uni", verify = true)
     }),
     // the store's opportunistic SIZE-TIERED compaction (the LSM
     // read-amplification cap a high-frequency micro-batch stream needs
@@ -3988,6 +4072,37 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+    // SemDeDup replay: strided centroids (same derivation as the IVF
+    // oracle), nearest-list assignment with larger-index tie-break,
+    // within-cluster duplicate pairs above τ=0.35, verdict = pruned iff
+    // a cluster-mate beats you (higher micro-quantized centroid cosine,
+    // id tie-break). floor(x·1e6 + 0.5) mirrors the engine's
+    // cross-engine-stable micro rounding
+    "q_semdedup_centroid" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         stepc AS (SELECT greatest(1, (SELECT count(*) FROM emb) // 16) AS step),
+         cent AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+           FROM emb, stepc WHERE vec_id % stepc.step = 0 ORDER BY vec_id LIMIT 16),
+         assigned AS (
+           SELECT e.vec_id, e.v,
+             (SELECT c.i FROM cent c
+              ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC LIMIT 1) AS list
+           FROM emb e),
+         m AS (
+           SELECT a.vec_id, a.v, a.list,
+             list_cosine_similarity(a.v, c.v) AS c_cos,
+             CAST(floor(list_cosine_similarity(a.v, c.v) * 1e6 + 0.5)
+               AS BIGINT) AS cmu
+           FROM assigned a JOIN cent c ON c.i = a.list),
+         pr AS (
+           SELECT DISTINCT a.vec_id
+           FROM m a JOIN m b ON a.list = b.list AND a.vec_id <> b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) > 0.35
+             AND (a.cmu > b.cmu OR (a.cmu = b.cmu AND a.vec_id > b.vec_id)))
+         SELECT m.vec_id, m.list, round(m.c_cos, 6) AS c_cos_r,
+           (pr.vec_id IS NOT NULL) AS pruned
+         FROM m LEFT JOIN pr ON pr.vec_id = m.vec_id""",
     // exact oracle for the LSH top-k: the signature planes are
     // deterministic driver-side constants, inlined here so DuckDB
     // reproduces the same buckets bit-for-bit
@@ -7318,6 +7433,31 @@ object SparkEntry {
     "q_artifact_lsm" ->
       """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
              FROM documents WHERE doc_id % 7 <> 0)
+         SELECT w, CAST(count(*) AS BIGINT) AS c1
+         FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1""",
+    // full-scrub coverage stats over the same 3-segment lineage: rows
+    // checked = Σ per-segment manifest rows = the three slices'
+    // distinct-unigram counts
+    "q_store_verify_sample" ->
+      """WITH seg1 AS (SELECT count(DISTINCT w) AS n FROM (
+             SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             FROM documents WHERE doc_id % 3 <> 0)),
+         seg2 AS (SELECT count(DISTINCT w) AS n FROM (
+             SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             FROM documents WHERE doc_id % 3 = 0)),
+         seg3 AS (SELECT count(DISTINCT w) AS n FROM (
+             SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             FROM documents WHERE doc_id % 7 = 0))
+         SELECT 'uni' AS artifact, CAST(3 AS INTEGER) AS n_segments,
+           CAST(3 AS INTEGER) AS n_checked,
+           CAST(seg1.n + seg2.n + seg3.n AS BIGINT) AS rows_checked
+         FROM seg1, seg2, seg3""",
+    // snapshot(%2=0) + append(%2<>0), collapsed then gc'd with a 24h
+    // grace: the surviving generation's verified read must equal the
+    // rebuild over ALL documents
+    "q_artifact_gc_grace" ->
+      """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+             FROM documents)
          SELECT w, CAST(count(*) AS BIGINT) AS c1
          FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1""",
     // snapshot(%2=0) + append(%2<>0) + append(−%5=0), auto-compacted to

@@ -876,6 +876,75 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) with the paper's
+    * exemplar policy: cluster-bounded semantic deduplication where, of
+    * each within-cluster duplicate pair (cos > `tau`), the member
+    * FARTHER from its centroid survives — keep-low-centroid-similarity,
+    * which preferentially retains the cluster's edge examples and
+    * prunes its redundant core (the policy the paper measured best).
+    * The keep-lowest-id variant over LEARNED k-means clusters is
+    * [[Clustering.semDedup]]; this one assigns against the
+    * [[buildIvfIndex]] strided sample (deterministic, so the
+    * correctness oracle replays the whole pipeline) and returns a full
+    * per-vector VERDICT rather than just the survivors. Ties on the
+    * (micro-quantized) centroid similarity keep the smaller id.
+    *
+    * Returns one verdict row per input vector:
+    * `(idCol, list, c_cos_r, pruned)` — cluster id, centroid cosine
+    * rounded to 6 places, and whether the vector is semantically
+    * redundant. Filter `!pruned` for the kept corpus.
+    *
+    * Scale shape: one corpus pass to assign (centroids are an O(nlist)
+    * broadcast literal), ONE shuffle co-partitioning members by `list`,
+    * then an equi-self-join whose pair work is Σ|cluster|² — never the
+    * corpus cross product. `nlist` is the scale knob: grow it in
+    * proportion to the corpus (the paper uses ~√N..N/1e4 clusters) so
+    * per-cluster membership stays O(1) and the pair term stays linear.
+    * Centroid similarity is micro-quantized (floor(x·1e6 + 0.5) — the
+    * cross-engine-stable rounding, see [[int8Quantize]]) before the
+    * keep/prune comparison so the verdict never hinges on sub-µ
+    * floating-point noise. For production corpora swap the strided
+    * sample for [[buildIvfIndexKmeans]] centroids (same downstream
+    * algebra); the strided build keeps this derivation exactly
+    * SQL-replayable. */
+  def semDedupCentroid(
+      corpus: DataFrame,
+      tau: Double,
+      nlist: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (cents, assigned) = buildIvfIndex(corpus, nlist, idCol, vecCol)
+    val members = assigned
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"),
+        col("__list").as("list"))
+      .join(broadcast(cents), Seq("list"))
+      .withColumn("__ccos", cosine(col("__v"), col("centroid")))
+      .withColumn("__cmu",
+        floor(col("__ccos") * 1e6 + 0.5).cast("long"))
+      .select(col("list"), col(idCol), col("__v"), col("__ccos"),
+        col("__cmu"))
+      // one exchange shared by both self-join branches
+      .repartition(col("list"))
+    val a = members.select(col("list"), col(idCol).as("__id_a"),
+      col("__v").as("__va"), col("__cmu").as("__ca"))
+    val b = members.select(col("list"), col(idCol).as("__id_b"),
+      col("__v").as("__vb"), col("__cmu").as("__cb"))
+    // x is pruned iff some cluster-mate y above tau "beats" it: y sits
+    // closer to the centroid (higher micro-cos), or ties with a smaller
+    // id — of every duplicate pair exactly one side survives
+    val pruned = a.join(b, Seq("list"))
+      .filter(col("__id_a") =!= col("__id_b"))
+      .filter(cosine(col("__va"), col("__vb")) > tau)
+      .filter(col("__ca") > col("__cb") ||
+        (col("__ca") === col("__cb") && col("__id_a") > col("__id_b")))
+      .select(col("__id_a").as(idCol)).distinct()
+    members
+      .join(pruned.withColumn("__p", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("list"),
+        round(col("__ccos"), 6).as("c_cos_r"),
+        coalesce(col("__p"), lit(false)).as("pruned"))
+  }
+
   /** Symmetric per-vector int8 quantization: `scale = 127 / max|v|`,
     * `q_i = floor(v_i·scale + 0.5)` — 4× memory cut for ANN shortlists
     * and candidate transport (the full-precision vector is only re-read

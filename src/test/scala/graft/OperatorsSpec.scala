@@ -309,6 +309,28 @@ class SimilaritySpec extends SparkSpec {
       .foreach { case (a, b, c) => assert(a < b && c >= 0.4) }
   }
 
+  test("semDedupCentroid: verdict is total; planted exact copies prune by the id tie-break") {
+    val base = emb.limit(120).select("vec_id", "embedding")
+    // five exact copies — cos 1.0 to their originals, identical centroid
+    // cosine, so the micro-quantized tie-break must keep the ORIGINAL
+    // (smaller id) and prune the clone, deterministically
+    val clones = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val out = Similarity.semDedupCentroid(base.unionByName(clones), tau = 0.9, nlist = 8)
+    val rows = out.select("vec_id", "pruned", "c_cos_r")
+      .as[(Long, Boolean, Double)].collect()
+    assert(rows.length == 125 && rows.map(_._1).distinct.length == 125,
+      "one verdict row per input vector")
+    // the real corpus has no pairs above 0.9 (max pairwise cos ≈ 0.51),
+    // so the pruned set is EXACTLY the planted clones
+    val pruned = rows.filter(_._2).map(_._1).toSet
+    assert(pruned == (0L until 5L).map(_ + 10000L).toSet,
+      s"pruned must be exactly the clones, got $pruned")
+    // a clone shares its original's cluster and centroid cosine
+    val ccos = rows.map(r => r._1 -> r._3).toMap
+    (0L until 5L).foreach(i => assert(ccos(i) == ccos(i + 10000L)))
+  }
+
   test("PQ top-k: deterministic, k-bounded, approximates the brute-force ranking") {
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
