@@ -914,6 +914,12 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val (cents, assigned) = buildIvfIndex(corpus, nlist, idCol, vecCol)
+    // assignment + centroid cosine, computed per consuming branch (the
+    // centroid table rides ONE reused broadcast). The pair join's two
+    // branches share one list-partitioned exchange (AQE ReusedExchange —
+    // same discipline as cosineNearDups' self-join); the verdict branch
+    // deliberately does NOT take that partitioning: it joins on the id,
+    // so a list exchange would be a wasted corpus shuffle
     val members = assigned
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"),
         col("__list").as("list"))
@@ -923,23 +929,20 @@ object Similarity {
         floor(col("__ccos") * 1e6 + 0.5).cast("long"))
       .select(col("list"), col(idCol), col("__v"), col("__ccos"),
         col("__cmu"))
-      // one exchange shared by both self-join branches
-      .repartition(col("list"))
-    val a = members.select(col("list"), col(idCol).as("__id_a"),
-      col("__v").as("__va"), col("__cmu").as("__ca"))
-    val b = members.select(col("list"), col(idCol).as("__id_b"),
-      col("__v").as("__vb"), col("__cmu").as("__cb"))
+    val m = members.repartition(col("list"))
     // x is pruned iff some cluster-mate y above tau "beats" it: y sits
     // closer to the centroid (higher micro-cos), or ties with a smaller
     // id — of every duplicate pair exactly one side survives
-    val pruned = a.join(b, Seq("list"))
-      .filter(col("__id_a") =!= col("__id_b"))
-      .filter(cosine(col("__va"), col("__vb")) > tau)
-      .filter(col("__ca") > col("__cb") ||
-        (col("__ca") === col("__cb") && col("__id_a") > col("__id_b")))
-      .select(col("__id_a").as(idCol)).distinct()
-    members
-      .join(pruned.withColumn("__p", lit(true)), Seq(idCol), "left")
+    val pruned = m.as("a")
+      .join(m.as("b"),
+        col("a.list") === col("b.list") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .filter(cosine(col("a.__v"), col("b.__v")) > tau)
+      .filter(col("a.__cmu") > col("b.__cmu") ||
+        (col("a.__cmu") === col("b.__cmu") &&
+          col(s"a.$idCol") > col(s"b.$idCol")))
+      .select(col(s"a.$idCol").as(idCol)).distinct()
+    members.join(pruned.withColumn("__p", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("list"),
         round(col("__ccos"), 6).as("c_cos_r"),
         coalesce(col("__p"), lit(false)).as("pruned"))

@@ -378,6 +378,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("semDedupCentroid: self-join branches and verdict ride reused exchanges") {
+    // one list-partitioned exchange feeds the pair join's both sides and
+    // the verdict's left side — at runtime AQE must reuse it (and the
+    // centroid broadcast) instead of re-scanning + re-assigning 3x
+    val df = SparkEntry.queries("q_semdedup_centroid")(spark, sfDir)
+    df.collect()
+    // audit the FINAL adaptive plan only (toString appends the pre-AQE
+    // "Initial Plan", which would double-count scans)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ReusedExchange"), plan)
+    // member scan per branch pair (verdict + pair join, whose b-side
+    // reuses a-side's exchange) + one centroid-sample scan
+    val scans = "Scan parquet".r.findAllMatchIn(plan).size
+    assert(scans <= 3,
+      s"pair-join branches must share one exchange (expect ≤ 3 scans: " +
+        s"2 member + 1 centroid sample), got $scans:\n$plan")
+    // the verdict branch joins on the id — it must NOT pay the pair
+    // join's list repartition
+    val listParts = plan.linesIterator.count(l =>
+      l.contains("REPARTITION_BY_COL") && !l.contains("ReusedExchange"))
+    assert(listParts <= 1,
+      s"only the pair join repartitions by list, got $listParts:\n$plan")
+  }
+
   test("tf-idf keywords: rank window is per-doc, tf agg combines map-side") {
     val plan = simple("q_tfidf_keywords")
     assert(plan.contains("partial_count"), plan)
