@@ -68,6 +68,11 @@ object Bench {
     // fixtures) — timed iterations measure the read surface only
     "q_artifact_timetravel" -> 0.5, "q_artifact_manifest" -> 0.8,
     "q_artifact_lsm" -> 0.9, "q_artifact_autocompact" -> 0.7,
+    // r14 second wave (measured floors, BENCH_r14_local clean run):
+    // store gates share/build fixtures once per process; semdedup's
+    // pair stage is cluster-bounded
+    "q_semdedup_centroid" -> 0.56, "q_store_verify_sample" -> 0.54,
+    "q_artifact_gc_grace" -> 0.27,
     "q_sim_ann_ivf_retention" -> 0.6, "q_reconcile_report" -> 2.2,
     "q_ann_index_drift" -> 1.3,
     // Round-10 additions refreshed from the r10 end-of-round full run

@@ -847,12 +847,17 @@ class ArtifactStoreSpec extends SparkSpec {
       seed = 7L)
     assert(s1 == s2)
     assert(s1.head.nVerified < 9, "a 40% sample should not scrub all 9")
-    // …and rotating seeds walks different slices: the union of a few
-    // seeds covers (statistically) more than one seed alone
-    val covered = (0L to 6L).map(sd =>
+    // …and rotating seeds walks different slices. Segment paths carry
+    // per-run attempt uuids, so each seed's slice SIZE is a random
+    // variable per test run — assert over a seed range that includes
+    // s1's own seed (deterministic: max ≥ that seed's count) and that
+    // the sizes actually vary across seeds (slices differ)
+    val sizes = (0L to 15L).map(sd =>
       ArtifactStore.verifySample(spark, root, samplePct = 40.0, seed = sd)
-        .head.nVerified).max
-    assert(covered >= s1.head.nVerified)
+        .head.nVerified)
+    assert(sizes.max >= s1.head.nVerified)
+    assert(sizes.distinct.size > 1,
+      s"rotating seeds must walk different slices, got $sizes")
     intercept[IllegalArgumentException] {
       ArtifactStore.verifySample(spark, root, samplePct = 0.0)
     }
