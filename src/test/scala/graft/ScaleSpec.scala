@@ -145,4 +145,30 @@ class ScaleSpec extends SparkSpec {
     assert(zOverlap * 2 <= linOverlap,
       s"z-order should touch far fewer partitions: z=$zOverlap linear=$linOverlap")
   }
+
+  test("semDedupCentroid scale algebra: nlist ∝ corpus keeps per-vector pair work flat") {
+    // the SemDeDup contract at 100 TB: the quadratic term is Σ|cluster|²,
+    // so growing nlist in proportion to the corpus holds the PER-VECTOR
+    // candidate-pair count constant, while a fixed nlist degrades it
+    // linearly in corpus size. Deterministic (strided centroids, no RNG):
+    // measured 31.6 pairs/vec at (500, nlist=16) vs 31.3 at (2000, 64)
+    // vs 125.5 at (2000, 16).
+    def perVectorPairs(path: String, nlist: Int): Double = {
+      val emb = spark.read.parquet(path).select("vec_id", "embedding")
+      val (_, assigned) =
+        graft.operators.Similarity.buildIvfIndex(emb, nlist)
+      val pairs = assigned.groupBy("__list").count()
+        .agg(sum(col("count") * (col("count") - 1)))
+        .head().getLong(0)
+      pairs.toDouble / emb.count()
+    }
+    val base = perVectorPairs("/root/testdata/sf0.01/embeddings.parquet", 16)
+    val scaled = perVectorPairs("/root/testdata/sf0.1/embeddings.parquet", 64)
+    val fixed = perVectorPairs("/root/testdata/sf0.1/embeddings.parquet", 16)
+    assert(scaled <= base * 1.5,
+      s"nlist ∝ N must keep per-vector pair work flat: $base -> $scaled")
+    assert(fixed >= scaled * 3,
+      s"fixed nlist must degrade at 4x corpus (else the knob is moot): " +
+        s"scaled=$scaled fixed=$fixed")
+  }
 }
