@@ -192,6 +192,109 @@ object SignatureEval {
     new GenericArrayData(out.toArray(new Array[UTF8String](out.size())))
   }
 
+  /** hash60 of every char k-gram of `s` — the EXACT value of the
+    * relational idiom `conv(substring(md5(concat(gram, ':seed')), 1,
+    * 15), 16, 10)` per position ([[graft.operators.Sketches.hash60]]),
+    * computed from the raw digest bytes with one reused MessageDigest
+    * and NO hex round-trips. Positions are Unicode CODE POINTS (what
+    * Spark's `substr`/`length` count), via a byte-offset index on
+    * non-ASCII rows; empty array when the text is shorter than k —
+    * both matching [[graft.operators.TextAnalysis.kgramHashesRelational]]
+    * exactly (parity spec-pinned). The interpreted transform/md5 HOF
+    * this replaces paid a lambda frame + UTF8String substring + hex
+    * parse PER POSITION — it dominated every winnowing pass. */
+  def kgramHash60(s: UTF8String, k: Int, seed: Long): ArrayData = {
+    val n = s.numChars()
+    if (n < k) return new GenericArrayData(new Array[Long](0))
+    val bytes = s.getBytes
+    val ascii = bytes.length == n
+    // code-point → byte-offset index (n+1 entries); null on the ASCII
+    // fast path where offsets are identities
+    val offs: Array[Int] =
+      if (ascii) null
+      else {
+        val o = new Array[Int](n + 1)
+        var bi = 0
+        var ci = 0
+        while (ci < n) {
+          o(ci) = bi
+          bi += UTF8String.numBytesForFirstByte(bytes(bi))
+          ci += 1
+        }
+        o(n) = bytes.length
+        o
+      }
+    val suffix =
+      (":" + seed).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      md.reset()
+      if (ascii) md.update(bytes, i, k)
+      else md.update(bytes, offs(i), offs(i + k) - offs(i))
+      md.update(suffix)
+      val d = md.digest()
+      // first 15 hex digits of the digest as a decimal long: bytes 0-6
+      // in full (56 bits) then the high nibble of byte 7 — 60 bits
+      out(i) = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+        ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+        ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+        ((d(6) & 0xffL) << 4) | ((d(7) & 0xffL) >>> 4)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Winnowing selection over a k-gram hash array: each length-`w`
+    * window's minimum, ties → RIGHTMOST (robust winnowing), deduped —
+    * the EXACT output of
+    * [[graft.operators.TextAnalysis.winnowFingerprintsRelational]]
+    * (parity spec-pinned), as `(pos, fp)` structs with 1-based
+    * positions. One monotonic-deque pass, O(grams) total where the
+    * interpreted HOF built w structs per window (O(grams·w)).
+    *
+    * Selections are non-decreasing in position (window j+1's min can
+    * never sit LEFT of window j's: both minima would be in the shared
+    * region with equal hashes, and the rightmost-tie rule already chose
+    * the right one), so `array_distinct` semantics reduce to skipping
+    * consecutive repeats. */
+  def winnowSelect(hashes: ArrayData, w: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val ng = hashes.numElements()
+    if (ng == 0) return new GenericArrayData(new Array[InternalRow](0))
+    val wins = math.max(ng - w + 1, 1)
+    val deque = new Array[Int](ng)
+    var head = 0
+    var tail = 0
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+    var lastSel = -1
+    var next = 0 // next 0-based gram index to enter the deque
+    var j = 0 // 0-based window start
+    while (j < wins) {
+      val hi = math.min(j + w - 1, ng - 1)
+      while (next <= hi) {
+        val h = hashes.getLong(next)
+        // pop equal-or-larger older entries: a newer equal hash wins
+        // every later window under the rightmost-tie rule
+        while (tail > head && hashes.getLong(deque(tail - 1)) >= h)
+          tail -= 1
+        deque(tail) = next
+        tail += 1
+        next += 1
+      }
+      while (deque(head) < j) head += 1
+      val sel = deque(head)
+      if (sel != lastSel) {
+        out += new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](sel + 1, hashes.getLong(sel)))
+        lastSel = sel
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** SimHash: 64 signed bit-counts over per-token xxhash64 values, the
     * identical math of [[graft.operators.Dedup.simHashFingerprints]]. */
   def simHash(tokens: ArrayData): Long = {
@@ -364,5 +467,69 @@ case class SimHash64(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.SignatureEval.simHash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Char k-gram hash60 array as ONE codegen'd projection over a string
+  * column — the hash stage of every winnowing pass (see
+  * [[SignatureEval.kgramHash60]] for the md5-parity contract). */
+case class KGramHash60(child: Expression, k: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string, got ${other.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_kgram_hash60"
+
+  override def nullSafeEval(in: Any): Any =
+    SignatureEval.kgramHash60(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, seed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SignatureEval.kgramHash60($c, $k, ${seed}L)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): KGramHash60 =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint selection as ONE codegen'd projection over a
+  * hash array — the window stage of every winnowing pass (see
+  * [[SignatureEval.winnowSelect]] for the tie/dedup contract). */
+case class WinnowSelect(child: Expression, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<bigint> hashes, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_winnow_select"
+
+  override def nullSafeEval(in: Any): Any =
+    SignatureEval.winnowSelect(in.asInstanceOf[ArrayData], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SignatureEval.winnowSelect($c, $w)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowSelect =
     copy(child = newChild)
 }

@@ -228,6 +228,28 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** [[ngramJaccard]] with the corpus first RESTRICTED to documents
+    * that actually appear in `pairs`. At the usual thresholds the
+    * candidate set is orders of magnitude smaller than the corpus, so
+    * shingling the FULL table on both verify-join sides — which is what
+    * the unrestricted form does — is the dominant waste of any
+    * candidate→verify pipeline at scale. Pins the (small) pair list
+    * once: it is referenced three times (two id restrictions plus the
+    * verify join itself), and re-deriving a candidate generator per
+    * reference re-runs its banding/prefix shuffles. */
+  def ngramJaccardOnPairs(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val p = pairs.select("id_a", "id_b").localCheckpoint()
+    val ids = p.select(col("id_a").as(idCol))
+      .union(p.select(col("id_b").as(idCol))).distinct()
+    ngramJaccard(df.join(ids, Seq(idCol), "leftsemi"), p,
+      idCol, textCol, shingleN)
+  }
+
   /** 64-bit SimHash fingerprint: per token, xxhash64 contributes ±1 to
     * each bit position; fingerprint bit = sign of the sum. One pure
     * projection — `aggregate` over the token array per bit, then bits
@@ -374,7 +396,7 @@ object Dedup {
       bands: Int = 10,
       maxBucket: Option[Int] = None): DataFrame = {
     val cands = lshCandidatePairs(df, idCol, textCol, shingleN, k, bands, maxBucket)
-    val verified = ngramJaccard(df, cands, idCol, textCol, shingleN)
+    val verified = ngramJaccardOnPairs(df, cands, idCol, textCol, shingleN)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b")
     val groups = resolveDuplicateGroups(verified)
@@ -401,7 +423,7 @@ object Dedup {
       k: Int = 20,
       bands: Int = 10): DataFrame = {
     val cands = lshCandidatePairs(df, idCol, textCol, shingleN, k, bands, None)
-    val verified = ngramJaccard(df, cands, idCol, textCol, shingleN)
+    val verified = ngramJaccardOnPairs(df, cands, idCol, textCol, shingleN)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b")
     resolveDuplicateGroups(verified)
@@ -800,8 +822,14 @@ object Dedup {
       "thresholdMu is micro-units in (0, 1e6]")
     val sh = df.select(col(idCol).as("__id"),
       shingles(col(textCol), shingleN).as("__s"))
+    // eager checkpoint: the exploded shingle table feeds BOTH the
+    // frequency aggregation and the prefix join — unpinned, each
+    // reference re-derives every shingle from the corpus (two full
+    // tokenize+concat passes). One materialization; blocks are
+    // ContextCleaner-owned. At scale this is the same size class as the
+    // shuffle the frequency groupBy performs anyway.
     val ex = sh.select(col("__id"), size(col("__s")).as("__n"),
-      explode(col("__s")).as("__sh"))
+      explode(col("__s")).as("__sh")).localCheckpoint()
     val freq = ex.groupBy(col("__sh")).agg(count(lit(1)).as("__f"))
     val w = Window.partitionBy(col("__id")).orderBy(col("__f"), col("__sh"))
     val prefix = ex.join(freq, Seq("__sh"))
@@ -814,7 +842,7 @@ object Dedup {
       .join(prefix.select(col("__sh"), col("__id").as("id_b")), Seq("__sh"))
       .filter(col("id_b") > col("id_a"))
       .select("id_a", "id_b").distinct()
-    ngramJaccard(df, cand, idCol, textCol, shingleN)
+    ngramJaccardOnPairs(df, cand, idCol, textCol, shingleN)
       .filter(col("jaccard") >= lit(thresholdMu.toDouble / 1e6))
       .select(col("id_a"), col("id_b"),
         round(col("jaccard") * lit(1e6d)).cast("long").as("jaccard_micro"))
@@ -846,19 +874,24 @@ object Dedup {
       maxDf: Long = 20L,
       minShared: Long = 2L): DataFrame = {
     val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    // eager checkpoint at the FINGERPRINT table, before the df-cut: the
+    // df-cut aggregation AND the kept-join both reference it, and
+    // unpinned each re-derives every md5 k-gram hash from the corpus —
+    // the hashing is the dominant CPU of the whole operator, so it must
+    // run exactly once. Blocks are ContextCleaner-owned (cache-scope
+    // sanctioned); at scale the pinned table is the same size class as
+    // the shuffle the df-cut groupBy performs anyway.
     val fps = df.withColumn("__norm", norm)
       .withColumn("__h", TextAnalysis.kgramHashes(col("__norm"), k, seed))
       .select(col(idCol),
         explode(array_distinct(transform(
           TextAnalysis.winnowFingerprints(col("__norm"), col("__h"), k, w),
           s => s.getField("fp")))).as("fp"))
+      .localCheckpoint()
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("fp")
-    // eager checkpoint: the self-join references the kept-fingerprint
-    // table TWICE, and without pinning, each side re-derives every md5
-    // k-gram hash from the corpus (plan-audited: 4 parquet scans). One
-    // materialization; blocks are ContextCleaner-owned (cache-scope
-    // sanctioned)
+    // second pin: the self-join references the kept-fingerprint table
+    // TWICE (plan-audited: 4 parquet scans before either pin existed)
     val fk = fps.join(keep, Seq("fp")).localCheckpoint()
     val a = fk.select(col("fp"), col(idCol).as("id_a"))
     val b = fk.select(col("fp"), col(idCol).as("id_b"))

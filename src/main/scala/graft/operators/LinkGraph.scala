@@ -41,15 +41,20 @@ object LinkGraph {
       dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && dampingPct > 0 && dampingPct < 100,
       "need iters >= 1 and 0 < dampingPct < 100")
-    val nodes = edges.select(col(srcCol).as("node"))
-      .union(edges.select(col(dstCol).as("node"))).distinct()
+    // pin the edge list once: it is referenced 2 (node derivation)
+    // + 1 (outdeg) + `iters` (contribs) times, and callers routinely
+    // pass DERIVED frames (projection + union + distinct over a corpus
+    // scan) whose re-derivation per reference is a shuffle each
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col(srcCol).as("node"))
+      .union(e.select(col(dstCol).as("node"))).distinct()
       .localCheckpoint()
-    val outdeg = edges.groupBy(col(srcCol).as("node"))
+    val outdeg = e.groupBy(col(srcCol).as("node"))
       .agg(count(lit(1)).as("outdeg"))
     val baseMu = (100 - dampingPct) * 10000L // (1-d)·10⁶
     var ranks = nodes.withColumn("rank_mu", lit(1000000L))
     for (_ <- 1 to iters) {
-      val contribs = edges
+      val contribs = e
         .join(ranks.withColumnRenamed("node", srcCol), srcCol)
         .join(outdeg.withColumnRenamed("node", srcCol), srcCol)
         // pure integer: rank_mu·d is exact in BIGINT where the double

@@ -279,6 +279,22 @@ object TextAnalysis {
   def winnowFingerprints(
       normText: Column, hashes: Column, k: Int, w: Int): Column = {
     require(k >= 1 && w >= 1)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // coalesce as in [[kgramHashes]]: null hashes → empty selection,
+    // matching the relational when/otherwise fall-through
+    coalesce(
+      ColumnBridge.column(graft.functions.WinnowSelect(
+        ColumnBridge.expression(hashes), w)),
+      array().cast("array<struct<pos:int,fp:bigint>>"))
+  }
+
+  /** The relational HOF formulation of [[winnowFingerprints]] — kept as
+    * the cross-check reference for the native expression (asserted
+    * equal in ExpressionPropertySpec). O(grams·w) interpreted struct
+    * builds per document vs the native one-pass deque. */
+  private[graft] def winnowFingerprintsRelational(
+      normText: Column, hashes: Column, k: Int, w: Int): Column = {
+    require(k >= 1 && w >= 1)
     val ng = length(normText) - lit(k - 1) // gram count
     val wins = greatest(ng - lit(w - 1), lit(1)) // window count
     array_distinct(
@@ -296,7 +312,23 @@ object TextAnalysis {
   /** The k-gram hash array [[winnowFingerprints]] consumes — bind it as
     * its own column so the expression evaluates once per row, not once
     * per window. */
-  def kgramHashes(normText: Column, k: Int, seed: Long): Column =
+  def kgramHashes(normText: Column, k: Int, seed: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // coalesce: the null-intolerant native expression yields NULL for a
+    // null text where the relational when/otherwise fell through to an
+    // EMPTY array — preserve that exactly
+    coalesce(
+      ColumnBridge.column(graft.functions.KGramHash60(
+        ColumnBridge.expression(normText), k, seed)),
+      array().cast("array<bigint>"))
+  }
+
+  /** The relational HOF formulation of [[kgramHashes]] — kept as the
+    * cross-check reference for the native expression (asserted equal in
+    * ExpressionPropertySpec): one interpreted lambda frame + UTF8String
+    * substring + md5 hex parse per position. */
+  private[graft] def kgramHashesRelational(
+      normText: Column, k: Int, seed: Long): Column =
     when(length(normText) >= k,
       transform(sequence(lit(1), length(normText) - lit(k - 1)),
         i => Sketches.hash60(normText.substr(i, lit(k)), seed)))

@@ -467,7 +467,7 @@ object TrainPrep {
     // bands=10 matches nearDupDedup's high-recall setting: the group
     // structure must not depend on LSH luck
     val cands = Dedup.lshCandidatePairs(df, idCol, textCol, shingleN, k, bands)
-    val verified = Dedup.ngramJaccard(df, cands, idCol, textCol, shingleN)
+    val verified = Dedup.ngramJaccardOnPairs(df, cands, idCol, textCol, shingleN)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b")
     val groups = Dedup.resolveDuplicateGroups(verified)
@@ -617,7 +617,7 @@ object TrainPrep {
       s"bestCopyDedup needs a numeric id column for its tie-break; " +
         s"'$idCol' is ${df.schema(idCol).dataType.simpleString}")
     val cands = Dedup.lshCandidatePairs(df, idCol, textCol, shingleN, k, bands)
-    val verified = Dedup.ngramJaccard(df, cands, idCol, textCol, shingleN)
+    val verified = Dedup.ngramJaccardOnPairs(df, cands, idCol, textCol, shingleN)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b")
     val groups = Dedup.resolveDuplicateGroups(verified)

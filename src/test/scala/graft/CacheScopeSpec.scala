@@ -30,26 +30,29 @@ class CacheScopeSpec extends SparkSpec {
     }
     // final sweep: with every query frame out of scope, GC must let the
     // ContextCleaner drain the checkpoint blocks too. Bounded poll — the
-    // cleaner processes the reference queue asynchronously after GC, and
-    // drains serially: with the round-7 operators checkpointing more
-    // intermediates the backlog can take tens of seconds under host
-    // steal (one observed 30s-deadline flake, and a 120s-deadline flake
-    // in round 13 on a run where the whole suite ran ~2x slow under
-    // steal). A REAL leak (a strong reference in a registry or plan
-    // cache) never clears, so a longer deadline loses no detection
-    // power — it only rides out the box's multi-minute stall bursts.
+    // cleaner processes the reference queue asynchronously after GC.
+    // CRITICAL: snapshot only STRINGS, never the RDD objects — the
+    // registry is weak-valued, so a snapshot map held in a local across
+    // System.gc() strongly pins every listed RDD and the sweep can never
+    // drain (the true cause of this spec's historical 30s/120s/300s
+    // "cleaner backlog" flakes: the loop variable itself was the strong
+    // reference it was hunting). A REAL leak (a strong reference in a
+    // registry or plan cache) still never clears and still fails here.
+    def lingering(): List[String] = {
+      val m = spark.sparkContext.getPersistentRDDs
+      m.values.map(_.toString).toList
+    }
     val t0 = System.currentTimeMillis()
-    val deadline = t0 + 300000
-    var remaining = spark.sparkContext.getPersistentRDDs
+    val deadline = t0 + 120000
+    var remaining = lingering()
     while (remaining.nonEmpty && System.currentTimeMillis() < deadline) {
       System.gc()
       Thread.sleep(500)
-      remaining = spark.sparkContext.getPersistentRDDs
+      remaining = lingering()
     }
     assert(remaining.isEmpty,
       s"persistent RDDs survived GC for " +
         s"${System.currentTimeMillis() - t0}ms (strongly referenced — " +
-        "a real leak): " +
-        remaining.values.map(_.toString).mkString(", "))
+        "a real leak): " + remaining.mkString(", "))
   }
 }

@@ -94,6 +94,38 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: KGramHash60/WinnowSelect ≡ relational winnowing on random texts") {
+    import graft.operators.TextAnalysis
+    // genText includes unicode words (ü, 日本): the native hash must
+    // count positions in CODE POINTS exactly like Spark's substr/length
+    val texts = samples(genText, 120).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for ((k, w) <- Seq((3, 4), (8, 6), (5, 1), (1, 3))) {
+      val hashDiff = df.select(
+          TextAnalysis.kgramHashes(col("text"), k, 13L).as("a"),
+          TextAnalysis.kgramHashesRelational(col("text"), k, 13L).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(hashDiff == 0, s"kgramHashes k=$k diverged")
+      val winDiff = df
+        .withColumn("__h", TextAnalysis.kgramHashes(col("text"), k, 13L))
+        .select(
+          TextAnalysis.winnowFingerprints(col("text"), col("__h"), k, w)
+            .as("a"),
+          TextAnalysis.winnowFingerprintsRelational(
+            col("text"), col("__h"), k, w).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(winDiff == 0, s"winnowFingerprints k=$k w=$w diverged")
+    }
+    // null text: both forms fall through to an EMPTY array, never null
+    val nulls = Seq((1L, null: String)).toDF("id", "text")
+      .select(
+        TextAnalysis.kgramHashes(col("text"), 3, 13L).as("h"),
+        TextAnalysis.kgramHashesRelational(col("text"), 3, 13L).as("hr"))
+      .collect()(0)
+    assert(nulls.getSeq[Long](0) == Seq.empty && nulls.getSeq[Long](1) == Seq.empty)
+  }
+
   test("property: VectorDot ≡ HOF fold on random vectors, bit-exact") {
     val genVec: Gen[Seq[Double]] = for {
       n <- Gen.chooseNum(1, 64)
