@@ -73,6 +73,9 @@ object Bench {
     // pair stage is cluster-bounded
     "q_semdedup_centroid" -> 0.56, "q_store_verify_sample" -> 0.54,
     "q_artifact_gc_grace" -> 0.27,
+    // r14 third wave: dedup/winnow/pagerank floors after the
+    // duplicate-pass elimination + native winnowing expressions
+    // (values refreshed inline below from the targeted clean run)
     "q_sim_ann_ivf_retention" -> 0.6, "q_reconcile_report" -> 2.2,
     "q_ann_index_drift" -> 1.3,
     // Round-10 additions refreshed from the r10 end-of-round full run
@@ -155,29 +158,29 @@ object Bench {
     "q_cluster_semdedup" -> 0.83, "q_lm_trigram_score" -> 0.83,
     "q_w1_group_verdict" -> 0.83, "q_pack_offsets" -> 0.84,
     "q_chat_chunks" -> 0.86, "q_mm_image_dedup_persisted" -> 0.86,
-    "q_dsir_weights" -> 0.87, "q_sim_near_dup" -> 0.87,
+    "q_dsir_weights" -> 0.87, "q_sim_near_dup" -> 0.55,
     "q_decontam_filter" -> 0.88, "q_unigram_tokenize" -> 0.88,
-    "q_dedup_simhash_pairs" -> 0.89, "q_dedup_group_stats" -> 0.92,
+    "q_dedup_simhash_pairs" -> 0.89, "q_dedup_group_stats" -> 0.85,
     "q_bm25_topk" -> 0.93, "q_unigram_vocab" -> 0.93,
-    "q_split_leakage_safe" -> 0.97, "q_mix_ordered" -> 0.98,
+    "q_split_leakage_safe" -> 0.79, "q_mix_ordered" -> 0.98,
     "q_ppl_filter_persisted" -> 0.84, "q_unigram_tokenize_em2" -> 1.01,
-    "q_sketch_quantile" -> 1.02, "q_text_winnow" -> 1.02,
+    "q_sketch_quantile" -> 1.02, "q_text_winnow" -> 0.28,
     "q_bpe_encode" -> 1.03, "q_bpe_merges" -> 1.03, "q_bpe_tokenize" -> 1.05,
-    "q_dedup_minhash_pairs" -> 1.05, "q_link_pagerank" -> 1.09,
+    "q_dedup_minhash_pairs" -> 1.05, "q_link_pagerank" -> 0.8,
     "q_token_budget" -> 1.1, "q_pipeline_shards" -> 1.11,
-    "q_sim_ann_ivfpq" -> 1.15, "q_dedup_resolve" -> 1.16,
+    "q_sim_ann_ivfpq" -> 1.15, "q_dedup_resolve" -> 0.83,
     "q_retrieval_rrf" -> 1.18, "q_dedup_lsh_recall" -> 1.19,
     "q_quality_model_ngram" -> 1.21, "q_sketch_quantile_merge" -> 1.21,
     "q_sim_ann_pq" -> 1.25, "q_curriculum_bands" -> 1.26,
     "q_sim_ann_ivf_kmeans" -> 1.26, "q_sim_near_dup_probe" -> 1.26,
     "q_mm_cross_dedup" -> 1.31, "q_dsir_sample" -> 1.34,
-    "q_sim_ann_pq_rerank" -> 1.34, "q_dedup_best_copy" -> 1.5,
+    "q_sim_ann_pq_rerank" -> 1.34, "q_dedup_best_copy" -> 1.01,
     "q_domain_drift" -> 1.55, "q_pipeline_select" -> 1.71,
     "q_tfidf_keywords" -> 1.73, "q_bloom_decontam" -> 1.75,
     "q_dedup_incremental_persisted" -> 1.93, "q_ppl_filter" -> 2.08,
-    "q_dedup_incremental" -> 2.11, "q_pipeline_recipe" -> 2.45,
-    "q_winnow_pairs" -> 2.45, "q_dedup_prefix_join" -> 2.46,
-    "q_rank_weighted_sample" -> 2.47, "q_curation" -> 2.6,
+    "q_dedup_incremental" -> 2.11, "q_pipeline_recipe" -> 1.58,
+    "q_winnow_pairs" -> 0.75, "q_dedup_prefix_join" -> 2.55,
+    "q_rank_weighted_sample" -> 0.86, "q_curation" -> 1.74,
     "q_pipeline_clean" -> 3.01)
 
   def main(args: Array[String]): Unit = {
