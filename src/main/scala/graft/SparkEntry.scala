@@ -1696,9 +1696,8 @@ object SparkEntry {
       split.filter(col("split") === "train")
         .withColumn("__sh", operators.Dedup.shingles(col("text"), 3))
         .select(col("doc_id"), size(col("__sh")).cast("long").as("n_grams"),
-          size(filter(col("__sh"), g =>
-            operators.Sketches.bloomContainsExpr(g, words, 262144, 3, 31L)))
-            .cast("long").as("n_hits"))
+          operators.Sketches.bloomGramHits(col("__sh"), words,
+            262144, 3, 31L).as("n_hits"))
         .filter(col("n_hits") > 0)
     }),
     // order statistics over a deterministic hash sample — the distributed

@@ -295,6 +295,52 @@ object SignatureEval {
     new GenericArrayData(out.toArray)
   }
 
+  /** Count of grams (from an `array<string>` column) whose k md5 slot
+    * probes ALL hit a dense packed bloom filter — the EXACT count of
+    * the `size(filter(grams, g -> bloomContainsExpr(g, …)))` HOF it
+    * replaces ([[graft.operators.Sketches.bloomContainsExpr]]): slot i
+    * = first four md5 digest bytes of `gram + ":" + (seed+i)`
+    * (big-endian unsigned) mod mBits, bit test against `words`. The
+    * interpreted HOF paid k expression-tree walks + hex parses PER
+    * GRAM; here the k suffixes are precomputed and one MessageDigest
+    * serves the whole row. Null grams never count (the HOF's
+    * null-predicate drop). */
+  def bloomGramHits(
+      grams: ArrayData,
+      words: Array[Long],
+      mBits: Int,
+      k: Int,
+      seed: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sufs = Array.tabulate(k)(i =>
+      (":" + (seed + i)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var hits = 0L
+    val n = grams.numElements()
+    var gi = 0
+    while (gi < n) {
+      val g = grams.getUTF8String(gi)
+      if (g != null) {
+        val gb = g.getBytes
+        var ok = true
+        var i = 0
+        while (ok && i < k) {
+          md.reset()
+          md.update(gb)
+          md.update(sufs(i))
+          val d = md.digest()
+          val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          val pos = (v % mBits).toInt
+          ok = (words(pos >>> 6) & (1L << (pos & 63))) != 0L
+          i += 1
+        }
+        if (ok) hits += 1L
+      }
+      gi += 1
+    }
+    hits
+  }
+
   /** SimHash: 64 signed bit-counts over per-token xxhash64 values, the
     * identical math of [[graft.operators.Dedup.simHashFingerprints]]. */
   def simHash(tokens: ArrayData): Long = {
@@ -531,5 +577,48 @@ case class WinnowSelect(child: Expression, w: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+}
+
+/** Bloom-filter hit count over an `array<string>` gram column as ONE
+  * codegen'd projection (see [[SignatureEval.bloomGramHits]] for the
+  * md5-slot parity contract). `words` is value-typed (`IndexedSeq`) so
+  * structurally equal probes stay plan-equal; the dense array is
+  * shipped to generated code as a referenced object, never inlined
+  * source (a 2^18-bit filter is 4096 longs — far past Janino's
+  * constant-pool comfort). */
+case class BloomGramHits(
+    child: Expression,
+    words: IndexedSeq[Long],
+    mBits: Int,
+    k: Int,
+    seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val wordsArr: Array[Long] = words.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string> grams, got ${other.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bloom_gram_hits"
+
+  override def nullSafeEval(in: Any): Any =
+    SignatureEval.bloomGramHits(
+      in.asInstanceOf[ArrayData], wordsArr, mBits, k, seed)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wordsRef = ctx.addReferenceObj("bloomWords", wordsArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SignatureEval.bloomGramHits($c, $wordsRef, " +
+        s"$mBits, $k, ${seed}L)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomGramHits =
     copy(child = newChild)
 }

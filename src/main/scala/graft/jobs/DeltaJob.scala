@@ -89,9 +89,8 @@ object DeltaJob {
       .withColumn("__sh", Dedup.shingles(text, opts.shingleN))
       .withColumn("n_grams", size(col("__sh")).cast("long"))
       .withColumn("n_eval_hits",
-        size(filter(col("__sh"), g => Sketches.bloomContainsExpr(
-          g, evalBloomWords, opts.bloomMBits, opts.bloomK, opts.bloomSeed)))
-          .cast("long"))
+        Sketches.bloomGramHits(col("__sh"), evalBloomWords,
+          opts.bloomMBits, opts.bloomK, opts.bloomSeed))
       // integer ppm (DIV — the cross-engine rounding discipline)
       .withColumn("contam_ppm",
         expr("n_eval_hits * 1000000L DIV greatest(n_grams, 1L)"))
@@ -122,9 +121,14 @@ object DeltaJob {
       lmTri: DataFrame,
       evalBloomWords: Array[Long],
       opts: DeltaOptions = DeltaOptions()): DataFrame = {
+    // pin the gated delta (delta-sized): the dedup probe references its
+    // input several times (banding, candidate union, survivor anti-joins,
+    // both verify sides), and the gate chain — trigram LM scoring joins
+    // plus bloom probes — is far too expensive to re-derive per reference
     val survivors = gateFlags(delta, lmUni, lmBi, lmTri, evalBloomWords, opts)
       .filter(col("ok_quality") && col("ok_contam") && col("ok_model"))
       .drop("ok_quality", "ok_contam", "ok_model")
+      .localCheckpoint()
     Dedup.incrementalDedupFromIndex(corpusBanded, corpusText, survivors,
       opts.idCol, opts.textCol, opts.jaccardThreshold, opts.shingleN,
       opts.minhashK, opts.bands)

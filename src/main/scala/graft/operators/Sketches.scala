@@ -637,6 +637,23 @@ object Sketches {
     }.reduce(_ && _)
   }
 
+  /** Count of grams in an `array<string>` column that the filter
+    * contains — the `size(filter(grams, g -> bloomContainsExpr(g, …)))`
+    * HOF as ONE native codegen'd projection (exact-equality
+    * property-pinned in ExpressionPropertySpec): the HOF paid k
+    * interpreted md5 expression walks per gram, which dominated every
+    * bloom-decontamination pass. */
+  def bloomGramHits(
+      grams: Column,
+      words: Array[Long],
+      mBits: Int,
+      k: Int,
+      seed: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.BloomGramHits(
+      ColumnBridge.expression(grams), words.toIndexedSeq, mBits, k, seed))
+  }
+
   /** Collect a packed words table to the dense array [[bloomContainsExpr]]
     * wants (missing words are 0). Driver state is provably bounded at
     * mBits/64 longs. */

@@ -126,6 +126,42 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(nulls.getSeq[Long](0) == Seq.empty && nulls.getSeq[Long](1) == Seq.empty)
   }
 
+  test("property: BloomGramHits ≡ size(filter(bloomContainsExpr)) on random gram arrays") {
+    import graft.operators.Sketches
+    val mBits = 4096
+    val k = 3
+    val seed = 31L
+    val genGrams: Gen[Seq[String]] = for {
+      n <- Gen.chooseNum(0, 25)
+      gs <- Gen.listOfN(n, genWord)
+    } yield gs
+    val rows = samples(genGrams, 100)
+    // membership set: every other row's grams, so hit rates are mixed
+    val member = rows.zipWithIndex.filter(_._2 % 2 == 0).flatMap(_._1)
+      .filter(_.nonEmpty).distinct
+    val words = Sketches.bloomDenseWords(
+      Sketches.bloomBuild(member.toDF("g"), "g", mBits, k, seed), mBits)
+    val df = rows.zipWithIndex.map { case (g, i) => (i.toLong, g) }
+      .toDF("id", "grams")
+    val diff = df.select(
+        Sketches.bloomGramHits(col("grams"), words, mBits, k, seed).as("n"),
+        size(filter(col("grams"), g =>
+          Sketches.bloomContainsExpr(g, words, mBits, k, seed)))
+          .cast("long").as("h"))
+      .filter(!(col("n") <=> col("h"))).count()
+    assert(diff == 0)
+    // null array: both null (size(null) is null, the expression is
+    // null-intolerant)
+    val nr = Seq((1L, null: Seq[String])).toDF("id", "grams")
+      .select(
+        Sketches.bloomGramHits(col("grams"), words, mBits, k, seed).as("n"),
+        size(filter(col("grams"), g =>
+          Sketches.bloomContainsExpr(g, words, mBits, k, seed)))
+          .cast("long").as("h"))
+      .collect()(0)
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
   test("property: VectorDot ≡ HOF fold on random vectors, bit-exact") {
     val genVec: Gen[Seq[Double]] = for {
       n <- Gen.chooseNum(1, 64)
