@@ -554,4 +554,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin LeftOuter"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("candidate-restricted verify: exact-Jaccard verify shingles only candidate docs") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // the restriction is a semi join of the corpus against the pinned
+    // pair list BEFORE any shingle work: the pair list must appear as a
+    // checkpoint scan (ExistingRDD), never a re-derived candidate join
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 3, 20, 10)
+    val verify = Dedup.ngramJaccardOnPairs(docs, pairs, "doc_id", "text", 3)
+    val plan = verify.queryExecution.explainString(FormattedMode)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      plan)
+    // and the restriction loses NOTHING: same verified pairs as the
+    // unrestricted form on the same candidate list
+    val unrestricted = Dedup.ngramJaccard(docs, pairs.select("id_a", "id_b"),
+        "doc_id", "text", 3)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard") * 1e6).cast("long").as("j_mu"))
+    val restricted = verify
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard") * 1e6).cast("long").as("j_mu"))
+    assert(restricted.unionAll(unrestricted).distinct().count() ==
+      restricted.count(),
+      "restricted verify diverged from the unrestricted form")
+    assert(restricted.count() == unrestricted.count())
+  }
 }
