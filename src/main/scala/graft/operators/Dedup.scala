@@ -246,7 +246,10 @@ object Dedup {
     val p = pairs.select("id_a", "id_b").localCheckpoint()
     val ids = p.select(col("id_a").as(idCol))
       .union(p.select(col("id_b").as(idCol))).distinct()
-    ngramJaccard(df.join(ids, Seq(idCol), "leftsemi"), p,
+    // broadcast the candidate-id set: it is pair-bounded, and a
+    // sort-merge semi join would shuffle+sort the corpus on BOTH verify
+    // sides just to apply a membership filter
+    ngramJaccard(df.join(broadcast(ids), Seq(idCol), "leftsemi"), p,
       idCol, textCol, shingleN)
   }
 
