@@ -171,4 +171,31 @@ class ScaleSpec extends SparkSpec {
       s"fixed nlist must degrade at 4x corpus (else the knob is moot): " +
         s"scaled=$scaled fixed=$fixed")
   }
+
+  test("candidate-restricted verify: verify input is candidate-bounded at both scales") {
+    // the restriction's scale claim: the exact-Jaccard verify shingles
+    // |candidate ids| documents, never the corpus — and the candidate
+    // fraction does not grow with corpus size (LSH banding keys on
+    // content, so a 10x corpus with the same dup structure keeps the
+    // same candidate RATE). The unrestricted form's cost term was
+    // 2 x corpus shingle passes regardless of how few pairs there were.
+    def measure(path: String): (Long, Long) = {
+      val docs = spark.read.parquet(path).select(col("doc_id"), col("text"))
+      val pairs = graft.operators.Dedup
+        .lshCandidatePairs(docs, "doc_id", "text", 3, 20, 10)
+      val candIds = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id"))).distinct().count()
+      (docs.count(), candIds)
+    }
+    val (n1, c1) = measure("/root/testdata/sf0.01/documents.parquet")
+    val (n2, c2) = measure("/root/testdata/sf0.1/documents.parquet")
+    info(s"sf0.01: corpus=$n1 candidates=$c1; sf0.1: corpus=$n2 candidates=$c2")
+    assert(c1 < n1 && c2 < n2,
+      s"verify input must be smaller than the corpus: ($c1/$n1, $c2/$n2)")
+    // candidate RATE must not grow with the corpus (2x headroom for
+    // banding noise) — this is what makes the restriction an asymptotic
+    // win, not a constant-factor one
+    assert(c2.toDouble / n2 <= 2.0 * math.max(c1.toDouble / n1, 1.0 / n1),
+      s"candidate rate grew with corpus: ${c1.toDouble / n1} -> ${c2.toDouble / n2}")
+  }
 }
