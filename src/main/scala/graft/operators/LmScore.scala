@@ -38,8 +38,13 @@ object LmScore {
       idCol: String,
       textCol: String,
       smoothing: Double = 1.0d): DataFrame = {
+    // pin the freshly-built model tables (vocabulary-bounded): the
+    // scoring pass references them several times (scalar aggregate +
+    // per-order joins), and unpinned each reference re-runs the corpus
+    // explode+groupBy that built them
     val (uni, bi) = buildBigramModel(df, textCol)
-    bigramLogProbFromModel(df, idCol, textCol, uni, bi, smoothing)
+    bigramLogProbFromModel(df, idCol, textCol,
+      uni.localCheckpoint(), bi.localCheckpoint(), smoothing)
   }
 
   /** Train the bigram count model `(uni(w, c1), bi(wa, wb, c2))` — the
@@ -138,8 +143,11 @@ object LmScore {
       idCol: String,
       textCol: String,
       discount: Double = 0.75d): DataFrame = {
+    // pin as in [[bigramLogProb]]: the KN recursion derives several
+    // continuation/type tables from these two, each a separate reference
     val (biCnt, triType) = buildKneserNeyModel(df, textCol)
-    kneserNeyTrigramFromModel(df, idCol, textCol, biCnt, triType, discount)
+    kneserNeyTrigramFromModel(df, idCol, textCol,
+      biCnt.localCheckpoint(), triType.localCheckpoint(), discount)
   }
 
   /** Train the KN count model: `(bi(wa, wb, c2), tri(w1, w2, w3, c3))` —
@@ -276,9 +284,10 @@ object LmScore {
       l3: Double = 0.6d,
       l2: Double = 0.3d,
       l1: Double = 0.1d): DataFrame = {
+    // pin as in [[bigramLogProb]]: scoring references uni 3x and bi 2x
     val (uni, bi, tri) = buildTrigramModel(df, textCol)
-    trigramLogProbFromModel(df, idCol, textCol, uni, bi, tri,
-      smoothing, l3, l2, l1)
+    trigramLogProbFromModel(df, idCol, textCol, uni.localCheckpoint(),
+      bi.localCheckpoint(), tri.localCheckpoint(), smoothing, l3, l2, l1)
   }
 
   /** Train the interpolated-trigram count model: the three
