@@ -22,4 +22,41 @@ class CodegenCheckSpec extends SparkSpec {
     // and the value is right: dot(v,v) = |v|^2 > 0
     assert(df.filter(col("d") <= 0).count() == 0)
   }
+
+  test("KGramHash60/WinnowSelect/BloomGramHits projections compile into WholeStageCodegen") {
+    import graft.operators.{Dedup, Sketches, TextAnalysis}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val winnow = docs
+      .withColumn("__h", TextAnalysis.kgramHashes(col("text"), 8, 13L))
+      .select(col("doc_id"),
+        size(TextAnalysis.winnowFingerprints(col("text"), col("__h"), 8, 6))
+          .as("n_fp"))
+    winnow.collect()
+    val wplan = winnow.queryExecution.executedPlan.toString
+    assert(wplan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("graft_winnow_select") &&
+        l.contains("*(")), wplan)
+    assert(wplan.contains("graft_kgram_hash60"), wplan)
+
+    val words = Sketches.bloomDenseWords(
+      Sketches.bloomBuild(
+        docs.select(explode(Dedup.shingles(col("text"), 3)).as("g")),
+        "g", 4096, 3, 31L), 4096)
+    val bloom = docs.select(col("doc_id"),
+      Sketches.bloomGramHits(Dedup.shingles(col("text"), 3),
+        words, 4096, 3, 31L).as("n_hits"))
+    bloom.collect()
+    val bplan = bloom.queryExecution.executedPlan.toString
+    assert(bplan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("graft_bloom_gram_hits") &&
+        l.contains("*(")), bplan)
+    // every gram of the build corpus is a member: hits = gram count
+    val mismatch = docs.select(
+        Sketches.bloomGramHits(Dedup.shingles(col("text"), 3),
+          words, 4096, 3, 31L).as("n_hits"),
+        size(Dedup.shingles(col("text"), 3)).cast("long").as("n_grams"))
+      .filter(col("n_hits") =!= col("n_grams")).count()
+    assert(mismatch == 0, "bloom lost a member gram (false negative)")
+  }
 }
