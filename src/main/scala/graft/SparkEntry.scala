@@ -792,23 +792,14 @@ object SparkEntry {
     // (hash-dependent; driver records rows-only check)
     "q_dedup_minhash_pairs" -> ((s, dir) => {
       val docs = readWide(s, dir, "documents")
-      // The candidate set is referenced three times below (two id
-      // projections + the verify join). Exchange reuse does NOT cover
-      // this: the union's two projections differ, so each reference
-      // re-plans the whole LSH self-join — the optimizer saw a
-      // combinatorially replicated tree ("plan too large" in the round-5
-      // bench log) and the query ran ~15× its round-4 time. An EAGER
-      // localCheckpoint materializes the (tiny) pair set once and
-      // truncates the lineage; unlike the round-4 persist leak, the
-      // blocks are reclaimed by the ContextCleaner when the frame is
-      // garbage-collected rather than pinned in the cache registry.
+      // Candidate-restricted verify via the shared helper: the pair set
+      // is pinned once (the round-5 "plan too large" lesson — each
+      // unpinned reference re-planned the whole LSH self-join) and the
+      // corpus is semi-joined down to candidate docs before shingling.
       val cands = operators.Dedup.lshCandidatePairs(
         docs, "doc_id", "text", shingleN = 3, k = 20, bands = 10)
-        .localCheckpoint()
-      val ids = cands.select(col("id_a").as("doc_id"))
-        .union(cands.select(col("id_b").as("doc_id"))).distinct()
-      val candDocs = docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
-      operators.Dedup.ngramJaccard(candDocs, cands, "doc_id", "text", shingleN = 3)
+      operators.Dedup.ngramJaccardOnPairs(docs, cands, "doc_id", "text",
+          shingleN = 3)
         .filter(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),

@@ -109,9 +109,12 @@ object DeltaJob {
         col("n_trigrams") > 0 && col("mean_lp_mu") >= opts.minMeanLpMu)
   }
 
-  /** Lazy admission: flag gates 1-3, then the index-probe dedup on the
-    * survivors. Returns admitted rows with their gate metrics (the
-    * `ok_*` flags are all true by construction and dropped). */
+  /** Admission without the stats pass: flag gates 1-3, then the
+    * index-probe dedup on the survivors. Returns admitted rows with
+    * their gate metrics (the `ok_*` flags are all true by construction
+    * and dropped). NOT lazy: the gated delta is eagerly pinned at call
+    * time (see below), so the gate chain runs Spark jobs here — compose
+    * inputs fully before calling. */
   def admit(
       delta: DataFrame,
       corpusText: DataFrame,

@@ -246,10 +246,13 @@ object Dedup {
     val p = pairs.select("id_a", "id_b").localCheckpoint()
     val ids = p.select(col("id_a").as(idCol))
       .union(p.select(col("id_b").as(idCol))).distinct()
-    // broadcast the candidate-id set: it is pair-bounded, and a
-    // sort-merge semi join would shuffle+sort the corpus on BOTH verify
-    // sides just to apply a membership filter
-    ngramJaccard(df.join(broadcast(ids), Seq(idCol), "leftsemi"), p,
+    // NO forced broadcast: the candidate set is usually tiny (AQE
+    // converts the semi join to broadcast at runtime from real shuffle
+    // stats), but on a degenerate corpus — one hot LSH bucket, no
+    // capBuckets — it approaches corpus cardinality, and a broadcast
+    // HINT would force that onto the driver and every executor instead
+    // of letting the sort-merge path spill and finish
+    ngramJaccard(df.join(ids, Seq(idCol), "leftsemi"), p,
       idCol, textCol, shingleN)
   }
 

@@ -290,7 +290,7 @@ class JobsSpec extends SparkSpec {
     assert(stats.admitted > 0 && stats.admitted < stats.input)
     // every non-admitted gate actually fires on this fixture
     assert(stats.contaminated > 0)
-    // eager run emits the same id set as the lazy composition
+    // run() emits the same id set as the direct admit() composition
     val lazyIds = DeltaJob.admit(delta, corpus, banded, uni, bi, tri, words)
       .select("doc_id").as[Long].collect().toSet
     assert(admitted.select("doc_id").as[Long].collect().toSet == lazyIds)

@@ -173,12 +173,14 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("candidate-restricted verify: verify input is candidate-bounded at both scales") {
-    // the restriction's scale claim: the exact-Jaccard verify shingles
-    // |candidate ids| documents, never the corpus — and the candidate
-    // fraction does not grow with corpus size (LSH banding keys on
-    // content, so a 10x corpus with the same dup structure keeps the
-    // same candidate RATE). The unrestricted form's cost term was
-    // 2 x corpus shingle passes regardless of how few pairs there were.
+    // the DATA property that makes ngramJaccardOnPairs' restriction an
+    // asymptotic win: the candidate-id fraction is small and does not
+    // grow with corpus size (LSH banding keys on content, so a 10x
+    // corpus with the same dup structure keeps the same candidate
+    // RATE). The MECHANISM — semi join before any shingle work, and
+    // restricted ≡ unrestricted output — is pinned in PlanAuditSpec's
+    // candidate-restricted-verify test. The unrestricted form's cost
+    // term was 2 x corpus shingle passes regardless of pair count.
     def measure(path: String): (Long, Long) = {
       val docs = spark.read.parquet(path).select(col("doc_id"), col("text"))
       val pairs = graft.operators.Dedup
