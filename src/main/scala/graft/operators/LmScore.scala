@@ -38,13 +38,14 @@ object LmScore {
       idCol: String,
       textCol: String,
       smoothing: Double = 1.0d): DataFrame = {
-    // pin the freshly-built model tables (vocabulary-bounded): the
-    // scoring pass references them several times (scalar aggregate +
-    // per-order joins), and unpinned each reference re-runs the corpus
-    // explode+groupBy that built them
+    // pin ONLY the table the scoring pass hits with a SEPARATE eager
+    // scalar action (the vocab count re-derived the unigram corpus
+    // build outside the score job); join-only tables stay lazy — their
+    // single build inside the one score action is covered by exchange
+    // reuse, and an extra checkpoint job would only add fixed cost
     val (uni, bi) = buildBigramModel(df, textCol)
     bigramLogProbFromModel(df, idCol, textCol,
-      uni.localCheckpoint(), bi.localCheckpoint(), smoothing)
+      uni.localCheckpoint(), bi, smoothing)
   }
 
   /** Train the bigram count model `(uni(w, c1), bi(wa, wb, c2))` — the
@@ -143,11 +144,12 @@ object LmScore {
       idCol: String,
       textCol: String,
       discount: Double = 0.75d): DataFrame = {
-    // pin as in [[bigramLogProb]]: the KN recursion derives several
-    // continuation/type tables from these two, each a separate reference
+    // pin biCnt only — the nTypes scalar is its own eager action (the
+    // [[bigramLogProb]] rationale); triType's derived tables all build
+    // inside the one score action under exchange reuse
     val (biCnt, triType) = buildKneserNeyModel(df, textCol)
     kneserNeyTrigramFromModel(df, idCol, textCol,
-      biCnt.localCheckpoint(), triType.localCheckpoint(), discount)
+      biCnt.localCheckpoint(), triType, discount)
   }
 
   /** Train the KN count model: `(bi(wa, wb, c2), tri(w1, w2, w3, c3))` —
@@ -284,10 +286,12 @@ object LmScore {
       l3: Double = 0.6d,
       l2: Double = 0.3d,
       l1: Double = 0.1d): DataFrame = {
-    // pin as in [[bigramLogProb]]: scoring references uni 3x and bi 2x
+    // pin uni only — the vocab/total scalar is its own eager action
+    // (the [[bigramLogProb]] rationale); bi's two join references share
+    // one exchange inside the score action, tri has a single reference
     val (uni, bi, tri) = buildTrigramModel(df, textCol)
     trigramLogProbFromModel(df, idCol, textCol, uni.localCheckpoint(),
-      bi.localCheckpoint(), tri.localCheckpoint(), smoothing, l3, l2, l1)
+      bi, tri, smoothing, l3, l2, l1)
   }
 
   /** Train the interpolated-trigram count model: the three
