@@ -97,8 +97,11 @@ class ExpressionPropertySpec extends SparkSpec {
   test("property: KGramHash60/WinnowSelect ≡ relational winnowing on random texts") {
     import graft.operators.TextAnalysis
     // genText includes unicode words (ü, 日本): the native hash must
-    // count positions in CODE POINTS exactly like Spark's substr/length
-    val texts = samples(genText, 120).distinct
+    // count positions in CODE POINTS exactly like Spark's substr/length.
+    // Astral-plane chars (4-byte UTF-8, one code point) appended
+    // explicitly — the byte-offset index must stride them correctly.
+    val texts = (samples(genText, 120) ++ Seq(
+      "a😀b😀c", "😀😀😀😀", "mixed 日本 😀 text ü end")).distinct
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "text")
     for ((k, w) <- Seq((3, 4), (8, 6), (5, 1), (1, 3))) {
