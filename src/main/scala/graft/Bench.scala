@@ -76,7 +76,7 @@ object Bench {
     // r14 third wave: dedup/winnow/pagerank floors after the
     // duplicate-pass elimination + native winnowing expressions
     // (values refreshed inline below from the targeted clean run)
-    "q_sim_ann_ivf_retention" -> 0.6, "q_reconcile_report" -> 1.41,
+    "q_sim_ann_ivf_retention" -> 0.6, "q_reconcile_report" -> 1.24,
     "q_ann_index_drift" -> 1.3,
     // Round-10 additions refreshed from the r10 end-of-round full run
     // (BENCH_r10_local.json: 209 queries, 0 errors/skips, steal 21.7s).
@@ -130,7 +130,7 @@ object Bench {
     "q_sim_near_dup_exact" -> 0.32, "q_sim_ann_lsh" -> 0.33,
     "q_cdc_apply" -> 0.34, "q_sketch_kmv_jaccard" -> 0.34,
     "q_mm_image_dedup_jpeg" -> 0.35, "q_ann_recall" -> 0.36,
-    "q_lm_bigram_score" -> 0.46, "q_text_pmi" -> 0.36, "q_ann_ndcg" -> 0.37,
+    "q_lm_bigram_score" -> 0.44, "q_text_pmi" -> 0.36, "q_ann_ndcg" -> 0.37,
     "q_sketch_bloom_merge" -> 0.39, "q_curation_topk_per_source" -> 0.41,
     "q_pack_greedy" -> 0.42, "q_scale_salted_join" -> 0.42,
     "q_ul2_mixture" -> 0.43, "q_pipeline_ingest" -> 0.45,
@@ -154,8 +154,8 @@ object Bench {
     "q_mm_audio_dedup_persisted" -> 0.72,
     "q_decontam_semantic_pairs" -> 0.75, "q_mix_materialize" -> 0.79,
     "q_wordpiece_oov" -> 0.79, "q_chat_flatten_nulls" -> 0.6,
-    "q_lm_kn_score" -> 0.6, "q_chat_flatten" -> 0.82,
-    "q_cluster_semdedup" -> 0.83, "q_lm_trigram_score" -> 0.56,
+    "q_lm_kn_score" -> 0.76, "q_chat_flatten" -> 0.82,
+    "q_cluster_semdedup" -> 0.83, "q_lm_trigram_score" -> 0.72,
     "q_w1_group_verdict" -> 0.83, "q_pack_offsets" -> 0.84,
     "q_chat_chunks" -> 0.86, "q_mm_image_dedup_persisted" -> 0.86,
     "q_dsir_weights" -> 0.87, "q_sim_near_dup" -> 0.55,
@@ -177,7 +177,7 @@ object Bench {
     "q_sim_ann_pq_rerank" -> 1.34, "q_dedup_best_copy" -> 1.01,
     "q_domain_drift" -> 1.55, "q_pipeline_select" -> 1.71,
     "q_tfidf_keywords" -> 1.73, "q_bloom_decontam" -> 0.54,
-    "q_dedup_incremental_persisted" -> 1.93, "q_ppl_filter" -> 1.7,
+    "q_dedup_incremental_persisted" -> 1.93, "q_ppl_filter" -> 1.38,
     "q_dedup_incremental" -> 2.11, "q_pipeline_recipe" -> 1.58,
     "q_winnow_pairs" -> 0.75, "q_dedup_prefix_join" -> 2.55,
     "q_rank_weighted_sample" -> 0.86, "q_curation" -> 1.74,

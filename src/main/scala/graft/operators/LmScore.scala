@@ -144,12 +144,13 @@ object LmScore {
       idCol: String,
       textCol: String,
       discount: Double = 0.75d): DataFrame = {
-    // pin biCnt only — the nTypes scalar is its own eager action (the
-    // [[bigramLogProb]] rationale); triType's derived tables all build
-    // inside the one score action under exchange reuse
+    // pin both: each table is referenced 4x by the recursion (type
+    // aggregations + the direct joins + the nTypes scalar), and the
+    // broadcast build sides of those joins do NOT get exchange reuse —
+    // unpinned, each reference re-runs the corpus n-gram aggregation
     val (biCnt, triType) = buildKneserNeyModel(df, textCol)
     kneserNeyTrigramFromModel(df, idCol, textCol,
-      biCnt.localCheckpoint(), triType, discount)
+      biCnt.localCheckpoint(), triType.localCheckpoint(), discount)
   }
 
   /** Train the KN count model: `(bi(wa, wb, c2), tri(w1, w2, w3, c3))` —
@@ -286,12 +287,14 @@ object LmScore {
       l3: Double = 0.6d,
       l2: Double = 0.3d,
       l1: Double = 0.1d): DataFrame = {
-    // pin uni only — the vocab/total scalar is its own eager action
-    // (the [[bigramLogProb]] rationale); bi's two join references share
-    // one exchange inside the score action, tri has a single reference
+    // pin what is referenced MORE THAN ONCE: uni (vocab scalar + two
+    // joins) and bi (two joins — broadcast build sides get no exchange
+    // reuse, plan-audited ReusedExchange=0, so unpinned bi rebuilt its
+    // corpus aggregation twice); tri has a single reference and stays
+    // lazy — a checkpoint there would only add a job boundary
     val (uni, bi, tri) = buildTrigramModel(df, textCol)
     trigramLogProbFromModel(df, idCol, textCol, uni.localCheckpoint(),
-      bi, tri, smoothing, l3, l2, l1)
+      bi.localCheckpoint(), tri, smoothing, l3, l2, l1)
   }
 
   /** Train the interpolated-trigram count model: the three
