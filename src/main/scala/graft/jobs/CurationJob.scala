@@ -41,10 +41,16 @@ object CurationJob {
     def dropped: Long = input - afterNearDupDedup
   }
 
-  /** Lazy composition — the curated corpus as a DataFrame (carries the
-    * `quality`/`dup_*_frac` score columns for downstream weighting). */
+  /** The curated corpus as a DataFrame (carries the
+    * `quality`/`dup_*_frac` score columns for downstream weighting).
+    * NOT lazy: the compact keep-set is eagerly pinned here — the
+    * near-dup stage references its input on several differently-pruned
+    * branches, and broadcast build sides get no exchange reuse across
+    * them, so an unpinned keep-set re-ran the corpus scoring
+    * aggregation once per branch ([[run]] persists the group frame for
+    * the same reason). */
   def curate(df: DataFrame, opts: CurationOptions = CurationOptions()): DataFrame = {
-    val keep = keepSet(groupAgg(df, opts), opts)
+    val keep = keepSet(groupAgg(df, opts), opts).localCheckpoint()
     // re-attach the raw columns + scores by joining the compact keep-set
     // back to the source: every reference the near-dup stage makes to its
     // input re-scans raw parquet (pruned, columnar — cheap) and joins
