@@ -176,9 +176,9 @@ object Bench {
     "q_mm_cross_dedup" -> 1.31, "q_dsir_sample" -> 1.34,
     "q_sim_ann_pq_rerank" -> 1.34, "q_dedup_best_copy" -> 1.01,
     "q_domain_drift" -> 1.55, "q_pipeline_select" -> 0.99,
-    "q_tfidf_keywords" -> 1.73, "q_bloom_decontam" -> 0.54,
+    "q_tfidf_keywords" -> 0.87, "q_bloom_decontam" -> 0.54,
     "q_dedup_incremental_persisted" -> 1.93, "q_ppl_filter" -> 1.38,
-    "q_dedup_incremental" -> 2.11, "q_pipeline_recipe" -> 1.66,
+    "q_dedup_incremental" -> 2.11, "q_pipeline_recipe" -> 1.48,
     "q_winnow_pairs" -> 0.75, "q_dedup_prefix_join" -> 2.55,
     "q_rank_weighted_sample" -> 0.86, "q_curation" -> 1.15,
     "q_pipeline_clean" -> 3.01)

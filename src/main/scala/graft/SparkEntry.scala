@@ -1524,9 +1524,14 @@ object SparkEntry {
         .withColumn("y01", (col("lang") === "en").cast("int"))
       val scored = operators.QualityModel
         .trainAndScore(docs, "doc_id", "text", "y01")
+      // pin the compact kept-set (id + score): the near-dup stage
+      // references its input on several branches with no broadcast
+      // exchange reuse (the CurationJob.curate rationale), and each
+      // unpinned reference re-ran the feature/score projection
       val kept = operators.Sampling
         .importanceSample(scored, "doc_id", "score_mu", seed = 11L)
-      val keptDocs = docs.join(kept.select("doc_id", "score_mu"), Seq("doc_id"))
+        .select("doc_id", "score_mu").localCheckpoint()
+      val keptDocs = docs.join(kept, Seq("doc_id"))
       operators.Dedup.nearDupDedup(keptDocs, "doc_id", "text",
           jaccardThreshold = 0.8)
         .select("doc_id", "lang", "source", "score_mu")
