@@ -129,6 +129,39 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(nulls.getSeq[Long](0) == Seq.empty && nulls.getSeq[Long](1) == Seq.empty)
   }
 
+  test("property: ngramJaccardOnPairs ≡ ngramJaccard on adversarial pair lists") {
+    import graft.operators.Dedup
+    // the restricted verify backs six call sites; its contract is exact
+    // row equality with the unrestricted form for ANY pair list —
+    // including ids absent from the corpus (verify joins drop them
+    // identically), duplicate pairs (inner joins preserve multiplicity
+    // identically), and self-pairs (jaccard 1.0, kept by both)
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d x"), (3L, "totally different words"),
+      (4L, "a b c d e"), (5L, "")).toDF("doc_id", "text")
+    val pairs = Seq(
+      (1L, 2L), (1L, 4L), (1L, 4L), // duplicate pair kept twice by both
+      (2L, 3L), (3L, 3L), // self-pair
+      (1L, 99L), (98L, 2L), (98L, 99L), // ids not in the corpus
+      (5L, 1L) // empty-text doc
+    ).toDF("id_a", "id_b")
+    def canon(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard") * 1e6).cast("long").as("j_mu"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val restricted = canon(
+      Dedup.ngramJaccardOnPairs(docs, pairs, "doc_id", "text", 2))
+    val unrestricted = canon(
+      Dedup.ngramJaccard(docs, pairs, "doc_id", "text", 2))
+    assert(restricted == unrestricted,
+      s"restricted=$restricted unrestricted=$unrestricted")
+    // multiplicity: the duplicated (1,4) pair appears twice in both
+    assert(restricted.count(t => t._1 == 1L && t._2 == 4L) == 2)
+    // foreign ids never surface
+    assert(!restricted.exists(t => t._1 > 90 || t._2 > 90))
+  }
+
   test("property: BloomGramHits ≡ size(filter(bloomContainsExpr)) on random gram arrays") {
     import graft.operators.Sketches
     val mBits = 4096
