@@ -157,11 +157,17 @@ object Dsir {
     require(buckets >= 1, "buckets must be >= 1")
     val perDoc = df.select(col(groupCol).as("__g"),
       bucketCounts(col(textCol), buckets).as("__c"))
-    // dense per group: every doc's array has length `buckets`
+    // dense per group: every doc's array has length `buckets`.
+    // PINNED (groups x buckets rows — tiny): the marginals and the
+    // final KL join all reference this aggregate, and with no exchange
+    // reuse across those differently-shaped consumers each reference
+    // re-ran the corpus bucket-count pass (plan-audited: 8 scans, 12
+    // n-gram-bucket expression evaluations before the pin)
     val byGB = perDoc
       .select(col("__g"), posexplode(col("__c")).as(Seq("bucket", "cnt")))
       .groupBy(col("__g"), col("bucket"))
       .agg(sum(col("cnt")).as("c_gb"))
+      .localCheckpoint()
     val byB = byGB.groupBy(col("bucket"))
       .agg(sum(col("c_gb")).as("c_b"))
     val totG = byGB.groupBy(col("__g")).agg(sum(col("c_gb")).as("t_g"))
