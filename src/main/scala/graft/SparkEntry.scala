@@ -673,6 +673,69 @@ object SparkEntry {
         sql"SELECT n_nationkey, n_name FROM nation_v WHERE n_regionkey = ${3}"
       b.unionAll
     }),
+    // Q5 — logical→physical batch split + concurrency: UNLOGGED batches
+    // split into ⌈n/maxBatch⌉ concurrent groups; LOGGED batches are never
+    // split (atomicity). The statements partition `nation` on
+    // n_nationkey % 10, so total collected rows across every group must
+    // equal count(nation) — the split is exercised through the REAL
+    // concurrent execute() path, not shape arithmetic alone.
+    "q_q5_batch_split" -> ((s, dir) => {
+      import graft.cqlfacade.Interpolation._
+      import graft.cqlfacade.SqlBatch
+      import scala.concurrent.{Await, ExecutionContext}
+      import scala.concurrent.duration._
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      read(s, dir, "nation").createOrReplaceTempView("nation_q5_v")
+      val stmts = (0 until 10).map { i =>
+        sql"SELECT n_nationkey, n_name FROM nation_q5_v WHERE n_nationkey % 10 = ${i}"
+      }
+      def shape(b: SqlBatch, label: String, maxBatch: Int) = {
+        // collected = one Array[Row] per STATEMENT (flattened
+        // post-split); splitGroups is the PRODUCTION grouping execute()
+        // itself runs on
+        val collected = Await.result(b.execute(maxBatch), 120.seconds)
+        (label, b.splitGroups(maxBatch).length.toLong, b.size.toLong,
+          collected.map(_.length.toLong).sum)
+      }
+      val batch = stmts.tail.foldLeft(
+        SqlBatch(Seq(stmts.head)))((b, st) => b + st)
+      Seq(
+        shape(batch.unlogged, "unlogged", 3),
+        shape(batch.logged, "logged", 3))
+        .toDF("batch_type", "n_groups", "n_stmts", "rows_total")
+    }),
+    // F10 — dry-run gate + spooked degradation: BOTH modes evaluate the
+    // compiled predicate and advance the would-keep/would-drop counters
+    // exactly as a live run would (ref: FilteringSSTableScanner.java:
+    // 111-115 runs the same counter path in dry-run), and neither writes
+    // a single row — `wrote_kept` proves the sink stayed absent.
+    "q_f10_dryrun_counts" -> ((s, dir) => {
+      import s.implicits._
+      val li = read(s, dir, "lineitem")
+      val spec = TableSpec(partitionKeys = Seq("l_suppkey", "l_returnflag"))
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft_f10_").resolve("kept").toString
+      val explicit = graft.jobs.RetentionJob.run(
+        s, li, spec, flagshipRules, keptPath = Some(sink),
+        dryRun = true, jobStartMs = JobStartMs)
+      // spooked: the rule names a NON-KEY column → validation degrades
+      // the run to dry even though dryRun = false
+      val badRules = RuleSet(Seq(Rule("bad", Map(
+        "l_quantity" -> Seq(Bound(Some("1"), Some("10")))))))
+      val spooked = graft.jobs.RetentionJob.run(
+        s, li, spec, badRules, keptPath = Some(sink),
+        dryRun = false, jobStartMs = JobStartMs)
+      val wrote = java.nio.file.Files.exists(java.nio.file.Paths.get(sink))
+      Seq(
+        ("explicit_dry", explicit.kept, explicit.dropped,
+          explicit.effectiveDryRun, explicit.backupWritten, wrote),
+        ("spooked", spooked.kept, spooked.dropped,
+          spooked.effectiveDryRun, spooked.backupWritten, wrote))
+        .toDF("mode_case", "kept", "dropped", "is_dry", "backup_written",
+          "wrote_kept")
+    }),
     // A3 — backup-sink counts: numKeys/numCells written to the convicted
     // side (zero ⇒ the write is aborted)
     "q_a3_backup_count" -> ((s, dir) => {
@@ -3857,6 +3920,31 @@ object SparkEntry {
       """SELECT n_nationkey, n_name FROM nation WHERE n_regionkey IN (0, 1)
          UNION ALL
          SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 3""",
+    "q_q5_batch_split" ->
+      """SELECT 'unlogged' AS batch_type, CAST(4 AS BIGINT) AS n_groups,
+           CAST(10 AS BIGINT) AS n_stmts,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS rows_total
+         UNION ALL
+         SELECT 'logged', CAST(1 AS BIGINT), CAST(10 AS BIGINT),
+           CAST((SELECT count(*) FROM nation) AS BIGINT)""",
+    "q_f10_dryrun_counts" ->
+      """SELECT 'explicit_dry' AS mode_case,
+           CAST(sum(CASE WHEN l_suppkey BETWEEN 4 AND 6
+                          AND l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT)
+             AS kept,
+           CAST(sum(CASE WHEN l_suppkey BETWEEN 4 AND 6
+                          AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped,
+           true AS is_dry, false AS backup_written, false AS wrote_kept
+         FROM lineitem
+         UNION ALL
+         SELECT 'spooked',
+           CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 0 ELSE 1 END)
+             AS BIGINT),
+           CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 1 ELSE 0 END)
+             AS BIGINT),
+           true, false, false
+         FROM lineitem""",
     "q_a3_backup_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS num_cells,
            CAST(count(DISTINCT l_orderkey) AS BIGINT) AS num_keys

@@ -46,15 +46,21 @@ final case class SqlBatch(
   def unlogged: SqlBatch = copy(batchType = Unlogged)
   def counter: SqlBatch = copy(batchType = Counter)
 
+  /** Q5 — the logical→physical split: sub-batches of at most `maxBatch`;
+    * LOGGED batches are never split (atomicity — one sequential group).
+    * Exposed so callers/tests observe the PRODUCTION grouping, not a
+    * re-derived arithmetic. */
+  def splitGroups(maxBatch: Int = 64): Seq[Seq[SqlStatement]] =
+    if (batchType == Logged) Seq(statements)
+    else statements.grouped(maxBatch).toSeq
+
   /** Q5 — split into sub-batches of at most `maxBatch` and run each group
     * concurrently; one Future per group, joined with Future.sequence.
     * Logged batches are never split: one sequential group. */
   def execute(maxBatch: Int = 64)(
       implicit spark: SparkSession,
       ec: ExecutionContext): Future[Seq[Array[org.apache.spark.sql.Row]]] = {
-    val groups =
-      if (batchType == Logged) Seq(statements)
-      else statements.grouped(maxBatch).toSeq
+    val groups = splitGroups(maxBatch)
     Future
       .sequence(groups.map { g =>
         Future { g.map(_.df.collect()) }

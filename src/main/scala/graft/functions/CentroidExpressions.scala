@@ -1,0 +1,241 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Static eval for the centroid-assignment expressions — referenced from
+  * generated code, so signatures are Java-friendly (flat primitive
+  * arrays; boxed/null returns for the dims-mismatch case).
+  *
+  * Ordering contract (bit-parity with the literal-array formulation these
+  * expressions replaced — `array_max`/`array_min`/`array_sort` over
+  * `struct(score, id)`):
+  *  - dot metric (max inner product): best = LARGEST score; score ties
+  *    break to the LARGEST id (lexicographic struct max).
+  *  - l2 surrogate (`c·c − 2·v·c`, argmin): best = SMALLEST score; ties
+  *    break to the SMALLEST id (lexicographic struct min).
+  *  - probe order: dot = descending (score, id); l2 = ascending.
+  * Score arithmetic is the exact float sequence of the old plan: the dot
+  * accumulates ascending-index (`acc += v(i)*c(i)`, the [[VectorDot]]
+  * contract), the l2 surrogate is `cc − 2.0·dot` with `cc` pre-folded
+  * ascending. Double comparison matches Spark's SQL ordering
+  * (`-0.0 == 0.0`, NaN largest).
+  *
+  * Null semantics: null vector handled by the expression (null-
+  * intolerant); null ELEMENTS read as 0 ([[VectorDot]] parity); a vector
+  * whose length differs from the centroid dims returns null — a dims
+  * mismatch must fail loudly as a null assignment, never score a
+  * plausible-but-wrong common prefix.
+  */
+object CentroidEval {
+
+  /** Spark SQL double ordering: -0.0 == 0.0, NaN greater than anything. */
+  private def cmp(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  private def score(
+      vec: ArrayData, flat: Array[Double], cc: Array[Double],
+      dims: Int, j: Int, l2: Boolean): Double = {
+    var acc = 0.0d
+    var i = 0
+    val off = j * dims
+    while (i < dims) {
+      val v = if (vec.isNullAt(i)) 0.0d else vec.getDouble(i)
+      acc += v * flat(off + i)
+      i += 1
+    }
+    if (l2) cc(j) - 2.0d * acc else acc
+  }
+
+  /** Id of the best centroid, or null on a dims mismatch. */
+  def nearest(
+      vec: ArrayData, flat: Array[Double], ids: Array[Int],
+      cc: Array[Double], dims: Int, l2: Boolean): Any = {
+    if (vec.numElements() != dims) return null
+    var bestJ = -1
+    var bestD = 0.0d
+    var j = 0
+    while (j < ids.length) {
+      val d = score(vec, flat, cc, dims, j, l2)
+      val better =
+        if (bestJ < 0) true
+        else {
+          val c = cmp(d, bestD)
+          if (l2) c < 0 || (c == 0 && ids(j) < ids(bestJ))
+          else c > 0 || (c == 0 && ids(j) > ids(bestJ))
+        }
+      if (better) { bestJ = j; bestD = d }
+      j += 1
+    }
+    if (bestJ < 0) null else Integer.valueOf(ids(bestJ))
+  }
+
+  /** The `nprobe` best centroid ids in probe order (dot: descending
+    * (score, id); l2: ascending), or null on a dims mismatch. Selection
+    * is O(nlist·nprobe) — nprobe is small by construction. */
+  def probe(
+      vec: ArrayData, flat: Array[Double], ids: Array[Int],
+      cc: Array[Double], dims: Int, l2: Boolean, nprobe: Int): Any = {
+    if (vec.numElements() != dims) return null
+    val n = ids.length
+    val scores = new Array[Double](n)
+    var j = 0
+    while (j < n) { scores(j) = score(vec, flat, cc, dims, j, l2); j += 1 }
+    val take = math.min(nprobe, n)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](n)
+    var t = 0
+    while (t < take) {
+      var bestJ = -1
+      j = 0
+      while (j < n) {
+        if (!used(j)) {
+          val better =
+            if (bestJ < 0) true
+            else {
+              val c = cmp(scores(j), scores(bestJ))
+              if (l2) c < 0 || (c == 0 && ids(j) < ids(bestJ))
+              else c > 0 || (c == 0 && ids(j) > ids(bestJ))
+            }
+          if (better) bestJ = j
+        }
+        j += 1
+      }
+      used(bestJ) = true
+      out(t) = ids(bestJ)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Shared shape of the two centroid-table expressions: the matrix is a
+  * VALUE-typed constructor arg (IndexedSeq — structurally equal plans
+  * stay plan-equal) flattened row-major, and is shipped to generated
+  * code as a REFERENCED OBJECT, never inlined source. This is what lets
+  * nlist scale with the corpus (the repo's own IVF scale knob is
+  * nlist ∝ √N → 10⁴–10⁶ centroids at 100 TB): the old literal
+  * `array(struct(dot(vec, typedLit(c)), i), …)` encoding put
+  * nlist × dims doubles in the expression tree, exploding analysis +
+  * codegen long before the data does. Here plan size is O(1) in nlist
+  * and per-row work is the same O(nlist·dims) multiply-adds, fused into
+  * whole-stage codegen (the [[BloomGramHits]] discipline). */
+sealed trait CentroidTableExpression extends UnaryExpression {
+  def flat: IndexedSeq[Double]
+  def ids: IndexedSeq[Int]
+  def dims: Int
+  def l2: Boolean
+
+  require(dims > 0, "dims must be positive")
+  require(ids.nonEmpty, "centroid table must be non-empty")
+  require(flat.length == ids.length * dims,
+    s"flat centroid matrix length ${flat.length} != ${ids.length} ids × $dims dims")
+
+  @transient protected lazy val flatArr: Array[Double] = flat.toArray
+  @transient protected lazy val idsArr: Array[Int] = ids.toArray
+  /** l2 bias `c·c`, pre-folded ascending-index (the exact float sequence
+    * of the driver-side foldLeft it replaces); zeros for dot. */
+  @transient protected lazy val ccArr: Array[Double] = {
+    val out = new Array[Double](ids.length)
+    if (l2) {
+      var j = 0
+      while (j < out.length) {
+        var acc = 0.0d
+        var i = 0
+        while (i < dims) { acc += flatArr(j * dims + i) * flatArr(j * dims + i); i += 1 }
+        out(j) = acc
+        j += 1
+      }
+    }
+    out
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an array<double> vector, got ${other.sql}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // dims mismatch yields null
+
+  protected def refs(ctx: CodegenContext): (String, String, String) = (
+    ctx.addReferenceObj("centFlat", flatArr, "double[]"),
+    ctx.addReferenceObj("centIds", idsArr, "int[]"),
+    ctx.addReferenceObj("centCc", ccArr, "double[]"))
+}
+
+/** Index (id) of the nearest centroid — the IVF/k-means assignment stage
+  * as one codegen'd map-only projection. */
+case class NearestCentroid(
+    child: Expression,
+    ids: IndexedSeq[Int],
+    flat: IndexedSeq[Double],
+    dims: Int,
+    l2: Boolean)
+    extends CentroidTableExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def nullSafeEval(in: Any): Any =
+    CentroidEval.nearest(
+      in.asInstanceOf[ArrayData], flatArr, idsArr, ccArr, dims, l2)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (f, idsRef, cc) = refs(ctx)
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = graft.functions.CentroidEval.nearest(
+         |  $v, $f, $idsRef, $cc, $dims, $l2);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Integer) $r).intValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** The `nprobe` nearest centroid ids in probe order (see
+  * [[CentroidEval.probe]] for the per-metric ordering contract). */
+case class ProbeCentroids(
+    child: Expression,
+    ids: IndexedSeq[Int],
+    flat: IndexedSeq[Double],
+    dims: Int,
+    l2: Boolean,
+    nprobe: Int)
+    extends CentroidTableExpression {
+
+  require(nprobe >= 1, "nprobe must be >= 1")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_probe_centroids"
+
+  override def nullSafeEval(in: Any): Any =
+    CentroidEval.probe(
+      in.asInstanceOf[ArrayData], flatArr, idsArr, ccArr, dims, l2, nprobe)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (f, idsRef, cc) = refs(ctx)
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = graft.functions.CentroidEval.probe(
+         |  $v, $f, $idsRef, $cc, $dims, $l2, $nprobe);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ProbeCentroids =
+    copy(child = newChild)
+}

@@ -262,6 +262,16 @@ object SignatureEval {
   def winnowSelect(hashes: ArrayData, w: Int): ArrayData = {
     import org.apache.spark.sql.catalyst.InternalRow
     val ng = hashes.numElements()
+    // null ELEMENT → null result (fail loudly): the loop below reads
+    // getLong without null checks, and a null silently read as 0 would
+    // diverge from the relational reference. containsNull=true typing is
+    // accepted (coalesce/cast wrappers produce it around provably
+    // non-null data), but actual nulls are refused here.
+    var ni = 0
+    while (ni < ng) {
+      if (hashes.isNullAt(ni)) return null
+      ni += 1
+    }
     if (ng == 0) return new GenericArrayData(new Array[InternalRow](0))
     val wins = math.max(ng - w + 1, 1)
     val deque = new Array[Int](ng)
@@ -363,6 +373,46 @@ object SignatureEval {
       b += 1
     }
     fp
+  }
+
+  /** Prefix-filter selection for the exact set-similarity join
+    * ([[graft.operators.Dedup.prefixFilterPairs]]): given a document's
+    * FULL (frequency, shingle) pair array, sort ascending by
+    * (freq, shingle) — rare first, shingle ties byte-lexicographic
+    * (UTF8String.compareTo ≡ Spark's string ordering) — and return the
+    * first `n − ⌈tMu·n/10⁶⌉ + 1` shingles. ⌈·⌉ in INTEGER arithmetic:
+    * a float ceil rounds up on exact multiples (0.8·5 = 4.000…001) and
+    * would shorten the prefix below the candidate-completeness bound.
+    * Replaces the per-doc `row_number` WINDOW over the exploded
+    * corpus × shingles table: the per-row sort is O(n log n) on the
+    * document's own shingles, no global sort-by-(id, freq, shingle) of
+    * the exploded table and no rank-filter pass. */
+  def prefixSelect(pairs: ArrayData, tMu: Long): ArrayData = {
+    val n = pairs.numElements()
+    val alpha = (n * tMu + 999999L) / 1000000L
+    val keep = (n - alpha + 1L).toInt
+    if (keep <= 0) return new GenericArrayData(new Array[UTF8String](0))
+    val fs = new Array[Long](n)
+    val sh = new Array[UTF8String](n)
+    val idx = new Array[Integer](n)
+    var i = 0
+    while (i < n) {
+      val row = pairs.getStruct(i, 2)
+      fs(i) = row.getLong(0)
+      sh(i) = row.getUTF8String(1)
+      idx(i) = Integer.valueOf(i)
+      i += 1
+    }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val c = java.lang.Long.compare(fs(a), fs(b))
+        if (c != 0) c else sh(a).compareTo(sh(b))
+      }
+    })
+    val out = new Array[UTF8String](math.min(keep, n))
+    i = 0
+    while (i < out.length) { out(i) = sh(idx(i)); i += 1 }
+    new GenericArrayData(out)
   }
 }
 
@@ -553,6 +603,11 @@ case class WinnowSelect(child: Expression, w: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // containsNull=true typing is ACCEPTED (coalesce/cast wrappers
+    // produce it around provably non-null data) — actual null elements
+    // are refused at runtime: eval returns NULL instead of silently
+    // reading the element as 0 and diverging from the relational
+    // reference ([[KGramHash60]] output is null-free by construction)
     case ArrayType(org.apache.spark.sql.types.LongType, _) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -566,14 +621,23 @@ case class WinnowSelect(child: Expression, w: Int)
         org.apache.spark.sql.types.LongType, nullable = false))),
     containsNull = false)
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // null input OR null element
   override def prettyName: String = "graft_winnow_select"
 
   override def nullSafeEval(in: Any): Any =
     SignatureEval.winnowSelect(in.asInstanceOf[ArrayData], w)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SignatureEval.winnowSelect($c, $w)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = graft.functions.SignatureEval.winnowSelect($c, $w);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else {
+         |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(
       newChild: Expression): WinnowSelect =
@@ -620,5 +684,40 @@ case class BloomGramHits(
 
   override protected def withNewChildInternal(
       newChild: Expression): BloomGramHits =
+    copy(child = newChild)
+}
+
+/** Prefix-filter shingle selection as ONE codegen'd projection over a
+  * collected `array<struct<f: bigint, sh: string>>` column (see
+  * [[SignatureEval.prefixSelect]] for the ordering + integer-⌈⌉
+  * contract). `tMu` is the Jaccard threshold in micro-units. */
+case class PrefixSelect(child: Expression, tMu: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(tMu > 0 && tMu <= 1000000L, "tMu is micro-units in (0, 1e6]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StructType(fields), _)
+        if fields.length == 2 &&
+          fields(0).dataType == org.apache.spark.sql.types.LongType &&
+          fields(1).dataType == org.apache.spark.sql.types.StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<struct<bigint,string>>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_prefix_select"
+
+  override def nullSafeEval(in: Any): Any =
+    SignatureEval.prefixSelect(in.asInstanceOf[ArrayData], tMu)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SignatureEval.prefixSelect($c, ${tMu}L)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PrefixSelect =
     copy(child = newChild)
 }

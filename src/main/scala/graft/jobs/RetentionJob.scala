@@ -13,7 +13,13 @@ final case class RetentionStats(
     dropped: Long,
     mode: PlanMode,
     backupWritten: Boolean,
-    elapsedMs: Long = 0L) {
+    elapsedMs: Long = 0L,
+    /** True when the run executed DRY — either requested (`dryRun=true`)
+      * or degraded by validation (`mode.isDryRun`). `mode` alone records
+      * only the VALIDATION verdict; the reference's counter path treats
+      * both the explicit flag and the spooked degradation identically
+      * (ref: FilteringSSTableScanner.java:111-115). */
+    effectiveDryRun: Boolean = false) {
   /** A2 — throughput, the reference's keys/sec status metric
     * (ref: FilteringSSTableScanner.java:333-373). */
   def keysPerSec: Double =
@@ -102,7 +108,8 @@ object RetentionJob {
       RetentionStats(
         Option(row.getAs[Long]("kept")).getOrElse(0L),
         Option(row.getAs[Long]("dropped")).getOrElse(0L),
-        mode, backupWritten = false, elapsedMs = elapsedMs)
+        mode, backupWritten = false, elapsedMs = elapsedMs,
+        effectiveDryRun = true)
     } else {
       val wantBoth = keptPath.isDefined && backupPath.isDefined
       // Counters ride the write action via observe() (A1/A2 — the

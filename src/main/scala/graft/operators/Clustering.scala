@@ -37,22 +37,28 @@ object Clustering {
   private def quantize(vec: Column): Column =
     transform(vec.cast("array<double>"), x => round(x * Micro.toDouble).cast("long"))
 
-  /** Squared-distance surrogate `c·c − 2·x·c` (the `x·x` term is
-    * constant under argmin over centroids). `cc` is pre-folded on the
-    * driver with the same ascending sequential order as
-    * [[Similarity.dot]] and DuckDB's `list_dot_product`. */
-  private def distSurrogate(vec: Column, c: Seq[Double]): Column = {
-    val cc = c.foldLeft(0.0d)((acc, x) => acc + x * x)
-    lit(cc) - lit(2.0d) * Similarity.dot(vec.cast("array<double>"), typedLit(c))
+  /** Nearest-centroid id under the L2 squared-distance surrogate
+    * `c·c − 2·x·c` (the `x·x` term is constant under argmin over
+    * centroids); ties break to the smallest centroid id. One codegen'd
+    * [[graft.functions.NearestCentroid]] projection with the centroid
+    * MATRIX as a referenced object — k is a corpus-scale knob here too
+    * (SemDeDup grows cluster count with the corpus), so the matrix must
+    * never be expression literals (see the plan-size note at
+    * [[Similarity]]'s assignment helpers). The expression pre-folds `cc`
+    * and accumulates the dot ascending-index — the same float sequence
+    * as [[Similarity.dot]] and DuckDB's `list_dot_product`, so oracle
+    * parity is bit-exact. */
+  private def nearest(vec: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(cents.nonEmpty, "centroid table must be non-empty")
+    val dims = cents.head._2.length
+    require(cents.forall(_._2.length == dims),
+      "ragged centroid table: all centroids must share dims")
+    ColumnBridge.column(graft.functions.NearestCentroid(
+      ColumnBridge.expression(vec.cast("array<double>")),
+      cents.map(_._1).toIndexedSeq,
+      cents.flatMap(_._2).toIndexedSeq, dims, l2 = true))
   }
-
-  /** Nearest-centroid id via the array_max/array_min-over-structs argmin
-    * (see the expression-tree note at [[Similarity.ivfTopK]]). Ties break
-    * to the smallest centroid id. */
-  private def nearest(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
-    array_min(array(cents.map { case (j, c) =>
-      struct(distSurrogate(vec, c).as("d"), lit(j).as("j"))
-    }: _*)).getField("j")
 
   /** Fit `iters` Lloyd iterations and append the final assignment as
     * `cluster` (int). Clusters that lose every member simply drop out of

@@ -763,13 +763,16 @@ object Dedup {
       .select(col(s"d.$idCol").as("id_a"), col(s"c.$idCol").as("id_b"))
       .distinct()
       .localCheckpoint()
-    val candIds = cross.select(col("id_a").as(idCol))
-      .union(cross.select(col("id_b").as(idCol))).distinct()
+    // corpus∪delta text restricted to candidate-pair members by
+    // ngramJaccardOnPairs — NO broadcast hint on the id set: on a
+    // degenerate corpus index (one hot LSH bucket) the collision ids
+    // approach corpus cardinality, and a forced hint would bypass AQE's
+    // stats-based size check and pull the whole set onto the driver;
+    // AQE still broadcasts the (usual) tiny case at runtime.
     val candDocs = corpus.select(col(idCol), col(textCol))
       .unionByName(delta.select(col(idCol), col(textCol)))
-      .join(broadcast(candIds), Seq(idCol), "left_semi")
     // delta ids near any corpus doc — referenced by two anti-joins below
-    val dropIds = ngramJaccard(candDocs, cross, idCol, textCol, shingleN)
+    val dropIds = ngramJaccardOnPairs(candDocs, cross, idCol, textCol, shingleN)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a").as(idCol)).distinct()
       .localCheckpoint()
@@ -786,7 +789,9 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    val verified = ngramJaccard(fresh, internalCands, idCol, textCol, shingleN)
+    // candidate-restricted verify: only pair members shingle — a large
+    // backfill delta would otherwise pay two full shingle passes here
+    val verified = ngramJaccardOnPairs(fresh, internalCands, idCol, textCol, shingleN)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b")
     val losers = resolveDuplicateGroups(verified)
@@ -832,18 +837,13 @@ object Dedup {
     // frequency aggregation and the prefix join — unpinned, each
     // reference re-derives every shingle from the corpus (two full
     // tokenize+concat passes). One materialization; blocks are
-    // ContextCleaner-owned. At scale this is the same size class as the
-    // shuffle the frequency groupBy performs anyway.
-    val ex = sh.select(col("__id"), size(col("__s")).as("__n"),
-      explode(col("__s")).as("__sh")).localCheckpoint()
-    val freq = ex.groupBy(col("__sh")).agg(count(lit(1)).as("__f"))
-    val w = Window.partitionBy(col("__id")).orderBy(col("__f"), col("__sh"))
-    val prefix = ex.join(freq, Seq("__sh"))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__alpha",
-        expr(s"(__n * $thresholdMu + 999999) DIV 1000000"))
-      .filter(col("__rn") <= col("__n") - col("__alpha") + 1)
-      .select(col("__sh"), col("__id"))
+    // ContextCleaner-owned. DISK_ONLY: unlike a shuffle file, checkpoint
+    // blocks stay pinned until the frame is GC'd, and this is the
+    // LARGEST intermediate of the operator (corpus × shingles rows) —
+    // holding it in executor memory would add peak-memory pressure the
+    // shuffle-size comparison doesn't capture; both consumers are
+    // one-pass scans, so disk reads cost what a shuffle read would.
+    val prefix = prefixRowsNative(sh, thresholdMu)
     val cand = prefix.select(col("__sh"), col("__id").as("id_a"))
       .join(prefix.select(col("__sh"), col("__id").as("id_b")), Seq("__sh"))
       .filter(col("id_b") > col("id_a"))
@@ -852,6 +852,72 @@ object Dedup {
       .filter(col("jaccard") >= lit(thresholdMu.toDouble / 1e6))
       .select(col("id_a"), col("id_b"),
         round(col("jaccard") * lit(1e6d)).cast("long").as("jaccard_micro"))
+  }
+
+  /** The native [[graft.functions.PrefixSelect]] as a Column. */
+  private[graft] def prefixSelect(fs: Column, thresholdMu: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.PrefixSelect(
+      ColumnBridge.expression(fs), thresholdMu))
+  }
+
+  /** Per-document prefix rows `(__id, __sh)` from a pre-shingled
+    * `(__id, __s)` frame — the hot half of [[prefixFilterPairs]].
+    * Prefix selection is PER-DOCUMENT: regroup the freq-joined shingles
+    * and sort/slice inside one codegen'd expression
+    * ([[graft.functions.PrefixSelect]]) — the earlier formulation ran a
+    * row_number window partitioned by doc over the full exploded table,
+    * which costs a global sort by (id, freq, shingle) plus a rank-filter
+    * pass; the aggregate regroups on the SAME exchange the window needed
+    * but skips the sort. The per-doc array is bounded by the doc's own
+    * shingle count — no skew-unbounded state (the same bound the
+    * window's partition had). */
+  private[graft] def prefixRowsNative(
+      sh: DataFrame, thresholdMu: Long): DataFrame = {
+    // eager checkpoint: the exploded shingle table feeds BOTH the
+    // frequency aggregation and the prefix regroup — unpinned, each
+    // reference re-derives every shingle from the corpus (two full
+    // tokenize+concat passes). One materialization; blocks are
+    // ContextCleaner-owned. DISK_ONLY: unlike a shuffle file, checkpoint
+    // blocks stay pinned until the frame is GC'd, and this is the
+    // LARGEST intermediate of the operator (corpus × shingles rows) —
+    // holding it in executor memory would add peak-memory pressure; both
+    // consumers are one-pass scans, so disk reads cost what a shuffle
+    // read would.
+    val ex = sh.select(col("__id"), explode(col("__s")).as("__sh"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val freq = ex.groupBy(col("__sh")).agg(count(lit(1)).as("__f"))
+    ex.join(freq, Seq("__sh"))
+      .groupBy(col("__id"))
+      .agg(collect_list(struct(col("__f"), col("__sh"))).as("__fs"))
+      .select(col("__id"),
+        explode(prefixSelect(col("__fs"), thresholdMu)).as("__sh"))
+  }
+
+  /** The relational (windowed) prefix formulation, kept as the
+    * cross-check reference for [[graft.functions.PrefixSelect]]
+    * (asserted pair-identical in ExpressionPropertySpec): per-doc
+    * `row_number` over (freq asc, shingle asc), keep rank ≤ n − α + 1.
+    * Returns `(__id, __sh)` prefix rows for the same inputs
+    * [[prefixFilterPairs]] derives internally. */
+  private[graft] def prefixRowsWindowed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdMu: Long,
+      shingleN: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      shingles(col(textCol), shingleN).as("__s"))
+    val ex = sh.select(col("__id"), size(col("__s")).as("__n"),
+      explode(col("__s")).as("__sh"))
+    val freq = ex.groupBy(col("__sh")).agg(count(lit(1)).as("__f"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__f"), col("__sh"))
+    ex.join(freq, Seq("__sh"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__alpha",
+        expr(s"(__n * $thresholdMu + 999999) DIV 1000000"))
+      .filter(col("__rn") <= col("__n") - col("__alpha") + 1)
+      .select(col("__id"), col("__sh"))
   }
 
   /** Containment/plagiarism candidate pairs from shared WINNOWING

@@ -318,57 +318,73 @@ object Similarity {
     topKPerQuery(scored, k, queryId, "cos", corpusId)
   }
 
-  private def ivfScoredArray(
-      vec: Column, centroids: Array[(Int, Seq[Double])]): Column =
-    array(centroids.map { case (i, c) =>
-      struct(dot(vec.cast("array<double>"), typedLit(c)).as("d"),
-        lit(i).as("i"))
-    }: _*)
+  // ---- centroid assignment / probing -------------------------------
+  // One codegen'd expression per stage, with the centroid MATRIX shipped
+  // as a referenced object (graft.functions.{NearestCentroid,
+  // ProbeCentroids}) — NOT as expression literals. nlist is the repo's
+  // IVF scale knob (grow ∝ √N with the corpus → 10⁴–10⁶ lists at
+  // 100 TB); the earlier literal encoding
+  // `array(struct(dot(vec, typedLit(c)), i), …)` put nlist × dims
+  // doubles in the plan, blowing up analysis/codegen long before the
+  // data does (an argmax via reduce() was even worse — it hung the
+  // optimizer at 16 centroids). Tie-breaks and float-op order are
+  // bit-parity with the old array_max/array_min/array_sort-over-structs
+  // formulation — pinned in SimilaritySpec.
 
-  /** Index of the nearest centroid (max dot). NOTE: expressed as
-    * array_max over one scored array — an argmax via
-    * reduce(when(a>=b,a,b)) duplicates both operands per step and grows
-    * the expression tree exponentially (hung the optimizer at 16
-    * centroids). */
+  private def centroidArgs(
+      centroids: Array[(Int, Seq[Double])]): (IndexedSeq[Int], IndexedSeq[Double], Int) = {
+    require(centroids.nonEmpty, "centroid table must be non-empty")
+    val dims = centroids.head._2.length
+    require(centroids.forall(_._2.length == dims),
+      "ragged centroid table: all centroids must share dims")
+    (centroids.map(_._1).toIndexedSeq,
+      centroids.flatMap(_._2).toIndexedSeq, dims)
+  }
+
+  private[graft] def nearestCentroidCol(
+      vec: Column, centroids: Array[(Int, Seq[Double])], l2: Boolean): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (ids, flat, dims) = centroidArgs(centroids)
+    ColumnBridge.column(graft.functions.NearestCentroid(
+      ColumnBridge.expression(vec.cast("array<double>")), ids, flat, dims, l2))
+  }
+
+  private[graft] def probeCentroidsCol(
+      vec: Column, centroids: Array[(Int, Seq[Double])], nprobe: Int,
+      l2: Boolean): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (ids, flat, dims) = centroidArgs(centroids)
+    ColumnBridge.column(graft.functions.ProbeCentroids(
+      ColumnBridge.expression(vec.cast("array<double>")), ids, flat, dims,
+      l2, nprobe))
+  }
+
+  /** Index of the nearest centroid (max dot; ties to the LARGER id). */
   private def ivfNearestList(
       vec: Column, centroids: Array[(Int, Seq[Double])]): Column =
-    array_max(ivfScoredArray(vec, centroids)).getField("i")
+    nearestCentroidCol(vec, centroids, l2 = false)
 
-  /** The `nprobe` nearest list ids for a query, as an array column. */
+  /** The `nprobe` nearest list ids for a query, as an array column
+    * (descending dot, ties to the larger id first). */
   private def ivfProbeLists(
       vec: Column, centroids: Array[(Int, Seq[Double])], nprobe: Int): Column =
-    transform(
-      slice(reverse(array_sort(ivfScoredArray(vec, centroids))), 1, nprobe),
-      s => s.getField("i"))
+    probeCentroidsCol(vec, centroids, nprobe, l2 = false)
 
-  /** L2 variant of the scored array: the squared-distance surrogate
-    * `c·c − 2·v·c` (the `v·v` term is centroid-invariant under argmin —
-    * the [[Clustering]] discipline), smaller = nearer. Used when the
-    * centroids were TRAINED under L2 (k-means): assigning/probing them
-    * by max-dot would favor large-norm centroids and unbalance the lists
-    * (measured: recall LOSS vs strided centroids before this existed). */
-  private def ivfL2ScoredArray(
-      vec: Column, centroids: Array[(Int, Seq[Double])]): Column =
-    array(centroids.map { case (i, c) =>
-      val cc = c.foldLeft(0.0d)((acc, x) => acc + x * x)
-      struct(
-        (lit(cc) - lit(2.0d) * dot(vec.cast("array<double>"), typedLit(c)))
-          .as("d"),
-        lit(i).as("i"))
-    }: _*)
-
-  /** Nearest list by L2 surrogate; ties break to the SMALLER id
-    * (array_min over structs — matches k-means assignment). */
+  /** Nearest list by the L2 squared-distance surrogate `c·c − 2·v·c`
+    * (the `v·v` term is centroid-invariant under argmin — the
+    * [[Clustering]] discipline); ties break to the SMALLER id (matches
+    * k-means assignment). Used when the centroids were TRAINED under L2
+    * (k-means): assigning/probing them by max-dot would favor
+    * large-norm centroids and unbalance the lists (measured: recall
+    * LOSS vs strided centroids before this existed). */
   private def ivfL2NearestList(
       vec: Column, centroids: Array[(Int, Seq[Double])]): Column =
-    array_min(ivfL2ScoredArray(vec, centroids)).getField("i")
+    nearestCentroidCol(vec, centroids, l2 = true)
 
   /** The `nprobe` L2-nearest list ids, ascending surrogate then id. */
   private def ivfL2ProbeLists(
       vec: Column, centroids: Array[(Int, Seq[Double])], nprobe: Int): Column =
-    transform(
-      slice(array_sort(ivfL2ScoredArray(vec, centroids)), 1, nprobe),
-      s => s.getField("i"))
+    probeCentroidsCol(vec, centroids, nprobe, l2 = true)
 
   /** Build a PERSISTED IVF index — the production shape: the build is the
     * only full-corpus pass (one count, an O(nlist) centroid collect, one

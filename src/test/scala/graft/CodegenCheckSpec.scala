@@ -59,4 +59,28 @@ class CodegenCheckSpec extends SparkSpec {
       .filter(col("n_hits") =!= col("n_grams")).count()
     assert(mismatch == 0, "bloom lost a member gram (false negative)")
   }
+
+  test("NearestCentroid/ProbeCentroids projections compile into WholeStageCodegen") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val centroids: Array[(Int, Seq[Double])] = emb
+      .orderBy("vec_id").limit(8)
+      .select(col("embedding").cast("array<double>"))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }
+    val df = emb.select(col("vec_id"),
+      Similarity.nearestCentroidCol(col("embedding"), centroids, l2 = true)
+        .as("list"),
+      Similarity.probeCentroidsCol(col("embedding"), centroids, 2, l2 = false)
+        .as("probe"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("graft_nearest_centroid") &&
+        l.contains("*(")), plan)
+    assert(plan.contains("graft_probe_centroids"), plan)
+    // sanity: every assignment lands on a real list, every probe has 2 ids
+    assert(df.filter(col("list") < 0 || col("list") > 7).count() == 0)
+    assert(df.filter(size(col("probe")) =!= 2).count() == 0)
+  }
 }

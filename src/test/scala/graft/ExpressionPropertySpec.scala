@@ -328,4 +328,74 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(out.map(_.getLong(2)).distinct.length == pairs.length,
       "interleave must be injective")
   }
+  test("property: NearestCentroid/ProbeCentroids ≡ literal struct argmin/argmax") {
+    // the literal formulation these expressions replaced: array_max /
+    // array_min / array_sort over struct(score, id) with the score
+    // computed by the SAME native dot — any tie-break or float-order
+    // divergence shows up as a row mismatch. Duplicate centroid vectors
+    // under different ids force score TIES so the lexicographic struct
+    // ordering is actually exercised.
+    val dims = 7
+    val genVec: Gen[Seq[Double]] =
+      Gen.listOfN(dims, Gen.chooseNum(-1000000, 1000000).map(_ / 1e4d))
+        .map(_.toSeq)
+    val vecs = samples(genVec, 150).distinct
+    val cents0 = samples(genVec, 9).distinct
+    // ids deliberately non-contiguous + two ids sharing one vector (tie)
+    val centroids: Array[(Int, Seq[Double])] =
+      (cents0.zipWithIndex.map { case (c, i) => (i * 3 + 1, c) } :+
+        ((cents0.length * 3 + 7, cents0.head))).toArray
+    // membership ties: every centroid vector also appears as a data row
+    val df = (vecs ++ cents0).toDF("v")
+      .select(col("v").cast("array<double>").as("v"))
+
+    def literalScored(l2: Boolean) = array(centroids.map { case (i, c) =>
+      val d =
+        if (l2) {
+          val cc = c.foldLeft(0.0d)((acc, x) => acc + x * x)
+          lit(cc) - lit(2.0d) * Similarity.dot(col("v"), typedLit(c))
+        } else Similarity.dot(col("v"), typedLit(c))
+      struct(d.as("d"), lit(i).as("i"))
+    }: _*)
+
+    for (l2 <- Seq(false, true); nprobe <- Seq(1, 3, centroids.length + 2)) {
+      val litNearest =
+        if (l2) array_min(literalScored(l2 = true)).getField("i")
+        else array_max(literalScored(l2 = false)).getField("i")
+      val litProbe =
+        if (l2) transform(
+          slice(array_sort(literalScored(l2 = true)), 1, nprobe),
+          s => s.getField("i"))
+        else transform(
+          slice(reverse(array_sort(literalScored(l2 = false))), 1, nprobe),
+          s => s.getField("i"))
+      val diff = df.select(
+          Similarity.nearestCentroidCol(col("v"), centroids, l2).as("nn"),
+          litNearest.as("nl"),
+          Similarity.probeCentroidsCol(col("v"), centroids, nprobe, l2).as("pn"),
+          litProbe.as("pl"))
+        .filter(col("nn") =!= col("nl") || col("pn") =!= col("pl"))
+      assert(diff.count() == 0,
+        s"l2=$l2 nprobe=$nprobe diverged: " +
+          diff.limit(3).collect().mkString("; "))
+    }
+  }
+
+  test("property: PrefixSelect ≡ windowed prefix rows on random texts") {
+    // the native per-doc sort/slice must select EXACTLY the rows the
+    // row_number-window formulation ranks — both order by
+    // (corpus freq asc, shingle binary asc) and keep n − ⌈tMu·n⌉ + 1
+    val texts = samples(genText, 150).distinct.filter(_.trim.nonEmpty)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (tMu <- Seq(500000L, 800000L, 1000000L); n <- Seq(2, 3)) {
+      val sh = df.select(col("doc_id").as("__id"),
+        Dedup.shingles(col("text"), n).as("__s"))
+      val native = Dedup.prefixRowsNative(sh, tMu)
+      val windowed = Dedup.prefixRowsWindowed(df, "doc_id", "text", tMu, n)
+      assert(native.exceptAll(windowed).count() == 0 &&
+        windowed.exceptAll(native).count() == 0,
+        s"tMu=$tMu n=$n prefix rows diverged")
+    }
+  }
 }

@@ -578,9 +578,49 @@ class PlanAuditSpec extends SparkSpec {
     val restricted = verify
       .select(col("id_a"), col("id_b"),
         round(col("jaccard") * 1e6).cast("long").as("j_mu"))
-    assert(restricted.unionAll(unrestricted).distinct().count() ==
-      restricted.count(),
-      "restricted verify diverged from the unrestricted form")
-    assert(restricted.count() == unrestricted.count())
+    // exact MULTISET equality (exceptAll both ways): a set-based
+    // union/distinct check would miss a multiplicity divergence if the
+    // restricted output ever duplicated rows
+    assert(restricted.exceptAll(unrestricted).count() == 0,
+      "restricted verify produced rows the unrestricted form lacks")
+    assert(unrestricted.exceptAll(restricted).count() == 0,
+      "restricted verify lost rows the unrestricted form produces")
+  }
+
+  test("incremental dedup: no forced broadcast hints anywhere in the path") {
+    // the candidate-id set of the corpus-index probe is UNBOUNDED on a
+    // degenerate corpus (one hot LSH bucket): a broadcast HINT on it
+    // bypasses AQE's stats-based size check and pulls it onto the
+    // driver. The hint was removed from ngramJaccardOnPairs in r13 and
+    // from incrementalDedupFromIndex in r15 — pin BOTH stages hint-free
+    // (AQE still broadcasts genuinely small sets at runtime, from real
+    // sizes, which is the wanted behavior).
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    // stage 1: the cross-corpus drop-id pipeline (materialized inside
+    // incrementalDedupFromIndex via localCheckpoint, so it must be
+    // audited as the frame ngramJaccardOnPairs composes)
+    val banded = Dedup.bandedSignatures(corpus, "doc_id", "text", 3, 20, 10)
+    val deltaBanded = Dedup.bandedSignatures(delta, "doc_id", "text", 3, 20, 10)
+    val cross = deltaBanded.as("d")
+      .join(banded.as("c"),
+        col("d.band") === col("c.band") && col("d.bucket") === col("c.bucket"))
+      .select(col("d.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
+      .distinct()
+    val verifyStage = Dedup.ngramJaccardOnPairs(
+      corpus.unionByName(delta), cross, "doc_id", "text", 3)
+    assert(!verifyStage.queryExecution.optimizedPlan.toString
+        .contains("strategy=broadcast"),
+      "cross-corpus verify stage carries a forced broadcast hint")
+    // stage 2: the full incremental output (internal self-verify + the
+    // two anti joins) — also hint-free
+    val out = Dedup.incrementalDedup(corpus, delta, "doc_id", "text")
+    assert(!out.queryExecution.optimizedPlan.toString
+        .contains("strategy=broadcast"),
+      "incremental dedup output plan carries a forced broadcast hint")
   }
 }
