@@ -757,12 +757,15 @@ object Dedup {
     // the blocks instead of pinning them in the cache registry.
     val deltaBanded = bandedSignatures(delta, idCol, textCol, shingleN, k, bands)
       .localCheckpoint()
+    // no pin on `cross`: it is referenced exactly once now —
+    // ngramJaccardOnPairs pins the pair list itself (single-reference
+    // tables stay lazy per the README pin rule; a second checkpoint
+    // here would just double-materialize the same small list)
     val cross = deltaBanded.as("d")
       .join(corpusBanded.as("c"),
         col("d.band") === col("c.band") && col("d.bucket") === col("c.bucket"))
       .select(col(s"d.$idCol").as("id_a"), col(s"c.$idCol").as("id_b"))
       .distinct()
-      .localCheckpoint()
     // corpus∪delta text restricted to candidate-pair members by
     // ngramJaccardOnPairs — NO broadcast hint on the id set: on a
     // degenerate corpus index (one hot LSH bucket) the collision ids

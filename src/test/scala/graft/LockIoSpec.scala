@@ -21,6 +21,43 @@ final class ThrowingLockIo extends LockIo {
   def delete(p: Path): Unit = ()
 }
 
+/** Chaos backend for the stat/delete interleaving case: delegates every
+  * call to a REAL [[HadoopLockIo]] on the local filesystem, but the
+  * FIRST successful break-claim creation fires a one-shot side effect —
+  * the stale holder "releases" (its lock vanishes) and a rival writer
+  * acquires a FRESH lock — exactly the window between a breaker's
+  * staleness observation and its claim-protected re-read. The re-read
+  * must spare the rival's live lock (payload != the observation judged
+  * stale); deleting it would reopen the double-hold window the claim
+  * protocol exists to close. Instantiated reflectively via the provider
+  * conf key, so state lives in the companion. */
+final class SwapOnClaimLockIo extends LockIo {
+  import org.apache.hadoop.fs.Path
+  private val delegate = new HadoopLockIo(
+    org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration()))
+  def putIfAbsent(p: Path, payload: String): Boolean = {
+    val won = delegate.putIfAbsent(p, payload)
+    if (won && p.getName.endsWith(".breaking") &&
+        SwapOnClaimLockIo.armed.compareAndSet(true, false)) {
+      // inside the claim, before the breaker's re-read: dead holder's
+      // lock vanishes, rival's fresh lock lands at the same path
+      val lock = new Path(p.getParent, "_writer.lock")
+      delegate.delete(lock)
+      require(delegate.putIfAbsent(lock,
+        s"rival-writer ${System.currentTimeMillis}"),
+        "chaos rival failed to plant its fresh lock")
+    }
+    won
+  }
+  def readPayload(p: Path): Option[String] = delegate.readPayload(p)
+  def mtime(p: Path): Option[Long] = delegate.mtime(p)
+  def delete(p: Path): Unit = delegate.delete(p)
+}
+object SwapOnClaimLockIo {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 /** The writer-lock protocol over a pluggable conditional-PUT backend —
   * the object-store deployment path (S3 `If-None-Match`, GCS generation
   * preconditions). [[InMemoryLockIo]] is the reference implementation:
@@ -160,6 +197,72 @@ class LockIoSpec extends SparkSpec {
       assert(sortedRows(ArtifactStore.read(spark, root, "uni",
         verify = true)) ==
         (Seq("base" -> 1L) ++ (1 to n).map(i => s"t$i" -> 1L)).sorted)
+    }
+  }
+
+  test("HadoopLockIo chaos: torn lock on the real local FS is live " +
+      "within the grace window, break-eligible past it") {
+    // the torn-read window the LockIo scaladoc gates object-store
+    // schemes on: local-FS create lands BEFORE the payload write, so a
+    // rival can stat a real file whose payload is empty. Young torn
+    // lock = a healthy writer mid-create (must read as held); only an
+    // OLD one (file mtime past max(staleMs, TornLockGraceMs)) may break.
+    val root = tmpRoot()
+    ArtifactStore.publish(spark, root,
+      Seq("uni" -> Snapshot(counts("a" -> 1L))))
+    val lock = java.nio.file.Paths.get(root, "_writer.lock")
+    java.nio.file.Files.createFile(lock) // torn: created, payload unwritten
+    val e = intercept[RuntimeException] {
+      ArtifactStore.publish(spark, root,
+        Seq("uni" -> Append(counts("b" -> 2L))))
+    }
+    assert(e.getMessage.contains("another writer"), e.getMessage)
+    assert(ArtifactStore.latestVersion(spark, root).contains(1L))
+    // age the SAME torn file past every grace bound (mtime is the only
+    // evidence a torn lock has) — now break-eligible
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 24L * 3600 * 1000))
+    val v2 = ArtifactStore.publish(spark, root,
+      Seq("uni" -> Append(counts("b" -> 2L))))
+    assert(v2 == 2L)
+    assert(!java.nio.file.Files.exists(lock),
+      "successful publish must release its own lock")
+  }
+
+  test("HadoopLockIo chaos: the claim-protected re-read spares a " +
+      "successor's fresh lock planted between stat and delete") {
+    withProvider("graft.SwapOnClaimLockIo") {
+      val root = tmpRoot()
+      ArtifactStore.publish(spark, root,
+        Seq("uni" -> Snapshot(counts("a" -> 1L))))
+      // a crashed writer's genuinely stale lock invites the break…
+      val lock = java.nio.file.Paths.get(root, "_writer.lock")
+      java.nio.file.Files.write(lock,
+        s"crashed-writer ${System.currentTimeMillis - 3600 * 1000L}"
+          .getBytes("UTF-8"))
+      // …and the chaos backend swaps in a rival's FRESH lock the
+      // instant the breaker wins the claim (after its staleness
+      // observation, before its re-read)
+      SwapOnClaimLockIo.armed.set(true)
+      try {
+        val e = intercept[RuntimeException] {
+          ArtifactStore.publish(spark, root,
+            Seq("uni" -> Append(counts("b" -> 2L))))
+        }
+        // the breaker must back off as "held", never delete the rival
+        assert(e.getMessage.contains("another writer"), e.getMessage)
+        assert(!SwapOnClaimLockIo.armed.get, "chaos hook never fired")
+        val payload = new String(
+          java.nio.file.Files.readAllBytes(lock), "UTF-8")
+        assert(payload.startsWith("rival-writer"),
+          s"rival's live lock must survive the break attempt: '$payload'")
+        assert(!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(root, "_writer.lock.breaking")),
+          "the break claim must be released")
+        assert(ArtifactStore.latestVersion(spark, root).contains(1L),
+          "no publish may commit while the rival holds the lock")
+      } finally SwapOnClaimLockIo.armed.set(false)
     }
   }
 
