@@ -251,9 +251,25 @@ object Dedup {
     // stats), but on a degenerate corpus — one hot LSH bucket, no
     // capBuckets — it approaches corpus cardinality, and a broadcast
     // HINT would force that onto the driver and every executor instead
-    // of letting the sort-merge path spill and finish
-    ngramJaccard(df.join(ids, Seq(idCol), "leftsemi"), p,
-      idCol, textCol, shingleN)
+    // of letting the sort-merge path spill and finish.
+    // ONE shingle pass: the candidate shingle table is referenced by
+    // BOTH verify-join sides (id_a and id_b), so pin it (the
+    // multi-reference rule) — unpinned, each side re-runs the semi join
+    // and re-shingles the full candidate set (was exactly the plan
+    // measured: two parquet scans + two shingle projections feeding the
+    // two joins). Candidate-bounded rows, so the pin is O(candidates).
+    val sh = df.join(ids, Seq(idCol), "leftsemi")
+      .select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
+      .localCheckpoint()
+    p
+      .join(sh.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("__sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("__sh", "sh_b"), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
   /** 64-bit SimHash fingerprint: per token, xxhash64 contributes ±1 to

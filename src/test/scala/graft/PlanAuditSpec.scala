@@ -560,15 +560,22 @@ class PlanAuditSpec extends SparkSpec {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    // the restriction is a semi join of the corpus against the pinned
-    // pair list BEFORE any shingle work: the pair list must appear as a
-    // checkpoint scan (ExistingRDD), never a re-derived candidate join
+    // the restriction (a semi join against the pinned pair list) runs
+    // INSIDE the pinned candidate shingle table — the final verify plan
+    // must consist of the two joins against checkpoint scans
+    // (ExistingRDD) and contain NO parquet scan and NO shingle
+    // projection: corpus text is never re-read or re-shingled at verify
+    // time, and the candidate shingle pass happened exactly once
     val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 3, 20, 10)
     val verify = Dedup.ngramJaccardOnPairs(docs, pairs, "doc_id", "text", 3)
     val plan = verify.queryExecution.explainString(FormattedMode)
-    assert(plan.contains("LeftSemi"), plan)
     assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
       plan)
+    assert(!plan.contains("Scan parquet"),
+      "verify stage re-read corpus text:\n" + plan)
+    assert(!plan.contains("graft_ngram_shingles"),
+      "verify stage re-shingled (the one shingle pass must be pinned):\n" +
+        plan)
     // and the restriction loses NOTHING: same verified pairs as the
     // unrestricted form on the same candidate list
     val unrestricted = Dedup.ngramJaccard(docs, pairs.select("id_a", "id_b"),

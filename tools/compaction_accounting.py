@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Exact compaction rewrite accounting from an ArtifactStore's own
+manifests (SCALE_r14/r15 claim-1 method, no wall-times involved).
+
+For every auto-compact generation (manifest note "auto-compact@vN"):
+  - tiered_rewrote_rows: rows of segments NEW in that version vs the
+    previous manifest (the merged segments the tiered policy wrote);
+  - full_collapse_would_rewrite_rows: the FULL row mass (at the prior
+    version) of each artifact the generation touched — what the old
+    full-collapse Snapshot policy would have rewritten per firing.
+
+Usage: compaction_accounting.py <store_root> [--per-firing]
+Prints one JSON line with totals (+ per-firing rows with --per-firing).
+"""
+import json
+import os
+import sys
+
+root = sys.argv[1]
+per_firing = "--per-firing" in sys.argv[2:]
+mdir = os.path.join(root, "_manifests")
+files = sorted(f for f in os.listdir(mdir)
+               if f.startswith("manifest-v") and f.endswith(".json"))
+manifests = [json.load(open(os.path.join(mdir, f))) for f in files]
+manifests.sort(key=lambda m: m["version"])
+
+by_version = {m["version"]: m for m in manifests}
+firings = []
+tiered_total = 0
+full_total = 0
+day0_rows = {s["artifact"]: s["rows"] for s in manifests[0]["segments"]}
+for m in manifests:
+    note = m.get("note", "")
+    if not note.startswith("auto-compact@"):
+        continue
+    prev = by_version.get(m["version"] - 1)
+    if prev is None:
+        continue
+    prev_paths = {s["seg_path"] for s in prev["segments"]}
+    prev_art_rows = {}
+    prev_art_paths = {}
+    for s in prev["segments"]:
+        prev_art_rows[s["artifact"]] = prev_art_rows.get(s["artifact"], 0) + s["rows"]
+        prev_art_paths.setdefault(s["artifact"], set()).add(s["seg_path"])
+    cur_art_paths = {}
+    new_rows = 0
+    touched = set()
+    for s in m["segments"]:
+        cur_art_paths.setdefault(s["artifact"], set()).add(s["seg_path"])
+        if s["seg_path"] not in prev_paths:
+            new_rows += s["rows"]
+            touched.add(s["artifact"])
+    full_rows = sum(prev_art_rows.get(a, 0) for a in touched)
+    firings.append({
+        "version": m["version"],
+        "touched": sorted(touched),
+        "tiered_rewrote_rows": new_rows,
+        "full_collapse_would_rewrite_rows": full_rows,
+    })
+    tiered_total += new_rows
+    full_total += full_rows
+
+# base-segment persistence: day-0 segment paths must survive every
+# compaction generation (the corpus-sized base is NEVER rewritten)
+day0_paths = {s["seg_path"] for s in manifests[0]["segments"]}
+last_paths = {s["seg_path"] for s in manifests[-1]["segments"]}
+base_survived = day0_paths <= last_paths
+
+out = {
+    "store": root,
+    "manifests": len(manifests),
+    "final_version": manifests[-1]["version"],
+    "day0_rows_by_artifact": day0_rows,
+    "compaction_generations": len(firings),
+    "tiered_rewrote_rows": tiered_total,
+    "full_collapse_would_rewrite_rows": full_total,
+    "ratio": round(full_total / tiered_total, 1) if tiered_total else None,
+    "day0_base_segments_never_rewritten": base_survived,
+}
+if per_firing:
+    out["firings"] = firings
+print(json.dumps(out))
