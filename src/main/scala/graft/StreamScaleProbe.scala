@@ -75,9 +75,16 @@ object StreamScaleProbe {
       val corpus = docs.filter(col("doc_id") % 5 =!= 0).localCheckpoint()
       val store = s"$work/store"
       graft.jobs.DeltaJob.publishDay0Artifacts(spark, store, corpus)
+      // the eval-suite bloom stands for a FIXED benchmark suite — its
+      // size must NOT grow with the corpus (the r15 100x run initially
+      // built it from doc_id % 97 of the whole table: ~5k docs saturated
+      // the 2^18-bit filter, contam read 100% on every delta doc, and
+      // the admission gate dropped the world — a probe artifact, not an
+      // engine property). Fixed 512 lowest matching ids at every scale.
       val words = Sketches.bloomDenseWords(
         Sketches.bloomBuild(
           docs.filter(col("doc_id") % 97 === 0)
+            .orderBy(col("doc_id")).limit(512)
             .select(explode(Dedup.shingles(col("text"), 3)).as("g")),
           "g", 262144, 3, 31L), 262144)
       // fixed-size delta batches, deterministic slicing by doc_id rank

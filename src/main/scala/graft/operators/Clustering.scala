@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   *    bit-reproducible;
   *  - seeds are the IVF rule (every ⌈n/k⌉-th vector by id), no RNG.
   *
-  * Scale shape: assignment is map-only with centroids broadcast as
-  * literals; the update step is one map-side-combined aggregation whose
+  * Scale shape: assignment is map-only with the centroid MATRIX shipped
+  * to executors as a codegen referenced object (never expression
+  * literals — k scales with the corpus); the update step is one map-side-combined aggregation whose
   * shuffle is bounded by k·dims rows per input partition; driver state
   * is k·dims longs. Lloyd is inherently one pass per iteration — callers
   * cap `iters` (2–10 typical) and sample the corpus for seeding/training

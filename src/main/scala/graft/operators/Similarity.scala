@@ -281,7 +281,8 @@ object Similarity {
     * from the corpus (every ⌈n/nlist⌉-th vector by id — no RNG, no
     * training iteration; swap in k-means centroids for better recall
     * without touching the dataflow). The corpus is assigned once
-    * (map-only, centroids broadcast as literals); the query join is an
+    * (map-only, the centroid matrix a codegen referenced object); the
+    * query join is an
     * equi-join on list id — the 100 TB shape: per-query work is
     * corpus/nlist·nprobe instead of the full scan. */
   def ivfTopK(

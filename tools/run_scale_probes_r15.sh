@@ -1,0 +1,30 @@
+#!/bin/bash
+# SCALE_r15 claim-1/2 runs: StreamScaleProbe at 1x/10x/100x of sf0.1,
+# same probe build, fixed-size eval bloom. Writes per-scale logs +
+# manifest rewrite accounting to /tmp/probe_r15_<tag>*.
+set -e
+cd /root/repo
+if [ ! -f /tmp/sf01_10x/documents.parquet ]; then
+  python3 tools/gen_docs_10x.py /root/testdata/sf0.1 /tmp/sf01_10x 10
+fi
+declare -A DOCS=(
+  [1x]=/root/testdata/sf0.1/documents.parquet
+  [10x]=/tmp/sf01_10x/documents.parquet
+  [100x]=/tmp/sf01_100x/documents.parquet
+)
+for tag in 1x 10x 100x; do
+  work=/tmp/probe_r15_$tag
+  rm -rf "$work"; mkdir -p "$work"
+  grep '^cpu ' /proc/stat > "$work/stat_before.txt"
+  java -Xmx96g -XX:ReservedCodeCacheSize=1g \
+    -cp 'target/scala-2.13/classes:/opt/spark/jars/*' graft.StreamScaleProbe \
+    docs="${DOCS[$tag]}" work="$work" n_batches=50 batch_rows=20 \
+    auto_compact=8 min_quality_mu=0 max_contam_ppm=1000000 \
+    min_mean_lp_mu=-99000000 \
+    > "/tmp/probe_r15_${tag}_out.log" 2>"/tmp/probe_r15_${tag}_err.log"
+  grep '^cpu ' /proc/stat > "$work/stat_after.txt"
+  python3 tools/compaction_accounting.py "$work/store" --per-firing \
+    > "/tmp/probe_r15_${tag}_accounting.json"
+  echo "DONE_$tag"
+done
+echo ALL_PROBES_DONE
