@@ -60,11 +60,14 @@ for m in manifests:
     tiered_total += new_rows
     full_total += full_rows
 
-# base-segment persistence: day-0 segment paths must survive every
-# compaction generation (the corpus-sized base is NEVER rewritten)
-day0_paths = {s["seg_path"] for s in manifests[0]["segments"]}
+# base-segment persistence PER ARTIFACT: the corpus-sized bases (index)
+# must survive every compaction generation untouched; tiny count bases
+# (lm_uni etc.) legitimately merge once the delta tail reaches their
+# size — that is the geometric schedule working, not a violation.
 last_paths = {s["seg_path"] for s in manifests[-1]["segments"]}
-base_survived = day0_paths <= last_paths
+base_survived = {
+    s["artifact"]: s["seg_path"] in last_paths
+    for s in manifests[0]["segments"]}
 
 out = {
     "store": root,
