@@ -60,6 +60,28 @@ class CodegenCheckSpec extends SparkSpec {
     assert(mismatch == 0, "bloom lost a member gram (false negative)")
   }
 
+  test("PrefixSelect projection compiles into WholeStageCodegen") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sh = docs.select(col("doc_id").as("__id"),
+      Dedup.shingles(col("text"), 3).as("__s"))
+    val prefix = Dedup.prefixRowsNative(sh, 800000L)
+    prefix.collect()
+    val plan = prefix.queryExecution.executedPlan.toString
+    // the expression must not force interpreted fallback: the
+    // Generate/Project stage carrying graft_prefix_select is starred
+    assert(plan.contains("graft_prefix_select"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_prefix_select") && l.contains("*(")), plan)
+    // prefix length contract: n − ⌈0.8·n⌉ + 1 per doc, so never more
+    // prefix rows than shingles
+    val bad = prefix.groupBy("__id").count().as("p")
+      .join(sh.select(col("__id"), size(col("__s")).as("n")), "__id")
+      .filter(col("count") > col("n")).count()
+    assert(bad == 0)
+  }
+
   test("NearestCentroid/ProbeCentroids projections compile into WholeStageCodegen") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
