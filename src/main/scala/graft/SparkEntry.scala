@@ -706,6 +706,33 @@ object SparkEntry {
         shape(batch.logged, "logged", 3))
         .toDF("batch_type", "n_groups", "n_stmts", "rows_total")
     }),
+    // S6 — dual-sink retention with secondary-index maintenance: the
+    // convicted rows' (indexed value, pk) entries are deleted from the
+    // secondary index in the SAME job (one base scan; deletions derive
+    // from the written backup split — ref: FilteringSSTableScanner
+    // .java:135-193). The oracle target is the purged index table
+    // itself: exactly the entries of kept rows survive.
+    "q_s6_index_maintenance" -> ((s, dir) => {
+      import graft.jobs.IndexedRetention
+      val li = read(s, dir, "lineitem")
+      // the flagship spec: rule columns are the key columns (validation
+      // spooks otherwise); the index covers a NON-key column
+      val spec = TableSpec(partitionKeys = Seq("l_suppkey", "l_returnflag"))
+      val idx = IndexedRetention.buildIndex(li, spec, "l_partkey")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_s6_").toString
+      val stats = IndexedRetention.run(
+        s, li, spec, flagshipRules,
+        keptPath = Some(s"$out/kept"), backupPath = Some(s"$out/backup"),
+        indexes = Seq(IndexedRetention.IndexSpec(
+          "l_partkey", idx, s"$out/idx_partkey")),
+        jobStartMs = JobStartMs)
+      // sanity wired into the result: deleted entries must be positive
+      // on this fixture (the flagship rules convict R-flag rows)
+      require(stats.indexEntriesDeleted("l_partkey") > 0L,
+        "S6 run deleted no index entries on a convicting fixture")
+      s.read.parquet(s"$out/idx_partkey")
+    }),
     // F10 — dry-run gate + spooked degradation: BOTH modes evaluate the
     // compiled predicate and advance the would-keep/would-drop counters
     // exactly as a live run would (ref: FilteringSSTableScanner.java:
@@ -3920,6 +3947,10 @@ object SparkEntry {
       """SELECT n_nationkey, n_name FROM nation WHERE n_regionkey IN (0, 1)
          UNION ALL
          SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 3""",
+    "q_s6_index_maintenance" ->
+      """SELECT DISTINCT l_partkey, l_suppkey, l_returnflag
+         FROM lineitem
+         WHERE NOT (l_suppkey BETWEEN 4 AND 6 AND l_returnflag = 'R')""",
     "q_q5_batch_split" ->
       """SELECT 'unlogged' AS batch_type, CAST(4 AS BIGINT) AS n_groups,
            CAST(10 AS BIGINT) AS n_stmts,

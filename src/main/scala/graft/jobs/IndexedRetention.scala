@@ -1,0 +1,118 @@
+package graft.jobs
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S6 — dual-sink retention WITH secondary-index maintenance: when a
+  * partition is convicted, its entries must also disappear from every
+  * secondary index on the table
+  * (ref: FilteringSSTableScanner.java:135-193
+  * `deleteFromIndexesAndFillBackupSink` — indexed cells are collected
+  * while the backup sink consumes the convicted row, so index cleanup
+  * and backup share ONE iteration; dry-run returns before any index
+  * deletion; rows with no indexed cells touch no index).
+  *
+  * Spark-first re-expression. A Cassandra 2i over a parquet table is a
+  * derived table `(indexed value, primary key…)`; "delete from indexes"
+  * is an anti join of that table against the convicted entries. The
+  * reference's one-iteration discipline maps to: the convicted entries
+  * are read back from the BACKUP SPLIT the dual-sink job just wrote —
+  * O(dropped) rows from storage — never a second scan of the base
+  * table (the exact reason the reference fuses the two consumers: the
+  * sequential read cannot rewind). With no backup sink the reference
+  * iterates the convicted partition itself; the analog reads the
+  * convicted slice through the compiled predicate (filter-pushed scan
+  * of the convicted side only).
+  *
+  * Scale contract: index maintenance is per-index ONE keyed anti join,
+  * convicted-side-bounded; the base table is scanned exactly once (the
+  * dual-sink split) when a backup sink is configured. Dry-run (explicit
+  * or spooked degradation) rewrites nothing — base, backup, or index.
+  */
+object IndexedRetention {
+
+  /** One secondary index: its current table (`indexCol` + the base
+    * table's key columns, the Cassandra 2i shape) and where the purged
+    * rewrite goes. */
+  final case class IndexSpec(
+      indexCol: String,
+      table: DataFrame,
+      outPath: String)
+
+  final case class IndexedRetentionStats(
+      retention: RetentionStats,
+      /** per index: entries removed by this run (0 in dry-run). */
+      indexEntriesDeleted: Map[String, Long])
+
+  def run(
+      spark: SparkSession,
+      df: DataFrame,
+      spec: TableSpec,
+      rs: RuleSet,
+      keptPath: Option[String],
+      backupPath: Option[String],
+      indexes: Seq[IndexSpec],
+      ttlMode: Boolean = false,
+      dryRun: Boolean = false,
+      jobStartMs: Long = System.currentTimeMillis()): IndexedRetentionStats = {
+    indexes.foreach { ix =>
+      require(!spec.keyColumns.contains(ix.indexCol),
+        s"'${ix.indexCol}' is a key column — secondary indexes cover " +
+          "non-key columns (key lookups are the primary access path)")
+    }
+    val stats = RetentionJob.run(spark, df, spec, rs, keptPath, backupPath,
+      ttlMode, dryRun, jobStartMs)
+    if (stats.effectiveDryRun || stats.dropped == 0L) {
+      // dry-run returns before any index deletion (ref :111-115); an
+      // empty convicted set has no entries to delete — either way every
+      // index table is left byte-untouched (no rewrite, not an empty
+      // overwrite)
+      return IndexedRetentionStats(stats,
+        indexes.map(_.indexCol -> 0L).toMap)
+    }
+    // Convicted entries: from the backup split just written (O(dropped)
+    // from storage, base scanned once in total), else through the
+    // compiled predicate (convicted-side scan, filter pushed down).
+    val convicted = backupPath match {
+      case Some(p) if stats.backupWritten => spark.read.parquet(p)
+      case _ =>
+        val (keepCol, _) = RetentionJob.plan(df, spec, rs, ttlMode, jobStartMs)
+        df.filter(!keepCol)
+    }
+    val keyCols = spec.keyColumns
+    val deleted = indexes.map { ix =>
+      // null cells are never indexed (Cassandra semantics): a convicted
+      // row with a null indexed value deletes nothing from this index
+      val entries = convicted
+        .filter(col(ix.indexCol).isNotNull)
+        .select((ix.indexCol +: keyCols).map(col): _*)
+        .distinct()
+      // ONE scan of the (corpus-sized) index table: the anti join is
+      // expressed as a null-extending left join against the DISTINCT
+      // entry set (no duplication possible on the full key) so the
+      // removed-entry counter rides the rewrite action via observe()
+      // — the RetentionJob counter discipline — instead of a second
+      // semi-join pass over the index
+      val obs = new org.apache.spark.sql.Observation()
+      val marked = ix.table
+        .join(entries.withColumn("__hit", lit(1)),
+          ix.indexCol +: keyCols, "left")
+        .observe(obs,
+          sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("removed"))
+      marked.filter(col("__hit").isNull).drop("__hit")
+        .write.mode("overwrite").parquet(ix.outPath)
+      val removed = Option(obs.get("removed"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      ix.indexCol -> removed
+    }.toMap
+    IndexedRetentionStats(stats, deleted)
+  }
+
+  /** Build the index table for `indexCol` from a base table — the 2i
+    * shape `(indexed value, key columns…)`, null values unindexed. */
+  def buildIndex(df: DataFrame, spec: TableSpec, indexCol: String): DataFrame =
+    df.filter(col(indexCol).isNotNull)
+      .select((indexCol +: spec.keyColumns).map(col): _*)
+      .distinct()
+}

@@ -604,4 +604,86 @@ class JobsSpec extends SparkSpec {
     assert(e.getMessage.contains("already published"))
     assert(ArtifactStore.latestVersion(spark, store).contains(4L))
   }
+  test("IndexedRetention (S6): conviction purges secondary indexes in the " +
+      "same job; dry-run and empty-conviction touch no index") {
+    import graft.jobs.IndexedRetention
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, 1, "R", 10L), (1L, 2, "N", 11L), (2L, 1, "R", 12L),
+      (2L, 2, "A", 10L), (3L, 1, null.asInstanceOf[String], 10L))
+      .toDF("pk", "ck", "flag", "v")
+    val spec = TableSpec(Seq("pk"), Seq("ck"))
+    val rs = RuleSet(Seq(Rule("r", Map(
+      "pk" -> Seq(Bound(Some("2"), Some("3"))))))) // convict pk 2 and 3
+    val dir = tmp()
+    val flagIdx = IndexedRetention.buildIndex(df, spec, "flag")
+    val vIdx = IndexedRetention.buildIndex(df, spec, "v")
+    // null indexed values are never index entries
+    assert(flagIdx.count() == 4 && vIdx.count() == 5)
+    val stats = IndexedRetention.run(spark, df, spec, rs,
+      keptPath = Some(s"$dir/kept"), backupPath = Some(s"$dir/backup"),
+      indexes = Seq(
+        IndexedRetention.IndexSpec("flag", flagIdx, s"$dir/ix_flag"),
+        IndexedRetention.IndexSpec("v", vIdx, s"$dir/ix_v")))
+    assert(stats.retention.kept == 2 && stats.retention.dropped == 3)
+    // convicted rows: (2,1,R,12) (2,2,A,10) (3,1,null,10) — the null
+    // flag contributes NO flag-index deletion
+    assert(stats.indexEntriesDeleted == Map("flag" -> 2L, "v" -> 3L))
+    // purged index == index rebuilt from the kept split (ref semantics:
+    // deleteFromIndexes removes exactly the convicted entries)
+    val kept = spark.read.parquet(s"$dir/kept")
+    for ((c, path) <- Seq("flag" -> s"$dir/ix_flag", "v" -> s"$dir/ix_v")) {
+      val purged = spark.read.parquet(path)
+      val rebuilt = IndexedRetention.buildIndex(kept, spec, c)
+      assert(purged.exceptAll(rebuilt).count() == 0 &&
+        rebuilt.exceptAll(purged).count() == 0,
+        s"purged '$c' index != rebuilt-from-kept")
+    }
+    // dry-run: counters advance, NOTHING rewritten (no index output)
+    val dry = IndexedRetention.run(spark, df, spec, rs,
+      keptPath = Some(s"$dir/kept2"), backupPath = Some(s"$dir/backup2"),
+      indexes = Seq(
+        IndexedRetention.IndexSpec("flag", flagIdx, s"$dir/ix_dry")),
+      dryRun = true)
+    assert(dry.retention.dropped == 3 && dry.indexEntriesDeleted("flag") == 0L)
+    assert(!new java.io.File(s"$dir/ix_dry").exists(),
+      "dry-run must not rewrite an index")
+    // empty conviction: no index rewrite either
+    val none = IndexedRetention.run(spark, df, spec,
+      RuleSet(Seq(Rule("r", Map("pk" -> Seq(Bound(Some("99"), Some("99"))))))),
+      keptPath = Some(s"$dir/kept3"), backupPath = Some(s"$dir/backup3"),
+      indexes = Seq(
+        IndexedRetention.IndexSpec("flag", flagIdx, s"$dir/ix_none")))
+    assert(none.retention.dropped == 0 &&
+      none.indexEntriesDeleted("flag") == 0L)
+    assert(!new java.io.File(s"$dir/ix_none").exists())
+    // key columns cannot be "indexed" (2i covers non-key columns)
+    intercept[IllegalArgumentException] {
+      IndexedRetention.run(spark, df, spec, rs, None, None,
+        indexes = Seq(IndexedRetention.IndexSpec("pk", vIdx, s"$dir/bad")))
+    }
+  }
+
+  test("IndexedRetention (S6): no-backup mode derives deletions through " +
+      "the compiled predicate; results match the backup-sink mode") {
+    import graft.jobs.IndexedRetention
+    val df = Seq(
+      (1L, 1, "x"), (2L, 1, "y"), (3L, 1, "x"), (4L, 1, "z"))
+      .toDF("pk", "ck", "tag")
+    val spec = TableSpec(Seq("pk"), Seq("ck"))
+    val rs = RuleSet(Seq(Rule("r", Map(
+      "pk" -> Seq(Bound(Some("2"), Some("3")))))))
+    val dir = tmp()
+    val idx = IndexedRetention.buildIndex(df, spec, "tag")
+    val a = IndexedRetention.run(spark, df, spec, rs,
+      keptPath = Some(s"$dir/kept_a"), backupPath = Some(s"$dir/backup_a"),
+      indexes = Seq(IndexedRetention.IndexSpec("tag", idx, s"$dir/ix_a")))
+    val b = IndexedRetention.run(spark, df, spec, rs,
+      keptPath = Some(s"$dir/kept_b"), backupPath = None,
+      indexes = Seq(IndexedRetention.IndexSpec("tag", idx, s"$dir/ix_b")))
+    assert(a.indexEntriesDeleted == b.indexEntriesDeleted)
+    val ia = spark.read.parquet(s"$dir/ix_a")
+    val ib = spark.read.parquet(s"$dir/ix_b")
+    assert(ia.exceptAll(ib).count() == 0 && ib.exceptAll(ia).count() == 0)
+  }
 }
