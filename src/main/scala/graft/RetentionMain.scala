@@ -20,6 +20,7 @@ import org.apache.spark.sql.SparkSession
   *     [write_timestamp=<micros>] [job_start_ms=<ms>] \
   *     [maintained_out=<dir> [maintain_index=<banded parquet>]
   *      [maintain_ivf=<assigned parquet>] [maintain_lm=<dir w/ uni,bi,tri>]
+  *      [index_cols=c1,c2 index_in_c1=<parquet> index_in_c2=<parquet>]
   *      [id_col=doc_id] [text_col=text]] \
   *     [store=<artifact-store root>]
   *
@@ -127,8 +128,28 @@ object RetentionMain {
           val idCol = opts.getOrElse("id_col", "doc_id")
           val textCol = opts.getOrElse("text_col", "text")
           val convictedDocs = df.filter(!keepCol).localCheckpoint()
-          val convicted = convictedDocs.select(idCol).distinct()
+          // lazy: the idCol projection only resolves when a maintain_*
+          // artifact option actually needs it (an index_cols-only run
+          // may operate on a table with no doc_id column at all)
+          lazy val convicted = convictedDocs.select(idCol).distinct()
           opts.get("maintained_out").foreach { outDir =>
+            // S6 — secondary-index maintenance (IndexedRetention
+            // semantics inline on the already-pinned convicted slice):
+            // index_cols=c1,c2 with index_in_<col>=<parquet> each; the
+            // purged index lands at <maintained_out>/ix_<col>. Null
+            // values are never index entries.
+            opts.getOrElse("index_cols", "").split(",").filter(_.nonEmpty)
+              .foreach { c =>
+                val in = opts.getOrElse(s"index_in_$c", sys.error(
+                  s"index_cols includes '$c' but no index_in_$c=<parquet>"))
+                require(!spec.keyColumns.contains(c),
+                  s"'$c' is a key column — 2i covers non-key columns")
+                val keys = (c +: spec.keyColumns).toSeq
+                val entries = convictedDocs.filter(col(c).isNotNull)
+                  .select(keys.map(col): _*).distinct()
+                spark.read.parquet(in).join(entries, keys, "left_anti")
+                  .write.mode("overwrite").parquet(s"$outDir/ix_$c")
+              }
             opts.get("maintain_index").foreach { p =>
               graft.jobs.ArtifactRetention
                 .retainRows(spark.read.parquet(p), convicted, idCol)

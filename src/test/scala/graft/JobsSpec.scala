@@ -686,4 +686,27 @@ class JobsSpec extends SparkSpec {
     val ib = spark.read.parquet(s"$dir/ix_b")
     assert(ia.exceptAll(ib).count() == 0 && ib.exceptAll(ia).count() == 0)
   }
+  test("RetentionMain: index_cols purges 2i tables under maintained_out") {
+    import graft.jobs.IndexedRetention
+    val dir = tmp()
+    val df = Seq((1726L, "a", "t1"), (1742L, "b", "t2"), (1771L, "c", "t1"))
+      .toDF("tenant", "id", "tag")
+    df.write.parquet(s"$dir/src")
+    val spec = TableSpec(Seq("id", "tenant"))
+    IndexedRetention.buildIndex(df, spec, "tag")
+      .write.parquet(s"$dir/ix_in")
+    Seq(("r1", "tenant", "1726", "1726"))
+      .toDF("rulename", "column", "lo", "hi")
+      .write.parquet(s"$dir/rules")
+    RetentionMain.run(spark, Map(
+      "src" -> s"$dir/src", "kept" -> s"$dir/kept",
+      "pk" -> "id,tenant", "rules_path" -> s"$dir/rules",
+      "maintained_out" -> s"$dir/m", "index_cols" -> "tag",
+      "index_in_tag" -> s"$dir/ix_in"))
+    val purged = spark.read.parquet(s"$dir/m/ix_tag")
+    val rebuilt = IndexedRetention.buildIndex(
+      spark.read.parquet(s"$dir/kept"), spec, "tag")
+    assert(purged.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(purged).count() == 0)
+  }
 }
