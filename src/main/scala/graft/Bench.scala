@@ -99,6 +99,8 @@ object Bench {
     "q_s7_stmt_exec" -> 0.13, "q_s9_batch_union" -> 0.13,
     "q_x7_parity" -> 0.13, "q_expectations" -> 0.14,
     "q_f1_rule_keep" -> 0.14, "q_f8_ttl_pk_ck" -> 0.14,
+    "q_f10_dryrun_counts" -> 0.22, "q_q5_batch_split" -> 0.45,
+    "q_s6_index_maintenance" -> 1.5,
     "q_j3_rule_multicol" -> 0.14, "q_text_normalize" -> 0.14,
     "q_u1_union" -> 0.14, "q_corpus_report" -> 0.15, "q_anchor_text" -> 0.16,
     "q_dedup_jaccard" -> 0.16, "q_sample_reservoir" -> 0.16,
