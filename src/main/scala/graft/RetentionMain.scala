@@ -120,6 +120,9 @@ object RetentionMain {
         finally reporter.foreach(_.stop())
       // deletion-side artifact maintenance on a LIVE run: subtract the
       // convicted keys from the persisted derived artifacts
+      require(!opts.contains("index_cols") ||
+          opts.contains("maintained_out"),
+        "index_cols requires maintained_out=<dir> for the purged tables")
       if (opts.contains("maintained_out") || opts.contains("store")) {
         import org.apache.spark.sql.functions.col
         val (keepCol, mode) = RetentionJob.plan(df, spec, rs, ttlMode,
@@ -127,29 +130,43 @@ object RetentionMain {
         if (!mode.isDryRun && !strat.effectiveDryRun) {
           val idCol = opts.getOrElse("id_col", "doc_id")
           val textCol = opts.getOrElse("text_col", "text")
-          val convictedDocs = df.filter(!keepCol).localCheckpoint()
-          // lazy: the idCol projection only resolves when a maintain_*
-          // artifact option actually needs it (an index_cols-only run
-          // may operate on a table with no doc_id column at all)
+          // both lazy: an index_cols-only run with a backup sink never
+          // re-scans the base table (it reads the written backup split),
+          // and may operate on a table with no doc_id column at all —
+          // the pin + idCol projection only materialize when a
+          // maintain_* artifact option actually needs them
+          lazy val convictedDocs = df.filter(!keepCol).localCheckpoint()
           lazy val convicted = convictedDocs.select(idCol).distinct()
           opts.get("maintained_out").foreach { outDir =>
-            // S6 — secondary-index maintenance (IndexedRetention
-            // semantics inline on the already-pinned convicted slice):
-            // index_cols=c1,c2 with index_in_<col>=<parquet> each; the
-            // purged index lands at <maintained_out>/ix_<col>. Null
-            // values are never index entries.
-            opts.getOrElse("index_cols", "").split(",").filter(_.nonEmpty)
-              .foreach { c =>
+            // S6 — secondary-index maintenance, IndexedRetention
+            // semantics: index_cols=c1,c2 with index_in_<col>=<parquet>
+            // each; the purged index lands at <maintained_out>/ix_<col>.
+            // Null values are never index entries; an EMPTY convicted
+            // set leaves every index byte-untouched (no rewrite). The
+            // convicted entries come from the WRITTEN backup split when
+            // one exists (O(dropped) from storage — the reference fuses
+            // index collection into the backup-sink iteration for the
+            // same reason), else from the pinned convicted slice.
+            val idxCols = opts.getOrElse("index_cols", "")
+              .split(",").filter(_.nonEmpty).toSeq
+            if (idxCols.nonEmpty && stats.dropped > 0L) {
+              val convictedSrc =
+                opts.get("backup").orElse(strat.backupDir) match {
+                  case Some(p) if stats.backupWritten => spark.read.parquet(p)
+                  case _ => convictedDocs
+                }
+              idxCols.foreach { c =>
                 val in = opts.getOrElse(s"index_in_$c", sys.error(
                   s"index_cols includes '$c' but no index_in_$c=<parquet>"))
                 require(!spec.keyColumns.contains(c),
                   s"'$c' is a key column — 2i covers non-key columns")
                 val keys = (c +: spec.keyColumns).toSeq
-                val entries = convictedDocs.filter(col(c).isNotNull)
+                val entries = convictedSrc.filter(col(c).isNotNull)
                   .select(keys.map(col): _*).distinct()
                 spark.read.parquet(in).join(entries, keys, "left_anti")
                   .write.mode("overwrite").parquet(s"$outDir/ix_$c")
               }
+            }
             opts.get("maintain_index").foreach { p =>
               graft.jobs.ArtifactRetention
                 .retainRows(spark.read.parquet(p), convicted, idCol)

@@ -719,8 +719,11 @@ object SparkEntry {
       // spooks otherwise); the index covers a NON-key column
       val spec = TableSpec(partitionKeys = Seq("l_suppkey", "l_returnflag"))
       val idx = IndexedRetention.buildIndex(li, spec, "l_partkey")
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_s6_").toString
+      // fixed per-scale scratch dir, overwritten each invocation — a
+      // fresh temp dir per call would leak a full kept+backup split of
+      // lineitem every bench iteration
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s6_" +
+        new java.io.File(dir).getName
       val stats = IndexedRetention.run(
         s, li, spec, flagshipRules,
         keptPath = Some(s"$out/kept"), backupPath = Some(s"$out/backup"),
@@ -742,8 +745,10 @@ object SparkEntry {
       import s.implicits._
       val li = read(s, dir, "lineitem")
       val spec = TableSpec(partitionKeys = Seq("l_suppkey", "l_returnflag"))
-      val sink = java.nio.file.Files
-        .createTempDirectory("graft_f10_").resolve("kept").toString
+      // fixed scratch path (never written — both runs are dry); a fresh
+      // temp dir per call would accumulate across bench iterations
+      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_f10_" +
+        s"${new java.io.File(dir).getName}/kept"
       val explicit = graft.jobs.RetentionJob.run(
         s, li, spec, flagshipRules, keptPath = Some(sink),
         dryRun = true, jobStartMs = JobStartMs)

@@ -75,15 +75,19 @@ object StreamScaleProbe {
       val corpus = docs.filter(col("doc_id") % 5 =!= 0).localCheckpoint()
       val store = s"$work/store"
       graft.jobs.DeltaJob.publishDay0Artifacts(spark, store, corpus)
-      // the eval-suite bloom stands for a FIXED benchmark suite — its
-      // size must NOT grow with the corpus (the r15 100x run initially
-      // built it from doc_id % 97 of the whole table: ~5k docs saturated
-      // the 2^18-bit filter, contam read 100% on every delta doc, and
-      // the admission gate dropped the world — a probe artifact, not an
-      // engine property). Fixed 512 lowest matching ids at every scale.
+      // the eval-suite bloom stands for a FIXED benchmark suite — the
+      // SAME docs at every scale. Two failure modes this encoding
+      // dodges: a corpus-proportional sample (the r14-era doc_id % 97
+      // over the whole table) saturates the 2^18-bit filter at 100x and
+      // the contamination gate drops the world; and a stride whose
+      // 512th match lies beyond the SMALLEST corpus makes each scale
+      // measure against a different suite (the %97-limit-512 first
+      // attempt: the 1x corpus only reaches match #52). The lowest 512
+      // multiples of 7 end at id 3577 < every corpus size used, so the
+      // suite is literally identical across 1x/10x/100x.
       val words = Sketches.bloomDenseWords(
         Sketches.bloomBuild(
-          docs.filter(col("doc_id") % 97 === 0)
+          docs.filter(col("doc_id") % 7 === 0)
             .orderBy(col("doc_id")).limit(512)
             .select(explode(Dedup.shingles(col("text"), 3)).as("g")),
           "g", 262144, 3, 31L), 262144)

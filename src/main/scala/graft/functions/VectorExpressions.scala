@@ -397,7 +397,12 @@ object SignatureEval {
     val idx = new Array[Integer](n)
     var i = 0
     while (i < n) {
+      // null element / null struct field → null result (fail loudly):
+      // the WinnowSelect discipline — containsNull typing from
+      // coalesce/cast wrappers is accepted, actual nulls are refused
+      if (pairs.isNullAt(i)) return null
       val row = pairs.getStruct(i, 2)
+      if (row.isNullAt(0) || row.isNullAt(1)) return null
       fs(i) = row.getLong(0)
       sh(i) = row.getUTF8String(1)
       idx(i) = Integer.valueOf(i)
@@ -708,14 +713,23 @@ case class PrefixSelect(child: Expression, tMu: Long)
   override def dataType: DataType = ArrayType(
     org.apache.spark.sql.types.StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // null input OR null element
   override def prettyName: String = "graft_prefix_select"
 
   override def nullSafeEval(in: Any): Any =
     SignatureEval.prefixSelect(in.asInstanceOf[ArrayData], tMu)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SignatureEval.prefixSelect($c, ${tMu}L)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = graft.functions.SignatureEval.prefixSelect($c, ${tMu}L);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else {
+         |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(
       newChild: Expression): PrefixSelect =

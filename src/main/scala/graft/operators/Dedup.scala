@@ -852,16 +852,8 @@ object Dedup {
       "thresholdMu is micro-units in (0, 1e6]")
     val sh = df.select(col(idCol).as("__id"),
       shingles(col(textCol), shingleN).as("__s"))
-    // eager checkpoint: the exploded shingle table feeds BOTH the
-    // frequency aggregation and the prefix join — unpinned, each
-    // reference re-derives every shingle from the corpus (two full
-    // tokenize+concat passes). One materialization; blocks are
-    // ContextCleaner-owned. DISK_ONLY: unlike a shuffle file, checkpoint
-    // blocks stay pinned until the frame is GC'd, and this is the
-    // LARGEST intermediate of the operator (corpus × shingles rows) —
-    // holding it in executor memory would add peak-memory pressure the
-    // shuffle-size comparison doesn't capture; both consumers are
-    // one-pass scans, so disk reads cost what a shuffle read would.
+    // the hot half (explode → freq → per-doc native prefix select, with
+    // the exploded table's DISK_ONLY pin) lives in prefixRowsNative
     val prefix = prefixRowsNative(sh, thresholdMu)
     val cand = prefix.select(col("__sh"), col("__id").as("id_a"))
       .join(prefix.select(col("__sh"), col("__id").as("id_b")), Seq("__sh"))

@@ -708,5 +708,24 @@ class JobsSpec extends SparkSpec {
       spark.read.parquet(s"$dir/kept"), spec, "tag")
     assert(purged.exceptAll(rebuilt).count() == 0 &&
       rebuilt.exceptAll(purged).count() == 0)
+    // empty conviction: the index is left byte-untouched (no rewrite)
+    Seq(("r1", "tenant", "9999", "9999"))
+      .toDF("rulename", "column", "lo", "hi")
+      .write.parquet(s"$dir/rules_none")
+    RetentionMain.run(spark, Map(
+      "src" -> s"$dir/src", "kept" -> s"$dir/kept_none",
+      "pk" -> "id,tenant", "rules_path" -> s"$dir/rules_none",
+      "maintained_out" -> s"$dir/m_none", "index_cols" -> "tag",
+      "index_in_tag" -> s"$dir/ix_in"))
+    assert(!new java.io.File(s"$dir/m_none/ix_tag").exists(),
+      "empty conviction must not rewrite an index")
+    // index_cols without maintained_out is an ERROR, never a silent no-op
+    intercept[IllegalArgumentException] {
+      RetentionMain.run(spark, Map(
+        "src" -> s"$dir/src", "kept" -> s"$dir/kept_e",
+        "pk" -> "id,tenant", "rules_path" -> s"$dir/rules",
+        "index_cols" -> "tag", "index_in_tag" -> s"$dir/ix_in",
+        "store" -> s"$dir/store_unused"))
+    }
   }
 }

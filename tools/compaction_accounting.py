@@ -28,25 +28,25 @@ by_version = {m["version"]: m for m in manifests}
 firings = []
 tiered_total = 0
 full_total = 0
-day0_rows = {s["artifact"]: s["rows"] for s in manifests[0]["segments"]}
+skipped_gaps = 0
+day0_rows = {}
+for s in manifests[0]["segments"]:
+    day0_rows[s["artifact"]] = day0_rows.get(s["artifact"], 0) + s["rows"]
 for m in manifests:
     note = m.get("note", "")
     if not note.startswith("auto-compact@"):
         continue
     prev = by_version.get(m["version"] - 1)
     if prev is None:
+        skipped_gaps += 1
         continue
     prev_paths = {s["seg_path"] for s in prev["segments"]}
     prev_art_rows = {}
-    prev_art_paths = {}
     for s in prev["segments"]:
         prev_art_rows[s["artifact"]] = prev_art_rows.get(s["artifact"], 0) + s["rows"]
-        prev_art_paths.setdefault(s["artifact"], set()).add(s["seg_path"])
-    cur_art_paths = {}
     new_rows = 0
     touched = set()
     for s in m["segments"]:
-        cur_art_paths.setdefault(s["artifact"], set()).add(s["seg_path"])
         if s["seg_path"] not in prev_paths:
             new_rows += s["rows"]
             touched.add(s["artifact"])
@@ -60,14 +60,17 @@ for m in manifests:
     tiered_total += new_rows
     full_total += full_rows
 
-# base-segment persistence PER ARTIFACT: the corpus-sized bases (index)
-# must survive every compaction generation untouched; tiny count bases
+# base-segment persistence PER ARTIFACT: true only when ALL of the
+# artifact's day-0 segments survive to the final manifest. The
+# corpus-sized bases (index) must survive untouched; tiny count bases
 # (lm_uni etc.) legitimately merge once the delta tail reaches their
 # size — that is the geometric schedule working, not a violation.
 last_paths = {s["seg_path"] for s in manifests[-1]["segments"]}
-base_survived = {
-    s["artifact"]: s["seg_path"] in last_paths
-    for s in manifests[0]["segments"]}
+base_survived = {}
+for s in manifests[0]["segments"]:
+    ok = s["seg_path"] in last_paths
+    a = s["artifact"]
+    base_survived[a] = base_survived.get(a, True) and ok
 
 out = {
     "store": root,
@@ -79,6 +82,7 @@ out = {
     "full_collapse_would_rewrite_rows": full_total,
     "ratio": round(full_total / tiered_total, 1) if tiered_total else None,
     "day0_base_segments_never_rewritten": base_survived,
+    "skipped_missing_prev_manifest": skipped_gaps,
 }
 if per_firing:
     out["firings"] = firings
