@@ -398,4 +398,29 @@ class ExpressionPropertySpec extends SparkSpec {
         s"tMu=$tMu n=$n prefix rows diverged")
     }
   }
+  test("null elements: WinnowSelect and PrefixSelect return NULL, never 0-read or NPE") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types._
+    // arrays WITH actual null elements (containsNull=true by construction)
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, null, 3L)),
+      (2L, Seq[java.lang.Long](5L, 6L, 7L, 8L))).toDF("id", "hs")
+    val winnow = df.select(col("id"),
+      ColumnBridge.column(graft.functions.WinnowSelect(
+        ColumnBridge.expression(col("hs")), 2)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(winnow(1L) && !winnow(2L),
+      "null element must yield NULL; clean arrays must not")
+
+    val pf = Seq(
+      (1L, Seq((1L, "a"), (2L, "b"), (3L, "c"))),
+      (2L, Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "c"))))
+      .toDF("id", "fs")
+    val prefix = pf.select(col("id"),
+      ColumnBridge.column(graft.functions.PrefixSelect(
+        ColumnBridge.expression(col("fs")), 800000L)).as("p"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!prefix(1L) && prefix(2L),
+      "null struct field must yield NULL; clean arrays must not")
+  }
 }
