@@ -355,12 +355,83 @@ object Bench {
     val warm = warmupError.map(e => s""""${esc(e)}"""").getOrElse("null")
     val stealDelta =
       if (steal0 < 0) -1.0 else math.max(0.0, stealSec() - steal0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"min_total":$totalMin,"iters_used":$ns,"errors":$errs,"skipped":$skips,"budget_sec":$budgetSec,"warm_sec":$warmWall,"n_warmed":$nWarmed,"host_steal_sec":$stealDelta,"iters":$iters,"warmup_error":$warm,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mins":$mins,"min_total":$totalMin,"iters_used":$ns,"errors":$errs,"skipped":$skips,"budget_sec":$budgetSec,"warm_sec":$warmWall,"n_warmed":$nWarmed,"host_steal_sec":$stealDelta,"iters":$iters,"warmup_error":$warm,"sf":"$sfDir"}"""
+    println(fullLine)
     // The driver records only the LAST 2000 chars of stdout; the full
     // line above puts the totals first and the big per-query maps after,
     // so truncation eats the totals (r06 VERDICT item 2). Repeat the
     // headline numbers in a short final line that always survives the tail.
     println(s"""{"metric":"total_summary","value":$total,"unit":"sec","min_total":$totalMin,"n_queries":${timedOut.size},"n_errors":${errors.size},"n_skipped":${skipped.size},"host_steal_sec":$stealDelta,"sf":"$sfDir"}""")
+    // FLOOR PERSISTENCE (r15 verdict item 7): single-run driver totals
+    // are steal-dominated round-over-round (r15 absorbed 106 cpu-s of
+    // steal vs r14's 41), and the driver's artifact truncates this
+    // line's per-query maps — so every bench run ALSO (a) writes its
+    // full JSON to the repo and (b) merges its per-query MINS (min over
+    // this run's ≥`iters` timed iterations) into a per-sf floors file,
+    // floor = min across ALL recorded runs. The floors file is the
+    // load-insensitive statistic the round-over-round comparisons use.
+    // Best-effort: a bench run must never fail on artifact bookkeeping.
+    try {
+      val repo = sys.env.getOrElse("SPARK_GRAFT_BENCH_ARTIFACT_DIR", "/root/repo")
+      val sfName = new java.io.File(sfDir).getName
+      atomicWrite(s"$repo/BENCH_local_last.json", fullLine + "\n")
+      val floorsPath = s"$repo/BENCH_floors.json"
+      val runMins: Map[String, Double] =
+        timedOut.map { case (k, (_, mn, _)) => k -> mn }.toMap
+      mergeFloors(floorsPath, sfName, runMins)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] floor persistence failed: ${e.getMessage}")
+    }
     spark.stop()
+  }
+
+  private def atomicWrite(path: String, content: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Paths.get(path + ".tmp")
+    java.nio.file.Files.writeString(tmp, content)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Merge this run's per-query mins into the per-sf floors file:
+    * `{ "<sf>": {"n_runs": N, "floor_total": Σ, "floors": {q: min}} }` —
+    * floor = min across all recorded runs at that sf. Jackson (bundled
+    * with Spark) both ways, so a hand-edited or reformatted file never
+    * silently resets the history; an unreadable file starts fresh. */
+  private def mergeFloors(
+      path: String, sfName: String, runMins: Map[String, Double]): Unit = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import scala.jdk.CollectionConverters._
+    val om = new ObjectMapper()
+    val p = java.nio.file.Paths.get(path)
+    val prior: Map[String, (Int, Map[String, Double])] =
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else try {
+        val root = om.readTree(java.nio.file.Files.readString(p))
+        root.fields().asScala.map { e =>
+          val b = e.getValue
+          val n = Option(b.get("n_runs")).map(_.asInt(0)).getOrElse(0)
+          val fl = Option(b.get("floors")).map(_.fields().asScala
+            .map(kv => kv.getKey -> kv.getValue.asDouble()).toMap)
+            .getOrElse(Map.empty[String, Double])
+          e.getKey -> (n, fl)
+        }.toMap
+      } catch { case _: Throwable => Map.empty }
+    val (priorN, priorFloors) = prior.getOrElse(sfName, (0, Map.empty[String, Double]))
+    val mergedFloors = (priorFloors.keySet ++ runMins.keySet).map { k =>
+      k -> (priorFloors.get(k).toSeq ++ runMins.get(k).toSeq).min
+    }.toMap
+    val updated = prior + (sfName -> (priorN + 1, mergedFloors))
+    val root = om.createObjectNode()
+    updated.toSeq.sortBy(_._1).foreach { case (sf, (n, fl)) =>
+      val b = root.putObject(sf)
+      b.put("n_runs", n)
+      b.put("floor_total", fl.values.sum)
+      val fo = b.putObject("floors")
+      fl.toSeq.sortBy(_._1).foreach { case (k, v) => fo.put(k, v) }
+    }
+    atomicWrite(path, om.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(root) + "\n")
   }
 }

@@ -45,6 +45,31 @@ object SparkEntry {
   private def artifactPath(sfDir: String, name: String): String =
     s"/root/repo/artifacts/$name/sf=${new java.io.File(sfDir).getName}"
 
+  /** Per-process scratch root under java.io.tmpdir for the queries that
+    * write intermediate splits (q_s6, q_f10, clean staging, store
+    * fixtures). Unique per JVM — two concurrent harness processes at
+    * the same scale must not race on each other's overwrite/rename —
+    * via a harness-provided GRAFT_RUN_ID when set, else user+pid; a
+    * shutdown hook removes the whole root so per-pid dirs don't
+    * accumulate across runs (within one JVM the fixed paths under it
+    * still overwrite in place, so bench iterations don't leak). */
+  private lazy val scratchRoot: String = {
+    val id = sys.env.get("GRAFT_RUN_ID").filter(_.nonEmpty).getOrElse(
+      s"${System.getProperty("user.name", "u")}-${ProcessHandle.current().pid()}")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-run-$id"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        catch { case _: Throwable => () } // best-effort cleanup
+        finally walk.close()
+      }
+    }))
+    root
+  }
+
   /** Run an artifact dump once per path per JVM. Every fresh process
     * (Verify — the correctness gate — or a bench run) re-dumps from live
     * data, so the oracle never reads stale bytes; within one process the
@@ -62,11 +87,12 @@ object SparkEntry {
     * steal-degraded budget couldn't fit the rebuild cost) and leaked a
     * fresh createTempDirectory per invocation. One lineage now builds
     * per process — Verify (the correctness gate) is a fresh process, so
-    * the oracle never sees stale state — at a fixed path the next
-    * process deletes and rebuilds, so nothing accumulates. */
+    * the oracle never sees stale state — under the per-process
+    * [[scratchRoot]] (shutdown-hook-removed, so nothing accumulates and
+    * concurrent harness processes never race on one path). */
   private def storeFixture(dir: String, name: String)(
       build: String => Unit): String = {
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft-stores/" +
+    val root = s"$scratchRoot/graft-stores/" +
       s"sf=${new java.io.File(dir).getName}/$name"
     dumpOnce(root) {
       val p = java.nio.file.Paths.get(root)
@@ -722,8 +748,7 @@ object SparkEntry {
       // fixed per-scale scratch dir, overwritten each invocation — a
       // fresh temp dir per call would leak a full kept+backup split of
       // lineitem every bench iteration
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s6_" +
-        new java.io.File(dir).getName
+      val out = s"$scratchRoot/graft_s6_" + new java.io.File(dir).getName
       val stats = IndexedRetention.run(
         s, li, spec, flagshipRules,
         keptPath = Some(s"$out/kept"), backupPath = Some(s"$out/backup"),
@@ -747,7 +772,7 @@ object SparkEntry {
       val spec = TableSpec(partitionKeys = Seq("l_suppkey", "l_returnflag"))
       // fixed scratch path (never written — both runs are dry); a fresh
       // temp dir per call would accumulate across bench iterations
-      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_f10_" +
+      val sink = s"$scratchRoot/graft_f10_" +
         s"${new java.io.File(dir).getName}/kept"
       val explicit = graft.jobs.RetentionJob.run(
         s, li, spec, flagshipRules, keptPath = Some(sink),
@@ -767,6 +792,34 @@ object SparkEntry {
           spooked.effectiveDryRun, spooked.backupWritten, wrote))
         .toDF("mode_case", "kept", "dropped", "is_dry", "backup_written",
           "wrote_kept")
+    }),
+    // Q7 — USING TIMESTAMP through the write path: an explicit
+    // microsecond writetime stamps every KEPT row the retention job
+    // writes, while the backup split archives the ORIGINAL writetimes
+    // (the LWW-basis contract — a compact→retention round trip must not
+    // rewrite the basis of rows it merely archives). Proven end-to-end:
+    // both splits are written to parquet and read back; the oracle
+    // replays the conviction over the source table with the stamp as a
+    // constant on the kept side and epoch_us(ts) on the backup side.
+    "q_q7_write_timestamp" -> ((s, dir) => {
+      val ev = eventsWt(s, dir).drop("props")
+      val spec = TableSpec(Seq("user_id"), Seq("event_type"),
+        writetimeCol = Some("writetime"))
+      val rs = RuleSet(Seq(Rule("conv", Map(
+        "user_id" -> Seq(Bound(Some("10"), Some("40")))))))
+      val out = s"$scratchRoot/graft_q7_" + new java.io.File(dir).getName
+      val stats = graft.jobs.RetentionJob.run(
+        s, ev, spec, rs, keptPath = Some(s"$out/kept"),
+        backupPath = Some(s"$out/backup"), jobStartMs = JobStartMs,
+        writeTimestampMicros = Some(JobStartMs * 1000L))
+      require(stats.backupWritten,
+        "Q7 fixture must convict rows (backup side exercises the " +
+          "original-writetime contract)")
+      s.read.parquet(s"$out/kept")
+        .select(col("event_id"), lit("kept").as("side"), col("writetime"))
+        .unionByName(s.read.parquet(s"$out/backup")
+          .select(col("event_id"), lit("backup").as("side"),
+            col("writetime")))
     }),
     // A3 — backup-sink counts: numKeys/numCells written to the convicted
     // side (zero ⇒ the write is aborted)
@@ -1222,6 +1275,30 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       operators.Similarity.ivfpqTopK(emb, q, k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("pq_score"), col("rank"))
+    }),
+    // PERSISTED-index IVF-PQ: centroid table + codebook table + the
+    // corpus compressed to (list, m codes) are built once, written to
+    // parquet, and the query batch probes/scores against the STORED
+    // tables — build-once/query-many for the composed layout (the
+    // in-one-pass q_sim_ann_ivfpq recomputes both samples per call).
+    // Same derivation, so the result (and oracle) is identical; what
+    // this proves is the storage round-trip preserves it exactly.
+    "q_sim_ann_ivfpq_persisted" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val art = artifactPath(dir, "ivfpq_index")
+      dumpOnce(art) {
+        val (cents, cbs, encoded) =
+          operators.Similarity.buildIvfPqIndex(emb, nlist = 16)
+        cents.write.mode("overwrite").parquet(s"$art/centroids")
+        cbs.write.mode("overwrite").parquet(s"$art/codebooks")
+        encoded.write.mode("overwrite").parquet(s"$art/encoded")
+      }
+      operators.Similarity.ivfpqTopKFromIndex(
+          s.read.parquet(s"$art/centroids"), s.read.parquet(s"$art/codebooks"),
+          s.read.parquet(s"$art/encoded"), q, k = 10, nprobe = 4)
         .select(col("query_id"), col("vec_id"), col("pq_score"), col("rank"))
     }),
     // two-stage retrieval: PQ shortlist of 50 → exact cosine re-rank —
@@ -1971,7 +2048,7 @@ object SparkEntry {
           lit("@example.com end")).as("text"))
       // staged composition (the scale path): each stage materializes once
       // instead of re-evaluating the whole upstream rewrite per reference
-      val staging = s"${System.getProperty("java.io.tmpdir")}/" +
+      val staging = s"$scratchRoot/" +
         s"graft_clean_staging_${new java.io.File(dir).getName}"
       jobs.CleanJob.cleanStaged(s, withPii, jobs.CleanJob.CleanOptions(
           segmentDelim = " the ", segmentJoiner = " the ", spanW = 8,
@@ -3293,6 +3370,35 @@ object SparkEntry {
          $termJoins)"""
   }
 
+  /** Exact oracle for IVF-PQ (both the in-one-pass operator and the
+    * persisted-index probe — same derivation): the PQ score CTEs
+    * restricted to pairs whose corpus vector sits in one of the query's
+    * probed lists. The operator samples coarse centroids (stride n/nlist)
+    * and codebooks (stride n/ksub) INDEPENDENTLY; the gated queries run
+    * at nlist = ksub = 16, where the two samples coincide, so the coarse
+    * assignment/probing re-derive in SQL from the SAME `cent` CTE the
+    * codebooks come from. */
+  private lazy val ivfpqOracleSql: String =
+    s"""$pqOracleCore,
+       assigned AS (
+         SELECT e.vec_id,
+           (SELECT c.i FROM cent c
+            ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC
+            LIMIT 1) AS list
+         FROM emb e),
+       probed AS (
+         SELECT q.query_id, c.i AS list
+         FROM q, LATERAL (SELECT i FROM cent
+           ORDER BY list_dot_product(q.qv, cent.v) DESC, i DESC
+           LIMIT 4) c)
+       SELECT s.query_id, s.vec_id, s.pq_score,
+         CAST(row_number() OVER (PARTITION BY s.query_id
+           ORDER BY s.pq_score DESC, s.vec_id) AS INT) AS rank
+       FROM scored s
+       JOIN assigned a ON a.vec_id = s.vec_id
+       JOIN probed p ON p.query_id = s.query_id AND p.list = a.list
+       QUALIFY rank <= 10"""
+
   /** The RHP-LSH signature ([[operators.Similarity.rhpSignature]]) as a
     * DuckDB integer expression over a DOUBLE[] column `v`. */
   private def rhpSigSql(v: String, nbits: Int, bandOffset: Int = 0): String = {
@@ -3981,6 +4087,15 @@ object SparkEntry {
              AS BIGINT),
            true, false, false
          FROM lineitem""",
+    // Q7: kept rows carry the explicit stamp (JobStartMs ms → µs),
+    // backup rows the original epoch-µs writetime
+    "q_q7_write_timestamp" ->
+      """SELECT event_id, 'kept' AS side,
+           CAST(1707955200000000 AS BIGINT) AS writetime
+         FROM events WHERE NOT (user_id BETWEEN 10 AND 40)
+         UNION ALL
+         SELECT event_id, 'backup' AS side, epoch_us(ts) AS writetime
+         FROM events WHERE user_id BETWEEN 10 AND 40""",
     "q_a3_backup_count" ->
       """SELECT CAST(count(*) AS BIGINT) AS num_cells,
            CAST(count(DISTINCT l_orderkey) AS BIGINT) AS num_keys
@@ -4481,26 +4596,9 @@ object SparkEntry {
     // corpus vector sits in one of the query's probed lists (coarse
     // assignment and probing re-derived in SQL from the SAME sampled
     // centroid table the codebooks come from)
-    "q_sim_ann_ivfpq" ->
-      s"""$pqOracleCore,
-         assigned AS (
-           SELECT e.vec_id,
-             (SELECT c.i FROM cent c
-              ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC
-              LIMIT 1) AS list
-           FROM emb e),
-         probed AS (
-           SELECT q.query_id, c.i AS list
-           FROM q, LATERAL (SELECT i FROM cent
-             ORDER BY list_dot_product(q.qv, cent.v) DESC, i DESC
-             LIMIT 4) c)
-         SELECT s.query_id, s.vec_id, s.pq_score,
-           CAST(row_number() OVER (PARTITION BY s.query_id
-             ORDER BY s.pq_score DESC, s.vec_id) AS INT) AS rank
-         FROM scored s
-         JOIN assigned a ON a.vec_id = s.vec_id
-         JOIN probed p ON p.query_id = s.query_id AND p.list = a.list
-         QUALIFY rank <= 10""",
+    "q_sim_ann_ivfpq" -> ivfpqOracleSql,
+    // same derivation through the stored index — identical oracle
+    "q_sim_ann_ivfpq_persisted" -> ivfpqOracleSql,
     // exact oracle for the two-stage retrieval: PQ shortlist (rank ≤ 50 on
     // quantized scores) → exact cosine re-rank of the shortlist only
     "q_sim_ann_pq_rerank" ->

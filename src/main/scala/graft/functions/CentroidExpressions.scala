@@ -202,6 +202,214 @@ case class NearestCentroid(
     copy(child = newChild)
 }
 
+/** Static eval for the product-quantization expressions — the PQ
+  * counterpart of [[CentroidEval]], same referenced-object discipline.
+  *
+  * Codebook layout: `flat` is the m×ksub×dsub codebook tensor flattened
+  * row-major — centroid `i` of sub-space `j` starts at
+  * `((j*ksub)+i)*dsub`. `cc` is the per-(j,i) self-dot `c·c`, pre-folded
+  * ascending-index (encode only; empty for ADC).
+  *
+  * Ordering/parity contract (bit-parity with the literal-array
+  * formulation these replaced — per-sub-space
+  * `array_max(array(struct(2.0·dot(s,c) − c·c, i), …))`):
+  *  - encode: per sub-space argmax of `2.0·dot − cc` (the L2 argmin with
+  *    the centroid-invariant `s·s` dropped), score ties break to the
+  *    LARGER index (lexicographic struct max — NOTE this is the opposite
+  *    tie direction from [[CentroidEval]]'s l2 argmin, which is why the
+  *    encode is its own expression rather than m [[NearestCentroid]]s).
+  *  - ADC: `dt[j*ksub + i] = dot(sub_j, c_ji)`, ascending-index fold.
+  *  - float sequence: dot accumulates ascending (`acc += s(d)*c(d)`, the
+  *    [[VectorDot]] contract); encode score is `2.0d*acc − cc` — the
+  *    exact op order of the `lit(2.0) * dot(...) − lit(selfDot)` plan.
+  *  - double comparison: Spark SQL ordering (−0.0 == 0.0, NaN largest).
+  *
+  * Null semantics: null vector handled by the expression
+  * (null-intolerant); null ELEMENTS read as 0 ([[VectorDot]] parity); a
+  * vector whose length ≠ m·dsub returns null — a dims mismatch must fail
+  * loudly, never encode a plausible-but-wrong prefix. */
+object PqEval {
+
+  private def cmp(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  private def subDot(
+      vec: ArrayData, flat: Array[Double], j: Int, i: Int,
+      dsub: Int, ksub: Int): Double = {
+    var acc = 0.0d
+    val voff = j * dsub
+    val coff = ((j * ksub) + i) * dsub
+    var d = 0
+    while (d < dsub) {
+      val v = if (vec.isNullAt(voff + d)) 0.0d else vec.getDouble(voff + d)
+      acc += v * flat(coff + d)
+      d += 1
+    }
+    acc
+  }
+
+  /** The m PQ codes of a vector, or null on a dims mismatch. */
+  def encode(
+      vec: ArrayData, flat: Array[Double], cc: Array[Double],
+      m: Int, dsub: Int, ksub: Int): Any = {
+    if (vec.numElements() != m * dsub) return null
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var bestI = -1
+      var bestD = 0.0d
+      var i = 0
+      while (i < ksub) {
+        val d = 2.0d * subDot(vec, flat, j, i, dsub, ksub) - cc(j * ksub + i)
+        val better =
+          if (bestI < 0) true
+          else {
+            val c = cmp(d, bestD)
+            c > 0 || (c == 0 && i > bestI)
+          }
+        if (better) { bestI = i; bestD = d }
+        i += 1
+      }
+      out(j) = bestI
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The m·ksub-entry ADC lookup table of a query vector, or null on a
+    * dims mismatch. */
+  def adc(
+      vec: ArrayData, flat: Array[Double],
+      m: Int, dsub: Int, ksub: Int): Any = {
+    if (vec.numElements() != m * dsub) return null
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var i = 0
+      while (i < ksub) {
+        out(j * ksub + i) = subDot(vec, flat, j, i, dsub, ksub)
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Shared shape of the two PQ expressions: the m×ksub×dsub codebook
+  * tensor is a VALUE-typed constructor arg flattened row-major and
+  * shipped to generated code as a REFERENCED OBJECT — plan size O(1) in
+  * the codebook, same discipline as [[CentroidTableExpression]]. The
+  * codebook itself is bounded (ksub ≤ 2^code-width, typically 256), but
+  * the literal encoding also carried m slice projections and m×ksub dot
+  * sub-trees per side; one expression per side keeps the whole encode /
+  * table-build inside a single codegen'd projection. */
+sealed trait PqCodebookExpression extends UnaryExpression {
+  def flat: IndexedSeq[Double]
+  def m: Int
+  def dsub: Int
+  def ksub: Int
+
+  require(m > 0 && dsub > 0 && ksub > 0, "m, dsub, ksub must be positive")
+  require(flat.length == m * ksub * dsub,
+    s"flat codebook length ${flat.length} != $m sub-spaces × $ksub codes × $dsub dims")
+
+  @transient protected lazy val flatArr: Array[Double] = flat.toArray
+  /** encode bias `c·c` per (j,i), pre-folded ascending-index. */
+  @transient protected lazy val ccArr: Array[Double] = {
+    val out = new Array[Double](m * ksub)
+    var t = 0
+    while (t < out.length) {
+      var acc = 0.0d
+      var d = 0
+      while (d < dsub) {
+        acc += flatArr(t * dsub + d) * flatArr(t * dsub + d); d += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    out
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an array<double> vector, got ${other.sql}")
+  }
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // dims mismatch yields null
+}
+
+/** The m PQ codes of a vector as one codegen'd projection — the encode
+  * stage of [[graft.operators.Similarity.pqTopK]]/`ivfpqTopK` and the
+  * persisted `buildIvfPqIndex`. */
+case class PqEncode(
+    child: Expression,
+    flat: IndexedSeq[Double],
+    m: Int,
+    dsub: Int,
+    ksub: Int)
+    extends PqCodebookExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(in: Any): Any =
+    PqEval.encode(in.asInstanceOf[ArrayData], flatArr, ccArr, m, dsub, ksub)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = ctx.addReferenceObj("pqFlat", flatArr, "double[]")
+    val cc = ctx.addReferenceObj("pqCc", ccArr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = graft.functions.PqEval.encode(
+         |  $v, $f, $cc, $m, $dsub, $ksub);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** The m·ksub asymmetric-distance lookup table of a query vector (ADC:
+  * `dt[j*ksub+i] = dot(sub_j, c_ji)`) as one codegen'd projection. */
+case class PqAdcTable(
+    child: Expression,
+    flat: IndexedSeq[Double],
+    m: Int,
+    dsub: Int,
+    ksub: Int)
+    extends PqCodebookExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_adc_table"
+
+  override def nullSafeEval(in: Any): Any =
+    PqEval.adc(in.asInstanceOf[ArrayData], flatArr, m, dsub, ksub)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = ctx.addReferenceObj("pqFlat", flatArr, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = graft.functions.PqEval.adc(
+         |  $v, $f, $m, $dsub, $ksub);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqAdcTable =
+    copy(child = newChild)
+}
+
 /** The `nprobe` nearest centroid ids in probe order (see
   * [[CentroidEval.probe]] for the per-metric ordering contract). */
 case class ProbeCentroids(

@@ -82,6 +82,58 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED, DISTINCT-element `array<string>`
+  * columns as one codegen'd two-pointer merge — the per-candidate-pair
+  * hot scalar of every exact-Jaccard verify stage. `array_intersect`
+  * builds a hash set of the left array PER ROW (per pair!) and probes
+  * every right element through it; with both sides pre-sorted ONCE per
+  * document (array_sort in the candidate shingle table), each pair costs
+  * |a|+|b| byte-wise UTF8 comparisons and zero allocation. For distinct
+  * sets |A∪B| = |A|+|B|−|A∩B|, so the full Jaccard needs only this count
+  * — values are bit-identical to the array_intersect/array_union
+  * formulation it replaces (same integer sizes, same double division;
+  * pinned in ExpressionPropertySpec).
+  *
+  * Contract: both inputs MUST be sorted ascending by Spark's string
+  * (byte-lexicographic) order with distinct elements — the shape
+  * `array_sort(shingles(...))` produces. Null array → null
+  * (null-intolerant); null ELEMENT → null (fail loudly, the
+  * WinnowSelect/PrefixSelect discipline). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.StringType, _),
+            ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<string> inputs, got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // null element yields null
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SignatureEval.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = graft.functions.SignatureEval.sortedIntersectCount($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $r).longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Shared evaluators for the signature expressions — static methods so the
   * generated code calls straight into compiled JVM loops (keeping the
   * surrounding stage in whole-stage codegen) and the interpreted `eval`
@@ -375,6 +427,29 @@ object SignatureEval {
     fp
   }
 
+  /** Two-pointer merge intersect count over sorted distinct string
+    * arrays (see [[graft.functions.SortedIntersectCount]]). Boxed Long
+    * return; null on a null element. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Any = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var cnt = 0L
+    while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { cnt += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    // remaining tail: still refuse null elements (contract uniformity —
+    // a null must not pass silently just because the merge ended early)
+    while (i < na) { if (a.isNullAt(i)) return null; i += 1 }
+    while (j < nb) { if (b.isNullAt(j)) return null; j += 1 }
+    java.lang.Long.valueOf(cnt)
+  }
+
   /** Prefix-filter selection for the exact set-similarity join
     * ([[graft.operators.Dedup.prefixFilterPairs]]): given a document's
     * FULL (frequency, shingle) pair array, sort ascending by
@@ -411,6 +486,72 @@ object SignatureEval {
     java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
       override def compare(a: Integer, b: Integer): Int = {
         val c = java.lang.Long.compare(fs(a), fs(b))
+        if (c != 0) c else sh(a).compareTo(sh(b))
+      }
+    })
+    val out = new Array[UTF8String](math.min(keep, n))
+    i = 0
+    while (i < out.length) { out(i) = sh(idx(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** CMS-estimated-frequency prefix selection — [[prefixSelect]] with the
+    * per-shingle corpus frequency looked up in a count-min sketch instead
+    * of joined from an exact aggregate. Frequency is ORDERING-ONLY in the
+    * prefix filter: candidate-completeness holds under ANY global order
+    * that is consistent across documents, and `(est(s), s)` is a pure
+    * function of the shingle given one sketch — CMS overestimates can
+    * only inflate candidate sets (degraded bucket selectivity), never
+    * drop a true pair, and the verify stage is exact. What this buys at
+    * scale: the exact path's frequency table is corpus-sized (a full
+    * exploded-table aggregation + join-back + per-doc regroup, three
+    * corpus-wide shuffles and a DISK_ONLY pin); the sketch is
+    * depth×width longs regardless of corpus size, so prefix selection
+    * becomes ONE map-only projection over the per-doc shingle arrays.
+    *
+    * Slot parity with the relational sketch build
+    * ([[graft.operators.Dedup.prefixRowsCms]]): base = xxhash64(shingle)
+    * (seed 42), then slot_d = pmod(xxhash64(base, d), width) with `d`
+    * hashed as LONG — the minhash chain-hash discipline. Estimate =
+    * min over depth rows (classic CMS upper bound).
+    *
+    * Same ordering/⌈⌉/null contract as [[prefixSelect]]: sort ascending
+    * by (estimate, shingle bytes), keep `n − ⌈tMu·n/10⁶⌉ + 1`; a null
+    * element returns null (fail loudly). */
+  def prefixSelectCms(
+      arr: ArrayData, tMu: Long, cms: Array[Long],
+      width: Int, depth: Int): ArrayData = {
+    val n = arr.numElements()
+    val alpha = (n * tMu + 999999L) / 1000000L
+    val keep = (n - alpha + 1L).toInt
+    if (keep <= 0) return new GenericArrayData(new Array[UTF8String](0))
+    val est = new Array[Long](n)
+    val sh = new Array[UTF8String](n)
+    val idx = new Array[Integer](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val s = arr.getUTF8String(i)
+      sh(i) = s
+      val base = XxHash64Function.hash(s, StringType, 42L)
+      val h0 = XxHash64Function.hash(base, LongType, 42L)
+      var best = java.lang.Long.MAX_VALUE
+      var d = 0
+      while (d < depth) {
+        val hd = XxHash64Function.hash(d.toLong, LongType, h0)
+        val m = hd % width
+        val slot = (if (m < 0) m + width else m).toInt
+        val c = cms(d * width + slot)
+        if (c < best) best = c
+        d += 1
+      }
+      est(i) = best
+      idx(i) = Integer.valueOf(i)
+      i += 1
+    }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val c = java.lang.Long.compare(est(a), est(b))
         if (c != 0) c else sh(a).compareTo(sh(b))
       }
     })
@@ -733,5 +874,62 @@ case class PrefixSelect(child: Expression, tMu: Long)
 
   override protected def withNewChildInternal(
       newChild: Expression): PrefixSelect =
+    copy(child = newChild)
+}
+
+/** Prefix-filter selection with CMS-estimated frequencies — one codegen'd
+  * projection straight over the per-doc `array<string>` shingle column
+  * (see [[SignatureEval.prefixSelectCms]] for the ordering-only
+  * contract). The sketch is a VALUE-typed constructor arg shipped to
+  * generated code as a referenced object (depth×width longs — the
+  * [[BloomGramHits]] discipline), so plan size is O(1) in the sketch. */
+case class PrefixSelectCms(
+    child: Expression,
+    tMu: Long,
+    cms: IndexedSeq[Long],
+    width: Int,
+    depth: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(tMu > 0 && tMu <= 1000000L, "tMu is micro-units in (0, 1e6]")
+  require(width > 0 && depth > 0, "width and depth must be positive")
+  require(cms.length == width * depth,
+    s"sketch length ${cms.length} != depth $depth × width $width")
+
+  @transient private lazy val cmsArr: Array[Long] = cms.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string> shingles, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // null input OR null element
+  override def prettyName: String = "graft_prefix_select_cms"
+
+  override def nullSafeEval(in: Any): Any =
+    SignatureEval.prefixSelectCms(
+      in.asInstanceOf[ArrayData], tMu, cmsArr, width, depth)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cmsRef = ctx.addReferenceObj("prefixCms", cmsArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = graft.functions.SignatureEval.prefixSelectCms(
+         |  $c, ${tMu}L, $cmsRef, $width, $depth);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else {
+         |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PrefixSelectCms =
     copy(child = newChild)
 }

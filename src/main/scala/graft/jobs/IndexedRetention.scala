@@ -78,7 +78,16 @@ object IndexedRetention {
       case Some(p) if stats.backupWritten => spark.read.parquet(p)
       case _ =>
         val (keepCol, _) = RetentionJob.plan(df, spec, rs, ttlMode, jobStartMs)
-        df.filter(!keepCol)
+        // localCheckpoint: materialize the convicted slice ONCE so every
+        // index purge below reads the same rows — without it each
+        // index's join re-plans against the live source, and a
+        // concurrent writer could make the purges disagree with each
+        // other. O(dropped) rows, convicted-side only. NOTE the slice is
+        // still read AFTER the kept split was written: agreement with
+        // the kept split itself assumes a single writer during the run
+        // (the backup-sink branch above has no such window — it reads
+        // the split this run wrote; prefer it when writers can overlap).
+        df.filter(!keepCol).localCheckpoint()
     }
     val keyCols = spec.keyColumns
     val deleted = indexes.map { ix =>

@@ -258,9 +258,18 @@ object Dedup {
     // and re-shingles the full candidate set (was exactly the plan
     // measured: two parquet scans + two shingle projections feeding the
     // two joins). Candidate-bounded rows, so the pin is O(candidates).
+    // SORTED shingle arrays: sorting once per candidate DOC lets the
+    // per-PAIR scoring run as a two-pointer merge
+    // ([[graft.functions.SortedIntersectCount]]: |a|+|b| byte compares,
+    // no per-pair hash set) — array_intersect built an OpenHashSet per
+    // pair, the measured hot spot of every verify stage. For distinct
+    // sets |A∪B| = |A|+|B|−|A∩B|, so the Jaccard value is bit-identical
+    // to the array_intersect/array_union form (property-pinned).
     val sh = df.join(ids, Seq(idCol), "leftsemi")
-      .select(col(idCol), shingles(col(textCol), shingleN).as("__sh"))
+      .select(col(idCol),
+        array_sort(shingles(col(textCol), shingleN)).as("__sh"))
       .localCheckpoint()
+    val inter = sortedIntersectCount(col("sh_a"), col("sh_b"))
     p
       .join(sh.withColumnRenamed(idCol, "id_a")
         .withColumnRenamed("__sh", "sh_a"), "id_a")
@@ -268,8 +277,16 @@ object Dedup {
         .withColumnRenamed("__sh", "sh_b"), "id_b")
       .select(
         col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        (inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** The native [[graft.functions.SortedIntersectCount]] as a Column. */
+  private[graft] def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** 64-bit SimHash fingerprint: per token, xxhash64 contributes ±1 to
@@ -850,19 +867,72 @@ object Dedup {
       shingleN: Int = 3): DataFrame = {
     require(thresholdMu > 0 && thresholdMu <= 1000000L,
       "thresholdMu is micro-units in (0, 1e6]")
-    val sh = df.select(col(idCol).as("__id"),
-      shingles(col(textCol), shingleN).as("__s"))
-    // the hot half (explode → freq → per-doc native prefix select, with
-    // the exploded table's DISK_ONLY pin) lives in prefixRowsNative
-    val prefix = prefixRowsNative(sh, thresholdMu)
-    val cand = prefix.select(col("__sh"), col("__id").as("id_a"))
-      .join(prefix.select(col("__sh"), col("__id").as("id_b")), Seq("__sh"))
+    // ONE corpus pass total: the SORTED per-doc shingle table feeds the
+    // prefix derivation (sketch + projection) AND the verify joins —
+    // the r15 layout tokenized the corpus once for the prefix half and
+    // AGAIN inside the verify (its own semi-join + shingle pass); the
+    // shared pin removes the verify's corpus re-scan outright. Sorting
+    // once per doc here is what lets verify score each pair as a
+    // two-pointer merge ([[graft.functions.SortedIntersectCount]]).
+    // DISK_ONLY: largest intermediate, all consumers are one-pass.
+    val shP = df.select(col(idCol).as("__id"),
+        array_sort(shingles(col(textCol), shingleN)).as("__s"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // CMS-ordered prefix rows (prefixRowsCms): one bounded sketch
+    // aggregation + one map-only projection over the pin. The
+    // exact-frequency formulation (prefixRowsNative — explode → freq
+    // agg → join-back → per-doc regroup) stays as the property-pinned
+    // cross-check: both are candidate-COMPLETE, so the verified output
+    // is identical (ExpressionPropertySpec).
+    // Pin the prefix rows: BOTH sides of the self-join read them; the
+    // pin is tiny (Σ(nᵢ − ⌈t·nᵢ⌉ + 1) rows ≈ (1−t) of the shingle mass).
+    val prefix = prefixRowsCms(shP, thresholdMu).localCheckpoint()
+    // ppjoin candidate refinements (Xiao et al. 2008) — both COMPLETE,
+    // both integer-exact, both cutting the verify stage's input (each
+    // surviving pair materializes two full shingle arrays there — the
+    // measured cost center):
+    //  - length filter: J ≥ t ⇒ t·|A| ≤ |B| and t·|B| ≤ |A|;
+    //  - positional filter: a true pair's FIRST common prefix entry (at
+    //    ranks pa/pb of the shared global order) bounds the overlap by
+    //    1 + min(|A|−pa−1, |B|−pb−1), which must reach the required
+    //    α = ⌈t/(1+t)·(|A|+|B|)⌉ — a pair is kept if ANY shared entry
+    //    passes, so the first-common-entry witness always survives.
+    val a = prefix.select(col("__sh"), col("__id").as("id_a"),
+      col("__n").as("na"), col("__pos").as("pa"))
+    val b = prefix.select(col("__sh"), col("__id").as("id_b"),
+      col("__n").as("nb"), col("__pos").as("pb"))
+    val d = 1000000L + thresholdMu
+    val cand = a.join(b, Seq("__sh"))
       .filter(col("id_b") > col("id_a"))
+      .filter(col("nb") * lit(1000000L) >= col("na") * lit(thresholdMu) &&
+        col("na") * lit(1000000L) >= col("nb") * lit(thresholdMu))
+      // integer ⌈t/(1+t)·(na+nb)⌉ via (x + d − 1) DIV d — exact longs
+      .filter(lit(1L) +
+        least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1) >=
+        expr(s"(CAST($thresholdMu AS BIGINT) * (na + nb) + ${d - 1}) DIV $d"))
       .select("id_a", "id_b").distinct()
-    ngramJaccardOnPairs(df, cand, idCol, textCol, shingleN)
+    jaccardOnPairsSorted(shP, cand)
       .filter(col("jaccard") >= lit(thresholdMu.toDouble / 1e6))
       .select(col("id_a"), col("id_b"),
         round(col("jaccard") * lit(1e6d)).cast("long").as("jaccard_micro"))
+  }
+
+  /** Exact Jaccard over candidate pairs from a PRE-SORTED per-doc
+    * shingle table `(__id, __s)` (the [[prefixFilterPairs]] inner loop —
+    * same scoring contract as [[ngramJaccardOnPairs]], minus its corpus
+    * semi-join + re-shingle: callers already hold the shingle pin). */
+  private[graft] def jaccardOnPairsSorted(
+      shP: DataFrame, pairs: DataFrame): DataFrame = {
+    val p = pairs.select("id_a", "id_b").localCheckpoint()
+    val inter = sortedIntersectCount(col("sh_a"), col("sh_b"))
+    p
+      .join(shP.select(col("__id").as("id_a"), col("__s").as("sh_a")), "id_a")
+      .join(shP.select(col("__id").as("id_b"), col("__s").as("sh_b")), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        (inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+          .as("jaccard"))
   }
 
   /** The native [[graft.functions.PrefixSelect]] as a Column. */
@@ -870,6 +940,69 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.functions.PrefixSelect(
       ColumnBridge.expression(fs), thresholdMu))
+  }
+
+  /** Per-document prefix rows `(__id, __sh)` with CMS-ESTIMATED shingle
+    * frequencies — the production half of [[prefixFilterPairs]].
+    *
+    * Frequency is ordering-only in the prefix filter (see
+    * [[graft.functions.SignatureEval.prefixSelectCms]] for the
+    * completeness argument), so the exact path's corpus-sized frequency
+    * machinery — DISK_ONLY exploded-table pin, full-table frequency
+    * aggregation, join-back, per-doc regroup: three corpus-wide
+    * shuffles — collapses to:
+    *   1. ONE map-side-combined sketch aggregation over the exploded
+    *      shingles (the shuffle carries ≤ depth×width partial counters
+    *      per input partition, never the shingles themselves; nothing
+    *      materializes),
+    *   2. a driver collect BOUNDED BY CONSTRUCTION at depth×width rows
+    *      (the sketch shape — independent of corpus size; the README
+    *      bounded-collect contract),
+    *   3. ONE map-only codegen'd projection over the per-doc shingle
+    *      arrays (sketch shipped as a referenced object).
+    * `width` is a fixed knob: as distinct shingles outgrow it, estimates
+    * inflate and candidate buckets lose selectivity GRACEFULLY — exact
+    * verification and candidate-completeness never depend on it. */
+  private[graft] def prefixRowsCms(
+      sh: DataFrame,
+      thresholdMu: Long,
+      width: Int = 1 << 17,
+      depth: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // `sh` is read by BOTH the sketch aggregation and the prefix
+    // projection — scan-derived callers must pass it PINNED
+    // (prefixFilterPairs pins the sorted shingle table it also verifies
+    // from; measured: an unpinned second tokenize pass cost more than
+    // the exact path's shuffles saved).
+    // base = xxhash64(shingle), slot_d = pmod(xxhash64(base, d), width)
+    // with d a LONG — must stay bit-parity with prefixSelectCms's probe
+    // (pinned in ExpressionPropertySpec; a mismatched probe would only
+    // degrade ordering, never correctness, but would waste the sketch)
+    val slots = sh
+      .select(explode(col("__s")).as("__sh"))
+      .select(xxhash64(col("__sh")).as("__h"))
+      .select(explode(array((0 until depth).map { d =>
+        struct(lit(d).as("d"),
+          pmod(xxhash64(col("__h"), lit(d.toLong)), lit(width.toLong))
+            .as("slot"))
+      }: _*)).as("e"))
+      .groupBy(col("e.d").as("d"), col("e.slot").as("slot"))
+      .agg(count(lit(1)).as("cnt"))
+    val flat = new Array[Long](depth * width)
+    slots.collect() // bounded: ≤ depth×width rows by construction
+      .foreach(r => flat(r.getInt(0) * width + r.getLong(1).toInt) =
+        r.getLong(2))
+    val sel = ColumnBridge.column(graft.functions.PrefixSelectCms(
+      ColumnBridge.expression(col("__s")), thresholdMu,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(flat),
+      width, depth))
+    // __n (doc shingle-set size) and __pos (the entry's rank in the
+    // doc's global (est, shingle) order — selection order, so the
+    // posexplode index IS the rank) feed the ppjoin length + positional
+    // candidate filters in [[prefixFilterPairs]].
+    sh.select(col("__id"), size(col("__s")).as("__n"),
+        posexplode(sel).as(Seq("__pos", "__sh")))
+      .select(col("__id"), col("__n"), col("__pos"), col("__sh"))
   }
 
   /** Per-document prefix rows `(__id, __sh)` from a pre-shingled

@@ -360,6 +360,41 @@ object Similarity {
       l2, nprobe))
   }
 
+  /** Flatten an m×ksub×dsub codebook tensor for the PQ expressions
+    * (row-major: centroid i of sub-space j at `((j*ksub)+i)*dsub`). */
+  private def codebookArgs(
+      codebooks: Array[Array[Array[Double]]]): (IndexedSeq[Double], Int, Int, Int) = {
+    require(codebooks.nonEmpty && codebooks.head.nonEmpty,
+      "codebook tensor must be non-empty")
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val dsub = codebooks.head.head.length
+    require(codebooks.forall(cb => cb.length == ksub &&
+      cb.forall(_.length == dsub)), "ragged codebook tensor")
+    (codebooks.flatMap(_.flatMap(_.toIndexedSeq)).toIndexedSeq, m, dsub, ksub)
+  }
+
+  /** PQ encode (m codes per vector) via the codegen'd
+    * [[graft.functions.PqEncode]] — bit-parity with the per-sub-space
+    * literal `array_max(struct(2sc−cc, i))` argmax it replaced. */
+  private[graft] def pqEncodeCol(
+      vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (flat, m, dsub, ksub) = codebookArgs(codebooks)
+    ColumnBridge.column(graft.functions.PqEncode(
+      ColumnBridge.expression(vec.cast("array<double>")), flat, m, dsub, ksub))
+  }
+
+  /** Per-query ADC lookup table via the codegen'd
+    * [[graft.functions.PqAdcTable]]. */
+  private[graft] def pqAdcCol(
+      vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (flat, m, dsub, ksub) = codebookArgs(codebooks)
+    ColumnBridge.column(graft.functions.PqAdcTable(
+      ColumnBridge.expression(vec.cast("array<double>")), flat, m, dsub, ksub))
+  }
+
   /** Index of the nearest centroid (max dot; ties to the LARGER id). */
   private def ivfNearestList(
       vec: Column, centroids: Array[(Int, Seq[Double])]): Column =
@@ -526,6 +561,29 @@ object Similarity {
     topKPerQuery(scored, k, queryId, "cos", corpusId)
   }
 
+  /** Every ⌈n/count⌉-th corpus vector by id (ascending, first `count`) —
+    * the deterministic no-RNG sample that seeds strided centroids and PQ
+    * codebooks. Bounded collect: ≤ count rows by construction. */
+  private def stridedVectorSample(
+      corpus: DataFrame, n: Long, count: Int,
+      corpusId: String, corpusVec: String): Array[Array[Double]] = {
+    val step = math.max(1L, n / count)
+    corpus
+      .filter(pmod(col(corpusId), lit(step)) === 0)
+      .orderBy(col(corpusId))
+      .limit(count)
+      .select(col(corpusVec).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Split sampled full vectors into the m×|sample|×dsub codebook tensor:
+    * codebooks(j)(i) is centroid i of sub-space j. */
+  private def deriveCodebooks(
+      sampled: Array[Array[Double]], m: Int, dsub: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m, sampled.length)((j, i) =>
+      sampled(i).slice(j * dsub, (j + 1) * dsub))
+
   /** Product-quantization top-k (max-inner-product search) — the
     * quantized ANN path for corpora whose raw vectors are too large to
     * scan: each vector is encoded once (map-only) into `m` sub-space
@@ -564,52 +622,24 @@ object Similarity {
     // deterministic sampled codebook: ksub corpus vectors, split into m
     // sub-vectors each → codebooks(j)(i) is centroid i of sub-space j
     val n = corpus.count()
-    val step = math.max(1L, n / ksub)
-    val sampled: Array[Array[Double]] = corpus
-      .filter(pmod(col(corpusId), lit(step)) === 0)
-      .orderBy(col(corpusId))
-      .limit(ksub)
-      .select(col(corpusVec).cast("array<double>"))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
-    val codebooks: Array[Array[Array[Double]]] =
-      Array.tabulate(m, sampled.length)((j, i) =>
-        sampled(i).slice(j * dsub, (j + 1) * dsub))
-    // ascending-index self-dot, matching the VectorDot/list_dot_product fold
-    def selfDot(c: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < c.length) { acc += c(i) * c(i); i += 1 }
-      acc
-    }
+    val codebooks = deriveCodebooks(
+      stridedVectorSample(corpus, n, ksub, corpusId, corpusVec), m, dsub)
 
     // encode: one array<int> of m codes per corpus vector, map-only.
     // Nearest-by-L2 argmin = argmax(2·s·c − s·s − c·c); the s·s term is
     // constant across a sub-space's centroids, so it drops out of the
     // argmax — the scored quantity is 2·s·c − c·c (one dot per centroid,
-    // not two). Sub-vectors are materialized once per row in a feeding
-    // projection so the ksub dot products share one slice.
-    val v = col(corpusVec).cast("array<double>")
-    val sliced = corpus.select(
-      col(corpusId) +: (0 until m).map(j =>
-        slice(v, j * dsub + 1, dsub).as(s"__s$j")): _*)
-    def codeExpr(j: Int): Column =
-      array_max(array(codebooks(j).zipWithIndex.map { case (c, i) =>
-        struct(
-          (lit(2.0) * dot(col(s"__s$j"), typedLit(c.toSeq)) -
-            lit(selfDot(c))).as("d"),
-          lit(i).as("i"))
-      }: _*)).getField("i")
-    val encoded = sliced.select(
-      col(corpusId),
-      array((0 until m).map(codeExpr): _*).as("__code"))
+    // not two). The whole encode is ONE codegen'd expression with the
+    // codebook tensor a referenced object (PqEncode — same discipline as
+    // the coarse-centroid expressions; the old literal formulation put
+    // m slice projections + m×ksub dot sub-trees into the plan).
+    val v = col(corpusVec)
+    val encoded = corpus.select(
+      col(corpusId), pqEncodeCol(v, codebooks).as("__code"))
 
     // per-query ADC table: dt[j*ksub + i] = dot(query_sub_j, centroid_ji)
-    val qv = col(queryVec).cast("array<double>")
-    val dtable = array((0 until m).flatMap { j =>
-      val sub = slice(qv, j * dsub + 1, dsub)
-      codebooks(j).map(c => dot(sub, typedLit(c.toSeq)))
-    }: _*)
-    val q = queries.select(col(queryId), dtable.as("__dt"))
+    val q = queries.select(
+      col(queryId), pqAdcCol(col(queryVec), codebooks).as("__dt"))
 
     // score: m ordered lookups summed left-to-right (ascending j — the
     // same fold order the oracle writes out explicitly)
@@ -623,6 +653,31 @@ object Similarity {
     topKPerQuery(scored, k, queryId, "pq_score", corpusId)
   }
 
+  /** Coarse centroids + PQ codebooks from deterministic strided samples —
+    * the shared derivation of [[ivfpqTopK]] and [[buildIvfPqIndex]] (the
+    * gated persisted query must hash-match the in-one-pass variant).
+    * TWO independent samples: `nlist` full vectors seed the coarse
+    * quantizer, `ksub` vectors' sub-slices seed the codebooks — nlist is
+    * the IVF scale knob (∝ √N, 10⁴–10⁶ at 100 TB) while ksub is capped
+    * by the code width (≤ 256), so coupling them caps nlist at the code
+    * width. When they happen to be equal the samples coincide and one
+    * corpus pass serves both. */
+  private def ivfpqTables(
+      corpus: DataFrame, nlist: Int, m: Int, ksub: Int, dims: Int,
+      corpusId: String, corpusVec: String)
+      : (Array[(Int, Seq[Double])], Array[Array[Array[Double]]]) = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m sub-spaces")
+    val dsub = dims / m
+    val n = corpus.count()
+    val coarseSample = stridedVectorSample(corpus, n, nlist, corpusId, corpusVec)
+    val cbSample =
+      if (ksub == nlist) coarseSample
+      else stridedVectorSample(corpus, n, ksub, corpusId, corpusVec)
+    val coarse: Array[(Int, Seq[Double])] =
+      coarseSample.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    (coarse, deriveCodebooks(cbSample, m, dsub))
+  }
+
   /** IVF-PQ: the composed 100 TB ANN layout — a coarse quantizer routes
     * each query to `nprobe` of `nlist` inverted lists (so it scans
     * corpus·nprobe/nlist candidates, not the corpus) and candidates are
@@ -630,9 +685,14 @@ object Similarity {
     * `dims`-wide dot). Per-query work drops multiplicatively:
     * (corpus/nlist·nprobe) candidates × m lookups.
     *
-    * One deterministic corpus sample provides BOTH the coarse centroids
-    * (full vectors) and the PQ codebooks (their sub-vectors) — no RNG,
-    * SQL-derivable, so the composed operator keeps an exact oracle.
+    * Coarse assignment/probing run through the codegen'd
+    * [[graft.functions.NearestCentroid]]/[[graft.functions.ProbeCentroids]]
+    * (centroid matrix a referenced object — plan size O(1) in nlist, so
+    * nlist scales ∝ √N independently of the code width), and the PQ
+    * encode/ADC stages through [[graft.functions.PqEncode]]/
+    * [[graft.functions.PqAdcTable]]. Everything is deterministic
+    * (strided samples, ascending-index folds), so the composed operator
+    * keeps an exact oracle.
     * Non-residual variant (codes quantize raw vectors, not v−centroid):
     * residual PQ needs per-list codebooks trained on residuals — swap the
     * codebook derivation; the dataflow (assign + encode map-only, probe
@@ -650,60 +710,20 @@ object Similarity {
       corpusVec: String = "embedding",
       queryId: String = "query_id",
       queryVec: String = "query_vec"): DataFrame = {
-    require(dims % m == 0, s"dims=$dims must split into m=$m sub-spaces")
-    require(nlist == ksub,
-      "this variant shares one deterministic sample for coarse centroids " +
-        "and codebooks (nlist == ksub) so the oracle derives both from one CTE")
-    val dsub = dims / m
-    val n = corpus.count()
-    val step = math.max(1L, n / ksub)
-    val sampled: Array[Array[Double]] = corpus
-      .filter(pmod(col(corpusId), lit(step)) === 0)
-      .orderBy(col(corpusId))
-      .limit(ksub)
-      .select(col(corpusVec).cast("array<double>"))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
-    val codebooks: Array[Array[Array[Double]]] =
-      Array.tabulate(m, sampled.length)((j, i) =>
-        sampled(i).slice(j * dsub, (j + 1) * dsub))
-    def selfDot(c: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < c.length) { acc += c(i) * c(i); i += 1 }
-      acc
-    }
-    val v = col(corpusVec).cast("array<double>")
-    def coarseScores(vec: Column): Column =
-      array(sampled.zipWithIndex.map { case (c, i) =>
-        struct(dot(vec, typedLit(c.toSeq)).as("d"), lit(i).as("i"))
-      }: _*)
+    val (coarse, codebooks) =
+      ivfpqTables(corpus, nlist, m, ksub, dims, corpusId, corpusVec)
     // corpus side: list assignment + PQ codes in one map-only pass
-    val sliced = corpus.select(
-      col(corpusId) +:
-        array_max(coarseScores(v)).getField("i").as("__list") +:
-        (0 until m).map(j => slice(v, j * dsub + 1, dsub).as(s"__s$j")): _*)
-    def codeExpr(j: Int): Column =
-      array_max(array(codebooks(j).zipWithIndex.map { case (c, i) =>
-        struct(
-          (lit(2.0) * dot(col(s"__s$j"), typedLit(c.toSeq)) -
-            lit(selfDot(c))).as("d"),
-          lit(i).as("i"))
-      }: _*)).getField("i")
-    val encoded = sliced.select(
-      col(corpusId), col("__list"),
-      array((0 until m).map(codeExpr): _*).as("__code"))
+    val v = col(corpusVec)
+    val encoded = corpus.select(
+      col(corpusId),
+      nearestCentroidCol(v, coarse, l2 = false).as("__list"),
+      pqEncodeCol(v, codebooks).as("__code"))
     // query side: probed lists (exploded) + the ADC table
-    val qv = col(queryVec).cast("array<double>")
-    val dtable = array((0 until m).flatMap { j =>
-      val sub = slice(qv, j * dsub + 1, dsub)
-      codebooks(j).map(c => dot(sub, typedLit(c.toSeq)))
-    }: _*)
+    val qv = col(queryVec)
     val probed = queries.select(
       col(queryId),
-      explode(transform(
-        slice(reverse(array_sort(coarseScores(qv))), 1, nprobe),
-        s => s.getField("i"))).as("__list"),
-      dtable.as("__dt"))
+      explode(probeCentroidsCol(qv, coarse, nprobe, l2 = false)).as("__list"),
+      pqAdcCol(qv, codebooks).as("__dt"))
     val joined = encoded.join(broadcast(probed), "__list")
     val score = (0 until m)
       .map(j => element_at(col("__dt"),
@@ -712,6 +732,130 @@ object Similarity {
     val scored = joined.select(
       col(queryId), col(corpusId), round(score, 6).as("pq_score"))
     topKPerQuery(scored, k, queryId, "pq_score", corpusId)
+  }
+
+  /** Build a PERSISTED IVF-PQ index — [[buildIvfIndex]]'s shape for the
+    * composed layout, so the production ANN story is build-once/
+    * query-many here too: the build is the only full-corpus work (one
+    * count, two bounded sample collects, one map-only assign+encode
+    * projection), and it returns three plain DataFrames a pipeline
+    * writes to storage — `centroids(list, centroid)` (≤ nlist rows),
+    * `codebooks(j, i, centroid)` (m·ksub rows), and `encoded` =
+    * `(id, __list, __code)` (the corpus compressed to m codes + a list
+    * id, bucketable by `__list`). Query batches run via
+    * [[ivfpqTopKFromIndex]] against the stored tables — no codebook
+    * recomputation, no corpus-vector reads at query time at all (the
+    * in-one-pass [[ivfpqTopK]] recomputes both samples per call).
+    * Same derivation as [[ivfpqTopK]], so results are identical. */
+  def buildIvfPqIndex(
+      corpus: DataFrame,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      dims: Int = 64,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding"): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+    val (coarse, codebooks) =
+      ivfpqTables(corpus, nlist, m, ksub, dims, corpusId, corpusVec)
+    val spark = corpus.sparkSession
+    val centroidsDf = spark.createDataFrame(
+      java.util.Arrays.asList(coarse.map { case (i, c) => Row(i, c) }: _*),
+      StructType(Seq(
+        StructField("list", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(DoubleType), nullable = false))))
+    val codebooksDf = spark.createDataFrame(
+      java.util.Arrays.asList((for {
+        j <- codebooks.indices
+        i <- codebooks(j).indices
+      } yield Row(j, i, codebooks(j)(i).toSeq)): _*),
+      StructType(Seq(
+        StructField("j", IntegerType, nullable = false),
+        StructField("i", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(DoubleType), nullable = false))))
+    val v = col(corpusVec)
+    val encoded = corpus.select(
+      col(corpusId),
+      nearestCentroidCol(v, coarse, l2 = false).as("__list"),
+      pqEncodeCol(v, codebooks).as("__code"))
+    (centroidsDf, codebooksDf, encoded)
+  }
+
+  /** Collect a stored codebook table back into the m×ksub×dsub tensor —
+    * bounded: m·ksub rows by construction. */
+  private def collectCodebooks(
+      codebooksDf: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = codebooksDf.orderBy("j", "i").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    require(rows.length == m * ksub, "codebook table has holes")
+    val out = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { case (j, i, c) => out(j)(i) = c }
+    out
+  }
+
+  /** Probe a stored IVF-PQ index (see [[buildIvfPqIndex]]): collects the
+    * two bounded driver tables (nlist centroids, m·ksub codebook rows),
+    * explodes each query into its `nprobe` lists, equi-joins the
+    * (bucketed) code table, and scores candidates by m ADC lookups —
+    * per-batch cost is the probed lists' CODES only; neither the corpus
+    * vectors nor any corpus-wide derivation is touched at query time. */
+  def ivfpqTopKFromIndex(
+      centroidsDf: DataFrame,
+      codebooksDf: DataFrame,
+      encoded: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      corpusId: String = "vec_id",
+      queryId: String = "query_id",
+      queryVec: String = "query_vec"): DataFrame = {
+    val coarse: Array[(Int, Seq[Double])] = centroidsDf
+      .orderBy("list").collect() // bounded: nlist rows
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val codebooks = collectCodebooks(codebooksDf)
+    val ksub = codebooks.head.length
+    val m = codebooks.length
+    val qv = col(queryVec)
+    val probed = queries.select(
+      col(queryId),
+      explode(probeCentroidsCol(qv, coarse, nprobe, l2 = false)).as("__list"),
+      pqAdcCol(qv, codebooks).as("__dt"))
+    val joined = encoded.join(broadcast(probed), "__list")
+    val score = (0 until m)
+      .map(j => element_at(col("__dt"),
+        element_at(col("__code"), j + 1) + lit(j * ksub + 1)))
+      .reduce(_ + _)
+    val scored = joined.select(
+      col(queryId), col(corpusId), round(score, 6).as("pq_score"))
+    topKPerQuery(scored, k, queryId, "pq_score", corpusId)
+  }
+
+  /** Append a delta batch to a PERSISTED IVF-PQ index — with the
+    * centroid AND codebook tables frozen, assignment and encoding are
+    * pure functions of `(vector, tables)`, so assigning+encoding only
+    * the delta and unioning onto the stored code table yields EXACTLY
+    * the table a full rebuild under the same tables would —
+    * O(|delta|) per batch (spec-pinned). Codebook/centroid retraining
+    * stays a nightly [[buildIvfPqIndex]] rebuild, the same
+    * reconciliation split as [[ivfAppendToIndex]]. */
+  def ivfpqAppendToIndex(
+      centroidsDf: DataFrame,
+      codebooksDf: DataFrame,
+      delta: DataFrame,
+      corpusId: String = "vec_id",
+      corpusVec: String = "embedding"): DataFrame = {
+    val coarse: Array[(Int, Seq[Double])] = centroidsDf
+      .orderBy("list").collect() // bounded: nlist rows
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val codebooks = collectCodebooks(codebooksDf)
+    val v = col(corpusVec)
+    delta.select(
+      col(corpusId),
+      nearestCentroidCol(v, coarse, l2 = false).as("__list"),
+      pqEncodeCol(v, codebooks).as("__code"))
   }
 
   /** Two-stage retrieval: PQ shortlist → EXACT cosine re-rank — the

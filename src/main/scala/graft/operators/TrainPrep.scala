@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   */
 object TrainPrep {
 
+  /** Hard cap on [[selectByTokenBudget]]'s driver-folded bucket table —
+    * ~8M three-field rows (≈ 1 GiB of boxed Rows worst case, well inside
+    * the driver heap the engine assumes) with generous headroom over the
+    * default scoreScale=10⁶ × a [0,1] score's ≤ 10⁶+1 buckets. */
+  private val MaxCollectedBuckets: Int = 8 * 1024 * 1024
+
   private def toks(text: org.apache.spark.sql.Column) =
     split(trim(text), "\\s+")
 
@@ -243,13 +249,19 @@ object TrainPrep {
     // running totals over the bucket table: small by construction
     val wc = Window.orderBy(col("__smu").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // the bucket table is driver-bounded (≤ scoreScale+1 rows — exactly
-    // the bound its broadcast requires anyway), so fold it to the driver
+    // the bucket table is driver-bounded, so fold it to the driver
     // ONCE and re-emit it as a literal table: both union branches then
     // share the one materialization with NO cache/checkpoint entry (a
     // localCheckpoint here leaked a strongly-referenced RDD into the
     // session registry; without either, each broadcast re-derived the
-    // aggregate — and re-scanned the scored corpus — from scratch)
+    // aggregate — and re-scanned the scored corpus — from scratch).
+    // The bound, NAMED: ≤ min(distinct score buckets, budget-prefix
+    // buckets + 1) rows — for a [0,1] score that is ≤ scoreScale + 1,
+    // but a wider score range multiplies it (scoreScale·range + 1), so
+    // the fetch itself is capped at MaxCollectedBuckets via limit()
+    // and over-cap fails LOUDLY (coarsen scoreScale) rather than
+    // straining the driver — exactly the bound the broadcast join
+    // below requires anyway.
     val markedRows = bsums
       .withColumn("__cum", sum(col("__bsum")).over(wc))
       .select(col("__smu"), (col("__cum") <= budgetTokens).as("__full"),
@@ -257,7 +269,12 @@ object TrainPrep {
       // buckets whose prefix already exceeds the budget can't contribute
       // (every row's running total is >= the bucket prefix)
       .filter(col("__full") || col("__before") <= budgetTokens)
+      .limit(MaxCollectedBuckets + 1)
       .collect()
+    require(markedRows.length <= MaxCollectedBuckets,
+      s"token-budget bucket table exceeds $MaxCollectedBuckets rows — " +
+        s"the score range × scoreScale=$scoreScale makes too many " +
+        "distinct buckets for a driver fold; coarsen scoreScale")
     val marked = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(markedRows: _*),
       org.apache.spark.sql.types.StructType(Seq(

@@ -105,4 +105,28 @@ class CodegenCheckSpec extends SparkSpec {
     assert(df.filter(col("list") < 0 || col("list") > 7).count() == 0)
     assert(df.filter(size(col("probe")) =!= 2).count() == 0)
   }
+
+  test("PqEncode/PqAdcTable projections compile into WholeStageCodegen") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val m = 4; val dsub = 16
+    val sampled = emb.orderBy("vec_id").limit(8)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m, sampled.length)((j, i) =>
+        sampled(i).slice(j * dsub, (j + 1) * dsub))
+    val df = emb.select(col("vec_id"),
+      Similarity.pqEncodeCol(col("embedding"), codebooks).as("code"),
+      Similarity.pqAdcCol(col("embedding"), codebooks).as("dt"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("graft_pq_encode") &&
+        l.contains("*(")), plan)
+    assert(plan.contains("graft_pq_adc_table"), plan)
+    // sanity: m codes each within the codebook, m·ksub table entries
+    assert(df.filter(size(col("code")) =!= m).count() == 0)
+    assert(df.filter(size(col("dt")) =!= m * sampled.length).count() == 0)
+  }
 }

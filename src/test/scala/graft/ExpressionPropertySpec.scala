@@ -381,6 +381,62 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: PqEncode/PqAdcTable ≡ literal slice-dot argmax/table") {
+    // the literal formulation these expressions replaced: per sub-space
+    // `array_max(array(struct(2·dot(slice, c) − c·c, i), …))` for the
+    // encode, a flat array of slice-dots for the ADC table — the score
+    // computed by the SAME native dot, so any tie-break or float-order
+    // divergence shows up as a row mismatch. A duplicated codebook
+    // centroid forces score TIES so the larger-index tie-break is
+    // actually exercised; the sampled centroids also appear as data rows
+    // (membership ⇒ exact-zero L2 ties).
+    val m = 3; val dsub = 4; val ksub = 5; val dims = m * dsub
+    val genVec: Gen[Seq[Double]] =
+      Gen.listOfN(dims, Gen.chooseNum(-1000000, 1000000).map(_ / 1e4d))
+        .map(_.toSeq)
+    val cents0 = samples(genVec, ksub - 1).distinct.take(ksub - 1)
+    // last codebook entry duplicates the first → guaranteed ties
+    val sampled = (cents0 :+ cents0.head).map(_.toArray).toArray
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub)((j, i) => sampled(i).slice(j * dsub, (j + 1) * dsub))
+    def selfDot(c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    }
+    val vecs = samples(genVec, 150).distinct
+    val df = (vecs ++ cents0).toDF("v")
+      .select(col("v").cast("array<double>").as("v"))
+    val v = col("v")
+    def codeLit(j: Int) =
+      array_max(array(codebooks(j).zipWithIndex.map { case (c, i) =>
+        struct(
+          (lit(2.0) * Similarity.dot(slice(v, j * dsub + 1, dsub),
+            typedLit(c.toSeq)) - lit(selfDot(c))).as("d"),
+          lit(i).as("i"))
+      }: _*)).getField("i")
+    val dtLit = array((0 until m).flatMap { j =>
+      codebooks(j).map(c =>
+        Similarity.dot(slice(v, j * dsub + 1, dsub), typedLit(c.toSeq)))
+    }: _*)
+    val diff = df.select(
+        Similarity.pqEncodeCol(v, codebooks).as("en"),
+        array((0 until m).map(codeLit): _*).as("el"),
+        Similarity.pqAdcCol(v, codebooks).as("an"),
+        dtLit.as("al"))
+      .filter(col("en") =!= col("el") || col("an") =!= col("al"))
+    assert(diff.count() == 0,
+      s"PQ expressions diverged: ${diff.limit(3).collect().mkString("; ")}")
+    // dims-mismatch contract: short vector → null, never a prefix encode
+    val short = Seq(Seq.fill(dims - 1)(1.0d)).toDF("v")
+      .select(col("v").cast("array<double>").as("v"))
+      .select(Similarity.pqEncodeCol(col("v"), codebooks).as("en"),
+        Similarity.pqAdcCol(col("v"), codebooks).as("an"))
+      .collect().head
+    assert(short.isNullAt(0) && short.isNullAt(1),
+      "dims mismatch must yield null")
+  }
+
   test("property: PrefixSelect ≡ windowed prefix rows on random texts") {
     // the native per-doc sort/slice must select EXACTLY the rows the
     // row_number-window formulation ranks — both order by
@@ -398,6 +454,62 @@ class ExpressionPropertySpec extends SparkSpec {
         s"tMu=$tMu n=$n prefix rows diverged")
     }
   }
+  test("property: CMS-ordered prefix filter ≡ exact-frequency prefix filter on final pairs") {
+    // the CMS estimate replaces the exact corpus frequency as the prefix
+    // ORDER ONLY — both orders are globally consistent, so both prefix
+    // schemes are candidate-COMPLETE at the threshold, and after the
+    // exact verify the final pair sets must be IDENTICAL (a divergence
+    // means a dropped true pair, i.e. a completeness bug). A deliberately
+    // TINY sketch (width 64: heavy collision mass, estimates far off the
+    // true frequencies) stresses the ordering-only argument.
+    val texts = samples(genText, 120).distinct.filter(_.trim.nonEmpty)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (tMu <- Seq(500000L, 800000L); width <- Seq(64, 1 << 12)) {
+      val sh = df.select(col("doc_id").as("__id"),
+        Dedup.shingles(col("text"), 2).as("__s"))
+      def pairsFrom(prefix: org.apache.spark.sql.DataFrame) = {
+        val cand = prefix.select(col("__sh"), col("__id").as("id_a"))
+          .join(prefix.select(col("__sh"), col("__id").as("id_b")), Seq("__sh"))
+          .filter(col("id_b") > col("id_a"))
+          .select("id_a", "id_b").distinct()
+        Dedup.ngramJaccardOnPairs(df, cand, "doc_id", "text", 2)
+          .filter(col("jaccard") >= lit(tMu.toDouble / 1e6))
+          .select("id_a", "id_b")
+          .as[(Long, Long)].collect().toSet
+      }
+      val exact = pairsFrom(Dedup.prefixRowsNative(sh, tMu))
+      val viaCms = pairsFrom(Dedup.prefixRowsCms(sh, tMu, width = width, depth = 3))
+      assert(viaCms == exact,
+        s"tMu=$tMu width=$width: CMS-path pairs diverged from exact " +
+          s"(missing ${exact -- viaCms}, extra ${viaCms -- exact})")
+    }
+  }
+
+  test("property: prefixFilterPairs (ppjoin filters) ≡ brute-force pairs on random texts") {
+    // the full operator — CMS ordering, length filter, positional
+    // filter, sorted-merge verify — against all-pairs exact Jaccard at
+    // the same threshold: any over-aggressive candidate filter shows up
+    // as a missing pair. Random texts include duplicates-by-value and
+    // near-dup fragments (genText's small word alphabet collides often).
+    val texts = samples(genText, 80).distinct.filter(_.trim.nonEmpty)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val ids = df.select("doc_id").as[Long].collect().sorted
+    val allPairs = (for { a <- ids; b <- ids if b > a } yield (a, b)).toSeq
+    for (tMu <- Seq(500000L, 800000L)) {
+      val got = Dedup.prefixFilterPairs(df, "doc_id", "text",
+          thresholdMu = tMu, shingleN = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val truth = Dedup.ngramJaccard(df, allPairs.toDF("id_a", "id_b"),
+          "doc_id", "text", shingleN = 2)
+        .filter(col("jaccard") >= lit(tMu.toDouble / 1e6))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == truth,
+        s"tMu=$tMu: missing ${truth -- got}, extra ${got -- truth}")
+    }
+  }
+
   test("null elements: WinnowSelect and PrefixSelect return NULL, never 0-read or NPE") {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.types._
@@ -422,5 +534,20 @@ class ExpressionPropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(!prefix(1L) && prefix(2L),
       "null struct field must yield NULL; clean arrays must not")
+
+    // PrefixSelectCms inherits the same contract over array<string>
+    val width = 16; val depth = 2
+    val cms = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      new Array[Long](width * depth))
+    val pc = Seq(
+      (1L, Seq[String]("a", "b", "c")),
+      (2L, Seq[String]("a", null, "c"))).toDF("id", "ss")
+      .select(col("id"),
+        ColumnBridge.column(graft.functions.PrefixSelectCms(
+          ColumnBridge.expression(col("ss")), 800000L, cms, width, depth))
+          .as("p"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!pc(1L) && pc(2L),
+      "PrefixSelectCms: null element must yield NULL; clean arrays must not")
   }
 }

@@ -452,6 +452,68 @@ class SimilaritySpec extends SparkSpec {
     assert(appended.count() == emb.count())
   }
 
+  test("persisted IVF-PQ index reproduces the in-one-pass result exactly") {
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val direct = Similarity.ivfpqTopK(emb, q, k = 10, nlist = 16, nprobe = 4)
+      .select("query_id", "vec_id", "pq_score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val (cents, cbs, encoded) = Similarity.buildIvfPqIndex(emb, nlist = 16)
+    val viaIndex = Similarity.ivfpqTopKFromIndex(
+        cents, cbs, encoded, q, k = 10, nprobe = 4)
+      .select("query_id", "vec_id", "pq_score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaIndex == direct && direct.nonEmpty)
+  }
+
+  test("ivfpqAppendToIndex: append ≡ rebuild under fixed centroid+codebook tables") {
+    val corpus = emb.filter(col("vec_id") % 5 =!= 4)
+    val delta = emb.filter(col("vec_id") % 5 === 4)
+    val (cents0, cbs0, encoded) = Similarity.buildIvfPqIndex(corpus, nlist = 16)
+    val cents = cents0.localCheckpoint()
+    val cbs = cbs0.localCheckpoint()
+    val appended = encoded
+      .unionByName(Similarity.ivfpqAppendToIndex(cents, cbs, delta))
+      .select("vec_id", "__list", "__code")
+    // with BOTH driver tables frozen, assignment + encoding are pure
+    // functions of the vector, so re-encoding everything from scratch
+    // must produce the identical table — the O(|delta|) maintenance path
+    val rebuilt = Similarity.ivfpqAppendToIndex(cents, cbs, emb)
+      .select("vec_id", "__list", "__code")
+    assert(appended.except(rebuilt).count() == 0 &&
+      rebuilt.except(appended).count() == 0)
+    assert(appended.count() == emb.count())
+  }
+
+  test("IVF-PQ decoupled nlist/ksub: nlist scales past the code width") {
+    // r15's variant hard-required nlist == ksub, capping the IVF scale
+    // knob at the PQ code width (~16-256). Decoupled: nlist = 32 lists
+    // over ksub = 16 codebooks — and because the codebook sample is
+    // independent of nlist, exhaustive probing (nprobe = nlist) still
+    // reproduces plain PQ exactly, at ANY nlist.
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exhaustive = Similarity
+      .ivfpqTopK(emb, q, k = 10, nlist = 32, nprobe = 32, ksub = 16)
+      .select("query_id", "vec_id", "pq_score")
+      .as[(Long, Long, Double)].collect().toSet
+    val pqAll = Similarity.pqTopK(emb, q, k = 10, ksub = 16)
+      .select("query_id", "vec_id", "pq_score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exhaustive == pqAll && pqAll.nonEmpty)
+    // and the partial probe is a well-formed subset ranking
+    val partial = Similarity
+      .ivfpqTopK(emb, q, k = 10, nlist = 32, nprobe = 4, ksub = 16)
+      .select("query_id", "vec_id", "pq_score")
+      .as[(Long, Long, Double)].collect()
+    assert(partial.groupBy(_._1).size == 3)
+    assert(partial.toSet.subsetOf(
+      Similarity.ivfpqTopK(emb, q, k = 1000, nlist = 32, nprobe = 32,
+          ksub = 16)
+        .select("query_id", "vec_id", "pq_score")
+        .as[(Long, Long, Double)].collect().toSet))
+  }
+
   test("kmeans-IVF beats strided centroids on clustered data; deterministic") {
     // the synthetic embeddings table is measured structureless (within-
     // vs cross-label cosine both ≈ 0), where no coarse quantizer can beat

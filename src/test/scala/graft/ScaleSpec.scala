@@ -273,4 +273,36 @@ class ScaleSpec extends SparkSpec {
     assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < nlist))
     assert(rows.forall(_.getSeq[Int](2).length == 4))
   }
+
+  test("composed IVF-PQ plans in bounded time and size at nlist = 4096") {
+    // the composed operator's own doc claims the 100 TB ANN layout, where
+    // nlist ∝ √N (10⁴–10⁶) while ksub stays capped by the code width
+    // (≤ 256). r15's variant hard-coupled nlist == ksub AND inlined the
+    // coarse centroids as typedLit arrays — it could not even express
+    // this case. Now the coarse stage routes through NearestCentroid/
+    // ProbeCentroids and the PQ stages through PqEncode/PqAdcTable, all
+    // referenced-object codegen: assert the structural property (plan
+    // text does not grow with nlist) plus a generous wall bound.
+    val dims = 16
+    val nlist = 4096
+    val corpus = spark.range(8192).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)),
+        i => ((col("id") % 97) + i).cast("double")).as("embedding"))
+    val queries = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val t0 = System.nanoTime()
+    val top = graft.operators.Similarity.ivfpqTopK(
+      corpus, queries, k = 5, nlist = nlist, nprobe = 4,
+      m = 4, ksub = 16, dims = dims)
+    val rows = top.collect()
+    val wallSecs = (System.nanoTime() - t0) / 1e9
+    info(f"ivfpq nlist=$nlist plan+run: $wallSecs%.2f s")
+    assert(wallSecs < 120.0,
+      f"ivfpq nlist=$nlist took $wallSecs%.1f s — plan blow-up")
+    val planText = top.queryExecution.executedPlan.toString
+    assert(planText.length < 40000,
+      s"plan text grew with nlist (${planText.length} chars) — " +
+        "a centroid matrix leaked into the tree")
+    assert(rows.nonEmpty && rows.length <= 2 * 5)
+  }
 }

@@ -4,8 +4,14 @@
 # manifest rewrite accounting to /tmp/probe_r15_<tag>*.
 set -e
 cd /root/repo
+# ALL corpus paths validated/generated up front (ADVICE r15: the 100x
+# leg previously read a path nothing created — a fresh-machine run
+# aborted at the 100x iteration after spending the 1x/10x runtime)
 if [ ! -f /tmp/sf01_10x/documents.parquet ]; then
   python3 tools/gen_docs_10x.py /root/testdata/sf0.1 /tmp/sf01_10x 10
+fi
+if [ ! -f /tmp/sf01_100x/documents.parquet ]; then
+  python3 tools/gen_docs_10x.py /root/testdata/sf0.1 /tmp/sf01_100x 100
 fi
 declare -A DOCS=(
   [1x]=/root/testdata/sf0.1/documents.parquet
