@@ -1301,6 +1301,33 @@ object SparkEntry {
           s.read.parquet(s"$art/encoded"), q, k = 10, nprobe = 4)
         .select(col("query_id"), col("vec_id"), col("pq_score"), col("rank"))
     }),
+    // recall@10 of the persisted IVF-PQ index against exact brute force —
+    // the eval that keeps the composed layout's (nlist, nprobe, m, ksub)
+    // honest, like q_ann_recall does for LSH. Integer ppm end-to-end.
+    "q_ann_recall_ivfpq" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val art = artifactPath(dir, "ivfpq_index")
+      dumpOnce(art) {
+        val (cents, cbs, encoded) =
+          operators.Similarity.buildIvfPqIndex(emb, nlist = 16)
+        cents.write.mode("overwrite").parquet(s"$art/centroids")
+        cbs.write.mode("overwrite").parquet(s"$art/codebooks")
+        encoded.write.mode("overwrite").parquet(s"$art/encoded")
+      }
+      val approx = operators.Similarity.ivfpqTopKFromIndex(
+        s.read.parquet(s"$art/centroids"), s.read.parquet(s"$art/codebooks"),
+        s.read.parquet(s"$art/encoded"), q, k = 10, nprobe = 4)
+      val scored = emb.crossJoin(broadcast(q)).select(
+        col("query_id"), col("vec_id"),
+        round(operators.Similarity.cosine(
+          col("embedding").cast("array<double>"),
+          col("query_vec").cast("array<double>")), 6).as("cos_r"))
+      val exact = operators.Similarity
+        .topKPerQuery(scored, 10, "query_id", "cos_r", "vec_id")
+      operators.Similarity.recallAtK(approx, exact, 10)
+    }),
     // two-stage retrieval: PQ shortlist of 50 → exact cosine re-rank —
     // the production ANN shape (quantized recall, exact final scores)
     "q_sim_ann_pq_rerank" -> ((s, dir) => {
@@ -4599,6 +4626,44 @@ object SparkEntry {
     "q_sim_ann_ivfpq" -> ivfpqOracleSql,
     // same derivation through the stored index — identical oracle
     "q_sim_ann_ivfpq_persisted" -> ivfpqOracleSql,
+    // recall@10 of the IVF-PQ ranking (probed-list-restricted quantized
+    // rank) against exact cosine brute force, integer ppm
+    "q_ann_recall_ivfpq" ->
+      s"""$pqOracleCore,
+         assigned AS (
+           SELECT e.vec_id,
+             (SELECT c.i FROM cent c
+              ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC
+              LIMIT 1) AS list
+           FROM emb e),
+         probed AS (
+           SELECT q.query_id, c.i AS list
+           FROM q, LATERAL (SELECT i FROM cent
+             ORDER BY list_dot_product(q.qv, cent.v) DESC, i DESC
+             LIMIT 4) c),
+         approx AS (SELECT query_id, vec_id FROM (
+             SELECT s.query_id, s.vec_id,
+               row_number() OVER (PARTITION BY s.query_id
+                 ORDER BY s.pq_score DESC, s.vec_id) AS rank
+             FROM scored s
+             JOIN assigned a ON a.vec_id = s.vec_id
+             JOIN probed p ON p.query_id = s.query_id AND p.list = a.list)
+           WHERE rank <= 10),
+         ex AS (SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                   e.vec_id) AS rn
+             FROM emb e CROSS JOIN q) WHERE rn <= 10),
+         hits AS (SELECT query_id, count(*) AS n_hits
+                  FROM ex JOIN approx USING (query_id, vec_id) GROUP BY 1),
+         ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+                FROM ex GROUP BY 1)
+         SELECT ne.query_id, ne.n_exact,
+           CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(hits.n_hits, 0) * 1000000 // ne.n_exact AS BIGINT)
+             AS recall_ppm
+         FROM ne LEFT JOIN hits USING (query_id)""",
     // exact oracle for the two-stage retrieval: PQ shortlist (rank ≤ 50 on
     // quantized scores) → exact cosine re-rank of the shortlist only
     "q_sim_ann_pq_rerank" ->

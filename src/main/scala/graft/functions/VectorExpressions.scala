@@ -87,8 +87,11 @@ case class VectorDot(left: Expression, right: Expression)
   * hot scalar of every exact-Jaccard verify stage. `array_intersect`
   * builds a hash set of the left array PER ROW (per pair!) and probes
   * every right element through it; with both sides pre-sorted ONCE per
-  * document (array_sort in the candidate shingle table), each pair costs
-  * |a|+|b| byte-wise UTF8 comparisons and zero allocation. For distinct
+  * document (`sort_array` in the candidate shingle table — NOT
+  * `array_sort`, whose default comparator is a higher-order LAMBDA and
+  * runs interpreted: swapping it for the non-HOF SortArray was a
+  * measured ~0.4 s/query win on the incremental-dedup verifies), each
+  * pair costs |a|+|b| byte-wise UTF8 comparisons and zero allocation. For distinct
   * sets |A∪B| = |A|+|B|−|A∩B|, so the full Jaccard needs only this count
   * — values are bit-identical to the array_intersect/array_union
   * formulation it replaces (same integer sizes, same double division;
@@ -96,7 +99,7 @@ case class VectorDot(left: Expression, right: Expression)
   *
   * Contract: both inputs MUST be sorted ascending by Spark's string
   * (byte-lexicographic) order with distinct elements — the shape
-  * `array_sort(shingles(...))` produces. Null array → null
+  * `sort_array(shingles(...))` produces. Null array → null
   * (null-intolerant); null ELEMENT → null (fail loudly, the
   * WinnowSelect/PrefixSelect discipline). */
 case class SortedIntersectCount(left: Expression, right: Expression)

@@ -267,7 +267,7 @@ object Dedup {
     // to the array_intersect/array_union form (property-pinned).
     val sh = df.join(ids, Seq(idCol), "leftsemi")
       .select(col(idCol),
-        array_sort(shingles(col(textCol), shingleN)).as("__sh"))
+        sort_array(shingles(col(textCol), shingleN)).as("__sh"))
       .localCheckpoint()
     val inter = sortedIntersectCount(col("sh_a"), col("sh_b"))
     p
@@ -876,7 +876,7 @@ object Dedup {
     // two-pointer merge ([[graft.functions.SortedIntersectCount]]).
     // DISK_ONLY: largest intermediate, all consumers are one-pass.
     val shP = df.select(col(idCol).as("__id"),
-        array_sort(shingles(col(textCol), shingleN)).as("__s"))
+        sort_array(shingles(col(textCol), shingleN)).as("__s"))
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // CMS-ordered prefix rows (prefixRowsCms): one bounded sketch
     // aggregation + one map-only projection over the pin. The

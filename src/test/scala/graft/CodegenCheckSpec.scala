@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
 /** Confirms the native VectorDot participates in whole-stage codegen on a
   * plain projection stage (joins like BNLJ opt out of WSCG for their own
@@ -128,5 +128,35 @@ class CodegenCheckSpec extends SparkSpec {
     // sanity: m codes each within the codebook, m·ksub table entries
     assert(df.filter(size(col("code")) =!= m).count() == 0)
     assert(df.filter(size(col("dt")) =!= m * sampled.length).count() == 0)
+  }
+
+  test("PrefixSelectCms/SortedIntersectCount projections compile into WholeStageCodegen") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val width = 1 << 12; val depth = 2
+    val cms = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      Array.fill(width * depth)(1L))
+    val sh = docs.select(col("doc_id"),
+      sort_array(Dedup.shingles(col("text"), 3)).as("s"))
+    val df = sh.select(col("doc_id"),
+      ColumnBridge.column(graft.functions.PrefixSelectCms(
+        ColumnBridge.expression(col("s")), 800000L, cms, width, depth))
+        .as("prefix"),
+      ColumnBridge.column(graft.functions.SortedIntersectCount(
+        ColumnBridge.expression(col("s")), ColumnBridge.expression(col("s"))))
+        .as("self_inter"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("graft_prefix_select_cms") &&
+        l.contains("*(")), plan)
+    assert(plan.contains("graft_sorted_intersect_count"), plan)
+    // self-intersection of a distinct sorted set is its own size
+    assert(df.filter(col("self_inter") =!= size(col("s"))).count() == 0)
+    // prefix keeps n − ⌈0.8n⌉ + 1 elements of each non-empty doc
+    assert(df.filter(size(col("s")) > 0 &&
+      size(col("prefix")) =!=
+        (size(col("s")) - expr("(size(s) * 800000 + 999999) DIV 1000000")
+          + 1)).count() == 0)
   }
 }
