@@ -373,12 +373,27 @@ object Bench {
     // Best-effort: a bench run must never fail on artifact bookkeeping.
     try {
       val repo = sys.env.getOrElse("SPARK_GRAFT_BENCH_ARTIFACT_DIR", "/root/repo")
-      val sfName = new java.io.File(sfDir).getName
+      // floors are only comparable within one execution config: a run at
+      // non-standard parallelism gets its own keyed history instead of
+      // permanently lowering the standard floors with unreachable mins
+      val sfName = new java.io.File(sfDir).getName +
+        (if (cpus == "32") "" else s"@cpus=$cpus")
       atomicWrite(s"$repo/BENCH_local_last.json", fullLine + "\n")
       val floorsPath = s"$repo/BENCH_floors.json"
       val runMins: Map[String, Double] =
         timedOut.map { case (k, (_, mn, _)) => k -> mn }.toMap
-      mergeFloors(floorsPath, sfName, runMins)
+      // serialize merges across processes (two benches finishing together
+      // would otherwise read-modify-write over each other and drop a
+      // run's floors); the lock file is a tiny persistent sentinel
+      val lockPath = java.nio.file.Paths.get(floorsPath + ".lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try mergeFloors(floorsPath, sfName, runMins)
+        finally lock.release()
+      } finally ch.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] floor persistence failed: ${e.getMessage}")
     }
@@ -387,7 +402,9 @@ object Bench {
 
   private def atomicWrite(path: String, content: String): Unit = {
     val p = java.nio.file.Paths.get(path)
-    val tmp = java.nio.file.Paths.get(path + ".tmp")
+    // pid-unique temp: concurrent writers must not stomp one shared .tmp
+    val tmp = java.nio.file.Paths.get(
+      path + s".tmp.${ProcessHandle.current().pid()}")
     java.nio.file.Files.writeString(tmp, content)
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -396,9 +413,12 @@ object Bench {
 
   /** Merge this run's per-query mins into the per-sf floors file:
     * `{ "<sf>": {"n_runs": N, "floor_total": Σ, "floors": {q: min}} }` —
-    * floor = min across all recorded runs at that sf. Jackson (bundled
-    * with Spark) both ways, so a hand-edited or reformatted file never
-    * silently resets the history; an unreadable file starts fresh. */
+    * floor = min across all recorded runs at that sf. Prior floors for
+    * queries that NO LONGER EXIST in SparkEntry.queries are dropped at
+    * merge time, so a renamed/removed query cannot haunt floor_total
+    * forever. Jackson (bundled with Spark) both ways, so a hand-edited
+    * or reformatted file never silently resets the history; an
+    * unreadable file starts fresh. */
   private def mergeFloors(
       path: String, sfName: String, runMins: Map[String, Double]): Unit = {
     import com.fasterxml.jackson.databind.ObjectMapper
@@ -418,7 +438,10 @@ object Bench {
           e.getKey -> (n, fl)
         }.toMap
       } catch { case _: Throwable => Map.empty }
-    val (priorN, priorFloors) = prior.getOrElse(sfName, (0, Map.empty[String, Double]))
+    val (priorN, priorFloors0) = prior.getOrElse(sfName, (0, Map.empty[String, Double]))
+    // drop floors of queries that left the suite (renames/removals)
+    val live = SparkEntry.queries.keySet
+    val priorFloors = priorFloors0.filter { case (k, _) => live.contains(k) }
     val mergedFloors = (priorFloors.keySet ++ runMins.keySet).map { k =>
       k -> (priorFloors.get(k).toSeq ++ runMins.get(k).toSeq).min
     }.toMap

@@ -46,19 +46,25 @@ object SparkEntry {
     s"/root/repo/artifacts/$name/sf=${new java.io.File(sfDir).getName}"
 
   /** Per-process scratch root under java.io.tmpdir for the queries that
-    * write intermediate splits (q_s6, q_f10, clean staging, store
-    * fixtures). Unique per JVM — two concurrent harness processes at
-    * the same scale must not race on each other's overwrite/rename —
-    * via a harness-provided GRAFT_RUN_ID when set, else user+pid; a
-    * shutdown hook removes the whole root so per-pid dirs don't
-    * accumulate across runs (within one JVM the fixed paths under it
-    * still overwrite in place, so bench iterations don't leak). */
+    * write intermediate splits (q_s6, q_f10, q_q7, clean staging, store
+    * fixtures). The dir name ALWAYS ends in this JVM's pid — an
+    * optional GRAFT_RUN_ID only groups/labels, it cannot collapse two
+    * live JVMs onto one root (two concurrent harness processes at the
+    * same scale must not race on each other's overwrite/rename, and the
+    * exiting JVM's cleanup must never delete a sibling's live root).
+    * Lifecycle: a shutdown hook removes this JVM's root; roots orphaned
+    * by a SIGKILLed JVM (harness timeout, OOM killer — the shutdown
+    * hook never runs) are swept at the NEXT process's init: any sibling
+    * `graft-run-*-<pid>` whose pid is no longer alive is deleted, so
+    * unclean exits stay self-healing like the old fixed-path scheme.
+    * Within one JVM the fixed paths under the root overwrite in place,
+    * so bench iterations don't leak. */
   private lazy val scratchRoot: String = {
-    val id = sys.env.get("GRAFT_RUN_ID").filter(_.nonEmpty).getOrElse(
-      s"${System.getProperty("user.name", "u")}-${ProcessHandle.current().pid()}")
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft-run-$id"
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val p = java.nio.file.Paths.get(root)
+    val pid = ProcessHandle.current().pid()
+    val label = sys.env.get("GRAFT_RUN_ID").filter(_.nonEmpty)
+      .getOrElse(System.getProperty("user.name", "u"))
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def rmTree(p: java.nio.file.Path): Unit =
       if (java.nio.file.Files.exists(p)) {
         val walk = java.nio.file.Files.walk(p)
         try walk.sorted(java.util.Comparator.reverseOrder())
@@ -66,7 +72,25 @@ object SparkEntry {
         catch { case _: Throwable => () } // best-effort cleanup
         finally walk.close()
       }
-    }))
+    // sweep dead-pid orphans (best-effort; a recycled-and-alive pid is
+    // simply skipped — its owner's own hook or the next sweep gets it)
+    try {
+      val ls = java.nio.file.Files.list(base)
+      try ls.filter(p => p.getFileName.toString.startsWith("graft-run-"))
+        .forEach { p =>
+          val name = p.getFileName.toString
+          val tail = name.substring(name.lastIndexOf('-') + 1)
+          tail.toLongOption.foreach { opid =>
+            val oh = ProcessHandle.of(opid)
+            val alive = oh.isPresent && oh.get().isAlive
+            if (opid != pid && !alive) rmTree(p)
+          }
+        }
+      finally ls.close()
+    } catch { case _: Throwable => () }
+    val root = base.resolve(s"graft-run-$label-$pid").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      rmTree(java.nio.file.Paths.get(root))))
     root
   }
 

@@ -920,10 +920,14 @@ object Dedup {
   /** Exact Jaccard over candidate pairs from a PRE-SORTED per-doc
     * shingle table `(__id, __s)` (the [[prefixFilterPairs]] inner loop —
     * same scoring contract as [[ngramJaccardOnPairs]], minus its corpus
-    * semi-join + re-shingle: callers already hold the shingle pin). */
+    * semi-join + re-shingle: callers already hold the shingle pin).
+    * No pin on `pairs`: unlike ngramJaccardOnPairs (where the pair list
+    * feeds both the id-union and the join chain), here it is consumed
+    * exactly once — single-reference tables stay lazy per the README
+    * pin rule. */
   private[graft] def jaccardOnPairsSorted(
       shP: DataFrame, pairs: DataFrame): DataFrame = {
-    val p = pairs.select("id_a", "id_b").localCheckpoint()
+    val p = pairs.select("id_a", "id_b")
     val inter = sortedIntersectCount(col("sh_a"), col("sh_b"))
     p
       .join(shP.select(col("__id").as("id_a"), col("__s").as("sh_a")), "id_a")

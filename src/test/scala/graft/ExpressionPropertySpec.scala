@@ -374,7 +374,9 @@ class ExpressionPropertySpec extends SparkSpec {
           litNearest.as("nl"),
           Similarity.probeCentroidsCol(col("v"), centroids, nprobe, l2).as("pn"),
           litProbe.as("pl"))
-        .filter(col("nn") =!= col("nl") || col("pn") =!= col("pl"))
+        // null-safe: a regression that nulls the native side must FAIL,
+        // not vacuously pass through a null-propagating =!=
+        .filter(!(col("nn") <=> col("nl")) || !(col("pn") <=> col("pl")))
       assert(diff.count() == 0,
         s"l2=$l2 nprobe=$nprobe diverged: " +
           diff.limit(3).collect().mkString("; "))
@@ -424,7 +426,9 @@ class ExpressionPropertySpec extends SparkSpec {
         array((0 until m).map(codeLit): _*).as("el"),
         Similarity.pqAdcCol(v, codebooks).as("an"),
         dtLit.as("al"))
-      .filter(col("en") =!= col("el") || col("an") =!= col("al"))
+      // null-safe: a regression that nulls the native side must FAIL,
+      // not vacuously pass through a null-propagating =!=
+      .filter(!(col("en") <=> col("el")) || !(col("an") <=> col("al")))
     assert(diff.count() == 0,
       s"PQ expressions diverged: ${diff.limit(3).collect().mkString("; ")}")
     // dims-mismatch contract: short vector → null, never a prefix encode
