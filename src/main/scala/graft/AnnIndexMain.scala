@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CLI entry point for the persisted ANN index lifecycle — the
+  * spark-submit surface for the build-once/query-many IVF and IVF-PQ
+  * indexes ([[graft.operators.Similarity.buildIvfIndex]] /
+  * [[graft.operators.Similarity.buildIvfPqIndex]] and their probe/
+  * append counterparts). This is the operational front end of the ANN
+  * maintenance loop the engine already exposes programmatically: the
+  * nightly build, per-batch delta appends, retention-driven purges, and
+  * query-batch probes — each one spark-submit invocation, mirroring the
+  * [[RetentionMain]]/[[StoreMain]] discipline (key=value args, one JSON
+  * status line on stdout, `run` exposed for tests).
+  *
+  * Index layout on storage:
+  *   ivf:   `<index>/centroids` (list, centroid), `<index>/assigned`
+  *          (corpus + __list — bucketable by __list)
+  *   ivfpq: `<index>/centroids`, `<index>/codebooks` (j, i, centroid),
+  *          `<index>/encoded` (id, __list, __code — the corpus
+  *          compressed to m codes + a list id)
+  *
+  * Usage:
+  *   AnnIndexMain mode=build kind=ivf src=<parquet> index=<dir> \
+  *     [nlist=16] [kmeans=false] [iters=2] [id=vec_id] [vec=embedding]
+  *   AnnIndexMain mode=build kind=ivfpq src=<parquet> index=<dir> \
+  *     [nlist=16] [m=8] [ksub=16] [dims=64] [id=vec_id] [vec=embedding]
+  *   AnnIndexMain mode=probe kind=ivf|ivfpq index=<dir> \
+  *     queries=<parquet> out=<dir> [k=10] [nprobe=4] [metric=dot] \
+  *     [qid=query_id] [qvec=query_vec] [id=vec_id] [vec=embedding]
+  *   AnnIndexMain mode=append kind=ivf|ivfpq index=<dir> \
+  *     delta=<parquet> [metric=dot] [id=vec_id] [vec=embedding]
+  *   AnnIndexMain mode=retain kind=ivf|ivfpq index=<dir> \
+  *     convicted=<parquet carrying the id column> [id=vec_id]
+  *
+  * `metric` must match the index family: strided builds assign by dot,
+  * k-means builds by the L2 surrogate. The mismatch is not detectable
+  * from storage, so the CALLER carries the metric on probe/append (the
+  * [[graft.operators.Similarity.ivfAppendToIndex]] no-default
+  * rationale). IVF-PQ is dot-only (the strided composed build).
+  *
+  * Append and retain REWRITE the row table (assigned/encoded) through a
+  * staging dir + rename — the [[graft.jobs.RetentionJob]] exposure
+  * discipline — so a reader never sees a half-written table and the
+  * source table is fully read (into staging) before the target is
+  * replaced. Both are O(|table|) rewrites of the COMPACT row table
+  * (ids + list ids + codes), never of corpus vectors; with the
+  * centroid/codebook tables frozen, append ≡ rebuild and retain ≡
+  * rebuild-from-survivors (spec-pinned on the operators).
+  */
+object AnnIndexMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad arg '$a' (want key=value)")
+      a.take(i) -> a.drop(i + 1).replace("%20", " ")
+    }.toMap
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-ann-index")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try println(run(spark, opts))
+    finally spark.stop()
+  }
+
+  /** Body of [[main]], returning the JSON status line (testable). */
+  def run(spark: SparkSession, opts: Map[String, String]): String = {
+    import graft.operators.Similarity
+    val kind = opts.getOrElse("kind", "ivf")
+    require(kind == "ivf" || kind == "ivfpq", s"unknown kind '$kind'")
+    val index = opts("index")
+    val id = opts.getOrElse("id", "vec_id")
+    val vec = opts.getOrElse("vec", "embedding")
+
+    opts.getOrElse("mode", "build") match {
+      case "build" =>
+        val src = spark.read.parquet(opts("src"))
+        val nlist = opts.getOrElse("nlist", "16").toInt
+        val rows = kind match {
+          case "ivf" =>
+            val (cents, assigned) =
+              if (opts.getOrElse("kmeans", "false").toBoolean)
+                Similarity.buildIvfIndexKmeans(src, nlist,
+                  opts.getOrElse("iters", "2").toInt, id, vec)
+              else Similarity.buildIvfIndex(src, nlist, id, vec)
+            cents.write.mode("overwrite").parquet(s"$index/centroids")
+            writeCounted(spark, assigned, s"$index/assigned")
+          case _ =>
+            val (cents, cbs, encoded) = Similarity.buildIvfPqIndex(src,
+              nlist, opts.getOrElse("m", "8").toInt,
+              opts.getOrElse("ksub", "16").toInt,
+              opts.getOrElse("dims", "64").toInt, id, vec)
+            cents.write.mode("overwrite").parquet(s"$index/centroids")
+            cbs.write.mode("overwrite").parquet(s"$index/codebooks")
+            writeCounted(spark, encoded, s"$index/encoded")
+        }
+        s"""{"mode":"build","kind":"$kind","rows":$rows,"nlist":$nlist}"""
+
+      case "probe" =>
+        val queries = spark.read.parquet(opts("queries"))
+        val k = opts.getOrElse("k", "10").toInt
+        val nprobe = opts.getOrElse("nprobe", "4").toInt
+        val qid = opts.getOrElse("qid", "query_id")
+        val qvec = opts.getOrElse("qvec", "query_vec")
+        val cents = spark.read.parquet(s"$index/centroids")
+        val top = kind match {
+          case "ivf" => Similarity.ivfTopKFromIndex(cents,
+            spark.read.parquet(s"$index/assigned"), queries, k, nprobe,
+            id, vec, qid, qvec, opts.getOrElse("metric", "dot"))
+          case _ => Similarity.ivfpqTopKFromIndex(cents,
+            spark.read.parquet(s"$index/codebooks"),
+            spark.read.parquet(s"$index/encoded"), queries, k, nprobe,
+            id, qid, qvec)
+        }
+        val out = opts("out")
+        val rows = writeCounted(spark, top, out, staged = false)
+        s"""{"mode":"probe","kind":"$kind","result_rows":$rows,"k":$k,"nprobe":$nprobe}"""
+
+      case "append" =>
+        val delta = spark.read.parquet(opts("delta"))
+        val cents = spark.read.parquet(s"$index/centroids")
+        val (table, appended) = kind match {
+          case "ivf" => ("assigned",
+            spark.read.parquet(s"$index/assigned").unionByName(
+              Similarity.ivfAppendToIndex(cents, delta, vec,
+                opts.getOrElse("metric", "dot"))))
+          case _ => ("encoded",
+            spark.read.parquet(s"$index/encoded").unionByName(
+              Similarity.ivfpqAppendToIndex(cents,
+                spark.read.parquet(s"$index/codebooks"), delta, id, vec)))
+        }
+        val rows = writeCounted(spark, appended, s"$index/$table")
+        s"""{"mode":"append","kind":"$kind","rows":$rows}"""
+
+      case "retain" =>
+        val convicted = spark.read.parquet(opts("convicted")).select(id)
+        val table = if (kind == "ivf") "assigned" else "encoded"
+        val maintained = jobs.ArtifactRetention.retainRows(
+          spark.read.parquet(s"$index/$table"), convicted, id)
+        val rows = writeCounted(spark, maintained, s"$index/$table")
+        s"""{"mode":"retain","kind":"$kind","rows":$rows}"""
+
+      case other => sys.error(s"unknown mode '$other'")
+    }
+  }
+
+  /** Write `df` to `target` and return the row count (observe-counted —
+    * rides the write action, no second scan). `staged = true` (the
+    * default) writes through `.staging` + rename so a rewrite that READS
+    * the target table (append/retain) fully materializes before the
+    * target is replaced, and a concurrent reader never sees a
+    * half-written table. */
+  private def writeCounted(
+      spark: SparkSession, df: DataFrame, target: String,
+      staged: Boolean = true): Long = {
+    val obs = new org.apache.spark.sql.Observation()
+    val counted = df.observe(obs, count(lit(1)).as("rows"))
+    if (!staged) {
+      counted.write.mode("overwrite").parquet(target)
+    } else {
+      import org.apache.hadoop.fs.Path
+      val t = new Path(target)
+      val staging = new Path(target + "__staging")
+      val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        counted.write.mode("overwrite").parquet(staging.toString)
+        if (fs.exists(t)) fs.delete(t, true)
+        val parent = t.getParent
+        if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+        require(fs.rename(staging, t), s"rename $staging -> $t failed")
+      } finally fs.delete(staging, true)
+    }
+    Option(obs.get("rows")).map(_.asInstanceOf[Long]).getOrElse(0L)
+  }
+}

@@ -728,4 +728,56 @@ class JobsSpec extends SparkSpec {
         "store" -> s"$dir/store_unused"))
     }
   }
+
+  test("AnnIndexMain: build/probe/append/retain round-trip both index kinds") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.filter(col("vec_id") % 5 =!= 4).write.parquet(s"$dir/corpus")
+    emb.filter(col("vec_id") % 5 === 4).write.parquet(s"$dir/delta")
+    emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      .write.parquet(s"$dir/queries")
+    emb.filter(col("vec_id").between(100, 199)).select("vec_id")
+      .write.parquet(s"$dir/convicted")
+    for (kind <- Seq("ivf", "ivfpq")) {
+      val ix = s"$dir/ix_$kind"
+      AnnIndexMain.run(spark, Map("mode" -> "build", "kind" -> kind,
+        "src" -> s"$dir/corpus", "index" -> ix))
+      // append ≡ rebuild-over-union under the frozen driver tables
+      AnnIndexMain.run(spark, Map("mode" -> "append", "kind" -> kind,
+        "index" -> ix, "delta" -> s"$dir/delta", "metric" -> "dot"))
+      val table = if (kind == "ivf") "assigned" else "encoded"
+      val rows = spark.read.parquet(s"$ix/$table")
+      assert(rows.count() == emb.count(),
+        s"$kind: appended table must cover corpus+delta")
+      // retain: the convicted ids are gone, everything else survives
+      AnnIndexMain.run(spark, Map("mode" -> "retain", "kind" -> kind,
+        "index" -> ix, "convicted" -> s"$dir/convicted"))
+      val after = spark.read.parquet(s"$ix/$table")
+      assert(after.filter(col("vec_id").between(100, 199)).count() == 0)
+      assert(after.count() == emb.count() -
+        emb.filter(col("vec_id").between(100, 199)).count())
+      // probe through the CLI ≡ the operator over the same stored tables
+      AnnIndexMain.run(spark, Map("mode" -> "probe", "kind" -> kind,
+        "index" -> ix, "queries" -> s"$dir/queries",
+        "out" -> s"$dir/out_$kind", "k" -> "5", "nprobe" -> "4",
+        "metric" -> "dot"))
+      val got = spark.read.parquet(s"$dir/out_$kind")
+        .select("query_id", "vec_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val cents = spark.read.parquet(s"$ix/centroids")
+      val q = spark.read.parquet(s"$dir/queries")
+      val want = (if (kind == "ivf")
+        Similarity.ivfTopKFromIndex(cents,
+          spark.read.parquet(s"$ix/assigned"), q, k = 5, nprobe = 4)
+      else Similarity.ivfpqTopKFromIndex(cents,
+          spark.read.parquet(s"$ix/codebooks"),
+          spark.read.parquet(s"$ix/encoded"), q, k = 5, nprobe = 4))
+        .select("query_id", "vec_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == want && got.nonEmpty, s"$kind: CLI probe diverged")
+    }
+  }
 }
