@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
   *   AnnIndexMain mode=retain kind=ivf|ivfpq index=<dir> \
   *     convicted=<parquet carrying the id column> [id=vec_id]
   *
+  * Strided builds (the default) assume the id column is DENSE 0..n−1:
+  * the deterministic sample takes `id % step = 0`, so sparse or offset
+  * ids under-fill it (the build fails loudly naming this assumption).
+  * Re-key such corpora first, or build with kmeans=true (k-means
+  * seeding falls back to first-k-by-id when the stride under-selects).
+  *
   * `metric` must match the index family: strided builds assign by dot,
   * k-means builds by the L2 surrogate. The mismatch is not detectable
   * from storage, so the CALLER carries the metric on probe/append (the
@@ -152,29 +158,52 @@ object AnnIndexMain {
 
   /** Write `df` to `target` and return the row count (observe-counted —
     * rides the write action, no second scan). `staged = true` (the
-    * default) writes through `.staging` + rename so a rewrite that READS
-    * the target table (append/retain) fully materializes before the
-    * target is replaced, and a concurrent reader never sees a
-    * half-written table. */
+    * default) writes through `.staging` + a two-rename swap so a rewrite
+    * that READS the target table (append/retain) fully materializes
+    * before the target is replaced, and a failure at ANY step leaves at
+    * least one complete copy on storage: the live target is renamed
+    * ASIDE (`__old`) — never deleted — before staging renames into
+    * place, and is restored if that rename fails; staging is only
+    * cleaned up after a successful swap. The delete-then-rename shape
+    * this replaced had a window with NO table at all, and its
+    * unconditional `finally delete(staging)` destroyed the only
+    * remaining copy when the rename itself failed. */
   private def writeCounted(
       spark: SparkSession, df: DataFrame, target: String,
-      staged: Boolean = true): Long = {
+      staged: Boolean = true, partitionBy: Seq[String] = Nil): Long = {
     val obs = new org.apache.spark.sql.Observation()
     val counted = df.observe(obs, count(lit(1)).as("rows"))
+    def write(path: String): Unit = {
+      val w = counted.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(path)
+    }
     if (!staged) {
-      counted.write.mode("overwrite").parquet(target)
+      write(target)
     } else {
       import org.apache.hadoop.fs.Path
       val t = new Path(target)
       val staging = new Path(target + "__staging")
+      val old = new Path(target + "__old")
       val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      try {
-        counted.write.mode("overwrite").parquet(staging.toString)
-        if (fs.exists(t)) fs.delete(t, true)
-        val parent = t.getParent
-        if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
-        require(fs.rename(staging, t), s"rename $staging -> $t failed")
-      } finally fs.delete(staging, true)
+      write(staging.toString)
+      val parent = t.getParent
+      if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+      // a stale __old can only be a previous crash's leftover ORIGINAL
+      // (the swap below deletes it on success) — the live target
+      // supersedes it, clear the slot for this swap
+      if (fs.exists(old)) fs.delete(old, true)
+      val hadTarget = fs.exists(t)
+      if (hadTarget) require(fs.rename(t, old), s"rename $t -> $old failed")
+      if (!fs.rename(staging, t)) {
+        // restore the original before failing: the reader-visible state
+        // reverts to exactly what it was, staging kept for recovery
+        if (hadTarget) fs.rename(old, t)
+        sys.error(s"rename $staging -> $t failed" +
+          (if (hadTarget) s" (original restored; staging kept at $staging)"
+           else s" (staging kept at $staging)"))
+      }
+      if (hadTarget) fs.delete(old, true)
     }
     Option(obs.get("rows")).map(_.asInstanceOf[Long]).getOrElse(0L)
   }

@@ -418,7 +418,9 @@ object Bench {
     * merge time, so a renamed/removed query cannot haunt floor_total
     * forever. Jackson (bundled with Spark) both ways, so a hand-edited
     * or reformatted file never silently resets the history; an
-    * unreadable file starts fresh. */
+    * UNREADABLE file is renamed aside (`.corrupt-<pid>`) so the
+    * multi-run history is preserved for inspection instead of being
+    * silently overwritten by a fresh single-run file. */
   private def mergeFloors(
       path: String, sfName: String, runMins: Map[String, Double]): Unit = {
     import com.fasterxml.jackson.databind.ObjectMapper
@@ -437,7 +439,15 @@ object Bench {
             .getOrElse(Map.empty[String, Double])
           e.getKey -> (n, fl)
         }.toMap
-      } catch { case _: Throwable => Map.empty }
+      } catch { case e: Throwable =>
+        val aside = java.nio.file.Paths.get(
+          path + s".corrupt-${ProcessHandle.current().pid()}")
+        java.nio.file.Files.move(p, aside,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        System.err.println(s"[bench] floors file unreadable " +
+          s"(${e.getMessage}) — moved aside to $aside, starting fresh")
+        Map.empty
+      }
     val (priorN, priorFloors0) = prior.getOrElse(sfName, (0, Map.empty[String, Double]))
     // drop floors of queries that left the suite (renames/removals)
     val live = SparkEntry.queries.keySet

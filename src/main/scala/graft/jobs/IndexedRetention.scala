@@ -63,11 +63,14 @@ object IndexedRetention {
     }
     val stats = RetentionJob.run(spark, df, spec, rs, keptPath, backupPath,
       ttlMode, dryRun, jobStartMs)
-    if (stats.effectiveDryRun || stats.dropped == 0L) {
+    if (stats.effectiveDryRun || stats.dropped == 0L || indexes.isEmpty) {
       // dry-run returns before any index deletion (ref :111-115); an
       // empty convicted set has no entries to delete — either way every
       // index table is left byte-untouched (no rewrite, not an empty
-      // overwrite)
+      // overwrite). With NO indexes there is equally nothing to purge:
+      // return before materializing the convicted slice below (the
+      // localCheckpoint is O(dropped) work + pinned blocks spent purely
+      // for purge-consumer agreement — pointless with zero consumers)
       return IndexedRetentionStats(stats,
         indexes.map(_.indexCol -> 0L).toMap)
     }

@@ -563,18 +563,34 @@ object Similarity {
 
   /** Every ⌈n/count⌉-th corpus vector by id (ascending, first `count`) —
     * the deterministic no-RNG sample that seeds strided centroids and PQ
-    * codebooks. Bounded collect: ≤ count rows by construction. */
+    * codebooks. Bounded collect: ≤ count rows by construction.
+    *
+    * ASSUMES DENSE ids 0..n−1 (the oracle replays `id % step = 0`
+    * literally, so the stride must stay on raw ids — a rank-derived
+    * stride would break bit-parity with every PQ/IVF oracle). Under
+    * dense ids the sample is EXACTLY min(count, n) rows
+    * (step ≤ n/count ⇒ (count−1)·step ≤ n−1); sparse or offset ids make
+    * it smaller, which used to silently shrink nlist/ksub (degraded
+    * recall) or fail later with an opaque empty-tensor error — now
+    * validated here with the assumption named. */
   private def stridedVectorSample(
       corpus: DataFrame, n: Long, count: Int,
       corpusId: String, corpusVec: String): Array[Array[Double]] = {
     val step = math.max(1L, n / count)
-    corpus
+    val sampled = corpus
       .filter(pmod(col(corpusId), lit(step)) === 0)
       .orderBy(col(corpusId))
       .limit(count)
       .select(col(corpusVec).cast("array<double>"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    val expected = math.min(count.toLong, n).toInt
+    require(sampled.length == expected,
+      s"strided sample got ${sampled.length} of $expected vectors — the " +
+        s"'$corpusId' column must be dense 0..${n - 1} (strided sampling " +
+        "takes id % step = 0; sparse/offset ids under-fill the sample " +
+        "and silently degrade nlist/ksub)")
+    sampled
   }
 
   /** Split sampled full vectors into the m×|sample|×dsub codebook tensor:
