@@ -25,14 +25,25 @@ import org.apache.spark.sql.functions._
   *   AnnIndexMain mode=build kind=ivf src=<parquet> index=<dir> \
   *     [nlist=16] [kmeans=false] [iters=2] [id=vec_id] [vec=embedding]
   *   AnnIndexMain mode=build kind=ivfpq src=<parquet> index=<dir> \
-  *     [nlist=16] [m=8] [ksub=16] [dims=64] [id=vec_id] [vec=embedding]
+  *     [nlist=16] [m=8] [ksub=16] [dims=64] [residual=false] \
+  *     [cbiters=0 — >0 trains k-means codebooks] [id=vec_id] [vec=embedding]
   *   AnnIndexMain mode=probe kind=ivf|ivfpq index=<dir> \
   *     queries=<parquet> out=<dir> [k=10] [nprobe=4] [metric=dot] \
-  *     [qid=query_id] [qvec=query_vec] [id=vec_id] [vec=embedding]
+  *     [residual=false] [qid=query_id] [qvec=query_vec] [id=vec_id] \
+  *     [vec=embedding]
   *   AnnIndexMain mode=append kind=ivf|ivfpq index=<dir> \
-  *     delta=<parquet> [metric=dot] [id=vec_id] [vec=embedding]
+  *     delta=<parquet> [metric=dot] [residual=false] [id=vec_id] \
+  *     [vec=embedding]
   *   AnnIndexMain mode=retain kind=ivf|ivfpq index=<dir> \
   *     convicted=<parquet carrying the id column> [id=vec_id]
+  *
+  * The row table (assigned/encoded) is written PARTITIONED BY `__list`
+  * — build, append, and retain all preserve the layout — so a probe of
+  * `nprobe` lists reads `nprobe` directories: the probe operators push
+  * a static `IN (probed lists)` filter on the partition column
+  * (planning-time pruning, no dynamic-pruning heuristics), which is
+  * what keeps per-batch query I/O at corpus·nprobe/nlist when the
+  * table is 100 TB.
   *
   * Strided builds (the default) assume the id column is DENSE 0..n−1:
   * the deterministic sample takes `id % step = 0`, so sparse or offset
@@ -83,6 +94,10 @@ object AnnIndexMain {
     val index = opts("index")
     val id = opts.getOrElse("id", "vec_id")
     val vec = opts.getOrElse("vec", "embedding")
+    val residual = opts.getOrElse("residual", "false").toBoolean
+    // the row table is partitioned by list id on every rewrite so probes
+    // prune to their nprobe directories (see object doc)
+    val byList = Seq("__list")
 
     opts.getOrElse("mode", "build") match {
       case "build" =>
@@ -96,15 +111,18 @@ object AnnIndexMain {
                   opts.getOrElse("iters", "2").toInt, id, vec)
               else Similarity.buildIvfIndex(src, nlist, id, vec)
             cents.write.mode("overwrite").parquet(s"$index/centroids")
-            writeCounted(spark, assigned, s"$index/assigned")
+            writeCounted(spark, assigned, s"$index/assigned",
+              partitionBy = byList)
           case _ =>
             val (cents, cbs, encoded) = Similarity.buildIvfPqIndex(src,
               nlist, opts.getOrElse("m", "8").toInt,
               opts.getOrElse("ksub", "16").toInt,
-              opts.getOrElse("dims", "64").toInt, id, vec)
+              opts.getOrElse("dims", "64").toInt, id, vec,
+              residual, opts.getOrElse("cbiters", "0").toInt)
             cents.write.mode("overwrite").parquet(s"$index/centroids")
             cbs.write.mode("overwrite").parquet(s"$index/codebooks")
-            writeCounted(spark, encoded, s"$index/encoded")
+            writeCounted(spark, encoded, s"$index/encoded",
+              partitionBy = byList)
         }
         s"""{"mode":"build","kind":"$kind","rows":$rows,"nlist":$nlist}"""
 
@@ -122,7 +140,7 @@ object AnnIndexMain {
           case _ => Similarity.ivfpqTopKFromIndex(cents,
             spark.read.parquet(s"$index/codebooks"),
             spark.read.parquet(s"$index/encoded"), queries, k, nprobe,
-            id, qid, qvec)
+            id, qid, qvec, residual)
         }
         val out = opts("out")
         val rows = writeCounted(spark, top, out, staged = false)
@@ -139,9 +157,11 @@ object AnnIndexMain {
           case _ => ("encoded",
             spark.read.parquet(s"$index/encoded").unionByName(
               Similarity.ivfpqAppendToIndex(cents,
-                spark.read.parquet(s"$index/codebooks"), delta, id, vec)))
+                spark.read.parquet(s"$index/codebooks"), delta, id, vec,
+                residual)))
         }
-        val rows = writeCounted(spark, appended, s"$index/$table")
+        val rows = writeCounted(spark, appended, s"$index/$table",
+          partitionBy = byList)
         s"""{"mode":"append","kind":"$kind","rows":$rows}"""
 
       case "retain" =>
@@ -149,7 +169,8 @@ object AnnIndexMain {
         val table = if (kind == "ivf") "assigned" else "encoded"
         val maintained = jobs.ArtifactRetention.retainRows(
           spark.read.parquet(s"$index/$table"), convicted, id)
-        val rows = writeCounted(spark, maintained, s"$index/$table")
+        val rows = writeCounted(spark, maintained, s"$index/$table",
+          partitionBy = byList)
         s"""{"mode":"retain","kind":"$kind","rows":$rows}"""
 
       case other => sys.error(s"unknown mode '$other'")

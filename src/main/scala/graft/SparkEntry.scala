@@ -1352,6 +1352,68 @@ object SparkEntry {
         .topKPerQuery(scored, 10, "query_id", "cos_r", "vec_id")
       operators.Similarity.recallAtK(approx, exact, 10)
     }),
+    // DECOUPLED IVF-PQ (nlist ≠ ksub): nlist is the √N scale knob and
+    // must move freely of the code width — this gate runs the
+    // two-INDEPENDENT-strides branch of the table derivation (coarse
+    // sample at n/32, codebook sample at n/16) end-to-end against a
+    // two-CTE oracle; the coincident-sample gates above (nlist = ksub =
+    // 16, one shared sample) cannot see a regression in that branch.
+    "q_sim_ann_ivfpq_decoupled" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      operators.Similarity.ivfpqTopK(emb, q, k = 10, nlist = 32, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("pq_score"), col("rank"))
+    }),
+    // RESIDUAL IVF-PQ (decoupled shape): codes quantize v −
+    // centroid[assigned list], scores add dot(q, centroid[list]) back —
+    // the recall-competitive composed layout. Residual subtraction is
+    // elementwise (order-free), codebook residuals derive from the same
+    // strided sample, so the operator keeps an exact oracle.
+    "q_sim_ann_ivfpq_residual" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      operators.Similarity.ivfpqTopK(emb, q, k = 10, nlist = 32, nprobe = 4,
+          residual = true)
+        .select(col("query_id"), col("vec_id"), col("pq_score"), col("rank"))
+    }),
+    // recall@10 of the PERSISTED residual IVF-PQ index against exact
+    // brute force, at the same (nlist, nprobe, m, ksub) as
+    // q_ann_recall_ivfpq so the residual/non-residual figures compare
+    // directly in the gate artifact. The ≥ assertion lives in the
+    // clustered-fixture spec: residual PQ wins where the coarse stage
+    // explains real between-cluster variance; on THIS near-uniform
+    // corpus the strided "centroids" are arbitrary vectors, so
+    // subtracting them does not concentrate residuals and the figure
+    // lands below plain PQ — the gate pins determinism + the storage
+    // round trip (buildIvfPqIndex(residual) → ivfpqTopKFromIndex), not
+    // a quality ordering that does not exist on uniform data.
+    "q_ann_recall_ivfpq_residual" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val art = artifactPath(dir, "ivfpq_res_index")
+      dumpOnce(art) {
+        val (cents, cbs, encoded) = operators.Similarity
+          .buildIvfPqIndex(emb, nlist = 16, residual = true)
+        cents.write.mode("overwrite").parquet(s"$art/centroids")
+        cbs.write.mode("overwrite").parquet(s"$art/codebooks")
+        encoded.write.mode("overwrite").parquet(s"$art/encoded")
+      }
+      val approx = operators.Similarity.ivfpqTopKFromIndex(
+        s.read.parquet(s"$art/centroids"), s.read.parquet(s"$art/codebooks"),
+        s.read.parquet(s"$art/encoded"), q, k = 10, nprobe = 4,
+        residual = true)
+      val scored = emb.crossJoin(broadcast(q)).select(
+        col("query_id"), col("vec_id"),
+        round(operators.Similarity.cosine(
+          col("embedding").cast("array<double>"),
+          col("query_vec").cast("array<double>")), 6).as("cos_r"))
+      val exact = operators.Similarity
+        .topKPerQuery(scored, 10, "query_id", "cos_r", "vec_id")
+      operators.Similarity.recallAtK(approx, exact, 10)
+    }),
     // two-stage retrieval: PQ shortlist of 50 → exact cosine re-rank —
     // the production ANN shape (quantized recall, exact final scores)
     "q_sim_ann_pq_rerank" -> ((s, dir) => {
@@ -2097,14 +2159,17 @@ object SparkEntry {
         col("doc_id"), col("lang"), col("source"),
         concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@example.com end")).as("text"))
-      // staged composition (the scale path): each stage materializes once
-      // instead of re-evaluating the whole upstream rewrite per reference
-      val staging = s"$scratchRoot/" +
-        s"graft_clean_staging_${new java.io.File(dir).getName}"
-      jobs.CleanJob.cleanStaged(s, withPii, jobs.CleanJob.CleanOptions(
+      // pinned composition (the scale path): each stage materializes
+      // ONCE instead of re-evaluating the whole upstream rewrite per
+      // reference — via localCheckpoint, not staged parquet: within one
+      // job the fs round trip buys only the per-stage debug artifact
+      // (see CleanJob.cleanCheckpointed; CleanJob.run keeps the staged
+      // form for that contract, and CleanJobSpec pins all three forms
+      // bit-identical)
+      jobs.CleanJob.cleanCheckpointed(withPii, jobs.CleanJob.CleanOptions(
           segmentDelim = " the ", segmentJoiner = " the ", spanW = 8,
           splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-          seed = 42L), staging)
+          seed = 42L))
         .select("doc_id", "lang", "source", "n_pii",
           "n_segments_dropped", "n_tokens_removed", "split", "text")
     }),
@@ -3450,6 +3515,154 @@ object SparkEntry {
        JOIN probed p ON p.query_id = s.query_id AND p.list = a.list
        QUALIFY rank <= 10"""
 
+  /** Coarse-quantizer CTEs at an INDEPENDENT stride (n // nlist) — the
+    * SQL counterpart of `ivfpqTables`' two-sample branch for the
+    * DECOUPLED nlist ≠ ksub configuration: `coarse` replays the second
+    * strided sample, `assigned`/`probed` re-derive assignment and
+    * probing from it (dot metric, ties to the larger id). Requires the
+    * `emb` and `q` CTEs of [[pqOracleCore]] in scope. */
+  private def coarseAssignProbeCtes(nlist: Int, nprobe: Int): String =
+    s"""stepn AS (SELECT greatest(1, (SELECT count(*) FROM emb) // $nlist) AS step),
+       coarse AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+         FROM emb, stepn WHERE vec_id % stepn.step = 0
+         ORDER BY vec_id LIMIT $nlist),
+       assigned AS (
+         SELECT e.vec_id,
+           (SELECT c.i FROM coarse c
+            ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC
+            LIMIT 1) AS list
+         FROM emb e),
+       probed AS (
+         SELECT q.query_id, c.i AS list
+         FROM q, LATERAL (SELECT i FROM coarse
+           ORDER BY list_dot_product(q.qv, coarse.v) DESC, i DESC
+           LIMIT $nprobe) c)"""
+
+  /** Exact oracle for the DECOUPLED IVF-PQ gate: [[pqOracleCore]]'s
+    * quantized scores (codebook sample at stride n/16) restricted by a
+    * coarse quantizer sampled at the INDEPENDENT stride n/32. */
+  private lazy val ivfpqDecoupledOracleSql: String =
+    s"""$pqOracleCore,
+       ${coarseAssignProbeCtes(32, 4)}
+       SELECT s.query_id, s.vec_id, s.pq_score,
+         CAST(row_number() OVER (PARTITION BY s.query_id
+           ORDER BY s.pq_score DESC, s.vec_id) AS INT) AS rank
+       FROM scored s
+       JOIN assigned a ON a.vec_id = s.vec_id
+       JOIN probed p ON p.query_id = s.query_id AND p.list = a.list
+       QUALIFY rank <= 10"""
+
+  /** CTE chain of the RESIDUAL IVF-PQ oracle, ending in `rscored
+    * (query_id, vec_id, pq_score)`: codebooks derive from RESIDUALS of
+    * the strided sample (each sampled vector minus its dot-nearest
+    * coarse centroid, elementwise — order-free, so plain `a[i] - b[i]`
+    * reproduces the engine bit-for-bit), corpus codes quantize the
+    * corpus residuals the same way, and the score re-adds the
+    * per-(query, probed list) scalar `dot(q, centroid[list])` FIRST in
+    * the ascending-j sum — the engine's exact fold order
+    * `((qc + t0) + t1) + …`. */
+  private def ivfpqResidualCtes(nlist: Int, nprobe: Int): String = {
+    val m = 8; val ksub = 16; val dsub = 8
+    val js = (0 until m).map(j => s"($j)").mkString(", ")
+    def sub(vec: String, j: String) = s"$vec[$j*$dsub+1:($j+1)*$dsub]"
+    val terms = (0 until m).map(j => s"t$j.d").mkString(" + ")
+    val termJoins = (0 until m).map { j =>
+      val t = s"(SELECT query_id, vec_id, d FROM terms WHERE j = $j) t$j"
+      if (j == 0) s"FROM $t" else s"JOIN $t USING (query_id, vec_id)"
+    }.mkString(" ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       stepc AS (SELECT greatest(1, (SELECT count(*) FROM emb) // $ksub) AS step),
+       cent AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+         FROM emb, stepc WHERE vec_id % stepc.step = 0
+         ORDER BY vec_id LIMIT $ksub),
+       stepn AS (SELECT greatest(1, (SELECT count(*) FROM emb) // $nlist) AS step),
+       coarse AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+         FROM emb, stepn WHERE vec_id % stepn.step = 0
+         ORDER BY vec_id LIMIT $nlist),
+       centr AS (
+         SELECT cent.i,
+           list_transform(range(1, len(cent.v) + 1),
+             ii -> cent.v[ii] - cw.v[ii]) AS v
+         FROM cent, LATERAL (SELECT c.v FROM coarse c
+           ORDER BY list_dot_product(cent.v, c.v) DESC, c.i DESC
+           LIMIT 1) cw),
+       cb AS (SELECT t.j, centr.i, ${sub("centr.v", "t.j")} AS c
+              FROM centr, (VALUES $js) t(j)),
+       assigned AS (
+         SELECT e.vec_id,
+           (SELECT c.i FROM coarse c
+            ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC
+            LIMIT 1) AS list
+         FROM emb e),
+       eres AS (
+         SELECT e.vec_id, a.list,
+           list_transform(range(1, len(e.v) + 1),
+             ii -> e.v[ii] - cw.v[ii]) AS rv
+         FROM emb e JOIN assigned a USING (vec_id)
+         JOIN coarse cw ON cw.i = a.list),
+       codes AS (
+         SELECT er.vec_id, t.j,
+           (SELECT cb.i FROM cb WHERE cb.j = t.j
+            ORDER BY 2.0 * list_dot_product(${sub("er.rv", "t.j")}, cb.c)
+              - list_dot_product(cb.c, cb.c) DESC, cb.i DESC
+            LIMIT 1) AS code
+         FROM eres er, (VALUES $js) t(j)),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+       probed AS (
+         SELECT q.query_id, c.i AS list, list_dot_product(q.qv, c.v) AS qc
+         FROM q, LATERAL (SELECT i, v FROM coarse
+           ORDER BY list_dot_product(q.qv, coarse.v) DESC, i DESC
+           LIMIT $nprobe) c),
+       dt AS (
+         SELECT q.query_id, cb.j, cb.i,
+           list_dot_product(${sub("q.qv", "cb.j")}, cb.c) AS d
+         FROM q, cb),
+       terms AS (
+         SELECT co.vec_id, dt.query_id, co.j, dt.d
+         FROM codes co JOIN dt ON dt.j = co.j AND dt.i = co.code),
+       rscored AS (
+         SELECT t0.query_id, t0.vec_id, round(p.qc + $terms, 6) AS pq_score
+         $termJoins
+         JOIN assigned a ON a.vec_id = t0.vec_id
+         JOIN probed p ON p.query_id = t0.query_id AND p.list = a.list)"""
+  }
+
+  /** Exact oracle for the residual IVF-PQ gate (decoupled shape). */
+  private lazy val ivfpqResidualOracleSql: String =
+    s"""${ivfpqResidualCtes(32, 4)}
+       SELECT query_id, vec_id, pq_score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY pq_score DESC, vec_id) AS INT) AS rank
+       FROM rscored QUALIFY rank <= 10"""
+
+  /** Exact oracle for residual IVF-PQ recall@10 vs brute force (same
+    * (nlist, nprobe) as the non-residual recall gate). */
+  private lazy val ivfpqResidualRecallOracleSql: String =
+    s"""${ivfpqResidualCtes(16, 4)},
+       approx AS (SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY pq_score DESC, vec_id) AS rank
+           FROM rscored) WHERE rank <= 10),
+       ex AS (SELECT query_id, vec_id FROM (
+           SELECT q.query_id, e.vec_id,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                 e.vec_id) AS rn
+           FROM emb e CROSS JOIN q) WHERE rn <= 10),
+       hits AS (SELECT query_id, count(*) AS n_hits
+                FROM ex JOIN approx USING (query_id, vec_id) GROUP BY 1),
+       ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+              FROM ex GROUP BY 1)
+       SELECT ne.query_id, ne.n_exact,
+         CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+         CAST(coalesce(hits.n_hits, 0) * 1000000 // ne.n_exact AS BIGINT)
+           AS recall_ppm
+       FROM ne LEFT JOIN hits USING (query_id)"""
+
   /** The RHP-LSH signature ([[operators.Similarity.rhpSignature]]) as a
     * DuckDB integer expression over a DOUBLE[] column `v`. */
   private def rhpSigSql(v: String, nbits: Int, bandOffset: Int = 0): String = {
@@ -4650,6 +4863,14 @@ object SparkEntry {
     "q_sim_ann_ivfpq" -> ivfpqOracleSql,
     // same derivation through the stored index — identical oracle
     "q_sim_ann_ivfpq_persisted" -> ivfpqOracleSql,
+    // decoupled nlist ≠ ksub: codebook CTEs at stride n/16, coarse
+    // quantizer CTEs at the INDEPENDENT stride n/32
+    "q_sim_ann_ivfpq_decoupled" -> ivfpqDecoupledOracleSql,
+    // residual PQ: codebooks from sample residuals, codes from corpus
+    // residuals, score = dot(q, centroid[list]) + ascending-j ADC sum
+    "q_sim_ann_ivfpq_residual" -> ivfpqResidualOracleSql,
+    // recall@10 of the PERSISTED residual index vs exact brute force
+    "q_ann_recall_ivfpq_residual" -> ivfpqResidualRecallOracleSql,
     // recall@10 of the IVF-PQ ranking (probed-list-restricted quantized
     // rank) against exact cosine brute force, integer ppm
     "q_ann_recall_ivfpq" ->

@@ -97,6 +97,18 @@ object StreamScaleProbe {
           row_number().over(Window.orderBy("doc_id")) - 1)
         .localCheckpoint()
       val schema = docs.schema
+      // per-acquisition writer-lock waits (ms), drained per wave — the
+      // fairness evidence beside "zero failed drains": a starved writer
+      // shows up as a max/median wait ratio, not as a failure. The
+      // listener registers AFTER day-0 setup so only the measured waves'
+      // acquisitions (K publishes + any auto-compact steps per wave)
+      // are counted.
+      val lockWaits =
+        new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val allWaits = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val waitListener: java.util.function.LongConsumer =
+        w => lockWaits.add(java.lang.Long.valueOf(w))
+      ArtifactStore.addLockWaitListener(waitListener)
       def drainOne(tag: String, b: Int): Unit = {
         val q = graft.streaming.StreamingRetentionJob.runAdmissionStore(
           spark, s"$work/src$tag", schema, corpus, words,
@@ -168,7 +180,12 @@ object StreamScaleProbe {
         // (growing tails) rather than empty appends
         val admittedRows = m.artifacts.find(_.artifact == "admitted_docs")
           .map(_.segments.map(_.rows).sum).getOrElse(0L)
-        println(f"""{"probe":"stream_admit","batch":$b,"n_streams":$nStreams,"wall_sec":$wall%.2f,"store_version":$v,"max_segments":$maxSegs,"admitted_rows":$admittedRows}""")
+        // drain this wave's lock waits (the K publishes + any compact
+        // steps that ran inside it)
+        val waveWaits = Iterator.continually(lockWaits.poll())
+          .takeWhile(_ != null).map(_.longValue()).toSeq.sorted
+        allWaits ++= waveWaits
+        println(f"""{"probe":"stream_admit","batch":$b,"n_streams":$nStreams,"wall_sec":$wall%.2f,"store_version":$v,"max_segments":$maxSegs,"admitted_rows":$admittedRows,"lock_waits_ms":${waveWaits.mkString("[", ",", "]")}}""")
         wall
       }
       def med(xs: Seq[Double]) = xs.sorted.apply((xs.size - 1) / 2)
@@ -176,6 +193,17 @@ object StreamScaleProbe {
       // multi-stream: expected store version = 1 (day-0) + waves×streams
       // publishes — every drain committed exactly once
       val vFinal = ArtifactStore.latestVersion(spark, store).get
+      ArtifactStore.removeLockWaitListener(waitListener)
+      // lock-wait distribution across ALL measured acquisitions: the
+      // wait-serialization fairness statistic (p50/p90/p99/max ms and
+      // the max/median ratio — a starved writer inflates the tail while
+      // the median stays flat)
+      val ws = allWaits.sorted
+      def q(p: Double): Long =
+        if (ws.isEmpty) 0L else ws(math.min(ws.size - 1, (p * ws.size).toInt))
+      val waitRatio =
+        if (ws.isEmpty || q(0.5) == 0L) 0.0 else ws.last.toDouble / q(0.5)
+      println(f"""{"probe":"stream_admit_lock_waits","n_streams":$nStreams,"n_acquisitions":${ws.size},"p50_ms":${q(0.5)},"p90_ms":${q(0.9)},"p99_ms":${q(0.99)},"max_ms":${if (ws.isEmpty) 0L else ws.last},"max_over_median":$waitRatio%.1f}""")
       println(f"""{"probe":"stream_admit_summary","n_batches":$nBatches,"batch_rows":$batchRows,"auto_compact":$autoCompact,"n_streams":$nStreams,"final_version":$vFinal,"median_first_third_sec":${med(walls.take(third))}%.2f,"median_last_third_sec":${med(walls.takeRight(third))}%.2f,"total_sec":${walls.sum}%.2f,"docs":"${opts("docs")}"}""")
     } finally spark.stop()
   }

@@ -110,6 +110,21 @@ object CentroidEval {
     }
     new GenericArrayData(out)
   }
+
+  /** The centroid ROW of list `id` as a double array, or null when the
+    * id is not in the table (fail loudly — an unknown list id must
+    * never look up a plausible-but-wrong row). `offsets` maps id →
+    * row index (built once per expression, shipped as a referenced
+    * object) so the lookup is O(1) in nlist. */
+  def centroidVector(
+      id: Int, flat: Array[Double],
+      offsets: java.util.HashMap[Integer, Integer], dims: Int): Any = {
+    val off = offsets.get(Integer.valueOf(id))
+    if (off == null) return null
+    val out = new Array[Double](dims)
+    System.arraycopy(flat, off.intValue() * dims, out, 0, dims)
+    new GenericArrayData(out)
+  }
 }
 
 /** Shared shape of the two centroid-table expressions: the matrix is a
@@ -407,6 +422,72 @@ case class PqAdcTable(
 
   override protected def withNewChildInternal(
       newChild: Expression): PqAdcTable =
+    copy(child = newChild)
+}
+
+/** The centroid vector of a LIST-ID column — the O(1)-per-row lookup
+  * that residual PQ puts in the corpus encode projection
+  * (`v − centroid[list]`) and the probe projection
+  * (`dot(q, centroid[list])`). Same referenced-object discipline as
+  * [[CentroidTableExpression]], but the child is the assigned list id
+  * (int), not a vector, so it stands alone. Unknown ids yield null
+  * (fail loudly). */
+case class CentroidVector(
+    child: Expression,
+    ids: IndexedSeq[Int],
+    flat: IndexedSeq[Double],
+    dims: Int)
+    extends UnaryExpression {
+
+  require(dims > 0, "dims must be positive")
+  require(ids.nonEmpty, "centroid table must be non-empty")
+  require(flat.length == ids.length * dims,
+    s"flat centroid matrix length ${flat.length} != ${ids.length} ids × $dims dims")
+
+  @transient private lazy val flatArr: Array[Double] = flat.toArray
+  /** id → row offset; HashMap (not an array) because k-means list ids
+    * can be non-contiguous (lists that lost every member have no row). */
+  @transient private lazy val offsets: java.util.HashMap[Integer, Integer] = {
+    val m = new java.util.HashMap[Integer, Integer](ids.length * 2)
+    var j = 0
+    while (j < ids.length) {
+      m.put(Integer.valueOf(ids(j)), Integer.valueOf(j))
+      j += 1
+    }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an int list id, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // unknown id yields null
+  override def prettyName: String = "graft_centroid_vector"
+
+  override def nullSafeEval(in: Any): Any =
+    CentroidEval.centroidVector(
+      in.asInstanceOf[Int], flatArr, offsets, dims)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = ctx.addReferenceObj("centFlat", flatArr, "double[]")
+    val offs = ctx.addReferenceObj("centOffsets", offsets,
+      "java.util.HashMap<Integer, Integer>")
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = graft.functions.CentroidEval.centroidVector(
+         |  $v, $f, $offs, $dims);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CentroidVector =
     copy(child = newChild)
 }
 

@@ -82,6 +82,57 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Elementwise difference of two `array<double>` columns (`a − b`) — the
+  * residual stage of residual product quantization
+  * ([[graft.operators.Similarity.ivfpqTopK]] with `residual = true`):
+  * every corpus vector subtracts its coarse centroid before PQ encoding,
+  * so this sits in the corpus-wide encode projection and must stay
+  * inside whole-stage codegen (the [[VectorDot]] rationale — the
+  * `zip_with` formulation is interpreted).
+  *
+  * Semantics mirror [[VectorDot]] exactly: null array → null
+  * (null-intolerant); arrays of DIFFERENT lengths → null (a dims
+  * mismatch must fail loudly, never subtract a plausible-but-wrong
+  * common prefix); null ELEMENTS read as 0. Per-element double
+  * subtraction is order-free (no fold), so oracle parity needs no
+  * accumulation-order contract — DuckDB's elementwise `a[i] - b[i]`
+  * reproduces it bit-for-bit. */
+case class VectorSubtract(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<double> inputs, got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // dims mismatch yields null
+  override def prettyName: String = "graft_vec_sub"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SignatureEval.vectorSubtract(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = graft.functions.SignatureEval.vectorSubtract($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else {
+         |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorSubtract =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Intersection size of two SORTED, DISTINCT-element `array<string>`
   * columns as one codegen'd two-pointer merge — the per-candidate-pair
   * hot scalar of every exact-Jaccard verify stage. `array_intersect`
@@ -428,6 +479,23 @@ object SignatureEval {
       b += 1
     }
     fp
+  }
+
+  /** Elementwise a − b over two double arrays (see
+    * [[graft.functions.VectorSubtract]]); null on a length mismatch,
+    * null ELEMENTS read as 0 ([[graft.functions.VectorDot]] parity). */
+  def vectorSubtract(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0d else a.getDouble(i)
+      val y = if (b.isNullAt(i)) 0.0d else b.getDouble(i)
+      out(i) = x - y
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Two-pointer merge intersect count over sorted distinct string

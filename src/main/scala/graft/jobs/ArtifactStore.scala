@@ -269,6 +269,30 @@ object ArtifactStore {
     * query over a rival's milliseconds-long publish). Stale-break and
     * Gone-retry run on every poll, so a holder that crashes mid-wait is
     * still broken as soon as it ages past `staleMs`. */
+  /** Observability hook for writer-lock acquisition WAITS: every
+    * successful acquisition reports the wall milliseconds between its
+    * first acquire attempt and holding the lock (0 ≈ uncontended).
+    * Measurement harnesses ([[graft.StreamScaleProbe]]) register a
+    * consumer to publish wait-distribution quantiles — the fairness
+    * evidence (max/median wait) behind the multi-writer scale claims,
+    * where "zero failed drains" alone can hide one starved writer.
+    * Listeners must be cheap and never throw (exceptions are swallowed
+    * — the lock path must not fail on observability). Default: empty. */
+  private val lockWaitListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[
+      java.util.function.LongConsumer]()
+  def addLockWaitListener(l: java.util.function.LongConsumer): Unit =
+    lockWaitListeners.add(l)
+  def removeLockWaitListener(l: java.util.function.LongConsumer): Unit =
+    lockWaitListeners.remove(l)
+  private def reportLockWait(ms: Long): Unit = {
+    val it = lockWaitListeners.iterator()
+    while (it.hasNext) {
+      try it.next().accept(ms)
+      catch { case _: Throwable => () }
+    }
+  }
+
   private def withWriterLock[T](
       spark: SparkSession, f: FileSystem, root: String,
       staleMs: Long, waitMs: Long = 0L)(
@@ -330,6 +354,7 @@ object ArtifactStore {
       out.get
     }
     val waitDeadline = System.currentTimeMillis + math.max(0L, waitMs)
+    val waitStartNs = System.nanoTime()
     var acquired = tryAcquire()
     var exhausted = false
     // one pass per poll; with waitMs = 0 this runs the match exactly
@@ -388,6 +413,7 @@ object ArtifactStore {
       s"artifact store $root: another writer holds ${p} — concurrent " +
         "publishers are serialized; retry after it commits (or after " +
         s"${staleMs}ms if it crashed)")
+    reportLockWait((System.nanoTime() - waitStartNs) / 1000000L)
     try body(new WriterLock(io, p, id))
     finally releaseOwnLock(io, p, id)
   }

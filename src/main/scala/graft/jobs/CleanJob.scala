@@ -88,6 +88,24 @@ object CleanJob {
       stage("segmented", _))
   }
 
+  /** [[cleanStaged]]'s single-evaluation guarantee WITHOUT the durable
+    * staging writes: each stage pins via `localCheckpoint` (eager,
+    * executor-local blocks) instead of a parquet round trip. Within one
+    * job there is no durability contract BETWEEN stages — a lost
+    * executor fails the job under either form and a rerun is clean — so
+    * the fs write buys only the per-stage debug artifact
+    * ([[run]]'s documented contract); when that artifact isn't wanted,
+    * this form does the same linear number of passes minus two
+    * write+read+codec round trips of the corpus. Same rows, same
+    * schema, bit-identical output to [[clean]]/[[cleanStaged]]. */
+  def cleanCheckpointed(df: DataFrame, opts: CleanOptions): DataFrame =
+    // pin BOTH stages: scrubbed is referenced three times downstream
+    // (segmentDedup reads its input twice, the rejoin once) — leaving it
+    // lazy re-runs the regex scrub per reference and measures SLOWER
+    // than the checkpoint (3.4 vs 3.0 s floor at sf0.1)
+    assemble(scrubStage(df, opts).localCheckpoint(), opts,
+      _.localCheckpoint())
+
   /** PII scrub folded to one `n_pii` count, text replaced in place. */
   private def scrubStage(df: DataFrame, opts: CleanOptions): DataFrame =
     if (opts.scrubPii)

@@ -395,6 +395,25 @@ object Similarity {
       ColumnBridge.expression(vec.cast("array<double>")), flat, m, dsub, ksub))
   }
 
+  /** Elementwise a − b via the codegen'd
+    * [[graft.functions.VectorSubtract]] — the residual-PQ subtraction. */
+  private[graft] def vectorSubtract(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.VectorSubtract(
+      ColumnBridge.expression(a.cast("array<double>")),
+      ColumnBridge.expression(b)))
+  }
+
+  /** Centroid row of a list-id COLUMN via the codegen'd
+    * [[graft.functions.CentroidVector]] (O(1) lookup per row). */
+  private[graft] def centroidVectorCol(
+      listId: Column, centroids: Array[(Int, Seq[Double])]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (ids, flat, dims) = centroidArgs(centroids)
+    ColumnBridge.column(graft.functions.CentroidVector(
+      ColumnBridge.expression(listId), ids, flat, dims))
+  }
+
   /** Index of the nearest centroid (max dot; ties to the LARGER id). */
   private def ivfNearestList(
       vec: Column, centroids: Array[(Int, Seq[Double])]): Column =
@@ -549,16 +568,50 @@ object Similarity {
     // probe under the metric the index was BUILT with ([[buildIvfIndex]]
     // = dot, [[buildIvfIndexKmeans]] = l2) — a mismatched probe walks
     // lists the assignment never filled
+    val l2 = metric == "l2"
     val probeLists =
-      if (metric == "l2") ivfL2ProbeLists(col(queryVec), centroids, nprobe)
+      if (l2) ivfL2ProbeLists(col(queryVec), centroids, nprobe)
       else ivfProbeLists(col(queryVec), centroids, nprobe)
     val probed = queries.withColumn("__list", explode(probeLists))
-    val joined = assigned.join(broadcast(probed), "__list")
+    val pruned = pruneToProbedLists(
+      assigned, queries, centroids, nprobe, l2, queryVec)
+    val joined = pruned.join(broadcast(probed), "__list")
     val scored = joined.select(
       col(queryId), col(corpusId),
       cosine(col(corpusVec).cast("array<double>"),
         col(queryVec).cast("array<double>")).as("cos"))
     topKPerQuery(scored, k, queryId, "cos", corpusId)
+  }
+
+  /** Restrict a STORED row table (assigned/encoded, list-partitioned on
+    * storage) to the union of the query batch's probed lists as a
+    * STATIC `IN` filter on `__list`. The broadcast equi-join alone
+    * already restricts the RESULT to probed lists, but it restricts the
+    * SCAN to nothing — every file of the table streams through the join
+    * probe. A literal IN over the partition column prunes at planning
+    * time, so a batch probing `p` distinct lists reads `p` directories
+    * of a [[buildIvfIndex]]/[[buildIvfPqIndex]] table written
+    * `partitionBy("__list")` (and row-group stats still prune an
+    * unpartitioned one). Deterministic — no dynamic-partition-pruning
+    * heuristics to qualify for. Cost: ONE extra tiny job over the query
+    * batch; the collected list set is bounded by min(nlist,
+    * |queries|·nprobe) BY CONSTRUCTION (probe ids live in the centroid
+    * table). Semantically invisible: filter ∘ join ≡ join. Skipped when
+    * the batch probes every list (filter would be a no-op). */
+  private def pruneToProbedLists(
+      table: DataFrame,
+      queries: DataFrame,
+      centroids: Array[(Int, Seq[Double])],
+      nprobe: Int,
+      l2: Boolean,
+      queryVec: String): DataFrame = {
+    val probedIds = queries
+      .select(explode(
+        probeCentroidsCol(col(queryVec), centroids, nprobe, l2)).as("__l"))
+      .distinct().collect().map(_.getInt(0)) // bounded: ≤ nlist rows
+    if (probedIds.length >= centroids.length) table
+    else table.filter(col("__list")
+      .isInCollection(probedIds.toSeq.map(Int.box)))
   }
 
   /** Every ⌈n/count⌉-th corpus vector by id (ascending, first `count`) —
@@ -680,7 +733,7 @@ object Similarity {
     * corpus pass serves both. */
   private def ivfpqTables(
       corpus: DataFrame, nlist: Int, m: Int, ksub: Int, dims: Int,
-      corpusId: String, corpusVec: String)
+      corpusId: String, corpusVec: String, residual: Boolean = false)
       : (Array[(Int, Seq[Double])], Array[Array[Array[Double]]]) = {
     require(dims % m == 0, s"dims=$dims must split into m=$m sub-spaces")
     val dsub = dims / m
@@ -691,7 +744,142 @@ object Similarity {
       else stridedVectorSample(corpus, n, ksub, corpusId, corpusVec)
     val coarse: Array[(Int, Seq[Double])] =
       coarseSample.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-    (coarse, deriveCodebooks(cbSample, m, dsub))
+    // residual PQ: codebooks train on v − centroid[assigned list] of the
+    // SAME strided sample (still deterministic, still SQL-derivable —
+    // the oracle subtracts from the same centroid CTE). Assignment here
+    // must be bit-parity with the corpus-side encode assignment, so it
+    // goes through the very evaluator the codegen'd expression calls.
+    val cbVectors =
+      if (!residual) cbSample
+      else residualsOf(cbSample, coarse, dims)
+    (coarse, deriveCodebooks(cbVectors, m, dsub))
+  }
+
+  /** Driver-side residuals `v − centroid[nearest(v)]` under the dot
+    * metric — routed through [[graft.functions.CentroidEval.nearest]]
+    * (the exact evaluator behind [[nearestCentroidCol]]) so the sampled
+    * codebook residuals use the SAME assignment the corpus encode does,
+    * bit for bit. Bounded: |sample| × nlist·dims driver flops. */
+  private def residualsOf(
+      sample: Array[Array[Double]], coarse: Array[(Int, Seq[Double])],
+      dims: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val ids = coarse.map(_._1)
+    val flat = coarse.flatMap(_._2)
+    val cc = new Array[Double](ids.length) // zeros: dot metric has no bias
+    sample.map { v =>
+      val id = graft.functions.CentroidEval
+        .nearest(new GenericArrayData(v), flat, ids, cc, dims, l2 = false)
+        .asInstanceOf[Integer]
+      require(id != null, "dims mismatch between sample vector and centroids")
+      val off = ids.indexOf(id.intValue()) * dims
+      Array.tabulate(dims)(i => v(i) - flat(off + i))
+    }
+  }
+
+  /** LEARNED (per-sub-space Lloyd-iterated) PQ codebooks — the
+    * [[buildIvfIndexKmeans]] option for the codebook side: each of the
+    * `m` sub-spaces runs [[Clustering.kmeansCentroids]] over the
+    * corpus' sub-vectors (strided-id seeding, exact-integer updates —
+    * the same bounded driver iteration and determinism contract), so
+    * the codes track the sub-space's actual modes instead of a strided
+    * sample. Build cost: m·iters corpus passes vs the strided
+    * derivation's zero extra passes — the index-quality ↔ build-cost
+    * trade, chosen per corpus (persist the corpus projection before
+    * calling when the scan is expensive). A sub-space whose k-means
+    * loses clusters yields fewer codes; ALL sub-spaces are truncated to
+    * the minimum so the tensor stays rectangular (codes are positional).
+    * Encode/ADC treat these codebooks identically to strided ones —
+    * same expressions, same dataflow — but the derivation folds
+    * micro-quantized means, so there is NO closed-form SQL oracle: the
+    * k-means option is spec-gated (recall ≥ strided on clustered data),
+    * while the gated queries pin the deterministic strided default. */
+  private[graft] def deriveCodebooksKmeans(
+      corpus: DataFrame, m: Int, ksub: Int, dims: Int, iters: Int,
+      corpusId: String, corpusVec: String): Array[Array[Array[Double]]] = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m sub-spaces")
+    val dsub = dims / m
+    val v = col(corpusVec).cast("array<double>")
+    val raw = (0 until m).map { j =>
+      val sub = corpus.select(col(corpusId).as("__id"),
+        slice(v, j * dsub + 1, dsub).as("__sub"))
+      Clustering.kmeansCentroids(sub, "__id", "__sub", ksub, iters)
+        .map(_._2.toArray).toArray
+    }
+    val minK = raw.map(_.length).min
+    require(minK >= 1, "k-means lost every cluster in some sub-space")
+    raw.map(_.take(minK)).toArray
+  }
+
+  /** Corpus side of the composed IVF-PQ layout: list assignment + PQ
+    * codes in one map-only pass (two chained projections Catalyst
+    * collapses into one codegen stage). With `residual = true` the
+    * codes quantize `v − centroid[list]` instead of the raw vector —
+    * the subtraction and the centroid lookup are both codegen'd
+    * ([[graft.functions.VectorSubtract]]/
+    * [[graft.functions.CentroidVector]]), so the encode stays one
+    * whole-stage projection either way. */
+  private def ivfpqEncode(
+      corpus: DataFrame,
+      coarse: Array[(Int, Seq[Double])],
+      codebooks: Array[Array[Array[Double]]],
+      residual: Boolean,
+      corpusId: String, corpusVec: String): DataFrame = {
+    val v = col(corpusVec)
+    if (!residual)
+      corpus.select(
+        col(corpusId),
+        nearestCentroidCol(v, coarse, l2 = false).as("__list"),
+        pqEncodeCol(v, codebooks).as("__code"))
+    else
+      corpus.select(
+          col(corpusId), v.cast("array<double>").as("__v"),
+          nearestCentroidCol(v, coarse, l2 = false).as("__list"))
+        .select(
+          col(corpusId), col("__list"),
+          pqEncodeCol(
+            vectorSubtract(col("__v"), centroidVectorCol(col("__list"), coarse)),
+            codebooks).as("__code"))
+  }
+
+  /** Query side + scoring of the composed IVF-PQ layout: probed lists
+    * (exploded) + the per-query ADC table, equi-joined against the
+    * (bucketable) code table, scored by m ordered lookups summed
+    * left-to-right. Residual scoring adds the per-(query, probed list)
+    * scalar `dot(q, centroid[list])` FIRST in the fold
+    * (dot(q, v) ≈ dot(q, c) + Σⱼ dot(qⱼ, cb[codeⱼ]) — the ADC table is
+    * list-independent under inner product, which is what keeps residual
+    * probing one table per query, not one per (query, list)). */
+  private def ivfpqScore(
+      encoded: DataFrame,
+      queries: DataFrame,
+      coarse: Array[(Int, Seq[Double])],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int, nprobe: Int, residual: Boolean,
+      corpusId: String, queryId: String, queryVec: String): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val qv = col(queryVec)
+    val base = queries.select(
+      col(queryId),
+      explode(probeCentroidsCol(qv, coarse, nprobe, l2 = false)).as("__list"),
+      qv.cast("array<double>").as("__qv"),
+      pqAdcCol(qv, codebooks).as("__dt"))
+    val probed =
+      if (!residual) base.select(col(queryId), col("__list"), col("__dt"))
+      else base.select(col(queryId), col("__list"),
+        dot(col("__qv"), centroidVectorCol(col("__list"), coarse)).as("__qc"),
+        col("__dt"))
+    val joined = encoded.join(broadcast(probed), "__list")
+    val terms = (0 until m)
+      .map(j => element_at(col("__dt"),
+        element_at(col("__code"), j + 1) + lit(j * ksub + 1)))
+    val score =
+      ((if (residual) Seq(col("__qc")) else Seq.empty[Column]) ++ terms)
+        .reduce(_ + _)
+    val scored = joined.select(
+      col(queryId), col(corpusId), round(score, 6).as("pq_score"))
+    topKPerQuery(scored, k, queryId, "pq_score", corpusId)
   }
 
   /** IVF-PQ: the composed 100 TB ANN layout — a coarse quantizer routes
@@ -709,10 +897,17 @@ object Similarity {
     * [[graft.functions.PqAdcTable]]. Everything is deterministic
     * (strided samples, ascending-index folds), so the composed operator
     * keeps an exact oracle.
-    * Non-residual variant (codes quantize raw vectors, not v−centroid):
-    * residual PQ needs per-list codebooks trained on residuals — swap the
-    * codebook derivation; the dataflow (assign + encode map-only, probe
-    * equi-join, two-phase rank) is unchanged. */
+    *
+    * `residual = true` switches to RESIDUAL PQ (the layout that keeps
+    * the composed index competitive on recall at real scale): codebooks
+    * train on `v − centroid[assigned list]` of the strided sample, codes
+    * quantize the residual, and scores decompose as
+    * `dot(q, c_list) + Σⱼ dt[j][codeⱼ]` — under inner product the ADC
+    * table is list-INDEPENDENT, so residual probing adds one scalar per
+    * (query, probed list), not a table. Residuals concentrate around the
+    * origin (the coarse stage explains the between-list variance), so a
+    * fixed code budget spends its resolution on within-list structure.
+    * Still strided + elementwise-deterministic → still exact-oracled. */
   def ivfpqTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -725,29 +920,14 @@ object Similarity {
       corpusId: String = "vec_id",
       corpusVec: String = "embedding",
       queryId: String = "query_id",
-      queryVec: String = "query_vec"): DataFrame = {
+      queryVec: String = "query_vec",
+      residual: Boolean = false): DataFrame = {
     val (coarse, codebooks) =
-      ivfpqTables(corpus, nlist, m, ksub, dims, corpusId, corpusVec)
-    // corpus side: list assignment + PQ codes in one map-only pass
-    val v = col(corpusVec)
-    val encoded = corpus.select(
-      col(corpusId),
-      nearestCentroidCol(v, coarse, l2 = false).as("__list"),
-      pqEncodeCol(v, codebooks).as("__code"))
-    // query side: probed lists (exploded) + the ADC table
-    val qv = col(queryVec)
-    val probed = queries.select(
-      col(queryId),
-      explode(probeCentroidsCol(qv, coarse, nprobe, l2 = false)).as("__list"),
-      pqAdcCol(qv, codebooks).as("__dt"))
-    val joined = encoded.join(broadcast(probed), "__list")
-    val score = (0 until m)
-      .map(j => element_at(col("__dt"),
-        element_at(col("__code"), j + 1) + lit(j * ksub + 1)))
-      .reduce(_ + _)
-    val scored = joined.select(
-      col(queryId), col(corpusId), round(score, 6).as("pq_score"))
-    topKPerQuery(scored, k, queryId, "pq_score", corpusId)
+      ivfpqTables(corpus, nlist, m, ksub, dims, corpusId, corpusVec, residual)
+    val encoded =
+      ivfpqEncode(corpus, coarse, codebooks, residual, corpusId, corpusVec)
+    ivfpqScore(encoded, queries, coarse, codebooks, k, nprobe, residual,
+      corpusId, queryId, queryVec)
   }
 
   /** Build a PERSISTED IVF-PQ index — [[buildIvfIndex]]'s shape for the
@@ -762,7 +942,15 @@ object Similarity {
     * [[ivfpqTopKFromIndex]] against the stored tables — no codebook
     * recomputation, no corpus-vector reads at query time at all (the
     * in-one-pass [[ivfpqTopK]] recomputes both samples per call).
-    * Same derivation as [[ivfpqTopK]], so results are identical. */
+    * Same derivation as [[ivfpqTopK]], so results are identical.
+    *
+    * Options mirror the operator family: `residual = true` builds the
+    * residual-PQ layout (see [[ivfpqTopK]] — probe/append must then be
+    * called with the same flag, the caller-carried-metric discipline of
+    * [[ivfAppendToIndex]]: residual-ness is not detectable from the
+    * stored tables); `codebookIters > 0` trains the codebooks with
+    * per-sub-space k-means instead of the strided sample
+    * ([[deriveCodebooksKmeans]] — spec-gated, no SQL oracle). */
   def buildIvfPqIndex(
       corpus: DataFrame,
       nlist: Int = 16,
@@ -770,11 +958,21 @@ object Similarity {
       ksub: Int = 16,
       dims: Int = 64,
       corpusId: String = "vec_id",
-      corpusVec: String = "embedding"): (DataFrame, DataFrame, DataFrame) = {
+      corpusVec: String = "embedding",
+      residual: Boolean = false,
+      codebookIters: Int = 0): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
-    val (coarse, codebooks) =
-      ivfpqTables(corpus, nlist, m, ksub, dims, corpusId, corpusVec)
+    require(!(residual && codebookIters > 0),
+      "residual codebooks are derived from the strided sample; k-means " +
+        "codebook training on residuals is not supported (train " +
+        "non-residual or drop codebookIters)")
+    val (coarse, codebooks0) =
+      ivfpqTables(corpus, nlist, m, ksub, dims, corpusId, corpusVec, residual)
+    val codebooks =
+      if (codebookIters <= 0) codebooks0
+      else deriveCodebooksKmeans(
+        corpus, m, ksub, dims, codebookIters, corpusId, corpusVec)
     val spark = corpus.sparkSession
     val centroidsDf = spark.createDataFrame(
       java.util.Arrays.asList(coarse.map { case (i, c) => Row(i, c) }: _*),
@@ -790,11 +988,8 @@ object Similarity {
         StructField("j", IntegerType, nullable = false),
         StructField("i", IntegerType, nullable = false),
         StructField("centroid", ArrayType(DoubleType), nullable = false))))
-    val v = col(corpusVec)
-    val encoded = corpus.select(
-      col(corpusId),
-      nearestCentroidCol(v, coarse, l2 = false).as("__list"),
-      pqEncodeCol(v, codebooks).as("__code"))
+    val encoded =
+      ivfpqEncode(corpus, coarse, codebooks, residual, corpusId, corpusVec)
     (centroidsDf, codebooksDf, encoded)
   }
 
@@ -817,7 +1012,10 @@ object Similarity {
     * explodes each query into its `nprobe` lists, equi-joins the
     * (bucketed) code table, and scores candidates by m ADC lookups —
     * per-batch cost is the probed lists' CODES only; neither the corpus
-    * vectors nor any corpus-wide derivation is touched at query time. */
+    * vectors nor any corpus-wide derivation is touched at query time.
+    * `residual` must match the build (caller-carried, the
+    * [[ivfAppendToIndex]] metric discipline — residual-ness is not
+    * detectable from the stored tables). */
   def ivfpqTopKFromIndex(
       centroidsDf: DataFrame,
       codebooksDf: DataFrame,
@@ -827,26 +1025,18 @@ object Similarity {
       nprobe: Int = 4,
       corpusId: String = "vec_id",
       queryId: String = "query_id",
-      queryVec: String = "query_vec"): DataFrame = {
+      queryVec: String = "query_vec",
+      residual: Boolean = false): DataFrame = {
     val coarse: Array[(Int, Seq[Double])] = centroidsDf
       .orderBy("list").collect() // bounded: nlist rows
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
     val codebooks = collectCodebooks(codebooksDf)
-    val ksub = codebooks.head.length
-    val m = codebooks.length
-    val qv = col(queryVec)
-    val probed = queries.select(
-      col(queryId),
-      explode(probeCentroidsCol(qv, coarse, nprobe, l2 = false)).as("__list"),
-      pqAdcCol(qv, codebooks).as("__dt"))
-    val joined = encoded.join(broadcast(probed), "__list")
-    val score = (0 until m)
-      .map(j => element_at(col("__dt"),
-        element_at(col("__code"), j + 1) + lit(j * ksub + 1)))
-      .reduce(_ + _)
-    val scored = joined.select(
-      col(queryId), col(corpusId), round(score, 6).as("pq_score"))
-    topKPerQuery(scored, k, queryId, "pq_score", corpusId)
+    // static scan pruning to the probed lists (see [[pruneToProbedLists]]
+    // — a list-partitioned stored table reads nprobe directories)
+    val pruned = pruneToProbedLists(
+      encoded, queries, coarse, nprobe, l2 = false, queryVec)
+    ivfpqScore(pruned, queries, coarse, codebooks, k, nprobe, residual,
+      corpusId, queryId, queryVec)
   }
 
   /** Append a delta batch to a PERSISTED IVF-PQ index — with the
@@ -856,22 +1046,23 @@ object Similarity {
     * the table a full rebuild under the same tables would —
     * O(|delta|) per batch (spec-pinned). Codebook/centroid retraining
     * stays a nightly [[buildIvfPqIndex]] rebuild, the same
-    * reconciliation split as [[ivfAppendToIndex]]. */
+    * reconciliation split as [[ivfAppendToIndex]]. `residual` must
+    * match the build (caller-carried — a mismatched append encodes
+    * raw vectors against residual codebooks, the silent
+    * append ≠ rebuild recall-loss symptom the metric discipline
+    * exists to prevent). */
   def ivfpqAppendToIndex(
       centroidsDf: DataFrame,
       codebooksDf: DataFrame,
       delta: DataFrame,
       corpusId: String = "vec_id",
-      corpusVec: String = "embedding"): DataFrame = {
+      corpusVec: String = "embedding",
+      residual: Boolean = false): DataFrame = {
     val coarse: Array[(Int, Seq[Double])] = centroidsDf
       .orderBy("list").collect() // bounded: nlist rows
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
     val codebooks = collectCodebooks(codebooksDf)
-    val v = col(corpusVec)
-    delta.select(
-      col(corpusId),
-      nearestCentroidCol(v, coarse, l2 = false).as("__list"),
-      pqEncodeCol(v, codebooks).as("__code"))
+    ivfpqEncode(delta, coarse, codebooks, residual, corpusId, corpusVec)
   }
 
   /** Two-stage retrieval: PQ shortlist → EXACT cosine re-rank — the

@@ -53,6 +53,11 @@ class CleanJobSpec extends SparkSpec {
     val stagedRows = CleanJob.cleanStaged(spark, docs, opts, staging)
       .collect().toSet
     assert(lazyRows === stagedRows)
+    // the localCheckpoint pin (the q_pipeline_clean form — same
+    // single-evaluation guarantee, no fs round trip) is bit-identical too
+    val checkpointedRows = CleanJob.cleanCheckpointed(docs, opts)
+      .collect().toSet
+    assert(lazyRows === checkpointedRows)
   }
 
   test("run materializes one directory per split in one action") {

@@ -221,6 +221,36 @@ class ExpressionPropertySpec extends SparkSpec {
     assert(mm.isNullAt(0) && mm.isNullAt(1))
   }
 
+  test("property: VectorSubtract ≡ zip_with on equal lengths; null on mismatch") {
+    val genPair: Gen[(Seq[Double], Seq[Double])] = for {
+      n <- Gen.chooseNum(1, 64)
+      a <- Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6).map(_ / 1e3))
+      b <- Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6).map(_ / 1e3))
+    } yield (a, b)
+    val df = samples(genPair, 100).toDF("a", "b")
+    // elementwise double subtraction is order-free, so the interpreted
+    // zip_with is an exact reference (null-safe compare: a native-side
+    // null regression must FAIL, not pass vacuously)
+    val disagree = df.select(
+        Similarity.vectorSubtract(col("a"), col("b")).as("n"),
+        zip_with(col("a"), col("b"), (x, y) => x - y).as("h"))
+      .filter(!(col("n") <=> col("h"))).count()
+    assert(disagree == 0)
+    // length mismatch → null RESULT (fail loudly — zip_with would
+    // null-pad instead; the expression's contract is VectorDot's)
+    val mm = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(Similarity.vectorSubtract(col("a"), col("b")).as("n"))
+      .collect()(0)
+    assert(mm.isNullAt(0))
+    // null elements read as 0 (VectorDot parity)
+    val ne = Seq(1).toDF("x")
+      .select(Similarity.vectorSubtract(
+        array(lit(5.0), lit(null).cast("double")),
+        array(lit(2.0), lit(3.0))).as("n"))
+      .as[Seq[Double]].collect()(0)
+    assert(ne == Seq(3.0, -3.0))
+  }
+
   // ---- MediaFormats round-trips (pure JVM, no Spark plan involved) ----
 
   test("property: PNG/WAV/GIF generate→parse round-trips on random params") {

@@ -780,4 +780,50 @@ class JobsSpec extends SparkSpec {
       assert(got == want && got.nonEmpty, s"$kind: CLI probe diverged")
     }
   }
+
+  test("AnnIndexMain: row tables list-partitioned; probe scans only probed lists") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val helper =
+      new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val dir = tmp()
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.write.parquet(s"$dir/corpus")
+    val q = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    for (kind <- Seq("ivf", "ivfpq")) {
+      val ix = s"$dir/ix_$kind"
+      AnnIndexMain.run(spark, Map("mode" -> "build", "kind" -> kind,
+        "src" -> s"$dir/corpus", "index" -> ix, "nlist" -> "16"))
+      val table = if (kind == "ivf") "assigned" else "encoded"
+      // storage layout: one directory per list id
+      val listDirs = new java.io.File(s"$ix/$table").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("__list="))
+      assert(listDirs.length > 4, s"$kind: expected __list= partition dirs")
+      val totalFiles = listDirs.flatMap(_.listFiles())
+        .count(_.getName.endsWith(".parquet"))
+      // probe 2 queries × nprobe 2 → at most 4 of the 16 lists: the scan
+      // must read a strict subset of the table's files (the operators
+      // push a static IN over the partition column — planning-time
+      // pruning, visible in the scan's numFiles metric)
+      val top = if (kind == "ivf")
+        Similarity.ivfTopKFromIndex(spark.read.parquet(s"$ix/centroids"),
+          spark.read.parquet(s"$ix/$table"), q, k = 5, nprobe = 2)
+      else Similarity.ivfpqTopKFromIndex(spark.read.parquet(s"$ix/centroids"),
+        spark.read.parquet(s"$ix/codebooks"),
+        spark.read.parquet(s"$ix/$table"), q, k = 5, nprobe = 2)
+      assert(top.collect().nonEmpty)
+      val scans = helper.collectWithSubqueries(
+          top.queryExecution.executedPlan) {
+        case s: FileSourceScanExec if s.relation.location.rootPaths
+            .exists(_.toString.endsWith(s"/$table")) => s
+      }
+      assert(scans.nonEmpty, s"$kind: no scan of $table found in the plan")
+      val filesRead = scans.map(_.metrics("numFiles").value).sum
+      assert(filesRead > 0 && filesRead < totalFiles,
+        s"$kind: probe must scan a strict subset of the row table: " +
+          s"read $filesRead of $totalFiles files")
+    }
+  }
 }

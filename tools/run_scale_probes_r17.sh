@@ -1,0 +1,41 @@
+#!/bin/bash
+# SCALE_r17 multi-writer contention + LOCK-WAIT FAIRNESS: StreamScaleProbe
+# at the 100x corpus with 2 and 4 concurrent writers, same probe build,
+# same session ordering (2w then 4w). New this round (r16 verdict #8):
+# every writer-lock acquisition reports its wait (ArtifactStore lock-wait
+# listener), the probe emits per-wave wait lists plus a quantile summary
+# (p50/p90/p99/max ms, max/median ratio) — so the scale claim can show
+# drain FAIRNESS (no starved writer), not just zero failed drains.
+set -e
+cd /root/repo
+
+# corpus generation first, fail fast if the source is missing
+[ -f /root/testdata/sf0.1/documents.parquet ] || {
+  echo "missing /root/testdata/sf0.1/documents.parquet" >&2; exit 1; }
+for spec in "10 /tmp/sf01_10x" "100 /tmp/sf01_100x"; do
+  set -- $spec
+  if [ ! -f "$2/documents.parquet" ]; then
+    echo "generating ${1}x corpus at $2 ..."
+    python3 tools/gen_docs_10x.py /root/testdata/sf0.1 "$2" "$1"
+  fi
+done
+DOCS_100X=/tmp/sf01_100x/documents.parquet
+[ -f "$DOCS_100X" ] || { echo "missing $DOCS_100X after generation" >&2; exit 1; }
+
+for nw in 2 4; do
+  work=/tmp/probe_r17_100x_w$nw
+  rm -rf "$work"; mkdir -p "$work"
+  grep '^cpu ' /proc/stat > "$work/stat_before.txt"
+  java -Xmx96g -XX:ReservedCodeCacheSize=1g \
+    -cp 'target/scala-2.13/classes:/opt/spark/jars/*' graft.StreamScaleProbe \
+    docs="$DOCS_100X" work="$work" n_batches=20 batch_rows=20 \
+    n_streams=$nw auto_compact=8 min_quality_mu=0 max_contam_ppm=1000000 \
+    min_mean_lp_mu=-99000000 \
+    > "/tmp/probe_r17_100x_w${nw}_out.log" \
+    2> "/tmp/probe_r17_100x_w${nw}_err.log"
+  grep '^cpu ' /proc/stat > "$work/stat_after.txt"
+  python3 tools/compaction_accounting.py "$work/store" --per-firing \
+    > "/tmp/probe_r17_100x_w${nw}_accounting.json"
+  echo "DONE_w$nw"
+done
+echo ALL_PROBES_DONE
