@@ -779,6 +779,42 @@ class JobsSpec extends SparkSpec {
         .as[(Long, Long, Int)].collect().toSet
       assert(got == want && got.nonEmpty, s"$kind: CLI probe diverged")
     }
+    // residual IVF-PQ through the CLI: the flag must ride build, append,
+    // AND probe (caller-carried — a dropped flag on any leg diverges
+    // from the operator); k-means codebooks via cbiters build too
+    val ixr = s"$dir/ix_ivfpq_res"
+    AnnIndexMain.run(spark, Map("mode" -> "build", "kind" -> "ivfpq",
+      "src" -> s"$dir/corpus", "index" -> ixr, "residual" -> "true"))
+    AnnIndexMain.run(spark, Map("mode" -> "append", "kind" -> "ivfpq",
+      "index" -> ixr, "delta" -> s"$dir/delta", "residual" -> "true"))
+    AnnIndexMain.run(spark, Map("mode" -> "probe", "kind" -> "ivfpq",
+      "index" -> ixr, "queries" -> s"$dir/queries",
+      "out" -> s"$dir/out_res", "k" -> "5", "nprobe" -> "4",
+      "residual" -> "true"))
+    val gotRes = spark.read.parquet(s"$dir/out_res")
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val wantRes = Similarity.ivfpqTopKFromIndex(
+        spark.read.parquet(s"$ixr/centroids"),
+        spark.read.parquet(s"$ixr/codebooks"),
+        spark.read.parquet(s"$ixr/encoded"),
+        spark.read.parquet(s"$dir/queries"), k = 5, nprobe = 4,
+        residual = true)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(gotRes == wantRes && gotRes.nonEmpty,
+      "residual CLI probe diverged from the operator")
+    val ixk = s"$dir/ix_ivfpq_km"
+    val buildLine = AnnIndexMain.run(spark, Map("mode" -> "build",
+      "kind" -> "ivfpq", "src" -> s"$dir/corpus", "index" -> ixk,
+      "cbiters" -> "1"))
+    assert(buildLine.contains("\"rows\""))
+    // learned codebooks differ from strided ones (the option is live)
+    val cbStrided = spark.read.parquet(s"$dir/ix_ivfpq/codebooks")
+      .as[(Int, Int, Seq[Double])].collect().toSet
+    val cbLearned = spark.read.parquet(s"$ixk/codebooks")
+      .as[(Int, Int, Seq[Double])].collect().toSet
+    assert(cbLearned.nonEmpty && cbLearned != cbStrided)
   }
 
   test("AnnIndexMain: row tables list-partitioned; probe scans only probed lists") {
