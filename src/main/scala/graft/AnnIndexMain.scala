@@ -18,21 +18,25 @@ import org.apache.spark.sql.functions._
   *   ivf:   `<index>/centroids` (list, centroid), `<index>/assigned`
   *          (corpus + __list — bucketable by __list)
   *   ivfpq: `<index>/centroids`, `<index>/codebooks` (j, i, centroid),
-  *          `<index>/encoded` (id, __list, __code — the corpus
-  *          compressed to m codes + a list id)
+  *          `<index>/encoded` (id, __list, __code [+ carried metadata
+  *          columns] — the corpus compressed to m codes + a list id)
   *
   * Usage:
   *   AnnIndexMain mode=build kind=ivf src=<parquet> index=<dir> \
   *     [nlist=16] [kmeans=false] [iters=2] [id=vec_id] [vec=embedding]
   *   AnnIndexMain mode=build kind=ivfpq src=<parquet> index=<dir> \
   *     [nlist=16] [m=8] [ksub=16] [dims=64] [residual=false] \
-  *     [cbiters=0 — >0 trains k-means codebooks] [id=vec_id] [vec=embedding]
+  *     [cbiters=0 — >0 trains k-means codebooks] \
+  *     [carry=col1,col2 — metadata columns copied into the code table \
+  *      so filtered probes prune at the scan] [id=vec_id] [vec=embedding]
   *   AnnIndexMain mode=probe kind=ivf|ivfpq index=<dir> \
   *     queries=<parquet> out=<dir> [k=10] [nprobe=4] [metric=dot] \
-  *     [residual=false] [qid=query_id] [qvec=query_vec] [id=vec_id] \
-  *     [vec=embedding]
+  *     [residual=false] [where=<SQL predicate over the row table — \
+  *      filtered ANN against the shared index>] [qid=query_id] \
+  *     [qvec=query_vec] [id=vec_id] [vec=embedding]
   *   AnnIndexMain mode=append kind=ivf|ivfpq index=<dir> \
-  *     delta=<parquet> [metric=dot] [residual=false] [id=vec_id] \
+  *     delta=<parquet> [metric=dot] [residual=false] \
+  *     [carry=col1,col2 — must match the build] [id=vec_id] \
   *     [vec=embedding]
   *   AnnIndexMain mode=retain kind=ivf|ivfpq index=<dir> \
   *     convicted=<parquet carrying the id column> [id=vec_id]
@@ -95,6 +99,8 @@ object AnnIndexMain {
     val id = opts.getOrElse("id", "vec_id")
     val vec = opts.getOrElse("vec", "embedding")
     val residual = opts.getOrElse("residual", "false").toBoolean
+    val carry = opts.get("carry").map(_.split(",").toSeq.map(_.trim)
+      .filter(_.nonEmpty)).getOrElse(Nil)
     // the row table is partitioned by list id on every rewrite so probes
     // prune to their nprobe directories (see object doc)
     val byList = Seq("__list")
@@ -118,7 +124,7 @@ object AnnIndexMain {
               nlist, opts.getOrElse("m", "8").toInt,
               opts.getOrElse("ksub", "16").toInt,
               opts.getOrElse("dims", "64").toInt, id, vec,
-              residual, opts.getOrElse("cbiters", "0").toInt)
+              residual, opts.getOrElse("cbiters", "0").toInt, carry)
             cents.write.mode("overwrite").parquet(s"$index/centroids")
             cbs.write.mode("overwrite").parquet(s"$index/codebooks")
             writeCounted(spark, encoded, s"$index/encoded",
@@ -133,14 +139,20 @@ object AnnIndexMain {
         val qid = opts.getOrElse("qid", "query_id")
         val qvec = opts.getOrElse("qvec", "query_vec")
         val cents = spark.read.parquet(s"$index/centroids")
+        // filtered ANN against the shared index: the predicate restricts
+        // the CANDIDATE rows (tables/quantizers stay the full-corpus
+        // ones), pruning at the parquet scan when it hits carried
+        // metadata or the __list partition column
+        def restrict(rows: DataFrame): DataFrame =
+          opts.get("where").map(rows.filter).getOrElse(rows)
         val top = kind match {
           case "ivf" => Similarity.ivfTopKFromIndex(cents,
-            spark.read.parquet(s"$index/assigned"), queries, k, nprobe,
-            id, vec, qid, qvec, opts.getOrElse("metric", "dot"))
+            restrict(spark.read.parquet(s"$index/assigned")), queries, k,
+            nprobe, id, vec, qid, qvec, opts.getOrElse("metric", "dot"))
           case _ => Similarity.ivfpqTopKFromIndex(cents,
             spark.read.parquet(s"$index/codebooks"),
-            spark.read.parquet(s"$index/encoded"), queries, k, nprobe,
-            id, qid, qvec, residual)
+            restrict(spark.read.parquet(s"$index/encoded")), queries, k,
+            nprobe, id, qid, qvec, residual)
         }
         val out = opts("out")
         val rows = writeCounted(spark, top, out, staged = false)
@@ -158,7 +170,7 @@ object AnnIndexMain {
             spark.read.parquet(s"$index/encoded").unionByName(
               Similarity.ivfpqAppendToIndex(cents,
                 spark.read.parquet(s"$index/codebooks"), delta, id, vec,
-                residual)))
+                residual, carry)))
         }
         val rows = writeCounted(spark, appended, s"$index/$table",
           partitionBy = byList)

@@ -1325,6 +1325,33 @@ object SparkEntry {
           s.read.parquet(s"$art/encoded"), q, k = 10, nprobe = 4)
         .select(col("query_id"), col("vec_id"), col("pq_score"), col("rank"))
     }),
+    // FILTERED probe of a shared persisted IVF-PQ index — the
+    // tenant/language/licence query shape at 100 TB: the build carries
+    // the metadata column INTO the stored code table
+    // (buildIvfPqIndex(carryCols)), so the query-time predicate prunes
+    // at the parquet scan instead of paying a corpus-sized id-join back
+    // to the base table. Quantizer tables stay FULL-corpus (one index
+    // serves every filter); the predicate restricts the CANDIDATES, so
+    // ranks are within the eligible set — the complement of
+    // q_sim_ann_ivf_filtered, which filters BEFORE the derivation.
+    "q_sim_ann_ivfpq_filtered" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val art = artifactPath(dir, "ivfpq_fidx")
+      dumpOnce(art) {
+        val (cents, cbs, encoded) = operators.Similarity
+          .buildIvfPqIndex(emb, nlist = 16, carryCols = Seq("label"))
+        cents.write.mode("overwrite").parquet(s"$art/centroids")
+        cbs.write.mode("overwrite").parquet(s"$art/codebooks")
+        encoded.write.mode("overwrite").parquet(s"$art/encoded")
+      }
+      operators.Similarity.ivfpqTopKFromIndex(
+          s.read.parquet(s"$art/centroids"), s.read.parquet(s"$art/codebooks"),
+          s.read.parquet(s"$art/encoded").filter(col("label") < 5),
+          q, k = 10, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("pq_score"), col("rank"))
+    }),
     // recall@10 of the persisted IVF-PQ index against exact brute force —
     // the eval that keeps the composed layout's (nlist, nprobe, m, ksub)
     // honest, like q_ann_recall does for LSH. Integer ppm end-to-end.
@@ -3515,6 +3542,35 @@ object SparkEntry {
        JOIN probed p ON p.query_id = s.query_id AND p.list = a.list
        QUALIFY rank <= 10"""
 
+  /** Exact oracle for the FILTERED persisted-index probe: identical
+    * tables/assignment/probing to [[ivfpqOracleSql]] (the quantizers
+    * derive from the FULL corpus — one shared index), with the
+    * eligibility predicate restricting the CANDIDATE side before the
+    * per-query ranking, exactly as filtering the stored code table
+    * before [[operators.Similarity.ivfpqTopKFromIndex]] does. */
+  private lazy val ivfpqFilteredOracleSql: String =
+    s"""$pqOracleCore,
+       assigned AS (
+         SELECT e.vec_id,
+           (SELECT c.i FROM cent c
+            ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC
+            LIMIT 1) AS list
+         FROM emb e),
+       probed AS (
+         SELECT q.query_id, c.i AS list
+         FROM q, LATERAL (SELECT i FROM cent
+           ORDER BY list_dot_product(q.qv, cent.v) DESC, i DESC
+           LIMIT 4) c)
+       SELECT s.query_id, s.vec_id, s.pq_score,
+         CAST(row_number() OVER (PARTITION BY s.query_id
+           ORDER BY s.pq_score DESC, s.vec_id) AS INT) AS rank
+       FROM scored s
+       JOIN assigned a ON a.vec_id = s.vec_id
+       JOIN probed p ON p.query_id = s.query_id AND p.list = a.list
+       JOIN (SELECT vec_id FROM embeddings WHERE label < 5) f
+         ON f.vec_id = s.vec_id
+       QUALIFY rank <= 10"""
+
   /** Coarse-quantizer CTEs at an INDEPENDENT stride (n // nlist) — the
     * SQL counterpart of `ivfpqTables`' two-sample branch for the
     * DECOUPLED nlist ≠ ksub configuration: `coarse` replays the second
@@ -4863,6 +4919,7 @@ object SparkEntry {
     "q_sim_ann_ivfpq" -> ivfpqOracleSql,
     // same derivation through the stored index — identical oracle
     "q_sim_ann_ivfpq_persisted" -> ivfpqOracleSql,
+    "q_sim_ann_ivfpq_filtered" -> ivfpqFilteredOracleSql,
     // decoupled nlist ≠ ksub: codebook CTEs at stride n/16, coarse
     // quantizer CTEs at the INDEPENDENT stride n/32
     "q_sim_ann_ivfpq_decoupled" -> ivfpqDecoupledOracleSql,

@@ -824,22 +824,34 @@ object Similarity {
       coarse: Array[(Int, Seq[Double])],
       codebooks: Array[Array[Array[Double]]],
       residual: Boolean,
-      corpusId: String, corpusVec: String): DataFrame = {
+      corpusId: String, corpusVec: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    // reserved names collide with the probe join / final projection;
+    // carrying the vector column would defeat the compressed layout
+    // (the whole point is that query batches never read corpus vectors)
+    val reserved = Set("__list", "__code", "__v", "__dt", "__qc",
+      corpusId, corpusVec)
+    val bad = carryCols.filter(reserved.contains)
+    require(bad.isEmpty,
+      s"carryCols ${bad.mkString(", ")} collide with reserved/index columns")
     val v = col(corpusVec)
+    val carried = carryCols.map(col)
     if (!residual)
       corpus.select(
-        col(corpusId),
-        nearestCentroidCol(v, coarse, l2 = false).as("__list"),
-        pqEncodeCol(v, codebooks).as("__code"))
+        (col(corpusId) +:
+          nearestCentroidCol(v, coarse, l2 = false).as("__list") +:
+          pqEncodeCol(v, codebooks).as("__code") +: carried): _*)
     else
       corpus.select(
-          col(corpusId), v.cast("array<double>").as("__v"),
-          nearestCentroidCol(v, coarse, l2 = false).as("__list"))
+          (col(corpusId) +: v.cast("array<double>").as("__v") +:
+            nearestCentroidCol(v, coarse, l2 = false).as("__list") +:
+            carried): _*)
         .select(
-          col(corpusId), col("__list"),
-          pqEncodeCol(
-            vectorSubtract(col("__v"), centroidVectorCol(col("__list"), coarse)),
-            codebooks).as("__code"))
+          (col(corpusId) +: col("__list") +:
+            pqEncodeCol(
+              vectorSubtract(col("__v"),
+                centroidVectorCol(col("__list"), coarse)),
+              codebooks).as("__code") +: carried): _*)
   }
 
   /** Query side + scoring of the composed IVF-PQ layout: probed lists
@@ -950,7 +962,17 @@ object Similarity {
     * [[ivfAppendToIndex]]: residual-ness is not detectable from the
     * stored tables); `codebookIters > 0` trains the codebooks with
     * per-sub-space k-means instead of the strided sample
-    * ([[deriveCodebooksKmeans]] — spec-gated, no SQL oracle). */
+    * ([[deriveCodebooksKmeans]] — spec-gated, no SQL oracle);
+    * `carryCols` names metadata columns (tenant, language, licence …)
+    * copied verbatim into the stored code table so a FILTERED probe —
+    * `ivfpqTopKFromIndex(..., encoded.filter(pred), ...)` — prunes on
+    * the predicate AT THE PARQUET SCAN instead of paying a corpus-sized
+    * id-join back to the base table at query time (the plain-IVF
+    * `buildIvfIndex` keeps every corpus column already; only the PQ
+    * encode projects, hence the explicit carry list here). Tables
+    * derive from the FULL corpus either way — filtering restricts the
+    * CANDIDATES, not the quantizers, so one shared index serves every
+    * tenant/filter combination. */
   def buildIvfPqIndex(
       corpus: DataFrame,
       nlist: Int = 16,
@@ -960,7 +982,8 @@ object Similarity {
       corpusId: String = "vec_id",
       corpusVec: String = "embedding",
       residual: Boolean = false,
-      codebookIters: Int = 0): (DataFrame, DataFrame, DataFrame) = {
+      codebookIters: Int = 0,
+      carryCols: Seq[String] = Nil): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
     require(!(residual && codebookIters > 0),
@@ -989,7 +1012,8 @@ object Similarity {
         StructField("i", IntegerType, nullable = false),
         StructField("centroid", ArrayType(DoubleType), nullable = false))))
     val encoded =
-      ivfpqEncode(corpus, coarse, codebooks, residual, corpusId, corpusVec)
+      ivfpqEncode(corpus, coarse, codebooks, residual, corpusId, corpusVec,
+        carryCols)
     (centroidsDf, codebooksDf, encoded)
   }
 
@@ -1057,12 +1081,14 @@ object Similarity {
       delta: DataFrame,
       corpusId: String = "vec_id",
       corpusVec: String = "embedding",
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val coarse: Array[(Int, Seq[Double])] = centroidsDf
       .orderBy("list").collect() // bounded: nlist rows
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
     val codebooks = collectCodebooks(codebooksDf)
-    ivfpqEncode(delta, coarse, codebooks, residual, corpusId, corpusVec)
+    ivfpqEncode(delta, coarse, codebooks, residual, corpusId, corpusVec,
+      carryCols)
   }
 
   /** Two-stage retrieval: PQ shortlist → EXACT cosine re-rank — the

@@ -815,6 +815,35 @@ class JobsSpec extends SparkSpec {
     val cbLearned = spark.read.parquet(s"$ixk/codebooks")
       .as[(Int, Int, Seq[Double])].collect().toSet
     assert(cbLearned.nonEmpty && cbLearned != cbStrided)
+    // carried metadata + filtered probe: carry= rides build AND append
+    // (schema parity for the unionByName rewrite), where= restricts the
+    // stored candidates exactly like filtering before the operator
+    val ixc = s"$dir/ix_ivfpq_carry"
+    AnnIndexMain.run(spark, Map("mode" -> "build", "kind" -> "ivfpq",
+      "src" -> s"$dir/corpus", "index" -> ixc, "carry" -> "label"))
+    AnnIndexMain.run(spark, Map("mode" -> "append", "kind" -> "ivfpq",
+      "index" -> ixc, "delta" -> s"$dir/delta", "carry" -> "label"))
+    assert(spark.read.parquet(s"$ixc/encoded").columns.contains("label"))
+    AnnIndexMain.run(spark, Map("mode" -> "probe", "kind" -> "ivfpq",
+      "index" -> ixc, "queries" -> s"$dir/queries",
+      "out" -> s"$dir/out_carry", "k" -> "5", "nprobe" -> "4",
+      "where" -> "label < 5"))
+    val gotFiltered = spark.read.parquet(s"$dir/out_carry")
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val wantFiltered = Similarity.ivfpqTopKFromIndex(
+        spark.read.parquet(s"$ixc/centroids"),
+        spark.read.parquet(s"$ixc/codebooks"),
+        spark.read.parquet(s"$ixc/encoded").filter(col("label") < 5),
+        spark.read.parquet(s"$dir/queries"), k = 5, nprobe = 4)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(gotFiltered == wantFiltered && gotFiltered.nonEmpty,
+      "filtered CLI probe diverged from the operator")
+    val labelOf = emb.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    assert(gotFiltered.forall { case (_, v, _) => labelOf(v) < 5 },
+      "filtered probe returned an ineligible candidate")
   }
 
   test("AnnIndexMain: row tables list-partitioned; probe scans only probed lists") {

@@ -466,6 +466,47 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex == direct && direct.nonEmpty)
   }
 
+  test("IVF-PQ carryCols: carried metadata ≡ id-join filtering; values verbatim") {
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val (cents0, cbs0, encC) =
+      Similarity.buildIvfPqIndex(emb, nlist = 16, carryCols = Seq("label"))
+    val cents = cents0.localCheckpoint(); val cbs = cbs0.localCheckpoint()
+    // the carried column is the corpus value verbatim, for every row
+    assert(encC.select("vec_id", "label").except(
+      emb.select("vec_id", "label")).count() == 0)
+    assert(encC.count() == emb.count())
+    // filtered probe on the carried column ≡ the id-join composition a
+    // user without carryCols would write (same candidates, same ranks) —
+    // the carry is a SCAN-pruning layout change, not a semantics change
+    val viaCarry = Similarity.ivfpqTopKFromIndex(
+        cents, cbs, encC.filter(col("label") < 5), q, k = 10, nprobe = 4)
+      .select("query_id", "vec_id", "pq_score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val encPlain = Similarity.buildIvfPqIndex(emb, nlist = 16)._3
+    val eligible = emb.filter(col("label") < 5).select("vec_id")
+    val viaJoin = Similarity.ivfpqTopKFromIndex(
+        cents, cbs, encPlain.join(eligible, "vec_id"), q, k = 10, nprobe = 4)
+      .select("query_id", "vec_id", "pq_score", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaCarry == viaJoin && viaCarry.nonEmpty)
+    // every result is eligible (candidates restricted, not post-filtered)
+    val eligibleIds = eligible.as[Long].collect().toSet
+    assert(viaCarry.forall { case (_, v, _, _) => eligibleIds.contains(v) })
+    // append carries too — the delta rows stay schema-compatible with
+    // the stored table (the CLI unionByName path)
+    val delta = emb.filter(col("vec_id") % 7 === 0)
+    val appended =
+      Similarity.ivfpqAppendToIndex(cents, cbs, delta, carryCols = Seq("label"))
+    assert(appended.columns.sorted.sameElements(encC.columns.sorted))
+    assert(appended.select("vec_id", "label").except(
+      delta.select("vec_id", "label")).count() == 0)
+    // colliding carry names fail loudly, not at probe time
+    intercept[IllegalArgumentException] {
+      Similarity.buildIvfPqIndex(emb, nlist = 16, carryCols = Seq("__list"))
+    }
+  }
+
   test("ivfpqAppendToIndex: append ≡ rebuild under fixed centroid+codebook tables") {
     val corpus = emb.filter(col("vec_id") % 5 =!= 4)
     val delta = emb.filter(col("vec_id") % 5 === 4)
