@@ -183,7 +183,15 @@ object Bench {
     "q_dedup_incremental" -> 2.11, "q_pipeline_recipe" -> 1.48,
     "q_winnow_pairs" -> 0.75, "q_dedup_prefix_join" -> 2.55,
     "q_rank_weighted_sample" -> 0.86, "q_curation" -> 1.15,
-    "q_pipeline_clean" -> 3.01)
+    "q_pipeline_clean" -> 3.01,
+    // r17: measured floors from the r17 campaign (BENCH_floors.json) for
+    // the queries added in r16/r17 that had been running at the
+    // unknown-name 9.99 heavy slot
+    "q_sim_ann_ivfpq_persisted" -> 0.6, "q_ann_recall_ivfpq" -> 0.6,
+    "q_q7_write_timestamp" -> 0.49, "q_sim_ann_ivfpq_decoupled" -> 0.48,
+    "q_sim_ann_ivfpq_residual" -> 0.58,
+    "q_ann_recall_ivfpq_residual" -> 0.75,
+    "q_sim_ann_ivfpq_filtered" -> 0.69)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
