@@ -1441,6 +1441,33 @@ object SparkEntry {
         .topKPerQuery(scored, 10, "query_id", "cos_r", "vec_id")
       operators.Similarity.recallAtK(approx, exact, 10)
     }),
+    // K-MEANS-trained PQ codebooks (codebookIters = 2: strided micro-
+    // quantized seeds + ONE exact-integer Lloyd round per sub-space)
+    // through the persisted-index probe — the learned-codebook build
+    // was spec-only ("no SQL oracle by design") until this gate: the
+    // trainer's arithmetic is the same replayable Lloyd round as
+    // q_sim_ann_ivf_kmeans (micro-unit seeds, c·c − 2·x·c argmin with
+    // ties to the smaller id, integer element sums), unrolled per
+    // sub-space in SQL. Assumes no sub-space cluster empties at this
+    // corpus/shape (empirically true at sf0.01; the operator tolerates
+    // empties via truncation, the oracle would then renumber).
+    "q_sim_ann_ivfpq_kmeans_cb" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val art = artifactPath(dir, "ivfpq_km_index")
+      dumpOnce(art) {
+        val (cents, cbs, encoded) = operators.Similarity
+          .buildIvfPqIndex(emb, nlist = 16, codebookIters = 2)
+        cents.write.mode("overwrite").parquet(s"$art/centroids")
+        cbs.write.mode("overwrite").parquet(s"$art/codebooks")
+        encoded.write.mode("overwrite").parquet(s"$art/encoded")
+      }
+      operators.Similarity.ivfpqTopKFromIndex(
+          s.read.parquet(s"$art/centroids"), s.read.parquet(s"$art/codebooks"),
+          s.read.parquet(s"$art/encoded"), q, k = 10, nprobe = 4)
+        .select(col("query_id"), col("vec_id"), col("pq_score"), col("rank"))
+    }),
     // two-stage retrieval: PQ shortlist of 50 → exact cosine re-rank —
     // the production ANN shape (quantized recall, exact final scores)
     "q_sim_ann_pq_rerank" -> ((s, dir) => {
@@ -3571,6 +3598,103 @@ object SparkEntry {
          ON f.vec_id = s.vec_id
        QUALIFY rank <= 10"""
 
+  /** Exact oracle for the K-MEANS-codebook IVF-PQ gate
+    * (`buildIvfPqIndex(codebookIters = 2)` → persisted probe): replays
+    * ONE exact-integer Lloyd round per sub-space — the
+    * [[kmeansCtes]] arithmetic (micro-unit strided seeds, the
+    * `c·c − 2·x·c` argmin with ties to the SMALLER id, integer element
+    * sums divided as `s / (1e6 · cnt)`) unrolled over the m = 8
+    * sub-vector slices — then scores through the standard PQ
+    * codes/ADC CTEs against the trained codebooks, restricted by the
+    * strided coarse quantizer exactly like [[ivfpqOracleSql]]. Assumes
+    * every sub-space keeps all ksub clusters after the round (holds on
+    * this corpus; the operator truncates on empties, which would
+    * renumber codes). */
+  private lazy val ivfpqKmeansCbOracleSql: String = {
+    val m = 8; val ksub = 16; val dsub = 8
+    val js = (0 until m).map(j => s"($j)").mkString(", ")
+    def sub(vec: String, j: String) = s"$vec[$j*$dsub+1:($j+1)*$dsub]"
+    val terms = (0 until m).map(j => s"t$j.d").mkString(" + ")
+    val termJoins = (0 until m).map { j =>
+      val t = s"(SELECT query_id, vec_id, d FROM terms WHERE j = $j) t$j"
+      if (j == 0) s"FROM $t" else s"JOIN $t USING (query_id, vec_id)"
+    }.mkString(" ")
+    // one Lloyd round per sub-space: seed slice → assign (raw doubles,
+    // argmin surrogate, ties smaller i) → integer micro sums per
+    // (cluster, position) → trained centroid s/(1e6·cnt)
+    val lloyd = (0 until m).map { j =>
+      val off = j * dsub
+      s""",
+       cb0_$j AS (SELECT i, list_transform(qv[$off+1:$off+$dsub],
+           s -> CAST(s AS DOUBLE) / 1000000.0) AS c FROM seed),
+       a_$j AS (SELECT e.vec_id,
+           (SELECT c0.i FROM cb0_$j c0
+            ORDER BY list_dot_product(c0.c, c0.c)
+              - 2 * list_dot_product(${sub("e.v", j.toString)}, c0.c),
+              c0.i LIMIT 1) AS i
+         FROM emb e),
+       s_$j AS (SELECT a.i, t.p, sum(qm.qv[$off + t.p]) AS s,
+           count(*) AS cnt
+         FROM a_$j a JOIN qm USING (vec_id),
+           UNNEST(range(1, ${dsub + 1})) AS t(p)
+         GROUP BY 1, 2),
+       cb1_$j AS (SELECT i, list(CAST(s AS DOUBLE) / (1000000.0 * cnt)
+           ORDER BY p) AS c FROM s_$j GROUP BY i)"""
+    }.mkString
+    val cbUnion = (0 until m)
+      .map(j => s"SELECT $j AS j, i, c FROM cb1_$j").mkString(" UNION ALL ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       stepc AS (SELECT greatest(1, (SELECT count(*) FROM emb) // $ksub) AS step),
+       cent AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+         FROM emb, stepc WHERE vec_id % stepc.step = 0
+         ORDER BY vec_id LIMIT $ksub),
+       qm AS (SELECT vec_id,
+           list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+         FROM emb),
+       seed AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, qv
+         FROM qm, stepc WHERE vec_id % stepc.step = 0
+         ORDER BY vec_id LIMIT $ksub)$lloyd,
+       cb AS ($cbUnion),
+       codes AS (
+         SELECT e.vec_id, t.j,
+           (SELECT cb.i FROM cb WHERE cb.j = t.j
+            ORDER BY 2.0 * list_dot_product(${sub("e.v", "t.j")}, cb.c)
+              - list_dot_product(cb.c, cb.c) DESC, cb.i DESC
+            LIMIT 1) AS code
+         FROM emb e, (VALUES $js) t(j)),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+       dt AS (
+         SELECT q.query_id, cb.j, cb.i,
+           list_dot_product(${sub("q.qv", "cb.j")}, cb.c) AS d
+         FROM q, cb),
+       terms AS (
+         SELECT co.vec_id, dt.query_id, co.j, dt.d
+         FROM codes co JOIN dt ON dt.j = co.j AND dt.i = co.code),
+       scored AS (
+         SELECT query_id, vec_id, round($terms, 6) AS pq_score
+         $termJoins),
+       assigned AS (
+         SELECT e.vec_id,
+           (SELECT c.i FROM cent c
+            ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC
+            LIMIT 1) AS list
+         FROM emb e),
+       probed AS (
+         SELECT q.query_id, c.i AS list
+         FROM q, LATERAL (SELECT i FROM cent
+           ORDER BY list_dot_product(q.qv, cent.v) DESC, i DESC
+           LIMIT 4) c)
+       SELECT s.query_id, s.vec_id, s.pq_score,
+         CAST(row_number() OVER (PARTITION BY s.query_id
+           ORDER BY s.pq_score DESC, s.vec_id) AS INT) AS rank
+       FROM scored s
+       JOIN assigned a ON a.vec_id = s.vec_id
+       JOIN probed p ON p.query_id = s.query_id AND p.list = a.list
+       QUALIFY rank <= 10"""
+  }
+
   /** Coarse-quantizer CTEs at an INDEPENDENT stride (n // nlist) — the
     * SQL counterpart of `ivfpqTables`' two-sample branch for the
     * DECOUPLED nlist ≠ ksub configuration: `coarse` replays the second
@@ -4920,6 +5044,7 @@ object SparkEntry {
     // same derivation through the stored index — identical oracle
     "q_sim_ann_ivfpq_persisted" -> ivfpqOracleSql,
     "q_sim_ann_ivfpq_filtered" -> ivfpqFilteredOracleSql,
+    "q_sim_ann_ivfpq_kmeans_cb" -> ivfpqKmeansCbOracleSql,
     // decoupled nlist ≠ ksub: codebook CTEs at stride n/16, coarse
     // quantizer CTEs at the INDEPENDENT stride n/32
     "q_sim_ann_ivfpq_decoupled" -> ivfpqDecoupledOracleSql,

@@ -798,14 +798,84 @@ object Similarity {
       corpus: DataFrame, m: Int, ksub: Int, dims: Int, iters: Int,
       corpusId: String, corpusVec: String): Array[Array[Array[Double]]] = {
     require(dims % m == 0, s"dims=$dims must split into m=$m sub-spaces")
+    require(iters >= 1, "iters must be >= 1")
     val dsub = dims / m
     val v = col(corpusVec).cast("array<double>")
-    val raw = (0 until m).map { j =>
-      val sub = corpus.select(col(corpusId).as("__id"),
-        slice(v, j * dsub + 1, dsub).as("__sub"))
-      Clustering.kmeansCentroids(sub, "__id", "__sub", ksub, iters)
-        .map(_._2.toArray).toArray
+    // All m sub-spaces train in ONE pass per Lloyd iteration — the naive
+    // per-slice formulation (m independent kmeansCentroids calls) costs
+    // m·iters corpus passes plus m counts; fused, the corpus is read
+    // iters times total (plus one count + one bounded seed collect),
+    // which is what makes learned codebooks affordable at 100 TB. The
+    // ARITHMETIC is the per-slice trainer's exactly — micro-quantized
+    // strided seeds (quantize ∘ slice ≡ slice ∘ quantize, elementwise),
+    // per-sub-space `c·c − 2·x·c` argmin with ties to the smaller id
+    // over the RAW double slice, exact integer element sums over the
+    // micro slice — so the SQL oracle replaying one slice at a time
+    // still matches bit-for-bit (gated: q_sim_ann_ivfpq_kmeans_cb).
+    val Micro = 1000000L
+    val quantized = corpus.select(col(corpusId).as("__id"),
+      v.as("__v"),
+      transform(v, x => round(x * Micro.toDouble).cast("long")).as("__qv"))
+    // IVF seeding rule per slice: every ⌊n/ksub⌋-th row by id; the
+    // trigger and the fallback (first ksub by id) depend only on the
+    // ROW SET, identical across slices, so one collect seeds all m
+    val n = quantized.count()
+    val step = math.max(1L, n / ksub)
+    def collectSeeds(d: DataFrame): Array[Seq[Long]] = d
+      .orderBy(col("__id")).limit(ksub).select(col("__qv")).collect()
+      .map(_.getSeq[Long](0))
+    val strided = collectSeeds(
+      quantized.filter(pmod(col("__id"), lit(step)) === 0))
+    val seedRows: Array[Seq[Long]] =
+      if (strided.length == math.min(ksub.toLong, n).toInt) strided
+      else collectSeeds(quantized)
+    // per sub-space running state: (cluster id, micro sums, count) —
+    // exactly kmeansCentroids' `sums`, one array per j
+    var sums: Array[Array[(Int, Seq[Long], Long)]] = Array.tabulate(m) { j =>
+      seedRows.zipWithIndex.map { case (qv, i) =>
+        (i, qv.slice(j * dsub, (j + 1) * dsub), 1L)
+      }
     }
+    def centroids(j: Int): Seq[(Int, Seq[Double])] = sums(j).toSeq.map {
+      case (i, s, cnt) => (i, s.map(x => x.toDouble / (Micro.toDouble * cnt)))
+    }
+    for (_ <- 1 until iters) {
+      // one projection assigns ALL m sub-space clusters; the exploded
+      // aggregation keys each element position to its owning sub-space's
+      // cluster, so one map-side-combined shuffle carries every
+      // sub-space's update (bounded: ≤ m·ksub·dsub rows out)
+      val clusterCols = (0 until m).map(j =>
+        nearestCentroidCol(slice(col("__v"), j * dsub + 1, dsub),
+          centroids(j).toArray, l2 = true).as(s"__c$j"))
+      val assigned = quantized.select(
+        (col("__qv") +: clusterCols): _*)
+      val clusterOfPos = element_at(
+        array((0 until m).map(j => col(s"__c$j")): _*),
+        ((col("__pos") - 1) / dsub).cast("int") + 1)
+      val updated = assigned
+        .select((posexplode(col("__qv")).as(Seq("__pos0", "__q")) +:
+          (0 until m).map(j => col(s"__c$j"))): _*)
+        .withColumn("__pos", col("__pos0") + 1)
+        .select(
+          (((col("__pos") - 1) / dsub).cast("int")).as("__j"),
+          clusterOfPos.as("__c"),
+          (((col("__pos") - 1) % dsub).cast("int")).as("__p"),
+          col("__q"))
+        .groupBy(col("__j"), col("__c"), col("__p"))
+        .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+        .groupBy(col("__j"), col("__c"))
+        .agg(array_sort(collect_list(struct(col("__p"), col("__s"))))
+          .as("__sv"), max(col("__n")).as("__cnt"))
+        .collect() // bounded: ≤ m·ksub rows by construction
+      sums = Array.tabulate(m) { j =>
+        updated.filter(_.getInt(0) == j).map { r =>
+          (r.getInt(1),
+            r.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(1)),
+            r.getLong(3))
+        }.sortBy(_._1)
+      }
+    }
+    val raw = (0 until m).map(j => centroids(j).map(_._2.toArray).toArray)
     val minK = raw.map(_.length).min
     require(minK >= 1, "k-means lost every cluster in some sub-space")
     raw.map(_.take(minK)).toArray

@@ -466,6 +466,18 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex == direct && direct.nonEmpty)
   }
 
+  test("k-means codebooks at cbiters=2 keep all ksub clusters (the oracle's shape assumption)") {
+    // the q_sim_ann_ivfpq_kmeans_cb oracle replays one Lloyd round per
+    // sub-space WITHOUT the empty-cluster renumbering the operator's
+    // take(minK) would apply — valid iff every sub-space keeps all ksub
+    // clusters on this corpus, pinned here
+    val (_, cbs, _) =
+      Similarity.buildIvfPqIndex(emb, nlist = 16, codebookIters = 2)
+    val rows = cbs.select("j", "i").as[(Int, Int)].collect()
+    assert(rows.length == 8 * 16, s"expected 128 codebook rows, got ${rows.length}")
+    assert(rows.toSet.size == 128, "duplicate (j, i) codebook slots")
+  }
+
   test("IVF-PQ carryCols: carried metadata ≡ id-join filtering; values verbatim") {
     val q = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
