@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   *     [nlist=16] [kmeans=false] [iters=2] [id=vec_id] [vec=embedding]
   *   AnnIndexMain mode=build kind=ivfpq src=<parquet> index=<dir> \
   *     [nlist=16] [m=8] [ksub=16] [dims=64] [residual=false] \
-  *     [cbiters=0 — >0 trains k-means codebooks] \
+  *     [cbiters=0 — >0 trains k-means codebooks; with residual=true \
+  *      they train on the corpus residuals] \
   *     [carry=col1,col2 — metadata columns copied into the code table \
   *      so filtered probes prune at the scan] [id=vec_id] [vec=embedding]
   *   AnnIndexMain mode=probe kind=ivf|ivfpq index=<dir> \

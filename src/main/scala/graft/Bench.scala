@@ -194,7 +194,8 @@ object Bench {
     "q_sim_ann_ivfpq_filtered" -> 0.69,
     // probe-surface cost like the other FromIndex gates; the m-sub-space
     // k-means build runs once per process in the warm phase
-    "q_sim_ann_ivfpq_kmeans_cb" -> 0.7)
+    "q_sim_ann_ivfpq_kmeans_cb" -> 0.7,
+    "q_sim_ann_ivfpq_residual_kmcb" -> 0.7)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1441,6 +1441,34 @@ object SparkEntry {
         .topKPerQuery(scored, 10, "query_id", "cos_r", "vec_id")
       operators.Similarity.recallAtK(approx, exact, 10)
     }),
+    // The FULL composed 100 TB configuration in one gate: DECOUPLED
+    // coarse quantizer (nlist = 32 ≠ ksub = 16), RESIDUAL codes, and
+    // K-MEANS-trained codebooks (cbiters = 2) — codebooks train on the
+    // corpus residuals (one Lloyd round over v − centroid[assigned
+    // list]), codes quantize those residuals, scores re-add
+    // dot(q, c_list). Every stage deterministic, so even this
+    // composition keeps an exact SQL oracle. One cluster empties
+    // UNIFORMLY on this corpus (survivors are the id-prefix 0..14 in
+    // every sub-space — spec-pinned), which keeps the operator's
+    // position-indexed codes ≡ the oracle's id-indexed ones.
+    "q_sim_ann_ivfpq_residual_kmcb" -> ((s, dir) => {
+      val emb = readWide(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val art = artifactPath(dir, "ivfpq_rkm_index")
+      dumpOnce(art) {
+        val (cents, cbs, encoded) = operators.Similarity.buildIvfPqIndex(
+          emb, nlist = 32, residual = true, codebookIters = 2)
+        cents.write.mode("overwrite").parquet(s"$art/centroids")
+        cbs.write.mode("overwrite").parquet(s"$art/codebooks")
+        encoded.write.mode("overwrite").parquet(s"$art/encoded")
+      }
+      operators.Similarity.ivfpqTopKFromIndex(
+          s.read.parquet(s"$art/centroids"), s.read.parquet(s"$art/codebooks"),
+          s.read.parquet(s"$art/encoded"), q, k = 10, nprobe = 4,
+          residual = true)
+        .select(col("query_id"), col("vec_id"), col("pq_score"), col("rank"))
+    }),
     // K-MEANS-trained PQ codebooks (codebookIters = 2: strided micro-
     // quantized seeds + ONE exact-integer Lloyd round per sub-space)
     // through the persisted-index probe — the learned-codebook build
@@ -3810,6 +3838,106 @@ object SparkEntry {
          JOIN probed p ON p.query_id = t0.query_id AND p.list = a.list)"""
   }
 
+  /** Exact oracle for the FULL composed configuration — decoupled
+    * coarse quantizer (nlist = 32), RESIDUAL codes, K-MEANS codebooks
+    * (one Lloyd round, trained on the corpus residuals): the
+    * [[ivfpqResidualCtes]] residual derivation feeding the
+    * [[ivfpqKmeansCbOracleSql]] Lloyd unroll, with seeds/sums over the
+    * micro-quantized residuals and the residual fold order
+    * `((qc + t0) + t1) + …` on the score. */
+  private lazy val ivfpqResidualKmcbOracleSql: String = {
+    val nlist = 32; val nprobe = 4
+    val m = 8; val ksub = 16; val dsub = 8
+    val js = (0 until m).map(j => s"($j)").mkString(", ")
+    def sub(vec: String, j: String) = s"$vec[$j*$dsub+1:($j+1)*$dsub]"
+    val terms = (0 until m).map(j => s"t$j.d").mkString(" + ")
+    val termJoins = (0 until m).map { j =>
+      val t = s"(SELECT query_id, vec_id, d FROM terms WHERE j = $j) t$j"
+      if (j == 0) s"FROM $t" else s"JOIN $t USING (query_id, vec_id)"
+    }.mkString(" ")
+    // one Lloyd round per sub-space over the RESIDUAL vectors: seeds are
+    // the micro-quantized residuals of the strided rows; assignment uses
+    // the raw residual slice (l2 surrogate, ties smaller i); sums are
+    // exact micro integers
+    val lloyd = (0 until m).map { j =>
+      val off = j * dsub
+      s""",
+       cb0_$j AS (SELECT i, list_transform(qv[$off+1:$off+$dsub],
+           s -> CAST(s AS DOUBLE) / 1000000.0) AS c FROM seedr),
+       a_$j AS (SELECT er.vec_id,
+           (SELECT c0.i FROM cb0_$j c0
+            ORDER BY list_dot_product(c0.c, c0.c)
+              - 2 * list_dot_product(${sub("er.rv", j.toString)}, c0.c),
+              c0.i LIMIT 1) AS i
+         FROM eres er),
+       s_$j AS (SELECT a.i, t.p, sum(qm.qv[$off + t.p]) AS s,
+           count(*) AS cnt
+         FROM a_$j a JOIN qm USING (vec_id),
+           UNNEST(range(1, ${dsub + 1})) AS t(p)
+         GROUP BY 1, 2),
+       cb1_$j AS (SELECT i, list(CAST(s AS DOUBLE) / (1000000.0 * cnt)
+           ORDER BY p) AS c FROM s_$j GROUP BY i)"""
+    }.mkString
+    val cbUnion = (0 until m)
+      .map(j => s"SELECT $j AS j, i, c FROM cb1_$j").mkString(" UNION ALL ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       stepn AS (SELECT greatest(1, (SELECT count(*) FROM emb) // $nlist) AS step),
+       coarse AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, v
+         FROM emb, stepn WHERE vec_id % stepn.step = 0
+         ORDER BY vec_id LIMIT $nlist),
+       assigned AS (
+         SELECT e.vec_id,
+           (SELECT c.i FROM coarse c
+            ORDER BY list_dot_product(e.v, c.v) DESC, c.i DESC
+            LIMIT 1) AS list
+         FROM emb e),
+       eres AS (
+         SELECT e.vec_id, a.list,
+           list_transform(range(1, len(e.v) + 1),
+             ii -> e.v[ii] - cw.v[ii]) AS rv
+         FROM emb e JOIN assigned a USING (vec_id)
+         JOIN coarse cw ON cw.i = a.list),
+       qm AS (SELECT vec_id,
+           list_transform(rv, x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+         FROM eres),
+       stepc AS (SELECT greatest(1, (SELECT count(*) FROM emb) // $ksub) AS step),
+       seedr AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i, qv
+         FROM qm, stepc WHERE vec_id % stepc.step = 0
+         ORDER BY vec_id LIMIT $ksub)$lloyd,
+       cb AS ($cbUnion),
+       codes AS (
+         SELECT er.vec_id, t.j,
+           (SELECT cb.i FROM cb WHERE cb.j = t.j
+            ORDER BY 2.0 * list_dot_product(${sub("er.rv", "t.j")}, cb.c)
+              - list_dot_product(cb.c, cb.c) DESC, cb.i DESC
+            LIMIT 1) AS code
+         FROM eres er, (VALUES $js) t(j)),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+       probed AS (
+         SELECT q.query_id, c.i AS list, list_dot_product(q.qv, c.v) AS qc
+         FROM q, LATERAL (SELECT i, v FROM coarse
+           ORDER BY list_dot_product(q.qv, coarse.v) DESC, i DESC
+           LIMIT $nprobe) c),
+       dt AS (
+         SELECT q.query_id, cb.j, cb.i,
+           list_dot_product(${sub("q.qv", "cb.j")}, cb.c) AS d
+         FROM q, cb),
+       terms AS (
+         SELECT co.vec_id, dt.query_id, co.j, dt.d
+         FROM codes co JOIN dt ON dt.j = co.j AND dt.i = co.code),
+       rscored AS (
+         SELECT t0.query_id, t0.vec_id, round(p.qc + $terms, 6) AS pq_score
+         $termJoins
+         JOIN assigned a ON a.vec_id = t0.vec_id
+         JOIN probed p ON p.query_id = t0.query_id AND p.list = a.list)
+       SELECT query_id, vec_id, pq_score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY pq_score DESC, vec_id) AS INT) AS rank
+       FROM rscored QUALIFY rank <= 10"""
+  }
+
   /** Exact oracle for the residual IVF-PQ gate (decoupled shape). */
   private lazy val ivfpqResidualOracleSql: String =
     s"""${ivfpqResidualCtes(32, 4)}
@@ -5045,6 +5173,7 @@ object SparkEntry {
     "q_sim_ann_ivfpq_persisted" -> ivfpqOracleSql,
     "q_sim_ann_ivfpq_filtered" -> ivfpqFilteredOracleSql,
     "q_sim_ann_ivfpq_kmeans_cb" -> ivfpqKmeansCbOracleSql,
+    "q_sim_ann_ivfpq_residual_kmcb" -> ivfpqResidualKmcbOracleSql,
     // decoupled nlist ≠ ksub: codebook CTEs at stride n/16, coarse
     // quantizer CTEs at the INDEPENDENT stride n/32
     "q_sim_ann_ivfpq_decoupled" -> ivfpqDecoupledOracleSql,

@@ -1032,7 +1032,10 @@ object Similarity {
     * [[ivfAppendToIndex]]: residual-ness is not detectable from the
     * stored tables); `codebookIters > 0` trains the codebooks with
     * per-sub-space k-means instead of the strided sample
-    * ([[deriveCodebooksKmeans]] — spec-gated, no SQL oracle);
+    * ([[deriveCodebooksKmeans]] — exact-oracled:
+    * `q_sim_ann_ivfpq_kmeans_cb`), composing with `residual` (codebooks
+    * then train on the corpus residuals — the full 100 TB shape, gated
+    * decoupled: `q_sim_ann_ivfpq_residual_kmcb`);
     * `carryCols` names metadata columns (tenant, language, licence …)
     * copied verbatim into the stored code table so a FILTERED probe —
     * `ivfpqTopKFromIndex(..., encoded.filter(pred), ...)` — prunes on
@@ -1056,16 +1059,29 @@ object Similarity {
       carryCols: Seq[String] = Nil): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
-    require(!(residual && codebookIters > 0),
-      "residual codebooks are derived from the strided sample; k-means " +
-        "codebook training on residuals is not supported (train " +
-        "non-residual or drop codebookIters)")
     val (coarse, codebooks0) =
       ivfpqTables(corpus, nlist, m, ksub, dims, corpusId, corpusVec, residual)
+    // k-means codebooks train on what the codes will QUANTIZE: raw
+    // vectors plain, `v − centroid[assigned list]` residual — the
+    // residual projection is the encode's own (same codegen'd
+    // assignment+subtraction, bit-parity by construction), so the
+    // composed residual+learned+decoupled build stays exactly
+    // SQL-replayable (gated: q_sim_ann_ivfpq_residual_kmcb)
     val codebooks =
       if (codebookIters <= 0) codebooks0
-      else deriveCodebooksKmeans(
+      else if (!residual) deriveCodebooksKmeans(
         corpus, m, ksub, dims, codebookIters, corpusId, corpusVec)
+      else {
+        val v = col(corpusVec)
+        val resFrame = corpus
+          .select(col(corpusId), v.cast("array<double>").as("__v"),
+            nearestCentroidCol(v, coarse, l2 = false).as("__list"))
+          .select(col(corpusId),
+            vectorSubtract(col("__v"),
+              centroidVectorCol(col("__list"), coarse)).as("__rv"))
+        deriveCodebooksKmeans(
+          resFrame, m, ksub, dims, codebookIters, corpusId, "__rv")
+      }
     val spark = corpus.sparkSession
     val centroidsDf = spark.createDataFrame(
       java.util.Arrays.asList(coarse.map { case (i, c) => Row(i, c) }: _*),

@@ -809,6 +809,29 @@ class JobsSpec extends SparkSpec {
       "kind" -> "ivfpq", "src" -> s"$dir/corpus", "index" -> ixk,
       "cbiters" -> "1"))
     assert(buildLine.contains("\"rows\""))
+    // composed residual + learned codebooks through the CLI: both flags
+    // must ride build AND probe together
+    val ixrk = s"$dir/ix_ivfpq_rkm"
+    AnnIndexMain.run(spark, Map("mode" -> "build", "kind" -> "ivfpq",
+      "src" -> s"$dir/corpus", "index" -> ixrk, "residual" -> "true",
+      "cbiters" -> "2"))
+    AnnIndexMain.run(spark, Map("mode" -> "probe", "kind" -> "ivfpq",
+      "index" -> ixrk, "queries" -> s"$dir/queries",
+      "out" -> s"$dir/out_rkm", "k" -> "5", "nprobe" -> "4",
+      "residual" -> "true"))
+    val gotRkm = spark.read.parquet(s"$dir/out_rkm")
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val wantRkm = Similarity.ivfpqTopKFromIndex(
+        spark.read.parquet(s"$ixrk/centroids"),
+        spark.read.parquet(s"$ixrk/codebooks"),
+        spark.read.parquet(s"$ixrk/encoded"),
+        spark.read.parquet(s"$dir/queries"), k = 5, nprobe = 4,
+        residual = true)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(gotRkm == wantRkm && gotRkm.nonEmpty,
+      "residual+kmeans-codebook CLI probe diverged from the operator")
     // learned codebooks differ from strided ones (the option is live)
     val cbStrided = spark.read.parquet(s"$dir/ix_ivfpq/codebooks")
       .as[(Int, Int, Seq[Double])].collect().toSet

@@ -476,6 +476,23 @@ class SimilaritySpec extends SparkSpec {
     val rows = cbs.select("j", "i").as[(Int, Int)].collect()
     assert(rows.length == 8 * 16, s"expected 128 codebook rows, got ${rows.length}")
     assert(rows.toSet.size == 128, "duplicate (j, i) codebook slots")
+    // The residual-trained variant (q_sim_ann_ivfpq_residual_kmcb,
+    // decoupled nlist = 32) DOES lose a cluster on this corpus — the
+    // oracle stays exact iff the survivors form the SAME id-PREFIX
+    // 0..minK−1 in every sub-space (then the operator's take(minK)
+    // positions coincide with cluster ids, so position-indexed codes
+    // still equal the oracle's id-indexed ones). Pin that shape.
+    val (_, cbsR, _) = Similarity.buildIvfPqIndex(
+      emb, nlist = 32, residual = true, codebookIters = 2)
+    val rowsR = cbsR.select("j", "i").as[(Int, Int)].collect()
+    val byJ = rowsR.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byJ.keySet == (0 until 8).toSet, "missing sub-spaces")
+    val sizes = byJ.values.map(_.size).toSet
+    assert(sizes.size == 1, s"ragged codebooks across sub-spaces: $sizes")
+    val kR = sizes.head
+    assert(kR >= 1 && byJ.values.forall(_ == (0 until kR)),
+      s"residual survivors must be the id-prefix 0..${kR - 1} in every " +
+        s"sub-space for the oracle's position ≡ id equivalence")
   }
 
   test("IVF-PQ carryCols: carried metadata ≡ id-join filtering; values verbatim") {
@@ -702,6 +719,23 @@ class SimilaritySpec extends SparkSpec {
         dims = dims, codebookIters = 2)._2
       .as[(Int, Int, Seq[Double])].collect().toSet
     assert(cb1 == cb2 && cb1.nonEmpty)
+    // COMPOSED residual + k-means codebooks (codebooks train on the
+    // corpus residuals): must not lose to residual with strided
+    // codebooks at the same shape — the full 100 TB configuration the
+    // q_sim_ann_ivfpq_residual_kmcb gate pins for exactness
+    def recallResVia(cbIters: Int): Long = {
+      val (c0, cb0, enc) = Similarity.buildIvfPqIndex(embC, nlist = 8,
+        m = 8, ksub = 24, dims = dims, residual = true,
+        codebookIters = cbIters)
+      recallSum(Similarity.ivfpqTopKFromIndex(
+        c0.localCheckpoint(), cb0.localCheckpoint(), enc, q, k,
+        nprobe = 2, residual = true))
+    }
+    val resStrided = recallResVia(0)
+    val resLearned = recallResVia(2)
+    assert(resLearned >= resStrided,
+      s"residual k-means codebooks must not lose to residual strided: " +
+        s"learned=$resLearned strided=$resStrided")
   }
 
   test("kmeans-IVF beats strided centroids on clustered data; deterministic") {
