@@ -867,6 +867,25 @@ class JobsSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(gotFiltered.forall { case (_, v, _) => labelOf(v) < 5 },
       "filtered probe returned an ineligible candidate")
+    // where= on the plain-IVF probe too: the assigned table keeps every
+    // corpus column, so the predicate needs no carry — the CLI branch
+    // must still route it to the scan
+    AnnIndexMain.run(spark, Map("mode" -> "probe", "kind" -> "ivf",
+      "index" -> s"$dir/ix_ivf", "queries" -> s"$dir/queries",
+      "out" -> s"$dir/out_ivf_f", "k" -> "5", "nprobe" -> "4",
+      "metric" -> "dot", "where" -> "label < 5"))
+    val gotIvfF = spark.read.parquet(s"$dir/out_ivf_f")
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val wantIvfF = Similarity.ivfTopKFromIndex(
+        spark.read.parquet(s"$dir/ix_ivf/centroids"),
+        spark.read.parquet(s"$dir/ix_ivf/assigned").filter(col("label") < 5),
+        spark.read.parquet(s"$dir/queries"), k = 5, nprobe = 4)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(gotIvfF == wantIvfF && gotIvfF.nonEmpty,
+      "ivf where= probe diverged from the operator")
+    assert(gotIvfF.forall { case (_, v, _) => labelOf(v) < 5 })
   }
 
   test("AnnIndexMain: row tables list-partitioned; probe scans only probed lists") {
