@@ -534,6 +534,12 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.buildIvfPqIndex(emb, nlist = 16, carryCols = Seq("__list"))
     }
+    // carry rides the RESIDUAL encode branch too (separate projection)
+    val encRes = Similarity.buildIvfPqIndex(
+      emb, nlist = 16, residual = true, carryCols = Seq("label"))._3
+    assert(encRes.columns.contains("label") &&
+      encRes.select("vec_id", "label").except(
+        emb.select("vec_id", "label")).count() == 0)
   }
 
   test("ivfpqAppendToIndex: append ≡ rebuild under fixed centroid+codebook tables") {
