@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+
+/** Runtime-shape profiler: runs selected queries once (after an untimed
+  * warm run) and reports, per query, the JOB/STAGE/TASK counts and the
+  * aggregate task metrics a formatted plan cannot show — how many Spark
+  * jobs the query actually launches (each `localCheckpoint`, artifact
+  * dump, or eager fixture is its own job), how many shuffle rounds it
+  * pays, and how the wall time splits between executor task time and
+  * scheduling gaps. At bench scale (sf0.1 on local[32]) per-stage fixed
+  * latency dominates several floors, so stage count × latency is the
+  * first number to look at before touching any operator.
+  *
+  *   sbt "runMain graft.JobProfile q_pipeline_clean q_ppl_filter"
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32).
+  */
+object JobProfile {
+  private class Acc extends SparkListener {
+    // per-job wall + callsite, printed when GRAFT_PROFILE_JOBS=1
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val taskTimeMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shuffleReadB = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shuffleWriteB = new java.util.concurrent.atomic.AtomicLong(0L)
+    val inputB = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onJobStart(j: SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet()
+      val site = Option(j.properties)
+        .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+      jobStart.put(j.jobId, (j.time, site))
+      ()
+    }
+    override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+      Option(jobStart.get(j.jobId)).foreach { case (t0, site) =>
+        jobLines.add(f"      job ${j.jobId}%4d ${(j.time - t0) / 1e3}%7.3f s  $site")
+      }
+      ()
+    }
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      val i = s.stageInfo
+      val wall = (for {
+        a <- i.completionTime; b <- i.submissionTime
+      } yield (a - b) / 1e3).getOrElse(-1.0)
+      val m = i.taskMetrics
+      val (run, sr, sw) =
+        if (m == null) (0.0, 0L, 0L)
+        else (m.executorRunTime / 1e3,
+          m.shuffleReadMetrics.totalBytesRead,
+          m.shuffleWriteMetrics.bytesWritten)
+      jobLines.add(f"      stage ${i.stageId}%4d wall=$wall%7.3f " +
+        f"run=$run%7.2f ${i.numTasks}%4d tasks " +
+        f"shufMB=${(sr + sw) / 1e6}%7.1f  ${i.name.take(70)}")
+      ()
+    }
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      val m = t.taskMetrics
+      if (m != null) {
+        taskTimeMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        shuffleReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        inputB.addAndGet(m.inputMetrics.bytesRead)
+      }
+      ()
+    }
+    def snapshot(): Seq[Long] = Seq(jobs.get().toLong, stages.get().toLong,
+      tasks.get().toLong, taskTimeMs.get(), shuffleReadB.get(),
+      shuffleWriteB.get(), inputB.get(), gcMs.get())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_pipeline_clean", "q_pipeline_recipe", "q_ppl_filter")
+    println(f"${"query"}%-34s ${"sec"}%7s ${"jobs"}%5s ${"stages"}%7s " +
+      f"${"tasks"}%6s ${"taskSec"}%8s ${"shufMB"}%7s ${"inMB"}%6s ${"gcSec"}%6s")
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      fn(spark, sfDir).count() // warm: codegen, artifact dumps, JIT
+      val acc = new Acc
+      spark.sparkContext.addSparkListener(acc)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener bus is async; give it a beat to drain before reading
+      Thread.sleep(300)
+      spark.sparkContext.removeSparkListener(acc)
+      val Seq(j, s, t, tt, sr, sw, in, gc) = acc.snapshot()
+      println(f"$n%-34s $sec%7.2f $j%5d $s%7d $t%6d ${tt / 1e3}%8.2f " +
+        f"${(sr + sw) / 1e6}%7.1f ${in / 1e6}%6.1f ${gc / 1e3}%6.2f")
+      if (sys.env.get("GRAFT_PROFILE_JOBS").contains("1"))
+        acc.jobLines.forEach(l => println(l))
+    }
+    spark.stop()
+  }
+}

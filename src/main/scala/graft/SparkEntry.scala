@@ -764,6 +764,10 @@ object SparkEntry {
     // itself: exactly the entries of kept rows survive.
     "q_s6_index_maintenance" -> ((s, dir) => {
       import graft.jobs.IndexedRetention
+      // deliberately plain read: spreading the 3-split scan (readWide)
+      // was A/B-measured SLOWER (3.06 vs 2.57 s min) — the round-robin
+      // exchange of full-width lineitem rows costs more than the extra
+      // write parallelism buys; the floor is the dual-sink write itself
       val li = read(s, dir, "lineitem")
       // the flagship spec: rule columns are the key columns (validation
       // spooks otherwise); the index covers a NON-key column
@@ -2237,6 +2241,10 @@ object SparkEntry {
     // so the email stage is the only one that can fire — the oracle
     // mirrors exactly that)
     "q_pipeline_clean" -> ((s, dir) => {
+      // readWide: the single-row-group test scan otherwise pins the regex
+      // scrub AND both stage checkpoints (which inherit the scan's one
+      // partition) to one core — measured 3 serial ~0.4-0.9 s single-task
+      // stages at sf0.1; spread, they ride all cores (r17 profile)
       val withPii = read(s, dir, "documents").select(
         col("doc_id"), col("lang"), col("source"),
         concat(col("text"), lit(" contact user"), col("doc_id"),

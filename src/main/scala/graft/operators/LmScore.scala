@@ -29,6 +29,67 @@ object LmScore {
 
   private def toks(text: Column): Column = TextAnalysis.tokens(text)
 
+  /** Tokenize the corpus ONCE into a pinned `(__id, __w)` frame shared by
+    * every model-build aggregation AND the scoring explode. The in-memory
+    * train-and-score paths previously re-ran the regex tokenizer per
+    * consumer (uni + bi + tri builds + scoring = up to 4 corpus passes);
+    * the token arrays are the same bytes each time, so one eager
+    * materialization (executor-local blocks, lineage-truncating like the
+    * Dedup pins) replaces n−1 corpus re-scans — at 100 TB that is n−1
+    * full passes removed, locally ~0.25 s of regex per pass (measured
+    * r17). Derived n-gram tables and scores are bit-identical: the
+    * arrays, not the derivation, are what's shared. */
+  private def tokenArrays(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), toks(col(textCol)).as("__w"))
+      .localCheckpoint()
+
+  /** Unigram counts from a tokenized `(__id, __w)` frame. */
+  private def uniFromWords(words: DataFrame): DataFrame =
+    words.select(explode(col("__w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+
+  /** Bigram struct array over `__w` — the shared pair constructor. */
+  private def biPairs: Column =
+    when(size(col("__w")) >= 2,
+      transform(sequence(lit(0), size(col("__w")) - lit(2)),
+        i => struct(
+          element_at(col("__w"), i + lit(1)).as("wa"),
+          element_at(col("__w"), i + lit(2)).as("wb"))))
+      .otherwise(array().cast("array<struct<wa:string,wb:string>>"))
+
+  /** Trigram struct array over `__w` — the shared triple constructor. */
+  private def triTriples: Column =
+    when(size(col("__w")) >= 3,
+      transform(sequence(lit(0), size(col("__w")) - lit(3)),
+        i => struct(
+          element_at(col("__w"), i + lit(1)).as("w1"),
+          element_at(col("__w"), i + lit(2)).as("w2"),
+          element_at(col("__w"), i + lit(3)).as("w3"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+
+  /** Bigram counts from a tokenized frame. */
+  private def biFromWords(words: DataFrame): DataFrame =
+    words.select(explode(biPairs).as("__p"))
+      .select(col("__p.wa").as("wa"), col("__p.wb").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c2"))
+
+  /** Trigram counts from a tokenized frame. */
+  private def triFromWords(words: DataFrame): DataFrame =
+    words.select(explode(triTriples).as("__t"))
+      .select(col("__t.w1").as("w1"), col("__t.w2").as("w2"),
+        col("__t.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+
+  /** Per-document exploded trigrams `(__id, w1, w2, w3)` from a
+    * tokenized frame — the scoring-side input. */
+  private def trisFromWords(words: DataFrame): DataFrame =
+    words.select(col("__id"), explode(triTriples).as("__t"))
+      .select(col("__id"), col("__t.w1").as("w1"), col("__t.w2").as("w2"),
+        col("__t.w3").as("w3"))
+
   /** Append `logprob_micros` (sum of smoothed bigram log-probs in
     * micro-units; 0 for documents with fewer than two tokens) and
     * `n_bigrams`. Callers filter/rank on
@@ -38,14 +99,15 @@ object LmScore {
       idCol: String,
       textCol: String,
       smoothing: Double = 1.0d): DataFrame = {
-    // pin ONLY the table the scoring pass hits with a SEPARATE eager
-    // scalar action (the vocab count re-derived the unigram corpus
-    // build outside the score job); join-only tables stay lazy — their
-    // single build inside the one score action is covered by exchange
-    // reuse, and an extra checkpoint job would only add fixed cost
-    val (uni, bi) = buildBigramModel(df, textCol)
-    bigramLogProbFromModel(df, idCol, textCol,
-      uni.localCheckpoint(), bi, smoothing)
+    // tokenize ONCE (pinned words frame) — uni build, bi build and the
+    // scoring explode all derive from the same arrays instead of each
+    // re-running the regex tokenizer over the corpus (3 passes → 1).
+    // Pin policy unchanged otherwise: uni additionally pinned (vocab
+    // scalar + join = 2 references), bi lazy (single reference)
+    val words = tokenArrays(df, idCol, textCol)
+    val uni = uniFromWords(words).localCheckpoint()
+    val bi = biFromWords(words)
+    bigramScoreJoin(df, idCol, pairsFromWords(words), uni, bi, smoothing)
   }
 
   /** Train the bigram count model `(uni(w, c1), bi(wa, wb, c2))` — the
@@ -55,18 +117,7 @@ object LmScore {
       df: DataFrame,
       textCol: String): (DataFrame, DataFrame) = {
     val words = df.select(toks(col(textCol)).as("__w"))
-    val uni = words.select(explode(col("__w")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val bi = words.select(explode(when(size(col("__w")) >= 2,
-        transform(sequence(lit(0), size(col("__w")) - lit(2)),
-          i => struct(
-            element_at(col("__w"), i + lit(1)).as("wa"),
-            element_at(col("__w"), i + lit(2)).as("wb"))))
-        .otherwise(array().cast("array<struct<wa:string,wb:string>>")))
-        .as("__p"))
-      .select(col("__p.wa").as("wa"), col("__p.wb").as("wb"))
-      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c2"))
-    (uni, bi)
+    (uniFromWords(words), biFromWords(words))
   }
 
   /** Score `df` against a pre-built bigram model — one pass over the
@@ -79,19 +130,27 @@ object LmScore {
       uni: DataFrame,
       bi: DataFrame,
       smoothing: Double = 1.0d): DataFrame = {
+    val words = df.select(col(idCol).as("__id"), toks(col(textCol)).as("__w"))
+    bigramScoreJoin(df, idCol, pairsFromWords(words), uni, bi, smoothing)
+  }
+
+  /** Per-document exploded bigrams `(__id, w1, w2)` from a tokenized
+    * frame — the scoring-side input. */
+  private def pairsFromWords(words: DataFrame): DataFrame =
+    words.select(col("__id"), explode(biPairs).as("__p"))
+      .select(col("__id"), col("__p.wa").as("w1"), col("__p.wb").as("w2"))
+
+  /** The bigram scoring join — shared by the train-and-score and
+    * from-model paths (identical arithmetic, one timed pass). */
+  private def bigramScoreJoin(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      uni: DataFrame,
+      bi: DataFrame,
+      smoothing: Double): DataFrame = {
     require(smoothing > 0, "smoothing must be positive")
     val id = col(idCol)
-    val words = df.select(id.as("__id"), toks(col(textCol)).as("__w"))
-    val pairs = words.select(col("__id"),
-      posexplode(when(size(col("__w")) >= 2,
-        transform(sequence(lit(0), size(col("__w")) - lit(2)),
-          i => struct(
-            element_at(col("__w"), i + lit(1)).as("w1"),
-            element_at(col("__w"), i + lit(2)).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as(Seq("__pos", "__p")))
-      .select(col("__id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
-
     val vocab = uni.count() // ONE driver scalar
 
     val term = round(
@@ -144,13 +203,16 @@ object LmScore {
       idCol: String,
       textCol: String,
       discount: Double = 0.75d): DataFrame = {
-    // pin both: each table is referenced 4x by the recursion (type
-    // aggregations + the direct joins + the nTypes scalar), and the
-    // broadcast build sides of those joins do NOT get exchange reuse —
-    // unpinned, each reference re-runs the corpus n-gram aggregation
-    val (biCnt, triType) = buildKneserNeyModel(df, textCol)
-    kneserNeyTrigramFromModel(df, idCol, textCol,
-      biCnt.localCheckpoint(), triType.localCheckpoint(), discount)
+    // tokenize ONCE (pinned words frame): bi/tri builds and the scoring
+    // explode share the same arrays (3 corpus passes → 1). Pin policy
+    // unchanged for the model tables: each is referenced 4x by the
+    // recursion (type aggregations + the direct joins + the nTypes
+    // scalar), and the broadcast build sides of those joins do NOT get
+    // exchange reuse — unpinned, each reference re-runs the aggregation
+    val words = tokenArrays(df, idCol, textCol)
+    val biCnt = biFromWords(words).localCheckpoint()
+    val triType = triFromWords(words).localCheckpoint()
+    knScoreJoin(df, idCol, trisFromWords(words), biCnt, triType, discount)
   }
 
   /** Train the KN count model: `(bi(wa, wb, c2), tri(w1, w2, w3, c3))` —
@@ -164,27 +226,7 @@ object LmScore {
       df: DataFrame,
       textCol: String): (DataFrame, DataFrame) = {
     val words = df.select(toks(col(textCol)).as("__w"))
-    val bi = words.select(explode(when(size(col("__w")) >= 2,
-        transform(sequence(lit(0), size(col("__w")) - lit(2)),
-          i => struct(
-            element_at(col("__w"), i + lit(1)).as("wa"),
-            element_at(col("__w"), i + lit(2)).as("wb"))))
-        .otherwise(array().cast("array<struct<wa:string,wb:string>>")))
-        .as("__p"))
-      .select(col("__p.wa").as("wa"), col("__p.wb").as("wb"))
-      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c2"))
-    val tri = words.select(explode(when(size(col("__w")) >= 3,
-        transform(sequence(lit(0), size(col("__w")) - lit(3)),
-          i => struct(
-            element_at(col("__w"), i + lit(1)).as("w1"),
-            element_at(col("__w"), i + lit(2)).as("w2"),
-            element_at(col("__w"), i + lit(3)).as("w3"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>")))
-        .as("__t"))
-      .select(col("__t.w1").as("w1"), col("__t.w2").as("w2"),
-        col("__t.w3").as("w3"))
-      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
-    (bi, tri)
+    (biFromWords(words), triFromWords(words))
   }
 
   /** Score `df` against a pre-built KN model (the [[buildKneserNeyModel]]
@@ -201,21 +243,21 @@ object LmScore {
       bi: DataFrame,
       tri: DataFrame,
       discount: Double = 0.75d): DataFrame = {
+    val words = df.select(col(idCol).as("__id"), toks(col(textCol)).as("__w"))
+    knScoreJoin(df, idCol, trisFromWords(words), bi, tri, discount)
+  }
+
+  /** The KN scoring join — shared by the train-and-score and from-model
+    * paths (identical recursion, one timed pass). */
+  private def knScoreJoin(
+      df: DataFrame,
+      idCol: String,
+      tris: DataFrame,
+      bi: DataFrame,
+      tri: DataFrame,
+      discount: Double): DataFrame = {
     require(discount > 0 && discount < 1, "discount must be in (0,1)")
     val id = col(idCol)
-    val words = df.select(id.as("__id"), toks(col(textCol)).as("__w"))
-    val tris = words.select(col("__id"),
-      explode(when(size(col("__w")) >= 3,
-        transform(sequence(lit(0), size(col("__w")) - lit(3)),
-          i => struct(
-            element_at(col("__w"), i + lit(1)).as("w1"),
-            element_at(col("__w"), i + lit(2)).as("w2"),
-            element_at(col("__w"), i + lit(3)).as("w3"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>")))
-        .as("__t"))
-      .select(col("__id"), col("__t.w1").as("w1"), col("__t.w2").as("w2"),
-        col("__t.w3").as("w3"))
-
     val biCnt = bi.select(col("wa"), col("wb"), col("c2").as("__c2"))
     val triType = tri.select(col("w1"), col("w2"), col("w3"),
       col("c3").as("__c3"))
@@ -287,14 +329,18 @@ object LmScore {
       l3: Double = 0.6d,
       l2: Double = 0.3d,
       l1: Double = 0.1d): DataFrame = {
-    // pin what is referenced MORE THAN ONCE: uni (vocab scalar + two
-    // joins) and bi (two joins — broadcast build sides get no exchange
-    // reuse, plan-audited ReusedExchange=0, so unpinned bi rebuilt its
-    // corpus aggregation twice); tri has a single reference and stays
-    // lazy — a checkpoint there would only add a job boundary
-    val (uni, bi, tri) = buildTrigramModel(df, textCol)
-    trigramLogProbFromModel(df, idCol, textCol, uni.localCheckpoint(),
-      bi.localCheckpoint(), tri, smoothing, l3, l2, l1)
+    // tokenize ONCE (pinned words frame): uni/bi/tri builds and the
+    // scoring explode share the same arrays (4 corpus passes → 1). Pin
+    // policy unchanged for the model tables — what is referenced MORE
+    // THAN ONCE: uni (vocab scalar + two joins) and bi (two joins —
+    // broadcast build sides get no exchange reuse, plan-audited
+    // ReusedExchange=0); tri has a single reference and stays lazy
+    val words = tokenArrays(df, idCol, textCol)
+    val uni = uniFromWords(words).localCheckpoint()
+    val bi = biFromWords(words).localCheckpoint()
+    val tri = triFromWords(words)
+    trigramScoreJoin(df, idCol, trisFromWords(words), uni, bi, tri,
+      smoothing, l3, l2, l1)
   }
 
   /** Train the interpolated-trigram count model: the three
@@ -309,29 +355,7 @@ object LmScore {
       df: DataFrame,
       textCol: String): (DataFrame, DataFrame, DataFrame) = {
     val words = df.select(toks(col(textCol)).as("__w"))
-    val uni = words.select(explode(col("__w")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val bi = words.select(explode(when(size(col("__w")) >= 2,
-        transform(sequence(lit(0), size(col("__w")) - lit(2)),
-          i => struct(
-            element_at(col("__w"), i + lit(1)).as("wa"),
-            element_at(col("__w"), i + lit(2)).as("wb"))))
-        .otherwise(array().cast("array<struct<wa:string,wb:string>>")))
-        .as("__p"))
-      .select(col("__p.wa").as("wa"), col("__p.wb").as("wb"))
-      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c2"))
-    val tri = words.select(explode(when(size(col("__w")) >= 3,
-        transform(sequence(lit(0), size(col("__w")) - lit(3)),
-          i => struct(
-            element_at(col("__w"), i + lit(1)).as("w1"),
-            element_at(col("__w"), i + lit(2)).as("w2"),
-            element_at(col("__w"), i + lit(3)).as("w3"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>")))
-        .as("__t"))
-      .select(col("__t.w1").as("w1"), col("__t.w2").as("w2"),
-        col("__t.w3").as("w3"))
-      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
-    (uni, bi, tri)
+    (uniFromWords(words), biFromWords(words), triFromWords(words))
   }
 
   /** Score `df` against a pre-built trigram model (the
@@ -363,21 +387,28 @@ object LmScore {
       l3: Double = 0.6d,
       l2: Double = 0.3d,
       l1: Double = 0.1d): DataFrame = {
+    val words = df.select(col(idCol).as("__id"), toks(col(textCol)).as("__w"))
+    trigramScoreJoin(df, idCol, trisFromWords(words), uni, bi, tri,
+      smoothing, l3, l2, l1)
+  }
+
+  /** The interpolated-trigram scoring join — shared by the
+    * train-and-score and from-model paths (identical arithmetic, one
+    * timed pass). */
+  private def trigramScoreJoin(
+      df: DataFrame,
+      idCol: String,
+      tris: DataFrame,
+      uni: DataFrame,
+      bi: DataFrame,
+      tri: DataFrame,
+      smoothing: Double,
+      l3: Double,
+      l2: Double,
+      l1: Double): DataFrame = {
     require(smoothing > 0, "smoothing must be positive")
     require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9, "lambdas must sum to 1")
     val id = col(idCol)
-    val words = df.select(id.as("__id"), toks(col(textCol)).as("__w"))
-    val tris = words.select(col("__id"),
-      explode(when(size(col("__w")) >= 3,
-        transform(sequence(lit(0), size(col("__w")) - lit(3)),
-          i => struct(
-            element_at(col("__w"), i + lit(1)).as("w1"),
-            element_at(col("__w"), i + lit(2)).as("w2"),
-            element_at(col("__w"), i + lit(3)).as("w3"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>")))
-        .as("__t"))
-      .select(col("__id"), col("__t.w1").as("w1"), col("__t.w2").as("w2"),
-        col("__t.w3").as("w3"))
 
     // TWO driver scalars, computed in one aggregate pass over the
     // unigram table (vocabulary-bounded input, not the corpus)
