@@ -85,13 +85,22 @@ object ReconcileJob {
       maintainedLm: Option[(DataFrame, DataFrame, DataFrame)] = None)
       : ReconcileResult = {
     val input = corpus.count()
+    // ONE MinHash pass over the corpus: the banded-signature table feeds
+    // BOTH the near-dup candidate stage and the artifact rebuild.
+    // Signatures are deterministic per document, so the rebuilt index
+    // (= the full table restricted to survivors) is bit-identical to
+    // re-deriving it from survivor text — which the previous shape did,
+    // paying a second full tokenize+MinHash pass over ~the whole corpus.
+    val bandedFull = Dedup.bandedSignatures(corpus, idCol, textCol,
+      shingleN, minhashK, bands).localCheckpoint()
     // 1. global near-dup resolution (the cross-batch pass)
-    val survivors = Dedup.nearDupDedup(corpus, idCol, textCol,
-      jaccardThreshold, shingleN, minhashK, bands).localCheckpoint()
+    val survivors = Dedup.nearDupDedupFromBanded(bandedFull, corpus, idCol,
+      textCol, jaccardThreshold, shingleN).localCheckpoint()
     val nSurv = survivors.count()
     // 2. rebuild the deterministic artifacts from the reconciled corpus
-    val banded = Dedup.bandedSignatures(survivors, idCol, textCol,
-      shingleN, minhashK, bands).localCheckpoint()
+    val banded = bandedFull
+      .join(survivors.select(idCol), Seq(idCol), "left_semi")
+      .localCheckpoint()
     val (uni, bi, tri) = LmScore.buildTrigramModel(survivors, textCol)
     // 3. exact drift vs the incrementally-maintained index
     val key = Seq(idCol, "band", "bucket")

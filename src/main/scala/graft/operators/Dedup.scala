@@ -133,10 +133,27 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       k: Int = 20,
-      bands: Int = 5): DataFrame = {
+      bands: Int = 5): DataFrame =
+    bandedFromShingleFrame(
+      df.select(col(idCol), shingles(col(textCol), shingleN).as("__s")),
+      idCol, k, bands)
+
+  /** [[bandedSignatures]] from a pre-shingled `(idCol, __s)` frame —
+    * lets a caller that ALSO needs the shingle arrays (the incremental
+    * verify path) tokenize the batch exactly once. MinHash is a min over
+    * per-shingle hashes, so a sorted (or otherwise re-ordered) array of
+    * the same distinct shingles yields bit-identical signatures. */
+  private[graft] def bandedFromShingleFrame(
+      sh: DataFrame,
+      idCol: String,
+      k: Int,
+      bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val rowsPerBand = k / bands
-    minHashSignatures(df, idCol, textCol, shingleN, k)
+    sh.select(col(idCol),
+        ColumnBridge.column(graft.functions.MinHashSig(
+          ColumnBridge.expression(col("__s")), k)).as("__sig"))
       .select(
         col(idCol),
         explode(
@@ -167,8 +184,20 @@ object Dedup {
       shingleN: Int = 3,
       k: Int = 20,
       bands: Int = 5,
+      maxBucket: Option[Int] = None): DataFrame =
+    lshCandidatePairsFromBanded(
+      bandedSignatures(df, idCol, textCol, shingleN, k, bands),
+      idCol, maxBucket)
+
+  /** The candidate self-join over an existing `(id, band, bucket)` table
+    * (see [[bandedSignatures]]) — lets a caller that also needs the
+    * banded table for another consumer (e.g. [[graft.jobs.ReconcileJob]]'s
+    * artifact rebuild) compute the MinHash pass exactly once. */
+  def lshCandidatePairsFromBanded(
+      banded: DataFrame,
+      idCol: String,
       maxBucket: Option[Int] = None): DataFrame = {
-    val banded = bandedSignatures(df, idCol, textCol, shingleN, k, bands)
+    val keyed = banded
       // one exchange on the JOIN keys: both self-join branches reuse it
       // (ReuseExchange), so the map-only signature projection runs ONCE,
       // and the equi-join is co-partitioned — no further shuffle. Without
@@ -176,7 +205,7 @@ object Dedup {
       // branch (the old groupBy shape got reuse for free from its
       // aggregate exchange, at the cost of exploding shingles into rows).
       .repartition(col("band"), col("bucket"))
-    val capped = capBuckets(banded, maxBucket)
+    val capped = capBuckets(keyed, maxBucket)
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b,
@@ -325,7 +354,11 @@ object Dedup {
     val spark = pairs.sparkSession
     import spark.implicits._
     // the upstream pair pipeline (LSH + Jaccard verify) is expensive:
-    // materialize it once for the count + collect/iterate that follow
+    // materialize it once for the count + collect/iterate that follow.
+    // (A single limit(threshold+1).collect() was tried instead — it
+    // measures WORSE: executeTake scales partitions up 1→4→16→… in
+    // SERIAL jobs when the limit isn't met early, which it never is for
+    // a small pair set spread over 32+ partitions.)
     val p = pairs.persist()
     val edgeCount = p.count()
     if (edgeCount <= driverThreshold) {
@@ -433,8 +466,26 @@ object Dedup {
       shingleN: Int = 3,
       k: Int = 20,
       bands: Int = 10,
+      maxBucket: Option[Int] = None): DataFrame =
+    nearDupDedupFromBanded(
+      bandedSignatures(df, idCol, textCol, shingleN, k, bands),
+      df, idCol, textCol, jaccardThreshold, shingleN, maxBucket)
+
+  /** [[nearDupDedup]] with the banded-signature table supplied by the
+    * caller — signatures are deterministic per document, so a caller
+    * that needs the banded table for another consumer (e.g. a rebuild
+    * artifact) can materialize it once and both uses stay bit-identical
+    * to deriving it inline. `banded` must come from [[bandedSignatures]]
+    * over the SAME `df` and `(shingleN, k, bands)`. */
+  def nearDupDedupFromBanded(
+      banded: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      jaccardThreshold: Double = 0.8,
+      shingleN: Int = 3,
       maxBucket: Option[Int] = None): DataFrame = {
-    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, k, bands, maxBucket)
+    val cands = lshCandidatePairsFromBanded(banded, idCol, maxBucket)
     val verified = ngramJaccardOnPairs(df, cands, idCol, textCol, shingleN)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b")
@@ -780,36 +831,57 @@ object Dedup {
       shingleN: Int = 3,
       k: Int = 20,
       bands: Int = 10): DataFrame = {
-    val corpus = corpusText
-    // the delta's banded keys feed BOTH the cross-corpus probe and the
-    // internal self-join below: materialize them once (3 longs × |delta|
-    // × bands — executor-local, distributed) so the MinHash projection
-    // never re-reads delta text. Eager localCheckpoints rather than
-    // persist(): they truncate the lineage (the multi-reference replanning
-    // blow-up q_dedup_minhash_pairs hit) and the ContextCleaner reclaims
-    // the blocks instead of pinning them in the cache registry.
-    val deltaBanded = bandedSignatures(delta, idCol, textCol, shingleN, k, bands)
+    // ONE tokenize pass over the delta: the SORTED per-doc shingle table
+    // is pinned once and shared by (a) the banded MinHash signatures —
+    // MinHash is a min over per-shingle hashes, so signatures from the
+    // sorted array are bit-identical — (b) the cross-corpus Jaccard
+    // verify, (c) the internal verify. The previous shape shingled delta
+    // text three times (banding, plus each verify's candidate-restricted
+    // re-shingle) and ran each verify's id-union/semi-join machinery.
+    // DISK_ONLY: largest intermediate, all consumers one-pass (the
+    // prefixFilterPairs rationale). Eager localCheckpoints rather than
+    // persist(): they truncate the lineage (the multi-reference
+    // replanning blow-up q_dedup_minhash_pairs hit) and the
+    // ContextCleaner reclaims the blocks.
+    val deltaSh = delta.select(col(idCol).as("__id"),
+        sort_array(shingles(col(textCol), shingleN)).as("__s"))
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // banded keys feed the cross-corpus probe AND the internal self-join:
+    // materialized once (3 longs × |delta| × bands)
+    val deltaBanded = bandedFromShingleFrame(
+        deltaSh.withColumnRenamed("__id", idCol), idCol, k, bands)
       .localCheckpoint()
-    // no pin on `cross`: it is referenced exactly once now —
-    // ngramJaccardOnPairs pins the pair list itself (single-reference
-    // tables stay lazy per the README pin rule; a second checkpoint
-    // here would just double-materialize the same small list)
+    // pinned: referenced twice (the corpus-side shingle restriction and
+    // the verify join) — unpinned, each reference re-runs the index
+    // probe join
     val cross = deltaBanded.as("d")
       .join(corpusBanded.as("c"),
         col("d.band") === col("c.band") && col("d.bucket") === col("c.bucket"))
       .select(col(s"d.$idCol").as("id_a"), col(s"c.$idCol").as("id_b"))
       .distinct()
-    // corpus∪delta text restricted to candidate-pair members by
-    // ngramJaccardOnPairs — NO broadcast hint on the id set: on a
+      .localCheckpoint()
+    // corpus text is consulted ONLY for the ids the probe named (lazy:
+    // single reference) — NO broadcast hint on the id set: on a
     // degenerate corpus index (one hot LSH bucket) the collision ids
     // approach corpus cardinality, and a forced hint would bypass AQE's
-    // stats-based size check and pull the whole set onto the driver;
-    // AQE still broadcasts the (usual) tiny case at runtime.
-    val candDocs = corpus.select(col(idCol), col(textCol))
-      .unionByName(delta.select(col(idCol), col(textCol)))
-    // delta ids near any corpus doc — referenced by two anti-joins below
-    val dropIds = ngramJaccardOnPairs(candDocs, cross, idCol, textCol, shingleN)
-      .filter(col("jaccard") >= jaccardThreshold)
+    // stats-based size check; AQE still broadcasts the (usual) tiny
+    // case at runtime.
+    val cSh = corpusText
+      .join(cross.select(col("id_b").as(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("__id"),
+        sort_array(shingles(col(textCol), shingleN)).as("__s"))
+    // delta ids near any corpus doc — referenced by two anti-joins below.
+    // Same scoring contract as jaccardOnPairsSorted, with the delta pin
+    // on the id_a side and the corpus restriction on the id_b side.
+    val inter = sortedIntersectCount(col("sh_a"), col("sh_b"))
+    val dropIds = cross
+      .join(deltaSh.select(col("__id").as("id_a"), col("__s").as("sh_a")),
+        "id_a")
+      .join(cSh.select(col("__id").as("id_b"), col("__s").as("sh_b")),
+        "id_b")
+      .filter((inter.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+        >= jaccardThreshold)
       .select(col("id_a").as(idCol)).distinct()
       .localCheckpoint()
     val fresh = delta.join(dropIds, Seq(idCol), "left_anti")
@@ -825,9 +897,9 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    // candidate-restricted verify: only pair members shingle — a large
-    // backfill delta would otherwise pay two full shingle passes here
-    val verified = ngramJaccardOnPairs(fresh, internalCands, idCol, textCol, shingleN)
+    // verify over the SAME delta shingle pin (pairs only name fresh ids,
+    // so the inner joins restrict naturally — no re-shingle, no semi-join)
+    val verified = jaccardOnPairsSorted(deltaSh, internalCands)
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b")
     val losers = resolveDuplicateGroups(verified)

@@ -92,19 +92,31 @@ object QualityModel {
       iters: Int = 3,
       lr: Double = 0.5d,
       nGramBuckets: Int = 0): Array[Double] = {
-    require(iters >= 1 && lr > 0)
     val xs = allFeaturesMu(col(textCol), nGramBuckets)
-    val d = xs.length
     // featurize ONCE: GD is inherently one aggregation per iteration,
     // but the features (regex class counts, hashed n-gram arrays) are
     // iteration-invariant — without this the text work (md5 per 3-gram)
     // re-ran every round. The checkpointed table is d+1 longs per doc;
     // iterations scan that, not the corpus. Same shape as the oracle's
-    // single feature CTE.
-    val feat = df.select(
-      col(labelCol).cast("double").as("__y") +:
-        xs.zipWithIndex.map { case (x, j) => x.as(s"__x$j") }: _*)
+    // single feature CTE. Spread an under-split scan first: the regex/
+    // md5 featurize pass is the dominant per-row cost and otherwise
+    // inherits the test fixture's ONE input partition (gradients are
+    // order-free integer sums, so partitioning never moves a bit).
+    val feat = Scale.ensureParallelism(df,
+        df.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col(labelCol).cast("double").as("__y") +:
+          xs.zipWithIndex.map { case (x, j) => x.as(s"__x$j") }: _*)
       .localCheckpoint()
+    trainOnFeatures(feat, xs.length, iters, lr)
+  }
+
+  /** The GD loop over a pinned `(__y, __x0..__x{d-1})` feature frame —
+    * shared by [[train]] and [[trainAndScore]] (which keeps the pin to
+    * also score from, saving the second corpus featurize pass). */
+  private def trainOnFeatures(
+      feat: DataFrame, d: Int, iters: Int, lr: Double): Array[Double] = {
+    require(iters >= 1 && lr > 0)
     val w = Array.fill(d)(0.0d)
     val n = feat.count()
     require(n > 0, "cannot train on an empty corpus")
@@ -154,7 +166,14 @@ object QualityModel {
 
   /** Train on a 0/1 label and score the same corpus — the composed
     * quality-filter pass (label from any deterministic signal; the
-    * flagship query uses `lang = 'en'`). */
+    * flagship query uses `lang = 'en'`).
+    *
+    * ONE featurize pass total: the pinned integer feature frame that
+    * feeds the GD iterations also feeds the scoring projection — the
+    * features are the SAME micro-unit longs either way, so scoring from
+    * the pin is bit-identical to re-deriving them from text (which the
+    * previous shape did: train's featurize pass + score's, each a full
+    * regex/md5 corpus scan — the measured dominant cost). */
   def trainAndScore(
       df: DataFrame,
       idCol: String,
@@ -163,8 +182,22 @@ object QualityModel {
       iters: Int = 3,
       lr: Double = 0.5d,
       nGramBuckets: Int = 0): DataFrame = {
-    val w = train(df, textCol, labelCol, iters, lr, nGramBuckets)
-    score(df, textCol, w, nGramBuckets)
-      .select(col(idCol), col(labelCol).cast("int").as("y"), col("score_mu"))
+    val xs = allFeaturesMu(col(textCol), nGramBuckets)
+    val d = xs.length
+    val feat = Scale.ensureParallelism(df,
+        df.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col(idCol) +: col(labelCol).cast("double").as("__y") +:
+          xs.zipWithIndex.map { case (x, j) => x.as(s"__x$j") }: _*)
+      .localCheckpoint()
+    val w = trainOnFeatures(feat, d, iters, lr)
+    // σ(w·x) from the pinned features — the [[score]] expression with
+    // `__xj` substituted for the text-derived features (same longs)
+    val z = (0 until d).map { j =>
+      lit(w(j)) * (col(s"__x$j").cast("double") / lit(1e6d))
+    }.reduce(_ + _)
+    val sigma = lit(1.0d) / (lit(1.0d) + exp(negate(z)))
+    feat.select(col(idCol), col("__y").cast("int").as("y"),
+      floor(sigma * lit(1e6d) + lit(0.5d)).cast("long").as("score_mu"))
   }
 }
