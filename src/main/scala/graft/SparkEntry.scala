@@ -674,6 +674,10 @@ object SparkEntry {
     // partition in clustering order, with the group verdict
     "q_w1_group_verdict" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // deliberate `read`: spreading the 3-split scan with readWide was
+      // measured WORSE (the round-robin exchange of the projected rows
+      // costs more than the extra scan parallelism buys — the q_s6
+      // finding)
       val li = read(s, dir, "lineitem")
       val verdict = col("l_linenumber") >= 3 && col("l_linenumber") <= 5
       val w = Window.partitionBy(col("l_orderkey"))
@@ -3338,16 +3342,22 @@ object SparkEntry {
     // of the bucket-count array with the micro-rounded log-ratio vector
     // (B bounded rows driver-folded into a literal → map-only scoring)
     "q_dsir_weights" -> ((s, dir) =>
-      operators.Dsir.dsirWeights(
-          readWide(s, dir, "documents"), "text", col("lang") === "en", 16)
+      // compact single-md5-pass shape: the pinned (id, lang, counts)
+      // frame feeds estimate AND scoring — bit-identical weights
+      operators.Dsir.dsirWeightsCompact(
+          readWide(s, dir, "documents"), "doc_id", Seq("lang"), "text",
+          col("lang") === "en", 16)
         .select("doc_id", "lang", "weight_mu")),
     // the accept/reject draw: keep iff the deterministic uniform
     // micro-draw is below min(1, e^λ) — target-looking documents
     // survive, off-distribution documents thin out proportionally
     "q_dsir_sample" -> ((s, dir) =>
-      operators.Dsir.dsirSelect(
-          readWide(s, dir, "documents"), "doc_id", "text",
-          col("lang") === "en", 16, seed = 17L)
+      // same accept/reject draw over the compact single-pass weights
+      operators.Dsir.dsirResample(
+          operators.Dsir.dsirWeightsCompact(
+            readWide(s, dir, "documents"), "doc_id", Seq("lang", "source"),
+            "text", col("lang") === "en", 16),
+          "doc_id", "weight_mu", seed = 17L)
         .select("doc_id", "lang", "source", "weight_mu")),
     // WordPiece (BERT-style) tokenizer: frequency-seeded vocabulary with
     // ##-continuation marking ∪ all single-char pieces; pure string

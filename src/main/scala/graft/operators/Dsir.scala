@@ -58,9 +58,15 @@ object Dsir {
       isTarget: Column,
       buckets: Int): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
-    val perDoc = df.select(
+    ratiosFromPerDoc(df.select(
       isTarget.cast("long").as("__t"),
-      bucketCounts(col(textCol), buckets).as("__c"))
+      bucketCounts(col(textCol), buckets).as("__c")), buckets)
+  }
+
+  /** The distribution estimate + log-ratio math over a per-doc
+    * `(__t, __c)` frame — shared by [[bucketLogRatios]] and the compact
+    * single-pass path so both produce bit-identical ratios. */
+  private def ratiosFromPerDoc(perDoc: DataFrame, buckets: Int): DataFrame = {
     // every array has length `buckets` (zeros included), so every bucket
     // id survives the explode and the output is dense — no left-join
     // against a bucket spine needed
@@ -83,6 +89,16 @@ object Dsir {
       .drop("__tt", "__rt")
   }
 
+  /** Collect a ratio table to the dense vector (bounded: exactly
+    * `buckets` rows by construction). */
+  private def collectRatios(ratios: DataFrame, buckets: Int): Array[Long] = {
+    val lr = Array.ofDim[Long](buckets)
+    ratios.select(col("bucket").cast("int"), col("lr_mu"))
+      .collect() // bounded: exactly `buckets` rows by construction
+      .foreach(r => lr(r.getInt(0)) = r.getLong(1))
+    lr
+  }
+
   /** The dense micro log-ratio vector, driver-collected (bounded:
     * exactly `buckets` rows by construction). This is the trained
     * "model" — persist it once and score any later batch or STREAM with
@@ -92,14 +108,8 @@ object Dsir {
       df: DataFrame,
       textCol: String,
       isTarget: Column,
-      buckets: Int): Array[Long] = {
-    val lr = Array.ofDim[Long](buckets)
-    bucketLogRatios(df, textCol, isTarget, buckets)
-      .select(col("bucket").cast("int"), col("lr_mu"))
-      .collect() // bounded: exactly `buckets` rows by construction
-      .foreach(r => lr(r.getInt(0)) = r.getLong(1))
-    lr
-  }
+      buckets: Int): Array[Long] =
+    collectRatios(bucketLogRatios(df, textCol, isTarget, buckets), buckets)
 
   /** Append `weight_mu` — the integer dot product of the document's
     * bucket-count array with the literal log-ratio vector. Map-only:
@@ -121,6 +131,39 @@ object Dsir {
       buckets: Int): DataFrame =
     scoreWithRatios(df, textCol,
       logRatioVector(df, textCol, isTarget, buckets))
+
+  /** [[dsirWeights]] computing the md5 bucket-count array ONCE per
+    * document: the pinned compact frame — id + `carryCols` + the B-long
+    * count array, never the text — feeds both the distribution estimate
+    * and the map-only scoring. The generic [[dsirWeights]] keeps its
+    * all-columns contract and pays a second [[bucketCounts]] pass (the
+    * operator's dominant per-row cost: one md5 per 3-gram); callers that
+    * can name the columns they need get the single-pass shape, and the
+    * weights are bit-identical (same counts, same ratio vector, same
+    * integer dot product). Output: `(idCol, carryCols…, weight_mu)`. */
+  def dsirWeightsCompact(
+      df: DataFrame,
+      idCol: String,
+      carryCols: Seq[String],
+      textCol: String,
+      isTarget: Column,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val counts = df.select(
+        (col(idCol) +: carryCols.map(col)) ++ Seq(
+          isTarget.cast("long").as("__t"),
+          bucketCounts(col(textCol), buckets).as("__c")): _*)
+      .localCheckpoint()
+    val lr = collectRatios(
+      ratiosFromPerDoc(counts.select(col("__t"), col("__c")), buckets),
+      buckets)
+    val lrLit = typedLit(lr.toSeq) // bounded: exactly `buckets` literals
+    counts
+      .withColumn("weight_mu",
+        aggregate(zip_with(col("__c"), lrLit, (c, l) => c * l),
+          lit(0L), (acc, x) => acc + x))
+      .drop("__t", "__c")
+  }
 
   /** The importance draw: keep a row iff its deterministic uniform
     * micro-draw is below min(1, e^λ) — keep probability equals the

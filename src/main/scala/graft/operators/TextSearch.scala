@@ -31,7 +31,13 @@ object TextSearch {
   /** Per-(doc, term) frequencies plus document length — the inverted
     * index's posting payload. */
   def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc"), toks(col(textCol)).as("__t"))
+    tfFromWords(df.select(col(idCol).as("doc"), toks(col(textCol)).as("__t")))
+
+  /** [[termFrequencies]] from a tokenized `(doc, __t)` frame — lets a
+    * caller that also needs the token arrays (corpus scalars) tokenize
+    * exactly once. */
+  private def tfFromWords(words: DataFrame): DataFrame =
+    words
       .select(col("doc"), size(col("__t")).cast("long").as("dl"),
         explode(col("__t")).as("term"))
       .groupBy(col("doc"), col("dl"), col("term"))
@@ -55,6 +61,11 @@ object TextSearch {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // Two tokenize passes by design (tf + the scalars action): a pinned
+    // shared words frame was tried and measured WORSE at bench scale —
+    // materializing the token arrays (larger than the text) cost more
+    // than the second tokenize saved, and the tf aggregation's exchange
+    // is already reused across its two in-plan references.
     val tf = termFrequencies(df, idCol, textCol)
     // corpus scalars: one tiny aggregate (N docs, total token count)
     val (nDocs, totalLen) = df
@@ -111,6 +122,12 @@ object TextSearch {
       textCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 1, "need k >= 1")
+    // NOT pinned: the posting table is referenced three times, but all
+    // three references sit in ONE plan whose identical aggregation
+    // exchange is deduplicated by ReuseExchange — a DISK_ONLY
+    // localCheckpoint was tried and measured WORSE (the pin's write+read
+    // round trip bought nothing the exchange reuse wasn't already
+    // providing).
     val tf = termFrequencies(df, idCol, textCol)
     val nDocs = tf.agg(countDistinct(col("doc")).as("__n"))
     val dfreq = tf.groupBy(col("term"))

@@ -240,10 +240,16 @@ object TrainPrep {
       budgetTokens: Long,
       scoreScale: Long = 1000000L): DataFrame = {
     require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    // PINNED (3 longs per row): referenced by the bucket-table collect
+    // AND both output branches (full buckets + the boundary window) —
+    // unpinned, each reference re-ran the caller's score/token-count
+    // projection over the corpus (measured: the quality-score regex pass
+    // ran three times for q_token_budget)
     val base = df.select(
       col(idCol).as("__id"),
       col(tokenCol).cast("long").as("__ntok"),
       floor(col(scoreCol) * scoreScale + 0.5).cast("long").as("__smu"))
+      .localCheckpoint()
     val bsums = base.groupBy(col("__smu"))
       .agg(sum(col("__ntok")).as("__bsum"))
     // running totals over the bucket table: small by construction
@@ -356,8 +362,12 @@ object TrainPrep {
       nBands: Int,
       scoreScale: Long = 1000000L): DataFrame = {
     require(nBands >= 1, "nBands must be >= 1")
+    // PINNED (2 longs per row): referenced by the bucket-table collect
+    // AND both band branches — the selectByTokenBudget rationale (the
+    // caller's score projection otherwise re-ran per reference)
     val base = df.select(col(idCol).as("__id"),
       floor(col(scoreCol) * scoreScale + 0.5).cast("long").as("score_mu"))
+      .localCheckpoint()
     val wc = Window.orderBy(col("score_mu"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bucketRows = base.groupBy(col("score_mu"))
