@@ -1930,6 +1930,10 @@ object SparkEntry {
             operators.Multimodal.imageTableWithClones(s, dir)).toDF()
           .write.mode("overwrite").parquet(artImg)
       }
+      // two per-modality self-joins, deliberately: folding both into ONE
+      // modality-keyed join (identical pair set) was tried and measured
+      // slightly WORSE in a quiet window — the union + wider join key
+      // cost more than the saved join machinery
       val textPairs = operators.Dedup.simHashNearDupsFrom(
         s.read.parquet(artSim), "doc_id", maxDist = 3)
       val imagePairs = operators.Dedup.simHashNearDupsFrom(

@@ -49,6 +49,11 @@ object LinkGraph {
     val nodes = e.select(col(srcCol).as("node"))
       .union(e.select(col(dstCol).as("node"))).distinct()
       .localCheckpoint()
+    // outdeg stays a LAZY re-aggregation of the pinned edge list: a
+    // pre-joined, checkpointed (src, dst, outdeg) table was tried —
+    // fewer per-iteration joins on paper — and measured ~0.3 s WORSE
+    // (the wider pin + its materialization cost more than the cheap
+    // per-round aggregate over the existing pin saves)
     val outdeg = e.groupBy(col(srcCol).as("node"))
       .agg(count(lit(1)).as("outdeg"))
     val baseMu = (100 - dampingPct) * 10000L // (1-d)·10⁶

@@ -462,7 +462,12 @@ object Similarity {
       .orderBy(col(corpusId))
       .limit(nlist)
       .select(col(corpusId), col(corpusVec).cast("array<double>").as("centroid"))
-    // list id = rank in the ordered sample; ≤ nlist rows, single tiny sort
+    // list id = rank in the ordered sample; ≤ nlist rows, single tiny
+    // sort. NOT pinned: a localCheckpoint here (to make downstream
+    // consumers' re-collects read a pin instead of re-running the
+    // sample derivation) measured ~0.4 s WORSE on every buildIvfIndex
+    // consumer in a quiet window — the pruned sample scan is cheap and
+    // the eager pin job isn't.
     val centroidsDf = sample
       .withColumn("list",
         (row_number().over(Window.orderBy(col(corpusId))) - 1).cast("int"))

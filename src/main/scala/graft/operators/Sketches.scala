@@ -377,6 +377,12 @@ object Sketches {
       numPartitions: Int = 0): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), "qs must be in [0,1]")
     val spark = sample.sparkSession
+    // NOT pinned: the sample feeds four actions (count, approxQuantile,
+    // counts collect, rank join), but re-deriving it is a column-pruned
+    // 2-column scan + one hash — a localCheckpoint was tried and
+    // measured ~0.4 s WORSE per query (materializing the rows costs
+    // more than four cheap pruned scans; pins only pay when the
+    // re-derived subtree is regex/hash-heavy TEXT work).
     val n = sample.count()
     val outSchema = StructType(Seq(
       StructField("q", DoubleType, nullable = false),
