@@ -195,7 +195,16 @@ object Bench {
     // probe-surface cost like the other FromIndex gates; the m-sub-space
     // k-means build runs once per process in the warm phase
     "q_sim_ann_ivfpq_kmeans_cb" -> 0.7,
-    "q_sim_ann_ivfpq_residual_kmcb" -> 0.7)
+    "q_sim_ann_ivfpq_residual_kmcb" -> 0.7,
+    // r17 optimization round: floors after the shared featurize/shingle/
+    // bucket-count passes (BENCH_floors.json, 48 runs) — the old hints
+    // sat 2-3x above the new floors, weakening the believed() stall-cap
+    "q_dsir_sample" -> 0.43, "q_dsir_weights" -> 0.4,
+    "q_token_budget" -> 0.45, "q_curriculum_bands" -> 0.49,
+    "q_quality_model_ngram" -> 0.67, "q_quality_sample" -> 0.52,
+    "q_dedup_incremental_persisted" -> 1.19, "q_dedup_incremental" -> 1.25,
+    "q_pipeline_recipe" -> 1.46, "q_ppl_filter" -> 1.58,
+    "q_pipeline_clean" -> 2.18)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
