@@ -30,10 +30,18 @@ import org.apache.spark.sql.SparkSession
   *   then a cheap query whose cold penalty is small. Warm failures are
   *   logged, never recorded — the timed phases re-run and report errors.
   *
-  *   Phase A (coverage): queries cheapest-first, ONE timed run each.
-  *   Before each query the deadline is checked; once passed, remaining
-  *   queries are SKIPPED and reported in "skipped" — visible, never
-  *   silently fast.
+  *   Phase A (coverage): queries cheapest-first, ONE timed run each,
+  *   UNCONDITIONALLY — the deadline gates only the warm phase and the
+  *   Phase B top-ups. Round 17's driver window absorbed 1118 cpu-s of
+  *   host steal, the budget died inside Phase A, and the 11
+  *   believed-heaviest queries were skipped — which emptied the driver's
+  *   entire round-over-round comparison (PERF_r17 per_query == {}). A
+  *   degraded-but-complete run beats a void: Phase A's cost is one
+  *   sample per query ≈ the warm suite floor (~100 s at sf0.1/32c), so
+  *   even a multi-× steal burst keeps warm+A inside the harness process
+  *   timeout that the budget exists to respect. "skipped" stays in the
+  *   JSON contract (now structurally empty) so downstream parsers and
+  *   old-round comparisons are untouched.
   *
   *   Phase B (top-up): leftover budget buys additional timed iterations,
   *   round-robin, until every query has `SPARK_GRAFT_BENCH_ITERS`
@@ -132,6 +140,11 @@ object Bench {
     "q_sim_near_dup_exact" -> 0.32, "q_sim_ann_lsh" -> 0.33,
     "q_cdc_apply" -> 0.34, "q_sketch_kmv_jaccard" -> 0.34,
     "q_mm_image_dedup_jpeg" -> 0.35, "q_ann_recall" -> 0.36,
+    // NOTE (r18): hints refreshed IN PLACE to the r17 end-of-round floors
+    // (BENCH_floors.json, 53 runs) — the r17 refresh appended duplicate
+    // keys, which Scala's Map resolves last-wins but leaves dead entries
+    // in source (ADVICE r17); the duplicates are gone and these are the
+    // live values.
     "q_lm_bigram_score" -> 0.44, "q_text_pmi" -> 0.36, "q_ann_ndcg" -> 0.37,
     "q_sketch_bloom_merge" -> 0.39, "q_curation_topk_per_source" -> 0.41,
     "q_pack_greedy" -> 0.42, "q_scale_salted_join" -> 0.42,
@@ -152,7 +165,7 @@ object Bench {
     "q_decontam_semantic_filter" -> 0.64, "q_sample_temperature" -> 0.64,
     "q_k_anonymity" -> 0.66, "q_sample_weighted_reservoir" -> 0.66,
     "q_pref_pairs" -> 0.69, "q_k_anonymity_nulls" -> 0.57,
-    "q_sim_ann_ivf" -> 0.7, "q_quality_sample" -> 0.71,
+    "q_sim_ann_ivf" -> 0.7, "q_quality_sample" -> 0.52,
     "q_mm_audio_dedup_persisted" -> 0.72,
     "q_decontam_semantic_pairs" -> 0.75, "q_mix_materialize" -> 0.79,
     "q_wordpiece_oov" -> 0.79, "q_chat_flatten_nulls" -> 0.6,
@@ -160,7 +173,7 @@ object Bench {
     "q_cluster_semdedup" -> 0.83, "q_lm_trigram_score" -> 0.72,
     "q_w1_group_verdict" -> 0.83, "q_pack_offsets" -> 0.84,
     "q_chat_chunks" -> 0.86, "q_mm_image_dedup_persisted" -> 0.86,
-    "q_dsir_weights" -> 0.87, "q_sim_near_dup" -> 0.55,
+    "q_dsir_weights" -> 0.4, "q_sim_near_dup" -> 0.55,
     "q_decontam_filter" -> 0.5, "q_unigram_tokenize" -> 0.88,
     "q_dedup_simhash_pairs" -> 0.89, "q_dedup_group_stats" -> 0.85,
     "q_bm25_topk" -> 0.93, "q_unigram_vocab" -> 0.93,
@@ -169,21 +182,21 @@ object Bench {
     "q_sketch_quantile" -> 1.02, "q_text_winnow" -> 0.28,
     "q_bpe_encode" -> 1.03, "q_bpe_merges" -> 1.03, "q_bpe_tokenize" -> 1.05,
     "q_dedup_minhash_pairs" -> 1.05, "q_link_pagerank" -> 0.8,
-    "q_token_budget" -> 1.1, "q_pipeline_shards" -> 1.11,
+    "q_token_budget" -> 0.45, "q_pipeline_shards" -> 1.11,
     "q_sim_ann_ivfpq" -> 1.15, "q_dedup_resolve" -> 0.83,
     "q_retrieval_rrf" -> 1.18, "q_dedup_lsh_recall" -> 1.19,
-    "q_quality_model_ngram" -> 1.21, "q_sketch_quantile_merge" -> 1.21,
-    "q_sim_ann_pq" -> 1.25, "q_curriculum_bands" -> 1.26,
+    "q_quality_model_ngram" -> 0.67, "q_sketch_quantile_merge" -> 1.21,
+    "q_sim_ann_pq" -> 1.25, "q_curriculum_bands" -> 0.49,
     "q_sim_ann_ivf_kmeans" -> 1.26, "q_sim_near_dup_probe" -> 1.26,
-    "q_mm_cross_dedup" -> 1.31, "q_dsir_sample" -> 1.34,
+    "q_mm_cross_dedup" -> 1.31, "q_dsir_sample" -> 0.43,
     "q_sim_ann_pq_rerank" -> 1.34, "q_dedup_best_copy" -> 1.01,
     "q_domain_drift" -> 1.55, "q_pipeline_select" -> 0.99,
     "q_tfidf_keywords" -> 0.87, "q_bloom_decontam" -> 0.54,
-    "q_dedup_incremental_persisted" -> 1.93, "q_ppl_filter" -> 1.38,
-    "q_dedup_incremental" -> 2.11, "q_pipeline_recipe" -> 1.48,
+    "q_dedup_incremental_persisted" -> 1.19, "q_ppl_filter" -> 1.58,
+    "q_dedup_incremental" -> 1.25, "q_pipeline_recipe" -> 1.46,
     "q_winnow_pairs" -> 0.75, "q_dedup_prefix_join" -> 2.55,
     "q_rank_weighted_sample" -> 0.86, "q_curation" -> 1.15,
-    "q_pipeline_clean" -> 3.01,
+    "q_pipeline_clean" -> 2.18,
     // r17: measured floors from the r17 campaign (BENCH_floors.json) for
     // the queries added in r16/r17 that had been running at the
     // unknown-name 9.99 heavy slot
@@ -195,16 +208,7 @@ object Bench {
     // probe-surface cost like the other FromIndex gates; the m-sub-space
     // k-means build runs once per process in the warm phase
     "q_sim_ann_ivfpq_kmeans_cb" -> 0.7,
-    "q_sim_ann_ivfpq_residual_kmcb" -> 0.7,
-    // r17 optimization round: floors after the shared featurize/shingle/
-    // bucket-count passes (BENCH_floors.json, 48 runs) — the old hints
-    // sat 2-3x above the new floors, weakening the believed() stall-cap
-    "q_dsir_sample" -> 0.43, "q_dsir_weights" -> 0.4,
-    "q_token_budget" -> 0.45, "q_curriculum_bands" -> 0.49,
-    "q_quality_model_ngram" -> 0.67, "q_quality_sample" -> 0.52,
-    "q_dedup_incremental_persisted" -> 1.19, "q_dedup_incremental" -> 1.25,
-    "q_pipeline_recipe" -> 1.46, "q_ppl_filter" -> 1.58,
-    "q_pipeline_clean" -> 2.18)
+    "q_sim_ann_ivfpq_residual_kmcb" -> 0.7)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -324,11 +328,10 @@ object Bench {
       (wall, warmedCount.get())
     }
 
-    // Phase A — coverage: one timed run per query until the deadline.
-    names.foreach { case (name, fn) =>
-      if (remainingSec <= 0) skipped += name
-      else { run(name, fn); () }
-    }
+    // Phase A — coverage: one timed run per query, deadline-exempt (see
+    // the phase doc above: a steal burst must degrade sample counts, not
+    // coverage — r17's skipped heavies voided the driver comparison).
+    names.foreach { case (name, fn) => run(name, fn); () }
     // Phase B — top-up to target iteration counts while budget remains,
     // in PASSES: each pass gives every below-target query ONE more
     // sample, cheapest-first (by its fastest sample), so a shrinking

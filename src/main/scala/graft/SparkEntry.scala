@@ -2677,24 +2677,38 @@ object SparkEntry {
     // UniMax per-source token allocation — the "what do we actually
     // train on, and how often" artifact, end-to-end under ONE oracle
     "q_pipeline_select" -> ((s, dir) => {
-      val split = operators.Sampling.hashSplit(readWide(s, dir, "documents"),
-        "doc_id", Seq(("train", 0.95), ("heldout", 0.05)), seed = 7L)
-      val train = split.filter(col("split") === "train")
-      val contamOk = operators.Decontamination.contaminationFraction(
-          train, split.filter(col("split") === "heldout"),
-          "doc_id", "text", n = 3)
+      // ONE corpus text pass (r17 verdict item 1): the three signals this
+      // capstone needs — contamination shingles, quality score, token
+      // count — previously each re-scanned documents.text (3 regex/array
+      // passes). One pinned projection now carries all three; the
+      // expressions are the exact ones the three separate passes ran, so
+      // every downstream row is bit-identical (oracle EQUAL; the shared
+      // pass is the LmScore tokenArrays discipline — pins pay where the
+      // re-derived subtree is regex/tokenize-heavy text work).
+      // (the narrow-pin alternative — q_mu/__tok pinned, shingles left to
+      // re-derive from text — A/B-measured worse: mins 1.32/1.37 vs this
+      // shape's 1.09/1.15 in the same alternating quiet window; the
+      // shingle re-derivation is itself regex-heavy text work, exactly
+      // the subtree the r17 pin rule says to share)
+      val base = operators.Sampling.hashSplit(readWide(s, dir, "documents"),
+          "doc_id", Seq(("train", 0.95), ("heldout", 0.05)), seed = 7L)
+        .select(col("doc_id"), col("source"), col("split"),
+          round(operators.TextAnalysis.qualityScore(col("text")) * 1e6)
+            .cast("long").as("q_mu"),
+          operators.TextAnalysis.tokenCount(col("text")).as("__tok"),
+          operators.Dedup.shingles(col("text"), 3).as("__sh"))
+        .localCheckpoint()
+      val train = base.filter(col("split") === "train")
+      val contamOk = operators.Decontamination.contaminationFractionFromShingles(
+          train, base.filter(col("split") === "heldout"), "doc_id", "__sh")
         .filter(col("contam_ppm") < 300000L)
         .select(col("train_id").as("doc_id"))
       val kept = train
-        .withColumn("q_mu",
-          round(operators.TextAnalysis.qualityScore(col("text")) * 1e6)
-            .cast("long"))
         .filter(col("q_mu") >= 900000L)
         .join(contamOk, Seq("doc_id"), "left_semi")
       operators.Sampling.unimaxAllocation(
         kept.groupBy(col("source")).agg(
-          sum(operators.TextAnalysis.tokenCount(col("text"))).cast("long")
-            .as("tokens")),
+          sum(col("__tok")).cast("long").as("tokens")),
         "source", "tokens", budget = 30000L, maxEpochsMilli = 1500L)
     }),
     // incremental-admission capstone: a delta batch gated against the
@@ -3091,7 +3105,10 @@ object SparkEntry {
         .select("doc_id", "lang", "logprob_kn_micros", "n_trigrams")),
     // KN scoring from a PERSISTED model: only the bigram and trigram
     // count tables persist (every continuation/type table re-derives
-    // from them, vocabulary-bounded) — same oracle as the in-memory path
+    // from them, vocabulary-bounded) — same oracle as the in-memory
+    // path. (r18: a scoring-ready artifact carrying the pre-aggregated
+    // continuation/type stats was built and A/B-measured WORSE — see the
+    // negative-result note in LmScore.knScoreJoin; reverted.)
     "q_lm_kn_score_persisted" -> ((s, dir) => {
       val docs = readWide(s, dir, "documents")
       val art = artifactPath(dir, "lm_kn")

@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static eval for [[RegexScrub]] — referenced from generated code.
+  *
+  * Exact-parity contract with the `regexp_count` + `regexp_replace` chain
+  * it replaces ([[graft.operators.CorpusClean]] `scrubWith`): both Spark
+  * built-ins drive one `java.util.regex.Matcher.find()` loop over the
+  * string (`RegExpCount` counts the finds, `RegExpReplace` feeds them
+  * through `appendReplacement`/`appendTail`), so ONE find loop per
+  * pattern yields the identical count AND the identical rewritten text —
+  * the fused pass halves the regex scans (count+replace per pattern → one
+  * matcher walk per pattern) and drops the per-built-in
+  * UTF8String↔String round trips of the progressive text state. */
+object ScrubEval {
+  /** Apply `pats` in order against the progressive text state, counting
+    * and replacing in one matcher walk each. Returns
+    * `(text, n_0 … n_{k-1})` as an InternalRow. */
+  def scrub(
+      in: UTF8String,
+      pats: Array[java.util.regex.Pattern],
+      repls: Array[String]): InternalRow = {
+    var cur = in.toString
+    val out = new Array[Any](pats.length + 1)
+    var p = 0
+    while (p < pats.length) {
+      val m = pats(p).matcher(cur)
+      var c = 0L
+      if (m.find()) {
+        val sb = new java.lang.StringBuffer(cur.length + 16)
+        do { c += 1L; m.appendReplacement(sb, repls(p)) } while (m.find())
+        m.appendTail(sb)
+        cur = sb.toString
+      }
+      out(p + 1) = c
+      p += 1
+    }
+    out(0) = UTF8String.fromString(cur)
+    new GenericInternalRow(out)
+  }
+}
+
+/** The whole scrub chain — k ordered (pattern → replacement) rules with
+  * per-rule hit counts against the progressive text state — as ONE
+  * codegen'd expression returning
+  * `struct<text: string, n_<name0>: long, …>`.
+  *
+  * Replaces 2k chained built-ins (k `regexp_count` + k `regexp_replace`,
+  * each its own matcher pass and UTF8String↔String conversion over the
+  * progressively rewritten corpus text) with k matcher walks and one
+  * conversion pair per row — the dominant per-row cost of the CleanJob
+  * scrub stage. Patterns are compiled once per expression instance and
+  * shipped to generated code as referenced objects (the
+  * [[CentroidTableExpression]] discipline); value-typed constructor args
+  * keep structurally equal plans plan-equal.
+  *
+  * Parity contract: counts equal `regexp_count` on the text state the
+  * rule sees; text equals the `regexp_replace` fold — see [[ScrubEval]].
+  * Replacements must be literal (no `$` group refs / `\` escapes): both
+  * the old chain and this expression feed them to `appendReplacement`,
+  * where metacharacters would engage group substitution; requiring
+  * literals keeps the contract obvious rather than merely preserved.
+  * Null text yields a null struct (each built-in in the old chain was
+  * null-producing per column — field extraction restores per-column
+  * nulls). */
+case class RegexScrub(
+    child: Expression,
+    names: IndexedSeq[String],
+    regexes: IndexedSeq[String],
+    replacements: IndexedSeq[String])
+    extends UnaryExpression {
+
+  require(names.nonEmpty, "need at least one scrub rule")
+  require(names.length == regexes.length &&
+    names.length == replacements.length,
+    "names, regexes and replacements must align")
+  require(replacements.forall(r => !r.contains("$") && !r.contains("\\")),
+    "replacements must be literal (no $ group refs or \\ escapes)")
+
+  @transient private lazy val pats: Array[java.util.regex.Pattern] =
+    regexes.map(java.util.regex.Pattern.compile).toArray
+  @transient private lazy val repls: Array[String] = replacements.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.sql}")
+  }
+  override def dataType: DataType = StructType(
+    StructField("text", StringType, nullable = true) +:
+      names.map(n => StructField(s"n_$n", LongType, nullable = true)))
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_regex_scrub"
+
+  override def nullSafeEval(in: Any): Any =
+    ScrubEval.scrub(in.asInstanceOf[UTF8String], pats, repls)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("scrubPats", pats,
+      "java.util.regex.Pattern[]")
+    val r = ctx.addReferenceObj("scrubRepls", repls, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"${ev.value} = graft.functions.ScrubEval.scrub($v, $p, $r);"
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RegexScrub =
+    copy(child = newChild)
+}

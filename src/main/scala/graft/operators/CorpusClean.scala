@@ -442,16 +442,39 @@ object CorpusClean {
       "left_semi")
   }
 
+  /** Test seam: [[scrubWith]] for the equivalence spec (the fused
+    * expression vs the built-in chain it replaced). */
+  private[graft] def scrubForTest(
+      df: DataFrame,
+      textCol: String,
+      patterns: Seq[(String, String, String)],
+      outCol: String): DataFrame = scrubWith(df, textCol, patterns, outCol)
+
   private def scrubWith(
       df: DataFrame,
       textCol: String,
       patterns: Seq[(String, String, String)],
       outCol: String): DataFrame = {
-    val (out, counts) = patterns.foldLeft((col(textCol), Seq.empty[Column])) {
-      case ((txt, acc), (name, pat, repl)) =>
-        (regexp_replace(txt, pat, repl),
-          acc :+ regexp_count(txt, lit(pat)).cast("long").as(s"n_$name"))
-    }
-    df.select(df.columns.map(col) ++ counts :+ out.as(outCol): _*)
+    // the whole chain as ONE codegen'd expression (graft.functions
+    // .RegexScrub): one matcher walk per pattern yields both the count
+    // and the rewrite, where the old regexp_count+regexp_replace fold
+    // paid two walks per pattern plus a UTF8String↔String round trip per
+    // built-in over the progressive text state — bit-identical contract
+    // documented on the expression. The struct is aliased once and the
+    // field extractions are the only consumers: identical deterministic
+    // subtrees collapse in whole-stage codegen subexpression elimination
+    // (plan-audited: one graft_regex_scrub per scrub stage).
+    val scrub = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.RegexScrub(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          col(textCol)),
+        patterns.map(_._1).toIndexedSeq,
+        patterns.map(_._2).toIndexedSeq,
+        patterns.map(_._3).toIndexedSeq))
+    df.withColumn("__scrub", scrub)
+      .select(df.columns.map(col) ++
+        patterns.map { case (name, _, _) =>
+          col(s"__scrub.n_$name").as(s"n_$name") } :+
+        col("__scrub.text").as(outCol): _*)
   }
 }

@@ -87,11 +87,28 @@ object Decontamination {
       textCol: String,
       n: Int = 3): DataFrame = {
     require(n > 0, "n must be positive")
+    contaminationFractionFromShingles(
+      train.select(col(trainId), Dedup.shingles(col(textCol), n).as("__sh")),
+      test.select(Dedup.shingles(col(textCol), n).as("__sh")),
+      trainId, "__sh")
+  }
+
+  /** [[contaminationFraction]] from PRE-SHINGLED frames — both sides
+    * carry a `shCol` array column (the [[Dedup.shingles]] arrays). Lets a
+    * caller that derives several text signals in one corpus projection
+    * (e.g. the selection pipeline: shingles + quality score + token
+    * count) share that single pass instead of re-scanning the text here;
+    * the join/aggregation shape and output are identical to
+    * [[contaminationFraction]], which now delegates to this. */
+  def contaminationFractionFromShingles(
+      train: DataFrame,
+      test: DataFrame,
+      trainId: String,
+      shCol: String): DataFrame = {
     val trainSh = train.select(
-      col(trainId).as("train_id"),
-      explode(Dedup.shingles(col(textCol), n)).as("__sh"))
+      col(trainId).as("train_id"), explode(col(shCol)).as("__sh"))
     val evalSh = test
-      .select(explode(Dedup.shingles(col(textCol), n)).as("__sh"))
+      .select(explode(col(shCol)).as("__sh"))
       .distinct()
       .withColumn("__hit", lit(1))
     trainSh.join(broadcast(evalSh), Seq("__sh"), "left")

@@ -99,6 +99,8 @@ object LmScore {
       idCol: String,
       textCol: String,
       smoothing: Double = 1.0d): DataFrame = {
+    // validate BEFORE the eager tokenize checkpoint
+    require(smoothing > 0, "smoothing must be positive")
     // tokenize ONCE (pinned words frame) — uni build, bi build and the
     // scoring explode all derive from the same arrays instead of each
     // re-running the regex tokenizer over the corpus (3 passes → 1).
@@ -157,10 +159,19 @@ object LmScore {
       log((col("__cb") + lit(smoothing)) /
         (col("__cu") + lit(smoothing * vocab))) * lit(1000000.0d))
       .cast("long")
+    // model-side pre-join (r18, §8): fold the unigram lookup into the
+    // bigram table so the exploded corpus-side frame passes through ONE
+    // join, not two — inner equi-joins, so the matched rows and every
+    // joined value are unchanged (join associativity). The unigram side
+    // is vocabulary-bounded and broadcast-hinted: without the hint the
+    // checkpointed inputs carry unknown stats and the initial plan
+    // materializes a shuffle pair that AQE only converts after the fact
+    val model = bi.select(col("wa").as("w1"), col("wb").as("w2"),
+        col("c2").as("__cb"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c1").as("__cu"))),
+        Seq("w1"))
     val scored = pairs
-      .join(bi.select(col("wa").as("w1"), col("wb").as("w2"),
-        col("c2").as("__cb")), Seq("w1", "w2"))
-      .join(uni.select(col("w").as("w1"), col("c1").as("__cu")), Seq("w1"))
+      .join(model, Seq("w1", "w2"))
       .select(col("__id"), term.as("__t"))
       .groupBy(col("__id"))
       .agg(sum(col("__t")).as("logprob_micros"),
@@ -203,6 +214,9 @@ object LmScore {
       idCol: String,
       textCol: String,
       discount: Double = 0.75d): DataFrame = {
+    // validate BEFORE the eager tokenize checkpoint (the QualityModel
+    // r17-advice rule: invalid args must not pay a corpus pass)
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
     // tokenize ONCE (pinned words frame): bi/tri builds and the scoring
     // explode share the same arrays (3 corpus passes → 1). Pin policy
     // unchanged for the model tables: each is referenced 4x by the
@@ -249,6 +263,17 @@ object LmScore {
 
   /** The KN scoring join — shared by the train-and-score and from-model
     * paths (identical recursion, one timed pass). */
+  // r18 NEGATIVE RESULT (kept as a comment per the r17 discipline): the
+  // five continuation/type tables were restructured into two GROUPING
+  // SETS expand+aggregate passes (3 aggs over triType → 1, 2 over biCnt
+  // → 1), pinned, and also persisted as a scoring-ready artifact for the
+  // from-model path. Alternating quiet-window A/B measured it WORSE:
+  // q_lm_kn_score mins 0.85/1.03 → 0.97/1.15, q_lm_kn_score_persisted
+  // 0.34/0.45 → 0.47/0.50 — the two extra eager pin jobs (and, on the
+  // persisted path, the extra artifact scans) cost more than the saved
+  // vocabulary-bounded re-aggregations, the same pin economics r17
+  // established. Reverted; the corpus-side PRE-JOINS below (7 → 5 joins
+  // on the exploded frame) measured fine and stay.
   private def knScoreJoin(
       df: DataFrame,
       idCol: String,
@@ -283,14 +308,28 @@ object LmScore {
       lit(d) * col("__nf2").cast("double") / col("__c12").cast("double") * pmid
     val term = round(log(pkn) * lit(1000000.0d)).cast("long")
 
+    // Model-side PRE-JOIN shrinks the corpus-side chain 7 → 6 joins
+    // (r18, §8 move heavy rows once — the exploded trigram frame is the
+    // data-scale side; every join it passes through probes every row):
+    // the two (w2)-keyed tables (n1Mid + n1Follow1) merge on the MODEL
+    // side — both vocabulary-bounded, the smaller broadcast-hinted so
+    // the merge never plans a shuffle pair off the checkpoints' unknown
+    // stats. Inner equi-joins, so the regrouping cannot change the
+    // matched row set or any joined value (join associativity —
+    // LmScoreSpec pins end-to-end equality). The analogous (w1,w2) merge
+    // (bigram count + n1Follow2) was tried and NOT kept: both sides are
+    // bigram-type-sized, so the merge itself needs a data-scale join —
+    // nothing saved, one stage added.
+    val midW2 = n1Mid
+      .join(broadcast(n1Follow1.select(col("wa").as("w2"), col("__nf1"))),
+        Seq("w2"))
     val scored = tris
       .join(triType, Seq("w1", "w2", "w3"))
       .join(biCnt.select(col("wa").as("w1"), col("wb").as("w2"),
         col("__c2").as("__c12")), Seq("w1", "w2"))
       .join(n1Follow2, Seq("w1", "w2"))
       .join(n1Prec, Seq("w2", "w3"))
-      .join(n1Mid, Seq("w2"))
-      .join(n1Follow1.select(col("wa").as("w2"), col("__nf1")), Seq("w2"))
+      .join(midW2, Seq("w2"))
       .join(contOf.select(col("wb").as("w3"), col("__ct")), Seq("w3"))
       .select(col("__id"), term.as("__t"))
       .groupBy(col("__id"))
@@ -329,6 +368,9 @@ object LmScore {
       l3: Double = 0.6d,
       l2: Double = 0.3d,
       l1: Double = 0.1d): DataFrame = {
+    // validate BEFORE the eager tokenize checkpoint
+    require(smoothing > 0, "smoothing must be positive")
+    require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9, "lambdas must sum to 1")
     // tokenize ONCE (pinned words frame): uni/bi/tri builds and the
     // scoring explode share the same arrays (4 corpus passes → 1). Pin
     // policy unchanged for the model tables — what is referenced MORE
@@ -427,6 +469,16 @@ object LmScore {
       log(lit(l3) * p3 + lit(l2) * p2 + lit(l1) * p1) * lit(1000000.0d))
       .cast("long")
 
+    // r18 NEGATIVE RESULT: merging the w2-unigram lookup into the
+    // (w2,w3) bigram table (corpus-side chain 5 → 4 joins, the
+    // knScoreJoin/bigramScoreJoin pre-join shape) was tried and
+    // REVERTED — the merged table is a join, whose size ESTIMATE blows
+    // past the broadcast threshold, so the initial plan demoted the
+    // corpus-side probe to a SortMergeJoin and shuffled the whole
+    // exploded-trigram chain once before AQE flipped it back (plan dump:
+    // Exchange 4 → 6; q_ppl_filter bench mins drifted +0.1–0.2 s). The
+    // same merge IS kept where it stays broadcast in the initial plan
+    // (bigram model, KN midW2).
     val scored = tris
       .join(tri.select(col("w1"), col("w2"), col("w3"),
         col("c3").as("__c3")), Seq("w1", "w2", "w3"))

@@ -92,6 +92,9 @@ object QualityModel {
       iters: Int = 3,
       lr: Double = 0.5d,
       nGramBuckets: Int = 0): Array[Double] = {
+    // validate BEFORE the eager featurize checkpoint: invalid arguments
+    // must not pay a full corpus featurize pass before the require fires
+    require(iters >= 1 && lr > 0)
     val xs = allFeaturesMu(col(textCol), nGramBuckets)
     // featurize ONCE: GD is inherently one aggregation per iteration,
     // but the features (regex class counts, hashed n-gram arrays) are
@@ -182,6 +185,8 @@ object QualityModel {
       iters: Int = 3,
       lr: Double = 0.5d,
       nGramBuckets: Int = 0): DataFrame = {
+    // validate BEFORE the eager featurize checkpoint (same as [[train]])
+    require(iters >= 1 && lr > 0)
     val xs = allFeaturesMu(col(textCol), nGramBuckets)
     val d = xs.length
     val feat = Scale.ensureParallelism(df,

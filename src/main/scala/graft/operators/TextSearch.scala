@@ -31,13 +31,7 @@ object TextSearch {
   /** Per-(doc, term) frequencies plus document length — the inverted
     * index's posting payload. */
   def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    tfFromWords(df.select(col(idCol).as("doc"), toks(col(textCol)).as("__t")))
-
-  /** [[termFrequencies]] from a tokenized `(doc, __t)` frame — lets a
-    * caller that also needs the token arrays (corpus scalars) tokenize
-    * exactly once. */
-  private def tfFromWords(words: DataFrame): DataFrame =
-    words
+    df.select(col(idCol).as("doc"), toks(col(textCol)).as("__t"))
       .select(col("doc"), size(col("__t")).cast("long").as("dl"),
         explode(col("__t")).as("term"))
       .groupBy(col("doc"), col("dl"), col("term"))

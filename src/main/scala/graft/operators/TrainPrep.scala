@@ -250,37 +250,46 @@ object TrainPrep {
       col(tokenCol).cast("long").as("__ntok"),
       floor(col(scoreCol) * scoreScale + 0.5).cast("long").as("__smu"))
       .localCheckpoint()
-    val bsums = base.groupBy(col("__smu"))
-      .agg(sum(col("__ntok")).as("__bsum"))
-    // running totals over the bucket table: small by construction
-    val wc = Window.orderBy(col("__smu").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the bucket table is driver-bounded, so fold it to the driver
     // ONCE and re-emit it as a literal table: both union branches then
     // share the one materialization with NO cache/checkpoint entry (a
     // localCheckpoint here leaked a strongly-referenced RDD into the
     // session registry; without either, each broadcast re-derived the
     // aggregate — and re-scanned the scored corpus — from scratch).
-    // The bound, NAMED: ≤ min(distinct score buckets, budget-prefix
-    // buckets + 1) rows — for a [0,1] score that is ≤ scoreScale + 1,
-    // but a wider score range multiplies it (scoreScale·range + 1), so
-    // the fetch itself is capped at MaxCollectedBuckets via limit()
-    // and over-cap fails LOUDLY (coarsen scoreScale) rather than
-    // straining the driver — exactly the bound the broadcast join
-    // below requires anyway.
-    val markedRows = bsums
-      .withColumn("__cum", sum(col("__bsum")).over(wc))
-      .select(col("__smu"), (col("__cum") <= budgetTokens).as("__full"),
-        (col("__cum") - col("__bsum")).as("__before"))
-      // buckets whose prefix already exceeds the budget can't contribute
-      // (every row's running total is >= the bucket prefix)
-      .filter(col("__full") || col("__before") <= budgetTokens)
+    // The bound, NAMED: ≤ distinct score buckets — for a [0,1] score
+    // that is ≤ scoreScale + 1, but a wider score range multiplies it
+    // (scoreScale·range + 1), so the fetch is capped at
+    // MaxCollectedBuckets via limit() and over-cap fails LOUDLY
+    // (coarsen scoreScale) rather than straining the driver.
+    //
+    // The running totals are computed ON THE DRIVER over the capped
+    // bucket rows (r18): the previous shape ran an unpartitioned
+    // `Window.orderBy(__smu)` — a single-reducer exchange+sort+window
+    // stage whose input cardinality was only input-distribution-bounded,
+    // and which ran BEFORE the cap could fire. Now every step past the
+    // one map-side-combined aggregation is bounded by the same require;
+    // the arithmetic (desc-ordered integer prefix sums over distinct
+    // bucket keys) is identical, so the marked table is bit-identical.
+    val bucketRows = base.groupBy(col("__smu"))
+      .agg(sum(col("__ntok")).as("__bsum"))
       .limit(MaxCollectedBuckets + 1)
       .collect()
-    require(markedRows.length <= MaxCollectedBuckets,
+    require(bucketRows.length <= MaxCollectedBuckets,
       s"token-budget bucket table exceeds $MaxCollectedBuckets rows — " +
         s"the score range × scoreScale=$scoreScale makes too many " +
         "distinct buckets for a driver fold; coarsen scoreScale")
+    var cum = 0L
+    val markedRows = bucketRows
+      .sortBy(_.getLong(0))(Ordering[Long].reverse).flatMap { r =>
+      val (smu, bsum) = (r.getLong(0), r.getLong(1))
+      val before = cum
+      cum += bsum
+      // buckets whose prefix already exceeds the budget can't contribute
+      // (every row's running total is >= the bucket prefix)
+      if (cum <= budgetTokens || before <= budgetTokens)
+        Some(org.apache.spark.sql.Row(smu, cum <= budgetTokens, before))
+      else None
+    }
     val marked = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(markedRows: _*),
       org.apache.spark.sql.types.StructType(Seq(
@@ -368,17 +377,28 @@ object TrainPrep {
     val base = df.select(col(idCol).as("__id"),
       floor(col(scoreCol) * scoreScale + 0.5).cast("long").as("score_mu"))
       .localCheckpoint()
-    val wc = Window.orderBy(col("score_mu"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bucketRows = base.groupBy(col("score_mu"))
+    // bucket prefix counts computed ON THE DRIVER over the capped bucket
+    // rows (r18, the selectByTokenBudget rationale): the previous shape
+    // ran an unpartitioned `Window.orderBy(score_mu)` — a single-reducer
+    // exchange+sort+window stage — and collected the bucket table with
+    // NO cardinality guard. Same integer prefix sums in ascending bucket
+    // order, so the marked table is bit-identical; over-cap now fails
+    // loudly instead of straining the driver.
+    val bucketRows0 = base.groupBy(col("score_mu"))
       .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__cum", sum(col("__cnt")).over(wc))
-      .select(col("score_mu"), (col("__cum") - col("__cnt")).as("__before"),
-        col("__cnt"))
+      .limit(MaxCollectedBuckets + 1)
       .collect()
-    val total = bucketRows.map(_.getLong(2)).sum
+    require(bucketRows0.length <= MaxCollectedBuckets,
+      s"curriculum bucket table exceeds $MaxCollectedBuckets rows — " +
+        s"the score range × scoreScale=$scoreScale makes too many " +
+        "distinct buckets for a driver fold; coarsen scoreScale")
+    val bucketRows = bucketRows0.sortBy(_.getLong(0))
+    val total = bucketRows.map(_.getLong(1)).sum
+    var cum = 0L
     val marked = bucketRows.map { r =>
-      val (smu, before, cnt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (smu, cnt) = (r.getLong(0), r.getLong(1))
+      val before = cum
+      cum += cnt
       val bandLo = before * nBands / total
       val bandHi = (before + cnt - 1) * nBands / total
       org.apache.spark.sql.Row(smu, before, bandLo.toInt, bandLo == bandHi)

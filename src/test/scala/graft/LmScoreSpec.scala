@@ -92,4 +92,57 @@ class LmScoreSpec extends SparkSpec {
     // proper probabilities: every per-doc sum is negative when trigrams exist
     assert(out(0)._3 < 0)
   }
+
+  test("Kneser–Ney: generic driver replay on an asymmetric corpus (r18 " +
+      "grouping-sets/pre-join shape)") {
+    // corpus chosen so every continuation/type table has NON-UNIFORM
+    // counts (nf2, np, nm, nf1, ct all > 1 somewhere): a grouping_id
+    // mix-up or a pre-join that drops/duplicates keys cannot cancel out
+    val texts = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran on the mat"),
+      (3L, "a cat sat on a mat"),
+      (4L, "the dog sat on the log"),
+      (5L, "cat sat cat sat cat"),
+      (6L, "on the mat on the mat"))
+    val docs = texts.toDF("doc_id", "text")
+    val d = 0.75
+    def toks(s: String): Seq[String] =
+      s.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val allTris = texts.flatMap { case (id, t) =>
+      toks(t).sliding(3).filter(_.size == 3).map(w => (id, (w(0), w(1), w(2))))
+    }
+    val allBis = texts.flatMap { case (_, t) =>
+      toks(t).sliding(2).filter(_.size == 2).map(w => (w(0), w(1)))
+    }
+    val c3 = allTris.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c2 = allBis.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val triTypes = c3.keySet
+    val nf2 = triTypes.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong).toMap
+    val np = triTypes.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+    val nm = triTypes.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val biTypes = c2.keySet
+    val nf1 = biTypes.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ct = biTypes.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTypes = biTypes.size.toDouble
+    def term(t: (String, String, String)): Long = {
+      val pcont = ct(t._3) / nTypes
+      val m = nm(t._2).toDouble
+      val pmid = math.max(np((t._2, t._3)) - d, 0.0) / m +
+        d * nf1(t._2) / m * pcont
+      val c12 = c2((t._1, t._2)).toDouble
+      val p = math.max(c3(t) - d, 0.0) / c12 + d * nf2((t._1, t._2)) / c12 * pmid
+      math.round(math.log(p) * 1e6)
+    }
+    val expect = allTris.groupBy(_._1).view.mapValues { ts =>
+      (ts.size.toLong, ts.map(x => term(x._2)).sum)
+    }.toMap
+    val out = LmScore.kneserNeyTrigram(docs, "doc_id", "text")
+      .select("doc_id", "n_trigrams", "logprob_kn_micros")
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (id, n, lp) =>
+      val (en, elp) = expect.getOrElse(id, (0L, 0L))
+      assert((n, lp) === ((en, elp)), s"doc $id")
+    }
+  }
 }
