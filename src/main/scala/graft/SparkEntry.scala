@@ -2252,8 +2252,11 @@ object SparkEntry {
       // readWide: the single-row-group test scan otherwise pins the regex
       // scrub AND both stage checkpoints (which inherit the scan's one
       // partition) to one core — measured 3 serial ~0.4-0.9 s single-task
-      // stages at sf0.1; spread, they ride all cores (r17 profile)
-      val withPii = read(s, dir, "documents").select(
+      // stages at sf0.1; spread, they ride all cores (r17 profile).
+      // (r18: the r17 commit added this comment but left `read` in place
+      // — the profile still showed 1.05 s + 0.72 s single-task stages;
+      // actually applying readWide removes them.)
+      val withPii = readWide(s, dir, "documents").select(
         col("doc_id"), col("lang"), col("source"),
         concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@example.com end")).as("text"))
@@ -2677,38 +2680,39 @@ object SparkEntry {
     // UniMax per-source token allocation — the "what do we actually
     // train on, and how often" artifact, end-to-end under ONE oracle
     "q_pipeline_select" -> ((s, dir) => {
-      // ONE corpus text pass (r17 verdict item 1): the three signals this
-      // capstone needs — contamination shingles, quality score, token
-      // count — previously each re-scanned documents.text (3 regex/array
-      // passes). One pinned projection now carries all three; the
-      // expressions are the exact ones the three separate passes ran, so
-      // every downstream row is bit-identical (oracle EQUAL; the shared
-      // pass is the LmScore tokenArrays discipline — pins pay where the
-      // re-derived subtree is regex/tokenize-heavy text work).
-      // (the narrow-pin alternative — q_mu/__tok pinned, shingles left to
-      // re-derive from text — A/B-measured worse: mins 1.32/1.37 vs this
-      // shape's 1.09/1.15 in the same alternating quiet window; the
-      // shingle re-derivation is itself regex-heavy text work, exactly
-      // the subtree the r17 pin rule says to share)
-      val base = operators.Sampling.hashSplit(readWide(s, dir, "documents"),
-          "doc_id", Seq(("train", 0.95), ("heldout", 0.05)), seed = 7L)
-        .select(col("doc_id"), col("source"), col("split"),
-          round(operators.TextAnalysis.qualityScore(col("text")) * 1e6)
-            .cast("long").as("q_mu"),
-          operators.TextAnalysis.tokenCount(col("text")).as("__tok"),
-          operators.Dedup.shingles(col("text"), 3).as("__sh"))
-        .localCheckpoint()
-      val train = base.filter(col("split") === "train")
-      val contamOk = operators.Decontamination.contaminationFractionFromShingles(
-          train, base.filter(col("split") === "heldout"), "doc_id", "__sh")
+      // r18 NEGATIVE RESULT — the r17-verdict "fuse the three text
+      // passes" item was BUILT, gated EQUAL, and then reverted on scale
+      // evidence. The fused shape (ONE pinned projection carrying
+      // quality score + token count + contamination shingles) won at
+      // sf0.1 (mins 1.41 → 1.09 paired; the narrow-pin variant without
+      // shingles measured 1.32/1.37) but INVERTED on a 10× corpus:
+      // wall 1.75/1.84 (this 3-pass shape) vs 3.81/4.12 fused — the
+      // eager materialization of per-doc shingle arrays (~3× the text
+      // bytes; 180 MB read back at 10×, 2.3–2.9 s GC) and the
+      // checkpoint's stats loss grow with data while the regex passes
+      // it saves stay cheap, in-pipeline, page-cache-fed. Keeping the
+      // pass-per-signal shape is the 100 TB-correct call; the pin rule
+      // ("share regex-heavy text work") holds only while the shared
+      // derivative is NARROW (LM token arrays are consumed by explode
+      // immediately; these shingle arrays had to be stored).
+      val split = operators.Sampling.hashSplit(readWide(s, dir, "documents"),
+        "doc_id", Seq(("train", 0.95), ("heldout", 0.05)), seed = 7L)
+      val train = split.filter(col("split") === "train")
+      val contamOk = operators.Decontamination.contaminationFraction(
+          train, split.filter(col("split") === "heldout"),
+          "doc_id", "text", n = 3)
         .filter(col("contam_ppm") < 300000L)
         .select(col("train_id").as("doc_id"))
       val kept = train
+        .withColumn("q_mu",
+          round(operators.TextAnalysis.qualityScore(col("text")) * 1e6)
+            .cast("long"))
         .filter(col("q_mu") >= 900000L)
         .join(contamOk, Seq("doc_id"), "left_semi")
       operators.Sampling.unimaxAllocation(
         kept.groupBy(col("source")).agg(
-          sum(col("__tok")).cast("long").as("tokens")),
+          sum(operators.TextAnalysis.tokenCount(col("text"))).cast("long")
+            .as("tokens")),
         "source", "tokens", budget = 30000L, maxEpochsMilli = 1500L)
     }),
     // incremental-admission capstone: a delta batch gated against the

@@ -197,6 +197,18 @@ object Dedup {
       banded: DataFrame,
       idCol: String,
       maxBucket: Option[Int] = None): DataFrame = {
+    // r18 NEGATIVE RESULT (the batch-family "second look" the r17
+    // verdict asked for): per-bucket pair GENERATION — groupBy(band,
+    // bucket) + sort_array(collect_list(id)) + a nested-transform
+    // emitting the i<j pairs, identical pair set to this self-join —
+    // was implemented and A/B-measured across the seven batch dedup
+    // consumers in alternating quiet-window runs: per-query mins moved
+    // −0.17…+0.11 s with no consistent direction (q_curation 1.34/1.58
+    // before vs 1.44/1.48 after; q_dedup_resolve 0.96/0.98 vs
+    // 0.79/1.05; …) — flat within host noise. Reverted: the join form
+    // keeps the skew story (capBuckets windows over the SAME
+    // partitioning; a collect_list giant bucket materializes one huge
+    // array row).
     val keyed = banded
       // one exchange on the JOIN keys: both self-join branches reuse it
       // (ReuseExchange), so the map-only signature projection runs ONCE,
