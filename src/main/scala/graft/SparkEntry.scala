@@ -3098,14 +3098,14 @@ object SparkEntry {
     // rounding) — the perplexity signal one order above the bigram model
     "q_lm_trigram_score" -> ((s, dir) =>
       operators.LmScore.trigramLogProb(
-          readWide(s, dir, "documents"), "doc_id", "text")
+          read(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "logprob3_micros", "n_trigrams")),
     // interpolated Kneser–Ney trigram scoring (the KenLM smoothing):
     // absolute discount + continuation-probability backoff, all from
     // integer type/token counts — the full KN recursion replays in SQL
     "q_lm_kn_score" -> ((s, dir) =>
       operators.LmScore.kneserNeyTrigram(
-          readWide(s, dir, "documents"), "doc_id", "text")
+          read(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang", "logprob_kn_micros", "n_trigrams")),
     // KN scoring from a PERSISTED model: only the bigram and trigram
     // count tables persist (every continuation/type table re-derives
@@ -3114,7 +3114,7 @@ object SparkEntry {
     // continuation/type stats was built and A/B-measured WORSE — see the
     // negative-result note in LmScore.knScoreJoin; reverted.)
     "q_lm_kn_score_persisted" -> ((s, dir) => {
-      val docs = readWide(s, dir, "documents")
+      val docs = read(s, dir, "documents")
       val art = artifactPath(dir, "lm_kn")
       dumpOnce(art) {
         val (bi, tri) = operators.LmScore.buildKneserNeyModel(docs, "text")
@@ -3129,7 +3129,7 @@ object SparkEntry {
     // whose mean per-trigram log-prob clears the reference cut
     "q_ppl_filter" -> ((s, dir) =>
       operators.LmScore.trigramLogProb(
-          readWide(s, dir, "documents"), "doc_id", "text")
+          read(s, dir, "documents"), "doc_id", "text")
         .filter(col("n_trigrams") > 0)
         .withColumn("mean_lp_mu",
           expr("(logprob3_micros - pmod(logprob3_micros, n_trigrams))" +
@@ -3142,7 +3142,7 @@ object SparkEntry {
     // joining the artifact tables; same oracle as the in-memory path
     // because counts are integers and the score chain is identical
     "q_ppl_filter_persisted" -> ((s, dir) => {
-      val docs = readWide(s, dir, "documents")
+      val docs = read(s, dir, "documents")
       val art = artifactPath(dir, "lm_trigram")
       dumpOnce(art) {
         val (uni, bi, tri) = operators.LmScore.buildTrigramModel(docs, "text")

@@ -29,6 +29,18 @@ object LmScore {
 
   private def toks(text: Column): Column = TextAnalysis.tokens(text)
 
+  /** Spread an under-split scan before the per-row regex tokenize (the
+    * QualityModel featurize discipline, §2.5 input-split skew): gated on
+    * the actual split count, so it is a no-op on properly-split 100 TB
+    * input. Living HERE rather than in the caller's read means the
+    * caller's OTHER reference to the corpus — the final score-attach
+    * join, which does no per-row text work — no longer inherits a
+    * useless round-robin exchange (r18; the attach join's hash exchange
+    * redistributes anyway). Tokenize is per-row, so partitioning cannot
+    * change any array; downstream aggregations are order-free counts. */
+  private def spread(df: DataFrame): DataFrame =
+    Scale.ensureParallelism(df, df.sparkSession.sparkContext.defaultParallelism)
+
   /** Tokenize the corpus ONCE into a pinned `(__id, __w)` frame shared by
     * every model-build aggregation AND the scoring explode. The in-memory
     * train-and-score paths previously re-ran the regex tokenizer per
@@ -43,7 +55,7 @@ object LmScore {
       df: DataFrame,
       idCol: String,
       textCol: String): DataFrame =
-    df.select(col(idCol).as("__id"), toks(col(textCol)).as("__w"))
+    spread(df).select(col(idCol).as("__id"), toks(col(textCol)).as("__w"))
       .localCheckpoint()
 
   /** Unigram counts from a tokenized `(__id, __w)` frame. */
@@ -106,7 +118,12 @@ object LmScore {
     // re-running the regex tokenizer over the corpus (3 passes → 1).
     // Pin policy unchanged otherwise: uni additionally pinned (vocab
     // scalar + join = 2 references), bi lazy (single reference)
-    val words = tokenArrays(df, idCol, textCol)
+    // NO input spread here (unlike trigram/KN): the bigram family's
+    // tokenize is one cheap pass and the A/B measured the round-robin
+    // exchange as a pure loss (mins 0.38 -> 0.51); the heavier families
+    // amortize the same exchange over more saved passes and win
+    val words = df.select(col(idCol).as("__id"), toks(col(textCol)).as("__w"))
+      .localCheckpoint()
     val uni = uniFromWords(words).localCheckpoint()
     val bi = biFromWords(words)
     bigramScoreJoin(df, idCol, pairsFromWords(words), uni, bi, smoothing)
@@ -257,7 +274,8 @@ object LmScore {
       bi: DataFrame,
       tri: DataFrame,
       discount: Double = 0.75d): DataFrame = {
-    val words = df.select(col(idCol).as("__id"), toks(col(textCol)).as("__w"))
+    val words = spread(df)
+      .select(col(idCol).as("__id"), toks(col(textCol)).as("__w"))
     knScoreJoin(df, idCol, trisFromWords(words), bi, tri, discount)
   }
 
@@ -429,7 +447,8 @@ object LmScore {
       l3: Double = 0.6d,
       l2: Double = 0.3d,
       l1: Double = 0.1d): DataFrame = {
-    val words = df.select(col(idCol).as("__id"), toks(col(textCol)).as("__w"))
+    val words = spread(df)
+      .select(col(idCol).as("__id"), toks(col(textCol)).as("__w"))
     trigramScoreJoin(df, idCol, trisFromWords(words), uni, bi, tri,
       smoothing, l3, l2, l1)
   }
